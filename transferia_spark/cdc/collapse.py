@@ -1,0 +1,117 @@
+"""Collapse: fold a batch of I/U/D events per key into the net effect.
+
+≈ ``pkg/abstract/changeitem/change_item_collapse.go:48-134`` in
+transferia/transferia — the reference walks the batch per PK in order
+and folds insert+update→insert, update+update→update, anything+delete→
+delete (or nothing if the key was born in this batch), handling TOAST
+partial updates by carrying forward the last non-null value per column.
+
+Spark formulation: one shuffle —
+``groupBy(pk).agg(max_by(payload, seq), ...)`` with per-column
+last-non-null folding for toasted updates. The aggregation is
+map-side-combinable, so at 100 TB the collapse happens mostly before
+the shuffle; there is no per-key iteration on the driver.
+
+PK-changing updates are normalized *first* (delete(old key) +
+insert(new key)), exactly the rewrite the reference applies at sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transferia_spark.cdc.changeitem import (
+    BEFORE_COL,
+    COUNTER_COL,
+    LSN_COL,
+    OP_COL,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+    keys_changed,
+    payload_columns,
+)
+
+
+def normalize_pk_changes(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Rewrite PK-changing updates into delete(old)+insert(new).
+
+    The delete keeps the same (lsn, counter); the insert gets counter+0.5
+    ordering via a sub-counter so it sorts after the delete — we encode
+    this by doubling counters: delete=2n, insert=2n+1 (others 2n).
+    """
+    if BEFORE_COL not in df.columns:
+        return df.withColumn(COUNTER_COL, F.col(COUNTER_COL) * 2)
+    changed = keys_changed(df, keys)
+    stable = df.filter(~changed).withColumn(COUNTER_COL, F.col(COUNTER_COL) * 2)
+    moved = df.filter(changed)
+    payload = payload_columns(df)
+    deletes = moved.select(
+        *[
+            F.col(f"{BEFORE_COL}.{c}").alias(c)
+            if c in keys
+            else F.lit(None).cast(dict(zip(df.columns, df.schema))[c].dataType).alias(c)
+            for c in payload
+        ],
+        F.lit(OP_DELETE).alias(OP_COL),
+        F.col(LSN_COL),
+        (F.col(COUNTER_COL) * 2).alias(COUNTER_COL),
+        *( [F.col(c)] if (c := "_commit_ts") in df.columns else [] ),
+    )
+    inserts = moved.withColumn(OP_COL, F.lit(OP_INSERT)).withColumn(
+        COUNTER_COL, F.col(COUNTER_COL) * 2 + 1
+    )
+    keep = [c for c in df.columns if c != BEFORE_COL]
+    return (
+        stable.select(*keep)
+        .unionByName(deletes.select(*[c for c in keep if c in deletes.columns]), allowMissingColumns=True)
+        .unionByName(inserts.select(*keep), allowMissingColumns=True)
+    )
+
+
+def collapse(df: DataFrame, keys: list[str], toast_aware: bool = True) -> DataFrame:
+    """Net effect per key for one batch.
+
+    Returns one row per key with the final payload and final ``_op``
+    (insert/update/delete); keys whose last event is a delete come out
+    with ``_op='d'`` and NULL non-key payload. Order inside the batch is
+    (lsn, counter) — never wall-clock.
+    """
+    df = normalize_pk_changes(df, keys)
+    payload = [c for c in payload_columns(df) if c not in keys and c != "_toasted"]
+    seq = F.struct(F.col(LSN_COL), F.col(COUNTER_COL))
+
+    aggs = [
+        F.max_by(F.col(OP_COL), seq).alias("_last_op"),
+        F.min_by(F.col(OP_COL), seq).alias("_first_op"),
+        F.max(F.col(LSN_COL)).alias(LSN_COL),
+        F.max(F.col(COUNTER_COL)).alias(COUNTER_COL),
+    ]
+    if toast_aware:
+        # last non-null value per column (TOAST partial updates carry
+        # NULL for unchanged columns): max_by over non-null events only.
+        for c in payload:
+            aggs.append(
+                F.max_by(F.col(c), F.when(F.col(c).isNotNull(), seq)).alias(c)
+            )
+    else:
+        for c in payload:
+            aggs.append(F.max_by(F.col(c), seq).alias(c))
+
+    out = df.groupBy(*keys).agg(*aggs)
+    # a key inserted AND deleted within the batch nets to nothing
+    born_and_dead = (F.col("_first_op") == OP_INSERT) & (F.col("_last_op") == OP_DELETE)
+    out = out.filter(~born_and_dead)
+    final_op = (
+        F.when(F.col("_last_op") == OP_DELETE, OP_DELETE)
+        .when(F.col("_first_op") == OP_INSERT, OP_INSERT)
+        .otherwise(OP_UPDATE)
+    )
+    null_if_deleted = [
+        F.when(F.col("_last_op") == OP_DELETE, F.lit(None)).otherwise(F.col(c)).alias(c)
+        for c in payload
+    ]
+    return out.select(
+        *keys, *null_if_deleted, final_op.alias(OP_COL), F.col(LSN_COL), F.col(COUNTER_COL)
+    )

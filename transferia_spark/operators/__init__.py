@@ -1,0 +1,38 @@
+"""Transformer operator set (SURVEY §2.4) — import to register all."""
+
+from transferia_spark.operators.base import (  # noqa: F401
+    Routed,
+    Transformation,
+    Transformer,
+    build,
+    known_types,
+    register,
+)
+
+# importing the modules registers every transformer type
+from transferia_spark.operators import casts, docs, filters, misc, routing, sql, values  # noqa: F401,E402
+
+from transferia_spark.operators.filters import (  # noqa: F401
+    FilterColumns,
+    FilterRows,
+    FilterRowsByIds,
+    SkipEvents,
+    compile_filter,
+)
+from transferia_spark.operators.casts import ConvertToDatetime, ConvertToString, NumberToFloat  # noqa: F401
+from transferia_spark.operators.routing import RenameTables, Sharder, TableSplitter  # noqa: F401
+from transferia_spark.operators.values import (  # noqa: F401
+    MaskField,
+    MongoPkExtender,
+    RegexReplace,
+    ReplacePrimaryKey,
+)
+from transferia_spark.operators.sql import SqlTransformer  # noqa: F401
+from transferia_spark.operators.docs import RawCdcDocGrouper, RawDocGrouper, YtDict  # noqa: F401
+from transferia_spark.operators.misc import (  # noqa: F401
+    BatchSplitter,
+    JsonParser,
+    LambdaTransformer,
+    LoggerTransformer,
+    ProblemItemDetector,
+)

@@ -1,0 +1,138 @@
+"""Remaining transformers: jsonparser, lambda, batch_splitter,
+problem_item_detector, logger.
+
+- ``jsonparser`` ≈ ``registry/jsonparser/parser.go:24`` — apply a queue
+  parser to a raw payload column mid-pipeline (``from_json``).
+- ``lambda`` ≈ ``registry/lambda/lambda.go:14`` — the reference POSTs
+  batches to a remote cloud function; the Spark-native superset is an
+  in-process Arrow-batched function over ``mapInPandas``.
+- ``batch_splitter`` ≈ ``registry/batch_splitter/batch_splitter.go:9`` —
+  obsolete under Spark's own partitioning; kept as a repartition.
+- ``problem_item_detector`` ≈ ``registry/problem_item_detector/...go:24``
+  — canary: sideline poison rows into a dead-letter frame.
+- ``logger`` ≈ ``registry/logger/logger.go:9`` — observe metrics, zero
+  data movement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transferia_spark.operators.base import Routed, Transformer, register
+from transferia_spark.schema.colschema import TableID
+
+
+@register
+class JsonParser(Transformer):
+    """Parse a raw string/bytes column into typed columns using a
+    declared schema; unparsable payloads keep the raw text in
+    ``_unparsed_raw`` (≈ the <table>_unparsed dead-letter of
+    ``generic_parser.go:575``)."""
+
+    TYPE = "jsonparser"
+
+    def __init__(self, column: str, schema: str, keep_raw: bool = False, drop_source: bool = True):
+        self.column = column
+        self.schema = schema  # DDL string, e.g. "a INT, b STRING"
+        self.keep_raw = keep_raw
+        self.drop_source = drop_source
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        st = T._parse_datatype_string(self.schema)
+        raw = F.col(self.column).cast("string")
+        parsed = F.from_json(raw, st)
+        out = df.withColumn("_parsed", parsed)
+        cols = [c for c in df.columns if c != self.column or not self.drop_source]
+        fields = [F.col(f"_parsed.{f.name}").alias(f.name) for f in st.fields]
+        extra = []
+        if self.keep_raw:
+            extra.append(
+                F.when(parsed.isNull(), raw).otherwise(F.lit(None)).alias("_unparsed_raw")
+            )
+        return [(table, out.select(*cols, *fields, *extra).drop("_parsed"))]
+
+
+@register
+class LambdaTransformer(Transformer):
+    """Arbitrary user function over Arrow record batches.
+
+    ``fn`` is ``pd.DataFrame -> pd.DataFrame`` with output schema
+    ``schema`` (DDL). This is the in-process, vectorized equivalent of
+    the reference's remote cloud-function lambda."""
+
+    TYPE = "lambda"
+
+    def __init__(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str):
+        self.fn = fn
+        self.schema = schema
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        fn = self.fn
+
+        def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield fn(pdf)
+
+        return [(table, df.mapInPandas(_map, self.schema))]
+
+
+@register
+class BatchSplitter(Transformer):
+    """Bound partition size before a sink — Spark's unit of write
+    parallelism is the partition, so 'split oversized batches' is a
+    repartition."""
+
+    TYPE = "batch_splitter"
+
+    def __init__(self, max_rows_per_partition: int = 1_000_000):
+        self.max_rows = max_rows_per_partition
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        # cheap estimate via planner stats would need an action; rely on
+        # AQE coalescing upward and split only when caller knows counts
+        return [(table, df)]
+
+    def split(self, df: DataFrame, total_rows: int) -> DataFrame:
+        import math
+
+        n = max(1, math.ceil(total_rows / self.max_rows))
+        return df.repartition(n)
+
+
+@register
+class ProblemItemDetector(Transformer):
+    """Sideline rows failing a predicate into ``self.dead_letter``;
+    healthy rows continue."""
+
+    TYPE = "problem_item_detector"
+
+    def __init__(self, healthy_when: str):
+        self.healthy_when = healthy_when
+        self.dead_letter: DataFrame | None = None
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        cond = F.expr(self.healthy_when)
+        self.dead_letter = df.filter(~cond)
+        return [(table, df.filter(cond))]
+
+
+@register
+class LoggerTransformer(Transformer):
+    """Attach ``observe`` metrics (row count) — the Spark-native way to
+    count without a second pass; values surface via QueryExecutionListener
+    or ``df.observe`` results in streaming."""
+
+    TYPE = "logger"
+
+    def __init__(self, name: str = "logger", metrics: list[Column] | None = None):
+        self.name = name
+        self.metrics = metrics
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        metrics = self.metrics or [F.count(F.lit(1)).alias("rows")]
+        return [(table, df.observe(f"{self.name}:{table.fqtn()}", *metrics))]

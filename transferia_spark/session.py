@@ -1,0 +1,92 @@
+"""SparkSession factory tuned for the target execution profile.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+configuration is what we would submit to a 1000-executor cluster — AQE on,
+shuffle partitions sized explicitly, Arrow enabled for the Pandas-UDF slow
+path, and a UTC session timezone so results are comparable with external
+oracles (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "transferia_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``spark.sql.shuffle.partitions`` defaults to the local core count —
+    the right number for local mode; on a real cluster this is overridden
+    at submit time (or left to AQE coalescing, which is enabled).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # files: keep scan partitions big enough to amortize task overhead
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        # testdata's events.ts is parquet TIMESTAMP(NANOS); Spark has no
+        # ns timestamps — read as long, converted in load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables=TABLES):
+    """Read the driver-generated parquet tables as a dict of DataFrames.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the files; with ``nanosAsLong``
+    it arrives as a long which we truncate to µs — the same conversion
+    DuckDB applies, so oracles line up exactly.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out = {}
+    for t in tables:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for f in df.schema.fields:
+            if f.name == "ts" and isinstance(f.dataType, T.LongType) and t == "events":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        out[t] = df
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view for the Spark SQL surface."""
+    for name, df in load_tables(spark, sf_dir, tables).items():
+        df.createOrReplaceTempView(name)
