@@ -1,0 +1,109 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-to-count); the
+headline metric is total wall-clock across the suite. A snapshot
+pipeline throughput probe (read → transform chain → write parquet) is
+included as `snapshot_pipeline`, mirroring the reference's primary KPI
+(rows/s of an initial transfer, docs/benchmarks.md).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from transferia_spark import get_spark  # noqa: E402
+from transferia_spark.operators import Transformation, build  # noqa: E402
+from transferia_spark.schema.colschema import TableID  # noqa: E402
+from transferia_spark.session import load_tables  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# queries() entries that form the headline suite (correctness-gated
+# elsewhere; here we time them)
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
+    "tpch_q6",
+    "window_topk",
+    "events_hourly_rollup",
+    "cdc_collapse",
+    "cdc_merge",
+    "transform_chain",
+]
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(os.path.dirname(os.path.abspath(__file__)), "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def bench_snapshot_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+    """The engine's bread-and-butter path: scan → transformer chain →
+    parquet sink (the reference's 'initial transfer' KPI)."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    chain = (
+        Transformation()
+        .add(build("filter_rows", filters=["l_quantity > 1"]))
+        .add(build("mask_field", columns=["l_returnflag"], salt="s"))
+        .add(build("convert_to_string", columns=["l_shipdate"]))
+    )
+    out = chain.apply(TableID("", "lineitem"), li)[0][1]
+    tmp = tempfile.mkdtemp(prefix="bench_sink_")
+    t0 = time.time()
+    out.write.mode("overwrite").parquet(os.path.join(tmp, "lineitem"))
+    dt = time.time() - t0
+    n = spark.read.parquet(os.path.join(tmp, "lineitem")).count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dt, n
+
+
+def main() -> None:
+    mod = _load_entry()
+    queries = mod.queries()
+    spark = get_spark("bench")
+    # warm the JVM + file index once with a trivial action
+    load_tables(spark, SF_DIR, ["region"])["region"].count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    snap_dt, snap_rows = bench_snapshot_pipeline(spark, SF_DIR)
+    timings["snapshot_pipeline"] = round(snap_dt, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "snapshot_rows_per_sec": round(snap_rows / snap_dt) if snap_dt > 0 else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,48 +45,37 @@ def merge_batch(
     """
     net = collapse(batch, keys, toast_aware=toast_aware)
     cols = list(target.columns)
-    ttypes = {f.name: f.dataType for f in target.schema.fields}
-    upserts = net.filter(F.col(OP_COL) != OP_DELETE)
-    has = set(upserts.columns)  # batch may carry only a column subset
+    has = set(net.columns)  # batch may carry only a column subset
 
-    if toast_aware:
-        # column-wise merge: new value wins when present, else keep old
-        t = target.alias("t")
-        u = upserts.alias("u")
-        cond = None
-        for k in keys:
-            c = F.col(f"t.{k}") == F.col(f"u.{k}")
-            cond = c if cond is None else cond & c
-        merged_existing = t.join(u, cond, "inner").select(
-            *[F.col(f"u.{k}").alias(k) for k in keys],
-            *[
-                (
-                    F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")) if c in has else F.col(f"t.{c}")
-                ).alias(c)
-                for c in cols
-                if c not in keys
-            ],
-        )
-        new_keys = u.join(t, cond, "left_anti").select(
-            *[F.col(c) for c in keys],
-            *[
-                (F.col(c) if c in has else F.lit(None).cast(ttypes[c])).alias(c)
-                for c in cols
-                if c not in keys
-            ],
-        )
-        applied = merged_existing.unionByName(new_keys)
-    else:
-        applied = upserts.select(
-            *[
-                (F.col(c) if c in has else F.lit(None).cast(ttypes[c])).alias(c)
-                for c in cols
-            ]
-        )
+    # Single full-outer join — the changelog is scanned & aggregated once
+    # (a 3-way union of inner/anti/anti joins recomputes the aggregation
+    # per branch and tripled wall-clock at sf0.1). The small side
+    # broadcasts under AQE; at 100 TB both sides shuffle on the key once.
+    t = target.alias("t")
+    u = net.alias("u")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}"))
+        cond = c if cond is None else cond & c
+    joined = t.join(u, cond, "full_outer")
+    matched = F.col(f"u.{OP_COL}").isNotNull()
+    deleted = matched & (F.col(f"u.{OP_COL}") == OP_DELETE)
 
-    touched = net.select(*keys)
-    untouched = target.join(touched, keys, "left_anti")
-    return untouched.unionByName(applied.select(*cols))
+    def _merged(c: str):
+        if c in keys:
+            return F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+        if c not in has:
+            return F.col(f"t.{c}").alias(c)
+        if toast_aware:
+            # new value wins when present; absent (toasted) keeps old
+            return (
+                F.when(matched, F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        return F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+
+    return joined.filter(~deleted).select(*[_merged(c) for c in cols])
 
 
 def apply_changelog(
