@@ -1,0 +1,80 @@
+from pyspark.sql import functions as F
+
+from transferia_spark.parsers import build_parser
+from transferia_spark.serializers import (
+    csv_serializer,
+    debezium_serializer,
+    json_serializer,
+    mirror_serializer,
+)
+
+
+def kafka_frame(spark, payloads: list[str]):
+    return spark.createDataFrame(
+        [(None, p.encode(), "topic1", 0, i, None) for i, p in enumerate(payloads)],
+        "key binary, value binary, topic string, partition int, offset long, timestamp timestamp",
+    )
+
+
+def test_json_parser_with_rest_and_unparsed(spark):
+    df = kafka_frame(
+        spark,
+        ['{"a": 1, "b": "x", "extra": "kept"}', "not json at all"],
+    )
+    parse = build_parser("json", schema="a int, b string")
+    out = parse(df).orderBy("_offset").collect()
+    assert out[0]["a"] == 1 and out[0]["b"] == "x"
+    assert out[0]["_rest"] == {"extra": "kept"}
+    assert out[0]["_unparsed_raw"] is None
+    assert out[1]["a"] is None
+    assert out[1]["_unparsed_raw"] == "not json at all"
+    assert out[1]["_partition"] == 0 and out[1]["_offset"] == 1
+
+
+def test_tskv_parser(spark):
+    df = kafka_frame(spark, ["tskv\tid=7\tname=zed\tscore=1.5"])
+    parse = build_parser("tskv", schema="id long, name string, score double")
+    row = parse(df).collect()[0]
+    assert (row["id"], row["name"], row["score"]) == (7, "zed", 1.5)
+
+
+def test_debezium_roundtrip(spark):
+    """Emit a Debezium envelope with the serializer, parse it back with
+    the parser — ChangeItem survives."""
+    src = spark.createDataFrame(
+        [(1, "a", "u", 100, 0), (2, None, "d", 101, 0)],
+        "id int, v string, _op string, _lsn long, _counter int",
+    )
+    enveloped = debezium_serializer(src, source_db="db", source_table="t", key_cols=["id"])
+    vals = [r["value"] for r in enveloped.collect()]
+    assert '"op":"u"' in vals[0]
+
+    back = kafka_frame(spark, vals)
+    parse = build_parser("debezium", row_schema="id int, v string")
+    rows = {r["id"]: r for r in parse(back).collect()}
+    assert rows[1]["_op"] == "u" and rows[1]["v"] == "a" and rows[1]["_lsn"] == 100
+    # delete rows reconstruct the key from `before`
+    assert rows[2]["_op"] == "d"
+
+
+def test_debezium_parser_insert_and_read_ops(spark):
+    payloads = [
+        '{"after": {"id": 5, "v": "n"}, "source": {"lsn": 7, "table": "t"}, "op": "c", "ts_ms": 1700000000000}',
+        '{"after": {"id": 6, "v": "s"}, "source": {"lsn": 8, "table": "t"}, "op": "r", "ts_ms": 1700000000001}',
+    ]
+    parse = build_parser("debezium", row_schema="id int, v string")
+    rows = {r["id"]: r for r in parse(kafka_frame(spark, payloads)).collect()}
+    assert rows[5]["_op"] == "i" and rows[6]["_op"] == "i"  # c and r → insert
+
+
+def test_json_and_mirror_and_csv_serializers(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, v string")
+    j = json_serializer(df, key_cols=["id"]).collect()[0]
+    assert j["key"] == '{"id":1}' and j["value"] == '{"id":1,"v":"x"}'
+
+    c = csv_serializer(df).collect()[0]
+    assert c["value"] == "1,x"
+
+    kv = spark.createDataFrame([(b"k", b"v")], "key binary, value binary")
+    m = mirror_serializer(kv).collect()[0]
+    assert bytes(m["key"]) == b"k" and bytes(m["value"]) == b"v"

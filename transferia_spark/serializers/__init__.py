@@ -1,0 +1,94 @@
+"""Serializers: rows → bytes (SURVEY §2.7, queue-sink surface).
+
+≈ ``pkg/abstract/model/serialization.go:11-18`` formats
+(JSON | Debezium | Mirror | Native | RawColumn) implemented in
+``pkg/serializer/queue/*.go`` in transferia/transferia. Spark-side all
+are single JVM expressions producing a ``value`` (and optional ``key``)
+column ready for a Kafka/file writer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transferia_spark.cdc.changeitem import (
+    BEFORE_COL,
+    COMMIT_TS_COL,
+    LSN_COL,
+    META_COLS,
+    OP_COL,
+    TX_COL,
+)
+
+
+def json_serializer(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Row → JSON value; optional key = JSON of the PK columns."""
+    payload = [c for c in df.columns if c not in META_COLS]
+    out = [F.to_json(F.struct(*[F.col(c) for c in payload])).alias("value")]
+    if key_cols:
+        out.insert(0, F.to_json(F.struct(*[F.col(c) for c in key_cols])).alias("key"))
+    return df.select(*out)
+
+
+def debezium_serializer(
+    df: DataFrame,
+    source_db: str = "",
+    source_table: str = "",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """ChangeItem DataFrame → Debezium envelope JSON
+    (≈ ``pkg/debezium/emitter_common.go``)."""
+    payload = [c for c in df.columns if c not in META_COLS]
+    row = F.struct(*[F.col(c) for c in payload])
+    op = F.col(OP_COL) if OP_COL in df.columns else F.lit("r")
+    before = (
+        F.col(BEFORE_COL)
+        if BEFORE_COL in df.columns
+        else F.when(op == "d", row).otherwise(F.lit(None))
+    )
+    after = F.when(op != "d", row).otherwise(F.lit(None))
+    source = F.struct(
+        F.lit(source_db).alias("db"),
+        F.lit(source_table).alias("table"),
+        (F.col(LSN_COL) if LSN_COL in df.columns else F.lit(None).cast("long")).alias("lsn"),
+        (F.col(TX_COL) if TX_COL in df.columns else F.lit(None).cast("string")).alias("txId"),
+    )
+    ts_ms = (
+        (F.unix_millis(F.col(COMMIT_TS_COL)))
+        if COMMIT_TS_COL in df.columns
+        else F.unix_millis(F.current_timestamp())
+    )
+    envelope = F.to_json(
+        F.struct(
+            before.alias("before"),
+            after.alias("after"),
+            source.alias("source"),
+            F.when(op == "i", "c").otherwise(op).alias("op"),
+            ts_ms.alias("ts_ms"),
+        )
+    )
+    out = [envelope.alias("value")]
+    if key_cols:
+        out.insert(0, F.to_json(F.struct(*[F.col(c) for c in key_cols])).alias("key"))
+    return df.select(*out)
+
+
+def mirror_serializer(df: DataFrame) -> DataFrame:
+    """Raw passthrough (queue→queue): key/value preserved byte-for-byte."""
+    cols = [c for c in ("key", "value") if c in df.columns]
+    return df.select(*cols)
+
+
+def raw_column_serializer(df: DataFrame, column: str) -> DataFrame:
+    """Emit one column's value as the message payload."""
+    return df.select(F.col(column).cast("binary").alias("value"))
+
+
+def csv_serializer(df: DataFrame, sep: str = ",") -> DataFrame:
+    """Row → CSV line (for line-oriented sinks); file sinks should use
+    df.write.csv (parallel) instead."""
+    payload = [c for c in df.columns if c not in META_COLS]
+    return df.select(
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in payload]).alias("value")
+    )
