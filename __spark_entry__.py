@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 
 from transferia_spark.cdc import apply_changelog, collapse
 from transferia_spark.cdc.synthetic import OP_CASE_SQL, events_changelog
+from transferia_spark.functions import portable as pf
 from transferia_spark.operators import Transformation, build
+from transferia_spark.operators.multimodal import attach_payload
+from transferia_spark.operators.textstats import LEXICONS, TOKEN_REGEX
 from transferia_spark.schema.colschema import TableID
 from transferia_spark.session import load_tables
 
@@ -269,6 +272,345 @@ def q_skip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline surface (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+MINHASH = dict(n=3, k=32, bands=8)
+JACCARD_MIN_BP = 200
+COSINE_MIN_BP = 3500
+ANN_QUERY_PRED = "vec_id < 8"
+ANN_K = 10
+LSH_PLANES = 6
+EMB_DIM = 64
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = build("dedup_exact", columns=["text"], id_col="doc_id")
+    return t.apply_df(d).select("doc_id", "text", "lang")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = build("dedup_minhash_lsh", text_col="text", id_col="doc_id", **MINHASH)
+    return t.apply_df(d)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (the pair join is exercised in tests; the
+    integer fingerprint is the strongest oracle check)."""
+    d = _t(spark, sf_dir, "documents")
+    t = build("dedup_simhash", text_col="text", id_col="doc_id")
+    return t.fingerprints(d)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = build(
+        "dedup_ngram_jaccard",
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        min_bp=JACCARD_MIN_BP,
+    )
+    return t.apply_df(d)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    t = build(
+        "dedup_embedding_cosine",
+        vec_col="embedding",
+        id_col="vec_id",
+        min_bp=COSINE_MIN_BP,
+    )
+    return t.apply_df(e)
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    t = build(
+        "ann_brute_force",
+        vec_col="embedding",
+        id_col="vec_id",
+        query_pred=ANN_QUERY_PRED,
+        k=ANN_K,
+    )
+    return t.apply_df(e)
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    t = build(
+        "ann_lsh_bucketed",
+        vec_col="embedding",
+        id_col="vec_id",
+        query_pred=ANN_QUERY_PRED,
+        dim=EMB_DIM,
+        n_planes=LSH_PLANES,
+        k=ANN_K,
+    )
+    return t.apply_df(e)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = build("lang_id", text_col="text")
+    return t.apply_df(d).select("doc_id", "lang_pred")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = build("quality_score", text_col="text")
+    return t.apply_df(d).select(
+        "doc_id", "n_words", "mean_wlen_bp", "stopword_bp", "punct_bp", "score_bp"
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = build("token_count", text_col="text")
+    return t.apply_df(d).select("doc_id", "ws_tokens", "re_tokens")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = build("fingerprint", text_col="text")
+    return t.apply_df(d).select("doc_id", "full_hash", "min_window_hash")
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = attach_payload(d, text_col="text", id_col="doc_id")
+    t = build("media_decode", mode="meta")
+    return t.apply_df(media)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = attach_payload(d, text_col="text", id_col="doc_id")
+    t = build("frame_sample", stride=4)
+    return t.apply_df(media)
+
+
+# ---- DuckDB oracle builders (share constants with the Spark side) --------
+
+_W = pf.sql_words("text")
+_SHINGLES3 = pf.sql_shingles("w", 3)
+
+
+def _sql_docs_shingled() -> str:
+    return f"""
+docs AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS s
+  FROM docs WHERE len(w) >= 3
+)"""
+
+
+def _sql_minhash_pairs() -> str:
+    hashes = "list_transform(shs, s -> " + pf.sql_pt_hash("s") + ")"
+    sig = pf.sql_minhash_signature("hs", MINHASH["k"])
+    bands = pf.sql_band_keys("sig", MINHASH["bands"], MINHASH["k"] // MINHASH["bands"])
+    return f"""
+WITH docs AS (SELECT doc_id, {_W} AS w FROM documents),
+shd AS (
+  SELECT doc_id, list_distinct({_SHINGLES3}) AS shs
+  FROM docs WHERE len(w) >= 3
+),
+hashed AS (SELECT doc_id, {hashes} AS hs FROM shd),
+sigs AS (SELECT doc_id, {sig} AS sig FROM hashed),
+bands AS (SELECT doc_id, unnest({bands}) AS bk FROM sigs)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+"""
+
+
+def _sql_simhash() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return f"""
+WITH w AS (SELECT doc_id, unnest({_W}) AS word FROM documents),
+h AS (SELECT doc_id, {pf.sql_pt_hash("word")} AS h FROM w),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM bits
+"""
+
+
+def _sql_jaccard() -> str:
+    return f"""
+WITH {_sql_docs_shingled()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         floor(i * 10000 / (sa.sz + sb.sz - i))::BIGINT AS jaccard_bp
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+) WHERE jaccard_bp >= {JACCARD_MIN_BP}
+"""
+
+
+def _sql_cosine_pairs() -> str:
+    sim = pf.sql_vec_dot("a.e", "b.e") + " / sqrt(a.n2 * b.n2)"
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding AS e, {pf.sql_vec_norm2("embedding")} AS n2
+  FROM embeddings
+)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {pf.sql_floor_bp(sim)} AS sim_bp
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+) WHERE sim_bp >= {COSINE_MIN_BP}
+"""
+
+
+def _sql_ann(bucketed: bool) -> str:
+    sim = pf.sql_vec_dot("q.e", "c.e") + " / sqrt(q.n2 * c.n2)"
+    bucket = pf.sql_hyperplane_bucket("embedding", LSH_PLANES, EMB_DIM)
+    extra_col = f", {bucket} AS bucket" if bucketed else ""
+    join_cond = "q.bucket = c.bucket AND " if bucketed else ""
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding AS e, {pf.sql_vec_norm2("embedding")} AS n2{extra_col}
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {pf.sql_floor_bp(sim)} AS sim_bp
+  FROM base q JOIN base c
+    ON {join_cond}q.vec_id < 8 AND q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, rank, sim_bp FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim_bp DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {ANN_K}
+"""
+
+
+def _sql_lang_id() -> str:
+    hits = {
+        lang: f"len(list_filter(w, x -> x IN ({', '.join(repr(t) for t in lex)})))"
+        for lang, lex in LEXICONS.items()
+    }
+    cjk = (
+        "CASE WHEN length(text) > 0 THEN "
+        "floor(len(list_filter(split(text, ''), c -> ord(c) BETWEEN 19968 AND 40959))"
+        " * 10000 / length(text)) ELSE 0 END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text, {_W} AS w FROM documents),
+h AS (
+  SELECT doc_id, {cjk} AS cjk,
+         {hits["en"]} AS h_en, {hits["de"]} AS h_de,
+         {hits["es"]} AS h_es, {hits["fr"]} AS h_fr
+  FROM d
+)
+SELECT doc_id,
+  CASE WHEN cjk >= 3000 THEN 'zh'
+       WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+       WHEN h_fr > 0 THEN 'fr'
+       ELSE 'und' END AS lang_pred
+FROM h
+"""
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_quality() -> str:
+    en = ", ".join(_sql_str(t) for t in LEXICONS["en"])
+    punct = ", ".join(_sql_str(c) for c in ".,;:!?'\"()-")
+    return f"""
+WITH d AS (SELECT doc_id, text, {_W} AS w FROM documents),
+c AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    list_sum(list_transform(w, x -> length(x))) AS char_total,
+    len(list_filter(w, x -> x IN ({en}))) AS stop_hits,
+    len(list_filter(split(text, ''), c -> c IN ({punct}))) AS punct_n,
+    length(text) AS n_chars
+  FROM d
+),
+m AS (
+  SELECT doc_id,
+    n_words::BIGINT AS n_words,
+    (CASE WHEN n_words > 0 THEN floor(char_total * 10000 / n_words) ELSE 0 END)::BIGINT AS mean_wlen_bp,
+    (CASE WHEN n_words > 0 THEN floor(stop_hits * 10000 / n_words) ELSE 0 END)::BIGINT AS stopword_bp,
+    (CASE WHEN n_chars > 0 THEN floor(punct_n * 10000 / n_chars) ELSE 0 END)::BIGINT AS punct_bp
+  FROM c
+)
+SELECT *,
+  ((CASE WHEN n_words BETWEEN 10 AND 1000 THEN 4000 ELSE 0 END)
+ + (CASE WHEN stopword_bp BETWEEN 200 AND 6000 THEN 3000 ELSE 0 END)
+ + (CASE WHEN punct_bp <= 1500 THEN 2000 ELSE 0 END)
+ + (CASE WHEN mean_wlen_bp BETWEEN 30000 AND 120000 THEN 1000 ELSE 0 END))::BIGINT AS score_bp
+FROM m
+"""
+
+
+def _sql_fingerprint() -> str:
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    win_hash = pf.sql_pt_hash("substr(norm, i, 8)")
+    return f"""
+WITH n AS (SELECT doc_id, {norm} AS norm FROM documents)
+SELECT doc_id,
+  {pf.sql_pt_hash("norm")} AS full_hash,
+  (CASE WHEN length(norm) >= 8 THEN
+     list_min(list_transform(range(1, length(norm) - 6), i -> {win_hash}))
+   ELSE {pf.sql_pt_hash("norm")} END)::BIGINT AS min_window_hash
+FROM n
+"""
+
+
+def _sql_media_decode() -> str:
+    checksum = "list_sum(list_transform(split(text, ''), c -> ord(c))) % 65521"
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         ({checksum})::BIGINT AS checksum
+  FROM documents
+)
+SELECT doc_id, kind, n_bytes, checksum,
+       (64 + checksum % 512)::BIGINT AS width,
+       (64 + (checksum // 7) % 512)::BIGINT AS height
+FROM m
+"""
+
+
+def _sql_frame_sample() -> str:
+    return """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         octet_length(encode(text)) AS nb
+  FROM documents
+),
+f AS (
+  SELECT doc_id, kind,
+         greatest(1, CASE WHEN kind = 'image' THEN 0 ELSE nb // 32 END) AS n_frames
+  FROM m
+)
+SELECT doc_id, kind, unnest(range(0, n_frames::BIGINT, 4))::BIGINT AS frame_idx
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -300,6 +642,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_collapse": q_cdc_collapse,
         "cdc_merge": q_cdc_merge,
         "skip_events": q_skip_events,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "media_decode": q_media_decode,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -444,4 +799,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE {OP_CASE_SQL} <> 'd'
         """,
+        "dedup_exact": """
+            SELECT d.doc_id, d.text, d.lang
+            FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+              ON d.doc_id = k.doc_id
+        """,
+        "dedup_minhash_lsh": _sql_minhash_pairs(),
+        "dedup_simhash": _sql_simhash(),
+        "dedup_ngram_jaccard": _sql_jaccard(),
+        "dedup_embedding_cosine": _sql_cosine_pairs(),
+        "ann_brute_force": _sql_ann(bucketed=False),
+        "ann_lsh_bucketed": _sql_ann(bucketed=True),
+        "lang_id": _sql_lang_id(),
+        "quality_score": _sql_quality(),
+        "token_count": f"""
+            SELECT doc_id,
+                   len({_W})::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))::BIGINT AS re_tokens
+            FROM documents
+        """,
+        "fingerprint": _sql_fingerprint(),
+        "media_decode": _sql_media_decode(),
+        "frame_sample": _sql_frame_sample(),
     }

@@ -42,6 +42,20 @@ HEADLINE = [
     "cdc_collapse",
     "cdc_merge",
     "transform_chain",
+    # training-data pipeline surface (documents: 5k rows / embeddings:
+    # 2k × 64-dim at sf0.1)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_brute_force",
+    "ann_lsh_bucketed",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "fingerprint",
+    "media_decode",
 ]
 
 

@@ -1,0 +1,193 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal. Oracle parity is covered by driver_sim/test_entry_queries;
+these tests cover semantics the oracles don't reach: pair joins,
+skew caps, stub gating, and known-answer fixtures."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from transferia_spark.operators import build
+from transferia_spark.operators.multimodal import attach_payload
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today"),  # near dup of 0
+        (3, "completely different text about spark query engines here now"),
+        (4, "x"),  # too short for shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    out = build("dedup_exact", columns=["text"], id_col="doc_id").apply_df(docs)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [0, 2, 3, 4]  # doc 1 deduped into doc 0
+
+
+def test_minhash_lsh_finds_exact_dup_pair(docs):
+    out = build(
+        "dedup_minhash_lsh", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    ).apply_df(docs)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 1) in pairs  # identical docs always collide in every band
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_bucket_cap_drops_hot_buckets(docs):
+    # cap of 1 means every band bucket with >1 member is dropped: no pairs
+    out = build(
+        "dedup_minhash_lsh",
+        text_col="text",
+        id_col="doc_id",
+        max_bucket=1,
+    ).apply_df(docs)
+    assert out.count() == 0
+
+
+def test_simhash_identical_docs_same_fingerprint(docs):
+    t = build("dedup_simhash", text_col="text", id_col="doc_id")
+    fps = {r.doc_id: r.simhash for r in t.fingerprints(docs).collect()}
+    assert fps[0] == fps[1]
+    assert 0 <= fps[0] < 2**32
+    pairs = {(r.id_a, r.id_b): r.hamming for r in t.apply_df(docs).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_ngram_jaccard_exact_dup_is_10000(docs):
+    out = build(
+        "dedup_ngram_jaccard", text_col="text", id_col="doc_id", n=3, min_bp=100
+    ).apply_df(docs)
+    bp = {(r.id_a, r.id_b): r.jaccard_bp for r in out.collect()}
+    assert bp[(0, 1)] == 10000
+    assert 0 < bp[(0, 2)] < 10000  # near dup: high but not perfect
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0]),  # ~parallel to 0
+        (2, [0.0, 1.0, 0.0]),    # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = build(
+        "dedup_embedding_cosine", vec_col="embedding", id_col="vec_id", min_bp=9000
+    ).apply_df(df)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_ann_brute_force_rank_order(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = build(
+        "ann_brute_force",
+        vec_col="embedding",
+        id_col="vec_id",
+        query_pred="vec_id = 11",
+        k=3,
+    ).apply_df(df)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(10, 1), (9, 2), (8, 3)]  # nearest directions first
+
+
+def test_ann_lsh_candidates_subset_of_bucket(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = build(
+        "ann_lsh_bucketed",
+        vec_col="embedding",
+        id_col="vec_id",
+        query_pred="vec_id < 3",
+        dim=64,
+        n_planes=6,
+        k=5,
+    )
+    buckets = {r.vec_id: r.bucket for r in t.bucketed(df).collect()}
+    out = t.apply_df(df).collect()
+    assert len(out) > 0
+    for r in out:
+        assert buckets[r.query_id] == buckets[r.neighbor_id]
+
+
+def test_lang_id_heuristic(spark):
+    rows = [
+        (0, "the cat is in the house and it is warm"),
+        (1, "der hund ist nicht zu haus und das ist gut"),
+        (2, "日本語のテキストです漢字が多い文章ですここにある"),
+        (3, "zzz qqq www"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.lang_pred for r in build("lang_id", text_col="text").apply_df(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "zh"
+    assert out[3] == "und"
+
+
+def test_quality_score_components(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat and then the dog came in too")], ["doc_id", "text"]
+    )
+    r = build("quality_score", text_col="text").apply_df(df).collect()[0]
+    assert r.n_words == 13
+    assert r.score_bp == 4000 + 3000 + 2000 + 1000  # all components pass
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(0, "Hello, world! abc123 x")], ["doc_id", "text"])
+    r = build("token_count", text_col="text").apply_df(df).collect()[0]
+    assert r.ws_tokens == 4
+    # hello , world ! abc 123 x
+    assert r.re_tokens == 7
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha  beta\tgamma   delta")],
+        ["doc_id", "text"],
+    )
+    rows = build("fingerprint", text_col="text").apply_df(df).collect()
+    by_id = {r.doc_id: (r.full_hash, r.min_window_hash) for r in rows}
+    assert by_id[0] == by_id[1]  # normalization collapses whitespace
+
+
+def test_media_decode_meta_and_stub(docs):
+    media = attach_payload(docs, text_col="text", id_col="doc_id")
+    out = build("media_decode", mode="meta").apply_df(media)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_bytes == len(
+        "the quick brown fox jumps over the lazy dog today".encode()
+    )
+    assert rows[0].kind == "image" and rows[1].kind == "audio"
+    assert 64 <= rows[0].width < 64 + 512
+
+    with pytest.raises(Exception) as ei:
+        build("media_decode", mode="rgb").apply_df(media).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sample_stride(docs):
+    media = attach_payload(docs, text_col="text", id_col="doc_id")
+    out = build("frame_sample", stride=4).apply_df(media)
+    pdf = out.toPandas()
+    audio = pdf[pdf.doc_id == 1]
+    n_bytes = len("the quick brown fox jumps over the lazy dog today".encode())
+    expected = list(range(0, max(1, n_bytes // 32), 4)) or [0]
+    assert sorted(audio.frame_idx.tolist()) == expected
+    # images use a sentinel frame size → exactly one frame
+    assert pdf[pdf.doc_id == 0].frame_idx.tolist() == [0]
+
+
+def test_dedup_preserves_determinism_under_repartition(docs):
+    shuffled = docs.repartition(7)
+    a = build("dedup_exact", columns=["text"], id_col="doc_id").apply_df(docs)
+    b = build("dedup_exact", columns=["text"], id_col="doc_id").apply_df(shuffled)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )

@@ -1,0 +1,224 @@
+"""Dual-engine deterministic primitives for the training-data pipeline.
+
+Every function here has TWO faces kept in one place so they cannot
+drift: a Spark `Column` builder (used by the operators) and a DuckDB
+SQL-string builder (used by the oracle queries in `__spark_entry__`).
+The driver's correctness gate compares values EXACTLY (no float
+tolerance), so the design rules are:
+
+- integer arithmetic everywhere a hash/count is involved (mod
+  P=1e9+7, products bounded < 2^63);
+- floating point only as `double`, produced by *sequential left
+  folds* in both engines (Spark `aggregate`, DuckDB `list_reduce`
+  with an explicit `::DOUBLE` init) so the bit pattern is identical;
+- final float→int quantization via `floor(x * 10^k)` (monotone and
+  exact on identical doubles — unlike `round`, whose tie-breaking
+  differs between engines).
+
+Scale notes: all builders are pure Catalyst expressions (no Python
+UDFs), so they run inside WholeStageCodegen on the JVM and
+vectorize; per-row cost is O(len(text)) with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P = 1_000_000_007
+HASH_INIT = 7
+HASH_MULT = 31
+MINHASH_A = 2_654_435_761
+MINHASH_B = 40_503
+
+
+# ---------------------------------------------------------------------------
+# portable polynomial string hash:  h = fold(chars, 7, acc*31 + ord(c) mod P)
+# ---------------------------------------------------------------------------
+
+
+def pt_hash(s: Column) -> Column:
+    """Polynomial rolling hash of a string, identical in Spark and DuckDB."""
+    return F.aggregate(
+        F.transform(F.split(s, ""), lambda c: F.ascii(c)),
+        F.lit(HASH_INIT).cast("long"),
+        lambda acc, x: (acc * HASH_MULT + x) % F.lit(P),
+    )
+
+
+def sql_pt_hash(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend({HASH_INIT}::BIGINT, "
+        f"list_transform(split({expr}, ''), c -> ord(c))), "
+        f"(acc, x) -> (acc * {HASH_MULT} + x) % {P})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+
+def words(s: Column) -> Column:
+    """Lower-cased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(s), r"\s+"), lambda w: w != "")
+
+
+def sql_words(expr: str) -> str:
+    return rf"list_filter(regexp_split_to_array(lower({expr}), '\s+'), w -> w <> '')"
+
+
+def shingles(w: Column, n: int) -> Column:
+    """Word n-grams joined by single spaces; empty array if < n words."""
+    starts = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    arr = F.transform(starts, lambda i: F.array_join(F.slice(w, i, n), " "))
+    return F.when(F.size(w) >= n, arr).otherwise(F.array().cast("array<string>"))
+
+
+def sql_shingles(words_expr: str, n: int) -> str:
+    return (
+        f"CASE WHEN len({words_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({words_expr}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({words_expr}, i, i + {n} - 1), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash: k permutations h_i(x) = (a_i*x + b_i) mod P over shingle hashes
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(hashes: Column, k: int) -> Column:
+    """k-element minhash signature of an array of shingle hashes.
+
+    a_i, b_i derive from the loop index so both engines generate the
+    same permutation family without a random generator.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: ((i * MINHASH_A + 1) % P * h + (i * MINHASH_B + 17) % P) % P,
+            )
+        ),
+    )
+
+
+def sql_minhash_signature(hashes_expr: str, k: int) -> str:
+    return (
+        f"list_transform(range(0, {k}), i -> list_min(list_transform({hashes_expr}, "
+        f"h -> ((i * {MINHASH_A} + 1) % {P} * h + (i * {MINHASH_B} + 17) % {P}) % {P})))"
+    )
+
+
+def band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """LSH band keys: fold each r-row slice of the signature into one
+    bucket id (band index mixed into the init so bands never collide)."""
+    keys = [
+        F.aggregate(
+            F.slice(sig, j * rows + 1, rows),
+            F.lit(j * 1_000_003 + 13).cast("long"),
+            lambda acc, v: (acc * HASH_MULT + v) % F.lit(P),
+        )
+        for j in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def sql_band_keys(sig_expr: str, bands: int, rows: int) -> str:
+    return (
+        f"list_transform(range(0, {bands}), j -> "
+        f"list_reduce(list_prepend(j * 1000003 + 13, "
+        f"list_slice({sig_expr}, j * {rows} + 1, j * {rows} + {rows})), "
+        f"(acc, v) -> (acc * {HASH_MULT} + v) % {P}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector math: sequential-fold dot product / norms (bit-identical doubles)
+# ---------------------------------------------------------------------------
+
+
+def vec_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_vec_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def vec_norm2(a: Column) -> Column:
+    return vec_dot(a, a)
+
+
+def sql_vec_norm2(a: str) -> str:
+    return sql_vec_dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity as double; one division + one sqrt at the end
+    so identical folds give identical bits."""
+    return vec_dot(a, b) / F.sqrt(vec_norm2(a) * vec_norm2(b))
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_vec_dot(a, b)} / sqrt({sql_vec_norm2(a)} * {sql_vec_norm2(b)}))"
+
+
+def floor_bp(x: Column, k: int = 4) -> Column:
+    """Quantize a double to integer 10^-k units via floor (exact on
+    identical doubles; `round` tie-breaking differs across engines)."""
+    return F.floor(x * F.lit(10**k)).cast("long")
+
+
+def sql_floor_bp(expr: str, k: int = 4) -> str:
+    return f"floor(({expr}) * {10 ** k})::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# deterministic LSH hyperplanes (integer-valued, index-derived)
+# ---------------------------------------------------------------------------
+
+
+def hyperplane_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """Sign-of-dot-product LSH bucket. Plane q's d-th component is the
+    integer ((q*37 + d*101) mod 97) - 48 — derived, not random, so both
+    engines build the same planes."""
+    bucket = F.lit(0).cast("long")
+    for q in range(n_planes):
+        plane = [((q * 37 + d * 101) % 97) - 48 for d in range(dim)]
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(p)) for p in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << q)).otherwise(0)
+    return bucket
+
+
+def sql_hyperplane_bucket(vec: str, n_planes: int, dim: int) -> str:
+    terms = []
+    for q in range(n_planes):
+        plane = [((q * 37 + d * 101) % 97) - 48 for d in range(dim)]
+        plane_lit = "[" + ", ".join(f"{p}.0::DOUBLE" for p in plane) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dim} + 1), "
+            f"i -> {vec}[i]::DOUBLE * ({plane_lit})[i])), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << q} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"

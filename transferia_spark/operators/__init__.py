@@ -10,7 +10,19 @@ from transferia_spark.operators.base import (  # noqa: F401
 )
 
 # importing the modules registers every transformer type
-from transferia_spark.operators import casts, docs, filters, misc, routing, sql, values  # noqa: F401,E402
+from transferia_spark.operators import (  # noqa: F401,E402
+    casts,
+    dedup,
+    docs,
+    filters,
+    misc,
+    multimodal,
+    routing,
+    similarity,
+    sql,
+    textstats,
+    values,
+)
 
 from transferia_spark.operators.filters import (  # noqa: F401
     FilterColumns,
@@ -36,3 +48,18 @@ from transferia_spark.operators.misc import (  # noqa: F401
     LoggerTransformer,
     ProblemItemDetector,
 )
+from transferia_spark.operators.dedup import (  # noqa: F401
+    DedupEmbeddingCosine,
+    DedupExact,
+    DedupMinHashLSH,
+    DedupNgramJaccard,
+    DedupSimHash,
+)
+from transferia_spark.operators.similarity import AnnBruteForce, AnnLshBucketed  # noqa: F401
+from transferia_spark.operators.textstats import (  # noqa: F401
+    Fingerprint,
+    LangId,
+    QualityScore,
+    TokenCount,
+)
+from transferia_spark.operators.multimodal import FrameSample, MediaDecode  # noqa: F401

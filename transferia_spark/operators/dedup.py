@@ -1,0 +1,375 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (transferia has no dedup operator; its
+closest relative is per-key CDC collapse,
+``pkg/abstract/changeitem/change_item_collapse.go:48``), these are the
+standard corpus-dedup family, each expressed as pure DataFrame ops so
+Catalyst handles pushdown/pruning and AQE handles skew:
+
+- ``dedup_exact``       — hash-groupBy keeper selection (one shuffle).
+- ``dedup_minhash_lsh`` — shingle → minhash signature → banded LSH
+                          bucket join → candidate pairs.
+- ``dedup_simhash``     — 32-bit simhash + byte-banded hamming join.
+- ``dedup_ngram_jaccard`` — exact n-gram Jaccard via shingle
+                          inverted-index self-join.
+- ``dedup_embedding_cosine`` — near-dup pairs by embedding cosine.
+
+Scale notes (100 TB, 1000 executors):
+- Signature/shingle computation is per-row Catalyst expression work —
+  embarrassingly parallel, no Python, no shuffle.
+- The pair-generating joins shuffle on (band key | shingle | bucket).
+  Degenerate keys (e.g. a boilerplate shingle shared by millions of
+  docs) explode quadratically: every operator therefore caps bucket
+  width (``max_bucket``) by dropping hotter-than-cap keys — the same
+  fix Spark's own MinHashLSH recommends — making the join skew-safe.
+- ``dedup_embedding_cosine`` brute-forces O(n²/2) pairs; at corpus
+  scale, run it per LSH bucket (compose with ``ann_lsh_bucketed``) —
+  the brute-force form here is the correctness baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from transferia_spark.functions.portable import (
+    band_keys,
+    cosine,
+    floor_bp,
+    pt_hash,
+    shingles,
+    vec_dot,
+    words,
+)
+from transferia_spark.operators.base import Routed, Transformer, register
+from transferia_spark.schema.colschema import TableID
+
+SIMHASH_BITS = 32
+
+
+def _cap_buckets(df: DataFrame, key: str, max_bucket: int | None) -> DataFrame:
+    """Drop keys whose bucket exceeds max_bucket rows (skew guard).
+
+    The window is partitioned by the key itself, so this adds no extra
+    shuffle beyond the one the downstream join needs anyway.
+    """
+    if max_bucket is None:
+        return df
+    counted = df.withColumn("_bn", F.count(F.lit(1)).over(Window.partitionBy(key)))
+    return counted.filter(F.col("_bn") <= max_bucket).drop("_bn")
+
+
+def _pairs(bucketed: DataFrame, id_col: str, key: str) -> DataFrame:
+    """Distinct (a < b) id pairs sharing a bucket key — the canonical
+    LSH candidate join (shuffle on the key; see module skew note)."""
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+@register
+class DedupExact(Transformer):
+    """Exact dedup: group rows by a content hash of ``columns`` and keep
+    the row with the smallest ``id_col`` (deterministic keeper).
+
+    One hash-shuffle; map-side partial aggregation applies, and at 100 TB
+    the group-by key (a 64-bit hash) distributes uniformly by design.
+    """
+
+    TYPE = "dedup_exact"
+
+    def __init__(self, columns: list[str], id_col: str):
+        self.columns = columns
+        self.id_col = id_col
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        key = F.xxhash64(*[F.col(c) for c in self.columns]).alias("_content_hash")
+        keeper = (
+            df.select(self.id_col, *self.columns, key)
+            .groupBy("_content_hash")
+            .agg(F.min(self.id_col).alias(self.id_col))
+            .drop("_content_hash")
+        )
+        out = df.join(keeper, on=self.id_col, how="left_semi")
+        return [(table, out)]
+
+
+@register
+class DedupMinHashLSH(Transformer):
+    """MinHash + banded LSH near-dup candidate pairs over a text column.
+
+    Pipeline: words → word ``n``-shingles → portable polynomial hash per
+    shingle → ``k``-perm minhash signature → ``bands``×``rows`` band
+    keys → explode → self-join on band key. Docs with fewer than ``n``
+    words have no shingles and are skipped (cannot collide).
+    """
+
+    TYPE = "dedup_minhash_lsh"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        n: int = 3,
+        k: int = 32,
+        bands: int = 8,
+        max_bucket: int | None = 1000,
+    ):
+        assert k % bands == 0, "k must divide into equal bands"
+        self.text_col, self.id_col = text_col, id_col
+        self.n, self.k, self.bands = n, k, bands
+        self.rows = k // bands
+        self.max_bucket = max_bucket
+
+    def signatures(self, df: DataFrame) -> DataFrame:
+        """(id, band-key array) per doc.
+
+        Shape matters: explode shingles, hash each ONCE, then take the
+        k permutation minima as map-side-combinable `min` aggregates.
+        The equivalent nested-lambda expression (minhash over an array
+        column) re-evaluates the shingle-hash subtree per permutation
+        after Catalyst's project-collapse inlines it — ~k× redundant
+        work per row. The explode/agg form is one shuffle of
+        (id, k longs) with partial aggregation, and every expression
+        stays in WholeStageCodegen.
+        """
+        from transferia_spark.functions.portable import MINHASH_A, MINHASH_B, P
+
+        w = words(F.col(self.text_col))
+        exploded = (
+            df.filter(F.size(w) >= self.n)
+            .select(
+                F.col(self.id_col),
+                F.explode(F.array_distinct(shingles(w, self.n))).alias("_s"),
+            )
+            .withColumn("_h", pt_hash(F.col("_s")))
+        )
+        mins = exploded.groupBy(self.id_col).agg(
+            *[
+                F.min(
+                    (F.lit((i * MINHASH_A + 1) % P) * F.col("_h")
+                     + F.lit((i * MINHASH_B + 17) % P)) % F.lit(P)
+                ).alias(f"_m{i}")
+                for i in range(self.k)
+            ]
+        )
+        sig = F.array(*[F.col(f"_m{i}") for i in range(self.k)])
+        return mins.select(
+            F.col(self.id_col),
+            band_keys(sig, self.bands, self.rows).alias("_bands"),
+        )
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        bucketed = self.signatures(df).select(
+            self.id_col, F.explode("_bands").alias("_bk")
+        )
+        bucketed = _cap_buckets(bucketed, "_bk", self.max_bucket)
+        return [(table, _pairs(bucketed, self.id_col, "_bk"))]
+
+
+@register
+class DedupSimHash(Transformer):
+    """32-bit SimHash per document + hamming-distance near-dup pairs.
+
+    ``fingerprints`` emits (id, simhash); ``apply`` emits pairs within
+    ``max_hamming`` found via the 4×8-bit band trick (two fingerprints
+    within hamming ≤ 3 of each other must agree on ≥1 of 4 bytes —
+    pigeonhole), so the join key is a byte, never the full fingerprint.
+    """
+
+    TYPE = "dedup_simhash"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        max_hamming: int = 3,
+        max_bucket: int | None = 10000,
+    ):
+        self.text_col, self.id_col = text_col, id_col
+        self.max_hamming = max_hamming
+        self.max_bucket = max_bucket
+
+    def fingerprints(self, df: DataFrame) -> DataFrame:
+        exploded = df.select(
+            self.id_col, F.explode(words(F.col(self.text_col))).alias("_w")
+        ).withColumn("_h", pt_hash(F.col("_w")))
+        bit_sums = exploded.groupBy(self.id_col).agg(
+            *[
+                F.sum(
+                    F.when(F.col("_h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+                ).alias(f"_b{j}")
+                for j in range(SIMHASH_BITS)
+            ]
+        )
+        fp = F.lit(0).cast("long")
+        for j in range(SIMHASH_BITS):
+            fp = fp + F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(0)
+        return bit_sums.select(self.id_col, fp.alias("simhash"))
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        fps = self.fingerprints(df)
+        banded = fps.select(
+            self.id_col,
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.shiftright(F.col("simhash"), 8 * q).bitwiseAND(F.lit(255))
+                            + F.lit(q * 256)
+                        ).cast("long")
+                        for q in range(4)
+                    ]
+                )
+            ).alias("_byte_band"),
+        )
+        banded = _cap_buckets(banded, "_byte_band", self.max_bucket)
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a._byte_band") == F.col("b._byte_band"))
+                & (F.col(f"a.{self.id_col}") < F.col(f"b.{self.id_col}")),
+            )
+            .select(
+                F.col(f"a.{self.id_col}").alias("id_a"),
+                F.col(f"b.{self.id_col}").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= self.max_hamming)
+            .distinct()
+        )
+        return [(table, pairs)]
+
+
+@register
+class DedupNgramJaccard(Transformer):
+    """Exact n-gram Jaccard similarity pairs via an inverted-index
+    self-join on distinct shingles.
+
+    jaccard_bp = floor(10^4 · |A∩B| / |A∪B|) — integer output so the
+    oracle compare is exact. ``min_bp`` filters the pair set.
+    """
+
+    TYPE = "dedup_ngram_jaccard"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        n: int = 3,
+        min_bp: int = 1000,
+        max_bucket: int | None = 1000,
+    ):
+        self.text_col, self.id_col = text_col, id_col
+        self.n, self.min_bp = n, min_bp
+        self.max_bucket = max_bucket
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        w = words(F.col(self.text_col))
+        sh = (
+            df.filter(F.size(w) >= self.n)
+            .select(
+                self.id_col,
+                F.explode(F.array_distinct(shingles(w, self.n))).alias("_s"),
+            )
+        )
+        sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("_sz"))
+        sh = _cap_buckets(sh, "_s", self.max_bucket)
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a._s") == F.col("b._s"))
+                & (F.col(f"a.{self.id_col}") < F.col(f"b.{self.id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{self.id_col}").alias("id_a"),
+                F.col(f"b.{self.id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        sa = sizes.select(
+            F.col(self.id_col).alias("id_a"), F.col("_sz").alias("_sza")
+        )
+        sb = sizes.select(
+            F.col(self.id_col).alias("id_b"), F.col("_sz").alias("_szb")
+        )
+        out = (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.floor(
+                    F.col("_inter")
+                    * 10000
+                    / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
+                )
+                .cast("long")
+                .alias("jaccard_bp"),
+            )
+            .filter(F.col("jaccard_bp") >= self.min_bp)
+        )
+        return [(table, out)]
+
+
+@register
+class DedupEmbeddingCosine(Transformer):
+    """Near-duplicate pairs by embedding cosine similarity ≥ threshold.
+
+    Brute-force O(n²/2) — the correctness baseline. At corpus scale,
+    restrict the join to LSH buckets (``ann_lsh_bucketed``) or a
+    cluster assignment first; the pair arithmetic is identical.
+    ``sim_bp`` = floor(10^4 · cosine) for exact cross-engine compare.
+    """
+
+    TYPE = "dedup_embedding_cosine"
+
+    def __init__(self, vec_col: str, id_col: str, min_bp: int = 9000):
+        self.vec_col, self.id_col = vec_col, id_col
+        self.min_bp = min_bp
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        # precompute the self-dot once per row, join pairs, then one
+        # cross-dot per pair: 1 fold per pair instead of 3
+        base = df.select(
+            F.col(self.id_col),
+            F.col(self.vec_col),
+            vec_dot(F.col(self.vec_col), F.col(self.vec_col)).alias("_n2"),
+        )
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, F.col(f"a.{self.id_col}") < F.col(f"b.{self.id_col}"))
+        sim = vec_dot(F.col(f"a.{self.vec_col}"), F.col(f"b.{self.vec_col}")) / F.sqrt(
+            F.col("a._n2") * F.col("b._n2")
+        )
+        out = pairs.select(
+            F.col(f"a.{self.id_col}").alias("id_a"),
+            F.col(f"b.{self.id_col}").alias("id_b"),
+            floor_bp(sim).alias("sim_bp"),
+        ).filter(F.col("sim_bp") >= self.min_bp)
+        return [(table, out)]
+
+
+__all__ = [
+    "DedupExact",
+    "DedupMinHashLSH",
+    "DedupSimHash",
+    "DedupNgramJaccard",
+    "DedupEmbeddingCosine",
+    "cosine",
+]

@@ -1,0 +1,153 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media lives in DataFrames as an opaque ``binary`` payload column plus
+a typed metadata struct — the layout every large multimodal corpus
+uses (payload bytes, media kind, source). Decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` UDFs: the
+payloads stream through Python in columnar batches, never row-at-a-
+time, and the surrounding plan (partitioning, pruning, the schema of
+the UDF output) is ordinary Catalyst.
+
+The actual codecs (PIL / torchaudio / pyav) are NOT installed in this
+environment, so the decode body is gated: ``mode="meta"`` runs a
+deterministic byte-level metadata extraction (real plumbing, fake
+decode); any other mode raises ``NotImplementedError`` at the point a
+codec would be invoked. Swapping in a real decoder changes only
+``_decode_batch`` — schema, batching and partitioning stay as tested.
+
+Scale notes: payload columns dominate I/O — always project them out
+(`select`) before wide shuffles, and size
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
+payloads fits executor memory (e.g. 256 rows × 4 MB images ≈ 1 GB).
+``repartition`` by a size-balanced key before decode to avoid
+stragglers from skewed payload sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transferia_spark.operators.base import Routed, Transformer, register
+from transferia_spark.schema.colschema import TableID
+
+ADLER_MOD = 65521
+
+DECODED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Test-fixture media table: utf-8 bytes of a text column as the
+    binary payload + a kind tag. Real pipelines read payloads from
+    parquet/object storage directly."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.when(F.col(id_col) % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame, mode: str) -> pd.DataFrame:
+    """Per-Arrow-batch decode. ``meta`` mode computes deterministic
+    byte metadata; real codec modes are stubbed."""
+    if mode != "meta":
+        # real implementation: PIL.Image.open(io.BytesIO(b)) / torchaudio.load /
+        # av.open — not available in this environment
+        raise NotImplementedError(f"media decode mode {mode!r} needs a codec")
+    payloads = pdf["payload"]
+    n_bytes = payloads.map(len)
+    # Adler-style checksum over code points (engine-agnostic; ASCII
+    # payloads make this equal to the byte sum)
+    checksum = pdf["_text"].map(lambda s: sum(ord(c) for c in s) % ADLER_MOD)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "kind": pdf["kind"],
+            "n_bytes": n_bytes,
+            "checksum": checksum,
+            "width": 64 + (checksum % 512),
+            "height": 64 + ((checksum // 7) % 512),
+        }
+    )
+
+
+@register
+class MediaDecode(Transformer):
+    """Decode/inspect a binary media column via ``mapInPandas``.
+
+    Emits one metadata row per payload. The Arrow batch size bounds
+    peak Python memory; the operator never collects to the driver.
+    """
+
+    TYPE = "media_decode"
+
+    def __init__(self, mode: str = "meta"):
+        self.mode = mode
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        mode = self.mode
+        # keep the decoded text beside the payload for the fake decode;
+        # a real decoder uses only the bytes
+        src = df.withColumn("_text", F.decode(F.col("payload"), "utf-8"))
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield _decode_batch(pdf, mode)
+
+        return [(table, src.mapInPandas(run, DECODED_META_SCHEMA))]
+
+
+@register
+class FrameSample(Transformer):
+    """Deterministic frame/chunk sampling plan for video/audio payloads:
+    emits (doc_id, frame_idx) rows for every ``stride``-th frame of a
+    payload, where the frame count derives from payload size and a
+    per-kind frame size. The decode of each sampled frame is the
+    stubbed codec path above."""
+
+    TYPE = "frame_sample"
+
+    FRAME_BYTES = {"image": 1 << 62, "audio": 32, "video": 64}
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        frame_bytes = F.create_map(
+            *[
+                x
+                for k, v in self.FRAME_BYTES.items()
+                for x in (F.lit(k), F.lit(v))
+            ]
+        )
+        n_frames = F.greatest(
+            F.lit(1),
+            F.floor(F.length("payload") / frame_bytes[F.col("kind")]).cast("long"),
+        )
+        out = df.select(
+            "doc_id",
+            "kind",
+            F.explode(
+                F.sequence(F.lit(0), n_frames - 1, F.lit(self.stride))
+            ).alias("frame_idx"),
+        )
+        return [(table, out)]
+
+
+__all__ = ["MediaDecode", "FrameSample", "attach_payload", "DECODED_META_SCHEMA"]

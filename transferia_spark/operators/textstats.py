@@ -1,0 +1,197 @@
+"""Text-analysis operators for training-data curation.
+
+- ``lang_id``        — n-gram/lexicon language heuristic.
+- ``quality_score``  — length / punctuation / stopword-ratio scoring.
+- ``token_count``    — whitespace tokens + BPE-ish regex tokens.
+- ``fingerprint``    — polynomial full-text hash + rolling-window
+                       min-hash (Rabin-Karp style) per document.
+
+All are pure Catalyst expression pipelines (no UDFs, no shuffle):
+per-row cost O(len(text)), runs inside WholeStageCodegen, scales
+linearly with executors. Integer outputs (basis points / hashes) so
+the DuckDB oracle compare is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transferia_spark.functions.portable import pt_hash, words
+from transferia_spark.operators.base import Routed, Transformer, register
+from transferia_spark.schema.colschema import TableID
+
+# tiny lexicons for the heuristic: real pipelines plug fastText etc.
+# via a Pandas UDF; the heuristic IS the operator contract here.
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"),
+}
+CJK_START = 0x4E00
+CJK_END = 0x9FFF
+
+# regex token classes shared verbatim with the DuckDB oracle (keep to
+# constructs RE2 and Java regex interpret identically)
+TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+PUNCT_CHARS = ".,;:!?'\"()-"
+
+
+def lexicon_hits(w: Column, lang: str) -> Column:
+    lex = LEXICONS[lang]
+    return F.size(F.filter(w, lambda x: x.isin(*lex)))
+
+
+def cjk_ratio(s: Column) -> Column:
+    chars = F.split(s, "")
+    hits = F.size(
+        F.filter(
+            chars,
+            lambda c: (F.ascii(c) >= CJK_START) & (F.ascii(c) <= CJK_END),
+        )
+    )
+    return F.when(F.length(s) > 0, hits * 10000 / F.length(s)).otherwise(0)
+
+
+@register
+class LangId(Transformer):
+    """Lexicon-vote language heuristic: CJK-ratio short-circuit for
+    'zh', else the lexicon with the most word hits wins (ties break
+    alphabetically — deterministic in both engines)."""
+
+    TYPE = "lang_id"
+
+    def __init__(self, text_col: str, out_col: str = "lang_pred"):
+        self.text_col, self.out_col = text_col, out_col
+
+    def pred(self) -> Column:
+        s = F.col(self.text_col)
+        w = words(s)
+        best = F.lit("und")
+        best_hits = F.lit(0)
+        # iterate in reverse-alphabetical order so the final winner on
+        # ties is the alphabetically first (strict > comparison)
+        for lang in sorted(LEXICONS, reverse=True):
+            h = lexicon_hits(w, lang)
+            take = (h > 0) & (h >= best_hits)
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_hits = F.when(take, h).otherwise(best_hits)
+        return F.when(F.floor(cjk_ratio(s)) >= 3000, F.lit("zh")).otherwise(best)
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        return [(table, df.withColumn(self.out_col, self.pred()))]
+
+
+@register
+class QualityScore(Transformer):
+    """Heuristic document-quality score in basis points.
+
+    Components (each an integer): word count, mean word length (bp),
+    English-stopword ratio (bp), punctuation ratio (bp). score_bp
+    rewards mid-length docs with a sane stopword ratio and penalizes
+    punctuation soup — the standard cheap pre-filter shape.
+    """
+
+    TYPE = "quality_score"
+
+    def __init__(self, text_col: str):
+        self.text_col = text_col
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        s = F.col(self.text_col)
+        w = words(s)
+        n_words = F.size(w)
+        char_total = F.aggregate(
+            F.transform(w, F.length), F.lit(0), lambda a, x: a + x
+        )
+        mean_wlen_bp = F.when(
+            n_words > 0, F.floor(char_total * 10000 / n_words)
+        ).otherwise(0).cast("long")
+        stop_bp = F.when(
+            n_words > 0, F.floor(lexicon_hits(w, "en") * 10000 / n_words)
+        ).otherwise(0).cast("long")
+        punct = F.size(
+            F.filter(F.split(s, ""), lambda c: c.isin(*list(PUNCT_CHARS)))
+        )
+        punct_bp = F.when(
+            F.length(s) > 0, F.floor(punct * 10000 / F.length(s))
+        ).otherwise(0).cast("long")
+        length_ok = (n_words >= 10) & (n_words <= 1000)
+        score = (
+            F.when(length_ok, F.lit(4000)).otherwise(F.lit(0))
+            + F.when((stop_bp >= 200) & (stop_bp <= 6000), F.lit(3000)).otherwise(0)
+            + F.when(punct_bp <= 1500, F.lit(2000)).otherwise(0)
+            + F.when(
+                (mean_wlen_bp >= 30000) & (mean_wlen_bp <= 120000), F.lit(1000)
+            ).otherwise(0)
+        )
+        out = df.select(
+            "*",
+            n_words.cast("long").alias("n_words"),
+            mean_wlen_bp.alias("mean_wlen_bp"),
+            stop_bp.alias("stopword_bp"),
+            punct_bp.alias("punct_bp"),
+            score.cast("long").alias("score_bp"),
+        )
+        return [(table, out)]
+
+
+@register
+class TokenCount(Transformer):
+    """Whitespace token count + BPE-ish regex token count (letters
+    runs, digit runs, single punctuation — the usual pre-tokenizer
+    estimate for LLM token budgeting)."""
+
+    TYPE = "token_count"
+
+    def __init__(self, text_col: str):
+        self.text_col = text_col
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        s = F.col(self.text_col)
+        out = df.select(
+            "*",
+            F.size(words(s)).cast("long").alias("ws_tokens"),
+            F.size(F.regexp_extract_all(F.lower(s), F.lit(TOKEN_REGEX), 0))
+            .cast("long")
+            .alias("re_tokens"),
+        )
+        return [(table, out)]
+
+
+@register
+class Fingerprint(Transformer):
+    """Document fingerprints: full-text polynomial hash plus the min
+    over all rolling 8-char window hashes (Rabin-Karp / winnowing
+    lite) of the whitespace-normalized lower-cased text."""
+
+    TYPE = "fingerprint"
+
+    WINDOW = 8
+
+    def __init__(self, text_col: str):
+        self.text_col = text_col
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        norm = F.trim(
+            F.regexp_replace(F.lower(F.col(self.text_col)), r"\s+", " ")
+        )
+        win = self.WINDOW
+        starts = F.sequence(F.lit(1), F.length(norm) - (win - 1))
+        rolling = F.when(
+            F.length(norm) >= win,
+            F.array_min(
+                F.transform(starts, lambda i: pt_hash(F.substring(norm, i, win)))
+            ),
+        ).otherwise(pt_hash(norm))
+        out = df.select(
+            "*",
+            pt_hash(norm).alias("full_hash"),
+            rolling.cast("long").alias("min_window_hash"),
+        )
+        return [(table, out)]
+
+
+__all__ = ["LangId", "QualityScore", "TokenCount", "Fingerprint", "LEXICONS", "TOKEN_REGEX"]
