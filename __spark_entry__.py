@@ -460,12 +460,12 @@ SELECT * FROM (
 
 
 def _sql_cosine_pairs() -> str:
-    sim = pf.sql_vec_dot("a.e", "b.e") + " / sqrt(a.n2 * b.n2)"
+    sim = pf.sql_qcosine(pf.sql_qdot("a.e", "b.e"), "a.n2", "b.n2")
     return f"""
-WITH base AS (
-  SELECT vec_id, embedding AS e, {pf.sql_vec_norm2("embedding")} AS n2
-  FROM embeddings
-)
+WITH qv AS (
+  SELECT vec_id, {pf.sql_quantize("embedding")} AS e FROM embeddings
+),
+base AS (SELECT vec_id, e, {pf.sql_qdot("e", "e")} AS n2 FROM qv)
 SELECT * FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, {pf.sql_floor_bp(sim)} AS sim_bp
   FROM base a JOIN base b ON a.vec_id < b.vec_id
@@ -474,14 +474,17 @@ SELECT * FROM (
 
 
 def _sql_ann(bucketed: bool) -> str:
-    sim = pf.sql_vec_dot("q.e", "c.e") + " / sqrt(q.n2 * c.n2)"
-    bucket = pf.sql_hyperplane_bucket("embedding", LSH_PLANES, EMB_DIM)
+    sim = pf.sql_qcosine(pf.sql_qdot("q.e", "c.e"), "q.n2", "c.n2")
+    bucket = pf.sql_hyperplane_bucket("e", LSH_PLANES, EMB_DIM)
     extra_col = f", {bucket} AS bucket" if bucketed else ""
     join_cond = "q.bucket = c.bucket AND " if bucketed else ""
     return f"""
-WITH base AS (
-  SELECT vec_id, embedding AS e, {pf.sql_vec_norm2("embedding")} AS n2{extra_col}
-  FROM embeddings
+WITH qv AS (
+  SELECT vec_id, {pf.sql_quantize("embedding")} AS e FROM embeddings
+),
+base AS (
+  SELECT vec_id, e, {pf.sql_qdot("e", "e")} AS n2{extra_col}
+  FROM qv
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

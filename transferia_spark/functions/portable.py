@@ -186,39 +186,90 @@ def sql_floor_bp(expr: str, k: int = 4) -> str:
 
 
 # ---------------------------------------------------------------------------
+# quantized-integer vector math: exact and order-free
+# ---------------------------------------------------------------------------
+#
+# Float sums are order-dependent, which couples the execution strategy
+# to the oracle bit-for-bit. Quantizing components to integers first
+# (q = floor(x · 10^6)) makes dot products EXACT int64 arithmetic —
+# any summation order, any engine, any vectorization (numpy matmul
+# included) gives the same number. The only float ops left are one
+# division and one sqrt on identical integers → identical bits.
+# Bounds: |x| ≤ ~100 → |q| ≤ 1e8; 64-dim dot ≤ 64·1e16 < 2^63. ✓
+
+Q_SCALE = 1_000_000
+
+
+def quantize(vec: Column) -> Column:
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(float(Q_SCALE))).cast("long")
+    )
+
+
+def sql_quantize(vec: str) -> str:
+    return (
+        f"list_transform({vec}, x -> floor(x::DOUBLE * {Q_SCALE}.0)::BIGINT)"
+    )
+
+
+def qdot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_qdot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i]))::BIGINT"
+    )
+
+
+def qcosine(dot: Column, n2a: Column, n2b: Column) -> Column:
+    """cosine from exact integer dot/norms: double(dot)/sqrt(da·db)."""
+    return dot.cast("double") / F.sqrt(n2a.cast("double") * n2b.cast("double"))
+
+
+def sql_qcosine(dot: str, n2a: str, n2b: str) -> str:
+    return f"(({dot})::DOUBLE / sqrt(({n2a})::DOUBLE * ({n2b})::DOUBLE))"
+
+
+# ---------------------------------------------------------------------------
 # deterministic LSH hyperplanes (integer-valued, index-derived)
 # ---------------------------------------------------------------------------
 
 
-def hyperplane_bucket(vec: Column, n_planes: int, dim: int) -> Column:
-    """Sign-of-dot-product LSH bucket. Plane q's d-th component is the
-    integer ((q*37 + d*101) mod 97) - 48 — derived, not random, so both
-    engines build the same planes."""
+def _plane(q: int, dim: int) -> list[int]:
+    return [((q * 37 + d * 101) % 97) - 48 for d in range(dim)]
+
+
+def hyperplane_bucket(qvec: Column, n_planes: int, dim: int) -> Column:
+    """Sign-of-dot-product LSH bucket over a QUANTIZED vector. Plane
+    q's d-th component is the integer ((q*37 + d*101) mod 97) - 48 —
+    derived, not random, so both engines build the same planes; the
+    int·int dot is exact, so bucket ids are order-free."""
     bucket = F.lit(0).cast("long")
     for q in range(n_planes):
-        plane = [((q * 37 + d * 101) % 97) - 48 for d in range(dim)]
+        plane = F.array(*[F.lit(p).cast("long") for p in _plane(q, dim)])
         dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(p)) for p in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
+            F.zip_with(qvec, plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << q)).otherwise(0)
     return bucket
 
 
-def sql_hyperplane_bucket(vec: str, n_planes: int, dim: int) -> str:
+def sql_hyperplane_bucket(qvec: str, n_planes: int, dim: int) -> str:
     terms = []
     for q in range(n_planes):
-        plane = [((q * 37 + d * 101) % 97) - 48 for d in range(dim)]
-        plane_lit = "[" + ", ".join(f"{p}.0::DOUBLE" for p in plane) + "]"
+        plane_lit = "[" + ", ".join(str(p) for p in _plane(q, dim)) + "]"
         dot = (
-            f"list_reduce(list_prepend(0.0::DOUBLE, "
-            f"list_transform(range(1, {dim} + 1), "
-            f"i -> {vec}[i]::DOUBLE * ({plane_lit})[i])), (acc, x) -> acc + x)"
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> {qvec}[i] * ({plane_lit})[i]))"
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << q} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")::BIGINT"

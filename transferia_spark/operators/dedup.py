@@ -35,10 +35,9 @@ from pyspark.sql import functions as F
 from transferia_spark.functions.portable import (
     band_keys,
     cosine,
-    floor_bp,
     pt_hash,
+    quantize,
     shingles,
-    vec_dot,
     words,
 )
 from transferia_spark.operators.base import Routed, Transformer, register
@@ -332,37 +331,101 @@ class DedupNgramJaccard(Transformer):
 class DedupEmbeddingCosine(Transformer):
     """Near-duplicate pairs by embedding cosine similarity ≥ threshold.
 
-    Brute-force O(n²/2) — the correctness baseline. At corpus scale,
-    restrict the join to LSH buckets (``ann_lsh_bucketed``) or a
-    cluster assignment first; the pair arithmetic is identical.
+    Embeddings are quantized to int64 (floor(x·10^6)) so all dot
+    products are EXACT integer arithmetic — order-free, therefore safe
+    to vectorize any way we like. Execution: broadcast the quantized
+    corpus matrix (the build side of a broadcast join, 64-dim int64 =
+    0.5 KB/row), then each partition block-matmuls its rows against it
+    with numpy inside ``mapInPandas`` — O(n²·d) flops at memory
+    bandwidth instead of interpreted per-pair expression folds.
+
+    Scale: broadcast holds to ~10M vectors (5 GB); beyond that,
+    LSH-bucket first (``ann_lsh_bucketed``) and run the same matmul
+    per bucket — the arithmetic and thresholds are identical.
     ``sim_bp`` = floor(10^4 · cosine) for exact cross-engine compare.
     """
 
     TYPE = "dedup_embedding_cosine"
+
+    OUT_SCHEMA = "id_a long, id_b long, sim_bp long"
 
     def __init__(self, vec_col: str, id_col: str, min_bp: int = 9000):
         self.vec_col, self.id_col = vec_col, id_col
         self.min_bp = min_bp
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
-        # precompute the self-dot once per row, join pairs, then one
-        # cross-dot per pair: 1 fold per pair instead of 3
-        base = df.select(
-            F.col(self.id_col),
-            F.col(self.vec_col),
-            vec_dot(F.col(self.vec_col), F.col(self.vec_col)).alias("_n2"),
+        import numpy as np
+
+        q = df.select(
+            F.col(self.id_col).cast("long").alias("_id"),
+            quantize(F.col(self.vec_col)).alias("_q"),
         )
-        a, b = base.alias("a"), base.alias("b")
-        pairs = a.join(b, F.col(f"a.{self.id_col}") < F.col(f"b.{self.id_col}"))
-        sim = vec_dot(F.col(f"a.{self.vec_col}"), F.col(f"b.{self.vec_col}")) / F.sqrt(
-            F.col("a._n2") * F.col("b._n2")
-        )
-        out = pairs.select(
-            F.col(f"a.{self.id_col}").alias("id_a"),
-            F.col(f"b.{self.id_col}").alias("id_b"),
-            floor_bp(sim).alias("sim_bp"),
-        ).filter(F.col("sim_bp") >= self.min_bp)
-        return [(table, out)]
+        # build side: ids + int64 matrix, like a broadcast hash join build
+        build = q.collect()
+        ids_all = np.array([r["_id"] for r in build], dtype=np.int64)
+        m_all = np.array([r["_q"] for r in build], dtype=np.int64)
+        bc = df.sparkSession.sparkContext.broadcast((ids_all, m_all))
+        min_bp = self.min_bp
+
+        BLOCK = 256
+
+        def run(batches):
+            import pandas as pd
+
+            ids_b, m_b = bc.value
+            n = len(ids_b)
+            if n == 0:
+                return
+            # int64 matmul has no BLAS kernel in numpy (orders of
+            # magnitude slower). When every |q| ≤ sqrt(2^53/dim), all
+            # products AND partial sums are < 2^53, so float64 BLAS
+            # matmul is EXACT on these integer-valued matrices — same
+            # integers, memory-bandwidth speed.
+            dim = m_b.shape[1]
+            exact_f64 = np.abs(m_b).max(initial=0) <= int((2**53 / dim) ** 0.5)
+            mat_b = m_b.astype(np.float64).T if exact_f64 else m_b.T
+            n2_b = np.einsum("ij,ij->i", m_b, m_b).astype(np.float64)
+            # fixed-size work buffers, reused across blocks: every
+            # ufunc writes via out= so no large temporaries are
+            # allocated in the loop (fresh pages fault in slowly on
+            # overlay/sandboxed filesystems; reuse is ~free)
+            buf_dot = np.empty((BLOCK, n))
+            buf_den = np.empty((BLOCK, n))
+            mask_lt = np.empty((BLOCK, n), dtype=bool)
+            mask_ge = np.empty((BLOCK, n), dtype=bool)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a_ids = pdf["_id"].to_numpy(dtype=np.int64)
+                m_a = np.array(list(pdf["_q"]), dtype=np.int64)
+                n2_a = np.einsum("ij,ij->i", m_a, m_a).astype(np.float64)
+                m_a_mm = m_a.astype(np.float64) if exact_f64 else m_a
+                for s in range(0, len(a_ids), BLOCK):
+                    e = min(s + BLOCK, len(a_ids))
+                    w = e - s
+                    dot, den = buf_dot[:w], buf_den[:w]
+                    if exact_f64:
+                        np.matmul(m_a_mm[s:e], mat_b, out=dot)
+                    else:  # exact int64 path for huge components (rare)
+                        dot[:] = m_a_mm[s:e] @ mat_b
+                    np.multiply(n2_a[s:e, None], n2_b[None, :], out=den)
+                    np.sqrt(den, out=den)
+                    np.divide(dot, den, out=dot)
+                    np.multiply(dot, 10000.0, out=dot)
+                    np.floor(dot, out=dot)  # == sim_bp as float64
+                    np.less.outer(a_ids[s:e], ids_b, out=mask_lt[:w])
+                    np.greater_equal(dot, float(min_bp), out=mask_ge[:w])
+                    np.logical_and(mask_lt[:w], mask_ge[:w], out=mask_lt[:w])
+                    ai, bi = np.nonzero(mask_lt[:w])
+                    yield pd.DataFrame(
+                        {
+                            "id_a": a_ids[s:e][ai],
+                            "id_b": ids_b[bi],
+                            "sim_bp": dot[ai, bi].astype(np.int64),
+                        }
+                    )
+
+        return [(table, q.mapInPandas(run, self.OUT_SCHEMA))]
 
 
 __all__ = [

@@ -7,14 +7,18 @@
   bucket. The scale path: the bucket join shuffles on a small integer
   key instead of forming the full cross product.
 
+All similarity arithmetic uses quantized int64 embeddings
+(``portable.quantize``): dot products are exact integers, so results
+are independent of summation order / vectorization strategy, and the
+DuckDB oracle matches bit-for-bit.
+
 Scale notes (100 TB): brute force is O(|Q|·N) dot products; with the
 query side broadcast (small |Q|) it is shuffle-free — each executor
-scans its partition of the corpus once and emits per-partition top-k
-before the final k-merge (the window below collapses to that under
-AQE + partial aggregation for small k). The LSH variant cuts the
-scanned fraction to ~1/2^planes per query; recall is tuned by probing
-multiple bucket tables (repeat with different plane seeds) — the
-standard multi-probe trade-off.
+scans its partition of the corpus once; the top-k window partitions by
+query_id (|Q|·N rows shuffled, small for small |Q|; for large |Q| use
+per-partition top-k + merge). The LSH variant cuts the scanned
+fraction to ~1/2^planes per query; recall is tuned by probing several
+plane seeds — the standard multi-probe trade-off.
 """
 
 from __future__ import annotations
@@ -23,9 +27,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from transferia_spark.functions.portable import (
-    floor_bp,
     hyperplane_bucket,
-    vec_dot,
+    qcosine,
+    qdot,
+    quantize,
 )
 from transferia_spark.operators.base import Routed, Transformer, register
 from transferia_spark.schema.colschema import TableID
@@ -44,8 +49,29 @@ def _topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+class _AnnBase(Transformer):
+    def __init__(self, vec_col: str, id_col: str, query_pred: str, k: int = 10):
+        self.vec_col, self.id_col = vec_col, id_col
+        self.query_pred, self.k = query_pred, k
+
+    def _quantized(self, df: DataFrame, extra=()) -> DataFrame:
+        q = quantize(F.col(self.vec_col))
+        return df.select(
+            F.col(self.id_col),
+            q.alias("_q"),
+            qdot(q, q).alias("_n2"),
+            *extra,
+        )
+
+    def _sim_bp(self):
+        sim = qcosine(
+            qdot(F.col("_qv"), F.col("_cv")), F.col("_qn2"), F.col("_cn2")
+        )
+        return F.floor(sim * F.lit(10000.0)).cast("long")
+
+
 @register
-class AnnBruteForce(Transformer):
+class AnnBruteForce(_AnnBase):
     """Exact top-k cosine neighbors for each query vector.
 
     Queries are the rows matching ``query_pred`` (e.g. ``vec_id < 8``);
@@ -54,40 +80,29 @@ class AnnBruteForce(Transformer):
 
     TYPE = "ann_brute_force"
 
-    def __init__(self, vec_col: str, id_col: str, query_pred: str, k: int = 10):
-        self.vec_col, self.id_col = vec_col, id_col
-        self.query_pred, self.k = query_pred, k
-
     def apply(self, table: TableID, df: DataFrame) -> Routed:
-        base = df.select(
-            F.col(self.id_col),
-            F.col(self.vec_col),
-            vec_dot(F.col(self.vec_col), F.col(self.vec_col)).alias("_n2"),
-        )
+        base = self._quantized(df)
         q = F.broadcast(
             base.filter(self.query_pred).select(
                 F.col(self.id_col).alias("query_id"),
-                F.col(self.vec_col).alias("_qv"),
+                F.col("_q").alias("_qv"),
                 F.col("_n2").alias("_qn2"),
             )
         )
         c = base.select(
             F.col(self.id_col).alias("neighbor_id"),
-            F.col(self.vec_col).alias("_cv"),
+            F.col("_q").alias("_cv"),
             F.col("_n2").alias("_cn2"),
-        )
-        sim = vec_dot(F.col("_qv"), F.col("_cv")) / F.sqrt(
-            F.col("_qn2") * F.col("_cn2")
         )
         pairs = (
             q.join(c, F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", floor_bp(sim).alias("sim_bp"))
+            .select("query_id", "neighbor_id", self._sim_bp().alias("sim_bp"))
         )
         return [(table, _topk(pairs, self.k))]
 
 
 @register
-class AnnLshBucketed(Transformer):
+class AnnLshBucketed(_AnnBase):
     """LSH-bucketed ANN: candidates = corpus vectors in the query's
     hyperplane-sign bucket; rank candidates by exact cosine.
 
@@ -107,18 +122,13 @@ class AnnLshBucketed(Transformer):
         n_planes: int = 6,
         k: int = 10,
     ):
-        self.vec_col, self.id_col = vec_col, id_col
-        self.query_pred, self.dim = query_pred, dim
-        self.n_planes, self.k = n_planes, k
+        super().__init__(vec_col, id_col, query_pred, k)
+        self.dim, self.n_planes = dim, n_planes
 
     def bucketed(self, df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(self.id_col),
-            F.col(self.vec_col),
-            vec_dot(F.col(self.vec_col), F.col(self.vec_col)).alias("_n2"),
-            hyperplane_bucket(F.col(self.vec_col), self.n_planes, self.dim).alias(
-                "bucket"
-            ),
+        base = self._quantized(df)
+        return base.withColumn(
+            "bucket", hyperplane_bucket(F.col("_q"), self.n_planes, self.dim)
         )
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
@@ -126,26 +136,23 @@ class AnnLshBucketed(Transformer):
         q = F.broadcast(
             base.filter(self.query_pred).select(
                 F.col(self.id_col).alias("query_id"),
-                F.col(self.vec_col).alias("_qv"),
+                F.col("_q").alias("_qv"),
                 F.col("_n2").alias("_qn2"),
                 "bucket",
             )
         )
         c = base.select(
             F.col(self.id_col).alias("neighbor_id"),
-            F.col(self.vec_col).alias("_cv"),
+            F.col("_q").alias("_cv"),
             F.col("_n2").alias("_cn2"),
             "bucket",
-        )
-        sim = vec_dot(F.col("_qv"), F.col("_cv")) / F.sqrt(
-            F.col("_qn2") * F.col("_cn2")
         )
         pairs = (
             q.join(c, "bucket")
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", floor_bp(sim).alias("sim_bp"))
+            .select("query_id", "neighbor_id", self._sim_bp().alias("sim_bp"))
         )
-        return [(table, _topk(pairs, self.k))]
+        return [(table, pairs.transform(lambda d: _topk(d, self.k)))]
 
 
 __all__ = ["AnnBruteForce", "AnnLshBucketed"]
