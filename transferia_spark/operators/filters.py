@@ -139,12 +139,23 @@ class FilterRows(Transformer):
             self._cond = self._cond | compile_filter(f)
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
+        cond = self._cond
         if OP_COL in df.columns and not self.allow_cdc:
             # fatal on non-insert kinds, as in filter_rows.go:99
-            bad = df.filter(F.col(OP_COL) != "i").limit(1).count()
-            if bad:
+            if df.isStreaming:
+                # streaming frames can't be eagerly probed: fold the
+                # guard into the predicate so any non-insert row fails
+                # the micro-batch at execution time
+                guard = F.when(
+                    F.col(OP_COL) != "i",
+                    F.raise_error(
+                        F.lit("filter_rows: update/delete items are not filterable")
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+                cond = guard & cond
+            elif df.filter(F.col(OP_COL) != "i").limit(1).count():
                 raise ValueError("filter_rows: update/delete items are not filterable")
-        return [(table, df.filter(self._cond))]
+        return [(table, df.filter(cond))]
 
 
 @register
