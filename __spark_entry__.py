@@ -396,29 +396,28 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- DuckDB oracle builders (share constants with the Spark side) --------
 
 _W = pf.sql_words("text")
-_SHINGLES3 = pf.sql_shingles("w", 3)
 
 
 def _sql_docs_shingled() -> str:
+    """CTE producing distinct (doc_id, s) shingle-hash rows — the
+    word-hash-fold shingle definition of ``shingle_hash_rows``."""
     return f"""
-docs AS (SELECT doc_id, {_W} AS w FROM documents),
+docs AS (SELECT doc_id, {pf.sql_word_hashes(_W)} AS wh FROM documents),
 sh AS (
-  SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS s
-  FROM docs WHERE len(w) >= 3
+  SELECT DISTINCT doc_id, unnest({pf.sql_shingle_hashes("wh", 3)}) AS s
+  FROM docs WHERE len(wh) >= 3
 )"""
 
 
 def _sql_minhash_pairs() -> str:
-    hashes = "list_transform(shs, s -> " + pf.sql_pt_hash("s") + ")"
     sig = pf.sql_minhash_signature("hs", MINHASH["k"])
     bands = pf.sql_band_keys("sig", MINHASH["bands"], MINHASH["k"] // MINHASH["bands"])
     return f"""
-WITH docs AS (SELECT doc_id, {_W} AS w FROM documents),
-shd AS (
-  SELECT doc_id, list_distinct({_SHINGLES3}) AS shs
-  FROM docs WHERE len(w) >= 3
+WITH docs AS (SELECT doc_id, {pf.sql_word_hashes(_W)} AS wh FROM documents),
+hashed AS (
+  SELECT doc_id, {pf.sql_shingle_hashes("wh", MINHASH["n"])} AS hs
+  FROM docs WHERE len(wh) >= {MINHASH["n"]}
 ),
-hashed AS (SELECT doc_id, {hashes} AS hs FROM shd),
 sigs AS (SELECT doc_id, {sig} AS sig FROM hashed),
 bands AS (SELECT doc_id, unnest({bands}) AS bk FROM sigs)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

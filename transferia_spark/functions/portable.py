@@ -84,6 +84,32 @@ def sql_shingles(words_expr: str, n: int) -> str:
     )
 
 
+# shingle HASHES from word hashes: hash each word once, then fold n
+# consecutive word hashes — (…(7·31+wh_i)·31+wh_{i+1}…) mod P. Touches
+# each character once (vs n× for string shingles) and never builds the
+# shingle string. Collisions (P=1e9+7 vs ~1e5 shingles) are negligible
+# and identical in both engines.
+
+
+def sql_shingle_hashes(wh_expr: str, n: int) -> str:
+    """Shingle hashes from a word-hash LIST expression (bind the word
+    hashes in a CTE first: ``list_transform(words, w -> pt_hash(w))``)."""
+    fold = (
+        f"list_reduce(list_prepend({HASH_INIT}::BIGINT, "
+        f"list_slice({wh_expr}, i, i + {n} - 1)), "
+        f"(acc, x) -> (acc * {HASH_MULT} + x) % {P})"
+    )
+    return (
+        f"CASE WHEN len({wh_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({wh_expr}) - {n} + 2), i -> {fold}) "
+        f"ELSE [] END"
+    )
+
+
+def sql_word_hashes(words_expr: str) -> str:
+    return f"list_transform({words_expr}, w -> {sql_pt_hash('w')})"
+
+
 # ---------------------------------------------------------------------------
 # minhash: k permutations h_i(x) = (a_i*x + b_i) mod P over shingle hashes
 # ---------------------------------------------------------------------------

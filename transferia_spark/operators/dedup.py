@@ -37,13 +37,41 @@ from transferia_spark.functions.portable import (
     cosine,
     pt_hash,
     quantize,
-    shingles,
     words,
 )
 from transferia_spark.operators.base import Routed, Transformer, register
 from transferia_spark.schema.colschema import TableID
 
 SIMHASH_BITS = 32
+
+
+def shingle_hash_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, _sh) rows: hash of each word n-gram, one row per shingle.
+
+    Shape matters at scale: posexplode words, hash each word ONCE, then
+    fold n consecutive word hashes with window ``lead``s — every
+    character is touched once and no shingle string is ever built
+    (string shingling re-hashes each character n times). The window
+    shuffles on the doc id, which the downstream per-doc aggregation /
+    distinct needs anyway, so partitioning is reused.
+    """
+    from transferia_spark.functions.portable import HASH_INIT, HASH_MULT, P
+
+    w = words(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(w).alias("_pos", "_w")
+    ).withColumn("_wh", pt_hash(F.col("_w")))
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    acc = F.lit(HASH_INIT).cast("long")
+    for j in range(n):
+        nxt = F.col("_wh") if j == 0 else F.lead("_wh", j).over(win)
+        acc = (acc * HASH_MULT + nxt) % F.lit(P)
+    return (
+        exploded.select(F.col(id_col), acc.alias("_sh"))
+        .filter(F.col("_sh").isNotNull())  # tail positions lack n words
+    )
 
 
 def _cap_buckets(df: DataFrame, key: str, max_bucket: int | None) -> DataFrame:
@@ -134,30 +162,24 @@ class DedupMinHashLSH(Transformer):
     def signatures(self, df: DataFrame) -> DataFrame:
         """(id, band-key array) per doc.
 
-        Shape matters: explode shingles, hash each ONCE, then take the
-        k permutation minima as map-side-combinable `min` aggregates.
+        Shape matters: one shingle-hash row per n-gram
+        (``shingle_hash_rows`` — each char hashed once), then the k
+        permutation minima as map-side-combinable `min` aggregates.
         The equivalent nested-lambda expression (minhash over an array
         column) re-evaluates the shingle-hash subtree per permutation
         after Catalyst's project-collapse inlines it — ~k× redundant
-        work per row. The explode/agg form is one shuffle of
-        (id, k longs) with partial aggregation, and every expression
-        stays in WholeStageCodegen.
+        work per row. Minhash over the shingle *multiset* equals
+        minhash over the set (min ignores duplicates), so no distinct
+        pass is needed. Everything stays in WholeStageCodegen; the one
+        shuffle carries (id, k longs) after partial aggregation.
         """
         from transferia_spark.functions.portable import MINHASH_A, MINHASH_B, P
 
-        w = words(F.col(self.text_col))
-        exploded = (
-            df.filter(F.size(w) >= self.n)
-            .select(
-                F.col(self.id_col),
-                F.explode(F.array_distinct(shingles(w, self.n))).alias("_s"),
-            )
-            .withColumn("_h", pt_hash(F.col("_s")))
-        )
-        mins = exploded.groupBy(self.id_col).agg(
+        sh = shingle_hash_rows(df, self.text_col, self.id_col, self.n)
+        mins = sh.groupBy(self.id_col).agg(
             *[
                 F.min(
-                    (F.lit((i * MINHASH_A + 1) % P) * F.col("_h")
+                    (F.lit((i * MINHASH_A + 1) % P) * F.col("_sh")
                      + F.lit((i * MINHASH_B + 17) % P)) % F.lit(P)
                 ).alias(f"_m{i}")
                 for i in range(self.k)
@@ -279,14 +301,11 @@ class DedupNgramJaccard(Transformer):
         self.max_bucket = max_bucket
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
-        w = words(F.col(self.text_col))
-        sh = (
-            df.filter(F.size(w) >= self.n)
-            .select(
-                self.id_col,
-                F.explode(F.array_distinct(shingles(w, self.n))).alias("_s"),
-            )
-        )
+        # set semantics: distinct shingle hashes per doc (the shuffle on
+        # id is shared with the window inside shingle_hash_rows)
+        sh = shingle_hash_rows(df, self.text_col, self.id_col, self.n).select(
+            self.id_col, F.col("_sh").alias("_s")
+        ).distinct()
         sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("_sz"))
         sh = _cap_buckets(sh, "_s", self.max_bucket)
         a, b = sh.alias("a"), sh.alias("b")
