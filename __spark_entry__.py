@@ -13,6 +13,7 @@ order is engine-dependent; decimals are associative).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -393,6 +394,159 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.apply_df(media)
 
 
+# --------------------------------------------------------------------------
+# parser / serializer / remaining-transformer surface (SURVEY §2.4/2.6/2.7)
+# --------------------------------------------------------------------------
+
+
+def q_rename_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    t = build("rename_tables", mapping={"nation": "nations_renamed"})
+    routed = t.apply(TableID("", "nation"), n)
+    assert routed[0][0].name == "nations_renamed"
+    return routed[0][1].select("n_nationkey", "n_name")
+
+
+def q_mongo_pk_extender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    doc = c.select(
+        F.struct(
+            F.col("c_custkey").alias("k1"), F.col("c_nationkey").alias("k2")
+        ).alias("_id"),
+        "c_name",
+    )
+    return build("mongo_pk_extender").apply_df(doc)
+
+
+def q_jsonparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    raw = o.select(
+        F.to_json(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+        ).alias("payload")
+    )
+    t = build(
+        "jsonparser", column="payload", schema="o_orderkey BIGINT, o_orderstatus STRING"
+    )
+    return t.apply_df(raw)
+
+
+def q_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    s = _t(spark, sf_dir, "supplier")
+
+    def fn(pdf):
+        out = pdf[["s_suppkey"]].copy()
+        out["acct_bucket"] = np.floor(
+            pdf["s_acctbal"].to_numpy(dtype="float64") / 100.0
+        ).astype("int64")
+        return out
+
+    t = build("lambda", fn=fn, schema="s_suppkey long, acct_bucket long")
+    return t.apply_df(s)
+
+
+def q_yt_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    j = d.select(
+        "doc_id", F.to_json(F.struct("lang", "source")).alias("meta")
+    )
+    parsed = build("yt_dict", columns=["meta"]).apply_df(j)
+    return parsed.select(
+        "doc_id",
+        F.element_at("meta", "lang").alias("lang_v"),
+        F.element_at("meta", "source").alias("source_v"),
+    )
+
+
+def q_parser_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferia_spark.parsers import build_parser
+
+    ev = _t(spark, sf_dir, "events")
+    kafka_ish = ev.select(
+        F.to_json(F.struct("event_id", "user_id", "event_type")).alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+    parse = build_parser(
+        "json",
+        schema="event_id BIGINT, user_id BIGINT, event_type STRING",
+        add_rest=False,
+    )
+    return parse(kafka_ish).select("event_id", "user_id", "event_type", "_offset")
+
+
+def q_parser_tskv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferia_spark.parsers import build_parser
+
+    n = _t(spark, sf_dir, "nation")
+    lines = n.select(
+        F.concat(
+            F.lit("tskv\tn_nationkey="),
+            F.col("n_nationkey").cast("string"),
+            F.lit("\tn_name="),
+            F.col("n_name"),
+        ).alias("value")
+    )
+    parse = build_parser(
+        "tskv", schema="n_nationkey INT, n_name STRING", add_system_cols=False
+    )
+    return parse(lines)
+
+
+def q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serializer → parser round-trip: ChangeItems → Debezium envelope
+    JSON → ChangeItems (≈ pkg/debezium emitter + receiver pair)."""
+    from transferia_spark.parsers import build_parser
+    from transferia_spark.serializers import debezium_serializer
+
+    ev = _t(spark, sf_dir, "events")
+    log = events_changelog(ev)
+    wire = debezium_serializer(
+        log, source_db="db", source_table="events", key_cols=["user_id"]
+    )
+    parse = build_parser(
+        "debezium", row_schema="user_id BIGINT, value DOUBLE", add_system_cols=False
+    )
+    return parse(wire).select("user_id", "value", "_op", "_lsn")
+
+
+def q_serializer_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferia_spark.serializers import json_serializer
+
+    r = _t(spark, sf_dir, "region")
+    return json_serializer(r, key_cols=["r_regionkey"])
+
+
+def q_serializer_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferia_spark.serializers import csv_serializer
+
+    n = _t(spark, sf_dir, "nation")
+    return csv_serializer(n)
+
+
+def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor-based delta snapshot (IncrementalStorage): rows past the
+    committed cursor only."""
+    import tempfile
+
+    from transferia_spark.sources.incremental import IncrementalState, incremental_read
+
+    ev = _t(spark, sf_dir, "events")
+    state = IncrementalState(
+        os.path.join(tempfile.mkdtemp(prefix="incr_"), "state.json")
+    )
+    state.set("events", str(INCR_CURSOR))
+    delta, new_cursor = incremental_read(ev, "event_id", state, "events")
+    assert new_cursor is not None
+    return delta.select("event_id", "user_id", "event_type")
+
+
+INCR_CURSOR = 3000
+
+
 # ---- DuckDB oracle builders (share constants with the Spark side) --------
 
 _W = pf.sql_words("text")
@@ -657,6 +811,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
+        "rename_tables": q_rename_tables,
+        "mongo_pk_extender": q_mongo_pk_extender,
+        "jsonparser": q_jsonparser,
+        "lambda": q_lambda,
+        "yt_dict": q_yt_dict,
+        "parser_json": q_parser_json,
+        "parser_tskv": q_parser_tskv,
+        "debezium_roundtrip": q_debezium_roundtrip,
+        "serializer_json": q_serializer_json,
+        "serializer_csv": q_serializer_csv,
+        "incremental_read": q_incremental_read,
     }
 
 
@@ -824,4 +989,37 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _sql_fingerprint(),
         "media_decode": _sql_media_decode(),
         "frame_sample": _sql_frame_sample(),
+        "rename_tables": "SELECT n_nationkey, n_name FROM nation",
+        "mongo_pk_extender": """
+            SELECT c_custkey AS k1, c_nationkey AS k2, c_name FROM customer
+        """,
+        "jsonparser": "SELECT o_orderkey, o_orderstatus FROM orders",
+        "lambda": """
+            SELECT s_suppkey,
+                   floor(s_acctbal::DOUBLE / 100.0)::BIGINT AS acct_bucket
+            FROM supplier
+        """,
+        "yt_dict": "SELECT doc_id, lang AS lang_v, source AS source_v FROM documents",
+        "parser_json": """
+            SELECT event_id, user_id, event_type, event_id AS _offset FROM events
+        """,
+        "parser_tskv": "SELECT n_nationkey::INT AS n_nationkey, n_name FROM nation",
+        "debezium_roundtrip": f"""
+            SELECT user_id, value, {OP_CASE_SQL} AS _op, event_id AS _lsn
+            FROM events
+        """,
+        "serializer_json": """
+            SELECT to_json(struct_pack(r_regionkey := r_regionkey)) AS key,
+                   to_json(struct_pack(r_regionkey := r_regionkey,
+                                       r_name := r_name)) AS value
+            FROM region
+        """,
+        "serializer_csv": """
+            SELECT concat_ws(',', n_nationkey, n_name, n_regionkey) AS value
+            FROM nation
+        """,
+        "incremental_read": f"""
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_id > {INCR_CURSOR}
+        """,
     }

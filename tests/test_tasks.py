@@ -1,0 +1,87 @@
+"""Operational tasks: checksum compare, dblog chunked snapshot, dbt
+hook gating, custom transformer example."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from transferia_spark.cdc.changeitem import COUNTER_COL, LSN_COL, OP_COL
+from transferia_spark.operators import build
+from transferia_spark.session import load_tables
+from transferia_spark.tasks import (
+    chunked_snapshot_with_cdc,
+    compare_tables,
+    checksum_table,
+)
+
+
+def test_checksum_equal_tables_match(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    shuffled = li.repartition(13)  # different physical layout
+    assert compare_tables(li, shuffled, sample_keys=["l_orderkey", "l_linenumber"]) == []
+
+
+def test_checksum_detects_value_change(spark, sf_dir):
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    tampered = c.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") == 7, F.col("c_acctbal") + 0.01).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    errs = compare_tables(c, tampered)
+    assert any("content hash" in e for e in errs)
+
+
+def test_checksum_detects_row_count(spark, sf_dir):
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    errs = compare_tables(c, c.filter("c_custkey != 1"))
+    assert any("row count" in e for e in errs)
+
+
+def test_checksum_report_fields(spark, sf_dir):
+    r = checksum_table(
+        load_tables(spark, sf_dir, ["region"])["region"], sample_keys=["r_regionkey"]
+    )
+    assert r.rows > 0 and r.columns and r.samples
+
+
+def test_dblog_chunked_snapshot(spark):
+    table = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], ["id", "val"]
+    )
+    # CDC while snapshotting: update id 5, delete id 6, insert id 200
+    cdc = spark.createDataFrame(
+        [
+            (5, "v5_new", "u", 10, 0),
+            (6, None, "d", 11, 0),
+            (200, "fresh", "i", 12, 0),
+        ],
+        ["id", "val", OP_COL, LSN_COL, COUNTER_COL],
+    )
+    out = chunked_snapshot_with_cdc(table, cdc, keys=["id"], chunk_size=30)
+    rows = {r.id: r.val for r in out.collect()}
+    assert rows[5] == "v5_new"      # CDC value wins over chunk value
+    assert 6 not in rows            # deleted during snapshot
+    assert rows[200] == "fresh"     # born during snapshot
+    assert rows[0] == "v0" and len(rows) == 100  # 100 - deleted + inserted
+
+
+def test_dbt_stub_gated(spark):
+    t = build("dbt", project_dir="/tmp/proj")
+    df = spark.range(3)
+    assert t.apply_df(df).count() == 3  # per-batch pass-through
+    with pytest.raises(NotImplementedError):
+        t.post_load()
+
+
+def test_custom_access_log_filter(spark):
+    lines = [
+        '1.2.3.4 - alice [10/Oct/2026:13:55:36 +0000] "GET /api/x HTTP/1.1" 200 512',
+        '5.6.7.8 - - [10/Oct/2026:13:55:37 +0000] "GET /health HTTP/1.1" 200 2',
+        '9.9.9.9 - bob [10/Oct/2026:13:55:38 +0000] "POST /api/y HTTP/1.1" 503 -',
+        "not a log line",
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], ["value"])
+    out = build("filter_access_log", min_status=500).apply_df(df).collect()
+    assert len(out) == 1
+    assert out[0].path == "/api/y" and out[0].status == 503 and out[0].bytes is None

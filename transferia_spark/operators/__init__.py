@@ -12,6 +12,8 @@ from transferia_spark.operators.base import (  # noqa: F401
 # importing the modules registers every transformer type
 from transferia_spark.operators import (  # noqa: F401,E402
     casts,
+    custom_example,
+    dbt,
     dedup,
     docs,
     filters,
