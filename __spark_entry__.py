@@ -544,6 +544,134 @@ def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.select("event_id", "user_id", "event_type")
 
 
+def q_parser_blank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferia_spark.parsers import build_parser
+
+    n = _t(spark, sf_dir, "nation")
+    kafka_ish = n.select(
+        F.to_json(F.struct("n_nationkey", "n_name")).alias("value"),
+        F.lit(0).alias("partition"),
+        F.col("n_nationkey").alias("offset"),
+    )
+    blank = build_parser("blank")(kafka_ish)
+    # c_time/w_time default to wall-clock when the feed has no
+    # timestamp column — excluded from the deterministic compare
+    return blank.select("partition", "offset", "seq_no", "source_id", "lb_raw_message")
+
+
+def q_parser_raw_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferia_spark.parsers import build_parser
+
+    r = _t(spark, sf_dir, "region")
+    kafka_ish = r.select(
+        F.col("r_name").alias("value"), F.col("r_regionkey").alias("offset")
+    )
+    return build_parser("raw_to_table")(kafka_ish).select("raw", "_offset")
+
+
+def q_parser_cloudevents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferia_spark.parsers import build_parser
+
+    o = _t(spark, sf_dir, "orders")
+    wire = o.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").cast("string").alias("id"),
+                F.lit("/orders").alias("source"),
+                F.lit("order.created").alias("type"),
+                F.col("o_orderpriority").alias("subject"),
+                F.col("o_orderdate").cast("string").alias("time"),
+                F.col("o_orderstatus").alias("data"),
+            )
+        ).alias("value")
+    )
+    return build_parser("cloudevents")(wire).select(
+        "id", "source", "type", "subject", "time", "payload"
+    )
+
+
+def q_parser_cloudlogging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferia_spark.parsers import build_parser
+
+    ev = _t(spark, sf_dir, "events")
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("ts").cast("string").alias("timestamp"),
+                F.col("event_id").cast("string").alias("uid"),
+                F.col("event_type").alias("level"),
+                F.col("props").alias("message"),
+                F.lit("default").alias("streamName"),
+            )
+        ).alias("value")
+    )
+    return build_parser("cloudlogging")(wire).select(
+        "timestamp", "uid", "level", "message", "streamName"
+    )
+
+
+def q_parser_audittrails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferia_spark.parsers import build_parser
+
+    o = _t(spark, sf_dir, "orders")
+    wire = o.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").cast("string").alias("event_id"),
+                F.lit("orders").alias("event_source"),
+                F.col("o_orderstatus").alias("event_type"),
+                F.col("o_orderdate").cast("string").alias("event_time"),
+                F.lit("DONE").alias("event_status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ).alias("value")
+    )
+    parsed = build_parser("audittrailsv1")(wire)
+    return parsed.select(
+        "event_id",
+        "event_source",
+        "event_type",
+        "event_time",
+        "event_status",
+        F.element_at("details", "priority").alias("priority"),
+    )
+
+
+def q_parser_confluent_sr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transferia_spark.parsers import build_parser
+
+    s = _t(spark, sf_dir, "supplier")
+    body = F.to_json(F.struct("s_suppkey", "s_name")).cast("binary")
+    framed = s.select(
+        F.concat(F.lit(bytes([0, 0, 0, 0, 7])), body).alias("value")
+    )
+    parse = build_parser(
+        "confluent_schema_registry",
+        body_parser="json",
+        schema="s_suppkey BIGINT, s_name STRING",
+        add_rest=False,
+        add_system_cols=False,
+    )
+    framing = build_parser("confluent_schema_registry")
+    ids = framing(framed).select("_schema_id")
+    assert ids.limit(1).collect()[0][0] == 7
+    return parse(framed).select("s_suppkey", "s_name")
+
+
+def q_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serializer → parser round-trip in the engine's native wire form
+    (≈ pkg/serializer/queue/native_serializer.go + parsers/registry/native)."""
+    from transferia_spark.parsers import build_parser
+    from transferia_spark.serializers import native_serializer
+
+    ev = _t(spark, sf_dir, "events")
+    wire = native_serializer(events_changelog(ev), table="events")
+    parse = build_parser("native", schema="user_id BIGINT, value DOUBLE")
+    out = parse(wire)
+    assert out.limit(1).collect()[0]["_table"] == "events"
+    return out.select("user_id", "value", "_op", "_lsn")
+
+
 INCR_CURSOR = 3000
 
 
@@ -822,6 +950,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serializer_json": q_serializer_json,
         "serializer_csv": q_serializer_csv,
         "incremental_read": q_incremental_read,
+        "parser_blank": q_parser_blank,
+        "parser_raw_to_table": q_parser_raw_to_table,
+        "parser_cloudevents": q_parser_cloudevents,
+        "parser_cloudlogging": q_parser_cloudlogging,
+        "parser_audittrails": q_parser_audittrails,
+        "parser_confluent_sr": q_parser_confluent_sr,
+        "native_roundtrip": q_native_roundtrip,
     }
 
 
@@ -1021,5 +1156,38 @@ def oracle_sql() -> dict[str, str]:
         "incremental_read": f"""
             SELECT event_id, user_id, event_type FROM events
             WHERE event_id > {INCR_CURSOR}
+        """,
+        "parser_blank": """
+            SELECT '0' AS partition, n_nationkey AS offset,
+                   n_nationkey AS seq_no, '' AS source_id,
+                   to_json(struct_pack(n_nationkey := n_nationkey,
+                                       n_name := n_name)) AS lb_raw_message
+            FROM nation
+        """,
+        "parser_raw_to_table": """
+            SELECT r_name AS raw, r_regionkey AS _offset FROM region
+        """,
+        "parser_cloudevents": """
+            SELECT o_orderkey::VARCHAR AS id, '/orders' AS source,
+                   'order.created' AS type, o_orderpriority AS subject,
+                   o_orderdate::TIMESTAMP AS time, o_orderstatus AS payload
+            FROM orders
+        """,
+        "parser_cloudlogging": """
+            SELECT ts AS timestamp, event_id::VARCHAR AS uid,
+                   event_type AS level, props AS message,
+                   'default' AS streamName
+            FROM events
+        """,
+        "parser_audittrails": """
+            SELECT o_orderkey::VARCHAR AS event_id, 'orders' AS event_source,
+                   o_orderstatus AS event_type, o_orderdate::TIMESTAMP AS event_time,
+                   'DONE' AS event_status, o_orderpriority AS priority
+            FROM orders
+        """,
+        "parser_confluent_sr": "SELECT s_suppkey, s_name FROM supplier",
+        "native_roundtrip": f"""
+            SELECT user_id, value, {OP_CASE_SQL} AS _op, event_id AS _lsn
+            FROM events
         """,
     }

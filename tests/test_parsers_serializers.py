@@ -78,3 +78,49 @@ def test_json_and_mirror_and_csv_serializers(spark):
     kv = spark.createDataFrame([(b"k", b"v")], "key binary, value binary")
     m = mirror_serializer(kv).collect()[0]
     assert bytes(m["key"]) == b"k" and bytes(m["value"]) == b"v"
+
+
+def test_parser_registry_covers_reference_surface():
+    """Every parser family of pkg/parsers/registry/ has an engine
+    counterpart (logfeller is Yandex-internal config-driven tskv/json —
+    covered by those parsers)."""
+    from transferia_spark.parsers.registry import _PARSERS
+
+    for name in (
+        "json", "tskv", "debezium", "native", "blank", "raw_to_table",
+        "cloudevents", "cloudlogging", "audittrailsv1",
+        "confluent_schema_registry", "protobuf", "raw",
+    ):
+        assert name in _PARSERS, name
+
+
+def test_protobuf_parser_gated(spark):
+    # spark-protobuf jar absent in this container: must fail at build
+    # time with a clear message, never on the executors
+    try:
+        build_parser("protobuf", descriptor_file="/tmp/x.desc", message_name="M")
+    except (NotImplementedError, ValueError):
+        pass
+    else:  # pragma: no cover
+        from pyspark.sql.protobuf.functions import from_protobuf  # noqa: F401
+
+
+def test_native_serializer_roundtrip(spark):
+    from transferia_spark.serializers import native_serializer
+
+    log = spark.createDataFrame(
+        [(1, "a", "i", 10, 0), (1, None, "d", 11, 0)],
+        "id int, v string, _op string, _lsn long, _counter int",
+    )
+    wire = native_serializer(log, table="t")
+    parse = build_parser("native", schema="id int, v string")
+    rows = sorted(parse(wire).collect(), key=lambda r: r["_lsn"])
+    assert rows[0]["id"] == 1 and rows[0]["v"] == "a" and rows[0]["_op"] == "i"
+    assert rows[1]["_op"] == "d" and rows[1]["_table"] == "t"
+
+
+def test_blank_parser_payload_stays_raw(spark):
+    payloads = ['{"a": 1}', "not json at all"]
+    out = build_parser("blank")(kafka_frame(spark, payloads)).collect()
+    assert sorted(r["lb_raw_message"] for r in out) == sorted(payloads)
+    assert all(r["partition"] == "0" for r in out)

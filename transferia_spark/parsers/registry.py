@@ -168,6 +168,250 @@ def debezium_parser(row_schema: str, add_system_cols: bool = True):
     return parse
 
 
+@register_parser("blank")
+def blank_parser():
+    """Queue message → the reference's fixed "blank" row shape
+    (≈ ``pkg/parsers/registry/blank/parser_blank.go:56-66``:
+    partition/offset PK, seq_no, source_id, c_time, w_time, ip,
+    lb_raw_message, lb_extra_fields). Payload stays raw; downstream
+    transformers (e.g. ``jsonparser``) parse it later."""
+
+    def parse(df: DataFrame) -> DataFrame:
+        part = (
+            F.col("partition").cast("string")
+            if "partition" in df.columns
+            else F.lit("0")
+        )
+        off = F.col("offset").cast("long") if "offset" in df.columns else F.lit(0)
+        ts = (
+            F.col("timestamp")
+            if "timestamp" in df.columns
+            else F.current_timestamp()
+        )
+        return df.select(
+            part.alias("partition"),
+            off.alias("offset"),
+            off.alias("seq_no"),
+            (F.col("key").cast("string") if "key" in df.columns else F.lit("")).alias(
+                "source_id"
+            ),
+            ts.alias("c_time"),
+            ts.alias("w_time"),
+            F.lit("").alias("ip"),
+            F.col("value").cast("string").alias("lb_raw_message"),
+            F.lit(None).cast("string").alias("lb_extra_fields"),
+        )
+
+    return parse
+
+
+@register_parser("raw_to_table")
+def raw_to_table_parser(column: str = "raw", keep_binary: bool = False):
+    """Whole message → a one-column table row plus dedupe-key system
+    columns (≈ ``pkg/parsers/registry/raw_to_table/parser_raw_to_table.go``)."""
+
+    def parse(df: DataFrame) -> DataFrame:
+        payload = F.col("value") if keep_binary else F.col("value").cast("string")
+        return df.select(payload.alias(column), *_aux_columns(df))
+
+    return parse
+
+
+@register_parser("cloudevents")
+def cloudevents_parser(add_system_cols: bool = False):
+    """CloudEvents JSON envelope → fixed row shape
+    (≈ ``pkg/parsers/registry/cloudevents/engine/parser.go:37-47``:
+    id PK, source, type, dataschema, subject, time, payload).
+
+    The reference consumes the protobuf binding framed by a schema
+    registry; here we parse the public JSON binding — same logical
+    schema, schema-registry framing handled by
+    ``confluent_schema_registry`` when present."""
+    env = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("dataschema", T.StringType()),
+            T.StructField("subject", T.StringType()),
+            T.StructField("time", T.StringType()),
+            T.StructField("data", T.StringType()),
+        ]
+    )
+
+    def parse(df: DataFrame) -> DataFrame:
+        v = F.from_json(F.col("value").cast("string"), env)
+        extra = _aux_columns(df) if add_system_cols else []
+        return df.select(
+            v["id"].alias("id"),
+            v["source"].alias("source"),
+            v["type"].alias("type"),
+            v["dataschema"].alias("dataschema"),
+            v["subject"].alias("subject"),
+            F.to_timestamp(v["time"]).alias("time"),
+            v["data"].alias("payload"),
+            *extra,
+        )
+
+    return parse
+
+
+@register_parser("cloudlogging")
+def cloudlogging_parser(add_system_cols: bool = False):
+    """Cloud-logging JSON records → fixed row shape
+    (≈ ``pkg/parsers/registry/cloudlogging/engine/parser.go:51-64``:
+    timestamp+uid PK, resource any, ingestedAt, savedAt, level,
+    message, jsonPayload any, streamName)."""
+    env = T.StructType(
+        [
+            T.StructField("timestamp", T.StringType()),
+            T.StructField("uid", T.StringType()),
+            T.StructField("resource", T.StringType()),
+            T.StructField("ingestedAt", T.StringType()),
+            T.StructField("savedAt", T.StringType()),
+            T.StructField("level", T.StringType()),
+            T.StructField("message", T.StringType()),
+            T.StructField("jsonPayload", T.StringType()),
+            T.StructField("streamName", T.StringType()),
+        ]
+    )
+
+    def parse(df: DataFrame) -> DataFrame:
+        v = F.from_json(F.col("value").cast("string"), env)
+        extra = _aux_columns(df) if add_system_cols else []
+        return df.select(
+            F.to_timestamp(v["timestamp"]).alias("timestamp"),
+            v["uid"].alias("uid"),
+            v["resource"].alias("resource"),
+            F.to_timestamp(v["ingestedAt"]).alias("ingestedAt"),
+            F.to_timestamp(v["savedAt"]).alias("savedAt"),
+            v["level"].alias("level"),
+            v["message"].alias("message"),
+            v["jsonPayload"].alias("jsonPayload"),
+            v["streamName"].alias("streamName"),
+            *extra,
+        )
+
+    return parse
+
+
+@register_parser("audittrailsv1")
+def audittrails_parser(add_system_cols: bool = False):
+    """Audit-trails JSON events: well-known envelope fields extracted
+    as typed columns, the full record preserved in ``details`` (the
+    reference flattens dynamically per record,
+    ``pkg/parsers/registry/audittrailsv1/engine/parser.go:163-175``;
+    a static-schema engine keeps the spill in a map column instead)."""
+    known = [
+        "event_id",
+        "event_source",
+        "event_type",
+        "event_time",
+        "event_status",
+    ]
+
+    def parse(df: DataFrame) -> DataFrame:
+        raw = F.col("value").cast("string")
+        m = F.from_json(raw, T.MapType(T.StringType(), T.StringType()))
+        extra = _aux_columns(df) if add_system_cols else []
+        return df.select(
+            F.element_at(m, "event_id").alias("event_id"),
+            F.element_at(m, "event_source").alias("event_source"),
+            F.element_at(m, "event_type").alias("event_type"),
+            F.to_timestamp(F.element_at(m, "event_time")).alias("event_time"),
+            F.element_at(m, "event_status").alias("event_status"),
+            F.map_filter(m, lambda k, _: ~k.isin(known)).alias("details"),
+            *extra,
+        )
+
+    return parse
+
+
+# Confluent wire format: 1 magic byte (0x0) + 4-byte big-endian schema
+# id, then the Avro/Protobuf/JSON body. The reference resolves the id
+# against a live registry (pkg/parsers/registry/confluentschemaregistry);
+# without network access we expose the framing split + a pluggable body
+# parser, which is the part that runs on the executors anyway.
+@register_parser("confluent_schema_registry")
+def confluent_sr_parser(body_parser=None, **body_config):
+    def parse(df: DataFrame) -> DataFrame:
+        framed = df.withColumn(
+            "_schema_id",
+            F.conv(F.hex(F.expr("substring(value, 2, 4)")), 16, 10).cast("int"),
+        ).withColumn("value", F.expr("substring(value, 6, length(value)-5)"))
+        if body_parser is not None:
+            body = build_parser(body_parser, **body_config)
+            out = body(framed)
+            if "_schema_id" not in out.columns:
+                # surface the id for schema-drift routing
+                out = body(framed.withColumnRenamed("_schema_id", "_sr_id"))
+            return out
+        return framed
+
+    return parse
+
+
+@register_parser("protobuf")
+def protobuf_parser(
+    descriptor_file: str | None = None,
+    message_name: str | None = None,
+    schema: str | None = None,
+):
+    """Protobuf payloads via spark-protobuf's ``from_protobuf``
+    (≈ ``pkg/parsers/registry/protobuf``). The spark-protobuf jar is an
+    external module; when absent this raises at build time rather than
+    on the executors."""
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+    except ImportError as e:  # pragma: no cover - depends on jar availability
+        raise NotImplementedError(
+            "protobuf parser requires the spark-protobuf package "
+            "(--packages org.apache.spark:spark-protobuf_2.13)"
+        ) from e
+    if not descriptor_file or not message_name:
+        raise ValueError("protobuf parser needs descriptor_file and message_name")
+
+    def parse(df: DataFrame) -> DataFrame:
+        parsed = from_protobuf(F.col("value"), message_name, descFilePath=descriptor_file)
+        return df.select(F.col("_p.*")).withColumn("_p", parsed)
+
+    return parse
+
+
+@register_parser("native")
+def native_parser(schema: str):
+    """Round-trip of the native serializer: ChangeItem-as-JSON
+    ({kind, lsn, counter, commit_ts, table, columns{...}}) back into a
+    ChangeItem DataFrame (≈ ``pkg/parsers/registry/native``)."""
+    row_st = T._parse_datatype_string(schema)
+    env = T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("counter", T.IntegerType()),
+            T.StructField("commit_ts", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("columns", row_st),
+            T.StructField("old_keys", row_st),
+        ]
+    )
+
+    def parse(df: DataFrame) -> DataFrame:
+        v = F.from_json(F.col("value").cast("string"), env)
+        payload = [v["columns"][f.name].alias(f.name) for f in row_st.fields]
+        return df.select(
+            *payload,
+            v["kind"].alias("_op"),
+            v["lsn"].alias("_lsn"),
+            v["counter"].alias("_counter"),
+            F.to_timestamp(v["commit_ts"]).alias("_commit_ts"),
+            v["old_keys"].alias("_before"),
+            v["table"].alias("_table"),
+        )
+
+    return parse
+
+
 @register_parser("raw")
 def raw_parser(table_column: bool = False):
     """Mirror/raw passthrough (≈ ``changeitem/mirror.go``): keep the

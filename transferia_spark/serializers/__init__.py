@@ -85,6 +85,40 @@ def raw_column_serializer(df: DataFrame, column: str) -> DataFrame:
     return df.select(F.col(column).cast("binary").alias("value"))
 
 
+def native_serializer(df: DataFrame, table: str = "") -> DataFrame:
+    """ChangeItem DataFrame → the engine's native wire form: one JSON
+    object per event carrying kind/lsn/counter/commit_ts/table plus the
+    full row under ``columns`` and the pre-image under ``old_keys``
+    (≈ ``pkg/serializer/queue/native_serializer.go``). Round-trips
+    through the ``native`` parser."""
+    payload = [c for c in df.columns if c not in META_COLS]
+    row = F.struct(*[F.col(c) for c in payload])
+    op = F.col(OP_COL) if OP_COL in df.columns else F.lit("i")
+    lsn = F.col(LSN_COL) if LSN_COL in df.columns else F.lit(0).cast("long")
+    counter = (
+        F.col("_counter") if "_counter" in df.columns else F.lit(0).cast("int")
+    )
+    commit_ts = (
+        F.col(COMMIT_TS_COL).cast("string")
+        if COMMIT_TS_COL in df.columns
+        else F.current_timestamp().cast("string")
+    )
+    before = F.col(BEFORE_COL) if BEFORE_COL in df.columns else F.lit(None)
+    return df.select(
+        F.to_json(
+            F.struct(
+                op.alias("kind"),
+                lsn.alias("lsn"),
+                counter.alias("counter"),
+                commit_ts.alias("commit_ts"),
+                F.lit(table).alias("table"),
+                row.alias("columns"),
+                before.alias("old_keys"),
+            )
+        ).alias("value")
+    )
+
+
 def csv_serializer(df: DataFrame, sep: str = ",") -> DataFrame:
     """Row → CSV line (for line-oriented sinks); file sinks should use
     df.write.csv (parallel) instead."""
