@@ -658,6 +658,41 @@ def q_parser_confluent_sr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse(framed).select("s_suppkey", "s_name")
 
 
+def q_transfer_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full trcli-style lifecycle: transfer.yaml → TransferSpec →
+    activate() (scan → transformer chain → sink write), result read
+    back from the sink (≈ cmd/trcli/activate + worker/tasks flow)."""
+    import tempfile
+
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.plans.transfer import activate
+
+    out = tempfile.mkdtemp(prefix="transfer_out_")
+    spec = transfer_from_yaml(
+        f"""
+type: SNAPSHOT_ONLY
+src:
+  type: file
+  params: {{path: {sf_dir}/customer.parquet, format: parquet}}
+dst:
+  type: file
+  params: {{path: {out}, format: parquet}}
+filters:
+  customer: "c_acctbal > 0"
+transformation:
+  transformers:
+    - filter_columns: {{include: [c_custkey, c_name, c_nationkey, c_acctbal]}}
+    - rename_tables: {{mapping: {{customer: customer_out}}}}
+"""
+    )
+    activate(spark, spec)
+    import os as _os
+
+    return spark.read.parquet(_os.path.join(out, "customer_out")).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+
+
 def q_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serializer → parser round-trip in the engine's native wire form
     (≈ pkg/serializer/queue/native_serializer.go + parsers/registry/native)."""
@@ -957,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_audittrails": q_parser_audittrails,
         "parser_confluent_sr": q_parser_confluent_sr,
         "native_roundtrip": q_native_roundtrip,
+        "transfer_yaml": q_transfer_yaml,
     }
 
 
@@ -1186,6 +1222,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "parser_confluent_sr": "SELECT s_suppkey, s_name FROM supplier",
+        "transfer_yaml": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal
+            FROM customer WHERE c_acctbal > 0
+        """,
         "native_roundtrip": f"""
             SELECT user_id, value, {OP_CASE_SQL} AS _op, event_id AS _lsn
             FROM events

@@ -1,0 +1,100 @@
+"""transfer.yaml parsing + activate() lifecycle (trcli parity)."""
+
+import os
+
+import pytest
+
+from transferia_spark.plans.config import transfer_from_yaml
+from transferia_spark.plans.transfer import TransferType, activate, upload
+
+
+def _yaml(sf_dir, out_dir, extra=""):
+    return f"""
+id: test-transfer
+type: SNAPSHOT_ONLY
+src:
+  type: file
+  params: {{path: {sf_dir}/nation.parquet, format: parquet}}
+dst:
+  type: file
+  params: {{path: {out_dir}, format: parquet}}
+{extra}
+"""
+
+
+def test_yaml_roundtrip_snapshot(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out")
+    spec = transfer_from_yaml(
+        _yaml(
+            sf_dir,
+            out,
+            extra="""
+transformation:
+  transformers:
+    - filter_columns: {include: [n_nationkey, n_name]}
+    - rename_tables: {mapping: {nation: nation_out}}
+""",
+        )
+    )
+    assert spec.type == TransferType.SNAPSHOT_ONLY
+    activate(spark, spec)
+    written = spark.read.parquet(os.path.join(out, "nation_out"))
+    assert written.columns == ["n_nationkey", "n_name"]
+    assert written.count() == 25
+
+
+def test_yaml_parse_time_transformer_validation(sf_dir, tmp_path):
+    bad = _yaml(
+        sf_dir,
+        str(tmp_path),
+        extra="""
+transformation:
+  transformers:
+    - no_such_transformer: {}
+""",
+    )
+    with pytest.raises(ValueError, match="unknown transformer"):
+        transfer_from_yaml(bad)
+
+
+def test_yaml_include_exclude_and_filters(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out2")
+    spec = transfer_from_yaml(
+        f"""
+type: SNAPSHOT_ONLY
+src:
+  type: file
+  params: {{path: {sf_dir}/customer.parquet, format: parquet}}
+dst:
+  type: file
+  params: {{path: {out}, format: parquet}}
+filters:
+  customer: "c_nationkey = 3"
+"""
+    )
+    activate(spark, spec)
+    written = spark.read.parquet(os.path.join(out, "customer"))
+    assert written.filter("c_nationkey <> 3").count() == 0
+    assert written.count() > 0
+
+
+def test_upload_restricts_tables(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out3")
+    spec = transfer_from_yaml(_yaml(sf_dir, out))
+    # upload with a non-matching explicit list writes nothing
+    upload(spark, spec, ["other_table"])
+    assert not os.path.exists(os.path.join(out, "nation"))
+    upload(spark, spec, ["nation"])
+    assert spark.read.parquet(os.path.join(out, "nation")).count() == 25
+
+
+def test_regular_snapshot_and_typesystem_fields(sf_dir, tmp_path):
+    spec = transfer_from_yaml(
+        _yaml(sf_dir, str(tmp_path))
+        + """
+regular_snapshot: {enabled: true, interval: 3600}
+type_system_version: 4
+"""
+    )
+    assert spec.regular_snapshot["enabled"] is True
+    assert spec.type_system_version == 4

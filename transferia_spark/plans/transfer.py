@@ -53,6 +53,12 @@ class TransferSpec:
     cursor_cols: dict[str, str] = field(default_factory=dict)
     state: IncrementalState | None = None
     keys: dict[str, list[str]] = field(default_factory=dict)
+    # pinned typesystem version → value-representation fallbacks
+    # (≈ model/transfer.go:41-57 TypeSystemVersion + typesystem/fallback.go)
+    type_system_version: int | None = None
+    # ≈ abstract.RegularSnapshot (enabled/interval/cron); the engine
+    # exposes the schedule, an external scheduler triggers activate()
+    regular_snapshot: dict = field(default_factory=dict)
 
 
 def _selected(spec: TransferSpec, table: TableID) -> bool:
@@ -78,6 +84,13 @@ def activate(spark: SparkSession, spec: TransferSpec) -> dict[str, int]:
             if cursor:
                 df, new_cursor = incremental_read(df, cursor, spec.state, table.fqtn())
         routed = spec.transformation.apply_batch({table: df})
+        if spec.type_system_version is not None:
+            from transferia_spark.schema.typesystem import apply_fallbacks
+
+            routed = {
+                t: apply_fallbacks(d, spec.type_system_version)
+                for t, d in routed.items()
+            }
         for out_table, out_df in routed.items():
             spec.dst.cleanup(out_table, spec.cleanup)
             spec.dst.write(out_df, out_table)
