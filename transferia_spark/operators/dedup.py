@@ -74,34 +74,44 @@ def shingle_hash_rows(
     )
 
 
-def _cap_buckets(df: DataFrame, key: str, max_bucket: int | None) -> DataFrame:
-    """Drop keys whose bucket exceeds max_bucket rows (skew guard).
+def _bucket_pairs(
+    bucketed: DataFrame,
+    key: str,
+    payload_cols: list[str],
+    max_bucket: int | None,
+) -> DataFrame:
+    """All ordered (``_pa`` < ``_pb``) payload pairs sharing a bucket
+    key: one ``groupBy(key).collect_set`` + intra-array expansion.
 
-    The window is partitioned by the key itself, so this adds no extra
-    shuffle beyond the one the downstream join needs anyway.
+    Why not a self-join on the key: both join inputs are the SAME
+    expensive pipeline (shingle → signature → band), and Spark computes
+    it twice — the small side goes through a BroadcastExchange, which
+    defeats ReusedExchange. Collecting each bucket once and expanding
+    pairs from the array keeps exactly one pass over the corpus and one
+    shuffle (on the bucket key; pair expansion is codegen'd array work).
+
+    ``max_bucket`` is the skew guard: hotter-than-cap buckets (a
+    boilerplate shingle shared by millions of docs) are dropped before
+    the quadratic expansion. The cap also bounds the per-key array to
+    max_bucket elements of payload — a hot key does materialize its id
+    set once in the aggregation buffer before being filtered; at corpus
+    scale pre-filter degenerate keys (stopword shingles) upstream.
     """
-    if max_bucket is None:
-        return df
-    counted = df.withColumn("_bn", F.count(F.lit(1)).over(Window.partitionBy(key)))
-    return counted.filter(F.col("_bn") <= max_bucket).drop("_bn")
-
-
-def _pairs(bucketed: DataFrame, id_col: str, key: str) -> DataFrame:
-    """Distinct (a < b) id pairs sharing a bucket key — the canonical
-    LSH candidate join (shuffle on the key; see module skew note)."""
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    buckets = bucketed.groupBy(key).agg(
+        F.sort_array(F.collect_set(payload)).alias("_ps")
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ps") <= max_bucket)
     return (
-        a.join(
-            b,
-            (F.col(f"a.{key}") == F.col(f"b.{key}"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        buckets.filter(F.size("_ps") >= 2)
+        .select(F.col("_ps"), F.posexplode("_ps").alias("_i", "_pa"))
+        # struct sort orders by the leading field (the id) → slicing
+        # past _i yields exactly the _pa < _pb half-matrix
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("_pa"),
+            F.explode(F.expr("slice(_ps, _i + 2, size(_ps))")).alias("_pb"),
         )
-        .distinct()
     )
 
 
@@ -195,8 +205,15 @@ class DedupMinHashLSH(Transformer):
         bucketed = self.signatures(df).select(
             self.id_col, F.explode("_bands").alias("_bk")
         )
-        bucketed = _cap_buckets(bucketed, "_bk", self.max_bucket)
-        return [(table, _pairs(bucketed, self.id_col, "_bk"))]
+        pairs = (
+            _bucket_pairs(bucketed, "_bk", [self.id_col], self.max_bucket)
+            .select(
+                F.col(f"_pa.{self.id_col}").alias("id_a"),
+                F.col(f"_pb.{self.id_col}").alias("id_b"),
+            )
+            .distinct()  # the same pair can collide in several bands
+        )
+        return [(table, pairs)]
 
 
 @register
@@ -256,19 +273,15 @@ class DedupSimHash(Transformer):
                 )
             ).alias("_byte_band"),
         )
-        banded = _cap_buckets(banded, "_byte_band", self.max_bucket)
-        a, b = banded.alias("a"), banded.alias("b")
         pairs = (
-            a.join(
-                b,
-                (F.col("a._byte_band") == F.col("b._byte_band"))
-                & (F.col(f"a.{self.id_col}") < F.col(f"b.{self.id_col}")),
+            _bucket_pairs(
+                banded, "_byte_band", [self.id_col, "simhash"], self.max_bucket
             )
             .select(
-                F.col(f"a.{self.id_col}").alias("id_a"),
-                F.col(f"b.{self.id_col}").alias("id_b"),
+                F.col(f"_pa.{self.id_col}").alias("id_a"),
+                F.col(f"_pb.{self.id_col}").alias("id_b"),
                 F.bit_count(
-                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                    F.col("_pa.simhash").bitwiseXOR(F.col("_pb.simhash"))
                 ).alias("hamming"),
             )
             .filter(F.col("hamming") <= self.max_hamming)
@@ -307,17 +320,13 @@ class DedupNgramJaccard(Transformer):
             self.id_col, F.col("_sh").alias("_s")
         ).distinct()
         sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("_sz"))
-        sh = _cap_buckets(sh, "_s", self.max_bucket)
-        a, b = sh.alias("a"), sh.alias("b")
+        # inverted index: per-shingle posting list → intra-list pairs;
+        # each shared shingle contributes one row to the pair count
         inter = (
-            a.join(
-                b,
-                (F.col("a._s") == F.col("b._s"))
-                & (F.col(f"a.{self.id_col}") < F.col(f"b.{self.id_col}")),
-            )
+            _bucket_pairs(sh, "_s", [self.id_col], self.max_bucket)
             .groupBy(
-                F.col(f"a.{self.id_col}").alias("id_a"),
-                F.col(f"b.{self.id_col}").alias("id_b"),
+                F.col(f"_pa.{self.id_col}").alias("id_a"),
+                F.col(f"_pb.{self.id_col}").alias("id_b"),
             )
             .agg(F.count(F.lit(1)).alias("_inter"))
         )
