@@ -658,6 +658,83 @@ def q_parser_confluent_sr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse(framed).select("s_suppkey", "s_name")
 
 
+def q_replace_primary_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    t = build("replace_primary_key", keys=["c_name"])
+    out = t.apply_df(c).select("c_custkey", "c_name")
+    pk_cols = [
+        f.name
+        for f in out.schema.fields
+        if f.metadata.get("primaryKey", False)
+    ]
+    assert pk_cols == ["c_name"], pk_cols
+    return out
+
+
+def q_sharder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PartID assignment (hash(cols) % N). The hash itself is
+    engine-native (xxhash64) so the oracle checks the invariants:
+    range, determinism, and that equal keys land on equal shards."""
+    o = _t(spark, sf_dir, "orders")
+    t = build("sharder_transformer", columns=["o_custkey"], shards=8)
+    out = t.apply_df(o)
+    per_key = out.groupBy("o_custkey").agg(
+        F.count_distinct("_part_id").alias("shards_per_key"),
+        F.min("_part_id").alias("shard"),
+    )
+    return per_key.select(
+        "o_custkey",
+        "shards_per_key",
+        ((F.col("shard") >= 0) & (F.col("shard") < 8)).alias("shard_in_range"),
+    )
+
+
+def q_raw_cdc_doc_grouper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    log = events_changelog(ev)
+    t = build("raw_cdc_doc_grouper", keys=["user_id"])
+    out = t.apply_df(log)
+    cols = [c for c in out.columns if c != "etl_updated_at"]
+    return out.select(*cols)
+
+
+def q_problem_item_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    t = build("problem_item_detector", healthy_when="l_quantity <= 49")
+    healthy = t.apply_df(li).select("l_orderkey", "l_linenumber", "l_quantity")
+    assert t.dead_letter is not None  # poison rows sidelined, not dropped silently
+    return healthy
+
+
+def q_middleware_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logger (observe metrics) + batch_splitter (partition bound) are
+    plan-shape middlewares: data must pass through unchanged."""
+    n = _t(spark, sf_dir, "nation")
+    chain = Transformation().add(build("logger", name="mw")).add(
+        build("batch_splitter", max_rows_per_partition=10)
+    )
+    routed = chain.apply(TableID("", "nation"), n)
+    return routed[0][1].select("n_nationkey", "n_name", "n_regionkey")
+
+
+def q_filter_access_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-transformer example over synthesized combined-log lines."""
+    s = _t(spark, sf_dir, "supplier")
+    lines = s.select(
+        F.format_string(
+            '10.0.0.%d - u%d [01/Jan/2024:00:00:00 +0000] "GET %s HTTP/1.1" %d %d',
+            F.pmod(F.col("s_suppkey"), F.lit(256)).cast("int"),
+            F.col("s_suppkey").cast("int"),
+            F.when(F.pmod(F.col("s_suppkey"), F.lit(5)) == 0, F.lit("/health"))
+            .otherwise(F.format_string("/api/v1/item/%d", F.col("s_suppkey").cast("int"))),
+            (F.lit(200) + F.pmod(F.col("s_suppkey"), F.lit(3)) * 100).cast("int"),
+            (F.col("s_suppkey") * 10).cast("int"),
+        ).alias("value")
+    )
+    t = build("filter_access_log", min_status=200, max_status=299)
+    return t.apply_df(lines).select("ip", "user", "method", "path", "status", "bytes")
+
+
 def q_transfer_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full trcli-style lifecycle: transfer.yaml → TransferSpec →
     activate() (scan → transformer chain → sink write), result read
@@ -993,6 +1070,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_confluent_sr": q_parser_confluent_sr,
         "native_roundtrip": q_native_roundtrip,
         "transfer_yaml": q_transfer_yaml,
+        "replace_primary_key": q_replace_primary_key,
+        "sharder": q_sharder,
+        "raw_cdc_doc_grouper": q_raw_cdc_doc_grouper,
+        "problem_item_detector": q_problem_item_detector,
+        "middleware_chain": q_middleware_chain,
+        "filter_access_log": q_filter_access_log,
     }
 
 
@@ -1222,6 +1305,33 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "parser_confluent_sr": "SELECT s_suppkey, s_name FROM supplier",
+        "replace_primary_key": "SELECT c_custkey, c_name FROM customer",
+        "sharder": """
+            SELECT o_custkey, 1::BIGINT AS shards_per_key,
+                   true AS shard_in_range
+            FROM (SELECT DISTINCT o_custkey FROM orders)
+        """,
+        "raw_cdc_doc_grouper": f"""
+            SELECT user_id, ({OP_CASE_SQL}) = 'd' AS deleted_flg,
+                   to_json(struct_pack(user_id := user_id, value := value)) AS doc,
+                   event_id AS _lsn, 0 AS _counter
+            FROM events
+        """,
+        "problem_item_detector": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity <= 49
+        """,
+        "middleware_chain": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "filter_access_log": """
+            SELECT '10.0.0.' || (s_suppkey % 256) AS ip,
+                   'u' || s_suppkey AS user,
+                   'GET' AS method,
+                   '/api/v1/item/' || s_suppkey AS path,
+                   200::INT AS status,
+                   (s_suppkey * 10)::BIGINT AS bytes
+            FROM supplier
+            WHERE s_suppkey % 5 <> 0 AND s_suppkey % 3 = 0
+        """,
         "transfer_yaml": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal
             FROM customer WHERE c_acctbal > 0
