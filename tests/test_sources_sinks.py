@@ -122,3 +122,20 @@ def test_jdbc_sink_sqlite_cdc(spark, tmp_path):
 
     got = dict(sqlite3.connect(db).execute("SELECT id, v FROM tgt").fetchall())
     assert got == {1: "new", 3: "born"}
+
+
+def test_gated_connectors_registered_and_fail_cleanly(spark, sf_dir):
+    """kafka sink / delta source are registered but gate on their
+    external jars with an actionable error, never executor-side."""
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sinks.base import build_sink
+    from transferia_spark.sources.base import build_source
+
+    kafka = build_sink("kafka", bootstrap_servers="localhost:9092")
+    df = spark.range(1)
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        kafka.write(df, TableID("", "t"))
+
+    delta = build_source("delta", path=f"{sf_dir}/nation.parquet")
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        delta.load_table(spark, TableID("", "nation"))
