@@ -194,3 +194,128 @@ def test_parquet_table_gc_keeps_recent_versions(spark, tmp_path):
     assert dirs == ["_v2", "_v3"]  # older versions collected
     assert t.read().count() == 3
     _ = df
+
+
+def test_waljson_slot_direct_source(spark, tmp_path):
+    """Custom DataSourceStreamReader consuming wal2json-v2 lines:
+    LSN offsets, checkpoint resume (no redelivery), pre-image capture,
+    and slot ack via commit() (which Spark fires when the NEXT batch
+    is planned — the ack lags one batch, like Kafka group commits)."""
+    import json
+    import os
+
+    from transferia_spark.streaming.wal_source import (
+        WalJsonDataSource,
+        wal_output_schema,
+    )
+
+    spark.dataSource.register(WalJsonDataSource)
+    waldir = str(tmp_path / "wal")
+    os.makedirs(waldir)
+    ack = str(tmp_path / "ack.json")
+    ckpt = str(tmp_path / "ckpt")
+
+    def emit(fname, events):
+        with open(os.path.join(waldir, fname), "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+
+    got = []
+
+    def run():
+        q = (
+            spark.readStream.format("waljson")
+            .schema(wal_output_schema("id int, v string"))
+            .option("path", waldir)
+            .option("ack_file", ack)
+            .load()
+            .writeStream.foreachBatch(lambda df, _bid: got.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    emit("000.jsonl", [
+        {"action": "I", "schema": "public", "table": "t", "lsn": 1,
+         "columns": [{"name": "id", "value": 1}, {"name": "v", "value": "a"}]},
+        {"action": "U", "schema": "public", "table": "t", "lsn": 2,
+         "columns": [{"name": "id", "value": 1}, {"name": "v", "value": "b"}],
+         "identity": [{"name": "id", "value": 1}]},
+    ])
+    run()
+    assert sorted((r["_lsn"], r["_op"], r["v"]) for r in got) == [
+        (1, "i", "a"), (2, "u", "b")
+    ]
+    assert got[0]["_table"] == "public.t"
+    upd = [r for r in got if r["_op"] == "u"][0]
+    assert json.loads(upd["_before_json"]) == {"id": 1}
+
+    # delete arrives; resume must deliver ONLY the new event, and
+    # planning batch 2 acks batch 1
+    got.clear()
+    emit("001.jsonl", [
+        {"action": "D", "schema": "public", "table": "t", "lsn": 3,
+         "identity": [{"name": "id", "value": 1}, {"name": "v", "value": "b"}]},
+    ])
+    run()
+    assert [(r["_lsn"], r["_op"], r["id"]) for r in got] == [(3, "d", 1)]
+    assert json.load(open(ack))["lsn"] >= 2
+
+
+def test_schema_drift_restart(spark, tmp_path):
+    """DDL mid-stream: a new column appears in the source → supervisor
+    evolves the registry (append-as-nullable) and restarts the query
+    from its checkpoint; no events lost, none re-applied."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from transferia_spark.streaming.schema_drift import (
+        SchemaRegistry,
+        evolve,
+        run_with_drift_handling,
+    )
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    reg = SchemaRegistry(str(tmp_path / "registry"))
+
+    v1 = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.StringType())])
+    v2 = T.StructType(list(v1.fields) + [T.StructField("extra", T.LongType())])
+
+    def write_file(name, rows, schema):
+        spark.createDataFrame(rows, schema).write.mode("append").json(src + "/" + name)
+
+    write_file("a", [(1, "x")], v1)
+
+    got = []
+    phase = {"schema": v1}
+
+    def start_query(schema):
+        return (
+            spark.readStream.schema(schema).json(src + "/*")
+            .writeStream.foreachBatch(lambda df, _b: got.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_with_drift_handling("t", reg, lambda: phase["schema"], start_query)
+    assert [(r["id"], r["v"]) for r in got] == [(1, "x")]
+
+    # DDL: column added, new rows carry it
+    phase["schema"] = v2
+    write_file("b", [(2, "y", 7)], v2)
+    got.clear()
+    run_with_drift_handling("t", reg, lambda: phase["schema"], start_query)
+    assert [(r["id"], r["v"], r["extra"]) for r in got] == [(2, "y", 7)]
+    _, stored = reg.get("t")
+    assert [f.name for f in stored.fields] == ["id", "v", "extra"]
+
+    # incompatible drift is fatal, like the reference's strict types
+    import pytest as _pytest
+    bad = T.StructType([T.StructField("id", T.StringType())])
+    with _pytest.raises(ValueError, match="incompatible drift"):
+        evolve(stored, bad)

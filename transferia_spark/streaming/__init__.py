@@ -16,3 +16,11 @@ from transferia_spark.streaming.readers import (  # noqa: F401
 from transferia_spark.streaming.cdc_apply import CdcApplySink, ParquetTable  # noqa: F401
 from transferia_spark.streaming.rollup import windowed_rollup  # noqa: F401
 from transferia_spark.streaming.pipeline import ReplicationPipeline  # noqa: F401
+from transferia_spark.streaming.wal_source import (  # noqa: F401
+    WalJsonDataSource,
+    wal_output_schema,
+)
+from transferia_spark.streaming.schema_drift import (  # noqa: F401
+    SchemaRegistry,
+    run_with_drift_handling,
+)

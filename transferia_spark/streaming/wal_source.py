@@ -1,0 +1,155 @@
+"""Slot-direct CDC via a custom PySpark DataSource stream reader.
+
+≈ ``pkg/providers/postgres/publisher_replication.go:75`` (``Run``: read
+logical-replication slot → wal2json events → ChangeItems, ack LSN after
+downstream push) in transferia/transferia. The reference speaks the
+replication protocol in-process; the Spark-native equivalent is a
+PySpark 4 ``DataSourceStreamReader`` whose offsets ARE the LSN — Spark's
+checkpointing then gives exactly the reference's ack contract
+(``commit(offset)`` fires only after the micro-batch is durably
+processed, ≈ ``publisher_replication.go:140``).
+
+The wire format is wal2json v2 (public PostgreSQL plugin): one JSON
+object per line, ``{"action": "I|U|D", "schema": s, "table": t,
+"columns": [{name, value}...], "identity": [{name, value}...],
+"lsn": n}``. This module consumes a directory of such JSON-line files
+(the slot tail piped to files — the transport the container can test);
+the read loop, offset algebra, and row mapping are transport-agnostic,
+so a socket/psycopg transport only replaces ``_scan_files``.
+
+Emitted rows: payload columns per the declared schema, then
+``_op`` (i/u/d), ``_lsn``, ``_table``, ``_before_json`` (pre-image of
+identity columns for U/D — the reference's OldKeys).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_ACTIONS = {"I": "i", "U": "u", "D": "d"}
+
+
+def wal_output_schema(payload_ddl: str) -> T.StructType:
+    st = T._parse_datatype_string(payload_ddl)
+    return T.StructType(
+        list(st.fields)
+        + [
+            T.StructField("_op", T.StringType(), False),
+            T.StructField("_lsn", T.LongType(), False),
+            T.StructField("_table", T.StringType(), True),
+            T.StructField("_before_json", T.StringType(), True),
+        ]
+    )
+
+
+class _FileSlice(InputPartition):
+    def __init__(self, path: str, start_lsn: int, end_lsn: int):
+        self.path = path
+        self.start_lsn = start_lsn
+        self.end_lsn = end_lsn
+
+
+def _scan_files(path: str) -> list[str]:
+    try:
+        names = sorted(os.listdir(path))
+    except FileNotFoundError:
+        return []
+    return [os.path.join(path, n) for n in names if n.endswith((".json", ".jsonl"))]
+
+
+def _max_lsn(path: str) -> int:
+    hi = 0
+    for f in _scan_files(path):
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    hi = max(hi, int(json.loads(line)["lsn"]))
+    return hi
+
+
+class WalJsonStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.path = options["path"]
+        self.payload_fields = [
+            f.name
+            for f in schema.fields
+            if f.name not in ("_op", "_lsn", "_table", "_before_json")
+        ]
+        self.ack_file = options.get("ack_file")
+
+    # -- offset algebra: an offset is {"lsn": n}, rows with lsn in
+    # (start, end] belong to the batch (same half-open contract as
+    # Kafka offsets) --------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"lsn": 0}
+
+    def latestOffset(self) -> dict:
+        return {"lsn": _max_lsn(self.path)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["lsn"]), int(end["lsn"])
+        if hi <= lo:
+            return [_FileSlice("", lo, hi)]  # empty batch still needs ≥1 partition
+        return [_FileSlice(f, lo, hi) for f in _scan_files(self.path)]
+
+    def read(self, partition: _FileSlice) -> Iterator[tuple]:
+        if not partition.path:
+            return
+        lo, hi = partition.start_lsn, partition.end_lsn
+        with open(partition.path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                ev = json.loads(line)
+                lsn = int(ev["lsn"])
+                if not (lo < lsn <= hi) or ev.get("action") not in _ACTIONS:
+                    continue
+                cols = {c["name"]: c.get("value") for c in ev.get("columns") or []}
+                identity = ev.get("identity") or []
+                before = (
+                    json.dumps({c["name"]: c.get("value") for c in identity})
+                    if identity
+                    else None
+                )
+                if ev["action"] == "D" and not cols:
+                    cols = {c["name"]: c.get("value") for c in identity}
+                yield tuple(cols.get(n) for n in self.payload_fields) + (
+                    _ACTIONS[ev["action"]],
+                    lsn,
+                    ".".join(x for x in (ev.get("schema"), ev.get("table")) if x),
+                    before,
+                )
+
+    def commit(self, end: dict) -> None:
+        # ≈ slot ack (publisher_replication.go:140): persist the
+        # confirmed LSN so the slot/tailer can trim the log
+        if self.ack_file:
+            tmp = self.ack_file + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(end, fh)
+            os.replace(tmp, self.ack_file)
+
+
+class WalJsonDataSource(DataSource):
+    """Register with ``spark.dataSource.register(WalJsonDataSource)``;
+    then ``spark.readStream.format("waljson").schema(
+    wal_output_schema(ddl)).option("path", dir).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "waljson"
+
+    def schema(self) -> str:
+        raise NotImplementedError("waljson requires an explicit schema")
+
+    def streamReader(self, schema: T.StructType) -> WalJsonStreamReader:
+        return WalJsonStreamReader(schema, self.options)
