@@ -98,3 +98,27 @@ type_system_version: 4
     )
     assert spec.regular_snapshot["enabled"] is True
     assert spec.type_system_version == 4
+
+
+def test_multi_table_file_source(spark, sf_dir, tmp_path):
+    """tables: [...] turns a directory into one TableID per object
+    (≈ the S3 provider listing objects into tables)."""
+    out = str(tmp_path / "multi")
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_ONLY
+src:
+  type: file
+  params: {{path: {sf_dir}, format: parquet, tables: [nation, region]}}
+dst:
+  type: file
+  params: {{path: {out}, format: parquet}}
+transformation:
+  transformers:
+    - filter_columns: {{exclude: [n_comment, r_comment]}}
+""")
+    written = activate(spark, spec)
+    assert set(written) == {"nation", "region"}
+    nation = spark.read.parquet(os.path.join(out, "nation"))
+    assert nation.count() == 25 and "n_comment" not in nation.columns
+    region = spark.read.parquet(os.path.join(out, "region"))
+    assert region.count() == 5 and "r_comment" not in region.columns

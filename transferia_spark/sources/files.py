@@ -49,6 +49,7 @@ class FileSource(Source):
         options: dict | None = None,
         pattern: str | None = None,
         pattern_fields: list | None = None,
+        tables: list | None = None,
     ):
         self.path = path
         self.format = format
@@ -56,12 +57,33 @@ class FileSource(Source):
         self.options = options or {}
         self.pattern = pattern
         self.pattern_fields = pattern_fields
+        # multi-table mode: path is a directory holding one object (or
+        # sub-directory) per table — ≈ the S3 provider listing objects
+        # into TableIDs (s3/storage/storage.go:56 area)
+        self.tables = list(tables) if tables else None
 
     def table_list(self, spark: SparkSession) -> list[TableID]:
+        if self.tables:
+            return [TableID("", t) for t in self.tables]
         return [TableID("", self.path.rstrip("/").split("/")[-1].split(".")[0])]
+
+    def _table_path(self, table: TableID) -> str:
+        if not self.tables:
+            return self.path
+        import os
+
+        base = self.path.rstrip("/")
+        ext = {"parquet": "parquet", "orc": "orc", "json": "json", "csv": "csv"}.get(self.format)
+        candidates = ([f"{base}/{table.name}.{ext}"] if ext else []) + [f"{base}/{table.name}"]
+        for cand in candidates:
+            # remote URIs can't be stat-ed cheaply; trust the first form
+            if "://" in cand or os.path.exists(cand):
+                return cand
+        return candidates[-1]
 
     def load_table(self, spark: SparkSession, table: TableID, where: str | None = None) -> DataFrame:
         fmt = self.format
+        path = self._table_path(table)
         if fmt in ("parquet", "orc", "json", "csv", "text"):
             reader = spark.read.format(fmt)
             if self.schema:
@@ -70,14 +92,14 @@ class FileSource(Source):
                 reader = reader.option("inferSchema", "true").option("header", "true")
             for k, v in self.options.items():
                 reader = reader.option(k, v)
-            df = reader.load(self.path)
+            df = reader.load(path)
         elif fmt == "line":
-            df = spark.read.text(self.path).withColumnRenamed("value", "line")
+            df = spark.read.text(path).withColumnRenamed("value", "line")
         elif fmt == "nginx":
-            df = self._parse_lines(spark.read.text(self.path), NGINX_COMBINED, NGINX_FIELDS)
+            df = self._parse_lines(spark.read.text(path), NGINX_COMBINED, NGINX_FIELDS)
         elif fmt == "regex":
             assert self.pattern and self.pattern_fields, "regex format needs pattern+fields"
-            df = self._parse_lines(spark.read.text(self.path), self.pattern, self.pattern_fields)
+            df = self._parse_lines(spark.read.text(path), self.pattern, self.pattern_fields)
         else:
             raise ValueError(f"file source: unknown format {fmt!r}")
         if where:
