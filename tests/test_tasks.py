@@ -85,3 +85,32 @@ def test_custom_access_log_filter(spark):
     out = build("filter_access_log", min_status=500).apply_df(df).collect()
     assert len(out) == 1
     assert out[0].path == "/api/y" and out[0].status == 503 and out[0].bytes is None
+
+
+def test_verify_transfer_roundtrip(spark, sf_dir, tmp_path):
+    """verify_transfer ≈ tasks.VerifyDelivery: clean after activate,
+    flags a divergent transformer chain."""
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.plans.transfer import activate
+    from transferia_spark.tasks.checksum import verify_transfer
+
+    out = str(tmp_path / "vt")
+    yaml_t = """
+type: SNAPSHOT_ONLY
+src:
+  type: file
+  params: {{path: {sf}, format: parquet, tables: [nation]}}
+dst:
+  type: file
+  params: {{path: {out}, format: parquet}}
+transformation:
+  transformers:
+    - filter_columns: {{exclude: [{drop}]}}
+"""
+    spec = transfer_from_yaml(yaml_t.format(sf=sf_dir, out=out, drop="n_comment"))
+    activate(spark, spec)
+    assert verify_transfer(spark, spec) == {"nation": []}
+
+    diverged = transfer_from_yaml(yaml_t.format(sf=sf_dir, out=out, drop="n_regionkey"))
+    errs = verify_transfer(spark, diverged)["nation"]
+    assert errs and "columns differ" in errs[0]

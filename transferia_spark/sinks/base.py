@@ -40,6 +40,14 @@ class Sink:
         """Apply one CDC micro-batch (collapse+merge semantics)."""
         raise NotImplementedError
 
+    def read_back(self, spark, table: TableID) -> DataFrame:
+        """Read the written table back — the capability the checksum /
+        verify-delivery task needs (≈ the destination-side Storage the
+        reference builds in ``pkg/worker/tasks/verify_delivery.go`` and
+        ``checksum.go:141``). Optional; sinks without a readable form
+        (console) keep the default."""
+        raise NotImplementedError(f"sink {self.TYPE!r} is not readable")
+
 
 _SINKS: dict[str, Callable[..., Sink]] = {}
 

@@ -66,6 +66,9 @@ class FileSink(Sink):
             writer = writer.partitionBy(*self.partition_by)
         writer.save(self._target(table))
 
+    def read_back(self, spark, table: TableID) -> DataFrame:
+        return spark.read.format(self.format).load(self._target(table))
+
 
 @register_sink
 class ConsoleSink(Sink):

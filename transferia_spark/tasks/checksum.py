@@ -126,3 +126,45 @@ def compare_tables(
     a = checksum_table(src, columns, sample_keys)
     b = checksum_table(dst, columns, sample_keys)
     return a.matches(b)
+
+
+def verify_transfer(spark, spec, tables: list[str] | None = None) -> dict[str, list[str]]:
+    """Post-activation delivery verification (≈ ``tasks.VerifyDelivery``,
+    ``pkg/worker/tasks/verify_delivery.go``, on top of CompareStorages):
+    re-derive each output table from the source through the transformer
+    chain and compare it against what the sink holds.
+
+    Returns {output table fqtn: [mismatch descriptions]} — all-empty
+    lists mean the transfer verified clean."""
+    from transferia_spark.plans.transfer import _selected
+
+    results: dict[str, list[str]] = {}
+    for table in spec.src.table_list(spark):
+        if not _selected(spec, table):
+            continue
+        if tables and table.fqtn() not in tables:
+            continue
+        df = spec.src.load_table(spark, table, where=spec.filters.get(table.fqtn()))
+        routed = spec.transformation.apply_batch({table: df})
+        if spec.type_system_version is not None:
+            from transferia_spark.schema.typesystem import apply_fallbacks
+
+            routed = {
+                t: apply_fallbacks(d, spec.type_system_version)
+                for t, d in routed.items()
+            }
+        for out_table, out_df in routed.items():
+            dst_df = spec.dst.read_back(spark, out_table)
+            # unlike cross-store CompareStorages (common-column
+            # intersection), the derived frame here IS the expected
+            # output — column sets must match exactly
+            if set(out_df.columns) != set(dst_df.columns):
+                results[out_table.fqtn()] = [
+                    f"columns differ: {sorted(out_df.columns)}"
+                    f" vs {sorted(dst_df.columns)}"
+                ]
+                continue
+            results[out_table.fqtn()] = compare_tables(
+                out_df, dst_df, columns=out_df.columns
+            )
+    return results
