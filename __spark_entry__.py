@@ -48,8 +48,8 @@ TPCH_Q1 = """
 SELECT
   l_returnflag,
   l_linestatus,
-  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
   SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
   COUNT(*) AS count_order
 FROM table

@@ -17,9 +17,20 @@ spec = importlib.util.spec_from_file_location("spark_entry", "/root/repo/__spark
 mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(mod)
 
-from transferia_spark import get_spark  # noqa: E402
+# Build a VIRGIN session the way the driver does — deliberately without
+# get_spark()'s builder confs, so any hidden dependency on them fails here
+# first (CORRECTNESS_r01's 11 fail-env rows came from exactly that gap).
+from pyspark.sql import SparkSession  # noqa: E402
 
-spark = get_spark("driver_sim")
+spark = (
+    SparkSession.builder.master("local[32]")
+    .appName("driver_sim")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "8g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("WARN")
 
 t0 = time.time()
 edf = mod.entry(spark)

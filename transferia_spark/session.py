@@ -76,6 +76,14 @@ def load_tables(spark: SparkSession, sf_dir: str, tables=TABLES):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # The driver (and any external caller) constructs its own SparkSession
+    # without get_spark()'s builder confs, so set the runtime-settable confs
+    # we depend on right here: nanosAsLong for events.parquet's
+    # TIMESTAMP(NANOS) column, and a UTC session zone so timestamp values
+    # compare bit-for-bit against UTC-naive DuckDB oracles.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     out = {}
     for t in tables:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
