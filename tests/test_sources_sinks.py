@@ -93,10 +93,15 @@ def test_activate_end_to_end(spark, tmp_path, sf_dir):
 
 def test_upsert_sql_dialects():
     pg = upsert_sql("postgres", "t", ["id", "v"], ["id"])
-    assert "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v" in pg
+    assert 'ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v"' in pg
     my = upsert_sql("mysql", "t", ["id", "v"], ["id"])
     assert "ON DUPLICATE KEY UPDATE" in my
-    assert delete_sql("sqlite", "t", ["id"]) == "DELETE FROM t WHERE id = ?"
+    assert "`id`" in my  # mysql backtick quoting
+    assert delete_sql("sqlite", "t", ["id"]) == 'DELETE FROM t WHERE "id" = ?'
+    # identifiers are quoted, not interpolated raw: embedded quote escaped
+    assert '"evil""x"' in upsert_sql("postgres", "t", ['evil"x', "id"], ["id"])
+    with pytest.raises(ValueError):
+        delete_sql("postgres", "t", ["bad\nident\x00"])
 
 
 def test_jdbc_sink_sqlite_cdc(spark, tmp_path):

@@ -38,8 +38,28 @@ COUNTER_COL = "_counter"
 COMMIT_TS_COL = "_commit_ts"
 TX_COL = "_tx_id"
 BEFORE_COL = "_before"
+# Partial-row (PG TOAST) markers. ``_toasted`` is a row-level boolean:
+# on flagged rows a NULL payload value means "column absent" (carried
+# from the previous version), NOT an explicit SET col = NULL. When a
+# source can express both, it should emit ``_present`` instead — an
+# array<string> of the column names actually carried by the row — which
+# lets a partial row also contain a genuine NULL. The reference keeps
+# the same distinction via per-item ColumnNames
+# (``change_item_collapse.go`` compareColumns: absent-by-name vs
+# present-with-NULL).
+TOASTED_COL = "_toasted"
+PRESENT_COL = "_present"
 
-META_COLS = (OP_COL, LSN_COL, COUNTER_COL, COMMIT_TS_COL, TX_COL, BEFORE_COL)
+META_COLS = (
+    OP_COL,
+    LSN_COL,
+    COUNTER_COL,
+    COMMIT_TS_COL,
+    TX_COL,
+    BEFORE_COL,
+    TOASTED_COL,
+    PRESENT_COL,
+)
 
 OP_INSERT = "i"
 OP_UPDATE = "u"
@@ -85,12 +105,38 @@ def keys_changed(df: DataFrame, keys: list[str]) -> Column:
 
 def is_toasted(df: DataFrame, keys: list[str]) -> Column:
     """Update carrying only a column subset (PG TOAST,
-    ``change_item.go:297-311``). Convention: absent columns are NULL and
-    a ``_toasted`` boolean marks partial rows; sinks must merge
-    column-wise instead of replacing the row."""
-    if "_toasted" in df.columns:
-        return F.col("_toasted")
+    ``change_item.go:297-311``). A row is partial when the ``_toasted``
+    boolean flags it or a ``_present`` column-name list is attached;
+    sinks must merge such rows column-wise instead of replacing."""
+    if PRESENT_COL in df.columns:
+        return F.col(PRESENT_COL).isNotNull()
+    if TOASTED_COL in df.columns:
+        return F.coalesce(F.col(TOASTED_COL), F.lit(False))
     return F.lit(False)
+
+
+def has_partial_rows(df: DataFrame) -> bool:
+    """Does this frame declare a partial-row marker at all? Collapse and
+    merge only do column-wise folding when the source marks partial rows
+    — otherwise NULL always means NULL (ADVICE r1: last-non-null folding
+    without a marker silently kept stale values on UPDATE ... SET col =
+    NULL)."""
+    return TOASTED_COL in df.columns or PRESENT_COL in df.columns
+
+
+def column_present(df: DataFrame, c: str) -> Column:
+    """Is payload column ``c`` actually carried by this row (vs absent
+    from a partial/TOAST row)? Full rows carry every column, including
+    genuine NULLs."""
+    if PRESENT_COL in df.columns:
+        return F.col(PRESENT_COL).isNull() | F.array_contains(
+            F.col(PRESENT_COL), F.lit(c)
+        )
+    if TOASTED_COL in df.columns:
+        # NULL-means-absent convention on flagged rows only: a _toasted
+        # row cannot express SET col = NULL (use _present for that).
+        return ~F.coalesce(F.col(TOASTED_COL), F.lit(False)) | F.col(c).isNotNull()
+    return F.lit(True)
 
 
 def split_rows_and_controls(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -29,9 +29,16 @@ from transferia_spark.cdc.changeitem import (
     OP_DELETE,
     OP_INSERT,
     OP_UPDATE,
+    column_present,
+    has_partial_rows,
     keys_changed,
     payload_columns,
 )
+
+# collapse(with_presence=True) output: struct<col:boolean> per key saying
+# whether any event in the batch carried the column (distinct from the
+# input-side PRESENT_COL, which is array<string> per row).
+PRESENT_NET_COL = "_present_net"
 
 
 def normalize_pk_changes(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -70,17 +77,40 @@ def normalize_pk_changes(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def collapse(df: DataFrame, keys: list[str], toast_aware: bool = True) -> DataFrame:
+def collapse(
+    df: DataFrame,
+    keys: list[str],
+    toast_aware: bool | None = None,
+    with_presence: bool = False,
+) -> DataFrame:
     """Net effect per key for one batch.
 
     Returns one row per key with the final payload and final ``_op``
     (insert/update/delete); keys whose last event is a delete come out
     with ``_op='d'`` and NULL non-key payload. Order inside the batch is
     (lsn, counter) — never wall-clock.
+
+    ``toast_aware=None`` (default) auto-detects: column-wise folding is
+    applied only when the frame declares a partial-row marker
+    (``_toasted`` / ``_present``), and then only to the flagged rows —
+    a full row's NULL is a genuine ``SET col = NULL`` and overwrites
+    (≈ ``change_item_collapse.go`` compareColumns: absent-by-name vs
+    present-with-NULL). Passing ``toast_aware=True`` on a frame with no
+    marker falls back to the legacy blanket last-non-null fold.
+
+    ``with_presence=True`` additionally emits ``_present_net`` on the
+    output as a struct<col:boolean> recording whether any event for the key
+    actually carried each column — merge needs this to keep the target's
+    value for columns absent from the whole batch while still applying
+    genuine NULLs. Both the value fold and the presence bit are plain
+    map-side-combinable aggregates: still one shuffle.
     """
+    if toast_aware is None:
+        toast_aware = has_partial_rows(df)
     df = normalize_pk_changes(df, keys)
-    payload = [c for c in payload_columns(df) if c not in keys and c != "_toasted"]
+    payload = [c for c in payload_columns(df) if c not in keys]
     seq = F.struct(F.col(LSN_COL), F.col(COUNTER_COL))
+    marked = has_partial_rows(df)
 
     aggs = [
         F.max_by(F.col(OP_COL), seq).alias("_last_op"),
@@ -88,16 +118,21 @@ def collapse(df: DataFrame, keys: list[str], toast_aware: bool = True) -> DataFr
         F.max(F.col(LSN_COL)).alias(LSN_COL),
         F.max(F.col(COUNTER_COL)).alias(COUNTER_COL),
     ]
-    if toast_aware:
-        # last non-null value per column (TOAST partial updates carry
-        # NULL for unchanged columns): max_by over non-null events only.
-        for c in payload:
-            aggs.append(
-                F.max_by(F.col(c), F.when(F.col(c).isNotNull(), seq)).alias(c)
-            )
-    else:
-        for c in payload:
-            aggs.append(F.max_by(F.col(c), seq).alias(c))
+    presence: dict[str, F.Column] = {}
+    for c in payload:
+        if toast_aware and marked:
+            # fold only over events that actually carry the column;
+            # a full row's NULL is carried and therefore wins by seq.
+            carried = column_present(df, c)
+        elif toast_aware:
+            # legacy escape hatch: no marker on the frame, caller still
+            # asked for toast folding → blanket last-non-null.
+            carried = F.col(c).isNotNull()
+        else:
+            carried = F.lit(True)
+        aggs.append(F.max_by(F.col(c), F.when(carried, seq)).alias(c))
+        if with_presence:
+            aggs.append(F.max(F.when(carried, F.lit(True))).alias(f"_has_{c}"))
 
     out = df.groupBy(*keys).agg(*aggs)
     # a key inserted AND deleted within the batch nets to nothing
@@ -112,6 +147,21 @@ def collapse(df: DataFrame, keys: list[str], toast_aware: bool = True) -> DataFr
         F.when(F.col("_last_op") == OP_DELETE, F.lit(None)).otherwise(F.col(c)).alias(c)
         for c in payload
     ]
+    extra = []
+    if with_presence:
+        extra.append(
+            F.struct(
+                *[
+                    F.coalesce(F.col(f"_has_{c}"), F.lit(False)).alias(c)
+                    for c in payload
+                ]
+            ).alias(PRESENT_NET_COL)
+        )
     return out.select(
-        *keys, *null_if_deleted, final_op.alias(OP_COL), F.col(LSN_COL), F.col(COUNTER_COL)
+        *keys,
+        *null_if_deleted,
+        final_op.alias(OP_COL),
+        F.col(LSN_COL),
+        F.col(COUNTER_COL),
+        *extra,
     )

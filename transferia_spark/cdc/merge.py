@@ -26,26 +26,36 @@ from transferia_spark.cdc.changeitem import (
     LSN_COL,
     OP_COL,
     OP_DELETE,
-    payload_columns,
+    has_partial_rows,
 )
-from transferia_spark.cdc.collapse import collapse
+from transferia_spark.cdc.collapse import PRESENT_NET_COL, collapse
 
 
 def merge_batch(
     target: DataFrame,
     batch: DataFrame,
     keys: list[str],
-    toast_aware: bool = True,
+    toast_aware: bool | None = None,
 ) -> DataFrame:
     """Return the new target content after applying one CDC batch.
 
     ``batch`` is a ChangeItem DataFrame (``_op``/``_lsn``/``_counter``
-    columns). TOAST partial updates merge column-wise against the
-    current target row (coalesce new-over-old).
+    columns). Partial (TOAST) rows merge column-wise against the current
+    target row: a column absent from every event for the key keeps the
+    target's value, while a carried NULL genuinely overwrites — the
+    distinction rides on collapse's per-key presence struct, not on
+    value NULL-ness (ADVICE r1). ``toast_aware=None`` auto-detects from
+    the batch's partial-row markers.
     """
-    net = collapse(batch, keys, toast_aware=toast_aware)
+    if toast_aware is None:
+        toast_aware = has_partial_rows(batch)
+    marked = has_partial_rows(batch)
+    net = collapse(
+        batch, keys, toast_aware=toast_aware, with_presence=toast_aware and marked
+    )
     cols = list(target.columns)
     has = set(net.columns)  # batch may carry only a column subset
+    presence = PRESENT_NET_COL in net.columns
 
     # Single full-outer join — the changelog is scanned & aggregated once
     # (a 3-way union of inner/anti/anti joins recomputes the aggregation
@@ -66,8 +76,17 @@ def merge_batch(
             return F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
         if c not in has:
             return F.col(f"t.{c}").alias(c)
+        if presence:
+            # carried columns (incl. genuine NULLs) win; absent keep old
+            return (
+                F.when(
+                    matched & F.col(f"u.{PRESENT_NET_COL}.{c}"), F.col(f"u.{c}")
+                )
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
         if toast_aware:
-            # new value wins when present; absent (toasted) keeps old
+            # legacy no-marker fold: non-null wins, NULL keeps old
             return (
                 F.when(matched, F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")))
                 .otherwise(F.col(f"t.{c}"))
@@ -79,7 +98,10 @@ def merge_batch(
 
 
 def apply_changelog(
-    target: DataFrame, changelog: DataFrame, keys: list[str], toast_aware: bool = True
+    target: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    toast_aware: bool | None = None,
 ) -> DataFrame:
     """Apply a whole change log (possibly spanning many 'batches') in one
     pass — correctness is batch-size independent because collapse orders

@@ -99,7 +99,7 @@ class CdcApplySink:
         self,
         table: ParquetTable,
         keys: list[str],
-        toast_aware: bool = True,
+        toast_aware: bool | None = None,
         max_retries: int = 2,
     ):
         self.table = table
