@@ -242,14 +242,21 @@ def test_waljson_slot_direct_source(spark, tmp_path):
         {"action": "U", "schema": "public", "table": "t", "lsn": 2,
          "columns": [{"name": "id", "value": 1}, {"name": "v", "value": "b"}],
          "identity": [{"name": "id", "value": 1}]},
+        # same-LSN second event: counter must tiebreak within the tx
+        {"action": "U", "schema": "public", "table": "t", "lsn": 2,
+         "columns": [{"name": "id", "value": 1}, {"name": "v", "value": "c"}],
+         "identity": [{"name": "id", "value": 1}]},
     ])
     run()
-    assert sorted((r["_lsn"], r["_op"], r["v"]) for r in got) == [
-        (1, "i", "a"), (2, "u", "b")
+    assert sorted((r["_lsn"], r["_counter"], r["_op"], r["v"]) for r in got) == [
+        (1, 0, "i", "a"), (2, 0, "u", "b"), (2, 1, "u", "c")
     ]
     assert got[0]["_table"] == "public.t"
     upd = [r for r in got if r["_op"] == "u"][0]
-    assert json.loads(upd["_before_json"]) == {"id": 1}
+    # typed pre-image struct (ChangeItem _before contract, not a JSON blob)
+    assert upd["_before"]["id"] == 1 and upd["_before"]["v"] is None
+    # updates carry the present-column list (TOAST absence marker)
+    assert sorted(upd["_present"]) == ["id", "v"]
 
     # delete arrives; resume must deliver ONLY the new event, and
     # planning batch 2 acks batch 1
@@ -261,6 +268,62 @@ def test_waljson_slot_direct_source(spark, tmp_path):
     run()
     assert [(r["_lsn"], r["_op"], r["id"]) for r in got] == [(3, "d", 1)]
     assert json.load(open(ack))["lsn"] >= 2
+
+
+def test_waljson_feeds_cdc_apply_path(spark, tmp_path):
+    """The slot-direct source's output must satisfy the ChangeItem
+    contract end-to-end: collapse orders by (_lsn, _counter), PK-changing
+    updates consume the typed _before struct, and the _present marker
+    keeps TOAST-absent columns while genuine NULLs overwrite (ADVICE r1:
+    the wal schema used to lack _counter and emitted a JSON-string
+    pre-image, so this exact pipeline failed to resolve)."""
+    import json
+    import os
+
+    from transferia_spark.cdc.merge import merge_batch
+    from transferia_spark.streaming.wal_source import (
+        WalJsonDataSource,
+        wal_output_schema,
+    )
+
+    spark.dataSource.register(WalJsonDataSource)
+    waldir = str(tmp_path / "wal")
+    os.makedirs(waldir)
+    with open(os.path.join(waldir, "000.jsonl"), "w") as f:
+        for e in [
+            # tx lsn=1: insert then same-tx update — counter must order them
+            {"action": "I", "table": "t", "lsn": 1,
+             "columns": [{"name": "id", "value": 1}, {"name": "v", "value": "a"},
+                         {"name": "w", "value": "keep"}]},
+            {"action": "U", "table": "t", "lsn": 1,
+             "columns": [{"name": "id", "value": 1}, {"name": "v", "value": "b"}],
+             "identity": [{"name": "id", "value": 1}]},  # w TOAST-absent
+            # lsn=2: PK-changing update 1 → 2 (typed _before drives it)
+            {"action": "U", "table": "t", "lsn": 2,
+             "columns": [{"name": "id", "value": 2}, {"name": "v", "value": "b"},
+                         {"name": "w", "value": "keep"}],
+             "identity": [{"name": "id", "value": 1}]},
+        ]:
+            f.write(json.dumps(e) + "\n")
+
+    batches = []
+    q = (
+        spark.readStream.format("waljson")
+        .schema(wal_output_schema("id int, v string, w string"))
+        .option("path", waldir)
+        .load()
+        .writeStream.foreachBatch(lambda df, _bid: batches.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = [r for b in batches for r in b]
+    batch = spark.createDataFrame(rows, wal_output_schema("id int, v string, w string"))
+    target = spark.createDataFrame([], "id int, v string, w string")
+    out = merge_batch(target, batch.drop("_table"), ["id"])
+    assert [tuple(r) for r in out.collect()] == [(2, "b", "keep")]
 
 
 def test_schema_drift_restart(spark, tmp_path):

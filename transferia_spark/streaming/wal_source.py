@@ -17,9 +17,16 @@ object per line, ``{"action": "I|U|D", "schema": s, "table": t,
 the read loop, offset algebra, and row mapping are transport-agnostic,
 so a socket/psycopg transport only replaces ``_scan_files``.
 
-Emitted rows: payload columns per the declared schema, then
-``_op`` (i/u/d), ``_lsn``, ``_table``, ``_before_json`` (pre-image of
-identity columns for U/D — the reference's OldKeys).
+Emitted rows speak the full ChangeItem column contract
+(``transferia_spark.cdc.changeitem``), so the stream plugs straight
+into collapse → merge_batch / CdcApplySink: payload columns per the
+declared schema, then ``_op`` (i/u/d), ``_lsn``, ``_counter`` (event
+index within the transaction/LSN — the per-key tiebreak collapse
+orders by), ``_table``, ``_before`` (typed pre-image struct of the
+identity columns — the reference's OldKeys, what keys_changed /
+normalize_pk_changes consume), and ``_present`` (the column names the
+event actually carried — wal2json omits unchanged TOAST columns, and
+this marker is how collapse distinguishes absent from NULL).
 """
 
 from __future__ import annotations
@@ -37,16 +44,23 @@ from pyspark.sql.datasource import (
 
 _ACTIONS = {"I": "i", "U": "u", "D": "d"}
 
+_META_FIELDS = ("_op", "_lsn", "_counter", "_table", "_before", "_present")
+
 
 def wal_output_schema(payload_ddl: str) -> T.StructType:
     st = T._parse_datatype_string(payload_ddl)
+    before = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in st.fields]
+    )
     return T.StructType(
         list(st.fields)
         + [
             T.StructField("_op", T.StringType(), False),
             T.StructField("_lsn", T.LongType(), False),
+            T.StructField("_counter", T.IntegerType(), False),
             T.StructField("_table", T.StringType(), True),
-            T.StructField("_before_json", T.StringType(), True),
+            T.StructField("_before", before, True),
+            T.StructField("_present", T.ArrayType(T.StringType()), True),
         ]
     )
 
@@ -80,9 +94,7 @@ class WalJsonStreamReader(DataSourceStreamReader):
     def __init__(self, schema: T.StructType, options: dict):
         self.path = options["path"]
         self.payload_fields = [
-            f.name
-            for f in schema.fields
-            if f.name not in ("_op", "_lsn", "_table", "_before_json")
+            f.name for f in schema.fields if f.name not in _META_FIELDS
         ]
         self.ack_file = options.get("ack_file")
 
@@ -105,28 +117,39 @@ class WalJsonStreamReader(DataSourceStreamReader):
         if not partition.path:
             return
         lo, hi = partition.start_lsn, partition.end_lsn
+        # _counter: event index within one LSN (= one transaction in
+        # wal2json v2), assigned in file order. The slot tailer flushes
+        # whole transactions to one file, so per-file counting is total
+        # per (lsn) — matching the reference's counter-within-tx.
+        last_lsn, counter = None, 0
         with open(partition.path) as fh:
             for line in fh:
                 if not line.strip():
                     continue
                 ev = json.loads(line)
                 lsn = int(ev["lsn"])
-                if not (lo < lsn <= hi) or ev.get("action") not in _ACTIONS:
+                if ev.get("action") not in _ACTIONS:
+                    continue
+                counter = counter + 1 if lsn == last_lsn else 0
+                last_lsn = lsn
+                if not (lo < lsn <= hi):
                     continue
                 cols = {c["name"]: c.get("value") for c in ev.get("columns") or []}
+                present = sorted(cols) if ev["action"] == "U" else None
                 identity = ev.get("identity") or []
-                before = (
-                    json.dumps({c["name"]: c.get("value") for c in identity})
-                    if identity
-                    else None
-                )
+                before = None
+                if identity:
+                    bmap = {c["name"]: c.get("value") for c in identity}
+                    before = tuple(bmap.get(n) for n in self.payload_fields)
                 if ev["action"] == "D" and not cols:
                     cols = {c["name"]: c.get("value") for c in identity}
                 yield tuple(cols.get(n) for n in self.payload_fields) + (
                     _ACTIONS[ev["action"]],
                     lsn,
+                    counter,
                     ".".join(x for x in (ev.get("schema"), ev.get("table")) if x),
                     before,
+                    present,
                 )
 
     def commit(self, end: dict) -> None:
