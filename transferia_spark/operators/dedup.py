@@ -355,21 +355,68 @@ class DedupNgramJaccard(Transformer):
         return [(table, out)]
 
 
+def _cosine_pairs_block(ids_a, m_a, ids_b, m_b, min_bp, ordered_only):
+    """Exact quantized-cosine pairs between two int64 blocks.
+
+    Returns (id_a, id_b, sim_bp) arrays for every cross pair with
+    ``sim_bp >= min_bp``; with ``ordered_only`` (the within-one-block
+    diagonal case) only the ``id_a < id_b`` half-matrix is kept, else
+    every (a, b) combination is kept once and the caller orders the
+    ids. int64 matmul has no BLAS kernel in numpy (orders of magnitude
+    slower); when every |q| ≤ sqrt(2^53/dim), all products AND partial
+    sums are < 2^53, so float64 BLAS matmul is EXACT on these
+    integer-valued matrices — same integers, memory-bandwidth speed.
+    """
+    import numpy as np
+
+    dim = m_b.shape[1]
+    exact_f64 = (
+        max(np.abs(m_a).max(initial=0), np.abs(m_b).max(initial=0))
+        <= int((2**53 / dim) ** 0.5)
+    )
+    if exact_f64:
+        dot = np.matmul(m_a.astype(np.float64), m_b.astype(np.float64).T)
+    else:  # exact int64 path for huge components (rare)
+        dot = (m_a @ m_b.T).astype(np.float64)
+    n2_a = np.einsum("ij,ij->i", m_a, m_a).astype(np.float64)
+    n2_b = np.einsum("ij,ij->i", m_b, m_b).astype(np.float64)
+    den = np.sqrt(n2_a[:, None] * n2_b[None, :])
+    np.divide(dot, den, out=dot)
+    np.multiply(dot, 10000.0, out=dot)
+    np.floor(dot, out=dot)  # == sim_bp as float64
+    keep = dot >= float(min_bp)
+    if ordered_only:
+        keep &= np.less.outer(ids_a, ids_b)
+    ai, bi = np.nonzero(keep)
+    return ids_a[ai], ids_b[bi], dot[ai, bi].astype(np.int64)
+
+
 @register
 class DedupEmbeddingCosine(Transformer):
     """Near-duplicate pairs by embedding cosine similarity ≥ threshold.
 
     Embeddings are quantized to int64 (floor(x·10^6)) so all dot
     products are EXACT integer arithmetic — order-free, therefore safe
-    to vectorize any way we like. Execution: broadcast the quantized
-    corpus matrix (the build side of a broadcast join, 64-dim int64 =
-    0.5 KB/row), then each partition block-matmuls its rows against it
-    with numpy inside ``mapInPandas`` — O(n²·d) flops at memory
-    bandwidth instead of interpreted per-pair expression folds.
+    to vectorize any way we like, and the DuckDB oracle matches
+    bit-for-bit.
 
-    Scale: broadcast holds to ~10M vectors (5 GB); beyond that,
-    LSH-bucket first (``ann_lsh_bucketed``) and run the same matmul
-    per bucket — the arithmetic and thresholds are identical.
+    Execution — block-partitioned all-pairs, fully distributed:
+    every vector gets a hash block id in [0, B); each row is replicated
+    to its B (sorted) block-pair groups; ``applyInPandas`` per group
+    runs a numpy block matmul (cross-block for (i,j), half-matrix for
+    the (i,i) diagonal). Each unordered pair lands in EXACTLY one
+    group, so the union over groups is the exact all-pairs answer with
+    no distinct pass.
+
+    Scale: no driver-side state at all (the former design collected the
+    corpus to the driver and broadcast it — dead at ~10M vectors). Here
+    the shuffle carries N·B rows and each group holds ≤ 2N/B vectors:
+    pick ``blocks`` so a group fits executor memory (e.g. N=10^9,
+    B=512 → ~4M vectors/group ≈ 2 GB at 64-dim int64). Work is
+    O(N²·d/2) flops spread over B(B+1)/2 independent tasks — the
+    unavoidable cost of an exact threshold; for approximate dedup at
+    corpus scale, LSH-bucket first (``ann_lsh_bucketed``) and run the
+    same kernel per bucket.
     ``sim_bp`` = floor(10^4 · cosine) for exact cross-engine compare.
     """
 
@@ -377,83 +424,62 @@ class DedupEmbeddingCosine(Transformer):
 
     OUT_SCHEMA = "id_a long, id_b long, sim_bp long"
 
-    def __init__(self, vec_col: str, id_col: str, min_bp: int = 9000):
+    def __init__(self, vec_col: str, id_col: str, min_bp: int = 9000, blocks: int = 8):
         self.vec_col, self.id_col = vec_col, id_col
         self.min_bp = min_bp
+        self.blocks = blocks
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
-        import numpy as np
+        min_bp, B = self.min_bp, self.blocks
 
         q = df.select(
             F.col(self.id_col).cast("long").alias("_id"),
             quantize(F.col(self.vec_col)).alias("_q"),
+            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(self.blocks))
+            .cast("int")
+            .alias("_b"),
         )
-        # build side: ids + int64 matrix, like a broadcast hash join build
-        build = q.collect()
-        ids_all = np.array([r["_id"] for r in build], dtype=np.int64)
-        m_all = np.array([r["_q"] for r in build], dtype=np.int64)
-        bc = df.sparkSession.sparkContext.broadcast((ids_all, m_all))
-        min_bp = self.min_bp
+        # replicate each row to every block pair containing its block:
+        # partner j ∈ [0,B) → group key (min(b,j), max(b,j)). For j==b
+        # that is the diagonal group; all B keys per row are distinct,
+        # so no pair is ever produced twice.
+        rep = q.select(
+            "_id",
+            "_q",
+            "_b",
+            F.explode(F.array(*[F.lit(j) for j in range(B)])).alias("_j"),
+        ).select(
+            "_id",
+            "_q",
+            "_b",
+            F.least("_b", "_j").alias("_bi"),
+            F.greatest("_b", "_j").alias("_bj"),
+        )
 
-        BLOCK = 256
-
-        def run(batches):
+        def run(key, pdf):
+            import numpy as np
             import pandas as pd
 
-            ids_b, m_b = bc.value
-            n = len(ids_b)
-            if n == 0:
-                return
-            # int64 matmul has no BLAS kernel in numpy (orders of
-            # magnitude slower). When every |q| ≤ sqrt(2^53/dim), all
-            # products AND partial sums are < 2^53, so float64 BLAS
-            # matmul is EXACT on these integer-valued matrices — same
-            # integers, memory-bandwidth speed.
-            dim = m_b.shape[1]
-            exact_f64 = np.abs(m_b).max(initial=0) <= int((2**53 / dim) ** 0.5)
-            mat_b = m_b.astype(np.float64).T if exact_f64 else m_b.T
-            n2_b = np.einsum("ij,ij->i", m_b, m_b).astype(np.float64)
-            # fixed-size work buffers, reused across blocks: every
-            # ufunc writes via out= so no large temporaries are
-            # allocated in the loop (fresh pages fault in slowly on
-            # overlay/sandboxed filesystems; reuse is ~free)
-            buf_dot = np.empty((BLOCK, n))
-            buf_den = np.empty((BLOCK, n))
-            mask_lt = np.empty((BLOCK, n), dtype=bool)
-            mask_ge = np.empty((BLOCK, n), dtype=bool)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                a_ids = pdf["_id"].to_numpy(dtype=np.int64)
-                m_a = np.array(list(pdf["_q"]), dtype=np.int64)
-                n2_a = np.einsum("ij,ij->i", m_a, m_a).astype(np.float64)
-                m_a_mm = m_a.astype(np.float64) if exact_f64 else m_a
-                for s in range(0, len(a_ids), BLOCK):
-                    e = min(s + BLOCK, len(a_ids))
-                    w = e - s
-                    dot, den = buf_dot[:w], buf_den[:w]
-                    if exact_f64:
-                        np.matmul(m_a_mm[s:e], mat_b, out=dot)
-                    else:  # exact int64 path for huge components (rare)
-                        dot[:] = m_a_mm[s:e] @ mat_b
-                    np.multiply(n2_a[s:e, None], n2_b[None, :], out=den)
-                    np.sqrt(den, out=den)
-                    np.divide(dot, den, out=dot)
-                    np.multiply(dot, 10000.0, out=dot)
-                    np.floor(dot, out=dot)  # == sim_bp as float64
-                    np.less.outer(a_ids[s:e], ids_b, out=mask_lt[:w])
-                    np.greater_equal(dot, float(min_bp), out=mask_ge[:w])
-                    np.logical_and(mask_lt[:w], mask_ge[:w], out=mask_lt[:w])
-                    ai, bi = np.nonzero(mask_lt[:w])
-                    yield pd.DataFrame(
-                        {
-                            "id_a": a_ids[s:e][ai],
-                            "id_b": ids_b[bi],
-                            "sim_bp": dot[ai, bi].astype(np.int64),
-                        }
-                    )
+            bi, bj = int(key[0]), int(key[1])
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["_q"]), dtype=np.int64)
+            if bi == bj:
+                a, b, s = _cosine_pairs_block(
+                    ids, mat, ids, mat, min_bp, ordered_only=True
+                )
+            else:
+                left = pdf["_b"].to_numpy() == bi
+                a, b, s = _cosine_pairs_block(
+                    ids[left], mat[left], ids[~left], mat[~left], min_bp,
+                    ordered_only=False,
+                )
+                # cross pairs appear once in any orientation; emit as
+                # (min, max) to match the id_a < id_b output contract
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            return pd.DataFrame({"id_a": a, "id_b": b, "sim_bp": s})
 
-        return [(table, q.mapInPandas(run, self.OUT_SCHEMA))]
+        out = rep.groupBy("_bi", "_bj").applyInPandas(run, self.OUT_SCHEMA)
+        return [(table, out)]
 
 
 __all__ = [

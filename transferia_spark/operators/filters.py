@@ -141,20 +141,18 @@ class FilterRows(Transformer):
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         cond = self._cond
         if OP_COL in df.columns and not self.allow_cdc:
-            # fatal on non-insert kinds, as in filter_rows.go:99
-            if df.isStreaming:
-                # streaming frames can't be eagerly probed: fold the
-                # guard into the predicate so any non-insert row fails
-                # the micro-batch at execution time
-                guard = F.when(
-                    F.col(OP_COL) != "i",
-                    F.raise_error(
-                        F.lit("filter_rows: update/delete items are not filterable")
-                    ).cast("boolean"),
-                ).otherwise(F.lit(True))
-                cond = guard & cond
-            elif df.filter(F.col(OP_COL) != "i").limit(1).count():
-                raise ValueError("filter_rows: update/delete items are not filterable")
+            # fatal on non-insert kinds, as in filter_rows.go:99. The
+            # guard is folded into the predicate so the contract is
+            # enforced during the one scan that evaluates the filter —
+            # no extra eager job per batch, and the same shape works for
+            # streaming micro-batches and 100 TB snapshot frames alike.
+            guard = F.when(
+                F.col(OP_COL) != "i",
+                F.raise_error(
+                    F.lit("filter_rows: update/delete items are not filterable")
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+            cond = guard & cond
         return [(table, df.filter(cond))]
 
 

@@ -107,18 +107,35 @@ class BatchSplitter(Transformer):
 @register
 class ProblemItemDetector(Transformer):
     """Sideline rows failing a predicate into ``self.dead_letter``;
-    healthy rows continue."""
+    healthy rows continue.
+
+    Scale note: ``apply`` derives both routes from one flagged frame,
+    but two lazily-evaluated frames still mean two scans if both are
+    materialized independently. When the sink is a file write, use
+    ``split_write`` — a single pass partitioned by the health flag —
+    instead of writing ``apply``'s outputs separately.
+    """
 
     TYPE = "problem_item_detector"
+
+    HEALTHY_COL = "_healthy"
 
     def __init__(self, healthy_when: str):
         self.healthy_when = healthy_when
         self.dead_letter: DataFrame | None = None
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
-        cond = F.expr(self.healthy_when)
-        self.dead_letter = df.filter(~cond)
-        return [(table, df.filter(cond))]
+        flagged = df.withColumn(self.HEALTHY_COL, F.expr(self.healthy_when))
+        self.dead_letter = flagged.filter(~F.col(self.HEALTHY_COL)).drop(self.HEALTHY_COL)
+        return [(table, flagged.filter(F.col(self.HEALTHY_COL)).drop(self.HEALTHY_COL))]
+
+    def split_write(self, df: DataFrame, path: str, fmt: str = "parquet") -> None:
+        """One-pass dead-letter split: partition the write on the health
+        flag so healthy rows land under ``_healthy=true/`` and poison
+        rows under ``_healthy=false/`` without scanning the input twice.
+        This is the 100 TB shape (two filters = two full scans)."""
+        flagged = df.withColumn(self.HEALTHY_COL, F.expr(self.healthy_when))
+        flagged.write.mode("overwrite").partitionBy(self.HEALTHY_COL).format(fmt).save(path)
 
 
 @register

@@ -90,9 +90,14 @@ class Sharder(Transformer):
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         if self.columns:
-            shard = F.pmod(F.xxhash64(*[F.col(c) for c in self.columns]), F.lit(self.shards))
+            cols = [F.col(c) for c in self.columns]
         else:
-            shard = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(self.shards))
+            # no declared shard key: hash the full row content. Unlike
+            # monotonically_increasing_id() this is stable across task
+            # retries/recomputation (depends only on row values), so a
+            # retried partition re-shards identically mid-write.
+            cols = [F.col(c) for c in df.columns]
+        shard = F.pmod(F.xxhash64(*cols), F.lit(self.shards))
         return [(table, df.withColumn(PART_COL, shard.cast("int")))]
 
     def repartitioned(self, df: DataFrame) -> DataFrame:

@@ -47,7 +47,10 @@ class SqlTransformer(Transformer):
         query = re.sub(r"(?<![\w.])table(?![\w.(])", view, self.query)
         out = spark.sql(query)
         if self.strict_pk_match and self.keys:
-            matched = df.join(out.select(*self.keys).distinct(), self.keys, "left_semi")
-            self.errors = df.join(out.select(*self.keys).distinct(), self.keys, "left_anti")
-            _ = matched  # rows that survived; errors dead-lettered
+            # one distinct-keys frame, built once and shared: the
+            # dead-letter is the anti-join of the input against it.
+            # (The semi-join side is implied — `out` itself carries the
+            # surviving rows — so no second distinct/scan is planned.)
+            keys_df = out.select(*self.keys).distinct()
+            self.errors = df.join(keys_df, self.keys, "left_anti")
         return [(table, out)]
