@@ -717,6 +717,24 @@ def q_middleware_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed[0][1].select("n_nationkey", "n_name", "n_regionkey")
 
 
+def q_clickhouse_insert_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sink batch planning: ChangeItem stream → the
+    append-only ReplacingMergeTree version rows (collapse, then
+    commit/delete-time system columns; ≈ sink_table.go
+    buildChangeItemArgs:421 + doOperation:622). The plan is pure
+    Column expressions — the oracle replays it in SQL."""
+    from transferia_spark.sinks.clickhouse import plan_insert_batch
+
+    ev = _t(spark, sf_dir, "events")
+    log = events_changelog(ev)
+    return plan_insert_batch(log, keys=["user_id"]).select(
+        "user_id",
+        "value",
+        F.col("__data_transfer_commit_time").alias("commit_time"),
+        F.col("__data_transfer_delete_time").alias("delete_time"),
+    )
+
+
 def q_filter_access_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom-transformer example over synthesized combined-log lines."""
     s = _t(spark, sf_dir, "supplier")
@@ -1076,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "problem_item_detector": q_problem_item_detector,
         "middleware_chain": q_middleware_chain,
         "filter_access_log": q_filter_access_log,
+        "clickhouse_insert_plan": q_clickhouse_insert_plan,
     }
 
 
@@ -1322,6 +1341,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_quantity <= 49
         """,
         "middleware_chain": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "clickhouse_insert_plan": _changelog_cte()
+        + """
+            SELECT user_id, value,
+                   _lsn::BIGINT AS commit_time,
+                   (CASE WHEN _op = 'd' THEN _lsn ELSE 0 END)::BIGINT AS delete_time
+            FROM collapsed
+        """,
         "filter_access_log": """
             SELECT '10.0.0.' || (s_suppkey % 256) AS ip,
                    'u' || s_suppkey AS user,

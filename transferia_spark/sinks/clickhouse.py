@@ -1,0 +1,469 @@
+"""ClickHouse sink: the ReplacingMergeTree CDC contract over Spark frames.
+
+≈ ``pkg/providers/clickhouse/sink.go:57`` (shard fan-out
+``sink_shard.go:183``), ``sink_table.go`` (DDL ``generateDDL:132``,
+version-row construction ``buildChangeItemArgs:421``, batch apply
+``doOperation:608``) and ``sharding/sharder.go`` (``CHSharder:100``) in
+transferia/transferia.
+
+ClickHouse never updates rows in place; the reference therefore maps a
+CDC stream onto APPEND-ONLY inserts into a
+``ReplacingMergeTree(__data_transfer_commit_time[, __data_transfer_is_deleted])``
+table:
+
+- insert/update → a row versioned by ``__data_transfer_commit_time``,
+  ``__data_transfer_delete_time = 0``
+- delete        → a key row with ``__data_transfer_delete_time`` set
+- PK-changing update → delete(old key) + insert(new key), two rows
+- batches containing updates are collapsed first (``doOperation:622``)
+
+Spark-first re-expression: the whole batch→rows mapping is a pure
+DataFrame plan (``plan_insert_batch``): collapse (one shuffle,
+map-side-combinable) already normalizes PK changes into delete+insert,
+then the system columns are plain Column expressions. Shard assignment
+is a Catalyst FNV-1a expression over the shard key (``shard_column``) —
+no Python in the row path; the only per-row Python is the final
+JSONEachRow encode inside ``foreachPartition``, which is the transport
+boundary itself. Transport is the ClickHouse HTTP interface via urllib
+(stdlib) — the same surface the reference's ``httpuploader`` uses — so
+each Spark task streams its partition to its shard directly
+(executor→shard, never through the driver).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transferia_spark.cdc.changeitem import (
+    COMMIT_TS_COL,
+    COUNTER_COL,
+    LSN_COL,
+    OP_COL,
+    OP_DELETE,
+)
+from transferia_spark.cdc.collapse import collapse
+from transferia_spark.schema.colschema import TableID
+from transferia_spark.sinks.base import CleanupPolicy, Sink, register_sink
+
+COMMIT_TIME_COL = "__data_transfer_commit_time"
+DELETE_TIME_COL = "__data_transfer_delete_time"
+IS_DELETED_COL = "__data_transfer_is_deleted"
+SHARD_COL = "_ch_shard"
+
+# ClickHouse version that understands ReplacingMergeTree(ver, is_deleted)
+# (sink_table.go:48 ``deleteableVersion`` = 23.2)
+DELETEABLE_VERSION = (23, 2)
+
+
+# --------------------------------------------------------------------------
+# Type mapping (≈ columntypes.ToChType)
+# --------------------------------------------------------------------------
+
+_CH_TYPES = {
+    T.ByteType: "Int8",
+    T.ShortType: "Int16",
+    T.IntegerType: "Int32",
+    T.LongType: "Int64",
+    T.FloatType: "Float32",
+    T.DoubleType: "Float64",
+    T.StringType: "String",
+    T.BinaryType: "String",
+    T.BooleanType: "UInt8",
+    T.DateType: "Date",
+}
+
+
+def ch_type(dt: T.DataType) -> str:
+    """Spark type → ClickHouse column type."""
+    if isinstance(dt, T.DecimalType):
+        return f"Decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.TimestampType):
+        return "DateTime64(6)"
+    if isinstance(dt, T.ArrayType):
+        return f"Array({ch_type(dt.elementType)})"
+    for spark_t, ch in _CH_TYPES.items():
+        if isinstance(dt, spark_t):
+            return ch
+    # maps/structs and anything exotic travel as JSON strings — the
+    # same degradation the reference's `any` type takes
+    return "String"
+
+
+def quote_ch(ident: str) -> str:
+    if not ident or any(ord(ch) < 0x20 for ch in ident):
+        raise ValueError(f"invalid ClickHouse identifier {ident!r}")
+    return "`" + ident.replace("`", "\\`") + "`"
+
+
+def generate_ddl(
+    table: str,
+    schema: T.StructType,
+    keys: list[str],
+    updateable: bool = True,
+    distributed: bool = False,
+    cluster: str = "",
+    database: str = "",
+    partition_by: str = "",
+    ttl: str = "",
+    ch_version: tuple[int, int] = (23, 8),
+) -> str:
+    """CREATE TABLE statement ≈ ``sink_table.go generateDDL:132``.
+
+    Updateable targets get the two system columns and a
+    ReplacingMergeTree engine versioned by commit time (+ the
+    ``is_deleted`` MATERIALIZED flag on CH ≥ 23.2); nullable key
+    columns switch on ``allow_nullable_key`` exactly as the reference
+    does.
+    """
+    name = f"{quote_ch(database)}.{quote_ch(table)}" if database else quote_ch(table)
+    out = [f"CREATE TABLE IF NOT EXISTS {name}"]
+    if distributed:
+        out.append(f" ON CLUSTER {quote_ch(cluster)}")
+
+    defs, key_nullable = [], False
+    for f_ in schema.fields:
+        base = ch_type(f_.dataType)
+        is_key = f_.name in keys
+        if f_.nullable and base not in ("String",) and not base.startswith("Array"):
+            defs.append(f"{quote_ch(f_.name)} Nullable({base})")
+            key_nullable = key_nullable or is_key
+        elif f_.nullable and base == "String":
+            defs.append(f"{quote_ch(f_.name)} Nullable(String)")
+            key_nullable = key_nullable or is_key
+        else:
+            defs.append(f"{quote_ch(f_.name)} {base}")
+    deleteable = ch_version >= DELETEABLE_VERSION
+    if updateable:
+        defs.append(f"{quote_ch(COMMIT_TIME_COL)} UInt64")
+        defs.append(f"{quote_ch(DELETE_TIME_COL)} UInt64")
+        if deleteable:
+            defs.append(
+                f"{quote_ch(IS_DELETED_COL)} UInt8 MATERIALIZED "
+                f"(if({DELETE_TIME_COL} != 0, 1, 0))"
+            )
+    out.append(f" ({', '.join(defs)})")
+
+    engine, engine_args = "MergeTree", []
+    if updateable:
+        engine = "ReplacingMergeTree"
+        engine_args.append(COMMIT_TIME_COL)
+        if deleteable:
+            engine_args.append(IS_DELETED_COL)
+    if distributed:
+        engine = f"Replicated{engine}"
+        engine_args = [
+            f"'/clickhouse/tables/{{shard}}/{database or 'default'}.{table}_cdc'",
+            "'{replica}'",
+            *engine_args,
+        ]
+    out.append(f" ENGINE={engine}({', '.join(engine_args)})")
+    if keys:
+        out.append(f" ORDER BY ({', '.join(quote_ch(k) for k in keys)})")
+    else:
+        out.append(" ORDER BY tuple()")
+    if partition_by:
+        out.append(f" PARTITION BY ({partition_by})")
+    if ttl:
+        out.append(f" TTL {ttl}")
+    if key_nullable:
+        out.append(" SETTINGS allow_nullable_key = 1")
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# Sharding (≈ sharding/sharder.go) — pure Catalyst, no Python per row
+# --------------------------------------------------------------------------
+
+
+def fnv1a32(col: Column) -> Column:
+    """FNV-1a 32-bit over the UTF-8 bytes of ``col`` as a Catalyst
+    expression (byte-exact with Go's ``hash/fnv`` New32a — the
+    reference's shard hash, ``sharder.go:16-20``), so rows land on the
+    same shard a reference deployment would pick."""
+    b = F.encode(col, "UTF-8")
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.octet_length(col)),
+        F.lit(2166136261).cast("long"),
+        lambda acc, i: F.pmod(
+            acc.bitwiseXOR(
+                F.conv(F.hex(F.substr(b, i, F.lit(1))), 16, 10).cast("long")
+            )
+            * F.lit(16777619),
+            F.lit(1 << 32),
+        ),
+    )
+    # sequence(1, 0) counts DOWN, so guard the empty string (hash = offset basis)
+    return F.when(F.octet_length(col) == 0, F.lit(2166136261).cast("long")).otherwise(folded)
+
+
+@dataclass
+class ChShardingConfig:
+    """≈ CHSharder precedence (``sharder.go:100-120``): transfer-id
+    keygen > shard column keygen > round-robin > constant shard 0; a
+    ``column_to_shard_name`` user mapping overrides the hash when the
+    keygen value matches (``KeyGenUserMappingHandler``)."""
+
+    shards: list[str] = field(default_factory=lambda: ["shard0"])  # sorted names
+    shard_col: str = ""
+    shard_by_transfer_id: bool = False
+    round_robin: bool = False
+    column_to_shard_name: dict[str, str] = field(default_factory=dict)
+
+
+def shard_column(cfg: ChShardingConfig, transfer_id: str, df: DataFrame) -> Column:
+    n = len(cfg.shards)
+    names_sorted = sorted(cfg.shards)
+    name_to_idx = {s: i for i, s in enumerate(names_sorted)}
+
+    keygen: Column | None = None
+    if cfg.shard_by_transfer_id:
+        keygen = F.lit(transfer_id)
+    elif cfg.shard_col:
+        src = F.col(cfg.shard_col)
+        dt = df.schema[cfg.shard_col].dataType
+        # Go json.Marshal of a non-string scalar is its bare literal;
+        # cast covers ints/bools exactly (the common shard-key types)
+        keygen = src if isinstance(dt, T.StringType) else src.cast("string")
+
+    if keygen is not None:
+        hashed = F.pmod(fnv1a32(keygen), F.lit(n)).cast("int")
+        if cfg.column_to_shard_name:
+            mapped = F.lit(None).cast("int")
+            for val, shard_name in cfg.column_to_shard_name.items():
+                mapped = F.when(keygen == F.lit(val), F.lit(name_to_idx[shard_name])).otherwise(mapped)
+            # reference maps unknown keys to shard 0 (KeyGenUserMappingHandler)
+            return F.coalesce(mapped, F.lit(0))
+        return hashed
+    if cfg.round_robin:
+        # the reference's counter round-robin isn't stable across task
+        # retries; hash of full row content balances equally and
+        # re-shards identically on recomputation
+        return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n)).cast("int")
+    return F.lit(0)
+
+
+# --------------------------------------------------------------------------
+# Batch → version rows (≈ buildChangeItemArgs + doOperation)
+# --------------------------------------------------------------------------
+
+
+def version_expr(df: DataFrame) -> Column:
+    """The UInt64 row version: source commit time in nanoseconds when
+    the frame carries ``_commit_ts`` (CommitTime in the reference),
+    else the LSN — any monotone-per-key counter versions
+    ReplacingMergeTree correctly."""
+    if COMMIT_TS_COL in df.columns:
+        return (F.unix_micros(F.col(COMMIT_TS_COL)) * F.lit(1000)).cast("long")
+    return F.col(LSN_COL).cast("long")
+
+
+def plan_insert_batch(batch: DataFrame, keys: list[str], collapse_first: bool = True) -> DataFrame:
+    """Map a ChangeItem batch to the append-only rows ClickHouse gets.
+
+    ``collapse`` first (≈ ``doOperation:622``): it folds per-key I/U/D
+    runs AND rewrites PK-changing updates into delete(old)+insert(new),
+    so afterwards every row maps 1:1 onto one insert:
+
+    - final op i/u → payload row, commit_time=version, delete_time=0
+    - final op d   → key row (NULL payload), delete_time=version
+
+    Everything is a Column expression over the collapsed frame — one
+    shuffle total, inherited from collapse.
+    """
+    net = collapse(batch, keys) if collapse_first else batch
+    ver = version_expr(net)
+    payload = [c for c in net.columns if c not in (OP_COL, LSN_COL, COUNTER_COL, COMMIT_TS_COL)]
+    is_del = F.col(OP_COL) == OP_DELETE
+    return net.select(
+        *payload,
+        ver.alias(COMMIT_TIME_COL),
+        F.when(is_del, ver).otherwise(F.lit(0)).cast("long").alias(DELETE_TIME_COL),
+    )
+
+
+# --------------------------------------------------------------------------
+# Transport: ClickHouse HTTP interface via urllib (stdlib)
+# --------------------------------------------------------------------------
+
+
+class ChHttpClient:
+    """Minimal ClickHouse HTTP client (the protocol of the reference's
+    ``httpuploader``): POST the statement body to ``http://host:8123/``.
+    Only stdlib so executors need no extra package."""
+
+    def __init__(self, url: str, user: str = "", password: str = "", timeout: int = 90):
+        self.url = url.rstrip("/")
+        self.user, self.password = user, password
+        self.timeout = timeout
+
+    def execute(self, sql: str, body: bytes = b"") -> bytes:
+        import urllib.parse
+        import urllib.request
+
+        params = {"query": sql} if body else {}
+        url = self.url + "/"
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        data = body if body else sql.encode()
+        req = urllib.request.Request(url, data=data, method="POST")
+        if self.user:
+            req.add_header("X-ClickHouse-User", self.user)
+        if self.password:
+            req.add_header("X-ClickHouse-Key", self.password)
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return resp.read()
+
+    def insert_json_rows(self, table: str, cols: list[str], rows: list[dict]) -> None:
+        sql = (
+            f"INSERT INTO {table} ({', '.join(quote_ch(c) for c in cols)}) "
+            "FORMAT JSONEachRow"
+        )
+        body = b"\n".join(json.dumps(r, default=str).encode() for r in rows)
+        self.execute(sql, body=body)
+
+
+# --------------------------------------------------------------------------
+# The sink
+# --------------------------------------------------------------------------
+
+
+@register_sink
+class ClickHouseSink(Sink):
+    """CDC/snapshot writer with the reference's ClickHouse semantics.
+
+    ``shard_urls`` maps shard name → HTTP endpoint; each Spark task
+    splits its partition by the FNV shard id and streams each slice to
+    its shard (executor-side fan-out ≈ ``sink.go Push:57`` goroutines,
+    except the parallelism is Spark's tasks). ``client_factory`` is
+    injectable so tests run against a stub HTTP server and clusters can
+    add TLS/auth.
+    """
+
+    TYPE = "clickhouse"
+
+    def __init__(
+        self,
+        shard_urls: dict[str, str],
+        database: str = "",
+        transfer_id: str = "transfer",
+        updateable: bool = True,
+        sharding: ChShardingConfig | None = None,
+        cluster: str = "",
+        batch_rows: int = 10_000,
+        client_factory: Callable[[str], ChHttpClient] = ChHttpClient,
+        ch_version: tuple[int, int] = (23, 8),
+    ):
+        self.shard_names = sorted(shard_urls)
+        self.shard_urls = dict(shard_urls)
+        self.database = database
+        self.transfer_id = transfer_id
+        self.updateable = updateable
+        self.sharding = sharding or ChShardingConfig(shards=self.shard_names)
+        self.sharding.shards = self.shard_names
+        self.cluster = cluster
+        self.batch_rows = batch_rows
+        self.client_factory = client_factory
+        self.ch_version = ch_version
+
+    # -- DDL / cleanup ------------------------------------------------------
+
+    def _qualified(self, table: TableID) -> str:
+        name = table.name.replace("-", "_").replace(".", "_")  # normalizeTableName
+        return f"{quote_ch(self.database)}.{quote_ch(name)}" if self.database else quote_ch(name)
+
+    def _each_shard(self):
+        for name in self.shard_names:
+            yield self.client_factory(self.shard_urls[name])
+
+    def create_table(self, table: TableID, schema: T.StructType, keys: list[str]) -> None:
+        ddl = generate_ddl(
+            table.name.replace("-", "_").replace(".", "_"),
+            schema,
+            keys,
+            updateable=self.updateable,
+            distributed=bool(self.cluster),
+            cluster=self.cluster,
+            database=self.database,
+            ch_version=self.ch_version,
+        )
+        if self.cluster:  # ON CLUSTER propagates from any shard
+            next(self._each_shard()).execute(ddl)
+        else:
+            for client in self._each_shard():
+                client.execute(ddl)
+
+    def cleanup(self, table: TableID, policy: CleanupPolicy) -> None:
+        if policy == CleanupPolicy.DISABLED:
+            return
+        stmt = (
+            f"DROP TABLE IF EXISTS {self._qualified(table)}"
+            if policy == CleanupPolicy.DROP
+            else f"TRUNCATE TABLE {self._qualified(table)}"
+        )
+        for client in self._each_shard():
+            client.execute(stmt)
+
+    # -- writes -------------------------------------------------------------
+
+    def write(self, df: DataFrame, table: TableID, snapshot_version: int = 0) -> None:
+        """Snapshot append. Updateable targets still carry the system
+        columns (version = ``snapshot_version``) so a later CDC phase
+        supersedes snapshot rows by version order."""
+        out = df
+        if self.updateable:
+            out = df.withColumn(
+                COMMIT_TIME_COL, F.lit(snapshot_version).cast("long")
+            ).withColumn(DELETE_TIME_COL, F.lit(0).cast("long"))
+        self._push(out, table)
+
+    def write_cdc(
+        self,
+        batch: DataFrame,
+        table: TableID,
+        keys: list[str],
+        toast_aware: bool | None = None,
+    ) -> None:
+        rows = plan_insert_batch(batch, keys)
+        self._push(rows, table)
+
+    def _push(self, df: DataFrame, table: TableID) -> None:
+        shard = shard_column(self.sharding, self.transfer_id, df)
+        out = df.withColumn(SHARD_COL, shard)
+        cols = [c for c in out.columns if c != SHARD_COL]
+        urls = [self.shard_urls[n] for n in self.shard_names]
+        tname, factory, batch_rows = self._qualified(table), self.client_factory, self.batch_rows
+
+        def per_partition(rows):
+            bufs: dict[int, list] = {}
+            clients: dict[int, ChHttpClient] = {}
+
+            def flush(sid: int):
+                if bufs.get(sid):
+                    clients.setdefault(sid, factory(urls[sid])).insert_json_rows(
+                        tname, cols, bufs[sid]
+                    )
+                    bufs[sid] = []
+
+            for row in rows:
+                sid = row[SHARD_COL]
+                bufs.setdefault(sid, []).append({c: row[c] for c in cols})
+                if len(bufs[sid]) >= batch_rows:
+                    flush(sid)
+            for sid in list(bufs):
+                flush(sid)
+
+        out.foreachPartition(per_partition)
+
+    def read_back(self, spark, table: TableID) -> DataFrame:
+        raise NotImplementedError(
+            "clickhouse read-back needs the JDBC driver jar "
+            "(com.clickhouse:clickhouse-jdbc) — use spark.read.jdbc with "
+            "FINAL semantics, or query < max(__data_transfer_commit_time) "
+            "with delete_time = 0"
+        )
