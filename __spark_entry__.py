@@ -717,6 +717,72 @@ def q_middleware_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed[0][1].select("n_nationkey", "n_name", "n_regionkey")
 
 
+def q_mysql_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL binlog CDC end-to-end: canal-shaped row events (binlog
+    file/pos → LSN per utils.go:204, (old,new) row-pair contract of
+    source.go:141) → ChangeItem frame → collapse. The events table
+    stands in for the binlog feed."""
+    from transferia_spark.cdc.envelopes import mysql_binlog_to_changeitems
+
+    ev = _t(spark, sf_dir, "events")
+    binlog = ev.select(
+        F.expr(
+            "CASE WHEN event_type = 'signup' THEN 'insert' "
+            "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END"
+        ).alias("action"),
+        F.format_string(
+            "binlog.%06d", (F.lit(1) + F.col("event_id") / F.lit(1_000_000)).cast("int")
+        ).alias("log_file"),
+        F.pmod(F.col("event_id"), F.lit(1_000_000)).alias("log_pos"),
+        (F.lit(1_700_000_000) + F.pmod(F.col("event_id"), F.lit(86400))).alias("ts_sec"),
+        F.format_string("3E11FA47-71CA-11E1-9E33-C80AA9429562:1-%d", F.col("event_id")).alias("gtid"),
+        F.lit(0).alias("row_idx"),
+        F.when(
+            F.expr("event_type != 'signup'"),
+            F.struct(F.col("user_id"), F.col("value")),
+        ).alias("before"),
+        F.when(
+            F.expr("event_type != 'error'"),
+            F.struct(F.col("user_id"), F.col("value")),
+        ).alias("after"),
+    )
+    items = mysql_binlog_to_changeitems(binlog, keys=["user_id"])
+    return collapse(items, keys=["user_id"]).select("user_id", "value", "_op", "_lsn")
+
+
+def q_mongo_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo change-stream CDC end-to-end: change-stream events
+    (operationType/documentKey/fullDocument/updateDescription,
+    change_stream_watcher.go:38) → ChangeItem frame → collapse.
+    Updates on every third value arrive as PARTIAL updateDescription
+    events (no fullDocument), exercising the _present carried-columns
+    contract through collapse."""
+    from transferia_spark.cdc.envelopes import mongo_change_stream_to_changeitems
+
+    ev = _t(spark, sf_dir, "events")
+    partial = F.expr("event_type NOT IN ('signup','error') AND event_id % 3 = 0")
+    stream = ev.select(
+        F.expr(
+            "CASE WHEN event_type = 'signup' THEN 'insert' "
+            "WHEN event_type = 'error' THEN 'delete' "
+            "WHEN event_type = 'purchase' THEN 'replace' ELSE 'update' END"
+        ).alias("op_type"),
+        F.col("event_id").alias("cluster_time"),
+        F.lit(0).alias("order"),
+        F.struct(F.col("user_id").alias("_id")).alias("doc_key"),
+        F.when(
+            F.expr("event_type != 'error'") & ~partial,
+            F.struct(F.col("user_id").alias("_id"), F.col("value")),
+        ).alias("full_doc"),
+        F.when(partial, F.create_map(F.lit("value"), F.col("value").cast("string"))).alias(
+            "updated_fields"
+        ),
+        F.lit(None).cast("array<string>").alias("removed_fields"),
+    )
+    items = mongo_change_stream_to_changeitems(stream)
+    return collapse(items, keys=["_id"]).select("_id", "value", "_op", "_lsn")
+
+
 def q_clickhouse_insert_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse sink batch planning: ChangeItem stream → the
     append-only ReplacingMergeTree version rows (collapse, then
@@ -1095,6 +1161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "middleware_chain": q_middleware_chain,
         "filter_access_log": q_filter_access_log,
         "clickhouse_insert_plan": q_clickhouse_insert_plan,
+        "mysql_cdc_envelope": q_mysql_cdc_envelope,
+        "mongo_change_stream": q_mongo_change_stream,
     }
 
 
@@ -1348,6 +1416,32 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN _op = 'd' THEN _lsn ELSE 0 END)::BIGINT AS delete_time
             FROM collapsed
         """,
+        "mysql_cdc_envelope": f"""
+            WITH changelog AS (
+              SELECT user_id, value,
+                     ((1 + event_id // 1000000) * 1000000000000
+                      + (event_id % 1000000))::BIGINT AS lsn,
+                     {OP_CASE_SQL} AS op
+              FROM events
+            ),
+            net AS (
+              SELECT user_id,
+                     arg_max(op, lsn)    AS last_op,
+                     arg_min(op, lsn)    AS first_op,
+                     max(lsn)            AS max_lsn,
+                     arg_max(value, lsn) AS last_value
+              FROM changelog GROUP BY user_id
+            )
+            SELECT user_id,
+                   CASE WHEN last_op = 'd' THEN NULL ELSE last_value END AS value,
+                   CASE WHEN last_op = 'd' THEN 'd'
+                        WHEN first_op = 'i' THEN 'i' ELSE 'u' END AS _op,
+                   max_lsn AS _lsn
+            FROM net
+            WHERE NOT (first_op = 'i' AND last_op = 'd')
+        """,
+        "mongo_change_stream": _changelog_cte(key="_id")
+        + "SELECT _id, value, _op, _lsn FROM collapsed",
         "filter_access_log": """
             SELECT '10.0.0.' || (s_suppkey % 256) AS ip,
                    'u' || s_suppkey AS user,

@@ -12,6 +12,11 @@ from transferia_spark.cdc.changeitem import (  # noqa: F401
     payload_columns,
 )
 from transferia_spark.cdc.collapse import collapse, normalize_pk_changes  # noqa: F401
+from transferia_spark.cdc.envelopes import (  # noqa: F401
+    mongo_change_stream_to_changeitems,
+    mysql_binlog_to_changeitems,
+    mysql_lsn,
+)
 from transferia_spark.cdc.merge import (  # noqa: F401
     apply_changelog,
     merge_batch,

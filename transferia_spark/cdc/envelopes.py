@@ -1,0 +1,183 @@
+"""CDC envelope adapters: MySQL binlog rows and Mongo change-stream
+events → the ChangeItem column contract (``changeitem.py``).
+
+≈ transferia/transferia:
+- MySQL: ``pkg/providers/mysql/source.go:141`` (``OnRow`` — update
+  events arrive as (old,new) row pairs; deletes carry the PK in
+  OldKeys), ``utils.go:204`` (``CalculateLSN``: binlog file index ×
+  10^12 + offset), ``source.go:197-201`` (GTID string → FNV-1 32-bit
+  transaction sequence).
+- Mongo: ``pkg/providers/mongo/change_stream_watcher.go:38`` +
+  ``batcher.go:128`` (operationType insert/update/replace/delete,
+  ``documentKey._id`` as the key, ``fullDocument`` when available,
+  ``updateDescription.updatedFields/removedFields`` when not).
+
+Everything here is pure Column expressions: the adapters are ordinary
+projections Catalyst fuses into whatever scan feeds them (a Kafka
+stream of canal/change-stream JSON, a file drop, a connector frame),
+so they cost nothing extra at 100 TB. Partial Mongo updates surface
+through the ``_present`` contract — ``updatedFields`` names are carried
+columns, ``removedFields`` are carried-with-NULL — which collapse/merge
+fold correctly without conflating absent with NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transferia_spark.cdc.changeitem import (
+    BEFORE_COL,
+    COMMIT_TS_COL,
+    COUNTER_COL,
+    LSN_COL,
+    OP_COL,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+    PRESENT_COL,
+    TX_COL,
+)
+
+# ``fileOffset`` in utils.go:202 — LSN advances by this per binlog file
+MYSQL_FILE_OFFSET = 1_000_000_000_000
+
+
+def mysql_lsn(file_col: Column, pos_col: Column) -> Column:
+    """``CalculateLSN`` (utils.go:204): ``binlog.000007`` → 7·10^12+pos;
+    a file name without an index counts as file 1."""
+    idx = F.split(file_col, r"\.")
+    has_idx = F.size(idx) > 1
+    fidx = F.when(has_idx, F.element_at(idx, 2).cast("long")).otherwise(F.lit(1))
+    return (fidx * F.lit(MYSQL_FILE_OFFSET) + pos_col).cast("long")
+
+
+def fnv1_32(col: Column) -> Column:
+    """FNV-1 (multiply-then-xor — what Go's ``fnv.New32()`` computes;
+    distinct from FNV-1a) over UTF-8 bytes, as a Catalyst expression.
+    The reference hashes the GTID set string with it to get the
+    transaction sequence id (source.go:198-201)."""
+    b = F.encode(col, "UTF-8")
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.octet_length(col)),
+        F.lit(2166136261).cast("long"),
+        lambda acc, i: F.pmod(acc * F.lit(16777619), F.lit(1 << 32)).bitwiseXOR(
+            F.conv(F.hex(F.substr(b, i, F.lit(1))), 16, 10).cast("long")
+        ),
+    )
+    return F.when(F.octet_length(col) == 0, F.lit(2166136261).cast("long")).otherwise(folded)
+
+
+def mysql_binlog_to_changeitems(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Binlog row events → ChangeItem frame.
+
+    Expected input columns (the canonical parsed-binlog shape a
+    go-canal-style reader or Kafka topic carries):
+
+    - ``action``  string — ``insert`` | ``update`` | ``delete``
+    - ``log_file``/``log_pos`` — binlog position (→ ``_lsn``)
+    - ``ts_sec``  long — binlog header timestamp (→ ``_commit_ts``)
+    - ``gtid``    string — executed GTID set (→ ``_tx_id``)
+    - ``row_idx`` int — row index within the event (→ ``_counter``)
+    - ``before``/``after`` — full row images; ``before`` is NULL for
+      inserts, ``after`` NULL for deletes (the (old,new) pair contract
+      of OnRow — even line old values, odd line new values)
+
+    Deletes take their payload from ``before`` (the reference's delete
+    items carry the old row, source.go:287-300); updates attach the old
+    key pre-image as ``_before`` so PK-changing updates normalize to
+    delete+insert downstream.
+    """
+    payload_fields = df.schema["after"].dataType.names
+    op = (
+        F.when(F.col("action") == "insert", F.lit(OP_INSERT))
+        .when(F.col("action") == "update", F.lit(OP_UPDATE))
+        .otherwise(F.lit(OP_DELETE))
+    )
+    is_del = F.col("action") == "delete"
+    cols = [
+        F.when(is_del, F.col(f"before.{c}")).otherwise(F.col(f"after.{c}")).alias(c)
+        for c in payload_fields
+    ]
+    before_keys = F.when(
+        F.col("action").isin("update", "delete") & F.col("before").isNotNull(),
+        F.struct(*[F.col(f"before.{k}").alias(k) for k in keys]),
+    )
+    return df.select(
+        *cols,
+        op.alias(OP_COL),
+        mysql_lsn(F.col("log_file"), F.col("log_pos")).alias(LSN_COL),
+        F.col("row_idx").cast("int").alias(COUNTER_COL),
+        F.timestamp_seconds(F.col("ts_sec")).alias(COMMIT_TS_COL),
+        F.col("gtid").alias(TX_COL),
+        before_keys.alias(BEFORE_COL),
+    )
+
+
+def mongo_change_stream_to_changeitems(
+    df: DataFrame,
+    doc_schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Change-stream events → ChangeItem frame keyed on ``_id``.
+
+    Expected input columns (the change-stream document shape,
+    ``change_stream_watcher.go`` / ``batcher.go:128``):
+
+    - ``op_type``      string — ``insert`` | ``update`` | ``replace``
+      | ``delete`` (invalidate/drop are control events — filter them
+      before this adapter, as the watcher restarts on them)
+    - ``cluster_time`` long — oplog timestamp (→ ``_lsn`` high bits)
+    - ``order``        long — tie-break within a cluster time
+      (resume-token order; → ``_counter``)
+    - ``doc_key``      struct<_id> — the document key
+    - ``full_doc``     struct — present for insert/replace and for
+      updates under fullDocument=updateLookup
+    - ``updated_fields`` map<string,string> — set fields of a partial
+      update (when ``full_doc`` is absent)
+    - ``removed_fields`` array<string> — fields explicitly $unset
+
+    Partial updates (no ``full_doc``) emit the ``_present`` column:
+    updated names are carried-with-value, removed names carried-as-NULL
+    (an $unset IS an explicit NULL write), everything else absent — the
+    distinction collapse needs to not resurrect stale values.
+    """
+    payload_fields = list(df.schema["full_doc"].dataType.names)
+    op = (
+        F.when(F.col("op_type") == "insert", F.lit(OP_INSERT))
+        .when(F.col("op_type") == "delete", F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_UPDATE))  # update | replace
+    )
+    has_full = F.col("full_doc").isNotNull()
+    is_del = F.col("op_type") == "delete"
+
+    cols = []
+    for c in payload_fields:
+        if c == "_id":
+            continue
+        dt = df.schema["full_doc"].dataType[c].dataType.simpleString()
+        partial_val = F.element_at(F.col("updated_fields"), c).cast(dt)
+        cols.append(
+            F.when(is_del, F.lit(None).cast(dt))
+            .when(has_full, F.col(f"full_doc.{c}"))
+            .otherwise(partial_val)
+            .alias(c)
+        )
+    # present contract: full docs carry everything (NULL marker);
+    # partial updates carry exactly updated+removed (+ the key)
+    present = F.when(
+        ~has_full & ~is_del,
+        F.concat(
+            F.array(F.lit("_id")),
+            F.coalesce(F.map_keys(F.col("updated_fields")), F.array()),
+            F.coalesce(F.col("removed_fields"), F.array()),
+        ),
+    )
+    return df.select(
+        F.col("doc_key._id").alias("_id"),
+        *cols,
+        op.alias(OP_COL),
+        F.col("cluster_time").cast("long").alias(LSN_COL),
+        F.col("order").cast("int").alias(COUNTER_COL),
+        present.alias(PRESENT_COL),
+    )
