@@ -496,6 +496,39 @@ def q_parser_tskv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse(lines)
 
 
+def q_parser_logfeller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logfeller parser: line splitter fans one transport message out
+    into several records (good JSON + a malformed line every 10th
+    supplier); malformed records carry the _unparsed_raw marker and are
+    excluded from the clean table (→ <table>_unparsed routing)."""
+    from transferia_spark.parsers import build_parser
+
+    s = _t(spark, sf_dir, "supplier")
+    line1 = F.to_json(F.struct(F.col("s_suppkey"), F.col("s_name")))
+    line2 = F.when(
+        F.pmod(F.col("s_suppkey"), F.lit(10)) == 0, F.lit("{malformed")
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.col("s_suppkey"),
+                F.concat(F.col("s_name"), F.lit("-2")).alias("s_name"),
+            )
+        )
+    )
+    msgs = s.select(F.concat_ws("\n", line1, line2).alias("value"))
+    parse = build_parser(
+        "logfeller",
+        parser_name="json",
+        schema="s_suppkey BIGINT, s_name STRING",
+        splitter="line",
+        add_system_cols=False,
+    )
+    out = parse(msgs)
+    return out.filter(F.col("_unparsed_raw").isNull()).select(
+        "s_suppkey", "s_name", F.col("_idx").cast("long").alias("idx")
+    )
+
+
 def q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serializer → parser round-trip: ChangeItems → Debezium envelope
     JSON → ChangeItems (≈ pkg/debezium emitter + receiver pair)."""
@@ -1142,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yt_dict": q_yt_dict,
         "parser_json": q_parser_json,
         "parser_tskv": q_parser_tskv,
+        "parser_logfeller": q_parser_logfeller,
         "debezium_roundtrip": q_debezium_roundtrip,
         "serializer_json": q_serializer_json,
         "serializer_csv": q_serializer_csv,
@@ -1345,6 +1379,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, event_id AS _offset FROM events
         """,
         "parser_tskv": "SELECT n_nationkey::INT AS n_nationkey, n_name FROM nation",
+        "parser_logfeller": """
+            SELECT s_suppkey, s_name, 0::BIGINT AS idx FROM supplier
+            UNION ALL
+            SELECT s_suppkey, s_name || '-2', 1::BIGINT FROM supplier
+            WHERE s_suppkey % 10 != 0
+        """,
         "debezium_roundtrip": f"""
             SELECT user_id, value, {OP_CASE_SQL} AS _op, event_id AS _lsn
             FROM events

@@ -45,15 +45,21 @@ class JsonParser(Transformer):
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         st = T._parse_datatype_string(self.schema)
         raw = F.col(self.column).cast("string")
-        parsed = F.from_json(raw, st)
+        # PERMISSIVE + corrupt-record column: from_json on malformed
+        # input yields a struct of NULL fields (not a NULL struct), so
+        # the marker column is the only reliable failure signal
+        st_c = T.StructType(
+            list(st.fields) + [T.StructField("_corrupt", T.StringType(), True)]
+        )
+        parsed = F.from_json(
+            raw, st_c, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+        )
         out = df.withColumn("_parsed", parsed)
         cols = [c for c in df.columns if c != self.column or not self.drop_source]
         fields = [F.col(f"_parsed.{f.name}").alias(f.name) for f in st.fields]
         extra = []
         if self.keep_raw:
-            extra.append(
-                F.when(parsed.isNull(), raw).otherwise(F.lit(None)).alias("_unparsed_raw")
-            )
+            extra.append(F.col("_parsed._corrupt").alias("_unparsed_raw"))
         return [(table, out.select(*cols, *fields, *extra).drop("_parsed"))]
 
 

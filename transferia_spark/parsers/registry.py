@@ -205,6 +205,104 @@ def blank_parser():
     return parse
 
 
+@register_parser("logfeller")
+def logfeller_parser(
+    parser_name: str,
+    schema: str,
+    splitter: str = "line",
+    timestamp_field: str | None = None,
+    add_system_cols: bool = True,
+):
+    """Logfeller-family parser: splitter × record parser × declared
+    schema (≈ ``pkg/parsers/registry/logfeller/lib/lib.go`` — the
+    reference delegates to a cgo library keyed by (ParserName,
+    SplitterName) and feeds the result through the generic parser,
+    ``generic_parser.go:455`` ``doLfParser``).
+
+    Public semantics reproduced Spark-side:
+
+    - the SPLITTER turns one transport message into many records:
+      ``line`` (newline-split, the dominant config) or ``json_list``
+      (a JSON array per message);
+    - the record PARSER is ``json`` or ``tskv``, into the declared
+      DDL ``schema``;
+    - every record gets ``_logfeller_timestamp`` (PK, lib.go:19-21):
+      the record's ``timestamp_field`` when declared, else the
+      transport write time;
+    - records that fail to parse carry ``_unparsed_raw`` + ``_error``
+      so the pipeline routes them to ``<table>_unparsed``
+      (``route_unparsed`` in plans/transfer.py).
+
+    Splitting is ``posexplode(split(...))`` — pure Catalyst, one pass,
+    no Python; record parsing is ``from_json``/``str_to_map``.
+    """
+    st = T._parse_datatype_string(schema)
+    if parser_name not in ("json", "tskv"):
+        raise ValueError(f"logfeller: unknown parser {parser_name!r} (json|tskv)")
+    if splitter not in ("line", "json_list"):
+        raise ValueError(f"logfeller: unknown splitter {splitter!r} (line|json_list)")
+
+    def parse(df: DataFrame) -> DataFrame:
+        raw = F.col("value").cast("string")
+        if splitter == "json_list":
+            records = F.from_json(raw, T.ArrayType(T.StringType()))
+            # a message that is not a JSON array is one unsplittable record
+            records = F.coalesce(records, F.array(raw))
+        else:
+            records = F.filter(
+                F.split(raw, r"\n"), lambda line: F.length(line) > 0
+            )
+        exploded = df.select(
+            *[F.col(c) for c in df.columns],
+            F.posexplode(records).alias("_rec_idx", "_rec"),
+        )
+        rec = F.col("_rec")
+        if parser_name == "json":
+            st_c = T.StructType(
+                list(st.fields) + [T.StructField("_corrupt", T.StringType(), True)]
+            )
+            parsed = F.from_json(
+                rec, st_c, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+            )
+            field_expr = {f.name: parsed[f.name] for f in st.fields}
+            bad = parsed["_corrupt"].isNotNull()
+        else:  # tskv
+            body = F.regexp_replace(rec, r"^tskv\t", "")
+            m = F.str_to_map(body, F.lit("\t"), F.lit("="))
+            field_expr = {
+                f.name: F.element_at(m, f.name).cast(f.dataType) for f in st.fields
+            }
+            bad = ~rec.contains("=")
+        fields = [c.alias(n) for n, c in field_expr.items()]
+        if timestamp_field:
+            lf_ts = field_expr[timestamp_field].cast("timestamp")
+        elif "timestamp" in df.columns:
+            lf_ts = F.col("timestamp")
+        else:
+            lf_ts = F.current_timestamp()
+        extra = []
+        if add_system_cols:
+            # like _aux_columns, but _idx here is the record index
+            # within the message (the lf contract), not the offset
+            extra.append(
+                (F.col("timestamp") if "timestamp" in df.columns else F.current_timestamp()).alias("_timestamp")
+            )
+            if "partition" in df.columns:
+                extra.append(F.col("partition").alias("_partition"))
+            if "offset" in df.columns:
+                extra.append(F.col("offset").alias("_offset"))
+        return exploded.select(
+            *fields,
+            lf_ts.alias("_logfeller_timestamp"),
+            *extra,
+            F.when(bad, rec).alias("_unparsed_raw"),
+            F.when(bad, F.lit(f"logfeller/{parser_name}: malformed record")).alias("_error"),
+            F.col("_rec_idx").alias("_idx"),
+        )
+
+    return parse
+
+
 @register_parser("raw_to_table")
 def raw_to_table_parser(column: str = "raw", keep_binary: bool = False):
     """Whole message → a one-column table row plus dedupe-key system

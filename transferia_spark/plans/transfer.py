@@ -68,6 +68,44 @@ def _selected(spec: TransferSpec, table: TableID) -> bool:
     return not any(fnmatch.fnmatch(name, p) for p in spec.exclude)
 
 
+UNPARSED_SUFFIX = "_unparsed"
+
+
+def route_unparsed(routed: dict[TableID, "object"]) -> dict[TableID, "object"]:
+    """Dead-letter routing for unparsable rows (≈ ``generic_parser.go:575``
+    ``NewUnparsed``: rows a parser cannot decode go to a sibling
+    ``<table>_unparsed`` table, not into the clean table and not to
+    /dev/null).
+
+    Any frame carrying ``_unparsed_raw`` splits: clean rows (marker
+    NULL) keep the table, poison rows map onto the reference's unparsed
+    schema (``UnparsedSchema``, generic_parser.go:231: _timestamp,
+    _partition, _offset, _idx, unparsed_row, reason). Both outputs
+    derive from the same plan; sinks that want a strict single pass can
+    write the flagged frame partitioned on the marker instead.
+    """
+    from pyspark.sql import functions as F
+
+    out: dict[TableID, object] = {}
+    for table, df in routed.items():
+        if "_unparsed_raw" not in df.columns:
+            out[table] = df
+            continue
+        bad = F.col("_unparsed_raw").isNotNull()
+        clean_cols = [c for c in df.columns if c not in ("_unparsed_raw", "_error")]
+        out[table] = df.filter(~bad).select(*clean_cols)
+        dead = df.filter(bad).select(
+            (F.col("_timestamp") if "_timestamp" in df.columns else F.current_timestamp()).alias("_timestamp"),
+            (F.col("_partition").cast("string") if "_partition" in df.columns else F.lit("")).alias("_partition"),
+            (F.col("_offset").cast("long") if "_offset" in df.columns else F.lit(0)).alias("_offset"),
+            (F.col("_idx").cast("long") if "_idx" in df.columns else F.lit(0)).alias("_idx"),
+            F.col("_unparsed_raw").alias("unparsed_row"),
+            (F.col("_error") if "_error" in df.columns else F.lit("unparsed")).alias("reason"),
+        )
+        out[TableID(table.namespace, table.name + UNPARSED_SUFFIX)] = dead
+    return out
+
+
 def activate(spark: SparkSession, spec: TransferSpec) -> dict[str, int]:
     """Snapshot load: list tables, apply cleanup, scan→transform→write.
 
@@ -83,7 +121,7 @@ def activate(spark: SparkSession, spec: TransferSpec) -> dict[str, int]:
             cursor = spec.cursor_cols.get(table.fqtn())
             if cursor:
                 df, new_cursor = incremental_read(df, cursor, spec.state, table.fqtn())
-        routed = spec.transformation.apply_batch({table: df})
+        routed = route_unparsed(spec.transformation.apply_batch({table: df}))
         if spec.type_system_version is not None:
             from transferia_spark.schema.typesystem import apply_fallbacks
 
