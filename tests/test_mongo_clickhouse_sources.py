@@ -1,0 +1,184 @@
+"""Mongo storage (sharded _id-range reads) + ClickHouse sharded reads.
+
+No live servers in this environment: the Mongo client is an in-memory
+fake with the pymongo surface the source touches; the ClickHouse client
+is a canned-response stand-in for ChHttpClient. The part planning and
+query building under test mirror ``sharding_storage.go:195`` and
+``query_builder.go:10`` respectively."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from transferia_spark.schema.colschema import TableID
+from transferia_spark.sinks.clickhouse import DELETE_TIME_COL
+from transferia_spark.sources.base import build_source
+from transferia_spark.sources.clickhouse import ClickHouseSource, build_select_query
+from transferia_spark.sources.mongo import MAX_DELIMITERS, MongoSource, plan_id_ranges
+
+
+# --------------------------------------------------------------------------
+# Part planning (pure)
+# --------------------------------------------------------------------------
+
+
+def test_plan_id_ranges_tiles_id_space():
+    parts = plan_id_ranges(10 * 100, 100, delimiters=[10, 20, 30])
+    assert parts == [(None, 10), (10, 20), (20, 30), (30, None)]
+    # small table: one unbounded part
+    assert plan_id_ranges(50, 100, delimiters=[1, 2]) == [(None, None)]
+    # delimiter budget caps at size/part_size
+    assert plan_id_ranges(2 * 100, 100, delimiters=[5, 6, 7, 8]) == [
+        (None, 5), (5, 6), (6, None)
+    ]
+    with pytest.raises(ValueError):
+        plan_id_ranges(100, 0, [1])
+
+
+def test_plan_id_ranges_caps_at_max_delimiters():
+    parts = plan_id_ranges(10**9, 1, delimiters=list(range(5000)))
+    assert len(parts) == MAX_DELIMITERS + 1
+
+
+# --------------------------------------------------------------------------
+# Mongo fake client
+# --------------------------------------------------------------------------
+
+
+def _mk_factory(n_docs=100, size=1 << 30):
+    # defined INSIDE the helper so cloudpickle ships the classes by
+    # value to executors (module-level test classes pickle by
+    # reference, and Spark workers cannot import the test module)
+    docs = [{"_id": i, "name": f"u{i}", "score": float(i % 7)} for i in range(n_docs)]
+
+    class FakeCollection:
+        def __init__(self, docs, size_bytes):
+            self.docs = docs
+            self.size = size_bytes
+
+        def estimated_size_bytes(self):
+            return self.size
+
+        def sample_ids(self, n):
+            ids = sorted(d["_id"] for d in self.docs)
+            step = max(1, len(ids) // n)
+            return ids[step::step][:n]
+
+        def find(self, flt):
+            lo = flt.get("_id", {}).get("$gte")
+            hi = flt.get("_id", {}).get("$lt")
+            for d in self.docs:
+                if lo is not None and d["_id"] < lo:
+                    continue
+                if hi is not None and d["_id"] >= hi:
+                    continue
+                yield dict(d)
+
+    class FakeDb:
+        def __init__(self, colls):
+            self.colls = colls
+
+        def list_collection_names(self):
+            return list(self.colls)
+
+        def __getitem__(self, name):
+            return self.colls[name]
+
+    class FakeMongo:
+        def __init__(self, dbs):
+            self.dbs = dbs
+
+        def __getitem__(self, name):
+            return self.dbs[name]
+
+    def factory(uri):
+        return FakeMongo({"app": FakeDb({"users": FakeCollection(docs, size)})})
+
+    return factory, docs
+
+
+def test_mongo_source_parallel_range_read(spark):
+    factory, docs = _mk_factory(n_docs=100, size=8 * (256 << 20))
+    src = MongoSource(
+        uri="mongodb://fake", database="app",
+        schemas={"users": "_id long, name string, score double"},
+        client_factory=factory,
+    )
+    assert src.table_list(spark) == [TableID("app", "users")]
+    df = src.load_table(spark, TableID("app", "users"))
+    rows = sorted((r["_id"], r["name"]) for r in df.collect())
+    # every document exactly once across all _id-range parts
+    assert rows == [(d["_id"], d["name"]) for d in docs]
+    # parts really were planned (8 × 256MB → multiple ranges)
+    assert len(src._plan_parts(factory("x")["app"]["users"])) > 1
+
+
+def test_mongo_source_where_pushdown_and_registry(spark):
+    factory, _ = _mk_factory(n_docs=20, size=1)
+    src = build_source(
+        "mongo", uri="u", database="app",
+        schemas={"users": "_id long, name string, score double"},
+        client_factory=factory,
+    )
+    df = src.load_table(spark, TableID("app", "users"), where="_id < 5")
+    assert df.count() == 5
+
+
+# --------------------------------------------------------------------------
+# ClickHouse reads
+# --------------------------------------------------------------------------
+
+
+def test_build_select_query_final_and_tombstones():
+    q = build_select_query(
+        TableID("db", "t"), ["id", "v"], deletable=True, where="id > 5",
+        part_cond="cityHash64(`id`) % 4 == 1",
+    )
+    assert q.startswith('SELECT `id`, `v` FROM `db`.`t` FINAL WHERE 1=1')
+    assert "AND (id > 5)" in q and "cityHash64" in q
+    assert q.endswith(f"AND {DELETE_TIME_COL} == 0")
+    plain = build_select_query(TableID("", "t"), ["id"])
+    assert "FINAL" not in plain and DELETE_TIME_COL not in plain
+
+
+def _fake_ch_client():
+    """Stands in for ChHttpClient: serves each shard's slice of a
+    table, honoring the cityHash-style part condition by parsing the
+    part index out of the query (enough to prove the fan-out shape).
+    Defined in a closure so cloudpickle ships it by value."""
+
+    class FakeChClient:
+        shard_rows = {
+            "http://s0": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}],
+            "http://s1": [{"id": 3, "v": "c"}],
+        }
+
+        def __init__(self, url):
+            self.url = url
+
+        def execute(self, sql, body=b""):
+            rows = self.shard_rows[self.url]
+            if "% 2 == 0" in sql:
+                rows = [r for r in rows if r["id"] % 2 == 0]
+            elif "% 2 == 1" in sql:
+                rows = [r for r in rows if r["id"] % 2 == 1]
+            return b"\n".join(json.dumps(r).encode() for r in rows)
+
+    return FakeChClient
+
+
+def test_clickhouse_source_reads_all_shards_and_parts(spark):
+    src = ClickHouseSource(
+        shard_urls={"s0": "http://s0", "s1": "http://s1"},
+        schemas={"t": "id long, v string"},
+        keys={"t": ["id"]},
+        parts_per_shard=2,
+        client_factory=_fake_ch_client(),
+    )
+    df = src.load_table(spark, TableID("", "t"))
+    rows = sorted((r["id"], r["v"]) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    # 2 shards × 2 parts = 4 independent read tasks
+    assert df.rdd.getNumPartitions() == 4
