@@ -69,14 +69,24 @@ def test_sample_source_deterministic(spark):
 def test_incremental_state(tmp_path, spark):
     state = IncrementalState(str(tmp_path / "state.json"))
     assert state.get("t") is None
-    state.set("t", "42")
-    assert state.get("t") == "42"
-    from transferia_spark.sources.incremental import incremental_read
+    state.set("t", 42, "bigint")
+    assert state.get("t") == (42, "bigint")
+    from transferia_spark.sources.incremental import cursor_type_of, incremental_read
 
     df = spark.range(0, 100).withColumnRenamed("id", "cur")
     delta, new_cursor = incremental_read(df, "cur", state, "t")
     assert delta.count() == 57  # 43..99
-    assert new_cursor == "99"
+    assert new_cursor == 99  # typed, not stringified
+    assert cursor_type_of(df, "cur") == "bigint"
+    # legacy bare-string state entries still work (compared via cast)
+    import json as _json
+
+    data = _json.load(open(state.path))
+    data["legacy"] = "42"
+    _json.dump(data, open(state.path, "w"))
+    assert state.get("legacy") == ("42", None)
+    delta2, _ = incremental_read(df, "cur", state, "legacy")
+    assert delta2.count() == 57
 
 
 def test_activate_end_to_end(spark, tmp_path, sf_dir):

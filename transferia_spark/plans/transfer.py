@@ -59,6 +59,11 @@ class TransferSpec:
     # ≈ abstract.RegularSnapshot (enabled/interval/cron); the engine
     # exposes the schedule, an external scheduler triggers activate()
     regular_snapshot: dict = field(default_factory=dict)
+    # per-table snapshot progress (≈ snapshot_table_progress_tracker.go):
+    # when set, activate() skips tables the store marks completed and
+    # marks each table after its write commits — a failed multi-table
+    # snapshot resumes instead of restarting from zero
+    progress: "object | None" = None
 
 
 def _selected(spec: TransferSpec, table: TableID) -> bool:
@@ -116,6 +121,11 @@ def activate(spark: SparkSession, spec: TransferSpec) -> dict[str, int]:
     tables = [t for t in spec.src.table_list(spark) if _selected(spec, t)]
     written: dict[str, int] = {}
     for table in tables:
+        if spec.progress is not None and spec.progress.table_done(table.fqtn()):
+            # resumed operation: this table's write committed in a
+            # previous run (tracker contract — don't redo it)
+            written[table.fqtn()] = -2
+            continue
         df = spec.src.load_table(spark, table, where=spec.filters.get(table.fqtn()))
         if spec.type != TransferType.SNAPSHOT_ONLY and spec.state is not None:
             cursor = spec.cursor_cols.get(table.fqtn())
@@ -133,12 +143,20 @@ def activate(spark: SparkSession, spec: TransferSpec) -> dict[str, int]:
             spec.dst.cleanup(out_table, spec.cleanup)
             spec.dst.write(out_df, out_table)
             written[out_table.fqtn()] = -1  # count not materialized by default
+        if spec.progress is not None:
+            # commit progress AFTER every output write of this source
+            # table succeeded (tracker flush ordering)
+            spec.progress.mark_table(table.fqtn())
         if spec.type != TransferType.SNAPSHOT_ONLY and spec.state is not None:
             cursor = spec.cursor_cols.get(table.fqtn())
             if cursor and new_cursor is not None:
                 # commit AFTER successful write (same ordering as
-                # updateIncrementalState, load_snapshot.go:228)
-                spec.state.set(table.fqtn(), new_cursor)
+                # updateIncrementalState, load_snapshot.go:228);
+                # persisted with the column's type so the next run
+                # compares natively, not via string casts
+                from transferia_spark.sources.incremental import cursor_type_of
+
+                spec.state.set(table.fqtn(), new_cursor, cursor_type_of(df, cursor))
     return written
 
 
