@@ -750,6 +750,46 @@ def q_middleware_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed[0][1].select("n_nationkey", "n_name", "n_regionkey")
 
 
+def q_typesystem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uint64 / decimal / any edge matrix (typesystem.py vs the
+    reference's YT scalar set, pkg/abstract/typesystem/schema.go:48):
+    uint64 maps to Decimal(20,0) and must survive values above
+    int64.max through a string round-trip (strictify); ``any`` is a
+    JSON container whose fields stay queryable after the round-trip."""
+    from pyspark.sql import types as T
+    from transferia_spark.schema.typesystem import strictify, yt_to_spark
+
+    o = _t(spark, sf_dir, "orders")
+    assert yt_to_spark("uint64").simpleString() == "decimal(20,0)"
+    raw = o.select(
+        # beyond int64: orderkey + 2^63, exact in decimal(20,0)
+        (
+            F.col("o_orderkey").cast("decimal(20,0)")
+            + F.lit("9223372036854775808").cast("decimal(20,0)")
+        ).alias("u64"),
+        F.to_json(F.struct("o_orderkey", "o_orderstatus")).alias("any_doc"),
+    )
+    # weakly-typed wire form (strings) → strictify back into the matrix
+    wire = raw.select(
+        F.col("u64").cast("string").alias("u64"),
+        F.col("any_doc"),
+    )
+    st = T.StructType(
+        [
+            T.StructField("u64", yt_to_spark("uint64")),
+            T.StructField("any_doc", yt_to_spark("any")),
+        ]
+    )
+    typed = strictify(wire, st)
+    return typed.select(
+        "u64",
+        F.get_json_object("any_doc", "$.o_orderstatus").alias("status"),
+        (F.col("u64") - F.lit("9223372036854775808").cast("decimal(20,0)"))
+        .cast("long")
+        .alias("back_to_int"),
+    )
+
+
 def q_mysql_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MySQL binlog CDC end-to-end: canal-shaped row events (binlog
     file/pos → LSN per utils.go:204, (old,new) row-pair contract of
@@ -1197,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_insert_plan": q_clickhouse_insert_plan,
         "mysql_cdc_envelope": q_mysql_cdc_envelope,
         "mongo_change_stream": q_mongo_change_stream,
+        "typesystem_edges": q_typesystem_edges,
     }
 
 
@@ -1482,6 +1523,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mongo_change_stream": _changelog_cte(key="_id")
         + "SELECT _id, value, _op, _lsn FROM collapsed",
+        "typesystem_edges": """
+            SELECT (o_orderkey + 9223372036854775808)::DECIMAL(20,0) AS u64,
+                   o_orderstatus AS status,
+                   o_orderkey::BIGINT AS back_to_int
+            FROM orders
+        """,
         "filter_access_log": """
             SELECT '10.0.0.' || (s_suppkey % 256) AS ip,
                    'u' || s_suppkey AS user,
