@@ -74,6 +74,35 @@ def kafka_stream(
     return reader.load()
 
 
+def kinesis_records_to_raw(records: DataFrame, stream: str) -> DataFrame:
+    """Kinesis/YDS/EventHub-family record frame → the raw queue-message
+    shape every parser consumes (≈ ``pkg/providers/kinesis/source.go:197``
+    ``makeRawChangeItem``: topic = stream name, partition = the numeric
+    suffix of ``shardId-000000000001`` (``splitShard:209``), offset = a
+    64-bit hash of the decimal sequence-number string (``hash:215`` —
+    xxhash64 here; the synthetic offset never crosses engines, it only
+    needs determinism + uniqueness), timestamp = approximate arrival).
+
+    Expected input columns: ``shard_id`` string, ``sequence_number``
+    string, ``partition_key`` string, ``data`` binary, ``arrival``
+    timestamp — the public GetRecords shape however it lands (Kinesis
+    firehose→S3 drop read by ``file_stream``, a connector jar, or a
+    boto3 ``mapInPandas`` poller). EventHub deployments usually skip
+    this entirely: their Kafka-compatible endpoint goes straight
+    through ``kafka_stream``.
+
+    Pure projection — composes with any parser at zero extra cost.
+    """
+    return records.select(
+        F.col("partition_key").cast("string").alias("key"),
+        F.col("data").alias("value"),
+        F.lit(stream).alias("topic"),
+        F.element_at(F.split(F.col("shard_id"), "-"), 2).cast("int").alias("partition"),
+        F.xxhash64(F.col("sequence_number")).alias("offset"),
+        F.col("arrival").alias("timestamp"),
+    )
+
+
 def rate_stream(
     spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 4
 ) -> DataFrame:
