@@ -41,8 +41,23 @@ def _key(row):
 
 
 def compare(spark_df, con, oracle: str, float_tol: float = 0.0) -> list[str]:
-    """Return a list of mismatch descriptions (empty = pass)."""
+    """Return a list of mismatch descriptions (empty = pass).
+
+    Decimal output columns are rejected outright: the driver's value
+    hash normalizes DuckDB decimals through pandas (float64) while
+    Spark decimals stay ``decimal.Decimal``, so a scale-2 sum like
+    138014.00 stringifies as '138014.0' on one side and '138014.00' on
+    the other — rows/schema match but the hash doesn't (CORRECTNESS_r02
+    tpch_q1 / events_hourly_rollup). Queries must cast final decimals
+    to DOUBLE (or STRING for >2^53 exact integers) in BOTH engines.
+    """
     errs: list[str] = []
+    dec_cols = [c for c, t in spark_df.dtypes if t.startswith("decimal")]
+    if dec_cols:
+        errs.append(
+            f"decimal output columns {dec_cols}: driver-hash hazard — cast to DOUBLE/STRING in both engines"
+        )
+        return errs
     spark_cols = sorted(spark_df.columns)
     srows = [
         tuple(_norm(r[c]) for c in spark_cols) for r in spark_df.collect()
