@@ -91,6 +91,33 @@ def sql_shingles(words_expr: str, n: int) -> str:
 # and identical in both engines.
 
 
+def word_hashes(s: Column) -> Column:
+    """Array of per-word polynomial hashes — the Spark face of
+    ``sql_word_hashes``. Callers MUST materialize this as its own
+    column referenced ≥2 times downstream (CollapseProject inlines
+    single-reference aliases, and an inlined word-hash array inside a
+    per-shingle lambda re-tokenizes the document once per shingle)."""
+    return F.transform(words(s), pt_hash)
+
+
+def shingle_hashes(wh: Column, n: int) -> Column:
+    """Shingle-hash array from a word-hash ARRAY column — the Spark
+    face of ``sql_shingle_hashes``. Pure map-side expression: no
+    explode, no window, no shuffle. ``wh`` must be a materialized
+    column (see ``word_hashes``)."""
+    arr = F.transform(
+        F.sequence(F.lit(1), F.size(wh) - (n - 1)),
+        lambda i: F.aggregate(
+            F.slice(wh, i, n),
+            F.lit(HASH_INIT).cast("long"),
+            lambda acc, x: (acc * HASH_MULT + x) % F.lit(P),
+        ),
+    )
+    return F.when(F.size(wh) >= n, arr).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def sql_shingle_hashes(wh_expr: str, n: int) -> str:
     """Shingle hashes from a word-hash LIST expression (bind the word
     hashes in a CTE first: ``list_transform(words, w -> pt_hash(w))``)."""
@@ -128,6 +155,37 @@ def minhash_signature(hashes: Column, k: int) -> Column:
                 hashes,
                 lambda h: ((i * MINHASH_A + 1) % P * h + (i * MINHASH_B + 17) % P) % P,
             )
+        ),
+    )
+
+
+def minhash_signature_fold(sh: Column, k: int) -> Column:
+    """k-perm minhash as ONE left fold over the shingle-hash array:
+    every element updates all k minima via ``zip_with``.
+
+    Why a fold and not ``transform(range(k), i -> array_min(...))``:
+    Catalyst's CollapseProject inlines a single-reference alias, and in
+    the nested-transform shape the inlined shingle subtree lands INSIDE
+    the k-element lambda — re-evaluated k× per row. In the fold shape
+    the shingle array sits in the fold's *input* position, evaluated
+    exactly once per row no matter what gets inlined. min over the
+    multiset equals min over the set, so results are identical to
+    ``sql_minhash_signature``'s per-permutation ``list_min``.
+    """
+    perms = F.array(*[F.lit(i).cast("long") for i in range(k)])
+    init = F.array(*[F.lit(P).cast("long") for _ in range(k)])
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            perms,
+            # (a_i·x + b_i) mod P with a_i,b_i < P and x < P: products
+            # stay < 1e18 < 2^63
+            lambda m, i: F.least(
+                m,
+                ((i * MINHASH_A + 1) % P * x + (i * MINHASH_B + 17) % P) % P,
+            ),
         ),
     )
 

@@ -15,8 +15,10 @@ Catalyst handles pushdown/pruning and AQE handles skew:
 - ``dedup_embedding_cosine`` — near-dup pairs by embedding cosine.
 
 Scale notes (100 TB, 1000 executors):
-- Signature/shingle computation is per-row Catalyst expression work —
-  embarrassingly parallel, no Python, no shuffle.
+- Signature/shingle/fingerprint computation is per-row Catalyst
+  expression work (array folds over materialized word-hash arrays) —
+  embarrassingly parallel, no Python, and ZERO shuffle: the corpus is
+  read once and the first data movement is the bucket-key groupBy.
 - The pair-generating joins shuffle on (band key | shingle | bucket).
   Degenerate keys (e.g. a boilerplate shingle shared by millions of
   docs) explode quadratically: every operator therefore caps bucket
@@ -29,14 +31,16 @@ Scale notes (100 TB, 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from transferia_spark.functions.portable import (
     band_keys,
     cosine,
-    pt_hash,
+    minhash_signature_fold,
     quantize,
+    shingle_hashes,
+    word_hashes,
     words,
 )
 from transferia_spark.operators.base import Routed, Transformer, register
@@ -45,32 +49,45 @@ from transferia_spark.schema.colschema import TableID
 SIMHASH_BITS = 32
 
 
-def shingle_hash_rows(
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism — ONLY when
+    the source provides fewer partitions (a tiny single-row-group
+    parquet file yields one task, serializing the heavy per-row
+    signature work). At real corpus scale the scan has far more splits
+    than cores and this is a no-op, so no shuffle is ever added where
+    it would hurt."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def shingled_docs(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """(id, _sh) rows: hash of each word n-gram, one row per shingle.
+    """(id, _wh array, _sh array) per doc, entirely map-side.
 
-    Shape matters at scale: posexplode words, hash each word ONCE, then
-    fold n consecutive word hashes with window ``lead``s — every
-    character is touched once and no shingle string is ever built
-    (string shingling re-hashes each character n times). The window
-    shuffles on the doc id, which the downstream per-doc aggregation /
-    distinct needs anyway, so partitioning is reused.
+    Shape matters at scale: hash each word ONCE into a materialized
+    ``_wh`` array column, then fold n consecutive word hashes per
+    shingle — every character is touched once, no shingle string is
+    ever built, and (unlike the posexplode+window formulation) NO
+    shuffle happens at all: shingling is a per-row Catalyst expression,
+    so a 100 TB corpus computes signatures with zero data movement.
+    ``_wh`` stays a real column (referenced ≥2 times) so CollapseProject
+    cannot inline the tokenizer into the per-shingle lambda.
+
+    Docs with fewer than ``n`` words are dropped (no shingles — cannot
+    collide), matching the oracle's ``WHERE len(wh) >= n``.
     """
-    from transferia_spark.functions.portable import HASH_INIT, HASH_MULT, P
-
-    w = words(F.col(text_col))
-    exploded = df.select(
-        F.col(id_col), F.posexplode(w).alias("_pos", "_w")
-    ).withColumn("_wh", pt_hash(F.col("_w")))
-    win = Window.partitionBy(id_col).orderBy("_pos")
-    acc = F.lit(HASH_INIT).cast("long")
-    for j in range(n):
-        nxt = F.col("_wh") if j == 0 else F.lead("_wh", j).over(win)
-        acc = (acc * HASH_MULT + nxt) % F.lit(P)
-    return (
-        exploded.select(F.col(id_col), acc.alias("_sh"))
-        .filter(F.col("_sh").isNotNull())  # tail positions lack n words
+    # filter on the cheap token count BEFORE hashing: a filter on
+    # size(_wh) would be predicate-pushed below the projection and
+    # re-evaluate the per-character hash fold just for the predicate
+    wh = ensure_parallelism(
+        df.filter(F.size(words(F.col(text_col))) >= n)
+    ).select(F.col(id_col), word_hashes(F.col(text_col)).alias("_wh"))
+    return wh.select(
+        F.col(id_col), F.col("_wh"), shingle_hashes(F.col("_wh"), n).alias("_sh")
     )
 
 
@@ -170,40 +187,44 @@ class DedupMinHashLSH(Transformer):
         self.max_bucket = max_bucket
 
     def signatures(self, df: DataFrame) -> DataFrame:
-        """(id, band-key array) per doc.
+        """(id, band-key array) per doc — ZERO shuffle.
 
-        Shape matters: one shingle-hash row per n-gram
-        (``shingle_hash_rows`` — each char hashed once), then the k
-        permutation minima as map-side-combinable `min` aggregates.
-        The equivalent nested-lambda expression (minhash over an array
-        column) re-evaluates the shingle-hash subtree per permutation
-        after Catalyst's project-collapse inlines it — ~k× redundant
-        work per row. Minhash over the shingle *multiset* equals
-        minhash over the set (min ignores duplicates), so no distinct
-        pass is needed. Everything stays in WholeStageCodegen; the one
-        shuffle carries (id, k longs) after partial aggregation.
+        The whole signature is per-row Catalyst expression work:
+        tokenize → word-hash array → shingle-hash array → one left fold
+        updating all k permutation minima per shingle
+        (``minhash_signature_fold``) → band keys over the materialized
+        signature. An earlier formulation exploded shingles to rows and
+        ran k `min` aggregates — correct, but it paid a full shuffle of
+        every (id, shingle) row just to bring each doc's shingles
+        together, data that was already together in the source row.
+        Minhash over the shingle *multiset* equals minhash over the set
+        (min ignores duplicates), so no distinct pass is needed. At
+        100 TB this stage now reads the corpus once and emits one row
+        per doc with no data movement at all.
         """
-        from transferia_spark.functions.portable import MINHASH_A, MINHASH_B, P
-
-        sh = shingle_hash_rows(df, self.text_col, self.id_col, self.n)
-        mins = sh.groupBy(self.id_col).agg(
-            *[
-                F.min(
-                    (F.lit((i * MINHASH_A + 1) % P) * F.col("_sh")
-                     + F.lit((i * MINHASH_B + 17) % P)) % F.lit(P)
-                ).alias(f"_m{i}")
-                for i in range(self.k)
-            ]
-        )
-        sig = F.array(*[F.col(f"_m{i}") for i in range(self.k)])
-        return mins.select(
+        sh = shingled_docs(df, self.text_col, self.id_col, self.n)
+        sigs = sh.select(
             F.col(self.id_col),
-            band_keys(sig, self.bands, self.rows).alias("_bands"),
+            minhash_signature_fold(F.col("_sh"), self.k).alias("_sig"),
+        )
+        # _sig is referenced `bands`× by band_keys → CollapseProject
+        # keeps it materialized; the fold runs once per row
+        return sigs.select(
+            F.col(self.id_col),
+            band_keys(F.col("_sig"), self.bands, self.rows).alias("_bands"),
         )
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
+        # explode_OUTER, deliberately: plain explode triggers the
+        # InferFiltersFromGenerate rule, which infers `size(_bands)>0`
+        # and pushes it to the scan BY ALIAS SUBSTITUTION — duplicating
+        # the whole signature pipeline into a per-row filter where the
+        # word-hash array is re-evaluated per shingle (quadratic per
+        # doc; observed 8× wall-clock). The rule skips outer generates,
+        # and `_bands` is never empty here (docs are pre-filtered to
+        # ≥ n words), so the rows are identical.
         bucketed = self.signatures(df).select(
-            self.id_col, F.explode("_bands").alias("_bk")
+            self.id_col, F.explode_outer("_bands").alias("_bk")
         )
         pairs = (
             _bucket_pairs(bucketed, "_bk", [self.id_col], self.max_bucket)
@@ -240,28 +261,56 @@ class DedupSimHash(Transformer):
         self.max_bucket = max_bucket
 
     def fingerprints(self, df: DataFrame) -> DataFrame:
-        exploded = df.select(
-            self.id_col, F.explode(words(F.col(self.text_col))).alias("_w")
-        ).withColumn("_h", pt_hash(F.col("_w")))
-        bit_sums = exploded.groupBy(self.id_col).agg(
-            *[
-                F.sum(
-                    F.when(F.col("_h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
-                ).alias(f"_b{j}")
-                for j in range(SIMHASH_BITS)
-            ]
+        """(id, simhash) — ZERO shuffle.
+
+        One left fold over the word-hash array updates all 32 signed
+        bit counters per word (``zip_with`` against a constant mask
+        array); a second fold converts positive counters to bits. An
+        earlier formulation exploded words to rows and ran 32 `sum`
+        aggregates — a full shuffle of every (id, word) row for data
+        already collocated in the source row. Zero-word docs are
+        dropped (as the row formulation did implicitly).
+        """
+        masks = F.array(
+            *[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)]
         )
-        fp = F.lit(0).cast("long")
-        for j in range(SIMHASH_BITS):
-            fp = fp + F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(0)
-        return bit_sums.select(self.id_col, fp.alias("simhash"))
+        zeros = F.array(
+            *[F.lit(0).cast("long") for _ in range(SIMHASH_BITS)]
+        )
+        wh = ensure_parallelism(
+            df.filter(F.size(words(F.col(self.text_col))) >= 1)
+        ).select(self.id_col, word_hashes(F.col(self.text_col)).alias("_wh"))
+        bit_sums = F.aggregate(
+            F.col("_wh"),
+            zeros,
+            lambda acc, h: F.zip_with(
+                acc,
+                masks,
+                lambda c, m: c
+                + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+        )
+        fp = F.aggregate(
+            F.zip_with(
+                bit_sums,
+                masks,
+                lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        return wh.select(self.id_col, fp.alias("simhash"))
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         fps = self.fingerprints(df)
+        # explode_outer: see DedupMinHashLSH.apply — keeps
+        # InferFiltersFromGenerate from duplicating the fingerprint
+        # expression into a pushed-down filter. The array is a fixed
+        # 4-element band list, never empty.
         banded = fps.select(
             self.id_col,
             "simhash",
-            F.explode(
+            F.explode_outer(
                 F.array(
                     *[
                         (
@@ -314,31 +363,38 @@ class DedupNgramJaccard(Transformer):
         self.max_bucket = max_bucket
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
-        # set semantics: distinct shingle hashes per doc (the shuffle on
-        # id is shared with the window inside shingle_hash_rows)
-        sh = shingle_hash_rows(df, self.text_col, self.id_col, self.n).select(
-            self.id_col, F.col("_sh").alias("_s")
-        ).distinct()
-        sizes = sh.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("_sz"))
+        # set semantics via map-side array_distinct; the doc's shingle
+        # count rides ALONG with every posting row (it is tiny and
+        # functionally dependent on the id), so the union size needs no
+        # separate sizes aggregation and no joins back — an earlier
+        # formulation shuffled (id, shingle) rows for a distinct, a
+        # groupBy for sizes, and TWO joins to attach them. Now the only
+        # shuffles are the inverted-index bucket groupBy and the pair
+        # count groupBy.
+        shd = shingled_docs(df, self.text_col, self.id_col, self.n).select(
+            self.id_col, F.array_distinct("_sh").alias("_shd")
+        )
+        # explode_outer: see DedupMinHashLSH.apply — a plain explode
+        # makes InferFiltersFromGenerate duplicate the shingle pipeline
+        # into a pushed-down filter. `_shd` is never empty (≥ n words).
+        postings = shd.select(
+            self.id_col,
+            F.size("_shd").alias("_sz"),
+            F.explode_outer("_shd").alias("_s"),
+        )
         # inverted index: per-shingle posting list → intra-list pairs;
         # each shared shingle contributes one row to the pair count
-        inter = (
-            _bucket_pairs(sh, "_s", [self.id_col], self.max_bucket)
+        out = (
+            _bucket_pairs(
+                postings, "_s", [self.id_col, "_sz"], self.max_bucket
+            )
             .groupBy(
                 F.col(f"_pa.{self.id_col}").alias("id_a"),
                 F.col(f"_pb.{self.id_col}").alias("id_b"),
+                F.col("_pa._sz").alias("_sza"),
+                F.col("_pb._sz").alias("_szb"),
             )
             .agg(F.count(F.lit(1)).alias("_inter"))
-        )
-        sa = sizes.select(
-            F.col(self.id_col).alias("id_a"), F.col("_sz").alias("_sza")
-        )
-        sb = sizes.select(
-            F.col(self.id_col).alias("id_b"), F.col("_sz").alias("_szb")
-        )
-        out = (
-            inter.join(sa, "id_a")
-            .join(sb, "id_b")
             .select(
                 "id_a",
                 "id_b",
