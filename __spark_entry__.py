@@ -867,6 +867,80 @@ def q_mongo_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse(items, keys=["_id"]).select("_id", "value", "_op", "_lsn")
 
 
+def q_ydb_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YDB changefeed CDC end-to-end: changefeed JSON records
+    (key/update/newImage/erase contract of cdc_converter.go:356-380,
+    virtual-timestamp ts pairs) → ChangeItem frame → collapse. Signups
+    arrive as NEW_IMAGE records, other non-deletes as UPDATES-mode
+    partials (changed columns only, exercising _present), errors as
+    erase records. The events table stands in for the topic."""
+    from pyspark.sql import types as T
+
+    from transferia_spark.cdc.envelopes import ydb_changefeed_to_changeitems
+
+    ev = _t(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    is_img = F.col("event_type") == "signup"
+    rec = F.to_json(
+        F.struct(
+            F.array(F.col("user_id")).alias("key"),
+            F.when(is_del, F.create_map().cast("map<string,double>")).alias("erase"),
+            F.when(
+                ~is_del & ~is_img,
+                F.create_map(F.lit("value"), F.col("value")),
+            )
+            .when(is_img, F.create_map().cast("map<string,double>"))
+            .alias("update"),
+            F.when(is_img, F.struct(F.col("value"))).alias("newImage"),
+            F.array(F.col("event_id"), F.col("event_id")).alias("ts"),
+        )
+    )
+    feed = ev.select(rec.alias("json"), F.lit(0).alias("part_id"), F.col("event_id").alias("offset"))
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    items = ydb_changefeed_to_changeitems(feed, ["user_id"], schema)
+    return collapse(items, keys=["user_id"]).select("user_id", "value", "_op", "_lsn")
+
+
+def q_airbyte_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Airbyte protocol end-to-end: AirbyteMessage RECORD lines
+    (messages.go) decoded against the stream's JSON Schema into typed
+    rows with the synthetic ``__dt_record_index`` PK
+    (record_batch.go:13). The events table stands in for a connector's
+    stdout capture; LOG lines are interleaved to prove filtering."""
+    from transferia_spark.sources.airbyte import AirbyteStreamSpec, decode_records
+
+    ev = _t(spark, sf_dir, "events")
+    record = F.to_json(
+        F.struct(
+            F.lit("RECORD").alias("type"),
+            F.struct(
+                F.lit("events").alias("stream"),
+                F.struct("user_id", "value", "event_type").alias("data"),
+                F.col("event_id").alias("emitted_at"),
+            ).alias("record"),
+        )
+    )
+    log_line = F.lit('{"type":"LOG","log":{"level":"INFO","message":"tick"}}')
+    lines = ev.select(F.explode(F.array(record, log_line)).alias("value"))
+    spec = AirbyteStreamSpec(
+        {
+            "name": "events",
+            "supported_sync_modes": ["full_refresh"],
+            "json_schema": {
+                "type": "object",
+                "properties": {
+                    "user_id": {"type": "integer"},
+                    "value": {"type": "number"},
+                    "event_type": {"type": "string"},
+                },
+            },
+        }
+    )
+    return decode_records(lines, spec, "events")
+
+
 def q_clickhouse_insert_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse sink batch planning: ChangeItem stream → the
     append-only ReplacingMergeTree version rows (collapse, then
@@ -1269,6 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_raw_to_table": q_parser_raw_to_table,
         "serializer_json": q_serializer_json,
         "serializer_csv": q_serializer_csv,
+        "ydb_changefeed": q_ydb_changefeed,
+        "airbyte_records": q_airbyte_records,
     }
 
 
@@ -1554,6 +1630,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mongo_change_stream": _changelog_cte(key="_id")
         + "SELECT _id, value, _op, _lsn FROM collapsed",
+        "ydb_changefeed": """
+            WITH changelog AS (
+              SELECT user_id, value, event_id AS lsn,
+                     CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+              FROM events
+            ),
+            net AS (
+              SELECT user_id,
+                     arg_max(op, lsn)    AS last_op,
+                     max(lsn)            AS max_lsn,
+                     arg_max(value, lsn) AS last_value
+              FROM changelog GROUP BY user_id
+            )
+            SELECT user_id,
+                   CASE WHEN last_op = 'd' THEN NULL ELSE last_value END AS value,
+                   CASE WHEN last_op = 'd' THEN 'd' ELSE 'u' END AS _op,
+                   max_lsn AS _lsn
+            FROM net
+        """,
+        "airbyte_records": """
+            SELECT row_number() OVER (ORDER BY event_id) - 1 AS __dt_record_index,
+                   event_id AS _airbyte_emitted_at,
+                   user_id, value, event_type
+            FROM events
+        """,
         "typesystem_edges": """
             SELECT CAST((o_orderkey + 9223372036854775808)::DECIMAL(20,0) AS VARCHAR) AS u64,
                    o_orderstatus AS status,

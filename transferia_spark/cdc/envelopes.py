@@ -181,3 +181,77 @@ def mongo_change_stream_to_changeitems(
         F.col("order").cast("int").alias(COUNTER_COL),
         present.alias(PRESENT_COL),
     )
+
+
+def ydb_changefeed_to_changeitems(
+    df: DataFrame,
+    key_cols: list[str],
+    value_schema: T.StructType,
+) -> DataFrame:
+    """YDB changefeed JSON records → ChangeItem frame.
+
+    ≈ ``pkg/providers/ydb/cdc_converter.go:356-380``
+    (``convertToChangeItem``): a record with ``update``/``newImage``
+    is an upsert, one with ``erase`` a delete; ``key`` is the
+    POSITIONAL primary-key array; with VIRTUAL_TIMESTAMPS enabled
+    ``ts = [step, txId]`` supplies commit time and transaction id
+    (:319-323); the topic partition offset is the LSN.
+
+    Expected input columns:
+
+    - ``json``    string — one changefeed record
+      (``{"key":[...],"update":{...}}`` / ``{"erase":{}}`` /
+      ``newImage``/``oldImage`` when the feed mode includes images)
+    - ``part_id`` — topic partition (→ part id / counter tie-break)
+    - ``offset``  long — partition offset (→ ``_lsn``)
+
+    KEYS_CHANGED never arises: YDB forbids primary-key updates, so no
+    ``_before`` column is emitted. In ``UPDATES`` feed mode (no
+    images) the record carries only changed columns — surfaced through
+    the ``_present`` contract exactly like Mongo partial updates, so
+    collapse folds them without resurrecting stale values.
+    """
+    upd = F.get_json_object("json", "$.update")
+    img = F.get_json_object("json", "$.newImage")
+    erase = F.get_json_object("json", "$.erase")
+    op = F.when(erase.isNotNull(), F.lit(OP_DELETE)).otherwise(F.lit(OP_UPDATE))
+
+    payload_schema = T.StructType(
+        [f for f in value_schema.fields if f.name not in key_cols]
+    )
+    payload = F.from_json(F.coalesce(img, upd), payload_schema)
+
+    key_exprs = []
+    for i, k in enumerate(key_cols):
+        dt = value_schema[k].dataType.simpleString()
+        key_exprs.append(
+            F.get_json_object("json", f"$.key[{i}]").cast(dt).alias(k)
+        )
+    val_exprs = [
+        F.when(erase.isNotNull(), F.lit(None).cast(f.dataType.simpleString()))
+        .otherwise(payload[f.name])
+        .alias(f.name)
+        for f in payload_schema.fields
+    ]
+    # UPDATES mode carries only changed columns: present = keys + the
+    # update object's own keys. With a full newImage the marker is NULL
+    # (= every column present), as is a delete.
+    present = F.when(
+        img.isNull() & erase.isNull(),
+        F.concat(
+            F.array(*[F.lit(k) for k in key_cols]),
+            F.coalesce(F.json_object_keys(upd), F.array()),
+        ),
+    )
+    ts0 = F.get_json_object("json", "$.ts[0]").cast("long")
+    ts1 = F.get_json_object("json", "$.ts[1]")
+    return df.select(
+        *key_exprs,
+        *val_exprs,
+        op.alias(OP_COL),
+        F.col("offset").cast("long").alias(LSN_COL),
+        F.col("part_id").cast("int").alias(COUNTER_COL),
+        F.timestamp_millis(ts0).alias(COMMIT_TS_COL),
+        ts1.alias(TX_COL),
+        present.alias(PRESENT_COL),
+    )

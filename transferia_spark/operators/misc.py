@@ -89,21 +89,52 @@ class LambdaTransformer(Transformer):
 
 @register
 class BatchSplitter(Transformer):
-    """Bound partition size before a sink — Spark's unit of write
-    parallelism is the partition, so 'split oversized batches' is a
-    repartition."""
+    """Bound the size of the unit a sink pushes at once
+    (≈ ``pkg/transformer/registry/batch_splitter`` — the reference
+    splits oversized ChangeItem batches before ``Push``).
+
+    In Spark the write-path unit is the partition, and counting rows up
+    front would cost an extra action. ``apply`` therefore tags each row
+    with a ``_batch`` id derived from its position WITHIN its partition
+    (``monotonically_increasing_id``'s low 33 bits are exactly that
+    per-partition record index): batch k of partition p is rows
+    [k·max, (k+1)·max). Push-style sinks (JDBC upsert, HTTP bulk)
+    group on ``_batch`` inside ``foreachPartition`` — no shuffle, no
+    action, every push ≤ ``max_rows_per_partition`` rows. File sinks
+    get the same bound via ``spark.sql.files.maxRecordsPerFile``.
+
+    Determinism caveat (same as the reference's positional batches): a
+    task retry that reads its input in a different order re-batches
+    rows differently — batch ids are a flow-control boundary, not a
+    stable key, and sinks must stay idempotent per ROW (upsert), which
+    the CDC apply contract already requires.
+    """
 
     TYPE = "batch_splitter"
+
+    BATCH_COL = "_batch"
 
     def __init__(self, max_rows_per_partition: int = 1_000_000):
         self.max_rows = max_rows_per_partition
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
-        # cheap estimate via planner stats would need an action; rely on
-        # AQE coalescing upward and split only when caller knows counts
-        return [(table, df)]
+        within = F.monotonically_increasing_id().bitwiseAND(
+            F.lit((1 << 33) - 1)
+        )
+        return [
+            (
+                table,
+                df.withColumn(
+                    self.BATCH_COL,
+                    F.floor(within / F.lit(self.max_rows)).cast("long"),
+                ),
+            )
+        ]
 
     def split(self, df: DataFrame, total_rows: int) -> DataFrame:
+        """Repartition to ceil(total/max) when the caller knows the
+        count (e.g. after ExactTableRowsCount) — the coarse-grained
+        variant that also balances write parallelism."""
         import math
 
         n = max(1, math.ceil(total_rows / self.max_rows))
