@@ -30,12 +30,23 @@ from transferia_spark.cdc import apply_changelog, collapse
 from transferia_spark.cdc.synthetic import OP_CASE_SQL, events_changelog
 from transferia_spark.functions import portable as pf
 from transferia_spark.operators import Transformation, build
+from transferia_spark.operators.curation import (
+    PII_PATTERNS,
+    sql_pii_scrub,
+    sql_quality_gopher,
+    sql_sample_bucket,
+)
 from transferia_spark.operators.multimodal import attach_payload
 from transferia_spark.operators.textstats import LEXICONS, TOKEN_REGEX
 from transferia_spark.schema.colschema import TableID
 from transferia_spark.session import load_tables
 
 SF0001 = "/root/testdata/sf0.001"
+
+# PII pattern strings for the oracle (no single quotes inside — safe to
+# inline in SQL literals)
+pf_email, pf_ipv4, pf_phone = (p for _, p, _ in PII_PATTERNS)
+_SQL_PII_SCRUB = sql_pii_scrub("text")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -867,6 +878,57 @@ def q_mongo_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse(items, keys=["_id"]).select("_id", "value", "_op", "_lsn")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with synthesized contact strings
+    (the corpus text itself carries no PII, so the query plants a
+    deterministic email/IP/phone per doc and proves masking + counts)."""
+    d = _t(spark, sf_dir, "documents")
+    with_pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 or +1 555-000-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    t = build("pii_scrub", text_col="text")
+    return t.apply_df(with_pii).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text"
+    )
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = build("quality_gopher", text_col="text")
+    return t.apply_df(d).select(
+        "doc_id",
+        "dup_line_bp",
+        "dup_word_bp",
+        "bullet_line_bp",
+        "ellipsis_line_bp",
+        "max_word_len",
+        "mean_word_len_x100",
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified downsampling: keep 25% of 'en' docs, 100%
+    of everything else — the corpus-rebalancing shape, deterministic
+    (hash-bucket, not rand) so retries and oracles agree."""
+    d = _t(spark, sf_dir, "documents")
+    t = build(
+        "sample_stratified",
+        id_col="doc_id",
+        stratum_col="lang",
+        rates_bp={"en": 2500},
+    )
+    return t.apply_df(d).select("doc_id", "lang")
+
+
 def q_ydb_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """YDB changefeed CDC end-to-end: changefeed JSON records
     (key/update/newImage/erase contract of cdc_converter.go:356-380,
@@ -1345,6 +1407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serializer_csv": q_serializer_csv,
         "ydb_changefeed": q_ydb_changefeed,
         "airbyte_records": q_airbyte_records,
+        "pii_scrub": q_pii_scrub,
+        "quality_gopher": q_quality_gopher,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -1630,6 +1695,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mongo_change_stream": _changelog_cte(key="_id")
         + "SELECT _id, value, _op, _lsn FROM collapsed",
+        "pii_scrub": f"""
+            WITH pii AS (
+              SELECT doc_id,
+                     text || ' contact u' || doc_id || '@example.com at 10.0.'
+                          || (doc_id % 256) || '.7 or +1 555-000-'
+                          || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{pf_email}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(text, '{pf_ipv4}'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text, '{pf_phone}'))::BIGINT AS n_phone,
+                   {_SQL_PII_SCRUB} AS text
+            FROM pii
+        """,
+        "quality_gopher": (
+            "SELECT doc_id, dup_line_bp, dup_word_bp, bullet_line_bp, "
+            "ellipsis_line_bp, max_word_len, mean_word_len_x100 FROM ("
+            + sql_quality_gopher("text").replace(
+                "__SRC__", "(SELECT doc_id, text FROM documents)"
+            )
+            + ")"
+        ),
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {sql_sample_bucket("doc_id")}
+                  < CASE WHEN lang = 'en' THEN 2500 ELSE 10000 END
+        """,
         "ydb_changefeed": """
             WITH changelog AS (
               SELECT user_id, value, event_id AS lsn,

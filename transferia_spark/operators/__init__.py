@@ -12,6 +12,7 @@ from transferia_spark.operators.base import (  # noqa: F401
 # importing the modules registers every transformer type
 from transferia_spark.operators import (  # noqa: F401,E402
     casts,
+    curation,
     custom_example,
     dbt,
     dedup,
