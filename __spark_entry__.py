@@ -878,6 +878,18 @@ def q_mongo_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse(items, keys=["_id"]).select("_id", "value", "_op", "_lsn")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (batch form of the applyInPandasWithState
+    streaming operator, streaming/sessionize.py): per-user sessions
+    close after a 10-minute silence; emits start/end/count/sum."""
+    from transferia_spark.streaming.sessionize import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(
+        ev, "user_id", "ts", "value", gap_seconds=600, exact_sum=True
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with synthesized contact strings
     (the corpus text itself carries no PII, so the query plants a
@@ -1410,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "quality_gopher": q_quality_gopher,
         "sample_stratified": q_sample_stratified,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1695,6 +1708,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mongo_change_stream": _changelog_cte(key="_id")
         + "SELECT _id, value, _op, _lsn FROM collapsed",
+        "sessionize": """
+            WITH marked AS (
+              SELECT user_id AS key, ts, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 600
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events
+            ),
+            sess AS (
+              SELECT *, SUM(boundary) OVER (
+                       PARTITION BY key ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM marked
+            )
+            SELECT key, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM sess GROUP BY key, sid
+        """,
         "pii_scrub": f"""
             WITH pii AS (
               SELECT doc_id,

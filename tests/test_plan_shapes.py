@@ -1,0 +1,128 @@
+"""Physical-plan regression tests: the properties that make queries
+scale — pushdown, pruning, broadcast choice, shuffle count — asserted
+on `.explain` output so a refactor that silently loses one fails CI.
+
+These mirror the checks a human runs with `.explain("formatted")`
+after touching an operator (filters reached the parquet scan? did the
+dim broadcast? did the map-side stage stay shuffle-free?).
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from transferia_spark.operators.dedup import DedupMinHashLSH, DedupSimHash
+from transferia_spark.session import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _simple_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q6_filters_push_to_scan(spark):
+    li = load_tables(spark, SF, ["lineitem"])["lineitem"]
+    q = li.filter(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).select("l_extendedprice")
+    plan = _plan(q)
+    assert "PushedFilters:" in plan
+    # the scan must push the comparisons, not just IsNotNull
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThan" in pushed or "LessThan" in pushed
+    # column pruning: only the 4 referenced columns are read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    t = load_tables(spark, SF, ["region", "nation", "customer", "orders", "lineitem"])
+    q = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    plan = _simple_plan(q)
+    assert "BroadcastHashJoin" in plan  # small dims broadcast, fact never shuffles for them
+
+
+def test_minhash_signatures_have_no_shuffle(spark):
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(64)],
+        ["doc_id", "text"],
+    )
+    t = DedupMinHashLSH("text", "doc_id", n=3, k=32, bands=8)
+    plan = _simple_plan(t.signatures(docs))
+    assert "Exchange" not in plan, "signature computation must be map-side only"
+
+
+def test_simhash_fingerprints_have_no_shuffle(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(64)], ["doc_id", "text"]
+    )
+    t = DedupSimHash("text", "doc_id")
+    plan = _simple_plan(t.fingerprints(docs))
+    assert "Exchange" not in plan
+
+
+def test_minhash_pairs_shuffle_count(spark):
+    """End-to-end minhash: exactly the bucket groupBy + the final
+    distinct may shuffle — two logical exchanges, no more (AQE may tag
+    reused ones but adds none)."""
+    docs = spark.createDataFrame(
+        [(i, f"common prefix words here variant {i % 7}") for i in range(64)],
+        ["doc_id", "text"],
+    )
+    from transferia_spark.schema.colschema import TableID
+
+    t = DedupMinHashLSH("text", "doc_id", n=3, k=32, bands=8)
+    out = t.apply(TableID("", "d"), docs)[0][1]
+    n_exchanges = len(re.findall(r"\bExchange hashpartitioning", _simple_plan(out)))
+    assert n_exchanges <= 2, f"expected <=2 hash exchanges, saw {n_exchanges}"
+
+
+def test_ann_brute_force_broadcasts_queries_not_corpus(spark):
+    from transferia_spark.operators.similarity import AnnBruteForce
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 2.0, 0.5]) for i in range(64)],
+        ["vec_id", "embedding"],
+    )
+    from transferia_spark.schema.colschema import TableID
+
+    t = AnnBruteForce("embedding", "vec_id", query_pred="vec_id < 4", k=3)
+    out = t.apply(TableID("", "e"), emb)[0][1]
+    plan = _simple_plan(out)
+    assert "Broadcast" in plan
+    # the corpus side must not hash-shuffle for the join itself; the only
+    # hash exchange allowed is the top-k window by query_id
+    n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchanges <= 1, plan
+
+
+def test_cdc_merge_is_single_full_outer_join(spark):
+    from transferia_spark.cdc.merge import apply_changelog
+    from transferia_spark.cdc.synthetic import events_changelog
+
+    ev = load_tables(spark, SF, ["events"])["events"]
+    base = ev.select(
+        F.col("user_id").alias("user_id"), F.col("value").alias("value")
+    ).dropDuplicates(["user_id"])
+    merged = apply_changelog(base, events_changelog(ev), keys=["user_id"])
+    plan = _simple_plan(merged)
+    assert plan.count("FullOuter") == 1
