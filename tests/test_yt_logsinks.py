@@ -1,0 +1,147 @@
+"""YT static-table source and the Datadog/Coralogix log-API sinks."""
+
+import http.server
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transferia_spark.schema.colschema import TableID
+from transferia_spark.sinks.logs import (
+    CoralogixSink,
+    DatadogSink,
+    render_template,
+)
+from transferia_spark.sources.yt import YtStaticSource, key_columns, yt_schema_to_spark
+
+# ------------------------------------------------------------------- yt
+
+YT_SCHEMA = [
+    {"name": "id", "type": "uint64", "sort_order": "ascending", "required": True},
+    {"name": "name", "type": "utf8"},
+    {"name": "score", "type": "double"},
+    {"name": "seen", "type": "timestamp"},
+]
+
+
+def test_yt_schema_mapping():
+    st = yt_schema_to_spark(YT_SCHEMA)
+    assert st["id"].dataType == T.DecimalType(20, 0)  # uint64 contract
+    assert not st["id"].nullable and st["id"].metadata == {"pk": True}
+    assert st["name"].dataType == T.StringType() and st["name"].nullable
+    assert st["seen"].dataType == T.TimestampType()
+    assert key_columns(YT_SCHEMA) == ["id"]
+
+
+def test_yt_static_source_reads_weak_json_export(spark, tmp_path):
+    data = tmp_path / "users"
+    data.mkdir()
+    (data / "part0.json").write_text(
+        json.dumps({"id": "18446744073709551615", "name": "max", "score": "1.5"})
+        + "\n"
+        + json.dumps({"id": "7", "name": None, "score": "2.0"})
+        + "\n"
+    )
+    src = YtStaticSource(
+        {"users": {"path": str(data), "schema": YT_SCHEMA, "format": "json"}}
+    )
+    out = src.load_table(spark, TableID("", "users")).orderBy("score")
+    rows = out.collect()
+    # uint64.max survives through decimal(20,0)
+    assert str(rows[0].id) == "18446744073709551615"
+    assert rows[1].id == 7 and rows[1].name is None
+    assert [f.dataType for f in out.schema.fields][:1] == [T.DecimalType(20, 0)]
+    assert src.table_list(spark) == [TableID("", "users")]
+
+
+# ------------------------------------------------------------- log sinks
+
+
+class _Recorder(http.server.BaseHTTPRequestHandler):
+    calls: list[tuple[str, str, str, dict]] = []
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length).decode()
+        type(self).calls.append(
+            (self.command, self.path, body, dict(self.headers))
+        )
+        self.send_response(200)
+        self.end_headers()
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def log_stub():
+    _Recorder.calls = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Recorder)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/api/v2/logs", _Recorder.calls
+    srv.shutdown()
+
+
+def test_render_template(spark):
+    df = spark.createDataFrame([(1, "x"), (2, None)], ["a", "b"])
+    out = df.select(render_template("a={a} b={b}!").alias("m")).orderBy("a").collect()
+    assert out[0].m == "a=1 b=x!"
+    assert out[1].m == "a=2 b=!"  # NULL renders empty, row still logs
+
+
+def test_datadog_sink_items_and_chunks(spark, log_stub):
+    url, calls = log_stub
+    df = spark.createDataFrame(
+        [(i, f"h{i % 2}", float(i)) for i in range(5)], ["event_id", "host", "value"]
+    ).coalesce(1)
+    sink = DatadogSink(
+        url,
+        api_key="k",
+        message_template="event {event_id} value {value}",
+        tag_columns=["event_id"],
+        host_column="host",
+        chunk_size=2,
+    )
+    sink.write(df, TableID("app", "events"))
+    assert len(calls) == 3  # 5 rows / chunk 2 → 2+2+1
+    headers_ci = {k.lower(): v for k, v in calls[0][3].items()}
+    assert headers_ci["dd-api-key"] == "k"
+    items = [it for _, _, body, _ in calls for it in json.loads(body)]
+    assert len(items) == 5
+    assert items[0]["ddsource"] == '"app"."events"'
+    assert items[0]["ddtags"].startswith("event_id:")
+    assert "value" in items[0]["message"] and items[0]["hostname"] in ("h0", "h1")
+
+
+def test_datadog_sink_drops_non_inserts(spark, log_stub):
+    url, calls = log_stub
+    df = spark.createDataFrame(
+        [(1, "i"), (2, "u"), (3, "d")], ["event_id", "_op"]
+    ).coalesce(1)
+    DatadogSink(url, api_key="k", message_template="{event_id}").write(
+        df, TableID("", "t")
+    )
+    items = [it for _, _, body, _ in calls for it in json.loads(body)]
+    assert len(items) == 1 and items[0]["message"] == "1"
+
+
+def test_coralogix_entries(spark, log_stub):
+    url, calls = log_stub
+    df = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", "boom")], ["event_id", "ts", "msg"]
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "msg")
+    CoralogixSink(
+        url,
+        private_key="pk",
+        application="app",
+        subsystem="sub",
+        message_template="{msg}",
+        ts_column="ts",
+    ).write(df, TableID("", "t"))
+    items = [it for _, _, body, _ in calls for it in json.loads(body)]
+    assert items[0]["applicationName"] == "app" and items[0]["text"] == "boom"
+    assert items[0]["timestamp"] == 1767225600000
+    auth = calls[0][3].get("Authorization")
+    assert auth == "Bearer pk"
