@@ -301,6 +301,10 @@ ANN_QUERY_PRED = "vec_id < 8"
 ANN_K = 10
 LSH_PLANES = 6
 EMB_DIM = 64
+IVF_STRIDE = 16
+IVF_NPROBE = 2
+DECON_BENCH_MOD = 97
+DECON_MIN_OVERLAP = 3
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,6 +371,70 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_pred=ANN_QUERY_PRED,
         dim=EMB_DIM,
         n_planes=LSH_PLANES,
+        k=ANN_K,
+    )
+    return t.apply_df(e)
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH pair graph: every doc
+    gets (cluster_id, is_keeper) so dedup is a single filter. Spark
+    side is iterative min-label propagation (operators/corpus.py);
+    oracle is a recursive-CTE transitive closure."""
+    d = _t(spark, sf_dir, "documents")
+    t = build("dedup_cluster", text_col="text", id_col="doc_id", **MINHASH)
+    return t.apply_df(d)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing ≥3 word-3-gram hashes
+    with the benchmark subset (doc_id % 97 == 0) are flagged."""
+    d = _t(spark, sf_dir, "documents")
+    t = build(
+        "decontaminate",
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        bench_mod=DECON_BENCH_MOD,
+        min_overlap=DECON_MIN_OVERLAP,
+    )
+    return t.apply_df(d)
+
+
+def q_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = build("quota_cap", group_col="source", id_col="doc_id", cap=10, seed=7)
+    return t.apply_df(d).select("doc_id", "source", "pick_rank")
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = build("global_shuffle", id_col="doc_id", n_shards=8, seed=42)
+    return t.apply_df(d)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = build(
+        "pack_sequences",
+        text_col="text",
+        id_col="doc_id",
+        budget=512,
+        n_shards=8,
+        seed=1,
+    )
+    return t.apply_df(d)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    t = build(
+        "ann_ivf",
+        vec_col="embedding",
+        id_col="vec_id",
+        query_pred=ANN_QUERY_PRED,
+        centroid_stride=IVF_STRIDE,
+        nprobe=IVF_NPROBE,
         k=ANN_K,
     )
     return t.apply_df(e)
@@ -1135,6 +1203,138 @@ FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
 """
 
 
+def _sql_minhash_cte() -> str:
+    """Shared CTE chain: documents → word hashes → shingle hashes →
+    minhash signatures → band keys → candidate ``pairs``."""
+    sig = pf.sql_minhash_signature("hs", MINHASH["k"])
+    bands = pf.sql_band_keys("sig", MINHASH["bands"], MINHASH["k"] // MINHASH["bands"])
+    return f"""
+docs AS (SELECT doc_id, {pf.sql_word_hashes(_W)} AS wh FROM documents),
+hashed AS (
+  SELECT doc_id, {pf.sql_shingle_hashes("wh", MINHASH["n"])} AS hs
+  FROM docs WHERE len(wh) >= {MINHASH["n"]}
+),
+sigs AS (SELECT doc_id, {sig} AS sig FROM hashed),
+bands AS (SELECT doc_id, unnest({bands}) AS bk FROM sigs),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)"""
+
+
+def _sql_dedup_cluster() -> str:
+    """Transitive closure of the near-dup pair graph: min reachable id
+    = cluster id (the oracle face of iterative label propagation)."""
+    return f"""
+WITH RECURSIVE {_sql_minhash_cte()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lbl AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+"""
+
+
+def _sql_decontaminate() -> str:
+    return f"""
+WITH {_sql_docs_shingled()},
+bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+ov AS (
+  SELECT sh.doc_id, count(*) AS n
+  FROM sh JOIN bench USING (s)
+  WHERE sh.doc_id % {DECON_BENCH_MOD} <> 0
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       coalesce(o.n, 0)::BIGINT AS overlap_ngrams,
+       coalesce(o.n, 0) >= {DECON_MIN_OVERLAP} AS contaminated
+FROM documents d LEFT JOIN ov o ON o.doc_id = d.doc_id
+WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+"""
+
+
+def _sql_pack_sequences() -> str:
+    w = pf.sql_words("text")
+    h = pf.sql_pt_ihash("doc_id", 1)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len({w})::INT AS n_tok, {h} AS h, ({h}) % 8 AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM base
+)
+SELECT doc_id, shard, n_tok,
+       floor((cum - n_tok) / 512)::BIGINT AS bin,
+       ((cum - n_tok) % 512)::BIGINT AS bin_offset
+FROM c
+"""
+
+
+def _sql_ann_ivf() -> str:
+    csim = pf.sql_qcosine(pf.sql_qdot("b.e", "ct.ce"), "b.n2", "ct.cn2")
+    return f"""
+WITH qv AS (
+  SELECT vec_id, {pf.sql_quantize("embedding")} AS e FROM embeddings
+),
+base AS (SELECT vec_id, e, {pf.sql_qdot("e", "e")} AS n2 FROM qv),
+cents AS (
+  SELECT vec_id AS cid, e AS ce, n2 AS cn2 FROM base
+  WHERE vec_id % {IVF_STRIDE} = 0
+),
+asim AS (
+  SELECT b.vec_id, ct.cid, {pf.sql_floor_bp(csim)} AS bp
+  FROM base b CROSS JOIN cents ct
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY bp DESC, cid) AS rn
+    FROM asim
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY bp DESC, cid) AS rn
+    FROM asim WHERE vec_id < 8
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, q.e, q.n2, a.vec_id AS neighbor_id, c.e AS ce, c.n2 AS cn2
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN base q ON q.vec_id = p.query_id
+  JOIN base c ON c.vec_id = a.vec_id
+),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         {pf.sql_floor_bp(pf.sql_qcosine(pf.sql_qdot("e", "ce"), "n2", "cn2"))} AS sim_bp
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, sim_bp FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim_bp DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {ANN_K}
+"""
+
+
 def _sql_simhash() -> str:
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
@@ -1385,6 +1585,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "ann_ivf": q_ann_ivf,
+        "dedup_cluster": q_dedup_cluster,
+        "decontaminate": q_decontaminate,
+        "quota_cap": q_quota_cap,
+        "global_shuffle": q_global_shuffle,
+        "pack_sequences": q_pack_sequences,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1579,6 +1785,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _sql_cosine_pairs(),
         "ann_brute_force": _sql_ann(bucketed=False),
         "ann_lsh_bucketed": _sql_ann(bucketed=True),
+        "ann_ivf": _sql_ann_ivf(),
+        "dedup_cluster": _sql_dedup_cluster(),
+        "decontaminate": _sql_decontaminate(),
+        "quota_cap": f"""
+            SELECT doc_id, source, pick_rank FROM (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source
+                ORDER BY {pf.sql_pt_ihash("doc_id", 7)} ASC, doc_id ASC
+              ) AS pick_rank
+              FROM documents
+            ) WHERE pick_rank <= 10
+        """,
+        "global_shuffle": f"""
+            SELECT doc_id,
+                   ({pf.sql_pt_ihash("doc_id", 42)}) % 8 AS shard,
+                   row_number() OVER (
+                     PARTITION BY ({pf.sql_pt_ihash("doc_id", 42)}) % 8
+                     ORDER BY {pf.sql_pt_ihash("doc_id", 42)} ASC, doc_id ASC
+                   ) AS pos
+            FROM documents
+        """,
+        "pack_sequences": _sql_pack_sequences(),
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),
         "token_count": f"""

@@ -51,6 +51,12 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_brute_force",
     "ann_lsh_bucketed",
+    "ann_ivf",
+    "dedup_cluster",
+    "decontaminate",
+    "quota_cap",
+    "global_shuffle",
+    "pack_sequences",
     "lang_id",
     "quality_score",
     "token_count",

@@ -12,6 +12,7 @@ sys.path.insert(0, "/root/repo")
 from tests.oracle_check import compare, duckdb_conn  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])  # optional query-name filter for fast iteration
 
 spec = importlib.util.spec_from_file_location("spark_entry", "/root/repo/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec)
@@ -32,15 +33,16 @@ spark = (
 )
 spark.sparkContext.setLogLevel("WARN")
 
-t0 = time.time()
-edf = mod.entry(spark)
-rows = edf.count()
-print(f"entry(): {rows} rows, schema={[f.name for f in edf.schema.fields]}, {time.time()-t0:.1f}s")
-assert rows > 0
+if not ONLY:
+    t0 = time.time()
+    edf = mod.entry(spark)
+    rows = edf.count()
+    print(f"entry(): {rows} rows, schema={[f.name for f in edf.schema.fields]}, {time.time()-t0:.1f}s")
+    assert rows > 0
 
 qs, oracles = mod.queries(), mod.oracle_sql()
 fail = 0
-for name in sorted(qs):
+for name in sorted(ONLY or qs):
     t0 = time.time()
     df = qs[name](spark, SF)
     if name in oracles:

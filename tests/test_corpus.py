@@ -1,0 +1,191 @@
+"""Corpus-assembly operators: clustering, decontamination, quota caps,
+deterministic shuffle, sequence packing, and the IVF ANN index."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from transferia_spark.operators import build
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- cluster
+
+
+def test_dedup_cluster_components(spark):
+    """Hand-built graph: {1,2,3} via chained pairs + {10,11} + isolated
+    20 → labels are the component minima, keepers are the minima."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in [
+            (1, "a b c d e f"), (2, "a b c d e f"), (3, "a b c d e g"),
+            (10, "x y z w q r"), (11, "x y z w q r"),
+            (20, "unrelated words only here now thing"),
+        ]],
+        "doc_id long, text string",
+    )
+    t = build("dedup_cluster", text_col="text", id_col="doc_id",
+              n=3, k=32, bands=8)
+    out = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+           for r in t.apply_df(docs).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)
+    assert out[20] == (20, True)
+    # 3 links to 1 only through 2 (shares no shingle with 1's tail) —
+    # transitivity must carry the label
+    assert out[3][0] == 1
+
+
+def test_dedup_cluster_full_corpus_is_partition(docs):
+    out = build(
+        "dedup_cluster", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    ).apply_df(docs)
+    n_docs = docs.count()
+    assert out.count() == n_docs
+    # every cluster id is a real doc id and is its own cluster's keeper
+    bad = out.alias("a").join(
+        out.alias("b"),
+        (F.col("a.cluster_id") == F.col("b.doc_id")) & ~F.col("b.is_keeper"),
+    )
+    assert bad.count() == 0
+    # labels never exceed member ids (min-label convergence)
+    assert out.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
+
+
+# ---------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (0, bench_text),             # benchmark doc (0 % 5 == 0)
+            (1, bench_text),             # full overlap → contaminated
+            (2, "alpha beta gamma nope nope nope"),  # 1 shared 3-gram
+            (3, "totally different words in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    t = build("decontaminate", text_col="text", id_col="doc_id",
+              n=3, bench_mod=5, min_overlap=2)
+    out = {r["doc_id"]: (r["overlap_ngrams"], r["contaminated"])
+           for r in t.apply_df(df).collect()}
+    assert 0 not in out  # benchmark docs are excluded from the output
+    assert out[1] == (4, True)
+    assert out[2] == (1, False)
+    assert out[3] == (0, False)
+
+
+def test_decontaminate_plan_broadcasts_benchmark(docs):
+    out = build(
+        "decontaminate", text_col="text", id_col="doc_id", n=3, bench_mod=97
+    ).apply_df(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# -------------------------------------------------------------- quota cap
+
+
+def test_quota_cap_bounds_and_determinism(docs):
+    t = build("quota_cap", group_col="source", id_col="doc_id", cap=7, seed=3)
+    out = t.apply_df(docs)
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in per)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in t.apply_df(docs).collect())
+    assert a == b  # hash priority, not rand(): stable across runs
+
+
+# --------------------------------------------------------- global shuffle
+
+
+def test_global_shuffle_dense_positions(docs):
+    out = build("global_shuffle", id_col="doc_id", n_shards=4, seed=9).apply_df(docs)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    per = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    ).collect()
+    for r in per:
+        assert (r["mn"], r["mx"]) == (1, r["n"])  # dense 1..n per shard
+    # different seed ⇒ different order (sanity that seed matters)
+    out2 = build("global_shuffle", id_col="doc_id", n_shards=4, seed=10).apply_df(docs)
+    j = out.join(out2, "doc_id")
+    assert j.filter(out["shard"] != out2["shard"]).count() > 0
+
+
+# --------------------------------------------------------- pack sequences
+
+
+def test_pack_sequences_bins_are_contiguous_budget_chunks(docs):
+    budget = 256
+    out = build(
+        "pack_sequences", text_col="text", id_col="doc_id",
+        budget=budget, n_shards=4, seed=1,
+    ).apply_df(docs)
+    assert out.count() == docs.count()
+    # bin_offset is the token offset where the doc starts inside its
+    # bin: always within [0, budget)
+    assert out.filter(
+        (F.col("bin_offset") < 0) | (F.col("bin_offset") >= budget)
+    ).count() == 0
+    # per (shard, bin): tokens before each doc reconstruct the cut —
+    # the bin index times budget plus the offset is the global prefix
+    chk = out.withColumn(
+        "prefix", F.col("bin") * budget + F.col("bin_offset")
+    )
+    w = chk.groupBy("shard").agg(
+        F.sum("n_tok").alias("tot"), F.max(F.col("prefix") + F.col("n_tok")).alias("hi")
+    )
+    for r in w.collect():
+        assert r["hi"] == r["tot"]  # last doc's end == shard token total
+
+
+# ------------------------------------------------------------------- ivf
+
+
+def test_ann_ivf_matches_brute_force_in_probed_cells(emb):
+    """IVF results are exact within probed cells: every reported
+    neighbor's sim_bp equals the brute-force sim for that pair, ranks
+    are 1..k, and recall vs brute force is sane (>0)."""
+    ivf = build(
+        "ann_ivf", vec_col="embedding", id_col="vec_id",
+        query_pred="vec_id < 4", centroid_stride=16, nprobe=2, k=5,
+    ).apply_df(emb)
+    bf = build(
+        "ann_brute_force", vec_col="embedding", id_col="vec_id",
+        query_pred="vec_id < 4", k=1000000,
+    ).apply_df(emb)
+    j = ivf.alias("i").join(
+        bf.alias("b"),
+        (F.col("i.query_id") == F.col("b.query_id"))
+        & (F.col("i.neighbor_id") == F.col("b.neighbor_id")),
+        "left",
+    )
+    assert j.filter(F.col("b.sim_bp").isNull()).count() == 0
+    assert j.filter(F.col("i.sim_bp") != F.col("b.sim_bp")).count() == 0
+    ranks = ivf.groupBy("query_id").agg(F.max("rank").alias("mx")).collect()
+    assert all(r["mx"] <= 5 for r in ranks)
+
+
+def test_ann_ivf_assignment_is_shuffle_free(emb):
+    """Cell assignment is a map over the corpus (Arrow kernel with the
+    broadcast centroid index) — no Exchange anywhere in the plan."""
+    op = build(
+        "ann_ivf", vec_col="embedding", id_col="vec_id",
+        query_pred="vec_id < 4", centroid_stride=16, nprobe=2, k=5,
+    )
+    plan = op.assigned(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan

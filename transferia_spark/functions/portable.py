@@ -55,6 +55,29 @@ def sql_pt_hash(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# portable integer hash: h = ((x mod P) * A + B) mod P
+# ---------------------------------------------------------------------------
+#
+# For deterministic shuffling/sharding of integer keys. (x mod P) < P and
+# A < P keep the product < ~1e18 < 2^63, so BIGINT arithmetic is exact in
+# both engines at any key magnitude. A seed folds in as a second round.
+
+
+def pt_ihash(x: Column, seed: int = 0) -> Column:
+    h = (x.cast("long") % P * F.lit(MINHASH_A % P) + F.lit(MINHASH_B)) % P
+    if seed:
+        h = (h * F.lit(MINHASH_A % P) + F.lit(seed % P)) % P
+    return h
+
+
+def sql_pt_ihash(expr: str, seed: int = 0) -> str:
+    h = f"((({expr})::BIGINT % {P}) * {MINHASH_A % P} + {MINHASH_B}) % {P}"
+    if seed:
+        h = f"(({h}) * {MINHASH_A % P} + {seed % P}) % {P}"
+    return h
+
+
+# ---------------------------------------------------------------------------
 # tokenization
 # ---------------------------------------------------------------------------
 

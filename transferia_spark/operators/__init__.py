@@ -12,6 +12,7 @@ from transferia_spark.operators.base import (  # noqa: F401
 # importing the modules registers every transformer type
 from transferia_spark.operators import (  # noqa: F401,E402
     casts,
+    corpus,
     curation,
     custom_example,
     dbt,
@@ -58,7 +59,18 @@ from transferia_spark.operators.dedup import (  # noqa: F401
     DedupNgramJaccard,
     DedupSimHash,
 )
-from transferia_spark.operators.similarity import AnnBruteForce, AnnLshBucketed  # noqa: F401
+from transferia_spark.operators.similarity import (  # noqa: F401
+    AnnBruteForce,
+    AnnIVF,
+    AnnLshBucketed,
+)
+from transferia_spark.operators.corpus import (  # noqa: F401
+    Decontaminate,
+    DedupCluster,
+    GlobalShuffle,
+    PackSequences,
+    QuotaCap,
+)
 from transferia_spark.operators.textstats import (  # noqa: F401
     Fingerprint,
     LangId,

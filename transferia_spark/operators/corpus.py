@@ -1,0 +1,336 @@
+"""Corpus-assembly operators: the steps between "deduped documents"
+and "training-ready data" in a large-scale LLM data pipeline.
+
+Beyond the reference's transformer surface (transferia moves rows; it
+does not curate corpora), these cover the standard assembly passes:
+
+- ``dedup_cluster``   — connected components over near-dup pairs:
+                        turns the pair list (``dedup_minhash_lsh``)
+                        into (doc, cluster, keeper) assignments so a
+                        corpus can actually BE deduplicated, not just
+                        measured.
+- ``decontaminate``   — n-gram overlap against a benchmark/eval set;
+                        flags documents that would leak test data into
+                        training.
+- ``quota_cap``       — at most K documents per group (domain/source),
+                        selected by a deterministic priority hash.
+- ``global_shuffle``  — deterministic corpus-wide shuffle: every doc
+                        gets a (shard, position) from a seeded hash.
+- ``pack_sequences``  — concat-and-chunk packing: orders each shard
+                        deterministically, then assigns docs to fixed
+                        token-budget bins by cumulative token count.
+
+Scale notes (100 TB, 1000 executors):
+- ``dedup_cluster`` is iterative min-label propagation (the standard
+  distributed connected-components shape, cf. the large-star/small-star
+  algorithm of Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14). Each round is one join + one map-side-combinable
+  min-aggregation, with ``localCheckpoint`` truncating the plan between
+  rounds; rounds needed = component diameter, which for near-dup
+  clusters is tiny (dup clusters are dense). The driver only ever sees
+  one scalar per round (the convergence check), never the data.
+- ``decontaminate`` broadcasts the benchmark n-gram set (eval sets are
+  MBs, corpora are TBs), so the corpus is flagged map-side in a single
+  pass with zero shuffle.
+- ``quota_cap`` / ``global_shuffle`` / ``pack_sequences`` shuffle once
+  on their partition key (group / shard). Shards are hash-derived and
+  uniform by construction; ``quota_cap`` partitions by the GROUP
+  column, so a single mega-group (half the corpus from one domain) is
+  the one skew risk — at that scale cap per (group, salt) first and
+  re-cap the survivors (documented, not needed for sane group counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from transferia_spark.functions.portable import pt_ihash
+from transferia_spark.operators.base import Routed, Transformer, register
+from transferia_spark.operators.dedup import DedupMinHashLSH, shingled_docs
+from transferia_spark.schema.colschema import TableID
+
+
+@register
+class DedupCluster(Transformer):
+    """Near-duplicate clusters: MinHash-LSH candidate pairs → connected
+    components → (doc_id, cluster_id, is_keeper).
+
+    Every document is assigned the smallest doc id reachable through
+    the near-dup pair graph (singletons map to themselves); the keeper
+    of each cluster is the minimum id. Downstream, deduplication is a
+    single ``filter(is_keeper)``.
+
+    Algorithm: iterative min-label propagation. labels start as own
+    id; each round every vertex takes the min of its own label and its
+    neighbors' labels; converged when the global label sum stops
+    changing (labels only decrease, so equal sums ⇒ fixpoint). The
+    per-round plan is one shuffle join (edges ⋈ labels) + one
+    min-aggregation — both map-side combinable — and the frame is
+    ``localCheckpoint``-ed so lineage doesn't grow with rounds.
+    """
+
+    TYPE = "dedup_cluster"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        n: int = 3,
+        k: int = 32,
+        bands: int = 8,
+        max_bucket: int | None = 1000,
+        max_rounds: int = 25,
+    ):
+        self.id_col = id_col
+        self.max_rounds = max_rounds
+        self.pairs = DedupMinHashLSH(
+            text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
+        )
+
+    def cluster_pairs(self, pairs: DataFrame) -> DataFrame:
+        """(id, cluster_id) for every vertex present in ``pairs``
+        (columns ``id_a < id_b``)."""
+        edges = pairs.select(
+            F.col("id_a").alias("_src"), F.col("id_b").alias("_dst")
+        ).union(
+            pairs.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
+        )
+        # materialize edges once: every round re-reads them, and without
+        # this the expensive pair pipeline would re-run per round
+        edges = edges.localCheckpoint(eager=True)
+        labels = (
+            edges.select(F.col("_src").alias("_id"))
+            .distinct()
+            .select("_id", F.col("_id").alias("_lbl"))
+            .localCheckpoint(eager=True)
+        )
+        prev_sum = labels.agg(F.sum("_lbl")).collect()[0][0]
+        for _ in range(self.max_rounds):
+            msgs = edges.join(
+                labels, edges["_src"] == labels["_id"], "inner"
+            ).select(F.col("_dst").alias("_id"), F.col("_lbl"))
+            labels = (
+                labels.unionByName(msgs)
+                .groupBy("_id")
+                .agg(F.min("_lbl").alias("_lbl"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("_lbl")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        return labels
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        pairs = self.pairs.apply(table, df)[0][1]
+        labels = self.cluster_pairs(pairs)
+        out = (
+            df.select(self.id_col)
+            .join(labels, df[self.id_col] == labels["_id"], "left")
+            .select(
+                F.col(self.id_col),
+                F.coalesce(F.col("_lbl"), F.col(self.id_col)).alias("cluster_id"),
+            )
+            .withColumn("is_keeper", F.col("cluster_id") == F.col(self.id_col))
+        )
+        return [(table, out)]
+
+
+@register
+class Decontaminate(Transformer):
+    """Flag documents sharing word n-grams with a benchmark set.
+
+    ``bench_mod`` selects the benchmark documents deterministically
+    (``id % bench_mod == 0`` — in production this would be the eval
+    suite); every OTHER document is scored by how many of its distinct
+    n-gram hashes appear anywhere in the benchmark, and flagged
+    ``contaminated`` at ``min_overlap`` shared n-grams.
+
+    Scale shape: the benchmark n-gram set is aggregated and BROADCAST
+    (eval sets are small by definition); the corpus side is a single
+    map-side pass — explode distinct shingles, hash-join against the
+    broadcast set, re-aggregate per doc. The corpus never shuffles on
+    content, only on doc id for the final count (map-side combinable).
+    """
+
+    TYPE = "decontaminate"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        n: int = 3,
+        bench_mod: int = 97,
+        min_overlap: int = 1,
+    ):
+        self.text_col, self.id_col = text_col, id_col
+        self.n, self.bench_mod, self.min_overlap = n, bench_mod, min_overlap
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        is_bench = F.col(self.id_col) % self.bench_mod == 0
+        shd = shingled_docs(df, self.text_col, self.id_col, self.n).select(
+            self.id_col, F.array_distinct("_sh").alias("_shd")
+        )
+        bench = (
+            shd.filter(is_bench)
+            .select(F.explode("_shd").alias("_s"))
+            .distinct()
+        )
+        posted = shd.filter(~is_bench).select(
+            self.id_col, F.explode_outer("_shd").alias("_s")
+        )
+        overlap = (
+            posted.join(F.broadcast(bench), "_s")
+            .groupBy(self.id_col)
+            .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+        )
+        out = (
+            df.filter(~is_bench)
+            .select(self.id_col)
+            .join(overlap, self.id_col, "left")
+            .select(
+                self.id_col,
+                F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            )
+            .withColumn(
+                "contaminated", F.col("overlap_ngrams") >= self.min_overlap
+            )
+        )
+        return [(table, out)]
+
+
+@register
+class QuotaCap(Transformer):
+    """Keep at most ``cap`` rows per ``group_col``, chosen by a
+    deterministic priority hash of the id (so retries/recomputation
+    pick the same rows — ``rand()`` would not).
+
+    One shuffle on the group column + a per-group sort bounded by the
+    group size. Output carries ``pick_rank`` (1-based priority order
+    within the group) for downstream stratified use.
+    """
+
+    TYPE = "quota_cap"
+
+    def __init__(self, group_col: str, id_col: str, cap: int, seed: int = 0):
+        self.group_col, self.id_col = group_col, id_col
+        self.cap, self.seed = cap, seed
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        pri = pt_ihash(F.col(self.id_col), self.seed)
+        rn = F.row_number().over(
+            Window.partitionBy(self.group_col).orderBy(
+                pri.asc(), F.col(self.id_col).asc()
+            )
+        )
+        out = (
+            df.withColumn("pick_rank", rn)
+            .filter(F.col("pick_rank") <= self.cap)
+        )
+        return [(table, out)]
+
+
+@register
+class GlobalShuffle(Transformer):
+    """Deterministic corpus-wide shuffle for training order: every row
+    gets a hash-derived ``shard`` in [0, n_shards) and a dense
+    ``pos`` within its shard, ordered by a seeded hash of the id.
+
+    The global order is (shard, pos) — reproducible across runs and
+    engines. One shuffle on the shard key; position numbering is
+    per-shard (parallel), never a global row_number (which would
+    serialize the corpus through one partition).
+    """
+
+    TYPE = "global_shuffle"
+
+    def __init__(self, id_col: str, n_shards: int = 64, seed: int = 0):
+        self.id_col, self.n_shards, self.seed = id_col, n_shards, seed
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        h = pt_ihash(F.col(self.id_col), self.seed)
+        shard = (h % self.n_shards).alias("shard")
+        pos = F.row_number().over(
+            Window.partitionBy("shard").orderBy(
+                F.col("_h").asc(), F.col(self.id_col).asc()
+            )
+        )
+        out = (
+            df.select(self.id_col, h.alias("_h"), shard)
+            .withColumn("pos", pos)
+            .drop("_h")
+        )
+        return [(table, out)]
+
+
+@register
+class PackSequences(Transformer):
+    """Concat-and-chunk sequence packing: assign every document a
+    (shard, bin) so each bin holds ~``budget`` tokens of contiguous
+    (deterministically shuffled) documents.
+
+    This is the standard pretraining packing shape — concatenate the
+    shard's token stream in a fixed order, then cut it every ``budget``
+    tokens: ``bin = floor(tokens_before_doc / budget)``. A document
+    whose tokens straddle a cut belongs to the bin where it starts
+    (``bin_offset`` says how deep into the bin it begins). Token count
+    here is the whitespace tokenization (`size(words(text))`) — swap in
+    a BPE count column when available.
+
+    One shuffle on the shard key; the cumulative sum is a per-shard
+    window (parallel across shards). Shards are hash-uniform, so the
+    window never sees a skewed partition.
+    """
+
+    TYPE = "pack_sequences"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        budget: int = 2048,
+        n_shards: int = 16,
+        seed: int = 0,
+    ):
+        self.text_col, self.id_col = text_col, id_col
+        self.budget, self.n_shards, self.seed = budget, n_shards, seed
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        from transferia_spark.functions.portable import words
+
+        h = pt_ihash(F.col(self.id_col), self.seed)
+        base = df.select(
+            self.id_col,
+            F.size(words(F.col(self.text_col))).alias("n_tok"),
+            h.alias("_h"),
+            (h % self.n_shards).alias("shard"),
+        )
+        w = Window.partitionBy("shard").orderBy(
+            F.col("_h").asc(), F.col(self.id_col).asc()
+        )
+        cum = F.sum("n_tok").over(w)
+        out = (
+            base.withColumn("_cum", cum)
+            .select(
+                self.id_col,
+                "shard",
+                "n_tok",
+                F.floor((F.col("_cum") - F.col("n_tok")) / self.budget)
+                .cast("long")
+                .alias("bin"),
+                ((F.col("_cum") - F.col("n_tok")) % self.budget)
+                .cast("long")
+                .alias("bin_offset"),
+            )
+        )
+        return [(table, out)]
+
+
+__all__ = [
+    "DedupCluster",
+    "Decontaminate",
+    "QuotaCap",
+    "GlobalShuffle",
+    "PackSequences",
+]
