@@ -7,4 +7,12 @@ from transferia_spark.sinks.base import (  # noqa: F401
     build_sink,
     register_sink,
 )
-from transferia_spark.sinks import clickhouse, files, jdbc, logs, queues, search  # noqa: F401
+from transferia_spark.sinks import (  # noqa: F401
+    bigquery,
+    clickhouse,
+    files,
+    jdbc,
+    logs,
+    queues,
+    search,
+)
