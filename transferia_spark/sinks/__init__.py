@@ -13,6 +13,7 @@ from transferia_spark.sinks import (  # noqa: F401
     files,
     jdbc,
     logs,
+    mongo,
     queues,
     search,
 )
