@@ -50,6 +50,10 @@ class ReplicationPipeline:
     checkpoint_dir: str | None = None
     trigger: dict | None = None  # e.g. {"availableNow": True} / {"processingTime": "333 milliseconds"}
     observe_counters: bool = True
+    # optional pkg/stats-parity registry: when set, a
+    # StreamingQueryListener folds progress (input rows, observed
+    # counters, batch durations) into it for the lifetime of the query
+    registry: object | None = None
 
     def transformed(self) -> DataFrame:
         df = self.stream
@@ -64,6 +68,12 @@ class ReplicationPipeline:
         return df
 
     def start(self, query_name: str = "replication") -> StreamingQuery:
+        if self.registry is not None:
+            from transferia_spark.stats import make_streaming_listener
+
+            self.stream.sparkSession.streams.addListener(
+                make_streaming_listener(self.registry)
+            )
         writer = (
             self.transformed()
             .writeStream.queryName(query_name)
