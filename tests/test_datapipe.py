@@ -38,6 +38,23 @@ def test_minhash_lsh_finds_exact_dup_pair(docs):
     assert all(a < b for a, b in pairs)
 
 
+def test_minhash_arrow_kernel_equals_catalyst_fold(spark):
+    """The numpy signature kernel is the fast path; the Catalyst fold
+    is the executable spec. They must agree bit-for-bit on every band
+    key (all arithmetic is int64 mod P in both)."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 5} epsilon zeta {i % 3}")
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    t = build(
+        "dedup_minhash_lsh", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    )
+    kernel = {r["doc_id"]: r["_bands"] for r in t.signatures(docs).collect()}
+    fold = {r["doc_id"]: r["_bands"] for r in t._signatures_fold(docs).collect()}
+    assert kernel == fold and len(kernel) == 200
+
+
 def test_minhash_bucket_cap_drops_hot_buckets(docs):
     # cap of 1 means every band bucket with >1 member is dropped: no pairs
     out = build(

@@ -179,29 +179,20 @@ class DedupMinHashLSH(Transformer):
         k: int = 32,
         bands: int = 8,
         max_bucket: int | None = 1000,
+        arrow_kernel: bool = True,
     ):
         assert k % bands == 0, "k must divide into equal bands"
         self.text_col, self.id_col = text_col, id_col
         self.n, self.k, self.bands = n, k, bands
         self.rows = k // bands
         self.max_bucket = max_bucket
+        self.arrow_kernel = arrow_kernel
 
-    def signatures(self, df: DataFrame) -> DataFrame:
-        """(id, band-key array) per doc — ZERO shuffle.
-
-        The whole signature is per-row Catalyst expression work:
-        tokenize → word-hash array → shingle-hash array → one left fold
-        updating all k permutation minima per shingle
-        (``minhash_signature_fold``) → band keys over the materialized
-        signature. An earlier formulation exploded shingles to rows and
-        ran k `min` aggregates — correct, but it paid a full shuffle of
-        every (id, shingle) row just to bring each doc's shingles
-        together, data that was already together in the source row.
-        Minhash over the shingle *multiset* equals minhash over the set
-        (min ignores duplicates), so no distinct pass is needed. At
-        100 TB this stage now reads the corpus once and emits one row
-        per doc with no data movement at all.
-        """
+    def _signatures_fold(self, df: DataFrame) -> DataFrame:
+        """Pure-Catalyst face: one left fold updating all k permutation
+        minima per shingle (``minhash_signature_fold``) → band keys.
+        Bit-identical to the Arrow kernel; kept as the executable
+        specification and exercised against it in tests."""
         sh = shingled_docs(df, self.text_col, self.id_col, self.n)
         sigs = sh.select(
             F.col(self.id_col),
@@ -213,6 +204,70 @@ class DedupMinHashLSH(Transformer):
             F.col(self.id_col),
             band_keys(F.col("_sig"), self.bands, self.rows).alias("_bands"),
         )
+
+    def signatures(self, df: DataFrame) -> DataFrame:
+        """(id, band-key array) per doc — ZERO shuffle.
+
+        Tokenization and per-word hashing stay in Catalyst (string work
+        vectorizes fine there and never leaves the JVM... cheaply); the
+        k×|shingles| permutation-minimum sweep — the dominant cost —
+        runs as an Arrow-batched numpy kernel: higher-order Catalyst
+        expressions are interpreted per element (no codegen), measured
+        ~2× slower than the per-document vectorized modular sweep here.
+        All arithmetic is int64 mod P on values < 2^63, so the kernel
+        is bit-identical to the Catalyst fold (asserted in tests).
+
+        An earlier formulation exploded shingles to rows and ran k
+        `min` aggregates — correct, but it paid a full shuffle of every
+        (id, shingle) row for data already together in the source row.
+        Minhash over the shingle *multiset* equals minhash over the
+        set (min ignores duplicates), so no distinct pass is needed. At
+        100 TB this stage reads the corpus once and emits one row per
+        doc with no data movement at all.
+        """
+        if not self.arrow_kernel:
+            return self._signatures_fold(df)
+        import numpy as np
+
+        wh = ensure_parallelism(
+            df.filter(F.size(words(F.col(self.text_col))) >= self.n)
+        ).select(
+            F.col(self.id_col), word_hashes(F.col(self.text_col)).alias("_wh")
+        )
+        n, k, bands, rows = self.n, self.k, self.bands, self.rows
+        P = 1_000_000_007
+        A, B = 2_654_435_761, 40_503
+        a = np.array([(i * A + 1) % P for i in range(k)], dtype=np.int64)
+        b = np.array([(i * B + 17) % P for i in range(k)], dtype=np.int64)
+        binit = np.array(
+            [j * 1_000_003 + 13 for j in range(bands)], dtype=np.int64
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                out_ids, out_bands = [], []
+                for doc_id, whl in zip(pdf[self.id_col], pdf["_wh"]):
+                    w = np.asarray(whl, dtype=np.int64)
+                    # rolling n-word fold: ((7·31+w_i)·31+w_{i+1})… mod P
+                    sh = np.full(len(w) - n + 1, 7, dtype=np.int64)
+                    for off in range(n):
+                        sh = (sh * 31 + w[off : off + len(sh)]) % P
+                    # k-perm minima over the shingle multiset
+                    sig = ((a[:, None] * sh[None, :]) % P + b[:, None]) % P
+                    sig = sig.min(axis=1)
+                    # band keys: band j folds sig[j·rows … j·rows+rows)
+                    acc = binit.copy()
+                    for r in range(rows):
+                        acc = (acc * 31 + sig[np.arange(bands) * rows + r]) % P
+                    out_ids.append(doc_id)
+                    out_bands.append(acc.tolist())
+                import pandas as pd
+
+                yield pd.DataFrame(
+                    {self.id_col: out_ids, "_bands": out_bands}
+                )
+
+        return wh.mapInPandas(kernel, f"{self.id_col} long, _bands array<long>")
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         # explode_OUTER, deliberately: plain explode triggers the
