@@ -16,4 +16,5 @@ from transferia_spark.sinks import (  # noqa: F401
     mongo,
     queues,
     search,
+    yt,
 )
