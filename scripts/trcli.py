@@ -1,15 +1,18 @@
 #!/usr/bin/env python
-"""trcli-equivalent CLI: activate / upload / check a transfer.yaml.
+"""trcli-equivalent CLI over transfer.yaml.
 
-≈ ``cmd/trcli/{activate,upload}`` in transferia/transferia (the
-``replicate`` verb is the ReplicationPipeline API — continuous queries
-don't fit a one-shot CLI process; see
-transferia_spark.streaming.pipeline).
+≈ ``cmd/trcli/{activate,upload,check,validate,describe}`` in
+transferia/transferia (the ``replicate`` verb is the
+ReplicationPipeline API — continuous queries don't fit a one-shot CLI
+process; see transferia_spark.streaming.pipeline).
 
 Usage:
   python scripts/trcli.py activate --transfer transfer.yaml
+  python scripts/trcli.py activate --transfer transfer.yaml --regular --max-runs 3
   python scripts/trcli.py upload   --transfer transfer.yaml --tables t1,t2
   python scripts/trcli.py check    --transfer transfer.yaml   # parse+validate only
+  python scripts/trcli.py validate --transfer transfer.yaml   # alias of check
+  python scripts/trcli.py describe --transfer transfer.yaml   # endpoints+plan summary
   python scripts/trcli.py checksum --transfer transfer.yaml   # verify delivery
 """
 
@@ -23,20 +26,50 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 def main() -> int:
     ap = argparse.ArgumentParser(prog="trcli")
-    ap.add_argument("verb", choices=["activate", "upload", "check", "checksum"])
+    ap.add_argument(
+        "verb",
+        choices=["activate", "upload", "check", "validate", "describe", "checksum"],
+    )
     ap.add_argument("--transfer", required=True, help="path to transfer.yaml")
     ap.add_argument("--tables", default="", help="comma list (upload/checksum)")
+    ap.add_argument(
+        "--regular", action="store_true",
+        help="activate on the regular_snapshot schedule (interval loop)",
+    )
+    ap.add_argument(
+        "--max-runs", type=int, default=None,
+        help="bound the --regular loop (default: run forever)",
+    )
     args = ap.parse_args()
 
     from transferia_spark.plans.config import transfer_from_yaml
 
     spec = transfer_from_yaml(args.transfer)
-    if args.verb == "check":
+    if args.verb in ("check", "validate"):
         print(f"OK: type={spec.type.value} "
               f"transformers={len(spec.transformation.transformers)}")
         return 0
+    if args.verb == "describe":
+        # ≈ cmd/trcli/describe: endpoint + plan summary, no execution
+        print(f"type: {spec.type.value}")
+        print(f"src:  {type(spec.src).__name__}")
+        print(f"dst:  {type(spec.dst).__name__}  cleanup={spec.cleanup.value}")
+        for t in spec.transformation.transformers:
+            print(f"transformer: {t.TYPE}")
+        if spec.include:
+            print(f"include: {','.join(spec.include)}")
+        if spec.exclude:
+            print(f"exclude: {','.join(spec.exclude)}")
+        rs = spec.regular_snapshot or {}
+        if rs.get("enabled"):
+            print(f"regular_snapshot: every {rs.get('interval', 3600)}s")
+        return 0
 
-    from transferia_spark.plans.transfer import activate, upload
+    from transferia_spark.plans.transfer import (
+        activate,
+        run_regular_snapshots,
+        upload,
+    )
     from transferia_spark.session import get_spark
 
     spark = get_spark()
@@ -53,7 +86,12 @@ def main() -> int:
             print(f"{name}: {status}")
         return 1 if bad else 0
     if args.verb == "activate":
-        written = activate(spark, spec)
+        if args.regular:
+            runs = run_regular_snapshots(spark, spec, max_runs=args.max_runs)
+            print(f"runs: {len(runs)}")
+            written = runs[-1]
+        else:
+            written = activate(spark, spec)
     else:
         if not tables:
             ap.error("upload needs --tables")

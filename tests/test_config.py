@@ -100,6 +100,29 @@ type_system_version: 4
     assert spec.type_system_version == 4
 
 
+def test_run_regular_snapshots_loop_and_interval(spark, sf_dir, tmp_path):
+    """≈ abstract.RegularSnapshot: activate repeats on the interval;
+    sleeps happen between runs with the configured interval; disabled
+    config degrades to a single activate."""
+    from transferia_spark.plans.transfer import run_regular_snapshots
+
+    out = str(tmp_path / "reg")
+    spec = transfer_from_yaml(
+        _yaml(sf_dir, out)
+        + "regular_snapshot: {enabled: true, interval: 7}\n"
+    )
+    slept = []
+    runs = run_regular_snapshots(
+        spark, spec, max_runs=3, sleep_fn=slept.append
+    )
+    assert len(runs) == 3
+    assert slept == [7.0, 7.0]  # interval between runs, none after last
+    assert spark.read.parquet(os.path.join(out, "nation")).count() == 25
+
+    spec2 = transfer_from_yaml(_yaml(sf_dir, str(tmp_path / "reg2")))
+    assert len(run_regular_snapshots(spark, spec2, max_runs=5)) == 1
+
+
 def test_multi_table_file_source(spark, sf_dir, tmp_path):
     """tables: [...] turns a directory into one TableID per object
     (≈ the S3 provider listing objects into tables)."""

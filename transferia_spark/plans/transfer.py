@@ -160,6 +160,40 @@ def activate(spark: SparkSession, spec: TransferSpec) -> dict[str, int]:
     return written
 
 
+def run_regular_snapshots(
+    spark: SparkSession,
+    spec: TransferSpec,
+    max_runs: int | None = None,
+    sleep_fn=None,
+) -> list[dict[str, int]]:
+    """Scheduled re-snapshots (≈ ``abstract.RegularSnapshot``,
+    ``pkg/abstract/regular_snapshot.go:5-19``): re-run ``activate`` on
+    the configured interval. With incremental cursor columns declared,
+    every run past the first is a delta snapshot (the cursor state
+    carries between runs — ``updateIncrementalState`` ordering);
+    without them, each run is a full reload under the cleanup policy.
+
+    ``regular_snapshot: {enabled: true, interval: <seconds>}`` in
+    transfer.yaml; cron-style schedules belong to an external
+    scheduler invoking ``trcli activate``, exactly like the reference's
+    control plane. ``max_runs``/``sleep_fn`` exist for tests and
+    bounded backfills.
+    """
+    import time as _time
+
+    cfg = spec.regular_snapshot or {}
+    if not cfg.get("enabled", False):
+        return [activate(spark, spec)]
+    interval = float(cfg.get("interval", 3600))
+    sleep = sleep_fn if sleep_fn is not None else _time.sleep
+    results: list[dict[str, int]] = []
+    while True:
+        results.append(activate(spark, spec))
+        if max_runs is not None and len(results) >= max_runs:
+            return results
+        sleep(interval)
+
+
 def upload(spark: SparkSession, spec: TransferSpec, tables: list[str]) -> dict[str, int]:
     """Ad-hoc (re)load of explicit tables (≈ tasks.Upload)."""
     narrowed = TransferSpec(
