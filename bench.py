@@ -98,8 +98,12 @@ def main() -> None:
     mod = _load_entry()
     queries = mod.queries()
     spark = get_spark("bench")
-    # warm the JVM + file index once with a trivial action
+    # warm the JVM + file index once with a trivial action, and the
+    # Python worker pool (Arrow kernels pay daemon startup on first use)
     load_tables(spark, SF_DIR, ["region"])["region"].count()
+    spark.range(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -55,6 +55,18 @@ def test_minhash_arrow_kernel_equals_catalyst_fold(spark):
     assert kernel == fold and len(kernel) == 200
 
 
+def test_simhash_arrow_kernel_equals_catalyst_fold(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i % 7} delta") for i in range(200)],
+        "doc_id long, text string",
+    )
+    t = build("dedup_simhash", text_col="text", id_col="doc_id")
+    kernel = {r["doc_id"]: r["simhash"] for r in t.fingerprints(docs).collect()}
+    fold = {r["doc_id"]: r["simhash"]
+            for r in t._fingerprints_fold(docs).collect()}
+    assert kernel == fold and len(kernel) == 200
+
+
 def test_minhash_bucket_cap_drops_hot_buckets(docs):
     # cap of 1 means every band bucket with >1 member is dropped: no pairs
     out = build(

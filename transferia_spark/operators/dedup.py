@@ -310,21 +310,56 @@ class DedupSimHash(Transformer):
         id_col: str,
         max_hamming: int = 3,
         max_bucket: int | None = 10000,
+        arrow_kernel: bool = True,
     ):
         self.text_col, self.id_col = text_col, id_col
         self.max_hamming = max_hamming
         self.max_bucket = max_bucket
+        self.arrow_kernel = arrow_kernel
 
     def fingerprints(self, df: DataFrame) -> DataFrame:
-        """(id, simhash) — ZERO shuffle.
+        """(id, simhash) — ZERO shuffle; Arrow kernel fast path with
+        the Catalyst fold as the executable spec (same trade-off as
+        DedupMinHashLSH.signatures: interpreted HOFs vs vectorized
+        int64 bit counting, bit-identical results)."""
+        if self.arrow_kernel:
+            return self._fingerprints_kernel(df)
+        return self._fingerprints_fold(df)
 
-        One left fold over the word-hash array updates all 32 signed
-        bit counters per word (``zip_with`` against a constant mask
-        array); a second fold converts positive counters to bits. An
-        earlier formulation exploded words to rows and ran 32 `sum`
-        aggregates — a full shuffle of every (id, word) row for data
-        already collocated in the source row. Zero-word docs are
-        dropped (as the row formulation did implicitly).
+    def _fingerprints_kernel(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        wh = ensure_parallelism(
+            df.filter(F.size(words(F.col(self.text_col))) >= 1)
+        ).select(self.id_col, word_hashes(F.col(self.text_col)).alias("_wh"))
+
+        def kernel(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids, fps = [], []
+                for doc_id, whl in zip(pdf[self.id_col], pdf["_wh"]):
+                    w = np.asarray(whl, dtype=np.int64)
+                    # bit j counter: (+1 per word with bit set, -1 else)
+                    # = 2·popcount_j − n; positive ⇒ bit j set
+                    bits = (w[:, None] >> np.arange(SIMHASH_BITS)) & 1
+                    counts = 2 * bits.sum(axis=0) - len(w)
+                    fp = int(((counts > 0) << np.arange(SIMHASH_BITS)).sum())
+                    ids.append(doc_id)
+                    fps.append(fp)
+                yield pd.DataFrame({self.id_col: ids, "simhash": fps})
+
+        return wh.mapInPandas(kernel, f"{self.id_col} long, simhash long")
+
+    def _fingerprints_fold(self, df: DataFrame) -> DataFrame:
+        """Pure-Catalyst face: one left fold over the word-hash array
+        updates all 32 signed bit counters per word (``zip_with``
+        against a constant mask array); a second fold converts positive
+        counters to bits. An earlier formulation exploded words to rows
+        and ran 32 `sum` aggregates — a full shuffle of every
+        (id, word) row for data already collocated in the source row.
+        Zero-word docs are dropped (as the row formulation did
+        implicitly).
         """
         masks = F.array(
             *[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)]
