@@ -61,7 +61,8 @@ def test_simhash_arrow_kernel_equals_catalyst_fold(spark):
         "doc_id long, text string",
     )
     t = build("dedup_simhash", text_col="text", id_col="doc_id")
-    kernel = {r["doc_id"]: r["simhash"] for r in t.fingerprints(docs).collect()}
+    kernel = {r["doc_id"]: r["simhash"]
+              for r in t._fingerprints_kernel(docs).collect()}
     fold = {r["doc_id"]: r["simhash"]
             for r in t._fingerprints_fold(docs).collect()}
     assert kernel == fold and len(kernel) == 200

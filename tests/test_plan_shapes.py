@@ -126,3 +126,41 @@ def test_cdc_merge_is_single_full_outer_join(spark):
     merged = apply_changelog(base, events_changelog(ev), keys=["user_id"])
     plan = _simple_plan(merged)
     assert plan.count("FullOuter") == 1
+
+
+def test_corpus_window_ops_single_exchange(spark):
+    """quota_cap / global_shuffle / pack_sequences each shuffle exactly
+    once (on their partition key) — the window never introduces a
+    second exchange or a global sort."""
+    from transferia_spark.operators import build
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 5}", "some words here for tokens") for i in range(64)],
+        "doc_id long, source string, text string",
+    )
+    for op in (
+        build("quota_cap", group_col="source", id_col="doc_id", cap=5),
+        build("global_shuffle", id_col="doc_id", n_shards=4),
+        build("pack_sequences", text_col="text", id_col="doc_id",
+              budget=64, n_shards=4),
+    ):
+        plan = _simple_plan(op.apply_df(docs))
+        n = len(re.findall(r"\bExchange hashpartitioning", plan))
+        assert n == 1, f"{op.TYPE}: expected 1 hash exchange, saw {n}"
+        assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_dedup_cluster_round_plan_is_join_plus_partial_agg(spark):
+    """One label-propagation round = one shuffle join + one
+    min-aggregation with a map-side partial (the shape that bounds a
+    round's cost at scale)."""
+    from transferia_spark.operators.corpus import DedupCluster
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    t = DedupCluster(text_col="text", id_col="doc_id", max_rounds=1)
+    labels = t.cluster_pairs(pairs)
+    plan = _simple_plan(labels)
+    # localCheckpoint truncates lineage: the surviving plan is a scan
+    assert "Scan ExistingRDD" in plan
