@@ -120,6 +120,68 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# these three run the SAME ANSI text on Spark and DuckDB — the whole
+# point of the `sql` transformer surface (SURVEY §2.5): Catalyst and the
+# oracle agree on semi-joins, anti-joins, and conditional aggregation
+TPCH_Q4ISH = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1994-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+      )
+    GROUP BY o_orderpriority
+"""
+
+TPCH_Q14ISH = """
+    SELECT CAST(CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) * 100.0 AS DOUBLE)
+           AS promo_pct
+    FROM (
+      SELECT
+        SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    ) t
+"""
+
+TPCH_Q16ISH = """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size IN (1, 3, 5)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+"""
+
+
+def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (Catalyst rewrites the subquery)."""
+    _register(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(TPCH_Q4ISH)
+
+
+def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a fact⋈dim join; decimal-exact sums,
+    one double division at the end (identical bits both engines)."""
+    _register(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(TPCH_Q14ISH)
+
+
+def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN → null-aware anti join + count distinct."""
+    _register(spark, sf_dir, ["part", "lineitem", "supplier"])
+    return spark.sql(TPCH_Q16ISH)
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1551,6 +1613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q6": q_tpch_q6,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q14ish": q_tpch_q14ish,
+        "tpch_q16ish": q_tpch_q16ish,
         "window_topk": q_window_topk,
         "events_hourly_rollup": q_events_hourly_rollup,
         # -- transformers ----------------------------------------------
@@ -1677,6 +1742,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
         """,
+        "tpch_q4ish": TPCH_Q4ISH,
+        "tpch_q14ish": TPCH_Q14ISH,
+        "tpch_q16ish": TPCH_Q16ISH,
         "tpch_q5ish": """
             SELECT n_name,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -52,6 +52,14 @@ _YT_TO_SPARK: dict[str, T.DataType] = {
     "any": T.StringType(),  # JSON-serialized container
     # v2 extensions (pkg/abstract2/types): decimal handled parametrically below
     "json": T.StringType(),
+    # TIMESTAMP in Spark is session-tz-normalized instants (UTC-stored),
+    # which is exactly what timestamp_tz carries
+    "timestamp_tz": T.TimestampType(),
+    # big_float exceeds IEEE doubles in the v2 model; Spark has no wider
+    # float, so it downgrades to double — the same representational
+    # fallback the reference's versioned fallbacks apply
+    "big_float": T.DoubleType(),
+    "composite": T.StringType(),  # JSON container, like "any"
 }
 
 
