@@ -11,6 +11,7 @@ from transferia_spark.sinks import (  # noqa: F401
     bigquery,
     clickhouse,
     files,
+    greenplum,
     jdbc,
     logs,
     mongo,
