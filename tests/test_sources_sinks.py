@@ -154,3 +154,20 @@ def test_gated_connectors_registered_and_fail_cleanly(spark, sf_dir):
     delta = build_source("delta", path=f"{sf_dir}/nation.parquet")
     with pytest.raises(NotImplementedError, match="delta-spark"):
         delta.load_table(spark, TableID("", "nation"))
+
+
+def test_expand_partitions_multi_level():
+    """≈ storage_partition_expander.go: parents replaced by leaf
+    descendants (transitively), plain tables untouched, no dupes."""
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sources.jdbc import JdbcSource, expand_partitions
+
+    p = TableID("public", "events")
+    c1, c2 = TableID("public", "events_2024"), TableID("public", "events_2025")
+    g1 = TableID("public", "events_2024_q1")
+    plain = TableID("public", "plain")
+    got = expand_partitions([p, plain, c2], {p: [c1, c2], c1: [g1]})
+    # leaves only; parent and intermediate level gone; c2 deduped
+    assert set(got) == {g1, c2, plain}
+    assert len(got) == 3
+    assert "pg_inherits" in JdbcSource.PARTITION_CHILDREN_SQL

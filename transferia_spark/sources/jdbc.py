@@ -93,6 +93,16 @@ class JdbcSource(Source):
     def table_list(self, spark: SparkSession) -> list[TableID]:
         return [TableID.parse(t) for t in self.tables]
 
+    PARTITION_CHILDREN_SQL = """
+        SELECT pn.nspname AS parent_schema, p.relname AS parent_name,
+               cn.nspname AS child_schema,  c.relname AS child_name
+        FROM pg_inherits i
+          JOIN pg_class p  ON i.inhparent = p.oid
+          JOIN pg_class c  ON i.inhrelid  = c.oid
+          JOIN pg_namespace pn ON p.relnamespace = pn.oid
+          JOIN pg_namespace cn ON c.relnamespace = cn.oid
+    """  # ≈ the reference's pg_inherits catalog read (flavour.go:111)
+
     def load_table(
         self,
         spark: SparkSession,
@@ -116,3 +126,44 @@ class JdbcSource(Source):
                 properties={k: v for k, v in self._options().items() if k != "url"},
             )
         return reader.load()
+
+
+def expand_partitions(
+    tables: list[TableID], parent_to_children: dict[TableID, list[TableID]]
+) -> list[TableID]:
+    """≈ ``Storage.ExpandPartitions``
+    (``postgres/storage_partition_expander.go:12``): replace each
+    partitioned parent in the load list with ALL its leaf descendants
+    (multi-level partitioning traversed transitively), keeping children
+    already present and never duplicating. Reading children instead of
+    the parent is what parallelizes a partitioned table's snapshot —
+    each child becomes its own unit of work (own shard predicates, own
+    progress entry) instead of one giant parent scan.
+
+    ``parent_to_children`` comes from the ``PARTITION_CHILDREN_SQL``
+    catalog read; this function is pure so the expansion logic is
+    testable without a live PostgreSQL.
+    """
+    out: list[TableID] = []
+    seen: set[TableID] = set()
+
+    def add(t: TableID) -> None:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+
+    for t in tables:
+        if t not in parent_to_children:
+            add(t)
+            continue
+        # BFS to the leaves; intermediate partitioned levels are not
+        # physical row holders and are skipped
+        queue = list(parent_to_children[t])
+        while queue:
+            child = queue.pop(0)
+            kids = parent_to_children.get(child)
+            if kids:
+                queue.extend(kids)
+            else:
+                add(child)
+    return out
