@@ -35,8 +35,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4ish",
     "tpch_q5ish",
     "tpch_q6",
+    "tpch_q14ish",
+    "tpch_q16ish",
     "window_topk",
     "events_hourly_rollup",
     "cdc_collapse",
