@@ -5,6 +5,7 @@ from transferia_spark.sources import (  # noqa: F401
     airbyte,
     clickhouse,
     delta,
+    elastic,
     enterprise,
     files,
     jdbc,
