@@ -502,6 +502,45 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.apply_df(e)
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data assembly chain, end to end in one
+    DAG: near-dup cluster dedup (keep cluster minima) → benchmark
+    decontamination (drop eval docs and docs overlapping them) →
+    per-source quota caps → deterministic shard/pack into token-budget
+    bins. Every stage is a registry operator; the oracle recomputes the
+    whole chain in one recursive-CTE SQL statement."""
+    d = _t(spark, sf_dir, "documents")
+    cl = build("dedup_cluster", text_col="text", id_col="doc_id", **MINHASH)
+    keepers = d.join(
+        cl.apply_df(d).filter("is_keeper").select("doc_id"), "doc_id", "left_semi"
+    )
+    dec = build(
+        "decontaminate",
+        text_col="text",
+        id_col="doc_id",
+        n=3,
+        bench_mod=DECON_BENCH_MOD,
+        min_overlap=DECON_MIN_OVERLAP,
+    ).apply_df(keepers)
+    clean = keepers.join(
+        dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    capped = build(
+        "quota_cap", group_col="source", id_col="doc_id", cap=30, seed=7
+    ).apply_df(clean)
+    packed = build(
+        "pack_sequences",
+        text_col="text",
+        id_col="doc_id",
+        budget=512,
+        n_shards=8,
+        seed=1,
+    ).apply_df(capped)
+    return packed.join(
+        capped.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "shard", "n_tok", "bin", "bin_offset")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     t = build("lang_id", text_col="text")
@@ -1397,6 +1436,77 @@ SELECT query_id, neighbor_id, rank, sim_bp FROM (
 """
 
 
+def _sql_corpus_pipeline() -> str:
+    """The whole assembly chain as one statement: cluster closure →
+    keepers → decontamination over keepers → per-source caps → pack."""
+    h = pf.sql_pt_ihash("doc_id", 1)
+    w = pf.sql_words("text")
+    return f"""
+WITH RECURSIVE {_sql_minhash_cte()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lbl AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+keepers AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d
+  LEFT JOIN lbl l ON l.doc_id = d.doc_id
+  WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id
+),
+kdocs AS (SELECT doc_id, {pf.sql_word_hashes(w)} AS wh FROM keepers),
+ksh AS (
+  SELECT DISTINCT doc_id, unnest({pf.sql_shingle_hashes("wh", 3)}) AS s
+  FROM kdocs WHERE len(wh) >= 3
+),
+bench AS (
+  SELECT DISTINCT s FROM ksh WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+ov AS (
+  SELECT ksh.doc_id, count(*) AS n
+  FROM ksh JOIN bench USING (s)
+  WHERE ksh.doc_id % {DECON_BENCH_MOD} <> 0
+  GROUP BY ksh.doc_id
+),
+clean AS (
+  SELECT k.doc_id, k.text, k.source FROM keepers k
+  LEFT JOIN ov ON ov.doc_id = k.doc_id
+  WHERE k.doc_id % {DECON_BENCH_MOD} <> 0
+    AND coalesce(ov.n, 0) < {DECON_MIN_OVERLAP}
+),
+capped AS (
+  SELECT doc_id, text, source FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source
+      ORDER BY {pf.sql_pt_ihash("doc_id", 7)} ASC, doc_id ASC) AS rn
+    FROM clean
+  ) WHERE rn <= 30
+),
+pk_base AS (
+  SELECT doc_id, source, len({w})::INT AS n_tok,
+         {h} AS h, ({h}) % 8 AS shard
+  FROM capped
+),
+pk_cum AS (
+  SELECT doc_id, source, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pk_base
+)
+SELECT doc_id, source, shard, n_tok,
+       floor((cum - n_tok) / 512)::BIGINT AS bin,
+       ((cum - n_tok) % 512)::BIGINT AS bin_offset
+FROM pk_cum
+"""
+
+
 def _sql_simhash() -> str:
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
@@ -1656,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_cap": q_quota_cap,
         "global_shuffle": q_global_shuffle,
         "pack_sequences": q_pack_sequences,
+        "corpus_pipeline": q_corpus_pipeline,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1875,6 +1986,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pack_sequences": _sql_pack_sequences(),
+        "corpus_pipeline": _sql_corpus_pipeline(),
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),
         "token_count": f"""

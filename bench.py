@@ -60,6 +60,7 @@ HEADLINE = [
     "quota_cap",
     "global_shuffle",
     "pack_sequences",
+    "corpus_pipeline",
     "lang_id",
     "quality_score",
     "token_count",
