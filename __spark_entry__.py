@@ -488,6 +488,24 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.apply_df(d)
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-ordered multi-probe LSH: each query also probes the
+    buckets behind its 2 nearest hyperplanes — the standard recall
+    knob (probe count), corpus side untouched."""
+    e = _t(spark, sf_dir, "embeddings")
+    t = build(
+        "ann_lsh_bucketed",
+        vec_col="embedding",
+        id_col="vec_id",
+        query_pred=ANN_QUERY_PRED,
+        dim=EMB_DIM,
+        n_planes=LSH_PLANES,
+        k=ANN_K,
+        probes=3,
+    )
+    return t.apply_df(e)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     t = build(
@@ -1389,6 +1407,46 @@ FROM c
 """
 
 
+def _sql_ann_multiprobe() -> str:
+    bucket = pf.sql_hyperplane_bucket("e", LSH_PLANES, EMB_DIM)
+    dots = pf.sql_plane_dots("e", LSH_PLANES, EMB_DIM)
+    sim = pf.sql_qcosine(pf.sql_qdot("p.e", "c.e"), "p.n2", "c.n2")
+    return f"""
+WITH qv AS (
+  SELECT vec_id, {pf.sql_quantize("embedding")} AS e FROM embeddings
+),
+base AS (
+  SELECT vec_id, e, {pf.sql_qdot("e", "e")} AS n2, {bucket} AS bucket
+  FROM qv
+),
+qd AS (
+  SELECT vec_id AS query_id, e, n2, bucket, {dots} AS dots
+  FROM base WHERE vec_id < 8
+),
+probe AS (
+  SELECT query_id, e, n2, bucket FROM qd
+  UNION ALL
+  SELECT query_id, e, n2, xor(bucket, (1::BIGINT << plane)) AS bucket FROM (
+    SELECT q.query_id, q.e, q.n2, q.bucket, t.range AS plane,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY abs(q.dots[t.range + 1]) ASC, t.range ASC) AS rn
+    FROM qd q, range(0, {LSH_PLANES}) t
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, {pf.sql_floor_bp(sim)} AS sim_bp
+  FROM probe p JOIN base c
+    ON p.bucket = c.bucket AND p.query_id != c.vec_id
+)
+SELECT query_id, neighbor_id, rank, sim_bp FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim_bp DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {ANN_K}
+"""
+
+
 def _sql_ann_ivf() -> str:
     csim = pf.sql_qcosine(pf.sql_qdot("b.e", "ct.ce"), "b.n2", "ct.cn2")
     return f"""
@@ -1761,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "dedup_cluster": q_dedup_cluster,
         "decontaminate": q_decontaminate,
         "quota_cap": q_quota_cap,
@@ -1965,6 +2024,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": _sql_ann(bucketed=False),
         "ann_lsh_bucketed": _sql_ann(bucketed=True),
         "ann_ivf": _sql_ann_ivf(),
+        "ann_lsh_multiprobe": _sql_ann_multiprobe(),
         "dedup_cluster": _sql_dedup_cluster(),
         "decontaminate": _sql_decontaminate(),
         "quota_cap": f"""

@@ -189,3 +189,24 @@ def test_ann_ivf_assignment_is_shuffle_free(emb):
     plan = op.assigned(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_ann_multiprobe_recall_at_least_single_probe(emb):
+    """Margin-ordered multi-probe may only ADD candidate buckets for a
+    query, so its top-k overlap with the exact answer is >= the
+    single-probe overlap."""
+    def topk(probes):
+        return build(
+            "ann_lsh_bucketed", vec_col="embedding", id_col="vec_id",
+            query_pred="vec_id < 4", dim=64, n_planes=6, k=10, probes=probes,
+        ).apply_df(emb)
+
+    bf = build(
+        "ann_brute_force", vec_col="embedding", id_col="vec_id",
+        query_pred="vec_id < 4", k=10,
+    ).apply_df(emb)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    one = {(r["query_id"], r["neighbor_id"]) for r in topk(1).collect()}
+    three = {(r["query_id"], r["neighbor_id"]) for r in topk(3).collect()}
+    assert len(three & truth) >= len(one & truth)
+    assert len(three) >= len(one)  # more probes never shrink candidates

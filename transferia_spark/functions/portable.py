@@ -370,6 +370,34 @@ def hyperplane_bucket(qvec: Column, n_planes: int, dim: int) -> Column:
     return bucket
 
 
+def plane_dots(qvec: Column, n_planes: int, dim: int) -> Column:
+    """Array of exact int64 dot products against every LSH plane —
+    the margin signal multi-probe ranks bit flips by (planes closest
+    to the vector are the likeliest sign errors)."""
+    dots = []
+    for q in range(n_planes):
+        plane = F.array(*[F.lit(p).cast("long") for p in _plane(q, dim)])
+        dots.append(
+            F.aggregate(
+                F.zip_with(qvec, plane, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*dots)
+
+
+def sql_plane_dots(qvec: str, n_planes: int, dim: int) -> str:
+    exprs = []
+    for q in range(n_planes):
+        plane_lit = "[" + ", ".join(str(p) for p in _plane(q, dim)) + "]"
+        exprs.append(
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> {qvec}[i] * ({plane_lit})[i]))::BIGINT"
+        )
+    return "[" + ", ".join(exprs) + "]"
+
+
 def sql_hyperplane_bucket(qvec: str, n_planes: int, dim: int) -> str:
     terms = []
     for q in range(n_planes):

@@ -121,9 +121,11 @@ class AnnLshBucketed(_AnnBase):
         dim: int,
         n_planes: int = 6,
         k: int = 10,
+        probes: int = 1,
     ):
         super().__init__(vec_col, id_col, query_pred, k)
         self.dim, self.n_planes = dim, n_planes
+        self.probes = probes
 
     def bucketed(self, df: DataFrame) -> DataFrame:
         base = self._quantized(df)
@@ -131,16 +133,50 @@ class AnnLshBucketed(_AnnBase):
             "bucket", hyperplane_bucket(F.col("_q"), self.n_planes, self.dim)
         )
 
-    def apply(self, table: TableID, df: DataFrame) -> Routed:
-        base = self.bucketed(df)
-        q = F.broadcast(
-            base.filter(self.query_pred).select(
-                F.col(self.id_col).alias("query_id"),
-                F.col("_q").alias("_qv"),
-                F.col("_n2").alias("_qn2"),
-                "bucket",
+    def _query_probes(self, base: DataFrame) -> DataFrame:
+        """Multi-probe expansion of the (tiny) query side: beyond its
+        own bucket, each query probes the buckets reached by flipping
+        the ``probes-1`` planes it sits CLOSEST to (smallest |dot| —
+        the standard margin-ordered multi-probe of Lv et al., VLDB'07:
+        a near-boundary plane is the likeliest sign error). The corpus
+        never expands — each corpus vector stays in exactly one bucket,
+        so probe buckets being distinct means no candidate dedup pass.
+        """
+        from transferia_spark.functions.portable import plane_dots
+
+        q = base.filter(self.query_pred).select(
+            F.col(self.id_col).alias("query_id"),
+            F.col("_q").alias("_qv"),
+            F.col("_n2").alias("_qn2"),
+            "bucket",
+            plane_dots(F.col("_q"), self.n_planes, self.dim).alias("_dots"),
+        )
+        if self.probes <= 1:
+            return q.drop("_dots")
+        flip_rn = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.abs(F.col("_dot")).asc(), F.col("_plane").asc()
             )
         )
+        flips = (
+            q.select(
+                "query_id", "_qv", "_qn2", "bucket",
+                F.posexplode("_dots").alias("_plane", "_dot"),
+            )
+            .withColumn("_rn", flip_rn)
+            .filter(F.col("_rn") <= self.probes - 1)
+            .select(
+                "query_id", "_qv", "_qn2",
+                F.col("bucket")
+                .bitwiseXOR(F.expr("shiftleft(CAST(1 AS BIGINT), _plane)"))
+                .alias("bucket"),
+            )
+        )
+        return q.drop("_dots").unionByName(flips)
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        base = self.bucketed(df)
+        q = F.broadcast(self._query_probes(base))
         c = base.select(
             F.col(self.id_col).alias("neighbor_id"),
             F.col("_q").alias("_cv"),
