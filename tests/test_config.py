@@ -145,3 +145,36 @@ transformation:
     assert nation.count() == 25 and "n_comment" not in nation.columns
     region = spark.read.parquet(os.path.join(out, "region"))
     assert region.count() == 5 and "r_comment" not in region.columns
+
+
+def test_add_and_remove_tables(spark, sf_dir, tmp_path):
+    """≈ tasks.AddTables / RemoveTables: add loads only the new tables
+    and widens the include list; remove excludes without deleting
+    delivered data."""
+    from transferia_spark.plans.transfer import add_tables, remove_tables
+
+    out = str(tmp_path / "addrm")
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_ONLY
+src:
+  type: file
+  params: {{path: {sf_dir}, format: parquet, tables: [nation, region]}}
+dst:
+  type: file
+  params: {{path: {out}, format: parquet}}
+data_objects: {{include_objects: [nation]}}
+""")
+    activate(spark, spec)
+    assert os.path.exists(os.path.join(out, "nation"))
+    assert not os.path.exists(os.path.join(out, "region"))
+
+    counts = add_tables(spark, spec, ["region"])
+    assert "region" in counts and "region" in spec.include
+    assert os.path.exists(os.path.join(out, "region"))
+    # adding again is a no-op (already included)
+    assert add_tables(spark, spec, ["region"]) == {}
+
+    remove_tables(spec, ["nation"])
+    assert "nation" not in spec.include and "nation" in spec.exclude
+    # delivered data stays on disk
+    assert os.path.exists(os.path.join(out, "nation"))

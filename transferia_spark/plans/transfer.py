@@ -194,6 +194,35 @@ def run_regular_snapshots(
         sleep(interval)
 
 
+def add_tables(
+    spark: SparkSession, spec: TransferSpec, tables: list[str]
+) -> dict[str, int]:
+    """≈ ``tasks.AddTables`` (``worker/tasks/add_tables.go:25``): grow a
+    transfer's table set — snapshot-load ONLY the new tables (the
+    existing ones are not reloaded), then widen the include list so
+    subsequent activations/replication cover them. The reference stops
+    the replication job around this; in Spark the streaming query
+    restart is the caller's concern (schema_drift supervisor)."""
+    fresh = [t for t in tables if t not in spec.include]
+    counts = upload(spark, spec, fresh) if fresh else {}
+    if spec.include:
+        spec.include.extend(fresh)
+    return counts
+
+
+def remove_tables(spec: TransferSpec, tables: list[str]) -> None:
+    """≈ ``tasks.RemoveTables``: narrow the transfer — data already
+    delivered stays (the reference never deletes on remove), future
+    runs exclude the tables."""
+    if spec.include:
+        # empty include after filtering selects NOTHING (not everything)
+        # per _selected — removing every table stops the transfer cold
+        spec.include = [t for t in spec.include if t not in tables]
+    for t in tables:
+        if t not in spec.exclude:
+            spec.exclude.append(t)
+
+
 def upload(spark: SparkSession, spec: TransferSpec, tables: list[str]) -> dict[str, int]:
     """Ad-hoc (re)load of explicit tables (≈ tasks.Upload)."""
     narrowed = TransferSpec(
