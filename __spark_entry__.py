@@ -162,6 +162,73 @@ TPCH_Q16ISH = """
     GROUP BY p_brand, p_size
 """
 
+TPCH_Q7ISH = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l_shipdate) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
+      FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+TPCH_Q10ISH = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+TPCH_Q18ISH = """
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS total, t.sum_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+      ) t ON o_orderkey = t.l_orderkey
+"""
+
+TPCH_Q22ISH = """
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+"""
+
 
 def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS → left-semi join (Catalyst rewrites the subquery)."""
@@ -180,6 +247,33 @@ def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN → null-aware anti join + count distinct."""
     _register(spark, sf_dir, ["part", "lineitem", "supplier"])
     return spark.sql(TPCH_Q16ISH)
+
+
+def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-joined dim (nation×2) volume shipping; both nation sides
+    broadcast, fact tables shuffle on their join keys only."""
+    _register(spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"])
+    return spark.sql(TPCH_Q7ISH)
+
+
+def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue top-20 (agg → global top-k with tiebreak)."""
+    _register(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    return spark.sql(TPCH_Q10ISH)
+
+
+def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-order detection: HAVING over a pre-aggregated fact join."""
+    _register(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(TPCH_Q18ISH)
+
+
+def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery threshold + NOT EXISTS anti join. The threshold
+    is an exact-decimal sum divided by a count — bit-identical doubles
+    in both engines, so the boundary can't flip rows."""
+    _register(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(TPCH_Q22ISH)
 
 
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,6 +323,72 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order
+    (greatest o_orderdate <= ts). Union-tag + window carry-forward —
+    one shuffle per side, no pair enumeration (operators/joins.py).
+
+    The right side is pre-aggregated to one row per (custkey, date) so
+    ties can't make the answer nondeterministic in either engine."""
+    from transferia_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    r = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("matched_order"))
+    )
+    return asof_join(
+        ev,
+        r,
+        left_on=["user_id"],
+        right_on=["o_custkey"],
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["matched_order"],
+        matched_time="matched_date",
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via time-binning: for each purchase
+    event, count the same user's events inside the following hour. The
+    interval side explodes into ~2 hour-bins per row and the join runs
+    as an equi-join on (user, bin) — no theta-join, no dedup needed
+    (operators/joins.py)."""
+    from transferia_spark.operators.joins import range_join
+
+    HOUR_US = 3_600_000_000
+    ev = _t(spark, sf_dir, "events")
+    # session tz is UTC (load_tables sets it), so NTZ→TZ cast is the identity
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.select(F.col("event_id"), F.col("user_id"), us.alias("t_us"))
+    ivl = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("user_id").alias("a_user"),
+            us.alias("lo_us"),
+            (us + F.lit(HOUR_US)).alias("hi_us"),
+        )
+    )
+    joined = range_join(
+        pts,
+        ivl,
+        point_on=["user_id"],
+        interval_on=["a_user"],
+        point_col="t_us",
+        lo_col="lo_us",
+        hi_col="hi_us",
+        bin_size=float(HOUR_US),
+    )
+    return (
+        joined.filter(F.col("event_id") != F.col("anchor_id"))
+        .groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_follow"))
     )
 
 
@@ -1784,8 +1944,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q14ish": q_tpch_q14ish,
         "tpch_q16ish": q_tpch_q16ish,
+        "tpch_q7ish": q_tpch_q7ish,
+        "tpch_q10ish": q_tpch_q10ish,
+        "tpch_q18ish": q_tpch_q18ish,
+        "tpch_q22ish": q_tpch_q22ish,
         "window_topk": q_window_topk,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         # -- transformers ----------------------------------------------
         "filter_rows": q_filter_rows,
         "filter_columns": q_filter_columns,
@@ -1915,6 +2081,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4ish": TPCH_Q4ISH,
         "tpch_q14ish": TPCH_Q14ISH,
         "tpch_q16ish": TPCH_Q16ISH,
+        "tpch_q7ish": TPCH_Q7ISH,
+        "tpch_q10ish": TPCH_Q10ISH,
+        "tpch_q18ish": TPCH_Q18ISH,
+        "tpch_q22ish": TPCH_Q22ISH,
         "tpch_q5ish": """
             SELECT n_name,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -1948,6 +2118,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            WITH r AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS matched_order
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   r.o_orderdate AS matched_date, r.matched_order
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "range_join": """
+            SELECT a.event_id AS anchor_id, count(*) AS n_follow
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+             AND b.event_id != a.event_id
+            WHERE a.event_type = 'purchase'
+            GROUP BY 1
         """,
         "filter_rows": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount

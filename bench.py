@@ -40,6 +40,12 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q14ish",
     "tpch_q16ish",
+    "tpch_q7ish",
+    "tpch_q10ish",
+    "tpch_q18ish",
+    "tpch_q22ish",
+    "asof_join",
+    "range_join",
     "window_topk",
     "events_hourly_rollup",
     "cdc_collapse",

@@ -19,6 +19,7 @@ from transferia_spark.operators import (  # noqa: F401,E402
     dedup,
     docs,
     filters,
+    joins,
     misc,
     multimodal,
     routing,
@@ -27,6 +28,7 @@ from transferia_spark.operators import (  # noqa: F401,E402
     textstats,
     values,
 )
+from transferia_spark.operators.joins import asof_join, range_join  # noqa: F401
 
 from transferia_spark.operators.filters import (  # noqa: F401
     FilterColumns,
