@@ -210,3 +210,47 @@ def test_ann_multiprobe_recall_at_least_single_probe(emb):
     three = {(r["query_id"], r["neighbor_id"]) for r in topk(3).collect()}
     assert len(three & truth) >= len(one & truth)
     assert len(three) >= len(one)  # more probes never shrink candidates
+
+
+# -------------------------------------------------- kernel == spec
+
+
+def _ann_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("probes", [1, 3])
+def test_ann_lsh_kernel_bit_identical_to_catalyst(emb, probes):
+    """The Arrow bucket/score kernels are an execution strategy, not a
+    semantic: identical output to the interpreted Catalyst expressions
+    (quantize → plane dots → bucket → exact cosine)."""
+    def run(ak):
+        return build(
+            "ann_lsh_bucketed", vec_col="embedding", id_col="vec_id",
+            query_pred="vec_id < 4", dim=64, n_planes=6, k=10,
+            probes=probes, arrow_kernel=ak,
+        ).apply_df(emb)
+
+    assert _ann_rows(run(True)) == _ann_rows(run(False))
+
+
+def test_ann_brute_force_kernel_bit_identical(emb):
+    def run(ak):
+        return build(
+            "ann_brute_force", vec_col="embedding", id_col="vec_id",
+            query_pred="vec_id < 4", k=10, arrow_kernel=ak,
+        ).apply_df(emb)
+
+    assert _ann_rows(run(True)) == _ann_rows(run(False))
+
+
+def test_ann_lsh_bucket_assignment_shuffle_free(emb):
+    """Corpus bucket assignment is one map-side kernel pass — no
+    Exchange in the plan."""
+    op = build(
+        "ann_lsh_bucketed", vec_col="embedding", id_col="vec_id",
+        query_pred="vec_id < 4", dim=64, n_planes=6, k=10, probes=3,
+    )
+    plan = op.bucketed(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
