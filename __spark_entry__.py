@@ -713,10 +713,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=512,
         n_shards=8,
         seed=1,
+        keep_cols=("source",),
     ).apply_df(capped)
-    return packed.join(
-        capped.select("doc_id", "source"), "doc_id"
-    ).select("doc_id", "source", "shard", "n_tok", "bin", "bin_offset")
+    return packed.select("doc_id", "source", "shard", "n_tok", "bin", "bin_offset")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

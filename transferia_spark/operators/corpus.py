@@ -292,9 +292,14 @@ class PackSequences(Transformer):
         budget: int = 2048,
         n_shards: int = 16,
         seed: int = 0,
+        keep_cols: tuple = (),
     ):
         self.text_col, self.id_col = text_col, id_col
         self.budget, self.n_shards, self.seed = budget, n_shards, seed
+        # passthrough columns: carried alongside so callers never need
+        # to join back to the input (a re-join re-evaluates the whole
+        # upstream chain when it isn't materialized)
+        self.keep_cols = list(keep_cols)
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         from transferia_spark.functions.portable import words
@@ -302,6 +307,7 @@ class PackSequences(Transformer):
         h = pt_ihash(F.col(self.id_col), self.seed)
         base = df.select(
             self.id_col,
+            *self.keep_cols,
             F.size(words(F.col(self.text_col))).alias("n_tok"),
             h.alias("_h"),
             (h % self.n_shards).alias("shard"),
@@ -314,6 +320,7 @@ class PackSequences(Transformer):
             base.withColumn("_cum", cum)
             .select(
                 self.id_col,
+                *self.keep_cols,
                 "shard",
                 "n_tok",
                 F.floor((F.col("_cum") - F.col("n_tok")) / self.budget)
