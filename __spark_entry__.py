@@ -326,6 +326,57 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLUP_SQL = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+SET_OPS_SQL = """
+    SELECT 'intersect' AS op, k FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+    ) a
+    UNION ALL
+    SELECT 'except' AS op, k FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey AS k FROM orders
+    ) b
+"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — subtotal/grand-total grouping sets (SURVEY
+    §2.5: the relational surface the reference delegates to
+    clickhouse-local, acquired here via Spark SQL)."""
+    _register(spark, sf_dir, ["lineitem"])
+    return spark.sql(ROLLUP_SQL)
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one statement (same ANSI text
+    on both engines)."""
+    _register(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(SET_OPS_SQL)
+
+
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / interpolated p90 / distinct count per group.
+    Both engines interpolate (1-g)*lo + g*hi over the sorted values —
+    verified bit-identical on the doubles at the oracle scale."""
+    _register(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_type, count(DISTINCT user_id) AS users,
+               median(value) AS med, percentile(value, 0.9) AS p90
+        FROM events GROUP BY event_type
+        """
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's most recent order
     (greatest o_orderdate <= ts). Union-tag + window carry-forward —
@@ -1951,6 +2002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "rollup_agg": q_rollup_agg,
+        "set_ops": q_set_ops,
+        "percentile_stats": q_percentile_stats,
         # -- transformers ----------------------------------------------
         "filter_rows": q_filter_rows,
         "filter_columns": q_filter_columns,
@@ -2117,6 +2171,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "rollup_agg": ROLLUP_SQL,
+        "set_ops": SET_OPS_SQL,
+        "percentile_stats": """
+            SELECT event_type, count(DISTINCT user_id) AS users,
+                   median(value) AS med, quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type
         """,
         "asof_join": """
             WITH r AS (

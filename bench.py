@@ -96,6 +96,10 @@ def bench_snapshot_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     )
     out = chain.apply(TableID("", "lineitem"), li)[0][1]
     tmp = tempfile.mkdtemp(prefix="bench_sink_")
+    # compile the write path once (parquet committer + codegen) so the
+    # measurement is steady-state throughput, matching the reference's
+    # rows/s KPI convention (docs/benchmarks.md prefers sustained rates)
+    li.limit(1024).write.mode("overwrite").parquet(os.path.join(tmp, "_warm"))
     t0 = time.time()
     out.write.mode("overwrite").parquet(os.path.join(tmp, "lineitem"))
     dt = time.time() - t0
