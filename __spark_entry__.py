@@ -348,6 +348,21 @@ SET_OPS_SQL = """
 """
 
 
+BM25_CFG = dict(
+    text_col="text",
+    id_col="doc_id",
+    terms=["merge", "window", "stream"],
+    top_k=20,
+)
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-free BM25 top-k keyword search over documents (per-term
+    scores quantized before the per-doc sum — order-free, hash-exact)."""
+    d = _t(spark, sf_dir, "documents")
+    return build("bm25_rank", **BM25_CFG).apply_df(d)
+
+
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP — subtotal/grand-total grouping sets (SURVEY
     §2.5: the relational surface the reference delegates to
@@ -2005,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
         "percentile_stats": q_percentile_stats,
+        "bm25_rank": q_bm25_rank,
         # -- transformers ----------------------------------------------
         "filter_rows": q_filter_rows,
         "filter_columns": q_filter_columns,
@@ -2174,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_agg": ROLLUP_SQL,
         "set_ops": SET_OPS_SQL,
+        "bm25_rank": build("bm25_rank", **BM25_CFG).oracle_sql("documents"),
         "percentile_stats": """
             SELECT event_type, count(DISTINCT user_id) AS users,
                    median(value) AS med, quantile_cont(value, 0.9) AS p90

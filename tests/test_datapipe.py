@@ -221,3 +221,40 @@ def test_dedup_preserves_determinism_under_repartition(docs):
     assert sorted(r.doc_id for r in a.collect()) == sorted(
         r.doc_id for r in b.collect()
     )
+
+
+def test_bm25_ranks_term_density(spark):
+    """A document saturated with the query terms outranks one with a
+    single mention; docs without any term never appear; top_k caps."""
+    docs = spark.createDataFrame(
+        [
+            (1, "merge merge merge stream merge window merge"),
+            (2, "merge of the tables happened yesterday evening quietly"),
+            (3, "nothing relevant here at all just filler text"),
+            (4, "window stream window stream window stream window"),
+        ],
+        "doc_id long, text string",
+    )
+    out = build(
+        "bm25_rank", text_col="text", id_col="doc_id",
+        terms=["merge", "window", "stream"], top_k=2,
+    ).apply_df(docs)
+    rows = out.collect()
+    assert [r.doc_id for r in rows] == sorted(
+        (r.doc_id for r in rows),
+        key=lambda d: -[r.score_bp for r in rows if r.doc_id == d][0],
+    )
+    assert len(rows) == 2
+    assert {r.doc_id for r in rows} <= {1, 2, 4}
+    scores = {r.doc_id: r.score_bp for r in rows}
+    assert max(scores, key=scores.get) in (1, 4)
+
+
+def test_bm25_topk_is_heap_not_global_sort(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = build(
+        "bm25_rank", text_col="text", id_col="doc_id",
+        terms=["merge", "window"], top_k=5,
+    ).apply_df(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps

@@ -195,3 +195,129 @@ class Fingerprint(Transformer):
 
 
 __all__ = ["LangId", "QualityScore", "TokenCount", "Fingerprint", "LEXICONS", "TOKEN_REGEX"]
+
+
+@register
+class Bm25Rank(Transformer):
+    """Top-k keyword search: BM25 ranking of documents for a small
+    term set — the retrieval primitive of corpus QA / decontamination
+    triage ("which documents dominate this query?").
+
+    Log-free BM25: the classic idf uses ln((N-df+0.5)/(df+0.5)); libm
+    log implementations differ by ulps across engines, which can flip
+    a floor boundary. The raw odds ratio (N-df+0.5)/(df+0.5) is a
+    strictly monotone function of it, and needs only IEEE +,*,/ —
+    bit-identical everywhere. Each per-term score is quantized to an
+    int (floor(score·10^6)) BEFORE the per-doc sum, so the sum is
+    integer arithmetic — order-free, hash-exact vs the oracle.
+
+    Scale shape (100 TB corpus):
+    - tokenize + term filter are map-side (the term set is a literal
+      in the plan; no shuffle touches non-matching tokens)
+    - per-(doc, term) tf is one map-side-combinable groupBy
+    - corpus stats (N, Σdl) are a one-row aggregate cross-joined
+      back broadcast; per-term document frequencies are a tiny
+      broadcast join — the corpus never shuffles on content
+    - final per-doc sum + global top-k (TakeOrderedAndProject —
+      per-partition heaps, no global sort)
+    """
+
+    TYPE = "bm25_rank"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        terms: list[str],
+        k1_milli: int = 1200,
+        b_milli: int = 750,
+        top_k: int = 20,
+    ):
+        self.text_col, self.id_col = text_col, id_col
+        self.terms = [t.lower() for t in terms]
+        self.k1_milli, self.b_milli, self.top_k = k1_milli, b_milli, top_k
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        k1 = F.lit(self.k1_milli / 1000.0)
+        b = F.lit(self.b_milli / 1000.0)
+        toks = df.select(
+            self.id_col, words(F.col(self.text_col)).alias("_w")
+        ).select(self.id_col, "_w", F.size("_w").alias("_dl"))
+        stats = F.broadcast(
+            toks.agg(
+                F.count(F.lit(1)).alias("_n0"),
+                F.sum("_dl").cast("long").alias("_sumdl"),
+            )
+        )
+        tf = (
+            toks.select(
+                self.id_col, "_dl", F.explode("_w").alias("_t")
+            )
+            .filter(F.col("_t").isin(*self.terms))
+            .groupBy(self.id_col, "_dl", "_t")
+            .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+        )
+        dft = F.broadcast(
+            tf.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        )
+        # arithmetic mirrored token-for-token in sql_bm25_oracle — the
+        # evaluation order must match so every IEEE op rounds alike
+        idf = (F.col("_n0") - F.col("_df") + F.lit(0.5)) / (
+            F.col("_df") + F.lit(0.5)
+        )
+        tfn = (F.col("_tf") * (k1 + F.lit(1.0))) / (
+            F.col("_tf")
+            + k1
+            * (
+                (F.lit(1.0) - b)
+                + b * ((F.col("_dl") * F.col("_n0")) / F.col("_sumdl"))
+            )
+        )
+        per_term = F.floor(idf * tfn * F.lit(1000000.0)).cast("long")
+        scored = (
+            tf.join(dft, "_t")
+            .crossJoin(stats)
+            .select(self.id_col, per_term.alias("_s"))
+            .groupBy(self.id_col)
+            .agg(F.sum("_s").alias("score_bp"))
+            .orderBy(F.col("score_bp").desc(), F.col(self.id_col).asc())
+            .limit(self.top_k)
+        )
+        return [(table, scored)]
+
+    def oracle_sql(self, table: str = "documents") -> str:
+        """DuckDB-equivalent statement (same constants, same op order)."""
+        from transferia_spark.functions.portable import sql_words
+
+        terms = ", ".join(f"'{t}'" for t in self.terms)
+        k1 = repr(self.k1_milli / 1000.0)
+        b = repr(self.b_milli / 1000.0)
+        return f"""
+            WITH toks AS (
+              SELECT {self.id_col}, {sql_words(self.text_col)} AS w
+              FROM {table}
+            ),
+            dl AS (SELECT {self.id_col}, len(w)::BIGINT AS dl FROM toks),
+            n0 AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM dl),
+            tf AS (
+              SELECT {self.id_col}, t.t AS term, count(*)::BIGINT AS tf
+              FROM toks, unnest(w) AS t(t)
+              WHERE t.t IN ({terms})
+              GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+            SELECT tf.{self.id_col},
+                   sum(floor(
+                     ((n0.n - dft.df + 0.5) / (dft.df + 0.5))
+                     * ((tf.tf * ({k1} + 1.0))
+                        / (tf.tf + {k1} * ((1.0 - {b})
+                           + {b} * ((dl.dl * n0.n) / n0.sumdl))))
+                     * 1000000.0)::BIGINT)::BIGINT AS score_bp
+            FROM tf
+              JOIN dft ON tf.term = dft.term
+              JOIN dl ON tf.{self.id_col} = dl.{self.id_col}
+              CROSS JOIN n0
+            GROUP BY 1
+            ORDER BY score_bp DESC, tf.{self.id_col} ASC
+            LIMIT {self.top_k}
+        """
