@@ -348,6 +348,16 @@ SET_OPS_SQL = """
 """
 
 
+BLOCKS_CFG = dict(text_col="text", id_col="doc_id", block_words=8, min_docs=2)
+
+
+def q_dedup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level (paragraph-style) duplication scoring: fraction of a
+    doc's non-overlapping 8-word blocks that appear in >=2 documents."""
+    d = _t(spark, sf_dir, "documents")
+    return build("dedup_blocks", **BLOCKS_CFG).apply_df(d)
+
+
 BM25_CFG = dict(
     text_col="text",
     id_col="doc_id",
@@ -2021,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "percentile_stats": q_percentile_stats,
         "bm25_rank": q_bm25_rank,
+        "dedup_blocks": q_dedup_blocks,
         # -- transformers ----------------------------------------------
         "filter_rows": q_filter_rows,
         "filter_columns": q_filter_columns,
@@ -2191,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_agg": ROLLUP_SQL,
         "set_ops": SET_OPS_SQL,
         "bm25_rank": build("bm25_rank", **BM25_CFG).oracle_sql("documents"),
+        "dedup_blocks": build("dedup_blocks", **BLOCKS_CFG).oracle_sql("documents"),
         "percentile_stats": """
             SELECT event_type, count(DISTINCT user_id) AS users,
                    median(value) AS med, quantile_cont(value, 0.9) AS p90

@@ -46,6 +46,10 @@ HEADLINE = [
     "tpch_q22ish",
     "asof_join",
     "range_join",
+    "rollup_agg",
+    "set_ops",
+    "percentile_stats",
+    "bm25_rank",
     "window_topk",
     "events_hourly_rollup",
     "cdc_collapse",

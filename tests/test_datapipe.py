@@ -258,3 +258,27 @@ def test_bm25_topk_is_heap_not_global_sort(spark, sf_dir):
     ).apply_df(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # per-partition heaps
+
+
+def test_dedup_blocks_scores_shared_paragraphs(spark):
+    """Two docs sharing an exact 8-word block are both flagged; a doc
+    with unique blocks scores 0; short docs have no blocks."""
+    blk = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, blk + " " + "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, blk + " " + "iota kappa lambda mu nu xi omicron pi"),
+            (3, "unique words only here nothing shared at all"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = build(
+        "dedup_blocks", text_col="text", id_col="doc_id",
+        block_words=8, min_docs=2,
+    ).apply_df(docs)
+    rows = {r.doc_id: (r.n_blocks, r.dup_blocks, r.dup_ratio_bp) for r in out.collect()}
+    assert rows[1] == (2, 1, 5000)
+    assert rows[2] == (2, 1, 5000)
+    assert rows[3] == (1, 0, 0)
+    assert rows[4] == (0, 0, 0)

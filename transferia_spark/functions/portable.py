@@ -160,6 +160,39 @@ def sql_word_hashes(words_expr: str) -> str:
     return f"list_transform({words_expr}, w -> {sql_pt_hash('w')})"
 
 
+def block_hashes(wh: Column, w: int) -> Column:
+    """Hashes of the NON-overlapping w-word blocks of a word-hash
+    array (stride w — the C4/RefinedWeb 'paragraph' unit, vs the
+    stride-1 shingles used for minhash). Only full blocks count; docs
+    shorter than w words yield an empty array. Pure map-side
+    expression, same polynomial fold as ``shingle_hashes``."""
+    starts = F.sequence(F.lit(1), F.size(wh) - (w - 1), F.lit(w))
+    arr = F.transform(
+        starts,
+        lambda i: F.aggregate(
+            F.slice(wh, i, w),
+            F.lit(HASH_INIT).cast("long"),
+            lambda acc, x: (acc * HASH_MULT + x) % F.lit(P),
+        ),
+    )
+    return F.when(F.size(wh) >= w, arr).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def sql_block_hashes(wh_expr: str, w: int) -> str:
+    fold = (
+        f"list_reduce(list_prepend({HASH_INIT}::BIGINT, "
+        f"list_slice({wh_expr}, i, i + {w} - 1)), "
+        f"(acc, x) -> (acc * {HASH_MULT} + x) % {P})"
+    )
+    return (
+        f"CASE WHEN len({wh_expr}) >= {w} THEN "
+        f"list_transform(range(1, len({wh_expr}) - {w} + 2, {w}), i -> {fold}) "
+        f"ELSE [] END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # minhash: k permutations h_i(x) = (a_i*x + b_i) mod P over shingle hashes
 # ---------------------------------------------------------------------------

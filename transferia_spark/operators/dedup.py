@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from transferia_spark.functions.portable import (
     band_keys,
+    block_hashes,
     cosine,
     minhash_signature_fold,
     quantize,
@@ -641,3 +642,124 @@ __all__ = [
     "DedupEmbeddingCosine",
     "cosine",
 ]
+
+
+@register
+class DedupBlocks(Transformer):
+    """Block-level (paragraph-style) duplication scoring — the
+    C4/RefinedWeb unit between exact-doc and shingle dedup: split every
+    document into NON-overlapping ``block_words``-word blocks, hash
+    each block, and score each document by the fraction of its blocks
+    that appear in ≥ ``min_docs`` distinct documents. Downstream
+    filters drop documents whose content is mostly duplicated
+    elsewhere (``dup_ratio_bp`` threshold) or feed the block set to a
+    rewriter that strips the repeated paragraphs.
+
+    Output: (id, n_blocks, dup_blocks, dup_ratio_bp).
+
+    Scale shape: block hashing is one map-side pass (stride-w fold over
+    the word-hash array — each character touched once); the only
+    shuffles are the per-hash distinct-doc count (map-side combinable)
+    and the join back on the block hash. The popular-block set is NOT
+    broadcast — at 100 TB it can be arbitrarily large (boilerplate,
+    licenses), so it stays a shuffle join keyed by a uniform 64-bit
+    hash; AQE splits any residual skew.
+    """
+
+    TYPE = "dedup_blocks"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        block_words: int = 8,
+        min_docs: int = 2,
+    ):
+        self.text_col, self.id_col = text_col, id_col
+        self.block_words, self.min_docs = block_words, min_docs
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        wh = df.select(
+            self.id_col, word_hashes(F.col(self.text_col)).alias("_wh")
+        )
+        blocks = wh.select(
+            self.id_col,
+            block_hashes(F.col("_wh"), self.block_words).alias("_bh"),
+        )
+        # per-(doc, hash) exploded rows; explode_outer keeps empty docs
+        # (see DedupMinHashLSH on InferFiltersFromGenerate)
+        occ = blocks.select(
+            self.id_col,
+            F.size("_bh").alias("_nb"),
+            F.explode_outer(F.array_distinct("_bh")).alias("_h"),
+        )
+        popular = (
+            occ.filter(F.col("_h").isNotNull())
+            .groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_docs"))
+            .filter(F.col("_docs") >= self.min_docs)
+            .select("_h")
+        )
+        dup_counts = (
+            occ.join(popular, "_h", "left_semi")
+            .groupBy(self.id_col)
+            .agg(F.count(F.lit(1)).alias("dup_blocks"))
+        )
+        out = (
+            blocks.select(self.id_col, F.size("_bh").alias("n_blocks"))
+            .join(dup_counts, self.id_col, "left")
+            .select(
+                self.id_col,
+                F.col("n_blocks").cast("long"),
+                F.coalesce("dup_blocks", F.lit(0)).cast("long").alias("dup_blocks"),
+                F.when(
+                    F.col("n_blocks") > 0,
+                    F.floor(
+                        F.coalesce("dup_blocks", F.lit(0))
+                        * 10000
+                        / F.col("n_blocks")
+                    ),
+                )
+                .otherwise(0)
+                .cast("long")
+                .alias("dup_ratio_bp"),
+            )
+        )
+        return [(table, out)]
+
+    def oracle_sql(self, table: str = "documents") -> str:
+        from transferia_spark.functions.portable import (
+            sql_block_hashes,
+            sql_word_hashes,
+            sql_words,
+        )
+
+        wh = sql_word_hashes(sql_words(self.text_col))
+        return f"""
+            WITH wh AS (
+              SELECT {self.id_col}, {wh} AS wh FROM {table}
+            ),
+            blocks AS (
+              SELECT {self.id_col},
+                     {sql_block_hashes('wh', self.block_words)} AS bh
+              FROM wh
+            ),
+            occ AS (
+              SELECT {self.id_col}, len(bh)::BIGINT AS nb, h.h AS h
+              FROM blocks, unnest(list_distinct(bh)) AS h(h)
+            ),
+            popular AS (
+              SELECT h FROM occ GROUP BY h HAVING count(*) >= {self.min_docs}
+            ),
+            dup AS (
+              SELECT occ.{self.id_col}, count(*)::BIGINT AS dup_blocks
+              FROM occ SEMI JOIN popular ON occ.h = popular.h
+              GROUP BY 1
+            )
+            SELECT b.{self.id_col}, len(b.bh)::BIGINT AS n_blocks,
+                   COALESCE(dup.dup_blocks, 0)::BIGINT AS dup_blocks,
+                   CASE WHEN len(b.bh) > 0 THEN
+                     floor(COALESCE(dup.dup_blocks, 0) * 10000 / len(b.bh))::BIGINT
+                   ELSE 0 END AS dup_ratio_bp
+            FROM blocks b LEFT JOIN dup ON b.{self.id_col} = dup.{self.id_col}
+        """
