@@ -382,3 +382,89 @@ def test_schema_drift_restart(spark, tmp_path):
     bad = T.StructType([T.StructField("id", T.StringType())])
     with _pytest.raises(ValueError, match="incompatible drift"):
         evolve(stored, bad)
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """Click→purchase attribution: purchases join clicks of the same
+    user within the preceding hour; both sides file streams."""
+    from transferia_spark.streaming import interval_join
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()),
+         T.StructField("user", T.LongType()),
+         T.StructField("eid", T.LongType())]
+    )
+    _write_batch(clicks_dir, "c0", [
+        {"ts": "2026-01-01T00:10:00", "user": 1, "eid": 100},
+        {"ts": "2026-01-01T00:50:00", "user": 1, "eid": 101},
+        {"ts": "2026-01-01T02:00:00", "user": 1, "eid": 102},  # too early for buy
+        {"ts": "2026-01-01T00:20:00", "user": 2, "eid": 103},
+    ])
+    _write_batch(buys_dir, "b0", [
+        {"ts": "2026-01-01T01:00:00", "user": 1, "eid": 200},
+        {"ts": "2026-01-01T05:00:00", "user": 2, "eid": 201},  # clicks too old
+    ])
+    buys = file_stream(spark, buys_dir, schema, fmt="json").select(
+        F.col("ts"), F.col("user"), F.col("eid").alias("buy_id")
+    )
+    clicks = file_stream(spark, clicks_dir, schema, fmt="json").select(
+        F.col("ts").alias("cts"), F.col("user"), F.col("eid").alias("click_id")
+    )
+    joined = interval_join(
+        buys, clicks, on=["user"], left_ts="ts", right_ts="cts",
+        before="1 hour", after="0 seconds",
+    )
+    got = []
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = {(r.buy_id, r.click_id) for r in got}
+    assert pairs == {(200, 100), (200, 101)}
+
+
+def test_interval_join_batch_parity(spark, tmp_path):
+    """Same helper on batch frames == plain theta join (oracle path)."""
+    from transferia_spark.streaming import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 01:00:00", 200)], "user long, ts string, buy_id long"
+    ).select("user", F.col("ts").cast("timestamp").alias("ts"), "buy_id")
+    right = spark.createDataFrame(
+        [(1, "2026-01-01 00:10:00", 100), (1, "2026-01-01 02:00:00", 102)],
+        "user long, cts string, click_id long",
+    ).select("user", F.col("cts").cast("timestamp").alias("cts"), "click_id")
+    out = interval_join(
+        left, right, ["user"], "ts", "cts", before="1 hour", after="0 seconds"
+    )
+    assert [(r.buy_id, r.click_id) for r in out.collect()] == [(200, 100)]
+
+
+def test_enrich_static_broadcasts_dim(spark, tmp_path):
+    from transferia_spark.streaming import enrich_static
+
+    src = str(tmp_path / "s")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    _write_batch(src, "s0", [{"k": 1, "v": 10}, {"k": 2, "v": 20}, {"k": 9, "v": 90}])
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    stream = file_stream(spark, src, schema, fmt="json")
+    out = enrich_static(stream, dim, ["k"])
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    by_k = {r.k: r.name for r in got}
+    assert by_k == {1: "one", 2: "two", 9: None}

@@ -114,3 +114,49 @@ transformation:
     diverged = transfer_from_yaml(yaml_t.format(sf=sf_dir, out=out, drop="n_regionkey"))
     errs = verify_transfer(spark, diverged)["nation"]
     assert errs and "columns differ" in errs[0]
+
+
+# ------------------------------------------------------------- compact
+
+
+def test_compact_dir_reduces_file_count(spark, tmp_path):
+    from transferia_spark.tasks.compact import (
+        compact_dir,
+        data_file_count,
+        dir_bytes,
+    )
+
+    src = str(tmp_path / "frag")
+    spark.range(0, 10000).repartition(64).write.parquet(src)
+    assert data_file_count(src) == 64
+    dst = str(tmp_path / "table")
+    v = compact_dir(spark, src, dst, target_file_bytes=dir_bytes(src) // 2)
+    live = str(tmp_path / "table" / f"_v{v}")
+    assert data_file_count(live) <= 3
+    got = spark.read.parquet(live)
+    assert got.count() == 10000
+    assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(10000))
+
+
+def test_compact_table_in_place_atomic_swap(spark, tmp_path):
+    from transferia_spark.streaming.cdc_apply import ParquetTable
+    from transferia_spark.tasks.compact import compact_table, data_file_count
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(0, 5000).repartition(32))
+    v0 = t.version()
+    v1 = compact_table(t, target_file_bytes=10**12)  # everything → 1 file
+    assert v1 == v0 + 1
+    assert data_file_count(str(tmp_path / "t" / f"_v{v1}")) == 1
+    assert t.read().count() == 5000
+
+
+def test_compact_partitioned_repartitions_on_keys(spark, tmp_path):
+    from transferia_spark.tasks.compact import compact_df
+
+    df = spark.range(0, 1000).selectExpr("id", "id % 4 AS part")
+    v = compact_df(df, str(tmp_path / "p"), n_files=4, partition_cols=["part"])
+    plan = df.repartition(4, "part")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plan
+    got = spark.read.parquet(str(tmp_path / "p" / f"_v{v}"))
+    assert got.count() == 1000

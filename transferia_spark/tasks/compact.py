@@ -1,0 +1,96 @@
+"""Small-files compaction — the operational task every long-running
+file/CDC sink needs at scale.
+
+A streaming sink writing a micro-batch every 333 ms (the reference's
+bufferer cadence, ``sink_factory.go:215-224``) produces ~260k files/day
+per table; parquet scan planning, footer reads, and NameNode/S3 LIST
+costs then dominate reads. The fix is periodic rewrite into
+target-sized files — what Delta's OPTIMIZE / Iceberg's rewrite_data_files
+do; here it is a plain task over a directory or a ``ParquetTable``.
+
+Scale notes:
+- File count is computed from the actual on-disk byte size divided by
+  ``target_file_bytes`` (not row counts — row width varies), so output
+  files land near the 256 MB sweet spot where scan-task overhead
+  amortizes but tasks still parallelize.
+- ``coalesce`` (no shuffle) when only merging; ``repartition`` (one
+  shuffle) when ``partition_cols`` are given, so rows co-locate by the
+  partition value and each Hive-style directory gets dense files.
+- The rewrite lands in a fresh versioned directory with an atomic
+  pointer swap (``ParquetTable``) — readers never see a half-written
+  table, and the streaming writer can keep appending to the live
+  version while compaction prepares the next.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transferia_spark.streaming.cdc_apply import ParquetTable
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def data_file_count(path: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_dir(
+    spark: SparkSession,
+    src: str,
+    dst_root: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+    compression_ratio: float = 1.0,
+) -> int:
+    """Rewrite the parquet data under ``src`` into ``dst_root`` (a
+    ``ParquetTable`` root) as ~``target_file_bytes`` files; returns the
+    new version number.
+
+    ``compression_ratio`` corrects for recompression (output bytes ≈
+    input bytes × ratio); 1.0 is right when src is already parquet
+    with the same codec.
+    """
+    n_files = max(1, round(dir_bytes(src) * compression_ratio / target_file_bytes))
+    df = spark.read.parquet(src)
+    return compact_df(df, dst_root, n_files, partition_cols)
+
+
+def compact_df(
+    df: DataFrame,
+    dst_root: str,
+    n_files: int,
+    partition_cols: list[str] | None = None,
+) -> int:
+    table = ParquetTable(df.sparkSession, dst_root)
+    if partition_cols:
+        out = df.repartition(n_files, *partition_cols)
+    else:
+        out = df.coalesce(n_files)
+    return table.overwrite(out)
+
+
+def compact_table(
+    table: ParquetTable,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """In-place compaction of a ParquetTable: read the live version,
+    rewrite dense, atomic-swap the pointer."""
+    v = table.version()
+    src = os.path.join(table.root, f"_v{v}")
+    n_files = max(1, round(dir_bytes(src) / target_file_bytes))
+    return compact_df(table.read(), table.root, n_files, partition_cols)
