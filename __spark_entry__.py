@@ -348,6 +348,33 @@ SET_OPS_SQL = """
 """
 
 
+SCALAR_FUNCS_SQL = """
+    SELECT c_custkey,
+           upper(c_name) AS u, lower(c_mktsegment) AS lo,
+           substr(c_name, 3, 5) AS sub, length(c_name) AS len,
+           concat(c_name, '-', c_mktsegment) AS cat,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'B!') AS coal,
+           abs(c_acctbal) AS ab, round(c_acctbal, 1) AS rnd,
+           greatest(c_custkey, c_nationkey) AS g,
+           least(c_custkey, c_nationkey) AS l,
+           c_custkey % 7 AS md, CAST(floor(c_acctbal) AS BIGINT) AS flr,
+           replace(c_name, '0', 'O') AS rep,
+           lpad(CAST(c_custkey AS STRING), 8, '0') AS pad,
+           reverse(c_mktsegment) AS rev,
+           CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'neg' END AS sgn
+    FROM customer
+"""
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-function surface the reference only gets through
+    clickhouse-local (SURVEY §2.5): 16 string/math/conditional
+    functions in one statement, same ANSI text on both engines (only
+    the STRING/VARCHAR type keyword differs)."""
+    _register(spark, sf_dir, ["customer"])
+    return spark.sql(SCALAR_FUNCS_SQL)
+
+
 BLOCKS_CFG = dict(text_col="text", id_col="doc_id", block_words=8, min_docs=2)
 
 
@@ -2032,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_stats": q_percentile_stats,
         "bm25_rank": q_bm25_rank,
         "dedup_blocks": q_dedup_blocks,
+        "scalar_funcs": q_scalar_funcs,
         # -- transformers ----------------------------------------------
         "filter_rows": q_filter_rows,
         "filter_columns": q_filter_columns,
@@ -2203,6 +2231,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": SET_OPS_SQL,
         "bm25_rank": build("bm25_rank", **BM25_CFG).oracle_sql("documents"),
         "dedup_blocks": build("dedup_blocks", **BLOCKS_CFG).oracle_sql("documents"),
+        "scalar_funcs": SCALAR_FUNCS_SQL.replace("AS STRING", "AS VARCHAR"),
         "percentile_stats": """
             SELECT event_type, count(DISTINCT user_id) AS users,
                    median(value) AS med, quantile_cont(value, 0.9) AS p90

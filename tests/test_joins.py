@@ -156,3 +156,25 @@ def test_range_join_no_duplicate_pairs(spark):
     ivl = spark.createDataFrame([(1, 0.0, 95.0)], "ik long, lo double, hi double")
     out = range_join(pts, ivl, ["k"], ["ik"], "x", "lo", "hi", 3.0)
     assert out.count() == out.select("x").distinct().count() == 10
+
+
+def test_asof_join_matches_bruteforce_reference(spark):
+    """Randomized cross-check: the window formulation equals the
+    obvious per-row argmax over a seeded dataset."""
+    import random
+
+    rnd = random.Random(42)
+    lrows = [(rnd.randrange(5), float(rnd.randrange(100)), i) for i in range(200)]
+    rrows = {(rnd.randrange(5), float(rnd.randrange(100))) for _ in range(80)}
+    rrows = [(k, t, i) for i, (k, t) in enumerate(sorted(rrows))]
+    left = spark.createDataFrame(lrows, "k long, t double, lid long")
+    right = spark.createDataFrame(rrows, "k long, rt double, rid long")
+    out = asof_join(left, right, ["k"], ["k"], "t", "rt", ["rid"])
+    got = {r.lid: r.rid for r in out.collect()}
+    by_key = {}
+    for k, rt, rid in rrows:
+        by_key.setdefault(k, []).append((rt, rid))
+    for k, t, lid in lrows:
+        cands = [(rt, rid) for rt, rid in by_key.get(k, []) if rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, k, t)

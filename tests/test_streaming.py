@@ -468,3 +468,15 @@ def test_enrich_static_broadcasts_dim(spark, tmp_path):
     q.awaitTermination()
     by_k = {r.k: r.name for r in got}
     assert by_k == {1: "one", 2: "two", 9: None}
+
+
+def test_parquet_table_time_travel(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "tt"))
+    t.overwrite(spark.range(0, 10))
+    t.overwrite(spark.range(0, 20))
+    v = t.version()
+    assert t.read().count() == 20
+    assert t.read(version=v - 1).count() == 10  # retained (keep=2)
+    t.overwrite(spark.range(0, 30))
+    with pytest.raises(FileNotFoundError):
+        t.read(version=v - 1)  # gc'd now

@@ -61,11 +61,21 @@ class ParquetTable:
     def exists(self) -> bool:
         return self.version() >= 0
 
-    def read(self) -> DataFrame:
-        v = self.version()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the live version, or time-travel to an older retained
+        one (``version=``). Retention is ``keep=2`` at write time — the
+        window in which a consumer can pin the pre-batch snapshot for
+        reprocessing/debugging, the same contract Delta's
+        ``versionAsOf`` offers (bounded by VACUUM)."""
+        v = self.version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"no current version in {self.root}")
-        return self.spark.read.parquet(os.path.join(self.root, f"_v{v}"))
+        path = os.path.join(self.root, f"_v{v}")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"version {v} not retained in {self.root} (gc keeps 2)"
+            )
+        return self.spark.read.parquet(path)
 
     def overwrite(self, df: DataFrame) -> int:
         new_v = self.version() + 1
