@@ -348,6 +348,34 @@ SET_OPS_SQL = """
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming interval-join helper in its batch-parity mode
+    (same code path a watermarked stream-stream join runs): error
+    events matched to the same user's purchases in the preceding
+    30 minutes."""
+    from transferia_spark.streaming import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id"), F.col("ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id"),
+        F.col("ts").alias("bts"),
+    )
+    out = interval_join(
+        errors,
+        buys,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="bts",
+        before="30 minutes",
+        after="0 seconds",
+    )
+    return out.select("err_id", "user_id", "ts", "buy_id", "bts")
+
+
 SCALAR_FUNCS_SQL = """
     SELECT c_custkey,
            upper(c_name) AS u, lower(c_mktsegment) AS lo,
@@ -373,6 +401,23 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the STRING/VARCHAR type keyword differs)."""
     _register(spark, sf_dir, ["customer"])
     return spark.sql(SCALAR_FUNCS_SQL)
+
+
+MIX_CFG = dict(
+    id_col="doc_id",
+    source_col="source",
+    weights={"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 0.5},
+    total=40,
+    seed=11,
+)
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pile/Dolma-style mixture composition: deterministic
+    hash-threshold selection to target source proportions (map-side;
+    the corpus never shuffles). Sources outside the weight map drop."""
+    d = _t(spark, sf_dir, "documents")
+    return build("mix_sources", **MIX_CFG).apply_df(d)
 
 
 BLOCKS_CFG = dict(text_col="text", id_col="doc_id", block_words=8, min_docs=2)
@@ -2060,6 +2105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "dedup_blocks": q_dedup_blocks,
         "scalar_funcs": q_scalar_funcs,
+        "interval_join": q_interval_join,
+        "mix_sources": q_mix_sources,
         # -- transformers ----------------------------------------------
         "filter_rows": q_filter_rows,
         "filter_columns": q_filter_columns,
@@ -2231,7 +2278,18 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": SET_OPS_SQL,
         "bm25_rank": build("bm25_rank", **BM25_CFG).oracle_sql("documents"),
         "dedup_blocks": build("dedup_blocks", **BLOCKS_CFG).oracle_sql("documents"),
+        "mix_sources": build("mix_sources", **MIX_CFG).oracle_sql("documents"),
         "scalar_funcs": SCALAR_FUNCS_SQL.replace("AS STRING", "AS VARCHAR"),
+        "interval_join": """
+            SELECT e.event_id AS err_id, e.user_id, e.ts,
+                   b.event_id AS buy_id, b.ts AS bts
+            FROM events e JOIN events b
+              ON b.user_id = e.user_id
+             AND b.ts >= e.ts - INTERVAL 30 MINUTE
+             AND b.ts <= e.ts
+             AND b.event_type = 'purchase'
+            WHERE e.event_type = 'error'
+        """,
         "percentile_stats": """
             SELECT event_type, count(DISTINCT user_id) AS users,
                    median(value) AS med, quantile_cont(value, 0.9) AS p90

@@ -75,3 +75,52 @@ def test_sample_bucket_matches_formula():
 
     assert py_bucket(0) == 12345 % 10000
     assert py_bucket(7) != py_bucket(8)
+
+
+def test_mix_sources_hits_target_proportions(spark):
+    from transferia_spark.operators import build
+
+    df = spark.range(0, 30000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS source",
+    )
+    op = build(
+        "mix_sources",
+        id_col="doc_id",
+        source_col="source",
+        weights={"a": 3.0, "b": 1.0},
+        total=4000,
+        seed=5,
+    )
+    out = op.apply_df(df)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert "c" not in counts  # unweighted source drops entirely
+    # quotas: a=3000, b=1000 of 10000 each; binomial tolerance ~3sigma
+    assert abs(counts["a"] - 3000) < 3 * (3000 ** 0.5)
+    assert abs(counts["b"] - 1000) < 3 * (1000 ** 0.5)
+
+
+def test_mix_sources_small_source_keeps_everything(spark):
+    from transferia_spark.operators import build
+
+    df = spark.range(0, 100).selectExpr("id AS doc_id", "'tiny' AS source")
+    out = build(
+        "mix_sources", id_col="doc_id", source_col="source",
+        weights={"tiny": 1.0}, total=5000, seed=0,
+    ).apply_df(df)
+    assert out.count() == 100  # quota 5000 > n=100: threshold caps at M
+
+
+def test_mix_sources_retry_stable(spark):
+    from transferia_spark.operators import build
+
+    df = spark.range(0, 5000).selectExpr("id AS doc_id", "'s' AS source")
+    op = build(
+        "mix_sources", id_col="doc_id", source_col="source",
+        weights={"s": 1.0}, total=1000, seed=3,
+    )
+    a = {r.doc_id for r in op.apply_df(df).collect()}
+    b = {r.doc_id for r in op.apply_df(df.repartition(13)).collect()}
+    assert a == b  # selection is content-derived, not partition-derived

@@ -233,10 +233,109 @@ class SampleStratified(Transformer):
         return [(table, df.filter(keep))]
 
 
+@register
+class MixSources(Transformer):
+    """Compose a training mixture to target source proportions — the
+    Pile/Dolma-style mixing step: given weights per source and a total
+    document budget, select ≈ ``total·w_s/Σw`` documents from each
+    source, deterministically.
+
+    Selection is a HASH THRESHOLD, not a ranking: with n_s documents
+    in source s and quota q_s, a doc survives iff
+    ``pt_ihash(id, seed) % M  <  min(M, M·q_s // n_s)`` — pure integer
+    arithmetic, bit-identical in both engines, stable across task
+    retries. Counts land within binomial noise (±√q_s) of the quota;
+    the exact-count alternative is a per-source ``row_number`` ≤ q_s,
+    which funnels each source through ONE reducer — a non-starter when
+    a single source holds 10^10 documents. Sources smaller than their
+    quota keep everything (threshold caps at M); no redistribution.
+
+    Plan shape: one tiny per-source count aggregate, broadcast back,
+    then a map-side filter. The corpus shuffles zero times.
+    """
+
+    TYPE = "mix_sources"
+
+    M = 1_000_000
+
+    def __init__(
+        self,
+        id_col: str,
+        source_col: str,
+        weights: dict[str, float],
+        total: int,
+        seed: int = 0,
+    ):
+        self.id_col, self.source_col = id_col, source_col
+        self.weights, self.total, self.seed = weights, total, seed
+
+    def quotas(self) -> dict[str, int]:
+        sw = sum(self.weights.values())
+        return {
+            s: int(self.total * w / sw) for s, w in self.weights.items()
+        }
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        from transferia_spark.functions.portable import pt_ihash
+
+        counts = F.broadcast(
+            df.groupBy(self.source_col).agg(
+                F.count(F.lit(1)).cast("long").alias("_n")
+            )
+        )
+        quota: Column = F.lit(None).cast("long")
+        for s, q in sorted(self.quotas().items()):
+            quota = F.when(F.col(self.source_col) == s, F.lit(q)).otherwise(quota)
+        out = (
+            df.join(counts, self.source_col)
+            .withColumn("_q", quota)
+            .filter(F.col("_q").isNotNull())
+            .withColumn(
+                "_thr",
+                F.least(
+                    F.lit(self.M).cast("long"),
+                    # M·q exact in double below 2^53; both engines then
+                    # perform the same IEEE division and floor
+                    F.floor(F.lit(self.M) * F.col("_q") / F.col("_n")).cast(
+                        "long"
+                    ),
+                ),
+            )
+            .filter(pt_ihash(F.col(self.id_col), self.seed) % self.M < F.col("_thr"))
+            .drop("_n", "_q", "_thr")
+        )
+        return [(table, out)]
+
+    def oracle_sql(self, table: str = "documents") -> str:
+        from transferia_spark.functions.portable import sql_pt_ihash
+
+        cases = " ".join(
+            f"WHEN '{s}' THEN {q}::BIGINT"
+            for s, q in sorted(self.quotas().items())
+        )
+        return f"""
+            WITH counts AS (
+              SELECT {self.source_col} AS s, count(*)::BIGINT AS n
+              FROM {table} GROUP BY 1
+            ),
+            q AS (
+              SELECT t.*, counts.n,
+                     CASE t.{self.source_col} {cases} ELSE NULL END AS quota
+              FROM {table} t JOIN counts ON t.{self.source_col} = counts.s
+            )
+            SELECT * EXCLUDE (n, quota) FROM q
+            WHERE quota IS NOT NULL
+              AND {sql_pt_ihash(self.id_col, self.seed)} % {self.M}
+                  < least({self.M}::BIGINT,
+                          floor({self.M}::BIGINT * quota / n)::BIGINT)
+        """
+
+
 __all__ = [
     "PiiScrub",
     "QualityGopher",
     "SampleStratified",
+    "MixSources",
     "PII_PATTERNS",
     "sql_pii_scrub",
     "sql_quality_gopher",
