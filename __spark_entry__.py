@@ -216,6 +216,47 @@ TPCH_Q18ISH = """
       ) t ON o_orderkey = t.l_orderkey
 """
 
+TPCH_Q12ISH = """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY l_returnflag
+"""
+
+TPCH_Q15ISH = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+TPCH_Q19ISH = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+"""
+
 TPCH_Q22ISH = """
     SELECT c_nationkey, count(*) AS numcust,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
@@ -266,6 +307,27 @@ def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-order detection: HAVING over a pre-aggregated fact join."""
     _register(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(TPCH_Q18ISH)
+
+
+def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts over a fact-fact join (Q12 shape with
+    returnflag standing in for the absent l_shipmode column)."""
+    _register(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(TPCH_Q12ISH)
+
+
+def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE referenced twice (join side + scalar-subquery max) — the
+    top-supplier view shape."""
+    _register(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(TPCH_Q15ISH)
+
+
+def q_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-bracket join predicate (Q19 shape on
+    brand/size/quantity)."""
+    _register(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(TPCH_Q19ISH)
 
 
 def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2095,6 +2157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10ish": q_tpch_q10ish,
         "tpch_q18ish": q_tpch_q18ish,
         "tpch_q22ish": q_tpch_q22ish,
+        "tpch_q12ish": q_tpch_q12ish,
+        "tpch_q15ish": q_tpch_q15ish,
+        "tpch_q19ish": q_tpch_q19ish,
         "window_topk": q_window_topk,
         "events_hourly_rollup": q_events_hourly_rollup,
         "asof_join": q_asof_join,
@@ -2240,6 +2305,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q10ish": TPCH_Q10ISH,
         "tpch_q18ish": TPCH_Q18ISH,
         "tpch_q22ish": TPCH_Q22ISH,
+        "tpch_q12ish": TPCH_Q12ISH,
+        "tpch_q15ish": TPCH_Q15ISH,
+        "tpch_q19ish": TPCH_Q19ISH,
         "tpch_q5ish": """
             SELECT n_name,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -44,12 +44,17 @@ HEADLINE = [
     "tpch_q10ish",
     "tpch_q18ish",
     "tpch_q22ish",
+    "tpch_q12ish",
+    "tpch_q15ish",
+    "tpch_q19ish",
     "asof_join",
     "range_join",
     "rollup_agg",
     "set_ops",
     "percentile_stats",
     "bm25_rank",
+    "scalar_funcs",
+    "interval_join",
     "window_topk",
     "events_hourly_rollup",
     "cdc_collapse",
@@ -58,6 +63,8 @@ HEADLINE = [
     # training-data pipeline surface (documents: 5k rows / embeddings:
     # 2k × 64-dim at sf0.1)
     "dedup_exact",
+    "dedup_blocks",
+    "mix_sources",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
