@@ -164,3 +164,93 @@ def test_dedup_cluster_round_plan_is_join_plus_partial_agg(spark):
     plan = _simple_plan(labels)
     # localCheckpoint truncates lineage: the surviving plan is a scan
     assert "Scan ExistingRDD" in plan
+
+
+def test_asof_join_is_union_window_not_join(spark):
+    """asof_join = ONE hash exchange on the key over the union (plus
+    the right side's pre-agg exchange) — never a join operator, never
+    a cartesian."""
+    from transferia_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 5.0)], "k long, t double")
+    right = spark.createDataFrame([(1, 4.0, 9)], "k long, rt double, v long")
+    plan = _simple_plan(asof_join(left, right, ["k"], ["k"], "t", "rt", ["v"]))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join_on_bin(spark):
+    """range_join plans as a hash/sort-merge equi-join keyed on the
+    bin — no BroadcastNestedLoopJoin, no cartesian."""
+    from transferia_spark.operators.joins import range_join
+
+    pts = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    ivl = spark.range(20).select(
+        (F.col("id") % 5).alias("ik"),
+        (F.col("id") * 7.0).alias("lo"),
+        (F.col("id") * 7.0 + 5.0).alias("hi"),
+    )
+    plan = _simple_plan(
+        range_join(pts, ivl, ["k"], ["ik"], "x", "lo", "hi", 8.0)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_stats_broadcast_corpus_never_shuffles_on_content(spark):
+    """bm25: corpus stats and term df are broadcast; the only hash
+    exchanges key on (doc, term)/doc aggregation — nothing shuffles on
+    text content."""
+    from transferia_spark.operators import build
+
+    docs = spark.createDataFrame(
+        [(i, "merge window stream data table") for i in range(64)],
+        "doc_id long, text string",
+    )
+    out = build(
+        "bm25_rank", text_col="text", id_col="doc_id",
+        terms=["merge", "window"], top_k=5,
+    ).apply_df(docs)
+    plan = _simple_plan(out)
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mix_sources_corpus_map_side_only(spark):
+    """mix_sources: the corpus side joins a broadcast count table and
+    filters map-side — the only hash exchange is the tiny per-source
+    count aggregate."""
+    from transferia_spark.operators import build
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string"
+    )
+    out = build(
+        "mix_sources", id_col="doc_id", source_col="source",
+        weights={"s0": 1.0, "s1": 2.0}, total=100,
+    ).apply_df(docs)
+    plan = _simple_plan(out)
+    assert "BroadcastHashJoin" in plan
+    # the single hashpartitioning exchange belongs to the count agg
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_dedup_blocks_single_content_shuffle(spark):
+    """dedup_blocks: block hashing is map-side; shuffles are the
+    per-hash doc count and the doc-id joins — no content re-shuffle,
+    no broadcast of the (unbounded) popular set."""
+    from transferia_spark.operators import build
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six seven eight nine") for i in range(32)],
+        "doc_id long, text string",
+    )
+    out = build(
+        "dedup_blocks", text_col="text", id_col="doc_id",
+        block_words=4, min_docs=2,
+    ).apply_df(docs)
+    plan = _simple_plan(out)
+    assert "CartesianProduct" not in plan
