@@ -14,6 +14,7 @@ Usage:
   python scripts/trcli.py validate --transfer transfer.yaml   # alias of check
   python scripts/trcli.py describe --transfer transfer.yaml   # endpoints+plan summary
   python scripts/trcli.py checksum --transfer transfer.yaml   # verify delivery
+  python scripts/trcli.py compact  --src dir/ --dst table/ [--target-mb 256]
 """
 
 from __future__ import annotations
@@ -28,9 +29,18 @@ def main() -> int:
     ap = argparse.ArgumentParser(prog="trcli")
     ap.add_argument(
         "verb",
-        choices=["activate", "upload", "check", "validate", "describe", "checksum"],
+        choices=[
+            "activate", "upload", "check", "validate", "describe",
+            "checksum", "compact",
+        ],
     )
-    ap.add_argument("--transfer", required=True, help="path to transfer.yaml")
+    ap.add_argument("--transfer", help="path to transfer.yaml")
+    ap.add_argument("--src", help="compact: fragmented parquet directory")
+    ap.add_argument("--dst", help="compact: ParquetTable root to write")
+    ap.add_argument("--target-mb", type=int, default=256,
+                    help="compact: target output file size")
+    ap.add_argument("--partition-by", default="",
+                    help="compact: comma list of partition columns")
     ap.add_argument("--tables", default="", help="comma list (upload/checksum)")
     ap.add_argument(
         "--regular", action="store_true",
@@ -41,6 +51,28 @@ def main() -> int:
         help="bound the --regular loop (default: run forever)",
     )
     args = ap.parse_args()
+
+    if args.verb == "compact":
+        if not (args.src and args.dst):
+            ap.error("compact needs --src and --dst")
+        from transferia_spark.session import get_spark
+        from transferia_spark.tasks.compact import compact_dir, data_file_count
+
+        spark = get_spark()
+        before = data_file_count(args.src)
+        v = compact_dir(
+            spark, args.src, args.dst,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+            partition_cols=[c for c in args.partition_by.split(",") if c] or None,
+        )
+        import os as _os
+
+        after = data_file_count(_os.path.join(args.dst, f"_v{v}"))
+        print(f"compacted: {before} -> {after} files (version {v})")
+        return 0
+
+    if not args.transfer:
+        ap.error(f"{args.verb} needs --transfer")
 
     from transferia_spark.plans.config import transfer_from_yaml
 

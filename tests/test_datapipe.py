@@ -282,3 +282,23 @@ def test_dedup_blocks_scores_shared_paragraphs(spark):
     assert rows[2] == (2, 1, 5000)
     assert rows[3] == (1, 0, 0)
     assert rows[4] == (0, 0, 0)
+
+
+def test_audio_energy_frames(spark):
+    from transferia_spark.operators.multimodal import attach_payload
+
+    docs = spark.createDataFrame(
+        [(1, "abcd" * 16), (3, "zz")], "doc_id long, text string"
+    )
+    media = attach_payload(docs, text_col="text", id_col="doc_id")
+    out = build("audio_energy", frame_len=32).apply_df(media)
+    rows = out.collect()
+    # both ids are odd -> kind=audio; doc 1 has 64 bytes = 2 frames
+    assert {(r.doc_id, r.frame_idx) for r in rows} == {(1, 0), (1, 1), (3, 0)}
+    abcd = [ord(c) for c in "abcd" * 8]
+    want_energy = sum(x * x for x in abcd)
+    by = {(r.doc_id, r.frame_idx): r for r in rows}
+    assert by[(1, 0)].energy == want_energy == by[(1, 1)].energy
+    assert by[(1, 0)].peak == ord("d")
+    assert by[(3, 0)].energy == 2 * ord("z") ** 2
+    assert by[(1, 0)].zero_crossings == 0  # all-positive int8 samples

@@ -151,3 +151,65 @@ class FrameSample(Transformer):
 
 
 __all__ = ["MediaDecode", "FrameSample", "attach_payload", "DECODED_META_SCHEMA"]
+
+
+@register
+class AudioEnergy(Transformer):
+    """Per-frame audio energy features from the raw payload bytes —
+    the VAD/silence-trim primitive of audio-corpus curation.
+
+    Payload bytes are interpreted as signed 8-bit PCM samples (the
+    deterministic stand-in for a real decoder; swap ``_pcm_batch`` for
+    torchaudio/soundfile when codecs exist — framing, schema, and the
+    numpy kernel are decoder-agnostic). Per ``frame_len``-sample frame:
+    exact integer energy (Σ s²), peak |s|, and zero crossings — all
+    int64, so results are vectorization-independent and reproducible.
+
+    Scale: one Arrow-batched mapInPandas over the payload column —
+    no shuffle; the output drops the payload so downstream aggs are
+    narrow-row.
+    """
+
+    TYPE = "audio_energy"
+
+    def __init__(self, frame_len: int = 32, kind: str = "audio"):
+        self.frame_len, self.kind = frame_len, kind
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        import numpy as np
+
+        frame_len = self.frame_len
+        kind = self.kind
+        schema = (
+            "doc_id long, frame_idx long, energy long, peak long, "
+            "zero_crossings long"
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {
+                    "doc_id": [], "frame_idx": [], "energy": [],
+                    "peak": [], "zero_crossings": [],
+                }
+                for doc_id, payload, k in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["kind"]
+                ):
+                    if k != kind:
+                        continue
+                    s = np.frombuffer(bytes(payload), dtype=np.int8).astype(
+                        np.int64
+                    )
+                    n_frames = max(1, len(s) // frame_len)
+                    for i in range(n_frames):
+                        f = s[i * frame_len : (i + 1) * frame_len]
+                        rows["doc_id"].append(doc_id)
+                        rows["frame_idx"].append(i)
+                        rows["energy"].append(int((f * f).sum()))
+                        rows["peak"].append(int(np.abs(f).max(initial=0)))
+                        rows["zero_crossings"].append(
+                            int((np.signbit(f[:-1]) != np.signbit(f[1:])).sum())
+                        )
+                yield pd.DataFrame(rows)
+
+        out = df.select("doc_id", "payload", "kind").mapInPandas(run, schema)
+        return [(table, out)]
