@@ -254,3 +254,20 @@ def test_dedup_blocks_single_content_shuffle(spark):
     ).apply_df(docs)
     plan = _simple_plan(out)
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_sink_output_prunes_partitions(spark, tmp_path):
+    """FileSink(partition_by=...) output supports partition pruning: a
+    filter on the partition column appears as a PartitionFilter at the
+    scan, and non-matching directories are never read."""
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sinks.files import FileSink
+
+    df = spark.range(0, 1000).selectExpr("id", "id % 4 AS bucket")
+    sink = FileSink(path=str(tmp_path), partition_by=["bucket"])
+    tid = TableID("", "t")
+    sink.write(df, tid)
+    back = sink.read_back(spark, tid).filter(F.col("bucket") == 2)
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    assert back.count() == 250
