@@ -302,3 +302,35 @@ def test_audio_energy_frames(spark):
     assert by[(1, 0)].peak == ord("d")
     assert by[(3, 0)].energy == 2 * ord("z") ** 2
     assert by[(1, 0)].zero_crossings == 0  # all-positive int8 samples
+
+
+def test_image_resize_dims_and_stub_payload(spark):
+    from transferia_spark.operators.multimodal import ImageResize, attach_payload
+
+    assert ImageResize.target_dims(1024, 512, 256) == (256, 128)
+    assert ImageResize.target_dims(512, 1024, 256) == (128, 256)
+    assert ImageResize.target_dims(100, 50, 256) == (100, 50)  # no upscale
+    assert ImageResize.target_dims(10000, 3, 256) == (256, 1)
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 400), (2, "y" * 100), (1, "audio doc skipped")],
+        "doc_id long, text string",
+    )
+    media = attach_payload(docs, text_col="text", id_col="doc_id")
+    out = build("image_resize", max_side=16).apply_df(media)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {0, 2}  # kind == image only (even ids)
+    for r in rows.values():
+        assert max(r.out_w, r.out_h) <= 16
+        assert len(r.payload) <= r.out_w * r.out_h
+
+
+def test_image_resize_real_mode_gated(spark):
+    from transferia_spark.operators.multimodal import ImageResize
+
+    op = ImageResize(mode="lanczos")
+    try:
+        op._resample(b"xx", 1, 1, 2, 1)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError as e:
+        assert "codec" in str(e)

@@ -213,3 +213,85 @@ class AudioEnergy(Transformer):
 
         out = df.select("doc_id", "payload", "kind").mapInPandas(run, schema)
         return [(table, out)]
+
+
+@register
+class ImageResize(Transformer):
+    """Resize plan for image payloads: compute aspect-preserving target
+    dimensions against a ``max_side`` bound and emit the resized
+    payload. The geometry math (fit WITHIN max_side×max_side, never
+    upscale, round-half-down via integer arithmetic) is the real
+    operator contract; the pixel resample is the codec-gated part —
+    ``mode="stub"`` emits a deterministic byte subsample standing in
+    for the interpolation, any other mode raises where PIL/cv2 would
+    be called. Swapping in a real backend touches only
+    ``_resample``; schema, batching, and the dimension math are final.
+
+    Scale: one mapInPandas pass; payloads stream through Arrow batches
+    (size with ``spark.sql.execution.arrow.maxRecordsPerBatch``).
+    Output payload is ≤ input, so the stage shrinks the table.
+    """
+
+    TYPE = "image_resize"
+
+    def __init__(self, max_side: int = 256, mode: str = "stub", kind: str = "image"):
+        self.max_side, self.mode, self.kind = max_side, mode, kind
+
+    @staticmethod
+    def target_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+        """Aspect-preserving fit into max_side² without upscaling."""
+        if max(w, h) <= max_side:
+            return w, h
+        if w >= h:
+            return max_side, max(1, h * max_side // w)
+        return max(1, w * max_side // h), max_side
+
+    def _resample(self, payload: bytes, out_w: int, out_h: int, in_w: int, in_h: int) -> bytes:
+        if self.mode != "stub":
+            # real implementation: PIL.Image.resize((out_w, out_h),
+            # LANCZOS) — no codec in this environment
+            raise NotImplementedError(f"image_resize mode {self.mode!r} needs a codec")
+        # deterministic stand-in: stride-subsample the payload bytes to
+        # the output pixel count (bounded, reproducible, testable)
+        n_out = max(1, min(len(payload), out_w * out_h))
+        step = max(1, len(payload) // n_out)
+        return payload[::step][:n_out]
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        import numpy as np  # noqa: F401 (parity with sibling kernels)
+
+        max_side, kind = self.max_side, self.kind
+        schema = (
+            "doc_id long, in_w long, in_h long, out_w long, out_h long, "
+            "payload binary"
+        )
+        # dims from the (stub) decode metadata — a real pipeline carries
+        # them in the typed metadata struct alongside the payload
+        meta = MediaDecode(mode="meta")
+        src = df.join(
+            meta.apply(table, df)[0][1].select("doc_id", "width", "height"),
+            "doc_id",
+        ).filter(F.col("kind") == kind)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {k: [] for k in (
+                    "doc_id", "in_w", "in_h", "out_w", "out_h", "payload")}
+                for doc_id, payload, w, h in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+                ):
+                    ow, oh = ImageResize.target_dims(int(w), int(h), max_side)
+                    rows["doc_id"].append(doc_id)
+                    rows["in_w"].append(int(w))
+                    rows["in_h"].append(int(h))
+                    rows["out_w"].append(ow)
+                    rows["out_h"].append(oh)
+                    rows["payload"].append(
+                        self._resample(bytes(payload), ow, oh, int(w), int(h))
+                    )
+                yield pd.DataFrame(rows)
+
+        out = src.select("doc_id", "payload", "width", "height").mapInPandas(
+            run, schema
+        )
+        return [(table, out)]
