@@ -465,6 +465,17 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SCALAR_FUNCS_SQL)
 
 
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-wise audio energy/peak over payload bytes (audio = odd
+    doc_ids per the attach_payload fixture). ASCII payloads make the
+    int8-PCM interpretation equal to code points, so the DuckDB oracle
+    recomputes the exact integer math from the text column."""
+    d = _t(spark, sf_dir, "documents")
+    media = attach_payload(d, text_col="text", id_col="doc_id")
+    out = build("audio_energy", frame_len=32).apply_df(media)
+    return out.select("doc_id", "frame_idx", "energy", "peak")
+
+
 MIX_CFG = dict(
     id_col="doc_id",
     source_col="source",
@@ -2172,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": q_scalar_funcs,
         "interval_join": q_interval_join,
         "mix_sources": q_mix_sources,
+        "audio_energy": q_audio_energy,
         # -- transformers ----------------------------------------------
         "filter_rows": q_filter_rows,
         "filter_columns": q_filter_columns,
@@ -2347,6 +2359,21 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank": build("bm25_rank", **BM25_CFG).oracle_sql("documents"),
         "dedup_blocks": build("dedup_blocks", **BLOCKS_CFG).oracle_sql("documents"),
         "mix_sources": build("mix_sources", **MIX_CFG).oracle_sql("documents"),
+        "audio_energy": """
+            WITH b AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(text) + 1),
+                                    i -> ord(substr(text, i, 1))) AS s
+              FROM documents WHERE doc_id % 2 = 1
+            )
+            SELECT doc_id, f.i AS frame_idx,
+                   list_sum(list_transform(
+                     list_slice(s, f.i * 32 + 1, f.i * 32 + 32),
+                     x -> x * x))::BIGINT AS energy,
+                   list_max(
+                     list_slice(s, f.i * 32 + 1, f.i * 32 + 32))::BIGINT AS peak
+            FROM b, unnest(range(0, greatest(1, len(s) // 32))) AS f(i)
+        """,
         "scalar_funcs": SCALAR_FUNCS_SQL.replace("AS STRING", "AS VARCHAR"),
         "interval_join": """
             SELECT e.event_id AS err_id, e.user_id, e.ts,
