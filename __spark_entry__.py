@@ -465,6 +465,14 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SCALAR_FUNCS_SQL)
 
 
+def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-lite quality signal: quantized unigram-probability sum per
+    document under the corpus's own distribution (log-free monotone
+    stand-in for LM perplexity ranking)."""
+    d = _t(spark, sf_dir, "documents")
+    return build("lm_familiarity", text_col="text", id_col="doc_id").apply_df(d)
+
+
 def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-wise audio energy/peak over payload bytes (audio = odd
     doc_ids per the attach_payload fixture). ASCII payloads make the
@@ -2184,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "mix_sources": q_mix_sources,
         "audio_energy": q_audio_energy,
+        "lm_familiarity": q_lm_familiarity,
         # -- transformers ----------------------------------------------
         "filter_rows": q_filter_rows,
         "filter_columns": q_filter_columns,
@@ -2359,6 +2368,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank": build("bm25_rank", **BM25_CFG).oracle_sql("documents"),
         "dedup_blocks": build("dedup_blocks", **BLOCKS_CFG).oracle_sql("documents"),
         "mix_sources": build("mix_sources", **MIX_CFG).oracle_sql("documents"),
+        "lm_familiarity": build(
+            "lm_familiarity", text_col="text", id_col="doc_id"
+        ).oracle_sql("documents"),
         "audio_energy": """
             WITH b AS (
               SELECT doc_id,

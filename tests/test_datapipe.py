@@ -334,3 +334,19 @@ def test_image_resize_real_mode_gated(spark):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError as e:
         assert "codec" in str(e)
+
+
+def test_lm_familiarity_common_text_scores_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the rug"),
+            (3, "zqx vbn wfp jkl qwe rty"),  # all-rare tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = build("lm_familiarity", text_col="text", id_col="doc_id").apply_df(docs)
+    rows = {r.doc_id: r for r in out.collect()}
+    mean = {d: rows[d].familiarity_sum / rows[d].n_tok for d in rows}
+    assert mean[1] > mean[3] and mean[2] > mean[3]
+    assert rows[1].n_tok == 6

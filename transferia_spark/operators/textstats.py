@@ -321,3 +321,94 @@ class Bm25Rank(Transformer):
             ORDER BY score_bp DESC, tf.{self.id_col} ASC
             LIMIT {self.top_k}
         """
+
+
+@register
+class LmFamiliarity(Transformer):
+    """CCNet-lite statistical quality signal: how 'familiar' a
+    document's tokens are under the corpus's own unigram distribution.
+
+    CCNet ranks documents by KenLM perplexity; the log-prob form needs
+    libm logs, which differ by ulps across engines and poison value
+    hashes. The monotone stand-in: per token, the quantized unigram
+    probability ``floor(10^12 · count(w) / total_tokens)``; per doc,
+    the integer sum and the token count (callers divide for the mean).
+    High-sum docs are common-language text; near-zero docs are noise,
+    code soup, or the wrong language. All arithmetic is one IEEE
+    division + floor per DISTINCT (doc, token) pair times an exact
+    integer multiply — hash-exact vs the oracle.
+
+    Scale shape (the part that matters at 10^12 tokens):
+    - unigram counts: explode + groupBy(token) — map-side combinable,
+      one shuffle keyed by the word (hot stopwords are just big
+      COUNTERS, not big groups — partial aggregation absorbs them)
+    - scoring joins the per-(doc, token) tf rows to the (word, count)
+      table on the token — a shuffle join; the vocabulary is unbounded
+      at corpus scale so the count table is NOT broadcast
+    - final per-doc sum: map-side combinable groupBy(doc)
+    """
+
+    TYPE = "lm_familiarity"
+
+    SCALE = 10**12
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        toks = df.select(
+            self.id_col, F.explode(words(F.col(self.text_col))).alias("_w")
+        )
+        tf = toks.groupBy(self.id_col, "_w").agg(
+            F.count(F.lit(1)).cast("long").alias("_tf")
+        )
+        counts = toks.groupBy("_w").agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        )
+        total = F.broadcast(
+            counts.agg(F.sum("_n").cast("long").alias("_tot"))
+        )
+        per_tok = (
+            tf.join(counts, "_w")
+            .crossJoin(total)
+            .select(
+                self.id_col,
+                (
+                    F.col("_tf")
+                    * F.floor(
+                        F.lit(float(self.SCALE)) * F.col("_n") / F.col("_tot")
+                    ).cast("long")
+                ).alias("_s"),
+                F.col("_tf"),
+            )
+        )
+        out = per_tok.groupBy(self.id_col).agg(
+            F.sum("_s").cast("long").alias("familiarity_sum"),
+            F.sum("_tf").cast("long").alias("n_tok"),
+        )
+        return [(table, out)]
+
+    def oracle_sql(self, table: str = "documents") -> str:
+        from transferia_spark.functions.portable import sql_words
+
+        return f"""
+            WITH toks AS (
+              SELECT {self.id_col}, t.w AS w
+              FROM (
+                SELECT {self.id_col}, {sql_words(self.text_col)} AS ws
+                FROM {table}
+              ), unnest(ws) AS t(w)
+            ),
+            tf AS (
+              SELECT {self.id_col}, w, count(*)::BIGINT AS tf
+              FROM toks GROUP BY 1, 2
+            ),
+            counts AS (SELECT w, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+            total AS (SELECT sum(n)::BIGINT AS tot FROM counts)
+            SELECT tf.{self.id_col},
+                   sum(tf.tf * floor({float(self.SCALE)} * counts.n / total.tot)::BIGINT)::BIGINT
+                     AS familiarity_sum,
+                   sum(tf.tf)::BIGINT AS n_tok
+            FROM tf JOIN counts USING (w) CROSS JOIN total
+            GROUP BY 1
+        """
