@@ -82,7 +82,9 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "fingerprint",
+    "lm_familiarity",
     "media_decode",
+    "audio_energy",
 ]
 
 
