@@ -480,3 +480,39 @@ def test_parquet_table_time_travel(spark, tmp_path):
     t.overwrite(spark.range(0, 30))
     with pytest.raises(FileNotFoundError):
         t.read(version=v - 1)  # gc'd now
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate (id) rows across micro-batches within the watermark
+    collapse to one output row; batch mode degrades to dropDuplicates."""
+    from transferia_spark.streaming.joins import stream_dedup
+
+    src = str(tmp_path / "dd")
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("id", T.LongType())]
+    )
+    _write_batch(src, "d0", [
+        {"ts": "2026-01-01T00:00:01", "id": 1},
+        {"ts": "2026-01-01T00:00:02", "id": 1},  # dup in-batch
+        {"ts": "2026-01-01T00:00:03", "id": 2},
+    ])
+    _write_batch(src, "d1", [
+        {"ts": "2026-01-01T00:01:00", "id": 1},  # dup across batches
+        {"ts": "2026-01-01T00:01:30", "id": 3},
+    ])
+    out = stream_dedup(
+        file_stream(spark, src, schema, fmt="json"), ["id"], "ts", "1 hour"
+    )
+    got = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r.id for r in got) == [1, 2, 3]
+
+    batch = spark.createDataFrame([(1,), (1,), (2,)], "id long")
+    assert stream_dedup(batch, ["id"]).count() == 2

@@ -15,7 +15,11 @@ from transferia_spark.streaming.readers import (  # noqa: F401
 )
 from transferia_spark.streaming.cdc_apply import CdcApplySink, ParquetTable  # noqa: F401
 from transferia_spark.streaming.rollup import windowed_rollup  # noqa: F401
-from transferia_spark.streaming.joins import enrich_static, interval_join  # noqa: F401
+from transferia_spark.streaming.joins import (  # noqa: F401
+    enrich_static,
+    interval_join,
+    stream_dedup,
+)
 from transferia_spark.streaming.pipeline import ReplicationPipeline  # noqa: F401
 from transferia_spark.streaming.wal_source import (  # noqa: F401
     WalJsonDataSource,

@@ -81,3 +81,30 @@ def enrich_static(
     """Stream-static enrichment join (stateless; per-micro-batch)."""
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, how)
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Effectively-once delivery on top of an at-least-once source:
+    drop repeated keys within the watermark window
+    (``dropDuplicatesWithinWatermark`` — state expires with the
+    watermark, unlike plain ``dropDuplicates`` whose state grows
+    forever on a stream). The reference reaches the same contract via
+    idempotent upsert at the sink (replication-techniques.md); this is
+    the in-flight variant for APPEND-shaped sinks (files, queues) where
+    no upsert key exists downstream.
+
+    On a batch frame this is plain ``dropDuplicates(keys)`` — the
+    oracle path.
+    """
+    if not stream.isStreaming:
+        return stream.dropDuplicates(keys)
+    if ts_col is None:
+        raise ValueError("streaming dedup needs an event-time column")
+    return stream.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
+        keys
+    )
