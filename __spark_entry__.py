@@ -2376,7 +2376,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_transform(range(1, length(text) + 1),
                                     i -> ord(substr(text, i, 1))) AS s
-              FROM documents WHERE doc_id % 2 = 1
+              FROM documents WHERE doc_id % 2 = 1 AND length(text) > 0
             )
             SELECT doc_id, f.i AS frame_idx,
                    list_sum(list_transform(

@@ -178,3 +178,25 @@ def test_asof_join_matches_bruteforce_reference(spark):
         cands = [(rt, rid) for rt, rid in by_key.get(k, []) if rt <= t]
         want = max(cands)[1] if cands else None
         assert got[lid] == want, (lid, k, t)
+
+
+def test_asof_null_keys_and_times_match_nothing(spark):
+    """SQL semantics: NULL keys/timestamps never satisfy the join
+    condition — on either side, in either direction."""
+    left = spark.createDataFrame(
+        [(None, 5.0, "nullkey"), (1, None, "nullts"), (1, 5.0, "ok")],
+        "k long, t double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(None, 1.0, 1), (1, None, 2), (1, 4.0, 3)],
+        "k long, rt double, rid long",
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, ["k"], ["k"], "t", "rt", ["rid"], direction=direction
+        )
+        got = {r.tag: r.rid for r in out.collect()}
+        assert got["nullkey"] is None
+        assert got["nullts"] is None
+        want_ok = 3 if direction == "backward" else None
+        assert got["ok"] == want_ok, direction

@@ -90,3 +90,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_salted_join_rejects_outer(spark, skewed):
+    dim = spark.createDataFrame([(7, "hot")], "k long, name string")
+    with pytest.raises(ValueError, match="inner|left"):
+        salted_join(skewed, dim, ["k"], how="right")
+
+
+def test_salted_join_salt_col_spreads_identical_rows(spark):
+    from pyspark.sql import functions as F2
+
+    # identical content rows, distinct event ids
+    df = spark.range(0, 4000).select(
+        F2.lit(7).alias("k"), F2.lit(1).alias("v"), F2.col("id").alias("eid")
+    )
+    salted = df.withColumn(
+        "_salt", F2.pmod(F2.xxhash64(F2.col("eid")), F2.lit(8)).cast("int")
+    )
+    assert salted.select("_salt").distinct().count() == 8
+    dim = spark.createDataFrame([(7, "x")], "k long, name string")
+    out = salted_join(df, dim, ["k"], salts=8, salt_col="eid")
+    assert out.count() == 4000

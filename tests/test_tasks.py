@@ -151,12 +151,19 @@ def test_compact_table_in_place_atomic_swap(spark, tmp_path):
     assert t.read().count() == 5000
 
 
-def test_compact_partitioned_repartitions_on_keys(spark, tmp_path):
+def test_compact_partitioned_writes_hive_layout(spark, tmp_path):
+    import os
+
     from transferia_spark.tasks.compact import compact_df
 
     df = spark.range(0, 1000).selectExpr("id", "id % 4 AS part")
-    v = compact_df(df, str(tmp_path / "p"), n_files=4, partition_cols=["part"])
-    plan = df.repartition(4, "part")._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange hashpartitioning" in plan
-    got = spark.read.parquet(str(tmp_path / "p" / f"_v{v}"))
+    v = compact_df(df, str(tmp_path / "p"), n_files=8, partition_cols=["part"])
+    live = str(tmp_path / "p" / f"_v{v}")
+    # real partitionBy directories, prunable by the scanner
+    assert sorted(
+        d for d in os.listdir(live) if d.startswith("part=")
+    ) == ["part=0", "part=1", "part=2", "part=3"]
+    got = spark.read.parquet(live)
     assert got.count() == 1000
+    pruned = got.filter("part = 2")
+    assert pruned.count() == 250

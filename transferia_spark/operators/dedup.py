@@ -690,7 +690,6 @@ class DedupBlocks(Transformer):
         # (see DedupMinHashLSH on InferFiltersFromGenerate)
         occ = blocks.select(
             self.id_col,
-            F.size("_bh").alias("_nb"),
             F.explode_outer(F.array_distinct("_bh")).alias("_h"),
         )
         popular = (
@@ -745,7 +744,7 @@ class DedupBlocks(Transformer):
               FROM wh
             ),
             occ AS (
-              SELECT {self.id_col}, len(bh)::BIGINT AS nb, h.h AS h
+              SELECT {self.id_col}, h.h AS h
               FROM blocks, unnest(list_distinct(bh)) AS h(h)
             ),
             popular AS (

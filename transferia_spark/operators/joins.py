@@ -29,7 +29,7 @@ Both are pure DataFrame compositions — no UDFs, no collect():
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE = "_asof_side"
@@ -72,7 +72,14 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     keys = list(left_on)
-    r = right.select(
+    # SQL join semantics: a right row with a NULL key or NULL time can
+    # never satisfy `l.k = r.k AND l.t >= r.t`, so drop it before the
+    # union (otherwise NULLS FIRST ordering would let its pack pollute
+    # every carry in the NULL-key window partition)
+    null_guard = F.lit(True)
+    for rc in right_on:
+        null_guard = null_guard & F.col(rc).isNotNull()
+    r = right.filter(null_guard & F.col(right_time).isNotNull()).select(
         *[F.col(rc).alias(lc) for rc, lc in zip(right_on, left_on)],
         F.col(right_time).alias(_T),
         F.struct(
@@ -93,8 +100,13 @@ def asof_join(
     )
     matched = F.last(F.col(_PACK), ignorenulls=True).over(w)
 
+    # a left row with a NULL key or NULL time matches nothing in SQL
+    # (`NULL = x` / `NULL >= x` are never true) — null out its carry
+    left_matchable = F.col(left_time).isNotNull()
+    for k in keys:
+        left_matchable = left_matchable & F.col(k).isNotNull()
     out = (
-        u.withColumn(_PACK, matched)
+        u.withColumn(_PACK, F.when(left_matchable, matched))
         .filter(F.col(_SIDE) == 1)
         .drop(_SIDE, _T)
     )
@@ -158,7 +170,3 @@ def range_join(
         *[p[c] for c in points.columns],
         *[i[c] for c in intervals.columns if c not in interval_on],
     )
-
-
-def _qcount(c: Column) -> Column:  # tiny helper used by entry queries
-    return F.count(c)

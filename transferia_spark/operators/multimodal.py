@@ -164,6 +164,11 @@ class AudioEnergy(Transformer):
     numpy kernel are decoder-agnostic). Per ``frame_len``-sample frame:
     exact integer energy (Σ s²), peak |s|, and zero crossings — all
     int64, so results are vectorization-independent and reproducible.
+    Empty payloads emit no frames (SQL aggregates over an empty slice
+    are NULL — skipping keeps oracle parity). Oracle parity holds for
+    ASCII payloads, where byte == code point and |s| == s; non-ASCII
+    bytes still compute fine but a text-derived SQL oracle would frame
+    differently.
 
     Scale: one Arrow-batched mapInPandas over the payload column —
     no shuffle; the output drops the payload so downstream aggs are
@@ -199,6 +204,11 @@ class AudioEnergy(Transformer):
                     s = np.frombuffer(bytes(payload), dtype=np.int8).astype(
                         np.int64
                     )
+                    if len(s) == 0:
+                        # no samples → no frames (a zero row would
+                        # diverge from SQL aggregates over an empty
+                        # slice, which are NULL)
+                        continue
                     n_frames = max(1, len(s) // frame_len)
                     for i in range(n_frames):
                         f = s[i * frame_len : (i + 1) * frame_len]

@@ -103,6 +103,8 @@ class _AnnBase(Transformer):
             )
         import numpy as np
 
+        import pandas as pd
+
         def kernel(batches):
             for pdf in batches:
                 if len(pdf) == 0:
@@ -121,9 +123,20 @@ class _AnnBase(Transformer):
                     pdf["_qn2"].to_numpy(dtype=np.float64)
                     * pdf["_cn2"].to_numpy(dtype=np.float64)
                 )
-                bp = np.floor(dot / den * 10000.0).astype(np.int64)
+                # zero-norm (all-zero-quantized) vector: Catalyst's
+                # double division yields NULL on /0 — mirror it with a
+                # masked nullable Int64, not numpy's undefined inf→int
+                # cast
+                ok = den != 0.0
+                bp = np.zeros(len(den), dtype=np.int64)
+                np.floor(
+                    np.divide(dot, den, out=np.zeros_like(dot), where=ok)
+                    * 10000.0,
+                    out=dot,
+                )
+                bp[ok] = dot[ok].astype(np.int64)
                 out = pdf[["query_id", "neighbor_id"]].copy()
-                out["sim_bp"] = bp
+                out["sim_bp"] = pd.arrays.IntegerArray(bp, mask=~ok)
                 yield out
 
         return sel.mapInPandas(

@@ -35,17 +35,33 @@ def salted_join(
     on: list[str],
     salts: int = 16,
     how: str = "inner",
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Join with the large side's rows spread over ``salts`` sub-keys.
 
     The salt is derived from the large row's content hash — stable
     under task retry/recomputation (a ``rand()`` salt is not: a retried
     task would re-salt rows differently mid-shuffle, the same defect
-    the sharder fix removed from ``operators/routing.py``).
+    the sharder fix removed from ``operators/routing.py``). Limitation:
+    byte-identical duplicate rows share a salt, so a hot key made of
+    IDENTICAL rows still lands on one sub-key — pass ``salt_col`` (any
+    high-cardinality column, e.g. an event id) to spread those.
+
+    Only ``inner`` and ``left`` joins are supported: the small side is
+    replicated once per salt, so right/full-outer would emit one
+    null-padded row PER SALT for unmatched small rows.
     """
-    lsalt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salts)
-    ).cast("int")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner|left, got {how!r} "
+            "(small-side replication breaks right/full outer)"
+        )
+    salt_src = (
+        [F.col(salt_col)]
+        if salt_col
+        else [F.col(c) for c in large.columns]
+    )
+    lsalt = F.pmod(F.xxhash64(*salt_src), F.lit(salts)).cast("int")
     l = large.withColumn("_salt", lsalt)
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
@@ -59,6 +75,7 @@ def two_phase_agg(
     partial_aggs: dict[str, F.Column],
     final_aggs: dict[str, F.Column],
     salts: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Skew-safe aggregation: partial per (keys, salt), final per keys.
 
@@ -67,8 +84,18 @@ def two_phase_agg(
     partial names). E.g. sum: partial ``sum(x) as s``, final
     ``sum(s) as s``; count: partial ``count(*) as c``, final
     ``sum(c) as c``; avg: carry (sum, count) and divide at the end.
+
+    Same duplicate-row caveat as ``salted_join``: byte-identical rows
+    share a content-hash salt; pass ``salt_col`` when counting
+    replayed/identical events. (Plain groupBy's map-side partial
+    aggregation already absorbs identical-row hot keys well — reach for
+    this helper when the hot group's DISTINCT rows overwhelm one
+    reducer.)
     """
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in df.columns]), F.lit(salts))
+    salt_src = (
+        [F.col(salt_col)] if salt_col else [F.col(k) for k in df.columns]
+    )
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(salts))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

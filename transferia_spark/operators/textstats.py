@@ -199,17 +199,25 @@ __all__ = ["LangId", "QualityScore", "TokenCount", "Fingerprint", "LEXICONS", "T
 
 @register
 class Bm25Rank(Transformer):
-    """Top-k keyword search: BM25 ranking of documents for a small
-    term set — the retrieval primitive of corpus QA / decontamination
-    triage ("which documents dominate this query?").
+    """Top-k keyword search: BM25-shaped ranking of documents for a
+    small term set — the retrieval primitive of corpus QA /
+    decontamination triage ("which documents dominate this query?").
 
-    Log-free BM25: the classic idf uses ln((N-df+0.5)/(df+0.5)); libm
-    log implementations differ by ulps across engines, which can flip
-    a floor boundary. The raw odds ratio (N-df+0.5)/(df+0.5) is a
-    strictly monotone function of it, and needs only IEEE +,*,/ —
-    bit-identical everywhere. Each per-term score is quantized to an
-    int (floor(score·10^6)) BEFORE the per-doc sum, so the sum is
-    integer arithmetic — order-free, hash-exact vs the oracle.
+    Log-free idf (``idf_mode="odds"``, default): the classic idf is
+    ln((N-df+0.5)/(df+0.5)); libm logs differ by ulps across engines,
+    which can flip a floor boundary and poison value hashes. The raw
+    odds ratio is strictly monotone in it and needs only IEEE +,*,/ —
+    bit-identical everywhere. NOTE the deviation this buys: per-term
+    orderings are identical to BM25, but the per-doc SUM weights rare
+    terms linearly rather than logarithmically, so multi-term rankings
+    can differ from classic BM25 (a single rare-term hit outweighs
+    many common-term hits more aggressively). ``idf_mode="ln"`` gives
+    the classic formula (deterministic within one engine; its floor
+    boundaries are not guaranteed bit-stable across engines, so the
+    shipped oracle covers "odds" only). Each per-term score is
+    quantized to an int (floor(score·10^6)) BEFORE the per-doc sum, so
+    the sum is integer arithmetic — order-free, hash-exact vs the
+    oracle.
 
     Scale shape (100 TB corpus):
     - tokenize + term filter are map-side (the term set is a literal
@@ -232,10 +240,14 @@ class Bm25Rank(Transformer):
         k1_milli: int = 1200,
         b_milli: int = 750,
         top_k: int = 20,
+        idf_mode: str = "odds",
     ):
+        if idf_mode not in ("odds", "ln"):
+            raise ValueError(f"idf_mode must be odds|ln, got {idf_mode!r}")
         self.text_col, self.id_col = text_col, id_col
         self.terms = [t.lower() for t in terms]
         self.k1_milli, self.b_milli, self.top_k = k1_milli, b_milli, top_k
+        self.idf_mode = idf_mode
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         k1 = F.lit(self.k1_milli / 1000.0)
@@ -265,6 +277,8 @@ class Bm25Rank(Transformer):
         idf = (F.col("_n0") - F.col("_df") + F.lit(0.5)) / (
             F.col("_df") + F.lit(0.5)
         )
+        if self.idf_mode == "ln":
+            idf = F.log(idf)  # classic BM25; see docstring caveat
         tfn = (F.col("_tf") * (k1 + F.lit(1.0))) / (
             F.col("_tf")
             + k1
@@ -287,6 +301,11 @@ class Bm25Rank(Transformer):
 
     def oracle_sql(self, table: str = "documents") -> str:
         """DuckDB-equivalent statement (same constants, same op order)."""
+        if self.idf_mode != "odds":
+            raise ValueError(
+                "oracle_sql covers idf_mode='odds' only — ln floors are "
+                "not bit-stable across libm implementations"
+            )
         from transferia_spark.functions.portable import sql_words
 
         terms = ", ".join(f"'{t}'" for t in self.terms)

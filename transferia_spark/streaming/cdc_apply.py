@@ -77,10 +77,13 @@ class ParquetTable:
             )
         return self.spark.read.parquet(path)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         new_v = self.version() + 1
         path = os.path.join(self.root, f"_v{new_v}")
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(new_v))

@@ -13,13 +13,16 @@ Scale notes:
   ``target_file_bytes`` (not row counts — row width varies), so output
   files land near the 256 MB sweet spot where scan-task overhead
   amortizes but tasks still parallelize.
-- ``coalesce`` (no shuffle) when only merging; ``repartition`` (one
-  shuffle) when ``partition_cols`` are given, so rows co-locate by the
-  partition value and each Hive-style directory gets dense files.
+- ``coalesce`` (no shuffle) when only merging. With ``partition_cols``
+  the output is a real Hive-style ``partitionBy`` layout, and rows are
+  spread over (partition value, spread-bucket) so each directory gets
+  ~target-sized files instead of one giant file per value.
 - The rewrite lands in a fresh versioned directory with an atomic
   pointer swap (``ParquetTable``) — readers never see a half-written
-  table, and the streaming writer can keep appending to the live
-  version while compaction prepares the next.
+  table. ParquetTable is SINGLE-WRITER: pause the streaming sink (or
+  schedule compaction between micro-batches via foreachBatch) before
+  compacting in place — two concurrent ``overwrite`` calls race on the
+  same version directory and one batch silently loses.
 """
 
 from __future__ import annotations
@@ -77,10 +80,22 @@ def compact_df(
 ) -> int:
     table = ParquetTable(df.sparkSession, dst_root)
     if partition_cols:
-        out = df.repartition(n_files, *partition_cols)
-    else:
-        out = df.coalesce(n_files)
-    return table.overwrite(out)
+        from pyspark.sql import functions as F
+
+        # spread each partition value over enough buckets that its
+        # directory gets ~n_files/|values| files of ~target size (one
+        # cheap distinct-count; hash spread is content-derived so a
+        # task retry recomputes identically)
+        n_vals = df.select(*partition_cols).distinct().count()
+        per_part = max(1, round(n_files / max(1, n_vals)))
+        spread = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(per_part)
+        )
+        out = df.repartition(
+            max(n_files, n_vals), *partition_cols, spread
+        )
+        return table.overwrite(out, partition_by=partition_cols)
+    return table.overwrite(df.coalesce(n_files))
 
 
 def compact_table(
