@@ -200,3 +200,35 @@ def test_asof_null_keys_and_times_match_nothing(spark):
         assert got["nullts"] is None
         want_ok = 3 if direction == "backward" else None
         assert got["ok"] == want_ok, direction
+
+
+def test_range_join_property_random_intervals(spark):
+    """Hypothesis-style randomized check across bin sizes: binning
+    never changes the answer relative to the theta join."""
+    import random
+
+    rnd = random.Random(7)
+    pts_rows = [
+        (rnd.randrange(4), float(rnd.randrange(1000)), i) for i in range(300)
+    ]
+    ivl_rows = [
+        (rnd.randrange(4), lo := float(rnd.randrange(1000)),
+         lo + float(rnd.randrange(1, 200)), 1000 + i)
+        for i in range(60)
+    ]
+    pts = spark.createDataFrame(pts_rows, "k long, x double, pid long")
+    ivl = spark.createDataFrame(ivl_rows, "ik long, lo double, hi double, iid long")
+    want = {
+        (p[2], v[3])
+        for p in pts_rows
+        for v in ivl_rows
+        if p[0] == v[0] and v[1] <= p[1] < v[2]
+    }
+    for bin_size in (1.0, 7.0, 64.0, 250.0, 5000.0):
+        got = {
+            (r.pid, r.iid)
+            for r in range_join(
+                pts, ivl, ["k"], ["ik"], "x", "lo", "hi", bin_size
+            ).collect()
+        }
+        assert got == want, bin_size
