@@ -14,6 +14,10 @@ from transferia_spark.streaming.readers import (  # noqa: F401
     rate_stream,
 )
 from transferia_spark.streaming.cdc_apply import CdcApplySink, ParquetTable  # noqa: F401
+from transferia_spark.streaming.bucketed_table import (  # noqa: F401
+    BucketedCdcApplySink,
+    BucketedParquetTable,
+)
 from transferia_spark.streaming.rollup import windowed_rollup  # noqa: F401
 from transferia_spark.streaming.joins import (  # noqa: F401
     enrich_static,
