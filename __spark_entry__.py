@@ -734,6 +734,25 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changelog(cust, log, keys=["c_custkey"])
 
 
+def q_cdc_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same merge as cdc_merge, executed through the bucket-scoped
+    table (snapshot overwrite → one changelog MERGE touching only the
+    buckets whose keys changed → read-back) — proves the O(touched
+    buckets) path is result-identical to the full-table MERGE oracle."""
+    import tempfile
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    ev = _t(spark, sf_dir, "events")
+    log = events_changelog(ev, key="c_custkey", value="c_acctbal")
+    root = tempfile.mkdtemp(prefix="bucketed_merge_")
+    t = BucketedParquetTable(spark, root, keys=["c_custkey"], n_buckets=16)
+    t.overwrite(cust)
+    t.merge(log)
+    return t.read()
+
+
 def q_skip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     log = events_changelog(ev)
@@ -2210,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- CDC core + provider envelopes -----------------------------
         "cdc_collapse": q_cdc_collapse,
         "cdc_merge": q_cdc_merge,
+        "cdc_merge_bucketed": q_cdc_merge_bucketed,
         "skip_events": q_skip_events,
         "mysql_cdc_envelope": q_mysql_cdc_envelope,
         "mongo_change_stream": q_mongo_change_stream,
@@ -2467,6 +2487,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_collapse": _changelog_cte() + "SELECT user_id, value, _op, _lsn FROM collapsed",
         "cdc_merge": _changelog_cte(key="c_custkey", value="val")
+        + """
+        , ups AS (SELECT * FROM collapsed WHERE _op <> 'd')
+        SELECT t.c_custkey, t.c_name, coalesce(u.val, t.c_acctbal) AS c_acctbal
+        FROM customer t JOIN ups u USING (c_custkey)
+        UNION ALL
+        SELECT u.c_custkey, NULL AS c_name, u.val AS c_acctbal
+        FROM ups u ANTI JOIN customer t USING (c_custkey)
+        UNION ALL
+        SELECT t.c_custkey, t.c_name, t.c_acctbal
+        FROM customer t ANTI JOIN collapsed n USING (c_custkey)
+        """,
+        "cdc_merge_bucketed": _changelog_cte(key="c_custkey", value="val")
         + """
         , ups AS (SELECT * FROM collapsed WHERE _op <> 'd')
         SELECT t.c_custkey, t.c_name, coalesce(u.val, t.c_acctbal) AS c_acctbal

@@ -59,6 +59,7 @@ HEADLINE = [
     "events_hourly_rollup",
     "cdc_collapse",
     "cdc_merge",
+    "cdc_merge_bucketed",
     "transform_chain",
     # training-data pipeline surface (documents: 5k rows / embeddings:
     # 2k × 64-dim at sf0.1)
