@@ -72,8 +72,55 @@ def test_merge_rewrites_only_touched_buckets(spark, table):
 def test_delete_can_empty_a_bucket(spark, table):
     table.merge(_batch(spark, [(1, "x", "i", 1, 0)]))
     table.merge(_batch(spark, [(1, None, "d", 2, 0)]))
-    with pytest.raises(FileNotFoundError):
-        table.read()  # the only bucket emptied → nothing to read
+    # existing-but-empty table reads as an empty frame with the stored
+    # schema (ParquetTable's empty-after-delete behavior)
+    out = table.read()
+    assert out.count() == 0
+    assert out.columns == ["id", "v"]
+
+
+def test_reopen_adopts_stored_bucket_count(spark, table, tmp_path):
+    table.merge(_batch(spark, [(i, f"a{i}", "i", 1, i) for i in range(20)]))
+    reopened = BucketedParquetTable(
+        spark, table.root, keys=["id"], n_buckets=999  # wrong: stored wins
+    )
+    assert reopened.n_buckets == 8
+    reopened.merge(_batch(spark, [(3, "up", "u", 2, 0)]))
+    got = {r.id: r.v for r in reopened.read().collect()}
+    assert got[3] == "up" and len(got) == 20
+    with pytest.raises(ValueError, match="keyed by"):
+        BucketedParquetTable(spark, table.root, keys=["other"])
+
+
+def test_merge_normalizes_key_dtype(spark, table):
+    table.merge(_batch(spark, [(i, f"a{i}", "i", 1, i) for i in range(20)]))
+    narrow = spark.createDataFrame(
+        [(3, "up", "u", 2, 0)],
+        f"id int, v string, {OP_COL} string, {LSN_COL} long, {COUNTER_COL} long",
+    )
+    table.merge(narrow)  # int key vs stored bigint: must still land
+    got = {r.id: r.v for r in table.read().collect()}
+    assert got[3] == "up" and len(got) == 20
+
+
+def test_partial_batch_into_fresh_bucket_keeps_table_schema(spark, tmp_path):
+    t = BucketedParquetTable(
+        spark, str(tmp_path / "pt"), keys=["id"], n_buckets=4
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0)], "id long, v string, x double"
+        )
+    )
+    # TOAST-style partial batch (no x column) inserting a NEW key
+    partial = spark.createDataFrame(
+        [(97, "new", "i", 5, 0)], CH_SCHEMA
+    )
+    t.merge(partial)
+    out = t.read()
+    assert sorted(out.columns) == ["id", "v", "x"]
+    rows = {r.id: (r.v, r.x) for r in out.collect()}
+    assert rows[97] == ("new", None) and rows[1] == ("a", 10.0)
 
 
 def test_gc_keeps_live_versions_across_window(spark, table):

@@ -199,7 +199,7 @@ class AudioEnergy(Transformer):
                 for doc_id, payload, k in zip(
                     pdf["doc_id"], pdf["payload"], pdf["kind"]
                 ):
-                    if k != kind:
+                    if k != kind or payload is None:
                         continue
                     s = np.frombuffer(bytes(payload), dtype=np.int8).astype(
                         np.int64

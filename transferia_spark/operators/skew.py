@@ -47,13 +47,19 @@ def salted_join(
     IDENTICAL rows still lands on one sub-key — pass ``salt_col`` (any
     high-cardinality column, e.g. an event id) to spread those.
 
-    Only ``inner`` and ``left`` joins are supported: the small side is
-    replicated once per salt, so right/full-outer would emit one
-    null-padded row PER SALT for unmatched small rows.
+    Right/full-outer joins are rejected: the small side is replicated
+    once per salt, so an unmatched small row would emit one null-padded
+    output PER SALT. Inner, left (all spellings), and left-semi/anti
+    are unaffected by the replication and allowed.
     """
-    if how not in ("inner", "left"):
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
+    if how not in allowed:
         raise ValueError(
-            f"salted_join supports inner|left, got {how!r} "
+            f"salted_join supports inner/left/semi/anti joins, got {how!r} "
             "(small-side replication breaks right/full outer)"
         )
     salt_src = (

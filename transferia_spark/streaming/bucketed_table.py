@@ -54,9 +54,54 @@ class BucketedParquetTable:
         self.root = root
         self.keys = keys
         self.n_buckets = n_buckets
+        self._schema_json: dict | None = None
         os.makedirs(root, exist_ok=True)
+        # the bucket function is part of the ON-DISK layout: reopening
+        # with a different n_buckets would silently mis-bucket merges
+        # (keys hash to manifest-absent buckets → lost updates), so the
+        # stored metadata wins and a key mismatch is an error
+        meta = self._load_meta()
+        if meta is not None:
+            if meta["keys"] != list(keys):
+                raise ValueError(
+                    f"table at {root} is keyed by {meta['keys']}, got {keys}"
+                )
+            self.n_buckets = int(meta["n_buckets"])
+            self._schema_json = meta.get("schema")
 
     # ---------------------------------------------------------- layout
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_meta.json")
+
+    def _load_meta(self) -> dict | None:
+        try:
+            with open(self._meta_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _save_meta(self, schema) -> None:
+        self._schema_json = json.loads(schema.json())
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "keys": list(self.keys),
+                    "n_buckets": self.n_buckets,
+                    "schema": self._schema_json,
+                },
+                f,
+            )
+        os.replace(tmp, self._meta_path)
+
+    def _stored_schema(self):
+        from pyspark.sql import types as T
+
+        if self._schema_json is None:
+            return None
+        return T.StructType.fromJson(self._schema_json)
 
     @property
     def _pointer(self) -> str:
@@ -103,6 +148,12 @@ class BucketedParquetTable:
             if b in m and os.path.isdir(self._bucket_dir(m[b], b))
         ]
         if not paths:
+            # table exists but the wanted buckets hold no rows (e.g.
+            # fully deleted) — an empty frame with the table schema,
+            # matching ParquetTable's empty-after-delete behavior
+            schema = self._stored_schema()
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
             raise FileNotFoundError(
                 f"no data for buckets {wanted} in {self.root}"
             )
@@ -121,26 +172,50 @@ class BucketedParquetTable:
         from transferia_spark.cdc.changeitem import META_COLS
         from pyspark.sql import types as T
 
-        touched = sorted(
-            r[0]
-            for r in batch.select(self._bucket_of().alias(BUCKET_COL))
-            .distinct()
-            .collect()  # ≤ n_buckets small ints — bounded by design
-        )
-        if not touched:
-            return self.version()
-        data_schema = T.StructType(
-            [f for f in batch.schema.fields if f.name not in META_COLS]
-        )
-        target = self._read_or_empty(touched, data_schema)
-        merged = merge_batch(target, batch, self.keys, toast_aware=toast_aware)
-        return self._commit(merged, touched)
+        stored = self._stored_schema()
+        if stored is not None:
+            # normalize key dtypes to the table's: xxhash64 is
+            # TYPE-SENSITIVE, so an int batch key vs a bigint stored
+            # key would compute `touched` buckets that disagree with
+            # the buckets _commit assigns to the merged (widened) rows
+            # — committed rows the manifest never points at
+            types = {f.name: f.dataType for f in stored.fields}
+            for k in self.keys:
+                if k in types and batch.schema[k].dataType != types[k]:
+                    batch = batch.withColumn(k, F.col(k).cast(types[k]))
+        # the batch feeds two jobs (touched-bucket collect + the merge
+        # write); persist so an upstream transformation chain isn't
+        # recomputed per job
+        batch = batch.persist()
+        try:
+            touched = sorted(
+                r[0]
+                for r in batch.select(self._bucket_of().alias(BUCKET_COL))
+                .distinct()
+                .collect()  # ≤ n_buckets small ints — bounded by design
+            )
+            if not touched:
+                return self.version()
+            # schema for empty/never-written buckets: the STORED table
+            # schema (a column-subset TOAST batch must not narrow a
+            # bucket's files relative to the rest of the table)
+            data_schema = stored or T.StructType(
+                [f for f in batch.schema.fields if f.name not in META_COLS]
+            )
+            target = self._read_or_empty(touched, data_schema)
+            merged = merge_batch(
+                target, batch, self.keys, toast_aware=toast_aware
+            )
+            return self._commit(merged, touched)
+        finally:
+            batch.unpersist()
 
     def overwrite(self, df: DataFrame) -> int:
         """Full rewrite (initial snapshot load): every bucket."""
         return self._commit(df, list(range(self.n_buckets)))
 
     def _commit(self, df: DataFrame, touched: list[int]) -> int:
+        self._save_meta(df.schema)
         new_v = self.version() + 1
         path = os.path.join(self.root, f"_v{new_v}")
         (
