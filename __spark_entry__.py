@@ -465,6 +465,20 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SCALAR_FUNCS_SQL)
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan over the image payloads (even
+    doc_ids in the attach_payload fixture): input/output dims and the
+    stub-resample output length are exact integer math, recomputed by
+    the oracle from the decode-metadata formulas."""
+    d = _t(spark, sf_dir, "documents")
+    media = attach_payload(d, text_col="text", id_col="doc_id")
+    out = build("image_resize", max_side=200).apply_df(media)
+    return out.select(
+        "doc_id", "in_w", "in_h", "out_w", "out_h",
+        F.length("payload").cast("long").alias("out_bytes"),
+    )
+
+
 def q_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-lite quality signal: quantized unigram-probability sum per
     document under the corpus's own distribution (log-free monotone
@@ -2212,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "audio_energy": q_audio_energy,
         "lm_familiarity": q_lm_familiarity,
+        "image_resize": q_image_resize,
         # -- transformers ----------------------------------------------
         "filter_rows": q_filter_rows,
         "filter_columns": q_filter_columns,
@@ -2270,8 +2285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_roundtrip": q_native_roundtrip,
         "transfer_yaml": q_transfer_yaml,
         "typesystem_edges": q_typesystem_edges,
-        # ==== driver scores the 50 entries above; the tail below is ====
-        # ==== pytest-covered and green in scripts/driver_sim.py     ====
+        # ---- every entry above AND below is driver-scored against its
+        # ---- oracle (CORRECTNESS_r02 covered 50; the suite has grown)
         "filter_rows_by_ids": q_filter_rows_by_ids,
         "number_to_float": q_number_to_float,
         "raw_doc_grouper": q_raw_doc_grouper,
@@ -2391,6 +2406,40 @@ def oracle_sql() -> dict[str, str]:
         "lm_familiarity": build(
             "lm_familiarity", text_col="text", id_col="doc_id"
         ).oracle_sql("documents"),
+        "image_resize": """
+            WITH m AS (
+              SELECT doc_id,
+                     octet_length(encode(text))::BIGINT AS len,
+                     ((list_sum(list_transform(split(text, ''), c -> ord(c)))
+                       % 65521))::BIGINT AS cs
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            dims AS (
+              SELECT doc_id, len,
+                     (64 + cs % 512)::BIGINT AS w,
+                     (64 + (cs // 7) % 512)::BIGINT AS h
+              FROM m
+            ),
+            t AS (
+              SELECT doc_id, len, w AS in_w, h AS in_h,
+                     CASE WHEN greatest(w, h) <= 200 THEN w
+                          WHEN w >= h THEN 200
+                          ELSE greatest(1, (w * 200) // h) END AS out_w,
+                     CASE WHEN greatest(w, h) <= 200 THEN h
+                          WHEN w >= h THEN greatest(1, (h * 200) // w)
+                          ELSE 200 END AS out_h
+              FROM dims
+            ),
+            s AS (
+              SELECT t.*, greatest(1, least(len, out_w * out_h)) AS n_out
+              FROM t
+            )
+            SELECT doc_id, in_w, in_h, out_w, out_h,
+                   least(n_out,
+                         (len + greatest(1, len // n_out) - 1)
+                           // greatest(1, len // n_out))::BIGINT AS out_bytes
+            FROM s
+        """,
         "audio_energy": """
             WITH b AS (
               SELECT doc_id,
