@@ -86,6 +86,8 @@ HEADLINE = [
     "lm_familiarity",
     "media_decode",
     "audio_energy",
+    "frame_sample",
+    "image_resize",
 ]
 
 
