@@ -162,3 +162,32 @@ def test_bucket_assignment_stable_under_repartition(spark, table):
     a = {r[0] for r in b.select(col).distinct().collect()}
     c = {r[0] for r in b.repartition(3).select(col).distinct().collect()}
     assert a == c  # content-derived, retry/partitioning independent
+
+
+def test_bucketed_merge_equals_full_merge_random_logs(spark, tmp_path):
+    """Randomized cross-check: a multi-batch changelog applied through
+    the bucket-scoped table equals the same changelog through the
+    plain full-table merge — including keys that hop bucket
+    boundaries, re-inserts after delete, and single-key batches."""
+    import random
+
+    rnd = random.Random(99)
+    full = spark.createDataFrame([], "id long, v string")
+    t = BucketedParquetTable(
+        spark, str(tmp_path / "rand"), keys=["id"], n_buckets=4
+    )
+    lsn = 0
+    for _ in range(4):
+        rows = []
+        for c in range(rnd.randrange(1, 8)):
+            lsn += 1
+            k = rnd.randrange(12)
+            op = rnd.choice(["i", "u", "d"])
+            v = None if op == "d" else f"v{lsn}"
+            rows.append((k, v, op, lsn, c))
+        b = _batch(spark, rows)
+        t.merge(b)
+        full = merge_batch(full, b, ["id"])
+    got = {(r.id, r.v) for r in t.read().collect()}
+    want = {(r.id, r.v) for r in full.collect()}
+    assert got == want
