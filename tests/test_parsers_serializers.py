@@ -124,3 +124,37 @@ def test_blank_parser_payload_stays_raw(spark):
     out = build_parser("blank")(kafka_frame(spark, payloads)).collect()
     assert sorted(r["lb_raw_message"] for r in out) == sorted(payloads)
     assert all(r["partition"] == "0" for r in out)
+
+
+def test_json_parser_fuzz_roundtrip(spark):
+    """Hypothesis-style fuzz (seeded, batched into ONE Spark job):
+    random dicts serialized to JSON and parsed back must recover every
+    declared field, overflow extras into _rest, and never mark a valid
+    payload unparsed."""
+    import json as _json
+    import random
+
+    rnd = random.Random(1234)
+    payloads, expect = [], []
+    for i in range(200):
+        d = {}
+        if rnd.random() < 0.9:
+            d["a"] = rnd.choice([None, rnd.randrange(-(2**40), 2**40)])
+        if rnd.random() < 0.9:
+            d["b"] = rnd.choice(
+                [None, "", "x", "äöü", 'quote"inside', "tab\tchar", "a" * 50]
+            )
+        if rnd.random() < 0.5:
+            d["extra" + str(rnd.randrange(3))] = str(rnd.random())
+        payloads.append(_json.dumps(d))
+        expect.append(d)
+    parse = build_parser("json", schema="a long, b string")
+    rows = {r["_offset"]: r for r in parse(kafka_frame(spark, payloads)).collect()}
+    assert len(rows) == 200
+    for i, d in enumerate(expect):
+        r = rows[i]
+        assert r["_unparsed_raw"] is None, (i, d)
+        assert r["a"] == d.get("a"), (i, d)
+        assert r["b"] == d.get("b"), (i, d)
+        extras = {k for k in d if k not in ("a", "b")}
+        assert set(r["_rest"] or {}) == extras, (i, d)
