@@ -178,3 +178,36 @@ data_objects: {{include_objects: [nation]}}
     assert "nation" not in spec.include and "nation" in spec.exclude
     # delivered data stays on disk
     assert os.path.exists(os.path.join(out, "nation"))
+
+
+def test_activate_parallel_tables_matches_serial(spark, sf_dir, tmp_path):
+    """process_count > 1 (ProcessCount-style thread pool over tables,
+    ~ load_snapshot.go:902) produces byte-identical outputs to the
+    serial path."""
+
+    def run(out, pc):
+        spec = transfer_from_yaml(
+            f"""
+id: par-transfer
+type: SNAPSHOT_ONLY
+src:
+  type: file
+  params:
+    path: {sf_dir}
+    format: parquet
+    tables: [region, nation, supplier]
+dst:
+  type: file
+  params: {{path: {out}, format: parquet}}
+"""
+        )
+        written = activate(spark, spec, process_count=pc)
+        return written
+
+    w1 = run(str(tmp_path / "serial"), 1)
+    w3 = run(str(tmp_path / "par"), 3)
+    assert set(w1) == set(w3) == {"region", "nation", "supplier"}
+    for t in ("region", "nation", "supplier"):
+        a = spark.read.parquet(os.path.join(str(tmp_path / "serial"), t))
+        b = spark.read.parquet(os.path.join(str(tmp_path / "par"), t))
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -111,8 +111,16 @@ def route_unparsed(routed: dict[TableID, "object"]) -> dict[TableID, "object"]:
     return out
 
 
-def activate(spark: SparkSession, spec: TransferSpec) -> dict[str, int]:
+def activate(
+    spark: SparkSession, spec: TransferSpec, process_count: int = 1
+) -> dict[str, int]:
     """Snapshot load: list tables, apply cleanup, scan→transform→write.
+
+    ``process_count`` > 1 loads tables CONCURRENTLY from a thread pool
+    (≈ the reference's ProcessCount-bounded semaphore over table parts,
+    ``load_snapshot.go:902``): Spark's scheduler interleaves the
+    submitted jobs, so small tables fill the cluster while a big scan
+    streams — per-table progress/state commits serialize under a lock.
 
     Returns per-output-table row counts (the reference's progress
     tracker equivalent — here a cheap observe on the written data is
@@ -120,29 +128,60 @@ def activate(spark: SparkSession, spec: TransferSpec) -> dict[str, int]:
     sink supports it, else a post-read)."""
     tables = [t for t in spec.src.table_list(spark) if _selected(spec, t)]
     written: dict[str, int] = {}
+    if process_count > 1:
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        lock = threading.Lock()
+
+        def one(table):
+            _activate_one(spark, spec, table, written, lock)
+
+        with ThreadPoolExecutor(max_workers=process_count) as ex:
+            list(ex.map(one, tables))  # re-raises the first failure
+        return written
+    lock = None
     for table in tables:
+        _activate_one(spark, spec, table, written, lock)
+    return written
+
+
+class _NullLock:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def _activate_one(spark, spec, table, written: dict, lock) -> None:
+    lock = lock or _NullLock()
+    with lock:
         if spec.progress is not None and spec.progress.table_done(table.fqtn()):
             # resumed operation: this table's write committed in a
             # previous run (tracker contract — don't redo it)
             written[table.fqtn()] = -2
-            continue
-        df = spec.src.load_table(spark, table, where=spec.filters.get(table.fqtn()))
-        if spec.type != TransferType.SNAPSHOT_ONLY and spec.state is not None:
-            cursor = spec.cursor_cols.get(table.fqtn())
-            if cursor:
-                df, new_cursor = incremental_read(df, cursor, spec.state, table.fqtn())
-        routed = route_unparsed(spec.transformation.apply_batch({table: df}))
-        if spec.type_system_version is not None:
-            from transferia_spark.schema.typesystem import apply_fallbacks
+            return
+    df = spec.src.load_table(spark, table, where=spec.filters.get(table.fqtn()))
+    new_cursor = None
+    if spec.type != TransferType.SNAPSHOT_ONLY and spec.state is not None:
+        cursor = spec.cursor_cols.get(table.fqtn())
+        if cursor:
+            df, new_cursor = incremental_read(df, cursor, spec.state, table.fqtn())
+    routed = route_unparsed(spec.transformation.apply_batch({table: df}))
+    if spec.type_system_version is not None:
+        from transferia_spark.schema.typesystem import apply_fallbacks
 
-            routed = {
-                t: apply_fallbacks(d, spec.type_system_version)
-                for t, d in routed.items()
-            }
-        for out_table, out_df in routed.items():
-            spec.dst.cleanup(out_table, spec.cleanup)
-            spec.dst.write(out_df, out_table)
+        routed = {
+            t: apply_fallbacks(d, spec.type_system_version)
+            for t, d in routed.items()
+        }
+    for out_table, out_df in routed.items():
+        spec.dst.cleanup(out_table, spec.cleanup)
+        spec.dst.write(out_df, out_table)
+        with lock:
             written[out_table.fqtn()] = -1  # count not materialized by default
+    with lock:
         if spec.progress is not None:
             # commit progress AFTER every output write of this source
             # table succeeded (tracker flush ordering)
@@ -157,7 +196,6 @@ def activate(spark: SparkSession, spec: TransferSpec) -> dict[str, int]:
                 from transferia_spark.sources.incremental import cursor_type_of
 
                 spec.state.set(table.fqtn(), new_cursor, cursor_type_of(df, cursor))
-    return written
 
 
 def run_regular_snapshots(
