@@ -50,6 +50,10 @@ def main() -> int:
         "--max-runs", type=int, default=None,
         help="bound the --regular loop (default: run forever)",
     )
+    ap.add_argument(
+        "--process-count", type=int, default=1,
+        help="activate: concurrent table loads (ProcessCount parity)",
+    )
     args = ap.parse_args()
 
     if args.verb == "compact":
@@ -123,7 +127,7 @@ def main() -> int:
             print(f"runs: {len(runs)}")
             written = runs[-1]
         else:
-            written = activate(spark, spec)
+            written = activate(spark, spec, process_count=args.process_count)
     else:
         if not tables:
             ap.error("upload needs --tables")
