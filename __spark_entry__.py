@@ -569,6 +569,24 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-window (1h window / 30min slide) rollup — the batch shape of
+    the sliding variant of streaming/rollup.windowed_rollup; each event
+    lands in exactly window/slide windows (oracle enumerates them)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's most recent order
     (greatest o_orderdate <= ts). Union-tag + window carry-forward —
@@ -2216,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "events_sliding_rollup": q_events_sliding_rollup,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
         "percentile_stats": q_percentile_stats,
@@ -2397,6 +2416,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_rollup": """
+            WITH e AS (
+              SELECT ts, event_type, value, epoch(ts) AS sec FROM events
+            ),
+            w AS (
+              SELECT event_type, value, (k.k * 1800)::BIGINT AS start_sec
+              FROM e, unnest(range(floor(sec/1800)::BIGINT - 1,
+                                   floor(sec/1800)::BIGINT + 1)) AS k(k)
+              WHERE sec >= k.k * 1800 AND sec < k.k * 1800 + 3600
+            )
+            SELECT make_timestamp(start_sec * 1000000) AS window_start,
+                   event_type, count(*)::BIGINT AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM w GROUP BY 1, 2
         """,
         "rollup_agg": ROLLUP_SQL,
         "set_ops": SET_OPS_SQL,

@@ -57,6 +57,7 @@ HEADLINE = [
     "interval_join",
     "window_topk",
     "events_hourly_rollup",
+    "events_sliding_rollup",
     "cdc_collapse",
     "cdc_merge",
     "cdc_merge_bucketed",
