@@ -45,7 +45,8 @@ def test_write_stages_text_and_runs_load_sequence(spark, tmp_path, rec):
 
     sql = rec
     ext = '"sales"."ext_orders"'
-    tmp = '"sales"."tmp_orders"'
+    # unqualified: CREATE TEMPORARY TABLE rejects schema-qualified names
+    tmp = '"tmp_sales_orders"'
     target = '"sales"."orders"'
     create_ext = next(q for q in sql if q.startswith("CREATE READABLE EXTERNAL"))
     assert ext in create_ext

@@ -95,7 +95,18 @@ def test_write_uploads_parts_then_commits(spark, yt_stub):
     writes = [c for c in calls if c["cmd"] == "write_table"]
     rows = [json.loads(ln) for c in writes for ln in c["body"].splitlines()]
     assert sorted(r["id"] for r in rows) == list(range(20))
-    assert all("<append=%true>" in c["params"]["path"] for c in writes)
+    # retry-idempotence contract: the FIRST write of each part table
+    # overwrites (truncating any half-written attempt), later chunks of
+    # the same attempt append
+    first_mode: dict[str, bool] = {}
+    for c in writes:
+        path = c["params"]["path"]
+        appended = "<append=%true>" in path
+        first_mode.setdefault(path.replace("<append=%true>", ""), appended)
+    assert all(mode is False for mode in first_mode.values())
+    # a previous failed run's tmp is force-removed before the creates
+    removes = [c for c in calls if c["cmd"] == "remove"]
+    assert any(c["params"]["path"] == f"{target}_tmp" for c in removes)
     concat = next(c for c in calls if c["cmd"] == "concatenate")
     assert concat["params"]["destination_path"] == f"{target}_tmp/merged"
     move = next(c for c in calls if c["cmd"] == "move")

@@ -245,8 +245,13 @@ class GlobalShuffle(Transformer):
 
     TYPE = "global_shuffle"
 
-    def __init__(self, id_col: str, n_shards: int = 64, seed: int = 0):
+    def __init__(
+        self, id_col: str, n_shards: int = 64, seed: int = 0, keep_cols: tuple = ()
+    ):
         self.id_col, self.n_shards, self.seed = id_col, n_shards, seed
+        # passthrough columns (see PackSequences): carried alongside so
+        # callers never re-join the corpus to recover payloads
+        self.keep_cols = list(keep_cols)
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         h = pt_ihash(F.col(self.id_col), self.seed)
@@ -257,7 +262,7 @@ class GlobalShuffle(Transformer):
             )
         )
         out = (
-            df.select(self.id_col, h.alias("_h"), shard)
+            df.select(self.id_col, *self.keep_cols, h.alias("_h"), shard)
             .withColumn("pos", pos)
             .drop("_h")
         )

@@ -409,7 +409,7 @@ class AnnIVF(_AnnBase):
             ).alias("_cents")
         )
 
-    def assigned(self, df: DataFrame) -> DataFrame:
+    def assigned(self, df: DataFrame, base: DataFrame | None = None, crow=None) -> DataFrame:
         """(id, _q, _n2, cell) — corpus cell assignment, shuffle-free.
 
         The coarse index (every centroid_stride-th vector ≈ √N rows —
@@ -427,8 +427,10 @@ class AnnIVF(_AnnBase):
         """
         import numpy as np
 
-        base = self._quantized(df)
-        crow = self._centroid_array(base).collect()[0]["_cents"]
+        if base is None:
+            base = self._quantized(df)
+        if crow is None:
+            crow = self._centroid_array(base).collect()[0]["_cents"]
         cid = np.array([r["_cid"] for r in crow], dtype=np.int64)
         cmat = np.array([r["_ce"] for r in crow], dtype=np.int64)
         cn2 = np.array([r["_cn2"] for r in crow], dtype=np.float64)
@@ -461,8 +463,16 @@ class AnnIVF(_AnnBase):
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         base = self._quantized(df)
-        carr = self._centroid_array(base)
-        asg = self.assigned(df)
+        # collect the coarse index ONCE (√N rows) and feed it to both
+        # consumers: the broadcast probe join and the assignment kernel
+        # — an earlier formulation ran the centroid aggregation and the
+        # corpus quantization twice per apply
+        crow = self._centroid_array(base).collect()[0]["_cents"]
+        carr = df.sparkSession.createDataFrame(
+            [(crow,)],
+            "_cents array<struct<_cid:bigint,_ce:array<bigint>,_cn2:bigint>>",
+        )
+        asg = self.assigned(df, base=base, crow=crow)
         # query probe lists: nprobe best cells per query — the sims
         # array materializes only for rows passing query_pred (pushed
         # below the broadcast join, so this never scans the corpus)

@@ -241,10 +241,19 @@ def add_tables(
     subsequent activations/replication cover them. The reference stops
     the replication job around this; in Spark the streaming query
     restart is the caller's concern (schema_drift supervisor)."""
-    fresh = [t for t in tables if t not in spec.include]
+    if spec.include is None:
+        # include=None selects EVERYTHING already (see _selected) —
+        # nothing to add, nothing to reload
+        return {}
+    # include entries are fnmatch patterns (same matching as _selected):
+    # a table already covered by any pattern is not "fresh"
+    fresh = [
+        t
+        for t in tables
+        if not any(fnmatch.fnmatch(t, pat) for pat in spec.include)
+    ]
     counts = upload(spark, spec, fresh) if fresh else {}
-    if spec.include:
-        spec.include.extend(fresh)
+    spec.include.extend(fresh)
     return counts
 
 

@@ -71,7 +71,7 @@ _SPARK_TO_BQ = {
     T.TimestampType: "TIMESTAMP",
 }
 
-_SYSTEM_COLS = (OP_COL, LSN_COL, TX_COL, "_counter", "_commit_ts", "_before")
+_SYSTEM_COLS = (OP_COL, LSN_COL, TX_COL, "_counter", "_commit_ts", "_before", "_batch")
 
 
 def normalized_name(table: TableID) -> str:
@@ -189,13 +189,28 @@ class BigQuerySink(Sink):
             elif isinstance(f.dataType, T.TimestampType):
                 col = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
             payload.append(col.alias(f.name))
-        lsn = F.col(LSN_COL) if LSN_COL in df.columns else F.lit(0)
-        # concat_ws skips NULLs: absent tx leaves "table/lsn" (the
-        # reference emits table/LSN/txid with txid often empty)
-        tx = F.col(TX_COL) if TX_COL in df.columns else F.lit(None)
-        insert_id = F.concat_ws(
-            "/", F.lit(table.name), lsn.cast("string"), tx.cast("string")
-        )
+        if LSN_COL in df.columns:
+            # CDC path: table/LSN/txid — the reference's deterministic
+            # id (concat_ws skips NULLs: absent tx leaves "table/lsn")
+            tx = F.col(TX_COL) if TX_COL in df.columns else F.lit(None)
+            insert_id = F.concat_ws(
+                "/",
+                F.lit(table.name),
+                F.col(LSN_COL).cast("string"),
+                tx.cast("string"),
+            )
+        else:
+            # snapshot path: rows carry no LSN, and a CONSTANT id would
+            # make insertAll's best-effort dedup collapse the whole
+            # upload to ~1 row per window. Per-row unique ids: unique
+            # within the job, and materialized before the HTTP call, so
+            # request-level retries (the window insertId dedup actually
+            # covers) reuse the same ids
+            insert_id = F.concat_ws(
+                "/",
+                F.lit(table.name),
+                F.monotonically_increasing_id().cast("string"),
+            )
         return df.select(
             F.to_json(F.struct(*payload)).alias("_json"),
             insert_id.alias("_insert_id"),

@@ -36,7 +36,7 @@ from transferia_spark.cdc.changeitem import COUNTER_COL, LSN_COL, OP_COL
 from transferia_spark.schema.colschema import TableID
 from transferia_spark.sinks.base import CleanupPolicy, Sink, register_sink
 
-_SYSTEM_COLS = (OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before")
+_SYSTEM_COLS = (OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before", "_batch")
 
 
 def pg_name(table: TableID) -> str:
@@ -45,8 +45,12 @@ def pg_name(table: TableID) -> str:
 
 
 def tmp_name(table: TableID) -> str:
+    # UNQUALIFIED on purpose: temporary relations live only in
+    # pg_temp — `CREATE TEMPORARY TABLE "public"."x"` is an error in
+    # PG/Greenplum ("cannot create temporary relation in non-temporary
+    # schema"). The namespace is folded into the name for uniqueness.
     ns = table.namespace or "public"
-    return f'"{ns}"."tmp_{table.name}"'
+    return f'"tmp_{ns}_{table.name}"'
 
 
 def ext_name(table: TableID) -> str:

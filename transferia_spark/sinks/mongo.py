@@ -40,7 +40,7 @@ from transferia_spark.sinks.base import CleanupPolicy, Sink, register_sink
 from transferia_spark.sinks.clickhouse import fnv1a32
 
 WRITE_SHARDS = 16  # sinkWriteConcurrency in the reference
-_SYSTEM_COLS = (OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before")
+_SYSTEM_COLS = (OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before", "_batch")
 
 
 class BulkSplitter:
@@ -98,6 +98,13 @@ def pymongo_applier(uri: str):
                     )
                 elif op["op"] == "delete":
                     models.append(pymongo.DeleteOne(op["filter"]))
+                elif op["op"] == "cleanup":
+                    # sentinel emitted by MongoSink.cleanup: Drop drops
+                    # the collection, Truncate empties it in place
+                    if op.get("policy") == "drop":
+                        coll.drop()
+                    else:
+                        coll.delete_many({})
                 else:
                     update = {}
                     if op.get("set"):

@@ -42,7 +42,7 @@ from transferia_spark.schema.typesystem import spark_to_yt
 from transferia_spark.sinks.base import CleanupPolicy, Sink, register_sink
 
 YT_MAX_STRING = 16 * 1024 * 1024  # YtStatMaxStringLength analog
-_SYSTEM_COLS = (OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before")
+_SYSTEM_COLS = (OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before", "_batch")
 
 
 def yt_schema_attr(df: DataFrame, key_cols: list[str] | None = None) -> list[dict]:
@@ -162,26 +162,41 @@ class YtStaticSink(Sink):
         n_parts = df.rdd.getNumPartitions()
 
         client = self.client_factory(self.proxy_url)
+        # a failed previous run leaves tmp behind; force-remove so the
+        # rerun's create_table calls don't die on "node already exists"
+        client.remove(tmp)
         for p in range(n_parts):
             client.create_table(f"{tmp}/part_{p}", schema)
 
         factory, proxy = self.client_factory, self.proxy_url
 
         def per_partition(rows):
+            # first chunk OVERWRITES the part table (a Spark task retry
+            # or speculative duplicate then truncates its own part
+            # instead of double-appending — per-partition idempotence);
+            # later chunks of the same attempt append
             c = None
             buf, part = [], None
+            fresh: set[int] = set()
+
+            def flush():
+                nonlocal c
+                c = c or factory(proxy)
+                c.write_table(
+                    f"{tmp}/part_{part}",
+                    b"\n".join(buf) + b"\n",
+                    append=part in fresh,
+                )
+                fresh.add(part)
+                buf.clear()
+
             for row in rows:
                 part = row["_part"]
                 buf.append(row["_json"].encode())
                 if len(buf) >= 5000:
-                    (c := c or factory(proxy)).write_table(
-                        f"{tmp}/part_{part}", b"\n".join(buf) + b"\n", append=True
-                    )
-                    buf.clear()
+                    flush()
             if buf and part is not None:
-                (c or factory(proxy)).write_table(
-                    f"{tmp}/part_{part}", b"\n".join(buf) + b"\n", append=True
-                )
+                flush()
 
         self._planned(df).foreachPartition(per_partition)
 

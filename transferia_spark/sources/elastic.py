@@ -121,7 +121,6 @@ class ElasticSource(Source):
             import pandas as pd
 
             for pdf in batches:
-                docs: list[str] = []
                 for slice_id in pdf["id"]:
                     client = factory(url)
                     body = {"size": page_size}
@@ -138,7 +137,14 @@ class ElasticSource(Source):
                         hits = page.get("hits", {}).get("hits", [])
                         if not hits:
                             break
-                        docs.extend(json.dumps(h["_source"]) for h in hits)
+                        # yield PER SCROLL PAGE: a slice of a large
+                        # index holds millions of docs — buffering the
+                        # whole slice before the first yield OOMs the
+                        # Python worker; streaming pages bounds memory
+                        # at page_size docs
+                        yield pd.DataFrame(
+                            {"_doc": [json.dumps(h["_source"]) for h in hits]}
+                        )
                         page = json.loads(
                             client.request(
                                 "POST",
@@ -153,7 +159,6 @@ class ElasticSource(Source):
                         client.request(
                             "DELETE", f"/_search/scroll/{page['_scroll_id']}"
                         )
-                yield pd.DataFrame({"_doc": docs})
 
         slices = spark.range(n).repartition(n)
         raw = slices.mapInPandas(fetch, "_doc string")
