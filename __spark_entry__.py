@@ -569,6 +569,49 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe salted join (operators/skew.py): lineitem spread
+    over 8 content-hash salts against the broadcast-replicated supplier
+    dim, then aggregated — identical answer to the plain join."""
+    from transferia_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    # salted_join equi-joins on same-named key columns — align names
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, supp, ["l_suppkey"], salts=8, salt_col="l_orderkey")
+    return (
+        j.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+        )
+    )
+
+
+def q_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (partial per (key, salt), final
+    per key) — identical answer to the direct GROUP BY."""
+    from transferia_spark.operators.skew import two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return two_phase_agg(
+        li.select(
+            "l_returnflag", F.col("l_quantity").cast("decimal(18,2)").alias("q")
+        ),
+        ["l_returnflag"],
+        partial_aggs={"s": F.sum("q"), "c": F.count(F.lit(1))},
+        final_aggs={
+            "sum_qty": F.sum("s").cast("double"),
+            "n": F.sum("c").cast("long"),
+        },
+        salts=8,
+    )
+
+
 def q_events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop-window (1h window / 30min slide) rollup — the batch shape of
     the sliding variant of streaming/rollup.windowed_rollup; each event
@@ -2235,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "events_sliding_rollup": q_events_sliding_rollup,
+        "salted_join": q_salted_join,
+        "two_phase_agg": q_two_phase_agg,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
         "percentile_stats": q_percentile_stats,
@@ -2431,6 +2476,18 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*)::BIGINT AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
             FROM w GROUP BY 1, 2
+        """,
+        "salted_join": """
+            SELECT s_nationkey, count(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
+        """,
+        "two_phase_agg": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
         """,
         "rollup_agg": ROLLUP_SQL,
         "set_ops": SET_OPS_SQL,

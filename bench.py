@@ -52,6 +52,8 @@ HEADLINE = [
     "rollup_agg",
     "set_ops",
     "percentile_stats",
+    "salted_join",
+    "two_phase_agg",
     "bm25_rank",
     "scalar_funcs",
     "interval_join",
