@@ -2246,111 +2246,113 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver scores the FIRST 50
-    entries (CORRECTNESS_r01 and _r02 each contain exactly 50 rows, in
-    dict order). The first 50 below are the operators whose only
-    end-to-end evidence is the driver row — SQL/agg surface, CDC
-    (incl. the MySQL-binlog / Mongo-change-stream envelopes and the
-    ClickHouse insert plan), the full LLM-pipeline family, parsers with
-    non-trivial framing, and the transfer/typesystem plumbing. The tail
-    entries past 50 are operators with direct pytest coverage
-    (tests/test_parsers_serializers.py, test_datapipe.py) and
-    overlapping scored variants; ALL 63 run green against the same
-    oracle compare via ``python scripts/driver_sim.py``.
+    entries in dict order. Round-4 window: (a) the 20 queries that had
+    never received a CORRECTNESS row through r03 (verdict "What's
+    wrong" §2), (b) the CDC queries whose collapse semantics changed
+    this round (born-and-dead keys now emit an idempotent delete —
+    cdc/collapse.py) so the official record re-verifies them, and
+    (c) a representative third of the already-recorded surface across
+    every family. The tail entries past 50 hold green CORRECTNESS rows
+    from r01-r03 and stay verified by ``python scripts/driver_sim.py``
+    over ALL entries.
     """
     return {
-        # -- SQL / aggregation / window surface -------------------------
+        # -- (a) never-driver-scored through r03 ------------------------
+        "corpus_pipeline": q_corpus_pipeline,
+        "dedup_cluster": q_dedup_cluster,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "decontaminate": q_decontaminate,
+        "quota_cap": q_quota_cap,
+        "global_shuffle": q_global_shuffle,
+        "pack_sequences": q_pack_sequences,
+        "sessionize": q_sessionize,
+        "pii_scrub": q_pii_scrub,
+        "quality_gopher": q_quality_gopher,
+        "sample_stratified": q_sample_stratified,
+        "mongo_change_stream": q_mongo_change_stream,
+        "clickhouse_insert_plan": q_clickhouse_insert_plan,
+        "raw_cdc_doc_grouper": q_raw_cdc_doc_grouper,
+        "native_roundtrip": q_native_roundtrip,
+        "transfer_yaml": q_transfer_yaml,
+        "typesystem_edges": q_typesystem_edges,
+        "ydb_changefeed": q_ydb_changefeed,
+        "airbyte_records": q_airbyte_records,
+        # -- (b) collapse-semantics change: re-score officially ---------
+        "cdc_collapse": q_cdc_collapse,
+        "cdc_merge": q_cdc_merge,
+        "cdc_merge_bucketed": q_cdc_merge_bucketed,
+        "mysql_cdc_envelope": q_mysql_cdc_envelope,
+        # -- (c) representative third of the recorded surface -----------
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "tpch_q5ish": q_tpch_q5ish,
         "tpch_q6": q_tpch_q6,
+        "tpch_q18ish": q_tpch_q18ish,
+        "window_topk": q_window_topk,
+        "events_sliding_rollup": q_events_sliding_rollup,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "salted_join": q_salted_join,
+        "two_phase_agg": q_two_phase_agg,
+        "percentile_stats": q_percentile_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_brute_force": q_ann_brute_force,
+        "bm25_rank": q_bm25_rank,
+        "lm_familiarity": q_lm_familiarity,
+        "token_count": q_token_count,
+        "filter_rows": q_filter_rows,
+        "transform_chain": q_transform_chain,
+        "table_splitter": q_table_splitter,
+        "parser_json": q_parser_json,
+        "parser_logfeller": q_parser_logfeller,
+        "skip_events": q_skip_events,
+        "incremental_read": q_incremental_read,
+        "debezium_roundtrip": q_debezium_roundtrip,
+        # ---- entries past the 50-row scoring window: green rows in
+        # ---- CORRECTNESS_r01-r03, re-verified by driver_sim each round
+        "tpch_q5ish": q_tpch_q5ish,
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q14ish": q_tpch_q14ish,
         "tpch_q16ish": q_tpch_q16ish,
         "tpch_q7ish": q_tpch_q7ish,
         "tpch_q10ish": q_tpch_q10ish,
-        "tpch_q18ish": q_tpch_q18ish,
         "tpch_q22ish": q_tpch_q22ish,
         "tpch_q12ish": q_tpch_q12ish,
         "tpch_q15ish": q_tpch_q15ish,
         "tpch_q19ish": q_tpch_q19ish,
-        "window_topk": q_window_topk,
         "events_hourly_rollup": q_events_hourly_rollup,
-        "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "events_sliding_rollup": q_events_sliding_rollup,
-        "salted_join": q_salted_join,
-        "two_phase_agg": q_two_phase_agg,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
-        "percentile_stats": q_percentile_stats,
-        "bm25_rank": q_bm25_rank,
         "dedup_blocks": q_dedup_blocks,
         "scalar_funcs": q_scalar_funcs,
-        "interval_join": q_interval_join,
         "mix_sources": q_mix_sources,
         "audio_energy": q_audio_energy,
-        "lm_familiarity": q_lm_familiarity,
         "image_resize": q_image_resize,
-        # -- transformers ----------------------------------------------
-        "filter_rows": q_filter_rows,
         "filter_columns": q_filter_columns,
         "mask_field": q_mask_field,
         "convert_to_string": q_convert_to_string,
         "convert_to_datetime": q_convert_to_datetime,
         "regex_replace": q_regex_replace,
-        "table_splitter": q_table_splitter,
-        "transform_chain": q_transform_chain,
         "replace_primary_key": q_replace_primary_key,
         "sharder": q_sharder,
         "problem_item_detector": q_problem_item_detector,
         "middleware_chain": q_middleware_chain,
         "filter_access_log": q_filter_access_log,
-        # -- CDC core + provider envelopes -----------------------------
-        "cdc_collapse": q_cdc_collapse,
-        "cdc_merge": q_cdc_merge,
-        "cdc_merge_bucketed": q_cdc_merge_bucketed,
-        "skip_events": q_skip_events,
-        "mysql_cdc_envelope": q_mysql_cdc_envelope,
-        "mongo_change_stream": q_mongo_change_stream,
-        "clickhouse_insert_plan": q_clickhouse_insert_plan,
-        "raw_cdc_doc_grouper": q_raw_cdc_doc_grouper,
-        "debezium_roundtrip": q_debezium_roundtrip,
-        "incremental_read": q_incremental_read,
-        # -- LLM training-data pipeline --------------------------------
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ann_brute_force": q_ann_brute_force,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "dedup_cluster": q_dedup_cluster,
-        "decontaminate": q_decontaminate,
-        "quota_cap": q_quota_cap,
-        "global_shuffle": q_global_shuffle,
-        "pack_sequences": q_pack_sequences,
-        "corpus_pipeline": q_corpus_pipeline,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
-        # -- parsers with non-trivial framing --------------------------
-        "parser_json": q_parser_json,
-        "parser_logfeller": q_parser_logfeller,
         "parser_cloudevents": q_parser_cloudevents,
         "parser_cloudlogging": q_parser_cloudlogging,
         "parser_audittrails": q_parser_audittrails,
         "parser_confluent_sr": q_parser_confluent_sr,
-        # -- transfer plumbing / typesystem ----------------------------
-        "native_roundtrip": q_native_roundtrip,
-        "transfer_yaml": q_transfer_yaml,
-        "typesystem_edges": q_typesystem_edges,
-        # ---- every entry above AND below is driver-scored against its
-        # ---- oracle (CORRECTNESS_r02 covered 50; the suite has grown)
         "filter_rows_by_ids": q_filter_rows_by_ids,
         "number_to_float": q_number_to_float,
         "raw_doc_grouper": q_raw_doc_grouper,
@@ -2364,12 +2366,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_raw_to_table": q_parser_raw_to_table,
         "serializer_json": q_serializer_json,
         "serializer_csv": q_serializer_csv,
-        "ydb_changefeed": q_ydb_changefeed,
-        "airbyte_records": q_airbyte_records,
-        "pii_scrub": q_pii_scrub,
-        "quality_gopher": q_quality_gopher,
-        "sample_stratified": q_sample_stratified,
-        "sessionize": q_sessionize,
     }
 
 
@@ -2397,7 +2393,6 @@ collapsed AS (
               WHEN first_op = 'i' THEN 'i' ELSE 'u' END AS _op,
          max_lsn AS _lsn
   FROM net
-  WHERE NOT (first_op = 'i' AND last_op = 'd')
 )
 """
 
@@ -2816,7 +2811,6 @@ def oracle_sql() -> dict[str, str]:
                         WHEN first_op = 'i' THEN 'i' ELSE 'u' END AS _op,
                    max_lsn AS _lsn
             FROM net
-            WHERE NOT (first_op = 'i' AND last_op = 'd')
         """,
         "mongo_change_stream": _changelog_cte(key="_id")
         + "SELECT _id, value, _op, _lsn FROM collapsed",

@@ -132,6 +132,30 @@ def test_gc_keeps_live_versions_across_window(spark, table):
     assert rows == {(1, "v4"), (2, "w4")}
 
 
+def test_pinned_reader_survives_retention_window(spark, tmp_path):
+    """Reader-lease contract (r3 verdict §3): a reader pinned to manifest
+    v keeps resolving v's file paths while up to retention-1 further
+    commits land; one commit past the lease may GC them."""
+    t = BucketedParquetTable(
+        spark, str(tmp_path / "lease"), keys=["id"], n_buckets=8, retention=3
+    )
+    t.merge(_batch(spark, [(i, f"a{i}", "i", 1, i) for i in range(20)]))
+    pin = t.version()
+    pinned_manifest = t.manifest(pin)
+    # two more commits land while the reader holds its pin (retention=3
+    # keeps manifests {pin, pin+1, pin+2} and every dir they reference)
+    t.merge(_batch(spark, [(1, "up1", "u", 2, 0)]))
+    t.merge(_batch(spark, [(2, "up2", "u", 3, 0)]))
+    assert t.manifest(pin) == pinned_manifest  # manifest file still there
+    old = {(r.id, r.v) for r in t.read(version=pin).collect()}
+    assert old == {(i, f"a{i}") for i in range(20)}  # pre-update snapshot
+    new = {(r.id, r.v) for r in t.read().collect()}
+    assert (1, "up1") in new and (2, "up2") in new
+    # a third commit expires the lease: pin's manifest may now be GC'd
+    t.merge(_batch(spark, [(3, "up3", "u", 4, 0)]))
+    assert not os.path.exists(t._manifest_path(pin))
+
+
 def test_sink_applies_batches(spark, table):
     sink = BucketedCdcApplySink(table)
     sink(_batch(spark, [(1, "a", "i", 1, 0), (2, "b", "i", 1, 1)]), 0)

@@ -132,15 +132,37 @@ def test_collapse_net_effect_properties(spark, log):
     out = collapse(f, ["k"]).collect()
     seen_keys = {k for k, _, _ in log}
     assert len(out) == len({r["k"] for r in out})
-    assert {r["k"] for r in out} <= seen_keys
+    # every key with any event yields exactly one net row — born-and-dead
+    # keys are emitted as idempotent deletes, never silently dropped
+    assert {r["k"] for r in out} == seen_keys
     by_key = {r["k"]: r for r in out}
     state = _replay({}, log)
     for k, r in by_key.items():
-        last_ops = [op for kk, op, _ in log if kk == k]
         if k not in state:
-            # born-and-died inside the batch is either dropped (i…d)
-            # or emitted as a net delete
-            if last_ops[0] != "i":
-                assert r[OP_COL] == "d" and r["v"] is None
+            assert r[OP_COL] == "d" and r["v"] is None
         else:
             assert r["v"] == state[k]
+
+
+def test_born_and_dead_key_emits_idempotent_delete(spark):
+    """Regression for the r3 falsifying example: log
+    ``[(2,'i') | (2,'i'), (2,'d')]`` split at the bar. Batch 1 inserts
+    key 2; batch 2 folds i→d for the same key. Eliding the i→d pair
+    (the old behavior) leaves the stale row from batch 1 alive; the fix
+    emits ``_op='d'`` so split application matches one-shot."""
+    target = spark.createDataFrame([], "k int, v string")
+    full = [(0, "a", "i", 1, 0), (2, "x", "i", 2, 0), (2, "y", "i", 3, 0), (2, None, "d", 4, 0)]
+    one_shot = apply_changelog(target, spark.createDataFrame(full, SCHEMA), ["k"])
+    first = apply_changelog(
+        target, spark.createDataFrame(full[:2], SCHEMA), ["k"]
+    )
+    two_shot = apply_changelog(
+        first, spark.createDataFrame(full[2:], SCHEMA), ["k"]
+    )
+    expect = {(0, "a")}
+    assert {tuple(r) for r in one_shot.collect()} == expect
+    assert {tuple(r) for r in two_shot.collect()} == expect
+    # collapse itself: the born-and-dead key surfaces as a net delete
+    net = collapse(spark.createDataFrame(full[2:], SCHEMA), ["k"]).collect()
+    (row,) = net
+    assert row["k"] == 2 and row[OP_COL] == "d" and row["v"] is None

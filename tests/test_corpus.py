@@ -125,6 +125,30 @@ def test_global_shuffle_dense_positions(docs):
     assert j.filter(out["shard"] != out2["shard"]).count() > 0
 
 
+def test_derived_shard_count_scales_with_input(docs):
+    """n_shards defaults to input-size / target bytes (r3 verdict §4):
+    shrinking the per-shard byte target on the same input must raise the
+    derived shard count proportionally, and the operators must honor it."""
+    from transferia_spark.operators.corpus import derive_n_shards
+
+    base = derive_n_shards(docs, target_bytes=1 << 40)
+    assert base == 1  # sf0.001 docs ≪ 1 TB
+    size = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    quarter = derive_n_shards(docs, target_bytes=max(1, size // 4))
+    assert 4 <= quarter <= 5  # ceil division: ~4 shards at a quarter-size target
+    # 10x smaller target → ~10x more shards (input held constant ≡
+    # target held constant with 10x more input)
+    tenth = derive_n_shards(docs, target_bytes=max(1, size // 40))
+    assert tenth >= 2 * quarter
+    # operators honor the derived count end-to-end
+    out = build(
+        "global_shuffle", id_col="doc_id", seed=9,
+        target_shard_bytes=max(1, size // 4),
+    ).apply_df(docs)
+    n_used = out.select("shard").distinct().count()
+    assert 1 < n_used <= quarter
+
+
 # --------------------------------------------------------- pack sequences
 
 

@@ -135,9 +135,14 @@ def collapse(
             aggs.append(F.max(F.when(carried, F.lit(True))).alias(f"_has_{c}"))
 
     out = df.groupBy(*keys).agg(*aggs)
-    # a key inserted AND deleted within the batch nets to nothing
-    born_and_dead = (F.col("_first_op") == OP_INSERT) & (F.col("_last_op") == OP_DELETE)
-    out = out.filter(~born_and_dead)
+    # A key inserted AND deleted within the batch nets to a DELETE, not to
+    # nothing: eliding it is only sound when the key is also absent from the
+    # MERGE target, which a batch cannot know (at-least-once replay and
+    # micro-batch re-splitting both place a prior insert for the same key in
+    # an earlier batch). Emitting an idempotent delete keeps one-shot results
+    # identical (delete of an absent key is a no-op in merge_batch) and makes
+    # split application batch-size independent (r3 verdict "What's wrong" §1;
+    # falsifying log [i(2) | i(2), d(2)] pinned in test_cdc_property.py).
     final_op = (
         F.when(F.col("_last_op") == OP_DELETE, OP_DELETE)
         .when(F.col("_first_op") == OP_INSERT, OP_INSERT)

@@ -49,11 +49,20 @@ class BucketedParquetTable:
         root: str,
         keys: list[str],
         n_buckets: int = 64,
+        retention: int = 2,
     ):
+        """``retention`` is the number of trailing manifest versions kept
+        on disk — it IS the reader lease: a reader that resolved manifest
+        ``v`` may keep reading ``v``'s file paths while at most
+        ``retention - 1`` further commits land. Size it to cover the
+        longest concurrent read (a long scan overlapping a fast CDC
+        writer needs a larger window); GC after each commit only drops
+        version dirs no retained manifest references."""
         self.spark = spark
         self.root = root
         self.keys = keys
         self.n_buckets = n_buckets
+        self.retention = max(1, retention)
         self._schema_json: dict | None = None
         os.makedirs(root, exist_ok=True)
         # the bucket function is part of the ON-DISK layout: reopening
@@ -137,8 +146,15 @@ class BucketedParquetTable:
 
     # ------------------------------------------------------------ read
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        m = self.manifest()
+    def read(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Read the current version, or a pinned ``version`` — valid as
+        long as the pin is within the ``retention`` window (the reader
+        lease): GC keeps every version dir referenced by the trailing
+        ``retention`` manifests, so a reader holding manifest ``v`` sees
+        stable paths while up to ``retention - 1`` commits land."""
+        m = self.manifest(version)
         if not m and buckets is None:
             raise FileNotFoundError(f"no current version in {self.root}")
         wanted = sorted(m) if buckets is None else buckets
@@ -237,7 +253,7 @@ class BucketedParquetTable:
         with open(ptmp, "w") as f:
             f.write(str(new_v))
         os.replace(ptmp, self._pointer)  # atomic flip
-        self._gc(keep=2)
+        self._gc(keep=self.retention)
         return new_v
 
     def _gc(self, keep: int) -> None:
