@@ -1684,6 +1684,43 @@ def q_airbyte_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_records(lines, spec, "events")
 
 
+def q_ydb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YDB sharded storage scan: shard key bounds (DescribeTable
+    ``WithShardKeyBounds``) split the PK space into half-open ranges and
+    one Spark task reads each range (sources/ydb.py ``key_range_units``
+    + mapInPandas fan-out; ≈ ``pkg/providers/ydb/storage.go:240-252``
+    ReadKeyRange + ``storage_sharded.go``). The injected reader stands
+    in for the SDK's ReadTable, serving the customer table restricted to
+    [lo, hi) on the key — the schema travels through the YQL type
+    mapping (``schema.go:17-66``)."""
+    from transferia_spark.sources.ydb import YdbStorageSource, from_ydb_schema
+
+    path = f"{sf_dir}/customer.parquet"
+
+    def reader(table_path, lo, hi, columns):
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(path, columns=columns).to_pandas()
+        if lo is not None:
+            pdf = pdf[pdf["c_custkey"] >= lo]
+        if hi is not None:
+            pdf = pdf[pdf["c_custkey"] < hi]
+        return pdf.to_dict("records")
+
+    src = YdbStorageSource(database="/db", tables=["customer"], reader=reader)
+    schema = from_ydb_schema(
+        [
+            ("c_custkey", "Int64"),
+            ("c_name", "Optional<Utf8>"),
+            ("c_acctbal", "Optional<Double>"),
+        ],
+        ["c_custkey"],
+    )
+    return src.load_table(
+        spark, TableID("", "customer"), schema, key_bounds=[400, 800, 1200]
+    )
+
+
 def q_clickhouse_insert_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse sink batch planning: ChangeItem stream → the
     append-only ReplacingMergeTree version rows (collapse, then
@@ -2278,6 +2315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typesystem_edges": q_typesystem_edges,
         "ydb_changefeed": q_ydb_changefeed,
         "airbyte_records": q_airbyte_records,
+        # -- new this round: YDB storage scan ---------------------------
+        "ydb_scan": q_ydb_scan,
         # -- (b) collapse-semantics change: re-score officially ---------
         "cdc_collapse": q_cdc_collapse,
         "cdc_merge": q_cdc_merge,
@@ -2309,9 +2348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_logfeller": q_parser_logfeller,
         "skip_events": q_skip_events,
         "incremental_read": q_incremental_read,
-        "debezium_roundtrip": q_debezium_roundtrip,
         # ---- entries past the 50-row scoring window: green rows in
         # ---- CORRECTNESS_r01-r03, re-verified by driver_sim each round
+        "debezium_roundtrip": q_debezium_roundtrip,
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q14ish": q_tpch_q14ish,
@@ -2885,6 +2924,9 @@ def oracle_sql() -> dict[str, str]:
                    event_id AS _airbyte_emitted_at,
                    user_id, value, event_type
             FROM events
+        """,
+        "ydb_scan": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
         """,
         "typesystem_edges": """
             SELECT CAST((o_orderkey + 9223372036854775808)::DECIMAL(20,0) AS VARCHAR) AS u64,

@@ -17,5 +17,6 @@ from transferia_spark.sinks import (  # noqa: F401
     mongo,
     queues,
     search,
+    ydb,
     yt,
 )

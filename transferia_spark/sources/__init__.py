@@ -11,6 +11,7 @@ from transferia_spark.sources import (  # noqa: F401
     jdbc,
     mongo,
     sample,
+    ydb,
     yt,
 )
 from transferia_spark.sources.jdbc import shard_by_pk_hash, shard_by_numeric_range  # noqa: F401
