@@ -1,0 +1,251 @@
+"""Direct MySQL-binlog / Mongo-change-stream DataSourceStreamReaders
+(streaming/cdc_sources.py): offset algebra, checkpoint resume without
+redelivery, position/resume-token ack via commit(), and ChangeItem
+contract parity with the envelope adapters. Mirrors the waljson cases in
+test_streaming.py."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from transferia_spark.streaming.cdc_sources import (
+    BinlogJsonDataSource,
+    ChangeStreamJsonDataSource,
+    binlog_lsn,
+    binlog_output_schema,
+    change_stream_output_schema,
+)
+
+
+def _emit(dirpath: str, fname: str, events: list[dict]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, fname), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _run(spark, fmt, schema, path, ckpt, got, ack=None):
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("path", path)
+    )
+    if ack:
+        reader = reader.option("ack_file", ack)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(lambda df, _bid: got.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_binlog_lsn_algebra():
+    # CalculateLSN: file index × 10^12 + pos; plain names count as file 1
+    assert binlog_lsn("binlog.000007", 154) == 7_000_000_000_154
+    assert binlog_lsn("mysql-bin.000001", 4) == 1_000_000_000_004
+    assert binlog_lsn("binlog", 99) == 1_000_000_000_099
+
+
+def test_binlog_stream_offsets_resume_and_ack(spark, tmp_path):
+    spark.dataSource.register(BinlogJsonDataSource)
+    bdir = str(tmp_path / "binlog")
+    ack = str(tmp_path / "pos.json")
+    ckpt = str(tmp_path / "ckpt")
+    schema = binlog_output_schema("id int, v string")
+    got: list = []
+
+    _emit(bdir, "000.jsonl", [
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 10,
+         "row_idx": 0, "schema": "db", "table": "t",
+         "after": {"id": 1, "v": "a"}},
+        # one statement touching two rows: row_idx is the counter
+        {"action": "update", "log_file": "binlog.000001", "log_pos": 20,
+         "row_idx": 0, "schema": "db", "table": "t",
+         "before": {"id": 1, "v": "a"}, "after": {"id": 1, "v": "b"}},
+        {"action": "update", "log_file": "binlog.000001", "log_pos": 20,
+         "row_idx": 1, "schema": "db", "table": "t",
+         "before": {"id": 2, "v": "x"}, "after": {"id": 2, "v": "y"}},
+        # DDL events are skipped (not row changes)
+        {"action": "query", "log_file": "binlog.000001", "log_pos": 25,
+         "query": "ALTER TABLE t ADD COLUMN z int"},
+    ])
+    _run(spark, "binlogjson", schema, bdir, ckpt, got, ack)
+    assert sorted((r["_lsn"], r["_counter"], r["_op"], r["id"], r["v"]) for r in got) == [
+        (1_000_000_000_010, 0, "i", 1, "a"),
+        (1_000_000_000_020, 0, "u", 1, "b"),
+        (1_000_000_000_020, 1, "u", 2, "y"),
+    ]
+    assert got[0]["_table"] == "db.t"
+    upd = [r for r in got if r["_op"] == "u" and r["id"] == 1][0]
+    assert upd["_before"]["id"] == 1 and upd["_before"]["v"] == "a"
+
+    # binlog rotates to file 2; resume delivers ONLY the new events and
+    # planning the next batch acks the previous position
+    got.clear()
+    _emit(bdir, "001.jsonl", [
+        {"action": "delete", "log_file": "binlog.000002", "log_pos": 4,
+         "row_idx": 0, "schema": "db", "table": "t",
+         "before": {"id": 1, "v": "b"}},
+    ])
+    _run(spark, "binlogjson", schema, bdir, ckpt, got, ack)
+    assert [(r["_lsn"], r["_op"], r["id"], r["v"]) for r in got] == [
+        (2_000_000_000_004, "d", 1, "b")  # delete payload = old row
+    ]
+    assert json.load(open(ack))["lsn"] >= 1_000_000_000_020
+
+
+def test_binlog_pk_change_feeds_merge(spark, tmp_path):
+    """The direct reader's _before struct drives PK-changing updates
+    through collapse→merge exactly like the envelope path."""
+    from transferia_spark.cdc.merge import merge_batch
+
+    spark.dataSource.register(BinlogJsonDataSource)
+    bdir = str(tmp_path / "binlog")
+    schema = binlog_output_schema("id int, v string")
+    got: list = []
+    _emit(bdir, "000.jsonl", [
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 10,
+         "row_idx": 0, "after": {"id": 1, "v": "a"}},
+        # PK moves 1 → 2
+        {"action": "update", "log_file": "binlog.000001", "log_pos": 20,
+         "row_idx": 0, "before": {"id": 1, "v": "a"},
+         "after": {"id": 2, "v": "a2"}},
+    ])
+    _run(spark, "binlogjson", schema, bdir, str(tmp_path / "ckpt"), got)
+    batch = spark.createDataFrame(got, schema)
+    target = spark.createDataFrame([], "id int, v string")
+    out = merge_batch(target, batch.drop("_table", "_present"), ["id"])
+    assert [tuple(r) for r in out.collect()] == [(2, "a2")]
+
+
+def test_change_stream_offsets_partial_updates_and_resume(spark, tmp_path):
+    spark.dataSource.register(ChangeStreamJsonDataSource)
+    csdir = str(tmp_path / "cs")
+    ack = str(tmp_path / "token.json")
+    ckpt = str(tmp_path / "ckpt")
+    schema = change_stream_output_schema("_id long, v string, w string")
+    got: list = []
+
+    _emit(csdir, "000.jsonl", [
+        {"operationType": "insert", "clusterTime": 1, "order": 0,
+         "documentKey": {"_id": 1}, "ns": {"db": "db", "coll": "c"},
+         "fullDocument": {"_id": 1, "v": "a", "w": "keep"}},
+        # partial update: v set, w untouched (ABSENT, not NULL)
+        {"operationType": "update", "clusterTime": 2, "order": 0,
+         "documentKey": {"_id": 1}, "ns": {"db": "db", "coll": "c"},
+         "updateDescription": {"updatedFields": {"v": "b"},
+                               "removedFields": []}},
+        # same clusterTime, next in resume-token order: $unset w
+        {"operationType": "update", "clusterTime": 2, "order": 1,
+         "documentKey": {"_id": 1}, "ns": {"db": "db", "coll": "c"},
+         "updateDescription": {"updatedFields": {},
+                               "removedFields": ["w"]}},
+        # invalidate is a control event — skipped
+        {"operationType": "invalidate", "clusterTime": 2, "order": 2},
+    ])
+    _run(spark, "mongostream", schema, csdir, ckpt, got, ack)
+    assert sorted((r["_lsn"], r["_counter"], r["_op"]) for r in got) == [
+        (1, 0, "i"), (2, 0, "u"), (2, 1, "u")
+    ]
+    ins = [r for r in got if r["_op"] == "i"][0]
+    assert ins["_present"] is None and ins["_table"] == "db.c"
+    part = [r for r in got if r["_counter"] == 0 and r["_op"] == "u"][0]
+    assert part["v"] == "b" and part["w"] is None
+    assert sorted(part["_present"]) == ["_id", "v"]
+    unset = [r for r in got if r["_counter"] == 1][0]
+    assert sorted(unset["_present"]) == ["_id", "w"]  # carried-as-NULL
+
+    # resume: only the new delete arrives; token ack advanced
+    got.clear()
+    _emit(csdir, "001.jsonl", [
+        {"operationType": "delete", "clusterTime": 3, "order": 0,
+         "documentKey": {"_id": 1}, "ns": {"db": "db", "coll": "c"}},
+    ])
+    _run(spark, "mongostream", schema, csdir, ckpt, got, ack)
+    assert [(r["_lsn"], r["_op"], r["_id"]) for r in got] == [(3, "d", 1)]
+    tok = json.load(open(ack))
+    assert (tok["ts"], tok["order"]) >= (2, 1)
+
+
+def test_eventhub_records_adapter(spark):
+    """EventHub record frame → raw queue shape → parser
+    (eventhub.go:191 makeRawChangeItem)."""
+    from pyspark.sql import functions as F
+
+    from transferia_spark.parsers import build_parser
+    from transferia_spark.streaming.readers import eventhub_records_to_raw
+
+    records = spark.createDataFrame(
+        [
+            ("0", 10, "4611686018427387904", b'{"a": 1}'),
+            ("1", 11, None, b'{"a": 2}'),  # no offset → sequence number
+            ("$Default", 12, None, b'{"a": 3}'),  # non-numeric → part 0
+        ],
+        "partition_id string, sequence_number long, offset string, body binary",
+    ).withColumn("enqueued_time", F.current_timestamp())
+    raw = eventhub_records_to_raw(records, transfer_id="tr1")
+    assert set(raw.columns) == {"key", "value", "topic", "partition", "offset", "timestamp"}
+    rows = sorted(raw.collect(), key=lambda r: r["offset"])
+    assert [(r["partition"], r["offset"], r["topic"]) for r in rows] == [
+        (1, 11, "tr1_1"),
+        (0, 12, "tr1_0"),
+        (0, 4611686018427387904, "tr1_0"),
+    ]
+    parsed = build_parser("json", schema="a INT", add_rest=False)(raw)
+    assert sorted(r["a"] for r in parsed.collect()) == [1, 2, 3]
+
+
+def test_yds_records_adapter(spark):
+    """YDS/Logbroker persqueue record frame → raw queue shape → parser
+    (yds/source/common.go:89: topic is the stream; real offsets)."""
+    from pyspark.sql import functions as F
+
+    from transferia_spark.parsers import build_parser
+    from transferia_spark.streaming.readers import yds_records_to_raw
+
+    records = spark.createDataFrame(
+        [
+            (0, 100, "producer-a", b'{"a": 1}'),
+            (1, 100, "producer-b", b'{"a": 2}'),
+        ],
+        "partition long, offset long, source_id string, data binary",
+    ).withColumn("created_at", F.current_timestamp())
+    raw = yds_records_to_raw(records, stream="my-stream")
+    rows = {r["partition"]: r for r in raw.collect()}
+    assert rows[0]["topic"] == "my-stream" and rows[0]["key"] == "producer-a"
+    assert rows[0]["offset"] == 100  # real persqueue offset, not a hash
+    parsed = build_parser("json", schema="a INT", add_rest=False)(raw)
+    assert sorted(r["a"] for r in parsed.collect()) == [1, 2]
+
+
+def test_change_stream_feeds_merge_with_present_contract(spark, tmp_path):
+    """Partial updates must merge column-wise: untouched columns keep
+    the target's value, $unset genuinely NULLs — identical semantics to
+    the envelope adapter (mongo_change_stream_to_changeitems)."""
+    from transferia_spark.cdc.merge import merge_batch
+
+    spark.dataSource.register(ChangeStreamJsonDataSource)
+    csdir = str(tmp_path / "cs")
+    schema = change_stream_output_schema("_id long, v string, w string")
+    got: list = []
+    _emit(csdir, "000.jsonl", [
+        {"operationType": "insert", "clusterTime": 1, "order": 0,
+         "documentKey": {"_id": 1},
+         "fullDocument": {"_id": 1, "v": "a", "w": "keep"}},
+        {"operationType": "update", "clusterTime": 2, "order": 0,
+         "documentKey": {"_id": 1},
+         "updateDescription": {"updatedFields": {"v": "b"},
+                               "removedFields": []}},
+    ])
+    _run(spark, "mongostream", schema, csdir, str(tmp_path / "ckpt"), got)
+    batch = spark.createDataFrame(got, schema)
+    target = spark.createDataFrame([], "_id long, v string, w string")
+    out = merge_batch(target, batch.drop("_table"), ["_id"])
+    # v updated, w survives the partial update (absent ≠ NULL)
+    assert [tuple(r) for r in out.collect()] == [(1, "b", "keep")]

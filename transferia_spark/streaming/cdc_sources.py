@@ -1,0 +1,308 @@
+"""Direct CDC stream readers: MySQL binlog and Mongo change streams.
+
+The PG side reads its slot directly (``wal_source.WalJsonStreamReader``);
+these are the analogous PySpark ``DataSourceStreamReader``s for the two
+other CDC families, which previously stopped at envelope adapters
+(``cdc/envelopes.py``) behind a fronting transport:
+
+- MySQL ≈ ``pkg/providers/mysql/source.go:35`` (binlog subscription →
+  row events; ``OnRow``: update events are (old,new) row pairs, deletes
+  carry the old row) with the ``CalculateLSN`` offset algebra
+  (``utils.go:204``: binlog file index × 10^12 + position) — the stream
+  OFFSET is the LSN, so Spark's checkpoint IS the saved binlog position
+  and ``commit()`` is the position ack the reference persists in its
+  coordinator state.
+- Mongo ≈ ``pkg/providers/mongo/change_stream_watcher.go:38`` +
+  ``batcher.go:128`` — the offset is (clusterTime, order), the ordered
+  pair a resume token encodes; ``commit()`` persists it like the
+  reference stores resume tokens per collection.
+
+Wire format: a directory of JSON-line files (the binlog tailer's /
+change-stream watcher's output piped to files — the transport this
+container can test). The offset algebra, replay filtering, and row
+mapping are transport-agnostic: a socket transport replaces only the
+file-scan; decode semantics are shared with the envelope adapters so
+batch (Kafka/Debezium-fronted) and direct paths emit identical
+ChangeItem frames.
+
+Emitted rows speak the full ChangeItem contract (payload columns, then
+``_op``/``_lsn``/``_counter``/``_table``/``_before``/``_present``) and
+plug straight into collapse → merge_batch / CdcApplySink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from transferia_spark.cdc.envelopes import MYSQL_FILE_OFFSET
+from transferia_spark.streaming.wal_source import wal_output_schema
+
+_META_FIELDS = ("_op", "_lsn", "_counter", "_table", "_before", "_present")
+
+_MYSQL_OPS = {"insert": "i", "update": "u", "delete": "d"}
+_MONGO_OPS = {"insert": "i", "update": "u", "replace": "u", "delete": "d"}
+
+
+def _scan_files(path: str) -> list[str]:
+    try:
+        names = sorted(os.listdir(path))
+    except FileNotFoundError:
+        return []
+    return [os.path.join(path, n) for n in names if n.endswith((".json", ".jsonl"))]
+
+
+def _events(path: str) -> Iterator[dict]:
+    with open(path) as fh:
+        for line in fh:
+            if line.strip():
+                yield json.loads(line)
+
+
+def _ack(ack_file: str | None, end: dict) -> None:
+    if ack_file:
+        tmp = ack_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(end, fh)
+        os.replace(tmp, ack_file)
+
+
+class _FileSlice(InputPartition):
+    def __init__(self, path: str, start: dict, end: dict):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+# --------------------------------------------------------------- MySQL
+
+
+def binlog_lsn(log_file: str, log_pos: int) -> int:
+    """``CalculateLSN`` (mysql/utils.go:204): ``binlog.000007`` → the
+    file index scaled by 10^12 plus the in-file position; a name without
+    an index counts as file 1 (same algebra as ``envelopes.mysql_lsn``)."""
+    parts = log_file.split(".")
+    idx = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 1
+    return idx * MYSQL_FILE_OFFSET + int(log_pos)
+
+
+binlog_output_schema = wal_output_schema  # identical ChangeItem contract
+
+
+class BinlogJsonStreamReader(DataSourceStreamReader):
+    """Offsets are binlog LSNs; rows with lsn in (start, end] belong to
+    the batch. Event shape is the parsed-binlog JSON the envelope
+    adapter documents (``envelopes.mysql_binlog_to_changeitems``):
+    ``{action, log_file, log_pos, row_idx, schema?, table?,
+    before?, after?}``."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.path = options["path"]
+        self.payload_fields = [
+            f.name for f in schema.fields if f.name not in _META_FIELDS
+        ]
+        self.ack_file = options.get("ack_file")
+
+    def initialOffset(self) -> dict:
+        return {"lsn": 0}
+
+    def latestOffset(self) -> dict:
+        hi = 0
+        for f in _scan_files(self.path):
+            for ev in _events(f):
+                hi = max(hi, binlog_lsn(ev["log_file"], ev["log_pos"]))
+        return {"lsn": hi}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if int(end["lsn"]) <= int(start["lsn"]):
+            return [_FileSlice("", start, end)]
+        return [_FileSlice(f, start, end) for f in _scan_files(self.path)]
+
+    def read(self, partition: _FileSlice) -> Iterator[tuple]:
+        if not partition.path:
+            return
+        lo, hi = int(partition.start["lsn"]), int(partition.end["lsn"])
+        for ev in _events(partition.path):
+            op = _MYSQL_OPS.get(ev.get("action"))
+            if op is None:  # DDL / control events are not row changes
+                continue
+            lsn = binlog_lsn(ev["log_file"], ev["log_pos"])
+            if not (lo < lsn <= hi):
+                continue
+            before_map = ev.get("before") or {}
+            after_map = ev.get("after") or {}
+            payload = before_map if op == "d" else after_map
+            # updates/deletes attach the typed pre-image (OnRow's old
+            # half of the (old,new) pair) so PK-changing updates
+            # normalize delete+insert downstream
+            before = (
+                tuple(before_map.get(n) for n in self.payload_fields)
+                if op in ("u", "d") and before_map
+                else None
+            )
+            yield tuple(payload.get(n) for n in self.payload_fields) + (
+                op,
+                lsn,
+                int(ev.get("row_idx", 0)),
+                ".".join(
+                    x for x in (ev.get("schema"), ev.get("table")) if x
+                ),
+                before,
+                None,  # binlog row events always carry full rows
+            )
+
+    def commit(self, end: dict) -> None:
+        # ≈ the saved binlog position the reference's coordinator keeps
+        _ack(self.ack_file, end)
+
+
+class BinlogJsonDataSource(DataSource):
+    """``spark.dataSource.register(BinlogJsonDataSource)`` then
+    ``spark.readStream.format("binlogjson").schema(
+    binlog_output_schema(ddl)).option("path", dir).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "binlogjson"
+
+    def schema(self) -> str:
+        raise NotImplementedError("binlogjson requires an explicit schema")
+
+    def streamReader(self, schema: T.StructType) -> BinlogJsonStreamReader:
+        return BinlogJsonStreamReader(schema, self.options)
+
+
+# --------------------------------------------------------------- Mongo
+
+
+def change_stream_output_schema(doc_ddl: str) -> T.StructType:
+    """Document fields (``_id`` first) + ChangeItem meta. No ``_before``:
+    Mongo document keys are immutable, so KEYS_CHANGED never arises
+    (the watcher asserts the same)."""
+    st = T._parse_datatype_string(doc_ddl)
+    return T.StructType(
+        list(st.fields)
+        + [
+            T.StructField("_op", T.StringType(), False),
+            T.StructField("_lsn", T.LongType(), False),
+            T.StructField("_counter", T.IntegerType(), False),
+            T.StructField("_table", T.StringType(), True),
+            T.StructField("_present", T.ArrayType(T.StringType()), True),
+        ]
+    )
+
+
+def _cs_pos(ev: dict) -> tuple[int, int]:
+    return int(ev.get("clusterTime", 0)), int(ev.get("order", 0))
+
+
+class ChangeStreamJsonStreamReader(DataSourceStreamReader):
+    """Offsets are (clusterTime, order) pairs — the total order a resume
+    token encodes; events with position in (start, end] belong to the
+    batch. Event shape is the change-stream document
+    (``change_stream_watcher.go`` / ``batcher.go:128``):
+    ``{operationType, clusterTime, order, documentKey: {_id},
+    fullDocument?, updateDescription?: {updatedFields, removedFields},
+    ns?: {db, coll}}``."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.path = options["path"]
+        self.payload_fields = [
+            f.name for f in schema.fields if f.name not in _META_FIELDS
+        ]
+        self.ack_file = options.get("ack_file")
+
+    def initialOffset(self) -> dict:
+        return {"ts": 0, "order": -1}
+
+    def latestOffset(self) -> dict:
+        hi = (0, -1)
+        for f in _scan_files(self.path):
+            for ev in _events(f):
+                hi = max(hi, _cs_pos(ev))
+        return {"ts": hi[0], "order": hi[1]}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo = (int(start["ts"]), int(start["order"]))
+        hi = (int(end["ts"]), int(end["order"]))
+        if hi <= lo:
+            return [_FileSlice("", start, end)]
+        return [_FileSlice(f, start, end) for f in _scan_files(self.path)]
+
+    def read(self, partition: _FileSlice) -> Iterator[tuple]:
+        if not partition.path:
+            return
+        lo = (int(partition.start["ts"]), int(partition.start["order"]))
+        hi = (int(partition.end["ts"]), int(partition.end["order"]))
+        for ev in _events(partition.path):
+            op = _MONGO_OPS.get(ev.get("operationType"))
+            if op is None:
+                # invalidate / drop / rename: control events — the
+                # watcher restarts on them, they are not row changes
+                continue
+            pos = _cs_pos(ev)
+            if not (lo < pos <= hi):
+                continue
+            doc_key = (ev.get("documentKey") or {}).get("_id")
+            full = ev.get("fullDocument")
+            upd = ev.get("updateDescription") or {}
+            updated = upd.get("updatedFields") or {}
+            removed = upd.get("removedFields") or []
+            if op == "d":
+                vals = {}
+                present = None
+            elif full is not None:
+                vals = dict(full)
+                present = None  # full image: every column carried
+            else:
+                # partial update: updated names carry values, removed
+                # names carry NULL (an $unset IS an explicit NULL
+                # write), everything else is ABSENT (the _present
+                # contract collapse folds on)
+                vals = dict(updated)
+                present = ["_id", *updated.keys(), *removed]
+            ns = ev.get("ns") or {}
+            table = ".".join(x for x in (ns.get("db"), ns.get("coll")) if x)
+            yield tuple(
+                doc_key if n == "_id" else vals.get(n)
+                for n in self.payload_fields
+            ) + (op, pos[0], pos[1], table, present)
+
+    def commit(self, end: dict) -> None:
+        # ≈ resume-token persistence per collection
+        _ack(self.ack_file, end)
+
+
+class ChangeStreamJsonDataSource(DataSource):
+    """``spark.dataSource.register(ChangeStreamJsonDataSource)`` then
+    ``spark.readStream.format("mongostream").schema(
+    change_stream_output_schema(ddl)).option("path", dir).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mongostream"
+
+    def schema(self) -> str:
+        raise NotImplementedError("mongostream requires an explicit schema")
+
+    def streamReader(self, schema: T.StructType) -> ChangeStreamJsonStreamReader:
+        return ChangeStreamJsonStreamReader(schema, self.options)
+
+
+__all__ = [
+    "BinlogJsonDataSource",
+    "BinlogJsonStreamReader",
+    "ChangeStreamJsonDataSource",
+    "ChangeStreamJsonStreamReader",
+    "binlog_lsn",
+    "binlog_output_schema",
+    "change_stream_output_schema",
+]

@@ -103,6 +103,62 @@ def kinesis_records_to_raw(records: DataFrame, stream: str) -> DataFrame:
     )
 
 
+def eventhub_records_to_raw(records: DataFrame, transfer_id: str) -> DataFrame:
+    """EventHub record frame → the raw queue-message shape
+    (≈ ``pkg/providers/eventhub/eventhub.go:191`` ``makeRawChangeItem``):
+    partition id parsed as int (non-numeric → 0), offset = the event's
+    decimal ``offset`` string when parsable else its sequence number
+    (:197-200), topic = ``{transferID}_{partition}`` (:207), timestamp =
+    enqueued time. Most EventHub deployments skip this adapter via the
+    namespace's Kafka-compatible endpoint (``kafka_stream``); this is
+    the AMQP-shaped path for the rest.
+
+    Expected input columns: ``partition_id`` string, ``sequence_number``
+    long, ``offset`` string, ``enqueued_time`` timestamp, ``body``
+    binary — the public ReceivedEventData shape however it lands
+    (Capture→blob drop read by ``file_stream``, a connector jar, or an
+    SDK ``mapInPandas`` poller). Pure projection.
+    """
+    # try_cast: a non-numeric partition id ("$Default") or offset string
+    # falls through instead of failing the batch under ANSI mode
+    part = F.coalesce(F.col("partition_id").try_cast("int"), F.lit(0))
+    offset = F.coalesce(
+        F.col("offset").try_cast("long"), F.col("sequence_number").cast("long")
+    )
+    return records.select(
+        F.lit(None).cast("string").alias("key"),
+        F.col("body").alias("value"),
+        F.concat(F.lit(transfer_id), F.lit("_"), part.cast("string")).alias("topic"),
+        part.alias("partition"),
+        offset.alias("offset"),
+        F.col("enqueued_time").alias("timestamp"),
+    )
+
+
+def yds_records_to_raw(records: DataFrame, stream: str) -> DataFrame:
+    """YDS / Logbroker (YDB-topics persqueue) record frame → the raw
+    queue-message shape (≈ ``pkg/providers/yds/source/common.go:89`` —
+    the topic is the configured stream name — over the shared YDB topic
+    reader ``pkg/providers/ydb/topics/source``; the raw ChangeItem is
+    ``MakeRawMessage``, ``changeitem/mirror.go:36``: real per-partition
+    offsets, the message's source id as the sequence key).
+
+    Expected input columns: ``partition`` long, ``offset`` long,
+    ``source_id`` string (producer/message-group id → ``key``),
+    ``created_at`` timestamp, ``data`` binary. Pure projection — unlike
+    Kinesis there is no synthetic offset: persqueue offsets are already
+    dense per partition.
+    """
+    return records.select(
+        F.col("source_id").cast("string").alias("key"),
+        F.col("data").alias("value"),
+        F.lit(stream).alias("topic"),
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("created_at").alias("timestamp"),
+    )
+
+
 def rate_stream(
     spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 4
 ) -> DataFrame:
