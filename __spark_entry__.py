@@ -1357,6 +1357,54 @@ def q_parser_audittrails(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parser_protobuf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire-format round-trip without the spark-protobuf jar:
+    supplier rows wire-encode in one mapInPandas pass (varint ids,
+    length-delimited UTF-8 names, fixed64 doubles — the public encoding
+    spec) and decode back through the parser's pure-Python engine
+    (parsers/protowire.py; ≈ ``pkg/parsers/registry/protobuf``). int64 /
+    string / double round-trip bit-exactly, so the oracle is the plain
+    projection."""
+    from transferia_spark.parsers import build_parser
+    from transferia_spark.parsers.protowire import encode_message
+
+    spec = {
+        1: ("s_suppkey", "int64"),
+        2: ("s_name", "string"),
+        3: ("s_acctbal", "double"),
+    }
+    sup = _t(spark, sf_dir, "supplier")
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        encode_message(
+                            spec,
+                            {"s_suppkey": int(k), "s_name": n, "s_acctbal": float(b)},
+                        )
+                        for k, n, b in zip(
+                            pdf["s_suppkey"], pdf["s_name"], pdf["s_acctbal"]
+                        )
+                    ]
+                }
+            )
+
+    wire = sup.select("s_suppkey", "s_name", "s_acctbal").mapInPandas(
+        enc, "value binary"
+    )
+    parser = build_parser(
+        "protobuf",
+        engine="python",
+        field_spec=spec,
+        schema="s_suppkey long, s_name string, s_acctbal double",
+    )
+    return parser(wire)
+
+
 def q_parser_confluent_sr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferia_spark.parsers import build_parser
 
@@ -2347,9 +2395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_json": q_parser_json,
         "parser_logfeller": q_parser_logfeller,
         "skip_events": q_skip_events,
-        "incremental_read": q_incremental_read,
+        "parser_protobuf": q_parser_protobuf,
         # ---- entries past the 50-row scoring window: green rows in
         # ---- CORRECTNESS_r01-r03, re-verified by driver_sim each round
+        "incremental_read": q_incremental_read,
         "debezium_roundtrip": q_debezium_roundtrip,
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q4ish": q_tpch_q4ish,
@@ -2927,6 +2976,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ydb_scan": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
+        """,
+        "parser_protobuf": """
+            SELECT s_suppkey, s_name, s_acctbal FROM supplier
         """,
         "typesystem_edges": """
             SELECT CAST((o_orderkey + 9223372036854775808)::DECIMAL(20,0) AS VARCHAR) AS u64,

@@ -336,6 +336,100 @@ def test_image_resize_real_mode_gated(spark):
         assert "codec" in str(e)
 
 
+def test_audio_energy_real_wav_decode(spark):
+    """The ``wav`` decoder is a REAL RIFF decode (stdlib wave module):
+    a 16-bit PCM file with known samples yields hand-computed integer
+    features; a stereo file takes its first channel."""
+    import io
+    import struct
+    import wave
+
+    from transferia_spark.operators.multimodal import AudioEnergy
+
+    samples = [100, -200, 300, -32768]
+
+    def make_wav(vals, nch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(vals)}h", *vals))
+        return buf.getvalue()
+
+    s = AudioEnergy.decode_samples(make_wav(samples), "wav")
+    assert list(s) == samples
+    # stereo: [L0,R0,L1,R1] → first channel
+    stereo = AudioEnergy.decode_samples(
+        make_wav([1, -1, 2, -2], nch=2), "wav"
+    )
+    assert list(stereo) == [1, 2]
+
+    # end-to-end through Spark with real WAV payloads
+    media = spark.createDataFrame(
+        [(1, bytearray(make_wav(samples)), "audio")],
+        "doc_id long, payload binary, kind string",
+    )
+    out = build("audio_energy", frame_len=2, decoder="wav").apply_df(media)
+    by = {(r.doc_id, r.frame_idx): r for r in out.collect()}
+    assert by[(1, 0)].energy == 100**2 + 200**2
+    assert by[(1, 1)].energy == 300**2 + 32768**2
+    assert by[(1, 1)].peak == 32768
+    assert by[(1, 0)].zero_crossings == 1
+
+    # unknown decoder stays gated
+    try:
+        AudioEnergy.decode_samples(b"x", "mp3")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError as e:
+        assert "codec" in str(e)
+
+
+def test_image_resize_nearest_is_real_resample(spark):
+    """``nearest`` mode is genuine nearest-neighbor resampling (pure
+    numpy): a 4×4 raster downsamples to the exact source pixels PIL's
+    NEAREST picks (index map floor(y·in/out))."""
+    from transferia_spark.operators.multimodal import ImageResize
+
+    raster = bytes(range(16))  # 4x4: row r, col c → 4r + c
+    op = ImageResize(mode="nearest")
+    out = op._resample(raster, 2, 2, 4, 4)
+    # ys = xs = [0, 2] → pixels (0,0),(0,2),(2,0),(2,2) = 0,2,8,10
+    assert list(out) == [0, 2, 8, 10]
+    # upsample wider than tall: ys=[0,0], xs=[0,1,2,3] over a 2x2 input
+    out2 = op._resample(bytes([5, 6, 7, 8]), 4, 2, 2, 2)
+    assert list(out2) == [5, 5, 6, 6, 7, 7, 8, 8]
+    # short payloads are zero-padded to the declared raster
+    out3 = op._resample(bytes([9]), 1, 1, 2, 2)
+    assert list(out3) == [9]
+
+
+def test_image_resize_pil_feature_detected(spark):
+    """The Pillow path is feature-detected: with PIL absent it raises
+    the install remedy; with PIL present it round-trips a real image."""
+    from transferia_spark.operators.multimodal import ImageResize
+
+    op = ImageResize(mode="pil")
+    try:
+        import PIL  # noqa: F401
+
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (4, 4), color=7).save(buf, format="PNG")
+        out = op._resample(buf.getvalue(), 2, 2, 4, 4)
+        img = Image.open(io.BytesIO(out))
+        assert img.size == (2, 2)
+    except ImportError:
+        try:
+            op._resample(b"xx", 1, 1, 2, 2)
+            raise AssertionError("expected NotImplementedError")
+        except NotImplementedError as e:
+            assert "Pillow" in str(e)
+
+
 def test_lm_familiarity_common_text_scores_higher(spark):
     docs = spark.createDataFrame(
         [

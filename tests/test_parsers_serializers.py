@@ -105,6 +105,78 @@ def test_protobuf_parser_gated(spark):
         from pyspark.sql.protobuf.functions import from_protobuf  # noqa: F401
 
 
+def test_protowire_primitives():
+    """Wire-format fidelity: varint/zigzag boundaries, packed repeated,
+    unknown-field skip, nested messages, last-one-wins merge."""
+    from transferia_spark.parsers.protowire import (
+        decode_message,
+        encode_field,
+        encode_message,
+        encode_varint,
+        read_varint,
+        zigzag_decode,
+        zigzag_encode,
+    )
+
+    for v in (0, 1, 127, 128, 300, 2**32, 2**63 - 1):
+        assert read_varint(encode_varint(v), 0) == (v, len(encode_varint(v)))
+    assert encode_varint(300) == b"\xac\x02"  # spec's own example
+    for v in (0, -1, 1, -2, 2**31 - 1, -(2**31)):
+        assert zigzag_decode(zigzag_encode(v)) == v
+
+    spec = {
+        1: ("id", "int64"),
+        2: ("name", "string"),
+        3: ("score", "double"),
+        4: ("tags", "repeated string"),
+        5: ("delta", "sint64"),
+        6: ("inner", ("message", {1: ("x", "int32")})),
+        7: ("flags", "repeated int32"),
+    }
+    msg = encode_message(
+        spec,
+        {"id": -5, "name": "héllo", "score": 2.5, "tags": ["a", "b"],
+         "delta": -42, "inner": {"x": 7}, "flags": [1, 2, 3]},
+    )
+    # splice in an unknown field (num 99, varint) — must be skipped
+    msg = encode_field(99, "int64", 123) + msg
+    out = decode_message(msg, spec)
+    assert out["id"] == -5 and out["name"] == "héllo"
+    assert out["score"] == 2.5 and out["tags"] == ["a", "b"]
+    assert out["delta"] == -42 and out["inner"] == {"x": 7}
+    assert out["flags"] == [1, 2, 3]
+
+    # packed repeated scalars (one length-delimited run)
+    packed = encode_varint(7 << 3 | 2) + encode_varint(3) + b"\x01\x02\x03"
+    assert decode_message(packed, spec)["flags"] == [1, 2, 3]
+    # singular merge rule: last occurrence wins
+    twice = encode_field(1, "int64", 1) + encode_field(1, "int64", 9)
+    assert decode_message(twice, spec)["id"] == 9
+
+
+def test_protobuf_python_engine_end_to_end(spark):
+    """engine='python': wire-encoded payloads decode through one
+    mapInPandas pass into the declared schema — executable protobuf
+    evidence without the spark-protobuf jar."""
+    from transferia_spark.parsers.protowire import encode_message
+
+    spec = {1: ("id", "int64"), 2: ("name", "string"), 3: ("score", "double")}
+    rows = [(1, "a", 1.5), (2, "b", -2.25)]
+    payloads = [
+        (bytearray(encode_message(spec, {"id": i, "name": n, "score": s})),)
+        for i, n, s in rows
+    ]
+    df = spark.createDataFrame(payloads, "value binary")
+    parser = build_parser(
+        "protobuf",
+        engine="python",
+        field_spec=spec,
+        schema="id long, name string, score double",
+    )
+    got = sorted(tuple(r) for r in parser(df).collect())
+    assert got == rows
+
+
 def test_native_serializer_roundtrip(spark):
     from transferia_spark.serializers import native_serializer
 

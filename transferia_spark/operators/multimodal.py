@@ -177,14 +177,53 @@ class AudioEnergy(Transformer):
 
     TYPE = "audio_energy"
 
-    def __init__(self, frame_len: int = 32, kind: str = "audio"):
-        self.frame_len, self.kind = frame_len, kind
+    def __init__(
+        self, frame_len: int = 32, kind: str = "audio", decoder: str = "pcm8"
+    ):
+        self.frame_len, self.kind, self.decoder = frame_len, kind, decoder
+
+    @staticmethod
+    def decode_samples(payload: bytes, decoder: str):
+        """Payload bytes → int64 sample vector.
+
+        - ``pcm8``: raw signed 8-bit PCM (the deterministic oracle-
+          checked spec — any byte string is valid input).
+        - ``wav``: a REAL RIFF/WAV decode via the stdlib ``wave``
+          module — 8/16/32-bit PCM, first channel of multi-channel
+          files. No third-party codec needed, so this path runs (and is
+          tested) in this environment.
+        - anything else: the codec gate (torchaudio/soundfile/ffmpeg).
+        """
+        import numpy as np
+
+        if decoder == "pcm8":
+            return np.frombuffer(bytes(payload), dtype=np.int8).astype(np.int64)
+        if decoder == "wav":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(bytes(payload))) as w:
+                nch, width = w.getnchannels(), w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+            dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+            if dtype is None:
+                raise NotImplementedError(
+                    f"wav sample width {width} needs a real codec"
+                )
+            s = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+            if width == 1:
+                s -= 128  # 8-bit WAV is unsigned; recentre to signed
+            return s[::nch]  # first channel
+        raise NotImplementedError(
+            f"audio decoder {decoder!r} needs a codec (torchaudio/soundfile)"
+        )
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         import numpy as np
 
         frame_len = self.frame_len
         kind = self.kind
+        decoder = self.decoder
         schema = (
             "doc_id long, frame_idx long, energy long, peak long, "
             "zero_crossings long"
@@ -201,9 +240,7 @@ class AudioEnergy(Transformer):
                 ):
                     if k != kind or payload is None:
                         continue
-                    s = np.frombuffer(bytes(payload), dtype=np.int8).astype(
-                        np.int64
-                    )
+                    s = AudioEnergy.decode_samples(payload, decoder)
                     if len(s) == 0:
                         # no samples → no frames (a zero row would
                         # diverge from SQL aggregates over an empty
@@ -257,15 +294,48 @@ class ImageResize(Transformer):
         return max(1, w * max_side // h), max_side
 
     def _resample(self, payload: bytes, out_w: int, out_h: int, in_w: int, in_h: int) -> bytes:
-        if self.mode != "stub":
-            # real implementation: PIL.Image.resize((out_w, out_h),
-            # LANCZOS) — no codec in this environment
-            raise NotImplementedError(f"image_resize mode {self.mode!r} needs a codec")
-        # deterministic stand-in: stride-subsample the payload bytes to
-        # the output pixel count (bounded, reproducible, testable)
-        n_out = max(1, min(len(payload), out_w * out_h))
-        step = max(1, len(payload) // n_out)
-        return payload[::step][:n_out]
+        if self.mode == "stub":
+            # deterministic stand-in: stride-subsample the payload bytes
+            # to the output pixel count (bounded, reproducible, the
+            # oracle-checked spec)
+            n_out = max(1, min(len(payload), out_w * out_h))
+            step = max(1, len(payload) // n_out)
+            return payload[::step][:n_out]
+        if self.mode == "nearest":
+            # REAL nearest-neighbor resample over a grayscale raster —
+            # pure numpy, runs in this environment. The payload is the
+            # in_w×in_h uint8 raster (row-major), padded/truncated; the
+            # standard index map rows=floor(y·in_h/out_h) picks source
+            # pixels exactly as PIL's Image.NEAREST does.
+            import numpy as np
+
+            buf = np.zeros(in_w * in_h, dtype=np.uint8)
+            src = np.frombuffer(payload[: in_w * in_h], dtype=np.uint8)
+            buf[: len(src)] = src
+            raster = buf.reshape(in_h, in_w)
+            ys = (np.arange(out_h) * in_h) // out_h
+            xs = (np.arange(out_w) * in_w) // out_w
+            return raster[np.ix_(ys, xs)].tobytes()
+        if self.mode == "pil":
+            # feature-detected Pillow path: full-codec decode (JPEG/PNG/
+            # …) + LANCZOS resample, re-encoded as PNG
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as e:
+                raise NotImplementedError(
+                    "image_resize mode 'pil' needs Pillow (pip install "
+                    "Pillow); 'nearest' is the codec-free real resample"
+                ) from e
+            img = Image.open(io.BytesIO(payload))
+            img = img.resize((out_w, out_h), Image.LANCZOS)
+            out = io.BytesIO()
+            img.save(out, format="PNG")
+            return out.getvalue()
+        raise NotImplementedError(
+            f"image_resize mode {self.mode!r} needs a codec"
+        )
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         import numpy as np  # noqa: F401 (parity with sibling kernels)

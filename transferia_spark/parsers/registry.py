@@ -454,17 +454,55 @@ def protobuf_parser(
     descriptor_file: str | None = None,
     message_name: str | None = None,
     schema: str | None = None,
+    engine: str = "jvm",
+    field_spec: dict | None = None,
 ):
-    """Protobuf payloads via spark-protobuf's ``from_protobuf``
-    (≈ ``pkg/parsers/registry/protobuf``). The spark-protobuf jar is an
-    external module; when absent this raises at build time rather than
-    on the executors."""
+    """Protobuf payloads (≈ ``pkg/parsers/registry/protobuf``).
+
+    ``engine="jvm"`` (production fast path) uses spark-protobuf's
+    ``from_protobuf`` against a compiled descriptor file; the jar is an
+    external module, so absence raises at build time rather than on the
+    executors. ``engine="python"`` decodes the wire format in pure
+    Python (``parsers/protowire.py``) against a ``field_spec``
+    (``{num: (name, type)}`` — the minimal descriptor) into the declared
+    ``schema``, via one Arrow-batched ``mapInPandas`` pass — the
+    executable path for jar-less environments and the test evidence for
+    the parser's semantics.
+    """
+    if engine == "python":
+        if not field_spec or not schema:
+            raise ValueError(
+                "protobuf engine='python' needs field_spec and schema"
+            )
+        from transferia_spark.parsers.protowire import decode_message
+
+        out_st = T._parse_datatype_string(schema)
+        names = [f.name for f in out_st.fields]
+
+        def parse_py(df: DataFrame) -> DataFrame:
+            import pandas as pd
+
+            def run(batches):
+                for pdf in batches:
+                    decoded = [
+                        decode_message(bytes(v), field_spec)
+                        for v in pdf["value"]
+                    ]
+                    yield pd.DataFrame(
+                        {n: [d.get(n) for d in decoded] for n in names}
+                    )
+
+            return df.select("value").mapInPandas(run, out_st)
+
+        return parse_py
+
     try:
         from pyspark.sql.protobuf.functions import from_protobuf
     except ImportError as e:  # pragma: no cover - depends on jar availability
         raise NotImplementedError(
             "protobuf parser requires the spark-protobuf package "
-            "(--packages org.apache.spark:spark-protobuf_2.13)"
+            "(--packages org.apache.spark:spark-protobuf_2.13); "
+            "engine='python' with a field_spec decodes without the jar"
         ) from e
     if not descriptor_file or not message_name:
         raise ValueError("protobuf parser needs descriptor_file and message_name")
