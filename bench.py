@@ -91,6 +91,10 @@ HEADLINE = [
     "audio_energy",
     "frame_sample",
     "image_resize",
+    # round-4 additions: YDB key-range storage fan-out and the
+    # pure-Python protobuf wire round-trip
+    "ydb_scan",
+    "parser_protobuf",
 ]
 
 

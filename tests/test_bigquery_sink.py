@@ -112,6 +112,42 @@ def test_write_creates_table_and_streams_rows(spark, bq_stub):
     assert by_id[2]["insertId"] == "t/101"
 
 
+def test_snapshot_insert_ids_content_derived_and_dupe_suffixed(spark, bq_stub):
+    """ADVICE r3: snapshot ids must survive a Spark task retry — they
+    derive from row CONTENT (xxhash64 of the payload JSON), so a
+    recomputed partition yields the same id set regardless of row
+    order; identical rows disambiguate with a stable occurrence
+    suffix."""
+    url, calls = bq_stub
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (1, "x")], "id long, name string"
+    ).coalesce(1)
+    _sink(url).write(df, TableID("ns", "t"))
+    rows = [
+        r
+        for c in calls
+        if c[1].endswith("/insertAll")
+        for r in json.loads(c[2])["rows"]
+    ]
+    ids = sorted(r["insertId"] for r in rows)
+    assert len(set(ids)) == 3  # identical rows still stream distinctly
+    base = [i for i in ids if "#" not in i]
+    assert len(base) == 2 and all(i.startswith("t/") for i in base)
+    (suffixed,) = [i for i in ids if "#" in i]
+    assert suffixed.split("#")[0] in base  # dup of the (1, x) row
+
+    # retry determinism: writing the same frame again yields the SAME set
+    calls.clear()
+    _sink(url).write(df, TableID("ns", "t"))
+    again = sorted(
+        r["insertId"]
+        for c in calls
+        if c[1].endswith("/insertAll")
+        for r in json.loads(c[2])["rows"]
+    )
+    assert again == ids
+
+
 def test_write_batches_split(spark, bq_stub):
     url, calls = bq_stub
     df = spark.range(10).select(F.col("id")).coalesce(1)

@@ -211,3 +211,61 @@ dst:
         a = spark.read.parquet(os.path.join(str(tmp_path / "serial"), t))
         b = spark.read.parquet(os.path.join(str(tmp_path / "par"), t))
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_parallel_activate_cleans_shared_output_table_once(spark, sf_dir):
+    """ADVICE r3: two source tables routed onto ONE output table under
+    process_count>1 must not interleave a DROP with another thread's
+    write — cleanup runs exactly once per output table, before any
+    write to it."""
+    import threading
+
+    from transferia_spark.operators import Transformation, build
+    from transferia_spark.plans.transfer import TransferSpec, TransferType
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sinks.base import CleanupPolicy, Sink
+    from transferia_spark.sources.base import Source
+
+    class TwoTableSource(Source):
+        TYPE = "_two"
+
+        def table_list(self, spark):
+            return [TableID("", "a"), TableID("", "b")]
+
+        def load_table(self, spark, table, where=None):
+            return spark.createDataFrame([(table.name,)], "src string")
+
+    events: list[str] = []
+    ev_lock = threading.Lock()
+
+    class RecordingSink(Sink):
+        TYPE = "_rec"
+
+        def cleanup(self, table, policy):
+            with ev_lock:
+                events.append(f"cleanup:{table.fqtn()}")
+
+        def write(self, df, table):
+            df.count()  # force the job so writes take real time
+            with ev_lock:
+                events.append(f"write:{table.fqtn()}")
+
+    # rename both sources onto the same output table
+    tf = Transformation(
+        [build("rename_tables", mapping={"a": "shared", "b": "shared"})]
+    )
+    spec = TransferSpec(
+        src=TwoTableSource(), dst=RecordingSink(),
+        type=TransferType.SNAPSHOT_ONLY,
+        transformation=tf, cleanup=CleanupPolicy.DROP,
+    )
+    from transferia_spark.plans.transfer import activate
+
+    activate(spark, spec, process_count=2)
+    cleanups = [e for e in events if e.startswith("cleanup:")]
+    assert cleanups == ["cleanup:shared"]  # exactly once
+    # and it strictly precedes every write to that table
+    assert events.index("cleanup:shared") < min(
+        i for i, e in enumerate(events) if e == "write:shared"
+    )
+    assert events.count("write:shared") == 2

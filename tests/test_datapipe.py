@@ -270,6 +270,11 @@ def test_dedup_blocks_scores_shared_paragraphs(spark):
             (2, blk + " " + "iota kappa lambda mu nu xi omicron pi"),
             (3, "unique words only here nothing shared at all"),
             (4, "tiny doc"),
+            # the shared paragraph repeated 3x: every occurrence counts
+            # (ADVICE r3 — multiplicity, not distinct hashes), but a
+            # within-doc repeat alone must NOT make a block popular
+            (5, " ".join([blk] * 3)),
+            (6, " ".join(["solo self repeat block words number only eight"] * 2)),
         ],
         "doc_id long, text string",
     )
@@ -282,6 +287,8 @@ def test_dedup_blocks_scores_shared_paragraphs(spark):
     assert rows[2] == (2, 1, 5000)
     assert rows[3] == (1, 0, 0)
     assert rows[4] == (0, 0, 0)
+    assert rows[5] == (3, 3, 10000)  # all three occurrences are dups
+    assert rows[6] == (2, 0, 0)  # self-repeat: 1 distinct doc < min_docs
 
 
 def test_audio_energy_frames(spark):

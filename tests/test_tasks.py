@@ -167,3 +167,49 @@ def test_compact_partitioned_writes_hive_layout(spark, tmp_path):
     assert got.count() == 1000
     pruned = got.filter("part = 2")
     assert pruned.count() == 250
+
+
+def test_parquet_table_single_writer_enforced(spark, tmp_path):
+    """ADVICE r3: overwrite takes an O_EXCL lock and CAS-checks
+    _CURRENT — a compaction racing a streaming sink fails loudly
+    instead of silently losing a commit."""
+    import os
+
+    import pytest
+
+    from transferia_spark.streaming.cdc_apply import (
+        ConcurrentWriteError,
+        ParquetTable,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    v1 = t.overwrite(df)
+
+    # a held lock (another writer mid-commit) rejects the overwrite
+    lock = os.path.join(t.root, "_LOCK")
+    with open(lock, "w") as f:
+        f.write("999")
+    with pytest.raises(ConcurrentWriteError, match="single-writer"):
+        t.overwrite(df)
+    os.remove(lock)
+
+    # lock released on both success and failure → next commit works
+    v2 = t.overwrite(df)
+    assert v2 == v1 + 1 and not os.path.exists(lock)
+    assert t.read().count() == 5
+
+
+def test_interval_join_rejects_column_collision(spark):
+    """ADVICE r3: a non-key right column sharing a left column's name
+    fails fast instead of silently duplicating output columns."""
+    import pytest
+
+    from transferia_spark.streaming.joins import interval_join
+
+    left = spark.createDataFrame([(1, "2024-01-01 00:00:00", "x")],
+                                 "k int, ts string, v string")
+    right = spark.createDataFrame([(1, "2024-01-01 00:10:00", "y")],
+                                  "k int, rts string, v string")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(left, right, on=["k"], left_ts="ts", right_ts="rts")

@@ -686,16 +686,22 @@ class DedupBlocks(Transformer):
             self.id_col,
             block_hashes(F.col("_wh"), self.block_words).alias("_bh"),
         )
-        # per-(doc, hash) exploded rows; explode_outer keeps empty docs
-        # (see DedupMinHashLSH on InferFiltersFromGenerate)
+        # per-(doc, hash) exploded rows WITH multiplicity — dup_blocks
+        # must count every occurrence so a doc that repeats one popular
+        # paragraph 10x scores 10000bp, not 1000bp (ADVICE r3: the
+        # distinct numerator understated 'fraction of blocks appearing
+        # in >= min_docs docs'). Popularity still counts DISTINCT docs
+        # per hash (a within-doc repeat is not cross-doc duplication).
+        # explode_outer keeps empty docs (see DedupMinHashLSH on
+        # InferFiltersFromGenerate).
         occ = blocks.select(
             self.id_col,
-            F.explode_outer(F.array_distinct("_bh")).alias("_h"),
+            F.explode_outer("_bh").alias("_h"),
         )
         popular = (
             occ.filter(F.col("_h").isNotNull())
             .groupBy("_h")
-            .agg(F.count(F.lit(1)).alias("_docs"))
+            .agg(F.count_distinct(F.col(self.id_col)).alias("_docs"))
             .filter(F.col("_docs") >= self.min_docs)
             .select("_h")
         )
@@ -745,10 +751,11 @@ class DedupBlocks(Transformer):
             ),
             occ AS (
               SELECT {self.id_col}, h.h AS h
-              FROM blocks, unnest(list_distinct(bh)) AS h(h)
+              FROM blocks, unnest(bh) AS h(h)
             ),
             popular AS (
-              SELECT h FROM occ GROUP BY h HAVING count(*) >= {self.min_docs}
+              SELECT h FROM occ
+              GROUP BY h HAVING count(DISTINCT {self.id_col}) >= {self.min_docs}
             ),
             dup AS (
               SELECT occ.{self.id_col}, count(*)::BIGINT AS dup_blocks

@@ -128,6 +128,7 @@ def activate(
     sink supports it, else a post-read)."""
     tables = [t for t in spec.src.table_list(spark) if _selected(spec, t)]
     written: dict[str, int] = {}
+    cleaned: set[str] = set()
     if process_count > 1:
         import threading
         from concurrent.futures import ThreadPoolExecutor
@@ -135,14 +136,14 @@ def activate(
         lock = threading.Lock()
 
         def one(table):
-            _activate_one(spark, spec, table, written, lock)
+            _activate_one(spark, spec, table, written, lock, cleaned)
 
         with ThreadPoolExecutor(max_workers=process_count) as ex:
             list(ex.map(one, tables))  # re-raises the first failure
         return written
     lock = None
     for table in tables:
-        _activate_one(spark, spec, table, written, lock)
+        _activate_one(spark, spec, table, written, lock, cleaned)
     return written
 
 
@@ -154,8 +155,11 @@ class _NullLock:
         return False
 
 
-def _activate_one(spark, spec, table, written: dict, lock) -> None:
+def _activate_one(
+    spark, spec, table, written: dict, lock, cleaned: set | None = None
+) -> None:
     lock = lock or _NullLock()
+    cleaned = cleaned if cleaned is not None else set()
     with lock:
         if spec.progress is not None and spec.progress.table_done(table.fqtn()):
             # resumed operation: this table's write committed in a
@@ -177,7 +181,16 @@ def _activate_one(spark, spec, table, written: dict, lock) -> None:
             for t, d in routed.items()
         }
     for out_table, out_df in routed.items():
-        spec.dst.cleanup(out_table, spec.cleanup)
+        # cleanup exactly ONCE per output table, registered under the
+        # lock (ADVICE r3: with process_count>1, two source tables
+        # routing to one output table could interleave a DROP/TRUNCATE
+        # with another thread's in-flight write and silently lose rows
+        # — the reference's ordering is cleanup-then-load)
+        with lock:
+            do_clean = out_table.fqtn() not in cleaned
+            if do_clean:
+                cleaned.add(out_table.fqtn())
+                spec.dst.cleanup(out_table, spec.cleanup)
         spec.dst.write(out_df, out_table)
         with lock:
             written[out_table.fqtn()] = -1  # count not materialized by default

@@ -200,19 +200,26 @@ class BigQuerySink(Sink):
                 tx.cast("string"),
             )
         else:
-            # snapshot path: rows carry no LSN, and a CONSTANT id would
-            # make insertAll's best-effort dedup collapse the whole
-            # upload to ~1 row per window. Per-row unique ids: unique
-            # within the job, and materialized before the HTTP call, so
-            # request-level retries (the window insertId dedup actually
-            # covers) reuse the same ids
+            # snapshot path: rows carry no LSN. The id is a CONTENT hash
+            # of the serialized payload (ADVICE r3: ids from
+            # monotonically_increasing_id changed across Spark task
+            # retries — a retry after a partial insertAll recomputed
+            # them under a different intra-partition order, so
+            # BigQuery's insertId dedup couldn't suppress the
+            # duplicates). Identical source rows get distinct ids via a
+            # per-partition occurrence suffix added at push time —
+            # occurrence COUNTS per payload per partition are stable
+            # under task retry (same split, identical rows are
+            # interchangeable), so the id SET is retry-deterministic.
             insert_id = F.concat_ws(
                 "/",
                 F.lit(table.name),
-                F.monotonically_increasing_id().cast("string"),
+                F.xxhash64(F.col("_row_json")).cast("string"),
             )
-        return df.select(
-            F.to_json(F.struct(*payload)).alias("_json"),
+        return df.withColumn(
+            "_row_json", F.to_json(F.struct(*payload))
+        ).select(
+            F.col("_row_json").alias("_json"),
             insert_id.alias("_insert_id"),
         )
 
@@ -222,10 +229,16 @@ class BigQuerySink(Sink):
         name = normalized_name(table)
         factory, project, dataset = self.client_factory, self.project, self.dataset
         batch_rows = self.batch_rows
+        # snapshot rows get content-hash ids: disambiguate identical
+        # rows with a stable per-partition occurrence suffix. CDC ids
+        # (table/lsn/tx) must NOT be suffixed — their collisions are
+        # genuine replays that insertId dedup SHOULD suppress.
+        suffix_dupes = LSN_COL not in df.columns
 
         def per_partition(rows):
             client = factory(project, dataset)
             buf: list[dict] = []
+            seen: dict[str, int] = {}
 
             def flush():
                 if buf:
@@ -233,8 +246,14 @@ class BigQuerySink(Sink):
                     buf.clear()
 
             for row in rows:
+                iid = row["_insert_id"]
+                if suffix_dupes:
+                    n = seen.get(iid, 0)
+                    seen[iid] = n + 1
+                    if n:
+                        iid = f"{iid}#{n}"
                 buf.append(
-                    {"insertId": row["_insert_id"], "json": json.loads(row["_json"])}
+                    {"insertId": iid, "json": json.loads(row["_json"])}
                 )
                 if len(buf) >= batch_rows:
                     flush()

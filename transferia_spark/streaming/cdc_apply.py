@@ -32,6 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from transferia_spark.cdc.merge import merge_batch
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer raced the single-writer ParquetTable commit."""
+
+
 class ParquetTable:
     """A versioned parquet-backed table with atomic swap.
 
@@ -78,18 +82,52 @@ class ParquetTable:
         return self.spark.read.parquet(path)
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        new_v = self.version() + 1
-        path = os.path.join(self.root, f"_v{new_v}")
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new_v))
-        os.replace(tmp, self._pointer)  # atomic pointer swap
-        self._gc(keep=2)
-        return new_v
+        """Write version+1 and atomically flip ``_CURRENT``.
+
+        Single-writer is ENFORCED, not just documented (ADVICE r3: a
+        compaction racing a streaming sink had both compute version()+1
+        and one commit silently won, losing a batch): an O_EXCL
+        advisory lock file brackets the write+flip, and a
+        compare-and-swap check rejects the flip if ``_CURRENT`` moved
+        under us — concurrent writers fail loudly with
+        ``ConcurrentWriteError``."""
+        base = self.version()
+        lock = os.path.join(self.root, "_LOCK")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"another writer holds {lock}; ParquetTable is "
+                "single-writer — serialize compact_table with the "
+                "streaming sink (remove the stale lock only after a "
+                "crashed writer)"
+            ) from None
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            new_v = base + 1
+            path = os.path.join(self.root, f"_v{new_v}")
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+            if self.version() != base:  # CAS: pointer moved under us
+                raise ConcurrentWriteError(
+                    f"_CURRENT advanced past v{base} during overwrite of "
+                    f"{self.root}; dropping v{new_v} instead of losing "
+                    "the concurrent commit"
+                )
+            tmp = self._pointer + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(new_v))
+            os.replace(tmp, self._pointer)  # atomic pointer swap
+            self._gc(keep=2)
+            return new_v
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
 
     def _gc(self, keep: int) -> None:
         v = self.version()

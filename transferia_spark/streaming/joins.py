@@ -45,6 +45,16 @@ def interval_join(
     stream shape. Key columns are taken from the LEFT side names; the
     right frame must carry the same names (alias upstream).
     """
+    # fail fast on non-key name collisions: the rename-back below would
+    # otherwise silently produce duplicate column names (ADVICE r3 —
+    # the docstring pushed de-confliction to the caller, but the
+    # failure mode was silent)
+    clash = (set(right.columns) - set(on)) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"interval_join: non-key right columns {sorted(clash)} collide "
+            "with left columns — alias them upstream"
+        )
     if left.isStreaming:
         left = left.withWatermark(left_ts, late_threshold)
     if right.isStreaming:
