@@ -109,7 +109,11 @@ def _load_entry():
 
 def bench_snapshot_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     """The engine's bread-and-butter path: scan → transformer chain →
-    parquet sink (the reference's 'initial transfer' KPI)."""
+    the engine's own file sink (the reference's 'initial transfer' KPI).
+    Going through FileSink measures the shipping write path, including
+    its cluster-tracking write fan-out."""
+    from transferia_spark.sinks.base import build_sink
+
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
     chain = (
         Transformation()
@@ -119,14 +123,15 @@ def bench_snapshot_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     )
     out = chain.apply(TableID("", "lineitem"), li)[0][1]
     tmp = tempfile.mkdtemp(prefix="bench_sink_")
+    sink = build_sink("file", path=tmp, format="parquet")
     # compile the write path once (parquet committer + codegen) so the
     # measurement is steady-state throughput, matching the reference's
     # rows/s KPI convention (docs/benchmarks.md prefers sustained rates)
     li.limit(1024).write.mode("overwrite").parquet(os.path.join(tmp, "_warm"))
     t0 = time.time()
-    out.write.mode("overwrite").parquet(os.path.join(tmp, "lineitem"))
+    sink.write(out, TableID("", "lineitem"))
     dt = time.time() - t0
-    n = spark.read.parquet(os.path.join(tmp, "lineitem")).count()
+    n = sink.read_back(spark, TableID("", "lineitem")).count()
     shutil.rmtree(tmp, ignore_errors=True)
     return dt, n
 

@@ -50,6 +50,13 @@ class FileSink(Sink):
             shutil.rmtree(self._target(table), ignore_errors=True)
 
     def write(self, df: DataFrame, table: TableID) -> None:
+        # Write parallelism deliberately follows the scan/transform plan
+        # (no forced repartition): measured at sf0.1, a round-robin
+        # fan-out to core count cost MORE than the encode saved (the
+        # shuffle writes+reads the full row payload), and at 100 TB the
+        # scan already exceeds core count so a fan-out is a no-op. The
+        # reference's part-count formula (sharding_storage.go:234-245)
+        # governs the SOURCE split instead — see sources/jdbc.py.
         writer = df.write.mode(self.mode).format(self.format)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
