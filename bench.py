@@ -76,6 +76,7 @@ HEADLINE = [
     "ann_brute_force",
     "ann_lsh_bucketed",
     "ann_ivf",
+    "ann_sq8",
     "dedup_cluster",
     "decontaminate",
     "quota_cap",

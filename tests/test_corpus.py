@@ -278,3 +278,68 @@ def test_ann_lsh_bucket_assignment_shuffle_free(emb):
     plan = op.bucketed(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+# -------------------------------------------------------------------- sq8
+
+
+def test_ann_sq8_exact_simbp_and_full_rerank_matches_bruteforce(emb):
+    """SQ8 reported sim_bp is the EXACT similarity (codes only pick
+    candidates): every (query, neighbor) pair's sim_bp equals brute
+    force's, and with rerank covering the whole corpus the top-k set
+    is identical to brute force."""
+    n = emb.count()
+    sq = build(
+        "ann_sq8", vec_col="embedding", id_col="vec_id",
+        query_pred="vec_id < 4", k=5, rerank=(n // 5) + 1,
+    ).apply_df(emb)
+    bf = build(
+        "ann_brute_force", vec_col="embedding", id_col="vec_id",
+        query_pred="vec_id < 4", k=5,
+    ).apply_df(emb)
+    assert sorted(map(tuple, sq.collect())) == sorted(map(tuple, bf.collect()))
+
+    # modest rerank: pairs may differ from brute-force top-k, but each
+    # reported sim_bp must still be the exact pair similarity
+    sq4 = build(
+        "ann_sq8", vec_col="embedding", id_col="vec_id",
+        query_pred="vec_id < 4", k=5, rerank=4,
+    ).apply_df(emb)
+    bf_all = build(
+        "ann_brute_force", vec_col="embedding", id_col="vec_id",
+        query_pred="vec_id < 4", k=10**6,
+    ).apply_df(emb)
+    j = sq4.alias("s").join(
+        bf_all.alias("b"),
+        (F.col("s.query_id") == F.col("b.query_id"))
+        & (F.col("s.neighbor_id") == F.col("b.neighbor_id")),
+        "left",
+    )
+    assert j.filter(F.col("b.sim_bp").isNull()).count() == 0
+    assert j.filter(F.col("s.sim_bp") != F.col("b.sim_bp")).count() == 0
+
+
+def test_ann_sq8_codes_bounds(emb):
+    """Codes live in [0, 255]; a dimension's min maps to 0, its max to
+    255; constant dimensions code to 0."""
+    from transferia_spark.operators.similarity import AnnScalarQuant
+
+    op = AnnScalarQuant(
+        vec_col="embedding", id_col="vec_id", query_pred="vec_id < 4"
+    )
+    mns, mxs = op.dim_stats(emb)
+    codes = emb.select(op.encode(mns, mxs).alias("c"))
+    stats = codes.select(
+        F.min(F.array_min("c")).alias("lo"), F.max(F.array_max("c")).alias("hi")
+    ).collect()[0]
+    assert stats["lo"] == 0 and stats["hi"] == 255
+
+    spark = emb.sparkSession
+    const = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 7.0])], "vec_id long, embedding array<double>"
+    )
+    op2 = AnnScalarQuant(vec_col="embedding", id_col="vec_id", query_pred="vec_id < 2")
+    mns2, mxs2 = op2.dim_stats(const)
+    rows = {r["vec_id"]: list(r["c"]) for r in
+            const.select("vec_id", op2.encode(mns2, mxs2).alias("c")).collect()}
+    assert rows[1] == [0, 0] and rows[2] == [0, 255]  # constant dim -> 0
