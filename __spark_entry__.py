@@ -76,6 +76,131 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# Round-4 TPC-H completion: the remaining eight query shapes, expressed
+# in dialect-common SQL so the SAME text runs in Spark and DuckDB
+# (exact-decimal sums + single-op double divisions keep hashes stable).
+# "-ish" where the testdata lacks partsupp / comment / receiptdate.
+
+TPCH_Q2ISH = """
+    SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_acctbal
+    FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_size = 15
+      AND s.s_acctbal = (
+        SELECT MIN(s2.s_acctbal)
+        FROM lineitem l2
+          JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+"""
+
+TPCH_Q8 = """
+    SELECT o_year,
+           CAST(sum_nation AS DOUBLE) / CAST(sum_all AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             SUM(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1 - l_discount AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS sum_nation,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_all
+      FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY EXTRACT(YEAR FROM o_orderdate)
+    ) t
+"""
+
+TPCH_Q9ISH = """
+    SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS profit
+    FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+"""
+
+TPCH_Q11ISH = """
+    SELECT n_name,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS value
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) >
+      (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) * 0.04
+       FROM supplier)
+"""
+
+TPCH_Q13ISH = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+"""
+
+TPCH_Q17ISH = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+    WHERE p_brand = 'Brand#1' AND p_size <= 5
+      AND l.l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+TPCH_Q20ISH = """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 40.0)
+"""
+
+TPCH_Q21ISH = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation surface via the `sql` transformer (batch exposed as
     virtual table `table`, ≈ clickhouse_local.go:63-66)."""
@@ -355,6 +480,68 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("x").cast("double").alias("revenue"))
     )
+
+
+def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated-min scalar subquery picks each part's
+    cheapest-account regional supplier (partsupp absent — supplier
+    routing rides the lineitem edge)."""
+    _register(spark, sf_dir, ["part", "lineitem", "supplier", "nation", "region"])
+    return spark.sql(TPCH_Q2ISH)
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: 7-table join, per-year exact-decimal
+    volume sums, one double division — the full query (no -ish: every
+    needed column exists)."""
+    _register(
+        spark, sf_dir,
+        ["lineitem", "part", "supplier", "orders", "customer", "nation", "region"],
+    )
+    return spark.sql(TPCH_Q8)
+
+
+def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: product-profit by supplier nation and order year
+    (profit proxy without ps_supplycost)."""
+    _register(spark, sf_dir, ["lineitem", "part", "supplier", "orders", "nation"])
+    return spark.sql(TPCH_Q9ISH)
+
+
+def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: group aggregate filtered by a global scalar-subquery
+    threshold (HAVING > fraction of the corpus total)."""
+    _register(spark, sf_dir, ["supplier", "nation"])
+    return spark.sql(TPCH_Q11ISH)
+
+
+def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: customer order-count distribution via LEFT JOIN with a
+    join-side filter (priority stands in for the absent o_comment)."""
+    _register(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(TPCH_Q13ISH)
+
+
+def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: small-quantity revenue under a correlated per-part
+    average threshold (exact sum / count keeps the boundary stable)."""
+    _register(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(TPCH_Q17ISH)
+
+
+def q_tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN subqueries + grouped HAVING threshold
+    selecting suppliers who moved volume of matching parts."""
+    _register(spark, sf_dir, ["supplier", "nation", "lineitem", "part"])
+    return spark.sql(TPCH_Q20ISH)
+
+
+def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS + NOT EXISTS against the same fact table —
+    the sole returnflag='R' supplier on multi-supplier finished orders
+    (returnflag stands in for the absent receipt/commit dates)."""
+    _register(spark, sf_dir, ["supplier", "lineitem", "orders", "nation"])
+    return spark.sql(TPCH_Q21ISH)
 
 
 def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2442,15 +2629,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_bucketed": q_cdc_merge_bucketed,
         "mysql_cdc_envelope": q_mysql_cdc_envelope,
         # -- (c) representative third of the recorded surface -----------
+        "tpch_q2ish": q_tpch_q2ish,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9ish": q_tpch_q9ish,
+        "tpch_q11ish": q_tpch_q11ish,
+        "tpch_q13ish": q_tpch_q13ish,
+        "tpch_q17ish": q_tpch_q17ish,
+        "tpch_q20ish": q_tpch_q20ish,
+        "tpch_q21ish": q_tpch_q21ish,
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q18ish": q_tpch_q18ish,
-        "window_topk": q_window_topk,
-        "events_sliding_rollup": q_events_sliding_rollup,
-        "asof_join": q_asof_join,
         "interval_join": q_interval_join,
-        "salted_join": q_salted_join,
         "two_phase_agg": q_two_phase_agg,
         "percentile_stats": q_percentile_stats,
         "dedup_exact": q_dedup_exact,
@@ -2482,6 +2670,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12ish": q_tpch_q12ish,
         "tpch_q15ish": q_tpch_q15ish,
         "tpch_q19ish": q_tpch_q19ish,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q18ish": q_tpch_q18ish,
+        "window_topk": q_window_topk,
+        "events_sliding_rollup": q_events_sliding_rollup,
+        "asof_join": q_asof_join,
+        "salted_join": q_salted_join,
         "events_hourly_rollup": q_events_hourly_rollup,
         "range_join": q_range_join,
         "rollup_agg": q_rollup_agg,
@@ -2560,6 +2755,14 @@ collapsed AS (
 def oracle_sql() -> dict[str, str]:
     return {
         "tpch_q1": TPCH_Q1.replace("FROM table", "FROM lineitem"),
+        "tpch_q2ish": TPCH_Q2ISH,
+        "tpch_q8": TPCH_Q8,
+        "tpch_q9ish": TPCH_Q9ISH,
+        "tpch_q11ish": TPCH_Q11ISH,
+        "tpch_q13ish": TPCH_Q13ISH,
+        "tpch_q17ish": TPCH_Q17ISH,
+        "tpch_q20ish": TPCH_Q20ISH,
+        "tpch_q21ish": TPCH_Q21ISH,
         "tpch_q3": """
             SELECT o_orderkey,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

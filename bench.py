@@ -47,6 +47,14 @@ HEADLINE = [
     "tpch_q12ish",
     "tpch_q15ish",
     "tpch_q19ish",
+    "tpch_q2ish",
+    "tpch_q8",
+    "tpch_q9ish",
+    "tpch_q11ish",
+    "tpch_q13ish",
+    "tpch_q17ish",
+    "tpch_q20ish",
+    "tpch_q21ish",
     "asof_join",
     "range_join",
     "rollup_agg",
@@ -111,8 +119,7 @@ def _load_entry():
 def bench_snapshot_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     """The engine's bread-and-butter path: scan → transformer chain →
     the engine's own file sink (the reference's 'initial transfer' KPI).
-    Going through FileSink measures the shipping write path, including
-    its cluster-tracking write fan-out."""
+    Going through FileSink measures the shipping write path."""
     from transferia_spark.sinks.base import build_sink
 
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]

@@ -271,3 +271,25 @@ def test_partitioned_sink_output_prunes_partitions(spark, tmp_path):
     plan = _plan(back)
     assert "PartitionFilters: [isnotnull(bucket" in plan
     assert back.count() == 250
+
+
+def test_ann_sq8_candidate_pass_broadcasts_queries(spark):
+    """SQ8's candidate pass scans the corpus once with the query codes
+    broadcast — the corpus must not hash-shuffle for the candidate
+    join; allowed hash exchanges are the two per-query windows
+    (candidate top-R, final top-k) and the tiny survivor re-join."""
+    from transferia_spark.operators.similarity import AnnScalarQuant
+    from transferia_spark.schema.colschema import TableID
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3), 0.5]) for i in range(64)],
+        ["vec_id", "embedding"],
+    )
+    t = AnnScalarQuant("embedding", "vec_id", query_pred="vec_id < 4", k=3)
+    out = t.apply(TableID("", "e"), emb)[0][1]
+    plan = _simple_plan(out)
+    assert "Broadcast" in plan
+    # corpus never hash-partitions on vectors: every hashpartitioning
+    # exchange keys on query_id/neighbor_id (windows + survivor joins)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert m.group(1).strip().split("#")[0] in ("query_id", "neighbor_id"), plan
