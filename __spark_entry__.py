@@ -1247,6 +1247,17 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "source", "shard", "n_tok", "bin", "bin_offset")
 
 
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1 n-gram repetition rules (operators/textstats.py
+    RepetitionScore): top-2-gram coverage and duplicated-5-gram coverage
+    in basis points, occurrences x length convention, capped at 10000.
+    Two doc-keyed map-side-combinable aggregations."""
+    d = _t(spark, sf_dir, "documents")
+    return build(
+        "repetition_score", text_col="text", id_col="doc_id"
+    ).apply_df(d)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     t = build("lang_id", text_col="text")
@@ -2640,7 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "interval_join": q_interval_join,
         "two_phase_agg": q_two_phase_agg,
-        "percentile_stats": q_percentile_stats,
+        "repetition_score": q_repetition_score,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2677,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_rollup": q_events_sliding_rollup,
         "asof_join": q_asof_join,
         "salted_join": q_salted_join,
+        "percentile_stats": q_percentile_stats,
         "events_hourly_rollup": q_events_hourly_rollup,
         "range_join": q_range_join,
         "rollup_agg": q_rollup_agg,
@@ -3052,6 +3064,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": _sql_corpus_pipeline(),
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),
+        "repetition_score": build(
+            "repetition_score", text_col="text", id_col="doc_id"
+        ).oracle_sql("documents"),
         "token_count": f"""
             SELECT doc_id,
                    len({_W})::BIGINT AS ws_tokens,

@@ -91,6 +91,7 @@ HEADLINE = [
     "global_shuffle",
     "pack_sequences",
     "corpus_pipeline",
+    "repetition_score",
     "lang_id",
     "quality_score",
     "token_count",

@@ -451,3 +451,33 @@ def test_lm_familiarity_common_text_scores_higher(spark):
     mean = {d: rows[d].familiarity_sum / rows[d].n_tok for d in rows}
     assert mean[1] > mean[3] and mean[2] > mean[3]
     assert rows[1].n_tok == 6
+
+
+def test_repetition_score_gopher_ngram_rules(spark):
+    """Top-2-gram coverage and duplicated-5-gram coverage, the two
+    Gopher A1 rules beyond quality_gopher's line/word signals."""
+    docs = spark.createDataFrame(
+        [
+            # "ab cd" occurs 3x (most frequent 2-gram, len 5)
+            (1, "ab cd ab cd ab cd"),
+            (2, "all words here are totally distinct tokens"),
+            # one repeated 5-gram: "a b c d e" twice (len 9)
+            (3, "a b c d e a b c d e"),
+            (4, "x"),       # no 2-grams at all
+            (5, ""),        # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = build(
+        "repetition_score", text_col="text", id_col="doc_id"
+    ).apply_df(docs)
+    rows = {r.doc_id: (r.top_ngram_bp, r.dup_ngram_bp) for r in out.collect()}
+    # doc 1: text len 17; top 2-gram "ab cd" cnt=3 len=5 → 15/17 → 8823bp
+    assert rows[1][0] == 3 * 5 * 10000 // 17
+    # doc 2: every 2-gram unique → cnt=1; top = 1*len of longest 2-gram
+    assert 0 < rows[2][0] < 5000 and rows[2][1] == 0
+    # doc 3: len 19; dup 5-gram "a b c d e" cnt=2 len=9 → 18*10000//19
+    assert rows[3][1] == 2 * 9 * 10000 // 19
+    assert rows[4] == (0, 0) and rows[5] == (0, 0)
+    # coverage caps at 10000
+    assert all(v <= 10000 for pair in rows.values() for v in pair)

@@ -431,3 +431,148 @@ class LmFamiliarity(Transformer):
             FROM tf JOIN counts USING (w) CROSS JOIN total
             GROUP BY 1
         """
+
+
+@register
+class RepetitionScore(Transformer):
+    """The two Gopher repetition rules QualityGopher doesn't cover
+    (Rae et al. 2021, table A1): the fraction of characters inside the
+    document's MOST FREQUENT word n-gram (default n=2), and the
+    fraction of characters inside n-grams that occur MORE THAN ONCE
+    (default n=5). Character coverage follows the public
+    implementations' convention occurrences x len(gram), capped at
+    10000 bp (overlapping occurrences are not character-deduplicated).
+
+    Output: (id, top_ngram_bp, dup_ngram_bp). The top gram is picked by
+    (max count, then max length): the coverage product count x length
+    is unique under that rule, so no further tie-break can change the
+    result in either engine.
+
+    Scale shape: explode n-grams → count per (doc, gram) → per-doc
+    aggregate — two doc-keyed shuffles, both map-side-combinable, keys
+    uniform (doc ids). No broadcast, no driver state; the gram strings
+    never leave their doc's groups.
+    """
+
+    TYPE = "repetition_score"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        n_top: int = 2,
+        n_dup: int = 5,
+    ):
+        self.text_col, self.id_col = text_col, id_col
+        self.n_top, self.n_dup = n_top, n_dup
+
+    def _gram_counts(self, df: DataFrame, n: int) -> DataFrame:
+        from transferia_spark.functions.portable import shingles, words
+
+        w = words(F.col(self.text_col))
+        return (
+            df.select(
+                self.id_col,
+                F.explode_outer(shingles(w, n)).alias("_g"),
+            )
+            .filter(F.col("_g").isNotNull())  # gram-less docs rejoin via base
+            .groupBy(self.id_col, "_g")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+
+    @staticmethod
+    def _cap_bp(chars: Column, total: Column) -> Column:
+        return F.when(
+            total > 0, F.least(F.floor(chars * 10000 / total), F.lit(10000))
+        ).otherwise(0).cast("long")
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        base = df.select(
+            self.id_col, F.length(F.col(self.text_col)).alias("_chars")
+        )
+        # top n-gram: per-doc (max count, then max length) — the
+        # coverage product cnt*len is unique under that rule, so no
+        # further tie-break can change the output
+        top = (
+            self._gram_counts(df, self.n_top)
+            .groupBy(self.id_col)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_cnt"), F.length("_g").alias("_glen")
+                    )
+                ).alias("_top")
+            )
+            .select(
+                self.id_col,
+                (F.col("_top._cnt") * F.col("_top._glen")).alias("_top_chars"),
+            )
+        )
+        dup = (
+            self._gram_counts(df, self.n_dup)
+            .filter(F.col("_cnt") > 1)
+            .groupBy(self.id_col)
+            .agg(
+                F.sum(F.col("_cnt") * F.length("_g")).alias("_dup_chars")
+            )
+        )
+        out = (
+            base.join(top, self.id_col, "left")
+            .join(dup, self.id_col, "left")
+            .select(
+                self.id_col,
+                self._cap_bp(
+                    F.coalesce("_top_chars", F.lit(0)), F.col("_chars")
+                ).alias("top_ngram_bp"),
+                self._cap_bp(
+                    F.coalesce("_dup_chars", F.lit(0)), F.col("_chars")
+                ).alias("dup_ngram_bp"),
+            )
+        )
+        return [(table, out)]
+
+    def oracle_sql(self, table: str = "documents") -> str:
+        from transferia_spark.functions.portable import sql_shingles, sql_words
+
+        w = sql_words(self.text_col)
+        g_top = sql_shingles("w", self.n_top)
+        g_dup = sql_shingles("w", self.n_dup)
+        cap = (
+            "CASE WHEN chars > 0 THEN "
+            "least(floor({x} * 10000 / chars), 10000)::BIGINT ELSE 0 END"
+        )
+        return f"""
+            WITH d AS (
+              SELECT {self.id_col}, length({self.text_col}) AS chars,
+                     {w} AS w
+              FROM {table}
+            ),
+            topg AS (
+              SELECT {self.id_col}, (cnt * glen)::BIGINT AS top_chars
+              FROM (
+                SELECT {self.id_col}, cnt, length(g) AS glen,
+                       row_number() OVER (
+                         PARTITION BY {self.id_col}
+                         ORDER BY cnt DESC, length(g) DESC) AS rn
+                FROM (
+                  SELECT {self.id_col}, g.g AS g, count(*) AS cnt
+                  FROM d, unnest({g_top}) AS g(g)
+                  GROUP BY 1, 2
+                )
+              ) WHERE rn = 1
+            ),
+            dupg AS (
+              SELECT {self.id_col}, sum(cnt * length(g))::BIGINT AS dup_chars
+              FROM (
+                SELECT {self.id_col}, g.g AS g, count(*) AS cnt
+                FROM d, unnest({g_dup}) AS g(g)
+                GROUP BY 1, 2
+              ) WHERE cnt > 1
+              GROUP BY 1
+            )
+            SELECT d.{self.id_col},
+                   {cap.format(x="COALESCE(top_chars, 0)")} AS top_ngram_bp,
+                   {cap.format(x="COALESCE(dup_chars, 0)")} AS dup_ngram_bp
+            FROM d LEFT JOIN topg USING ({self.id_col})
+                   LEFT JOIN dupg USING ({self.id_col})
+        """
