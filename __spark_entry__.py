@@ -1247,6 +1247,18 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "source", "shard", "n_tok", "bin", "bin_offset")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded overlapping document chunking (curation.py
+    ChunkDocuments): the RAG/context-window prep pass. Purely positional
+    over whitespace tokens — one map-side sequence+explode+slice, no
+    shuffle — so the oracle reproduces chunks byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    return build(
+        "chunk_documents", text_col="text", id_col="doc_id",
+        chunk_tokens=64, overlap=16,
+    ).apply_df(d)
+
+
 def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher A1 n-gram repetition rules (operators/textstats.py
     RepetitionScore): top-2-gram coverage and duplicated-5-gram coverage
@@ -2650,8 +2662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21ish": q_tpch_q21ish,
         "tpch_q1": q_tpch_q1,
         "interval_join": q_interval_join,
-        "two_phase_agg": q_two_phase_agg,
         "repetition_score": q_repetition_score,
+        "chunk_documents": q_chunk_documents,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -2689,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "salted_join": q_salted_join,
         "percentile_stats": q_percentile_stats,
+        "two_phase_agg": q_two_phase_agg,
         "events_hourly_rollup": q_events_hourly_rollup,
         "range_join": q_range_join,
         "rollup_agg": q_rollup_agg,
@@ -3064,6 +3077,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": _sql_corpus_pipeline(),
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),
+        "chunk_documents": build(
+            "chunk_documents", text_col="text", id_col="doc_id",
+            chunk_tokens=64, overlap=16,
+        ).oracle_sql("documents"),
         "repetition_score": build(
             "repetition_score", text_col="text", id_col="doc_id"
         ).oracle_sql("documents"),

@@ -92,6 +92,7 @@ HEADLINE = [
     "pack_sequences",
     "corpus_pipeline",
     "repetition_score",
+    "chunk_documents",
     "lang_id",
     "quality_score",
     "token_count",

@@ -481,3 +481,38 @@ def test_repetition_score_gopher_ngram_rules(spark):
     assert rows[4] == (0, 0) and rows[5] == (0, 0)
     # coverage caps at 10000
     assert all(v <= 10000 for pair in rows.values() for v in pair)
+
+
+def test_chunk_documents_positions_and_overlap(spark):
+    """Chunk grid: stride = chunk_tokens - overlap; last chunk short;
+    one-chunk docs; empty docs yield one empty chunk."""
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = build(
+        "chunk_documents", text_col="text", id_col="doc_id",
+        chunk_tokens=4, overlap=2,
+    ).apply_df(docs)
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tok) for r in out.collect()}
+    # doc 1: stride 2 → starts 0,2,4,6 (ceil((10-2)/2) = 4 chunks)
+    assert rows[(1, 0)] == ("w1 w2 w3 w4", 4)
+    assert rows[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert rows[(1, 3)] == ("w7 w8 w9 w10", 4)
+    assert (1, 4) not in rows
+    # every word appears in some chunk; overlap duplicates interior words
+    assert rows[(2, 0)] == ("a b", 2) and (2, 1) not in rows
+    assert rows[(3, 0)] == ("", 0)
+    with pytest.raises(ValueError):
+        build("chunk_documents", text_col="text", id_col="doc_id",
+              chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is one map-side pass — no Exchange in the plan."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = build(
+        "chunk_documents", text_col="text", id_col="doc_id", chunk_tokens=2
+    ).apply_df(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

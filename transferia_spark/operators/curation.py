@@ -331,7 +331,99 @@ class MixSources(Transformer):
         """
 
 
+@register
+class ChunkDocuments(Transformer):
+    """Split documents into token-bounded, optionally overlapping chunks
+    — the RAG / context-window prep that sits between curation and
+    embedding in a training-data pipeline.
+
+    Chunking is whitespace-token based (swap in a BPE count column when
+    available): chunk ``i`` covers words
+    ``[i * stride, i * stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk may be short,
+    and a document shorter than one chunk yields exactly one chunk.
+    Deterministic and purely positional, so the DuckDB oracle
+    reproduces every chunk byte-for-byte.
+
+    Output: (id, chunk_idx, chunk_text, n_tok).
+
+    Scale shape: one map-side pass — ``sequence`` + ``explode`` +
+    ``slice`` are Catalyst built-ins fused into the scan; no shuffle,
+    no UDF. Chunk explosion multiplies rows by ~doc_tokens/stride;
+    project payload columns away before any downstream shuffle.
+    """
+
+    TYPE = "chunk_documents"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        chunk_tokens: int = 512,
+        overlap: int = 0,
+    ):
+        if not 0 <= overlap < chunk_tokens:
+            raise ValueError("need 0 <= overlap < chunk_tokens")
+        self.text_col, self.id_col = text_col, id_col
+        self.chunk_tokens, self.overlap = chunk_tokens, overlap
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        from transferia_spark.functions.portable import words
+
+        ct, stride = self.chunk_tokens, self.chunk_tokens - self.overlap
+        w = words(F.col(self.text_col))
+        n = F.size(w)
+        # number of chunks: ceil(max(n - overlap, 1) / stride), >= 1
+        n_chunks = F.greatest(
+            F.lit(1),
+            F.ceil((n - F.lit(self.overlap)) / F.lit(stride)).cast("int"),
+        )
+        base = df.select(
+            self.id_col, w.alias("_w"), n.alias("_n"), n_chunks.alias("_k")
+        )
+        out = base.select(
+            self.id_col,
+            F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("chunk_idx"),
+            "_w",
+            "_n",
+        ).select(
+            self.id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("_w"), F.col("chunk_idx") * stride + 1, ct), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(ct), F.col("_n") - F.col("chunk_idx") * stride
+            ).cast("long").alias("n_tok"),
+        )
+        return [(table, out)]
+
+    def oracle_sql(self, table: str = "documents") -> str:
+        from transferia_spark.functions.portable import sql_words
+
+        ct, stride = self.chunk_tokens, self.chunk_tokens - self.overlap
+        return f"""
+            WITH d AS (
+              SELECT {self.id_col}, {sql_words(self.text_col)} AS w
+              FROM {table}
+            ),
+            k AS (
+              SELECT {self.id_col}, w, len(w) AS n,
+                     greatest(1, ceil((len(w) - {self.overlap})
+                                      / {stride}.0)::INT) AS n_chunks
+              FROM d
+            )
+            SELECT {self.id_col}, i.i AS chunk_idx,
+                   array_to_string(
+                     list_slice(w, i.i * {stride} + 1,
+                                i.i * {stride} + {ct}), ' ') AS chunk_text,
+                   least({ct}, n - i.i * {stride})::BIGINT AS n_tok
+            FROM k, unnest(range(0, n_chunks)) AS i(i)
+        """
+
+
 __all__ = [
+    "ChunkDocuments",
     "PiiScrub",
     "QualityGopher",
     "SampleStratified",
