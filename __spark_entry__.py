@@ -1961,6 +1961,78 @@ def q_airbyte_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_records(lines, spec, "events")
 
 
+def q_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake snapshot read through the pure-Python transaction-log
+    replay (sources/delta_log.py; ≈ the reference's own Go log reader,
+    ``pkg/providers/delta/``): a table is authored to the public
+    protocol from nation rows — v0 adds two files, v1 removes one and
+    adds another — and the source resolves the active file set without
+    delta-spark. The oracle selects the surviving key ranges."""
+    import json as _json
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transferia_spark.sources.delta import DeltaSource
+
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rows = sorted(
+        ((r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in nat.collect())
+    )
+
+    root = tempfile.mkdtemp(prefix="delta_scan_")
+
+    def write_file(name, subset):
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([r[0] for r in subset], pa.int32()),
+                    "n_name": pa.array([r[1] for r in subset], pa.string()),
+                    "n_regionkey": pa.array([r[2] for r in subset], pa.int32()),
+                }
+            ),
+            os.path.join(root, name),
+        )
+
+    os.makedirs(os.path.join(root, "_delta_log"))
+    write_file("lo.parquet", [r for r in rows if r[0] < 13])
+    write_file("hi.parquet", [r for r in rows if r[0] >= 13])
+    write_file("tail.parquet", [r for r in rows if r[0] >= 20])
+    schema_string = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "n_nationkey", "type": "integer", "nullable": True, "metadata": {}},
+                {"name": "n_name", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "n_regionkey", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    commits = {
+        0: [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "nation-dt", "schemaString": schema_string,
+                          "partitionColumns": [], "configuration": {},
+                          "format": {"provider": "parquet", "options": {}}}},
+            {"add": {"path": "lo.parquet", "dataChange": True, "partitionValues": {}}},
+            {"add": {"path": "hi.parquet", "dataChange": True, "partitionValues": {}}},
+        ],
+        1: [
+            {"remove": {"path": "hi.parquet", "dataChange": True}},
+            {"add": {"path": "tail.parquet", "dataChange": True, "partitionValues": {}}},
+        ],
+    }
+    for v, actions in commits.items():
+        with open(os.path.join(root, "_delta_log", f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    return DeltaSource(path=root).load_table(spark, TableID("", "nation"))
+
+
 def q_ydb_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """YDB sharded storage scan: shard key bounds (DescribeTable
     ``WithShardKeyBounds``) split the PK space into half-open ranges and
@@ -2646,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "airbyte_records": q_airbyte_records,
         # -- new this round: YDB storage scan ---------------------------
         "ydb_scan": q_ydb_scan,
+        "delta_scan": q_delta_scan,
         # -- (b) collapse-semantics change: re-score officially ---------
         "cdc_collapse": q_cdc_collapse,
         "cdc_merge": q_cdc_merge,
@@ -2661,7 +2734,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20ish": q_tpch_q20ish,
         "tpch_q21ish": q_tpch_q21ish,
         "tpch_q1": q_tpch_q1,
-        "interval_join": q_interval_join,
         "repetition_score": q_repetition_score,
         "chunk_documents": q_chunk_documents,
         "dedup_exact": q_dedup_exact,
@@ -2700,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_rollup": q_events_sliding_rollup,
         "asof_join": q_asof_join,
         "salted_join": q_salted_join,
+        "interval_join": q_interval_join,
         "percentile_stats": q_percentile_stats,
         "two_phase_agg": q_two_phase_agg,
         "events_hourly_rollup": q_events_hourly_rollup,
@@ -3284,6 +3357,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ydb_scan": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
+        """,
+        "delta_scan": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+            WHERE n_nationkey < 13 OR n_nationkey >= 20
         """,
         "parser_protobuf": """
             SELECT s_suppkey, s_name, s_acctbal FROM supplier

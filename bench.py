@@ -105,6 +105,7 @@ HEADLINE = [
     # round-4 additions: YDB key-range storage fan-out and the
     # pure-Python protobuf wire round-trip
     "ydb_scan",
+    "delta_scan",
     "parser_protobuf",
 ]
 

@@ -151,8 +151,10 @@ def test_gated_connectors_registered_and_fail_cleanly(spark, sf_dir):
     with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
         kafka.write(df, TableID("", "t"))
 
+    # without the jar the source falls back to the pure-Python log
+    # replay, which rejects a non-delta path by its missing _delta_log
     delta = build_source("delta", path=f"{sf_dir}/nation.parquet")
-    with pytest.raises(NotImplementedError, match="delta-spark"):
+    with pytest.raises(FileNotFoundError, match="_delta_log"):
         delta.load_table(spark, TableID("", "nation"))
 
 
