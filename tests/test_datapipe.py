@@ -516,3 +516,48 @@ def test_chunk_documents_no_shuffle(spark):
     ).apply_df(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_property_full_coverage(spark):
+    """Property over random docs/params: chunks cover every word, chunk
+    word-counts match n_tok, and with overlap=0 concatenating chunks
+    reconstructs the normalized document exactly."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        docs=st.lists(
+            st.lists(st.text("abcd", min_size=1, max_size=3),
+                     min_size=0, max_size=30),
+            min_size=1, max_size=5),
+        ct=st.integers(1, 8),
+        ov=st.integers(0, 4),
+    )
+    def run(docs, ct, ov):
+        if ov >= ct:
+            return
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = build("chunk_documents", text_col="text", id_col="doc_id",
+                    chunk_tokens=ct, overlap=ov).apply_df(df)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.chunk_text, r.n_tok))
+        stride = ct - ov
+        for i, ws in enumerate(docs):
+            chunks = sorted(got[i])
+            # chunk grid: each chunk's words match the positional slice
+            for idx, text, n_tok in chunks:
+                want = ws[idx * stride: idx * stride + ct]
+                assert text.split(" ") == want or (text == "" and not want)
+                assert n_tok == max(0, min(ct, len(ws) - idx * stride))
+            # coverage: the last chunk reaches the final word
+            last = chunks[-1][0]
+            assert last * stride + ct >= len(ws)
+            if ov == 0 and ws:
+                rebuilt = " ".join(t for _, t, _ in chunks if t)
+                assert rebuilt == " ".join(ws)
+
+    run()
