@@ -1,0 +1,321 @@
+"""Pure-Python Kafka wire protocol: RecordBatch v2 + Produce/Metadata.
+
+The Kafka protocol is public and versioned; this module implements the
+subset a producer needs, with no client library or connector jar:
+
+- **RecordBatch v2** (message format since 0.11): the on-wire unit —
+  64-bit base offset, CRC-32C (Castagnoli) over attributes..records,
+  per-record zigzag-varint deltas for timestamp/offset, nullable
+  key/value, record headers.
+- **Produce v3** request frames (record batches per topic-partition,
+  acks / timeout) and **Metadata v1** requests, with the standard
+  int16 api-key / api-version / correlation-id / nullable-client-id
+  header and int32 length prefix.
+
+A decoder for the same layouts ships alongside so tests round-trip
+batches byte-for-byte and the CRC is verified against the published
+CRC-32C test vector. The varint primitives are shared with the
+protobuf wire decoder (``parsers/protowire.py``) — same base-128
+encoding, Kafka's are zigzag for record deltas.
+
+≈ ``pkg/providers/kafka/writer/`` in transferia/transferia (which uses
+franz-go to emit exactly these frames). The socket transport is the
+injectable/gated part — no broker runs in this container — while the
+byte layout is fully executable and tested.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from transferia_spark.parsers.protowire import encode_varint, read_varint
+
+# ------------------------------------------------------------- crc32c
+
+_CRC32C_POLY = 0x82F63B78  # reflected 0x1EDC6F41
+
+
+def _make_table() -> list[int]:
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ _CRC32C_POLY if crc & 1 else crc >> 1
+        table.append(crc)
+    return table
+
+
+_TABLE = _make_table()
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), the checksum RecordBatch v2 mandates.
+    Verified against the spec vector crc32c(b"123456789") == 0xE3069283."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# ----------------------------------------------------- varint (zigzag)
+
+
+def _zz(value: int) -> int:
+    return (value << 1) ^ (value >> 63)
+
+
+def _unzz(value: int) -> int:
+    return (value >> 1) ^ -(value & 1)
+
+
+def write_varint(value: int) -> bytes:
+    return encode_varint(_zz(value) & 0xFFFFFFFFFFFFFFFF)
+
+
+def read_zigzag(data: bytes, pos: int) -> tuple[int, int]:
+    v, pos = read_varint(data, pos)
+    return _unzz(v), pos
+
+
+# -------------------------------------------------------- RecordBatch
+
+
+def encode_record(
+    offset_delta: int,
+    timestamp_delta: int,
+    key: bytes | None,
+    value: bytes | None,
+    headers: list[tuple[str, bytes]] = (),
+) -> bytes:
+    body = bytearray()
+    body += b"\x00"  # record attributes (unused)
+    body += write_varint(timestamp_delta)
+    body += write_varint(offset_delta)
+    for blob in (key, value):
+        if blob is None:
+            body += write_varint(-1)
+        else:
+            body += write_varint(len(blob))
+            body += blob
+    body += write_varint(len(headers))
+    for hk, hv in headers:
+        hkb = hk.encode("utf-8")
+        body += write_varint(len(hkb))
+        body += hkb
+        if hv is None:
+            body += write_varint(-1)
+        else:
+            body += write_varint(len(hv))
+            body += hv
+    return bytes(write_varint(len(body))) + bytes(body)
+
+
+def encode_record_batch(
+    records: list[tuple[bytes | None, bytes | None]],
+    base_offset: int = 0,
+    base_timestamp: int = 0,
+    headers_per_record: list[list[tuple[str, bytes]]] | None = None,
+) -> bytes:
+    """One RecordBatch v2 holding ``records`` = [(key, value), ...] at
+    ``base_timestamp`` (ms). Uncompressed, non-transactional — the
+    shape an idempotence-off producer emits."""
+    n = len(records)
+    recs = b"".join(
+        encode_record(
+            i,
+            0,
+            k,
+            v,
+            (headers_per_record[i] if headers_per_record else []),
+        )
+        for i, (k, v) in enumerate(records)
+    )
+    # attributes..records — the CRC'd region
+    tail = (
+        struct.pack(">h", 0)  # attributes: no compression/txn
+        + struct.pack(">i", n - 1)  # lastOffsetDelta
+        + struct.pack(">q", base_timestamp)
+        + struct.pack(">q", base_timestamp)  # maxTimestamp
+        + struct.pack(">q", -1)  # producerId
+        + struct.pack(">h", -1)  # producerEpoch
+        + struct.pack(">i", -1)  # baseSequence
+        + struct.pack(">i", n)
+        + recs
+    )
+    head = (
+        struct.pack(">i", -1)  # partitionLeaderEpoch
+        + b"\x02"  # magic v2
+        + struct.pack(">I", crc32c(tail))
+    )
+    body = head + tail
+    return struct.pack(">q", base_offset) + struct.pack(">i", len(body)) + body
+
+
+def decode_record_batch(data: bytes) -> dict:
+    """Inverse of ``encode_record_batch`` — validates length, magic and
+    CRC, returns records with keys/values/headers."""
+    base_offset = struct.unpack_from(">q", data, 0)[0]
+    batch_len = struct.unpack_from(">i", data, 8)[0]
+    if len(data) - 12 != batch_len:
+        raise ValueError("batchLength mismatch")
+    magic = data[16]
+    if magic != 2:
+        raise ValueError(f"unsupported magic {magic}")
+    crc = struct.unpack_from(">I", data, 17)[0]
+    tail = data[21:]
+    if crc32c(tail) != crc:
+        raise ValueError("CRC mismatch")
+    attributes, last_delta = struct.unpack_from(">hi", tail, 0)
+    base_ts, max_ts = struct.unpack_from(">qq", tail, 6)
+    count = struct.unpack_from(">i", tail, 36)[0]
+    pos = 40
+    records = []
+    for _ in range(count):
+        length, pos = read_zigzag(tail, pos)
+        end = pos + length
+        pos += 1  # record attributes
+        ts_delta, pos = read_zigzag(tail, pos)
+        off_delta, pos = read_zigzag(tail, pos)
+        out = {}
+        for name in ("key", "value"):
+            ln, pos = read_zigzag(tail, pos)
+            if ln < 0:
+                out[name] = None
+            else:
+                out[name] = tail[pos : pos + ln]
+                pos += ln
+        hn, pos = read_zigzag(tail, pos)
+        headers = []
+        for _h in range(hn):
+            ln, pos = read_zigzag(tail, pos)
+            hk = tail[pos : pos + ln].decode("utf-8")
+            pos += ln
+            ln, pos = read_zigzag(tail, pos)
+            if ln < 0:
+                headers.append((hk, None))
+            else:
+                headers.append((hk, tail[pos : pos + ln]))
+                pos += ln
+        if pos != end:
+            raise ValueError("record length mismatch")
+        records.append(
+            {
+                "offset": base_offset + off_delta,
+                "timestamp": base_ts + ts_delta,
+                "headers": headers,
+                **out,
+            }
+        )
+    return {
+        "base_offset": base_offset,
+        "attributes": attributes,
+        "last_offset_delta": last_delta,
+        "max_timestamp": max_ts,
+        "records": records,
+    }
+
+
+# ------------------------------------------------------ request frames
+
+
+def _string(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode("utf-8")
+    return struct.pack(">h", len(b)) + b
+
+
+def request_header(
+    api_key: int, api_version: int, correlation_id: int, client_id: str | None
+) -> bytes:
+    return (
+        struct.pack(">hhi", api_key, api_version, correlation_id)
+        + _string(client_id)
+    )
+
+
+def encode_produce_request(
+    topic: str,
+    partition_batches: dict[int, bytes],
+    acks: int = -1,
+    timeout_ms: int = 30_000,
+    correlation_id: int = 0,
+    client_id: str = "transferia-spark",
+) -> bytes:
+    """Produce v3 (message-format-v2 capable) with one topic — the
+    reference's per-table topic shape. Returns the full length-prefixed
+    frame ready for the socket."""
+    body = bytearray()
+    body += request_header(0, 3, correlation_id, client_id)
+    body += _string(None)  # transactional_id
+    body += struct.pack(">hi", acks, timeout_ms)
+    body += struct.pack(">i", 1)  # one topic
+    body += _string(topic)
+    body += struct.pack(">i", len(partition_batches))
+    for part in sorted(partition_batches):
+        batch = partition_batches[part]
+        body += struct.pack(">i", part)
+        body += struct.pack(">i", len(batch))
+        body += batch
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def encode_metadata_request(
+    topics: list[str], correlation_id: int = 0, client_id: str = "transferia-spark"
+) -> bytes:
+    body = bytearray()
+    body += request_header(3, 1, correlation_id, client_id)
+    body += struct.pack(">i", len(topics))
+    for t in topics:
+        body += _string(t)
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+__all__ = [
+    "crc32c",
+    "write_varint",
+    "read_zigzag",
+    "encode_record",
+    "encode_record_batch",
+    "decode_record_batch",
+    "encode_produce_request",
+    "encode_metadata_request",
+    "request_header",
+]
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka's default-partitioner hash (the Java client's murmur2,
+    seed 0x9747b28c) — key → partition parity with stock producers:
+    ``partition = (murmur2(key) & 0x7fffffff) % num_partitions``."""
+    length = len(data)
+    seed = 0x9747B28C
+    m = 0x5BD1E995
+    h = (seed ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    rest = length - i
+    if rest >= 3:
+        h ^= data[i + 2] << 16
+    if rest >= 2:
+        h ^= data[i + 1] << 8
+    if rest >= 1:
+        h ^= data[i]
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def partition_for(key: bytes | None, num_partitions: int, fallback: int = 0) -> int:
+    if key is None:
+        return fallback % num_partitions
+    return (murmur2(key) & 0x7FFFFFFF) % num_partitions

@@ -33,6 +33,21 @@ def _kafka_available(spark) -> bool:
 
 @register_sink
 class KafkaSink(Sink):
+    """Produce serialized rows to a topic per table.
+
+    Two engines:
+
+    - connector (default fast path): Spark's ``format("kafka")`` writer
+      from the spark-sql-kafka package — batching, retries, idempotence
+      come from the Java client.
+    - pure-Python wire protocol (``sinks/kafka_wire.py``): rows encode
+      into RecordBatch v2 frames inside ``foreachPartition`` — murmur2
+      key partitioning for stock-producer parity — and ship through the
+      injectable ``transport(frame_bytes)`` (a socket in production;
+      recorded in tests, since no broker runs in this container). Used
+      automatically when the jar is absent and a transport is given.
+    """
+
     TYPE = "kafka"
 
     def __init__(
@@ -41,27 +56,87 @@ class KafkaSink(Sink):
         topic_for: Callable[[TableID], str] | None = None,
         serializer: Callable[[DataFrame], DataFrame] | None = None,
         options: dict | None = None,
+        num_partitions: int = 1,
+        batch_records: int = 500,
+        transport: Callable[[bytes], None] | None = None,
     ):
         self.bootstrap_servers = bootstrap_servers
         self.topic_for = topic_for or (lambda t: t.fqtn())
         self.serializer = serializer
         self.options = options or {}
+        self.num_partitions = num_partitions
+        self.batch_records = batch_records
+        self.transport = transport
 
     def cleanup(self, table: TableID, policy: CleanupPolicy) -> None:
         # queues are append-only; cleanup (topic recreation) is an
         # admin-API concern, same as the reference
         return
 
+    def _write_wire(self, out: DataFrame, topic: str) -> None:
+        from transferia_spark.sinks.kafka_wire import (
+            encode_produce_request,
+            encode_record_batch,
+            partition_for,
+        )
+
+        n_parts = self.num_partitions
+        batch_records = self.batch_records
+        transport = self.transport
+        cols = out.columns
+        key_col = "key" if "key" in cols else None
+        val_col = "value" if "value" in cols else cols[0]
+
+        def per_partition(rows):
+            by_part: dict[int, list] = {}
+
+            def flush():
+                for part, recs in by_part.items():
+                    if recs:
+                        batch = encode_record_batch(recs)
+                        transport(
+                            encode_produce_request(topic, {part: batch})
+                        )
+                by_part.clear()
+
+            n = 0
+            for row in rows:
+                k = row[key_col] if key_col else None
+                kb = (
+                    k if isinstance(k, (bytes, bytearray)) else
+                    (str(k).encode() if k is not None else None)
+                )
+                v = row[val_col]
+                vb = (
+                    v if isinstance(v, (bytes, bytearray)) else
+                    (str(v).encode() if v is not None else None)
+                )
+                by_part.setdefault(
+                    partition_for(kb, n_parts), []
+                ).append((kb, vb))
+                n += 1
+                if n >= batch_records:
+                    flush()
+                    n = 0
+            flush()
+
+        out.foreachPartition(per_partition)
+
     def write(self, df: DataFrame, table: TableID) -> None:
-        if not _kafka_available(df.sparkSession):
-            raise NotImplementedError(
-                f"kafka sink needs --packages {KAFKA_PACKAGE}"
-            )
         out = self.serializer(df) if self.serializer else df
+        topic = self.topic_for(table)
+        if not _kafka_available(df.sparkSession):
+            if self.transport is not None:
+                self._write_wire(out, topic)
+                return
+            raise NotImplementedError(
+                f"kafka sink needs --packages {KAFKA_PACKAGE}, or pass "
+                "transport= for the pure-Python wire-protocol producer"
+            )
         writer = (
             out.write.format("kafka")
             .option("kafka.bootstrap.servers", self.bootstrap_servers)
-            .option("topic", self.topic_for(table))
+            .option("topic", topic)
         )
         for k, v in self.options.items():
             writer = writer.option(k, v)
