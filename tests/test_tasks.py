@@ -213,3 +213,61 @@ def test_interval_join_rejects_column_collision(spark):
                                   "k int, rts string, v string")
     with pytest.raises(ValueError, match="collide"):
         interval_join(left, right, on=["k"], left_ts="ts", right_ts="rts")
+
+
+def test_dbt_spark_native_model_runner(spark, tmp_path):
+    """run_spark executes a real dbt project layout on Spark: ref DAG
+    topo-ordered, source() bound to the freshly-loaded frames, config
+    blocks stripped, each model a temp view."""
+    import pytest
+
+    from transferia_spark.operators.dbt import DbtTransformer, topo_order, parse_models
+
+    proj = tmp_path / "proj"
+    models = proj / "models"
+    models.mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text(
+        "name: demo\nversion: '1.0'\nmodel-paths: ['models']\n"
+    )
+    (models / "stg_orders.sql").write_text(
+        "{{ config(materialized='view') }}\n"
+        "SELECT o_orderkey, o_custkey, o_totalprice\n"
+        "FROM {{ source('raw', 'orders') }}\n"
+        "WHERE o_totalprice > 0"
+    )
+    (models / "customer_revenue.sql").write_text(
+        "SELECT c.c_custkey, c.c_name,\n"
+        "       SUM(o.o_totalprice) AS revenue\n"
+        "FROM {{ ref('stg_orders') }} o\n"
+        "JOIN {{ source('raw', 'customer') }} c ON c.c_custkey = o.o_custkey\n"
+        "GROUP BY c.c_custkey, c.c_name"
+    )
+    (models / "top_customers.sql").write_text(
+        "SELECT * FROM {{ ref('customer_revenue') }} WHERE revenue > 100"
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 10, 150.0), (2, 10, 50.0), (3, 20, 60.0), (4, 30, -5.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(10, "alice"), (20, "bob"), (30, "carol")],
+        "c_custkey long, c_name string",
+    )
+    t = DbtTransformer(project_dir=str(proj))
+    out = t.run_spark(
+        spark, {("raw", "orders"): orders, ("raw", "customer"): customer}
+    )
+    assert list(out) == ["stg_orders", "customer_revenue", "top_customers"]
+    rev = {r.c_name: r.revenue for r in out["customer_revenue"].collect()}
+    assert rev == {"alice": 200.0, "bob": 60.0}  # carol's -5 filtered in staging
+    assert [r.c_name for r in out["top_customers"].collect()] == ["alice"]
+
+    # unknown ref and cycles fail loudly like dbt's parse stage
+    (models / "bad.sql").write_text("SELECT * FROM {{ ref('nope') }}")
+    with pytest.raises(ValueError, match="unknown model"):
+        topo_order(parse_models(str(proj)))
+    (models / "bad.sql").write_text("SELECT * FROM {{ ref('loop_b') }}")
+    (models / "loop_b.sql").write_text("SELECT * FROM {{ ref('bad') }}")
+    with pytest.raises(ValueError, match="cycle"):
+        topo_order(parse_models(str(proj)))
