@@ -1961,6 +1961,55 @@ def q_airbyte_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_records(lines, spec, "events")
 
 
+def q_dbt_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt post-load ELT on Spark (operators/dbt.py run_spark): a
+    three-model project — staging filter, ref()-joined aggregate,
+    threshold mart — authored to dbt's public layout and executed in
+    ref-DAG order over the loaded orders/customer tables. The oracle is
+    the equivalent nested SQL."""
+    import tempfile
+    from pathlib import Path
+
+    from transferia_spark.operators.dbt import DbtTransformer
+
+    proj = Path(tempfile.mkdtemp(prefix="dbt_proj_"))
+    models = proj / "models"
+    models.mkdir()
+    (proj / "dbt_project.yml").write_text(
+        "name: transfer_marts\nversion: '1.0'\nmodel-paths: ['models']\n"
+    )
+    (models / "stg_orders.sql").write_text(
+        "{{ config(materialized='view') }}\n"
+        "SELECT o_orderkey, o_custkey,\n"
+        "       CAST(o_totalprice AS DECIMAL(18,2)) AS price\n"
+        "FROM {{ source('raw', 'orders') }}\n"
+        "WHERE o_orderstatus = 'F'"
+    )
+    (models / "customer_revenue.sql").write_text(
+        "SELECT c.c_custkey, c.c_name,\n"
+        "       CAST(SUM(o.price) AS DOUBLE) AS revenue,\n"
+        "       COUNT(*) AS n_orders\n"
+        "FROM {{ ref('stg_orders') }} o\n"
+        "JOIN {{ source('raw', 'customer') }} c\n"
+        "  ON c.c_custkey = o.o_custkey\n"
+        "GROUP BY c.c_custkey, c.c_name"
+    )
+    (models / "big_spenders.sql").write_text(
+        "SELECT c_custkey, c_name, revenue, n_orders\n"
+        "FROM {{ ref('customer_revenue') }}\n"
+        "WHERE revenue > 300000"
+    )
+    t = DbtTransformer(project_dir=str(proj))
+    out = t.run_spark(
+        spark,
+        {
+            ("raw", "orders"): _t(spark, sf_dir, "orders"),
+            ("raw", "customer"): _t(spark, sf_dir, "customer"),
+        },
+    )
+    return out["big_spenders"]
+
+
 def q_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta Lake snapshot read through the pure-Python transaction-log
     replay (sources/delta_log.py; ≈ the reference's own Go log reader,
@@ -2719,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round: YDB storage scan ---------------------------
         "ydb_scan": q_ydb_scan,
         "delta_scan": q_delta_scan,
+        "dbt_models": q_dbt_models,
         # -- (b) collapse-semantics change: re-score officially ---------
         "cdc_collapse": q_cdc_collapse,
         "cdc_merge": q_cdc_merge,
@@ -2733,7 +2783,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17ish": q_tpch_q17ish,
         "tpch_q20ish": q_tpch_q20ish,
         "tpch_q21ish": q_tpch_q21ish,
-        "tpch_q1": q_tpch_q1,
         "repetition_score": q_repetition_score,
         "chunk_documents": q_chunk_documents,
         "dedup_exact": q_dedup_exact,
@@ -2765,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12ish": q_tpch_q12ish,
         "tpch_q15ish": q_tpch_q15ish,
         "tpch_q19ish": q_tpch_q19ish,
+        "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "tpch_q18ish": q_tpch_q18ish,
@@ -3357,6 +3407,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ydb_scan": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
+        """,
+        "dbt_models": """
+            SELECT c_custkey, c_name, revenue, n_orders FROM (
+              SELECT c.c_custkey, c.c_name,
+                     CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue,
+                     COUNT(*) AS n_orders
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+              WHERE o.o_orderstatus = 'F'
+              GROUP BY c.c_custkey, c.c_name
+            ) WHERE revenue > 300000
         """,
         "delta_scan": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation

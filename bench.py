@@ -106,6 +106,7 @@ HEADLINE = [
     # pure-Python protobuf wire round-trip
     "ydb_scan",
     "delta_scan",
+    "dbt_models",
     "parser_protobuf",
 ]
 
