@@ -215,3 +215,29 @@ def test_bucketed_merge_equals_full_merge_random_logs(spark, tmp_path):
     got = {(r.id, r.v) for r in t.read().collect()}
     want = {(r.id, r.v) for r in full.collect()}
     assert got == want
+
+
+def test_crashed_writer_leaves_table_consistent(spark, table):
+    """A writer that dies after writing its version directory but
+    before the manifest/pointer flip leaves readers on the old version;
+    the next successful commit claims a fresh version number and the
+    orphan directory is eventually GC'd."""
+    table.merge(_batch(spark, [(1, "a", "i", 1, 0), (2, "b", "i", 1, 1)]))
+    v = table.version()
+    # simulate the crash: _v{v+1} data lands, no manifest, no pointer
+    orphan = os.path.join(table.root, f"_v{v + 1}")
+    os.makedirs(os.path.join(orphan, "bkt=0"), exist_ok=True)
+    with open(os.path.join(orphan, "bkt=0", "junk"), "w") as f:
+        f.write("partial")
+    assert table.version() == v  # readers unaffected
+    assert {(r.id, r.v) for r in table.read().collect()} == {(1, "a"), (2, "b")}
+    # next commit overwrites/supersedes the orphan version number
+    table.merge(_batch(spark, [(1, "a2", "u", 2, 0)]))
+    assert table.version() == v + 1
+    assert {(r.id, r.v) for r in table.read().collect()} == {(1, "a2"), (2, "b")}
+    # junk from the crashed attempt is not referenced by any manifest
+    m = table.manifest()
+    live_dirs = {table._bucket_dir(ver, b) for b, ver in m.items()}
+    assert os.path.join(orphan, "bkt=0") not in live_dirs or not os.path.exists(
+        os.path.join(orphan, "bkt=0", "junk")
+    )
