@@ -166,3 +166,87 @@ def test_born_and_dead_key_emits_idempotent_delete(spark):
     net = collapse(spark.createDataFrame(full[2:], SCHEMA), ["k"]).collect()
     (row,) = net
     assert row["k"] == 2 and row[OP_COL] == "d" and row["v"] is None
+
+
+# ------------------------------------------------- partial-row (TOAST)
+
+PARTIAL_SCHEMA = (
+    f"k int, a string, b string, {OP_COL} string, {LSN_COL} long, "
+    f"{COUNTER_COL} long, _present array<string>"
+)
+
+# one event: (key, op, carried) where carried maps a SUBSET of {a, b}
+# to values (None = genuine NULL write); deletes carry nothing
+partial_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.sampled_from(["i", "u", "d"]),
+        st.dictionaries(
+            st.sampled_from(["a", "b"]),
+            st.one_of(st.none(), st.text("xy", max_size=2)),
+            max_size=2,
+        ),
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+def _partial_frame(spark, log, base_lsn=0):
+    rows = []
+    for i, (k, op, carried) in enumerate(log):
+        if op == "d":
+            rows.append((k, None, None, "d", base_lsn + i + 1, 0, None))
+        else:
+            rows.append((
+                k,
+                carried.get("a"),
+                carried.get("b"),
+                op,
+                base_lsn + i + 1,
+                0,
+                ["k", *sorted(carried)],
+            ))
+    return spark.createDataFrame(rows, PARTIAL_SCHEMA)
+
+
+def _partial_replay(log):
+    """The executable spec: carried columns overwrite (NULL included),
+    absent columns keep their value; an update to a missing key
+    materializes it with only the carried columns."""
+    state: dict[int, dict] = {}
+    for k, op, carried in log:
+        if op == "d":
+            state.pop(k, None)
+        else:
+            row = state.setdefault(k, {"a": None, "b": None})
+            for c, v in carried.items():
+                row[c] = v
+    return {k: (r["a"], r["b"]) for k, r in state.items()}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(log=partial_events)
+def test_partial_update_split_application_is_batch_size_independent(spark, log):
+    """TOAST/partial rows: applying the log in one batch == any prefix
+    then the rest == the per-event dict replay. The _present contract
+    (absent vs carried-NULL) must survive micro-batch boundaries —
+    the same invariant class as the r3 born-and-dead bug."""
+    target = spark.createDataFrame([], "k int, a string, b string")
+
+    one_shot = apply_changelog(target, _partial_frame(spark, log), ["k"])
+    expected = {
+        (k, a, b) for k, (a, b) in _partial_replay(log).items()
+    }
+    assert {tuple(r) for r in one_shot.collect()} == expected
+
+    cut = len(log) // 2
+    first = apply_changelog(target, _partial_frame(spark, log[:cut]), ["k"])
+    two_shot = apply_changelog(
+        first, _partial_frame(spark, log[cut:], base_lsn=cut), ["k"]
+    )
+    assert {tuple(r) for r in two_shot.collect()} == expected

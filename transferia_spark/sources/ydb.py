@@ -249,9 +249,12 @@ class YdbStorageSource(Source):
             [c for c in schema if c.name in set(wanted)]
         ).to_struct_type()
         reader = self.reader
+        # range-partition on the unit id: exactly one unit per Spark
+        # task (hash partitioning can collide two shards into one task
+        # and leave another idle when the unit count is small)
         units_df = spark.createDataFrame(
             [(i,) for i in range(len(units))], "unit int"
-        ).repartition(len(units), "unit")
+        ).repartitionByRange(len(units), "unit")
 
         def read_units(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for b in batches:
