@@ -241,3 +241,36 @@ def test_crashed_writer_leaves_table_consistent(spark, table):
     assert os.path.join(orphan, "bkt=0") not in live_dirs or not os.path.exists(
         os.path.join(orphan, "bkt=0", "junk")
     )
+
+
+def test_pk_change_rewrites_old_keys_bucket(spark, table):
+    """A PK-changing update (old key in _before) must touch the OLD
+    key's bucket too: collapse rewrites it to delete(old)+insert(new)
+    and the delete lands in the old bucket — regression for the bug
+    where only after-image buckets were rewritten and the stale row
+    survived."""
+    from pyspark.sql import types as T
+
+    table.merge(_batch(spark, [(1, "a", "i", 1, 0), (2, "b", "i", 1, 1)]))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField(OP_COL, T.StringType()),
+            T.StructField(LSN_COL, T.LongType()),
+            T.StructField(COUNTER_COL, T.LongType()),
+            T.StructField(
+                "_before",
+                T.StructType([
+                    T.StructField("id", T.LongType()),
+                    T.StructField("v", T.StringType()),
+                ]),
+            ),
+        ]
+    )
+    move = spark.createDataFrame(
+        [(7, "moved", "u", 2, 0, {"id": 1, "v": "a"})], schema
+    )
+    table.merge(move)
+    got = {(r.id, r.v) for r in table.read().collect()}
+    assert got == {(7, "moved"), (2, "b")}  # key 1 gone, not resurrected

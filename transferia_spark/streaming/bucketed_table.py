@@ -204,11 +204,41 @@ class BucketedParquetTable:
         # recomputed per job
         batch = batch.persist()
         try:
+            # touched buckets come from the AFTER-image keys AND from
+            # the pre-image keys of PK-changing updates: collapse
+            # rewrites those to delete(old)+insert(new), and the delete
+            # lands in the OLD key's bucket — omitting it left the
+            # stale row alive (caught by the binlog→pipeline
+            # integration test)
+            bucket_sources = batch.select(self._bucket_of().alias(BUCKET_COL))
+            from transferia_spark.cdc.changeitem import BEFORE_COL
+
+            if BEFORE_COL in batch.columns:
+                types = (
+                    {f.name: f.dataType for f in stored.fields}
+                    if stored is not None
+                    else {f.name: f.dataType for f in batch.schema.fields}
+                )
+                before_bucket = F.pmod(
+                    F.xxhash64(
+                        *[
+                            F.col(f"{BEFORE_COL}.{k}").cast(types[k])
+                            if k in types
+                            else F.col(f"{BEFORE_COL}.{k}")
+                            for k in self.keys
+                        ]
+                    ),
+                    F.lit(self.n_buckets),
+                ).cast("int")
+                bucket_sources = bucket_sources.union(
+                    batch.filter(F.col(BEFORE_COL).isNotNull()).select(
+                        before_bucket.alias(BUCKET_COL)
+                    )
+                )
             touched = sorted(
                 r[0]
-                for r in batch.select(self._bucket_of().alias(BUCKET_COL))
-                .distinct()
-                .collect()  # ≤ n_buckets small ints — bounded by design
+                for r in bucket_sources.distinct().collect()
+                # ≤ n_buckets small ints — bounded by design
             )
             if not touched:
                 return self.version()
