@@ -315,3 +315,69 @@ def test_binlog_replication_pipeline_end_to_end(spark, tmp_path):
     run()
     assert {(r.id, r.v) for r in table.read().collect()} == {(7, "moved")}
     assert sink.batches_applied == 2  # one non-empty batch per run
+
+
+def test_change_stream_replication_pipeline_end_to_end(spark, tmp_path):
+    """Mongo symmetry of the binlog pipeline e2e: change-stream source
+    → ReplicationPipeline → bucket-scoped sink, with partial updates
+    exercising the _present contract through streaming + checkpoint
+    restart ($unset NULLs, untouched columns survive)."""
+    from transferia_spark.streaming import ReplicationPipeline
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedCdcApplySink,
+        BucketedParquetTable,
+    )
+
+    spark.dataSource.register(ChangeStreamJsonDataSource)
+    csdir = str(tmp_path / "cs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = change_stream_output_schema("_id long, v string, w string")
+    table = BucketedParquetTable(
+        spark, str(tmp_path / "tbl"), keys=["_id"], n_buckets=4
+    )
+    sink = BucketedCdcApplySink(table)
+
+    def run():
+        stream = (
+            spark.readStream.format("mongostream")
+            .schema(schema)
+            .option("path", csdir)
+            .load()
+            .drop("_table")
+        )
+        pipe = ReplicationPipeline(
+            stream=stream, sink=sink, checkpoint_dir=ckpt,
+            trigger={"availableNow": True},
+        )
+        q = pipe.start()
+        q.awaitTermination()
+
+    _emit(csdir, "000.jsonl", [
+        {"operationType": "insert", "clusterTime": 1, "order": 0,
+         "documentKey": {"_id": 1},
+         "fullDocument": {"_id": 1, "v": "a", "w": "keep"}},
+        {"operationType": "insert", "clusterTime": 1, "order": 1,
+         "documentKey": {"_id": 2},
+         "fullDocument": {"_id": 2, "v": "b", "w": "x"}},
+        # partial: v updated, w ABSENT (must survive)
+        {"operationType": "update", "clusterTime": 2, "order": 0,
+         "documentKey": {"_id": 1},
+         "updateDescription": {"updatedFields": {"v": "a2"},
+                               "removedFields": []}},
+    ])
+    run()
+    got = {r._id: (r.v, r.w) for r in table.read().collect()}
+    assert got == {1: ("a2", "keep"), 2: ("b", "x")}
+
+    # restart: $unset w on doc 2 (carried-as-NULL) + delete doc 1
+    _emit(csdir, "001.jsonl", [
+        {"operationType": "update", "clusterTime": 3, "order": 0,
+         "documentKey": {"_id": 2},
+         "updateDescription": {"updatedFields": {},
+                               "removedFields": ["w"]}},
+        {"operationType": "delete", "clusterTime": 3, "order": 1,
+         "documentKey": {"_id": 1}},
+    ])
+    run()
+    got = {r._id: (r.v, r.w) for r in table.read().collect()}
+    assert got == {2: ("b", None)}  # w genuinely NULLed, v untouched
