@@ -192,24 +192,55 @@ def test_bucketed_merge_equals_full_merge_random_logs(spark, tmp_path):
     """Randomized cross-check: a multi-batch changelog applied through
     the bucket-scoped table equals the same changelog through the
     plain full-table merge — including keys that hop bucket
-    boundaries, re-inserts after delete, and single-key batches."""
+    boundaries, re-inserts after delete, single-key batches, and
+    PK-CHANGING updates whose delete lands in a different bucket than
+    the insert (the touched-set bug class)."""
     import random
 
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField(OP_COL, T.StringType()),
+            T.StructField(LSN_COL, T.LongType()),
+            T.StructField(COUNTER_COL, T.LongType()),
+            T.StructField(
+                "_before",
+                T.StructType([
+                    T.StructField("id", T.LongType()),
+                    T.StructField("v", T.StringType()),
+                ]),
+            ),
+        ]
+    )
     rnd = random.Random(99)
     full = spark.createDataFrame([], "id long, v string")
     t = BucketedParquetTable(
         spark, str(tmp_path / "rand"), keys=["id"], n_buckets=4
     )
+    live: set[int] = set()
     lsn = 0
     for _ in range(4):
         rows = []
         for c in range(rnd.randrange(1, 8)):
             lsn += 1
             k = rnd.randrange(12)
-            op = rnd.choice(["i", "u", "d"])
-            v = None if op == "d" else f"v{lsn}"
-            rows.append((k, v, op, lsn, c))
-        b = _batch(spark, rows)
+            op = rnd.choice(["i", "u", "d", "move"])
+            if op == "move" and live:
+                old = rnd.choice(sorted(live))
+                rows.append((k, f"v{lsn}", "u", lsn, c, {"id": old, "v": None}))
+                live.discard(old)
+                live.add(k)
+            elif op == "d":
+                rows.append((k, None, "d", lsn, c, None))
+                live.discard(k)
+            else:
+                op = "i" if op == "move" else op
+                rows.append((k, f"v{lsn}", op, lsn, c, None))
+                live.add(k)
+        b = spark.createDataFrame(rows, schema)
         t.merge(b)
         full = merge_batch(full, b, ["id"])
     got = {(r.id, r.v) for r in t.read().collect()}
