@@ -223,3 +223,48 @@ def test_sequence_idempotent_reapply(spark):
     log = spark.createDataFrame(events, SEQ_SCHEMA)
     twice = merge_batch(once, log, ["i1", "i2"])
     assert _rows(once.select("i1", "i2", "t")) == _rows(twice.select("i1", "i2", "t"))
+
+
+def test_canon_sequences_every_split_point(spark):
+    """≈ AllSubsequences (tests/canon/all_replication_sequences.go:127):
+    each canon sequence applied as [prefix | rest] must equal the
+    one-shot apply at EVERY cut position — the exhaustive form of
+    batch-boundary invariance over the golden logs."""
+    sequences = {
+        "insert_update_delete": [
+            (2, 2, "b", "i", 1, 0, None),
+            (2, 2, "c", "u", 2, 0, None),
+            (2, 2, None, "d", 3, 0, None),
+        ],
+        "updatepk": [
+            (1, 1, "a", "i", 1, 0, None),
+            (1, 1, "b", "u", 2, 0, None),
+            (2, 2, "b", "u", 3, 0, (1, 1)),
+            (2, 2, "c", "u", 4, 0, None),
+        ],
+        "insert_update_insert": [
+            (1, 1, "1a", "i", 1, 0, None),
+            (1, 1, "1b", "u", 2, 0, None),
+            (2, 2, "1b", "u", 3, 0, (1, 1)),
+            (1, 1, "2a", "i", 4, 0, None),
+            (1, 1, "2b", "u", 5, 0, None),
+            (3, 3, "3a", "i", 6, 0, None),
+            (3, 3, "3b", "u", 7, 0, None),
+            (3, 3, None, "d", 8, 0, None),
+            (3, 3, "4a", "i", 9, 0, None),
+            (3, 3, "4b", "u", 10, 0, None),
+        ],
+    }
+    target = spark.createDataFrame([], "i1 int, i2 int, t string")
+    for name, events in sequences.items():
+        one_shot = _rows(_apply_seq(spark, events))
+        for cut in range(1, len(events)):
+            first = apply_changelog(
+                target, spark.createDataFrame(events[:cut], SEQ_SCHEMA),
+                ["i1", "i2"],
+            )
+            two_shot = apply_changelog(
+                first, spark.createDataFrame(events[cut:], SEQ_SCHEMA),
+                ["i1", "i2"],
+            )
+            assert _rows(two_shot) == one_shot, f"{name} split at {cut}"
