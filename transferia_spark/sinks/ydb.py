@@ -47,7 +47,10 @@ from transferia_spark.sinks.base import CleanupPolicy, Sink, register_sink
 WRITE_BATCH_MAX_LEN = 10_000  # sink.go:46
 WRITE_BATCH_MAX_SIZE = 48 * 1024 * 1024  # sink.go:47 — YDB RPC cap 64 MB
 
-_SYSTEM_COLS = (OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before")
+_SYSTEM_COLS = (
+    OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before",
+    "_present", "_present_net", "_table",
+)
 
 # YT logical type → YQL type (ydbType: sink.go:1361-1406, the
 # dataType branch). (row_type, olap_override)
