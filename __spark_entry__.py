@@ -987,6 +987,28 @@ def q_cdc_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse(log, keys=["user_id"]).select("user_id", "value", "_op", "_lsn")
 
 
+def q_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent snapshot→replication handoff (cdc/merge.py
+    snapshot_plus_changelog; SURVEY §7 hard part 2): a snapshot taken at
+    the changelog's LSN midpoint, then the FULL changelog replayed over
+    it — per-key events at or below the snapshot LSN are deduped, the
+    rest apply. The oracle is the full-log net state, so the hash only
+    matches if the overlap dedup neither double-applies nor regresses
+    rows (plain apply would replay pre-snapshot events on top of newer
+    state)."""
+    from transferia_spark.cdc.merge import snapshot_plus_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    log = events_changelog(ev)
+    cut = log.agg(F.max("_lsn")).collect()[0][0] // 2
+    snapshot = (
+        collapse(log.filter(F.col("_lsn") <= cut), keys=["user_id"])
+        .filter(F.col("_op") != "d")
+        .select("user_id", "value", "_lsn")
+    )
+    return snapshot_plus_changelog(snapshot, log, ["user_id"])
+
+
 def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a collapsed changelog to a snapshot (MERGE as anti-join ∪
     upserts — what Delta/Iceberg compile MERGE into)."""
@@ -2772,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) collapse-semantics change: re-score officially ---------
         "cdc_collapse": q_cdc_collapse,
         "cdc_merge": q_cdc_merge,
+        "snapshot_handoff": q_snapshot_handoff,
         "cdc_merge_bucketed": q_cdc_merge_bucketed,
         "mysql_cdc_envelope": q_mysql_cdc_envelope,
         # -- (c) representative third of the recorded surface -----------
@@ -2793,7 +2816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "lm_familiarity": q_lm_familiarity,
         "token_count": q_token_count,
-        "filter_rows": q_filter_rows,
         "transform_chain": q_transform_chain,
         "table_splitter": q_table_splitter,
         "parser_json": q_parser_json,
@@ -2825,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "percentile_stats": q_percentile_stats,
         "two_phase_agg": q_two_phase_agg,
+        "filter_rows": q_filter_rows,
         "events_hourly_rollup": q_events_hourly_rollup,
         "range_join": q_range_join,
         "rollup_agg": q_rollup_agg,
@@ -3132,6 +3155,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_quantity >= 45
         """,
         "cdc_collapse": _changelog_cte() + "SELECT user_id, value, _op, _lsn FROM collapsed",
+        "snapshot_handoff": _changelog_cte()
+        + """
+            SELECT user_id, value FROM collapsed WHERE _op <> 'd'
+        """,
         "cdc_merge": _changelog_cte(key="c_custkey", value="val")
         + """
         , ups AS (SELECT * FROM collapsed WHERE _op <> 'd')

@@ -70,6 +70,7 @@ HEADLINE = [
     "events_sliding_rollup",
     "cdc_collapse",
     "cdc_merge",
+    "snapshot_handoff",
     "cdc_merge_bucketed",
     "transform_chain",
     # training-data pipeline surface (documents: 5k rows / embeddings:

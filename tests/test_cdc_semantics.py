@@ -268,3 +268,37 @@ def test_canon_sequences_every_split_point(spark):
                 ["i1", "i2"],
             )
             assert _rows(two_shot) == one_shot, f"{name} split at {cut}"
+
+
+def test_snapshot_plus_changelog_drops_overlap_per_key(spark):
+    """SURVEY §7 hard part 2: events at or below a key's snapshot LSN
+    are duplicates of state already in the snapshot — replaying them in
+    a later batch must NOT regress the row (plain apply_changelog
+    would: collapse orders within a batch, not against the target)."""
+    from transferia_spark.cdc.merge import snapshot_plus_changelog
+
+    snapshot = spark.createDataFrame(
+        [(1, "new", 5), (2, "keep", 5)],
+        "k int, v string, _lsn long",
+    )
+    # the replayed overlap: an OLD event for k=1 (lsn 3 < snapshot's 5)
+    # plus a genuinely new update for k=2 and a fresh key 3
+    changelog = spark.createDataFrame(
+        [
+            (1, "old", "i", 3, 0),
+            (2, "newer", "u", 7, 0),
+            (3, "born", "i", 6, 0),
+        ],
+        "k int, v string, _op string, _lsn long, _counter long",
+    )
+    out = snapshot_plus_changelog(snapshot, changelog, ["k"])
+    got = {(r.k, r.v) for r in out.collect()}
+    assert got == {(1, "new"), (2, "newer"), (3, "born")}
+
+    # sanity: the naive path regresses k=1 — the watermark is load-bearing
+    from transferia_spark.cdc.merge import apply_changelog
+
+    naive = apply_changelog(
+        snapshot.drop("_lsn"), changelog, ["k"]
+    )
+    assert (1, "old") in {(r.k, r.v) for r in naive.collect()}
