@@ -2819,8 +2819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_chain": q_transform_chain,
         "table_splitter": q_table_splitter,
         "parser_json": q_parser_json,
-        "skip_events": q_skip_events,
         "parser_protobuf": q_parser_protobuf,
+        "skip_events": q_skip_events,
         # ---- entries past the 50-row scoring window: green rows in
         # ---- CORRECTNESS_r01-r03, re-verified by driver_sim each round
         "incremental_read": q_incremental_read,
