@@ -293,3 +293,28 @@ def test_ann_sq8_candidate_pass_broadcasts_queries(spark):
     # exchange keys on query_id/neighbor_id (windows + survivor joins)
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
         assert m.group(1).strip().split("#")[0] in ("query_id", "neighbor_id"), plan
+
+
+def test_no_plan_antipatterns_across_all_driver_queries(spark):
+    """Sweeping net over the ENTIRE driver surface: no query's physical
+    plan may contain a CartesianProduct (unbounded pair enumeration) or
+    BatchEvalPython (row-at-a-time Python UDF — everything Python-side
+    must be Arrow-batched). Bounded BroadcastNestedLoopJoins are allowed
+    (small-side ANN candidate joins); genuine cartesians are not."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_audit", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    sf = "/root/testdata/sf0.001"
+    bad: dict[str, list[str]] = {}
+    for name, fn in m.queries().items():
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"plan anti-patterns: {bad}"
