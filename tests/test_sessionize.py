@@ -88,3 +88,60 @@ def test_stream_sessionize_emits_closed_then_timed_out_sessions(spark, tmp_path)
     assert s1.session_end.isoformat() == "2026-01-01T00:10:00"
     assert by_start[(1, "2026-01-01T02:30:00")].n_events == 1
     assert by_start[(2, "2026-01-01T00:05:00")].total_value == 8.0
+
+
+def test_late_event_does_not_regress_open_session_bounds():
+    """A cross-batch late event (timestamp <= the open session's last)
+    joins the session without shrinking session_end or blocking the
+    gap check; an earlier-than-start straggler extends start downward."""
+    import pandas as pd
+
+    from transferia_spark.streaming.sessionize import make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    fn = make_sessionizer(gap_seconds=10)
+    state = FakeState()
+
+    def batch(ts_seconds, values):
+        return pd.DataFrame(
+            {"ts": pd.to_datetime(ts_seconds, unit="s"), "value": values}
+        )
+
+    # batch 1: events at t=100 and t=105 open a session
+    list(fn((1,), iter([batch([100, 105], [1.0, 1.0])]), state))
+    start, last, n, total = state.get
+    assert (start, last, n) == (100_000_000, 105_000_000, 2)
+
+    # batch 2: a LATE event at t=98 — session_end must stay 105,
+    # start extends to 98, count/total grow
+    list(fn((1,), iter([batch([98], [1.0])]), state))
+    start, last, n, total = state.get
+    assert (start, last, n, total) == (98_000_000, 105_000_000, 3, 3.0)
+
+    # the gap check still measures from the true end: t=114 (within
+    # 10s of 105) continues the session; t=130 closes it
+    list(fn((1,), iter([batch([114], [1.0])]), state))
+    out = list(fn((1,), iter([batch([130], [1.0])]), state))
+    (emitted,) = out
+    assert emitted["session_start"].iloc[0] == pd.Timestamp(98, unit="s")
+    assert emitted["session_end"].iloc[0] == pd.Timestamp(114, unit="s")
+    assert emitted["n_events"].iloc[0] == 4

@@ -75,7 +75,11 @@ def make_sessionizer(gap_seconds: int, idle_timeout_ms: int = 60_000):
                 out.append((start, last, n, total))
                 start, last, n, total = t_us, t_us, 1, float(v)
             else:
-                last, n, total = t_us, n + 1, total + float(v)
+                # a LATE event (cross-batch, t_us <= last) joins the
+                # open session without regressing its bounds: end is
+                # the max seen, start extends downward
+                start = min(start, t_us)
+                last, n, total = max(last, t_us), n + 1, total + float(v)
         state.update((int(start), int(last), int(n), float(total)))
         state.setTimeoutDuration(idle_timeout_ms)
         if out:
