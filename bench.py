@@ -87,6 +87,7 @@ HEADLINE = [
     "ann_ivf",
     "ann_sq8",
     "dedup_cluster",
+    "dedup_keep_best",
     "decontaminate",
     "quota_cap",
     "global_shuffle",

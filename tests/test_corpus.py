@@ -343,3 +343,34 @@ def test_ann_sq8_codes_bounds(emb):
     rows = {r["vec_id"]: list(r["c"]) for r in
             const.select("vec_id", op2.encode(mns2, mxs2).alias("c")).collect()}
     assert rows[1] == [0, 0] and rows[2] == [0, 255]  # constant dim -> 0
+
+
+# ------------------------------------------------------------- keep-best
+
+
+def test_dedup_keep_best_picks_highest_score(spark):
+    """Cluster {1,2,3}: keeper is the highest-scoring member (not the
+    min id); singleton keeps itself; ties break to the smaller id."""
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, t, s in [
+            (1, "a b c d e f", 10),
+            (2, "a b c d e f", 99),   # same text, best score → keeper
+            (3, "a b c d e g", 50),
+            (20, "unrelated words only here now thing", 1),
+            (30, "tied text one two three four five", 7),
+            (31, "tied text one two three four five", 7),  # tie → min id
+        ]],
+        "doc_id long, text string, score long",
+    )
+    out = {r.doc_id: (r.cluster_id, r.score, r.is_keeper)
+           for r in build(
+               "dedup_keep_best", text_col="text", id_col="doc_id",
+               score_col="score", n=3, k=32, bands=8,
+           ).apply_df(docs).collect()}
+    assert out[2] == (1, 99, True)
+    assert out[1] == (1, 10, False) and out[3] == (1, 50, False)
+    assert out[20] == (20, 1, True)
+    assert out[30] == (30, 7, True) and out[31] == (30, 7, False)
+    # dedup = filter(is_keeper): one survivor per cluster
+    keepers = [k for k, v in out.items() if v[2]]
+    assert sorted(keepers) == [2, 20, 30]

@@ -231,6 +231,63 @@ class QuotaCap(Transformer):
         return [(table, out)]
 
 
+@register
+class DedupKeepBest(Transformer):
+    """Near-dup clustering that keeps each cluster's HIGHEST-QUALITY
+    member instead of the minimum id — the selection rule real curation
+    pipelines use (min-id keeps whichever near-duplicate happened to be
+    crawled first; keep-best keeps the cleanest copy).
+
+    ``score_col`` is any deterministic integer quality column already
+    on the input (e.g. QualityScore's ``score_bp``). Ties break to the
+    smaller id so the pick is total. Output:
+    (id, cluster_id, score, is_keeper) — dedup downstream stays a
+    single ``filter(is_keeper)``.
+
+    Scale shape: DedupCluster's pair graph + label propagation, then
+    one window (partitionBy cluster_id — cluster sizes are bounded by
+    the LSH ``max_bucket`` skew cap) over an id+score projection; the
+    text column never rides past the pair stage.
+    """
+
+    TYPE = "dedup_keep_best"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        score_col: str,
+        n: int = 3,
+        k: int = 32,
+        bands: int = 8,
+        max_bucket: int | None = 1000,
+        max_rounds: int = 25,
+    ):
+        self.id_col, self.score_col = id_col, score_col
+        self.cluster = DedupCluster(
+            text_col, id_col, n=n, k=k, bands=bands,
+            max_bucket=max_bucket, max_rounds=max_rounds,
+        )
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        clustered = self.cluster.apply(table, df)[0][1]
+        scored = clustered.select(self.id_col, "cluster_id").join(
+            df.select(self.id_col, self.score_col), self.id_col
+        )
+        pick = F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col(self.score_col).desc(), F.col(self.id_col).asc()
+            )
+        )
+        out = scored.withColumn("_pick", pick).select(
+            self.id_col,
+            "cluster_id",
+            F.col(self.score_col),
+            (F.col("_pick") == 1).alias("is_keeper"),
+        )
+        return [(table, out)]
+
+
 #: target input bytes per shard — each shard is one window (sort)
 #: partition, so this bounds reducer memory as the corpus grows
 TARGET_SHARD_BYTES = 1 << 30
@@ -388,6 +445,7 @@ class PackSequences(Transformer):
 
 __all__ = [
     "DedupCluster",
+    "DedupKeepBest",
     "Decontaminate",
     "QuotaCap",
     "GlobalShuffle",
