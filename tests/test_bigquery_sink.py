@@ -131,10 +131,13 @@ def test_snapshot_insert_ids_content_derived_and_dupe_suffixed(spark, bq_stub):
     ]
     ids = sorted(r["insertId"] for r in rows)
     assert len(set(ids)) == 3  # identical rows still stream distinctly
-    base = [i for i in ids if "#" not in i]
-    assert len(base) == 2 and all(i.startswith("t/") for i in base)
-    (suffixed,) = [i for i in ids if "#" in i]
-    assert suffixed.split("#")[0] in base  # dup of the (1, x) row
+    # every id carries "/<partition>#<occurrence>" so identical rows in
+    # DIFFERENT partitions can never share the unsuffixed id (ADVICE r4)
+    assert all("#" in i and i.startswith("t/") for i in ids)
+    bases = [i.rsplit("/", 1)[0] for i in ids]
+    assert len(set(bases)) == 2  # the (1, x) dup shares a content base
+    occ = sorted(i.rsplit("#", 1)[1] for i in ids)
+    assert occ == ["0", "0", "1"]
 
     # retry determinism: writing the same frame again yields the SAME set
     calls.clear()
@@ -146,6 +149,23 @@ def test_snapshot_insert_ids_content_derived_and_dupe_suffixed(spark, bq_stub):
         for r in json.loads(c[2])["rows"]
     )
     assert again == ids
+
+
+def test_snapshot_insert_ids_unique_across_partitions(spark, bq_stub):
+    """ADVICE r4: identical rows in *different* partitions must get
+    globally-distinct insertIds (the partition id is folded in), else
+    BigQuery's insertId dedup silently drops genuine duplicates."""
+    url, calls = bq_stub
+    one = spark.createDataFrame([(1, "x")], "id long, name string").coalesce(1)
+    df = one.union(one)  # 2 partitions, one identical row in each
+    _sink(url).write(df, TableID("ns", "t"))
+    ids = [
+        r["insertId"]
+        for c in calls
+        if c[1].endswith("/insertAll")
+        for r in json.loads(c[2])["rows"]
+    ]
+    assert len(ids) == 2 and len(set(ids)) == 2
 
 
 def test_write_batches_split(spark, bq_stub):

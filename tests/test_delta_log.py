@@ -161,6 +161,81 @@ def test_checkpoint_replay(spark, tmp_path):
     assert rows == {(3, "b1"), (5, "d1")}
 
 
+def _ckpt_table(i, adds, with_meta=False, with_proto=False):
+    """One multi-part checkpoint part file as a pyarrow table."""
+    import pyarrow as pa
+
+    md = {k: v for k, v in _meta()["metaData"].items()
+          if k not in ("configuration", "format")}
+    n = max(len(adds), 1)
+    return pa.table({
+        "metaData": pa.array(
+            [md if with_meta and j == 0 else None for j in range(n)],
+            type=pa.struct([("id", pa.string()),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.list_(pa.string()))])),
+        "protocol": pa.array(
+            [{"minReaderVersion": 1} if with_proto and j == 0 else None
+             for j in range(n)],
+            type=pa.struct([("minReaderVersion", pa.int32())])),
+        "add": pa.array(
+            [{"path": p, "dataChange": True} for p in adds] or [None],
+            type=pa.struct([("path", pa.string()),
+                            ("dataChange", pa.bool_())])),
+        "remove": pa.array([None] * n,
+                           type=pa.struct([("path", pa.string())])),
+    })
+
+
+def test_multipart_checkpoint_and_vacuumed_commits(spark, tmp_path):
+    """ADVICE r4: multi-part checkpoints ({v}.checkpoint.{i}.{n}.parquet)
+    + _last_checkpoint are honored, and a table whose pre-checkpoint JSON
+    commits were vacuumed still loads."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "mp")
+    _write_parquet(spark, os.path.join(root, "b.parquet"), [(3, "b1")])
+    _write_parquet(spark, os.path.join(root, "c.parquet"), [(4, "c1")])
+    _write_parquet(spark, os.path.join(root, "d.parquet"), [(5, "d1")])
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    # multi-part checkpoint at v1 split over 2 parts; commits 0..1 vacuumed
+    pq.write_table(_ckpt_table(1, ["b.parquet"], with_meta=True,
+                               with_proto=True),
+                   os.path.join(log, f"{1:020d}.checkpoint."
+                                     f"{1:010d}.{2:010d}.parquet"))
+    pq.write_table(_ckpt_table(2, ["c.parquet"]),
+                   os.path.join(log, f"{1:020d}.checkpoint."
+                                     f"{2:010d}.{2:010d}.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": 1, "size": 4, "parts": 2}))
+    _commit(root, 2, [_add("d.parquet")])
+
+    snap = read_snapshot(root)
+    assert snap.version == 2
+    assert snap.paths == ["b.parquet", "c.parquet", "d.parquet"]
+    rows = {(r.id, r.v) for r in
+            build_source("delta", path=root)
+            .load_table(spark, TableID("", "mp")).collect()}
+    assert rows == {(3, "b1"), (4, "c1"), (5, "d1")}
+
+
+def test_incomplete_multipart_checkpoint_is_ignored(spark, tmp_path):
+    """A checkpoint missing one of its parts must not be used; with the
+    JSON commits also vacuumed the error is loud, not a partial read."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "inc")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    pq.write_table(_ckpt_table(1, ["b.parquet"], with_meta=True),
+                   os.path.join(log, f"{1:020d}.checkpoint."
+                                     f"{1:010d}.{2:010d}.parquet"))
+    _commit(root, 2, [_add("d.parquet")])
+    with pytest.raises(FileNotFoundError, match="no complete checkpoint"):
+        read_snapshot(root)
+
+
 def test_unsupported_features_raise(spark, tmp_path):
     root = str(tmp_path / "uf")
     _commit(root, 0, [

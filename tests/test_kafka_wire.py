@@ -165,6 +165,19 @@ def test_sink_wire_engine_end_to_end(spark):
             assert part == partition_for(k.encode(), 4)
 
 
+def test_sink_wire_engine_requires_value_column(spark):
+    """ADVICE r4: a frame without a 'value' column is a contract error —
+    never guess cols[0] (it could silently ship the key as the payload)."""
+    sink = build_sink(
+        "kafka",
+        bootstrap_servers="b:9092",
+        transport=lambda frame: None,
+    )
+    df = spark.createDataFrame([("k", "v")], "key string, payload string")
+    with pytest.raises(ValueError, match="'value' column"):
+        sink.write(df, TableID("", "t"))
+
+
 def test_sink_without_jar_or_transport_raises_with_both_remedies(spark):
     sink = build_sink("kafka", bootstrap_servers="b:9092")
     df = spark.createDataFrame([("k", "v")], "key string, value string")

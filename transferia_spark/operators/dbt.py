@@ -35,7 +35,9 @@ _REF_RE = re.compile(r"\{\{\s*ref\(\s*['\"](\w+)['\"]\s*\)\s*\}\}")
 _SOURCE_RE = re.compile(
     r"\{\{\s*source\(\s*['\"](\w+)['\"]\s*,\s*['\"](\w+)['\"]\s*\)\s*\}\}"
 )
-_CONFIG_RE = re.compile(r"\{\{\s*config\([^}]*\)\s*\}\}")
+# non-greedy to the closing '}}' so config(...) args containing '}'
+# (e.g. dict literals) are still stripped whole (ADVICE r4)
+_CONFIG_RE = re.compile(r"\{\{\s*config\(.*?\)\s*\}\}", re.DOTALL)
 
 
 def parse_models(project_dir: str, model_paths: list[str] | None = None):
@@ -49,7 +51,9 @@ def parse_models(project_dir: str, model_paths: list[str] | None = None):
         model_paths = model_paths or proj.get(
             "model-paths", proj.get("source-paths", ["models"])
         )
-    except FileNotFoundError:
+    except (FileNotFoundError, ImportError):
+        # no dbt_project.yml OR no PyYAML in the env — either way fall
+        # back to dbt's default model path (ADVICE r4)
         model_paths = model_paths or ["models"]
     models: dict[str, tuple[str, list[str], list[tuple[str, str]]]] = {}
     for mp in model_paths:

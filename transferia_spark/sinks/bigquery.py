@@ -236,6 +236,16 @@ class BigQuerySink(Sink):
         suffix_dupes = LSN_COL not in df.columns
 
         def per_partition(rows):
+            from pyspark import TaskContext
+
+            # Fold the Spark partition id into suffixed ids: content-hash
+            # ids collide across partitions for genuinely-duplicate source
+            # rows, and the per-partition occurrence counter alone would
+            # give both the unsuffixed id (insertId dedup would then drop
+            # one). partitionId() is stable across task retries, keeping
+            # retry-determinism.
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
             client = factory(project, dataset)
             buf: list[dict] = []
             seen: dict[str, int] = {}
@@ -250,8 +260,7 @@ class BigQuerySink(Sink):
                 if suffix_dupes:
                     n = seen.get(iid, 0)
                     seen[iid] = n + 1
-                    if n:
-                        iid = f"{iid}#{n}"
+                    iid = f"{iid}/{pid}#{n}"
                 buf.append(
                     {"insertId": iid, "json": json.loads(row["_json"])}
                 )

@@ -85,7 +85,17 @@ class KafkaSink(Sink):
         transport = self.transport
         cols = out.columns
         key_col = "key" if "key" in cols else None
-        val_col = "value" if "value" in cols else cols[0]
+        if "value" not in cols:
+            # never guess the payload column — shipping cols[0] could
+            # silently publish the key (or an arbitrary column) as the
+            # message value (ADVICE r4)
+            raise ValueError(
+                "queue sink expects a 'value' column (optionally 'key'); "
+                f"got columns {cols}. Run a serializer (e.g. "
+                "serialize_json/serialize_native) to produce the "
+                "key/value frame before the queue sink."
+            )
+        val_col = "value"
 
         def per_partition(rows):
             by_part: dict[int, list] = {}

@@ -82,7 +82,19 @@ class DeltaSource(Source):
         try:
             df = self._load_via_connector(spark)
         except Exception as e:
-            if "delta" in str(e).lower() or "DATA_SOURCE_NOT_FOUND" in str(e):
+            # Fall back to pure-Python log replay ONLY when the connector
+            # itself is absent — real table errors (corrupt log, permission
+            # denied) must surface, not get rerouted to the feature-limited
+            # replayer (ADVICE r4: matching 'delta' in the message also hit
+            # table *paths*, masking genuine failures).
+            msg = str(e)
+            connector_absent = (
+                "DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find data source" in msg
+                or "Failed to find the data source" in msg
+                or isinstance(e, ModuleNotFoundError)
+            )
+            if connector_absent:
                 df = self._load_via_log_replay(spark)
             else:
                 raise

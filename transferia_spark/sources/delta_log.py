@@ -60,8 +60,13 @@ def _commit_version(name: str) -> int | None:
     return None
 
 
-def _checkpoint_version(name: str) -> int | None:
-    # classic single-file checkpoint: {version:020d}.checkpoint.parquet
+def _checkpoint_version(name: str) -> tuple[int, int, int] | None:
+    """Recognize both public checkpoint namings (ADVICE r4):
+
+    - classic single-file: ``{v:020d}.checkpoint.parquet`` → (v, 1, 1)
+    - multi-part:          ``{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet``
+      → (v, i, n) with 1-based part index i of n
+    """
     parts = name.split(".")
     if (
         len(parts) == 3
@@ -69,8 +74,30 @@ def _checkpoint_version(name: str) -> int | None:
         and parts[1] == "checkpoint"
         and parts[2] == "parquet"
     ):
-        return int(parts[0])
+        return int(parts[0]), 1, 1
+    if (
+        len(parts) == 5
+        and parts[0].isdigit()
+        and parts[1] == "checkpoint"
+        and parts[2].isdigit()
+        and parts[3].isdigit()
+        and parts[4] == "parquet"
+    ):
+        return int(parts[0]), int(parts[2]), int(parts[3])
     return None
+
+
+def _read_last_checkpoint(log_dir: str) -> tuple[int, int] | None:
+    """Consult ``_last_checkpoint`` (JSON: version, optional parts).
+    Returns (version, parts) or None when absent/corrupt (a stale or
+    torn ``_last_checkpoint`` is recoverable by directory scan, per the
+    protocol)."""
+    try:
+        with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+            d = json.loads(f.read())
+        return int(d["version"]), int(d.get("parts") or 1)
+    except (FileNotFoundError, ValueError, KeyError, TypeError):
+        return None
 
 
 def _check_protocol(action: dict) -> None:
@@ -143,26 +170,57 @@ def read_snapshot(table_path: str, version: int | None = None) -> DeltaSnapshot:
     commits = sorted(
         (v, n) for n in names if (v := _commit_version(n)) is not None
     )
-    if not commits:
+    # group checkpoint part-files by version: {version: {part_index: name}}
+    ckpt_parts: dict[int, dict[int, str]] = {}
+    ckpt_n: dict[int, int] = {}
+    for n in names:
+        if (cv := _checkpoint_version(n)) is not None:
+            v, i, nparts = cv
+            ckpt_parts.setdefault(v, {})[i] = n
+            ckpt_n[v] = nparts
+    # a checkpoint is usable only when every part is present
+    complete_ckpts = sorted(
+        v for v, parts in ckpt_parts.items() if len(parts) == ckpt_n[v]
+    )
+    if not commits and not complete_ckpts:
         raise FileNotFoundError(f"no commit files in {log_dir}")
-    latest = commits[-1][0]
+    # pre-checkpoint JSON commits may have been vacuumed: the latest
+    # version is the max over commits AND checkpoints
+    latest = max(
+        ([commits[-1][0]] if commits else [])
+        + (complete_ckpts[-1:] if complete_ckpts else [])
+    )
     target = latest if version is None else version
     if target > latest or target < 0:
         raise ValueError(
             f"version {target} out of range: table has commits 0..{latest}"
         )
 
-    checkpoints = sorted(
-        (v, n)
-        for n in names
-        if (v := _checkpoint_version(n)) is not None and v <= target
-    )
+    # prefer the _last_checkpoint pointer (protocol-recommended; avoids
+    # a full directory dependence), validated against the files present;
+    # fall back to the directory scan for eligible complete checkpoints
+    eligible = [v for v in complete_ckpts if v <= target]
+    ckpt_version: int | None = None
+    lc = _read_last_checkpoint(log_dir)
+    if lc is not None and lc[0] in eligible and len(ckpt_parts[lc[0]]) == lc[1]:
+        ckpt_version = lc[0]
+    elif eligible:
+        ckpt_version = eligible[-1]
+
     snap = DeltaSnapshot(version=target, schema_json=None, partition_columns=[])
     start = 0
-    if checkpoints:
-        cv, cname = checkpoints[-1]
-        _read_checkpoint(os.path.join(log_dir, cname), snap)
-        start = cv + 1
+    if ckpt_version is not None:
+        for i in sorted(ckpt_parts[ckpt_version]):
+            _read_checkpoint(
+                os.path.join(log_dir, ckpt_parts[ckpt_version][i]), snap
+            )
+        start = ckpt_version + 1
+    elif commits and commits[0][0] > 0:
+        raise FileNotFoundError(
+            f"cannot replay to version {target}: commits before "
+            f"{commits[0][0]} were removed and no complete checkpoint "
+            f"≤ {target} exists in {log_dir}"
+        )
 
     for v, name in commits:
         if v < start or v > target:
