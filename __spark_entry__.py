@@ -2228,6 +2228,93 @@ transformation:
     )
 
 
+def q_replicate_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `trcli replicate` verb end-to-end (tasks/replicate.py ≈
+    cmd/trcli/replicate/replicate.go:24 + runtime/local/replication.go):
+    transfer.yaml with a replication endpoint → first supervised pass
+    activates (snapshot seed into the bucketed target + source-position
+    record), then a recorded binlog (derived from the events table)
+    arrives and a second pass catches up through the Spark checkpoint —
+    final table state must equal snapshot + net changelog."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.tasks.replicate import run_replication
+
+    tmp = tempfile.mkdtemp(prefix="replicate_yaml_")
+    snap_dir = _os.path.join(tmp, "customer.parquet")
+    binlog = _os.path.join(tmp, "binlog")
+    target = _os.path.join(tmp, "target")
+    state = _os.path.join(tmp, "state")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    cust.write.parquet(snap_dir)
+    _os.makedirs(binlog, exist_ok=True)
+
+    spec = transfer_from_yaml(
+        f"""
+type: SNAPSHOT_AND_INCREMENT
+src:
+  type: file
+  params: {{path: {snap_dir}, format: parquet}}
+dst:
+  type: file
+  params: {{path: {tmp}/unused, format: parquet}}
+replication:
+  source:
+    format: binlogjson
+    path: {binlog}
+    schema: "c_custkey long, c_name string, c_acctbal double"
+  target:
+    kind: bucketed
+    root: {target}
+    keys: [c_custkey]
+    n_buckets: 16
+"""
+    )
+    # pass 1: activation — snapshot seed + source position (empty log)
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    # the binlog "arrives": the events table recorded as canal-style row
+    # events (signup→insert, error→delete, else update; event_id is the
+    # in-file position so the LSN order matches the oracle's)
+    evs = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", "event_type")
+        .collect()
+    )
+    with open(_os.path.join(binlog, "000.jsonl"), "w") as fh:
+        for r in sorted(evs, key=lambda r: r.event_id):
+            action = {"signup": "insert", "error": "delete"}.get(
+                r.event_type, "update"
+            )
+            row = {
+                "c_custkey": r.user_id,
+                "c_name": f"u{r.user_id}",
+                "c_acctbal": r.value,
+            }
+            ev = {
+                "action": action,
+                "log_file": "binlog.000001",
+                "log_pos": int(r.event_id),
+                "row_idx": 0,
+            }
+            if action != "insert":
+                ev["before"] = row
+            if action != "delete":
+                ev["after"] = row
+            fh.write(_json.dumps(ev) + "\n")
+
+    # pass 2: catch-up from the checkpoint applies the whole log
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    table = BucketedParquetTable(spark, target, keys=["c_custkey"], n_buckets=16)
+    return table.read().select("c_custkey", "c_name", "c_acctbal")
+
+
 def q_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serializer → parser round-trip in the engine's native wire form
     (≈ pkg/serializer/queue/native_serializer.go + parsers/registry/native)."""
@@ -2825,6 +2912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     over ALL entries.
     """
     return {
+        # -- new in round 5: replicate verb ----------------------------
+        "replicate_yaml": q_replicate_yaml,
         # -- (a) never-driver-scored through r03 ------------------------
         "corpus_pipeline": q_corpus_pipeline,
         "dedup_cluster": q_dedup_cluster,
@@ -3219,6 +3308,28 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT user_id, value FROM collapsed WHERE _op <> 'd'
         """,
+        "replicate_yaml": f"""
+WITH changelog AS (
+  SELECT user_id AS c_custkey,
+         'u' || CAST(user_id AS VARCHAR) AS name_v,
+         value AS bal_v,
+         event_id AS lsn,
+         {OP_CASE_SQL} AS op
+  FROM events
+),
+net AS (
+  SELECT c_custkey,
+         arg_max(op, lsn)     AS last_op,
+         arg_max(name_v, lsn) AS last_name,
+         arg_max(bal_v, lsn)  AS last_bal
+  FROM changelog GROUP BY c_custkey
+),
+ups AS (SELECT * FROM net WHERE last_op <> 'd')
+SELECT u.c_custkey, u.last_name AS c_name, u.last_bal AS c_acctbal FROM ups u
+UNION ALL
+SELECT t.c_custkey, t.c_name, t.c_acctbal
+FROM customer t ANTI JOIN net n USING (c_custkey)
+""",
         "cdc_merge": _changelog_cte(key="c_custkey", value="val")
         + """
         , ups AS (SELECT * FROM collapsed WHERE _op <> 'd')

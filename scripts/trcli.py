@@ -1,20 +1,26 @@
 #!/usr/bin/env python
 """trcli-equivalent CLI over transfer.yaml.
 
-≈ ``cmd/trcli/{activate,upload,check,validate,describe}`` in
-transferia/transferia (the ``replicate`` verb is the
-ReplicationPipeline API — continuous queries don't fit a one-shot CLI
-process; see transferia_spark.streaming.pipeline).
+≈ ``cmd/trcli/{activate,upload,check,validate,describe,replicate}`` in
+transferia/transferia.
 
 Usage:
-  python scripts/trcli.py activate --transfer transfer.yaml
-  python scripts/trcli.py activate --transfer transfer.yaml --regular --max-runs 3
-  python scripts/trcli.py upload   --transfer transfer.yaml --tables t1,t2
-  python scripts/trcli.py check    --transfer transfer.yaml   # parse+validate only
-  python scripts/trcli.py validate --transfer transfer.yaml   # alias of check
-  python scripts/trcli.py describe --transfer transfer.yaml   # endpoints+plan summary
-  python scripts/trcli.py checksum --transfer transfer.yaml   # verify delivery
-  python scripts/trcli.py compact  --src dir/ --dst table/ [--target-mb 256]
+  python scripts/trcli.py activate  --transfer transfer.yaml
+  python scripts/trcli.py activate  --transfer transfer.yaml --regular --max-runs 3
+  python scripts/trcli.py replicate --transfer transfer.yaml [--once]
+                                    [--state-dir d] [--max-attempts N]
+  python scripts/trcli.py upload    --transfer transfer.yaml --tables t1,t2
+  python scripts/trcli.py check     --transfer transfer.yaml   # parse+validate only
+  python scripts/trcli.py validate  --transfer transfer.yaml   # alias of check
+  python scripts/trcli.py describe  --transfer transfer.yaml   # endpoints+plan summary
+  python scripts/trcli.py checksum  --transfer transfer.yaml   # verify delivery
+  python scripts/trcli.py compact   --src dir/ --dst table/ [--target-mb 256]
+
+``replicate`` is the long-lived process (``replicate.go:24``): activate
+if the coordinator state says so, then a supervised streaming loop —
+restarts on transient errors from the Spark checkpoint, stops (and
+clears activation state) on fatal ones. ``--once`` runs a single
+availableNow catch-up pass, the recorded-log mode.
 """
 
 from __future__ import annotations
@@ -30,8 +36,8 @@ def main() -> int:
     ap.add_argument(
         "verb",
         choices=[
-            "activate", "upload", "check", "validate", "describe",
-            "checksum", "compact",
+            "activate", "replicate", "upload", "check", "validate",
+            "describe", "checksum", "compact",
         ],
     )
     ap.add_argument("--transfer", help="path to transfer.yaml")
@@ -53,6 +59,26 @@ def main() -> int:
     ap.add_argument(
         "--process-count", type=int, default=1,
         help="activate: concurrent table loads (ProcessCount parity)",
+    )
+    ap.add_argument(
+        "--state-dir", default=".trcli_state",
+        help="replicate: coordinator state + health + checkpoint directory",
+    )
+    ap.add_argument(
+        "--transfer-id", default="transfer",
+        help="replicate: transfer id for state/health files",
+    )
+    ap.add_argument(
+        "--once", action="store_true",
+        help="replicate: one availableNow catch-up pass, then exit",
+    )
+    ap.add_argument(
+        "--max-attempts", type=int, default=None,
+        help="replicate: bound the restart loop (default: run forever)",
+    )
+    ap.add_argument(
+        "--retry-interval", type=float, default=10.0,
+        help="replicate: seconds between restart attempts",
     )
     args = ap.parse_args()
 
@@ -110,6 +136,22 @@ def main() -> int:
 
     spark = get_spark()
     tables = [t for t in args.tables.split(",") if t]
+    if args.verb == "replicate":
+        from transferia_spark.tasks.replicate import run_replication
+
+        report = run_replication(
+            spark, spec,
+            transfer_id=args.transfer_id,
+            state_dir=args.state_dir,
+            once=args.once,
+            max_attempts=args.max_attempts,
+            retry_interval=args.retry_interval,
+        )
+        print(
+            f"replicate: attempts={report.attempts} "
+            f"activated={report.activated} errors={len(report.errors)}"
+        )
+        return 0
     if args.verb == "checksum":
         # ≈ trcli's verification path (tasks.VerifyDelivery / Checksum)
         from transferia_spark.tasks.checksum import verify_transfer

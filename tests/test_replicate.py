@@ -1,0 +1,220 @@
+"""`trcli replicate` supervision loop (tasks/replicate.py): activate →
+seed → recorded-binlog catch-up with the snapshot position handoff,
+transient-error retries with health heartbeats, fatal-error state
+cleanup. ≈ cmd/trcli/replicate/replicate.go:24 +
+pkg/runtime/local/replication.go:83-131."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from transferia_spark.plans.config import transfer_from_yaml
+from transferia_spark.tasks.replicate import (
+    FatalError,
+    TransferStateStore,
+    is_fatal,
+    run_replication,
+    source_position,
+)
+
+
+def _emit(path: str, name: str, events: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for ev in events:
+            f.write(json.dumps(ev) + "\n")
+
+
+def _write_items(spark, path: str) -> None:
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1).write.parquet(path)
+
+
+def _yaml(tmp_path, src_parquet: str, binlog: str, target: str) -> str:
+    return f"""
+type: SNAPSHOT_AND_INCREMENT
+src:
+  type: file
+  params: {{path: {src_parquet}, format: parquet}}
+dst:
+  type: file
+  params: {{path: {tmp_path}/unused_dst, format: parquet}}
+replication:
+  source:
+    format: binlogjson
+    path: {binlog}
+    schema: "id long, v string"
+  target:
+    kind: bucketed
+    root: {target}
+    keys: [id]
+    n_buckets: 4
+"""
+
+
+def test_replicate_once_seed_handoff_and_catchup(spark, tmp_path):
+    """Full verb flow: snapshot seed into the bucketed target, source
+    position recorded BEFORE the seed (pre-existing binlog events never
+    replay over the snapshot), then two catch-up passes applying only
+    new events from the Spark checkpoint."""
+    src = str(tmp_path / "items.parquet")
+    binlog = str(tmp_path / "binlog")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    _write_items(spark, src)
+    # pre-snapshot binlog history: already folded into the snapshot —
+    # replaying it would regress (1, 'a') to the stale value
+    _emit(binlog, "000.jsonl", [
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 5,
+         "row_idx": 0, "after": {"id": 1, "v": "STALE"}},
+    ])
+    spec = transfer_from_yaml(_yaml(tmp_path, src, binlog, target))
+
+    report = run_replication(
+        spark, spec, state_dir=state, once=True, retry_interval=0.0
+    )
+    assert report.activated and report.attempts == 1
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    assert {(r.id, r.v) for r in table.read().collect()} == {(1, "a"), (2, "b")}
+
+    # post-snapshot changes arrive; a second pass applies exactly them
+    _emit(binlog, "001.jsonl", [
+        {"action": "update", "log_file": "binlog.000001", "log_pos": 20,
+         "row_idx": 0, "before": {"id": 2, "v": "b"},
+         "after": {"id": 2, "v": "b2"}},
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 30,
+         "row_idx": 0, "after": {"id": 3, "v": "c"}},
+    ])
+    report2 = run_replication(
+        spark, spec, state_dir=state, once=True, retry_interval=0.0
+    )
+    assert not report2.activated  # status state says already activated
+    assert {(r.id, r.v) for r in table.read().collect()} == {
+        (1, "a"), (2, "b2"), (3, "c"),
+    }
+    # health heartbeat reports a clean pass
+    health = TransferStateStore(state).health("transfer")
+    assert health is not None and health["last_error"] == ""
+
+
+def test_replicate_transient_errors_retry_then_succeed(spark, tmp_path):
+    """A sink failing transiently is retried after the interval (the
+    reference's 10 s restart loop); health carries the retry count and
+    the last error; the data still lands exactly once."""
+    src = str(tmp_path / "items.parquet")
+    binlog = str(tmp_path / "binlog")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    _write_items(spark, src)
+    _emit(binlog, "000.jsonl", [])
+    spec = transfer_from_yaml(_yaml(tmp_path, src, binlog, target))
+    # clean activation pass first; the retried event arrives AFTER the
+    # snapshot position was recorded
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+    _emit(binlog, "001.jsonl", [
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 10,
+         "row_idx": 0, "after": {"id": 9, "v": "z"}},
+    ])
+
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedCdcApplySink,
+        BucketedParquetTable,
+    )
+
+    table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    inner = BucketedCdcApplySink(table)
+    fail_file = str(tmp_path / "fails")
+
+    def flaky(batch_df, batch_id):
+        n = len(open(fail_file).read()) if os.path.exists(fail_file) else 0
+        if n < 2:
+            with open(fail_file, "a") as f:
+                f.write("x")
+            raise ConnectionError("broker hiccup")
+        inner(batch_df, batch_id)
+
+    slept: list[float] = []
+    report = run_replication(
+        spark, spec, state_dir=state, once=True,
+        retry_interval=0.5, sleep_fn=slept.append, sink=flaky,
+    )
+    assert report.attempts == 3 and slept == [0.5, 0.5]
+    assert {(r.id, r.v) for r in table.read().collect()} == {
+        (1, "a"), (2, "b"), (9, "z"),
+    }
+    # the heartbeat's last clean pass clears last_error (≈ closing the
+    # warning status message on a healthy tick); the retry count stays
+    health = TransferStateStore(state).health("transfer")
+    assert health["retry_count"] == 2 and health["last_error"] == ""
+    # distinct error causes are reported once each (EqualCauses rule)
+    assert len(report.errors) == 1 and "hiccup" in report.errors[0]
+
+
+def test_replicate_fatal_error_clears_activation_state(spark, tmp_path):
+    """A fatal error stops the loop, clears the coordinator `status`
+    (so the next run re-activates, replicate.go:88-93) and surfaces."""
+    src = str(tmp_path / "items.parquet")
+    binlog = str(tmp_path / "binlog")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    _write_items(spark, src)
+    _emit(binlog, "000.jsonl", [
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 10,
+         "row_idx": 0, "after": {"id": 9, "v": "z"}},
+    ])
+    spec = transfer_from_yaml(_yaml(tmp_path, src, binlog, target))
+
+    def poisoned(batch_df, batch_id):
+        raise FatalError("schema contract broken")
+
+    store = TransferStateStore(state)
+    with pytest.raises(Exception) as exc:
+        run_replication(
+            spark, spec, state_dir=state, once=True,
+            retry_interval=0.0, sleep_fn=lambda s: None, sink=poisoned,
+        )
+    assert is_fatal(exc.value)
+    assert "status" not in store.get("transfer")
+    health = store.health("transfer")
+    assert "FatalError" in health["last_error"]
+
+
+def test_replicate_requires_replication_section(spark, tmp_path):
+    spec = transfer_from_yaml(f"""
+type: INCREMENT_ONLY
+src: {{type: file, params: {{path: {tmp_path}/x, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/y, format: parquet}}}}
+""")
+    with pytest.raises(FatalError, match="replication"):
+        run_replication(spark, spec, state_dir=str(tmp_path / "s"))
+
+
+def test_is_fatal_classification():
+    assert is_fatal(FatalError("x"))
+    assert is_fatal(ValueError("bad config"))
+    assert is_fatal(NotImplementedError("install the jar"))
+    assert not is_fatal(ConnectionError("reset"))
+    assert not is_fatal(OSError("disk wobble"))
+    # wrapped: Spark severs the Python cause chain but keeps the text
+    assert is_fatal(RuntimeError("... transferia FatalError: boom ..."))
+    wrapped = RuntimeError("outer")
+    wrapped.__cause__ = FatalError("inner")
+    assert is_fatal(wrapped)
+
+
+def test_source_position_scans_recorded_stream(tmp_path):
+    binlog = str(tmp_path / "b")
+    _emit(binlog, "000.jsonl", [
+        {"action": "insert", "log_file": "binlog.000002", "log_pos": 7,
+         "row_idx": 0, "after": {"id": 1, "v": "a"}},
+    ])
+    pos = source_position("binlogjson", "id long, v string", binlog)
+    assert pos == {"lsn": 2 * 10**12 + 7}
+    with pytest.raises(FatalError, match="unknown replication source"):
+        source_position("nope", "id long", binlog)

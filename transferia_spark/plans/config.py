@@ -81,6 +81,7 @@ def spec_from_dict(doc: dict) -> TransferSpec:
         keys=dict(doc.get("keys") or {}),
         type_system_version=int(doc.get("type_system_version", 0)) or None,
         regular_snapshot=dict(doc.get("regular_snapshot") or {}),
+        replication=dict(doc.get("replication") or {}),
     )
 
 

@@ -59,6 +59,11 @@ class TransferSpec:
     # ≈ abstract.RegularSnapshot (enabled/interval/cron); the engine
     # exposes the schedule, an external scheduler triggers activate()
     regular_snapshot: dict = field(default_factory=dict)
+    # replication endpoint for the `trcli replicate` verb (≈ the
+    # provider's replication half the reference derives from the same
+    # src endpoint): {source: {format,path,schema,options}, target:
+    # {kind,root,keys,n_buckets}, checkpoint_dir, trigger}
+    replication: dict = field(default_factory=dict)
     # per-table snapshot progress (≈ snapshot_table_progress_tracker.go):
     # when set, activate() skips tables the store marks completed and
     # marks each table after its write commits — a failed multi-table

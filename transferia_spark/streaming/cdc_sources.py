@@ -110,9 +110,12 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
             f.name for f in schema.fields if f.name not in _META_FIELDS
         ]
         self.ack_file = options.get("ack_file")
+        # snapshot→replication handoff: a fresh checkpoint starts AFTER
+        # this binlog position (≈ the saved position RunActivate records)
+        self.start_lsn = int(options.get("start_lsn", 0))
 
     def initialOffset(self) -> dict:
-        return {"lsn": 0}
+        return {"lsn": self.start_lsn}
 
     def latestOffset(self) -> dict:
         hi = 0
@@ -219,9 +222,13 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
             f.name for f in schema.fields if f.name not in _META_FIELDS
         ]
         self.ack_file = options.get("ack_file")
+        # snapshot→replication handoff: fresh checkpoints resume after
+        # this (clusterTime, order) pair (≈ the stored resume token)
+        self.start_ts = int(options.get("start_ts", 0))
+        self.start_order = int(options.get("start_order", -1))
 
     def initialOffset(self) -> dict:
-        return {"ts": 0, "order": -1}
+        return {"ts": self.start_ts, "order": self.start_order}
 
     def latestOffset(self) -> dict:
         hi = (0, -1)

@@ -97,12 +97,17 @@ class WalJsonStreamReader(DataSourceStreamReader):
             f.name for f in schema.fields if f.name not in _META_FIELDS
         ]
         self.ack_file = options.get("ack_file")
+        # snapshot→replication handoff (≈ the slot LSN recorded at
+        # activate time, lsn_slot.go): a fresh checkpoint starts AFTER
+        # this position, so pre-snapshot WAL in the directory is not
+        # replayed over newer snapshot state
+        self.start_lsn = int(options.get("start_lsn", 0))
 
     # -- offset algebra: an offset is {"lsn": n}, rows with lsn in
     # (start, end] belong to the batch (same half-open contract as
     # Kafka offsets) --------------------------------------------------
     def initialOffset(self) -> dict:
-        return {"lsn": 0}
+        return {"lsn": self.start_lsn}
 
     def latestOffset(self) -> dict:
         return {"lsn": _max_lsn(self.path)}

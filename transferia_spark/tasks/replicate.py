@@ -1,0 +1,448 @@
+"""`trcli replicate`: supervised continuous replication from transfer.yaml.
+
+≈ ``cmd/trcli/replicate/replicate.go:24-107`` in transferia/transferia
+(``RunReplication``: activate when the coordinator state carries no
+``status``, then a restart-forever worker loop — fatal errors clear the
+state and surface, everything else logs and retries after an interval)
+plus ``pkg/runtime/local/replication.go:83-131`` (``runReplication``:
+per-attempt health heartbeat with retry count + last error, warning
+status messages on NEW error causes only, fixed retry interval).
+
+Spark translation: the "worker" is a Structured Streaming query built
+from the transfer's ``replication`` endpoint (a checkpointed CDC
+``DataSourceStreamReader`` → transformation chain → ``foreachBatch``
+CDC sink). Restarts resume from the Spark checkpoint, exactly the
+contract the reference gets from slot LSN / binlog-position state. The
+snapshot half of SNAPSHOT_AND_INCREMENT seeds the SAME target table
+the changelog merges into, and the source position recorded at seed
+time becomes the stream's initial offset — the handoff the reference
+implements with slot creation before snapshot (``lsn_slot.go``).
+
+Fatal-error classification ≈ ``abstract.IsFatal`` / ``dterrors``: an
+explicitly-marked :class:`FatalError`, or a configuration/contract
+error that retrying cannot fix, stops the loop; transport/runtime
+hiccups retry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transferia_spark.plans.transfer import TransferSpec, TransferType, _selected
+
+
+class FatalError(RuntimeError):
+    """≈ ``dterrors.NewFatalError`` — never retried by the supervisor."""
+
+
+#: exception types retrying cannot fix: explicit fatals, contract and
+#: configuration errors. Everything else (fs hiccups, concurrent-writer
+#: races, transport failures) is transient and retries.
+_FATAL_TYPES = (
+    FatalError,
+    NotImplementedError,
+    ValueError,
+    TypeError,
+    AssertionError,
+    FileNotFoundError,
+    KeyError,
+)
+
+
+def is_fatal(err: BaseException) -> bool:
+    """Classify an error chain (≈ ``abstract.IsFatal``). Spark wraps the
+    Python ``foreachBatch`` error in ``StreamingQueryException`` whose
+    message keeps the original type name — classify the wrapped text
+    too, since the Python cause chain is severed at the JVM boundary."""
+    seen: set[int] = set()
+    e: BaseException | None = err
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        if isinstance(e, _FATAL_TYPES):
+            return True
+        msg = str(e)
+        if any(t.__name__ in msg for t in (FatalError,)) or "[FATAL]" in msg:
+            return True
+        e = e.__cause__ or e.__context__
+    return False
+
+
+_ID_NOISE_RE = None
+
+
+def _cause_signature(err: BaseException) -> str:
+    """Stable identity of an error CAUSE (≈ ``errors.EqualCauses``):
+    Spark's StreamingQueryException embeds per-run UUIDs and plan ids,
+    so raw text makes every retry look like a new cause. Prefer the
+    innermost Python exception line of an embedded traceback; fall back
+    to the id-normalized message."""
+    import re
+
+    global _ID_NOISE_RE
+    if _ID_NOISE_RE is None:
+        _ID_NOISE_RE = re.compile(
+            r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+            r"|\bo\d+\b|#\d+"
+        )
+    lines = [ln.strip() for ln in str(err).splitlines()]
+    causes = [
+        ln
+        for ln in lines
+        if re.match(r"^[A-Za-z_][\w.]*(Error|Exception): ", ln)
+        and not ln.startswith(("StreamingQueryException", "Py4JJavaError", "py4j."))
+    ]
+    if causes:
+        return causes[-1]
+    return _ID_NOISE_RE.sub("<id>", f"{type(err).__name__}: {err}")[:500]
+
+
+class TransferStateStore:
+    """File-backed coordinator state (≈ ``coordinator.GetTransferState``
+    / ``SetTransferState`` / ``RemoveTransferState``): one JSON document
+    per transfer id, atomically replaced."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _file(self, transfer_id: str) -> str:
+        return os.path.join(self.path, f"state_{transfer_id}.json")
+
+    def get(self, transfer_id: str) -> dict:
+        try:
+            with open(self._file(transfer_id)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def set(self, transfer_id: str, **kv) -> None:
+        doc = self.get(transfer_id)
+        doc.update(kv)
+        tmp = self._file(transfer_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._file(transfer_id))
+
+    def remove(self, transfer_id: str, keys: list[str]) -> None:
+        doc = self.get(transfer_id)
+        for k in keys:
+            doc.pop(k, None)
+        tmp = self._file(transfer_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._file(transfer_id))
+
+    # -- health heartbeat (≈ coordinator.TransferHealth) ---------------
+    def report_health(
+        self, transfer_id: str, retry_count: int, last_error: str | None
+    ) -> None:
+        tmp = os.path.join(self.path, f"health_{transfer_id}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "retry_count": retry_count,
+                    "last_error": last_error or "",
+                    "ts": time.time(),
+                },
+                f,
+            )
+        os.replace(tmp, tmp[: -len(".tmp")])
+
+    def health(self, transfer_id: str) -> dict | None:
+        try:
+            with open(os.path.join(self.path, f"health_{transfer_id}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+
+# ---------------------------------------------------------------- streams
+
+#: replication source formats → (DataSource class, payload-ddl → schema)
+def _stream_formats():
+    from transferia_spark.streaming.cdc_sources import (
+        BinlogJsonDataSource,
+        ChangeStreamJsonDataSource,
+        binlog_output_schema,
+        change_stream_output_schema,
+    )
+    from transferia_spark.streaming.wal_source import (
+        WalJsonDataSource,
+        wal_output_schema,
+    )
+
+    return {
+        "binlogjson": (BinlogJsonDataSource, binlog_output_schema),
+        "waljson": (WalJsonDataSource, wal_output_schema),
+        "mongostream": (ChangeStreamJsonDataSource, change_stream_output_schema),
+    }
+
+
+def source_position(fmt: str, schema_ddl: str, path: str) -> dict:
+    """Scan the recorded stream for its CURRENT end position — what the
+    reference snapshots as the slot LSN / binlog position at activate
+    time. Reuses the stream reader's own offset algebra."""
+    formats = _stream_formats()
+    if fmt not in formats:
+        raise FatalError(
+            f"unknown replication source format {fmt!r}; "
+            f"supported: {sorted(formats)}"
+        )
+    cls, schema_fn = formats[fmt]
+    reader = cls(options={"path": path}).streamReader(schema_fn(schema_ddl))
+    return reader.latestOffset()
+
+
+def _position_options(fmt: str, position: dict | None) -> dict[str, str]:
+    if not position:
+        return {}
+    if fmt in ("binlogjson", "waljson"):
+        return {"start_lsn": str(position.get("lsn", 0))}
+    return {
+        "start_ts": str(position.get("ts", 0)),
+        "start_order": str(position.get("order", -1)),
+    }
+
+
+def build_replication_stream(
+    spark: SparkSession,
+    source: dict,
+    position: dict | None = None,
+) -> DataFrame:
+    """``replication.source`` section → checkpointable stream DataFrame.
+
+    ``source``: {format, path, schema (payload DDL), options?, drop?}.
+    ``position``: resume-after offset recorded at snapshot-seed time.
+    """
+    formats = _stream_formats()
+    fmt = source.get("format")
+    if fmt not in formats:
+        raise FatalError(
+            f"unknown replication source format {fmt!r}; "
+            f"supported: {sorted(formats)}"
+        )
+    cls, schema_fn = formats[fmt]
+    spark.dataSource.register(cls)
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(schema_fn(source["schema"]))
+        .option("path", source["path"])
+    )
+    for k, v in {
+        **dict(source.get("options") or {}),
+        **_position_options(fmt, position),
+    }.items():
+        reader = reader.option(k, str(v))
+    df = reader.load()
+    drop = source.get("drop")
+    if drop is None:
+        # single-table pipelines don't consume per-table routing; the
+        # bucketed sink consumes _before for PK moves, keep it
+        drop = [c for c in ("_table",) if c in df.columns]
+    return df.drop(*drop) if drop else df
+
+
+def build_replication_sink(spark: SparkSession, target: dict):
+    """``replication.target`` section → (sink callable, table object).
+
+    kinds: ``bucketed`` (BucketedParquetTable — O(touched buckets)
+    MERGE) and ``parquet`` (versioned full-table MERGE).
+    """
+    kind = target.get("kind", "bucketed")
+    keys = list(target.get("keys") or [])
+    if not keys:
+        raise FatalError("replication.target needs keys: [..]")
+    root = target.get("root")
+    if not root:
+        raise FatalError("replication.target needs root: <dir>")
+    if kind == "bucketed":
+        from transferia_spark.streaming.bucketed_table import (
+            BucketedCdcApplySink,
+            BucketedParquetTable,
+        )
+
+        table = BucketedParquetTable(
+            spark, root, keys=keys, n_buckets=int(target.get("n_buckets", 16))
+        )
+        return BucketedCdcApplySink(table), table
+    if kind == "parquet":
+        from transferia_spark.streaming.cdc_apply import CdcApplySink, ParquetTable
+
+        table = ParquetTable(spark, root)
+        return CdcApplySink(table, keys=keys), table
+    raise FatalError(f"unknown replication.target kind {kind!r}")
+
+
+# ------------------------------------------------------------- supervisor
+
+
+@dataclass
+class ReplicationReport:
+    attempts: int = 0
+    activated: bool = False
+    snapshot_rows: int = 0
+    errors: list[str] = field(default_factory=list)
+
+
+def _seed_snapshot(spark: SparkSession, spec: TransferSpec, table_obj) -> int:
+    """SNAPSHOT_AND_INCREMENT activation: load the (single) selected
+    source table through the transformation chain into the SAME table
+    the changelog merges into (≈ RunActivate before the worker loop)."""
+    tables = [t for t in spec.src.table_list(spark) if _selected(spec, t)]
+    if len(tables) != 1:
+        raise FatalError(
+            f"replicate seeds exactly one table per pipeline; selected "
+            f"{[t.fqtn() for t in tables]} — narrow data_objects.include_objects"
+        )
+    t = tables[0]
+    df = spec.src.load_table(spark, t, where=spec.filters.get(t.fqtn()))
+    routed = spec.transformation.apply(t, df)
+    if len(routed) != 1:
+        raise FatalError("replicate transformation must not fan out")
+    table_obj.overwrite(routed[0][1])
+    return -1  # count not materialized (activate() contract)
+
+
+def run_replication(
+    spark: SparkSession,
+    spec: TransferSpec,
+    *,
+    transfer_id: str = "transfer",
+    state_dir: str,
+    once: bool = False,
+    max_attempts: int | None = None,
+    retry_interval: float = 10.0,
+    sleep_fn: Callable[[float], None] = time.sleep,
+    stream_factory: Callable[[SparkSession, dict | None], DataFrame] | None = None,
+    sink: Callable[[DataFrame, int], None] | None = None,
+) -> ReplicationReport:
+    """The replicate verb: activate-if-needed, then the supervised
+    replication loop.
+
+    - ``once=True`` runs ONE availableNow catch-up pass per attempt and
+      returns after the first clean pass (recorded-log / test mode);
+      ``once=False`` runs the continuous trigger until an error, then
+      classifies and retries — the reference's restart-forever loop
+      (bound it with ``max_attempts``).
+    - fatal error → coordinator ``status`` state is cleared (the next
+      run re-activates, ``replicate.go:88-93``) and the error raises.
+    - ``stream_factory``/``sink`` inject test doubles; by default both
+      come from ``spec.replication``.
+    """
+    rep = spec.replication or {}
+    if not rep and (stream_factory is None or sink is None):
+        raise FatalError(
+            "transfer.yaml has no replication: section — replicate needs "
+            "{source: {format,path,schema}, target: {root,keys}}"
+        )
+    store = TransferStateStore(state_dir)
+    report = ReplicationReport()
+
+    table_obj = None
+    if sink is None:
+        sink, table_obj = build_replication_sink(spark, rep.get("target") or {})
+    elif rep.get("target"):
+        # custom sink injected, but activation still seeds the declared
+        # target (the reference runs RunActivate regardless of the sink
+        # middleware stack)
+        _, table_obj = build_replication_sink(spark, rep["target"])
+
+    # -- activate on first run (no `status` in coordinator state) ------
+    state = store.get(transfer_id)
+    if state.get("status") != "activated":
+        position = None
+        if spec.type == TransferType.SNAPSHOT_AND_INCREMENT:
+            src = rep.get("source") or {}
+            if src:
+                # record the stream position BEFORE the snapshot scan:
+                # events recorded during the scan replay after it, and
+                # the idempotent MERGE absorbs the overlap — the same
+                # at-least-once window the reference accepts
+                position = source_position(
+                    src["format"], src["schema"], src["path"]
+                )
+            if table_obj is not None:
+                report.snapshot_rows = _seed_snapshot(spark, spec, table_obj)
+            report.activated = True
+        store.set(transfer_id, status="activated", source_position=position)
+        state = store.get(transfer_id)
+
+    position = state.get("source_position")
+    checkpoint_dir = rep.get("checkpoint_dir") or os.path.join(
+        state_dir, f"checkpoint_{transfer_id}"
+    )
+
+    from transferia_spark.streaming.pipeline import ReplicationPipeline
+
+    retry_count = 0
+    last_err_text: str | None = None
+    while True:
+        report.attempts += 1
+        try:
+            if stream_factory is not None:
+                stream = stream_factory(spark, position)
+            else:
+                stream = build_replication_stream(
+                    spark, rep.get("source") or {}, position
+                )
+            # each row passes the transformation chain exactly once:
+            # snapshot rows at seed time, stream rows here — the
+            # reference's transformation middleware sits on the same
+            # shared sink path (sink_factory.go:97-197)
+            transformation = (
+                spec.transformation
+                if spec.transformation and spec.transformation.transformers
+                else None
+            )
+            pipe = ReplicationPipeline(
+                stream=stream,
+                sink=sink,
+                transformation=transformation,
+                checkpoint_dir=checkpoint_dir,
+                trigger=dict(rep.get("trigger") or {}),
+            )
+            if once or (pipe.trigger or {}).get("availableNow"):
+                pipe.run_available(query_name=f"replicate_{transfer_id}")
+                store.report_health(transfer_id, retry_count, None)
+                return report
+            q = pipe.start(query_name=f"replicate_{transfer_id}")
+            q.awaitTermination()
+            # the worker never returns cleanly in replicate mode
+            raise RuntimeError(
+                "replication terminated without an error. This is an "
+                "anomaly, see logs for error details"
+            )
+        except Exception as e:  # noqa: BLE001 — the supervisor classifies
+            retry_count += 1
+            cause = _cause_signature(e)
+            if cause != last_err_text:
+                # ≈ OpenStatusMessage on NEW error causes only
+                report.errors.append(cause)
+            last_err_text = cause
+            store.report_health(transfer_id, retry_count, cause)
+            if is_fatal(e):
+                # ≈ replicate.go:88-93 — clear status so the next run
+                # re-activates from a clean slate, then surface
+                store.remove(transfer_id, ["status"])
+                raise
+            if max_attempts is not None and report.attempts >= max_attempts:
+                raise
+            sleep_fn(retry_interval)
+
+
+__all__ = [
+    "FatalError",
+    "ReplicationReport",
+    "TransferStateStore",
+    "build_replication_sink",
+    "build_replication_stream",
+    "is_fatal",
+    "run_replication",
+    "source_position",
+]
