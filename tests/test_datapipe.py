@@ -79,6 +79,40 @@ def test_minhash_bucket_cap_drops_hot_buckets(docs):
     assert out.count() == 0
 
 
+def test_bucket_pairs_hot_key_guard_two_pass(spark):
+    """r4 verdict: a degenerate bucket key (one shingle shared by every
+    doc) must be dropped BEFORE the collect aggregation — the plan
+    carries a LeftAnti hot-key guard upstream of the pair aggregate —
+    and the pair output on normal data is unchanged vs the old
+    single-pass filter."""
+    from transferia_spark.operators.dedup import _bucket_pairs
+
+    rows = (
+        # degenerate key: every doc shares bucket 999
+        [(i, 999) for i in range(50)]
+        # normal keys: two small honest buckets
+        + [(1, 5), (2, 5), (3, 7), (4, 7), (5, 7)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, _bk long")
+
+    guarded = _bucket_pairs(df, "_bk", ["doc_id"], max_bucket=10)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan  # hot keys leave before any collect buffer
+    pairs = {(r._pa.doc_id, r._pb.doc_id) for r in guarded.collect()}
+    assert pairs == {(1, 2), (3, 4), (3, 5), (4, 5)}
+
+    # unguarded output on the SAME data includes the hot bucket's pairs
+    unguarded = _bucket_pairs(df, "_bk", ["doc_id"], max_bucket=None)
+    assert unguarded.count() == 50 * 49 // 2 + 4
+    # equivalence on data with no hot keys: guard changes nothing
+    cool = df.filter(F.col("_bk") != 999)
+    a = {(r._pa.doc_id, r._pb.doc_id)
+         for r in _bucket_pairs(cool, "_bk", ["doc_id"], 10).collect()}
+    b = {(r._pa.doc_id, r._pb.doc_id)
+         for r in _bucket_pairs(cool, "_bk", ["doc_id"], None).collect()}
+    assert a == b == {(1, 2), (3, 4), (3, 5), (4, 5)}
+
+
 def test_simhash_identical_docs_same_fingerprint(docs):
     t = build("dedup_simhash", text_col="text", id_col="doc_id")
     fps = {r.doc_id: r.simhash for r in t.fingerprints(docs).collect()}

@@ -145,3 +145,152 @@ def test_late_event_does_not_regress_open_session_bounds():
     assert emitted["session_start"].iloc[0] == pd.Timestamp(98, unit="s")
     assert emitted["session_end"].iloc[0] == pd.Timestamp(114, unit="s")
     assert emitted["n_events"].iloc[0] == 4
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self._v, self.exists = None, False
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _drive(batches, gap_seconds):
+    """Replay event batches through the sessionizer fold; returns the
+    emitted sessions plus the final open state flushed — in µs tuples
+    (start, end, n, total)."""
+    import pandas as pd
+
+    from transferia_spark.streaming.sessionize import make_sessionizer
+
+    fn = make_sessionizer(gap_seconds=gap_seconds)
+    state = _FakeState()
+    out = []
+    for b in batches:
+        if not b:
+            continue
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime([t for t, _ in b], unit="s"),
+             "value": [v for _, v in b]}
+        )
+        for emitted in fn((1,), iter([pdf]), state):
+            out.extend(
+                (
+                    int(r.session_start.timestamp() * 1e6),
+                    int(r.session_end.timestamp() * 1e6),
+                    int(r.n_events),
+                    float(r.total_value),
+                )
+                for r in emitted.itertuples()
+            )
+    if state.exists:
+        out.append(tuple(state.get))
+    return sorted(out)
+
+
+def _oracle(events, gap_seconds):
+    """The globally-sorted batch fold — the spec sessionize_batch
+    implements in Spark."""
+    gap_us = gap_seconds * 1_000_000
+    out = []
+    cur = None
+    for t, v in sorted(events):
+        t_us = t * 1_000_000
+        if cur is None:
+            cur = [t_us, t_us, 1, float(v)]
+        elif t_us - cur[1] > gap_us:
+            out.append(tuple(cur))
+            cur = [t_us, t_us, 1, float(v)]
+        else:
+            cur[1], cur[2], cur[3] = t_us, cur[2] + 1, cur[3] + float(v)
+    if cur is not None:
+        out.append(tuple(cur))
+    return sorted(out)
+
+
+def test_far_early_straggler_splits_into_own_closed_session():
+    """r4 verdict: an event a full gap BEFORE the open session's start
+    must close as its own earlier session (batch parity), not drag the
+    open session's start downward."""
+    gap = 10
+    batches = [[(100, 1.0), (105, 1.0)], [(50, 2.0)]]
+    assert _drive(batches, gap) == _oracle([(100, 1.0), (105, 1.0), (50, 2.0)], gap)
+    # chained stragglers below start form ONE earlier session together
+    batches = [[(100, 1.0)], [(50, 1.0), (55, 1.0), (58, 1.0)]]
+    got = _drive(batches, gap)
+    assert got == _oracle([(100, 1.0), (50, 1.0), (55, 1.0), (58, 1.0)], gap)
+    # a straggler chain that reaches the open session merges into it
+    batches = [[(100, 1.0)], [(85, 1.0), (93, 1.0)]]
+    assert got != []  # sanity
+    assert _drive(batches, gap) == _oracle([(100, 1.0), (85, 1.0), (93, 1.0)], gap)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _events_st = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=400),
+                  st.just(1.0)),
+        min_size=1, max_size=25, unique_by=lambda e: e[0],
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(events=_events_st, data=st.data())
+    def test_property_ordered_splits_exact_parity(events, data):
+        """Cutting the ts-sorted event sequence into arbitrary
+        consecutive batches (any boundaries, even mid-session) must
+        reproduce the batch fold EXACTLY."""
+        ordered = sorted(events)
+        cuts = data.draw(
+            st.lists(st.integers(0, len(ordered)), max_size=4),
+            label="cuts",
+        )
+        bounds = sorted({0, len(ordered), *cuts})
+        batches = [ordered[a:b] for a, b in zip(bounds, bounds[1:])]
+        assert _drive(batches, 10) == _oracle(events, 10)
+
+    @settings(max_examples=60, deadline=None)
+    @given(events=_events_st, data=st.data())
+    def test_property_arbitrary_splits_refine_batch_sessions(events, data):
+        """Pinned contract for lates beyond a closed session: under
+        ARBITRARY batch assignment (any event in any batch — lateness
+        beyond the gap included) the stream output REFINES the batch
+        sessions: each stream session nests inside exactly one oracle
+        session and per-oracle-session event counts and totals add up.
+        (Exact equality is impossible once a session has closed — the
+        reference drops such rows entirely; refining keeps them.)"""
+        batch_of = data.draw(
+            st.lists(st.integers(0, 3), min_size=len(events),
+                     max_size=len(events)),
+            label="batch_of",
+        )
+        batches = [[], [], [], []]
+        for e, b in zip(events, batch_of):
+            batches[b].append(e)
+        got = _drive(batches, 10)
+        oracle = _oracle(events, 10)
+        assert sum(s[2] for s in got) == len(events)
+        for s, e, n, tot in got:
+            homes = [o for o in oracle if o[0] <= s and e <= o[1]]
+            assert len(homes) == 1, (got, oracle)
+        for o in oracle:
+            inside = [g for g in got if o[0] <= g[0] and g[1] <= o[1]]
+            assert sum(g[2] for g in inside) == o[2]
+            assert abs(sum(g[3] for g in inside) - o[3]) < 1e-6
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass

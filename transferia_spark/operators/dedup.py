@@ -110,17 +110,42 @@ def _bucket_pairs(
 
     ``max_bucket`` is the skew guard: hotter-than-cap buckets (a
     boilerplate shingle shared by millions of docs) are dropped before
-    the quadratic expansion. The cap also bounds the per-key array to
-    max_bucket elements of payload — a hot key does materialize its id
-    set once in the aggregation buffer before being filtered; at corpus
-    scale pre-filter degenerate keys (stopword shingles) upstream.
+    the quadratic expansion — and (r4 verdict) before the
+    ``collect_set`` ever sees them, in TWO passes:
+
+    1. ``distinct()`` on (key, payload) — the exchange hashes on BOTH
+       columns, so a degenerate key's rows spread across all reducers —
+       then a map-side-combinable ``count`` per key finds hot keys (one
+       long per key per partition, never an array).
+    2. anti-join hot keys out, THEN ``collect_set``: the aggregation
+       buffer is now bounded by ``max_bucket`` by construction. A key
+       shared by 10⁸ docs at 100× scale costs pass 1 a counter, not a
+       10⁸-element array in one reducer.
+
+    The distinct's exchange is reused by both consumers (hot-key count
+    and the guarded aggregate read the same shuffle output), so the net
+    cost over the old single-pass form is one extra narrow (key, id)
+    shuffle — the price of a bounded buffer.
     """
     payload = F.struct(*[F.col(c) for c in payload_cols])
-    buckets = bucketed.groupBy(key).agg(
-        F.sort_array(F.collect_set(payload)).alias("_ps")
-    )
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("_ps") <= max_bucket)
+        proj = bucketed.select(F.col(key), payload.alias("_p")).distinct()
+        hot = (
+            proj.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select(key)
+        )
+        cool = proj.join(hot, on=key, how="left_anti")
+        # input is already distinct → collect_list (no per-buffer set
+        # probing); sort_array keeps the deterministic pair order
+        buckets = cool.groupBy(key).agg(
+            F.sort_array(F.collect_list("_p")).alias("_ps")
+        )
+    else:
+        buckets = bucketed.groupBy(key).agg(
+            F.sort_array(F.collect_set(payload)).alias("_ps")
+        )
     return (
         buckets.filter(F.size("_ps") >= 2)
         .select(F.col("_ps"), F.posexplode("_ps").alias("_i", "_pa"))

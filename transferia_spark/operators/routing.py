@@ -63,9 +63,31 @@ class TableSplitter(Transformer):
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         return [(table, df.withColumn(ROUTE_COL, self._route(table)))]
 
-    def fan_out(self, table: TableID, df: DataFrame) -> Routed:
+    #: fan_out refuses above this many routes unless raised explicitly —
+    #: the route discovery is a driver collect and each route costs one
+    #: filtered re-scan of the input (r4 verdict scale guard)
+    MAX_ROUTES = 1000
+
+    def fan_out(
+        self, table: TableID, df: DataFrame, max_routes: int | None = None
+    ) -> Routed:
+        cap = self.MAX_ROUTES if max_routes is None else max_routes
         routed = df.withColumn(ROUTE_COL, self._route(table))
-        names = [r[0] for r in routed.select(ROUTE_COL).distinct().collect()]
+        # limit bounds the driver collect even when the user split on a
+        # high-cardinality column by mistake — fail fast, not OOM
+        names = [
+            r[0]
+            for r in routed.select(ROUTE_COL).distinct().limit(cap + 1).collect()
+        ]
+        if len(names) > cap:
+            raise ValueError(
+                f"table_splitter.fan_out on {self.columns} exceeds "
+                f"{cap} routes; this path materializes one DataFrame per "
+                "route (driver-side route collect + one filtered scan "
+                "each) and is meant for low-cardinality splits. For file "
+                "sinks use write_fan_out() — one scan, partitioned write "
+                "— or pass max_routes explicitly."
+            )
         return [
             (
                 TableID(table.namespace, name),
@@ -73,6 +95,30 @@ class TableSplitter(Transformer):
             )
             for name in sorted(names)
         ]
+
+    def write_fan_out(
+        self,
+        table: TableID,
+        df: DataFrame,
+        root: str,
+        format: str = "parquet",
+        mode: str = "overwrite",
+    ) -> str:
+        """Scale path for file sinks: ONE scan, hive-partitioned write
+        on the split columns — each leaf directory is a route's table
+        (the same name material as ``table_splitter.go:37-59``, encoded
+        as directories instead of table-name suffixes). No per-route
+        job, no driver route collect; works at any route cardinality."""
+        import os
+
+        out = os.path.join(root, table.name)
+        (
+            df.write.mode(mode)
+            .partitionBy(*self.columns)
+            .format(format)
+            .save(out)
+        )
+        return out
 
 
 @register

@@ -63,24 +63,32 @@ def make_sessionizer(gap_seconds: int, idle_timeout_ms: int = 60_000):
         rows = pd.concat(list(pdfs)).sort_values("ts")
         ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
         vals = rows["value"].astype("float64")
+        # Interval-merge sweep (r4 verdict: batch↔stream parity for
+        # very-late events): the open session is ONE interval item among
+        # the batch's unit-interval events; sweep all items in start
+        # order and chain adjacent items whose gap is ≤ the threshold.
+        # Every cluster but the LAST in time closes and emits — so a
+        # straggler a full gap before the open session's start becomes
+        # its own earlier CLOSED session (what the globally-sorted batch
+        # fold produces) instead of dragging the open session's start
+        # downward, while gap-joining lates still merge in (distance ≤
+        # gap, or inside the interval). Pinned contract: an event later
+        # than its session's CLOSE (the session already emitted) starts
+        # a new session — stream output then REFINES the batch sessions
+        # (tests/test_sessionize.py property).
+        items = [(int(t), int(t), 1, float(v)) for t, v in zip(ts_us, vals)]
         if state.exists:
-            (start, last, n, total) = state.get
-        else:
-            start, last, n, total = None, None, 0, 0.0
+            items.append(tuple(state.get))
+        items.sort(key=lambda it: (it[0], it[1]))
         out = []
-        for t_us, v in zip(ts_us, vals):
-            if start is None:
-                start, last, n, total = t_us, t_us, 1, float(v)
-            elif t_us - last > gap_us:
-                out.append((start, last, n, total))
-                start, last, n, total = t_us, t_us, 1, float(v)
+        cs, cl, cn, ct = items[0]
+        for s, last_i, n_i, v_i in items[1:]:
+            if s - cl <= gap_us:  # chains (or sits inside the cluster)
+                cl, cn, ct = max(cl, last_i), cn + n_i, ct + v_i
             else:
-                # a LATE event (cross-batch, t_us <= last) joins the
-                # open session without regressing its bounds: end is
-                # the max seen, start extends downward
-                start = min(start, t_us)
-                last, n, total = max(last, t_us), n + 1, total + float(v)
-        state.update((int(start), int(last), int(n), float(total)))
+                out.append((cs, cl, cn, ct))
+                cs, cl, cn, ct = s, last_i, n_i, v_i
+        state.update((int(cs), int(cl), int(cn), float(ct)))
         state.setTimeoutDuration(idle_timeout_ms)
         if out:
             yield pd.DataFrame(
