@@ -113,6 +113,13 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         # snapshot→replication handoff: a fresh checkpoint starts AFTER
         # this binlog position (≈ the saved position RunActivate records)
         self.start_lsn = int(options.get("start_lsn", 0))
+        # emit TRUNCATE/DDL statements as control ChangeItems (kind.go
+        # parity) for pipelines routing them (streaming/controls.py);
+        # default drops them — plain collapse/merge consumers expect
+        # row kinds only
+        self.emit_controls = str(
+            options.get("emit_controls", "false")
+        ).lower() in ("true", "1")
 
     def initialOffset(self) -> dict:
         return {"lsn": self.start_lsn}
@@ -134,8 +141,30 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
             return
         lo, hi = int(partition.start["lsn"]), int(partition.end["lsn"])
         for ev in _events(partition.path):
-            op = _MYSQL_OPS.get(ev.get("action"))
-            if op is None:  # DDL / control events are not row changes
+            action = ev.get("action")
+            op = _MYSQL_OPS.get(action)
+            if op is None:
+                # TRUNCATE / DDL statements: control kinds, not rows —
+                # emitted as control ChangeItems only when the pipeline
+                # opted in (ControlRouter consumes them)
+                if not (
+                    self.emit_controls
+                    and action in ("truncate", "ddl", "query")
+                ):
+                    continue
+                lsn = binlog_lsn(ev["log_file"], ev["log_pos"])
+                if not (lo < lsn <= hi):
+                    continue
+                yield tuple(None for _ in self.payload_fields) + (
+                    "truncate" if action == "truncate" else "ddl",
+                    lsn,
+                    0,
+                    ".".join(
+                        x for x in (ev.get("schema"), ev.get("table")) if x
+                    ),
+                    None,
+                    None,
+                )
                 continue
             lsn = binlog_lsn(ev["log_file"], ev["log_pos"])
             if not (lo < lsn <= hi):
