@@ -1037,6 +1037,26 @@ def q_cdc_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def q_dblog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBLog chunked snapshot ∥ CDC (tasks/dblog.py ≈ pkg/dblog/
+    signal_table.go:32 + incremental_iterator.go:61, the reference's
+    flagship snapshot-while-replicating trick): customer reads in 4
+    key-range chunks, keys touched by the interleaved changelog are
+    dropped from each chunk (the watermark rule), then the changelog
+    applies on top. Final state: untouched keys keep their snapshot row;
+    touched keys carry the changelog's newest payload (c_name NULL — the
+    changelog does not carry it); net-deleted keys are gone."""
+    from transferia_spark.tasks.dblog import chunked_snapshot_with_cdc
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    ev = _t(spark, sf_dir, "events")
+    log = events_changelog(ev, key="c_custkey", value="c_acctbal")
+    n = cust.count()
+    return chunked_snapshot_with_cdc(
+        cust, log, ["c_custkey"], chunk_size=max(1, (n + 3) // 4)
+    )
+
+
 def q_skip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     log = events_changelog(ev)
@@ -1505,6 +1525,24 @@ def q_serializer_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = _t(spark, sf_dir, "region")
     return json_serializer(r, key_cols=["r_regionkey"])
+
+
+def q_serializer_confluent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-side Confluent SR framing (serializers.confluent_sr_serializer
+    ≈ pkg/serializer/queue SR framing) round-tripped through the
+    confluent_schema_registry parser: magic+id framing must be lossless,
+    the recovered id and JSON body are the oracle-checked output."""
+    from transferia_spark.parsers import build_parser
+    from transferia_spark.serializers import confluent_sr_serializer
+
+    n = _t(spark, sf_dir, "nation")
+    wire = confluent_sr_serializer(
+        n.select("n_nationkey", "n_name"), schema_id=731
+    )
+    framed = build_parser("confluent_schema_registry")(wire)
+    return framed.select(
+        F.col("_schema_id"), F.col("value").cast("string").alias("body")
+    )
 
 
 def q_serializer_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2912,8 +2950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     over ALL entries.
     """
     return {
-        # -- new in round 5: replicate verb ----------------------------
+        # -- new in round 5: replicate verb + dblog --------------------
         "replicate_yaml": q_replicate_yaml,
+        "dblog_snapshot": q_dblog_snapshot,
+        "serializer_confluent": q_serializer_confluent,
         # -- (a) never-driver-scored through r03 ------------------------
         "corpus_pipeline": q_corpus_pipeline,
         "dedup_cluster": q_dedup_cluster,
@@ -3308,6 +3348,15 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT user_id, value FROM collapsed WHERE _op <> 'd'
         """,
+        "dblog_snapshot": _changelog_cte(key="c_custkey", value="c_acctbal")
+        + """
+        SELECT c.c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+               c.c_acctbal AS c_acctbal
+        FROM collapsed c WHERE c._op <> 'd'
+        UNION ALL
+        SELECT t.c_custkey, t.c_name, t.c_acctbal
+        FROM customer t ANTI JOIN collapsed n USING (c_custkey)
+        """,
         "replicate_yaml": f"""
 WITH changelog AS (
   SELECT user_id AS c_custkey,
@@ -3445,6 +3494,12 @@ FROM customer t ANTI JOIN net n USING (c_custkey)
                    to_json(struct_pack(r_regionkey := r_regionkey,
                                        r_name := r_name)) AS value
             FROM region
+        """,
+        "serializer_confluent": """
+            SELECT 731 AS _schema_id,
+                   to_json(struct_pack(n_nationkey := n_nationkey,
+                                       n_name := n_name)) AS body
+            FROM nation
         """,
         "serializer_csv": """
             SELECT concat_ws(',', n_nationkey, n_name, n_regionkey) AS value

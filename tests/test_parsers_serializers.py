@@ -191,6 +191,44 @@ def test_native_serializer_roundtrip(spark):
     assert rows[1]["_op"] == "d" and rows[1]["_table"] == "t"
 
 
+def test_confluent_sr_serializer_roundtrip(spark):
+    """r4 verdict item 6: the sink-side SR framing mirrors the
+    confluent_schema_registry parser — parser(serializer(x)) recovers
+    the schema id and the exact body."""
+    from transferia_spark.serializers import confluent_sr_serializer
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, v string"
+    )
+    wire = confluent_sr_serializer(df, schema_id=1234)
+    raw = wire.collect()
+    # wire shape: magic 0x0 + 4-byte BE id + JSON body
+    for r in raw:
+        assert r["value"][0] == 0
+        assert int.from_bytes(r["value"][1:5], "big") == 1234
+
+    parse = build_parser("confluent_schema_registry")
+    back = parse(wire).collect()
+    assert all(r["_schema_id"] == 1234 for r in back)
+    bodies = sorted(bytes(r["value"]).decode() for r in back)
+    assert bodies == ['{"id":1,"v":"a"}', '{"id":2,"v":"b"}']
+
+    # body parser chaining: frame → json body → typed columns
+    typed = build_parser(
+        "confluent_schema_registry",
+        body_parser="json",
+        schema="id int, v string",
+        add_rest=False,
+        add_system_cols=False,
+    )(wire)
+    assert {(r.id, r.v) for r in typed.collect()} == {(1, "a"), (2, "b")}
+
+    # key column (when the body serializer emits one) rides outside the
+    # framing untouched
+    keyed = confluent_sr_serializer(df, schema_id=7, key_cols=["id"])
+    assert {r["key"] for r in keyed.collect()} == {'{"id":1}', '{"id":2}'}
+
+
 def test_blank_parser_payload_stays_raw(spark):
     payloads = ['{"a": 1}', "not json at all"]
     out = build_parser("blank")(kafka_frame(spark, payloads)).collect()

@@ -119,6 +119,32 @@ def native_serializer(df: DataFrame, table: str = "") -> DataFrame:
     )
 
 
+def confluent_sr_serializer(
+    df: DataFrame,
+    schema_id: int,
+    body=json_serializer,
+    **body_kw,
+) -> DataFrame:
+    """Confluent wire framing on the SINK side, mirroring the
+    ``confluent_schema_registry`` parser (parsers/registry.py):
+    ``value`` = 1 magic byte (0x0) + 4-byte big-endian schema id + the
+    body bytes from an inner serializer (JSON by default — the
+    registry's JSON-schema subject framing; Avro/Protobuf bodies plug in
+    the same way). ≈ ``pkg/serializer/queue`` SR framing: registering
+    the schema and obtaining ``schema_id`` is a control-plane call; this
+    is the per-row data-plane half that runs on executors. Round-trips
+    through the parser: frame → (_schema_id, body)."""
+    framed = body(df, **body_kw)
+    prefix = bytes([0]) + int(schema_id).to_bytes(4, "big")
+    cols = []
+    if "key" in framed.columns:
+        cols.append(F.col("key"))
+    cols.append(
+        F.concat(F.lit(prefix), F.col("value").cast("binary")).alias("value")
+    )
+    return framed.select(*cols)
+
+
 def csv_serializer(df: DataFrame, sep: str = ",") -> DataFrame:
     """Row → CSV line (for line-oriented sinks); file sinks should use
     df.write.csv (parallel) instead."""
