@@ -1057,6 +1057,117 @@ def q_dblog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JDBC_PUSH_WHERE = "c_acctbal > 1000 AND c_nationkey < 10"
+JDBC_PUSH_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+MONGO_DELIMS = list(range(200, 1400, 200))  # 6 delimiters → 7 id ranges
+
+
+def q_jdbc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC snapshot pushdown (sources/jdbc.py pushdown_subquery ≈
+    OrderedRead, postgres/storage.go:250-300): filter + projection ride
+    INSIDE the SQL shipped to the database, not in a Spark plan node.
+    The oracle literally EXECUTES the generated subquery — DuckDB
+    standing in for PostgreSQL — while the Spark side runs the semantic
+    intent on parquet; a hash match proves the shipped SQL returns
+    exactly the engine's intended rows."""
+    from transferia_spark.sources.jdbc import pushdown_subquery
+
+    sub = pushdown_subquery(
+        TableID("", "customer"), where=JDBC_PUSH_WHERE, columns=JDBC_PUSH_COLS
+    )
+    assert sub.startswith("(SELECT c_custkey") and "WHERE" in sub
+    cust = _t(spark, sf_dir, "customer")
+    return cust.filter(JDBC_PUSH_WHERE).select(*JDBC_PUSH_COLS)
+
+
+def q_jdbc_shard_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-range sharding (sources/jdbc.py shard_by_numeric_range ≈
+    shardByNumberSum, sharding_storage.go:215): the N generated
+    predicates must tile the key space exactly — every key in exactly
+    one shard. Each customer row is tagged with the shard whose
+    predicate it satisfies (evaluating the GENERATED SQL predicates via
+    F.expr); the oracle recomputes the tiling arithmetic."""
+    from transferia_spark.sources.jdbc import shard_by_numeric_range
+
+    cust = _t(spark, sf_dir, "customer")
+    lo, hi = cust.agg(F.min("c_custkey"), F.max("c_custkey")).collect()[0]
+    preds = shard_by_numeric_range("c_custkey", int(lo), int(hi), 4)
+    shard = F.lit(None).cast("int")
+    for i, p in enumerate(reversed(preds)):
+        shard = F.when(F.expr(p), F.lit(len(preds) - 1 - i)).otherwise(shard)
+    return (
+        cust.select(shard.alias("shard"), "c_custkey")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_custkey").alias("lo_key"),
+            F.max("c_custkey").alias("hi_key"),
+        )
+    )
+
+
+def q_mongo_id_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo parallel-unit planning (sources/mongo.py plan_id_ranges ≈
+    ShardTable): sampled delimiters become half-open [from, to) _id
+    ranges that tile the id space. Customer keys stand in for _ids;
+    each lands in exactly one unit per the PLANNER's ranges, the oracle
+    recomputes the delimiter arithmetic."""
+    from transferia_spark.sources.mongo import plan_id_ranges
+
+    ranges = plan_id_ranges(
+        table_size_bytes=len(MONGO_DELIMS) + 1,
+        desired_part_size=1,
+        delimiters=MONGO_DELIMS,
+    )
+    assert len(ranges) == len(MONGO_DELIMS) + 1
+    cust = _t(spark, sf_dir, "customer")
+    unit = F.lit(None).cast("int")
+    for i, (frm, to) in enumerate(ranges):
+        cond = F.lit(True)
+        if frm is not None:
+            cond = cond & (F.col("c_custkey") >= frm)
+        if to is not None:
+            cond = cond & (F.col("c_custkey") < to)
+        unit = F.when(cond & unit.isNull(), F.lit(i)).otherwise(unit)
+    return (
+        cust.select(unit.alias("unit"), "c_custkey")
+        .groupBy("unit")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("c_custkey").alias("hi_key"))
+    )
+
+
+def q_partition_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG partitioned-table expansion (sources/jdbc.py expand_partitions
+    ≈ storage_partition_expander.go:12): parents in the load list are
+    replaced by their LEAF descendants, multi-level partitioning
+    traversed transitively. The catalog edges derive from region/nation:
+    each region key is a partitioned parent whose children are its
+    nations; even-keyed nations are themselves partitioned into two
+    leaves. The oracle enumerates the expected leaf set."""
+    from transferia_spark.sources.jdbc import expand_partitions
+
+    nat = (
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey").collect()
+    )
+    edges: dict[TableID, list[TableID]] = {}
+    for r in nat:
+        parent = TableID("", f"t_{r.n_regionkey}")
+        child = TableID("", f"nation_{r.n_nationkey}")
+        edges.setdefault(parent, []).append(child)
+        if r.n_nationkey % 2 == 0:
+            edges[child] = [
+                TableID("", f"nation_{r.n_nationkey}_a"),
+                TableID("", f"nation_{r.n_nationkey}_b"),
+            ]
+    parents = sorted(
+        (t for t in edges if t.name.startswith("t_")), key=lambda t: t.name
+    )
+    leaves = expand_partitions(parents, edges)
+    return spark.createDataFrame(
+        [(t.name,) for t in leaves], "table_name string"
+    )
+
+
 def q_skip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     log = events_changelog(ev)
@@ -2954,6 +3065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replicate_yaml": q_replicate_yaml,
         "dblog_snapshot": q_dblog_snapshot,
         "serializer_confluent": q_serializer_confluent,
+        "jdbc_pushdown": q_jdbc_pushdown,
+        "jdbc_shard_ranges": q_jdbc_shard_ranges,
+        "mongo_id_ranges": q_mongo_id_ranges,
+        "partition_expansion": q_partition_expansion,
         # -- (a) never-driver-scored through r03 ------------------------
         "corpus_pipeline": q_corpus_pipeline,
         "dedup_cluster": q_dedup_cluster,
@@ -3113,7 +3228,45 @@ collapsed AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from transferia_spark.sources.jdbc import pushdown_subquery
+
+    # the jdbc_pushdown oracle EXECUTES the exact SQL the source would
+    # ship to PostgreSQL (DuckDB standing in for the database)
+    _jdbc_sub = pushdown_subquery(
+        TableID("", "customer"), where=JDBC_PUSH_WHERE, columns=JDBC_PUSH_COLS
+    )
     return {
+        "jdbc_pushdown": f"SELECT * FROM {_jdbc_sub}",
+        "jdbc_shard_ranges": """
+            WITH b AS (SELECT min(c_custkey) AS lo, max(c_custkey) AS hi
+                       FROM customer),
+            p AS (SELECT lo, hi, greatest(1, (hi - lo + 1) // 4) AS step
+                  FROM b),
+            tagged AS (
+              SELECT CAST(least(3, (c.c_custkey - p.lo) // p.step) AS INTEGER)
+                       AS shard,
+                     c.c_custkey
+              FROM customer c, p
+            )
+            SELECT shard, count(*) AS n, min(c_custkey) AS lo_key,
+                   max(c_custkey) AS hi_key
+            FROM tagged GROUP BY shard
+        """,
+        "mongo_id_ranges": """
+            SELECT CAST(least(6, c_custkey // 200) AS INTEGER) AS unit,
+                   count(*) AS n, max(c_custkey) AS hi_key
+            FROM customer GROUP BY unit
+        """,
+        "partition_expansion": """
+            SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) AS table_name
+            FROM nation WHERE n_nationkey % 2 = 1
+            UNION ALL
+            SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) || '_a'
+            FROM nation WHERE n_nationkey % 2 = 0
+            UNION ALL
+            SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) || '_b'
+            FROM nation WHERE n_nationkey % 2 = 0
+        """,
         "tpch_q1": TPCH_Q1.replace("FROM table", "FROM lineitem"),
         "tpch_q2ish": TPCH_Q2ISH,
         "tpch_q8": TPCH_Q8,

