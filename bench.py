@@ -112,6 +112,18 @@ HEADLINE = [
     "parser_protobuf",
 ]
 
+# r4 verdict item 4: the suite covers EVERY queries() entry — HEADLINE
+# pins the ordering of the long-tracked core (so round-over-round
+# comparisons stay aligned), and everything else appends automatically
+# in declaration order. Exclusions need a reason here.
+EXCLUDED = {
+    # two full Structured Streaming query lifecycles + a driver-side
+    # binlog recording of the whole events table: ~40 s of fixed
+    # harness latency at sf0.1 that times Spark query startup, not an
+    # operator; its correctness is driver-scored every round
+    "replicate_yaml": "streaming-lifecycle harness, not operator throughput",
+}
+
 
 def _load_entry():
     spec = importlib.util.spec_from_file_location(
@@ -161,8 +173,11 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    suite = HEADLINE + [
+        n for n in queries if n not in HEADLINE and n not in EXCLUDED
+    ]
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in suite:
         fn = queries[name]
         t0 = time.time()
         df = fn(spark, SF_DIR)
