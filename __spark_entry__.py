@@ -3050,18 +3050,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver scores the FIRST 50
-    entries in dict order. Round-4 window: (a) the 20 queries that had
-    never received a CORRECTNESS row through r03 (verdict "What's
-    wrong" §2), (b) the CDC queries whose collapse semantics changed
-    this round (born-and-dead keys now emit an idempotent delete —
-    cdc/collapse.py) so the official record re-verifies them, and
-    (c) a representative third of the already-recorded surface across
-    every family. The tail entries past 50 hold green CORRECTNESS rows
-    from r01-r03 and stay verified by ``python scripts/driver_sim.py``
-    over ALL entries.
+    entries in dict order. Round-5 window: (a) the 7 queries new this
+    round (replicate verb, dblog, SR serializer, provider planning),
+    (b) every query whose implementation changed this round (the LSH
+    hot-key guard flows through the dedup family and corpus_pipeline;
+    sessionize's fold was rewritten; delta_log gained multi-part
+    checkpoints; the transfer spec grew the replication section), and
+    (c/d) the queries whose last green CORRECTNESS row is oldest
+    (r1/r2, plus r3 CDC-strictness representatives) rotating back into
+    the official record. The tail holds r02-r04 green rows and stays
+    verified by ``python scripts/driver_sim.py`` over ALL entries.
     """
     return {
-        # -- new in round 5: replicate verb + dblog --------------------
+        # -- (a) round-5 new surface: replicate verb, dblog, SR
+        # serializer, provider planning — never scored before --------
         "replicate_yaml": q_replicate_yaml,
         "dblog_snapshot": q_dblog_snapshot,
         "serializer_confluent": q_serializer_confluent,
@@ -3069,17 +3071,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_shard_ranges": q_jdbc_shard_ranges,
         "mongo_id_ranges": q_mongo_id_ranges,
         "partition_expansion": q_partition_expansion,
-        # -- (a) never-driver-scored through r03 ------------------------
-        "corpus_pipeline": q_corpus_pipeline,
+        # -- (b) code changed in round 5 (hot-key guard, sessionize
+        # sweep, delta checkpoints, transfer spec): re-score ---------
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_blocks": q_dedup_blocks,
         "dedup_cluster": q_dedup_cluster,
         "dedup_keep_best": q_dedup_keep_best,
+        "corpus_pipeline": q_corpus_pipeline,
+        "sessionize": q_sessionize,
+        "delta_scan": q_delta_scan,
+        "transfer_yaml": q_transfer_yaml,
+        "serializer_json": q_serializer_json,
+        # -- (c) oldest green rows (r1/r2) rotate back into the
+        # official record --------------------------------------------
+        "parser_confluent_sr": q_parser_confluent_sr,
+        "incremental_read": q_incremental_read,
+        "parser_logfeller": q_parser_logfeller,
+        "debezium_roundtrip": q_debezium_roundtrip,
+        "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "media_decode": q_media_decode,
+        "frame_sample": q_frame_sample,
+        "parser_cloudevents": q_parser_cloudevents,
+        "parser_cloudlogging": q_parser_cloudlogging,
+        "parser_audittrails": q_parser_audittrails,
+        "filter_rows_by_ids": q_filter_rows_by_ids,
+        "number_to_float": q_number_to_float,
+        "raw_doc_grouper": q_raw_doc_grouper,
+        "rename_tables": q_rename_tables,
+        "mongo_pk_extender": q_mongo_pk_extender,
+        "jsonparser": q_jsonparser,
+        "lambda": q_lambda,
+        "yt_dict": q_yt_dict,
+        "parser_tskv": q_parser_tskv,
+        "parser_blank": q_parser_blank,
+        "parser_raw_to_table": q_parser_raw_to_table,
+        "serializer_csv": q_serializer_csv,
+        # -- (d) r3-scored CDC-strictness / chain representatives ----
+        "skip_events": q_skip_events,
+        "transform_chain": q_transform_chain,
+        "filter_rows": q_filter_rows,
+        "middleware_chain": q_middleware_chain,
+        "mask_field": q_mask_field,
+        "filter_columns": q_filter_columns,
+        "regex_replace": q_regex_replace,
+        # -- tail: green rows from r02-r04; verified every round by
+        # scripts/driver_sim.py over ALL entries ---------------------
         "ann_ivf": q_ann_ivf,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "decontaminate": q_decontaminate,
         "quota_cap": q_quota_cap,
         "global_shuffle": q_global_shuffle,
         "pack_sequences": q_pack_sequences,
-        "sessionize": q_sessionize,
         "pii_scrub": q_pii_scrub,
         "quality_gopher": q_quality_gopher,
         "sample_stratified": q_sample_stratified,
@@ -3087,21 +3134,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_insert_plan": q_clickhouse_insert_plan,
         "raw_cdc_doc_grouper": q_raw_cdc_doc_grouper,
         "native_roundtrip": q_native_roundtrip,
-        "transfer_yaml": q_transfer_yaml,
         "typesystem_edges": q_typesystem_edges,
         "ydb_changefeed": q_ydb_changefeed,
         "airbyte_records": q_airbyte_records,
-        # -- new this round: YDB storage scan ---------------------------
         "ydb_scan": q_ydb_scan,
-        "delta_scan": q_delta_scan,
         "dbt_models": q_dbt_models,
-        # -- (b) collapse-semantics change: re-score officially ---------
         "cdc_collapse": q_cdc_collapse,
         "cdc_merge": q_cdc_merge,
         "snapshot_handoff": q_snapshot_handoff,
         "cdc_merge_bucketed": q_cdc_merge_bucketed,
         "mysql_cdc_envelope": q_mysql_cdc_envelope,
-        # -- (c) representative third of the recorded surface -----------
         "tpch_q2ish": q_tpch_q2ish,
         "tpch_q8": q_tpch_q8,
         "tpch_q9ish": q_tpch_q9ish,
@@ -3113,7 +3155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": q_repetition_score,
         "chunk_documents": q_chunk_documents,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_brute_force": q_ann_brute_force,
         "ann_sq8": q_ann_sq8,
@@ -3123,13 +3164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_splitter": q_table_splitter,
         "parser_json": q_parser_json,
         "parser_protobuf": q_parser_protobuf,
-        "skip_events": q_skip_events,
-        "transform_chain": q_transform_chain,
-        # ---- entries past the 50-row scoring window: green rows in
-        # ---- CORRECTNESS_r01-r03, re-verified by driver_sim each round
-        "incremental_read": q_incremental_read,
-        "parser_logfeller": q_parser_logfeller,
-        "debezium_roundtrip": q_debezium_roundtrip,
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q14ish": q_tpch_q14ish,
@@ -3151,51 +3185,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "percentile_stats": q_percentile_stats,
         "two_phase_agg": q_two_phase_agg,
-        "filter_rows": q_filter_rows,
         "events_hourly_rollup": q_events_hourly_rollup,
         "range_join": q_range_join,
         "rollup_agg": q_rollup_agg,
         "set_ops": q_set_ops,
-        "dedup_blocks": q_dedup_blocks,
         "scalar_funcs": q_scalar_funcs,
         "mix_sources": q_mix_sources,
         "audio_energy": q_audio_energy,
         "image_resize": q_image_resize,
-        "filter_columns": q_filter_columns,
-        "mask_field": q_mask_field,
         "convert_to_string": q_convert_to_string,
         "convert_to_datetime": q_convert_to_datetime,
-        "regex_replace": q_regex_replace,
         "replace_primary_key": q_replace_primary_key,
         "sharder": q_sharder,
         "problem_item_detector": q_problem_item_detector,
-        "middleware_chain": q_middleware_chain,
         "filter_access_log": q_filter_access_log,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "ann_lsh_bucketed": q_ann_lsh_bucketed,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
-        "media_decode": q_media_decode,
-        "frame_sample": q_frame_sample,
-        "parser_cloudevents": q_parser_cloudevents,
-        "parser_cloudlogging": q_parser_cloudlogging,
-        "parser_audittrails": q_parser_audittrails,
-        "parser_confluent_sr": q_parser_confluent_sr,
-        "filter_rows_by_ids": q_filter_rows_by_ids,
-        "number_to_float": q_number_to_float,
-        "raw_doc_grouper": q_raw_doc_grouper,
-        "rename_tables": q_rename_tables,
-        "mongo_pk_extender": q_mongo_pk_extender,
-        "jsonparser": q_jsonparser,
-        "lambda": q_lambda,
-        "yt_dict": q_yt_dict,
-        "parser_tskv": q_parser_tskv,
-        "parser_blank": q_parser_blank,
-        "parser_raw_to_table": q_parser_raw_to_table,
-        "serializer_json": q_serializer_json,
-        "serializer_csv": q_serializer_csv,
     }
 
 

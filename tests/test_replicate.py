@@ -185,6 +185,64 @@ def test_replicate_fatal_error_clears_activation_state(spark, tmp_path):
     assert "FatalError" in health["last_error"]
 
 
+def test_replicate_pgwire_recorded_session(spark, tmp_path):
+    """transfer.yaml with a `pgwire` replication source: recorded
+    CopyBoth frames are drained through the wire client's tailer into
+    the wal2json directory and tailed by the slot-direct DataSource —
+    the full reference path (slot → wire frames → parse → apply) from
+    the CLI verb. A second capture file drains incrementally."""
+    from transferia_spark.streaming.pg_replication import encode_xlog_data
+
+    src = str(tmp_path / "items.parquet")
+    frames = str(tmp_path / "frames")
+    wal = str(tmp_path / "wal")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    _write_items(spark, src)
+
+    def w2j(action, **cols):
+        return json.dumps(
+            {"action": action,
+             "columns": [{"name": k, "value": v} for k, v in cols.items()]}
+        ).encode()
+
+    def record(name, frame_list):
+        os.makedirs(frames, exist_ok=True)
+        with open(os.path.join(frames, name), "w") as f:
+            for fr in frame_list:
+                f.write(json.dumps({"frame": fr.hex()}) + "\n")
+
+    # pre-snapshot history in the capture — must not replay over the seed
+    record("000.jsonl", [encode_xlog_data(5, 6, w2j("I", id=1, v="STALE"))])
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: pgwire
+    frames_path: {frames}
+    path: {wal}
+    schema: "id long, v string"
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 4}}
+""")
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    assert {(r.id, r.v) for r in table.read().collect()} == {(1, "a"), (2, "b")}
+
+    # new wire capture arrives; the next pass drains ONLY it
+    record("001.jsonl", [
+        encode_xlog_data(20, 21, w2j("U", id=2, v="b2")),
+        encode_xlog_data(30, 31, w2j("I", id=3, v="c")),
+    ])
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+    assert {(r.id, r.v) for r in table.read().collect()} == {
+        (1, "a"), (2, "b2"), (3, "c"),
+    }
+
+
 def test_replicate_requires_replication_section(spark, tmp_path):
     spec = transfer_from_yaml(f"""
 type: INCREMENT_ONLY

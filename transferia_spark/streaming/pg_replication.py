@@ -230,8 +230,62 @@ class ReplicationTailer:
         self._ack()
 
 
+def drain_recorded_frames(
+    frames_path: str, out_dir: str, send: Callable[[bytes], None] | None = None
+) -> int:
+    """Replay a RECORDED CopyBoth session (JSON-lines files of
+    ``{"frame": "<hex>"}`` — the same capture format the kafka wire
+    sink's test transport uses) through the tailer into ``out_dir``.
+
+    Already-drained capture files are remembered in
+    ``out_dir/_drained.state`` (NOT ``.json`` — the waljson reader
+    scans the directory for ``.json``/``.jsonl`` event files) so
+    repeated catch-up passes only decode NEW captures — mirroring how a
+    live drain only sees new socket data. Returns the number of
+    XLogData frames written this pass."""
+    try:
+        names = sorted(os.listdir(frames_path))
+    except FileNotFoundError:
+        return 0
+    os.makedirs(out_dir, exist_ok=True)
+    state_file = os.path.join(out_dir, "_drained.state")
+    try:
+        with open(state_file) as f:
+            done = set(json.load(f))
+    except FileNotFoundError:
+        done = set()
+    fresh = [
+        n for n in names
+        if n.endswith((".json", ".jsonl")) and n not in done
+    ]
+    if not fresh:
+        return 0
+
+    def frames():
+        for name in fresh:
+            with open(os.path.join(frames_path, name)) as f:
+                for line in f:
+                    if line.strip():
+                        yield bytes.fromhex(json.loads(line)["frame"])
+
+    tailer = ReplicationTailer(frames(), send or (lambda b: None), out_dir)
+    # continue the output numbering past prior passes — restarting at 0
+    # would overwrite already-tailed (and possibly already-checkpointed)
+    # event files
+    tailer._file_no = sum(
+        1 for n_ in os.listdir(out_dir) if n_.endswith(".jsonl")
+    )
+    n = tailer.run()
+    tmp = state_file + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(done | set(fresh)), f)
+    os.replace(tmp, state_file)
+    return n
+
+
 __all__ = [
     "PG_EPOCH_OFFSET_US",
+    "drain_recorded_frames",
     "PrimaryKeepalive",
     "ReplicationTailer",
     "XLogData",

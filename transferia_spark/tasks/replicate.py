@@ -184,11 +184,21 @@ def _stream_formats():
     }
 
 
-def source_position(fmt: str, schema_ddl: str, path: str) -> dict:
+def source_position(
+    fmt: str, schema_ddl: str, path: str, frames_path: str | None = None
+) -> dict:
     """Scan the recorded stream for its CURRENT end position — what the
     reference snapshots as the slot LSN / binlog position at activate
     time. Reuses the stream reader's own offset algebra."""
     formats = _stream_formats()
+    if fmt == "pgwire":
+        from transferia_spark.streaming.pg_replication import (
+            drain_recorded_frames,
+        )
+
+        if frames_path:
+            drain_recorded_frames(frames_path, path)
+        fmt = "waljson"
     if fmt not in formats:
         raise FatalError(
             f"unknown replication source format {fmt!r}; "
@@ -222,10 +232,24 @@ def build_replication_stream(
     """
     formats = _stream_formats()
     fmt = source.get("format")
+    if fmt == "pgwire":
+        # PG streaming-replication wire sessions (live socket drain or
+        # recorded CopyBoth captures under `frames_path`): decode
+        # XLogData frames into the wal2json directory at `path`, then
+        # tail it with the slot-direct waljson DataSource — the wire
+        # client (streaming/pg_replication.py) front-ending the same
+        # stream/offset path (publisher_replication.go end-to-end)
+        from transferia_spark.streaming.pg_replication import (
+            drain_recorded_frames,
+        )
+
+        drain_recorded_frames(source["frames_path"], source["path"])
+        source = {**source, "format": "waljson"}
+        fmt = "waljson"
     if fmt not in formats:
         raise FatalError(
             f"unknown replication source format {fmt!r}; "
-            f"supported: {sorted(formats)}"
+            f"supported: {sorted(formats) + ['pgwire']}"
         )
     cls, schema_fn = formats[fmt]
     spark.dataSource.register(cls)
@@ -365,7 +389,8 @@ def run_replication(
                 # the idempotent MERGE absorbs the overlap — the same
                 # at-least-once window the reference accepts
                 position = source_position(
-                    src["format"], src["schema"], src["path"]
+                    src["format"], src["schema"], src["path"],
+                    frames_path=src.get("frames_path"),
                 )
             if table_obj is not None:
                 report.snapshot_rows = _seed_snapshot(spark, spec, table_obj)
