@@ -81,9 +81,12 @@ def test_simhash_fingerprints_have_no_shuffle(spark):
 
 
 def test_minhash_pairs_shuffle_count(spark):
-    """End-to-end minhash: exactly the bucket groupBy + the final
-    distinct may shuffle — two logical exchanges, no more (AQE may tag
-    reused ones but adds none)."""
+    """End-to-end minhash with the r5 hot-key guard: the visible
+    exchanges are the hot-key count, the guarded bucket groupBy, and
+    the final pair distinct — three, all over the NARROW (band, id)
+    projection (the text/signature pipeline sits behind a lazy
+    localCheckpoint and is computed exactly once; the projection's own
+    distinct exchange lives inside the checkpointed lineage)."""
     docs = spark.createDataFrame(
         [(i, f"common prefix words here variant {i % 7}") for i in range(64)],
         ["doc_id", "text"],
@@ -93,7 +96,7 @@ def test_minhash_pairs_shuffle_count(spark):
     t = DedupMinHashLSH("text", "doc_id", n=3, k=32, bands=8)
     out = t.apply(TableID("", "d"), docs)[0][1]
     n_exchanges = len(re.findall(r"\bExchange hashpartitioning", _simple_plan(out)))
-    assert n_exchanges <= 2, f"expected <=2 hash exchanges, saw {n_exchanges}"
+    assert n_exchanges <= 3, f"expected <=3 hash exchanges, saw {n_exchanges}"
 
 
 def test_ann_brute_force_broadcasts_queries_not_corpus(spark):

@@ -122,14 +122,22 @@ def _bucket_pairs(
        shared by 10⁸ docs at 100× scale costs pass 1 a counter, not a
        10⁸-element array in one reducer.
 
-    The distinct's exchange is reused by both consumers (hot-key count
-    and the guarded aggregate read the same shuffle output), so the net
-    cost over the old single-pass form is one extra narrow (key, id)
-    shuffle — the price of a bounded buffer.
+    The distinct projection is ``localCheckpoint``-ed (lazy) so the
+    expensive upstream (shingle → signature → band) computes ONCE and
+    both consumers read the materialized narrow (key, id) blocks —
+    measured: without it Catalyst does NOT reuse the exchange and the
+    signature kernel runs twice. Same trade dedup_cluster already
+    makes: executor-local blocks, freed by the ContextCleaner when the
+    plan is garbage-collected; an executor loss costs a recompute of
+    the narrow projection, not of the corpus text.
     """
     payload = F.struct(*[F.col(c) for c in payload_cols])
     if max_bucket is not None:
-        proj = bucketed.select(F.col(key), payload.alias("_p")).distinct()
+        proj = (
+            bucketed.select(F.col(key), payload.alias("_p"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         hot = (
             proj.groupBy(key)
             .agg(F.count(F.lit(1)).alias("_n"))
