@@ -243,6 +243,68 @@ replication:
     }
 
 
+def test_replicate_survives_mid_stream_truncate_and_ddl(spark, tmp_path):
+    """replication.controls: a recorded binlog carrying rows, a
+    TRUNCATE, a DDL, and post-DDL rows with a NEW column replicates to
+    the right final state through the verb alone — the first attempt
+    applies up to the DDL and aborts, the supervisor's retry re-probes
+    the schema_file registry (evolved by the drift handler) and the
+    restarted query reads the new column. ≈ replicate.go's restart loop
+    doubling as publisher_replication.go:202's relation-message
+    re-resolution."""
+    src = str(tmp_path / "items.parquet")
+    binlog = str(tmp_path / "binlog")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    schema_file = str(tmp_path / "schema.ddl")
+    _write_items(spark, src)
+    with open(schema_file, "w") as f:
+        f.write("id long, v string")
+    _emit(binlog, "000.jsonl", [])
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: binlogjson
+    path: {binlog}
+    schema_file: {schema_file}
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 4}}
+  controls: {{enabled: true}}
+""")
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    _emit(binlog, "001.jsonl", [
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 10,
+         "row_idx": 0, "after": {"id": 3, "v": "c"}},
+        {"action": "truncate", "log_file": "binlog.000001", "log_pos": 20},
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 30,
+         "row_idx": 0, "after": {"id": 4, "v": "d"}},
+        {"action": "ddl", "log_file": "binlog.000001", "log_pos": 40},
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 50,
+         "row_idx": 0, "after": {"id": 5, "v": "e", "w": "x"}},
+    ])
+    report = run_replication(
+        spark, spec, state_dir=state, once=True,
+        retry_interval=0.0, sleep_fn=lambda s: None,
+    )
+    # attempt 1 hit the DDL and restarted; attempt 2 completed
+    assert report.attempts == 2
+    assert any("SchemaDrift" in e or "schema restart" in e for e in report.errors)
+    # the registry evolved: post-DDL columns are in the schema_file
+    with open(schema_file) as f:
+        assert f.read() == "id bigint, v string, w string"
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    got = {(r.id, r.v, r.w) for r in table.read().collect()}
+    # truncate wiped the seed and row 3; rows 4 (pre-DDL, no w) and 5
+    # (post-DDL, w carried) survive
+    assert got == {(4, "d", None), (5, "e", "x")}
+
+
 def test_replicate_requires_replication_section(spark, tmp_path):
     spec = transfer_from_yaml(f"""
 type: INCREMENT_ONLY

@@ -212,6 +212,45 @@ class BinlogJsonDataSource(DataSource):
         return BinlogJsonStreamReader(schema, self.options)
 
 
+def probe_binlog_schema(path: str, base_ddl: str):
+    """Relation-message analog for the recorded binlog (≈ the reference
+    re-resolving the table schema on a DDL event,
+    publisher_replication.go:202): scan row events for column names not
+    in the base schema, infer types from their JSON values, and evolve
+    widening-only (new columns append nullable — schema_drift.evolve's
+    contract). Returns the evolved StructType."""
+    from transferia_spark.streaming.schema_drift import evolve
+
+    st = T._parse_datatype_string(base_ddl)
+    known = {f.name for f in st.fields}
+    inferred: dict[str, T.DataType] = {}
+
+    def _infer(v) -> T.DataType:
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        return T.StringType()
+
+    for f in _scan_files(path):
+        for ev in _events(f):
+            for side in ("before", "after"):
+                for k, v in (ev.get(side) or {}).items():
+                    if k not in known and k not in inferred and v is not None:
+                        inferred[k] = _infer(v)
+    probed = T.StructType(
+        list(st.fields)
+        + [T.StructField(k, t, True) for k, t in sorted(inferred.items())]
+    )
+    return evolve(st, probed)
+
+
+def schema_to_ddl(st: T.StructType) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
+
+
 # --------------------------------------------------------------- Mongo
 
 

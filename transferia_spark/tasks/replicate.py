@@ -94,7 +94,7 @@ def _cause_signature(err: BaseException) -> str:
     causes = [
         ln
         for ln in lines
-        if re.match(r"^[A-Za-z_][\w.]*(Error|Exception): ", ln)
+        if re.match(r"^[A-Za-z_][\w.]*(Error|Exception|Detected|Timeout): ", ln)
         and not ln.startswith(("StreamingQueryException", "Py4JJavaError", "py4j."))
     ]
     if causes:
@@ -220,6 +220,16 @@ def _position_options(fmt: str, position: dict | None) -> dict[str, str]:
     }
 
 
+def source_schema_ddl(source: dict) -> str:
+    """Resolve the payload DDL: an inline ``schema`` or a ``schema_file``
+    re-read per attempt — the file is the mutable registry the drift
+    handler evolves, so a supervisor restart picks up the new columns."""
+    if source.get("schema_file"):
+        with open(source["schema_file"]) as f:
+            return f.read().strip()
+    return source["schema"]
+
+
 def build_replication_stream(
     spark: SparkSession,
     source: dict,
@@ -227,8 +237,9 @@ def build_replication_stream(
 ) -> DataFrame:
     """``replication.source`` section → checkpointable stream DataFrame.
 
-    ``source``: {format, path, schema (payload DDL), options?, drop?}.
-    ``position``: resume-after offset recorded at snapshot-seed time.
+    ``source``: {format, path, schema (payload DDL) | schema_file,
+    options?, drop?}. ``position``: resume-after offset recorded at
+    snapshot-seed time.
     """
     formats = _stream_formats()
     fmt = source.get("format")
@@ -255,7 +266,7 @@ def build_replication_stream(
     spark.dataSource.register(cls)
     reader = (
         spark.readStream.format(fmt)
-        .schema(schema_fn(source["schema"]))
+        .schema(schema_fn(source_schema_ddl(source)))
         .option("path", source["path"])
     )
     for k, v in {
@@ -389,7 +400,7 @@ def run_replication(
                 # the idempotent MERGE absorbs the overlap — the same
                 # at-least-once window the reference accepts
                 position = source_position(
-                    src["format"], src["schema"], src["path"],
+                    src["format"], source_schema_ddl(src), src["path"],
                     frames_path=src.get("frames_path"),
                 )
             if table_obj is not None:
@@ -405,17 +416,68 @@ def run_replication(
 
     from transferia_spark.streaming.pipeline import ReplicationPipeline
 
+    # mid-stream DDL handling (replication.controls.enabled): the source
+    # emits TRUNCATE/DDL control ChangeItems, a ControlRouter wraps the
+    # sink, and each restart re-resolves the schema from schema_file —
+    # SchemaDriftDetected is a transient error, so the reference's
+    # restart loop IS the drift supervisor (schema_drift.py contract)
+    controls_on = bool((rep.get("controls") or {}).get("enabled"))
+    base_sink = sink
+
+    def _attempt_sink():
+        if not controls_on or stream_factory is not None:
+            return base_sink
+        from pyspark.sql import types as T
+
+        from transferia_spark.streaming.cdc_sources import (
+            probe_binlog_schema,
+            schema_to_ddl,
+        )
+        from transferia_spark.streaming.controls import ControlRouter
+
+        src = rep.get("source") or {}
+        ddl = source_schema_ddl(src)
+
+        def wipe():
+            if table_obj is not None:
+                table_obj.overwrite(
+                    spark.createDataFrame([], T._parse_datatype_string(ddl))
+                )
+
+        def on_ddl(lsn: int):
+            # relation-message analog: re-probe the recorded stream for
+            # new columns and evolve the schema_file registry so the
+            # restarted query reads them (widening-only)
+            if src.get("schema_file"):
+                evolved = probe_binlog_schema(src["path"], ddl)
+                tmp = src["schema_file"] + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(schema_to_ddl(evolved))
+                os.replace(tmp, src["schema_file"])
+
+        return ControlRouter(
+            base_sink,
+            on_truncate=wipe,
+            on_ddl=on_ddl,
+            state_file=os.path.join(state_dir, f"ddl_{transfer_id}.json"),
+        )
+
     retry_count = 0
     last_err_text: str | None = None
     while True:
         report.attempts += 1
         try:
+            sink = _attempt_sink()
             if stream_factory is not None:
                 stream = stream_factory(spark, position)
             else:
-                stream = build_replication_stream(
-                    spark, rep.get("source") or {}, position
-                )
+                source = dict(rep.get("source") or {})
+                if controls_on:
+                    source["options"] = {
+                        **dict(source.get("options") or {}),
+                        "emit_controls": "true",
+                    }
+                stream = build_replication_stream(spark, source, position)
             # each row passes the transformation chain exactly once:
             # snapshot rows at seed time, stream rows here — the
             # reference's transformation middleware sits on the same
