@@ -9,6 +9,7 @@ Usage:
   python scripts/trcli.py activate  --transfer transfer.yaml --regular --max-runs 3
   python scripts/trcli.py replicate --transfer transfer.yaml [--once]
                                     [--state-dir d] [--max-attempts N]
+  python scripts/trcli.py status    --state-dir d [--transfer-id id]
   python scripts/trcli.py upload    --transfer transfer.yaml --tables t1,t2
   python scripts/trcli.py check     --transfer transfer.yaml   # parse+validate only
   python scripts/trcli.py validate  --transfer transfer.yaml   # alias of check
@@ -36,8 +37,8 @@ def main() -> int:
     ap.add_argument(
         "verb",
         choices=[
-            "activate", "replicate", "upload", "check", "validate",
-            "describe", "checksum", "compact",
+            "activate", "replicate", "status", "upload", "check",
+            "validate", "describe", "checksum", "compact",
         ],
     )
     ap.add_argument("--transfer", help="path to transfer.yaml")
@@ -99,6 +100,26 @@ def main() -> int:
 
         after = data_file_count(_os.path.join(args.dst, f"_v{v}"))
         print(f"compacted: {before} -> {after} files (version {v})")
+        return 0
+
+    if args.verb == "status":
+        # ≈ the health heartbeat the reference posts via
+        # coordinator.TransferHealth — read back without a SparkSession
+        from transferia_spark.tasks.replicate import TransferStateStore
+
+        store = TransferStateStore(args.state_dir)
+        state = store.get(args.transfer_id)
+        health = store.health(args.transfer_id)
+        print(f"status: {state.get('status', 'not activated')}")
+        if state.get("source_position") is not None:
+            print(f"source_position: {state['source_position']}")
+        if health:
+            import datetime as _dt
+
+            ts = _dt.datetime.fromtimestamp(health["ts"]).isoformat()
+            print(f"retry_count: {health['retry_count']}")
+            print(f"last_error: {health['last_error'] or '(none)'}")
+            print(f"last_heartbeat: {ts}")
         return 0
 
     if not args.transfer:

@@ -315,6 +315,25 @@ dst: {{type: file, params: {{path: {tmp_path}/y, format: parquet}}}}
         run_replication(spark, spec, state_dir=str(tmp_path / "s"))
 
 
+def test_trcli_status_verb_reads_state_and_health(tmp_path):
+    """`trcli status` surfaces the coordinator state + heartbeat without
+    a SparkSession (≈ reading back coordinator.TransferHealth)."""
+    import subprocess
+    import sys
+
+    store = TransferStateStore(str(tmp_path))
+    store.set("transfer", status="activated", source_position={"lsn": 7})
+    store.report_health("transfer", 2, "ConnectionError: hiccup")
+    out = subprocess.run(
+        [sys.executable, "scripts/trcli.py", "status",
+         "--state-dir", str(tmp_path)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    assert "status: activated" in out.stdout
+    assert "retry_count: 2" in out.stdout and "hiccup" in out.stdout
+
+
 def test_is_fatal_classification():
     assert is_fatal(FatalError("x"))
     assert is_fatal(ValueError("bad config"))
