@@ -1306,6 +1306,37 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.apply_df(d)
 
 
+INCR_NEW_MOD = 7  # doc_id % 7 == 0 plays the "ingest batch"
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py DedupIncremental):
+    the corpus minus every 7th doc is pre-indexed (banded signatures);
+    the 7th-doc 'ingest batch' hashes only itself and joins its bands
+    against the index. The emitted pair set must equal the FULL-corpus
+    LSH pairs restricted to pairs touching a new doc — proving the
+    index path finds exactly what a from-scratch run would."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(f"doc_id % {INCR_NEW_MOD} = 0")
+    old = d.filter(f"doc_id % {INCR_NEW_MOD} != 0")
+    t = build("dedup_incremental", text_col="text", id_col="doc_id", **MINHASH)
+    return t.pairs_with_index(new, t.band_index(old))
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split (operators/corpus.py
+    LeakageSafeSplit): near-duplicate clusters are the assignment unit
+    (no near-dup of a val doc can sit in train); the split hashes the
+    cluster id with the portable integer hash so the oracle reproduces
+    the exact assignment."""
+    d = _t(spark, sf_dir, "documents")
+    t = build(
+        "split_leakage_safe", text_col="text", id_col="doc_id",
+        val_pct=5, test_pct=5, **MINHASH,
+    )
+    return t.apply_df(d)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs sharing ≥3 word-3-gram hashes
     with the benchmark subset (doc_id % 97 == 0) are flagged."""
@@ -3071,6 +3102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_shard_ranges": q_jdbc_shard_ranges,
         "mongo_id_ranges": q_mongo_id_ranges,
         "partition_expansion": q_partition_expansion,
+        "dedup_incremental": q_dedup_incremental,
+        "split_leakage_safe": q_split_leakage_safe,
         # -- (b) code changed in round 5 (hot-key guard, sessionize
         # sweep, delta checkpoints, transfer spec): re-score ---------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3504,6 +3537,38 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT user_id, value FROM collapsed WHERE _op <> 'd'
         """,
+        "dedup_incremental": f"""
+WITH {_sql_minhash_cte()}
+SELECT id_a, id_b,
+       (id_a % {INCR_NEW_MOD} = 0) <> (id_b % {INCR_NEW_MOD} = 0) AS is_cross
+FROM pairs
+WHERE id_a % {INCR_NEW_MOD} = 0 OR id_b % {INCR_NEW_MOD} = 0
+""",
+        "split_leakage_safe": f"""
+WITH RECURSIVE {_sql_minhash_cte()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lbl AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+assign AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN {pf.sql_pt_ihash("cluster_id")} % 100 < 5 THEN 'val'
+            WHEN {pf.sql_pt_ihash("cluster_id")} % 100 < 10 THEN 'test'
+            ELSE 'train' END AS split
+FROM assign
+""",
         "dblog_snapshot": _changelog_cte(key="c_custkey", value="c_acctbal")
         + """
         SELECT c.c_custkey, CAST(NULL AS VARCHAR) AS c_name,

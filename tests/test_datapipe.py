@@ -113,6 +113,55 @@ def test_bucket_pairs_hot_key_guard_two_pass(spark):
     assert a == b == {(1, 2), (3, 4), (3, 5), (4, 5)}
 
 
+def test_dedup_incremental_matches_full_run_restricted_to_new(spark):
+    """The index path must find exactly the full-corpus LSH pairs that
+    touch a new doc — no more (phantom pairs), no fewer (missed dups)."""
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog variant {i % 4}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = build(
+        "dedup_minhash_lsh", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    ).apply_df(df)
+    expected = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    t = build(
+        "dedup_incremental", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    )
+    new = df.filter("doc_id % 5 = 0")
+    old = df.filter("doc_id % 5 != 0")
+    got = t.pairs_with_index(new, t.band_index(old)).collect()
+    assert {(r.id_a, r.id_b) for r in got} == expected
+    for r in got:
+        assert r.is_cross == ((r.id_a % 5 == 0) != (r.id_b % 5 == 0))
+
+
+def test_split_leakage_safe_coassigns_near_dups(spark):
+    """Every near-dup cluster lands wholly in one split, and the split
+    is deterministic across invocations."""
+    rows = [
+        (i, f"shared boilerplate text block number {i // 3} with tail")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = build(
+        "split_leakage_safe", text_col="text", id_col="doc_id",
+        val_pct=20, test_pct=20, n=3, k=32, bands=8,
+    )
+    out = t.apply_df(df).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {r.split for r in out} >= {"train"}  # assignment happened
+    again = {(r.doc_id, r.split) for r in t.apply_df(df).collect()}
+    assert again == {(r.doc_id, r.split) for r in out}
+
+
 def test_simhash_identical_docs_same_fingerprint(docs):
     t = build("dedup_simhash", text_col="text", id_col="doc_id")
     fps = {r.doc_id: r.simhash for r in t.fingerprints(docs).collect()}

@@ -138,6 +138,57 @@ class DedupCluster(Transformer):
 
 
 @register
+class LeakageSafeSplit(Transformer):
+    """Train/val/test assignment that never separates near-duplicates:
+    the unit of assignment is the near-dup CLUSTER, not the document —
+    a val document whose near-dup sits in train leaks the answer into
+    training. Clusters come from :class:`DedupCluster`'s connected
+    components over the LSH pair graph; the split hashes the cluster id
+    with the portable integer hash (``pt_ihash`` — exact in Spark AND
+    the SQL oracle), so the same corpus always splits identically and
+    adding documents only moves the clusters they touch.
+
+    Output: (id, cluster_id, split) with split ∈ {train, val, test};
+    every member of a cluster gets the same split by construction.
+    """
+
+    TYPE = "split_leakage_safe"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        val_pct: int = 5,
+        test_pct: int = 5,
+        n: int = 3,
+        k: int = 32,
+        bands: int = 8,
+        max_bucket: int | None = 1000,
+        seed: int = 0,
+    ):
+        if not 0 <= val_pct + test_pct <= 100:
+            raise ValueError("val_pct + test_pct must be within [0, 100]")
+        self.id_col = id_col
+        self.val_pct, self.test_pct, self.seed = val_pct, test_pct, seed
+        self.cluster = DedupCluster(
+            text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
+        )
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        clustered = self.cluster.apply(table, df)[0][1]
+        bucket = pt_ihash(F.col("cluster_id"), self.seed) % 100
+        split = (
+            F.when(bucket < self.val_pct, F.lit("val"))
+            .when(bucket < self.val_pct + self.test_pct, F.lit("test"))
+            .otherwise(F.lit("train"))
+        )
+        out = clustered.select(
+            self.id_col, "cluster_id", split.alias("split")
+        )
+        return [(table, out)]
+
+
+@register
 class Decontaminate(Transformer):
     """Flag documents sharing word n-grams with a benchmark set.
 

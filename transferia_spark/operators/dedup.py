@@ -327,6 +327,94 @@ class DedupMinHashLSH(Transformer):
 
 
 @register
+class DedupIncremental(Transformer):
+    """Incremental near-dup candidates for an INGEST batch against an
+    already-indexed corpus — the 100-TB ingest pattern: the persistent
+    artifact is the banded signature index (one (id, band-key) row per
+    band per document, ``band_index``), each ingest batch hashes ONLY
+    its own documents and joins its band keys against the index. The
+    old corpus text is never re-read, and the index grows by appending
+    the batch's own ``band_index`` rows after the check.
+
+    ``pairs_with_index(new_df, index)`` emits candidate pairs where at
+    least one side is new: new↔old via an equi-join of the batch's
+    bands against the index (the batch side is small relative to the
+    index — AQE broadcasts it), new↔new via the same bucket expansion
+    the full-corpus operator uses. ``is_cross`` marks new↔old pairs.
+    New ids must be disjoint from indexed ids (an ingest batch is).
+
+    The hot-key guard measures the COMBINED (index + batch) population
+    of each band key, so a boilerplate shingle that only became hot
+    across many ingests still gets dropped before any pair expansion.
+    """
+
+    TYPE = "dedup_incremental"
+
+    def __init__(
+        self,
+        text_col: str,
+        id_col: str,
+        n: int = 3,
+        k: int = 32,
+        bands: int = 8,
+        max_bucket: int | None = 1000,
+    ):
+        self.id_col = id_col
+        self.max_bucket = max_bucket
+        self.lsh = DedupMinHashLSH(
+            text_col, id_col, n=n, k=k, bands=bands, max_bucket=max_bucket
+        )
+
+    def band_index(self, df: DataFrame) -> DataFrame:
+        """(id, _bk) rows — the persistable index artifact (parquet it
+        partitioned/bucketed by ``_bk`` for co-located ingest joins)."""
+        return self.lsh.signatures(df).select(
+            self.id_col, F.explode_outer("_bands").alias("_bk")
+        )
+
+    def pairs_with_index(self, new_df: DataFrame, index: DataFrame) -> DataFrame:
+        nb = self.band_index(new_df).localCheckpoint(eager=False)
+        idx = index
+        if self.max_bucket is not None:
+            hot = (
+                nb.select("_bk")
+                .unionByName(idx.select("_bk"))
+                .groupBy("_bk")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > self.max_bucket)
+                .select("_bk")
+            )
+            nb = nb.join(hot, on="_bk", how="left_anti")
+            idx = idx.join(hot, on="_bk", how="left_anti")
+        n_id, o_id = F.col(f"n.{self.id_col}"), F.col(f"o.{self.id_col}")
+        cross = (
+            nb.alias("n")
+            .join(idx.alias("o"), on="_bk")
+            .select(
+                F.least(n_id, o_id).alias("id_a"),
+                F.greatest(n_id, o_id).alias("id_b"),
+            )
+            .withColumn("is_cross", F.lit(True))
+        )
+        within = (
+            _bucket_pairs(nb, "_bk", [self.id_col], None)
+            .select(
+                F.col(f"_pa.{self.id_col}").alias("id_a"),
+                F.col(f"_pb.{self.id_col}").alias("id_b"),
+            )
+            .withColumn("is_cross", F.lit(False))
+        )
+        return cross.unionByName(within).distinct()
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        raise NotImplementedError(
+            "dedup_incremental needs the index side: call "
+            "pairs_with_index(new_df, band_index(old_df)) — a chain "
+            "transformer has no second input"
+        )
+
+
+@register
 class DedupSimHash(Transformer):
     """32-bit SimHash per document + hamming-distance near-dup pairs.
 
