@@ -305,6 +305,81 @@ replication:
     assert got == {(4, "d", None), (5, "e", "x")}
 
 
+def test_replicate_multi_table_database(spark, tmp_path):
+    """One transfer replicates a whole 'database' (the reference's
+    normal mode): two tables seed from the file source into their own
+    bucketed targets, and the shared binlog stream routes each event to
+    its table via the _table column; each target sees only its declared
+    columns out of the union wire schema."""
+    src_dir = str(tmp_path / "db")
+    binlog = str(tmp_path / "binlog")
+    state = str(tmp_path / "state")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .coalesce(1).write.parquet(os.path.join(src_dir, "items.parquet"))
+    spark.createDataFrame([(10, "ann"), (11, "bob")], "uid long, name string") \
+        .coalesce(1).write.parquet(os.path.join(src_dir, "users.parquet"))
+    _emit(binlog, "000.jsonl", [])
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src:
+  type: file
+  params: {{path: {src_dir}, format: parquet, tables: [items, users]}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: binlogjson
+    path: {binlog}
+    schema: "id long, v string, uid long, name string"
+  target:
+    tables:
+      items: {{root: {tmp_path}/t_items, keys: [id], columns: [id, v], n_buckets: 4}}
+      users: {{root: {tmp_path}/t_users, keys: [uid], columns: [uid, name], n_buckets: 4}}
+""")
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    items = BucketedParquetTable(spark, f"{tmp_path}/t_items", keys=["id"],
+                                 n_buckets=4)
+    users = BucketedParquetTable(spark, f"{tmp_path}/t_users", keys=["uid"],
+                                 n_buckets=4)
+    assert {(r.id, r.v) for r in items.read().collect()} == {(1, "a"), (2, "b")}
+    assert {(r.uid, r.name) for r in users.read().collect()} == {
+        (10, "ann"), (11, "bob"),
+    }
+    assert items.read().columns == ["id", "v"]  # no union-schema bleed
+
+    _emit(binlog, "001.jsonl", [
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 10,
+         "row_idx": 0, "table": "items", "after": {"id": 3, "v": "c"}},
+        {"action": "update", "log_file": "binlog.000001", "log_pos": 20,
+         "row_idx": 0, "table": "users",
+         "before": {"uid": 11, "name": "bob"},
+         "after": {"uid": 11, "name": "bobby"}},
+        {"action": "delete", "log_file": "binlog.000001", "log_pos": 30,
+         "row_idx": 0, "table": "items", "before": {"id": 1, "v": "a"}},
+    ])
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+    assert {(r.id, r.v) for r in items.read().collect()} == {(2, "b"), (3, "c")}
+    assert {(r.uid, r.name) for r in users.read().collect()} == {
+        (10, "ann"), (11, "bobby"),
+    }
+
+
+def test_replicate_multi_table_unknown_table_errors(spark, tmp_path):
+    from transferia_spark.tasks.replicate import MultiTableCdcSink
+
+    sink = MultiTableCdcSink(
+        spark,
+        {"items": {"root": str(tmp_path / "t"), "keys": ["id"]}},
+    )
+    batch = spark.createDataFrame(
+        [(1, "x", "ghost", "i", 1, 0)],
+        "id long, v string, _table string, _op string, _lsn long, _counter int",
+    )
+    with pytest.raises(FatalError, match="undeclared tables"):
+        sink(batch, 0)
+
+
 def test_replicate_requires_replication_section(spark, tmp_path):
     spec = transfer_from_yaml(f"""
 type: INCREMENT_ONLY

@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from transferia_spark.plans.transfer import TransferSpec, TransferType, _selected
 
@@ -283,12 +284,93 @@ def build_replication_stream(
     return df.drop(*drop) if drop else df
 
 
+class MultiTableCdcSink:
+    """foreachBatch router for MULTI-table replication (≈ the
+    reference's per-table sink routing: one transfer replicates a whole
+    database, each table applying to its own target). The batch splits
+    on the ``_table`` routing column; each configured table selects its
+    own payload columns out of the stream's union schema (absent
+    columns ride as NULLs on the wire, never into the target).
+
+    ``tables``: {stream table name: {root, keys, columns, n_buckets?}}.
+    The per-batch table discovery is a ``distinct()`` on ``_table`` —
+    bounded by the transfer's table count, not by data volume.
+    Unknown table names follow ``on_unknown``: 'error' (default — a
+    replication stream carrying an undeclared table is a config bug) or
+    'skip' (the include-list semantics of data_objects).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, dict],
+        on_unknown: str = "error",
+    ):
+        from transferia_spark.streaming.bucketed_table import (
+            BucketedCdcApplySink,
+            BucketedParquetTable,
+        )
+
+        if on_unknown not in ("error", "skip"):
+            raise FatalError("on_unknown must be 'error' or 'skip'")
+        self.on_unknown = on_unknown
+        self.tables: dict[str, dict] = {}
+        self.sinks: dict[str, BucketedCdcApplySink] = {}
+        self.targets: dict[str, BucketedParquetTable] = {}
+        for name, cfg in tables.items():
+            keys = list(cfg.get("keys") or [])
+            if not keys or not cfg.get("root"):
+                raise FatalError(
+                    f"replication.target.tables[{name!r}] needs root + keys"
+                )
+            t = BucketedParquetTable(
+                spark, cfg["root"], keys=keys,
+                n_buckets=int(cfg.get("n_buckets", 16)),
+            )
+            self.targets[name] = t
+            self.sinks[name] = BucketedCdcApplySink(t)
+            self.tables[name] = cfg
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if "_table" not in batch_df.columns:
+            raise FatalError(
+                "multi-table replication needs the _table routing column "
+                "— don't drop it from the stream"
+            )
+        names = sorted(
+            r[0]
+            for r in batch_df.select("_table").distinct().collect()
+            if r[0]
+        )
+        unknown = [n for n in names if n not in self.tables]
+        if unknown and self.on_unknown == "error":
+            raise FatalError(
+                f"stream carries undeclared tables {unknown}; declare them "
+                "in replication.target.tables or set on_unknown: skip"
+            )
+        for name in names:
+            cfg = self.tables.get(name)
+            if cfg is None:
+                continue
+            sub = batch_df.filter(F.col("_table") == name).drop("_table")
+            cols = cfg.get("columns")
+            if cols:
+                meta = [c for c in sub.columns if c.startswith("_")]
+                sub = sub.select(*cols, *meta)
+            self.sinks[name](sub, batch_id)
+
+
 def build_replication_sink(spark: SparkSession, target: dict):
     """``replication.target`` section → (sink callable, table object).
 
     kinds: ``bucketed`` (BucketedParquetTable — O(touched buckets)
     MERGE) and ``parquet`` (versioned full-table MERGE).
     """
+    if target.get("tables"):
+        sink = MultiTableCdcSink(
+            spark, target["tables"], target.get("on_unknown", "error")
+        )
+        return sink, sink  # the sink doubles as the multi-table seeder
     kind = target.get("kind", "bucketed")
     keys = list(target.get("keys") or [])
     if not keys:
@@ -326,21 +408,42 @@ class ReplicationReport:
 
 
 def _seed_snapshot(spark: SparkSession, spec: TransferSpec, table_obj) -> int:
-    """SNAPSHOT_AND_INCREMENT activation: load the (single) selected
-    source table through the transformation chain into the SAME table
-    the changelog merges into (≈ RunActivate before the worker loop)."""
+    """SNAPSHOT_AND_INCREMENT activation: load the selected source
+    table(s) through the transformation chain into the SAME target(s)
+    the changelog merges into (≈ RunActivate before the worker loop).
+    Multi-table mode seeds every declared table; single-table mode
+    requires exactly one selected table."""
     tables = [t for t in spec.src.table_list(spark) if _selected(spec, t)]
+
+    def one(t, target):
+        df = spec.src.load_table(spark, t, where=spec.filters.get(t.fqtn()))
+        routed = spec.transformation.apply(t, df)
+        if len(routed) != 1:
+            raise FatalError("replicate transformation must not fan out")
+        target.overwrite(routed[0][1])
+
+    if isinstance(table_obj, MultiTableCdcSink):
+        for t in tables:
+            name = t.fqtn() if t.fqtn() in table_obj.tables else t.name
+            if name in table_obj.tables:
+                cfg = table_obj.tables[name]
+                df = spec.src.load_table(
+                    spark, t, where=spec.filters.get(t.fqtn())
+                )
+                routed = spec.transformation.apply(t, df)
+                if len(routed) != 1:
+                    raise FatalError("replicate transformation must not fan out")
+                out = routed[0][1]
+                if cfg.get("columns"):
+                    out = out.select(*cfg["columns"])
+                table_obj.targets[name].overwrite(out)
+        return -1
     if len(tables) != 1:
         raise FatalError(
             f"replicate seeds exactly one table per pipeline; selected "
             f"{[t.fqtn() for t in tables]} — narrow data_objects.include_objects"
         )
-    t = tables[0]
-    df = spec.src.load_table(spark, t, where=spec.filters.get(t.fqtn()))
-    routed = spec.transformation.apply(t, df)
-    if len(routed) != 1:
-        raise FatalError("replicate transformation must not fan out")
-    table_obj.overwrite(routed[0][1])
+    one(tables[0], table_obj)
     return -1  # count not materialized (activate() contract)
 
 
@@ -477,6 +580,9 @@ def run_replication(
                         **dict(source.get("options") or {}),
                         "emit_controls": "true",
                     }
+                if (rep.get("target") or {}).get("tables"):
+                    # multi-table mode routes on _table — keep it
+                    source.setdefault("drop", [])
                 stream = build_replication_stream(spark, source, position)
             # each row passes the transformation chain exactly once:
             # snapshot rows at seed time, stream rows here — the
@@ -525,6 +631,7 @@ def run_replication(
 
 __all__ = [
     "FatalError",
+    "MultiTableCdcSink",
     "ReplicationReport",
     "TransferStateStore",
     "build_replication_sink",
