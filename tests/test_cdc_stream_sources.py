@@ -381,3 +381,70 @@ def test_change_stream_replication_pipeline_end_to_end(spark, tmp_path):
     run()
     got = {r._id: (r.v, r.w) for r in table.read().collect()}
     assert got == {2: ("b", None)}  # w genuinely NULLed, v untouched
+
+
+def test_binlog_bounded_catchup_batches(tmp_path):
+    """max_events_per_batch (≈ the reference's bufferer caps): a backlog
+    of 7 events drains in ceil(7/3) planned batches — each latestOffset
+    advances at most 3 positions past the last planned batch — and every
+    event is delivered exactly once across the batches."""
+    from transferia_spark.streaming.cdc_sources import (
+        BinlogJsonStreamReader,
+        binlog_output_schema,
+    )
+
+    bdir = str(tmp_path / "b")
+    _emit(bdir, "000.jsonl", [
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": p,
+         "row_idx": 0, "after": {"id": p, "v": "x"}}
+        for p in range(10, 80, 10)
+    ])
+    reader = BinlogJsonStreamReader(
+        binlog_output_schema("id long, v string"),
+        {"path": bdir, "max_events_per_batch": "3"},
+    )
+    seen, batches = [], 0
+    start = reader.initialOffset()
+    while True:
+        end = reader.latestOffset()
+        if end == start:
+            break
+        batches += 1
+        for part in reader.partitions(start, end):
+            seen += [r[0] for r in reader.read(part)]
+        start = end
+    assert batches == 3  # 3 + 3 + 1
+    assert seen == [10, 20, 30, 40, 50, 60, 70]
+
+    # uncapped reader plans the whole backlog in one batch
+    reader2 = BinlogJsonStreamReader(
+        binlog_output_schema("id long, v string"), {"path": bdir}
+    )
+    assert reader2.latestOffset()["lsn"] == 10**12 + 70
+
+
+def test_waljson_bounded_catchup_batches(tmp_path):
+    from transferia_spark.streaming.wal_source import (
+        WalJsonStreamReader,
+        wal_output_schema,
+    )
+
+    wdir = str(tmp_path / "w")
+    _emit(wdir, "000.jsonl", [
+        {"action": "I", "lsn": n,
+         "columns": [{"name": "id", "value": n}]}
+        for n in range(1, 6)
+    ])
+    reader = WalJsonStreamReader(
+        wal_output_schema("id long"),
+        {"path": wdir, "max_events_per_batch": "2"},
+    )
+    seen, start = [], reader.initialOffset()
+    while True:
+        end = reader.latestOffset()
+        if end == start:
+            break
+        for part in reader.partitions(start, end):
+            seen += [r[0] for r in reader.read(part)]
+        start = end
+    assert seen == [1, 2, 3, 4, 5]

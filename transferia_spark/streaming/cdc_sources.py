@@ -120,18 +120,39 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         self.emit_controls = str(
             options.get("emit_controls", "false")
         ).lower() in ("true", "1")
+        # bounded catch-up batches (≈ the reference's bufferer caps,
+        # middlewares/bufferer.go): latestOffset advances at most this
+        # many binlog positions past the last planned batch, so a
+        # replica resuming after downtime processes the backlog in
+        # memory-bounded micro-batches instead of one giant batch
+        mx = options.get("max_events_per_batch")
+        self.max_events = int(mx) if mx is not None else None
+        self._base: int | None = None
 
     def initialOffset(self) -> dict:
         return {"lsn": self.start_lsn}
 
     def latestOffset(self) -> dict:
-        hi = 0
+        base = self._base if self._base is not None else self.start_lsn
+        if self.max_events is None:
+            hi = 0
+            for f in _scan_files(self.path):
+                for ev in _events(f):
+                    hi = max(hi, binlog_lsn(ev["log_file"], ev["log_pos"]))
+            return {"lsn": max(hi, base)}
+        pending: set[int] = set()
         for f in _scan_files(self.path):
             for ev in _events(f):
-                hi = max(hi, binlog_lsn(ev["log_file"], ev["log_pos"]))
-        return {"lsn": hi}
+                lsn = binlog_lsn(ev["log_file"], ev["log_pos"])
+                if lsn > base:
+                    pending.add(lsn)
+        if not pending:
+            return {"lsn": base}
+        take = sorted(pending)[: self.max_events]
+        return {"lsn": take[-1]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._base = max(self._base or 0, int(end["lsn"]))
         if int(end["lsn"]) <= int(start["lsn"]):
             return [_FileSlice("", start, end)]
         return [_FileSlice(f, start, end) for f in _scan_files(self.path)]

@@ -102,6 +102,11 @@ class WalJsonStreamReader(DataSourceStreamReader):
         # this position, so pre-snapshot WAL in the directory is not
         # replayed over newer snapshot state
         self.start_lsn = int(options.get("start_lsn", 0))
+        # bounded catch-up batches (≈ middlewares/bufferer.go caps):
+        # advance at most this many LSNs per planned batch
+        mx = options.get("max_events_per_batch")
+        self.max_events = int(mx) if mx is not None else None
+        self._base: int | None = None
 
     # -- offset algebra: an offset is {"lsn": n}, rows with lsn in
     # (start, end] belong to the batch (same half-open contract as
@@ -110,9 +115,23 @@ class WalJsonStreamReader(DataSourceStreamReader):
         return {"lsn": self.start_lsn}
 
     def latestOffset(self) -> dict:
-        return {"lsn": _max_lsn(self.path)}
+        base = self._base if self._base is not None else self.start_lsn
+        if self.max_events is None:
+            return {"lsn": max(_max_lsn(self.path), base)}
+        pending: set[int] = set()
+        for f in _scan_files(self.path):
+            with open(f) as fh:
+                for line in fh:
+                    if line.strip():
+                        lsn = int(json.loads(line)["lsn"])
+                        if lsn > base:
+                            pending.add(lsn)
+        if not pending:
+            return {"lsn": base}
+        return {"lsn": sorted(pending)[: self.max_events][-1]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._base = max(self._base or 0, int(end["lsn"]))
         lo, hi = int(start["lsn"]), int(end["lsn"])
         if hi <= lo:
             return [_FileSlice("", lo, hi)]  # empty batch still needs ≥1 partition
