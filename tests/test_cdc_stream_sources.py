@@ -448,3 +448,30 @@ def test_waljson_bounded_catchup_batches(tmp_path):
             seen += [r[0] for r in reader.read(part)]
         start = end
     assert seen == [1, 2, 3, 4, 5]
+
+
+def test_change_stream_bounded_catchup_batches(tmp_path):
+    from transferia_spark.streaming.cdc_sources import (
+        ChangeStreamJsonStreamReader,
+        change_stream_output_schema,
+    )
+
+    csdir = str(tmp_path / "cs")
+    _emit(csdir, "000.jsonl", [
+        {"operationType": "insert", "clusterTime": t, "order": 0,
+         "documentKey": {"_id": t}, "fullDocument": {"_id": t, "v": "x"}}
+        for t in range(1, 6)
+    ])
+    reader = ChangeStreamJsonStreamReader(
+        change_stream_output_schema("_id long, v string"),
+        {"path": csdir, "max_events_per_batch": "2"},
+    )
+    seen, start = [], reader.initialOffset()
+    while True:
+        end = reader.latestOffset()
+        if end == start:
+            break
+        for part in reader.partitions(start, end):
+            seen += [r[0] for r in reader.read(part)]
+        start = end
+    assert seen == [1, 2, 3, 4, 5]

@@ -315,20 +315,41 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
         # this (clusterTime, order) pair (≈ the stored resume token)
         self.start_ts = int(options.get("start_ts", 0))
         self.start_order = int(options.get("start_order", -1))
+        # bounded catch-up batches (≈ middlewares/bufferer.go caps)
+        mx = options.get("max_events_per_batch")
+        self.max_events = int(mx) if mx is not None else None
+        self._base: tuple[int, int] | None = None
 
     def initialOffset(self) -> dict:
         return {"ts": self.start_ts, "order": self.start_order}
 
     def latestOffset(self) -> dict:
-        hi = (0, -1)
+        base = (
+            self._base
+            if self._base is not None
+            else (self.start_ts, self.start_order)
+        )
+        if self.max_events is None:
+            hi = base
+            for f in _scan_files(self.path):
+                for ev in _events(f):
+                    hi = max(hi, _cs_pos(ev))
+            return {"ts": hi[0], "order": hi[1]}
+        pending: set[tuple[int, int]] = set()
         for f in _scan_files(self.path):
             for ev in _events(f):
-                hi = max(hi, _cs_pos(ev))
-        return {"ts": hi[0], "order": hi[1]}
+                pos = _cs_pos(ev)
+                if pos > base:
+                    pending.add(pos)
+        if not pending:
+            return {"ts": base[0], "order": base[1]}
+        take = sorted(pending)[: self.max_events][-1]
+        return {"ts": take[0], "order": take[1]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo = (int(start["ts"]), int(start["order"]))
         hi = (int(end["ts"]), int(end["order"]))
+        self._base = max(self._base or (0, -1), hi)
         if hi <= lo:
             return [_FileSlice("", start, end)]
         return [_FileSlice(f, start, end) for f in _scan_files(self.path)]
