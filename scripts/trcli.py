@@ -78,6 +78,10 @@ def main() -> int:
         help="replicate: bound the restart loop (default: run forever)",
     )
     ap.add_argument(
+        "--max-runtime", type=float, default=None,
+        help="replicate: stop the continuous query cleanly after N seconds",
+    )
+    ap.add_argument(
         "--retry-interval", type=float, default=10.0,
         help="replicate: seconds between restart attempts",
     )
@@ -166,6 +170,7 @@ def main() -> int:
             state_dir=args.state_dir,
             once=args.once,
             max_attempts=args.max_attempts,
+            max_runtime=args.max_runtime,
             retry_interval=args.retry_interval,
         )
         print(

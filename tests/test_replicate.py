@@ -380,6 +380,82 @@ def test_replicate_multi_table_unknown_table_errors(spark, tmp_path):
         sink(batch, 0)
 
 
+def test_replicate_continuous_heartbeats_and_live_pgwire_drain(spark, tmp_path):
+    """Continuous mode: the supervisor heartbeats while healthy
+    (healthReportTicker analog) and keeps draining NEW pgwire captures
+    recorded while the query runs; max_runtime stops the query cleanly."""
+    import threading
+
+    from transferia_spark.streaming.pg_replication import encode_xlog_data
+
+    src = str(tmp_path / "items.parquet")
+    frames = str(tmp_path / "frames")
+    wal = str(tmp_path / "wal")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    _write_items(spark, src)
+
+    def w2j(action, **cols):
+        return json.dumps(
+            {"action": action,
+             "columns": [{"name": k, "value": v} for k, v in cols.items()]}
+        ).encode()
+
+    def record(name, frame_list):
+        os.makedirs(frames, exist_ok=True)
+        tmp = os.path.join(frames, "." + name)
+        with open(tmp, "w") as f:
+            for fr in frame_list:
+                f.write(json.dumps({"frame": fr.hex()}) + "\n")
+        os.replace(tmp, os.path.join(frames, name))
+
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: pgwire
+    frames_path: {frames}
+    path: {wal}
+    schema: "id long, v string"
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 4}}
+  trigger: {{processingTime: "500 milliseconds"}}
+  health_interval: 1.0
+""")
+    # wire captures arrive WHILE the continuous query runs — the first
+    # during the initial batches, the second after a heartbeat drain
+    timers = [
+        threading.Timer(
+            2.0, record,
+            args=("000.jsonl", [encode_xlog_data(10, 11, w2j("I", id=3, v="c"))]),
+        ),
+        threading.Timer(
+            6.0, record,
+            args=("001.jsonl", [encode_xlog_data(20, 21, w2j("I", id=4, v="d"))]),
+        ),
+    ]
+    for t in timers:
+        t.start()
+    try:
+        report = run_replication(
+            spark, spec, state_dir=state,
+            max_runtime=16.0, retry_interval=0.0,
+        )
+    finally:
+        for t in timers:
+            t.cancel()
+    assert report.attempts == 1 and report.errors == []
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    got = {(r.id, r.v) for r in table.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}, got
+    health = TransferStateStore(state).health("transfer")
+    assert health is not None and health["last_error"] == ""
+
+
 def test_replicate_requires_replication_section(spark, tmp_path):
     spec = transfer_from_yaml(f"""
 type: INCREMENT_ONLY

@@ -455,6 +455,7 @@ def run_replication(
     state_dir: str,
     once: bool = False,
     max_attempts: int | None = None,
+    max_runtime: float | None = None,
     retry_interval: float = 10.0,
     sleep_fn: Callable[[float], None] = time.sleep,
     stream_factory: Callable[[SparkSession, dict | None], DataFrame] | None = None,
@@ -467,7 +468,10 @@ def run_replication(
       returns after the first clean pass (recorded-log / test mode);
       ``once=False`` runs the continuous trigger until an error, then
       classifies and retries — the reference's restart-forever loop
-      (bound it with ``max_attempts``).
+      (bound it with ``max_attempts``; ``max_runtime`` stops the query
+      cleanly after N seconds — bounded soak mode). While healthy, a
+      heartbeat is reported every ``replication.health_interval``
+      seconds (default 60) and pgwire captures drain continuously.
     - fatal error → coordinator ``status`` state is cleared (the next
       run re-activates, ``replicate.go:88-93``) and the error raises.
     - ``stream_factory``/``sink`` inject test doubles; by default both
@@ -605,7 +609,31 @@ def run_replication(
                 store.report_health(transfer_id, retry_count, None)
                 return report
             q = pipe.start(query_name=f"replicate_{transfer_id}")
-            q.awaitTermination()
+            # continuous mode: periodic health heartbeat while healthy
+            # (≈ healthReportTicker, replication.go:142 — one report per
+            # period, not only on errors) and, for pgwire sources,
+            # periodic drain of newly-recorded wire captures into the
+            # tailed directory. ``max_runtime`` bounds soak runs.
+            hb = float(rep.get("health_interval", 60.0))
+            started = time.time()
+            src = rep.get("source") or {}
+            stopped = False
+            while not q.awaitTermination(timeout=hb):
+                store.report_health(transfer_id, retry_count, None)
+                if src.get("format") == "pgwire":
+                    from transferia_spark.streaming.pg_replication import (
+                        drain_recorded_frames,
+                    )
+
+                    drain_recorded_frames(src["frames_path"], src["path"])
+                if max_runtime is not None and time.time() - started >= max_runtime:
+                    q.stop()
+                    q.awaitTermination()
+                    stopped = True
+                    break
+            if stopped:
+                store.report_health(transfer_id, retry_count, None)
+                return report
             # the worker never returns cleanly in replicate mode
             raise RuntimeError(
                 "replication terminated without an error. This is an "
