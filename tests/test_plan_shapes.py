@@ -321,3 +321,24 @@ def test_no_plan_antipatterns_across_all_driver_queries(spark):
         if hits:
             bad[name] = hits
     assert not bad, f"plan anti-patterns: {bad}"
+
+
+def test_dedup_incremental_join_keys_on_band_not_text(spark):
+    """The ingest-batch join hashes on the band key only — the text
+    column must never enter an exchange, and the candidate join is a
+    hash join on _bk (no cartesian, no nested loop over docs)."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 9} epsilon") for i in range(64)],
+        ["doc_id", "text"],
+    )
+    from transferia_spark.operators import build
+
+    t = build("dedup_incremental", text_col="text", id_col="doc_id",
+              n=3, k=32, bands=8)
+    new = docs.filter("doc_id % 5 = 0")
+    old = docs.filter("doc_id % 5 != 0")
+    out = t.pairs_with_index(new, t.band_index(old))
+    plan = _simple_plan(out)
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), plan
