@@ -88,6 +88,69 @@ def test_ddl_applies_prefix_records_watermark_and_restarts(spark, tmp_path):
     assert seen["ddl"] == [20]  # handled watermark stops re-triggering
 
 
+def test_truncate_replay_property_final_state_matches_fold(spark, tmp_path):
+    """Randomized crash-replay property (seeded, deterministic): a
+    changelog with interleaved TRUNCATEs, cut into random batches, some
+    batches applied TWICE (the at-least-once crash window), must land
+    the same final table state as the sequential fold — truncate
+    routing composes idempotently with the MERGE sink."""
+    import random
+
+    from transferia_spark.streaming.cdc_apply import CdcApplySink, ParquetTable
+
+    rng = random.Random(0xC0FFEE)
+    for case in range(4):
+        events = []
+        lsn = 0
+        for _ in range(rng.randint(6, 14)):
+            lsn += rng.randint(1, 3)
+            if rng.random() < 0.2:
+                events.append(("truncate", None, None, lsn))
+            else:
+                op = rng.choice(["i", "u", "d"])
+                events.append((op, rng.randint(1, 5), float(lsn), lsn))
+        # sequential fold = the spec
+        state: dict[int, float] = {}
+        for op, k, v, _l in events:
+            if op == "truncate":
+                state.clear()
+            elif op == "d":
+                state.pop(k, None)
+            else:
+                state[k] = v
+
+        root = str(tmp_path / f"t{case}")
+        table = ParquetTable(spark, root)
+        sink = CdcApplySink(table, keys=["id"])
+
+        def wipe():
+            table.overwrite(
+                spark.createDataFrame([], "id long, v double")
+            )
+
+        router = ControlRouter(sink, on_truncate=wipe)
+        # random batch boundaries; each batch may replay once
+        i = 0
+        bid = 0
+        while i < len(events):
+            j = min(len(events), i + rng.randint(1, 4))
+            batch = spark.createDataFrame(
+                [(k, v, op, l, 0) for op, k, v, l in events[i:j]],
+                "id long, v double, _op string, _lsn long, _counter int",
+            )
+            router(batch, bid)
+            if rng.random() < 0.4:
+                router(batch, bid)  # crash between apply and commit
+            i, bid = j, bid + 1
+
+        got = (
+            {(r.id, r.v) for r in table.read().collect()}
+            if table.exists()
+            else set()
+        )
+        assert got == set(state.items()), (case, events, got, state)
+
+
 def test_binlog_controls_pipeline_end_to_end(spark, tmp_path):
     """The reference's mid-stream TRUNCATE + ALTER sequence through the
     Spark pipeline: recorded binlog with rows, a truncate, and a DDL →
