@@ -1306,6 +1306,26 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.apply_df(d)
 
 
+EMBED_DIMS = 6
+
+
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-generation stage (operators/embed.py EmbedDocuments):
+    the deterministic hash provider — pure Catalyst, zero shuffle —
+    emits the typed embedding column the ANN/cosine operators consume;
+    components unnest to (doc_id, dim, comp) for the exact cross-engine
+    compare. The mapInPandas inference-batching path (provider
+    'callable'/'st') is pytest-covered; the math here is the oracle
+    face both providers share."""
+    d = _t(spark, sf_dir, "documents")
+    t = build(
+        "embed_documents", text_col="text", id_col="doc_id", dims=EMBED_DIMS
+    )
+    return t.apply_df(d).select(
+        "doc_id", F.posexplode("embedding").alias("dim", "comp")
+    )
+
+
 INCR_NEW_MOD = 7  # doc_id % 7 == 0 plays the "ingest batch"
 
 
@@ -3104,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_expansion": q_partition_expansion,
         "dedup_incremental": q_dedup_incremental,
         "split_leakage_safe": q_split_leakage_safe,
+        "embed_documents": q_embed_documents,
         # -- (b) code changed in round 5 (hot-key guard, sessionize
         # sweep, delta checkpoints, transfer spec): re-score ---------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3264,6 +3285,7 @@ collapsed AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from transferia_spark.operators.embed import sql_hash_embedding_component
     from transferia_spark.sources.jdbc import pushdown_subquery
 
     # the jdbc_pushdown oracle EXECUTES the exact SQL the source would
@@ -3537,6 +3559,12 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT user_id, value FROM collapsed WHERE _op <> 'd'
         """,
+        "embed_documents": "\nUNION ALL\n".join(
+            f"SELECT doc_id, {d} AS dim, "
+            f"{sql_hash_embedding_component('text', d)} AS comp "
+            "FROM documents"
+            for d in range(EMBED_DIMS)
+        ),
         "dedup_incremental": f"""
 WITH {_sql_minhash_cte()}
 SELECT id_a, id_b,

@@ -162,6 +162,75 @@ def test_split_leakage_safe_coassigns_near_dups(spark):
     assert again == {(r.doc_id, r.split) for r in out}
 
 
+def test_embed_documents_hash_provider_shuffle_free_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    t = build("embed_documents", text_col="text", id_col="doc_id", dims=8)
+    out = t.apply_df(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side Catalyst
+    rows = {r.doc_id: r.embedding for r in out.collect()}
+    assert len(rows) == 20 and all(len(v) == 8 for v in rows.values())
+    assert all(-1.0 <= c <= 1.0 for v in rows.values() for c in v)
+    # deterministic: same text → same vector; different → different
+    again = {r.doc_id: r.embedding for r in out.collect()}
+    assert again == rows
+    assert rows[0] != rows[1]
+
+
+def test_embed_documents_callable_provider_batches_inference(spark, tmp_path):
+    """The injected encoder runs in mapInPandas with explicit inference
+    micro-batches: every call sees ≤ batch_size texts (recorded via a
+    file-append log — executors are separate processes), and the
+    emitted vectors are exactly the encoder's output."""
+    log = str(tmp_path / "calls.log")
+
+    def encoder(texts):
+        with open(log, "a") as f:
+            f.write(f"{len(texts)}\n")
+        return [[float(len(t)), 1.0] for t in texts]
+
+    df = spark.createDataFrame(
+        [(i, "x" * (i % 7 + 1)) for i in range(50)], ["doc_id", "text"]
+    ).coalesce(2)
+    t = build(
+        "embed_documents", text_col="text", id_col="doc_id",
+        provider="callable", encoder=encoder, batch_size=8,
+    )
+    rows = {r.doc_id: list(r.embedding) for r in t.apply_df(df).collect()}
+    assert rows == {i: [float(i % 7 + 1), 1.0] for i in range(50)}
+    sizes = [int(x) for x in open(log)]
+    assert sum(sizes) == 50 and max(sizes) <= 8
+
+
+def test_embed_documents_st_provider_gated(spark):
+    t = build(
+        "embed_documents", text_col="text", id_col="doc_id", provider="st"
+    )
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(NotImplementedError, match="sentence-transformers"):
+        t.apply_df(df)
+
+
+def test_embed_documents_feeds_cosine_dedup(spark):
+    """Composition: hash embeddings feed the embedding-cosine dedup —
+    identical texts get identical vectors, so they surface as perfect
+    duplicates."""
+    df = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "entirely different words")],
+        ["doc_id", "text"],
+    )
+    emb = build(
+        "embed_documents", text_col="text", id_col="doc_id", dims=16
+    ).apply_df(df).withColumnRenamed("doc_id", "vec_id")
+    pairs = build(
+        "dedup_embedding_cosine", vec_col="embedding", id_col="vec_id",
+        min_bp=9999,
+    ).apply_df(emb)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(0, 1)}
+
+
 def test_simhash_identical_docs_same_fingerprint(docs):
     t = build("dedup_simhash", text_col="text", id_col="doc_id")
     fps = {r.doc_id: r.simhash for r in t.fingerprints(docs).collect()}

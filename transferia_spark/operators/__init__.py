@@ -18,6 +18,7 @@ from transferia_spark.operators import (  # noqa: F401,E402
     dbt,
     dedup,
     docs,
+    embed,
     filters,
     joins,
     misc,
