@@ -2515,6 +2515,118 @@ replication:
     return table.read().select("c_custkey", "c_name", "c_acctbal")
 
 
+def q_replicate_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table replicate (tasks/replicate.py MultiTableCdcSink —
+    the reference's whole-database transfer mode): customer AND nation
+    seed from a two-table file source into their own bucketed targets,
+    then one shared recorded binlog (events with even ids → customer
+    changes, odd ids → nation changes) routes through the _table column
+    with per-table column selection. Output = union of both final
+    states; oracle = two net-changelog CTEs."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.tasks.replicate import run_replication
+
+    tmp = tempfile.mkdtemp(prefix="replicate_multi_")
+    db = _os.path.join(tmp, "db")
+    binlog = _os.path.join(tmp, "binlog")
+    state = _os.path.join(tmp, "state")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust.write.parquet(_os.path.join(db, "customer.parquet"))
+    nat.write.parquet(_os.path.join(db, "nation.parquet"))
+    _os.makedirs(binlog, exist_ok=True)
+
+    spec = transfer_from_yaml(
+        f"""
+type: SNAPSHOT_AND_INCREMENT
+src:
+  type: file
+  params: {{path: {db}, format: parquet, tables: [customer, nation]}}
+dst:
+  type: file
+  params: {{path: {tmp}/unused, format: parquet}}
+replication:
+  source:
+    format: binlogjson
+    path: {binlog}
+    schema: "c_custkey long, c_name string, c_acctbal double, n_nationkey long, n_name string"
+  target:
+    tables:
+      customer:
+        {{root: {tmp}/t_customer, keys: [c_custkey],
+          columns: [c_custkey, c_name, c_acctbal], n_buckets: 16}}
+      nation:
+        {{root: {tmp}/t_nation, keys: [n_nationkey],
+          columns: [n_nationkey, n_name], n_buckets: 4}}
+"""
+    )
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    evs = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", "event_type")
+        .collect()
+    )
+    with open(_os.path.join(binlog, "000.jsonl"), "w") as fh:
+        for r in sorted(evs, key=lambda r: r.event_id):
+            action = {"signup": "insert", "error": "delete"}.get(
+                r.event_type, "update"
+            )
+            if r.event_id % 2 == 0:
+                table = "customer"
+                row = {
+                    "c_custkey": r.user_id,
+                    "c_name": f"u{r.user_id}",
+                    "c_acctbal": r.value,
+                }
+            else:
+                table = "nation"
+                row = {
+                    "n_nationkey": r.user_id % 25,
+                    "n_name": f"x{r.user_id % 25}",
+                }
+            ev = {
+                "action": action,
+                "log_file": "binlog.000001",
+                "log_pos": int(r.event_id),
+                "row_idx": 0,
+                "table": table,
+            }
+            if action != "insert":
+                ev["before"] = row
+            if action != "delete":
+                ev["after"] = row
+            fh.write(_json.dumps(ev) + "\n")
+
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    tc = BucketedParquetTable(
+        spark, _os.path.join(tmp, "t_customer"), keys=["c_custkey"], n_buckets=16
+    )
+    tn = BucketedParquetTable(
+        spark, _os.path.join(tmp, "t_nation"), keys=["n_nationkey"], n_buckets=4
+    )
+    return tc.read().select(
+        F.lit("customer").alias("tbl"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("sval"),
+        F.col("c_acctbal").alias("dval"),
+    ).unionByName(
+        tn.read().select(
+            F.lit("nation").alias("tbl"),
+            F.col("n_nationkey").alias("k"),
+            F.col("n_name").alias("sval"),
+            F.lit(None).cast("double").alias("dval"),
+        )
+    )
+
+
 def q_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serializer → parser round-trip in the engine's native wire form
     (≈ pkg/serializer/queue/native_serializer.go + parsers/registry/native)."""
@@ -3125,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "split_leakage_safe": q_split_leakage_safe,
         "embed_documents": q_embed_documents,
+        "replicate_multi_table": q_replicate_multi_table,
         # -- (b) code changed in round 5 (hot-key guard, sessionize
         # sweep, delta checkpoints, transfer spec): re-score ---------
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3596,6 +3709,39 @@ SELECT doc_id, cluster_id,
             WHEN {pf.sql_pt_ihash("cluster_id")} % 100 < 10 THEN 'test'
             ELSE 'train' END AS split
 FROM assign
+""",
+        "replicate_multi_table": f"""
+WITH c_changelog AS (
+  SELECT user_id AS k, 'u' || CAST(user_id AS VARCHAR) AS name_v,
+         value AS bal_v, event_id AS lsn, {OP_CASE_SQL} AS op
+  FROM events WHERE event_id % 2 = 0
+),
+c_net AS (
+  SELECT k, arg_max(op, lsn) AS last_op, arg_max(name_v, lsn) AS last_name,
+         arg_max(bal_v, lsn) AS last_bal
+  FROM c_changelog GROUP BY k
+),
+n_changelog AS (
+  SELECT user_id % 25 AS k,
+         'x' || CAST(user_id % 25 AS VARCHAR) AS name_v,
+         event_id AS lsn, {OP_CASE_SQL} AS op
+  FROM events WHERE event_id % 2 = 1
+),
+n_net AS (
+  SELECT k, arg_max(op, lsn) AS last_op, arg_max(name_v, lsn) AS last_name
+  FROM n_changelog GROUP BY k
+)
+SELECT 'customer' AS tbl, u.k, u.last_name AS sval, u.last_bal AS dval
+FROM c_net u WHERE u.last_op <> 'd'
+UNION ALL
+SELECT 'customer', t.c_custkey, t.c_name, t.c_acctbal
+FROM customer t ANTI JOIN c_net n ON t.c_custkey = n.k
+UNION ALL
+SELECT 'nation' AS tbl, u.k, u.last_name AS sval, CAST(NULL AS DOUBLE) AS dval
+FROM n_net u WHERE u.last_op <> 'd'
+UNION ALL
+SELECT 'nation', t.n_nationkey, t.n_name, CAST(NULL AS DOUBLE)
+FROM nation t ANTI JOIN n_net n ON t.n_nationkey = n.k
 """,
         "dblog_snapshot": _changelog_cte(key="c_custkey", value="c_acctbal")
         + """

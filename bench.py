@@ -122,6 +122,7 @@ EXCLUDED = {
     # harness latency at sf0.1 that times Spark query startup, not an
     # operator; its correctness is driver-scored every round
     "replicate_yaml": "streaming-lifecycle harness, not operator throughput",
+    "replicate_multi_table": "same: two streaming-query lifecycles",
 }
 
 
