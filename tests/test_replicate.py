@@ -496,6 +496,26 @@ def test_is_fatal_classification():
     wrapped = RuntimeError("outer")
     wrapped.__cause__ = FatalError("inner")
     assert is_fatal(wrapped)
+    # a fatal Python type raised inside foreachBatch surfaces only as a
+    # traceback line in the JVM wrapper's message — still fatal
+    assert is_fatal(RuntimeError(
+        "[STREAM_FAILED] Query [id = x] terminated with exception\n"
+        "Traceback (most recent call last):\n"
+        '  File "t.py", line 1, in f\n'
+        "ValueError: filter_columns: would drop PK column 'id'\n"
+    ))
+    # a transient cause in the same wrapped form stays transient
+    assert not is_fatal(RuntimeError(
+        "[STREAM_FAILED] Query terminated\n"
+        "ConnectionError: broker reset\n"
+    ))
+    # SchemaDriftDetected stays transient (the retry loop IS the drift
+    # supervisor)
+    assert not is_fatal(RuntimeError(
+        "[STREAM_FAILED] Query terminated\n"
+        "transferia_spark.streaming.controls.SchemaDriftDetected: "
+        "ddl control event at lsn 9 requires a schema restart\n"
+    ))
 
 
 def test_source_position_scans_recorded_stream(tmp_path):

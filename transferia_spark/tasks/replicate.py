@@ -61,6 +61,7 @@ def is_fatal(err: BaseException) -> bool:
     Python ``foreachBatch`` error in ``StreamingQueryException`` whose
     message keeps the original type name — classify the wrapped text
     too, since the Python cause chain is severed at the JVM boundary."""
+    fatal_names = {t.__name__ for t in _FATAL_TYPES}
     seen: set[int] = set()
     e: BaseException | None = err
     while e is not None and id(e) not in seen:
@@ -69,6 +70,12 @@ def is_fatal(err: BaseException) -> bool:
             return True
         msg = str(e)
         if any(t.__name__ in msg for t in (FatalError,)) or "[FATAL]" in msg:
+            return True
+        # the innermost traceback line a JVM-wrapped error carries: a
+        # fatal Python type raised inside foreachBatch must classify
+        # fatal even though the cause chain is severed at the boundary
+        head = _cause_signature(e).split(":", 1)[0].rsplit(".", 1)[-1]
+        if head in fatal_names:
             return True
         e = e.__cause__ or e.__context__
     return False
