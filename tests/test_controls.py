@@ -88,6 +88,71 @@ def test_ddl_applies_prefix_records_watermark_and_restarts(spark, tmp_path):
     assert seen["ddl"] == [20]  # handled watermark stops re-triggering
 
 
+def test_multi_table_truncate_scopes_to_its_table(spark):
+    """With _table routing, a TRUNCATE wipes only ITS table: the other
+    table's earlier rows still apply, and the callback gets the name."""
+    seen = {"rows": [], "truncated": []}
+
+    def sink(df, bid):
+        seen["rows"].extend(
+            sorted((r._table, r.id, r._lsn) for r in df.collect())
+        )
+
+    router = ControlRouter(
+        sink, on_truncate=lambda table: seen["truncated"].append(table)
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "items", "i", 10, 0),
+            (2, "users", "i", 20, 0),
+            (None, "items", "truncate", 30, 0),
+            (3, "items", "i", 40, 0),
+        ],
+        "id long, _table string, _op string, _lsn long, _counter int",
+    )
+    router(batch, 0)
+    assert seen["truncated"] == ["items"]
+    # users' row 2 survives (different table); items' row 1 dropped
+    assert seen["rows"] == [("items", 3, 40), ("users", 2, 20)]
+
+
+def test_wal_truncate_statement_emits_control(tmp_path):
+    """wal2json 'T' actions become truncate ChangeItems when opted in
+    (and stay dropped by default)."""
+    import json as _json
+    import os as _os
+
+    from transferia_spark.streaming.wal_source import (
+        WalJsonStreamReader,
+        wal_output_schema,
+    )
+
+    wdir = str(tmp_path / "w")
+    _os.makedirs(wdir)
+    with open(_os.path.join(wdir, "0.jsonl"), "w") as f:
+        for ev in [
+            {"action": "I", "lsn": 1,
+             "columns": [{"name": "id", "value": 1}]},
+            {"action": "T", "lsn": 2, "schema": "public", "table": "t"},
+            {"action": "I", "lsn": 3,
+             "columns": [{"name": "id", "value": 3}]},
+        ]:
+            f.write(_json.dumps(ev) + "\n")
+
+    def read_all(opts):
+        r = WalJsonStreamReader(wal_output_schema("id long"), opts)
+        out = []
+        for part in r.partitions(r.initialOffset(), r.latestOffset()):
+            out += list(r.read(part))
+        return out
+
+    plain = read_all({"path": wdir})
+    assert [t[1] for t in plain] == ["i", "i"]
+    ctl = read_all({"path": wdir, "emit_controls": "true"})
+    assert [(t[1], t[2]) for t in ctl] == [("i", 1), ("truncate", 2), ("i", 3)]
+    assert ctl[1][4] == "public.t"  # _table carries schema.table
+
+
 def test_truncate_replay_property_final_state_matches_fold(spark, tmp_path):
     """Randomized crash-replay property (seeded, deterministic): a
     changelog with interleaved TRUNCATEs, cut into random batches, some

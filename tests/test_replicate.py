@@ -365,6 +365,60 @@ replication:
     }
 
 
+def test_replicate_multi_table_scoped_truncate(spark, tmp_path):
+    """Multi-table + controls through the verb: a TRUNCATE of one table
+    wipes only that table's target; the sibling table's rows (earlier
+    AND later) are untouched."""
+    src_dir = str(tmp_path / "db")
+    binlog = str(tmp_path / "binlog")
+    state = str(tmp_path / "state")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .coalesce(1).write.parquet(os.path.join(src_dir, "items.parquet"))
+    spark.createDataFrame([(10, "ann")], "uid long, name string") \
+        .coalesce(1).write.parquet(os.path.join(src_dir, "users.parquet"))
+    _emit(binlog, "000.jsonl", [])
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src:
+  type: file
+  params: {{path: {src_dir}, format: parquet, tables: [items, users]}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: binlogjson
+    path: {binlog}
+    schema: "id long, v string, uid long, name string"
+  target:
+    tables:
+      items: {{root: {tmp_path}/t_items, keys: [id], columns: [id, v], n_buckets: 4}}
+      users: {{root: {tmp_path}/t_users, keys: [uid], columns: [uid, name], n_buckets: 4}}
+  controls: {{enabled: true}}
+""")
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+    _emit(binlog, "001.jsonl", [
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 10,
+         "row_idx": 0, "table": "items", "after": {"id": 3, "v": "c"}},
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 20,
+         "row_idx": 0, "table": "users", "after": {"uid": 11, "name": "bob"}},
+        {"action": "truncate", "log_file": "binlog.000001", "log_pos": 30,
+         "table": "items"},
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 40,
+         "row_idx": 0, "table": "items", "after": {"id": 4, "v": "d"}},
+    ])
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    items = BucketedParquetTable(spark, f"{tmp_path}/t_items", keys=["id"],
+                                 n_buckets=4)
+    users = BucketedParquetTable(spark, f"{tmp_path}/t_users", keys=["uid"],
+                                 n_buckets=4)
+    assert {(r.id, r.v) for r in items.read().collect()} == {(4, "d")}
+    assert {(r.uid, r.name) for r in users.read().collect()} == {
+        (10, "ann"), (11, "bob"),
+    }
+
+
 def test_replicate_multi_table_unknown_table_errors(spark, tmp_path):
     from transferia_spark.tasks.replicate import MultiTableCdcSink
 

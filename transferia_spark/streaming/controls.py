@@ -11,8 +11,11 @@ tests/test_controls.py):
 - **TRUNCATE at LSN t**: rows with lsn ≤ t in the batch are dropped
   (the truncate would wipe them anyway), the sink's truncate callback
   fires once for the LAST truncate in the processed prefix, then later
-  rows apply to the emptied table. Re-processing the batch after a
-  crash re-truncates then re-applies — idempotent end state.
+  rows apply to the emptied table. When the stream routes on ``_table``
+  (multi-table replication) the truncate scopes to ITS table: only that
+  table's rows drop and the callback receives the table name.
+  Re-processing the batch after a crash re-truncates then re-applies —
+  idempotent end state.
 - **DDL at LSN q**: rows and controls BEFORE q are applied, the DDL is
   recorded as handled (a persisted watermark), the drift callback runs
   (typically: evolve the schema registry), and the batch ABORTS with
@@ -99,33 +102,53 @@ class ControlRouter:
             json.dump({"ddl_lsn": lsn}, f)
         os.replace(tmp, self.state_file)
 
+    def _fire_truncate(self, table: str | None) -> None:
+        # zero-arg callbacks (single-table pipelines) stay supported;
+        # table-aware callbacks receive the truncated table's name
+        import inspect
+
+        if len(inspect.signature(self.on_truncate).parameters) == 0:
+            self.on_truncate()
+        else:
+            self.on_truncate(table)
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         rows, controls = split_rows_and_controls(batch_df)
+        has_table = "_table" in batch_df.columns
         # controls are rare singletons (one TRUNCATE/DDL statement per
         # stream position) — a bounded driver collect by design
+        ctl_cols = [LSN_COL, OP_COL] + (["_table"] if has_table else [])
         ctl = sorted(
-            (int(r[LSN_COL]), r[OP_COL])
-            for r in controls.select(LSN_COL, OP_COL).collect()
+            (int(r[LSN_COL]), r[OP_COL], r["_table"] if has_table else None)
+            for r in controls.select(*ctl_cols).collect()
         )
         if not ctl:
             self.sink(batch_df, batch_id)
             return
         handled = self._handled_ddl()
         pending_ddl = [
-            lsn for lsn, op in ctl if op == OP_DDL and lsn > handled
+            lsn for lsn, op, _t in ctl if op == OP_DDL and lsn > handled
         ]
         horizon = pending_ddl[0] if pending_ddl else None
         prefix_ctl = [
-            (lsn, op) for lsn, op in ctl if horizon is None or lsn < horizon
+            (lsn, op, t) for lsn, op, t in ctl if horizon is None or lsn < horizon
         ]
-        truncs = [lsn for lsn, op in prefix_ctl if op == OP_TRUNCATE]
+        # a TRUNCATE scopes to ITS table when the stream routes on
+        # _table (multi-table replication); without routing it is global
+        truncs: dict[str | None, int] = {}
+        for lsn, op, t in prefix_ctl:
+            if op == OP_TRUNCATE:
+                truncs[t] = max(truncs.get(t, 0), lsn)
         prefix_rows = rows
         if horizon is not None:
             prefix_rows = prefix_rows.filter(F.col(LSN_COL) < horizon)
-        if truncs:
-            # rows at-or-before the last truncate are wiped anyway
-            prefix_rows = prefix_rows.filter(F.col(LSN_COL) > truncs[-1])
-            self.on_truncate()
+        for t, t_lsn in sorted(truncs.items(), key=lambda kv: kv[1]):
+            # rows of that table at-or-before its truncate are wiped anyway
+            dead = F.col(LSN_COL) <= t_lsn
+            if has_table and t is not None:
+                dead = dead & (F.col("_table") == t)
+            prefix_rows = prefix_rows.filter(~dead)
+            self._fire_truncate(t)
         if prefix_rows.head(1):
             self.sink(prefix_rows, batch_id)
         if horizon is not None:

@@ -107,6 +107,12 @@ class WalJsonStreamReader(DataSourceStreamReader):
         mx = options.get("max_events_per_batch")
         self.max_events = int(mx) if mx is not None else None
         self._base: int | None = None
+        # emit wal2json TRUNCATE statements ('T' actions) as control
+        # ChangeItems for ControlRouter pipelines (kind.go parity);
+        # default drops them like the other non-row actions
+        self.emit_controls = str(
+            options.get("emit_controls", "false")
+        ).lower() in ("true", "1")
 
     # -- offset algebra: an offset is {"lsn": n}, rows with lsn in
     # (start, end] belong to the batch (same half-open contract as
@@ -153,6 +159,28 @@ class WalJsonStreamReader(DataSourceStreamReader):
                 ev = json.loads(line)
                 lsn = int(ev["lsn"])
                 if ev.get("action") not in _ACTIONS:
+                    # wal2json 'T' (TRUNCATE) becomes a control
+                    # ChangeItem when the pipeline opted in; 'B'/'C'/'M'
+                    # (tx markers, messages) are never row changes
+                    if (
+                        self.emit_controls
+                        and ev.get("action") == "T"
+                        and lo < lsn <= hi
+                    ):
+                        counter = counter + 1 if lsn == last_lsn else 0
+                        last_lsn = lsn
+                        yield tuple(None for _ in self.payload_fields) + (
+                            "truncate",
+                            lsn,
+                            counter,
+                            ".".join(
+                                x
+                                for x in (ev.get("schema"), ev.get("table"))
+                                if x
+                            ),
+                            None,
+                            None,
+                        )
                     continue
                 counter = counter + 1 if lsn == last_lsn else 0
                 last_lsn = lsn

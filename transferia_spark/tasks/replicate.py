@@ -552,8 +552,20 @@ def run_replication(
         src = rep.get("source") or {}
         ddl = source_schema_ddl(src)
 
-        def wipe():
-            if table_obj is not None:
+        def wipe(table_name=None):
+            if isinstance(table_obj, MultiTableCdcSink):
+                cfg = table_obj.tables.get(table_name)
+                if cfg is None:
+                    return  # truncate of an undeclared/skipped table
+                union = T._parse_datatype_string(ddl)
+                cols = cfg.get("columns") or [f.name for f in union.fields]
+                schema = T.StructType(
+                    [f for f in union.fields if f.name in cols]
+                )
+                table_obj.targets[table_name].overwrite(
+                    spark.createDataFrame([], schema)
+                )
+            elif table_obj is not None:
                 table_obj.overwrite(
                     spark.createDataFrame([], T._parse_datatype_string(ddl))
                 )
