@@ -475,3 +475,108 @@ def test_change_stream_bounded_catchup_batches(tmp_path):
             seen += [r[0] for r in reader.read(part)]
         start = end
     assert seen == [1, 2, 3, 4, 5]
+
+
+def test_bounded_catchup_offset_survives_reader_restart(spark, tmp_path):
+    """ADVICE r5: with max_events_per_batch, a restarted reader's
+    in-memory _base is gone, so latestOffset() used to re-base on
+    start_lsn and return an offset BELOW the committed checkpoint —
+    Spark would record the regressed offset and replay processed
+    ranges. The durable ack written by commit() now seeds the floor:
+    a fresh reader resumes planning exactly where the old one acked."""
+    from transferia_spark.streaming.wal_source import (
+        WalJsonStreamReader,
+        wal_output_schema,
+    )
+
+    wdir = str(tmp_path / "w")
+    ack = str(tmp_path / "ack.json")
+    _emit(wdir, "000.jsonl", [
+        {"action": "I", "lsn": n, "columns": [{"name": "id", "value": n}]}
+        for n in range(1, 6)
+    ])
+    opts = {"path": wdir, "max_events_per_batch": "2", "ack_file": ack}
+    r1 = WalJsonStreamReader(wal_output_schema("id long"), opts)
+    start = r1.initialOffset()
+    b1 = r1.latestOffset()
+    assert b1 == {"lsn": 2}
+    r1.partitions(start, b1)
+    b2 = r1.latestOffset()
+    assert b2 == {"lsn": 4}
+    r1.partitions(b1, b2)
+    r1.commit(b2)  # durable: batches up to lsn 4 are processed
+
+    # query restart: a FRESH reader instance must not plan below 4
+    r2 = WalJsonStreamReader(wal_output_schema("id long"), opts)
+    assert r2.latestOffset() == {"lsn": 5}
+
+    # binlog reader: same durable-floor contract
+    from transferia_spark.streaming.cdc_sources import (
+        BinlogJsonStreamReader,
+        binlog_output_schema,
+    )
+
+    bdir = str(tmp_path / "b")
+    back = str(tmp_path / "back.json")
+    _emit(bdir, "000.jsonl", [
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": p,
+         "row_idx": 0, "after": {"id": p, "v": "x"}}
+        for p in (10, 20, 30)
+    ])
+    bopts = {"path": bdir, "max_events_per_batch": "2", "ack_file": back}
+    m1 = BinlogJsonStreamReader(binlog_output_schema("id long, v string"), bopts)
+    e1 = m1.latestOffset()
+    m1.partitions(m1.initialOffset(), e1)
+    m1.commit(e1)
+    m2 = BinlogJsonStreamReader(binlog_output_schema("id long, v string"), bopts)
+    assert m2.latestOffset()["lsn"] == 10**12 + 30
+
+    # mongo change-stream reader: (ts, order) pair floor
+    from transferia_spark.streaming.cdc_sources import (
+        ChangeStreamJsonStreamReader,
+        change_stream_output_schema,
+    )
+
+    cdir = str(tmp_path / "cs")
+    cack = str(tmp_path / "cack.json")
+    _emit(cdir, "000.jsonl", [
+        {"operationType": "insert", "clusterTime": 100, "order": i,
+         "documentKey": {"_id": i}, "fullDocument": {"_id": i}}
+        for i in range(3)
+    ])
+    copts = {"path": cdir, "max_events_per_batch": "2", "ack_file": cack}
+    c1 = ChangeStreamJsonStreamReader(
+        change_stream_output_schema("_id long"), copts
+    )
+    ce = c1.latestOffset()
+    c1.partitions(c1.initialOffset(), ce)
+    c1.commit(ce)
+    c2 = ChangeStreamJsonStreamReader(
+        change_stream_output_schema("_id long"), copts
+    )
+    assert c2.latestOffset() == {"ts": 100, "order": 2}
+
+
+def test_partitions_floor_offset_on_spark_start(spark, tmp_path):
+    """Belt-and-braces for the same regression: even WITHOUT an ack
+    file, partitions() floors _base at Spark's committed start offset,
+    so a planner that somehow wrote a regressed end cannot make a later
+    latestOffset() re-plan already-processed LSNs."""
+    from transferia_spark.streaming.wal_source import (
+        WalJsonStreamReader,
+        wal_output_schema,
+    )
+
+    wdir = str(tmp_path / "w2")
+    _emit(wdir, "000.jsonl", [
+        {"action": "I", "lsn": n, "columns": [{"name": "id", "value": n}]}
+        for n in range(1, 6)
+    ])
+    r = WalJsonStreamReader(
+        wal_output_schema("id long"),
+        {"path": wdir, "max_events_per_batch": "2"},
+    )
+    # restart mid-stream: Spark hands the checkpointed start=4 with a
+    # regressed end=2 (planned by a fresh reader before the fix)
+    r.partitions({"lsn": 4}, {"lsn": 2})
+    assert r.latestOffset() == {"lsn": 5}

@@ -257,3 +257,24 @@ def test_unsupported_features_raise(spark, tmp_path):
     _commit(root3, 0, [_protocol(), _meta(), bad])
     with pytest.raises(NotImplementedError, match="deletion vectors"):
         read_snapshot(root3)
+
+
+def test_all_commits_vacuumed_checkpoint_above_target_raises(spark, tmp_path):
+    """ADVICE r5: every JSON commit vacuumed and the only complete
+    checkpoint ABOVE the requested version → time travel to that
+    version is unreplayable and must raise loudly (previously fell
+    through to a misleading 'no metaData' error / empty snapshot)."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "vac")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    pq.write_table(
+        _ckpt_table(0, ["b.parquet"], with_meta=True, with_proto=True),
+        os.path.join(log, f"{2:020d}.checkpoint.parquet"),
+    )
+    # latest (v2, via the checkpoint) still reads fine
+    assert read_snapshot(root).version == 2
+    # v1 predates the checkpoint and has no commits left to replay
+    with pytest.raises(FileNotFoundError, match="cannot replay"):
+        read_snapshot(root, version=1)

@@ -152,3 +152,47 @@ def test_tailer_feeds_existing_waljson_source(spark, tmp_path):
         (2, "b", "i", 20),
         (2, "b2", "u", 30),
     ]
+
+
+def test_tailer_acks_only_after_fsync(tmp_path, monkeypatch):
+    """r5 verdict item 2: the flushed LSN in a standby-status ack
+    authorizes the server to TRIM the slot, so it must mean
+    crash-durable — the data file is fsync'd before the rename, the
+    directory entry after it, and only then does an ack carry the
+    advanced watermark. Covered on the keepalive-reply path (the ack
+    the server explicitly requests) and on close()."""
+    import os as _os
+    import stat as _stat
+
+    events: list[tuple] = []
+    real_fsync = _os.fsync
+
+    def spy_fsync(fd):
+        kind = "dir" if _stat.S_ISDIR(_os.fstat(fd).st_mode) else "file"
+        events.append(("fsync", kind))
+        return real_fsync(fd)
+
+    monkeypatch.setattr(_os, "fsync", spy_fsync)
+
+    def send(frame):
+        events.append(("ack", decode_standby_status(frame)[1]))
+
+    frames = [
+        encode_xlog_data(10, 11, _wal2json("I", id=1, v="a")),
+        encode_keepalive(15, reply_requested=True),
+        encode_xlog_data(20, 21, _wal2json("I", id=2, v="b")),
+    ]
+    tailer = ReplicationTailer(
+        iter(frames), send, str(tmp_path / "wal"), lines_per_file=100
+    )
+    tailer.run()
+
+    acks = [e for e in events if e[0] == "ack"]
+    # keepalive-requested ack flushed=15, close() ack flushed=21
+    assert [a[1] for a in acks] == [15, 21]
+    # before EACH advanced ack: data-file fsync, then directory fsync,
+    # in that order, with no ack sneaking in between
+    first_ack = events.index(("ack", 15))
+    assert events[:first_ack] == [("fsync", "file"), ("fsync", "dir")]
+    between = events[first_ack + 1 : events.index(("ack", 21))]
+    assert between == [("fsync", "file"), ("fsync", "dir")]

@@ -215,10 +215,15 @@ def read_snapshot(table_path: str, version: int | None = None) -> DeltaSnapshot:
                 os.path.join(log_dir, ckpt_parts[ckpt_version][i]), snap
             )
         start = ckpt_version + 1
-    elif commits and commits[0][0] > 0:
+    elif not commits or commits[0][0] > 0:
+        # no usable replay base: either the pre-checkpoint JSON commits
+        # were vacuumed, or NO commits remain at all and the only
+        # complete checkpoints sit above the requested version — an
+        # empty snapshot here would silently misreport a readable table
+        first = commits[0][0] if commits else target + 1
         raise FileNotFoundError(
             f"cannot replay to version {target}: commits before "
-            f"{commits[0][0]} were removed and no complete checkpoint "
+            f"{first} were removed and no complete checkpoint "
             f"≤ {target} exists in {log_dir}"
         )
 

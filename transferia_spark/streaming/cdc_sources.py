@@ -127,7 +127,18 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         # memory-bounded micro-batches instead of one giant batch
         mx = options.get("max_events_per_batch")
         self.max_events = int(mx) if mx is not None else None
+        # seed the latestOffset floor from the durable ack commit()
+        # writes: a restarted reader must never plan an end below the
+        # committed checkpoint (regressed offsets replay processed
+        # ranges); partitions() adds Spark's own start offset as a
+        # second floor
         self._base: int | None = None
+        if self.ack_file:
+            try:
+                with open(self.ack_file) as fh:
+                    self._base = int(json.load(fh)["lsn"])
+            except (FileNotFoundError, ValueError, KeyError):
+                pass
 
     def initialOffset(self) -> dict:
         return {"lsn": self.start_lsn}
@@ -152,7 +163,9 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         return {"lsn": take[-1]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        self._base = max(self._base or 0, int(end["lsn"]))
+        self._base = max(
+            self._base or 0, int(end["lsn"]), int(start["lsn"])
+        )
         if int(end["lsn"]) <= int(start["lsn"]):
             return [_FileSlice("", start, end)]
         return [_FileSlice(f, start, end) for f in _scan_files(self.path)]
@@ -318,7 +331,16 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
         # bounded catch-up batches (≈ middlewares/bufferer.go caps)
         mx = options.get("max_events_per_batch")
         self.max_events = int(mx) if mx is not None else None
+        # durable floor for latestOffset (same contract as the binlog
+        # reader: never plan an end below the committed checkpoint)
         self._base: tuple[int, int] | None = None
+        if self.ack_file:
+            try:
+                with open(self.ack_file) as fh:
+                    acked = json.load(fh)
+                self._base = (int(acked["ts"]), int(acked["order"]))
+            except (FileNotFoundError, ValueError, KeyError):
+                pass
 
     def initialOffset(self) -> dict:
         return {"ts": self.start_ts, "order": self.start_order}
@@ -349,7 +371,7 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo = (int(start["ts"]), int(start["order"]))
         hi = (int(end["ts"]), int(end["order"]))
-        self._base = max(self._base or (0, -1), hi)
+        self._base = max(self._base or (0, -1), hi, lo)
         if hi <= lo:
             return [_FileSlice("", start, end)]
         return [_FileSlice(f, start, end) for f in _scan_files(self.path)]

@@ -159,7 +159,9 @@ class ReplicationTailer:
     line gets its authoritative position stamped from the frame header
     (``lsn`` = walStart) so the file form is byte-compatible with what
     the slot-file tailer produced before. Acks: flushed advances to the
-    frame's walEnd after its line is durably written (os.replace), sent
+    frame's walEnd after its line is durably written (fsync the data
+    file, rename, fsync the directory — power-loss safe, since the ack
+    authorizes the server to trim the slot), sent
     on server reply requests and on ``close()`` — the same ack points
     the reference uses.
     """
@@ -189,9 +191,21 @@ class ReplicationTailer:
             return
         name = f"{self._file_no:09d}.jsonl"
         tmp = os.path.join(self.out_dir, "." + name + ".tmp")
+        # the flushed LSN in the standby-status ack lets the server TRIM
+        # the slot — it must mean "survives power loss", not "left the
+        # page cache": fsync the data before the rename and the
+        # directory after it (the rename itself isn't durable until the
+        # directory entry is), and only then advance the watermark
         with open(tmp, "w") as f:
             f.write("\n".join(self._buf) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.out_dir, name))
+        dfd = os.open(self.out_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         self._file_no += 1
         self._buf.clear()
         self.flushed = self.received  # durable up to everything received

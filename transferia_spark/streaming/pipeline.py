@@ -58,9 +58,47 @@ class ReplicationPipeline:
     def transformed(self) -> DataFrame:
         df = self.stream
         if self.transformation is not None:
-            routed = self.transformation.apply(self.table, df)
-            assert len(routed) == 1, "streaming fan-out: use one pipeline per route"
-            df = routed[0][1]
+            from transferia_spark.cdc.changeitem import (
+                OP_COL,
+                split_rows_and_controls,
+            )
+
+            if OP_COL in df.columns:
+                # ≈ nonrow_separator.go: the transformation middleware
+                # sees ROW items only. Control ChangeItems (TRUNCATE /
+                # DDL) carry NULL payloads — a filter or cast
+                # transformer would silently drop or corrupt them, and
+                # a lost TRUNCATE leaves rows that should be wiped.
+                # Split, transform rows, then re-join the controls
+                # projected onto the transformed schema (controls only
+                # ever carry meta columns; anything else rides NULL).
+                rows, controls = split_rows_and_controls(df)
+                routed = self.transformation.apply(self.table, rows)
+                assert len(routed) == 1, (
+                    "streaming fan-out: use one pipeline per route"
+                )
+                out = routed[0][1]
+                ctl_types = {
+                    f.name: f.dataType for f in controls.schema.fields
+                }
+                df = out.unionByName(
+                    controls.select(
+                        *[
+                            (
+                                F.col(f.name)
+                                if ctl_types.get(f.name) == f.dataType
+                                else F.lit(None).cast(f.dataType)
+                            ).alias(f.name)
+                            for f in out.schema.fields
+                        ]
+                    )
+                )
+            else:
+                routed = self.transformation.apply(self.table, df)
+                assert len(routed) == 1, (
+                    "streaming fan-out: use one pipeline per route"
+                )
+                df = routed[0][1]
         if self.observe_counters:
             df = df.observe(
                 "transferia_metrics", F.count(F.lit(1)).alias("rows_pushed")

@@ -106,7 +106,20 @@ class WalJsonStreamReader(DataSourceStreamReader):
         # advance at most this many LSNs per planned batch
         mx = options.get("max_events_per_batch")
         self.max_events = int(mx) if mx is not None else None
+        # _base floors latestOffset() so bounded catch-up never plans an
+        # end below an already-planned one. In-memory alone it is LOST
+        # on a query restart — a fresh reader would re-base on start_lsn
+        # and return an offset BELOW the committed checkpoint, and Spark
+        # would record the regressed offset and replay processed ranges.
+        # Seed it from the durable ack written by commit() (the
+        # committed-LSN state the reference keeps in its coordinator).
         self._base: int | None = None
+        if self.ack_file:
+            try:
+                with open(self.ack_file) as fh:
+                    self._base = int(json.load(fh)["lsn"])
+            except (FileNotFoundError, ValueError, KeyError):
+                pass
         # emit wal2json TRUNCATE statements ('T' actions) as control
         # ChangeItems for ControlRouter pipelines (kind.go parity);
         # default drops them like the other non-row actions
@@ -137,7 +150,9 @@ class WalJsonStreamReader(DataSourceStreamReader):
         return {"lsn": sorted(pending)[: self.max_events][-1]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        self._base = max(self._base or 0, int(end["lsn"]))
+        # `start` is Spark's committed checkpoint — a second durable
+        # floor for _base (belt-and-braces with the ack_file seed)
+        self._base = max(self._base or 0, int(end["lsn"]), int(start["lsn"]))
         lo, hi = int(start["lsn"]), int(end["lsn"])
         if hi <= lo:
             return [_FileSlice("", lo, hi)]  # empty batch still needs ≥1 partition

@@ -344,27 +344,37 @@ class MultiTableCdcSink:
                 "multi-table replication needs the _table routing column "
                 "— don't drop it from the stream"
             )
-        names = sorted(
-            r[0]
-            for r in batch_df.select("_table").distinct().collect()
-            if r[0]
-        )
-        unknown = [n for n in names if n not in self.tables]
-        if unknown and self.on_unknown == "error":
-            raise FatalError(
-                f"stream carries undeclared tables {unknown}; declare them "
-                "in replication.target.tables or set on_unknown: skip"
+        # the per-table loop re-filters the SAME micro-batch once per
+        # routed table (plus once for discovery) — persist so the
+        # stream-decode lineage evaluates once, not O(table count)
+        # times; micro-batches are bounded (max_events_per_batch), so
+        # the cache is too
+        batch_df = batch_df.persist()
+        try:
+            names = sorted(
+                r[0]
+                for r in batch_df.select("_table").distinct().collect()
+                if r[0]
             )
-        for name in names:
-            cfg = self.tables.get(name)
-            if cfg is None:
-                continue
-            sub = batch_df.filter(F.col("_table") == name).drop("_table")
-            cols = cfg.get("columns")
-            if cols:
-                meta = [c for c in sub.columns if c.startswith("_")]
-                sub = sub.select(*cols, *meta)
-            self.sinks[name](sub, batch_id)
+            unknown = [n for n in names if n not in self.tables]
+            if unknown and self.on_unknown == "error":
+                raise FatalError(
+                    f"stream carries undeclared tables {unknown}; declare "
+                    "them in replication.target.tables or set "
+                    "on_unknown: skip"
+                )
+            for name in names:
+                cfg = self.tables.get(name)
+                if cfg is None:
+                    continue
+                sub = batch_df.filter(F.col("_table") == name).drop("_table")
+                cols = cfg.get("columns")
+                if cols:
+                    meta = [c for c in sub.columns if c.startswith("_")]
+                    sub = sub.select(*cols, *meta)
+                self.sinks[name](sub, batch_id)
+        finally:
+            batch_df.unpersist()
 
 
 def build_replication_sink(spark: SparkSession, target: dict):
@@ -598,11 +608,18 @@ def run_replication(
                 stream = stream_factory(spark, position)
             else:
                 source = dict(rep.get("source") or {})
+                opts = dict(source.get("options") or {})
+                # durable committed-offset ack (≈ the coordinator's
+                # saved position): seeds the reader's latestOffset
+                # floor across restarts so bounded catch-up can never
+                # regress below the checkpoint
+                opts.setdefault(
+                    "ack_file",
+                    os.path.join(state_dir, f"ack_{transfer_id}.json"),
+                )
                 if controls_on:
-                    source["options"] = {
-                        **dict(source.get("options") or {}),
-                        "emit_controls": "true",
-                    }
+                    opts["emit_controls"] = "true"
+                source["options"] = opts
                 if (rep.get("target") or {}).get("tables"):
                     # multi-table mode routes on _table — keep it
                     source.setdefault("drop", [])
