@@ -2627,6 +2627,130 @@ replication:
     )
 
 
+def q_replicate_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-event routing through the replicate verb on a WALJSON
+    stream (streaming/controls.py ControlRouter + the format-routed
+    schema probe, r5 verdict items 1+6 ≈ nonrow_separator.go +
+    publisher_replication.go:202): snapshot seed, then ONE recorded
+    wal2json log carrying (wave 1) the events table as full-row
+    inserts/deletes at lsn=2*event_id, a TRUNCATE 'T' at the largest
+    odd lsn ≤ max wave-1 position, a DDL 'M' message, and (wave 2)
+    post-DDL re-inserts of every third event carrying a NEW column
+    c_flag. The first attempt applies up to the DDL and aborts, the
+    supervisor re-probes the schema_file from the wal2json `columns`
+    arrays, and the restarted query replays the batch idempotently.
+    Oracle = the net state of rows surviving the truncate cut."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.tasks.replicate import run_replication
+
+    tmp = tempfile.mkdtemp(prefix="replicate_controls_")
+    snap_dir = _os.path.join(tmp, "customer.parquet")
+    wal = _os.path.join(tmp, "wal")
+    target = _os.path.join(tmp, "target")
+    state = _os.path.join(tmp, "state")
+    schema_file = _os.path.join(tmp, "schema.ddl")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    cust.write.parquet(snap_dir)
+    _os.makedirs(wal, exist_ok=True)
+    with open(schema_file, "w") as f:
+        f.write("c_custkey long, c_name string, c_acctbal double")
+
+    spec = transfer_from_yaml(
+        f"""
+type: SNAPSHOT_AND_INCREMENT
+src:
+  type: file
+  params: {{path: {snap_dir}, format: parquet}}
+dst:
+  type: file
+  params: {{path: {tmp}/unused, format: parquet}}
+replication:
+  source:
+    format: waljson
+    path: {wal}
+    schema_file: {schema_file}
+  target:
+    kind: bucketed
+    root: {target}
+    keys: [c_custkey]
+    n_buckets: 16
+  controls: {{enabled: true}}
+"""
+    )
+    # pass 1: activation (snapshot seed, source position over empty log)
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    evs = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", "event_type")
+        .collect()
+    )
+    mx = max(r.event_id for r in evs)
+    trunc_lsn = mx + 1 - mx % 2  # odd: never collides with 2*event_id
+    ddl_lsn = 4 * mx + 1
+
+    def _cols(uid, bal, flag=None):
+        cols = [
+            {"name": "c_custkey", "value": uid},
+            {"name": "c_name", "value": f"u{uid}"},
+            {"name": "c_acctbal", "value": bal},
+        ]
+        if flag is not None:
+            cols.append({"name": "c_flag", "value": flag})
+        return cols
+
+    with open(_os.path.join(wal, "000.jsonl"), "w") as fh:
+        for r in sorted(evs, key=lambda r: r.event_id):  # wave 1
+            if r.event_type == "error":
+                ev = {
+                    "action": "D",
+                    "lsn": 2 * r.event_id,
+                    "table": "customer",
+                    "identity": [{"name": "c_custkey", "value": r.user_id}],
+                }
+            else:
+                ev = {
+                    "action": "I",
+                    "lsn": 2 * r.event_id,
+                    "table": "customer",
+                    "columns": _cols(r.user_id, r.value),
+                }
+            fh.write(_json.dumps(ev) + "\n")
+        fh.write(_json.dumps(
+            {"action": "T", "lsn": trunc_lsn, "table": "customer"}
+        ) + "\n")
+        fh.write(_json.dumps(
+            {"action": "M", "lsn": ddl_lsn, "prefix": "ddl",
+             "transactional": True,
+             "content": "ALTER TABLE customer ADD COLUMN c_flag text"}
+        ) + "\n")
+        for r in sorted(evs, key=lambda r: r.event_id):  # wave 2
+            if r.event_id % 3 != 0:
+                continue
+            fh.write(_json.dumps({
+                "action": "I",
+                "lsn": 4 * mx + 2 + 2 * r.event_id,
+                "table": "customer",
+                "columns": _cols(r.user_id, r.value + 1, f"f{r.user_id}"),
+            }) + "\n")
+
+    # pass 2: catch-up — aborts at the DDL, probe evolves schema_file
+    # from the columns arrays, retry replays the batch idempotently
+    run_replication(
+        spark, spec, state_dir=state, once=True,
+        retry_interval=0.0, sleep_fn=lambda s: None,
+    )
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    table = BucketedParquetTable(spark, target, keys=["c_custkey"], n_buckets=16)
+    return table.read().select("c_custkey", "c_name", "c_acctbal", "c_flag")
+
+
 def q_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serializer → parser round-trip in the engine's native wire form
     (≈ pkg/serializer/queue/native_serializer.go + parsers/registry/native)."""
@@ -3227,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (a) round-5 new surface: replicate verb, dblog, SR
         # serializer, provider planning — never scored before --------
+        "replicate_controls": q_replicate_controls,
         "replicate_yaml": q_replicate_yaml,
         "dblog_snapshot": q_dblog_snapshot,
         "serializer_confluent": q_serializer_confluent,
@@ -3752,6 +3877,34 @@ FROM nation t ANTI JOIN n_net n ON t.n_nationkey = n.k
         SELECT t.c_custkey, t.c_name, t.c_acctbal
         FROM customer t ANTI JOIN collapsed n USING (c_custkey)
         """,
+        "replicate_controls": """
+WITH m AS (SELECT max(event_id) AS mx FROM events),
+w1 AS (
+  SELECT user_id AS k, 'u' || CAST(user_id AS VARCHAR) AS name_v,
+         value AS bal_v, CAST(NULL AS VARCHAR) AS flag_v,
+         2*event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'd' ELSE 'i' END AS op
+  FROM events
+),
+w2 AS (
+  SELECT user_id AS k, 'u' || CAST(user_id AS VARCHAR) AS name_v,
+         value + 1 AS bal_v, 'f' || CAST(user_id AS VARCHAR) AS flag_v,
+         4*(SELECT mx FROM m) + 2 + 2*event_id AS lsn, 'i' AS op
+  FROM events WHERE event_id % 3 = 0
+),
+alive AS (
+  SELECT * FROM w1 WHERE lsn > (SELECT mx + 1 - mx % 2 FROM m)
+  UNION ALL SELECT * FROM w2
+),
+net AS (
+  SELECT k, arg_max(op, lsn) AS last_op, arg_max(name_v, lsn) AS last_name,
+         arg_max(bal_v, lsn) AS last_bal, arg_max(flag_v, lsn) AS last_flag
+  FROM alive GROUP BY k
+)
+SELECT k AS c_custkey, last_name AS c_name, last_bal AS c_acctbal,
+       last_flag AS c_flag
+FROM net WHERE last_op <> 'd'
+""",
         "replicate_yaml": f"""
 WITH changelog AS (
   SELECT user_id AS c_custkey,

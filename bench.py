@@ -123,6 +123,8 @@ EXCLUDED = {
     # operator; its correctness is driver-scored every round
     "replicate_yaml": "streaming-lifecycle harness, not operator throughput",
     "replicate_multi_table": "same: two streaming-query lifecycles",
+    "replicate_controls": "same: three streaming-query lifecycles "
+    "(the DDL abort-and-restart is part of the scenario)",
 }
 
 

@@ -674,3 +674,103 @@ replication:
     # post-truncate row survives — a dropped control would have left
     # (1,a),(2,b),(3,c) behind
     assert {(r.id, r.v) for r in table.read().collect()} == {(4, "d")}
+
+
+def test_replicate_waljson_truncate_ddl_format_routed_probe(spark, tmp_path):
+    """r5 verdict item 1: `replication.controls.enabled` on a WALJSON
+    (PG) stream. wal2json records columns as `columns` arrays — not the
+    binlog's before/after dicts — so the DDL-driven schema re-probe
+    must be format-routed or the restart evolves nothing and the new
+    column is silently dropped. Rows + TRUNCATE ('T') + DDL (an 'M'
+    logical message with prefix "ddl", the public
+    pg_logical_emit_message DDL-capture pattern) + post-DDL rows with a
+    NEW column, through `run_replication` alone."""
+    src = str(tmp_path / "items.parquet")
+    wal = str(tmp_path / "wal")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    schema_file = str(tmp_path / "schema.ddl")
+    _write_items(spark, src)
+    with open(schema_file, "w") as f:
+        f.write("id long, v string")
+    _emit(wal, "000.jsonl", [])
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: waljson
+    path: {wal}
+    schema_file: {schema_file}
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 4}}
+  controls: {{enabled: true}}
+""")
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    _emit(wal, "001.jsonl", [
+        {"action": "I", "lsn": 10, "schema": "public", "table": "items",
+         "columns": [{"name": "id", "value": 3}, {"name": "v", "value": "c"}]},
+        {"action": "T", "lsn": 20, "schema": "public", "table": "items"},
+        {"action": "I", "lsn": 30, "schema": "public", "table": "items",
+         "columns": [{"name": "id", "value": 4}, {"name": "v", "value": "d"}]},
+        {"action": "M", "lsn": 40, "prefix": "ddl", "transactional": True,
+         "content": "ALTER TABLE items ADD COLUMN w text"},
+        {"action": "I", "lsn": 50, "schema": "public", "table": "items",
+         "columns": [{"name": "id", "value": 5}, {"name": "v", "value": "e"},
+                     {"name": "w", "value": "x"}]},
+    ])
+    report = run_replication(
+        spark, spec, state_dir=state, once=True,
+        retry_interval=0.0, sleep_fn=lambda s: None,
+    )
+    # attempt 1 hit the DDL and restarted; attempt 2 completed
+    assert report.attempts == 2
+    assert any("SchemaDrift" in e or "schema restart" in e for e in report.errors)
+    # the registry evolved FROM THE columns ARRAYS — the binlog-shaped
+    # probe would have found nothing here
+    with open(schema_file) as f:
+        assert f.read() == "id bigint, v string, w string"
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    got = {(r.id, r.v, r.w) for r in table.read().collect()}
+    # truncate wiped the seed and row 3; rows 4 (pre-DDL) and 5
+    # (post-DDL, w carried) survive
+    assert got == {(4, "d", None), (5, "e", "x")}
+
+
+def test_probe_stream_schema_format_routing(spark, tmp_path):
+    """The probe parses each format's own payload shape, and unknown
+    formats are loud."""
+    import pytest as _pytest
+
+    from transferia_spark.streaming.cdc_sources import probe_stream_schema
+
+    wal = str(tmp_path / "wal")
+    _emit(wal, "0.jsonl", [
+        {"action": "I", "lsn": 1,
+         "columns": [{"name": "id", "value": 1}, {"name": "n", "value": 2}],
+         "identity": [{"name": "extra", "value": 1.5}]},
+    ])
+    st = probe_stream_schema("waljson", wal, "id long")
+    assert [(f.name, f.dataType.simpleString()) for f in st.fields] == [
+        ("id", "bigint"), ("extra", "double"), ("n", "bigint"),
+    ]
+
+    cs = str(tmp_path / "cs")
+    _emit(cs, "0.jsonl", [
+        {"operationType": "update", "clusterTime": 1, "order": 0,
+         "documentKey": {"_id": 1},
+         "updateDescription": {"updatedFields": {"flag": True}}},
+        {"operationType": "insert", "clusterTime": 1, "order": 1,
+         "documentKey": {"_id": 2}, "fullDocument": {"_id": 2, "score": 0.5}},
+    ])
+    st = probe_stream_schema("mongostream", cs, "_id long")
+    assert [(f.name, f.dataType.simpleString()) for f in st.fields] == [
+        ("_id", "bigint"), ("flag", "boolean"), ("score", "double"),
+    ]
+
+    with _pytest.raises(ValueError, match="no schema probe"):
+        probe_stream_schema("nope", wal, "id long")

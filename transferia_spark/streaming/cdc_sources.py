@@ -253,32 +253,71 @@ def probe_binlog_schema(path: str, base_ddl: str):
     in the base schema, infer types from their JSON values, and evolve
     widening-only (new columns append nullable — schema_drift.evolve's
     contract). Returns the evolved StructType."""
-    from transferia_spark.streaming.schema_drift import evolve
+    from transferia_spark.streaming.schema_drift import evolve, infer_json_type
 
     st = T._parse_datatype_string(base_ddl)
     known = {f.name for f in st.fields}
     inferred: dict[str, T.DataType] = {}
-
-    def _infer(v) -> T.DataType:
-        if isinstance(v, bool):
-            return T.BooleanType()
-        if isinstance(v, int):
-            return T.LongType()
-        if isinstance(v, float):
-            return T.DoubleType()
-        return T.StringType()
-
     for f in _scan_files(path):
         for ev in _events(f):
             for side in ("before", "after"):
                 for k, v in (ev.get(side) or {}).items():
                     if k not in known and k not in inferred and v is not None:
-                        inferred[k] = _infer(v)
+                        inferred[k] = infer_json_type(v)
     probed = T.StructType(
         list(st.fields)
         + [T.StructField(k, t, True) for k, t in sorted(inferred.items())]
     )
     return evolve(st, probed)
+
+
+def probe_change_stream_schema(path: str, base_ddl: str) -> T.StructType:
+    """Schema probe for the Mongo change-stream capture format: new
+    document fields appear in ``fullDocument`` images and partial
+    ``updateDescription.updatedFields`` — Mongo has no DDL, the
+    documents themselves ARE the schema drift."""
+    from transferia_spark.streaming.schema_drift import evolve, infer_json_type
+
+    st = T._parse_datatype_string(base_ddl)
+    known = {f.name for f in st.fields}
+    inferred: dict[str, T.DataType] = {}
+    for f in _scan_files(path):
+        for ev in _events(f):
+            sides = (
+                ev.get("fullDocument") or {},
+                (ev.get("updateDescription") or {}).get("updatedFields") or {},
+            )
+            for side in sides:
+                for k, v in side.items():
+                    if k not in known and k not in inferred and v is not None:
+                        inferred[k] = infer_json_type(v)
+    probed = T.StructType(
+        list(st.fields)
+        + [T.StructField(k, t, True) for k, t in sorted(inferred.items())]
+    )
+    return evolve(st, probed)
+
+
+def probe_stream_schema(fmt: str, path: str, base_ddl: str) -> T.StructType:
+    """Format-routed relation-message analog (r5 verdict item 1): each
+    replication wire format records its row payloads differently —
+    binlog JSON as ``before``/``after`` dicts, wal2json as
+    ``columns``/``identity`` arrays, change streams as documents — so
+    the DDL-driven schema re-probe must parse the format the stream
+    actually speaks, or a drift restart silently evolves nothing.
+    ``pgwire`` drains into wal2json form before tailing, so it probes
+    as waljson."""
+    if fmt == "binlogjson":
+        return probe_binlog_schema(path, base_ddl)
+    if fmt in ("waljson", "pgwire"):
+        from transferia_spark.streaming.wal_source import probe_wal_schema
+
+        return probe_wal_schema(path, base_ddl)
+    if fmt == "mongostream":
+        return probe_change_stream_schema(path, base_ddl)
+    raise ValueError(
+        f"no schema probe for replication source format {fmt!r}"
+    )
 
 
 def schema_to_ddl(st: T.StructType) -> str:
@@ -444,4 +483,8 @@ __all__ = [
     "binlog_lsn",
     "binlog_output_schema",
     "change_stream_output_schema",
+    "probe_binlog_schema",
+    "probe_change_stream_schema",
+    "probe_stream_schema",
+    "schema_to_ddl",
 ]

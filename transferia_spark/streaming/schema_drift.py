@@ -61,6 +61,19 @@ class SchemaRegistry:
         return version
 
 
+def infer_json_type(v) -> T.DataType:
+    """Spark type for a JSON-decoded value — shared by the per-format
+    schema probes (binlog ``before``/``after`` dicts, wal2json
+    ``columns`` arrays, change-stream documents)."""
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    return T.StringType()
+
+
 def evolve(old: T.StructType, new: T.StructType) -> T.StructType:
     """Widening-only merge: old column order is preserved (dropped
     columns become nullable holes the sink keeps), new columns append

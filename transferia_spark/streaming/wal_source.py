@@ -175,24 +175,30 @@ class WalJsonStreamReader(DataSourceStreamReader):
                 lsn = int(ev["lsn"])
                 if ev.get("action") not in _ACTIONS:
                     # wal2json 'T' (TRUNCATE) becomes a control
-                    # ChangeItem when the pipeline opted in; 'B'/'C'/'M'
-                    # (tx markers, messages) are never row changes
-                    if (
-                        self.emit_controls
-                        and ev.get("action") == "T"
-                        and lo < lsn <= hi
-                    ):
+                    # ChangeItem when the pipeline opted in, as does an
+                    # 'M' logical message whose prefix is "ddl" — the
+                    # public pg_logical_emit_message / event-trigger
+                    # pattern for DDL capture (wal2json emits DDL only
+                    # as such messages; relation changes are otherwise
+                    # implicit in later rows). 'B'/'C' (tx markers) and
+                    # other messages are never row changes.
+                    action = ev.get("action")
+                    is_ctl = action == "T" or (
+                        action == "M" and ev.get("prefix") == "ddl"
+                    )
+                    if self.emit_controls and is_ctl and lo < lsn <= hi:
                         counter = counter + 1 if lsn == last_lsn else 0
                         last_lsn = lsn
                         yield tuple(None for _ in self.payload_fields) + (
-                            "truncate",
+                            "truncate" if action == "T" else "ddl",
                             lsn,
                             counter,
                             ".".join(
                                 x
                                 for x in (ev.get("schema"), ev.get("table"))
                                 if x
-                            ),
+                            )
+                            or None,
                             None,
                             None,
                         )
@@ -227,6 +233,44 @@ class WalJsonStreamReader(DataSourceStreamReader):
             with open(tmp, "w") as fh:
                 json.dump(end, fh)
             os.replace(tmp, self.ack_file)
+
+
+def probe_wal_schema(path: str, base_ddl: str) -> T.StructType:
+    """Relation-message analog for the recorded wal2json stream (≈ the
+    reference re-resolving the table schema on a relation message,
+    ``publisher_replication.go:202``): wal2json v2 events carry their
+    columns as ``columns``/``identity`` arrays of ``{name, value}``
+    objects — NOT the ``before``/``after`` dicts of the binlog format —
+    so the probe walks those arrays for names missing from the base
+    schema, infers types from the JSON values, and evolves
+    widening-only (new columns append nullable, ``schema_drift.evolve``
+    contract). Returns the evolved StructType."""
+    from transferia_spark.streaming.schema_drift import evolve, infer_json_type
+
+    st = T._parse_datatype_string(base_ddl)
+    known = {f.name for f in st.fields}
+    inferred: dict[str, T.DataType] = {}
+    for f in _scan_files(path):
+        with open(f) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                ev = json.loads(line)
+                for side in ("columns", "identity"):
+                    for c in ev.get(side) or []:
+                        k, v = c.get("name"), c.get("value")
+                        if (
+                            k
+                            and k not in known
+                            and k not in inferred
+                            and v is not None
+                        ):
+                            inferred[k] = infer_json_type(v)
+    probed = T.StructType(
+        list(st.fields)
+        + [T.StructField(k, t, True) for k, t in sorted(inferred.items())]
+    )
+    return evolve(st, probed)
 
 
 class WalJsonDataSource(DataSource):

@@ -554,7 +554,7 @@ def run_replication(
         from pyspark.sql import types as T
 
         from transferia_spark.streaming.cdc_sources import (
-            probe_binlog_schema,
+            probe_stream_schema,
             schema_to_ddl,
         )
         from transferia_spark.streaming.controls import ControlRouter
@@ -583,9 +583,13 @@ def run_replication(
         def on_ddl(lsn: int):
             # relation-message analog: re-probe the recorded stream for
             # new columns and evolve the schema_file registry so the
-            # restarted query reads them (widening-only)
+            # restarted query reads them (widening-only). The probe is
+            # ROUTED BY FORMAT — wal2json records columns as arrays,
+            # binlog as before/after dicts (r5 verdict item 1).
             if src.get("schema_file"):
-                evolved = probe_binlog_schema(src["path"], ddl)
+                evolved = probe_stream_schema(
+                    src.get("format", "binlogjson"), src["path"], ddl
+                )
                 tmp = src["schema_file"] + ".tmp"
                 with open(tmp, "w") as f:
                     f.write(schema_to_ddl(evolved))
