@@ -774,3 +774,104 @@ def test_probe_stream_schema_format_routing(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no schema probe"):
         probe_stream_schema("nope", wal, "id long")
+
+
+def test_replicate_poison_event_dead_letters_not_fatal(spark, tmp_path):
+    """r5 verdict item 5: one poison event (malformed JSON / missing
+    position) used to raise ValueError inside the stream, classify
+    FATAL, and clear activation state — forcing a full re-snapshot. By
+    default it now routes to the dead-letter table (≈ NewUnparsed →
+    <table>_unparsed, generic_parser.go:575): replication completes,
+    the good events land, the poison line is recorded with its reason,
+    and activation state survives."""
+    src = str(tmp_path / "items.parquet")
+    binlog = str(tmp_path / "binlog")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    _write_items(spark, src)
+    _emit(binlog, "000.jsonl", [])
+    spec = transfer_from_yaml(_yaml(tmp_path, src, binlog, target))
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    with open(os.path.join(binlog, "001.jsonl"), "w") as f:
+        f.write(json.dumps({
+            "action": "insert", "log_file": "binlog.000001", "log_pos": 10,
+            "row_idx": 0, "after": {"id": 3, "v": "c"}}) + "\n")
+        f.write("{this is not json\n")  # poison
+        f.write(json.dumps({
+            "action": "insert", "log_pos": 30,  # poison: no log_file
+            "row_idx": 0, "after": {"id": 9, "v": "z"}}) + "\n")
+        f.write(json.dumps({
+            "action": "insert", "log_file": "binlog.000001", "log_pos": 40,
+            "row_idx": 0, "after": {"id": 4, "v": "d"}}) + "\n")
+
+    report = run_replication(
+        spark, spec, state_dir=state, once=True, retry_interval=0.0
+    )
+    assert report.attempts == 1  # no retry storm, no fatal
+    assert report.unparsed_rows == 2
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+    from transferia_spark.tasks.replicate import TransferStateStore, read_unparsed
+
+    table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    assert {(r.id, r.v) for r in table.read().collect()} == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    }
+    # activation state survived — a third pass does NOT re-activate
+    assert TransferStateStore(state).get("transfer").get("status") == "activated"
+    # the dead-letter table carries the raw lines + reasons
+    dl = read_unparsed(spark, os.path.join(state, "unparsed_transfer"))
+    rows = sorted(
+        (r.line_no, r.unparsed_row[:5], r.reason.split(":")[0])
+        for r in dl.collect()
+    )
+    assert rows == [
+        (1, "{this", "JSONDecodeError"),
+        (2, '{"act', "KeyError"),
+    ]
+
+    # idempotent replay: a re-run over the same files must not
+    # duplicate dead-letter records
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+    dl2 = read_unparsed(spark, os.path.join(state, "unparsed_transfer"))
+    assert dl2.count() == 2
+
+
+def test_replicate_dead_letter_disabled_stays_fatal(spark, tmp_path):
+    """replication.dead_letter.enabled: false restores the loud
+    contract: a poison event classifies fatal and clears activation."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "items.parquet")
+    binlog = str(tmp_path / "binlog")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    _write_items(spark, src)
+    _emit(binlog, "000.jsonl", [])
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: binlogjson
+    path: {binlog}
+    schema: "id long, v string"
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 4}}
+  dead_letter: {{enabled: false}}
+""")
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+    with open(os.path.join(binlog, "001.jsonl"), "w") as f:
+        f.write("{not json either\n")
+    with _pytest.raises(Exception):
+        # max_attempts bounds the loop so a classification regression
+        # fails fast (via max_attempts, leaving status intact → the
+        # assert below catches it) instead of hanging
+        run_replication(
+            spark, spec, state_dir=state, once=True,
+            retry_interval=0.0, max_attempts=3, sleep_fn=lambda s: None,
+        )
+    from transferia_spark.tasks.replicate import TransferStateStore
+
+    assert "status" not in TransferStateStore(state).get("transfer")

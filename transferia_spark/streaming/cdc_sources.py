@@ -60,11 +60,18 @@ def _scan_files(path: str) -> list[str]:
     return [os.path.join(path, n) for n in names if n.endswith((".json", ".jsonl"))]
 
 
-def _events(path: str) -> Iterator[dict]:
+def _events(path: str, skip_bad: bool = False) -> Iterator[dict]:
     with open(path) as fh:
         for line in fh:
-            if line.strip():
+            if not line.strip():
+                continue
+            try:
                 yield json.loads(line)
+            except ValueError:
+                # offset scans with a dead-letter route skip poison
+                # lines (read() records them); otherwise loud
+                if not skip_bad:
+                    raise
 
 
 def _ack(ack_file: str | None, end: dict) -> None:
@@ -139,24 +146,33 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
                     self._base = int(json.load(fh)["lsn"])
             except (FileNotFoundError, ValueError, KeyError):
                 pass
+        # dead-letter route for poison events (≈ <table>_unparsed,
+        # generic_parser.go): when set, malformed lines are recorded
+        # and skipped instead of killing the transfer
+        self.dead_letter = options.get("dead_letter_dir")
 
     def initialOffset(self) -> dict:
         return {"lsn": self.start_lsn}
+
+    def _scan_lsns(self) -> Iterator[int]:
+        """Positions of all parseable events; with a dead-letter route,
+        poison lines are invisible to planning (read() records them)."""
+        for f in _scan_files(self.path):
+            for ev in _events(f, bool(self.dead_letter)):
+                try:
+                    yield binlog_lsn(ev["log_file"], ev["log_pos"])
+                except (KeyError, ValueError, TypeError):
+                    if not self.dead_letter:
+                        raise
 
     def latestOffset(self) -> dict:
         base = self._base if self._base is not None else self.start_lsn
         if self.max_events is None:
             hi = 0
-            for f in _scan_files(self.path):
-                for ev in _events(f):
-                    hi = max(hi, binlog_lsn(ev["log_file"], ev["log_pos"]))
+            for lsn in self._scan_lsns():
+                hi = max(hi, lsn)
             return {"lsn": max(hi, base)}
-        pending: set[int] = set()
-        for f in _scan_files(self.path):
-            for ev in _events(f):
-                lsn = binlog_lsn(ev["log_file"], ev["log_pos"])
-                if lsn > base:
-                    pending.add(lsn)
+        pending = {lsn for lsn in self._scan_lsns() if lsn > base}
         if not pending:
             return {"lsn": base}
         take = sorted(pending)[: self.max_events]
@@ -173,57 +189,83 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
             return
+        from transferia_spark.streaming.wal_source import dead_letter_record
+
         lo, hi = int(partition.start["lsn"]), int(partition.end["lsn"])
-        for ev in _events(partition.path):
-            action = ev.get("action")
-            op = _MYSQL_OPS.get(action)
-            if op is None:
-                # TRUNCATE / DDL statements: control kinds, not rows —
-                # emitted as control ChangeItems only when the pipeline
-                # opted in (ControlRouter consumes them)
-                if not (
-                    self.emit_controls
-                    and action in ("truncate", "ddl", "query")
-                ):
+        with open(partition.path) as fh:
+            for line_no, line in enumerate(fh):
+                if not line.strip():
                     continue
-                lsn = binlog_lsn(ev["log_file"], ev["log_pos"])
-                if not (lo < lsn <= hi):
-                    continue
-                yield tuple(None for _ in self.payload_fields) + (
-                    "truncate" if action == "truncate" else "ddl",
-                    lsn,
-                    0,
-                    ".".join(
-                        x for x in (ev.get("schema"), ev.get("table")) if x
-                    ),
-                    None,
-                    None,
-                )
-                continue
-            lsn = binlog_lsn(ev["log_file"], ev["log_pos"])
-            if not (lo < lsn <= hi):
-                continue
-            before_map = ev.get("before") or {}
-            after_map = ev.get("after") or {}
-            payload = before_map if op == "d" else after_map
-            # updates/deletes attach the typed pre-image (OnRow's old
-            # half of the (old,new) pair) so PK-changing updates
-            # normalize delete+insert downstream
-            before = (
-                tuple(before_map.get(n) for n in self.payload_fields)
-                if op in ("u", "d") and before_map
-                else None
-            )
-            yield tuple(payload.get(n) for n in self.payload_fields) + (
-                op,
-                lsn,
-                int(ev.get("row_idx", 0)),
-                ".".join(
-                    x for x in (ev.get("schema"), ev.get("table")) if x
-                ),
-                before,
-                None,  # binlog row events always carry full rows
-            )
+                # poison events dead-letter and the stream continues
+                # (generic_parser.go's NewUnparsed contract); without a
+                # route the parse error stays loud/fatal
+                ev = None
+                try:
+                    ev = json.loads(line)
+                    action = ev.get("action")
+                    op = _MYSQL_OPS.get(action)
+                    if op is None:
+                        # TRUNCATE / DDL statements: control kinds, not
+                        # rows — emitted as control ChangeItems only
+                        # when the pipeline opted in (ControlRouter)
+                        if not (
+                            self.emit_controls
+                            and action in ("truncate", "ddl", "query")
+                        ):
+                            continue
+                        lsn = binlog_lsn(ev["log_file"], ev["log_pos"])
+                        if not (lo < lsn <= hi):
+                            continue
+                        yield tuple(None for _ in self.payload_fields) + (
+                            "truncate" if action == "truncate" else "ddl",
+                            lsn,
+                            0,
+                            ".".join(
+                                x
+                                for x in (ev.get("schema"), ev.get("table"))
+                                if x
+                            ),
+                            None,
+                            None,
+                        )
+                        continue
+                    lsn = binlog_lsn(ev["log_file"], ev["log_pos"])
+                    if not (lo < lsn <= hi):
+                        continue
+                    before_map = ev.get("before") or {}
+                    after_map = ev.get("after") or {}
+                    payload = before_map if op == "d" else after_map
+                    # updates/deletes attach the typed pre-image (OnRow's
+                    # old half of the (old,new) pair) so PK-changing
+                    # updates normalize delete+insert downstream
+                    before = (
+                        tuple(before_map.get(n) for n in self.payload_fields)
+                        if op in ("u", "d") and before_map
+                        else None
+                    )
+                    yield tuple(
+                        payload.get(n) for n in self.payload_fields
+                    ) + (
+                        op,
+                        lsn,
+                        int(ev.get("row_idx", 0)),
+                        ".".join(
+                            x for x in (ev.get("schema"), ev.get("table")) if x
+                        ),
+                        before,
+                        None,  # binlog row events always carry full rows
+                    )
+                except Exception as e:  # noqa: BLE001 — routed, not dropped
+                    if self.dead_letter:
+                        dead_letter_record(
+                            self.dead_letter, partition.path, line_no,
+                            line.strip(), e,
+                            table=ev.get("table")
+                            if isinstance(ev, dict)
+                            else None,
+                        )
+                        continue
+                    raise
 
     def commit(self, end: dict) -> None:
         # ≈ the saved binlog position the reference's coordinator keeps
@@ -380,6 +422,8 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
                 self._base = (int(acked["ts"]), int(acked["order"]))
             except (FileNotFoundError, ValueError, KeyError):
                 pass
+        # dead-letter route for poison events (≈ <table>_unparsed)
+        self.dead_letter = options.get("dead_letter_dir")
 
     def initialOffset(self) -> dict:
         return {"ts": self.start_ts, "order": self.start_order}
@@ -393,12 +437,12 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
         if self.max_events is None:
             hi = base
             for f in _scan_files(self.path):
-                for ev in _events(f):
+                for ev in _events(f, bool(self.dead_letter)):
                     hi = max(hi, _cs_pos(ev))
             return {"ts": hi[0], "order": hi[1]}
         pending: set[tuple[int, int]] = set()
         for f in _scan_files(self.path):
-            for ev in _events(f):
+            for ev in _events(f, bool(self.dead_letter)):
                 pos = _cs_pos(ev)
                 if pos > base:
                     pending.add(pos)
@@ -418,41 +462,60 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
             return
+        from transferia_spark.streaming.wal_source import dead_letter_record
+
         lo = (int(partition.start["ts"]), int(partition.start["order"]))
         hi = (int(partition.end["ts"]), int(partition.end["order"]))
-        for ev in _events(partition.path):
-            op = _MONGO_OPS.get(ev.get("operationType"))
-            if op is None:
-                # invalidate / drop / rename: control events — the
-                # watcher restarts on them, they are not row changes
-                continue
-            pos = _cs_pos(ev)
-            if not (lo < pos <= hi):
-                continue
-            doc_key = (ev.get("documentKey") or {}).get("_id")
-            full = ev.get("fullDocument")
-            upd = ev.get("updateDescription") or {}
-            updated = upd.get("updatedFields") or {}
-            removed = upd.get("removedFields") or []
-            if op == "d":
-                vals = {}
-                present = None
-            elif full is not None:
-                vals = dict(full)
-                present = None  # full image: every column carried
-            else:
-                # partial update: updated names carry values, removed
-                # names carry NULL (an $unset IS an explicit NULL
-                # write), everything else is ABSENT (the _present
-                # contract collapse folds on)
-                vals = dict(updated)
-                present = ["_id", *updated.keys(), *removed]
-            ns = ev.get("ns") or {}
-            table = ".".join(x for x in (ns.get("db"), ns.get("coll")) if x)
-            yield tuple(
-                doc_key if n == "_id" else vals.get(n)
-                for n in self.payload_fields
-            ) + (op, pos[0], pos[1], table, present)
+        with open(partition.path) as fh:
+            for line_no, line in enumerate(fh):
+                if not line.strip():
+                    continue
+                # poison events dead-letter and the stream continues
+                # (generic_parser.go's NewUnparsed contract)
+                try:
+                    ev = json.loads(line)
+                    op = _MONGO_OPS.get(ev.get("operationType"))
+                    if op is None:
+                        # invalidate / drop / rename: control events —
+                        # the watcher restarts on them, not row changes
+                        continue
+                    pos = _cs_pos(ev)
+                    if not (lo < pos <= hi):
+                        continue
+                    doc_key = (ev.get("documentKey") or {}).get("_id")
+                    full = ev.get("fullDocument")
+                    upd = ev.get("updateDescription") or {}
+                    updated = upd.get("updatedFields") or {}
+                    removed = upd.get("removedFields") or []
+                    if op == "d":
+                        vals = {}
+                        present = None
+                    elif full is not None:
+                        vals = dict(full)
+                        present = None  # full image: every column carried
+                    else:
+                        # partial update: updated names carry values,
+                        # removed names carry NULL (an $unset IS an
+                        # explicit NULL write), everything else is
+                        # ABSENT (the _present contract collapse folds on)
+                        vals = dict(updated)
+                        present = ["_id", *updated.keys(), *removed]
+                    ns = ev.get("ns") or {}
+                    table = ".".join(
+                        x for x in (ns.get("db"), ns.get("coll")) if x
+                    )
+                    yield tuple(
+                        doc_key if n == "_id" else vals.get(n)
+                        for n in self.payload_fields
+                    ) + (op, pos[0], pos[1], table, present)
+                except Exception as e:  # noqa: BLE001 — routed, not dropped
+                    if self.dead_letter:
+                        dead_letter_record(
+                            self.dead_letter, partition.path, line_no,
+                            line.strip(), e,
+                        )
+                        continue
+                    raise
 
     def commit(self, end: dict) -> None:
         # ≈ resume-token persistence per collection

@@ -80,13 +80,52 @@ def _scan_files(path: str) -> list[str]:
     return [os.path.join(path, n) for n in names if n.endswith((".json", ".jsonl"))]
 
 
-def _max_lsn(path: str) -> int:
+def dead_letter_record(
+    dl_dir: str, src_file: str, line_no: int, raw: str, err: BaseException,
+    table: str | None = None,
+) -> None:
+    """Write one poison line to the dead-letter directory (≈ the
+    reference's ``NewUnparsed`` rows landing in ``<table>_unparsed``,
+    ``generic_parser.go:575``): a malformed event must not kill the
+    transfer — the reference replicates on and surfaces the row.
+
+    One file per (source file, line) with an atomic replace, so batch
+    REPLAYS (crash recovery, DDL abort-and-restart) re-record the same
+    poison line idempotently instead of appending duplicates. Runs on
+    executors — no shared state, no driver round-trip."""
+    os.makedirs(dl_dir, exist_ok=True)
+    base = os.path.basename(src_file)
+    final = os.path.join(dl_dir, f"{base}.{line_no}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "table": table,
+                "file": base,
+                "line_no": line_no,
+                "unparsed_row": raw,
+                "reason": f"{type(err).__name__}: {err}",
+            },
+            fh,
+        )
+    os.replace(tmp, final)
+
+
+def _max_lsn(path: str, skip_bad: bool = False) -> int:
     hi = 0
     for f in _scan_files(path):
         with open(f) as fh:
             for line in fh:
-                if line.strip():
+                if not line.strip():
+                    continue
+                try:
                     hi = max(hi, int(json.loads(line)["lsn"]))
+                except (ValueError, KeyError, TypeError):
+                    # with a dead-letter route configured, poison lines
+                    # are invisible to offset planning (read() records
+                    # them); without one they fail loudly below
+                    if not skip_bad:
+                        raise
     return hi
 
 
@@ -126,6 +165,11 @@ class WalJsonStreamReader(DataSourceStreamReader):
         self.emit_controls = str(
             options.get("emit_controls", "false")
         ).lower() in ("true", "1")
+        # dead-letter route for poison events (≈ <table>_unparsed,
+        # generic_parser.go): when set, a malformed line is recorded
+        # there and the stream continues; when unset, it fails loudly
+        # (and the supervisor classifies the parse error fatal)
+        self.dead_letter = options.get("dead_letter_dir")
 
     # -- offset algebra: an offset is {"lsn": n}, rows with lsn in
     # (start, end] belong to the batch (same half-open contract as
@@ -136,15 +180,21 @@ class WalJsonStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         base = self._base if self._base is not None else self.start_lsn
         if self.max_events is None:
-            return {"lsn": max(_max_lsn(self.path), base)}
+            return {"lsn": max(_max_lsn(self.path, bool(self.dead_letter)), base)}
         pending: set[int] = set()
         for f in _scan_files(self.path):
             with open(f) as fh:
                 for line in fh:
-                    if line.strip():
+                    if not line.strip():
+                        continue
+                    try:
                         lsn = int(json.loads(line)["lsn"])
-                        if lsn > base:
-                            pending.add(lsn)
+                    except (ValueError, KeyError, TypeError):
+                        if self.dead_letter:
+                            continue  # read() dead-letters it
+                        raise
+                    if lsn > base:
+                        pending.add(lsn)
         if not pending:
             return {"lsn": base}
         return {"lsn": sorted(pending)[: self.max_events][-1]}
@@ -168,25 +218,33 @@ class WalJsonStreamReader(DataSourceStreamReader):
         # per (lsn) — matching the reference's counter-within-tx.
         last_lsn, counter = None, 0
         with open(partition.path) as fh:
-            for line in fh:
+            for line_no, line in enumerate(fh):
                 if not line.strip():
                     continue
-                ev = json.loads(line)
-                lsn = int(ev["lsn"])
-                if ev.get("action") not in _ACTIONS:
-                    # wal2json 'T' (TRUNCATE) becomes a control
-                    # ChangeItem when the pipeline opted in, as does an
-                    # 'M' logical message whose prefix is "ddl" — the
-                    # public pg_logical_emit_message / event-trigger
-                    # pattern for DDL capture (wal2json emits DDL only
-                    # as such messages; relation changes are otherwise
-                    # implicit in later rows). 'B'/'C' (tx markers) and
-                    # other messages are never row changes.
+                # poison events (malformed JSON, missing positions, bad
+                # payload shapes) dead-letter and the stream continues —
+                # one bad row must not force a re-snapshot
+                # (generic_parser.go's NewUnparsed contract); without a
+                # dead-letter route the parse error stays loud/fatal
+                try:
+                    ev = json.loads(line)
+                    lsn = int(ev["lsn"])
                     action = ev.get("action")
-                    is_ctl = action == "T" or (
-                        action == "M" and ev.get("prefix") == "ddl"
-                    )
-                    if self.emit_controls and is_ctl and lo < lsn <= hi:
+                    if action not in _ACTIONS:
+                        # wal2json 'T' (TRUNCATE) becomes a control
+                        # ChangeItem when the pipeline opted in, as does
+                        # an 'M' logical message whose prefix is "ddl" —
+                        # the public pg_logical_emit_message /
+                        # event-trigger pattern for DDL capture.
+                        # 'B'/'C' (tx markers) and other messages are
+                        # never row changes.
+                        is_ctl = action == "T" or (
+                            action == "M" and ev.get("prefix") == "ddl"
+                        )
+                        if not (
+                            self.emit_controls and is_ctl and lo < lsn <= hi
+                        ):
+                            continue
                         counter = counter + 1 if lsn == last_lsn else 0
                         last_lsn = lsn
                         yield tuple(None for _ in self.payload_fields) + (
@@ -202,28 +260,43 @@ class WalJsonStreamReader(DataSourceStreamReader):
                             None,
                             None,
                         )
-                    continue
-                counter = counter + 1 if lsn == last_lsn else 0
-                last_lsn = lsn
-                if not (lo < lsn <= hi):
-                    continue
-                cols = {c["name"]: c.get("value") for c in ev.get("columns") or []}
-                present = sorted(cols) if ev["action"] == "U" else None
-                identity = ev.get("identity") or []
-                before = None
-                if identity:
-                    bmap = {c["name"]: c.get("value") for c in identity}
-                    before = tuple(bmap.get(n) for n in self.payload_fields)
-                if ev["action"] == "D" and not cols:
-                    cols = {c["name"]: c.get("value") for c in identity}
-                yield tuple(cols.get(n) for n in self.payload_fields) + (
-                    _ACTIONS[ev["action"]],
-                    lsn,
-                    counter,
-                    ".".join(x for x in (ev.get("schema"), ev.get("table")) if x),
-                    before,
-                    present,
-                )
+                        continue
+                    counter = counter + 1 if lsn == last_lsn else 0
+                    last_lsn = lsn
+                    if not (lo < lsn <= hi):
+                        continue
+                    cols = {
+                        c["name"]: c.get("value")
+                        for c in ev.get("columns") or []
+                    }
+                    present = sorted(cols) if action == "U" else None
+                    identity = ev.get("identity") or []
+                    before = None
+                    if identity:
+                        bmap = {c["name"]: c.get("value") for c in identity}
+                        before = tuple(
+                            bmap.get(n) for n in self.payload_fields
+                        )
+                    if action == "D" and not cols:
+                        cols = {c["name"]: c.get("value") for c in identity}
+                    yield tuple(cols.get(n) for n in self.payload_fields) + (
+                        _ACTIONS[action],
+                        lsn,
+                        counter,
+                        ".".join(
+                            x for x in (ev.get("schema"), ev.get("table")) if x
+                        ),
+                        before,
+                        present,
+                    )
+                except Exception as e:  # noqa: BLE001 — routed, not dropped
+                    if self.dead_letter:
+                        dead_letter_record(
+                            self.dead_letter, partition.path, line_no,
+                            line.strip(), e,
+                        )
+                        continue
+                    raise
 
     def commit(self, end: dict) -> None:
         # ≈ slot ack (publisher_replication.go:140): persist the

@@ -60,8 +60,14 @@ def is_fatal(err: BaseException) -> bool:
     """Classify an error chain (≈ ``abstract.IsFatal``). Spark wraps the
     Python ``foreachBatch`` error in ``StreamingQueryException`` whose
     message keeps the original type name — classify the wrapped text
-    too, since the Python cause chain is severed at the JVM boundary."""
-    fatal_names = {t.__name__ for t in _FATAL_TYPES}
+    too, since the Python cause chain is severed at the JVM boundary.
+    Common stdlib SUBCLASSES of the fatal types must be named
+    explicitly: isinstance() sees them locally, but through the JVM
+    boundary only the leaf type name survives."""
+    fatal_names = {t.__name__ for t in _FATAL_TYPES} | {
+        "JSONDecodeError",  # ValueError
+        "UnicodeDecodeError",  # ValueError
+    }
     seen: set[int] = set()
     e: BaseException | None = err
     while e is not None and id(e) not in seen:
@@ -422,6 +428,44 @@ class ReplicationReport:
     activated: bool = False
     snapshot_rows: int = 0
     errors: list[str] = field(default_factory=list)
+    #: poison events routed to the dead-letter directory instead of
+    #: killing the transfer (≈ the reference's <table>_unparsed rows)
+    unparsed_rows: int = 0
+
+
+def dead_letter_count(dl_dir: str) -> int:
+    """Poison events recorded so far (one ``.json`` file per line —
+    the idempotent-replay contract of ``dead_letter_record``)."""
+    try:
+        return sum(1 for n in os.listdir(dl_dir) if n.endswith(".json"))
+    except FileNotFoundError:
+        return 0
+
+
+def read_unparsed(spark: SparkSession, dl_dir: str) -> DataFrame:
+    """The dead-letter table (≈ ``<table>_unparsed``,
+    ``generic_parser.go:575``): columns (table, file, line_no,
+    unparsed_row, reason)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("table", T.StringType()),
+        T.StructField("file", T.StringType()),
+        T.StructField("line_no", T.LongType()),
+        T.StructField("unparsed_row", T.StringType()),
+        T.StructField("reason", T.StringType()),
+    ])
+    try:
+        files = [
+            os.path.join(dl_dir, n)
+            for n in sorted(os.listdir(dl_dir))
+            if n.endswith(".json")
+        ]
+    except FileNotFoundError:
+        files = []
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
 
 
 def _seed_snapshot(spark: SparkSession, spec: TransferSpec, table_obj) -> int:
@@ -602,6 +646,22 @@ def run_replication(
             state_file=os.path.join(state_dir, f"ddl_{transfer_id}.json"),
         )
 
+    # poison events route to the dead-letter directory by default
+    # (≈ generic_parser's unparsed rows) instead of classifying fatal
+    # and clearing activation state — one bad row must not force a
+    # multi-day re-snapshot. Disable with
+    # replication.dead_letter.enabled: false for loud parse failures.
+    dl_cfg = dict(rep.get("dead_letter") or {})
+    dl_dir = None
+    if dl_cfg.get("enabled", True):
+        dl_dir = (
+            dict((rep.get("source") or {}).get("options") or {}).get(
+                "dead_letter_dir"
+            )
+            or dl_cfg.get("dir")
+            or os.path.join(state_dir, f"unparsed_{transfer_id}")
+        )
+
     retry_count = 0
     last_err_text: str | None = None
     while True:
@@ -621,6 +681,8 @@ def run_replication(
                     "ack_file",
                     os.path.join(state_dir, f"ack_{transfer_id}.json"),
                 )
+                if dl_dir:
+                    opts.setdefault("dead_letter_dir", dl_dir)
                 if controls_on:
                     opts["emit_controls"] = "true"
                 source["options"] = opts
@@ -647,6 +709,8 @@ def run_replication(
             if once or (pipe.trigger or {}).get("availableNow"):
                 pipe.run_available(query_name=f"replicate_{transfer_id}")
                 store.report_health(transfer_id, retry_count, None)
+                if dl_dir:
+                    report.unparsed_rows = dead_letter_count(dl_dir)
                 return report
             q = pipe.start(query_name=f"replicate_{transfer_id}")
             # continuous mode: periodic health heartbeat while healthy
@@ -673,6 +737,8 @@ def run_replication(
                     break
             if stopped:
                 store.report_health(transfer_id, retry_count, None)
+                if dl_dir:
+                    report.unparsed_rows = dead_letter_count(dl_dir)
                 return report
             # the worker never returns cleanly in replicate mode
             raise RuntimeError(
@@ -704,7 +770,9 @@ __all__ = [
     "TransferStateStore",
     "build_replication_sink",
     "build_replication_stream",
+    "dead_letter_count",
     "is_fatal",
+    "read_unparsed",
     "run_replication",
     "source_position",
 ]
