@@ -1343,6 +1343,43 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.pairs_with_index(new, t.band_index(old))
 
 
+def q_dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index ingest lifecycle (operators/dedup.py
+    BandIndexStore — r5 verdict item 7): the band index lives as
+    _bk-sharded parquet on disk; three ingests (base corpus, then batch
+    A = doc_id%7==3, then batch B = doc_id%7==0) each hash ONLY their
+    own documents, check against the pruned on-disk index, and append.
+    The union of A's and B's pair sets must equal the full-corpus LSH
+    pairs touching A∪B — across a compaction between the ingests —
+    proving the disk lifecycle loses nothing a from-scratch run finds.
+    is_cross is pair-group inequality (a base↔A, base↔B, or A↔B pair)."""
+    import tempfile
+
+    from transferia_spark.operators.dedup import BandIndexStore
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(f"doc_id % {INCR_NEW_MOD} NOT IN (0, 3)")
+    batch_a = d.filter(f"doc_id % {INCR_NEW_MOD} = 3")
+    batch_b = d.filter(f"doc_id % {INCR_NEW_MOD} = 0")
+    t = build("dedup_incremental", text_col="text", id_col="doc_id", **MINHASH)
+    store = BandIndexStore(
+        spark, tempfile.mkdtemp(prefix="band_index_"), n_shards=32
+    )
+    store.ingest(t, base)  # seed: in-base pairs are not this query's output
+    pairs_a = store.ingest(t, batch_a).select("id_a", "id_b", "is_cross")
+    store.compact()  # ingests must survive an index compaction
+    pairs_b = store.ingest(t, batch_b).select("id_a", "id_b", "is_cross")
+    ga = F.col("id_a") % INCR_NEW_MOD
+    gb = F.col("id_b") % INCR_NEW_MOD
+    # within-batch pairs report is_cross=False per ingest; normalize to
+    # the global definition (groups differ) so A↔B cross-ingest pairs
+    # found at ingest B compare equal to the full-corpus oracle
+    grp = lambda c: F.when(c == 3, "A").when(c == 0, "B").otherwise("O")  # noqa: E731
+    return pairs_a.unionByName(pairs_b).select(
+        "id_a", "id_b", (grp(ga) != grp(gb)).alias("is_cross")
+    )
+
+
 def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/val/test split (operators/corpus.py
     LeakageSafeSplit): near-duplicate clusters are the assignment unit
@@ -3360,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_id_ranges": q_mongo_id_ranges,
         "partition_expansion": q_partition_expansion,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_store": q_dedup_incremental_store,
         "split_leakage_safe": q_split_leakage_safe,
         "embed_documents": q_embed_documents,
         "replicate_multi_table": q_replicate_multi_table,
@@ -3809,6 +3847,16 @@ SELECT id_a, id_b,
        (id_a % {INCR_NEW_MOD} = 0) <> (id_b % {INCR_NEW_MOD} = 0) AS is_cross
 FROM pairs
 WHERE id_a % {INCR_NEW_MOD} = 0 OR id_b % {INCR_NEW_MOD} = 0
+""",
+        "dedup_incremental_store": f"""
+WITH {_sql_minhash_cte()}
+SELECT id_a, id_b,
+       (CASE WHEN id_a % {INCR_NEW_MOD} = 3 THEN 'A'
+             WHEN id_a % {INCR_NEW_MOD} = 0 THEN 'B' ELSE 'O' END)
+    <> (CASE WHEN id_b % {INCR_NEW_MOD} = 3 THEN 'A'
+             WHEN id_b % {INCR_NEW_MOD} = 0 THEN 'B' ELSE 'O' END) AS is_cross
+FROM pairs
+WHERE id_a % {INCR_NEW_MOD} IN (0, 3) OR id_b % {INCR_NEW_MOD} IN (0, 3)
 """,
         "split_leakage_safe": f"""
 WITH RECURSIVE {_sql_minhash_cte()},

@@ -31,6 +31,8 @@ Scale notes (100 TB, 1000 executors):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -373,7 +375,16 @@ class DedupIncremental(Transformer):
         )
 
     def pairs_with_index(self, new_df: DataFrame, index: DataFrame) -> DataFrame:
-        nb = self.band_index(new_df).localCheckpoint(eager=False)
+        return self.pairs_from_bands(
+            self.band_index(new_df).localCheckpoint(eager=False), index
+        )
+
+    def pairs_from_bands(self, nb: DataFrame, index: DataFrame) -> DataFrame:
+        """Candidate pairs from PRE-COMPUTED batch band rows ``nb`` —
+        lets :class:`BandIndexStore` hash the ingest batch once and
+        reuse the same rows for both the pair check and the index
+        append. ``nb`` should be localCheckpoint-ed by the caller (it
+        feeds several consumers; Catalyst does not reuse exchanges)."""
         idx = index
         if self.max_bucket is not None:
             hot = (
@@ -412,6 +423,121 @@ class DedupIncremental(Transformer):
             "pairs_with_index(new_df, band_index(old_df)) — a chain "
             "transformer has no second input"
         )
+
+
+class BandIndexStore:
+    """On-disk lifecycle of the incremental-dedup band index (r5
+    verdict item 7): at 100 TB the PERSISTED artifact is this (id, _bk)
+    parquet directory, not the corpus text — each ingest re-reads the
+    index, never the old documents.
+
+    Layout: ``root/_v{N}/_shard=S/part-*.parquet`` with an atomically
+    replaced ``_VERSION`` pointer (the repo's versioned-table pattern,
+    tasks/compact.py). ``_shard = pmod(_bk, n_shards)`` hash-shards on
+    the band key itself, so:
+
+    - an ingest batch's index read prunes to the shard directories its
+      OWN band keys land in (partition pruning — O(batch-touched
+      shards), not O(index));
+    - ``append`` lands a batch's rows in the same directories later
+      batches will prune to;
+    - ``compact`` folds the per-ingest small files shard-by-shard into
+      a new version and swaps the pointer — append files never block
+      readers.
+
+    ``ingest`` materializes the pair check BEFORE appending the batch
+    (a localCheckpoint), so a batch never pairs against itself through
+    the index and a crash between check and append re-runs cleanly.
+    """
+
+    def __init__(self, spark, root: str, n_shards: int = 64):
+        self.spark = spark
+        self.root = root
+        self.n_shards = n_shards
+
+    # -- versioned layout ----------------------------------------------
+    def _version(self) -> int:
+        try:
+            with open(os.path.join(self.root, "_VERSION")) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _vdir(self, v: int | None = None) -> str:
+        return os.path.join(self.root, f"_v{v if v is not None else self._version()}")
+
+    def _set_version(self, v: int) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = os.path.join(self.root, "_VERSION.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.root, "_VERSION"))
+
+    def exists(self) -> bool:
+        return os.path.isdir(self._vdir())
+
+    def _sharded(self, band_rows: DataFrame) -> DataFrame:
+        return band_rows.withColumn(
+            "_shard", F.pmod(F.col("_bk"), F.lit(self.n_shards))
+        )
+
+    # -- lifecycle ------------------------------------------------------
+    def append(self, band_rows: DataFrame) -> None:
+        """Add a batch's (id, _bk) rows under their shard directories."""
+        self._sharded(band_rows).write.mode("append").partitionBy(
+            "_shard"
+        ).parquet(self._vdir())
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self._vdir()).drop("_shard")
+
+    def read_for(self, batch_bands: DataFrame) -> DataFrame:
+        """Index rows in the shards the batch's band keys touch — the
+        pruned scan every ingest join should run against. The distinct
+        shard collect is bounded by ``n_shards``, not data."""
+        touched = sorted(
+            r[0]
+            for r in self._sharded(batch_bands)
+            .select("_shard")
+            .distinct()
+            .collect()
+        )
+        df = self.spark.read.parquet(self._vdir())
+        return df.filter(F.col("_shard").isin(touched)).drop("_shard")
+
+    def ingest(self, dedup: DedupIncremental, new_df: DataFrame) -> DataFrame:
+        """Check the batch against the persisted index, THEN append the
+        batch's own band rows. Returns the candidate pairs (id_a, id_b,
+        is_cross), already materialized."""
+        nb = dedup.band_index(new_df).localCheckpoint(eager=False)
+        if self.exists():
+            pairs = dedup.pairs_from_bands(nb, self.read_for(nb))
+        else:
+            empty = self.spark.createDataFrame(
+                [], f"{dedup.id_col} long, _bk long"
+            )
+            pairs = dedup.pairs_from_bands(nb, empty)
+        # materialize before the append mutates what read() sees
+        pairs = pairs.localCheckpoint(eager=True)
+        self.append(nb)
+        return pairs
+
+    def compact(self) -> int:
+        """Fold append-accumulated small files into one file per shard
+        in a NEW version directory, then swap the pointer — readers of
+        the old version are never disturbed (tasks/compact.py pattern).
+        Returns the new version."""
+        v = self._version()
+        nxt = v + 1
+        df = self.spark.read.parquet(self._vdir(v))
+        df.repartition(self.n_shards, "_shard").write.mode(
+            "overwrite"
+        ).partitionBy("_shard").parquet(self._vdir(nxt))
+        self._set_version(nxt)
+        import shutil
+
+        shutil.rmtree(self._vdir(v), ignore_errors=True)
+        return nxt
 
 
 @register
@@ -756,7 +882,9 @@ class DedupEmbeddingCosine(Transformer):
 
 
 __all__ = [
+    "BandIndexStore",
     "DedupExact",
+    "DedupIncremental",
     "DedupMinHashLSH",
     "DedupSimHash",
     "DedupNgramJaccard",
