@@ -580,3 +580,109 @@ def test_partitions_floor_offset_on_spark_start(spark, tmp_path):
     # regressed end=2 (planned by a fresh reader before the fix)
     r.partitions({"lsn": 4}, {"lsn": 2})
     assert r.latestOffset() == {"lsn": 5}
+
+
+def test_resume_token_algebra_and_token_bearing_captures(spark, tmp_path):
+    """r5 verdict item 10: real resume tokens. The `_data` hex begins
+    with the public KeyString 0x82 Timestamp tag + BE seconds + BE
+    increment; token-bearing captures (no explicit clusterTime/order)
+    order identically to explicit ones, and `start_after` resumes from
+    a stored token."""
+    from transferia_spark.streaming.cdc_sources import (
+        ChangeStreamJsonStreamReader,
+        change_stream_output_schema,
+        format_resume_token,
+        parse_resume_token,
+    )
+
+    tok = format_resume_token(1700000000, 3, tail=b"\x01opaque-suffix")
+    assert parse_resume_token(tok) == (1700000000, 3)
+    with pytest.raises(ValueError, match="0x82"):
+        parse_resume_token("7f0011")
+    with pytest.raises(ValueError, match="too short"):
+        parse_resume_token("82000001")
+
+    csdir = str(tmp_path / "cs")
+    _emit(csdir, "000.jsonl", [
+        {"operationType": "insert",
+         "_id": {"_data": format_resume_token(100, i)},
+         "documentKey": {"_id": i},
+         "fullDocument": {"_id": i, "v": f"v{i}"}}
+        for i in range(4)
+    ])
+    reader = ChangeStreamJsonStreamReader(
+        change_stream_output_schema("_id long, v string"), {"path": csdir}
+    )
+    end = reader.latestOffset()
+    assert end == {"ts": 100, "order": 3}
+    rows = []
+    for part in reader.partitions(reader.initialOffset(), end):
+        rows += list(reader.read(part))
+    assert [(r[0], r[1]) for r in rows] == [
+        (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3"),
+    ]
+
+    # restart from a PERSISTED token: only events after it replay
+    resumed = ChangeStreamJsonStreamReader(
+        change_stream_output_schema("_id long, v string"),
+        {"path": csdir, "start_after": format_resume_token(100, 1)},
+    )
+    assert resumed.initialOffset() == {"ts": 100, "order": 1}
+    rows = []
+    for part in resumed.partitions(resumed.initialOffset(), resumed.latestOffset()):
+        rows += list(resumed.read(part))
+    assert [(r[0], r[1]) for r in rows] == [(2, "v2"), (3, "v3")]
+
+
+def test_replicate_verb_resumes_from_mongo_token(spark, tmp_path):
+    """End-to-end: a mongostream transfer whose source carries real
+    resume tokens; the activation-time source position is the last
+    token's (ts, order), so pre-snapshot events never replay, and a
+    later catch-up applies only post-snapshot changes."""
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.streaming.cdc_sources import format_resume_token
+    from transferia_spark.tasks.replicate import run_replication
+
+    src = str(tmp_path / "docs.parquet")
+    cs = str(tmp_path / "cs")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "_id long, v string"
+    ).coalesce(1).write.parquet(src)
+    # pre-snapshot history already folded into the snapshot
+    _emit(cs, "000.jsonl", [
+        {"operationType": "replace",
+         "_id": {"_data": format_resume_token(50, 0)},
+         "documentKey": {"_id": 1}, "fullDocument": {"_id": 1, "v": "STALE"}},
+    ])
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: mongostream
+    path: {cs}
+    schema: "_id long, v string"
+  target: {{kind: bucketed, root: {target}, keys: [_id], n_buckets: 4}}
+""")
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    table = BucketedParquetTable(spark, target, keys=["_id"], n_buckets=4)
+    assert {(r._id, r.v) for r in table.read().collect()} == {(1, "a"), (2, "b")}
+
+    _emit(cs, "001.jsonl", [
+        {"operationType": "insert",
+         "_id": {"_data": format_resume_token(60, 0)},
+         "documentKey": {"_id": 3}, "fullDocument": {"_id": 3, "v": "c"}},
+        {"operationType": "delete",
+         "_id": {"_data": format_resume_token(60, 1)},
+         "documentKey": {"_id": 2}},
+    ])
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+    assert {(r._id, r.v) for r in table.read().collect()} == {
+        (1, "a"), (3, "c"),
+    }

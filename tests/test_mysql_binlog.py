@@ -1,0 +1,340 @@
+"""MySQL binlog wire client (streaming/mysql_binlog.py): lenenc and
+GTID-set algebra, frame codecs against hand-built vectors, CRC
+verification, the tailer feeding the existing binlogjson DataSource,
+and the replicate verb on a recorded wire session — r5 verdict item 4.
+≈ mysql/canal.go + source.go:35 + utils.go:204."""
+
+from __future__ import annotations
+
+import json
+import os
+import pytest
+
+from transferia_spark.streaming.mysql_binlog import (
+    DELETE_ROWS_EVENT_V2,
+    TYPE_BLOB,
+    TYPE_DOUBLE,
+    TYPE_LONG,
+    TYPE_LONGLONG,
+    TYPE_VARCHAR,
+    UPDATE_ROWS_EVENT_V2,
+    WRITE_ROWS_EVENT_V2,
+    BinlogTailer,
+    decode_gtid,
+    decode_header,
+    decode_lenenc,
+    decode_query,
+    decode_rows_event,
+    decode_table_map,
+    drain_recorded_binlog,
+    encode_format_description,
+    encode_gtid,
+    encode_lenenc,
+    encode_query,
+    encode_rotate,
+    encode_rows_event,
+    encode_table_map,
+    format_gtid_set,
+    gtid_set_add,
+    gtid_set_contains,
+    parse_gtid_set,
+)
+
+SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+
+def test_lenenc_vectors():
+    # wire-layout vectors from the public protocol docs
+    assert encode_lenenc(0) == b"\x00"
+    assert encode_lenenc(250) == b"\xfa"
+    assert encode_lenenc(251) == b"\xfc\xfb\x00"
+    assert encode_lenenc(65535) == b"\xfc\xff\xff"
+    assert encode_lenenc(65536) == b"\xfd\x00\x00\x01"
+    assert encode_lenenc(1 << 24) == b"\xfe" + (1 << 24).to_bytes(8, "little")
+    for n in (0, 1, 250, 251, 65535, 65536, (1 << 24) + 7, 1 << 33):
+        buf = encode_lenenc(n) + b"tail"
+        v, pos = decode_lenenc(buf, 0)
+        assert v == n and buf[pos:] == b"tail"
+
+
+def test_gtid_set_algebra():
+    s = parse_gtid_set(f"{SID}:1-5:7, aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee:3")
+    assert s[SID] == [[1, 5], [7, 7]]
+    gtid_set_add(s, SID, 6)  # bridges 1-5 and 7
+    assert s[SID] == [[1, 7]]
+    gtid_set_add(s, SID, 9)
+    assert format_gtid_set(s) == (
+        f"{SID}:1-7:9,aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee:3"
+    )
+    assert gtid_set_contains(s, SID, 7) and not gtid_set_contains(s, SID, 8)
+    assert parse_gtid_set(format_gtid_set(s)) == s
+    with pytest.raises(ValueError, match="not a GTID set"):
+        parse_gtid_set("no-colons-here")
+
+
+def test_header_and_crc_vectors():
+    ev = encode_rotate("binlog.000002", checksum=True)
+    hdr = decode_header(ev)
+    assert hdr.type_code == 0x04 and hdr.event_size == len(ev)
+    # truncated frame: loud
+    with pytest.raises(ValueError, match="does not match frame length"):
+        decode_header(ev[:-1])
+    # corrupt payload: the CRC check must catch it
+    t = BinlogTailer(iter([]), "/tmp/unused_mysql_tailer")
+    t.checksum = True
+    bad = ev[:25] + bytes([ev[25] ^ 0xFF]) + ev[26:]
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        t._strip(bad)
+    assert t._strip(ev) == ev[:-4]
+
+
+def test_gtid_event_round_trip():
+    ev = encode_gtid(SID, 42, log_pos=500, checksum=False)
+    sid, gno = decode_gtid(ev[19:])
+    assert sid == SID and gno == 42
+
+
+def test_table_map_round_trip_names_and_signedness():
+    ev = encode_table_map(
+        7, "shop", "items",
+        [TYPE_LONGLONG, TYPE_VARCHAR, TYPE_DOUBLE, TYPE_LONG],
+        [None, 300, 8, None],
+        col_names=["id", "v", "price", "qty"],
+        unsigned=[False, False, False, True],
+        checksum=False,
+    )
+    tid, tm = decode_table_map(ev[19:])
+    assert tid == 7
+    assert (tm.schema, tm.table) == ("shop", "items")
+    assert tm.col_types == [TYPE_LONGLONG, TYPE_VARCHAR, TYPE_DOUBLE, TYPE_LONG]
+    assert tm.col_metas == [None, 300, 8, None]
+    assert tm.col_names == ["id", "v", "price", "qty"]
+    assert tm.unsigned == [False, False, False, True]
+
+
+def test_rows_events_round_trip_with_nulls_and_types():
+    types = [TYPE_LONGLONG, TYPE_VARCHAR, TYPE_DOUBLE, TYPE_BLOB]
+    metas = [None, 40, 8, 2]
+    _, tm = decode_table_map(encode_table_map(
+        9, "db", "t", types, metas, col_names=["id", "v", "x", "b"],
+        checksum=False,
+    )[19:])
+    w = encode_rows_event(
+        WRITE_ROWS_EVENT_V2, 9, types, metas,
+        [[1, "héllo", 2.5, b"\x01\x02"], [2, None, -0.5, None]],
+        checksum=False,
+    )
+    rows = decode_rows_event(WRITE_ROWS_EVENT_V2, w[19:], tm)
+    assert rows == [
+        {"after": {"id": 1, "v": "héllo", "x": 2.5, "b": b"\x01\x02"}},
+        {"after": {"id": 2, "v": None, "x": -0.5, "b": None}},
+    ]
+    u = encode_rows_event(
+        UPDATE_ROWS_EVENT_V2, 9, types, metas,
+        [([1, "a", 1.0, b""], [1, "a2", 1.5, b"z"])],
+        checksum=False,
+    )
+    rows = decode_rows_event(UPDATE_ROWS_EVENT_V2, u[19:], tm)
+    assert rows == [{
+        "before": {"id": 1, "v": "a", "x": 1.0, "b": b""},
+        "after": {"id": 1, "v": "a2", "x": 1.5, "b": b"z"},
+    }]
+    d = encode_rows_event(
+        DELETE_ROWS_EVENT_V2, 9, types, metas, [[2, "gone", 0.0, b""]],
+        checksum=False,
+    )
+    rows = decode_rows_event(DELETE_ROWS_EVENT_V2, d[19:], tm)
+    assert rows == [{"before": {"id": 2, "v": "gone", "x": 0.0, "b": b""}}]
+    # signed negative ints survive (LE two's complement)
+    neg = encode_rows_event(
+        WRITE_ROWS_EVENT_V2, 9, [TYPE_LONG], [None], [[-12345]],
+        checksum=False,
+    )
+    _, tm2 = decode_table_map(encode_table_map(
+        9, "db", "t", [TYPE_LONG], [None], col_names=["n"], checksum=False,
+    )[19:])
+    assert decode_rows_event(WRITE_ROWS_EVENT_V2, neg[19:], tm2) == [
+        {"after": {"n": -12345}}
+    ]
+
+
+def test_query_event_classification():
+    schema, q = decode_query(
+        encode_query("TRUNCATE TABLE items", schema="shop", checksum=False)[19:]
+    )
+    assert (schema, q) == ("shop", "TRUNCATE TABLE items")
+
+
+def _session_frames(checksum=True):
+    """One coherent recorded session: FDE, ROTATE, GTID, TABLE_MAP,
+    rows, a TRUNCATE and a DDL statement."""
+    types = [TYPE_LONGLONG, TYPE_VARCHAR]
+    metas = [None, 40]
+    return [
+        encode_format_description(checksum=checksum),
+        encode_rotate("binlog.000002", checksum=checksum),
+        encode_gtid(SID, 1, log_pos=110, checksum=checksum),
+        encode_table_map(5, "shop", "items", types, metas,
+                         col_names=["id", "v"], log_pos=120, checksum=checksum),
+        encode_rows_event(WRITE_ROWS_EVENT_V2, 5, types, metas,
+                          [[1, "a"], [2, "b"]], log_pos=130, checksum=checksum),
+        encode_rows_event(UPDATE_ROWS_EVENT_V2, 5, types, metas,
+                          [([2, "b"], [2, "b2"])], log_pos=140,
+                          checksum=checksum),
+        encode_query("TRUNCATE TABLE items", schema="shop", log_pos=150,
+                     checksum=checksum),
+        encode_rows_event(WRITE_ROWS_EVENT_V2, 5, types, metas,
+                          [[3, "c"]], log_pos=160, checksum=checksum),
+        encode_query("ALTER TABLE items ADD COLUMN w text", schema="shop",
+                     log_pos=170, checksum=checksum),
+        encode_rows_event(DELETE_ROWS_EVENT_V2, 5, types, metas,
+                          [[3, "c"]], log_pos=180, checksum=checksum),
+    ]
+
+
+def test_tailer_session_to_binlog_json(tmp_path):
+    out = str(tmp_path / "binlog")
+    tailer = BinlogTailer(iter(_session_frames()), out)
+    n = tailer.run()
+    assert n == 7  # 3 inserts + 1 update + 1 delete + truncate + ddl
+    lines = []
+    for name in sorted(os.listdir(out)):
+        if name.endswith(".jsonl"):
+            with open(os.path.join(out, name)) as f:
+                lines += [json.loads(ln) for ln in f if ln.strip()]
+    assert [
+        (ln["action"], ln["log_file"], ln["log_pos"]) for ln in lines
+    ] == [
+        ("insert", "binlog.000002", 130),
+        ("insert", "binlog.000002", 130),
+        ("update", "binlog.000002", 140),
+        ("truncate", "binlog.000002", 150),
+        ("insert", "binlog.000002", 160),
+        ("ddl", "binlog.000002", 170),
+        ("delete", "binlog.000002", 180),
+    ]
+    by_action = {}
+    for ln in lines:
+        by_action.setdefault(ln["action"], []).append(ln)
+    assert by_action["insert"][0]["after"] == {"id": 1, "v": "a"}
+    assert by_action["insert"][0]["row_idx"] == 0
+    assert by_action["insert"][1]["after"] == {"id": 2, "v": "b"}
+    assert by_action["insert"][1]["row_idx"] == 1
+    assert by_action["update"][0]["before"] == {"id": 2, "v": "b"}
+    assert by_action["update"][0]["after"] == {"id": 2, "v": "b2"}
+    assert by_action["truncate"][0]["table"] == "items"
+    assert by_action["ddl"][0]["query"].startswith("ALTER TABLE items")
+    assert by_action["delete"][0]["before"] == {"id": 3, "v": "c"}
+    assert all(ln["schema"] == "shop" for ln in lines if "schema" in ln)
+    # the GTID of the session's transaction landed in the executed set
+    assert gtid_set_contains(tailer.gtid_executed, SID, 1)
+
+
+def test_drain_recorded_binlog_incremental(tmp_path):
+    frames_dir = str(tmp_path / "frames")
+    out = str(tmp_path / "out")
+    os.makedirs(frames_dir)
+    frames = _session_frames()
+    with open(os.path.join(frames_dir, "000.jsonl"), "w") as f:
+        for fr in frames[:5]:
+            f.write(json.dumps({"frame": fr.hex()}) + "\n")
+    n1 = drain_recorded_binlog(frames_dir, out)
+    assert n1 == 2  # the two insert rows
+    # same captures again: nothing new
+    assert drain_recorded_binlog(frames_dir, out) == 0
+    # a new capture file arrives — only IT is decoded. It must restate
+    # the session prologue (FDE/ROTATE/TABLE_MAP), as a reconnecting
+    # live client would re-receive it.
+    with open(os.path.join(frames_dir, "001.jsonl"), "w") as f:
+        for fr in frames[:4] + frames[5:6]:
+            f.write(json.dumps({"frame": fr.hex()}) + "\n")
+    assert drain_recorded_binlog(frames_dir, out) == 1  # the update row
+
+
+def test_tailer_feeds_binlogjson_source(spark, tmp_path):
+    """The wire client is a drop-in front for the existing binlogjson
+    DataSource: decoded captures stream as ChangeItems with the
+    mysql LSN algebra (file index × 10^12 + position)."""
+    out = str(tmp_path / "binlog")
+    BinlogTailer(iter(_session_frames()), out).run()
+
+    from transferia_spark.streaming.cdc_sources import (
+        BinlogJsonStreamReader,
+        binlog_output_schema,
+    )
+
+    reader = BinlogJsonStreamReader(
+        binlog_output_schema("id long, v string"), {"path": out}
+    )
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    assert end == {"lsn": 2 * 10**12 + 180}
+    rows = []
+    for part in reader.partitions(start, end):
+        rows += list(reader.read(part))
+    # (id, v, _op, _lsn)
+    assert [(r[0], r[1], r[2], r[3]) for r in rows] == [
+        (1, "a", "i", 2 * 10**12 + 130),
+        (2, "b", "i", 2 * 10**12 + 130),
+        (2, "b2", "u", 2 * 10**12 + 140),
+        (3, "c", "i", 2 * 10**12 + 160),
+        (3, "c", "d", 2 * 10**12 + 180),
+    ]
+
+
+def test_replicate_verb_on_recorded_mysql_wire_session(spark, tmp_path):
+    """End-to-end mirror of the pgwire test: transfer.yaml with a
+    mysqlwire source drains the recorded binlog wire captures and
+    replicates through the verb — snapshot seed, then catch-up applies
+    the decoded row events from the Spark checkpoint."""
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.tasks.replicate import run_replication
+
+    src = str(tmp_path / "items.parquet")
+    frames_dir = str(tmp_path / "frames")
+    binlog = str(tmp_path / "binlog")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1).write.parquet(src)
+    os.makedirs(frames_dir)
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: mysqlwire
+    frames_path: {frames_dir}
+    path: {binlog}
+    schema: "id long, v string"
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 4}}
+""")
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    types = [TYPE_LONGLONG, TYPE_VARCHAR]
+    metas = [None, 40]
+    frames = [
+        encode_format_description(),
+        encode_rotate("binlog.000003"),
+        encode_table_map(5, "shop", "items", types, metas,
+                         col_names=["id", "v"], log_pos=50),
+        encode_rows_event(WRITE_ROWS_EVENT_V2, 5, types, metas,
+                          [[3, "c"]], log_pos=60),
+        encode_rows_event(UPDATE_ROWS_EVENT_V2, 5, types, metas,
+                          [([2, "b"], [2, "b2"])], log_pos=70),
+        encode_rows_event(DELETE_ROWS_EVENT_V2, 5, types, metas,
+                          [[1, "a"]], log_pos=80),
+    ]
+    with open(os.path.join(frames_dir, "000.jsonl"), "w") as f:
+        for fr in frames:
+            f.write(json.dumps({"frame": fr.hex()}) + "\n")
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    assert {(r.id, r.v) for r in table.read().collect()} == {
+        (2, "b2"), (3, "c"),
+    }

@@ -349,7 +349,7 @@ def probe_stream_schema(fmt: str, path: str, base_ddl: str) -> T.StructType:
     actually speaks, or a drift restart silently evolves nothing.
     ``pgwire`` drains into wal2json form before tailing, so it probes
     as waljson."""
-    if fmt == "binlogjson":
+    if fmt in ("binlogjson", "mysqlwire"):
         return probe_binlog_schema(path, base_ddl)
     if fmt in ("waljson", "pgwire"):
         from transferia_spark.streaming.wal_source import probe_wal_schema
@@ -386,8 +386,51 @@ def change_stream_output_schema(doc_ddl: str) -> T.StructType:
     )
 
 
+def parse_resume_token(data_hex: str) -> tuple[int, int]:
+    """Mongo resume token ``_data`` hex → (clusterTime seconds,
+    increment) — the ordered pair the whole offset algebra runs on.
+
+    Public KeyString layout (mongo/db/storage/key_string, documented by
+    the change-streams spec): the token begins with the 0x82 type tag
+    of a 64-bit BSON Timestamp, followed by 4-byte big-endian seconds
+    and 4-byte big-endian increment; the remainder (version byte,
+    operation type, UUID, documentKey) refines ordering WITHIN one
+    (ts, inc) and is opaque here — the reference also persists the
+    token whole and orders on the timestamp head
+    (``change_stream_watcher.go:38``)."""
+    b = bytes.fromhex(data_hex)
+    if not b or b[0] != 0x82:
+        raise ValueError(
+            f"not a resume token: expected leading 0x82 Timestamp tag, "
+            f"got {b[:1].hex() or '<empty>'}"
+        )
+    if len(b) < 9:
+        raise ValueError(f"resume token too short: {len(b)} bytes")
+    return int.from_bytes(b[1:5], "big"), int.from_bytes(b[5:9], "big")
+
+
+def format_resume_token(ts: int, inc: int, tail: bytes = b"") -> str:
+    """Minimal token with the public Timestamp head — the test-vector
+    builder and the capture-recording format."""
+    return (
+        b"\x82"
+        + int(ts).to_bytes(4, "big")
+        + int(inc).to_bytes(4, "big")
+        + tail
+    ).hex()
+
+
 def _cs_pos(ev: dict) -> tuple[int, int]:
-    return int(ev.get("clusterTime", 0)), int(ev.get("order", 0))
+    """Event position: explicit (clusterTime, order) fields when the
+    capture carries them, else derived from the REAL resume token in
+    ``_id._data`` — both forms order identically, so mixed captures
+    replay in one total order."""
+    if "clusterTime" in ev or "order" in ev:
+        return int(ev.get("clusterTime", 0)), int(ev.get("order", 0))
+    data = (ev.get("_id") or {}).get("_data")
+    if data:
+        return parse_resume_token(data)
+    return 0, 0
 
 
 class ChangeStreamJsonStreamReader(DataSourceStreamReader):
@@ -406,9 +449,16 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
         ]
         self.ack_file = options.get("ack_file")
         # snapshot→replication handoff: fresh checkpoints resume after
-        # this (clusterTime, order) pair (≈ the stored resume token)
-        self.start_ts = int(options.get("start_ts", 0))
-        self.start_order = int(options.get("start_order", -1))
+        # this (clusterTime, order) pair — either explicit, or as the
+        # REAL resume token the reference persists per collection
+        # (`start_after`, the driver option of the same name)
+        if options.get("start_after"):
+            self.start_ts, self.start_order = parse_resume_token(
+                options["start_after"]
+            )
+        else:
+            self.start_ts = int(options.get("start_ts", 0))
+            self.start_order = int(options.get("start_order", -1))
         # bounded catch-up batches (≈ middlewares/bufferer.go caps)
         mx = options.get("max_events_per_batch")
         self.max_events = int(mx) if mx is not None else None
@@ -546,6 +596,8 @@ __all__ = [
     "binlog_lsn",
     "binlog_output_schema",
     "change_stream_output_schema",
+    "format_resume_token",
+    "parse_resume_token",
     "probe_binlog_schema",
     "probe_change_stream_schema",
     "probe_stream_schema",

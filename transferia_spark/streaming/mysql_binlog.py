@@ -1,0 +1,723 @@
+"""MySQL binlog wire protocol (pure Python).
+
+≈ ``pkg/providers/mysql/canal.go`` + ``source.go:35`` (binlog
+subscription → row events) and ``utils.go:204`` (position algebra) in
+transferia/transferia, built against the PUBLIC binlog event format
+(MySQL "Binary Log Events" / "Replication Protocol" docs):
+
+- every event is a 19-byte v4 header (timestamp u32, type u8,
+  server_id u32, event_size u32, log_pos u32, flags u16 — all LE)
+  followed by a type-specific body, optionally CRC32-checksummed
+  (FORMAT_DESCRIPTION announces the algorithm);
+- ROTATE names the next binlog file (the file half of the LSN
+  algebra), TABLE_MAP declares (table_id → schema/table/column types,
+  with 8.0 optional metadata carrying column names), WRITE/UPDATE/
+  DELETE_ROWS v2 carry the row images, QUERY carries statements
+  (TRUNCATE/DDL → control events), GTID tags the transaction;
+- row images: columns-present bitmap, then per row a NULL bitmap and
+  the present non-NULL values in column order, with per-type binary
+  layouts (LE signed ints, float/double, length-prefixed strings and
+  blobs).
+
+Transport is INJECTABLE (the pattern proven by
+``streaming/pg_replication.py`` / ``sinks/kafka_wire.py``): codecs are
+pure functions over event byte strings; :class:`BinlogTailer` drains
+any iterator of events (a live socket's COM_BINLOG_DUMP stream or
+recorded vectors) into the binlog-JSON directory
+``cdc_sources.BinlogJsonStreamReader`` tails — so the DataSource
+stream, offsets, collapse and merge paths are IDENTICAL with a live
+socket or a recorded capture. The auth handshake is out of scope (a
+live transport performs it before handing the event stream over).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+# -- event type codes (public binlog_event.h values) --------------------
+QUERY_EVENT = 0x02
+ROTATE_EVENT = 0x04
+FORMAT_DESCRIPTION_EVENT = 0x0F
+TABLE_MAP_EVENT = 0x13
+WRITE_ROWS_EVENT_V2 = 0x1E
+UPDATE_ROWS_EVENT_V2 = 0x1F
+DELETE_ROWS_EVENT_V2 = 0x20
+GTID_EVENT = 0x21
+
+HEADER_LEN = 19
+
+# -- column type codes (public enum_field_types subset) -----------------
+TYPE_TINY = 1
+TYPE_SHORT = 2
+TYPE_LONG = 3
+TYPE_FLOAT = 4
+TYPE_DOUBLE = 5
+TYPE_NULL = 6
+TYPE_LONGLONG = 8
+TYPE_INT24 = 9
+TYPE_VARCHAR = 15
+TYPE_BLOB = 252
+
+#: optional TABLE_MAP metadata TLV types (8.0 binlog_row_metadata=FULL)
+META_SIGNEDNESS = 1
+META_COLUMN_NAME = 4
+
+_INT_SIZES = {TYPE_TINY: 1, TYPE_SHORT: 2, TYPE_INT24: 3, TYPE_LONG: 4,
+              TYPE_LONGLONG: 8}
+
+
+# ------------------------------------------------------------ lenenc
+
+def encode_lenenc(n: int) -> bytes:
+    if n < 0xFB:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 1 << 24:
+        return b"\xfd" + struct.pack("<I", n)[:3]
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def decode_lenenc(buf: bytes, pos: int) -> tuple[int, int]:
+    b = buf[pos]
+    if b < 0xFB:
+        return b, pos + 1
+    if b == 0xFC:
+        return struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
+    if b == 0xFD:
+        return int.from_bytes(buf[pos + 1:pos + 4], "little"), pos + 4
+    if b == 0xFE:
+        return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
+    raise ValueError(f"bad length-encoded integer prefix {b:#x}")
+
+
+# ----------------------------------------------------------- offsets
+
+def parse_gtid_set(text: str) -> dict[str, list[list[int]]]:
+    """``uuid:1-5:7,uuid2:3`` → {uuid: [[1,5],[7,7]]} (the executed-set
+    algebra the reference keeps per server, ``mysql/utils.go``)."""
+    out: dict[str, list[list[int]]] = {}
+    for part in filter(None, (p.strip() for p in text.split(","))):
+        sid, _, ivs = part.partition(":")
+        if not ivs:
+            raise ValueError(f"not a GTID set entry: {part!r}")
+        ranges = []
+        for iv in ivs.split(":"):
+            lo, _, hi = iv.partition("-")
+            ranges.append([int(lo), int(hi) if hi else int(lo)])
+        out[sid] = _merge_intervals(out.get(sid, []) + ranges)
+    return out
+
+
+def _merge_intervals(ivs: list[list[int]]) -> list[list[int]]:
+    out: list[list[int]] = []
+    for lo, hi in sorted(ivs):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
+def gtid_set_add(gset: dict[str, list[list[int]]], sid: str, gno: int) -> None:
+    gset[sid] = _merge_intervals(gset.get(sid, []) + [[gno, gno]])
+
+
+def format_gtid_set(gset: dict[str, list[list[int]]]) -> str:
+    parts = []
+    for sid in sorted(gset):
+        ivs = ":".join(
+            f"{lo}-{hi}" if hi > lo else f"{lo}" for lo, hi in gset[sid]
+        )
+        parts.append(f"{sid}:{ivs}")
+    return ",".join(parts)
+
+
+def gtid_set_contains(gset: dict, sid: str, gno: int) -> bool:
+    return any(lo <= gno <= hi for lo, hi in gset.get(sid, []))
+
+
+# ------------------------------------------------------------ frames
+
+@dataclass
+class EventHeader:
+    timestamp: int
+    type_code: int
+    server_id: int
+    event_size: int
+    log_pos: int
+    flags: int
+
+
+def encode_header(
+    type_code: int, body_len: int, log_pos: int,
+    timestamp: int = 0, server_id: int = 1, flags: int = 0,
+) -> bytes:
+    return struct.pack(
+        "<IBIIIH", timestamp, type_code, server_id,
+        HEADER_LEN + body_len, log_pos, flags,
+    )
+
+
+def decode_header(ev: bytes) -> EventHeader:
+    if len(ev) < HEADER_LEN:
+        raise ValueError(f"binlog event shorter than its header: {len(ev)}B")
+    ts, tc, sid, size, pos, flags = struct.unpack_from("<IBIIIH", ev, 0)
+    if size != len(ev):
+        raise ValueError(
+            f"event_size {size} does not match frame length {len(ev)}"
+        )
+    return EventHeader(ts, tc, sid, size, pos, flags)
+
+
+def finish_event(header_and_body: bytes, checksum: bool) -> bytes:
+    """Append the CRC32 trailer the server appends when
+    binlog_checksum=CRC32 (the encoder half of the codec; the tailer
+    verifies and strips it)."""
+    if not checksum:
+        return header_and_body
+    return header_and_body + struct.pack(
+        "<I", zlib.crc32(header_and_body) & 0xFFFFFFFF
+    )
+
+
+def encode_format_description(checksum: bool = True) -> bytes:
+    """Minimal v4 FORMAT_DESCRIPTION: binlog version 4, server version,
+    create ts, header length, post-header length table (zeros suffice
+    for the types this client consumes), checksum algorithm byte."""
+    body = struct.pack("<H", 4)
+    body += b"8.0.0-public".ljust(50, b"\x00")
+    body += struct.pack("<I", 0)
+    body += bytes([HEADER_LEN])
+    body += bytes(39)  # post-header lengths, unused by this decoder
+    body += bytes([1 if checksum else 0])  # checksum algorithm
+    ev = encode_header(FORMAT_DESCRIPTION_EVENT, len(body) + (4 if checksum else 0), 0)
+    return finish_event(ev + body, checksum)
+
+
+def encode_rotate(next_file: str, next_pos: int = 4, checksum: bool = True) -> bytes:
+    body = struct.pack("<Q", next_pos) + next_file.encode()
+    ev = encode_header(ROTATE_EVENT, len(body) + (4 if checksum else 0), 0)
+    return finish_event(ev + body, checksum)
+
+
+def encode_gtid(sid_hex: str, gno: int, log_pos: int, checksum: bool = True) -> bytes:
+    body = b"\x01" + bytes.fromhex(sid_hex.replace("-", "")) + struct.pack("<Q", gno)
+    ev = encode_header(GTID_EVENT, len(body) + (4 if checksum else 0), log_pos)
+    return finish_event(ev + body, checksum)
+
+
+def encode_query(
+    query: str, schema: str = "", log_pos: int = 0, checksum: bool = True
+) -> bytes:
+    sb = schema.encode()
+    body = struct.pack("<IIBHH", 0, 0, len(sb), 0, 0) + sb + b"\x00" + query.encode()
+    ev = encode_header(QUERY_EVENT, len(body) + (4 if checksum else 0), log_pos)
+    return finish_event(ev + body, checksum)
+
+
+def encode_table_map(
+    table_id: int,
+    schema: str,
+    table: str,
+    col_types: list[int],
+    col_metas: list[int | None],
+    col_names: list[str] | None = None,
+    unsigned: list[bool] | None = None,
+    log_pos: int = 0,
+    checksum: bool = True,
+) -> bytes:
+    body = struct.pack("<Q", table_id)[:6] + struct.pack("<H", 0)
+    sb, tb = schema.encode(), table.encode()
+    body += bytes([len(sb)]) + sb + b"\x00"
+    body += bytes([len(tb)]) + tb + b"\x00"
+    body += encode_lenenc(len(col_types)) + bytes(col_types)
+    meta = b""
+    for t, m in zip(col_types, col_metas):
+        if t == TYPE_VARCHAR:
+            meta += struct.pack("<H", m)
+        elif t in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB):
+            meta += bytes([m])
+    body += encode_lenenc(len(meta)) + meta
+    nullable = bytes((len(col_types) + 7) // 8)  # all non-nullable: unused here
+    body += nullable
+    # optional metadata TLVs (binlog_row_metadata=FULL): signedness of
+    # numeric columns, then column names
+    if unsigned is not None:
+        numeric = [i for i, t in enumerate(col_types) if t in _INT_SIZES]
+        bits = bytearray((len(numeric) + 7) // 8)
+        for j, i in enumerate(numeric):
+            if unsigned[i]:
+                bits[j // 8] |= 0x80 >> (j % 8)
+        body += bytes([META_SIGNEDNESS]) + encode_lenenc(len(bits)) + bytes(bits)
+    if col_names is not None:
+        blob = b"".join(
+            encode_lenenc(len(n.encode())) + n.encode() for n in col_names
+        )
+        body += bytes([META_COLUMN_NAME]) + encode_lenenc(len(blob)) + blob
+    ev = encode_header(TABLE_MAP_EVENT, len(body) + (4 if checksum else 0), log_pos)
+    return finish_event(ev + body, checksum)
+
+
+def _encode_value(v, t: int, m: int | None) -> bytes:
+    if t in _INT_SIZES:
+        return int(v).to_bytes(_INT_SIZES[t], "little", signed=True)
+    if t == TYPE_FLOAT:
+        return struct.pack("<f", v)
+    if t == TYPE_DOUBLE:
+        return struct.pack("<d", v)
+    if t == TYPE_VARCHAR:
+        b = v.encode()
+        pre = struct.pack("<H", len(b)) if (m or 0) > 255 else bytes([len(b)])
+        return pre + b
+    if t == TYPE_BLOB:
+        b = bytes(v)
+        return len(b).to_bytes(m or 1, "little") + b
+    raise ValueError(f"unsupported column type {t}")
+
+
+def _encode_row_image(values: list, col_types: list[int],
+                      col_metas: list[int | None]) -> bytes:
+    n = len(col_types)
+    nullmap = bytearray((n + 7) // 8)
+    out = b""
+    for i, v in enumerate(values):
+        if v is None:
+            nullmap[i // 8] |= 1 << (i % 8)
+        else:
+            out += _encode_value(v, col_types[i], col_metas[i])
+    return bytes(nullmap) + out
+
+
+def encode_rows_event(
+    type_code: int,
+    table_id: int,
+    col_types: list[int],
+    col_metas: list[int | None],
+    rows: list,
+    log_pos: int = 0,
+    checksum: bool = True,
+) -> bytes:
+    """``rows``: list of value-lists (write/delete) or (before, after)
+    pairs (update)."""
+    n = len(col_types)
+    body = struct.pack("<Q", table_id)[:6] + struct.pack("<H", 0)
+    body += struct.pack("<H", 2)  # v2 extra-data length (just itself)
+    body += encode_lenenc(n)
+    present = bytes([0xFF] * ((n + 7) // 8))
+    body += present
+    if type_code == UPDATE_ROWS_EVENT_V2:
+        body += present  # after-image columns bitmap
+        for before, after in rows:
+            body += _encode_row_image(before, col_types, col_metas)
+            body += _encode_row_image(after, col_types, col_metas)
+    else:
+        for vals in rows:
+            body += _encode_row_image(vals, col_types, col_metas)
+    ev = encode_header(type_code, len(body) + (4 if checksum else 0), log_pos)
+    return finish_event(ev + body, checksum)
+
+
+# ------------------------------------------------------------- decode
+
+@dataclass
+class TableMap:
+    schema: str
+    table: str
+    col_types: list[int]
+    col_metas: list[int | None]
+    col_names: list[str] | None = None
+    unsigned: list[bool] | None = None
+
+
+def decode_table_map(body: bytes) -> tuple[int, TableMap]:
+    table_id = int.from_bytes(body[0:6], "little")
+    pos = 8  # table_id(6) + flags(2)
+    slen = body[pos]
+    schema = body[pos + 1:pos + 1 + slen].decode()
+    pos += 1 + slen + 1
+    tlen = body[pos]
+    table = body[pos + 1:pos + 1 + tlen].decode()
+    pos += 1 + tlen + 1
+    ncols, pos = decode_lenenc(body, pos)
+    col_types = list(body[pos:pos + ncols])
+    pos += ncols
+    mlen, pos = decode_lenenc(body, pos)
+    meta_blob = body[pos:pos + mlen]
+    pos += mlen
+    col_metas: list[int | None] = []
+    mp = 0
+    for t in col_types:
+        if t == TYPE_VARCHAR:
+            col_metas.append(struct.unpack_from("<H", meta_blob, mp)[0])
+            mp += 2
+        elif t in (TYPE_FLOAT, TYPE_DOUBLE, TYPE_BLOB):
+            col_metas.append(meta_blob[mp])
+            mp += 1
+        else:
+            col_metas.append(None)
+    pos += (ncols + 7) // 8  # nullability bitmap (unused)
+    names: list[str] | None = None
+    unsigned: list[bool] | None = None
+    while pos < len(body):
+        tlv_type = body[pos]
+        tlv_len, p2 = decode_lenenc(body, pos + 1)
+        val = body[p2:p2 + tlv_len]
+        pos = p2 + tlv_len
+        if tlv_type == META_COLUMN_NAME:
+            names, vp = [], 0
+            while vp < len(val):
+                ln, vp = decode_lenenc(val, vp)
+                names.append(val[vp:vp + ln].decode())
+                vp += ln
+        elif tlv_type == META_SIGNEDNESS:
+            numeric = [i for i, t in enumerate(col_types) if t in _INT_SIZES]
+            unsigned = [False] * ncols
+            for j, i in enumerate(numeric):
+                if j // 8 < len(val) and val[j // 8] & (0x80 >> (j % 8)):
+                    unsigned[i] = True
+    return table_id, TableMap(schema, table, col_types, col_metas, names, unsigned)
+
+
+def _decode_value(body: bytes, pos: int, t: int, m: int | None,
+                  signed: bool = True) -> tuple[object, int]:
+    if t in _INT_SIZES:
+        w = _INT_SIZES[t]
+        return int.from_bytes(body[pos:pos + w], "little", signed=signed), pos + w
+    if t == TYPE_FLOAT:
+        return struct.unpack_from("<f", body, pos)[0], pos + 4
+    if t == TYPE_DOUBLE:
+        return struct.unpack_from("<d", body, pos)[0], pos + 8
+    if t == TYPE_VARCHAR:
+        if (m or 0) > 255:
+            ln = struct.unpack_from("<H", body, pos)[0]
+            pos += 2
+        else:
+            ln = body[pos]
+            pos += 1
+        return body[pos:pos + ln].decode(), pos + ln
+    if t == TYPE_BLOB:
+        nb = m or 1
+        ln = int.from_bytes(body[pos:pos + nb], "little")
+        pos += nb
+        return body[pos:pos + ln], pos + ln
+    raise ValueError(f"unsupported column type {t}")
+
+
+def _decode_row_image(body: bytes, pos: int, tm: TableMap,
+                      present: list[int]) -> tuple[dict, int]:
+    nullmap_len = (len(present) + 7) // 8
+    nullmap = body[pos:pos + nullmap_len]
+    pos += nullmap_len
+    row: dict = {}
+    for j, i in enumerate(present):
+        name = (tm.col_names or [f"col_{k}" for k in range(len(tm.col_types))])[i]
+        if nullmap[j // 8] & (1 << (j % 8)):
+            row[name] = None
+            continue
+        signed = not (tm.unsigned[i] if tm.unsigned else False)
+        v, pos = _decode_value(
+            body, pos, tm.col_types[i], tm.col_metas[i], signed
+        )
+        row[name] = v
+    return row, pos
+
+
+def decode_rows_event(type_code: int, body: bytes, tm: TableMap) -> list[dict]:
+    """→ list of {before?, after?} row dicts (column name → value)."""
+    pos = 8  # table_id(6) + flags(2)
+    extra_len = struct.unpack_from("<H", body, pos)[0]
+    pos += extra_len  # includes its own 2 bytes (v2 contract)
+    ncols, pos = decode_lenenc(body, pos)
+    bm_len = (ncols + 7) // 8
+    bm1 = body[pos:pos + bm_len]
+    pos += bm_len
+    present1 = [i for i in range(ncols) if bm1[i // 8] & (1 << (i % 8))]
+    if type_code == UPDATE_ROWS_EVENT_V2:
+        bm2 = body[pos:pos + bm_len]
+        pos += bm_len
+        present2 = [i for i in range(ncols) if bm2[i // 8] & (1 << (i % 8))]
+    rows = []
+    while pos < len(body):
+        if type_code == UPDATE_ROWS_EVENT_V2:
+            before, pos = _decode_row_image(body, pos, tm, present1)
+            after, pos = _decode_row_image(body, pos, tm, present2)
+            rows.append({"before": before, "after": after})
+        elif type_code == WRITE_ROWS_EVENT_V2:
+            after, pos = _decode_row_image(body, pos, tm, present1)
+            rows.append({"after": after})
+        else:
+            before, pos = _decode_row_image(body, pos, tm, present1)
+            rows.append({"before": before})
+    return rows
+
+
+def decode_query(body: bytes) -> tuple[str, str]:
+    """→ (schema, query text)."""
+    _tid, _exec, slen, _err, svlen = struct.unpack_from("<IIBHH", body, 0)
+    pos = 13 + svlen
+    schema = body[pos:pos + slen].decode()
+    pos += slen + 1
+    return schema, body[pos:].decode()
+
+
+def decode_gtid(body: bytes) -> tuple[str, int]:
+    sid = body[1:17].hex()
+    sid = f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-{sid[16:20]}-{sid[20:32]}"
+    gno = struct.unpack_from("<Q", body, 17)[0]
+    return sid, gno
+
+
+# ------------------------------------------------------------- tailer
+
+_DDL_PREFIXES = ("ALTER ", "CREATE ", "DROP ", "RENAME ")
+
+
+@dataclass
+class BinlogTailer:
+    """Drain a binlog event stream into the binlog-JSON directory that
+    ``BinlogJsonStreamReader`` tails (one line per row image:
+    ``{action, log_file, log_pos, row_idx, schema, table, before?,
+    after?}`` — the canal-style shape the envelope adapter documents).
+
+    State mirrors a real replica client: current log file (from
+    ROTATE), checksum algorithm (from FORMAT_DESCRIPTION), the
+    table-id → TableMap registry, and the executed GTID set. Column
+    names come from 8.0 optional TABLE_MAP metadata when present, else
+    from ``column_names`` ({"schema.table": [names]}) — the reference
+    resolves them from the live schema the same way (``canal.go``).
+    """
+
+    recv: object  # iterable of raw event byte strings
+    out_dir: str
+    column_names: dict[str, list[str]] | None = None
+    lines_per_file: int = 1000
+    log_file: str = ""
+    checksum: bool = False
+    gtid_executed: dict = field(default_factory=dict)
+    _tables: dict = field(default_factory=dict)
+    _buf: list[str] = field(default_factory=list)
+    _file_no: int = 0
+
+    def __post_init__(self):
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    def _strip(self, ev: bytes) -> bytes:
+        """Verify + strip the CRC32 trailer once FORMAT_DESCRIPTION
+        announced it (a corrupt event must fail loudly, not decode)."""
+        if not self.checksum:
+            return ev
+        payload, trailer = ev[:-4], ev[-4:]
+        want = struct.unpack("<I", trailer)[0]
+        got = zlib.crc32(payload) & 0xFFFFFFFF
+        if want != got:
+            raise ValueError(
+                f"binlog CRC mismatch: header says {want:#x}, computed {got:#x}"
+            )
+        return payload
+
+    def _emit(self, doc: dict) -> None:
+        self._buf.append(json.dumps(doc))
+        if len(self._buf) >= self.lines_per_file:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        name = f"{self._file_no:09d}.jsonl"
+        tmp = os.path.join(self.out_dir, "." + name + ".tmp")
+        with open(tmp, "w") as f:
+            f.write("\n".join(self._buf) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.out_dir, name))
+        dfd = os.open(self.out_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        self._file_no += 1
+        self._buf.clear()
+
+    def _names_for(self, tm: TableMap) -> TableMap:
+        if tm.col_names is None and self.column_names:
+            key = f"{tm.schema}.{tm.table}" if tm.schema else tm.table
+            names = self.column_names.get(key) or self.column_names.get(tm.table)
+            if names:
+                tm.col_names = list(names)
+        return tm
+
+    def handle(self, ev: bytes) -> int:
+        """Process one raw event; returns the number of JSON lines
+        emitted for it."""
+        hdr = decode_header(ev)
+        # FORMAT_DESCRIPTION's own checksum presence is declared by its
+        # final body byte — peek before stripping
+        if hdr.type_code == FORMAT_DESCRIPTION_EVENT:
+            alg = ev[-5] if len(ev) >= 5 else 0
+            # with CRC32 the alg byte sits before the 4-byte trailer
+            self.checksum = alg == 1
+            return 0
+        body = self._strip(ev)[HEADER_LEN:]
+        tc = hdr.type_code
+        if tc == ROTATE_EVENT:
+            self.log_file = body[8:].decode()
+            return 0
+        if tc == GTID_EVENT:
+            sid, gno = decode_gtid(body)
+            gtid_set_add(self.gtid_executed, sid, gno)
+            return 0
+        if tc == TABLE_MAP_EVENT:
+            tid, tm = decode_table_map(body)
+            self._tables[tid] = self._names_for(tm)
+            return 0
+        if tc == QUERY_EVENT:
+            schema, query = decode_query(body)
+            q = query.strip().upper()
+            if q.startswith("TRUNCATE"):
+                action = "truncate"
+            elif q.startswith(_DDL_PREFIXES):
+                action = "ddl"
+            else:
+                return 0  # BEGIN / COMMIT / dml-as-statement: not controls
+            doc = {
+                "action": action,
+                "log_file": self.log_file,
+                "log_pos": hdr.log_pos,
+                "query": query,
+            }
+            if schema:
+                doc["schema"] = schema
+            # TRUNCATE TABLE t / ALTER TABLE t ...: best-effort table
+            words = query.strip().split()
+            for i, w in enumerate(words):
+                if w.upper() == "TABLE" and i + 1 < len(words):
+                    doc["table"] = words[i + 1].strip("`;").split(".")[-1]
+                    break
+            self._emit(doc)
+            return 1
+        if tc in (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2,
+                  DELETE_ROWS_EVENT_V2):
+            tid = int.from_bytes(body[0:6], "little")
+            tm = self._tables.get(tid)
+            if tm is None:
+                raise ValueError(
+                    f"rows event for unknown table id {tid} (no TABLE_MAP)"
+                )
+            action = {WRITE_ROWS_EVENT_V2: "insert",
+                      UPDATE_ROWS_EVENT_V2: "update",
+                      DELETE_ROWS_EVENT_V2: "delete"}[tc]
+            n = 0
+            for idx, row in enumerate(decode_rows_event(tc, body, tm)):
+                doc = {
+                    "action": action,
+                    "log_file": self.log_file,
+                    "log_pos": hdr.log_pos,
+                    "row_idx": idx,
+                    "schema": tm.schema,
+                    "table": tm.table,
+                }
+                doc.update(row)
+                self._emit(doc)
+                n += 1
+            return n
+        return 0  # XID / ANONYMOUS_GTID / others: no row content
+
+    def run(self, max_events: int | None = None) -> int:
+        n, seen = 0, 0
+        for ev in self.recv:
+            n += self.handle(ev)
+            seen += 1
+            if max_events is not None and seen >= max_events:
+                break
+        self.close()
+        return n
+
+    def close(self) -> None:
+        self._flush()
+
+
+def drain_recorded_binlog(
+    frames_path: str,
+    out_dir: str,
+    column_names: dict[str, list[str]] | None = None,
+) -> int:
+    """Replay a RECORDED binlog session (JSON-lines files of
+    ``{"frame": "<hex>"}`` — the same capture format the pgwire drain
+    uses) through the tailer into the binlog-JSON directory the
+    existing ``binlogjson`` DataSource tails. Already-drained capture
+    files are remembered in ``out_dir/_drained.state`` so repeated
+    catch-up passes decode only NEW captures. Returns the number of
+    JSON lines written this pass."""
+    try:
+        names = sorted(os.listdir(frames_path))
+    except FileNotFoundError:
+        return 0
+    os.makedirs(out_dir, exist_ok=True)
+    state_file = os.path.join(out_dir, "_drained.state")
+    try:
+        with open(state_file) as f:
+            done = set(json.load(f))
+    except FileNotFoundError:
+        done = set()
+    fresh = [
+        n for n in names if n.endswith((".json", ".jsonl")) and n not in done
+    ]
+    if not fresh:
+        return 0
+
+    def frames():
+        for name in fresh:
+            with open(os.path.join(frames_path, name)) as f:
+                for line in f:
+                    if line.strip():
+                        yield bytes.fromhex(json.loads(line)["frame"])
+
+    tailer = BinlogTailer(frames(), out_dir, column_names=column_names)
+    tailer._file_no = sum(
+        1 for n_ in os.listdir(out_dir) if n_.endswith(".jsonl")
+    )
+    n = tailer.run()
+    tmp = state_file + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(done | set(fresh)), f)
+    os.replace(tmp, state_file)
+    return n
+
+
+__all__ = [
+    "BinlogTailer",
+    "DELETE_ROWS_EVENT_V2",
+    "EventHeader",
+    "FORMAT_DESCRIPTION_EVENT",
+    "GTID_EVENT",
+    "QUERY_EVENT",
+    "ROTATE_EVENT",
+    "TABLE_MAP_EVENT",
+    "TableMap",
+    "UPDATE_ROWS_EVENT_V2",
+    "WRITE_ROWS_EVENT_V2",
+    "decode_gtid",
+    "decode_header",
+    "decode_lenenc",
+    "decode_query",
+    "decode_rows_event",
+    "decode_table_map",
+    "drain_recorded_binlog",
+    "encode_format_description",
+    "encode_gtid",
+    "encode_header",
+    "encode_lenenc",
+    "encode_query",
+    "encode_rotate",
+    "encode_rows_event",
+    "encode_table_map",
+    "format_gtid_set",
+    "gtid_set_add",
+    "gtid_set_contains",
+    "parse_gtid_set",
+]

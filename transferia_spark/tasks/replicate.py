@@ -199,7 +199,11 @@ def _stream_formats():
 
 
 def source_position(
-    fmt: str, schema_ddl: str, path: str, frames_path: str | None = None
+    fmt: str,
+    schema_ddl: str,
+    path: str,
+    frames_path: str | None = None,
+    column_names: dict | None = None,
 ) -> dict:
     """Scan the recorded stream for its CURRENT end position — what the
     reference snapshots as the slot LSN / binlog position at activate
@@ -213,6 +217,14 @@ def source_position(
         if frames_path:
             drain_recorded_frames(frames_path, path)
         fmt = "waljson"
+    if fmt == "mysqlwire":
+        from transferia_spark.streaming.mysql_binlog import (
+            drain_recorded_binlog,
+        )
+
+        if frames_path:
+            drain_recorded_binlog(frames_path, path, column_names=column_names)
+        fmt = "binlogjson"
     if fmt not in formats:
         raise FatalError(
             f"unknown replication source format {fmt!r}; "
@@ -271,10 +283,26 @@ def build_replication_stream(
         drain_recorded_frames(source["frames_path"], source["path"])
         source = {**source, "format": "waljson"}
         fmt = "waljson"
+    if fmt == "mysqlwire":
+        # MySQL binlog wire sessions (recorded event captures under
+        # `frames_path`): decode row/query events into the binlog-JSON
+        # directory at `path`, then tail it with the binlogjson
+        # DataSource — the wire client (streaming/mysql_binlog.py)
+        # front-ending the same stream/offset path (canal.go analog)
+        from transferia_spark.streaming.mysql_binlog import (
+            drain_recorded_binlog,
+        )
+
+        drain_recorded_binlog(
+            source["frames_path"], source["path"],
+            column_names=source.get("column_names"),
+        )
+        source = {**source, "format": "binlogjson"}
+        fmt = "binlogjson"
     if fmt not in formats:
         raise FatalError(
             f"unknown replication source format {fmt!r}; "
-            f"supported: {sorted(formats) + ['pgwire']}"
+            f"supported: {sorted(formats) + ['pgwire', 'mysqlwire']}"
         )
     cls, schema_fn = formats[fmt]
     spark.dataSource.register(cls)
@@ -570,6 +598,7 @@ def run_replication(
                 position = source_position(
                     src["format"], source_schema_ddl(src), src["path"],
                     frames_path=src.get("frames_path"),
+                    column_names=src.get("column_names"),
                 )
             if table_obj is not None:
                 report.snapshot_rows = _seed_snapshot(spark, spec, table_obj)
@@ -730,6 +759,15 @@ def run_replication(
                     )
 
                     drain_recorded_frames(src["frames_path"], src["path"])
+                elif src.get("format") == "mysqlwire":
+                    from transferia_spark.streaming.mysql_binlog import (
+                        drain_recorded_binlog,
+                    )
+
+                    drain_recorded_binlog(
+                        src["frames_path"], src["path"],
+                        column_names=src.get("column_names"),
+                    )
                 if max_runtime is not None and time.time() - started >= max_runtime:
                     q.stop()
                     q.awaitTermination()
