@@ -165,6 +165,114 @@ def bench_snapshot_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     return dt, n
 
 
+def bench_cdc_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+    """Steady-state CDC replication throughput (r5 verdict item 8): one
+    PRE-STARTED streaming query (waljson decode → collapse → bucketed
+    MERGE) drains a backlog in bounded micro-batches; the clock starts
+    when the backlog lands and stops at the final offset ack — so the
+    number excludes Spark query startup and times exactly the per-batch
+    replication path the reference's bufferer cadence (333 ms) covers."""
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedCdcApplySink,
+        BucketedParquetTable,
+    )
+    from transferia_spark.streaming.pipeline import ReplicationPipeline
+    from transferia_spark.streaming.wal_source import (
+        WalJsonDataSource,
+        wal_output_schema,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    wal = os.path.join(tmp, "wal")
+    os.makedirs(wal)
+    ack = os.path.join(tmp, "ack.json")
+    tables = load_tables(spark, sf_dir, ["customer", "events"])
+    cust = tables["customer"].select("c_custkey", "c_name", "c_acctbal")
+    target = BucketedParquetTable(
+        spark, os.path.join(tmp, "target"), keys=["c_custkey"], n_buckets=16
+    )
+    target.overwrite(cust)
+
+    evs = sorted(
+        tables["events"]
+        .select("event_id", "user_id", "value", "event_type")
+        .collect(),
+        key=lambda r: r.event_id,
+    )
+
+    def line(r, lsn):
+        op = {"signup": "I", "error": "D"}.get(r.event_type, "U")
+        if op == "D":
+            return {"action": "D", "lsn": lsn,
+                    "identity": [{"name": "c_custkey", "value": r.user_id}]}
+        return {"action": op, "lsn": lsn, "columns": [
+            {"name": "c_custkey", "value": r.user_id},
+            {"name": "c_name", "value": f"u{r.user_id}"},
+            {"name": "c_acctbal", "value": r.value},
+        ]}
+
+    warm, backlog = evs[:1000], evs[1000:]
+    with open(os.path.join(wal, "000.jsonl"), "w") as f:
+        for i, r in enumerate(warm):
+            f.write(json.dumps(line(r, i + 1)) + "\n")
+    base = len(warm)
+    stage = os.path.join(tmp, "staged.jsonl")
+    with open(stage, "w") as f:
+        for i, r in enumerate(backlog):
+            f.write(json.dumps(line(r, base + i + 1)) + "\n")
+
+    spark.dataSource.register(WalJsonDataSource)
+    stream = (
+        spark.readStream.format("waljson")
+        .schema(wal_output_schema("c_custkey long, c_name string, c_acctbal double"))
+        .option("path", wal)
+        .option("ack_file", ack)
+        # ~8 bounded catch-up batches over the backlog
+        .option("max_events_per_batch", str(max(1, len(backlog) // 8)))
+        .load()
+    )
+    ckpt = os.path.join(tmp, "ckpt")
+    pipe = ReplicationPipeline(
+        stream=stream,
+        sink=BucketedCdcApplySink(target),
+        checkpoint_dir=ckpt,
+        trigger={"processingTime": "50 milliseconds"},
+    )
+    q = pipe.start("bench_cdc")
+
+    def committed_end() -> int:
+        """End offset of the last COMPLETED batch, from the checkpoint
+        commit log. (The reader's ack_file lags one batch by design:
+        Spark calls source.commit(N) when batch N+1 starts.)"""
+        try:
+            done = [
+                int(n) for n in os.listdir(os.path.join(ckpt, "commits"))
+                if n.isdigit()
+            ]
+            if not done:
+                return 0
+            with open(os.path.join(ckpt, "offsets", str(max(done)))) as f:
+                return int(json.loads(f.read().splitlines()[-1])["lsn"])
+        except (FileNotFoundError, ValueError, KeyError, IndexError):
+            return 0
+
+    deadline = time.time() + 300
+    while committed_end() < base and time.time() < deadline:
+        time.sleep(0.05)
+    t0 = time.time()
+    os.rename(stage, os.path.join(wal, "001.jsonl"))  # backlog "arrives"
+    final = base + len(backlog)
+    while committed_end() < final and time.time() < deadline:
+        time.sleep(0.05)
+    dt = time.time() - t0
+    drained = committed_end() >= final
+    q.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    if not drained:
+        raise RuntimeError("cdc bench did not drain the backlog in time")
+    return dt, len(backlog)
+
+
 def main() -> None:
     mod = _load_entry()
     queries = mod.queries()
@@ -190,6 +298,8 @@ def main() -> None:
 
     snap_dt, snap_rows = bench_snapshot_pipeline(spark, SF_DIR)
     timings["snapshot_pipeline"] = round(snap_dt, 3)
+    cdc_dt, cdc_rows = bench_cdc_pipeline(spark, SF_DIR)
+    timings["cdc_pipeline"] = round(cdc_dt, 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -199,6 +309,7 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR,
         "snapshot_rows_per_sec": round(snap_rows / snap_dt) if snap_dt > 0 else None,
+        "cdc_rows_per_sec": round(cdc_rows / cdc_dt) if cdc_dt > 0 else None,
     }
     print(json.dumps(result))
 
