@@ -1466,6 +1466,32 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.apply_df(e)
 
 
+def q_embed_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production inference+index composition (r5 verdict item 9):
+    embed_documents (hash provider — the exact-oracle face of the
+    mapInPandas inference stage) feeds ann_ivf in ONE DAG over the
+    documents table: text → embedding column → √N centroid assignment
+    → probe-cell candidate join → exact integer rerank. The embedding
+    generation is per-row Catalyst work fused into the scan, so it adds
+    ZERO exchanges over running ann_ivf on a pre-embedded table
+    (plan-asserted in tests/test_plan_shapes.py)."""
+    d = _t(spark, sf_dir, "documents")
+    emb = build(
+        "embed_documents", text_col="text", id_col="doc_id", dims=EMBED_DIMS
+    ).apply_df(d)
+    vecs = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+    t = build(
+        "ann_ivf",
+        vec_col="embedding",
+        id_col="vec_id",
+        query_pred=ANN_QUERY_PRED,
+        centroid_stride=IVF_STRIDE,
+        nprobe=IVF_NPROBE,
+        k=ANN_K,
+    )
+    return t.apply_df(vecs)
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship training-data assembly chain, end to end in one
     DAG: near-dup cluster dedup (keep cluster minima) → benchmark
@@ -3049,11 +3075,14 @@ SELECT query_id, neighbor_id, rank, sim_bp FROM (
 """
 
 
-def _sql_ann_ivf() -> str:
+def _sql_ann_ivf(src: str = "embeddings", prefix_cte: str = "") -> str:
+    """IVF oracle; ``src`` swaps the vector relation (the
+    embed_ann_pipeline composition feeds it the hash-embedded
+    documents via ``prefix_cte``)."""
     csim = pf.sql_qcosine(pf.sql_qdot("b.e", "ct.ce"), "b.n2", "ct.cn2")
     return f"""
-WITH qv AS (
-  SELECT vec_id, {pf.sql_quantize("embedding")} AS e FROM embeddings
+WITH {prefix_cte}qv AS (
+  SELECT vec_id, {pf.sql_quantize("embedding")} AS e FROM {src}
 ),
 base AS (SELECT vec_id, e, {pf.sql_qdot("e", "e")} AS n2 FROM qv),
 cents AS (
@@ -3374,126 +3403,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver scores the FIRST 50
-    entries in dict order. Round-5 window: (a) the 7 queries new this
-    round (replicate verb, dblog, SR serializer, provider planning),
-    (b) every query whose implementation changed this round (the LSH
-    hot-key guard flows through the dedup family and corpus_pipeline;
-    sessionize's fold was rewritten; delta_log gained multi-part
-    checkpoints; the transfer spec grew the replication section), and
-    (c/d) the queries whose last green CORRECTNESS row is oldest
-    (r1/r2, plus r3 CDC-strictness representatives) rotating back into
-    the official record. The tail holds r02-r04 green rows and stays
-    verified by ``python scripts/driver_sim.py`` over ALL entries.
+    entries in dict order. Round-6 window: (a) the 3 queries new this
+    round (replicate_controls, dedup_incremental_store,
+    embed_ann_pipeline), (b) the 7 queries whose implementation paths
+    changed this round (dead-letter routing + durable offset floors in
+    the wal/binlog/mongo readers, the multi-table batch persist, the
+    delta_log unreplayable guard, and the pairs_from_bands refactor in
+    the LSH family), (c) the 4 entries the round-5 comment CLAIMED were
+    in-window but sat at positions 51-54 (ADVICE r5), and (d) the 35
+    r3-scored entries plus ann_ivf — the oldest green rows — rotating
+    back into the official record. (a)+(b)+(c)+(d) = 3+7+4+36 = 50
+    exactly. The tail holds r04/r05 green rows and stays verified by
+    ``python scripts/driver_sim.py`` over ALL entries.
     """
     return {
-        # -- (a) round-5 new surface: replicate verb, dblog, SR
-        # serializer, provider planning — never scored before --------
+        # -- (a) round-6 new surface: controls routing, persisted
+        # band index, embed→ANN composition — never scored --------
         "replicate_controls": q_replicate_controls,
-        "replicate_yaml": q_replicate_yaml,
-        "dblog_snapshot": q_dblog_snapshot,
-        "serializer_confluent": q_serializer_confluent,
-        "jdbc_pushdown": q_jdbc_pushdown,
-        "jdbc_shard_ranges": q_jdbc_shard_ranges,
-        "mongo_id_ranges": q_mongo_id_ranges,
-        "partition_expansion": q_partition_expansion,
-        "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_store": q_dedup_incremental_store,
-        "split_leakage_safe": q_split_leakage_safe,
-        "embed_documents": q_embed_documents,
+        "embed_ann_pipeline": q_embed_ann_pipeline,
+        # -- (b) code changed in round 6: reader dead-letter +
+        # offset floors, multi-table persist, delta guard, LSH
+        # pairs refactor — re-score ------------------------------
+        "replicate_yaml": q_replicate_yaml,
         "replicate_multi_table": q_replicate_multi_table,
-        # -- (b) code changed in round 5 (hot-key guard, sessionize
-        # sweep, delta checkpoints, transfer spec): re-score ---------
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_blocks": q_dedup_blocks,
-        "dedup_cluster": q_dedup_cluster,
-        "dedup_keep_best": q_dedup_keep_best,
-        "corpus_pipeline": q_corpus_pipeline,
-        "sessionize": q_sessionize,
+        "mongo_change_stream": q_mongo_change_stream,
+        "mysql_cdc_envelope": q_mysql_cdc_envelope,
         "delta_scan": q_delta_scan,
-        "transfer_yaml": q_transfer_yaml,
-        "serializer_json": q_serializer_json,
-        # -- (c) oldest green rows (r1/r2) rotate back into the
-        # official record --------------------------------------------
-        "parser_confluent_sr": q_parser_confluent_sr,
-        "incremental_read": q_incremental_read,
-        "parser_logfeller": q_parser_logfeller,
-        "debezium_roundtrip": q_debezium_roundtrip,
-        "ann_lsh_bucketed": q_ann_lsh_bucketed,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
-        "media_decode": q_media_decode,
-        "frame_sample": q_frame_sample,
-        "parser_cloudevents": q_parser_cloudevents,
-        "parser_cloudlogging": q_parser_cloudlogging,
-        "parser_audittrails": q_parser_audittrails,
-        "filter_rows_by_ids": q_filter_rows_by_ids,
-        "number_to_float": q_number_to_float,
-        "raw_doc_grouper": q_raw_doc_grouper,
-        "rename_tables": q_rename_tables,
-        "mongo_pk_extender": q_mongo_pk_extender,
-        "jsonparser": q_jsonparser,
-        "lambda": q_lambda,
-        "yt_dict": q_yt_dict,
-        "parser_tskv": q_parser_tskv,
-        "parser_blank": q_parser_blank,
-        "parser_raw_to_table": q_parser_raw_to_table,
-        "serializer_csv": q_serializer_csv,
-        # -- (d) r3-scored CDC-strictness / chain representatives ----
-        "skip_events": q_skip_events,
-        "transform_chain": q_transform_chain,
-        "filter_rows": q_filter_rows,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # -- (c) ADVICE r5: claimed in-window last round but sat
+        # at positions 51-54 — actually scored now ---------------
         "middleware_chain": q_middleware_chain,
         "mask_field": q_mask_field,
         "filter_columns": q_filter_columns,
         "regex_replace": q_regex_replace,
-        # -- tail: green rows from r02-r04; verified every round by
-        # scripts/driver_sim.py over ALL entries ---------------------
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "decontaminate": q_decontaminate,
-        "quota_cap": q_quota_cap,
-        "global_shuffle": q_global_shuffle,
-        "pack_sequences": q_pack_sequences,
-        "pii_scrub": q_pii_scrub,
-        "quality_gopher": q_quality_gopher,
-        "sample_stratified": q_sample_stratified,
-        "mongo_change_stream": q_mongo_change_stream,
-        "clickhouse_insert_plan": q_clickhouse_insert_plan,
-        "raw_cdc_doc_grouper": q_raw_cdc_doc_grouper,
-        "native_roundtrip": q_native_roundtrip,
-        "typesystem_edges": q_typesystem_edges,
-        "ydb_changefeed": q_ydb_changefeed,
-        "airbyte_records": q_airbyte_records,
-        "ydb_scan": q_ydb_scan,
-        "dbt_models": q_dbt_models,
-        "cdc_collapse": q_cdc_collapse,
-        "cdc_merge": q_cdc_merge,
-        "snapshot_handoff": q_snapshot_handoff,
-        "cdc_merge_bucketed": q_cdc_merge_bucketed,
-        "mysql_cdc_envelope": q_mysql_cdc_envelope,
-        "tpch_q2ish": q_tpch_q2ish,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9ish": q_tpch_q9ish,
-        "tpch_q11ish": q_tpch_q11ish,
-        "tpch_q13ish": q_tpch_q13ish,
-        "tpch_q17ish": q_tpch_q17ish,
-        "tpch_q20ish": q_tpch_q20ish,
-        "tpch_q21ish": q_tpch_q21ish,
-        "repetition_score": q_repetition_score,
-        "chunk_documents": q_chunk_documents,
-        "dedup_exact": q_dedup_exact,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ann_brute_force": q_ann_brute_force,
-        "ann_sq8": q_ann_sq8,
-        "bm25_rank": q_bm25_rank,
-        "lm_familiarity": q_lm_familiarity,
-        "token_count": q_token_count,
-        "table_splitter": q_table_splitter,
-        "parser_json": q_parser_json,
-        "parser_protobuf": q_parser_protobuf,
+        # -- (d) oldest green rows (r3) + ann_ivf rotate back into
+        # the official record ------------------------------------
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q14ish": q_tpch_q14ish,
@@ -3529,6 +3475,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharder": q_sharder,
         "problem_item_detector": q_problem_item_detector,
         "filter_access_log": q_filter_access_log,
+        "ann_ivf": q_ann_ivf,
+        # -- tail: green rows from r04-r05; verified every round by
+        # scripts/driver_sim.py over ALL entries ------------------
+        "dblog_snapshot": q_dblog_snapshot,
+        "serializer_confluent": q_serializer_confluent,
+        "jdbc_pushdown": q_jdbc_pushdown,
+        "jdbc_shard_ranges": q_jdbc_shard_ranges,
+        "mongo_id_ranges": q_mongo_id_ranges,
+        "partition_expansion": q_partition_expansion,
+        "split_leakage_safe": q_split_leakage_safe,
+        "embed_documents": q_embed_documents,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_blocks": q_dedup_blocks,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_keep_best": q_dedup_keep_best,
+        "corpus_pipeline": q_corpus_pipeline,
+        "sessionize": q_sessionize,
+        "transfer_yaml": q_transfer_yaml,
+        "serializer_json": q_serializer_json,
+        "parser_confluent_sr": q_parser_confluent_sr,
+        "incremental_read": q_incremental_read,
+        "parser_logfeller": q_parser_logfeller,
+        "debezium_roundtrip": q_debezium_roundtrip,
+        "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "media_decode": q_media_decode,
+        "frame_sample": q_frame_sample,
+        "parser_cloudevents": q_parser_cloudevents,
+        "parser_cloudlogging": q_parser_cloudlogging,
+        "parser_audittrails": q_parser_audittrails,
+        "filter_rows_by_ids": q_filter_rows_by_ids,
+        "number_to_float": q_number_to_float,
+        "raw_doc_grouper": q_raw_doc_grouper,
+        "rename_tables": q_rename_tables,
+        "mongo_pk_extender": q_mongo_pk_extender,
+        "jsonparser": q_jsonparser,
+        "lambda": q_lambda,
+        "yt_dict": q_yt_dict,
+        "parser_tskv": q_parser_tskv,
+        "parser_blank": q_parser_blank,
+        "parser_raw_to_table": q_parser_raw_to_table,
+        "serializer_csv": q_serializer_csv,
+        "skip_events": q_skip_events,
+        "transform_chain": q_transform_chain,
+        "filter_rows": q_filter_rows,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "decontaminate": q_decontaminate,
+        "quota_cap": q_quota_cap,
+        "global_shuffle": q_global_shuffle,
+        "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
+        "quality_gopher": q_quality_gopher,
+        "sample_stratified": q_sample_stratified,
+        "clickhouse_insert_plan": q_clickhouse_insert_plan,
+        "raw_cdc_doc_grouper": q_raw_cdc_doc_grouper,
+        "native_roundtrip": q_native_roundtrip,
+        "typesystem_edges": q_typesystem_edges,
+        "ydb_changefeed": q_ydb_changefeed,
+        "airbyte_records": q_airbyte_records,
+        "ydb_scan": q_ydb_scan,
+        "dbt_models": q_dbt_models,
+        "cdc_collapse": q_cdc_collapse,
+        "cdc_merge": q_cdc_merge,
+        "snapshot_handoff": q_snapshot_handoff,
+        "cdc_merge_bucketed": q_cdc_merge_bucketed,
+        "tpch_q2ish": q_tpch_q2ish,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9ish": q_tpch_q9ish,
+        "tpch_q11ish": q_tpch_q11ish,
+        "tpch_q13ish": q_tpch_q13ish,
+        "tpch_q17ish": q_tpch_q17ish,
+        "tpch_q20ish": q_tpch_q20ish,
+        "tpch_q21ish": q_tpch_q21ish,
+        "repetition_score": q_repetition_score,
+        "chunk_documents": q_chunk_documents,
+        "dedup_exact": q_dedup_exact,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_sq8": q_ann_sq8,
+        "bm25_rank": q_bm25_rank,
+        "lm_familiarity": q_lm_familiarity,
+        "token_count": q_token_count,
+        "table_splitter": q_table_splitter,
+        "parser_json": q_parser_json,
+        "parser_protobuf": q_parser_protobuf,
     }
 
 
@@ -4018,6 +4052,17 @@ FROM customer t ANTI JOIN net n USING (c_custkey)
         "ann_sq8": _sql_ann_sq8(),
         "ann_lsh_bucketed": _sql_ann(bucketed=True),
         "ann_ivf": _sql_ann_ivf(),
+        "embed_ann_pipeline": _sql_ann_ivf(
+            src="emb",
+            prefix_cte=(
+                "emb AS (SELECT doc_id AS vec_id, ["
+                + ", ".join(
+                    sql_hash_embedding_component("text", d)
+                    for d in range(EMBED_DIMS)
+                )
+                + "] AS embedding FROM documents),\n"
+            ),
+        ),
         "ann_lsh_multiprobe": _sql_ann_multiprobe(),
         "dedup_cluster": _sql_dedup_cluster(),
         "dedup_keep_best": _sql_dedup_keep_best(),

@@ -124,6 +124,27 @@ def main() -> int:
             print(f"retry_count: {health['retry_count']}")
             print(f"last_error: {health['last_error'] or '(none)'}")
             print(f"last_heartbeat: {ts}")
+        # dead-letter visibility (≈ the <table>_unparsed rows a user
+        # checks after a transfer): count + a reason sample, no Spark
+        import json as _json
+        import os as _os
+
+        from transferia_spark.tasks.replicate import dead_letter_count
+
+        dl_dir = _os.path.join(args.state_dir, f"unparsed_{args.transfer_id}")
+        n = dead_letter_count(dl_dir)
+        print(f"unparsed_rows: {n}")
+        if n:
+            sample = sorted(
+                f for f in _os.listdir(dl_dir) if f.endswith(".json")
+            )[:3]
+            for name in sample:
+                with open(_os.path.join(dl_dir, name)) as fh:
+                    doc = _json.load(fh)
+                print(
+                    f"  {doc.get('file')}:{doc.get('line_no')} "
+                    f"{doc.get('reason')}"
+                )
         return 0
 
     if not args.transfer:

@@ -342,3 +342,32 @@ def test_dedup_incremental_join_keys_on_band_not_text(spark):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), plan
+
+
+def test_embed_ann_pipeline_adds_no_exchange(spark):
+    """r5 verdict item 9: composing embed_documents (hash provider)
+    into ann_ivf must not shuffle the corpus before cell assignment —
+    the embedding is per-row Catalyst work fused into the scan, so the
+    composed DAG has exactly as many Exchanges as ann_ivf over a
+    pre-embedded table, and no exchange ever carries the text column."""
+    from transferia_spark.operators import build
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 9} epsilon zeta") for i in range(64)],
+        ["doc_id", "text"],
+    )
+    embed = build("embed_documents", text_col="text", id_col="doc_id", dims=6)
+    ann = build(
+        "ann_ivf", vec_col="embedding", id_col="vec_id",
+        query_pred="vec_id < 4", centroid_stride=8, nprobe=2, k=5,
+    )
+    vecs = embed.apply_df(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    composed_plan = _simple_plan(ann.apply_df(vecs))
+    # pre-embedded baseline: same vectors, materialized first
+    pre = vecs.localCheckpoint()
+    baseline_plan = _simple_plan(ann.apply_df(pre))
+    assert composed_plan.count("Exchange") == baseline_plan.count("Exchange")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", composed_plan):
+        assert "text" not in m.group(1), composed_plan

@@ -537,6 +537,24 @@ def test_trcli_status_verb_reads_state_and_health(tmp_path):
     assert out.returncode == 0
     assert "status: activated" in out.stdout
     assert "retry_count: 2" in out.stdout and "hiccup" in out.stdout
+    assert "unparsed_rows: 0" in out.stdout
+
+    # with a dead-lettered event: count + reason sample
+    import json as _json
+
+    dl = tmp_path / "unparsed_transfer"
+    dl.mkdir()
+    (dl / "000.jsonl.3.json").write_text(_json.dumps({
+        "file": "000.jsonl", "line_no": 3, "unparsed_row": "{bad",
+        "reason": "JSONDecodeError: oops",
+    }))
+    out = subprocess.run(
+        [sys.executable, "scripts/trcli.py", "status",
+         "--state-dir", str(tmp_path)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert "unparsed_rows: 1" in out.stdout
+    assert "000.jsonl:3 JSONDecodeError: oops" in out.stdout
 
 
 def test_is_fatal_classification():
