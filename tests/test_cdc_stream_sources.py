@@ -686,3 +686,97 @@ replication:
     assert {(r._id, r.v) for r in table.read().collect()} == {
         (1, "a"), (3, "c"),
     }
+
+
+def test_offset_scan_cache_skips_fully_planned_files(spark, tmp_path, monkeypatch):
+    """latestOffset runs on EVERY trigger; the per-file high-watermark
+    cache must make planning O(new data), not O(directory): files whose
+    max position sits at or below the floor are never re-read, and
+    read partitions exclude them too."""
+    from transferia_spark.streaming.wal_source import (
+        WalJsonStreamReader,
+        wal_output_schema,
+    )
+
+    wdir = str(tmp_path / "w")
+    _emit(wdir, "000.jsonl", [
+        {"action": "I", "lsn": n, "columns": [{"name": "id", "value": n}]}
+        for n in (1, 2, 3)
+    ])
+    reader = WalJsonStreamReader(wal_output_schema("id long"), {"path": wdir})
+
+    scans: list[str] = []
+    orig = WalJsonStreamReader._file_positions
+
+    def spy(self, f):
+        scans.append(os.path.basename(f))
+        return orig(self, f)
+
+    monkeypatch.setattr(WalJsonStreamReader, "_file_positions", spy)
+
+    assert reader.latestOffset() == {"lsn": 3}
+    assert scans == ["000.jsonl"]
+    reader.partitions({"lsn": 0}, {"lsn": 3})
+    # steady state: the fully-planned file is proven skippable — the
+    # next trigger re-reads NOTHING
+    assert reader.latestOffset() == {"lsn": 3}
+    assert scans == ["000.jsonl"]
+
+    # new data arrives: only the NEW file is scanned
+    _emit(wdir, "001.jsonl", [
+        {"action": "I", "lsn": n, "columns": [{"name": "id", "value": n}]}
+        for n in (4, 5)
+    ])
+    assert reader.latestOffset() == {"lsn": 5}
+    assert scans == ["000.jsonl", "001.jsonl"]
+    # read tasks for the new batch exclude the old file entirely
+    parts = reader.partitions({"lsn": 3}, {"lsn": 5})
+    assert [os.path.basename(p.path) for p in parts] == ["001.jsonl"]
+    rows = [r for p in parts for r in reader.read(p)]
+    assert [r[0] for r in rows] == [4, 5]
+
+    # a file that GROWS (size change) is re-scanned, cache refreshed
+    with open(os.path.join(wdir, "001.jsonl"), "a") as f:
+        f.write(json.dumps(
+            {"action": "I", "lsn": 6, "columns": [{"name": "id", "value": 6}]}
+        ) + "\n")
+    assert reader.latestOffset() == {"lsn": 6}
+    assert scans == ["000.jsonl", "001.jsonl", "001.jsonl"]
+
+
+def test_prune_committed_trims_fully_acked_files(spark, tmp_path):
+    """prune_committed (the slot-trim analog): commit() deletes files
+    the planner cache proves wholly at-or-below the committed offset —
+    the tailed directory stays bounded on a long-running stream — and
+    never touches files with uncommitted positions."""
+    from transferia_spark.streaming.wal_source import (
+        WalJsonStreamReader,
+        wal_output_schema,
+    )
+
+    wdir = str(tmp_path / "w")
+    for i, lsns in enumerate([(1, 2), (3, 4), (5, 6)]):
+        _emit(wdir, f"{i:03d}.jsonl", [
+            {"action": "I", "lsn": n, "columns": [{"name": "id", "value": n}]}
+            for n in lsns
+        ])
+    reader = WalJsonStreamReader(
+        wal_output_schema("id long"),
+        {"path": wdir, "prune_committed": "true",
+         "max_events_per_batch": "4"},
+    )
+    end = reader.latestOffset()
+    assert end == {"lsn": 4}
+    reader.partitions(reader.initialOffset(), end)
+    reader.commit(end)
+    # files 000 (max 2) and 001 (max 4) are fully committed → gone;
+    # 002 (max 6) survives
+    assert sorted(os.listdir(wdir)) == ["002.jsonl"]
+    # planning continues correctly over the trimmed directory
+    assert reader.latestOffset() == {"lsn": 6}
+    rows = [
+        r
+        for p in reader.partitions({"lsn": 4}, {"lsn": 6})
+        for r in reader.read(p)
+    ]
+    assert [r[0] for r in rows] == [5, 6]

@@ -150,29 +150,37 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         # generic_parser.go): when set, malformed lines are recorded
         # and skipped instead of killing the transfer
         self.dead_letter = options.get("dead_letter_dir")
+        # slot-trim analog: delete recorded files wholly below the
+        # committed offset (keeps the tailed directory bounded)
+        self.prune_committed = str(
+            options.get("prune_committed", "false")
+        ).lower() in ("true", "1")
+        from transferia_spark.streaming.wal_source import OffsetScanCache
+
+        self._scan_cache = OffsetScanCache()
 
     def initialOffset(self) -> dict:
         return {"lsn": self.start_lsn}
 
-    def _scan_lsns(self) -> Iterator[int]:
-        """Positions of all parseable events; with a dead-letter route,
+    def _file_positions(self, f: str) -> Iterator[int]:
+        """A file's parseable positions; with a dead-letter route,
         poison lines are invisible to planning (read() records them)."""
-        for f in _scan_files(self.path):
-            for ev in _events(f, bool(self.dead_letter)):
-                try:
-                    yield binlog_lsn(ev["log_file"], ev["log_pos"])
-                except (KeyError, ValueError, TypeError):
-                    if not self.dead_letter:
-                        raise
+        for ev in _events(f, bool(self.dead_letter)):
+            try:
+                yield binlog_lsn(ev["log_file"], ev["log_pos"])
+            except (KeyError, ValueError, TypeError):
+                if not self.dead_letter:
+                    raise
 
     def latestOffset(self) -> dict:
         base = self._base if self._base is not None else self.start_lsn
+        pending = set(
+            self._scan_cache.pending(
+                _scan_files(self.path), base, self._file_positions
+            )
+        )
         if self.max_events is None:
-            hi = 0
-            for lsn in self._scan_lsns():
-                hi = max(hi, lsn)
-            return {"lsn": max(hi, base)}
-        pending = {lsn for lsn in self._scan_lsns() if lsn > base}
+            return {"lsn": max(max(pending, default=0), base)}
         if not pending:
             return {"lsn": base}
         take = sorted(pending)[: self.max_events]
@@ -184,7 +192,13 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         )
         if int(end["lsn"]) <= int(start["lsn"]):
             return [_FileSlice("", start, end)]
-        return [_FileSlice(f, start, end) for f in _scan_files(self.path)]
+        files = [
+            f for f in _scan_files(self.path)
+            if not self._scan_cache.skippable(f, int(start["lsn"]))
+        ]
+        if not files:
+            return [_FileSlice("", start, end)]
+        return [_FileSlice(f, start, end) for f in files]
 
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
@@ -270,6 +284,14 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # ≈ the saved binlog position the reference's coordinator keeps
         _ack(self.ack_file, end)
+        if self.prune_committed:
+            from transferia_spark.streaming.wal_source import (
+                prune_committed_files,
+            )
+
+            prune_committed_files(
+                self._scan_cache, _scan_files(self.path), int(end["lsn"])
+            )
 
 
 class BinlogJsonDataSource(DataSource):
@@ -474,9 +496,25 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
                 pass
         # dead-letter route for poison events (≈ <table>_unparsed)
         self.dead_letter = options.get("dead_letter_dir")
+        # slot-trim analog (resume-token horizon): delete recorded
+        # files wholly at-or-below the committed position
+        self.prune_committed = str(
+            options.get("prune_committed", "false")
+        ).lower() in ("true", "1")
+        from transferia_spark.streaming.wal_source import OffsetScanCache
+
+        self._scan_cache = OffsetScanCache()
 
     def initialOffset(self) -> dict:
         return {"ts": self.start_ts, "order": self.start_order}
+
+    def _file_positions(self, f: str) -> Iterator[tuple[int, int]]:
+        for ev in _events(f, bool(self.dead_letter)):
+            try:
+                yield _cs_pos(ev)
+            except ValueError:
+                if not self.dead_letter:
+                    raise
 
     def latestOffset(self) -> dict:
         base = (
@@ -484,18 +522,15 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
             if self._base is not None
             else (self.start_ts, self.start_order)
         )
+        pending = set(
+            self._scan_cache.pending(
+                _scan_files(self.path), base, self._file_positions
+            )
+        )
         if self.max_events is None:
-            hi = base
-            for f in _scan_files(self.path):
-                for ev in _events(f, bool(self.dead_letter)):
-                    hi = max(hi, _cs_pos(ev))
+            hi = max(pending, default=base)
+            hi = max(hi, base)
             return {"ts": hi[0], "order": hi[1]}
-        pending: set[tuple[int, int]] = set()
-        for f in _scan_files(self.path):
-            for ev in _events(f, bool(self.dead_letter)):
-                pos = _cs_pos(ev)
-                if pos > base:
-                    pending.add(pos)
         if not pending:
             return {"ts": base[0], "order": base[1]}
         take = sorted(pending)[: self.max_events][-1]
@@ -507,7 +542,13 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
         self._base = max(self._base or (0, -1), hi, lo)
         if hi <= lo:
             return [_FileSlice("", start, end)]
-        return [_FileSlice(f, start, end) for f in _scan_files(self.path)]
+        files = [
+            f for f in _scan_files(self.path)
+            if not self._scan_cache.skippable(f, lo)
+        ]
+        if not files:
+            return [_FileSlice("", start, end)]
+        return [_FileSlice(f, start, end) for f in files]
 
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
@@ -570,6 +611,16 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # ≈ resume-token persistence per collection
         _ack(self.ack_file, end)
+        if self.prune_committed:
+            from transferia_spark.streaming.wal_source import (
+                prune_committed_files,
+            )
+
+            prune_committed_files(
+                self._scan_cache,
+                _scan_files(self.path),
+                (int(end["ts"]), int(end["order"])),
+            )
 
 
 class ChangeStreamJsonDataSource(DataSource):

@@ -111,6 +111,78 @@ def dead_letter_record(
     os.replace(tmp, final)
 
 
+class OffsetScanCache:
+    """Planner-side per-file high-watermark cache for offset scans.
+
+    ``latestOffset()`` runs on EVERY trigger; a naive implementation
+    re-reads the whole recorded directory each time, which on a
+    long-running stream grows O(total bytes) per trigger — the
+    planning cost itself becomes the bottleneck. The tailer contract
+    is append-only files (a file, once fully written, never changes),
+    so caching each file's (size, max position) lets planning skip any
+    size-stable file whose maximum position is at or below the current
+    floor — per trigger only the recent tail is re-read, O(new data)
+    like the reference's slot cursor. A size change (partial capture
+    re-grown) invalidates the entry and the file is re-scanned.
+    """
+
+    def __init__(self):
+        self._hw: dict[str, tuple[int, object]] = {}
+
+    def pending(self, files, floor, positions_of_file):
+        """Positions strictly above ``floor`` across ``files``;
+        ``positions_of_file(f)`` yields a file's (poison-filtered)
+        positions. Updates the high-watermark cache as a side effect."""
+        for f in files:
+            try:
+                size = os.path.getsize(f)
+            except OSError:
+                continue
+            c = self._hw.get(f)
+            if c is not None and c[0] == size and c[1] is not None and not (
+                c[1] > floor
+            ):
+                continue
+            mx = None
+            for pos in positions_of_file(f):
+                if mx is None or pos > mx:
+                    mx = pos
+                if pos > floor:
+                    yield pos
+            self._hw[f] = (size, mx)
+
+    def skippable(self, f: str, floor) -> bool:
+        """True when the cache PROVES the file holds nothing above
+        ``floor`` — used to prune read partitions and committed files.
+        Unknown or changed files are never skippable."""
+        c = self._hw.get(f)
+        if c is None or c[1] is None:
+            return False
+        try:
+            size = os.path.getsize(f)
+        except OSError:
+            return True  # vanished: nothing to read
+        return c[0] == size and not (c[1] > floor)
+
+
+def prune_committed_files(cache: OffsetScanCache, files, end) -> int:
+    """Slot-trim analog (≈ the reference letting the server trim the
+    slot at the acked LSN): delete recorded files whose every position
+    is at or below the COMMITTED offset — Spark never plans a batch
+    below its committed checkpoint, so they are dead weight. Only
+    files the cache can prove fully-committed are touched. Returns the
+    number of files removed."""
+    n = 0
+    for f in files:
+        if cache.skippable(f, end):
+            try:
+                os.remove(f)
+                n += 1
+            except OSError:
+                pass
+    return n
+
+
 def _max_lsn(path: str, skip_bad: bool = False) -> int:
     hi = 0
     for f in _scan_files(path):
@@ -170,6 +242,26 @@ class WalJsonStreamReader(DataSourceStreamReader):
         # there and the stream continues; when unset, it fails loudly
         # (and the supervisor classifies the parse error fatal)
         self.dead_letter = options.get("dead_letter_dir")
+        # slot-trim analog: delete recorded files once wholly below the
+        # COMMITTED offset (the server-side WAL trim the flushed ack
+        # authorizes) — keeps the tailed directory bounded on
+        # long-running streams; off by default (keep history)
+        self.prune_committed = str(
+            options.get("prune_committed", "false")
+        ).lower() in ("true", "1")
+        self._scan_cache = OffsetScanCache()
+
+    def _file_positions(self, f: str):
+        with open(f) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                try:
+                    yield int(json.loads(line)["lsn"])
+                except (ValueError, KeyError, TypeError):
+                    if self.dead_letter:
+                        continue  # read() dead-letters it
+                    raise
 
     # -- offset algebra: an offset is {"lsn": n}, rows with lsn in
     # (start, end] belong to the batch (same half-open contract as
@@ -179,22 +271,13 @@ class WalJsonStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         base = self._base if self._base is not None else self.start_lsn
+        pending = set(
+            self._scan_cache.pending(
+                _scan_files(self.path), base, self._file_positions
+            )
+        )
         if self.max_events is None:
-            return {"lsn": max(_max_lsn(self.path, bool(self.dead_letter)), base)}
-        pending: set[int] = set()
-        for f in _scan_files(self.path):
-            with open(f) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    try:
-                        lsn = int(json.loads(line)["lsn"])
-                    except (ValueError, KeyError, TypeError):
-                        if self.dead_letter:
-                            continue  # read() dead-letters it
-                        raise
-                    if lsn > base:
-                        pending.add(lsn)
+            return {"lsn": max(max(pending, default=0), base)}
         if not pending:
             return {"lsn": base}
         return {"lsn": sorted(pending)[: self.max_events][-1]}
@@ -206,7 +289,16 @@ class WalJsonStreamReader(DataSourceStreamReader):
         lo, hi = int(start["lsn"]), int(end["lsn"])
         if hi <= lo:
             return [_FileSlice("", lo, hi)]  # empty batch still needs ≥1 partition
-        return [_FileSlice(f, lo, hi) for f in _scan_files(self.path)]
+        # prune read tasks for files the planner cache PROVES are wholly
+        # at-or-below the batch start — each batch reads O(new files),
+        # not O(directory)
+        files = [
+            f for f in _scan_files(self.path)
+            if not self._scan_cache.skippable(f, lo)
+        ]
+        if not files:
+            return [_FileSlice("", lo, hi)]
+        return [_FileSlice(f, lo, hi) for f in files]
 
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
@@ -306,6 +398,10 @@ class WalJsonStreamReader(DataSourceStreamReader):
             with open(tmp, "w") as fh:
                 json.dump(end, fh)
             os.replace(tmp, self.ack_file)
+        if self.prune_committed:
+            prune_committed_files(
+                self._scan_cache, _scan_files(self.path), int(end["lsn"])
+            )
 
 
 def probe_wal_schema(path: str, base_ddl: str) -> T.StructType:
