@@ -1365,7 +1365,9 @@ def q_dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = BandIndexStore(
         spark, tempfile.mkdtemp(prefix="band_index_"), n_shards=32
     )
-    store.ingest(t, base)  # seed: in-base pairs are not this query's output
+    # seed = index build, not an ingest check: append the base band
+    # rows directly — no pair expansion is computed just to be discarded
+    store.append(t.band_index(base))
     pairs_a = store.ingest(t, batch_a).select("id_a", "id_b", "is_cross")
     store.compact()  # ingests must survive an index compaction
     pairs_b = store.ingest(t, batch_b).select("id_a", "id_b", "is_cross")

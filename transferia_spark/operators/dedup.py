@@ -483,10 +483,17 @@ class BandIndexStore:
 
     # -- lifecycle ------------------------------------------------------
     def append(self, band_rows: DataFrame) -> None:
-        """Add a batch's (id, _bk) rows under their shard directories."""
-        self._sharded(band_rows).write.mode("append").partitionBy(
-            "_shard"
-        ).parquet(self._vdir())
+        """Add a batch's (id, _bk) rows under their shard directories.
+
+        Writers are ALIGNED with shards first: a dynamic partitionBy
+        write from T input tasks emits up to T×n_shards files (measured
+        5× slower at bench scale from file-commit overhead alone); one
+        narrow (id, _bk) repartition makes it exactly one file per
+        touched shard per append. Size ``n_shards`` to the corpus — it
+        is both the pruning granularity and the append parallelism."""
+        self._sharded(band_rows).repartition(self.n_shards, "_shard").write.mode(
+            "append"
+        ).partitionBy("_shard").parquet(self._vdir())
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self._vdir()).drop("_shard")
