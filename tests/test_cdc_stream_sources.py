@@ -780,3 +780,75 @@ def test_prune_committed_trims_fully_acked_files(spark, tmp_path):
         for r in reader.read(p)
     ]
     assert [r[0] for r in rows] == [5, 6]
+
+
+def test_wal_and_mongo_readers_dead_letter_poison_lines(spark, tmp_path):
+    """Reader-level dead-letter contract for the wal and change-stream
+    formats (the binlog one is covered e2e through the verb): with a
+    route configured, poison lines are recorded once (idempotent
+    names) and planning/reading continues; without one they raise."""
+    from transferia_spark.streaming.cdc_sources import (
+        ChangeStreamJsonStreamReader,
+        change_stream_output_schema,
+    )
+    from transferia_spark.streaming.wal_source import (
+        WalJsonStreamReader,
+        wal_output_schema,
+    )
+
+    wdir = str(tmp_path / "w")
+    os.makedirs(wdir)
+    with open(os.path.join(wdir, "000.jsonl"), "w") as f:
+        f.write(json.dumps({"action": "I", "lsn": 1,
+                            "columns": [{"name": "id", "value": 1}]}) + "\n")
+        f.write("{broken\n")
+        f.write(json.dumps({"action": "I", "columns": []}) + "\n")  # no lsn
+        f.write(json.dumps({"action": "I", "lsn": 2,
+                            "columns": [{"name": "id", "value": 2}]}) + "\n")
+    dl = str(tmp_path / "dl")
+    reader = WalJsonStreamReader(
+        wal_output_schema("id long"), {"path": wdir, "dead_letter_dir": dl}
+    )
+    end = reader.latestOffset()
+    assert end == {"lsn": 2}
+    rows = [
+        r
+        for p in reader.partitions(reader.initialOffset(), end)
+        for r in reader.read(p)
+    ]
+    assert [r[0] for r in rows] == [1, 2]
+    recorded = sorted(os.listdir(dl))
+    assert recorded == ["000.jsonl.1.json", "000.jsonl.2.json"]
+    # re-read (crash replay): same files, no duplicates
+    rows = [
+        r
+        for p in reader.partitions(reader.initialOffset(), end)
+        for r in reader.read(p)
+    ]
+    assert sorted(os.listdir(dl)) == recorded
+
+    # loud without a route
+    strict = WalJsonStreamReader(wal_output_schema("id long"), {"path": wdir})
+    with pytest.raises(Exception):
+        strict.latestOffset()
+
+    csdir = str(tmp_path / "cs")
+    os.makedirs(csdir)
+    with open(os.path.join(csdir, "000.jsonl"), "w") as f:
+        f.write(json.dumps({"operationType": "insert", "clusterTime": 1,
+                            "order": 0, "documentKey": {"_id": 1},
+                            "fullDocument": {"_id": 1}}) + "\n")
+        f.write("not json at all\n")
+    cdl = str(tmp_path / "cdl")
+    creader = ChangeStreamJsonStreamReader(
+        change_stream_output_schema("_id long"),
+        {"path": csdir, "dead_letter_dir": cdl},
+    )
+    cend = creader.latestOffset()
+    rows = [
+        r
+        for p in creader.partitions(creader.initialOffset(), cend)
+        for r in creader.read(p)
+    ]
+    assert [r[0] for r in rows] == [1]
+    assert sorted(os.listdir(cdl)) == ["000.jsonl.1.json"]

@@ -338,3 +338,61 @@ replication:
     assert {(r.id, r.v) for r in table.read().collect()} == {
         (2, "b2"), (3, "c"),
     }
+
+
+def test_replicate_mysqlwire_truncate_controls_through_verb(spark, tmp_path):
+    """Wire composition: a recorded binlog session whose QUERY event is
+    a TRUNCATE, with replication.controls enabled — the tailer decodes
+    it into a truncate control line, the binlogjson reader emits the
+    control ChangeItem, and ControlRouter wipes the target before the
+    post-truncate rows apply."""
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.tasks.replicate import run_replication
+
+    src = str(tmp_path / "items.parquet")
+    frames_dir = str(tmp_path / "frames")
+    binlog = str(tmp_path / "binlog")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).coalesce(1).write.parquet(src)
+    os.makedirs(frames_dir)
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: mysqlwire
+    frames_path: {frames_dir}
+    path: {binlog}
+    schema: "id long, v string"
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 4}}
+  controls: {{enabled: true}}
+""")
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    types = [TYPE_LONGLONG, TYPE_VARCHAR]
+    metas = [None, 40]
+    frames = [
+        encode_format_description(),
+        encode_rotate("binlog.000004"),
+        encode_table_map(5, "shop", "items", types, metas,
+                         col_names=["id", "v"], log_pos=50),
+        encode_rows_event(WRITE_ROWS_EVENT_V2, 5, types, metas,
+                          [[3, "c"]], log_pos=60),
+        encode_query("TRUNCATE TABLE items", schema="shop", log_pos=70),
+        encode_rows_event(WRITE_ROWS_EVENT_V2, 5, types, metas,
+                          [[4, "d"]], log_pos=80),
+    ]
+    with open(os.path.join(frames_dir, "000.jsonl"), "w") as f:
+        for fr in frames:
+            f.write(json.dumps({"frame": fr.hex()}) + "\n")
+    run_replication(spark, spec, state_dir=state, once=True, retry_interval=0.0)
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    # the wire TRUNCATE wiped the seed and row 3; only row 4 survives
+    assert {(r.id, r.v) for r in table.read().collect()} == {(4, "d")}
