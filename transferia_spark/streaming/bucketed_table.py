@@ -266,6 +266,16 @@ class BucketedParquetTable:
         path = os.path.join(self.root, f"_v{new_v}")
         (
             df.withColumn(BUCKET_COL, self._bucket_of())
+            # align writers with buckets: a dynamic partitionBy write
+            # from S shuffle partitions emits up to S×|touched| files
+            # per version (file-commit overhead dominated the CDC bench
+            # at small batches; at scale it is read amplification for
+            # every later merge of the same bucket). One narrow
+            # repartition on the bucket column makes it one file per
+            # touched bucket per version — a bucket is sized to ~one
+            # executor scan budget, so one writer per bucket is the
+            # intended parallelism.
+            .repartition(max(len(touched), 1), F.col(BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(path)
