@@ -1106,6 +1106,37 @@ def q_jdbc_shard_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oracle_rowid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle rowid-range unit planning (sources/enterprise.py
+    rowid_range_predicates ≈ sharding_storage.go:149): extent metadata
+    (derived deterministically from the nation table: one extent per
+    nation, rel_file = key%4+1, block_id = key*16, 8 blocks) chunks
+    into blocks_per_shard=5 disjoint ROWID BETWEEN predicates, each
+    bound encoded in the public 18-char base-64 OOOOOOFFFBBBBBBRRR
+    form. The oracle re-derives the chunking AND the base-64 encoding
+    in SQL — a predicate-string hash match proves both."""
+    from transferia_spark.sources.enterprise import rowid_range_predicates
+
+    nats = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    extents = [(int(k) % 4 + 1, int(k) * 16, 8) for k in nats]
+    preds = rowid_range_predicates(77, extents, 5)
+    rows, i = [], 0
+    for k, (rel_file, block_id, blocks) in zip(nats, extents):
+        lo = block_id
+        while lo < block_id + blocks:
+            hi = min(lo + 5, block_id + blocks)
+            rows.append((int(k), lo, hi - 1, preds[i]))
+            i += 1
+            lo = hi
+    assert i == len(preds)
+    return spark.createDataFrame(
+        rows, "n_nationkey long, block_lo long, block_hi long, predicate string"
+    )
+
+
 def q_mongo_id_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo parallel-unit planning (sources/mongo.py plan_id_ranges ≈
     ShardTable): sampled delimiters become half-open [from, to) _id
@@ -3407,7 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver scores the FIRST 50
     entries in dict order. Round-6 window: (a) the 3 queries new this
     round (replicate_controls, dedup_incremental_store,
-    embed_ann_pipeline), (b) the 7 queries whose implementation paths
+    embed_ann_pipeline, oracle_rowid_plan), (b) the 7 queries whose implementation paths
     changed this round (dead-letter routing + durable offset floors in
     the wal/binlog/mongo readers, the multi-table batch persist, the
     delta_log unreplayable guard, and the pairs_from_bands refactor in
@@ -3424,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replicate_controls": q_replicate_controls,
         "dedup_incremental_store": q_dedup_incremental_store,
         "embed_ann_pipeline": q_embed_ann_pipeline,
+        "oracle_rowid_plan": q_oracle_rowid_plan,
         # -- (b) code changed in round 6: reader dead-letter +
         # offset floors, multi-table persist, delta guard, LSH
         # pairs refactor — re-score ------------------------------
@@ -3477,9 +3509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharder": q_sharder,
         "problem_item_detector": q_problem_item_detector,
         "filter_access_log": q_filter_access_log,
-        "ann_ivf": q_ann_ivf,
         # -- tail: green rows from r04-r05; verified every round by
         # scripts/driver_sim.py over ALL entries ------------------
+        "ann_ivf": q_ann_ivf,
         "dblog_snapshot": q_dblog_snapshot,
         "serializer_confluent": q_serializer_confluent,
         "jdbc_pushdown": q_jdbc_pushdown,
@@ -3596,6 +3628,51 @@ collapsed AS (
 """
 
 
+def _sql_oracle_rowid_plan() -> str:
+    """DuckDB face of the extended-ROWID plan: re-derives extent
+    chunking and the base-64 OOOOOOFFFBBBBBBRRR encoding in SQL."""
+    alpha = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+    )
+
+    def b64(expr: str, width: int) -> str:
+        return " || ".join(
+            f"substr('{alpha}', ((CAST(({expr}) AS BIGINT) >> {6 * i}) "
+            f"& 63) + 1, 1)"
+            for i in range(width - 1, -1, -1)
+        )
+
+    def b64_const(value: int, width: int) -> str:
+        out = []
+        for i in range(width - 1, -1, -1):
+            out.append(alpha[(value >> (6 * i)) & 63])
+        return "".join(out)
+
+    obj = b64_const(77, 6)  # data_object_id constant
+    row_lo = b64_const(0, 3)
+    row_hi = b64_const((1 << 16) - 1, 3)  # MAX_ROW_SLOT
+    return f"""
+WITH ext AS (
+  SELECT n_nationkey, n_nationkey % 4 + 1 AS rel_file,
+         n_nationkey * 16 AS block_id, 8 AS blocks
+  FROM nation
+),
+chunks AS (
+  SELECT n_nationkey, rel_file,
+         block_id + c.k * 5 AS lo,
+         least(block_id + (c.k + 1) * 5, block_id + blocks) - 1 AS hi
+  FROM ext, (SELECT 0 AS k UNION ALL SELECT 1) c
+  WHERE c.k * 5 < blocks
+)
+SELECT n_nationkey, lo AS block_lo, hi AS block_hi,
+       'ROWID BETWEEN CHARTOROWID(''' || '{obj}' || {b64("rel_file", 3)}
+       || {b64("lo", 6)} || '{row_lo}' || ''') AND CHARTOROWID('''
+       || '{obj}' || {b64("rel_file", 3)} || {b64("hi", 6)} || '{row_hi}'
+       || ''')' AS predicate
+FROM chunks
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from transferia_spark.operators.embed import sql_hash_embedding_component
     from transferia_spark.sources.jdbc import pushdown_subquery
@@ -3627,6 +3704,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, max(c_custkey) AS hi_key
             FROM customer GROUP BY unit
         """,
+        "oracle_rowid_plan": _sql_oracle_rowid_plan(),
         "partition_expansion": """
             SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) AS table_name
             FROM nation WHERE n_nationkey % 2 = 1
