@@ -893,3 +893,36 @@ replication:
     from transferia_spark.tasks.replicate import TransferStateStore
 
     assert "status" not in TransferStateStore(state).get("transfer")
+
+
+def test_multi_table_replication_rejects_rename_transformer(spark, tmp_path):
+    """Multi-table mode routes rows AND controls by table name; a
+    renaming transformer desyncs the two (rows renamed, controls keep
+    source names) and would silently mis-scope truncates — rejected
+    loudly at verb start."""
+    src_dir = str(tmp_path / "db")
+    binlog = str(tmp_path / "binlog")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .coalesce(1).write.parquet(os.path.join(src_dir, "items.parquet"))
+    _emit(binlog, "000.jsonl", [])
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src: {{type: file, params: {{path: {src_dir}, format: parquet, tables: [items]}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+transformation:
+  transformers:
+    - rename_tables: {{mapping: {{items: stuff}}}}
+replication:
+  source:
+    format: binlogjson
+    path: {binlog}
+    schema: "id long, v string"
+  target:
+    tables:
+      items: {{root: {tmp_path}/t_items, keys: [id], n_buckets: 2}}
+""")
+    with pytest.raises(Exception, match="rename_tables cannot run inside"):
+        run_replication(
+            spark, spec, state_dir=str(tmp_path / "state"),
+            once=True, retry_interval=0.0,
+        )

@@ -572,6 +572,22 @@ def run_replication(
             "transfer.yaml has no replication: section — replicate needs "
             "{source: {format,path,schema}, target: {root,keys}}"
         )
+    if (rep.get("target") or {}).get("tables") and spec.transformation:
+        # multi-table mode routes rows AND control events (TRUNCATE /
+        # DDL) by table name; a renaming transformer would rename the
+        # rows' _table but controls bypass the chain with SOURCE names
+        # (nonrow_separator contract) — the desync silently mis-scopes
+        # truncates. Loud beats silently wrong.
+        renamers = [
+            t for t in spec.transformation.transformers
+            if getattr(t, "TYPE", "") == "rename_tables"
+        ]
+        if renamers:
+            raise FatalError(
+                "rename_tables cannot run inside multi-table replication: "
+                "control routing uses SOURCE table names — declare "
+                "replication.target.tables under the source names instead"
+            )
     store = TransferStateStore(state_dir)
     report = ReplicationReport()
 
