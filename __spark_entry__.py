@@ -1137,6 +1137,32 @@ def q_oracle_rowid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clickhouse_read_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse shard×part unit planning (sources/clickhouse.py
+    plan_read_tasks ≈ the reference's shard/part fan-out): one shard
+    per region row, parts_per_shard=4 within-shard cityHash64 splits,
+    FINAL + tombstone filter + pushed WHERE — the exact (url, SELECT)
+    strings a live cluster would receive, recomputed by the oracle."""
+    from transferia_spark.sources.clickhouse import ClickHouseSource
+
+    regs = sorted(
+        int(r.r_regionkey)
+        for r in _t(spark, sf_dir, "region").select("r_regionkey").collect()
+    )
+    src = ClickHouseSource(
+        shard_urls={f"s{k}": f"http://ch-{k}:8123" for k in regs},
+        schemas={"orders": "o_orderkey bigint, o_totalprice double"},
+        database="db",
+        keys={"orders": ["o_orderkey"]},
+        deletable=True,
+        parts_per_shard=4,
+    )
+    tasks = src.plan_read_tasks(
+        TableID("db", "orders"), where="o_totalprice > 0"
+    )
+    return spark.createDataFrame(tasks, "url string, query string")
+
+
 def q_mongo_id_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo parallel-unit planning (sources/mongo.py plan_id_ranges ≈
     ShardTable): sampled delimiters become half-open [from, to) _id
@@ -3438,7 +3464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver scores the FIRST 50
     entries in dict order. Round-6 window: (a) the 3 queries new this
     round (replicate_controls, dedup_incremental_store,
-    embed_ann_pipeline, oracle_rowid_plan), (b) the 7 queries whose implementation paths
+    embed_ann_pipeline, oracle_rowid_plan, clickhouse_read_plan),
+    (b) the 7 queries whose implementation paths
     changed this round (dead-letter routing + durable offset floors in
     the wal/binlog/mongo readers, the multi-table batch persist, the
     delta_log unreplayable guard, and the pairs_from_bands refactor in
@@ -3456,6 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_store": q_dedup_incremental_store,
         "embed_ann_pipeline": q_embed_ann_pipeline,
         "oracle_rowid_plan": q_oracle_rowid_plan,
+        "clickhouse_read_plan": q_clickhouse_read_plan,
         # -- (b) code changed in round 6: reader dead-letter +
         # offset floors, multi-table persist, delta guard, LSH
         # pairs refactor — re-score ------------------------------
@@ -3508,9 +3536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replace_primary_key": q_replace_primary_key,
         "sharder": q_sharder,
         "problem_item_detector": q_problem_item_detector,
-        "filter_access_log": q_filter_access_log,
         # -- tail: green rows from r04-r05; verified every round by
         # scripts/driver_sim.py over ALL entries ------------------
+        "filter_access_log": q_filter_access_log,
         "ann_ivf": q_ann_ivf,
         "dblog_snapshot": q_dblog_snapshot,
         "serializer_confluent": q_serializer_confluent,
@@ -3705,6 +3733,16 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY unit
         """,
         "oracle_rowid_plan": _sql_oracle_rowid_plan(),
+        "clickhouse_read_plan": """
+SELECT 'http://ch-' || CAST(r_regionkey AS VARCHAR) || ':8123' AS url,
+       'SELECT `o_orderkey`, `o_totalprice` FROM `db`.`orders` FINAL '
+       || 'WHERE 1=1 AND (o_totalprice > 0) AND (cityHash64(`o_orderkey`) '
+       || '% 4 == ' || CAST(p.k AS VARCHAR)
+       || ') AND __data_transfer_delete_time == 0' AS query
+FROM region,
+     (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2
+      UNION ALL SELECT 3) p
+""",
         "partition_expansion": """
             SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) AS table_name
             FROM nation WHERE n_nationkey % 2 = 1

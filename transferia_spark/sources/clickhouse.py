@@ -90,14 +90,18 @@ class ClickHouseSource(Source):
     def table_list(self, spark: SparkSession) -> list[TableID]:
         return [TableID(self.database, t) for t in sorted(self.schemas)]
 
-    def load_table(
-        self, spark: SparkSession, table: TableID, where: str | None = None
-    ) -> DataFrame:
+    def plan_read_tasks(
+        self, table: TableID, where: str | None = None
+    ) -> list[tuple[str, str]]:
+        """The parallel-unit plan: (shard url, SELECT) per shard×part
+        (≈ the reference's shard/part fan-out, storage.go). Factored
+        out of :meth:`load_table` so the plan is testable without a
+        live cluster — the clickhouse_read_plan driver query compares
+        the generated strings against a SQL oracle."""
         st = T._parse_datatype_string(self.schemas[table.name])
         cols = [f.name for f in st.fields]
         keys = self.keys.get(table.name, [])
         n_parts = self.parts_per_shard if keys else 1
-
         tasks = []
         for url in (self.shard_urls[s] for s in sorted(self.shard_urls)):
             for p in range(n_parts):
@@ -105,7 +109,19 @@ class ClickHouseSource(Source):
                 if n_parts > 1:
                     keyexpr = ", ".join(quote_ch(k) for k in keys)
                     cond = f"cityHash64({keyexpr}) % {n_parts} == {p}"
-                tasks.append((url, build_select_query(table, cols, self.deletable, where, cond)))
+                tasks.append(
+                    (url, build_select_query(
+                        table, cols, self.deletable, where, cond
+                    ))
+                )
+        return tasks
+
+    def load_table(
+        self, spark: SparkSession, table: TableID, where: str | None = None
+    ) -> DataFrame:
+        st = T._parse_datatype_string(self.schemas[table.name])
+        cols = [f.name for f in st.fields]
+        tasks = self.plan_read_tasks(table, where)
 
         parts_df = spark.createDataFrame(tasks, "url string, query string").repartition(
             len(tasks)
