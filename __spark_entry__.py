@@ -1163,6 +1163,26 @@ def q_clickhouse_read_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(tasks, "url string, query string")
 
 
+def q_shard_fallback_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-free fallback sharding plans (sources/enterprise.py):
+    Greenplum per-segment predicates (one Spark partition drains one
+    segment through the master) and the Oracle ORA_HASH fallback used
+    when DBA_EXTENTS is not grantable — the generated predicate strings
+    hash-compared against a SQL oracle."""
+    from transferia_spark.sources.enterprise import (
+        gp_segment_predicates,
+        ora_hash_predicates,
+    )
+
+    n = 8
+    rows = [
+        ("greenplum", i, p) for i, p in enumerate(gp_segment_predicates(n))
+    ] + [
+        ("oracle", i, p) for i, p in enumerate(ora_hash_predicates(n))
+    ]
+    return spark.createDataFrame(rows, "kind string, idx int, predicate string")
+
+
 def q_mongo_id_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo parallel-unit planning (sources/mongo.py plan_id_ranges ≈
     ShardTable): sampled delimiters become half-open [from, to) _id
@@ -3464,8 +3484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver scores the FIRST 50
     entries in dict order. Round-6 window: (a) the 3 queries new this
     round (replicate_controls, dedup_incremental_store,
-    embed_ann_pipeline, oracle_rowid_plan, clickhouse_read_plan),
-    (b) the 7 queries whose implementation paths
+    embed_ann_pipeline, oracle_rowid_plan, clickhouse_read_plan,
+    shard_fallback_plans), (b) the 7 queries whose implementation paths
     changed this round (dead-letter routing + durable offset floors in
     the wal/binlog/mongo readers, the multi-table batch persist, the
     delta_log unreplayable guard, and the pairs_from_bands refactor in
@@ -3484,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_pipeline": q_embed_ann_pipeline,
         "oracle_rowid_plan": q_oracle_rowid_plan,
         "clickhouse_read_plan": q_clickhouse_read_plan,
+        "shard_fallback_plans": q_shard_fallback_plans,
         # -- (b) code changed in round 6: reader dead-letter +
         # offset floors, multi-table persist, delta guard, LSH
         # pairs refactor — re-score ------------------------------
@@ -3535,9 +3556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_to_datetime": q_convert_to_datetime,
         "replace_primary_key": q_replace_primary_key,
         "sharder": q_sharder,
-        "problem_item_detector": q_problem_item_detector,
         # -- tail: green rows from r04-r05; verified every round by
         # scripts/driver_sim.py over ALL entries ------------------
+        "problem_item_detector": q_problem_item_detector,
         "filter_access_log": q_filter_access_log,
         "ann_ivf": q_ann_ivf,
         "dblog_snapshot": q_dblog_snapshot,
@@ -3733,6 +3754,14 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY unit
         """,
         "oracle_rowid_plan": _sql_oracle_rowid_plan(),
+        "shard_fallback_plans": """
+WITH idx AS (SELECT unnest(range(8)) AS i)
+SELECT 'greenplum' AS kind, CAST(i AS INTEGER) AS idx,
+       'gp_segment_id = ' || CAST(i AS VARCHAR) AS predicate FROM idx
+UNION ALL
+SELECT 'oracle', CAST(i AS INTEGER),
+       'ORA_HASH(ROWID, 7) = ' || CAST(i AS VARCHAR) FROM idx
+""",
         "clickhouse_read_plan": """
 SELECT 'http://ch-' || CAST(r_regionkey AS VARCHAR) || ':8123' AS url,
        'SELECT `o_orderkey`, `o_totalprice` FROM `db`.`orders` FINAL '
