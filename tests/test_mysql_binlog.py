@@ -396,3 +396,116 @@ replication:
     table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
     # the wire TRUNCATE wiped the seed and row 3; only row 4 survives
     assert {(r.id, r.v) for r in table.read().collect()} == {(4, "d")}
+
+
+def test_gtid_state_accumulates_across_drains(tmp_path):
+    """The executed GTID set persists in the tailed directory: a second
+    drain (reconnect) resumes with the first drain's set, exactly what
+    a live client presents to COM_BINLOG_DUMP_GTID."""
+    from transferia_spark.streaming.mysql_binlog import load_gtid_state
+
+    frames_dir = str(tmp_path / "frames")
+    out = str(tmp_path / "out")
+    os.makedirs(frames_dir)
+    with open(os.path.join(frames_dir, "000.jsonl"), "w") as f:
+        for fr in [encode_format_description(), encode_gtid(SID, 1, 10),
+                   encode_gtid(SID, 2, 20)]:
+            f.write(json.dumps({"frame": fr.hex()}) + "\n")
+    drain_recorded_binlog(frames_dir, out)
+    assert load_gtid_state(out) == {SID: [[1, 2]]}
+    with open(os.path.join(frames_dir, "001.jsonl"), "w") as f:
+        for fr in [encode_format_description(), encode_gtid(SID, 3, 30)]:
+            f.write(json.dumps({"frame": fr.hex()}) + "\n")
+    drain_recorded_binlog(frames_dir, out)
+    assert load_gtid_state(out) == {SID: [[1, 3]]}  # merged interval
+
+
+def test_rows_event_property_round_trip():
+    """Hypothesis: arbitrary row images over the supported type matrix
+    survive encode→decode byte-exactly (values, NULLs, row multiplicity,
+    update before/after pairing)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    types = [TYPE_LONGLONG, TYPE_LONG, TYPE_VARCHAR, TYPE_DOUBLE, TYPE_BLOB]
+    metas = [None, None, 300, 8, 2]
+
+    def value_strategies():
+        return [
+            st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+            st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=True, width=64),
+            ),
+            st.one_of(st.none(), st.binary(max_size=64)),
+        ]
+
+    rows_st = st.lists(st.tuples(*value_strategies()), min_size=1, max_size=5)
+
+    _, tm = decode_table_map(encode_table_map(
+        3, "d", "t", types, metas, col_names=["a", "b", "c", "x", "z"],
+        checksum=False,
+    )[19:])
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows_st)
+    def check_write(rows):
+        ev = encode_rows_event(
+            WRITE_ROWS_EVENT_V2, 3, types, metas,
+            [list(r) for r in rows], checksum=False,
+        )
+        got = decode_rows_event(WRITE_ROWS_EVENT_V2, ev[19:], tm)
+        assert got == [
+            {"after": dict(zip(["a", "b", "c", "x", "z"], r))} for r in rows
+        ]
+
+    @settings(max_examples=30, deadline=None)
+    @given(rows_st, rows_st)
+    def check_update(befores, afters):
+        pairs = list(zip(befores, afters))
+        ev = encode_rows_event(
+            UPDATE_ROWS_EVENT_V2, 3, types, metas,
+            [(list(b), list(a)) for b, a in pairs], checksum=False,
+        )
+        got = decode_rows_event(UPDATE_ROWS_EVENT_V2, ev[19:], tm)
+        names = ["a", "b", "c", "x", "z"]
+        assert got == [
+            {"before": dict(zip(names, b)), "after": dict(zip(names, a))}
+            for b, a in pairs
+        ]
+
+    check_write()
+    check_update()
+
+
+def test_gtid_set_property_merge_invariants():
+    """Hypothesis: after any add sequence the interval set is sorted,
+    disjoint, gap-separated, contains exactly the added gnos, and
+    round-trips through format/parse."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from transferia_spark.streaming.mysql_binlog import (
+        format_gtid_set,
+        gtid_set_add,
+        gtid_set_contains,
+        parse_gtid_set,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(st.integers(1, 40), min_size=1, max_size=30))
+    def check(gnos):
+        s = {}
+        for g in gnos:
+            gtid_set_add(s, SID, g)
+        ivs = s[SID]
+        for (lo1, hi1), (lo2, hi2) in zip(ivs, ivs[1:]):
+            assert hi1 + 1 < lo2  # disjoint AND gap-separated (merged)
+        want = set(gnos)
+        for g in range(0, 45):
+            assert gtid_set_contains(s, SID, g) == (g in want)
+        assert parse_gtid_set(format_gtid_set(s)) == s
+
+    check()

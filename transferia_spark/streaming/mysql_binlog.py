@@ -641,6 +641,16 @@ class BinlogTailer:
         self._flush()
 
 
+def load_gtid_state(out_dir: str) -> dict[str, list[list[int]]]:
+    """The executed GTID set accumulated across drains (what a live
+    client would hand to COM_BINLOG_DUMP_GTID on reconnect)."""
+    try:
+        with open(os.path.join(out_dir, "_gtid.state")) as f:
+            return parse_gtid_set(f.read().strip())
+    except FileNotFoundError:
+        return {}
+
+
 def drain_recorded_binlog(
     frames_path: str,
     out_dir: str,
@@ -681,7 +691,14 @@ def drain_recorded_binlog(
     tailer._file_no = sum(
         1 for n_ in os.listdir(out_dir) if n_.endswith(".jsonl")
     )
+    # the executed GTID set accumulates across drains (a reconnecting
+    # live client presents it to COM_BINLOG_DUMP_GTID)
+    tailer.gtid_executed = load_gtid_state(out_dir)
     n = tailer.run()
+    gtmp = os.path.join(out_dir, "_gtid.state.tmp")
+    with open(gtmp, "w") as f:
+        f.write(format_gtid_set(tailer.gtid_executed))
+    os.replace(gtmp, os.path.join(out_dir, "_gtid.state"))
     tmp = state_file + ".tmp"
     with open(tmp, "w") as f:
         json.dump(sorted(done | set(fresh)), f)
@@ -719,5 +736,6 @@ __all__ = [
     "format_gtid_set",
     "gtid_set_add",
     "gtid_set_contains",
+    "load_gtid_state",
     "parse_gtid_set",
 ]
