@@ -852,3 +852,39 @@ def test_wal_and_mongo_readers_dead_letter_poison_lines(spark, tmp_path):
     ]
     assert [r[0] for r in rows] == [1]
     assert sorted(os.listdir(cdl)) == ["000.jsonl.1.json"]
+
+
+def test_resume_token_property_round_trip():
+    """Hypothesis: tokens round-trip for arbitrary timestamps,
+    increments, and opaque tails, and order like their (ts, inc)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from transferia_spark.streaming.cdc_sources import (
+        format_resume_token,
+        parse_resume_token,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.integers(0, (1 << 32) - 1),
+        st.integers(0, (1 << 32) - 1),
+        st.binary(max_size=32),
+    )
+    def check(ts, inc, tail):
+        assert parse_resume_token(format_resume_token(ts, inc, tail)) == (
+            ts, inc,
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.tuples(st.integers(0, 1 << 31), st.integers(0, 1 << 31)),
+        st.tuples(st.integers(0, 1 << 31), st.integers(0, 1 << 31)),
+    )
+    def check_order(a, b):
+        pa = parse_resume_token(format_resume_token(*a))
+        pb = parse_resume_token(format_resume_token(*b))
+        assert (pa < pb) == (a < b)
+
+    check()
+    check_order()

@@ -196,3 +196,52 @@ def test_tailer_acks_only_after_fsync(tmp_path, monkeypatch):
     assert events[:first_ack] == [("fsync", "file"), ("fsync", "dir")]
     between = events[first_ack + 1 : events.index(("ack", 21))]
     assert between == [("fsync", "file"), ("fsync", "dir")]
+
+
+def test_frame_codec_properties():
+    """Hypothesis: XLogData / keepalive / standby-status frames and the
+    LSN text form round-trip for arbitrary values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from transferia_spark.streaming.pg_replication import (
+        PrimaryKeepalive,
+        XLogData,
+    )
+
+    lsn = st.integers(0, (1 << 63) - 1)
+
+    @settings(max_examples=80, deadline=None)
+    @given(lsn, lsn, st.integers(0, (1 << 62)), st.binary(max_size=128))
+    def check_xlog(ws, we, clock, payload):
+        m = decode_copydata(encode_xlog_data(ws, we, payload, clock))
+        assert isinstance(m, XLogData)
+        assert (m.wal_start, m.wal_end, m.server_clock_us, m.payload) == (
+            ws, we, clock, payload,
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(lsn, st.integers(0, 1 << 62), st.booleans())
+    def check_keepalive(we, clock, reply):
+        m = decode_copydata(encode_keepalive(we, clock, reply))
+        assert isinstance(m, PrimaryKeepalive)
+        assert (m.wal_end, m.server_clock_us, m.reply_requested) == (
+            we, clock, reply,
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(lsn, lsn, lsn, st.integers(0, 1 << 62), st.booleans())
+    def check_status(r, f, a, clock, reply):
+        assert decode_standby_status(
+            encode_standby_status(r, f, a, clock, reply)
+        ) == (r, f, a, clock, reply)
+
+    @settings(max_examples=80, deadline=None)
+    @given(lsn)
+    def check_lsn_text(v):
+        assert parse_lsn(format_lsn(v)) == v
+
+    check_xlog()
+    check_keepalive()
+    check_status()
+    check_lsn_text()
