@@ -509,3 +509,51 @@ def test_gtid_set_property_merge_invariants():
         assert parse_gtid_set(format_gtid_set(s)) == s
 
     check()
+
+
+def test_packet_stream_framing_and_errors():
+    """The network packet layer (3-byte LE length + seq + payload):
+    binlog events unwrap from their 0x00 OK marker, sequence gaps and
+    ERR packets are loud, EOF ends the stream."""
+    import io
+
+    from transferia_spark.streaming.mysql_binlog import (
+        MySqlServerError,
+        encode_packet,
+        packet_stream,
+    )
+
+    ev1 = encode_rotate("binlog.000009", checksum=False)
+    ev2 = encode_gtid(SID, 5, 100, checksum=False)
+    wire = (
+        encode_packet(b"\x00" + ev1, 1)
+        + encode_packet(b"\x00" + ev2, 2)
+        + encode_packet(b"\xfe\x00\x00\x02\x00", 3)  # EOF
+    )
+    buf = io.BytesIO(wire)
+    assert list(packet_stream(buf.read)) == [ev1, ev2]
+
+    # sequence gap: desynced stream must not decode garbage
+    wire = encode_packet(b"\x00" + ev1, 1) + encode_packet(b"\x00" + ev2, 9)
+    buf = io.BytesIO(wire)
+    with pytest.raises(ValueError, match="sequence gap"):
+        list(packet_stream(buf.read))
+
+    # ERR packet: parsed code + SQLSTATE + message
+    err = b"\xff" + (1236).to_bytes(2, "little") + b"#HY000" + \
+        b"Could not find first log file name"
+    buf = io.BytesIO(encode_packet(err, 1))
+    with pytest.raises(MySqlServerError, match="ERROR 1236 .HY000."):
+        list(packet_stream(buf.read))
+
+    # a full socket→tailer path over framed packets
+    frames = _session_frames()
+    wire = b"".join(
+        encode_packet(b"\x00" + fr, i + 1) for i, fr in enumerate(frames)
+    )
+    buf = io.BytesIO(wire)
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pkt_tailer_")
+    n = BinlogTailer(packet_stream(buf.read), out).run()
+    assert n == 7

@@ -9,6 +9,8 @@ from __future__ import annotations
 import json
 import struct
 
+import pytest
+
 from transferia_spark.streaming.pg_replication import (
     ReplicationTailer,
     create_slot_command,
@@ -245,3 +247,58 @@ def test_frame_codec_properties():
     check_keepalive()
     check_status()
     check_lsn_text()
+
+
+def test_message_stream_framing_and_errors(tmp_path):
+    """The PG backend message layer: CopyBothResponse consumed, CopyData
+    payloads yielded, CopyDone ends, ErrorResponse raises with parsed
+    fields — and the framed stream drives the tailer end-to-end with
+    CopyData-wrapped standby acks."""
+    import io
+    import struct as _struct
+
+    from transferia_spark.streaming.pg_replication import (
+        PgServerError,
+        encode_copydata_message,
+        message_stream,
+    )
+
+    def msg(tag, body=b""):
+        return tag + _struct.pack(">I", len(body) + 4) + body
+
+    x1 = encode_xlog_data(10, 11, _wal2json("I", id=1, v="a"))
+    k1 = encode_keepalive(15, reply_requested=True)
+    wire = (
+        msg(b"W", b"\x00\x00\x00")
+        + encode_copydata_message(x1)
+        + encode_copydata_message(k1)
+        + msg(b"c")
+    )
+    buf = io.BytesIO(wire)
+    frames = list(message_stream(buf.read))
+    assert frames == [x1, k1]
+
+    # ErrorResponse: parsed severity/code/message
+    err_body = b"SERROR\x00C42601\x00Msyntax error\x00\x00"
+    buf = io.BytesIO(msg(b"E", err_body))
+    with pytest.raises(PgServerError, match="ERROR 42601: syntax error"):
+        list(message_stream(buf.read))
+
+    # socket→tailer: acks travel back as CopyData-wrapped 'r' frames
+    sent: list[bytes] = []
+    buf = io.BytesIO(
+        msg(b"W", b"\x00\x00\x00")
+        + encode_copydata_message(x1)
+        + encode_copydata_message(k1)
+        + msg(b"Z", b"I")
+    )
+    out = str(tmp_path / "wal")
+    tailer = ReplicationTailer(
+        message_stream(buf.read),
+        lambda p: sent.append(encode_copydata_message(p)),
+        out,
+    )
+    assert tailer.run() == 1
+    assert all(m[:1] == b"d" for m in sent)
+    inner = sent[-1][5:]  # strip CopyData tag + length
+    assert decode_standby_status(inner)[1] == 15  # flushed advanced

@@ -37,6 +37,7 @@ import os
 import struct
 import zlib
 from dataclasses import dataclass, field
+from typing import Callable
 
 # -- event type codes (public binlog_event.h values) --------------------
 QUERY_EVENT = 0x02
@@ -472,6 +473,81 @@ def decode_gtid(body: bytes) -> tuple[str, int]:
     return sid, gno
 
 
+# ---------------------------------------------------- packet framing
+
+OK_HEADER = 0x00
+ERR_HEADER = 0xFF
+EOF_HEADER = 0xFE
+
+
+class MySqlServerError(RuntimeError):
+    """An ERR packet from the server (code + SQLSTATE + message — the
+    public generic-response format)."""
+
+    def __init__(self, code: int, sqlstate: str, message: str):
+        self.code = code
+        self.sqlstate = sqlstate
+        super().__init__(f"ERROR {code} ({sqlstate}): {message}")
+
+
+def decode_err_packet(payload: bytes) -> MySqlServerError:
+    """``0xFF + code u16 LE + '#' + 5-char SQLSTATE + message``."""
+    code = struct.unpack_from("<H", payload, 1)[0]
+    pos = 3
+    sqlstate = "HY000"
+    if pos < len(payload) and payload[pos:pos + 1] == b"#":
+        sqlstate = payload[pos + 1:pos + 6].decode(errors="replace")
+        pos += 6
+    return MySqlServerError(code, sqlstate, payload[pos:].decode(errors="replace"))
+
+
+def encode_packet(payload: bytes, seq: int) -> bytes:
+    """One wire packet: 3-byte LE length + sequence byte + payload
+    (test-vector builder and recorded-capture format; >16 MB payloads
+    would split — binlog events this client consumes never do)."""
+    return len(payload).to_bytes(3, "little") + bytes([seq & 0xFF]) + payload
+
+
+def packet_stream(read: Callable[[int], bytes]):
+    """Parse the COM_BINLOG_DUMP response packet stream into raw binlog
+    EVENT byte strings — the glue between a socket and
+    :class:`BinlogTailer` (``BinlogTailer(packet_stream(
+    sock.recv_exact), out_dir).run()``).
+
+    Each network packet is 3-byte LE length + sequence + payload; a
+    binlog-stream packet's payload is an 0x00 OK byte followed by one
+    event. ERR packets raise :class:`MySqlServerError`; an EOF packet
+    (0xFE with short payload) or socket EOF ends the stream. Sequence
+    numbers are checked modulo 256 — a gap means a desynced stream and
+    must be loud, not silently decoded garbage.
+    """
+    expect_seq: int | None = None
+    while True:
+        head = read(4)
+        if not head:
+            return
+        ln = int.from_bytes(head[:3], "little")
+        seq = head[3]
+        if expect_seq is not None and seq != expect_seq:
+            raise ValueError(
+                f"binlog packet sequence gap: expected {expect_seq}, got {seq}"
+            )
+        expect_seq = (seq + 1) & 0xFF
+        payload = read(ln) if ln else b""
+        if not payload:
+            return
+        marker = payload[0]
+        if marker == ERR_HEADER:
+            raise decode_err_packet(payload)
+        if marker == EOF_HEADER and ln < 9:
+            return
+        if marker != OK_HEADER:
+            raise ValueError(
+                f"unexpected binlog packet marker {marker:#04x}"
+            )
+        yield payload[1:]
+
+
 # ------------------------------------------------------------- tailer
 
 _DDL_PREFIXES = ("ALTER ", "CREATE ", "DROP ", "RENAME ")
@@ -737,5 +813,9 @@ __all__ = [
     "gtid_set_add",
     "gtid_set_contains",
     "load_gtid_state",
+    "MySqlServerError",
+    "decode_err_packet",
+    "encode_packet",
+    "packet_stream",
     "parse_gtid_set",
 ]

@@ -147,6 +147,78 @@ def decode_standby_status(frame: bytes) -> tuple[int, int, int, int, bool]:
     return r, f, a, c, bool(rep)
 
 
+# ---------------------------------------------------- message framing
+
+#: backend message tags of the COPY subprotocol (public "Message
+#: Formats" docs): every message is tag byte + int32 length (length
+#: INCLUDES itself, excludes the tag) + body
+MSG_COPY_DATA = b"d"
+MSG_COPY_BOTH_RESPONSE = b"W"
+MSG_COPY_DONE = b"c"
+MSG_ERROR_RESPONSE = b"E"
+MSG_READY_FOR_QUERY = b"Z"
+
+
+class PgServerError(RuntimeError):
+    """An ErrorResponse from the server, fields parsed (severity,
+    SQLSTATE code, message — the public error-field format)."""
+
+    def __init__(self, fields: dict[str, str]):
+        self.fields = fields
+        super().__init__(
+            f"{fields.get('S', 'ERROR')} {fields.get('C', '?????')}: "
+            f"{fields.get('M', '(no message)')}"
+        )
+
+
+def decode_error_fields(body: bytes) -> dict[str, str]:
+    """ErrorResponse body: (field-type byte + cstring)* + NUL."""
+    fields: dict[str, str] = {}
+    pos = 0
+    while pos < len(body) and body[pos] != 0:
+        code = chr(body[pos])
+        end = body.index(b"\x00", pos + 1)
+        fields[code] = body[pos + 1:end].decode(errors="replace")
+        pos = end + 1
+    return fields
+
+
+def encode_copydata_message(payload: bytes) -> bytes:
+    """Wrap a replication payload ('w'/'k'/'r' frame) in the CopyData
+    message a socket actually carries — the client's standby-status
+    updates travel the same way."""
+    return MSG_COPY_DATA + struct.pack(">I", len(payload) + 4) + payload
+
+
+def message_stream(read: Callable[[int], bytes]):
+    """Parse the backend message stream of an open COPY-BOTH session
+    into CopyData payloads — the glue between a raw socket and
+    :class:`ReplicationTailer` (``tailer = ReplicationTailer(
+    message_stream(sock.recv_exact), lambda p: sock.sendall(
+    encode_copydata_message(p)), out_dir)``).
+
+    ``read(n)`` must return exactly n bytes (or b"" at EOF).
+    CopyBothResponse is consumed silently (session start), CopyDone /
+    ReadyForQuery end the stream, ErrorResponse raises
+    :class:`PgServerError` with parsed fields.
+    """
+    while True:
+        tag = read(1)
+        if not tag:
+            return
+        (ln,) = struct.unpack(">I", read(4))
+        body = read(ln - 4) if ln > 4 else b""
+        if tag == MSG_COPY_DATA:
+            yield body
+        elif tag == MSG_COPY_BOTH_RESPONSE:
+            continue  # session start: format codes, nothing to emit
+        elif tag in (MSG_COPY_DONE, MSG_READY_FOR_QUERY):
+            return
+        elif tag == MSG_ERROR_RESPONSE:
+            raise PgServerError(decode_error_fields(body))
+        # NoticeResponse / ParameterStatus etc.: ignorable during COPY
+
+
 # ------------------------------------------------------------- tailer
 
 
@@ -299,6 +371,10 @@ def drain_recorded_frames(
 
 __all__ = [
     "PG_EPOCH_OFFSET_US",
+    "PgServerError",
+    "decode_error_fields",
+    "encode_copydata_message",
+    "message_stream",
     "drain_recorded_frames",
     "PrimaryKeepalive",
     "ReplicationTailer",
