@@ -763,3 +763,67 @@ def test_band_index_store_two_ingest_lifecycle(spark, tmp_path):
     pruned_files = set(store.read_for(nb).inputFiles())
     all_files = set(store.read().inputFiles())
     assert pruned_files and pruned_files.issubset(all_files)
+
+
+def test_band_index_ingest_sink_streaming(spark, tmp_path):
+    """STREAMING near-dup ingest: documents arrive as a rate-limited
+    file stream, each micro-batch checks against and extends the
+    persisted band index through foreachBatch — the union of all
+    batches' pairs equals the full-corpus LSH pairs (minus the
+    never-checked seed-internal... here every doc streams, so ALL
+    pairs), and a replayed batch is a no-op."""
+    import json as _json
+
+    from transferia_spark.operators.dedup import (
+        BandIndexIngestSink,
+        BandIndexStore,
+    )
+
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog variant {i % 4}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # stream source: two JSON files arriving in order → two micro-batches
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    t = build(
+        "dedup_incremental", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    )
+    store = BandIndexStore(spark, str(tmp_path / "idx"), n_shards=8)
+    sink = BandIndexIngestSink(store, t, str(tmp_path / "pairs"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    for wave, lo, hi in (("a", 0, 15), ("b", 15, 30)):
+        with open(src / f"{wave}.json", "w") as f:
+            for i, txt in rows[lo:hi]:
+                f.write(_json.dumps({"doc_id": i, "text": txt}) + "\n")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.id_a, r.id_b) for r in sink.pairs(spark).select("id_a", "id_b").collect()
+    }
+    full = build(
+        "dedup_minhash_lsh", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    ).apply_df(df)
+    assert got == {(r.id_a, r.id_b) for r in full.collect()}
+
+    # replay: calling the sink again for an already-marked batch is a
+    # no-op (no duplicate index rows, same pairs)
+    n_index = store.read().count()
+    sink(df.limit(5), 0)
+    assert store.read().count() == n_index
+    got2 = {
+        (r.id_a, r.id_b) for r in sink.pairs(spark).select("id_a", "id_b").collect()
+    }
+    assert got2 == got

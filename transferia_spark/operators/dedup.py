@@ -547,6 +547,70 @@ class BandIndexStore:
         return nxt
 
 
+class BandIndexIngestSink:
+    """foreachBatch sink: STREAMING near-dup ingest over the persisted
+    band index — the production shape where documents arrive as a
+    Structured Streaming source and every micro-batch is checked
+    against (then added to) the on-disk index.
+
+    Each batch runs :meth:`BandIndexStore.ingest` (hash the batch only,
+    pruned index read, pair check, append) and writes the batch's
+    candidate pairs to ``pairs_dir`` as parquet tagged with the batch
+    id — idempotent under micro-batch replay: a re-run of batch N
+    OVERWRITES its own pairs output, and the index append is guarded by
+    a per-batch commit marker so replays never double-append band rows.
+
+    Compose with any documents stream::
+
+        sink = BandIndexIngestSink(store, dedup, pairs_dir)
+        stream.writeStream.foreachBatch(sink).start()
+    """
+
+    def __init__(
+        self,
+        store: BandIndexStore,
+        dedup: DedupIncremental,
+        pairs_dir: str,
+    ):
+        self.store = store
+        self.dedup = dedup
+        self.pairs_dir = pairs_dir
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(
+            self.store.root, f"_ingested_batch_{batch_id}.marker"
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        out = os.path.join(self.pairs_dir, f"batch={batch_id}")
+        if os.path.exists(self._marker(batch_id)):
+            # replayed batch: the index already holds its band rows —
+            # re-appending would self-pair every later batch against
+            # duplicate rows. The pairs output is already on disk too
+            # (written before the marker); nothing to do.
+            return
+        pairs = self.store.ingest(self.dedup, batch_df)
+        # a crash between the index append and the marker re-runs the
+        # batch with its own rows already indexed: the cross join then
+        # pairs each doc with itself — filter the degenerate diagonal
+        # (duplicate real pairs are distinct()-ed inside ingest), so
+        # the replay loses nothing and fabricates nothing
+        pairs = pairs.filter(F.col("id_a") != F.col("id_b"))
+        pairs.write.mode("overwrite").parquet(out)
+        # marker AFTER both effects: pairs overwrite is idempotent and
+        # the replayed append only duplicates band rows (recall-neutral
+        # after distinct), never loses a pair
+        with open(self._marker(batch_id) + ".tmp", "w") as f:
+            f.write("done")
+        os.replace(self._marker(batch_id) + ".tmp", self._marker(batch_id))
+
+    def pairs(self, spark) -> DataFrame:
+        """All pairs found so far, with their batch id."""
+        return spark.read.option("basePath", self.pairs_dir).parquet(
+            self.pairs_dir
+        )
+
+
 @register
 class DedupSimHash(Transformer):
     """32-bit SimHash per document + hamming-distance near-dup pairs.
@@ -889,6 +953,7 @@ class DedupEmbeddingCosine(Transformer):
 
 
 __all__ = [
+    "BandIndexIngestSink",
     "BandIndexStore",
     "DedupExact",
     "DedupIncremental",
