@@ -1459,6 +1459,53 @@ def q_dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup ingest (operators/dedup.py
+    BandIndexIngestSink): the documents table arrives as a two-wave
+    file stream (doc_id parity), each micro-batch checks against and
+    extends the persisted band index through foreachBatch. The union of
+    the batches' pair outputs must equal the FULL-corpus LSH pair set —
+    wave-1-internal pairs from batch 0, wave-2-internal plus
+    cross-wave pairs from batch 1, none double-counted."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from transferia_spark.operators.dedup import (
+        BandIndexIngestSink,
+        BandIndexStore,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_ingest_")
+    src = _os.path.join(tmp, "docs")
+    _os.makedirs(src)
+    rows = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    for wave, keep in (("a", 0), ("b", 1)):
+        with open(_os.path.join(src, f"{wave}.json"), "w") as f:
+            for r in sorted(rows, key=lambda r: r.doc_id):
+                if r.doc_id % 2 == keep:
+                    f.write(
+                        _json.dumps({"doc_id": r.doc_id, "text": r.text})
+                        + "\n"
+                    )
+    t = build("dedup_incremental", text_col="text", id_col="doc_id", **MINHASH)
+    store = BandIndexStore(spark, _os.path.join(tmp, "idx"), n_shards=32)
+    sink = BandIndexIngestSink(store, t, _os.path.join(tmp, "pairs"))
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.pairs(spark).select("id_a", "id_b")
+
+
 def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/val/test split (operators/corpus.py
     LeakageSafeSplit): near-duplicate clusters are the assignment unit
@@ -3485,7 +3532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries in dict order. Round-6 window: (a) the 3 queries new this
     round (replicate_controls, dedup_incremental_store,
     embed_ann_pipeline, oracle_rowid_plan, clickhouse_read_plan,
-    shard_fallback_plans), (b) the 7 queries whose implementation paths
+    shard_fallback_plans, dedup_stream_ingest),
+    (b) the 7 queries whose implementation paths
     changed this round (dead-letter routing + durable offset floors in
     the wal/binlog/mongo readers, the multi-table batch persist, the
     delta_log unreplayable guard, and the pairs_from_bands refactor in
@@ -3505,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oracle_rowid_plan": q_oracle_rowid_plan,
         "clickhouse_read_plan": q_clickhouse_read_plan,
         "shard_fallback_plans": q_shard_fallback_plans,
+        "dedup_stream_ingest": q_dedup_stream_ingest,
         # -- (b) code changed in round 6: reader dead-letter +
         # offset floors, multi-table persist, delta guard, LSH
         # pairs refactor — re-score ------------------------------
@@ -3555,9 +3604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_to_string": q_convert_to_string,
         "convert_to_datetime": q_convert_to_datetime,
         "replace_primary_key": q_replace_primary_key,
-        "sharder": q_sharder,
         # -- tail: green rows from r04-r05; verified every round by
         # scripts/driver_sim.py over ALL entries ------------------
+        "sharder": q_sharder,
         "problem_item_detector": q_problem_item_detector,
         "filter_access_log": q_filter_access_log,
         "ann_ivf": q_ann_ivf,
@@ -4028,6 +4077,10 @@ SELECT id_a, id_b,
        (id_a % {INCR_NEW_MOD} = 0) <> (id_b % {INCR_NEW_MOD} = 0) AS is_cross
 FROM pairs
 WHERE id_a % {INCR_NEW_MOD} = 0 OR id_b % {INCR_NEW_MOD} = 0
+""",
+        "dedup_stream_ingest": f"""
+WITH {_sql_minhash_cte()}
+SELECT id_a, id_b FROM pairs
 """,
         "dedup_incremental_store": f"""
 WITH {_sql_minhash_cte()}

@@ -125,6 +125,9 @@ EXCLUDED = {
     "replicate_multi_table": "same: two streaming-query lifecycles",
     "replicate_controls": "same: three streaming-query lifecycles "
     "(the DDL abort-and-restart is part of the scenario)",
+    "dedup_stream_ingest": "same: a streaming-query lifecycle over the "
+    "band index; the batch ingest path is benched as "
+    "dedup_incremental_store",
 }
 
 
