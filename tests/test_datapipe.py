@@ -791,7 +791,9 @@ def test_band_index_ingest_sink_streaming(spark, tmp_path):
         "dedup_incremental", text_col="text", id_col="doc_id", n=3, k=32, bands=8
     )
     store = BandIndexStore(spark, str(tmp_path / "idx"), n_shards=8)
-    sink = BandIndexIngestSink(store, t, str(tmp_path / "pairs"))
+    sink = BandIndexIngestSink(
+        store, t, str(tmp_path / "pairs"), compact_every=2
+    )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -818,6 +820,8 @@ def test_band_index_ingest_sink_streaming(spark, tmp_path):
     ).apply_df(df)
     assert got == {(r.id_a, r.id_b) for r in full.collect()}
 
+    # compact_every=2 fired after batch 1: the index folded to v1
+    assert store._version() == 1
     # replay: calling the sink again for an already-marked batch is a
     # no-op (no duplicate index rows, same pairs)
     n_index = store.read().count()

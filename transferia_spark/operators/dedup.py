@@ -571,10 +571,16 @@ class BandIndexIngestSink:
         store: BandIndexStore,
         dedup: DedupIncremental,
         pairs_dir: str,
+        compact_every: int | None = None,
     ):
         self.store = store
         self.dedup = dedup
         self.pairs_dir = pairs_dir
+        #: fold the index's per-batch append files every N batches — a
+        #: long-running stream otherwise accretes one file per shard
+        #: per batch and every later pruned read pays for it. The swap
+        #: is versioned+atomic (readers of the old version undisturbed)
+        self.compact_every = compact_every
 
     def _marker(self, batch_id: int) -> str:
         return os.path.join(
@@ -603,6 +609,11 @@ class BandIndexIngestSink:
         with open(self._marker(batch_id) + ".tmp", "w") as f:
             f.write("done")
         os.replace(self._marker(batch_id) + ".tmp", self._marker(batch_id))
+        if (
+            self.compact_every
+            and (batch_id + 1) % self.compact_every == 0
+        ):
+            self.store.compact()
 
     def pairs(self, spark) -> DataFrame:
         """All pairs found so far, with their batch id."""
