@@ -3529,20 +3529,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver scores the FIRST 50
-    entries in dict order. Round-6 window: (a) the 3 queries new this
+    entries in dict order. Round-6 window: (a) the 7 queries new this
     round (replicate_controls, dedup_incremental_store,
     embed_ann_pipeline, oracle_rowid_plan, clickhouse_read_plan,
-    shard_fallback_plans, dedup_stream_ingest),
-    (b) the 7 queries whose implementation paths
-    changed this round (dead-letter routing + durable offset floors in
-    the wal/binlog/mongo readers, the multi-table batch persist, the
-    delta_log unreplayable guard, and the pairs_from_bands refactor in
-    the LSH family), (c) the 4 entries the round-5 comment CLAIMED were
-    in-window but sat at positions 51-54 (ADVICE r5), and (d) the 35
-    r3-scored entries plus ann_ivf — the oldest green rows — rotating
-    back into the official record. (a)+(b)+(c)+(d) = 3+7+4+36 = 50
-    exactly. The tail holds r04/r05 green rows and stays verified by
-    ``python scripts/driver_sim.py`` over ALL entries.
+    shard_fallback_plans, dedup_stream_ingest), (b) the 7 queries whose
+    implementation paths changed this round (dead-letter routing +
+    durable offset floors in the wal/binlog/mongo readers, the
+    multi-table batch persist, the delta_log unreplayable guard, and
+    the pairs_from_bands refactor in the LSH family), (c) the 4 entries
+    the round-5 comment CLAIMED were in-window but sat at positions
+    51-54 (ADVICE r5), and (d) the 32 oldest-green r3-scored entries
+    rotating back into the official record. (a)+(b)+(c)+(d) =
+    7+7+4+32 = 50 exactly. The tail (ann_ivf onward) holds r04/r05
+    green rows and stays verified by ``python scripts/driver_sim.py``
+    over ALL entries.
     """
     return {
         # -- (a) round-6 new surface: controls routing, persisted
@@ -3570,8 +3570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_field": q_mask_field,
         "filter_columns": q_filter_columns,
         "regex_replace": q_regex_replace,
-        # -- (d) oldest green rows (r3) + ann_ivf rotate back into
-        # the official record ------------------------------------
+        # -- (d) oldest green rows (r3) rotate back into the
+        # official record ----------------------------------------
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q14ish": q_tpch_q14ish,

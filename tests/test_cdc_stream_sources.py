@@ -888,3 +888,40 @@ def test_resume_token_property_round_trip():
 
     check()
     check_order()
+
+
+def test_mongo_poison_position_types_dead_letter(spark, tmp_path):
+    """Self-review r6: poison positions beyond malformed JSON —
+    clusterTime: null, _id as a scalar — must route, not raise, when a
+    dead-letter route is configured."""
+    from transferia_spark.streaming.cdc_sources import (
+        ChangeStreamJsonStreamReader,
+        change_stream_output_schema,
+    )
+
+    csdir = str(tmp_path / "cs")
+    _emit(csdir, "000.jsonl", [
+        # clusterTime: null → int(None) is a TypeError: poison
+        {"operationType": "insert", "clusterTime": None, "order": 0,
+         "documentKey": {"_id": 9}, "fullDocument": {"_id": 9}},
+        # a scalar _id with no position fields is NOT poison: the
+        # contract default-zeros missing positions → (0, 0)
+        {"operationType": "insert", "_id": "not-a-token-dict",
+         "documentKey": {"_id": 8}, "fullDocument": {"_id": 8}},
+        {"operationType": "insert", "clusterTime": 5, "order": 1,
+         "documentKey": {"_id": 1}, "fullDocument": {"_id": 1}},
+    ])
+    dl = str(tmp_path / "dl")
+    reader = ChangeStreamJsonStreamReader(
+        change_stream_output_schema("_id long"),
+        {"path": csdir, "dead_letter_dir": dl},
+    )
+    end = reader.latestOffset()
+    assert end == {"ts": 5, "order": 1}
+    rows = [
+        r
+        for p in reader.partitions(reader.initialOffset(), end)
+        for r in reader.read(p)
+    ]
+    assert [r[0] for r in rows] == [8, 1]
+    assert len(os.listdir(dl)) == 1  # only the TypeError line routed

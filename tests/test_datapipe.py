@@ -831,3 +831,51 @@ def test_band_index_ingest_sink_streaming(spark, tmp_path):
         (r.id_a, r.id_b) for r in sink.pairs(spark).select("id_a", "id_b").collect()
     }
     assert got2 == got
+
+
+def test_ingest_sink_crash_replay_fabricates_nothing(spark, tmp_path):
+    """Self-review r6: a crash BETWEEN the index append and the batch
+    marker re-runs the batch with its own rows already indexed — the
+    self-index join then re-finds within-batch pairs with is_cross=True
+    and pairs docs with themselves. The replay must produce exactly the
+    clean batch's pair set (diagonal filtered, per-pair min(is_cross)),
+    and compaction sheds the duplicated band rows."""
+    from transferia_spark.operators.dedup import (
+        BandIndexIngestSink,
+        BandIndexStore,
+    )
+
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog variant {i % 3}")
+        for i in range(12)
+    ]
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = build(
+        "dedup_incremental", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    )
+
+    # clean run for the expected pair set
+    clean_store = BandIndexStore(spark, str(tmp_path / "idx_clean"), n_shards=4)
+    clean_sink = BandIndexIngestSink(clean_store, t, str(tmp_path / "p_clean"))
+    clean_sink(batch, 0)
+    want = {
+        (r.id_a, r.id_b, r.is_cross)
+        for r in clean_sink.pairs(spark).collect()
+    }
+    assert want and all(not c for _, _, c in want)  # all within-batch
+
+    # crashed run: the append landed, the marker did not
+    store = BandIndexStore(spark, str(tmp_path / "idx"), n_shards=4)
+    store.append(t.band_index(batch))  # what ingest() did before the crash
+    sink = BandIndexIngestSink(store, t, str(tmp_path / "pairs"))
+    sink(batch, 0)  # replay
+    got = {
+        (r.id_a, r.id_b, r.is_cross) for r in sink.pairs(spark).collect()
+    }
+    assert got == want  # no self-pairs, no is_cross=True phantoms
+
+    # compaction sheds the doubled band rows
+    n_before = store.read().count()
+    assert n_before == 2 * t.band_index(batch).count()
+    store.compact()
+    assert store.read().count() == t.band_index(batch).count()

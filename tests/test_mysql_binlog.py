@@ -557,3 +557,87 @@ def test_packet_stream_framing_and_errors():
     out = tempfile.mkdtemp(prefix="pkt_tailer_")
     n = BinlogTailer(packet_stream(buf.read), out).run()
     assert n == 7
+
+
+def test_fde_checksum_detection_survives_real_post_header_table(tmp_path):
+    """Self-review r6: a server FDE with checksum OFF carries a
+    populated post-header-length table; a naive ev[-5] peek can land on
+    a byte that happens to be 1 and misdetect CRC32. Detection now also
+    VALIDATES the would-be trailer, so such an FDE stays checksum-off."""
+    import struct as _struct
+
+    from transferia_spark.streaming.mysql_binlog import (
+        FORMAT_DESCRIPTION_EVENT,
+        encode_header,
+    )
+
+    # checksum-off FDE whose post-header table ends ...,1,x,x,x,alg=0:
+    # ev[-5] == 1 but there is no CRC trailer
+    body = _struct.pack("<H", 4)
+    body += b"8.0.0-public".ljust(50, b"\x00")
+    body += _struct.pack("<I", 0)
+    body += bytes([19])
+    body += bytes(35) + bytes([1, 7, 7, 7])  # table tail lands at ev[-5]
+    body += bytes([0])  # alg byte: OFF
+    fde = encode_header(FORMAT_DESCRIPTION_EVENT, len(body), 0) + body
+    assert fde[-5] == 1  # the trap the naive peek falls into
+
+    rot = encode_rotate("binlog.000002", checksum=False)
+    out = str(tmp_path / "b")
+    tailer = BinlogTailer(iter([fde, rot]), out)
+    tailer.run()  # would raise 'CRC mismatch' under the naive detection
+    assert tailer.checksum is False and tailer.log_file == "binlog.000002"
+
+    # and a REAL checksummed FDE still detects on
+    t2 = BinlogTailer(iter([encode_format_description(checksum=True)]), out)
+    t2.run()
+    assert t2.checksum is True
+
+
+def test_drain_numbering_survives_pruned_files(tmp_path):
+    """Self-review r6: prune_committed deletes low-numbered drained
+    files; a later drain must continue PAST the highest surviving
+    index, never reuse (and clobber) an existing number."""
+    frames_dir = str(tmp_path / "frames")
+    out = str(tmp_path / "out")
+    os.makedirs(frames_dir)
+    os.makedirs(out)
+
+    def capture(name, frs):
+        with open(os.path.join(frames_dir, name), "w") as f:
+            for fr in frs:
+                f.write(json.dumps({"frame": fr.hex()}) + "\n")
+
+    types, metas = [TYPE_LONGLONG], [None]
+    prologue = [
+        encode_format_description(),
+        encode_rotate("binlog.000002"),
+        encode_table_map(5, "d", "t", types, metas, col_names=["id"]),
+    ]
+    capture("000.jsonl", prologue + [
+        encode_rows_event(WRITE_ROWS_EVENT_V2, 5, types, metas, [[1]],
+                          log_pos=10),
+    ])
+    drain_recorded_binlog(frames_dir, out)
+    capture("001.jsonl", prologue + [
+        encode_rows_event(WRITE_ROWS_EVENT_V2, 5, types, metas, [[2]],
+                          log_pos=20),
+    ])
+    drain_recorded_binlog(frames_dir, out)
+    assert sorted(
+        n for n in os.listdir(out) if n.endswith(".jsonl")
+    ) == ["000000000.jsonl", "000000001.jsonl"]
+
+    # the committed prefix gets trimmed (what prune_committed does)
+    os.remove(os.path.join(out, "000000000.jsonl"))
+    capture("002.jsonl", prologue + [
+        encode_rows_event(WRITE_ROWS_EVENT_V2, 5, types, metas, [[3]],
+                          log_pos=30),
+    ])
+    drain_recorded_binlog(frames_dir, out)
+    # 000000001.jsonl (uncommitted) survives untouched; the new file
+    # numbers PAST it
+    names = sorted(n for n in os.listdir(out) if n.endswith(".jsonl"))
+    assert names == ["000000001.jsonl", "000000002.jsonl"]
+    with open(os.path.join(out, "000000001.jsonl")) as f:
+        assert json.loads(f.readline())["after"] == {"id": 2}  # not clobbered

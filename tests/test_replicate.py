@@ -926,3 +926,75 @@ replication:
             spark, spec, state_dir=str(tmp_path / "state"),
             once=True, retry_interval=0.0,
         )
+
+
+def test_schema_probes_tolerate_poison_lines(spark, tmp_path):
+    """Self-review r6: the DDL-restart probes are best-effort inference
+    and must not crash on poison lines the readers already dead-letter
+    — a loud probe would turn the drift restart fatal and force the
+    re-snapshot dead-lettering exists to prevent."""
+    from transferia_spark.streaming.cdc_sources import probe_stream_schema
+
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    (wal / "0.jsonl").write_text(
+        "{broken json\n"
+        + json.dumps({"action": "I", "lsn": 1,
+                      "columns": [{"name": "id", "value": 1},
+                                  {"name": "w", "value": "x"}]}) + "\n"
+        + json.dumps({"action": "I", "lsn": 2, "columns": "not-a-list"}) + "\n"
+        + json.dumps([1, 2, 3]) + "\n"
+    )
+    st = probe_stream_schema("waljson", str(wal), "id long")
+    assert [f.name for f in st.fields] == ["id", "w"]
+
+    b = tmp_path / "binlog"
+    b.mkdir()
+    (b / "0.jsonl").write_text(
+        "not json\n"
+        + json.dumps({"action": "insert", "log_file": "binlog.000001",
+                      "log_pos": 5, "after": {"id": 1, "z": 2}}) + "\n"
+        + json.dumps({"action": "insert", "before": "scalar"}) + "\n"
+    )
+    st = probe_stream_schema("binlogjson", str(b), "id long")
+    assert [f.name for f in st.fields] == ["id", "z"]
+
+    cs = tmp_path / "cs"
+    cs.mkdir()
+    (cs / "0.jsonl").write_text(
+        "oops\n"
+        + json.dumps({"operationType": "insert", "clusterTime": 1,
+                      "order": 0, "fullDocument": {"_id": 1, "q": 0.5}})
+        + "\n"
+        + json.dumps({"operationType": "update",
+                      "updateDescription": "scalar"}) + "\n"
+    )
+    st = probe_stream_schema("mongostream", str(cs), "_id long")
+    assert [f.name for f in st.fields] == ["_id", "q"]
+
+
+def test_activation_position_scan_honors_dead_letter(spark, tmp_path):
+    """Self-review r6: a poison line already present at ACTIVATION time
+    routes like one arriving mid-stream — the offset probe gets the
+    same dead-letter option the runtime readers get, so activation
+    completes instead of classifying fatal."""
+    src = str(tmp_path / "items.parquet")
+    binlog = str(tmp_path / "binlog")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    _write_items(spark, src)
+    _emit(binlog, "000.jsonl", [
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 5,
+         "row_idx": 0, "after": {"id": 1, "v": "STALE"}},
+    ])
+    with open(os.path.join(binlog, "000.jsonl"), "a") as f:
+        f.write("{poison at activation time\n")
+    spec = transfer_from_yaml(_yaml(tmp_path, src, binlog, target))
+    report = run_replication(
+        spark, spec, state_dir=state, once=True, retry_interval=0.0
+    )
+    assert report.activated and report.unparsed_rows == 0  # planning skipped it
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    assert {(r.id, r.v) for r in table.read().collect()} == {(1, "a"), (2, "b")}

@@ -537,7 +537,11 @@ class BandIndexStore:
         v = self._version()
         nxt = v + 1
         df = self.spark.read.parquet(self._vdir(v))
-        df.repartition(self.n_shards, "_shard").write.mode(
+        # distinct: a crash-replayed ingest may have appended a batch's
+        # band rows twice — harmless for pair recall (pairs are
+        # distinct-ed) but it inflates bucket counts toward the hot-key
+        # cutoff; compaction is the natural place to shed the duplicates
+        df.distinct().repartition(self.n_shards, "_shard").write.mode(
             "overwrite"
         ).partitionBy("_shard").parquet(self._vdir(nxt))
         self._set_version(nxt)
@@ -598,10 +602,18 @@ class BandIndexIngestSink:
         pairs = self.store.ingest(self.dedup, batch_df)
         # a crash between the index append and the marker re-runs the
         # batch with its own rows already indexed: the cross join then
-        # pairs each doc with itself — filter the degenerate diagonal
-        # (duplicate real pairs are distinct()-ed inside ingest), so
-        # the replay loses nothing and fabricates nothing
-        pairs = pairs.filter(F.col("id_a") != F.col("id_b"))
+        # pairs each doc with itself (filter the degenerate diagonal)
+        # AND re-finds every within-batch pair via the index with
+        # is_cross=True — a flag that only differs because of the
+        # replay. Resolve per (id_a, id_b) with min(is_cross): on the
+        # clean path each pair occurs once (batch and index ids are
+        # disjoint), on the replay path the within-batch False wins —
+        # so the replay loses nothing and fabricates nothing.
+        pairs = (
+            pairs.filter(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.min("is_cross").alias("is_cross"))
+        )
         pairs.write.mode("overwrite").parquet(out)
         # marker AFTER both effects: pairs overwrite is idempotent and
         # the replayed append only duplicates band rows (recall-neutral

@@ -322,10 +322,17 @@ def probe_binlog_schema(path: str, base_ddl: str):
     st = T._parse_datatype_string(base_ddl)
     known = {f.name for f in st.fields}
     inferred: dict[str, T.DataType] = {}
+    # best-effort inference: poison lines (already dead-lettered by
+    # read()) must not turn the drift restart fatal
     for f in _scan_files(path):
-        for ev in _events(f):
+        for ev in _events(f, skip_bad=True):
+            if not isinstance(ev, dict):
+                continue
             for side in ("before", "after"):
-                for k, v in (ev.get(side) or {}).items():
+                vals = ev.get(side)
+                if not isinstance(vals, dict):
+                    continue
+                for k, v in vals.items():
                     if k not in known and k not in inferred and v is not None:
                         inferred[k] = infer_json_type(v)
     probed = T.StructType(
@@ -346,10 +353,16 @@ def probe_change_stream_schema(path: str, base_ddl: str) -> T.StructType:
     known = {f.name for f in st.fields}
     inferred: dict[str, T.DataType] = {}
     for f in _scan_files(path):
-        for ev in _events(f):
+        for ev in _events(f, skip_bad=True):
+            if not isinstance(ev, dict):
+                continue
+            full = ev.get("fullDocument")
+            upd = ev.get("updateDescription")
             sides = (
-                ev.get("fullDocument") or {},
-                (ev.get("updateDescription") or {}).get("updatedFields") or {},
+                full if isinstance(full, dict) else {},
+                (upd or {}).get("updatedFields") or {}
+                if isinstance(upd, dict)
+                else {},
             )
             for side in sides:
                 for k, v in side.items():
@@ -449,7 +462,8 @@ def _cs_pos(ev: dict) -> tuple[int, int]:
     replay in one total order."""
     if "clusterTime" in ev or "order" in ev:
         return int(ev.get("clusterTime", 0)), int(ev.get("order", 0))
-    data = (ev.get("_id") or {}).get("_data")
+    tok = ev.get("_id")
+    data = tok.get("_data") if isinstance(tok, dict) else None
     if data:
         return parse_resume_token(data)
     return 0, 0
@@ -512,7 +526,9 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
         for ev in _events(f, bool(self.dead_letter)):
             try:
                 yield _cs_pos(ev)
-            except ValueError:
+            except (ValueError, TypeError, KeyError, AttributeError):
+                # clusterTime: null, _id as a scalar, malformed tokens:
+                # poison shapes read() dead-letters — invisible here
                 if not self.dead_letter:
                     raise
 

@@ -634,9 +634,19 @@ class BinlogTailer:
         # FORMAT_DESCRIPTION's own checksum presence is declared by its
         # final body byte — peek before stripping
         if hdr.type_code == FORMAT_DESCRIPTION_EVENT:
-            alg = ev[-5] if len(ev) >= 5 else 0
-            # with CRC32 the alg byte sits before the 4-byte trailer
-            self.checksum = alg == 1
+            # the alg byte's offset from the FRONT depends on the
+            # server's post-header-length table size, so locate it from
+            # the END — but ev[-5] alone is ambiguous (with checksum off
+            # that byte is part of the table). Disambiguate by
+            # VALIDATING: CRC32 is on iff ev[-5] says so AND the
+            # trailer actually checks out against the rest of the event.
+            trailer_ok = (
+                len(ev) > HEADER_LEN + 5
+                and ev[-5] == 1
+                and struct.unpack("<I", ev[-4:])[0]
+                == (zlib.crc32(ev[:-4]) & 0xFFFFFFFF)
+            )
+            self.checksum = trailer_ok
             return 0
         body = self._strip(ev)[HEADER_LEN:]
         tc = hdr.type_code
@@ -764,9 +774,16 @@ def drain_recorded_binlog(
                         yield bytes.fromhex(json.loads(line)["frame"])
 
     tailer = BinlogTailer(frames(), out_dir, column_names=column_names)
-    tailer._file_no = sum(
-        1 for n_ in os.listdir(out_dir) if n_.endswith(".jsonl")
-    )
+    # continue numbering past the HIGHEST existing index, not the file
+    # count: prune_committed deletes low-numbered fully-committed files,
+    # and a count-based number would reuse (and os.replace-clobber) a
+    # surviving file holding uncommitted events
+    existing = [
+        int(n_.split(".")[0])
+        for n_ in os.listdir(out_dir)
+        if n_.endswith(".jsonl") and n_.split(".")[0].isdigit()
+    ]
+    tailer._file_no = max(existing) + 1 if existing else 0
     # the executed GTID set accumulates across drains (a reconnecting
     # live client presents it to COM_BINLOG_DUMP_GTID)
     tailer.gtid_executed = load_gtid_state(out_dir)

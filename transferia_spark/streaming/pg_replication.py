@@ -358,9 +358,16 @@ def drain_recorded_frames(
     # continue the output numbering past prior passes — restarting at 0
     # would overwrite already-tailed (and possibly already-checkpointed)
     # event files
-    tailer._file_no = sum(
-        1 for n_ in os.listdir(out_dir) if n_.endswith(".jsonl")
-    )
+    # continue numbering past the HIGHEST existing index, not the file
+    # count: prune_committed deletes low-numbered fully-committed files,
+    # and a count-based number would reuse (and os.replace-clobber) a
+    # surviving file holding uncommitted events
+    existing = [
+        int(n_.split(".")[0])
+        for n_ in os.listdir(out_dir)
+        if n_.endswith(".jsonl") and n_.split(".")[0].isdigit()
+    ]
+    tailer._file_no = max(existing) + 1 if existing else 0
     n = tailer.run()
     tmp = state_file + ".tmp"
     with open(tmp, "w") as f:

@@ -183,24 +183,6 @@ def prune_committed_files(cache: OffsetScanCache, files, end) -> int:
     return n
 
 
-def _max_lsn(path: str, skip_bad: bool = False) -> int:
-    hi = 0
-    for f in _scan_files(path):
-        with open(f) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                try:
-                    hi = max(hi, int(json.loads(line)["lsn"]))
-                except (ValueError, KeyError, TypeError):
-                    # with a dead-letter route configured, poison lines
-                    # are invisible to offset planning (read() records
-                    # them); without one they fail loudly below
-                    if not skip_bad:
-                        raise
-    return hi
-
-
 class WalJsonStreamReader(DataSourceStreamReader):
     def __init__(self, schema: T.StructType, options: dict):
         self.path = options["path"]
@@ -424,9 +406,19 @@ def probe_wal_schema(path: str, base_ddl: str) -> T.StructType:
             for line in fh:
                 if not line.strip():
                     continue
-                ev = json.loads(line)
+                # schema probing is best-effort inference: a poison
+                # line (already dead-lettered by read()) must not turn
+                # the drift restart fatal — skip it
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                if not isinstance(ev, dict):
+                    continue
                 for side in ("columns", "identity"):
                     for c in ev.get(side) or []:
+                        if not isinstance(c, dict):
+                            continue
                         k, v = c.get("name"), c.get("value")
                         if (
                             k

@@ -204,10 +204,15 @@ def source_position(
     path: str,
     frames_path: str | None = None,
     column_names: dict | None = None,
+    options: dict | None = None,
 ) -> dict:
     """Scan the recorded stream for its CURRENT end position — what the
     reference snapshots as the slot LSN / binlog position at activate
-    time. Reuses the stream reader's own offset algebra."""
+    time. Reuses the stream reader's own offset algebra. ``options``
+    passes reader options through — in particular ``dead_letter_dir``,
+    so a poison line already in the directory at ACTIVATION time routes
+    exactly like one arriving mid-stream would, instead of failing the
+    activation the dead-letter contract exists to protect."""
     formats = _stream_formats()
     if fmt == "pgwire":
         from transferia_spark.streaming.pg_replication import (
@@ -231,7 +236,9 @@ def source_position(
             f"supported: {sorted(formats)}"
         )
     cls, schema_fn = formats[fmt]
-    reader = cls(options={"path": path}).streamReader(schema_fn(schema_ddl))
+    reader = cls(
+        options={**dict(options or {}), "path": path}
+    ).streamReader(schema_fn(schema_ddl))
     return reader.latestOffset()
 
 
@@ -600,6 +607,24 @@ def run_replication(
         # middleware stack)
         _, table_obj = build_replication_sink(spark, rep["target"])
 
+    # poison events route to the dead-letter directory by default
+    # (≈ generic_parser's unparsed rows) instead of classifying fatal
+    # and clearing activation state — one bad row must not force a
+    # multi-day re-snapshot. Disable with
+    # replication.dead_letter.enabled: false for loud parse failures.
+    # Resolved BEFORE activation: the activation-time position scan
+    # honors the same route.
+    dl_cfg = dict(rep.get("dead_letter") or {})
+    dl_dir = None
+    if dl_cfg.get("enabled", True):
+        dl_dir = (
+            dict((rep.get("source") or {}).get("options") or {}).get(
+                "dead_letter_dir"
+            )
+            or dl_cfg.get("dir")
+            or os.path.join(state_dir, f"unparsed_{transfer_id}")
+        )
+
     # -- activate on first run (no `status` in coordinator state) ------
     state = store.get(transfer_id)
     if state.get("status") != "activated":
@@ -615,6 +640,7 @@ def run_replication(
                     src["format"], source_schema_ddl(src), src["path"],
                     frames_path=src.get("frames_path"),
                     column_names=src.get("column_names"),
+                    options={"dead_letter_dir": dl_dir} if dl_dir else None,
                 )
             if table_obj is not None:
                 report.snapshot_rows = _seed_snapshot(spark, spec, table_obj)
@@ -689,22 +715,6 @@ def run_replication(
             on_truncate=wipe,
             on_ddl=on_ddl,
             state_file=os.path.join(state_dir, f"ddl_{transfer_id}.json"),
-        )
-
-    # poison events route to the dead-letter directory by default
-    # (≈ generic_parser's unparsed rows) instead of classifying fatal
-    # and clearing activation state — one bad row must not force a
-    # multi-day re-snapshot. Disable with
-    # replication.dead_letter.enabled: false for loud parse failures.
-    dl_cfg = dict(rep.get("dead_letter") or {})
-    dl_dir = None
-    if dl_cfg.get("enabled", True):
-        dl_dir = (
-            dict((rep.get("source") or {}).get("options") or {}).get(
-                "dead_letter_dir"
-            )
-            or dl_cfg.get("dir")
-            or os.path.join(state_dir, f"unparsed_{transfer_id}")
         )
 
     retry_count = 0
