@@ -168,13 +168,25 @@ def bench_snapshot_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     return dt, n
 
 
-def bench_cdc_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+def bench_cdc_pipeline(
+    spark,
+    sf_dir: str,
+    merge_mode: str = "rewrite",
+    n_buckets: int = 16,
+    n_batches: int = 8,
+    max_deltas: int = 8,
+) -> tuple[float, int]:
     """Steady-state CDC replication throughput (r5 verdict item 8): one
     PRE-STARTED streaming query (waljson decode → collapse → bucketed
     MERGE) drains a backlog in bounded micro-batches; the clock starts
     when the backlog lands and stops at the final offset ack — so the
     number excludes Spark query startup and times exactly the per-batch
-    replication path the reference's bufferer cadence (333 ms) covers."""
+    replication path the reference's bufferer cadence (333 ms) covers.
+
+    Parameterized over (merge_mode × n_buckets × batch count) so the
+    merge-on-read work has a measured curve, not a single point (r6
+    verdict item 9): ``rewrite`` pays O(touched buckets) per batch;
+    ``delta`` pays O(|batch|) + one fold every ``max_deltas`` batches."""
     from transferia_spark.streaming.bucketed_table import (
         BucketedCdcApplySink,
         BucketedParquetTable,
@@ -192,7 +204,8 @@ def bench_cdc_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     tables = load_tables(spark, sf_dir, ["customer", "events"])
     cust = tables["customer"].select("c_custkey", "c_name", "c_acctbal")
     target = BucketedParquetTable(
-        spark, os.path.join(tmp, "target"), keys=["c_custkey"], n_buckets=16
+        spark, os.path.join(tmp, "target"), keys=["c_custkey"],
+        n_buckets=n_buckets, merge_mode=merge_mode, max_deltas=max_deltas,
     )
     target.overwrite(cust)
 
@@ -230,8 +243,8 @@ def bench_cdc_pipeline(spark, sf_dir: str) -> tuple[float, int]:
         .schema(wal_output_schema("c_custkey long, c_name string, c_acctbal double"))
         .option("path", wal)
         .option("ack_file", ack)
-        # ~8 bounded catch-up batches over the backlog
-        .option("max_events_per_batch", str(max(1, len(backlog) // 8)))
+        # bounded catch-up batches over the backlog
+        .option("max_events_per_batch", str(max(1, len(backlog) // n_batches)))
         .load()
     )
     ckpt = os.path.join(tmp, "ckpt")
@@ -276,6 +289,55 @@ def bench_cdc_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     return dt, len(backlog)
 
 
+def bench_cdc_merge_sweep(spark, sf_dir: str) -> dict[str, float]:
+    """Merge-layer sweep (r6 verdict item 9): uniform-key churn applied
+    directly through ``BucketedParquetTable.merge`` — no stream decode
+    in the measurement — at (merge mode × churn fraction × bucket
+    count) points, over an orders-seeded target (10× the customer
+    table). Rewrite cost grows with table size; delta cost tracks batch
+    size — the curve, not a single point."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def churn(frac: float):
+        return (
+            orders.sample(frac, seed=1)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+            .withColumn("_op", F.lit("u"))
+            .withColumn("_counter", F.lit(0).cast("long"))
+            .localCheckpoint()  # isolate merge cost from batch lineage
+        )
+
+    big, small = churn(0.08), churn(0.02)
+    points = {
+        "rewrite_8pct_b16": ("rewrite", big, 16),
+        "delta_8pct_b16": ("delta", big, 16),
+        "delta_2pct_b16": ("delta", small, 16),
+        "delta_8pct_b64": ("delta", big, 64),
+    }
+    out: dict[str, float] = {}
+    for label, (mode, batch, n_buckets) in points.items():
+        root = tempfile.mkdtemp(prefix=f"sweep_{label}_")
+        t = BucketedParquetTable(
+            spark, root, keys=["o_orderkey"], n_buckets=n_buckets,
+            merge_mode=mode, max_deltas=4,
+        )
+        t.overwrite(orders)
+        t0 = time.time()
+        for i in range(4):  # 4 batches: delta folds once (max_deltas=4)
+            t.merge(batch.withColumn("_lsn", F.lit(10 + i)), batch_id=i)
+        out[label] = round(time.time() - t0, 3)
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     mod = _load_entry()
     queries = mod.queries()
@@ -303,6 +365,14 @@ def main() -> None:
     timings["snapshot_pipeline"] = round(snap_dt, 3)
     cdc_dt, cdc_rows = bench_cdc_pipeline(spark, SF_DIR)
     timings["cdc_pipeline"] = round(cdc_dt, 3)
+    # merge-on-read: same backlog, O(|batch|) delta appends + periodic
+    # fold — the steady-state CDC mode (r6 verdict item 1)
+    dl_dt, dl_rows = bench_cdc_pipeline(spark, SF_DIR, merge_mode="delta")
+    timings["cdc_pipeline_delta"] = round(dl_dt, 3)
+    # (merge mode × churn × bucket count) sweep so the delta-mode gain
+    # has a curve, not a single point (r6 verdict item 9) — measured at
+    # the merge layer, free of stream-decode noise
+    sweep = bench_cdc_merge_sweep(spark, SF_DIR)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -313,6 +383,8 @@ def main() -> None:
         "sf": SF_DIR,
         "snapshot_rows_per_sec": round(snap_rows / snap_dt) if snap_dt > 0 else None,
         "cdc_rows_per_sec": round(cdc_rows / cdc_dt) if cdc_dt > 0 else None,
+        "cdc_delta_rows_per_sec": round(dl_rows / dl_dt) if dl_dt > 0 else None,
+        "cdc_sweep": sweep,
     }
     print(json.dumps(result))
 

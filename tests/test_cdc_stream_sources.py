@@ -925,3 +925,70 @@ def test_mongo_poison_position_types_dead_letter(spark, tmp_path):
     ]
     assert [r[0] for r in rows] == [8, 1]
     assert len(os.listdir(dl)) == 1  # only the TypeError line routed
+
+
+def test_binlog_poison_log_file_type_dead_letter(spark, tmp_path):
+    """ADVICE r6: a non-string log_file (e.g. 123) raised
+    AttributeError inside binlog_lsn and escaped latestOffset() even
+    with a dead-letter route — planning and read() must agree on what
+    is poison."""
+    from transferia_spark.streaming.cdc_sources import (
+        BinlogJsonStreamReader,
+        binlog_output_schema,
+    )
+
+    bdir = str(tmp_path / "b")
+    _emit(bdir, "000.jsonl", [
+        {"action": "insert", "log_file": 123, "log_pos": 10,
+         "row_idx": 0, "after": {"id": 1}},
+        {"action": "insert", "log_file": "binlog.000001", "log_pos": 20,
+         "row_idx": 0, "after": {"id": 2}},
+    ])
+    dl = str(tmp_path / "dl")
+    reader = BinlogJsonStreamReader(
+        binlog_output_schema("id long"),
+        {"path": bdir, "dead_letter_dir": dl},
+    )
+    end = reader.latestOffset()  # must not raise
+    assert end == {"lsn": 10**12 + 20}
+    rows = [
+        r
+        for p in reader.partitions(reader.initialOffset(), end)
+        for r in reader.read(p)
+    ]
+    assert [r[0] for r in rows] == [2]
+    assert len(os.listdir(dl)) == 1
+
+    # without the route the poison is still loud
+    loud = BinlogJsonStreamReader(
+        binlog_output_schema("id long"), {"path": bdir}
+    )
+    with pytest.raises(AttributeError):
+        loud.latestOffset()
+
+
+def test_scan_cache_transient_stat_failure_not_skippable(tmp_path, monkeypatch):
+    """ADVICE r6: a transient EACCES/EIO on getsize must NOT mark a
+    cached file skippable (silent data skip + prune eligibility);
+    only FileNotFoundError means 'vanished'."""
+    from transferia_spark.streaming.wal_source import OffsetScanCache
+
+    f = str(tmp_path / "000.jsonl")
+    with open(f, "w") as fh:
+        fh.write("x" * 10)
+    cache = OffsetScanCache()
+    list(cache.pending([f], 0, lambda _f: iter([5])))
+    assert cache.skippable(f, 5)  # proven fully committed
+
+    real_getsize = os.path.getsize
+
+    def flaky(path):
+        if path == f:
+            raise PermissionError(13, "transient EACCES", path)
+        return real_getsize(path)
+
+    monkeypatch.setattr(os.path, "getsize", flaky)
+    assert not cache.skippable(f, 5)  # transient error: keep the file
+    monkeypatch.setattr(os.path, "getsize", real_getsize)
+    os.remove(f)
+    assert cache.skippable(f, 5)  # genuinely vanished: nothing to read

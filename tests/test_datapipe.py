@@ -879,3 +879,101 @@ def test_ingest_sink_crash_replay_fabricates_nothing(spark, tmp_path):
     assert n_before == 2 * t.band_index(batch).count()
     store.compact()
     assert store.read().count() == t.band_index(batch).count()
+
+
+def test_band_index_compact_retention_lease(spark, tmp_path):
+    """r6 verdict item 2: compact() must not rmtree the version a live
+    reader resolved — the trailing ``retention`` version dirs stay on
+    disk (deferred GC), so a reader that resolved vN completes its scan
+    after compact lands vN+1."""
+    import os as _os
+
+    from transferia_spark.operators.dedup import BandIndexStore
+
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog variant {i % 4}")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = build(
+        "dedup_incremental", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    )
+    store = BandIndexStore(spark, str(tmp_path / "idx"), n_shards=4,
+                           retention=2)
+    store.append(t.band_index(df))
+    reader = store.read()  # lazy: resolves v0's file paths
+    n_expected = t.band_index(df).count()
+    v1 = store.compact()
+    assert v1 == 1
+    # v0 is still on disk (the lease) — the old reader completes
+    assert _os.path.isdir(store._vdir(0))
+    assert reader.count() == n_expected
+    # the next compact ages v0 out of the window
+    store.append(t.band_index(df.limit(4)))
+    store.compact()
+    assert not _os.path.isdir(store._vdir(0))
+    assert _os.path.isdir(store._vdir(1)) and _os.path.isdir(store._vdir(2))
+
+
+def test_ingest_sink_watermark_bounded_files(spark, tmp_path):
+    """r6 verdict item 3: a long stream must not accrete one marker
+    file per batch — the replay guard is ONE atomic high-watermark
+    file, and replay idempotency is preserved."""
+    import os as _os
+
+    from transferia_spark.operators.dedup import (
+        BandIndexIngestSink,
+        BandIndexStore,
+    )
+
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog variant {i % 3}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = build(
+        "dedup_incremental", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    )
+    store = BandIndexStore(spark, str(tmp_path / "idx"), n_shards=4)
+    sink = BandIndexIngestSink(store, t, str(tmp_path / "pairs"))
+    for b in range(10):
+        sink(df.filter(F.col("doc_id") % 10 == b), b)
+    # bookkeeping files in the store root are CONSTANT in batch count
+    control = [
+        n for n in _os.listdir(store.root)
+        if not n.startswith("_v") and not n.endswith(".parquet")
+    ]
+    assert len(control) <= 3  # _VERSION, _meta.json, _INGESTED
+    assert sink._watermark() == 9
+    # replays of any committed batch are no-ops
+    n_index = store.read().count()
+    for b in (0, 5, 9):
+        sink(df.limit(3), b)
+    assert store.read().count() == n_index
+
+
+def test_band_index_meta_wins_and_derived_shards(spark, tmp_path):
+    """The shard function is part of the on-disk layout: reopening with
+    a different n_shards must adopt the stored count (a mismatch would
+    silently mis-prune read_for), and n_shards=None derives one."""
+    from transferia_spark.operators.dedup import BandIndexStore
+
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog variant {i % 4}")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = build(
+        "dedup_incremental", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    )
+    store = BandIndexStore(spark, str(tmp_path / "idx"), n_shards=8)
+    store.append(t.band_index(df))
+    reopened = BandIndexStore(spark, str(tmp_path / "idx"), n_shards=999)
+    assert reopened.n_shards == 8
+    # pruned reads through the reopened handle stay correct
+    nb = t.band_index(df.limit(5))
+    assert reopened.read_for(nb).count() > 0
+    derived = BandIndexStore(spark, str(tmp_path / "idx2"), n_shards=None)
+    derived.append(t.band_index(df))  # python-local frame → the floor
+    assert derived.n_shards >= 16
+    assert BandIndexStore(spark, str(tmp_path / "idx2")).n_shards == derived.n_shards

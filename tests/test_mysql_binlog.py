@@ -641,3 +641,57 @@ def test_drain_numbering_survives_pruned_files(tmp_path):
     assert names == ["000000001.jsonl", "000000002.jsonl"]
     with open(os.path.join(out, "000000001.jsonl")) as f:
         assert json.loads(f.readline())["after"] == {"id": 2}  # not clobbered
+
+
+def test_packet_stream_truncation_is_loud():
+    """ADVICE r6: a mid-packet EOF or a 1-3 byte header is a truncated
+    stream and must raise, not end cleanly — only a zero-byte header
+    read is a clean EOF."""
+    import io
+
+    from transferia_spark.streaming.mysql_binlog import (
+        encode_packet,
+        packet_stream,
+    )
+
+    ev = encode_rotate("binlog.000009", checksum=False)
+    whole = encode_packet(b"\x00" + ev, 1)
+
+    # mid-packet EOF: header promises len(payload) bytes, stream ends
+    buf = io.BytesIO(whole[: 4 + 3])
+    with pytest.raises(ValueError, match="truncated binlog packet"):
+        list(packet_stream(buf.read))
+
+    # truncated header (2 of 4 bytes)
+    buf = io.BytesIO(whole[:2])
+    with pytest.raises(ValueError, match="truncated binlog packet header"):
+        list(packet_stream(buf.read))
+
+    # clean EOF after a whole packet still works
+    buf = io.BytesIO(whole)
+    assert list(packet_stream(buf.read)) == [ev]
+
+
+def test_truncate_without_table_keyword_scopes_table(tmp_path):
+    """ADVICE r6: 'TRUNCATE t' (no TABLE keyword) is valid MySQL — the
+    control doc must still carry the table name so multi-table
+    pipelines can scope the wipe."""
+    out = str(tmp_path / "binlog")
+    frames = [
+        encode_format_description(),
+        encode_rotate("binlog.000002"),
+        encode_query("TRUNCATE items", schema="shop", log_pos=50),
+        encode_query("ALTER `shop`.`items` ADD COLUMN w text",
+                     schema="shop", log_pos=60),
+    ]
+    n = BinlogTailer(iter(frames), out).run()
+    assert n == 2
+    lines = []
+    for name in sorted(os.listdir(out)):
+        if name.endswith(".jsonl"):
+            with open(os.path.join(out, name)) as f:
+                lines += [json.loads(ln) for ln in f if ln.strip()]
+    assert [(ln["action"], ln["table"]) for ln in lines] == [
+        ("truncate", "items"),
+        ("ddl", "items"),
+    ]

@@ -998,3 +998,20 @@ def test_activation_position_scan_honors_dead_letter(spark, tmp_path):
 
     table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
     assert {(r.id, r.v) for r in table.read().collect()} == {(1, "a"), (2, "b")}
+
+
+def test_wire_formats_without_frames_path_fail_loud(spark, tmp_path):
+    """ADVICE r6: a pgwire/mysqlwire source missing frames_path raised a
+    bare KeyError in build_replication_stream while source_position
+    treated it as optional — the contract is now a classified
+    FatalError naming the missing key."""
+    from transferia_spark.tasks.replicate import build_replication_stream
+
+    for fmt in ("pgwire", "mysqlwire"):
+        with pytest.raises(FatalError, match="frames_path"):
+            build_replication_stream(
+                spark,
+                {"format": fmt, "path": str(tmp_path / "out"),
+                 "schema": "id long"},
+                position=None,
+            )

@@ -448,12 +448,59 @@ class BandIndexStore:
     ``ingest`` materializes the pair check BEFORE appending the batch
     (a localCheckpoint), so a batch never pairs against itself through
     the index and a crash between check and append re-runs cleanly.
+
+    ``retention`` versions stay on disk after a compact (deferred GC,
+    the bucketed_table reader lease): a reader that resolved version
+    ``v`` keeps scanning stable files while up to ``retention - 1``
+    further compacts land. The shard count persists in ``_meta.json``
+    and ALWAYS wins on reopen — ``_shard = pmod(_bk, n_shards)`` is
+    part of the on-disk layout, so a different count would silently
+    mis-prune ``read_for``; pass ``n_shards=None`` to derive it from
+    the first appended batch's plan-size statistics.
     """
 
-    def __init__(self, spark, root: str, n_shards: int = 64):
+    def __init__(
+        self,
+        spark,
+        root: str,
+        n_shards: int | None = 64,
+        retention: int = 2,
+    ):
         self.spark = spark
         self.root = root
         self.n_shards = n_shards
+        self.retention = max(1, retention)
+        meta = self._load_meta()
+        if meta is not None:
+            self.n_shards = int(meta["n_shards"])
+
+    def _load_meta(self) -> dict | None:
+        try:
+            with open(os.path.join(self.root, "_meta.json")) as f:
+                import json
+
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _save_meta(self) -> None:
+        import json
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = os.path.join(self.root, "_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"n_shards": self.n_shards}, f)
+        os.replace(tmp, os.path.join(self.root, "_meta.json"))
+
+    def _ensure_shards(self, band_rows: DataFrame) -> None:
+        if self.n_shards is None:
+            from transferia_spark.operators.corpus import derive_n_shards
+
+            self.n_shards = min(
+                max(16, derive_n_shards(band_rows, fallback=64)), 65536
+            )
+        if self._load_meta() is None:
+            self._save_meta()
 
     # -- versioned layout ----------------------------------------------
     def _version(self) -> int:
@@ -491,6 +538,7 @@ class BandIndexStore:
         narrow (id, _bk) repartition makes it exactly one file per
         touched shard per append. Size ``n_shards`` to the corpus — it
         is both the pruning granularity and the append parallelism."""
+        self._ensure_shards(band_rows)
         self._sharded(band_rows).repartition(self.n_shards, "_shard").write.mode(
             "append"
         ).partitionBy("_shard").parquet(self._vdir())
@@ -532,8 +580,11 @@ class BandIndexStore:
     def compact(self) -> int:
         """Fold append-accumulated small files into one file per shard
         in a NEW version directory, then swap the pointer — readers of
-        the old version are never disturbed (tasks/compact.py pattern).
-        Returns the new version."""
+        the old version are never disturbed (tasks/compact.py pattern):
+        the trailing ``retention`` version dirs stay on disk (deferred
+        GC), so a reader holding version ``v``'s paths completes its
+        scan even while up to ``retention - 1`` compacts land. Older
+        versions GC after the swap. Returns the new version."""
         v = self._version()
         nxt = v + 1
         df = self.spark.read.parquet(self._vdir(v))
@@ -547,7 +598,8 @@ class BandIndexStore:
         self._set_version(nxt)
         import shutil
 
-        shutil.rmtree(self._vdir(v), ignore_errors=True)
+        for old in range(nxt - self.retention, -1, -1):
+            shutil.rmtree(self._vdir(old), ignore_errors=True)
         return nxt
 
 
@@ -562,7 +614,10 @@ class BandIndexIngestSink:
     candidate pairs to ``pairs_dir`` as parquet tagged with the batch
     id — idempotent under micro-batch replay: a re-run of batch N
     OVERWRITES its own pairs output, and the index append is guarded by
-    a per-batch commit marker so replays never double-append band rows.
+    a single atomic high-watermark file (batch ids are monotone and
+    Spark replays only the last uncommitted batch, so one watermark
+    replaces the per-batch markers that grew without bound on a long
+    stream — r6 verdict item 3).
 
     Compose with any documents stream::
 
@@ -586,18 +641,32 @@ class BandIndexIngestSink:
         #: is versioned+atomic (readers of the old version undisturbed)
         self.compact_every = compact_every
 
-    def _marker(self, batch_id: int) -> str:
-        return os.path.join(
-            self.store.root, f"_ingested_batch_{batch_id}.marker"
-        )
+    @property
+    def _watermark_path(self) -> str:
+        return os.path.join(self.store.root, "_INGESTED")
+
+    def _watermark(self) -> int | None:
+        """Highest batch id whose effects are fully on disk."""
+        try:
+            with open(self._watermark_path) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _advance_watermark(self, batch_id: int) -> None:
+        tmp = self._watermark_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._watermark_path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         out = os.path.join(self.pairs_dir, f"batch={batch_id}")
-        if os.path.exists(self._marker(batch_id)):
+        wm = self._watermark()
+        if wm is not None and batch_id <= wm:
             # replayed batch: the index already holds its band rows —
             # re-appending would self-pair every later batch against
             # duplicate rows. The pairs output is already on disk too
-            # (written before the marker); nothing to do.
+            # (written before the watermark advanced); nothing to do.
             return
         pairs = self.store.ingest(self.dedup, batch_df)
         # a crash between the index append and the marker re-runs the
@@ -615,12 +684,10 @@ class BandIndexIngestSink:
             .agg(F.min("is_cross").alias("is_cross"))
         )
         pairs.write.mode("overwrite").parquet(out)
-        # marker AFTER both effects: pairs overwrite is idempotent and
-        # the replayed append only duplicates band rows (recall-neutral
-        # after distinct), never loses a pair
-        with open(self._marker(batch_id) + ".tmp", "w") as f:
-            f.write("done")
-        os.replace(self._marker(batch_id) + ".tmp", self._marker(batch_id))
+        # watermark AFTER both effects: pairs overwrite is idempotent
+        # and the replayed append only duplicates band rows
+        # (recall-neutral after distinct), never loses a pair
+        self._advance_watermark(batch_id)
         if (
             self.compact_every
             and (batch_id + 1) % self.compact_every == 0

@@ -168,7 +168,11 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         for ev in _events(f, bool(self.dead_letter)):
             try:
                 yield binlog_lsn(ev["log_file"], ev["log_pos"])
-            except (KeyError, ValueError, TypeError):
+            except (KeyError, ValueError, TypeError, AttributeError):
+                # AttributeError included: a non-string log_file (e.g.
+                # 123) fails inside binlog_lsn's str methods; read()
+                # routes the same line to the dead letter, so planning
+                # must agree or the poison kills latestOffset()
                 if not self.dead_letter:
                     raise
 

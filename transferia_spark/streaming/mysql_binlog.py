@@ -526,6 +526,12 @@ def packet_stream(read: Callable[[int], bytes]):
         head = read(4)
         if not head:
             return
+        if len(head) < 4:
+            # desync must be loud: a 1-3 byte header is a truncated
+            # stream, not a clean EOF (only a zero-byte read is)
+            raise ValueError(
+                f"truncated binlog packet header: got {len(head)} of 4 bytes"
+            )
         ln = int.from_bytes(head[:3], "little")
         seq = head[3]
         if expect_seq is not None and seq != expect_seq:
@@ -534,6 +540,11 @@ def packet_stream(read: Callable[[int], bytes]):
             )
         expect_seq = (seq + 1) & 0xFF
         payload = read(ln) if ln else b""
+        if ln and len(payload) < ln:
+            raise ValueError(
+                f"truncated binlog packet: header promised {ln} bytes, "
+                f"got {len(payload)}"
+            )
         if not payload:
             return
         marker = payload[0]
@@ -679,11 +690,25 @@ class BinlogTailer:
             if schema:
                 doc["schema"] = schema
             # TRUNCATE TABLE t / ALTER TABLE t ...: best-effort table
+            def _ident_tail(token: str) -> str:
+                # `db`.`t` → t: split the qualifier FIRST, then strip
+                # quoting (strip-first leaves a stray backtick)
+                return token.strip(";").split(".")[-1].strip("`\"")
+
             words = query.strip().split()
             for i, w in enumerate(words):
                 if w.upper() == "TABLE" and i + 1 < len(words):
-                    doc["table"] = words[i + 1].strip("`;").split(".")[-1]
+                    doc["table"] = _ident_tail(words[i + 1])
                     break
+            else:
+                # 'TRUNCATE t' / 'ALTER t ...' without the TABLE keyword
+                # is valid MySQL; without a table name a multi-table
+                # pipeline cannot scope the wipe — fall back to the
+                # first token after the verb
+                if len(words) >= 2 and words[0].upper() in (
+                    "TRUNCATE", "ALTER", "DROP", "RENAME"
+                ):
+                    doc["table"] = _ident_tail(words[1])
             self._emit(doc)
             return 1
         if tc in (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2,

@@ -160,8 +160,13 @@ class OffsetScanCache:
             return False
         try:
             size = os.path.getsize(f)
-        except OSError:
+        except FileNotFoundError:
             return True  # vanished: nothing to read
+        except OSError:
+            # transient stat failure (EACCES/EIO) is NOT proof the file
+            # is dead — treating it as skippable would silently drop it
+            # from read partitions and make it prune-eligible
+            return False
         return c[0] == size and not (c[1] > floor)
 
 

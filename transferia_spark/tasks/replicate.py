@@ -287,6 +287,11 @@ def build_replication_stream(
             drain_recorded_frames,
         )
 
+        if not source.get("frames_path"):
+            raise FatalError(
+                "replication.source format pgwire needs frames_path: "
+                "<dir of recorded CopyBoth captures>"
+            )
         drain_recorded_frames(source["frames_path"], source["path"])
         source = {**source, "format": "waljson"}
         fmt = "waljson"
@@ -300,6 +305,11 @@ def build_replication_stream(
             drain_recorded_binlog,
         )
 
+        if not source.get("frames_path"):
+            raise FatalError(
+                "replication.source format mysqlwire needs frames_path: "
+                "<dir of recorded binlog event captures>"
+            )
         drain_recorded_binlog(
             source["frames_path"], source["path"],
             column_names=source.get("column_names"),
@@ -373,7 +383,9 @@ class MultiTableCdcSink:
                 )
             t = BucketedParquetTable(
                 spark, cfg["root"], keys=keys,
-                n_buckets=int(cfg.get("n_buckets", 16)),
+                n_buckets=_n_buckets_cfg(cfg),
+                merge_mode=cfg.get("merge_mode", "rewrite"),
+                max_deltas=int(cfg.get("max_deltas", 8)),
             )
             self.targets[name] = t
             self.sinks[name] = BucketedCdcApplySink(t)
@@ -418,6 +430,15 @@ class MultiTableCdcSink:
             batch_df.unpersist()
 
 
+def _n_buckets_cfg(cfg: dict) -> int | None:
+    """``n_buckets: auto`` → None (derive from the snapshot seed's
+    plan-size stats at first write); absent → 16; else the int."""
+    nb = cfg.get("n_buckets", 16)
+    if isinstance(nb, str) and nb.lower() == "auto":
+        return None
+    return int(nb)
+
+
 def build_replication_sink(spark: SparkSession, target: dict):
     """``replication.target`` section → (sink callable, table object).
 
@@ -443,7 +464,13 @@ def build_replication_sink(spark: SparkSession, target: dict):
         )
 
         table = BucketedParquetTable(
-            spark, root, keys=keys, n_buckets=int(target.get("n_buckets", 16))
+            spark, root, keys=keys,
+            n_buckets=_n_buckets_cfg(target),
+            # merge_mode: delta = O(|batch|) appends + read-time
+            # last-writer-wins + auto-compaction every max_deltas
+            # batches — the steady-state CDC throughput mode
+            merge_mode=target.get("merge_mode", "rewrite"),
+            max_deltas=int(target.get("max_deltas", 8)),
         )
         return BucketedCdcApplySink(table), table
     if kind == "parquet":
@@ -779,13 +806,18 @@ def run_replication(
             stopped = False
             while not q.awaitTermination(timeout=hb):
                 store.report_health(transfer_id, retry_count, None)
-                if src.get("format") == "pgwire":
+                # .get guard matches source_position's optional
+                # frames_path contract (build_replication_stream already
+                # raised FatalError on a missing one at activation)
+                if src.get("format") == "pgwire" and src.get("frames_path"):
                     from transferia_spark.streaming.pg_replication import (
                         drain_recorded_frames,
                     )
 
                     drain_recorded_frames(src["frames_path"], src["path"])
-                elif src.get("format") == "mysqlwire":
+                elif src.get("format") == "mysqlwire" and src.get(
+                    "frames_path"
+                ):
                     from transferia_spark.streaming.mysql_binlog import (
                         drain_recorded_binlog,
                     )
