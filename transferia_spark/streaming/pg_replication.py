@@ -219,6 +219,301 @@ def message_stream(read: Callable[[int], bytes]):
         # NoticeResponse / ParameterStatus etc.: ignorable during COPY
 
 
+# ------------------------------------- session establishment (startup)
+#
+# The last layer between the frame codecs above and a live server:
+# StartupMessage → authentication (cleartext / MD5 / SCRAM-SHA-256, all
+# from the public "Message Formats" + RFC 5802/7677) → ParameterStatus/
+# BackendKeyData → ReadyForQuery, then replication commands as simple
+# queries and the CopyBoth switch. ≈ postgres/publisher.go:33-68
+# (connect with replication=database, IDENTIFY_SYSTEM, slot DDL,
+# START_REPLICATION). Transport stays injectable: `PgWireSession`
+# drives any (read, write) byte callables — a socket or a test fixture.
+
+AUTH_OK = 0
+AUTH_CLEARTEXT = 3
+AUTH_MD5 = 5
+AUTH_SASL = 10
+AUTH_SASL_CONTINUE = 11
+AUTH_SASL_FINAL = 12
+
+
+def encode_startup_message(
+    user: str, database: str, replication: str | None = "database"
+) -> bytes:
+    """StartupMessage: int32 len + int32 196608 (protocol 3.0) + param
+    cstring pairs + NUL. ``replication=database`` opens the logical-
+    replication command surface on the connection."""
+    params: list[tuple[str, str]] = [("user", user), ("database", database)]
+    if replication:
+        params.append(("replication", replication))
+    body = b"".join(
+        k.encode() + b"\x00" + v.encode() + b"\x00" for k, v in params
+    ) + b"\x00"
+    return struct.pack(">II", len(body) + 8, 196608) + body
+
+
+def _fe_message(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack(">I", len(body) + 4) + body
+
+
+def encode_password_message(secret: str | bytes) -> bytes:
+    """PasswordMessage ('p'): cleartext password or the md5... digest.
+    The same tag carries SASLInitialResponse/SASLResponse."""
+    raw = secret.encode() if isinstance(secret, str) else secret
+    return _fe_message(b"p", raw + b"\x00")
+
+
+def md5_password(user: str, password: str, salt: bytes) -> str:
+    """``'md5' + md5(md5(password + user) + salt)`` — the public
+    AuthenticationMD5Password recipe."""
+    import hashlib
+
+    inner = hashlib.md5((password + user).encode()).hexdigest()
+    return "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
+
+
+def encode_simple_query(sql: str) -> bytes:
+    """Query ('Q'): how replication commands travel on a
+    replication=database connection."""
+    return _fe_message(b"Q", sql.encode() + b"\x00")
+
+
+class ScramClient:
+    """SCRAM-SHA-256 client (RFC 5802/7677), channel-binding 'n' (no
+    TLS in scope). Nonce is injectable for deterministic tests."""
+
+    def __init__(self, user: str, password: str, nonce: str | None = None):
+        import base64
+        import secrets
+
+        self.password = password
+        # PG ignores the SCRAM username (it rides the startup message);
+        # send an empty n= per libpq
+        self.nonce = nonce or base64.b64encode(
+            secrets.token_bytes(18)
+        ).decode()
+        self._client_first_bare = f"n=,r={self.nonce}"
+        self.server_signature: bytes | None = None
+
+    def client_first(self) -> bytes:
+        return ("n,," + self._client_first_bare).encode()
+
+    def client_final(self, server_first: bytes) -> bytes:
+        import base64
+        import hashlib
+        import hmac
+
+        fields = dict(
+            kv.split("=", 1) for kv in server_first.decode().split(",")
+        )
+        r, s, i = fields["r"], fields["s"], int(fields["i"])
+        if not r.startswith(self.nonce):
+            raise PgServerError(
+                {"S": "FATAL", "C": "28000",
+                 "M": "SCRAM server nonce does not extend the client nonce"}
+            )
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self.password.encode(), base64.b64decode(s), i
+        )
+        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = f"c=biws,r={r}"
+        auth_message = ",".join(
+            [self._client_first_bare, server_first.decode(), without_proof]
+        ).encode()
+        client_sig = hmac.new(
+            stored_key, auth_message, hashlib.sha256
+        ).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        self.server_signature = hmac.new(
+            server_key, auth_message, hashlib.sha256
+        ).digest()
+        return (
+            without_proof + ",p=" + base64.b64encode(proof).decode()
+        ).encode()
+
+    def verify_server_final(self, server_final: bytes) -> None:
+        import base64
+
+        fields = dict(
+            kv.split("=", 1) for kv in server_final.decode().split(",")
+        )
+        if "e" in fields:
+            raise PgServerError(
+                {"S": "FATAL", "C": "28000", "M": f"SCRAM: {fields['e']}"}
+            )
+        if base64.b64decode(fields["v"]) != self.server_signature:
+            raise PgServerError(
+                {"S": "FATAL", "C": "28000",
+                 "M": "SCRAM server signature mismatch (not the real "
+                      "server?)"}
+            )
+
+
+class PgWireSession:
+    """Connection establishment + simple queries + the CopyBoth switch
+    over injectable ``read(n)``/``write(bytes)`` callables.
+
+    The full live path::
+
+        sess = PgWireSession(sock.recv_exact, sock.sendall)
+        sess.connect(user="repl", database="shop", password=pw)
+        sysid = sess.simple_query(identify_system_command())
+        sess.simple_query(create_slot_command("slot1"))
+        stream = sess.start_replication(
+            start_replication_command("slot1", lsn))
+        ReplicationTailer(stream, sess.send_copydata, out_dir).run()
+    """
+
+    def __init__(
+        self,
+        read: Callable[[int], bytes],
+        write: Callable[[bytes], None],
+        scram_nonce: str | None = None,
+    ):
+        self._read = read
+        self._write = write
+        self._scram_nonce = scram_nonce
+        self.parameters: dict[str, str] = {}
+        self.backend_pid: int | None = None
+
+    def _recv(self) -> tuple[bytes, bytes]:
+        tag = self._read(1)
+        if not tag:
+            raise PgServerError(
+                {"S": "FATAL", "C": "08006",
+                 "M": "server closed the connection mid-session"}
+            )
+        head = self._read(4)
+        if len(head) < 4:
+            raise PgServerError(
+                {"S": "FATAL", "C": "08006",
+                 "M": "truncated message header"}
+            )
+        (ln,) = struct.unpack(">I", head)
+        body = self._read(ln - 4) if ln > 4 else b""
+        if ln > 4 and len(body) < ln - 4:
+            raise PgServerError(
+                {"S": "FATAL", "C": "08006", "M": "truncated message body"}
+            )
+        if tag == MSG_ERROR_RESPONSE:
+            raise PgServerError(decode_error_fields(body))
+        return tag, body
+
+    def connect(self, user: str, database: str, password: str = "") -> None:
+        """StartupMessage → auth dance → wait for ReadyForQuery."""
+        self._write(encode_startup_message(user, database))
+        scram: ScramClient | None = None
+        while True:
+            tag, body = self._recv()
+            if tag == b"R":
+                (code,) = struct.unpack(">I", body[:4])
+                if code == AUTH_OK:
+                    continue
+                if code == AUTH_CLEARTEXT:
+                    self._write(encode_password_message(password))
+                elif code == AUTH_MD5:
+                    self._write(
+                        encode_password_message(
+                            md5_password(user, password, body[4:8])
+                        )
+                    )
+                elif code == AUTH_SASL:
+                    mechs = [
+                        m.decode()
+                        for m in body[4:].split(b"\x00")
+                        if m
+                    ]
+                    if "SCRAM-SHA-256" not in mechs:
+                        raise PgServerError(
+                            {"S": "FATAL", "C": "28000",
+                             "M": f"server offers {mechs}; only "
+                                  "SCRAM-SHA-256 is implemented "
+                                  "(channel binding needs TLS, out of "
+                                  "scope)"}
+                        )
+                    scram = ScramClient(
+                        user, password, nonce=self._scram_nonce
+                    )
+                    first = scram.client_first()
+                    self._write(
+                        _fe_message(
+                            b"p",
+                            b"SCRAM-SHA-256\x00"
+                            + struct.pack(">I", len(first))
+                            + first,
+                        )
+                    )
+                elif code == AUTH_SASL_CONTINUE:
+                    assert scram is not None, "SASLContinue before SASL"
+                    self._write(
+                        _fe_message(b"p", scram.client_final(body[4:]))
+                    )
+                elif code == AUTH_SASL_FINAL:
+                    assert scram is not None, "SASLFinal before SASL"
+                    scram.verify_server_final(body[4:])
+                else:
+                    raise PgServerError(
+                        {"S": "FATAL", "C": "28000",
+                         "M": f"unsupported authentication request {code}"}
+                    )
+            elif tag == b"S":  # ParameterStatus
+                k, v = body.split(b"\x00")[:2]
+                self.parameters[k.decode()] = v.decode()
+            elif tag == b"K":  # BackendKeyData
+                self.backend_pid = struct.unpack(">II", body)[0]
+            elif tag == MSG_READY_FOR_QUERY:
+                return
+            # NoticeResponse etc.: ignorable during startup
+
+    def simple_query(self, sql: str) -> list[dict[str, str]]:
+        """Run one simple query ('Q'), decode RowDescription/DataRow
+        into dicts, return at ReadyForQuery — IDENTIFY_SYSTEM /
+        CREATE_REPLICATION_SLOT results."""
+        self._write(encode_simple_query(sql))
+        cols: list[str] = []
+        rows: list[dict[str, str]] = []
+        while True:
+            tag, body = self._recv()
+            if tag == b"T":  # RowDescription
+                (n,) = struct.unpack(">H", body[:2])
+                pos = 2
+                cols = []
+                for _ in range(n):
+                    end = body.index(b"\x00", pos)
+                    cols.append(body[pos:end].decode())
+                    pos = end + 1 + 18  # fixed per-field trailer
+            elif tag == b"D":  # DataRow
+                (n,) = struct.unpack(">H", body[:2])
+                pos = 2
+                vals: list[str | None] = []
+                for _ in range(n):
+                    (ln,) = struct.unpack(">i", body[pos:pos + 4])
+                    pos += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(body[pos:pos + ln].decode())
+                        pos += ln
+                rows.append(dict(zip(cols, vals)))
+            elif tag == MSG_READY_FOR_QUERY:
+                return rows
+            # CommandComplete / EmptyQueryResponse / NoticeResponse: skip
+
+    def start_replication(self, command: str):
+        """Send START_REPLICATION; the server answers CopyBothResponse
+        and the connection becomes a frame stream — returned as the
+        CopyData payload iterator :class:`ReplicationTailer` drains."""
+        self._write(encode_simple_query(command))
+        return message_stream(self._read)
+
+    def send_copydata(self, payload: bytes) -> None:
+        """Standby-status updates travel as CopyData from the client."""
+        self._write(encode_copydata_message(payload))
+
+
 # ------------------------------------------------------------- tailer
 
 
@@ -316,6 +611,102 @@ class ReplicationTailer:
         self._ack()
 
 
+def dial(host: str, port: int, timeout: float = 30.0):
+    """TCP transport factory: returns ``(read, write, close)`` where
+    ``read(n)`` blocks for exactly n bytes (b"" only at a clean EOF
+    boundary). Module-level so tests inject a fake duplex in its
+    place."""
+    import socket
+
+    sock = socket.create_connection((host, port), timeout=timeout)
+
+    def read(n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = sock.recv(n - len(buf))
+            if not chunk:
+                return buf  # codecs raise loudly on partial reads
+            buf += chunk
+        return buf
+
+    return read, sock.sendall, sock.close
+
+
+def _next_file_no(out_dir: str) -> int:
+    """Continue output numbering past the highest existing index (the
+    prune-safe rule both drain paths share)."""
+    existing = [
+        int(n.split(".")[0])
+        for n in os.listdir(out_dir)
+        if n.endswith(".jsonl") and n.split(".")[0].isdigit()
+    ]
+    return max(existing) + 1 if existing else 0
+
+
+def live_drain(
+    read: Callable[[int], bytes],
+    write: Callable[[bytes], None],
+    out_dir: str,
+    *,
+    user: str,
+    database: str,
+    password: str = "",
+    slot: str,
+    start_lsn: int = 0,
+    create_slot: bool = False,
+    plugin: str = "wal2json",
+    options: dict[str, str] | None = None,
+    scram_nonce: str | None = None,
+) -> int:
+    """The full live session over an injectable transport: connect →
+    authenticate → IDENTIFY_SYSTEM → (optional) CREATE_REPLICATION_SLOT
+    → START_REPLICATION → drain the CopyBoth stream into the wal2json
+    directory the waljson DataSource tails, acking flushed LSNs as
+    standby-status updates. ≈ postgres/publisher.go:33-68 end-to-end.
+    Returns the number of XLogData frames written."""
+    os.makedirs(out_dir, exist_ok=True)
+    sess = PgWireSession(read, write, scram_nonce=scram_nonce)
+    sess.connect(user=user, database=database, password=password)
+    sess.simple_query(identify_system_command())
+    if create_slot:
+        try:
+            sess.simple_query(create_slot_command(slot, plugin=plugin))
+        except PgServerError as e:
+            if e.fields.get("C") != "42710":  # duplicate_object: exists
+                raise
+    stream = sess.start_replication(
+        start_replication_command(slot, start_lsn, options)
+    )
+    tailer = ReplicationTailer(stream, sess.send_copydata, out_dir)
+    tailer._file_no = _next_file_no(out_dir)
+    return tailer.run()
+
+
+def live_drain_tcp(live: dict, out_dir: str) -> int:
+    """``replication.source.live`` config → one catch-up drain over a
+    real TCP connection (``dial`` is the injectable seam)."""
+    read, write, close = dial(
+        live["host"], int(live.get("port", 5432)),
+        timeout=float(live.get("timeout", 30.0)),
+    )
+    try:
+        return live_drain(
+            read, write, out_dir,
+            user=live["user"],
+            database=live["database"],
+            password=live.get("password", ""),
+            slot=live.get("slot", "transferia_spark"),
+            start_lsn=parse_lsn(live["start_lsn"])
+            if isinstance(live.get("start_lsn"), str)
+            else int(live.get("start_lsn", 0)),
+            create_slot=bool(live.get("create_slot", False)),
+            plugin=live.get("plugin", "wal2json"),
+            options=live.get("options"),
+        )
+    finally:
+        close()
+
+
 def drain_recorded_frames(
     frames_path: str, out_dir: str, send: Callable[[bytes], None] | None = None
 ) -> int:
@@ -357,17 +748,11 @@ def drain_recorded_frames(
     tailer = ReplicationTailer(frames(), send or (lambda b: None), out_dir)
     # continue the output numbering past prior passes — restarting at 0
     # would overwrite already-tailed (and possibly already-checkpointed)
-    # event files
-    # continue numbering past the HIGHEST existing index, not the file
-    # count: prune_committed deletes low-numbered fully-committed files,
-    # and a count-based number would reuse (and os.replace-clobber) a
+    # event files; past the HIGHEST index, not the file count:
+    # prune_committed deletes low-numbered fully-committed files, and a
+    # count-based number would reuse (and os.replace-clobber) a
     # surviving file holding uncommitted events
-    existing = [
-        int(n_.split(".")[0])
-        for n_ in os.listdir(out_dir)
-        if n_.endswith(".jsonl") and n_.split(".")[0].isdigit()
-    ]
-    tailer._file_no = max(existing) + 1 if existing else 0
+    tailer._file_no = _next_file_no(out_dir)
     n = tailer.run()
     tmp = state_file + ".tmp"
     with open(tmp, "w") as f:
@@ -378,6 +763,15 @@ def drain_recorded_frames(
 
 __all__ = [
     "PG_EPOCH_OFFSET_US",
+    "PgWireSession",
+    "ScramClient",
+    "encode_password_message",
+    "encode_simple_query",
+    "encode_startup_message",
+    "md5_password",
+    "dial",
+    "live_drain",
+    "live_drain_tcp",
     "PgServerError",
     "decode_error_fields",
     "encode_copydata_message",

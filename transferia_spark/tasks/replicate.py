@@ -287,12 +287,22 @@ def build_replication_stream(
             drain_recorded_frames,
         )
 
-        if not source.get("frames_path"):
+        if source.get("live"):
+            # live TCP session: connect→auth→START_REPLICATION→drain
+            # (dial is the injectable transport seam)
+            from transferia_spark.streaming.pg_replication import (
+                live_drain_tcp,
+            )
+
+            live_drain_tcp(source["live"], source["path"])
+        elif source.get("frames_path"):
+            drain_recorded_frames(source["frames_path"], source["path"])
+        else:
             raise FatalError(
                 "replication.source format pgwire needs frames_path: "
-                "<dir of recorded CopyBoth captures>"
+                "<dir of recorded CopyBoth captures> or live: "
+                "{host, port, user, database, slot, ...}"
             )
-        drain_recorded_frames(source["frames_path"], source["path"])
         source = {**source, "format": "waljson"}
         fmt = "waljson"
     if fmt == "mysqlwire":
@@ -663,6 +673,14 @@ def run_replication(
                 # events recorded during the scan replay after it, and
                 # the idempotent MERGE absorbs the overlap — the same
                 # at-least-once window the reference accepts
+                if src.get("format") == "pgwire" and src.get("live"):
+                    # live session: one catch-up drain so the position
+                    # scan sees the stream's current end
+                    from transferia_spark.streaming.pg_replication import (
+                        live_drain_tcp,
+                    )
+
+                    live_drain_tcp(src["live"], src["path"])
                 position = source_position(
                     src["format"], source_schema_ddl(src), src["path"],
                     frames_path=src.get("frames_path"),
@@ -809,7 +827,13 @@ def run_replication(
                 # .get guard matches source_position's optional
                 # frames_path contract (build_replication_stream already
                 # raised FatalError on a missing one at activation)
-                if src.get("format") == "pgwire" and src.get("frames_path"):
+                if src.get("format") == "pgwire" and src.get("live"):
+                    from transferia_spark.streaming.pg_replication import (
+                        live_drain_tcp,
+                    )
+
+                    live_drain_tcp(src["live"], src["path"])
+                elif src.get("format") == "pgwire" and src.get("frames_path"):
                     from transferia_spark.streaming.pg_replication import (
                         drain_recorded_frames,
                     )
