@@ -538,3 +538,121 @@ def test_delta_mode_toast_partial_rows(spark, tmp_path):
     t.compact()
     row = t.read().collect()[0]
     assert (row.v, row.w) == ("v2", "w1")
+
+
+def _two_mode_tables(spark, tmp_path):
+    rw = BucketedParquetTable(
+        spark, str(tmp_path / "rw2"), keys=["id"], n_buckets=4
+    )
+    dt = BucketedParquetTable(
+        spark, str(tmp_path / "dt2"), keys=["id"], n_buckets=4,
+        merge_mode="delta", max_deltas=100,
+    )
+    return rw, dt
+
+
+def test_delta_mixed_schema_tail_matches_eager(spark, tmp_path):
+    """ADVICE r7 (medium): an UNMARKED column-subset batch in a mixed
+    delta tail means "those columns untouched" (eager merge keeps the
+    target value for columns absent from the batch); the union NULL-fill
+    must not turn that into an overwrite-with-NULL. A full-column batch
+    carrying a genuine NULL must still overwrite."""
+    seed = spark.createDataFrame(
+        [(1, "v1", "w1"), (2, "v2", "w2"), (3, "v3", "w3")],
+        "id long, v string, w string",
+    )
+    full_null = spark.createDataFrame(  # genuine SET w = NULL on id=2
+        [(2, "v2b", None, "u", 2, 0)],
+        f"id long, v string, w string, {OP_COL} string, {LSN_COL} long, "
+        f"{COUNTER_COL} long",
+    )
+    subset = spark.createDataFrame(  # column-subset batch: w untouched
+        [(1, "v1b", "u", 3, 0)],
+        f"id long, v string, {OP_COL} string, {LSN_COL} long, "
+        f"{COUNTER_COL} long",
+    )
+    rw, dt = _two_mode_tables(spark, tmp_path)
+    for t in (rw, dt):
+        t.overwrite(seed)
+        t.merge(full_null)
+        t.merge(subset)
+    assert dt._manifest_doc()["deltas"]  # genuinely a mixed pending tail
+    want = sorted((r.id, r.v, r.w) for r in rw.read().collect())
+    assert want == [(1, "v1b", "w1"), (2, "v2b", None), (3, "v3", "w3")]
+    got = sorted((r.id, r.v, r.w) for r in dt.read().collect())
+    assert got == want
+    dt.compact()  # the fold reads through the same aligned union
+    got = sorted((r.id, r.v, r.w) for r in dt.read().collect())
+    assert got == want
+
+
+def test_delta_mixed_tail_with_toasted_frame(spark, tmp_path):
+    """A _toasted frame and a narrower unmarked frame in one tail: the
+    presence rewrite keeps both conventions exact."""
+    rw, dt = _two_mode_tables(spark, tmp_path)
+    seed = spark.createDataFrame(
+        [(1, "v1", "w1"), (2, "v2", "w2")], "id long, v string, w string"
+    )
+    toasted = spark.createDataFrame(  # flagged: NULL w means "absent"
+        [(2, "v2c", None, "u", 2, 0, True)],
+        f"id long, v string, w string, {OP_COL} string, {LSN_COL} long, "
+        f"{COUNTER_COL} long, _toasted boolean",
+    )
+    subset = spark.createDataFrame(
+        [(1, "v1c", "u", 3, 0)],
+        f"id long, v string, {OP_COL} string, {LSN_COL} long, "
+        f"{COUNTER_COL} long",
+    )
+    for t in (rw, dt):
+        t.overwrite(seed)
+        t.merge(toasted)
+        t.merge(subset)
+    want = sorted((r.id, r.v, r.w) for r in rw.read().collect())
+    assert want == [(1, "v1c", "w1"), (2, "v2c", "w2")]
+    assert sorted((r.id, r.v, r.w) for r in dt.read().collect()) == want
+
+
+def test_overwrite_resets_replay_watermark(spark, tmp_path):
+    """r7 verdict item 5: a snapshot seed (overwrite) starts a new
+    replay epoch — a re-checkpointed stream restarting at batch_id 0
+    must land, not be skipped by the previous lineage's watermark."""
+    t = BucketedParquetTable(
+        spark, str(tmp_path / "epoch"), keys=["id"], n_buckets=4,
+        merge_mode="delta", max_deltas=100,
+    )
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.merge(_batch(spark, [(1, "u7", "u", 2, 0)]), batch_id=7)
+    assert t._manifest_doc()["last_batch_id"] == 7
+    # re-activation: fresh snapshot seed into the SAME table root
+    t.overwrite(spark.createDataFrame([(1, "b")], "id long, v string"))
+    assert t._manifest_doc()["last_batch_id"] is None
+    t.merge(_batch(spark, [(1, "u0", "u", 3, 0)]), batch_id=0)
+    assert {r.v for r in t.read().collect()} == {"u0"}
+    # compact must NOT reset the watermark (same lineage continues)
+    t.merge(_batch(spark, [(1, "u1", "u", 4, 0)]), batch_id=1)
+    t.compact()
+    assert t._manifest_doc()["last_batch_id"] == 1
+
+
+def test_delta_mode_toast_aware_contract(spark, tmp_path):
+    """r7 verdict item 10: delta mode derives partial-row handling from
+    the batch's own markers; a contradicting explicit toast_aware is
+    rejected loudly, an agreeing one is accepted."""
+    t = BucketedParquetTable(
+        spark, str(tmp_path / "contract"), keys=["id"], n_buckets=4,
+        merge_mode="delta", max_deltas=100,
+    )
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    plain = _batch(spark, [(1, "u", "u", 2, 0)])
+    with pytest.raises(ValueError, match="toast_aware"):
+        t.merge(plain, toast_aware=True)  # no markers: unrepresentable
+    t.merge(plain, toast_aware=False)  # agrees with auto-detection
+    marked = spark.createDataFrame(
+        [(1, "u2", "u", 3, 0, False)],
+        f"id long, v string, {OP_COL} string, {LSN_COL} long, "
+        f"{COUNTER_COL} long, _toasted boolean",
+    )
+    with pytest.raises(ValueError, match="toast_aware"):
+        t.merge(marked, toast_aware=False)  # markers say otherwise
+    t.merge(marked, toast_aware=True)
+    assert {r.v for r in t.read().collect()} == {"u2"}

@@ -952,6 +952,52 @@ def test_ingest_sink_watermark_bounded_files(spark, tmp_path):
     assert store.read().count() == n_index
 
 
+def test_ingest_sink_seeds_watermark_from_legacy_markers(spark, tmp_path):
+    """ADVICE r7: a store written before the single-watermark scheme
+    carries per-batch _ingested_batch_*.marker files — on first open the
+    watermark seeds from their max (so the replayed batch does NOT
+    re-append its band rows) and the stale markers are deleted."""
+    import os as _os
+
+    from transferia_spark.operators.dedup import (
+        BandIndexIngestSink,
+        BandIndexStore,
+    )
+
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog variant {i % 3}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = build(
+        "dedup_incremental", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    )
+    store = BandIndexStore(spark, str(tmp_path / "idx"), n_shards=4)
+    old_sink = BandIndexIngestSink(store, t, str(tmp_path / "pairs"))
+    for b in range(3):
+        old_sink(df.filter(F.col("doc_id") % 3 == b), b)
+    # simulate the pre-upgrade on-disk state: per-batch markers instead
+    # of the high-watermark file
+    _os.unlink(old_sink._watermark_path)
+    for b in range(3):
+        with open(
+            _os.path.join(store.root, f"_ingested_batch_{b}.marker"), "w"
+        ) as f:
+            f.write("")
+    # a NEW sink (mid-stream upgrade) must treat batches 0-2 as done
+    sink = BandIndexIngestSink(store, t, str(tmp_path / "pairs"))
+    n_index = store.read().count()
+    sink(df.limit(4), 2)  # Spark replays the last uncommitted batch
+    assert store.read().count() == n_index  # no duplicate band rows
+    assert sink._watermark() == 2
+    assert not [
+        n for n in _os.listdir(store.root) if n.startswith("_ingested_batch_")
+    ]
+    # and the stream continues normally past the seeded watermark
+    sink(df.filter(F.col("doc_id") >= 15), 3)
+    assert sink._watermark() == 3
+
+
 def test_band_index_meta_wins_and_derived_shards(spark, tmp_path):
     """The shard function is part of the on-disk layout: reopening with
     a different n_shards must adopt the stored count (a mismatch would

@@ -681,7 +681,7 @@ def test_truncate_without_table_keyword_scopes_table(tmp_path):
         encode_format_description(),
         encode_rotate("binlog.000002"),
         encode_query("TRUNCATE items", schema="shop", log_pos=50),
-        encode_query("ALTER `shop`.`items` ADD COLUMN w text",
+        encode_query("ALTER TABLE `shop`.`items` ADD COLUMN w text",
                      schema="shop", log_pos=60),
     ]
     n = BinlogTailer(iter(frames), out).run()
@@ -694,4 +694,33 @@ def test_truncate_without_table_keyword_scopes_table(tmp_path):
     assert [(ln["action"], ln["table"]) for ln in lines] == [
         ("truncate", "items"),
         ("ddl", "items"),
+    ]
+
+
+def test_non_table_ddl_leaves_table_unset(tmp_path):
+    """ADVICE r7: TRUNCATE is the ONLY verb where MySQL makes the TABLE
+    keyword optional before a table name — ALTER/DROP/RENAME without it
+    target another object class, and guessing would emit a mis-scoped
+    control ('ALTER DATABASE x' → table="DATABASE") that a multi-table
+    pipeline would act on."""
+    out = str(tmp_path / "binlog")
+    frames = [
+        encode_format_description(),
+        encode_rotate("binlog.000002"),
+        encode_query("ALTER DATABASE shop CHARACTER SET utf8mb4",
+                     schema="shop", log_pos=40),
+        encode_query("DROP INDEX idx_v ON items", schema="shop", log_pos=50),
+        encode_query("DROP TABLE items", schema="shop", log_pos=60),
+    ]
+    n = BinlogTailer(iter(frames), out).run()
+    assert n == 3
+    lines = []
+    for name in sorted(os.listdir(out)):
+        if name.endswith(".jsonl"):
+            with open(os.path.join(out, name)) as f:
+                lines += [json.loads(ln) for ln in f if ln.strip()]
+    assert [(ln["action"], ln.get("table")) for ln in lines] == [
+        ("ddl", None),       # ALTER DATABASE: not a table DDL
+        ("ddl", None),       # DROP INDEX: table rides the ON clause
+        ("ddl", "items"),    # keyword path still scopes
     ]

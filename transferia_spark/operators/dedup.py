@@ -646,12 +646,35 @@ class BandIndexIngestSink:
         return os.path.join(self.store.root, "_INGESTED")
 
     def _watermark(self) -> int | None:
-        """Highest batch id whose effects are fully on disk."""
+        """Highest batch id whose effects are fully on disk. A store
+        written before the single-watermark scheme carries per-batch
+        ``_ingested_batch_*.marker`` files instead — seed the watermark
+        from their max on first open and delete them, so an upgraded
+        mid-stream store neither re-appends the replayed batch's band
+        rows nor keeps the stale markers forever (ADVICE r7)."""
         try:
             with open(self._watermark_path) as f:
                 return int(f.read().strip())
         except (FileNotFoundError, ValueError):
+            pass
+        try:
+            names = os.listdir(self.store.root)
+        except FileNotFoundError:
+            return None  # store not materialized yet: nothing ingested
+        legacy = [
+            n
+            for n in names
+            if n.startswith("_ingested_batch_") and n.endswith(".marker")
+        ]
+        if not legacy:
             return None
+        wm = max(
+            int(n[len("_ingested_batch_"):-len(".marker")]) for n in legacy
+        )
+        self._advance_watermark(wm)
+        for n in legacy:
+            os.unlink(os.path.join(self.store.root, n))
+        return wm
 
     def _advance_watermark(self, batch_id: int) -> None:
         tmp = self._watermark_path + ".tmp"

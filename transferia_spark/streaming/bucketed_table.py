@@ -63,6 +63,45 @@ BUCKET_COL = "bkt"  # no leading underscore: `_…=3` dirs are invisible
 # to Spark's file discovery (treated as metadata)
 
 
+def _tag_frame_presence(df: DataFrame) -> DataFrame:
+    """Rewrite a delta frame's partial-row convention to an explicit
+    ``_present`` column-name list scoped to THIS frame's payload
+    columns, so a union that widens the frame (allowMissingColumns
+    NULL-fill) cannot turn "column absent from the batch" into
+    "column set to NULL". Exact under every marker convention:
+
+    - ``_present`` rows keep their list; NULL (= full row) becomes the
+      frame's own payload list — full relative to the frame, absent
+      beyond it;
+    - ``_toasted`` rows enumerate their non-NULL columns (the marker's
+      NULL-means-absent contract); unflagged rows are full;
+    - unmarked frames are full rows of their own columns.
+    """
+    from transferia_spark.cdc.changeitem import (
+        PRESENT_COL,
+        TOASTED_COL,
+        column_present,
+        payload_columns,
+    )
+
+    cols = sorted(payload_columns(df))
+    own = F.array(*[F.lit(c) for c in cols])
+    if PRESENT_COL in df.columns:
+        marker = F.coalesce(F.col(PRESENT_COL), own)
+    elif TOASTED_COL in df.columns:
+        marker = F.concat(
+            *[
+                F.when(column_present(df, c), F.array(F.lit(c))).otherwise(
+                    F.array().cast("array<string>")
+                )
+                for c in cols
+            ]
+        )
+    else:
+        marker = own
+    return df.withColumn(PRESENT_COL, marker).drop(TOASTED_COL)
+
+
 class BucketedParquetTable:
     """Versioned, PK-hash-bucketed parquet table with atomic manifest
     swap and bucket-scoped merges."""
@@ -313,7 +352,15 @@ class BucketedParquetTable:
         """Union the pending delta tail for the given buckets, reading
         each delta version separately (one write → one schema) and
         aligning versions by name — a later delta may carry different
-        meta columns (``_toasted`` vs none) or a column subset."""
+        meta columns (``_toasted`` vs none) or a column subset.
+
+        Mixed payload column sets are aligned with an explicit
+        ``_present`` marker per frame, NOT bare ``allowMissingColumns``
+        NULL-fill: an unmarked column-subset batch means "those columns
+        untouched" under the eager per-batch merge (``c not in has``
+        keeps the target value), but a NULL-filled union would let the
+        filled NULLs overwrite base values at read/compact time — a
+        silent divergence from the rewrite-mode oracle (ADVICE r7)."""
         frames = []
         wanted = set(buckets)
         for d in deltas:
@@ -339,6 +386,12 @@ class BucketedParquetTable:
                 frames.append(self.spark.read.parquet(*dpaths))
         if not frames:
             return None
+        from transferia_spark.cdc.changeitem import payload_columns
+
+        payload_sets = [set(payload_columns(f)) for f in frames]
+        union_payload = set().union(*payload_sets)
+        if any(s != union_payload for s in payload_sets):
+            frames = [_tag_frame_presence(f) for f in frames]
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
@@ -366,6 +419,25 @@ class BucketedParquetTable:
         is a streaming sink) is a replay watermark: a batch at or below
         the last appended id is already durable and skips."""
         if self.merge_mode == "delta":
+            # delta mode resolves partial rows at READ time from the
+            # batch's own markers (_toasted/_present ride the delta
+            # files); an explicit toast_aware that contradicts the
+            # markers is unrepresentable there — rejecting it loudly
+            # beats silently dropping it (r7 verdict item 10)
+            from transferia_spark.cdc.changeitem import has_partial_rows
+
+            if toast_aware is not None and toast_aware != has_partial_rows(
+                batch
+            ):
+                raise ValueError(
+                    "merge_mode='delta' derives partial-row handling "
+                    "from the batch's own _toasted/_present markers at "
+                    f"read time; toast_aware={toast_aware} contradicts "
+                    "the batch (markers "
+                    f"{'present' if has_partial_rows(batch) else 'absent'}"
+                    ") and cannot be honored — attach or drop the "
+                    "markers instead of passing toast_aware"
+                )
             v = self.append_delta(batch, batch_id=batch_id)
             if len(self._manifest_doc()["deltas"]) >= self.max_deltas:
                 v = self.compact()
@@ -455,10 +527,16 @@ class BucketedParquetTable:
 
     def overwrite(self, df: DataFrame) -> int:
         """Full rewrite (initial snapshot load): every bucket. Pending
-        deltas are superseded by the new content and cleared."""
+        deltas are superseded by the new content and cleared, and the
+        replay watermark resets — ``last_batch_id`` is scoped to ONE
+        checkpoint lineage, and a snapshot seed starts a new epoch: a
+        re-activated stream with a fresh checkpoint restarts batch ids
+        at 0, and a carried-forward watermark would silently skip every
+        batch until the ids caught up (r7 verdict item 5)."""
         self._ensure_buckets(df)
         return self._commit(
-            df, list(range(self.n_buckets)), clear_deltas=True
+            df, list(range(self.n_buckets)), clear_deltas=True,
+            reset_batch_id=True,
         )
 
     # ------------------------------------------------- merge-on-read
@@ -579,7 +657,11 @@ class BucketedParquetTable:
     # ---------------------------------------------------------- commit
 
     def _commit(
-        self, df: DataFrame, touched: list[int], clear_deltas: bool = False
+        self,
+        df: DataFrame,
+        touched: list[int],
+        clear_deltas: bool = False,
+        reset_batch_id: bool = False,
     ) -> int:
         self._save_meta(df.schema)
         new_v = self.version() + 1
@@ -610,7 +692,7 @@ class BucketedParquetTable:
             new_v,
             m,
             deltas=[] if clear_deltas else doc["deltas"],
-            last_batch_id=doc["last_batch_id"],
+            last_batch_id=None if reset_batch_id else doc["last_batch_id"],
         )
         self._gc(keep=self.retention)
         return new_v

@@ -701,13 +701,14 @@ class BinlogTailer:
                     doc["table"] = _ident_tail(words[i + 1])
                     break
             else:
-                # 'TRUNCATE t' / 'ALTER t ...' without the TABLE keyword
-                # is valid MySQL; without a table name a multi-table
-                # pipeline cannot scope the wipe — fall back to the
-                # first token after the verb
-                if len(words) >= 2 and words[0].upper() in (
-                    "TRUNCATE", "ALTER", "DROP", "RENAME"
-                ):
+                # 'TRUNCATE t' without the TABLE keyword is valid MySQL
+                # — the ONLY verb where TABLE is optional before a table
+                # name. ALTER/DROP/RENAME without TABLE target some
+                # other object class (DATABASE/INDEX/USER/...), so
+                # falling back there would emit a mis-scoped control
+                # ('ALTER DATABASE x' → table="DATABASE") in multi-table
+                # pipelines (ADVICE r7); leave table unset instead.
+                if len(words) >= 2 and words[0].upper() == "TRUNCATE":
                     doc["table"] = _ident_tail(words[1])
             self._emit(doc)
             return 1
