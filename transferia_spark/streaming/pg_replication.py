@@ -190,7 +190,11 @@ def encode_copydata_message(payload: bytes) -> bytes:
     return MSG_COPY_DATA + struct.pack(">I", len(payload) + 4) + payload
 
 
-def message_stream(read: Callable[[int], bytes]):
+def message_stream(
+    read: Callable[[int], bytes],
+    poll: Callable[[float], bool] | None = None,
+    idle_timeout: float = 0.5,
+):
     """Parse the backend message stream of an open COPY-BOTH session
     into CopyData payloads — the glue between a raw socket and
     :class:`ReplicationTailer` (``tailer = ReplicationTailer(
@@ -201,9 +205,27 @@ def message_stream(read: Callable[[int], bytes]):
     CopyBothResponse is consumed silently (session start), CopyDone /
     ReadyForQuery end the stream, ErrorResponse raises
     :class:`PgServerError` with parsed fields.
+
+    A LIVE server never closes a CopyBoth stream — once the slot is
+    caught up it sends periodic keepalives forever, so an unbounded
+    parse loop blocks until the socket times out (the r7 caught-up
+    crash-loop). Two bounded-drain exits:
+
+    - ``poll(timeout) -> bool`` (from :func:`dial`): checked before
+      each message; no buffered data within ``idle_timeout`` seconds →
+      the stream ends cleanly (drained everything the server had);
+    - a ``TimeoutError`` on the BOUNDARY read (the tag byte) is a clean
+      end-of-catch-up, not an error — the server simply had nothing
+      more to say within the socket timeout. A timeout MID-message
+      still raises: a half-frame stall is a real transport fault.
     """
     while True:
-        tag = read(1)
+        if poll is not None and not poll(idle_timeout):
+            return  # caught up: nothing buffered within the idle window
+        try:
+            tag = read(1)
+        except TimeoutError:
+            return  # idle server between frames: clean end-of-catch-up
         if not tag:
             return
         (ln,) = struct.unpack(">I", read(4))
@@ -283,17 +305,25 @@ class ScramClient:
     """SCRAM-SHA-256 client (RFC 5802/7677), channel-binding 'n' (no
     TLS in scope). Nonce is injectable for deterministic tests."""
 
-    def __init__(self, user: str, password: str, nonce: str | None = None):
+    def __init__(
+        self,
+        user: str,
+        password: str,
+        nonce: str | None = None,
+        scram_username: str = "",
+    ):
         import base64
         import secrets
 
         self.password = password
         # PG ignores the SCRAM username (it rides the startup message);
-        # send an empty n= per libpq
+        # send an empty n= per libpq. ``scram_username`` exists so the
+        # RFC 7677 §3 published exchange (which carries n=user) can be
+        # replayed byte-exactly in tests.
         self.nonce = nonce or base64.b64encode(
             secrets.token_bytes(18)
         ).decode()
-        self._client_first_bare = f"n=,r={self.nonce}"
+        self._client_first_bare = f"n={scram_username},r={self.nonce}"
         self.server_signature: bytes | None = None
 
     def client_first(self) -> bytes:
@@ -502,12 +532,21 @@ class PgWireSession:
                 return rows
             # CommandComplete / EmptyQueryResponse / NoticeResponse: skip
 
-    def start_replication(self, command: str):
+    def start_replication(
+        self,
+        command: str,
+        poll: Callable[[float], bool] | None = None,
+        idle_timeout: float = 0.5,
+    ):
         """Send START_REPLICATION; the server answers CopyBothResponse
         and the connection becomes a frame stream — returned as the
-        CopyData payload iterator :class:`ReplicationTailer` drains."""
+        CopyData payload iterator :class:`ReplicationTailer` drains
+        (poll-bounded when the transport provides ``poll``, so a
+        caught-up drain terminates)."""
         self._write(encode_simple_query(command))
-        return message_stream(self._read)
+        return message_stream(
+            self._read, poll=poll, idle_timeout=idle_timeout
+        )
 
     def send_copydata(self, payload: bytes) -> None:
         """Standby-status updates travel as CopyData from the client."""
@@ -582,9 +621,21 @@ class ReplicationTailer:
             encode_standby_status(self.received, self.flushed, self.flushed)
         )
 
-    def run(self, max_frames: int | None = None) -> int:
+    def run(
+        self,
+        max_frames: int | None = None,
+        stop_at_lsn: int | None = None,
+    ) -> int:
         """Process frames until the source drains (or ``max_frames``);
-        returns the number of XLogData frames written."""
+        returns the number of XLogData frames written.
+
+        ``stop_at_lsn`` bounds a catch-up drain against a LIVE server:
+        once the received watermark reaches it (an XLogData's walEnd or
+        the first caught-up keepalive), the drain flushes, acks and
+        returns instead of blocking on a stream that never ends —
+        capture the server's current position (IDENTIFY_SYSTEM xlogpos)
+        before START_REPLICATION and pass it here (r7 verdict item 1).
+        """
         n = 0
         for frame in self.recv:
             msg = decode_copydata(frame)
@@ -593,6 +644,8 @@ class ReplicationTailer:
                 if msg.reply_requested:
                     self._flush_file()  # make the ack honest: fsync first
                     self._ack()
+                if stop_at_lsn is not None and self.received >= stop_at_lsn:
+                    break  # caught-up keepalive: the drain is done
                 continue
             doc = json.loads(msg.payload)
             doc["lsn"] = msg.wal_start  # authoritative frame position
@@ -603,6 +656,8 @@ class ReplicationTailer:
                 self._flush_file()
             if max_frames is not None and n >= max_frames:
                 break
+            if stop_at_lsn is not None and self.received >= stop_at_lsn:
+                break
         self.close()
         return n
 
@@ -612,10 +667,14 @@ class ReplicationTailer:
 
 
 def dial(host: str, port: int, timeout: float = 30.0):
-    """TCP transport factory: returns ``(read, write, close)`` where
-    ``read(n)`` blocks for exactly n bytes (b"" only at a clean EOF
-    boundary). Module-level so tests inject a fake duplex in its
+    """TCP transport factory: returns ``(read, write, close, poll)``
+    where ``read(n)`` blocks for exactly n bytes (b"" only at a clean
+    EOF boundary) and ``poll(t)`` reports whether the socket has
+    readable data within ``t`` seconds — the bounded-drain primitive
+    that lets a caught-up drain return instead of blocking on a live
+    CopyBoth stream. Module-level so tests inject a fake duplex in its
     place."""
+    import select
     import socket
 
     sock = socket.create_connection((host, port), timeout=timeout)
@@ -629,7 +688,11 @@ def dial(host: str, port: int, timeout: float = 30.0):
             buf += chunk
         return buf
 
-    return read, sock.sendall, sock.close
+    def poll(t: float) -> bool:
+        r, _, _ = select.select([sock], [], [], t)
+        return bool(r)
+
+    return read, sock.sendall, sock.close, poll
 
 
 def _next_file_no(out_dir: str) -> int:
@@ -657,17 +720,31 @@ def live_drain(
     plugin: str = "wal2json",
     options: dict[str, str] | None = None,
     scram_nonce: str | None = None,
+    poll: Callable[[float], bool] | None = None,
+    idle_timeout: float = 0.5,
 ) -> int:
     """The full live session over an injectable transport: connect →
     authenticate → IDENTIFY_SYSTEM → (optional) CREATE_REPLICATION_SLOT
     → START_REPLICATION → drain the CopyBoth stream into the wal2json
     directory the waljson DataSource tails, acking flushed LSNs as
     standby-status updates. ≈ postgres/publisher.go:33-68 end-to-end.
-    Returns the number of XLogData frames written."""
+    Returns the number of XLogData frames written.
+
+    The drain is BOUNDED (r7 verdict item 1): IDENTIFY_SYSTEM's
+    ``xlogpos`` — the server's current WAL end, captured before
+    START_REPLICATION — is the catch-up target, so the drain returns at
+    the first frame/keepalive at or past it instead of blocking forever
+    on a live stream; ``poll`` (from :func:`dial`) additionally ends
+    the drain when the socket stays idle for ``idle_timeout`` seconds,
+    and a boundary ``TimeoutError`` is a clean end too."""
     os.makedirs(out_dir, exist_ok=True)
     sess = PgWireSession(read, write, scram_nonce=scram_nonce)
     sess.connect(user=user, database=database, password=password)
-    sess.simple_query(identify_system_command())
+    rows = sess.simple_query(identify_system_command())
+    server_lsn = (
+        parse_lsn(rows[0]["xlogpos"]) if rows and rows[0].get("xlogpos")
+        else None
+    )
     if create_slot:
         try:
             sess.simple_query(create_slot_command(slot, plugin=plugin))
@@ -675,17 +752,18 @@ def live_drain(
             if e.fields.get("C") != "42710":  # duplicate_object: exists
                 raise
     stream = sess.start_replication(
-        start_replication_command(slot, start_lsn, options)
+        start_replication_command(slot, start_lsn, options),
+        poll=poll, idle_timeout=idle_timeout,
     )
     tailer = ReplicationTailer(stream, sess.send_copydata, out_dir)
     tailer._file_no = _next_file_no(out_dir)
-    return tailer.run()
+    return tailer.run(stop_at_lsn=server_lsn)
 
 
 def live_drain_tcp(live: dict, out_dir: str) -> int:
     """``replication.source.live`` config → one catch-up drain over a
     real TCP connection (``dial`` is the injectable seam)."""
-    read, write, close = dial(
+    read, write, close, poll = dial(
         live["host"], int(live.get("port", 5432)),
         timeout=float(live.get("timeout", 30.0)),
     )
@@ -702,9 +780,149 @@ def live_drain_tcp(live: dict, out_dir: str) -> int:
             create_slot=bool(live.get("create_slot", False)),
             plugin=live.get("plugin", "wal2json"),
             options=live.get("options"),
+            poll=poll,
+            idle_timeout=float(live.get("idle_timeout", 0.5)),
         )
     finally:
         close()
+
+
+class LiveReplicationConnection:
+    """ONE long-lived replication session reused across heartbeat ticks
+    — the reference's publisher holds a single connection with
+    keepalive acks (``postgres/publisher_replication.go:75,140``);
+    reconnecting per heartbeat churns server slots and re-pays
+    startup/auth/START_REPLICATION every tick (r7 "What's missing" 2).
+
+    ``drain()`` pulls everything the server has buffered (poll-bounded:
+    returns once the socket stays idle ``idle_timeout`` seconds, or at
+    the catch-up LSN on the first drain) and returns promptly; the
+    CopyBoth session stays open between calls. A server-side close
+    (EOF) or transport error tears the connection down — the next
+    ``drain()`` reconnects and resumes from the durable ack point
+    (the server re-sends from the slot's confirmed LSN).
+
+    ``transport_factory`` defaults to :func:`dial`; tests inject a fake
+    duplex."""
+
+    def __init__(
+        self,
+        live: dict,
+        out_dir: str,
+        transport_factory: Callable[..., tuple] | None = None,
+    ):
+        self.live = live
+        self.out_dir = out_dir
+        self._factory = transport_factory or dial
+        self._close: Callable[[], None] | None = None
+        self._tailer: ReplicationTailer | None = None
+        self._read: Callable[[int], bytes] | None = None
+        self._poll: Callable[[float], bool] | None = None
+        self._server_lsn: int | None = None
+        self._eof = False
+        self.connects = 0  # observability: how often we re-dialed
+
+    @property
+    def connected(self) -> bool:
+        return self._close is not None and not self._eof
+
+    def _connect(self) -> None:
+        live = self.live
+        read, write, close, poll = self._factory(
+            live["host"], int(live.get("port", 5432)),
+            timeout=float(live.get("timeout", 30.0)),
+        )
+        self._eof = False
+
+        def tracked_read(n: int) -> bytes:
+            b = read(n)
+            if len(b) < n:
+                self._eof = True  # server closed: reconnect next drain
+            return b
+
+        try:
+            sess = PgWireSession(
+                tracked_read, write, scram_nonce=live.get("scram_nonce")
+            )
+            sess.connect(
+                user=live["user"], database=live["database"],
+                password=live.get("password", ""),
+            )
+            rows = sess.simple_query(identify_system_command())
+            self._server_lsn = (
+                parse_lsn(rows[0]["xlogpos"])
+                if rows and rows[0].get("xlogpos")
+                else None
+            )
+            if live.get("create_slot"):
+                try:
+                    sess.simple_query(create_slot_command(
+                        live.get("slot", "transferia_spark"),
+                        plugin=live.get("plugin", "wal2json"),
+                    ))
+                except PgServerError as e:
+                    if e.fields.get("C") != "42710":
+                        raise
+            start_lsn = (
+                parse_lsn(live["start_lsn"])
+                if isinstance(live.get("start_lsn"), str)
+                else int(live.get("start_lsn", 0))
+            )
+            sess._write(encode_simple_query(start_replication_command(
+                live.get("slot", "transferia_spark"), start_lsn,
+                live.get("options"),
+            )))
+        except BaseException:
+            close()
+            raise
+        os.makedirs(self.out_dir, exist_ok=True)
+        self._tailer = ReplicationTailer(
+            iter(()), sess.send_copydata, self.out_dir
+        )
+        self._tailer._file_no = _next_file_no(self.out_dir)
+        self._read = tracked_read
+        self._poll = poll
+        self._close = close
+        self.connects += 1
+
+    def drain(self) -> int:
+        """Pull whatever is buffered, flush + ack, return the number of
+        XLogData frames written this tick."""
+        if not self.connected:
+            self.close()
+            self._connect()
+        try:
+            # a FRESH poll-bounded parser per tick over the SAME open
+            # CopyBoth session: the previous tick's generator returned
+            # (exhausted) when the socket went idle, but the frame
+            # boundary is durable — parsing resumes exactly where the
+            # last message ended
+            self._tailer.recv = message_stream(
+                self._read, poll=self._poll,
+                idle_timeout=float(self.live.get("idle_timeout", 0.5)),
+            )
+            n = self._tailer.run(stop_at_lsn=self._server_lsn)
+        except BaseException:
+            self.close()  # half-parsed stream: resync via reconnect
+            raise
+        # the catch-up target only bounds the FIRST drain; steady-state
+        # ticks are poll-bounded (stopping at a stale xlogpos would
+        # re-trigger on every later frame)
+        self._server_lsn = None
+        if self._eof:
+            self.close()
+        return n
+
+    def close(self) -> None:
+        if self._close is not None:
+            try:
+                self._close()
+            except OSError:
+                pass
+            self._close = None
+        self._tailer = None
+        self._read = None
+        self._poll = None
 
 
 def drain_recorded_frames(
@@ -772,6 +990,7 @@ __all__ = [
     "dial",
     "live_drain",
     "live_drain_tcp",
+    "LiveReplicationConnection",
     "PgServerError",
     "decode_error_fields",
     "encode_copydata_message",
