@@ -175,6 +175,7 @@ def bench_cdc_pipeline(
     n_buckets: int = 16,
     n_batches: int = 8,
     max_deltas: int = 8,
+    seed_mult: int = 1,
 ) -> tuple[float, int]:
     """Steady-state CDC replication throughput (r5 verdict item 8): one
     PRE-STARTED streaming query (waljson decode → collapse → bucketed
@@ -197,12 +198,30 @@ def bench_cdc_pipeline(
         wal_output_schema,
     )
 
+    from pyspark.sql import functions as F
+
     tmp = tempfile.mkdtemp(prefix="bench_cdc_")
     wal = os.path.join(tmp, "wal")
     os.makedirs(wal)
     ack = os.path.join(tmp, "ack.json")
     tables = load_tables(spark, sf_dir, ["customer", "events"])
     cust = tables["customer"].select("c_custkey", "c_name", "c_acctbal")
+    if seed_mult > 1:
+        # scale the TARGET ONLY (r7 verdict item 3): the churn stream
+        # stays identical, so rewrite's O(table) per-batch cost shows
+        # while delta's O(batch) cost should not move. Replicated keys
+        # shift into a disjoint range; the original keys (rep 0) keep
+        # matching the stream's user_ids.
+        cust = cust.withColumn(
+            "rep",
+            F.explode(F.array(*[F.lit(i) for i in range(seed_mult)])),
+        ).withColumn(
+            "c_custkey",
+            F.when(F.col("rep") == 0, F.col("c_custkey")).otherwise(
+                F.col("c_custkey")
+                + F.col("rep").cast("long") * F.lit(1_000_000_000).cast("long")
+            ),
+        ).drop("rep")
     target = BucketedParquetTable(
         spark, os.path.join(tmp, "target"), keys=["c_custkey"],
         n_buckets=n_buckets, merge_mode=merge_mode, max_deltas=max_deltas,
@@ -338,6 +357,65 @@ def bench_cdc_merge_sweep(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_cdc_size_sweep(spark, sf_dir: str) -> dict:
+    """Table-size sweep (r7 verdict item 3): a FIXED ~2k-row churn
+    batch merged into 1×/10×/40×-seeded orders targets, with a rewrite
+    control at every size — the curve the delta-mode design argument
+    rests on: rewrite's per-batch cost grows ~linearly with table size,
+    delta's stays flat. Also records the delta per-batch latency series
+    at the largest size: with staggered per-bucket compaction there
+    must be no every-Nth-batch full-fold spike (r7 verdict item 4)."""
+    from pyspark.sql import functions as F
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # the SAME batch at every size: keys = rep-0 keys, present in every
+    # seed (key space: o_orderkey*64 + rep keeps replicas disjoint)
+    batch = (
+        orders.limit(2000)
+        .withColumn("o_orderkey", F.col("o_orderkey") * F.lit(64).cast("long"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("_op", F.lit("u"))
+        .withColumn("_counter", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    out: dict = {}
+    for mult in (1, 10, 40):
+        seed = (
+            orders.withColumn(
+                "rep", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
+            )
+            .withColumn(
+                "o_orderkey",
+                F.col("o_orderkey") * F.lit(64).cast("long")
+                + F.col("rep").cast("long"),
+            )
+            .drop("rep")
+        )
+        for mode, n_batches in (("rewrite", 3), ("delta", 8)):
+            root = tempfile.mkdtemp(prefix=f"size_{mode}_x{mult}_")
+            t = BucketedParquetTable(
+                spark, root, keys=["o_orderkey"], n_buckets=16,
+                merge_mode=mode, max_deltas=8,
+            )
+            t.overwrite(seed)
+            series = []
+            for i in range(n_batches):
+                t0 = time.time()
+                t.merge(batch.withColumn("_lsn", F.lit(10 + i)), batch_id=i)
+                series.append(round(time.time() - t0, 3))
+            out[f"{mode}_x{mult}_per_batch"] = round(
+                sum(series) / len(series), 3
+            )
+            if mode == "delta" and mult == 40:
+                out["delta_x40_batch_series"] = series
+            shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     mod = _load_entry()
     queries = mod.queries()
@@ -369,10 +447,23 @@ def main() -> None:
     # fold — the steady-state CDC mode (r6 verdict item 1)
     dl_dt, dl_rows = bench_cdc_pipeline(spark, SF_DIR, merge_mode="delta")
     timings["cdc_pipeline_delta"] = round(dl_dt, 3)
+    # stream-level probe against a 20×-seeded target: the point where
+    # rewrite's O(table) per-batch cost separates from delta's O(batch)
+    # (r7 verdict item 3 "done" bar — delta materially above rewrite at
+    # the largest size)
+    rw_big_dt, rw_big_rows = bench_cdc_pipeline(spark, SF_DIR, seed_mult=20)
+    timings["cdc_pipeline_big"] = round(rw_big_dt, 3)
+    dl_big_dt, dl_big_rows = bench_cdc_pipeline(
+        spark, SF_DIR, merge_mode="delta", seed_mult=20
+    )
+    timings["cdc_pipeline_delta_big"] = round(dl_big_dt, 3)
     # (merge mode × churn × bucket count) sweep so the delta-mode gain
     # has a curve, not a single point (r6 verdict item 9) — measured at
     # the merge layer, free of stream-decode noise
     sweep = bench_cdc_merge_sweep(spark, SF_DIR)
+    # (merge mode × TABLE SIZE) sweep with per-batch latency series
+    # (r7 verdict items 3+4)
+    size_sweep = bench_cdc_size_sweep(spark, SF_DIR)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -384,7 +475,14 @@ def main() -> None:
         "snapshot_rows_per_sec": round(snap_rows / snap_dt) if snap_dt > 0 else None,
         "cdc_rows_per_sec": round(cdc_rows / cdc_dt) if cdc_dt > 0 else None,
         "cdc_delta_rows_per_sec": round(dl_rows / dl_dt) if dl_dt > 0 else None,
+        "cdc_big_rows_per_sec": round(rw_big_rows / rw_big_dt)
+        if rw_big_dt > 0
+        else None,
+        "cdc_delta_big_rows_per_sec": round(dl_big_rows / dl_big_dt)
+        if dl_big_dt > 0
+        else None,
         "cdc_sweep": sweep,
+        "cdc_size_sweep": size_sweep,
     }
     print(json.dumps(result))
 

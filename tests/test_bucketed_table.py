@@ -385,7 +385,11 @@ def test_delta_append_is_o_batch(spark, delta_table):
     assert set(delta_table.manifest().values()) == {v0}
 
 
-def test_delta_auto_compacts_at_max_deltas(spark, delta_table):
+def test_delta_auto_compacts_at_max_deltas(spark, tmp_path):
+    delta_table = BucketedParquetTable(
+        spark, str(tmp_path / "dt_inline"), keys=["id"], n_buckets=8,
+        merge_mode="delta", max_deltas=4, compact_policy="inline",
+    )
     delta_table.overwrite(
         spark.createDataFrame(
             [(i, f"a{i}") for i in range(40)], "id long, v string"
@@ -656,3 +660,112 @@ def test_delta_mode_toast_aware_contract(spark, tmp_path):
         t.merge(marked, toast_aware=False)  # markers say otherwise
     t.merge(marked, toast_aware=True)
     assert {r.v for r in t.read().collect()} == {"u2"}
+
+
+def test_incremental_compaction_no_full_table_fold(spark, tmp_path):
+    """r7 verdict item 4: under uniform churn the incremental policy
+    folds a staggered SUBSET of buckets per batch — never the whole
+    table on one batch — while reads stay exactly the eager-merge
+    state and the pending tail per bucket stays ≤ max_deltas."""
+    n_buckets, md = 8, 4
+    rw = BucketedParquetTable(
+        spark, str(tmp_path / "rw"), keys=["id"], n_buckets=n_buckets
+    )
+    dt = BucketedParquetTable(
+        spark, str(tmp_path / "dt"), keys=["id"], n_buckets=n_buckets,
+        merge_mode="delta", max_deltas=md,  # compact_policy defaults
+    )
+    assert dt.compact_policy == "incremental"
+    seed = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(200)], "id long, v string"
+    )
+    rw.overwrite(seed)
+    dt.overwrite(seed)
+    lsn = 2
+    folds_per_batch = []
+    for batch_no in range(12):
+        # uniform churn: every batch touches every bucket
+        rows = [(i, f"b{batch_no}_{i}", "u", lsn, i) for i in range(0, 200, 5)]
+        lsn += 1
+        b = _batch(spark, rows)
+        rw.merge(b)
+        before = dict(dt._manifest_doc()["folded"])
+        dt.merge(b, batch_id=batch_no)
+        after = dt._manifest_doc()["folded"]
+        changed = {k for k in after if after.get(k) != before.get(k)}
+        folds_per_batch.append(len(changed))
+    # no batch folded the full table; folding did happen
+    assert max(folds_per_batch) < n_buckets, folds_per_batch
+    assert sum(folds_per_batch) > 0
+    # per-bucket pending tail is bounded by max_deltas
+    doc = dt._manifest_doc()
+    counts: dict[int, int] = {}
+    for d in doc["deltas"]:
+        for bk in dt._delta_buckets(d):
+            if d > doc["folded"].get(bk, -1):
+                counts[bk] = counts.get(bk, 0) + 1
+    assert all(c <= md for c in counts.values()), counts
+    # state identical to eager merging
+    want = sorted((r.id, r.v) for r in rw.read().collect())
+    got = sorted((r.id, r.v) for r in dt.read().collect())
+    assert got == want
+    # a full maintenance fold converges and changes nothing
+    dt.compact()
+    assert dt._manifest_doc()["deltas"] == []
+    assert sorted((r.id, r.v) for r in dt.read().collect()) == want
+
+
+def test_compact_buckets_partial_fold_and_delta_gc(spark, tmp_path):
+    """compact_buckets folds ONLY the asked buckets: their folded
+    watermark advances, other buckets keep reading the pending tail,
+    and a delta version leaves the manifest once every bucket it
+    touches has folded it."""
+    dt = BucketedParquetTable(
+        spark, str(tmp_path / "dt"), keys=["id"], n_buckets=4,
+        merge_mode="delta", max_deltas=100, compact_policy="off",
+    )
+    dt.overwrite(
+        spark.createDataFrame(
+            [(i, f"a{i}") for i in range(40)], "id long, v string"
+        )
+    )
+    # one delta touching (very likely) several buckets
+    dt.merge(_batch(
+        spark, [(i, f"u{i}", "u", 2, i) for i in range(0, 40, 3)]
+    ))
+    doc = dt._manifest_doc()
+    (d,) = doc["deltas"]
+    touched = dt._delta_buckets(d)
+    assert len(touched) > 1
+    half = touched[: len(touched) // 2]
+    dt.compact_buckets(half)
+    doc = dt._manifest_doc()
+    assert doc["deltas"] == [d]  # still pending for the other buckets
+    assert set(doc["folded"]) == set(half)
+    # reads: all values are the updated ones either way
+    got = {r.id: r.v for r in dt.read().collect()}
+    for i in range(0, 40, 3):
+        assert got[i] == f"u{i}"
+    # folding the remainder retires the delta version entirely
+    dt.compact_buckets([b for b in touched if b not in half])
+    doc = dt._manifest_doc()
+    assert doc["deltas"] == [] and doc["folded"] == {}
+    got = {r.id: r.v for r in dt.read().collect()}
+    assert got[3] == "u3" and got[1] == "a1" and len(got) == 40
+
+
+def test_compact_policy_off_never_folds(spark, tmp_path):
+    dt = BucketedParquetTable(
+        spark, str(tmp_path / "off"), keys=["id"], n_buckets=4,
+        merge_mode="delta", max_deltas=2, compact_policy="off",
+    )
+    dt.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    for i in range(5):
+        dt.merge(_batch(spark, [(1, f"u{i}", "u", 2 + i, 0)]), batch_id=i)
+    assert len(dt._manifest_doc()["deltas"]) == 5  # tail grows, reads fine
+    assert {r.v for r in dt.read().collect()} == {"u4"}
+    with pytest.raises(ValueError, match="compact_policy"):
+        BucketedParquetTable(
+            spark, str(tmp_path / "bad"), keys=["id"],
+            compact_policy="sometimes",
+        )

@@ -477,10 +477,12 @@ def build_replication_sink(spark: SparkSession, target: dict):
             spark, root, keys=keys,
             n_buckets=_n_buckets_cfg(target),
             # merge_mode: delta = O(|batch|) appends + read-time
-            # last-writer-wins + auto-compaction every max_deltas
-            # batches — the steady-state CDC throughput mode
+            # last-writer-wins + staggered per-bucket compaction
+            # between micro-batches — the steady-state CDC throughput
+            # mode (compact_policy: incremental | inline | off)
             merge_mode=target.get("merge_mode", "rewrite"),
             max_deltas=int(target.get("max_deltas", 8)),
+            compact_policy=target.get("compact_policy", "incremental"),
         )
         return BucketedCdcApplySink(table), table
     if kind == "parquet":
