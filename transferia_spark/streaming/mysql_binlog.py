@@ -508,7 +508,11 @@ def encode_packet(payload: bytes, seq: int) -> bytes:
     return len(payload).to_bytes(3, "little") + bytes([seq & 0xFF]) + payload
 
 
-def packet_stream(read: Callable[[int], bytes]):
+def packet_stream(
+    read: Callable[[int], bytes],
+    poll: Callable[[float], bool] | None = None,
+    idle_timeout: float = 0.5,
+):
     """Parse the COM_BINLOG_DUMP response packet stream into raw binlog
     EVENT byte strings — the glue between a socket and
     :class:`BinlogTailer` (``BinlogTailer(packet_stream(
@@ -520,10 +524,21 @@ def packet_stream(read: Callable[[int], bytes]):
     (0xFE with short payload) or socket EOF ends the stream. Sequence
     numbers are checked modulo 256 — a gap means a desynced stream and
     must be loud, not silently decoded garbage.
+
+    A live server never ends the dump stream — the same bounded-drain
+    exits as the PG side (pg_replication.message_stream): ``poll``
+    (from ``dial``) ends the parse when the socket stays idle past
+    ``idle_timeout``, and a ``TimeoutError`` on the packet BOUNDARY is
+    a clean end-of-catch-up (mid-packet timeouts still raise).
     """
     expect_seq: int | None = None
     while True:
-        head = read(4)
+        if poll is not None and not poll(idle_timeout):
+            return  # caught up: nothing buffered within the idle window
+        try:
+            head = read(4)
+        except TimeoutError:
+            return  # idle server between packets: clean end-of-catch-up
         if not head:
             return
         if len(head) < 4:
@@ -753,6 +768,448 @@ class BinlogTailer:
         self._flush()
 
 
+# ------------------------------------- session establishment (startup)
+#
+# The last layer between the event codecs above and a live server —
+# the client half of the public "Connection Phase" docs: HandshakeV10
+# decode, HandshakeResponse41 with a mysql_native_password /
+# caching_sha2_password scramble, auth-switch / fast-auth
+# continuations, then COM_BINLOG_DUMP_GTID presenting the persisted
+# executed GTID set. ≈ ``mysql/canal.go`` (the reference's canal
+# client performs the same dance before streaming events). Transport
+# stays injectable: ``MySqlWireSession`` drives any (read, write) byte
+# callables — a socket or a scripted test duplex.
+
+AUTH_MORE_DATA = 0x01
+
+CLIENT_LONG_PASSWORD = 0x00000001
+CLIENT_CONNECT_WITH_DB = 0x00000008
+CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SECURE_CONNECTION = 0x00008000
+CLIENT_PLUGIN_AUTH = 0x00080000
+CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA = 0x00200000
+
+#: capabilities this client presents (utf8 charset 33, no TLS — the
+#: caching_sha2 FULL-auth path needs TLS/RSA and is rejected loudly)
+CLIENT_CAPABILITIES = (
+    CLIENT_LONG_PASSWORD
+    | CLIENT_PROTOCOL_41
+    | CLIENT_SECURE_CONNECTION
+    | CLIENT_PLUGIN_AUTH
+    | CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA
+)
+
+
+@dataclass
+class HandshakeV10:
+    server_version: str
+    thread_id: int
+    scramble: bytes  # the 20-byte auth nonce (part1 + part2, NUL-trimmed)
+    capabilities: int
+    charset: int
+    status: int
+    auth_plugin: str
+
+
+def decode_handshake_v10(payload: bytes) -> HandshakeV10:
+    """Server greeting (protocol version 10), per the public
+    "Protocol::HandshakeV10" layout."""
+    if payload[0] != 10:
+        raise ValueError(
+            f"unsupported handshake protocol version {payload[0]}"
+        )
+    end = payload.index(b"\x00", 1)
+    server_version = payload[1:end].decode()
+    pos = end + 1
+    (thread_id,) = struct.unpack_from("<I", payload, pos)
+    pos += 4
+    part1 = payload[pos:pos + 8]
+    pos += 8 + 1  # + filler
+    (cap_low,) = struct.unpack_from("<H", payload, pos)
+    pos += 2
+    charset = payload[pos]
+    pos += 1
+    (status,) = struct.unpack_from("<H", payload, pos)
+    pos += 2
+    (cap_high,) = struct.unpack_from("<H", payload, pos)
+    pos += 2
+    capabilities = cap_low | (cap_high << 16)
+    auth_len = payload[pos]
+    pos += 1 + 10  # + reserved
+    part2 = b""
+    if capabilities & CLIENT_SECURE_CONNECTION:
+        n2 = max(13, auth_len - 8)
+        part2 = payload[pos:pos + n2]
+        pos += n2
+    scramble = (part1 + part2).rstrip(b"\x00")
+    auth_plugin = ""
+    if capabilities & CLIENT_PLUGIN_AUTH:
+        end = payload.index(b"\x00", pos)
+        auth_plugin = payload[pos:end].decode()
+    return HandshakeV10(
+        server_version, thread_id, scramble, capabilities, charset,
+        status, auth_plugin,
+    )
+
+
+def mysql_native_scramble(password: str, nonce: bytes) -> bytes:
+    """``SHA1(pwd) XOR SHA1(nonce + SHA1(SHA1(pwd)))`` — the public
+    mysql_native_password recipe (20 bytes)."""
+    import hashlib
+
+    if not password:
+        return b""
+    h1 = hashlib.sha1(password.encode()).digest()
+    h2 = hashlib.sha1(h1).digest()
+    mask = hashlib.sha1(nonce + h2).digest()
+    return bytes(a ^ b for a, b in zip(h1, mask))
+
+
+def caching_sha2_scramble(password: str, nonce: bytes) -> bytes:
+    """``SHA256(pwd) XOR SHA256(SHA256(SHA256(pwd)) + nonce)`` — the
+    public caching_sha2_password fast-auth recipe (32 bytes)."""
+    import hashlib
+
+    if not password:
+        return b""
+    h1 = hashlib.sha256(password.encode()).digest()
+    h2 = hashlib.sha256(hashlib.sha256(h1).digest() + nonce).digest()
+    return bytes(a ^ b for a, b in zip(h1, h2))
+
+
+def scramble_for(plugin: str, password: str, nonce: bytes) -> bytes:
+    if plugin in ("mysql_native_password", ""):
+        return mysql_native_scramble(password, nonce)
+    if plugin == "caching_sha2_password":
+        return caching_sha2_scramble(password, nonce)
+    raise ValueError(
+        f"unsupported auth plugin {plugin!r}; this client implements "
+        "mysql_native_password and caching_sha2_password (fast path)"
+    )
+
+
+def encode_handshake_response(
+    user: str,
+    auth_response: bytes,
+    plugin: str,
+    database: str | None = None,
+    charset: int = 33,
+    max_packet: int = 1 << 24,
+) -> bytes:
+    """Protocol::HandshakeResponse41 payload (packet framing applied by
+    the caller — seq 1 follows the server's greeting at seq 0)."""
+    caps = CLIENT_CAPABILITIES
+    if database:
+        caps |= CLIENT_CONNECT_WITH_DB
+    out = struct.pack("<IIB", caps, max_packet, charset) + b"\x00" * 23
+    out += user.encode() + b"\x00"
+    out += encode_lenenc(len(auth_response)) + auth_response
+    if database:
+        out += database.encode() + b"\x00"
+    out += plugin.encode() + b"\x00"
+    return out
+
+
+def encode_gtid_set_binary(gset: dict[str, list[list[int]]]) -> bytes:
+    """The SID block of COM_BINLOG_DUMP_GTID: n_sids u64, then per SID
+    the 16 uuid bytes + n_intervals u64 + (start u64, end u64) pairs
+    with EXCLUSIVE ends — the wire form of the executed-set algebra
+    ``parse_gtid_set`` keeps."""
+    out = struct.pack("<Q", len(gset))
+    for sid in sorted(gset):
+        ivs = gset[sid]
+        out += bytes.fromhex(sid.replace("-", ""))
+        out += struct.pack("<Q", len(ivs))
+        for lo, hi in ivs:
+            out += struct.pack("<QQ", lo, hi + 1)
+    return out
+
+
+COM_QUERY = 0x03
+COM_BINLOG_DUMP_GTID = 0x1E
+
+
+def encode_com_binlog_dump_gtid(
+    server_id: int,
+    gtid_set: dict[str, list[list[int]]],
+    filename: str = "",
+    pos: int = 4,
+    flags: int = 0,
+) -> bytes:
+    """COM_BINLOG_DUMP_GTID payload: the server resumes the event
+    stream at the first transaction NOT in the presented executed set
+    (≈ canal.go's StartBackupGTID)."""
+    sid_block = encode_gtid_set_binary(gtid_set)
+    return (
+        bytes([COM_BINLOG_DUMP_GTID])
+        + struct.pack("<HI", flags, server_id)
+        + struct.pack("<I", len(filename))
+        + filename.encode()
+        + struct.pack("<Q", pos)
+        + struct.pack("<I", len(sid_block))
+        + sid_block
+    )
+
+
+class MySqlWireSession:
+    """Connection establishment + OK-commands + the binlog-dump switch
+    over injectable ``read(n)``/``write(bytes)`` callables.
+
+    The full live path::
+
+        sess = MySqlWireSession(sock.recv_exact, sock.sendall)
+        sess.connect(user="repl", password=pw)
+        sess.query_ok("SET @master_binlog_checksum='CRC32'")
+        events = sess.start_binlog_dump_gtid(server_id=1234, gtid_set=s)
+        BinlogTailer(events, out_dir).run()
+    """
+
+    def __init__(
+        self,
+        read: Callable[[int], bytes],
+        write: Callable[[bytes], None],
+    ):
+        self._read = read
+        self._write = write
+        self._seq = 0
+        self.handshake: HandshakeV10 | None = None
+
+    def _recv_packet(self) -> bytes:
+        head = self._read(4)
+        if len(head) < 4:
+            raise ValueError(
+                f"truncated mysql packet header: got {len(head)} of 4 bytes"
+            )
+        ln = int.from_bytes(head[:3], "little")
+        self._seq = (head[3] + 1) & 0xFF
+        payload = self._read(ln) if ln else b""
+        if ln and len(payload) < ln:
+            raise ValueError(
+                f"truncated mysql packet: header promised {ln} bytes, "
+                f"got {len(payload)}"
+            )
+        if payload[:1] == bytes([ERR_HEADER]):
+            raise decode_err_packet(payload)
+        return payload
+
+    def _send_packet(self, payload: bytes) -> None:
+        self._write(encode_packet(payload, self._seq))
+        self._seq = (self._seq + 1) & 0xFF
+
+    def connect(
+        self, user: str, password: str = "", database: str | None = None
+    ) -> None:
+        """HandshakeV10 → HandshakeResponse41 → auth continuations
+        (auth-switch; caching_sha2 fast-auth) → OK."""
+        hs = decode_handshake_v10(self._recv_packet())
+        self.handshake = hs
+        plugin = hs.auth_plugin or "mysql_native_password"
+        self._send_packet(
+            encode_handshake_response(
+                user, scramble_for(plugin, password, hs.scramble),
+                plugin, database=database,
+            )
+        )
+        while True:
+            reply = self._recv_packet()
+            marker = reply[0] if reply else OK_HEADER
+            if marker == OK_HEADER:
+                return
+            if marker == EOF_HEADER:
+                # AuthSwitchRequest: plugin cstring + new nonce
+                end = reply.index(b"\x00", 1)
+                plugin = reply[1:end].decode()
+                nonce = reply[end + 1:].rstrip(b"\x00")
+                self._send_packet(scramble_for(plugin, password, nonce))
+            elif marker == AUTH_MORE_DATA:
+                if reply[1:2] == b"\x03":
+                    continue  # caching_sha2 fast-auth success → OK next
+                raise MySqlServerError(
+                    1045, "28000",
+                    "caching_sha2_password requires FULL authentication "
+                    "(server cache miss); the cleartext/RSA exchange "
+                    "needs TLS, which is out of scope — prime the "
+                    "server cache or use a mysql_native_password user",
+                )
+            else:
+                raise ValueError(
+                    f"unexpected auth continuation marker {marker:#04x}"
+                )
+
+    def query_ok(self, sql: str) -> None:
+        """COM_QUERY for statements that answer with a bare OK
+        (SET/FLUSH/...) — enough for session setup; result sets are out
+        of scope for the replication client."""
+        self._seq = 0  # each command restarts the sequence
+        self._send_packet(bytes([COM_QUERY]) + sql.encode())
+        reply = self._recv_packet()
+        if reply[:1] != bytes([OK_HEADER]):
+            raise ValueError(
+                f"expected OK for {sql!r}, got marker {reply[0]:#04x} "
+                "(result-set statements are not supported by the "
+                "replication client)"
+            )
+
+    def start_binlog_dump_gtid(
+        self,
+        server_id: int,
+        gtid_set: dict[str, list[list[int]]],
+        poll: Callable[[float], bool] | None = None,
+        idle_timeout: float = 0.5,
+    ):
+        """Send COM_BINLOG_DUMP_GTID; the connection becomes the event
+        stream ``BinlogTailer`` drains (poll-bounded when the transport
+        provides ``poll`` — same caught-up contract as the PG side)."""
+        self._seq = 0
+        self._send_packet(encode_com_binlog_dump_gtid(server_id, gtid_set))
+        return packet_stream(
+            self._read, poll=poll, idle_timeout=idle_timeout
+        )
+
+
+class MySqlLiveConnection:
+    """ONE long-lived binlog session reused across heartbeat ticks —
+    the MySQL twin of ``pg_replication.LiveReplicationConnection``
+    (≈ the reference's canal holding a single slave connection,
+    ``mysql/canal.go``).
+
+    Each ``drain()`` pulls the buffered events (poll-bounded), flushes
+    the binlog-JSON lines and persists the executed GTID set; on
+    EOF/errors the next drain reconnects and presents the PERSISTED
+    set to COM_BINLOG_DUMP_GTID, so the server resumes at the first
+    un-replayed transaction."""
+
+    def __init__(
+        self,
+        live: dict,
+        out_dir: str,
+        transport_factory: Callable[..., tuple] | None = None,
+        column_names: dict[str, list[str]] | None = None,
+    ):
+        from transferia_spark.streaming.pg_replication import dial
+
+        self.live = live
+        self.out_dir = out_dir
+        self._factory = transport_factory or dial
+        self._column_names = column_names
+        self._close: Callable[[], None] | None = None
+        self._read: Callable[[int], bytes] | None = None
+        self._poll: Callable[[float], bool] | None = None
+        self._tailer: BinlogTailer | None = None
+        self._eof = False
+        self.connects = 0
+
+    @property
+    def connected(self) -> bool:
+        return self._close is not None and not self._eof
+
+    def _connect(self) -> None:
+        live = self.live
+        read, write, close, poll = self._factory(
+            live["host"], int(live.get("port", 3306)),
+            timeout=float(live.get("timeout", 30.0)),
+        )
+        self._eof = False
+
+        def tracked_read(n: int) -> bytes:
+            b = read(n)
+            if len(b) < n:
+                self._eof = True
+            return b
+
+        try:
+            sess = MySqlWireSession(tracked_read, write)
+            sess.connect(
+                user=live["user"], password=live.get("password", ""),
+                database=live.get("database"),
+            )
+            # announce checksum awareness (8.0 streams CRC32 by default;
+            # FORMAT_DESCRIPTION still decides per-event)
+            sess.query_ok("SET @master_binlog_checksum='CRC32'")
+        except BaseException:
+            close()
+            raise
+        os.makedirs(self.out_dir, exist_ok=True)
+        self._tailer = BinlogTailer(
+            iter(()), self.out_dir, column_names=self._column_names
+        )
+        existing = [
+            int(n_.split(".")[0])
+            for n_ in os.listdir(self.out_dir)
+            if n_.endswith(".jsonl") and n_.split(".")[0].isdigit()
+        ]
+        self._tailer._file_no = max(existing) + 1 if existing else 0
+        # resume from the PERSISTED executed set — the reconnect algebra
+        self._tailer.gtid_executed = load_gtid_state(self.out_dir)
+        self._sess = sess
+        self._read = tracked_read
+        self._poll = poll
+        self._close = close
+        self.connects += 1
+        self._stream_started = False
+
+    def drain(self) -> int:
+        if not self.connected:
+            self.close()
+            self._connect()
+        try:
+            if not self._stream_started:
+                self._tailer.recv = self._sess.start_binlog_dump_gtid(
+                    int(self.live.get("server_id", 43)),
+                    self._tailer.gtid_executed,
+                    poll=self._poll,
+                    idle_timeout=float(self.live.get("idle_timeout", 0.5)),
+                )
+                self._stream_started = True
+            else:
+                # fresh poll-bounded parser over the SAME open stream:
+                # the previous tick's generator returned at an idle
+                # boundary; packet framing is durable, parsing resumes
+                # where the last packet ended. Sequence continuity is
+                # re-established from the next packet's own number.
+                self._tailer.recv = packet_stream(
+                    self._read, poll=self._poll,
+                    idle_timeout=float(self.live.get("idle_timeout", 0.5)),
+                )
+            n = self._tailer.run()
+        except BaseException:
+            self.close()
+            raise
+        gtmp = os.path.join(self.out_dir, "_gtid.state.tmp")
+        with open(gtmp, "w") as f:
+            f.write(format_gtid_set(self._tailer.gtid_executed))
+        os.replace(gtmp, os.path.join(self.out_dir, "_gtid.state"))
+        if self._eof:
+            self.close()
+        return n
+
+    def close(self) -> None:
+        if self._close is not None:
+            try:
+                self._close()
+            except OSError:
+                pass
+            self._close = None
+        self._tailer = None
+        self._read = None
+        self._poll = None
+
+
+def mysql_live_drain_tcp(
+    live: dict,
+    out_dir: str,
+    column_names: dict[str, list[str]] | None = None,
+) -> int:
+    """``replication.source.live`` config → one bounded catch-up drain
+    over a real TCP connection (one-shot form; the heartbeat loop holds
+    a :class:`MySqlLiveConnection` instead)."""
+    conn = MySqlLiveConnection(live, out_dir, column_names=column_names)
+    try:
+        return conn.drain()
+    finally:
+        conn.close()
+
+
 def load_gtid_state(out_dir: str) -> dict[str, list[list[int]]]:
     """The executed GTID set accumulated across drains (what a live
     client would hand to COM_BINLOG_DUMP_GTID on reconnect)."""
@@ -827,6 +1284,17 @@ def drain_recorded_binlog(
 
 __all__ = [
     "BinlogTailer",
+    "HandshakeV10",
+    "MySqlLiveConnection",
+    "MySqlWireSession",
+    "caching_sha2_scramble",
+    "decode_handshake_v10",
+    "encode_com_binlog_dump_gtid",
+    "encode_gtid_set_binary",
+    "encode_handshake_response",
+    "mysql_live_drain_tcp",
+    "mysql_native_scramble",
+    "scramble_for",
     "DELETE_ROWS_EVENT_V2",
     "EventHeader",
     "FORMAT_DESCRIPTION_EVENT",

@@ -306,24 +306,36 @@ def build_replication_stream(
         source = {**source, "format": "waljson"}
         fmt = "waljson"
     if fmt == "mysqlwire":
-        # MySQL binlog wire sessions (recorded event captures under
-        # `frames_path`): decode row/query events into the binlog-JSON
-        # directory at `path`, then tail it with the binlogjson
-        # DataSource — the wire client (streaming/mysql_binlog.py)
-        # front-ending the same stream/offset path (canal.go analog)
-        from transferia_spark.streaming.mysql_binlog import (
-            drain_recorded_binlog,
-        )
+        # MySQL binlog wire sessions (live socket drain, or recorded
+        # event captures under `frames_path`): decode row/query events
+        # into the binlog-JSON directory at `path`, then tail it with
+        # the binlogjson DataSource — the wire client
+        # (streaming/mysql_binlog.py) front-ending the same
+        # stream/offset path (canal.go analog)
+        if source.get("live"):
+            from transferia_spark.streaming.mysql_binlog import (
+                mysql_live_drain_tcp,
+            )
 
-        if not source.get("frames_path"):
+            mysql_live_drain_tcp(
+                source["live"], source["path"],
+                column_names=source.get("column_names"),
+            )
+        elif source.get("frames_path"):
+            from transferia_spark.streaming.mysql_binlog import (
+                drain_recorded_binlog,
+            )
+
+            drain_recorded_binlog(
+                source["frames_path"], source["path"],
+                column_names=source.get("column_names"),
+            )
+        else:
             raise FatalError(
                 "replication.source format mysqlwire needs frames_path: "
-                "<dir of recorded binlog event captures>"
+                "<dir of recorded binlog event captures> or live: "
+                "{host, port, user, password, server_id, ...}"
             )
-        drain_recorded_binlog(
-            source["frames_path"], source["path"],
-            column_names=source.get("column_names"),
-        )
         source = {**source, "format": "binlogjson"}
         fmt = "binlogjson"
     if fmt not in formats:
@@ -683,6 +695,15 @@ def run_replication(
                     )
 
                     live_drain_tcp(src["live"], src["path"])
+                elif src.get("format") == "mysqlwire" and src.get("live"):
+                    from transferia_spark.streaming.mysql_binlog import (
+                        mysql_live_drain_tcp,
+                    )
+
+                    mysql_live_drain_tcp(
+                        src["live"], src["path"],
+                        column_names=src.get("column_names"),
+                    )
                 position = source_position(
                     src["format"], source_schema_ddl(src), src["path"],
                     frames_path=src.get("frames_path"),
@@ -774,14 +795,26 @@ def run_replication(
     # slots (r7 verdict "What's missing" 2)
     live_conn = None
 
-    def _tick_live_drain(live_cfg: dict, path: str) -> None:
+    def _tick_live_drain(src_cfg: dict) -> None:
         nonlocal live_conn
-        from transferia_spark.streaming.pg_replication import (
-            LiveReplicationConnection,
-        )
-
         if live_conn is None:
-            live_conn = LiveReplicationConnection(live_cfg, path)
+            if src_cfg.get("format") == "pgwire":
+                from transferia_spark.streaming.pg_replication import (
+                    LiveReplicationConnection,
+                )
+
+                live_conn = LiveReplicationConnection(
+                    src_cfg["live"], src_cfg["path"]
+                )
+            else:
+                from transferia_spark.streaming.mysql_binlog import (
+                    MySqlLiveConnection,
+                )
+
+                live_conn = MySqlLiveConnection(
+                    src_cfg["live"], src_cfg["path"],
+                    column_names=src_cfg.get("column_names"),
+                )
         live_conn.drain()
 
     def _close_live() -> None:
@@ -854,8 +887,10 @@ def run_replication(
                 # .get guard matches source_position's optional
                 # frames_path contract (build_replication_stream already
                 # raised FatalError on a missing one at activation)
-                if src.get("format") == "pgwire" and src.get("live"):
-                    _tick_live_drain(src["live"], src["path"])
+                if src.get("format") in ("pgwire", "mysqlwire") and src.get(
+                    "live"
+                ):
+                    _tick_live_drain(src)
                 elif src.get("format") == "pgwire" and src.get("frames_path"):
                     from transferia_spark.streaming.pg_replication import (
                         drain_recorded_frames,
