@@ -697,14 +697,14 @@ def test_incremental_compaction_no_full_table_fold(spark, tmp_path):
     # no batch folded the full table; folding did happen
     assert max(folds_per_batch) < n_buckets, folds_per_batch
     assert sum(folds_per_batch) > 0
-    # per-bucket pending tail is bounded by max_deltas
+    # per-bucket pending tail is bounded by the staggered ceiling
     doc = dt._manifest_doc()
     counts: dict[int, int] = {}
     for d in doc["deltas"]:
         for bk in dt._delta_buckets(d):
             if d > doc["folded"].get(bk, -1):
                 counts[bk] = counts.get(bk, 0) + 1
-    assert all(c <= md for c in counts.values()), counts
+    assert all(c < 2 * md for c in counts.values()), counts
     # state identical to eager merging
     want = sorted((r.id, r.v) for r in rw.read().collect())
     got = sorted((r.id, r.v) for r in dt.read().collect())
