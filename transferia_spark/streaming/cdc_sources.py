@@ -314,69 +314,51 @@ class BinlogJsonDataSource(DataSource):
         return BinlogJsonStreamReader(schema, self.options)
 
 
+def _extract_binlog(ev: dict):
+    for side in ("before", "after"):
+        vals = ev.get(side)
+        if isinstance(vals, dict):
+            yield from vals.items()
+
+
 def probe_binlog_schema(path: str, base_ddl: str):
     """Relation-message analog for the recorded binlog (≈ the reference
     re-resolving the table schema on a DDL event,
     publisher_replication.go:202): scan row events for column names not
     in the base schema, infer types from their JSON values, and evolve
     widening-only (new columns append nullable — schema_drift.evolve's
-    contract). Returns the evolved StructType."""
-    from transferia_spark.streaming.schema_drift import evolve, infer_json_type
+    contract); a DECLARED column streaming an incompatible kind (a
+    retyping DDL) raises loudly. The scan is incremental: capture files
+    already probed are skipped (r7 verdict item 8). Returns the
+    evolved StructType."""
+    from transferia_spark.streaming.schema_drift import incremental_probe
 
-    st = T._parse_datatype_string(base_ddl)
-    known = {f.name for f in st.fields}
-    inferred: dict[str, T.DataType] = {}
-    # best-effort inference: poison lines (already dead-lettered by
-    # read()) must not turn the drift restart fatal
-    for f in _scan_files(path):
-        for ev in _events(f, skip_bad=True):
-            if not isinstance(ev, dict):
-                continue
-            for side in ("before", "after"):
-                vals = ev.get(side)
-                if not isinstance(vals, dict):
-                    continue
-                for k, v in vals.items():
-                    if k not in known and k not in inferred and v is not None:
-                        inferred[k] = infer_json_type(v)
-    probed = T.StructType(
-        list(st.fields)
-        + [T.StructField(k, t, True) for k, t in sorted(inferred.items())]
+    return incremental_probe(
+        "binlog", path, _scan_files(path), base_ddl, _extract_binlog
     )
-    return evolve(st, probed)
+
+
+def _extract_change_stream(ev: dict):
+    full = ev.get("fullDocument")
+    if isinstance(full, dict):
+        yield from full.items()
+    upd = ev.get("updateDescription")
+    if isinstance(upd, dict) and isinstance(upd.get("updatedFields"), dict):
+        yield from upd["updatedFields"].items()
 
 
 def probe_change_stream_schema(path: str, base_ddl: str) -> T.StructType:
     """Schema probe for the Mongo change-stream capture format: new
     document fields appear in ``fullDocument`` images and partial
     ``updateDescription.updatedFields`` — Mongo has no DDL, the
-    documents themselves ARE the schema drift."""
-    from transferia_spark.streaming.schema_drift import evolve, infer_json_type
+    documents themselves ARE the schema drift. Incremental + loud on
+    retypes, like the binlog probe."""
+    from transferia_spark.streaming.schema_drift import incremental_probe
 
-    st = T._parse_datatype_string(base_ddl)
-    known = {f.name for f in st.fields}
-    inferred: dict[str, T.DataType] = {}
-    for f in _scan_files(path):
-        for ev in _events(f, skip_bad=True):
-            if not isinstance(ev, dict):
-                continue
-            full = ev.get("fullDocument")
-            upd = ev.get("updateDescription")
-            sides = (
-                full if isinstance(full, dict) else {},
-                (upd or {}).get("updatedFields") or {}
-                if isinstance(upd, dict)
-                else {},
-            )
-            for side in sides:
-                for k, v in side.items():
-                    if k not in known and k not in inferred and v is not None:
-                        inferred[k] = infer_json_type(v)
-    probed = T.StructType(
-        list(st.fields)
-        + [T.StructField(k, t, True) for k, t in sorted(inferred.items())]
+    return incremental_probe(
+        "mongostream", path, _scan_files(path), base_ddl,
+        _extract_change_stream,
     )
-    return evolve(st, probed)
 
 
 def probe_stream_schema(fmt: str, path: str, base_ddl: str) -> T.StructType:

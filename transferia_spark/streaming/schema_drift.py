@@ -74,6 +74,131 @@ def infer_json_type(v) -> T.DataType:
     return T.StringType()
 
 
+def json_kind_compatible(declared: T.DataType, v) -> bool:
+    """Can a JSON-decoded stream value inhabit the DECLARED column
+    type? The check is deliberately coarse (a JSON number can feed any
+    numeric width; strings feed string/temporal/binary/decimal) — it
+    exists to catch RETYPING DDL (numeric column now streaming text,
+    text column now streaming numbers), which widening-only evolution
+    cannot express and which previously left the stream schema silently
+    stale (r6 item 6 / r7 verdict item 7)."""
+    if isinstance(v, bool):
+        return isinstance(declared, (T.BooleanType, T.StringType))
+    if isinstance(v, int):
+        return isinstance(
+            declared,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType),
+        )
+    if isinstance(v, float):
+        return isinstance(
+            declared, (T.FloatType, T.DoubleType, T.DecimalType)
+        )
+    if isinstance(v, str):
+        return isinstance(
+            declared,
+            (T.StringType, T.CharType, T.VarcharType, T.DateType,
+             T.TimestampType, T.TimestampNTZType, T.BinaryType,
+             T.DecimalType),
+        )
+    return True  # nested/unknown kinds: out of the check's scope
+
+
+class ProbeScanCache:
+    """Incremental probe-scan state for one capture directory: the set
+    of (file, size) already scanned and the LATEST non-null sample per
+    column. Capture files are immutable once visible (the tailers write
+    whole files atomically via os.replace), so a drift restart only
+    scans NEW files instead of the whole history (r6 item 5 / r7
+    verdict item 8); a same-name file whose size changed is rescanned.
+    """
+
+    def __init__(self):
+        self.scanned: dict[str, int] = {}  # basename -> size
+        self.samples: dict[str, object] = {}  # column -> latest sample
+
+
+#: per-(probe-kind, capture-dir) caches, process-lifetime — drift
+#: restarts happen in the supervisor's own process, so this bounds the
+#: re-probe cost without any on-disk state
+_probe_caches: dict[tuple[str, str], ProbeScanCache] = {}
+
+
+def probe_scan_cache(kind: str, path: str) -> ProbeScanCache:
+    key = (kind, os.path.abspath(path))
+    return _probe_caches.setdefault(key, ProbeScanCache())
+
+
+def incremental_probe(
+    kind: str,
+    path: str,
+    files: list[str],
+    base_ddl: str,
+    extract,
+) -> T.StructType:
+    """Shared engine of the per-format schema probes: scan only files
+    the cache hasn't seen, fold every observed (column, value) pair
+    into the latest-sample map via ``extract(event) -> iterable of
+    (column, value)``, then
+
+    - APPEND columns absent from the declared schema (widening-only
+      evolution, nullable), and
+    - raise loudly when a DECLARED column's latest observed value is
+      incompatible with its declared type — a retyping DDL that
+      widening-only evolution cannot express must stop the transfer
+      with a named column, not silently dead-letter every later row.
+
+    Poison lines are skipped (they are already dead-lettered by the
+    read path; a drift restart must not turn them fatal)."""
+    import json as _json
+
+    cache = probe_scan_cache(kind, path)
+    for f in files:
+        name = os.path.basename(f)
+        try:
+            size = os.path.getsize(f)
+        except OSError:
+            continue
+        if cache.scanned.get(name) == size:
+            continue
+        with open(f) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                try:
+                    ev = _json.loads(line)
+                except ValueError:
+                    continue
+                if not isinstance(ev, dict):
+                    continue
+                for col, val in extract(ev):
+                    if col and val is not None:
+                        cache.samples[col] = val
+        cache.scanned[name] = size
+    st = T._parse_datatype_string(base_ddl)
+    declared = {f.name: f.dataType for f in st.fields}
+    inferred: dict[str, T.DataType] = {}
+    for k, v in cache.samples.items():
+        if k in declared:
+            if not json_kind_compatible(declared[k], v):
+                raise ValueError(
+                    f"incompatible drift on column {k!r}: declared "
+                    f"{declared[k].simpleString()}, but the stream now "
+                    f"carries {type(v).__name__} value {v!r} — a "
+                    "retyping DDL cannot be expressed by widening-only "
+                    "evolution; update the declared schema "
+                    "(schema/schema_file) to the new type and "
+                    "re-activate the transfer"
+                )
+        else:
+            inferred[k] = infer_json_type(v)
+    probed = T.StructType(
+        list(st.fields)
+        + [T.StructField(k, t, True) for k, t in sorted(inferred.items())]
+    )
+    return evolve(st, probed)
+
+
 def evolve(old: T.StructType, new: T.StructType) -> T.StructType:
     """Widening-only merge: old column order is preserved (dropped
     columns become nullable holes the sink keeps), new columns append

@@ -401,42 +401,17 @@ def probe_wal_schema(path: str, base_ddl: str) -> T.StructType:
     schema, infers types from the JSON values, and evolves
     widening-only (new columns append nullable, ``schema_drift.evolve``
     contract). Returns the evolved StructType."""
-    from transferia_spark.streaming.schema_drift import evolve, infer_json_type
+    from transferia_spark.streaming.schema_drift import incremental_probe
 
-    st = T._parse_datatype_string(base_ddl)
-    known = {f.name for f in st.fields}
-    inferred: dict[str, T.DataType] = {}
-    for f in _scan_files(path):
-        with open(f) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                # schema probing is best-effort inference: a poison
-                # line (already dead-lettered by read()) must not turn
-                # the drift restart fatal — skip it
-                try:
-                    ev = json.loads(line)
-                except ValueError:
-                    continue
-                if not isinstance(ev, dict):
-                    continue
-                for side in ("columns", "identity"):
-                    for c in ev.get(side) or []:
-                        if not isinstance(c, dict):
-                            continue
-                        k, v = c.get("name"), c.get("value")
-                        if (
-                            k
-                            and k not in known
-                            and k not in inferred
-                            and v is not None
-                        ):
-                            inferred[k] = infer_json_type(v)
-    probed = T.StructType(
-        list(st.fields)
-        + [T.StructField(k, t, True) for k, t in sorted(inferred.items())]
+    def extract(ev: dict):
+        for side in ("columns", "identity"):
+            for c in ev.get(side) or []:
+                if isinstance(c, dict):
+                    yield c.get("name"), c.get("value")
+
+    return incremental_probe(
+        "waljson", path, _scan_files(path), base_ddl, extract
     )
-    return evolve(st, probed)
 
 
 class WalJsonDataSource(DataSource):
