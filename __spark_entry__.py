@@ -1212,6 +1212,87 @@ def q_shard_fallback_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "kind string, idx int, predicate string")
 
 
+def q_elastic_scroll_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic/OpenSearch sliced-scroll read planning
+    (sources/elastic.py ≈ elastic/storage.go LoadTable:98-110 +
+    typesystem.go): the per-slice opening request strings (slice
+    id/max body, scroll keepalive path) and the mapping→Spark type
+    matrix, hash-compared against a SQL oracle — the driver-scored
+    upgrade of the plan-only storage (r6 item 7 / r7 item 9)."""
+    from transferia_spark.sources.elastic import (
+        mapping_to_schema,
+        scroll_open_path,
+        slice_request_body,
+    )
+
+    rows = [
+        ("search", i, scroll_open_path("documents") + " "
+         + slice_request_body(i, 8, 500))
+        for i in range(8)
+    ]
+    # a single-slice read omits the slice clause entirely
+    rows.append(("search_single", 0, slice_request_body(0, 1, 500)))
+    mapping = {"properties": {
+        "a_long": {"type": "long"}, "b_int": {"type": "integer"},
+        "c_double": {"type": "double"}, "d_keyword": {"type": "keyword"},
+        "e_text": {"type": "text"}, "f_bool": {"type": "boolean"},
+        "g_date": {"type": "date"}, "h_ip": {"type": "ip"},
+        "i_bin": {"type": "binary"}, "j_obj": {"type": "object"},
+        "k_geo": {"type": "geo_point"},  # unmapped type → any-type rule
+        "l_uns": {"type": "unsigned_long"},
+    }}
+    st = mapping_to_schema(mapping)
+    rows += [
+        ("type", i, f"{f.name}={f.dataType.simpleString()}")
+        for i, f in enumerate(st.fields)
+    ]
+    return spark.createDataFrame(rows, "kind string, idx int, val string")
+
+
+def q_gpfdist_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenplum gpfdist load planning (sinks/greenplum.py ≈
+    greenplum/ddl_operations.go): the READABLE EXTERNAL TABLE DDL +
+    INSERT..SELECT strings the sink issues, and the actual TEXT-format
+    lines (tab-delimited, ``\\N`` nulls) computed over the customer
+    table by the Catalyst line builder — both hash-compared against a
+    SQL oracle recomputing them (r6 item 7 / r7 item 9)."""
+    from transferia_spark.sinks.greenplum import (
+        ext_name,
+        gpfdist_text_line,
+        insert_from_select,
+        pg_name,
+        readable_external_table_ddl,
+    )
+
+    t = TableID("public", "customer")
+    ddl = readable_external_table_ddl(
+        t,
+        [("c_custkey", "bigint"), ("c_name", "text"), ("c_acctbal",
+                                                       "double precision")],
+        ["gpfdist://seg1:8080/customer*", "gpfdist://seg2:8080/customer*"],
+    )
+    ins = insert_from_select(
+        pg_name(t), ext_name(t), ["c_custkey", "c_name", "c_acctbal"]
+    )
+    meta = spark.createDataFrame(
+        [("ddl", 0, ddl), ("insert", 0, ins)],
+        "kind string, idx int, val string",
+    )
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "acct",
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal")),  # negatives → NULL → \N lines
+    )
+    lines = cust.select(
+        F.lit("line").alias("kind"),
+        F.col("c_custkey").cast("int").alias("idx"),
+        gpfdist_text_line(cust, ["c_name", "c_mktsegment", "acct"]).alias(
+            "val"
+        ),
+    )
+    return meta.unionByName(lines)
+
+
 def q_mongo_id_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo parallel-unit planning (sources/mongo.py plan_id_ranges ≈
     ShardTable): sampled delimiters become half-open [from, to) _id
@@ -3558,83 +3639,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver scores the FIRST 50
-    entries in dict order. Round-6 window: (a) the 7 queries new this
-    round (replicate_controls, dedup_incremental_store,
-    embed_ann_pipeline, oracle_rowid_plan, clickhouse_read_plan,
-    shard_fallback_plans, dedup_stream_ingest), (b) the 7 queries whose
-    implementation paths changed this round (dead-letter routing +
-    durable offset floors in the wal/binlog/mongo readers, the
-    multi-table batch persist, the delta_log unreplayable guard, and
-    the pairs_from_bands refactor in the LSH family), (c) the 4 entries
-    the round-5 comment CLAIMED were in-window but sat at positions
-    51-54 (ADVICE r5), and (d) the 32 oldest-green r3-scored entries
-    rotating back into the official record. (a)+(b)+(c)+(d) =
-    7+7+4+32 = 50 exactly. The tail (ann_ivf onward) holds r04/r05
-    green rows and stays verified by ``python scripts/driver_sim.py``
+    entries in dict order. Round-8 window: (a) the 2 queries new this
+    round (elastic_scroll_plan, gpfdist_plan — the last two plan-only
+    storages upgraded to driver rows), (b) the 9 queries whose
+    implementation paths changed in rounds 7-8 (the merge-on-read
+    delta layer + per-bucket incremental compaction under
+    cdc_merge_delta / cdc_merge_bucketed / the replicate family, the
+    mysql keyword-less-DDL scope fix, the incremental loud-retype
+    schema probes, and the band-index watermark seeding) — including
+    cdc_merge_delta, which r7 shipped unscored (r7 verdict item 2),
+    and (c) the 39 oldest-green r04/r05 rows rotating back into the
+    official record. 2+9+39 = 50 exactly. The tail holds r07-green and
+    younger rows and stays verified by ``python scripts/driver_sim.py``
     over ALL entries.
     """
     return {
-        # -- (a) round-6 new surface: controls routing, persisted
-        # band index, embed→ANN composition — never scored --------
-        "replicate_controls": q_replicate_controls,
-        "dedup_incremental_store": q_dedup_incremental_store,
-        "embed_ann_pipeline": q_embed_ann_pipeline,
-        "oracle_rowid_plan": q_oracle_rowid_plan,
-        "clickhouse_read_plan": q_clickhouse_read_plan,
-        "shard_fallback_plans": q_shard_fallback_plans,
-        "dedup_stream_ingest": q_dedup_stream_ingest,
-        # -- (b) code changed in round 6: reader dead-letter +
-        # offset floors, multi-table persist, delta guard, LSH
-        # pairs refactor — re-score ------------------------------
-        "replicate_yaml": q_replicate_yaml,
-        "replicate_multi_table": q_replicate_multi_table,
-        "mongo_change_stream": q_mongo_change_stream,
+        # -- (a) NEW this round: the two plan-only storages
+        # upgraded to driver rows (r6 item 7 / r7 item 9) ------
+        "elastic_scroll_plan": q_elastic_scroll_plan,
+        "gpfdist_plan": q_gpfdist_plan,
+        # -- (b) r7/r8-changed paths: merge-on-read delta apply +
+        # incremental compaction (bucketed table), the mysql DDL
+        # fallback scope fix, format-routed probes, the live
+        # session wiring in the replicate verb, and the band-index
+        # watermark seeding — re-score ---------------------------
+        "cdc_merge_delta": q_cdc_merge_delta,
+        "cdc_merge_bucketed": q_cdc_merge_bucketed,
         "mysql_cdc_envelope": q_mysql_cdc_envelope,
-        "delta_scan": q_delta_scan,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        # -- (c) ADVICE r5: claimed in-window last round but sat
-        # at positions 51-54 — actually scored now ---------------
-        "middleware_chain": q_middleware_chain,
-        "mask_field": q_mask_field,
-        "filter_columns": q_filter_columns,
-        "regex_replace": q_regex_replace,
-        # -- (d) oldest green rows (r3) rotate back into the
-        # official record ----------------------------------------
-        "tpch_q5ish": q_tpch_q5ish,
-        "tpch_q4ish": q_tpch_q4ish,
-        "tpch_q14ish": q_tpch_q14ish,
-        "tpch_q16ish": q_tpch_q16ish,
-        "tpch_q7ish": q_tpch_q7ish,
-        "tpch_q10ish": q_tpch_q10ish,
-        "tpch_q22ish": q_tpch_q22ish,
-        "tpch_q12ish": q_tpch_q12ish,
-        "tpch_q15ish": q_tpch_q15ish,
-        "tpch_q19ish": q_tpch_q19ish,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q18ish": q_tpch_q18ish,
-        "window_topk": q_window_topk,
-        "events_sliding_rollup": q_events_sliding_rollup,
-        "asof_join": q_asof_join,
-        "salted_join": q_salted_join,
-        "interval_join": q_interval_join,
-        "percentile_stats": q_percentile_stats,
-        "two_phase_agg": q_two_phase_agg,
-        "events_hourly_rollup": q_events_hourly_rollup,
-        "range_join": q_range_join,
-        "rollup_agg": q_rollup_agg,
-        "set_ops": q_set_ops,
-        "scalar_funcs": q_scalar_funcs,
-        "mix_sources": q_mix_sources,
-        "audio_energy": q_audio_energy,
-        "image_resize": q_image_resize,
-        "convert_to_string": q_convert_to_string,
-        "convert_to_datetime": q_convert_to_datetime,
-        "replace_primary_key": q_replace_primary_key,
-        # -- tail: green rows from r04-r05; verified every round by
-        # scripts/driver_sim.py over ALL entries ------------------
+        "mongo_change_stream": q_mongo_change_stream,
+        "replicate_yaml": q_replicate_yaml,
+        "replicate_controls": q_replicate_controls,
+        "replicate_multi_table": q_replicate_multi_table,
+        "dedup_stream_ingest": q_dedup_stream_ingest,
+        "dedup_incremental_store": q_dedup_incremental_store,
+        # -- (c) the 39 oldest-green (r04/r05) rows rotate back
+        # into the official record -------------------------------
         "sharder": q_sharder,
         "problem_item_detector": q_problem_item_detector,
         "filter_access_log": q_filter_access_log,
@@ -3674,6 +3713,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_doc_grouper": q_raw_doc_grouper,
         "rename_tables": q_rename_tables,
         "mongo_pk_extender": q_mongo_pk_extender,
+        # -- tail: fresh r07 green rows and younger; verified
+        # every round by scripts/driver_sim.py over ALL entries --
+        "embed_ann_pipeline": q_embed_ann_pipeline,
+        "oracle_rowid_plan": q_oracle_rowid_plan,
+        "clickhouse_read_plan": q_clickhouse_read_plan,
+        "shard_fallback_plans": q_shard_fallback_plans,
+        "delta_scan": q_delta_scan,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "middleware_chain": q_middleware_chain,
+        "mask_field": q_mask_field,
+        "filter_columns": q_filter_columns,
+        "regex_replace": q_regex_replace,
+        "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q14ish": q_tpch_q14ish,
+        "tpch_q16ish": q_tpch_q16ish,
+        "tpch_q7ish": q_tpch_q7ish,
+        "tpch_q10ish": q_tpch_q10ish,
+        "tpch_q22ish": q_tpch_q22ish,
+        "tpch_q12ish": q_tpch_q12ish,
+        "tpch_q15ish": q_tpch_q15ish,
+        "tpch_q19ish": q_tpch_q19ish,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q18ish": q_tpch_q18ish,
+        "window_topk": q_window_topk,
+        "events_sliding_rollup": q_events_sliding_rollup,
+        "asof_join": q_asof_join,
+        "salted_join": q_salted_join,
+        "interval_join": q_interval_join,
+        "percentile_stats": q_percentile_stats,
+        "two_phase_agg": q_two_phase_agg,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "range_join": q_range_join,
+        "rollup_agg": q_rollup_agg,
+        "set_ops": q_set_ops,
+        "scalar_funcs": q_scalar_funcs,
+        "mix_sources": q_mix_sources,
+        "audio_energy": q_audio_energy,
+        "image_resize": q_image_resize,
+        "convert_to_string": q_convert_to_string,
+        "convert_to_datetime": q_convert_to_datetime,
+        "replace_primary_key": q_replace_primary_key,
         "jsonparser": q_jsonparser,
         "lambda": q_lambda,
         "yt_dict": q_yt_dict,
@@ -3703,8 +3787,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_collapse": q_cdc_collapse,
         "cdc_merge": q_cdc_merge,
         "snapshot_handoff": q_snapshot_handoff,
-        "cdc_merge_bucketed": q_cdc_merge_bucketed,
-        "cdc_merge_delta": q_cdc_merge_delta,
         "tpch_q2ish": q_tpch_q2ish,
         "tpch_q8": q_tpch_q8,
         "tpch_q9ish": q_tpch_q9ish,
@@ -3833,6 +3915,35 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY unit
         """,
         "oracle_rowid_plan": _sql_oracle_rowid_plan(),
+        "elastic_scroll_plan": """
+WITH s AS (SELECT unnest(range(8)) AS i)
+SELECT 'search' AS kind, CAST(i AS INTEGER) AS idx,
+       '/documents/_search?scroll=60m {"size": 500, "slice": {"id": '
+       || CAST(i AS VARCHAR) || ', "max": 8}}' AS val
+FROM s
+UNION ALL
+SELECT 'search_single', 0, '{"size": 500}'
+UNION ALL
+SELECT 'type', t.i, t.v FROM (VALUES
+  (0, 'a_long=bigint'), (1, 'b_int=int'), (2, 'c_double=double'),
+  (3, 'd_keyword=string'), (4, 'e_text=string'), (5, 'f_bool=boolean'),
+  (6, 'g_date=timestamp'), (7, 'h_ip=string'), (8, 'i_bin=binary'),
+  (9, 'j_obj=string'), (10, 'k_geo=string'),
+  (11, 'l_uns=decimal(20,0)')) t(i, v)
+""",
+        "gpfdist_plan": """
+SELECT 'ddl' AS kind, 0 AS idx,
+  $gp$CREATE READABLE EXTERNAL TABLE "public"."ext_customer" ("c_custkey" bigint, "c_name" text, "c_acctbal" double precision) LOCATION ('gpfdist://seg1:8080/customer*', 'gpfdist://seg2:8080/customer*') FORMAT 'TEXT' (DELIMITER E'\\t' NULL E'\\\\N')$gp$ AS val
+UNION ALL
+SELECT 'insert', 0,
+  $gp$INSERT INTO "public"."customer"("c_custkey", "c_name", "c_acctbal") SELECT "c_custkey", "c_name", "c_acctbal" FROM "public"."ext_customer"$gp$
+UNION ALL
+SELECT 'line', CAST(c_custkey AS INTEGER),
+  c_name || chr(9) || c_mktsegment || chr(9) ||
+  COALESCE(CAST(CASE WHEN c_acctbal < 0 THEN NULL
+                     ELSE c_acctbal END AS VARCHAR), '\\N')
+FROM customer
+""",
         "shard_fallback_plans": """
 WITH idx AS (SELECT unnest(range(8)) AS i)
 SELECT 'greenplum' AS kind, CAST(i AS INTEGER) AS idx,

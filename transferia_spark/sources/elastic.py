@@ -72,6 +72,24 @@ def mapping_to_schema(mapping: dict) -> T.StructType:
     return T.StructType(fields)
 
 
+def scroll_open_path(index: str) -> str:
+    """The slice-opening search request path (scroll keepalive rides
+    the query string)."""
+    return f"/{index}/_search?scroll={SCROLL_KEEPALIVE}"
+
+
+def slice_request_body(slice_id: int, n_slices: int, page_size: int) -> str:
+    """The sliced-scroll opening request body one Spark partition sends
+    for its slice (``slice.id``/``slice.max`` partition the index
+    server-side; a single-slice read omits the clause). Pure so the
+    generated request strings are driver-checkable against a SQL
+    oracle (the repo's generated-strings parity pattern)."""
+    body: dict = {"size": page_size}
+    if n_slices > 1:
+        body["slice"] = {"id": slice_id, "max": n_slices}
+    return json.dumps(body)
+
+
 @register_source
 class ElasticSource(Source):
     """Sliced-scroll parallel snapshot reads (shared by OpenSearch —
@@ -123,14 +141,13 @@ class ElasticSource(Source):
             for pdf in batches:
                 for slice_id in pdf["id"]:
                     client = factory(url)
-                    body = {"size": page_size}
-                    if n > 1:
-                        body["slice"] = {"id": int(slice_id), "max": n}
                     page = json.loads(
                         client.request(
                             "POST",
-                            f"/{index}/_search?scroll={SCROLL_KEEPALIVE}",
-                            json.dumps(body).encode(),
+                            scroll_open_path(index),
+                            slice_request_body(
+                                int(slice_id), n, page_size
+                            ).encode(),
                         )
                     )
                     while True:
@@ -167,4 +184,10 @@ class ElasticSource(Source):
         ).select("_p.*")
 
 
-__all__ = ["ElasticSource", "mapping_to_schema", "ES_TO_SPARK"]
+__all__ = [
+    "ElasticSource",
+    "mapping_to_schema",
+    "ES_TO_SPARK",
+    "scroll_open_path",
+    "slice_request_body",
+]

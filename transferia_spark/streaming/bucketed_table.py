@@ -250,7 +250,7 @@ class BucketedParquetTable:
         if v < 0:
             return {
                 "buckets": {}, "deltas": [], "last_batch_id": None,
-                "folded": {},
+                "folded": {}, "delta_sigs": {},
             }
         with open(self._manifest_path(v)) as f:
             raw = json.load(f)
@@ -260,6 +260,7 @@ class BucketedParquetTable:
                 "deltas": [],
                 "last_batch_id": None,
                 "folded": {},
+                "delta_sigs": {},
             }
         return {
             "buckets": {
@@ -269,6 +270,14 @@ class BucketedParquetTable:
             "last_batch_id": raw.get("last_batch_id"),
             "folded": {
                 int(b): int(d) for b, d in raw.get("folded", {}).items()
+            },
+            # delta version → schema signature, recorded at append time
+            # so reads can group same-schema versions into ONE parquet
+            # scan (a fold over an 8-deep tail was paying 8 separate
+            # read plans; absent for legacy manifests → per-version
+            # reads)
+            "delta_sigs": {
+                int(d): s for d, s in raw.get("delta_sigs", {}).items()
             },
         }
 
@@ -372,6 +381,7 @@ class BucketedParquetTable:
             sorted(set(m) | delta_touched) if buckets is None else buckets
         )
         pairs = self._pending_pairs(doc, wanted)
+        sigs = doc["delta_sigs"]
         paths = [
             self._bucket_dir(m[b], b)
             for b in wanted
@@ -396,7 +406,7 @@ class BucketedParquetTable:
                 )
         else:
             base = self.spark.read.parquet(*paths)
-        ddf = self._read_deltas(pairs)
+        ddf = self._read_deltas(pairs, sigs)
         if ddf is None:
             return base
         from transferia_spark.cdc.merge import merge_batch
@@ -404,7 +414,9 @@ class BucketedParquetTable:
         return merge_batch(base, ddf, self.keys)
 
     def _read_deltas(
-        self, pairs: list[tuple[int, list[int]]]
+        self,
+        pairs: list[tuple[int, list[int]]],
+        sigs: dict[int, str] | None = None,
     ) -> DataFrame | None:
         """Union the pending delta tail — ``pairs`` is
         ``[(delta_version, pending buckets)]`` from
@@ -420,25 +432,27 @@ class BucketedParquetTable:
         keeps the target value), but a NULL-filled union would let the
         filled NULLs overwrite base values at read/compact time — a
         silent divergence from the rewrite-mode oracle (ADVICE r7)."""
-        frames = []
+        # group SAME-SCHEMA delta versions (signature recorded at append
+        # time) into one multi-path scan: per-key ordering comes from
+        # the rows' own (_lsn, _counter), never from file order, so
+        # mixing versions in one read is sound — and a fold over an
+        # 8-deep tail pays 1 read plan instead of 8. Versions without
+        # a signature (legacy manifests) read alone.
+        groups: dict[object, list[tuple[int, list[int]]]] = {}
         for d, bs in pairs:
-            present = self._delta_buckets(d)
-            if not present:
-                continue
-            if set(bs) >= set(present):
-                # compaction / full reads want every bucket: one scan
-                # plan over the version root (partition discovery)
-                # instead of one path per leaf dir
-                frames.append(
-                    self.spark.read.parquet(self._delta_dir(d)).drop(
-                        BUCKET_COL
-                    )
-                )
-                continue
-            dpaths = [
-                os.path.join(self._delta_dir(d), f"{BUCKET_COL}={b}")
-                for b in bs
-            ]
+            sig = (sigs or {}).get(d)
+            key: object = sig if sig is not None else ("solo", d)
+            groups.setdefault(key, []).append((d, bs))
+        frames = []
+        for members in groups.values():
+            dpaths = []
+            for d, bs in members:
+                present = set(self._delta_buckets(d))
+                dpaths += [
+                    os.path.join(self._delta_dir(d), f"{BUCKET_COL}={b}")
+                    for b in bs
+                    if b in present
+                ]
             if dpaths:
                 frames.append(self.spark.read.parquet(*dpaths))
         if not frames:
@@ -634,6 +648,9 @@ class BucketedParquetTable:
                     batch = batch.withColumn(k, F.col(k).cast(types[k]))
         batch = normalize_pk_changes(batch, self.keys)
         new_v = self.version() + 1
+        sig = json.dumps(
+            sorted((f.name, f.dataType.simpleString()) for f in batch.schema)
+        )
         out = batch.withColumn(BUCKET_COL, self._bucket_of())
         # one file per touched bucket needs writers aligned with
         # buckets — but a micro-batch usually arrives in 1-2 planned
@@ -668,6 +685,7 @@ class BucketedParquetTable:
             if batch_id is not None
             else doc["last_batch_id"],
             folded=doc["folded"],
+            delta_sigs={**doc["delta_sigs"], new_v: sig},
         )
         self._gc(keep=self.retention)
         return new_v
@@ -681,7 +699,9 @@ class BucketedParquetTable:
         if not doc["deltas"]:
             return self.version()
         pairs = self._pending_pairs(doc, range(self.n_buckets))
-        ddf = self._read_deltas(pairs) if pairs else None
+        ddf = (
+            self._read_deltas(pairs, doc["delta_sigs"]) if pairs else None
+        )
         if ddf is None:
             # empty or fully-folded deltas — clear bookkeeping
             new_v = self.version() + 1
@@ -717,7 +737,7 @@ class BucketedParquetTable:
         if not pairs:
             return self.version()
         touched = sorted({b for _, bs in pairs for b in bs})
-        ddf = self._read_deltas(pairs)
+        ddf = self._read_deltas(pairs, doc["delta_sigs"])
         if ddf is None:
             return self.version()
         from transferia_spark.cdc.changeitem import META_COLS
@@ -844,6 +864,7 @@ class BucketedParquetTable:
             deltas=new_deltas,
             last_batch_id=None if reset_batch_id else doc["last_batch_id"],
             folded=new_folded,
+            delta_sigs=doc["delta_sigs"],  # pruned to live deltas on write
         )
         self._gc(keep=self.retention)
         return new_v
@@ -855,7 +876,9 @@ class BucketedParquetTable:
         deltas: list[int],
         last_batch_id: int | None,
         folded: dict[int, int] | None = None,
+        delta_sigs: dict[int, str] | None = None,
     ) -> None:
+        live = set(deltas)
         tmp = self._manifest_path(new_v) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -865,6 +888,11 @@ class BucketedParquetTable:
                     "last_batch_id": last_batch_id,
                     "folded": {
                         str(b): d for b, d in (folded or {}).items()
+                    },
+                    "delta_sigs": {
+                        str(d): s
+                        for d, s in (delta_sigs or {}).items()
+                        if d in live
                     },
                 },
                 f,
