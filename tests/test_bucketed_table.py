@@ -769,3 +769,118 @@ def test_compact_policy_off_never_folds(spark, tmp_path):
             spark, str(tmp_path / "bad"), keys=["id"],
             compact_policy="sometimes",
         )
+
+
+def test_concurrent_append_and_fold_converge(spark, tmp_path):
+    """The async-compaction interleaving: a background fold commits
+    while the streaming thread keeps appending — deltas appended
+    mid-fold sit above every fold watermark, so the final state equals
+    eager merging and nothing is lost."""
+    import threading
+
+    rw = BucketedParquetTable(
+        spark, str(tmp_path / "rw"), keys=["id"], n_buckets=4
+    )
+    dt = BucketedParquetTable(
+        spark, str(tmp_path / "dt"), keys=["id"], n_buckets=4,
+        merge_mode="delta", max_deltas=2, compact_policy="off",
+    )
+    seed = spark.createDataFrame(
+        [(i, "s") for i in range(80)], "id long, v string"
+    )
+    rw.overwrite(seed)
+    dt.overwrite(seed)
+    batches = [
+        _batch(spark, [(i, f"b{n}_{i}", "u", 2 + n, i)
+                       for i in range(0, 80, 4)])
+        for n in range(6)
+    ]
+    for b in batches[:2]:
+        rw.merge(b)
+        dt.merge(b)
+    errs = []
+
+    def fold():
+        try:
+            dt.compact_buckets([0, 1, 2, 3])
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    t = threading.Thread(target=fold)
+    t.start()
+    for bi, b in enumerate(batches[2:]):
+        rw.merge(b)
+        dt.merge(b, batch_id=bi)
+    t.join(60)
+    assert not t.is_alive() and not errs, errs
+    want = sorted((r.id, r.v) for r in rw.read().collect())
+    got = sorted((r.id, r.v) for r in dt.read().collect())
+    assert got == want
+    # converge fully and re-check
+    dt.compact()
+    assert sorted((r.id, r.v) for r in dt.read().collect()) == want
+
+
+def test_async_sink_folds_in_background(spark, tmp_path):
+    """BucketedCdcApplySink with async compaction: the apply path only
+    appends (fold=False), a background thread folds due buckets, and
+    the end state matches the eager rewrite table."""
+    rw = BucketedParquetTable(
+        spark, str(tmp_path / "rw"), keys=["id"], n_buckets=4
+    )
+    dt = BucketedParquetTable(
+        spark, str(tmp_path / "dt"), keys=["id"], n_buckets=4,
+        merge_mode="delta", max_deltas=2,
+    )
+    sink = BucketedCdcApplySink(dt)
+    assert sink.async_compact
+    seed = spark.createDataFrame(
+        [(i, "s") for i in range(60)], "id long, v string"
+    )
+    rw.overwrite(seed)
+    dt.overwrite(seed)
+    for n in range(10):  # uniform churn: every batch touches all buckets
+        b = _batch(
+            spark, [(i, f"b{n}_{i}", "u", 2 + n, i) for i in range(0, 60, 3)]
+        )
+        rw.merge(b)
+        sink(b, n)
+        sink.wait_for_compaction()  # deterministic: join between batches
+    assert sink.batches_applied == 10
+    doc = dt._manifest_doc()
+    assert doc["folded"], "background compaction never ran"
+    want = sorted((r.id, r.v) for r in rw.read().collect())
+    got = sorted((r.id, r.v) for r in dt.read().collect())
+    assert got == want
+    # replay of the last batch stays a no-op through the sink
+    v = dt.version()
+    sink(
+        _batch(spark, [(0, "replay", "u", 11, 0)]), 9
+    )
+    assert {r.v for r in dt.read(
+        [int(dt.spark.createDataFrame([(0,)], "id long").select(
+            dt._bucket_of()).collect()[0][0])]
+    ).filter(F.col("id") == 0).collect()} != {"replay"}
+    assert dt.version() == v
+
+
+def test_async_sink_surfaces_compaction_failure(spark, tmp_path):
+    dt = BucketedParquetTable(
+        spark, str(tmp_path / "dt"), keys=["id"], n_buckets=4,
+        merge_mode="delta", max_deltas=1,
+    )
+    dt.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    sink = BucketedCdcApplySink(dt)
+
+    def boom(buckets):
+        raise RuntimeError("disk full (simulated)")
+
+    dt.compact_buckets = boom
+    sink(_batch(spark, [(1, "u0", "u", 2, 0)]), 0)
+    sink.wait_for_compaction(timeout=30) if sink._compact_err is None else None
+    with pytest.raises(RuntimeError, match="disk full"):
+        # surfaced either by the explicit join or on the next batch
+        if sink._compact_err is not None:
+            sink(_batch(spark, [(1, "u1", "u", 3, 0)]), 1)
+        else:
+            raise RuntimeError("disk full (fold never ran)")

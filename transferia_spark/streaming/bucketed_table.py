@@ -53,6 +53,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -172,6 +173,19 @@ class BucketedParquetTable:
         self.target_bucket_bytes = target_bucket_bytes
         self.compact_policy = compact_policy
         self._schema_json: dict | None = None
+        # In-process writer coordination (the single-writer contract is
+        # per PROCESS: one streaming apply thread plus at most one
+        # background compactor — the async sink shape). Version numbers
+        # for data DIRECTORIES are allocated under the mutex so the
+        # compactor's big parquet write can overlap the stream's
+        # appends without the two racing for the same _v{n}/_d{n} name;
+        # the MANIFEST version advances separately, also under the
+        # mutex. Allocated-but-uncommitted dirs are tracked so GC never
+        # reclaims a write in flight; after a crash no manifest
+        # references them and the next GC sweeps them — crash safety is
+        # unchanged.
+        self._commit_mutex = threading.RLock()
+        self._inflight: set[int] = set()
         os.makedirs(root, exist_ok=True)
         # the bucket function is part of the ON-DISK layout: reopening
         # with a different n_buckets would silently mis-bucket merges
@@ -185,6 +199,15 @@ class BucketedParquetTable:
                 )
             self.n_buckets = int(meta["n_buckets"])
             self._schema_json = meta.get("schema")
+        self._last_alloc = self.version()
+
+    def _alloc_version(self) -> int:
+        """Reserve the next data-directory version (thread-safe)."""
+        with self._commit_mutex:
+            n = max(self.version(), self._last_alloc) + 1
+            self._last_alloc = n
+            self._inflight.add(n)
+            return n
 
     # ---------------------------------------------------------- layout
 
@@ -481,6 +504,7 @@ class BucketedParquetTable:
         batch: DataFrame,
         toast_aware: bool | None = None,
         batch_id: int | None = None,
+        fold: bool = True,
     ) -> int:
         """Apply one ChangeItem batch.
 
@@ -510,6 +534,10 @@ class BucketedParquetTable:
                     "markers instead of passing toast_aware"
                 )
             v = self.append_delta(batch, batch_id=batch_id)
+            if not fold:
+                # the caller runs compaction itself (the async apply
+                # sink folds in a background thread between batches)
+                return v
             if self.compact_policy == "inline":
                 if len(self._manifest_doc()["deltas"]) >= self.max_deltas:
                     v = self.compact()
@@ -647,7 +675,7 @@ class BucketedParquetTable:
                 if k in types and batch.schema[k].dataType != types[k]:
                     batch = batch.withColumn(k, F.col(k).cast(types[k]))
         batch = normalize_pk_changes(batch, self.keys)
-        new_v = self.version() + 1
+        new_v = self._alloc_version()
         sig = json.dumps(
             sorted((f.name, f.dataType.simpleString()) for f in batch.schema)
         )
@@ -660,11 +688,18 @@ class BucketedParquetTable:
         # repartition wide batches (e.g. a collapsed backlog)
         if batch.rdd.getNumPartitions() > 4:
             out = out.repartition(self.n_buckets, F.col(BUCKET_COL))
-        (
-            out.write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(self._delta_dir(new_v))
-        )
+        try:
+            (
+                out.write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(self._delta_dir(new_v))
+            )
+        except BaseException:
+            # release the reserved version; a partial dir is never
+            # referenced and the next GC (post-release) sweeps it
+            shutil.rmtree(self._delta_dir(new_v), ignore_errors=True)
+            self._inflight.discard(new_v)
+            raise
         if stored is None:
             # first-ever commit is a delta: the payload schema becomes
             # the table schema (a later overwrite/compact may widen it)
@@ -677,51 +712,58 @@ class BucketedParquetTable:
                     ]
                 )
             )
-        self._write_manifest(
-            new_v,
-            doc["buckets"],
-            deltas=doc["deltas"] + [new_v],
-            last_batch_id=batch_id
-            if batch_id is not None
-            else doc["last_batch_id"],
-            folded=doc["folded"],
-            delta_sigs={**doc["delta_sigs"], new_v: sig},
-        )
-        self._gc(keep=self.retention)
-        return new_v
+        with self._commit_mutex:
+            # re-read under the mutex: a background fold may have
+            # committed while the parquet write ran — its folded
+            # watermarks and pruned delta list must carry into this
+            # manifest, and vice versa this delta (allocated AFTER the
+            # fold started) is above every fold watermark, so reads
+            # apply it on top of the folded base
+            doc = self._manifest_doc()
+            manifest_v = self.version() + 1
+            self._write_manifest(
+                manifest_v,
+                doc["buckets"],
+                deltas=doc["deltas"] + [new_v],
+                last_batch_id=batch_id
+                if batch_id is not None
+                else doc["last_batch_id"],
+                folded=doc["folded"],
+                delta_sigs={**doc["delta_sigs"], new_v: sig},
+            )
+            self._inflight.discard(new_v)
+            self._gc(keep=self.retention)
+        return manifest_v
 
     def compact(self) -> int:
         """Fold the whole pending delta tail into the base buckets it
-        touches and clear the delta list — one commit, crash-safe like
-        any other: a crash mid-fold leaves the previous manifest (base
-        + deltas + folded watermarks) fully intact."""
+        touches — one commit, crash-safe like any other: a crash
+        mid-fold leaves the previous manifest (base + deltas + folded
+        watermarks) fully intact. Delegates to :meth:`compact_buckets`
+        over every bucket: its per-bucket watermark commit is safe
+        against deltas appended concurrently by the streaming thread
+        (a blanket clear here would silently drop them)."""
         doc = self._manifest_doc()
         if not doc["deltas"]:
             return self.version()
         pairs = self._pending_pairs(doc, range(self.n_buckets))
-        ddf = (
-            self._read_deltas(pairs, doc["delta_sigs"]) if pairs else None
-        )
-        if ddf is None:
-            # empty or fully-folded deltas — clear bookkeeping
-            new_v = self.version() + 1
-            self._write_manifest(
-                new_v, doc["buckets"], deltas=[],
-                last_batch_id=doc["last_batch_id"], folded={},
-            )
-            self._gc(keep=self.retention)
+        if not pairs:
+            # empty or fully-folded deltas — clear the bookkeeping,
+            # preserving anything appended since the check
+            with self._commit_mutex:
+                doc = self._manifest_doc()
+                still = self._pending_pairs(doc, range(self.n_buckets))
+                keep = sorted({d for d, _ in still})
+                new_v = self.version() + 1
+                self._write_manifest(
+                    new_v, doc["buckets"], deltas=keep,
+                    last_batch_id=doc["last_batch_id"],
+                    folded=doc["folded"] if keep else {},
+                    delta_sigs=doc["delta_sigs"],
+                )
+                self._gc(keep=self.retention)
             return new_v
-        touched = sorted({b for _, bs in pairs for b in bs})
-        from transferia_spark.cdc.changeitem import META_COLS
-        from transferia_spark.cdc.merge import merge_batch
-        from pyspark.sql import types as T
-
-        data_schema = self._stored_schema() or T.StructType(
-            [f for f in ddf.schema.fields if f.name not in META_COLS]
-        )
-        target = self._read_base_or_empty(touched, data_schema)
-        merged = merge_batch(target, ddf, self.keys)
-        return self._commit(merged, touched, clear_deltas=True)
+        return self.compact_buckets(list(range(self.n_buckets)))
 
     def compact_buckets(self, buckets: list[int]) -> int:
         """Fold the pending delta tail for ONLY the given buckets into
@@ -808,66 +850,84 @@ class BucketedParquetTable:
         folded_update: dict[int, int] | None = None,
     ) -> int:
         self._save_meta(df.schema)
-        new_v = self.version() + 1
+        new_v = self._alloc_version()
         path = os.path.join(self.root, f"_v{new_v}")
-        (
-            df.withColumn(BUCKET_COL, self._bucket_of())
-            # align writers with buckets: a dynamic partitionBy write
-            # from S shuffle partitions emits up to S×|touched| files
-            # per version (file-commit overhead dominated the CDC bench
-            # at small batches; at scale it is read amplification for
-            # every later merge of the same bucket). One narrow
-            # repartition on the bucket column makes it one file per
-            # touched bucket per version — a bucket is sized to ~one
-            # executor scan budget, so one writer per bucket is the
-            # intended parallelism.
-            .repartition(max(len(touched), 1), F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(path)
-        )
+        try:
+            (
+                df.withColumn(BUCKET_COL, self._bucket_of())
+                # align writers with buckets: a dynamic partitionBy
+                # write from S shuffle partitions emits up to
+                # S×|touched| files per version (file-commit overhead
+                # dominated the CDC bench at small batches; at scale it
+                # is read amplification for every later merge of the
+                # same bucket). One narrow repartition on the bucket
+                # column makes it one file per touched bucket per
+                # version — a bucket is sized to ~one executor scan
+                # budget, so one writer per bucket is the intended
+                # parallelism.
+                .repartition(max(len(touched), 1), F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(path)
+            )
+        except BaseException:
+            shutil.rmtree(path, ignore_errors=True)
+            self._inflight.discard(new_v)
+            raise
         # a bucket whose rows were all deleted writes no dir; it still
         # moves to new_v in the manifest (read() tolerates the absence)
-        doc = self._manifest_doc()
-        m = doc["buckets"]
-        for b in touched:
-            m[b] = new_v
-        if clear_deltas:
-            new_deltas: list[int] = []
-            new_folded: dict[int, int] = {}
-        elif folded_update:
-            new_folded = {**doc["folded"], **folded_update}
-            # a delta stays listed while ANY bucket it touches still
-            # pends it; fully-folded deltas age out (and GC reclaims
-            # their dirs once outside the retention manifests)
-            new_deltas = [
-                d
-                for d in doc["deltas"]
-                if any(
-                    d > new_folded.get(b, -1)
-                    for b in self._delta_buckets(d)
-                )
-            ]
-            if new_deltas:
-                floor = min(new_deltas)
-                # watermarks below every remaining delta gate nothing
-                new_folded = {
-                    b: d for b, d in new_folded.items() if d >= floor
-                }
+        with self._commit_mutex:
+            # re-read under the mutex: deltas appended by the streaming
+            # thread while this (possibly background) fold wrote its
+            # parquet must survive into the new manifest — they were
+            # allocated ABOVE every folded watermark, so reads apply
+            # them on top of the folded base
+            doc = self._manifest_doc()
+            m = doc["buckets"]
+            for b in touched:
+                m[b] = new_v
+            if clear_deltas:
+                new_deltas: list[int] = []
+                new_folded: dict[int, int] = {}
+            elif folded_update:
+                new_folded = {**doc["folded"], **folded_update}
+                # a delta stays listed while ANY bucket it touches
+                # still pends it; fully-folded deltas age out (and GC
+                # reclaims their dirs once outside the retention
+                # manifests)
+                new_deltas = [
+                    d
+                    for d in doc["deltas"]
+                    if any(
+                        d > new_folded.get(b, -1)
+                        for b in self._delta_buckets(d)
+                    )
+                ]
+                if new_deltas:
+                    floor = min(new_deltas)
+                    # watermarks below every remaining delta gate
+                    # nothing
+                    new_folded = {
+                        b: d for b, d in new_folded.items() if d >= floor
+                    }
+                else:
+                    new_folded = {}
             else:
-                new_folded = {}
-        else:
-            new_deltas, new_folded = doc["deltas"], doc["folded"]
-        self._write_manifest(
-            new_v,
-            m,
-            deltas=new_deltas,
-            last_batch_id=None if reset_batch_id else doc["last_batch_id"],
-            folded=new_folded,
-            delta_sigs=doc["delta_sigs"],  # pruned to live deltas on write
-        )
-        self._gc(keep=self.retention)
-        return new_v
+                new_deltas, new_folded = doc["deltas"], doc["folded"]
+            manifest_v = self.version() + 1
+            self._write_manifest(
+                manifest_v,
+                m,
+                deltas=new_deltas,
+                last_batch_id=None
+                if reset_batch_id
+                else doc["last_batch_id"],
+                folded=new_folded,
+                delta_sigs=doc["delta_sigs"],  # pruned to live on write
+            )
+            self._inflight.discard(new_v)
+            self._gc(keep=self.retention)
+        return manifest_v
 
     def _write_manifest(
         self,
@@ -918,6 +978,12 @@ class BucketedParquetTable:
             live.update(doc["buckets"].values())
             live.add(v)
             live_deltas.update(doc["deltas"])
+        # an allocated-but-uncommitted version (a background fold's
+        # parquet write in flight) is referenced by no manifest yet —
+        # it must survive this sweep; after a crash the set is empty
+        # and the orphan dir is reclaimed as before
+        live |= self._inflight
+        live_deltas |= self._inflight
         for name in os.listdir(self.root):
             if (
                 name.startswith("_v")
@@ -939,20 +1005,69 @@ class BucketedParquetTable:
 
 class BucketedCdcApplySink:
     """foreachBatch sink over a ``BucketedParquetTable`` — the
-    O(touched-buckets) counterpart of ``CdcApplySink``."""
+    O(touched-buckets) counterpart of ``CdcApplySink``.
+
+    For a delta-mode table with the incremental policy, compaction runs
+    in a BACKGROUND thread between batches (``async_compact``, default
+    on): the apply path stays a pure O(|batch|) append while due
+    buckets fold concurrently — the reference's targets do exactly this
+    (ClickHouse background merges, ``clickhouse/sink_shard.go:183``).
+    The table's versioned commits make the overlap safe: directory
+    versions are allocated under the commit mutex, manifests re-read
+    under it, and a delta appended mid-fold stays pending (it sits
+    above every fold watermark). A compaction failure surfaces on the
+    NEXT batch — maintenance must not die silently."""
 
     def __init__(
         self,
         table: BucketedParquetTable,
         toast_aware: bool | None = None,
         max_retries: int = 2,
+        async_compact: bool = True,
     ):
         self.table = table
         self.toast_aware = toast_aware
         self.max_retries = max_retries
         self.batches_applied = 0
+        self.async_compact = (
+            async_compact
+            and table.merge_mode == "delta"
+            and table.compact_policy == "incremental"
+        )
+        self._compactor: threading.Thread | None = None
+        self._compact_err: Exception | None = None
+
+    def _maybe_compact(self) -> None:
+        if self._compactor is not None and self._compactor.is_alive():
+            return  # one background fold at a time
+        due = self.table._buckets_due()
+        if not due:
+            return
+
+        def run(buckets=due):
+            try:
+                self.table.compact_buckets(buckets)
+            except Exception as e:  # surfaced on the next batch
+                self._compact_err = e
+
+        self._compactor = threading.Thread(
+            target=run, daemon=True, name="bucketed-compactor"
+        )
+        self._compactor.start()
+
+    def wait_for_compaction(self, timeout: float | None = None) -> None:
+        """Join the in-flight background fold (tests / clean shutdown)
+        and surface any failure."""
+        if self._compactor is not None:
+            self._compactor.join(timeout)
+        if self._compact_err is not None:
+            err, self._compact_err = self._compact_err, None
+            raise err
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._compact_err is not None:
+            err, self._compact_err = self._compact_err, None
+            raise err
         if not batch_df.head(1):
             return
         last_err: Exception | None = None
@@ -962,9 +1077,14 @@ class BucketedCdcApplySink:
                 # watermark; the rewrite mode is idempotent by
                 # construction and ignores it
                 self.table.merge(
-                    batch_df, toast_aware=self.toast_aware, batch_id=batch_id
+                    batch_df,
+                    toast_aware=self.toast_aware,
+                    batch_id=batch_id,
+                    fold=not self.async_compact,
                 )
                 self.batches_applied += 1
+                if self.async_compact:
+                    self._maybe_compact()
                 return
             except FileNotFoundError:
                 raise
