@@ -88,11 +88,27 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.verb == "compact":
+        from transferia_spark.session import get_spark
+        from transferia_spark.tasks.compact import (
+            compact_dir,
+            data_file_count,
+            is_bucketed_table_root,
+        )
+
+        if args.src and is_bucketed_table_root(args.src) and not args.dst:
+            # merge-on-read maintenance: fold the pending delta tail of
+            # a BucketedParquetTable in place (keys/bucket count come
+            # from its own _meta.json)
+            from transferia_spark.tasks.compact import (
+                compact_bucketed_table,
+            )
+
+            spark = get_spark()
+            v = compact_bucketed_table(spark, args.src)
+            print(f"folded delta tail: {args.src} now at version {v}")
+            return 0
         if not (args.src and args.dst):
             ap.error("compact needs --src and --dst")
-        from transferia_spark.session import get_spark
-        from transferia_spark.tasks.compact import compact_dir, data_file_count
-
         spark = get_spark()
         before = data_file_count(args.src)
         v = compact_dir(

@@ -109,3 +109,47 @@ def compact_table(
     src = os.path.join(table.root, f"_v{v}")
     n_files = max(1, round(dir_bytes(src) / target_file_bytes))
     return compact_df(table.read(), table.root, n_files, partition_cols)
+
+
+def is_bucketed_table_root(path: str) -> bool:
+    """A BucketedParquetTable layout: keyed ``_meta.json`` + the
+    ``_CURRENT`` manifest pointer."""
+    try:
+        import json as _json
+
+        with open(os.path.join(path, "_meta.json")) as f:
+            meta = _json.load(f)
+        return "keys" in meta and os.path.exists(
+            os.path.join(path, "_CURRENT")
+        )
+    except (FileNotFoundError, ValueError):
+        return False
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    root: str,
+    buckets: list[int] | None = None,
+) -> int:
+    """Maintenance fold for a merge-on-read BucketedParquetTable (the
+    ``compact_policy="off"`` deployment — r7 verdict item 4's
+    out-of-band job): fold the pending delta tail into the base, whole
+    table or just the given buckets. Keys and bucket count come from
+    the stored ``_meta.json`` (the meta-wins contract), so the verb
+    needs only the root. Safe to run while a delta-mode stream
+    appends: the per-bucket watermark commit preserves deltas landing
+    mid-fold."""
+    import json as _json
+
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedParquetTable,
+    )
+
+    with open(os.path.join(root, "_meta.json")) as f:
+        keys = _json.load(f)["keys"]
+    t = BucketedParquetTable(
+        spark, root, keys=keys, n_buckets=None, compact_policy="off"
+    )
+    if buckets is None:
+        return t.compact()
+    return t.compact_buckets(buckets)
