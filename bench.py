@@ -402,11 +402,20 @@ def bench_cdc_size_sweep(spark, sf_dir: str) -> dict:
                 merge_mode=mode, max_deltas=8,
             )
             t.overwrite(seed)
+            # measure the SHIPPING apply path: the foreachBatch sink —
+            # in delta mode compaction runs in its background thread,
+            # so the per-batch series is what a stream actually pays
+            from transferia_spark.streaming.bucketed_table import (
+                BucketedCdcApplySink,
+            )
+
+            sink = BucketedCdcApplySink(t)
             series = []
             for i in range(n_batches):
                 t0 = time.time()
-                t.merge(batch.withColumn("_lsn", F.lit(10 + i)), batch_id=i)
+                sink(batch.withColumn("_lsn", F.lit(10 + i)), i)
                 series.append(round(time.time() - t0, 3))
+            sink.wait_for_compaction()
             out[f"{mode}_x{mult}_per_batch"] = round(
                 sum(series) / len(series), 3
             )
