@@ -919,3 +919,177 @@ def test_trcli_compact_folds_bucketed_table(spark, tmp_path, monkeypatch):
     assert reopened._manifest_doc()["deltas"] == []
     got = {r.id: r.v for r in reopened.read().collect()}
     assert got[3] == "u3" and got[7] == "u7" and len(got) == 20
+
+
+def test_delta_mixed_conventions_same_payload(spark, tmp_path):
+    """Code-review r8 finding 3: a _toasted frame and an UNMARKED frame
+    with IDENTICAL payload columns in one tail — the union must still
+    rewrite to explicit _present markers, or NULL-filling the flag
+    breaks the toasted frame's NULL-means-absent contract."""
+    rw, dt = _two_mode_tables(spark, tmp_path)
+    seed = spark.createDataFrame(
+        [(1, "v1", "w1"), (2, "v2", "w2")], "id long, v string, w string"
+    )
+    toasted = spark.createDataFrame(  # same payload cols as `plain`
+        [(1, "v1b", None, "u", 2, 0, True)],  # NULL w = "absent"
+        f"id long, v string, w string, {OP_COL} string, {LSN_COL} long, "
+        f"{COUNTER_COL} long, _toasted boolean",
+    )
+    plain = spark.createDataFrame(  # full row, genuine NULL w
+        [(2, "v2b", None, "u", 3, 0)],
+        f"id long, v string, w string, {OP_COL} string, {LSN_COL} long, "
+        f"{COUNTER_COL} long",
+    )
+    for t in (rw, dt):
+        t.overwrite(seed)
+        t.merge(toasted)
+        t.merge(plain)
+    want = sorted((r.id, r.v, r.w) for r in rw.read().collect())
+    assert want == [(1, "v1b", "w1"), (2, "v2b", None)]
+    got = sorted((r.id, r.v, r.w) for r in dt.read().collect())
+    assert got == want
+    dt.compact()
+    assert sorted((r.id, r.v, r.w) for r in dt.read().collect()) == want
+
+
+# ----------------------------------------------------- cross-process
+# writer coordination (code-review r8 finding 2): `trcli compact` runs
+# in its own PROCESS against a live streaming appender's root, where
+# the in-process commit mutex protects nothing. Two table INSTANCES
+# share no Python state, so they model the two processes exactly
+# (the flock, _ALLOC high-water, and inflight ledger are the only
+# coordination between them).
+
+
+def test_alloc_high_water_unique_across_instances(spark, tmp_path):
+    """Version numbers come from the persisted _ALLOC high-water, so
+    two uncoordinated writer instances can never claim the same
+    _v{n}/_d{n} directory name (pre-fix: both derived version()+1)."""
+    root = str(tmp_path / "bt")
+    a = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    b = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    seen = [a._alloc_version(), b._alloc_version(),
+            a._alloc_version(), b._alloc_version()]
+    assert len(set(seen)) == 4
+    assert seen == sorted(seen)  # monotonic, never reused
+
+
+def test_gc_spares_cross_process_inflight_claim(spark, tmp_path):
+    """Another process's allocated-but-uncommitted dir (its parquet
+    write in flight, referenced by no manifest) must survive this
+    process's GC until the claim is released."""
+    root = str(tmp_path / "bt")
+    compactor = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    stream = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    n = compactor._alloc_version()
+    claimed = os.path.join(root, f"_v{n}")
+    os.makedirs(claimed)
+    with open(os.path.join(claimed, "part-inflight.parquet"), "w") as f:
+        f.write("x")
+    # several streaming commits age every unreferenced version out of
+    # the retention window — only the ledger protects the claim
+    for lsn in range(3):
+        stream.merge(_batch(spark, [(1, f"v{lsn}", "u", lsn, 0)]))
+    assert os.path.isdir(claimed)
+    compactor._release_claim(n)
+    stream.merge(_batch(spark, [(1, "v9", "u", 9, 0)]))
+    assert not os.path.isdir(claimed)  # released orphan is swept
+
+
+def test_stale_claim_reclaimed_after_ttl(spark, tmp_path, monkeypatch):
+    """A crashed writer's ledger entry expires after CLAIM_TTL and its
+    orphan dir is reclaimed; live entries stay untouched."""
+    root = str(tmp_path / "bt")
+    t = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    crashed = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    n = crashed._alloc_version()
+    orphan = os.path.join(root, f"_d{n}")
+    os.makedirs(orphan)
+    # backdate the claim past the TTL, as a crash + time would
+    alloc = t._read_alloc()
+    alloc["inflight"][str(n)] -= BucketedParquetTable.CLAIM_TTL + 60
+    t._write_alloc(alloc)
+    t.merge(_batch(spark, [(1, "v", "i", 1, 0)]))
+    assert not os.path.isdir(orphan)
+    assert str(n) not in t._read_alloc()["inflight"]  # ledger pruned
+
+
+def test_commit_sections_mutually_exclude_across_instances(spark, tmp_path):
+    """The manifest read-modify-write holds the _LOCK flock: while one
+    instance (process stand-in) is inside its commit section, another
+    instance's commit blocks instead of interleaving (the lost-delta
+    race: both read manifest v, both write v+1, one update vanishes)."""
+    import threading
+
+    root = str(tmp_path / "bt")
+    a = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    b = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    a.overwrite(spark.createDataFrame([(1, "s")], "id long, v string"))
+    cm = a._fs_lock()
+    cm.__enter__()  # A sits inside its commit section
+    done = threading.Event()
+
+    def other_commit():
+        b.merge(_batch(spark, [(2, "w", "i", 1, 0)]))
+        done.set()
+
+    t = threading.Thread(target=other_commit, daemon=True)
+    t.start()
+    # B gets through planning/parquet but must NOT commit a manifest
+    # while A holds the section
+    assert not done.wait(3.0)
+    ver_during = a.version()
+    cm.__exit__(None, None, None)
+    assert done.wait(30.0)
+    t.join(5)
+    assert a.version() > ver_during
+    got = {(r.id, r.v) for r in a.read().collect()}
+    assert got == {(1, "s"), (2, "w")}
+
+
+def test_cross_instance_append_and_maintenance_fold(spark, tmp_path):
+    """The finding's deployment: compact_policy="off" stream appending
+    deltas while a SEPARATE instance (the trcli-compact process) folds
+    concurrently. Every appended delta must survive into the final
+    state — pre-fix the fold's manifest write could clobber a
+    concurrently committed append."""
+    import threading
+
+    root = str(tmp_path / "dt")
+    stream = BucketedParquetTable(
+        spark, root, keys=["id"], n_buckets=4,
+        merge_mode="delta", max_deltas=2, compact_policy="off",
+    )
+    seed = spark.createDataFrame(
+        [(i, "s") for i in range(40)], "id long, v string"
+    )
+    stream.overwrite(seed)
+    stream.merge(_batch(spark, [(i, f"b0_{i}", "u", 2, i)
+                                for i in range(0, 40, 2)]))
+    from transferia_spark.tasks.compact import compact_bucketed_table
+
+    errs, folds = [], []
+
+    def maintenance():
+        try:
+            for _ in range(3):
+                folds.append(compact_bucketed_table(spark, root))
+        except Exception as e:
+            errs.append(e)
+
+    t = threading.Thread(target=maintenance)
+    t.start()
+    for n in range(1, 5):
+        stream.merge(_batch(spark, [(i, f"b{n}_{i}", "u", 2 + n, i)
+                                    for i in range(0, 40, 2)]))
+    t.join(120)
+    assert not t.is_alive() and not errs, errs
+    got = {(r.id, r.v) for r in stream.read().collect()}
+    want = {(i, "s") for i in range(1, 40, 2)} | {
+        (i, f"b4_{i}") for i in range(0, 40, 2)
+    }
+    assert got == want
+    # a fresh reader (yet another "process") agrees after full fold
+    compact_bucketed_table(spark, root)
+    fresh = BucketedParquetTable(spark, root, keys=["id"], n_buckets=None)
+    assert {(r.id, r.v) for r in fresh.read().collect()} == want

@@ -59,6 +59,8 @@ def test_json_kind_compatibility_matrix():
     assert not ok(T.StringType(), 7)         # text -> numeric retype
     assert not ok(T.DoubleType(), "1,5")     # double -> text retype
     assert not ok(T.LongType(), True)        # bool is not an int here
+    assert ok(T.BooleanType(), 1) and ok(T.BooleanType(), 0)  # tinyint(1)
+    assert not ok(T.BooleanType(), 5)        # genuinely not a boolean
     assert ok(T.StringType(), {"nested": 1})  # out of the check's scope
 
 

@@ -34,6 +34,7 @@ from transferia_spark.streaming.mysql_binlog import (
     encode_rotate,
     encode_rows_event,
     encode_table_map,
+    encode_xid,
     format_gtid_set,
     gtid_set_add,
     gtid_set_contains,
@@ -189,6 +190,10 @@ def _session_frames(checksum=True):
                      log_pos=170, checksum=checksum),
         encode_rows_event(DELETE_ROWS_EVENT_V2, 5, types, metas,
                           [[3, "c"]], log_pos=180, checksum=checksum),
+        # commit marker: the executed GTID set advances HERE, not at
+        # the GTID event (a mid-transaction drain must not skip rows
+        # on resume)
+        encode_xid(log_pos=190, checksum=checksum),
     ]
 
 
@@ -409,12 +414,13 @@ def test_gtid_state_accumulates_across_drains(tmp_path):
     os.makedirs(frames_dir)
     with open(os.path.join(frames_dir, "000.jsonl"), "w") as f:
         for fr in [encode_format_description(), encode_gtid(SID, 1, 10),
-                   encode_gtid(SID, 2, 20)]:
+                   encode_gtid(SID, 2, 20), encode_xid(log_pos=25)]:
             f.write(json.dumps({"frame": fr.hex()}) + "\n")
     drain_recorded_binlog(frames_dir, out)
     assert load_gtid_state(out) == {SID: [[1, 2]]}
     with open(os.path.join(frames_dir, "001.jsonl"), "w") as f:
-        for fr in [encode_format_description(), encode_gtid(SID, 3, 30)]:
+        for fr in [encode_format_description(), encode_gtid(SID, 3, 30),
+                   encode_xid(log_pos=35)]:
             f.write(json.dumps({"frame": fr.hex()}) + "\n")
     drain_recorded_binlog(frames_dir, out)
     assert load_gtid_state(out) == {SID: [[1, 3]]}  # merged interval

@@ -35,6 +35,7 @@ from transferia_spark.streaming.mysql_binlog import (
     encode_packet,
     encode_rotate,
     encode_rows_event,
+    encode_xid,
     encode_table_map,
     mysql_live_drain_tcp,
     mysql_native_scramble,
@@ -320,6 +321,7 @@ def _row_events(gno: int, rows: list[list], log_pos: int = 120) -> list[bytes]:
         tm,
         encode_rows_event(0x1E, 7, [3, 15], [None, 40], rows,
                           log_pos=log_pos),
+        encode_xid(log_pos=log_pos + 10),  # commit: GTID becomes executed
     ]
 
 
@@ -464,3 +466,76 @@ replication:
     got = {(r.id, r.v) for r in table.read().collect()}
     assert got == {(1, "a"), (2, "b2"), (3, "c")}
     assert dial_count["n"] >= 2
+
+
+def test_gtid_advances_only_at_commit(tmp_path):
+    """Code-review r8 finding 1: a drain ending MID-TRANSACTION (GTID
+    seen, row events not yet delivered) must NOT persist that GTID —
+    the reconnect presents the executed set to COM_BINLOG_DUMP_GTID and
+    the server would skip the transaction's rows forever."""
+    out = str(tmp_path / "binlog")
+    tm = encode_table_map(
+        7, "shop", "items", [3, 15], [None, 40],
+        col_names=["id", "v"], log_pos=100,
+    )
+    fds = [
+        # txn 5 commits (XID); txn 6 announced but its rows never
+        # arrive before the server closes
+        FakeDuplex(_session_script([
+            encode_format_description(),
+            encode_rotate("binlog.000002"),
+            encode_gtid(SID.replace("-", ""), 5, log_pos=90),
+            tm,
+            encode_rows_event(0x1E, 7, [3, 15], [None, 40], [[1, "a"]],
+                              log_pos=120),
+            encode_xid(log_pos=130),
+            encode_gtid(SID.replace("-", ""), 6, log_pos=140),
+        ]), when_empty="eof"),
+        # the reconnect re-delivers txn 6 in full
+        FakeDuplex(_session_script([
+            encode_format_description(),
+            encode_gtid(SID.replace("-", ""), 6, log_pos=140),
+            tm,
+            encode_rows_event(0x1E, 7, [3, 15], [None, 40], [[2, "b"]],
+                              log_pos=150),
+            encode_xid(log_pos=160),
+        ]), when_empty="block"),
+    ]
+    dials = []
+
+    def factory(host, port, timeout):
+        fd = fds.pop(0)
+        dials.append(fd)
+        return fd.read, fd.write, fd.close, fd.poll
+
+    conn = MySqlLiveConnection(
+        {"host": "db", "user": "r", "password": "p", "server_id": 43,
+         "idle_timeout": 0.01},
+        out, transport_factory=factory,
+    )
+    conn.drain()
+    with open(os.path.join(out, "_gtid.state")) as f:
+        assert f.read().strip() == f"{SID}:5"  # 6 NOT recorded
+    conn.drain()  # reconnect: presents :5, server re-sends txn 6
+    sent = bytes(dials[1].sent)
+    assert struct.pack("<QQ", 5, 6) in sent       # interval [5,5]
+    assert struct.pack("<QQ", 5, 7) not in sent   # NOT [5,6]
+    rows = [ln["after"]["id"] for ln in _read_lines(out)
+            if ln["action"] == "insert"]
+    assert rows == [1, 2]  # txn 6's row arrived after all
+    with open(os.path.join(out, "_gtid.state")) as f:
+        assert f.read().strip() == f"{SID}:5-6"
+
+
+def test_multi_table_sink_threads_compact_policy(spark, tmp_path):
+    """Code-review r8 finding 6: per-table compact_policy reaches the
+    constructed tables in multi-table mode."""
+    from transferia_spark.tasks.replicate import MultiTableCdcSink
+
+    sink = MultiTableCdcSink(spark, {
+        "a": {"root": str(tmp_path / "a"), "keys": ["id"],
+              "merge_mode": "delta", "compact_policy": "off"},
+        "b": {"root": str(tmp_path / "b"), "keys": ["id"]},
+    })
+    assert sink.targets["a"].compact_policy == "off"
+    assert sink.targets["b"].compact_policy == "incremental"

@@ -721,3 +721,37 @@ replication:
     table = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
     got = {(r.id, r.v) for r in table.read().collect()}
     assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_dial_read_preserves_partial_bytes_across_timeout():
+    """Code-review r8 finding 4: a header split across TCP segments
+    with a timeout in between must not lose the received prefix — the
+    next read resumes with the stashed bytes and stays frame-aligned."""
+    import socket
+    import threading
+
+    from transferia_spark.streaming.pg_replication import dial
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    accepted = {}
+
+    def serve():
+        conn, _ = srv.accept()
+        accepted["conn"] = conn
+        conn.sendall(b"\x12\x34")  # half a 4-byte header
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    read, write, close, poll = dial("127.0.0.1", port, timeout=0.4)
+    t.join(5)
+    with pytest.raises(TimeoutError):
+        read(4)  # 2 bytes arrive, then the socket idles past timeout
+    accepted["conn"].sendall(b"\x56\x78more")
+    assert read(4) == b"\x12\x34\x56\x78"  # stash + fresh, aligned
+    assert read(4) == b"more"
+    close()
+    accepted["conn"].close()
+    srv.close()

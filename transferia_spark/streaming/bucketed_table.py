@@ -19,7 +19,10 @@ the way Delta/Iceberg/Hudi do, with a manifest instead of a log:
 Per-batch cost: O(|batch| + size of touched buckets), independent of
 table size when key locality is decent. Worst case (a batch touching
 every bucket) degrades to the full rewrite — no worse than before.
-Single-writer, like ``ParquetTable``; size ``n_buckets`` so a bucket
+One logical writer per root, but writer PROCESSES coordinate: commits
+hold an ``fcntl`` lock on ``_LOCK`` and version claims persist in
+``_ALLOC``, so an out-of-band ``trcli compact`` safely overlaps the
+streaming appender. Size ``n_buckets`` so a bucket
 (table_size / n_buckets) fits comfortably in one executor's scan
 budget (~1 GB buckets → n_buckets = table_size_gb), or pass
 ``n_buckets=None`` to derive the count from the first write's
@@ -50,10 +53,17 @@ extra key-shuffle over the delta tail (bounded by max_deltas batches).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 import threading
+import time
+
+try:  # POSIX advisory locks; absent on non-POSIX test hosts
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None  # type: ignore[assignment]
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -140,15 +150,17 @@ class BucketedParquetTable:
 
         ``compact_policy`` controls when delta mode folds its tail:
 
-        - ``"incremental"`` (default): after each append, fold ONLY the
-          buckets whose pending-delta count reached a per-bucket
-          staggered threshold in [⌈max_deltas/2⌉, max_deltas] — under
-          uniform churn every batch folds ~n_buckets/(max_deltas/2)
-          buckets instead of the whole table every max_deltas-th batch,
-          so p99 batch latency stays O(batch + table/max_deltas·ε)
-          rather than a full-table rewrite spike (r7 verdict item 4 —
-          the reference's targets fold in background merges,
-          clickhouse/sink_shard.go:183);
+        - ``"incremental"`` (default): after each append, fold ONLY
+          the buckets whose pending-delta count reached a per-bucket
+          staggered threshold in [max_deltas, 2·max_deltas) — under
+          uniform churn every batch folds ~n_buckets/max_deltas
+          buckets instead of the whole table every max_deltas-th
+          batch, with LESS amortized fold work than the inline policy
+          (average fold period ~1.5·max_deltas); the worst-case
+          pending tail a read pays is < 2·max_deltas (r7 verdict item
+          4 — the reference's targets fold in background merges,
+          clickhouse/sink_shard.go:183; the apply SINK additionally
+          runs these folds in a background thread);
         - ``"inline"``: the r7 behavior — one full fold inside merge()
           every max_deltas-th batch;
         - ``"off"``: never fold on the write path; run ``compact()``
@@ -173,19 +185,27 @@ class BucketedParquetTable:
         self.target_bucket_bytes = target_bucket_bytes
         self.compact_policy = compact_policy
         self._schema_json: dict | None = None
-        # In-process writer coordination (the single-writer contract is
-        # per PROCESS: one streaming apply thread plus at most one
-        # background compactor — the async sink shape). Version numbers
-        # for data DIRECTORIES are allocated under the mutex so the
-        # compactor's big parquet write can overlap the stream's
-        # appends without the two racing for the same _v{n}/_d{n} name;
-        # the MANIFEST version advances separately, also under the
-        # mutex. Allocated-but-uncommitted dirs are tracked so GC never
-        # reclaims a write in flight; after a crash no manifest
-        # references them and the next GC sweeps them — crash safety is
-        # unchanged.
+        # Writer coordination is TWO-LEVEL. In-process: the mutex
+        # serializes the streaming apply thread and the background
+        # compactor (the async sink shape). Cross-PROCESS: a
+        # ``trcli compact`` maintenance pass runs in its own process
+        # against the same root (tasks/compact.py), where a
+        # threading lock protects nothing — every manifest
+        # read-modify-write additionally holds an fcntl.flock on
+        # ``_LOCK``, directory versions are allocated through the
+        # persisted ``_ALLOC`` high-water file (two processes can
+        # never claim the same ``_v{n}``/``_d{n}`` name), and
+        # allocated-but-uncommitted dirs are recorded in ``_ALLOC``'s
+        # inflight ledger so the OTHER process's GC never reclaims a
+        # parquet write in flight (code-review r8 finding 2). After a
+        # crash the ledger entry expires (``CLAIM_TTL``) and the
+        # orphan dir — referenced by no manifest — is swept as before.
+        # Lock order is always mutex → flock; the flock is reentrant
+        # per instance (depth-counted under the mutex).
         self._commit_mutex = threading.RLock()
         self._inflight: set[int] = set()
+        self._fs_lock_fd: int | None = None
+        self._fs_lock_depth = 0
         os.makedirs(root, exist_ok=True)
         # the bucket function is part of the ON-DISK layout: reopening
         # with a different n_buckets would silently mis-bucket merges
@@ -201,13 +221,81 @@ class BucketedParquetTable:
             self._schema_json = meta.get("schema")
         self._last_alloc = self.version()
 
+    #: an ``_ALLOC`` inflight claim older than this is a crashed
+    #: writer's leftover; its dir is referenced by no manifest and GC
+    #: may reclaim it. Generous on purpose — a live fold only loses
+    #: protection if its single parquet write outlasts this.
+    CLAIM_TTL = 24 * 3600.0
+
+    @contextlib.contextmanager
+    def _fs_lock(self):
+        """Cross-process advisory lock on the table root (reentrant
+        per instance; callers already hold ``_commit_mutex``, which
+        makes the depth counter safe). Serializes manifest
+        read-modify-writes and version allocation against writers in
+        OTHER processes — e.g. a ``trcli compact`` maintenance pass
+        folding while the streaming process appends deltas."""
+        if fcntl is None:  # pragma: no cover — non-POSIX fallback
+            yield
+            return
+        if self._fs_lock_depth == 0:
+            if self._fs_lock_fd is None:
+                self._fs_lock_fd = os.open(
+                    os.path.join(self.root, "_LOCK"),
+                    os.O_CREAT | os.O_RDWR,
+                )
+            fcntl.flock(self._fs_lock_fd, fcntl.LOCK_EX)
+        self._fs_lock_depth += 1
+        try:
+            yield
+        finally:
+            self._fs_lock_depth -= 1
+            if self._fs_lock_depth == 0:
+                fcntl.flock(self._fs_lock_fd, fcntl.LOCK_UN)
+
+    @property
+    def _alloc_path(self) -> str:
+        return os.path.join(self.root, "_ALLOC")
+
+    def _read_alloc(self) -> dict:
+        try:
+            with open(self._alloc_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {"last": -1, "inflight": {}}
+
+    def _write_alloc(self, doc: dict) -> None:
+        tmp = self._alloc_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._alloc_path)
+
     def _alloc_version(self) -> int:
-        """Reserve the next data-directory version (thread-safe)."""
-        with self._commit_mutex:
-            n = max(self.version(), self._last_alloc) + 1
+        """Reserve the next data-directory version — unique across
+        threads AND processes: the persisted high-water in ``_ALLOC``
+        only ever advances, so a concurrent maintenance process can
+        never claim a number this process is writing (and vice
+        versa). The claim is recorded in the inflight ledger until
+        the commit references the dir (or the write fails)."""
+        with self._commit_mutex, self._fs_lock():
+            alloc = self._read_alloc()
+            n = max(self.version(), self._last_alloc, alloc["last"]) + 1
             self._last_alloc = n
             self._inflight.add(n)
+            alloc["last"] = n
+            alloc["inflight"][str(n)] = time.time()
+            self._write_alloc(alloc)
             return n
+
+    def _release_claim(self, n: int) -> None:
+        """Drop a version claim (committed or failed). Callers hold
+        the mutex+flock on the commit path; the failure path takes
+        them here."""
+        with self._commit_mutex, self._fs_lock():
+            self._inflight.discard(n)
+            alloc = self._read_alloc()
+            if alloc["inflight"].pop(str(n), None) is not None:
+                self._write_alloc(alloc)
 
     # ---------------------------------------------------------- layout
 
@@ -390,20 +478,26 @@ class BucketedParquetTable:
         bucket-pruned on both sides when ``buckets`` is given."""
         doc = self._manifest_doc(version)
         m = doc["buckets"]
-        folded = doc["folded"]
         # buckets with PENDING delta rows (a delta already folded into a
-        # bucket's base no longer applies there)
-        delta_touched: set[int] = set()
-        for d in doc["deltas"]:
-            delta_touched.update(
-                b for b in self._delta_buckets(d) if d > folded.get(b, -1)
-            )
+        # bucket's base no longer applies there) — ONE listing pass over
+        # the tail, reused for the read's own pairs
+        all_pairs = (
+            self._pending_pairs(doc, range(self.n_buckets))
+            if doc["deltas"] and self.n_buckets is not None
+            else []
+        )
+        delta_touched = {b for _, bs in all_pairs for b in bs}
         if not m and not delta_touched and buckets is None:
             raise FileNotFoundError(f"no current version in {self.root}")
         wanted = (
             sorted(set(m) | delta_touched) if buckets is None else buckets
         )
-        pairs = self._pending_pairs(doc, wanted)
+        wanted_set = set(wanted)
+        pairs = [
+            (d, kept)
+            for d, bs in all_pairs
+            if (kept := [b for b in bs if b in wanted_set])
+        ]
         sigs = doc["delta_sigs"]
         paths = [
             self._bucket_dir(m[b], b)
@@ -480,11 +574,34 @@ class BucketedParquetTable:
                 frames.append(self.spark.read.parquet(*dpaths))
         if not frames:
             return None
-        from transferia_spark.cdc.changeitem import payload_columns
+        from transferia_spark.cdc.changeitem import (
+            PRESENT_COL,
+            TOASTED_COL,
+            payload_columns,
+        )
 
         payload_sets = [set(payload_columns(f)) for f in frames]
         union_payload = set().union(*payload_sets)
-        if any(s != union_payload for s in payload_sets):
+
+        def _convention(f: DataFrame) -> str:
+            if PRESENT_COL in f.columns:
+                return "present"
+            if TOASTED_COL in f.columns:
+                return "toasted"
+            return "full"
+
+        conventions = {_convention(f) for f in frames}
+        # rewrite to explicit per-frame _present markers when EITHER
+        # the payload column sets differ (NULL-fill would turn "column
+        # absent from the batch" into "set to NULL") OR the partial-row
+        # conventions differ (NULL-filling one frame's _toasted flag —
+        # or its _present list — under another frame's columns breaks
+        # that frame's absence contract even with identical payloads;
+        # code-review r8 finding 3)
+        if (
+            any(s != union_payload for s in payload_sets)
+            or len(conventions) > 1
+        ):
             frames = [_tag_frame_presence(f) for f in frames]
         out = frames[0]
         for f in frames[1:]:
@@ -698,7 +815,7 @@ class BucketedParquetTable:
             # release the reserved version; a partial dir is never
             # referenced and the next GC (post-release) sweeps it
             shutil.rmtree(self._delta_dir(new_v), ignore_errors=True)
-            self._inflight.discard(new_v)
+            self._release_claim(new_v)
             raise
         if stored is None:
             # first-ever commit is a delta: the payload schema becomes
@@ -712,7 +829,7 @@ class BucketedParquetTable:
                     ]
                 )
             )
-        with self._commit_mutex:
+        with self._commit_mutex, self._fs_lock():
             # re-read under the mutex: a background fold may have
             # committed while the parquet write ran — its folded
             # watermarks and pruned delta list must carry into this
@@ -731,7 +848,7 @@ class BucketedParquetTable:
                 folded=doc["folded"],
                 delta_sigs={**doc["delta_sigs"], new_v: sig},
             )
-            self._inflight.discard(new_v)
+            self._release_claim(new_v)
             self._gc(keep=self.retention)
         return manifest_v
 
@@ -750,7 +867,7 @@ class BucketedParquetTable:
         if not pairs:
             # empty or fully-folded deltas — clear the bookkeeping,
             # preserving anything appended since the check
-            with self._commit_mutex:
+            with self._commit_mutex, self._fs_lock():
                 doc = self._manifest_doc()
                 still = self._pending_pairs(doc, range(self.n_buckets))
                 keep = sorted({d for d, _ in still})
@@ -872,11 +989,11 @@ class BucketedParquetTable:
             )
         except BaseException:
             shutil.rmtree(path, ignore_errors=True)
-            self._inflight.discard(new_v)
+            self._release_claim(new_v)
             raise
         # a bucket whose rows were all deleted writes no dir; it still
         # moves to new_v in the manifest (read() tolerates the absence)
-        with self._commit_mutex:
+        with self._commit_mutex, self._fs_lock():
             # re-read under the mutex: deltas appended by the streaming
             # thread while this (possibly background) fold wrote its
             # parquet must survive into the new manifest — they were
@@ -925,7 +1042,7 @@ class BucketedParquetTable:
                 folded=new_folded,
                 delta_sigs=doc["delta_sigs"],  # pruned to live on write
             )
-            self._inflight.discard(new_v)
+            self._release_claim(new_v)
             self._gc(keep=self.retention)
         return manifest_v
 
@@ -980,10 +1097,27 @@ class BucketedParquetTable:
             live_deltas.update(doc["deltas"])
         # an allocated-but-uncommitted version (a background fold's
         # parquet write in flight) is referenced by no manifest yet —
-        # it must survive this sweep; after a crash the set is empty
-        # and the orphan dir is reclaimed as before
+        # it must survive this sweep. The in-process set covers this
+        # process's writers; the persisted ``_ALLOC`` ledger covers a
+        # CONCURRENT MAINTENANCE PROCESS's in-flight write (code-review
+        # r8 finding 2: a trcli-compact fold must not be swept by the
+        # streaming process's GC). Crashed writers' claims expire after
+        # CLAIM_TTL and their orphan dirs are reclaimed as before.
         live |= self._inflight
         live_deltas |= self._inflight
+        alloc = self._read_alloc()
+        now = time.time()
+        expired = [
+            k for k, ts in alloc["inflight"].items()
+            if now - ts > self.CLAIM_TTL
+        ]
+        if expired:
+            for k in expired:
+                del alloc["inflight"][k]
+            self._write_alloc(alloc)  # caller holds mutex+flock
+        claimed = {int(k) for k in alloc["inflight"]}
+        live |= claimed
+        live_deltas |= claimed
         for name in os.listdir(self.root):
             if (
                 name.startswith("_v")

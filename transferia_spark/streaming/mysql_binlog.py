@@ -43,6 +43,7 @@ from typing import Callable
 QUERY_EVENT = 0x02
 ROTATE_EVENT = 0x04
 FORMAT_DESCRIPTION_EVENT = 0x0F
+XID_EVENT = 0x10
 TABLE_MAP_EVENT = 0x13
 WRITE_ROWS_EVENT_V2 = 0x1E
 UPDATE_ROWS_EVENT_V2 = 0x1F
@@ -218,6 +219,14 @@ def encode_query(
     sb = schema.encode()
     body = struct.pack("<IIBHH", 0, 0, len(sb), 0, 0) + sb + b"\x00" + query.encode()
     ev = encode_header(QUERY_EVENT, len(body) + (4 if checksum else 0), log_pos)
+    return finish_event(ev + body, checksum)
+
+
+def encode_xid(xid: int = 1, log_pos: int = 0, checksum: bool = True) -> bytes:
+    """XID_EVENT — the transaction-commit marker that advances the
+    executed GTID set."""
+    body = struct.pack("<Q", xid)
+    ev = encode_header(XID_EVENT, len(body) + (4 if checksum else 0), log_pos)
     return finish_event(ev + body, checksum)
 
 
@@ -604,6 +613,18 @@ class BinlogTailer:
     _tables: dict = field(default_factory=dict)
     _buf: list[str] = field(default_factory=list)
     _file_no: int = 0
+    #: transaction announced by the last GTID_EVENT, not yet committed
+    #: (XID / QUERY COMMIT / next GTID). Deliberately NOT folded into
+    #: gtid_executed at close(): an un-terminated transaction may have
+    #: undelivered row events, and the resume contract re-fetches it
+    #: (at-least-once; the idempotent merge absorbs the replay).
+    _pending_gtid: tuple[str, int] | None = None
+
+    def _commit_pending_gtid(self) -> None:
+        if self._pending_gtid is not None:
+            sid, gno = self._pending_gtid
+            gtid_set_add(self.gtid_executed, sid, gno)
+            self._pending_gtid = None
 
     def __post_init__(self):
         os.makedirs(self.out_dir, exist_ok=True)
@@ -680,8 +701,21 @@ class BinlogTailer:
             self.log_file = body[8:].decode()
             return 0
         if tc == GTID_EVENT:
-            sid, gno = decode_gtid(body)
-            gtid_set_add(self.gtid_executed, sid, gno)
+            # the executed set must advance at COMMIT (XID / QUERY
+            # COMMIT), never here: a reconnecting client presents the
+            # set to COM_BINLOG_DUMP_GTID and the server resumes AFTER
+            # every listed transaction — recording the GTID before its
+            # row events arrive would silently skip them if the drain
+            # ends mid-transaction (code-review r8 finding 1; the
+            # reference advances position at commit time too). A new
+            # GTID with one still pending is an implicit commit (every
+            # event of the previous transaction has necessarily been
+            # received).
+            self._commit_pending_gtid()
+            self._pending_gtid = decode_gtid(body)
+            return 0
+        if tc == XID_EVENT:
+            self._commit_pending_gtid()
             return 0
         if tc == TABLE_MAP_EVENT:
             tid, tm = decode_table_map(body)
@@ -695,6 +729,9 @@ class BinlogTailer:
             elif q.startswith(_DDL_PREFIXES):
                 action = "ddl"
             else:
+                if q.startswith("COMMIT"):
+                    # non-XA engines end transactions with a statement
+                    self._commit_pending_gtid()
                 return 0  # BEGIN / COMMIT / dml-as-statement: not controls
             doc = {
                 "action": action,
@@ -1130,15 +1167,12 @@ class MySqlLiveConnection:
             close()
             raise
         os.makedirs(self.out_dir, exist_ok=True)
+        from transferia_spark.streaming.pg_replication import _next_file_no
+
         self._tailer = BinlogTailer(
             iter(()), self.out_dir, column_names=self._column_names
         )
-        existing = [
-            int(n_.split(".")[0])
-            for n_ in os.listdir(self.out_dir)
-            if n_.endswith(".jsonl") and n_.split(".")[0].isdigit()
-        ]
-        self._tailer._file_no = max(existing) + 1 if existing else 0
+        self._tailer._file_no = _next_file_no(self.out_dir)
         # resume from the PERSISTED executed set — the reconnect algebra
         self._tailer.gtid_executed = load_gtid_state(self.out_dir)
         self._sess = sess
@@ -1260,13 +1294,11 @@ def drain_recorded_binlog(
     # continue numbering past the HIGHEST existing index, not the file
     # count: prune_committed deletes low-numbered fully-committed files,
     # and a count-based number would reuse (and os.replace-clobber) a
-    # surviving file holding uncommitted events
-    existing = [
-        int(n_.split(".")[0])
-        for n_ in os.listdir(out_dir)
-        if n_.endswith(".jsonl") and n_.split(".")[0].isdigit()
-    ]
-    tailer._file_no = max(existing) + 1 if existing else 0
+    # surviving file holding uncommitted events — the same rule the PG
+    # drains share
+    from transferia_spark.streaming.pg_replication import _next_file_no
+
+    tailer._file_no = _next_file_no(out_dir)
     # the executed GTID set accumulates across drains (a reconnecting
     # live client presents it to COM_BINLOG_DUMP_GTID)
     tailer.gtid_executed = load_gtid_state(out_dir)
@@ -1320,6 +1352,8 @@ __all__ = [
     "encode_rotate",
     "encode_rows_event",
     "encode_table_map",
+    "encode_xid",
+    "XID_EVENT",
     "format_gtid_set",
     "gtid_set_add",
     "gtid_set_contains",

@@ -678,11 +678,23 @@ def dial(host: str, port: int, timeout: float = 30.0):
     import socket
 
     sock = socket.create_connection((host, port), timeout=timeout)
+    stash = bytearray()  # bytes received before a mid-read timeout
 
     def read(n: int) -> bytes:
-        buf = b""
+        buf = bytes(stash[:n])
+        del stash[: len(buf)]
         while len(buf) < n:
-            chunk = sock.recv(n - len(buf))
+            try:
+                chunk = sock.recv(n - len(buf))
+            except TimeoutError:
+                # a timeout must not DISCARD already-received bytes: the
+                # parsers treat a boundary timeout as clean
+                # end-of-catch-up and re-enter on the next drain — a
+                # header split across TCP segments would otherwise
+                # resume mid-frame and desync the stream (code-review
+                # r8 finding 4)
+                stash[:0] = buf
+                raise
             if not chunk:
                 return buf  # codecs raise loudly on partial reads
             buf += chunk

@@ -85,6 +85,10 @@ def json_kind_compatible(declared: T.DataType, v) -> bool:
     if isinstance(v, bool):
         return isinstance(declared, (T.BooleanType, T.StringType))
     if isinstance(v, int):
+        if isinstance(declared, T.BooleanType):
+            # MySQL BOOLEAN is tinyint(1): the binlog decodes it as
+            # 0/1 ints — a healthy stream, not a retype
+            return v in (0, 1)
         return isinstance(
             declared,
             (T.ByteType, T.ShortType, T.IntegerType, T.LongType,

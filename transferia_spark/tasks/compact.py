@@ -137,8 +137,13 @@ def compact_bucketed_table(
     table or just the given buckets. Keys and bucket count come from
     the stored ``_meta.json`` (the meta-wins contract), so the verb
     needs only the root. Safe to run while a delta-mode stream
-    appends: the per-bucket watermark commit preserves deltas landing
-    mid-fold."""
+    appends — ACROSS PROCESSES: the table's manifest commits hold an
+    ``fcntl`` lock on ``<root>/_LOCK``, version names are allocated
+    through the persisted ``_ALLOC`` high-water (this process and the
+    streaming one can never claim the same dir), the fold's in-flight
+    parquet write is ledger-protected from the streaming process's GC,
+    and the per-bucket watermark commit preserves deltas landing
+    mid-fold (code-review r8 finding 2)."""
     import json as _json
 
     from transferia_spark.streaming.bucketed_table import (

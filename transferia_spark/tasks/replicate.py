@@ -408,6 +408,7 @@ class MultiTableCdcSink:
                 n_buckets=_n_buckets_cfg(cfg),
                 merge_mode=cfg.get("merge_mode", "rewrite"),
                 max_deltas=int(cfg.get("max_deltas", 8)),
+                compact_policy=cfg.get("compact_policy", "incremental"),
             )
             self.targets[name] = t
             self.sinks[name] = BucketedCdcApplySink(t)
