@@ -239,11 +239,13 @@ class BucketedParquetTable:
             yield
             return
         if self._fs_lock_depth == 0:
-            if self._fs_lock_fd is None:
-                self._fs_lock_fd = os.open(
-                    os.path.join(self.root, "_LOCK"),
-                    os.O_CREAT | os.O_RDWR,
-                )
+            # open per outermost acquisition (closing the fd releases
+            # the flock and avoids leaking one fd per table instance —
+            # commits are parquet-write-scale, an open() is noise)
+            self._fs_lock_fd = os.open(
+                os.path.join(self.root, "_LOCK"),
+                os.O_CREAT | os.O_RDWR,
+            )
             fcntl.flock(self._fs_lock_fd, fcntl.LOCK_EX)
         self._fs_lock_depth += 1
         try:
@@ -251,7 +253,8 @@ class BucketedParquetTable:
         finally:
             self._fs_lock_depth -= 1
             if self._fs_lock_depth == 0:
-                fcntl.flock(self._fs_lock_fd, fcntl.LOCK_UN)
+                os.close(self._fs_lock_fd)
+                self._fs_lock_fd = None
 
     @property
     def _alloc_path(self) -> str:
