@@ -1093,3 +1093,22 @@ def test_cross_instance_append_and_maintenance_fold(spark, tmp_path):
     compact_bucketed_table(spark, root)
     fresh = BucketedParquetTable(spark, root, keys=["id"], n_buckets=None)
     assert {(r.id, r.v) for r in fresh.read().collect()} == want
+
+
+def test_gc_sweeps_outside_lock_and_reclaims_crash_trash(spark, tmp_path):
+    """GC condemns doomed dirs with a rename under the commit lock and
+    deletes them after release; a _trash dir left by a crash mid-sweep
+    is picked up by the next commit's GC."""
+    root = str(tmp_path / "bt")
+    t = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    # a crashed sweep's leftover
+    leftover = os.path.join(root, "_trash_v99")
+    os.makedirs(leftover)
+    with open(os.path.join(leftover, "junk"), "w") as f:
+        f.write("x")
+    for lsn in range(4):  # age versions through the retention window
+        t.merge(_batch(spark, [(1, f"v{lsn}", "u", lsn, 0)]))
+    assert not os.path.isdir(leftover)
+    # no _trash residue after normal operation either
+    assert not [n for n in os.listdir(root) if n.startswith("_trash")]
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, "v3")}

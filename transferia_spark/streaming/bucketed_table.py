@@ -852,7 +852,8 @@ class BucketedParquetTable:
                 delta_sigs={**doc["delta_sigs"], new_v: sig},
             )
             self._release_claim(new_v)
-            self._gc(keep=self.retention)
+            trash = self._gc(keep=self.retention)
+        self._sweep_trash(trash)
         return manifest_v
 
     def compact(self) -> int:
@@ -881,7 +882,8 @@ class BucketedParquetTable:
                     folded=doc["folded"] if keep else {},
                     delta_sigs=doc["delta_sigs"],
                 )
-                self._gc(keep=self.retention)
+                trash = self._gc(keep=self.retention)
+            self._sweep_trash(trash)
             return new_v
         return self.compact_buckets(list(range(self.n_buckets)))
 
@@ -1046,7 +1048,8 @@ class BucketedParquetTable:
                 delta_sigs=doc["delta_sigs"],  # pruned to live on write
             )
             self._release_claim(new_v)
-            self._gc(keep=self.retention)
+            trash = self._gc(keep=self.retention)
+        self._sweep_trash(trash)
         return manifest_v
 
     def _write_manifest(
@@ -1083,9 +1086,19 @@ class BucketedParquetTable:
             f.write(str(new_v))
         os.replace(ptmp, self._pointer)  # atomic flip
 
-    def _gc(self, keep: int) -> None:
+    def _gc(self, keep: int) -> list[str]:
         """Drop version/delta dirs no manifest in the retention window
-        references, and manifests older than the window."""
+        references, and manifests older than the window.
+
+        Runs inside the commit's mutex+flock, so the expensive part —
+        recursively unlinking a version dir (one file per bucket; at
+        scale thousands of syscalls) — must not happen here: doomed
+        dirs are RENAMED to ``_trash_*`` (one atomic syscall each,
+        invisible to every reader and allocator) and returned; the
+        caller deletes them after releasing the locks. Pre-existing
+        ``_trash_*`` dirs (a caller crashed mid-sweep) are picked up
+        too. Trash names never collide: versions are never reused
+        (the ``_ALLOC`` high-water only advances)."""
         cur = self.version()
         live: set[int] = set()
         live_deltas: set[int] = set()
@@ -1121,23 +1134,43 @@ class BucketedParquetTable:
         claimed = {int(k) for k in alloc["inflight"]}
         live |= claimed
         live_deltas |= claimed
+        trash: list[str] = []
+
+        def _condemn(name: str) -> None:
+            path = os.path.join(self.root, name)
+            dest = os.path.join(self.root, f"_trash{name}")
+            try:
+                os.rename(path, dest)
+            except OSError:
+                return  # already condemned/removed by a racer
+            trash.append(dest)
+
         for name in os.listdir(self.root):
-            if (
+            if name.startswith("_trash"):
+                trash.append(os.path.join(self.root, name))
+            elif (
                 name.startswith("_v")
                 and name[2:].isdigit()
                 and int(name[2:]) not in live
             ):
-                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
-            if (
+                _condemn(name)
+            elif (
                 name.startswith("_d")
                 and name[2:].isdigit()
                 and int(name[2:]) not in live_deltas
             ):
-                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
-            if name.startswith("_manifest_v"):
+                _condemn(name)
+            elif name.startswith("_manifest_v"):
                 mv = int(name[len("_manifest_v"):].split(".")[0])
                 if mv not in kept_manifests:
                     os.remove(os.path.join(self.root, name))
+        return trash
+
+    @staticmethod
+    def _sweep_trash(trash: list[str]) -> None:
+        """Delete condemned dirs — called OUTSIDE the commit locks."""
+        for path in trash:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 class BucketedCdcApplySink:
