@@ -730,3 +730,29 @@ def test_non_table_ddl_leaves_table_unset(tmp_path):
         ("ddl", None),       # DROP INDEX: table rides the ON clause
         ("ddl", "items"),    # keyword path still scopes
     ]
+
+
+def test_ddl_statement_commits_its_gtid(tmp_path):
+    """DDL/TRUNCATE transactions have no XID (GTID → QUERY, implicit
+    commit): a drain ending right after the statement persists its
+    GTID — the control doc is already buffered, so reconnect must not
+    re-deliver the transaction."""
+    import json as _json
+
+    out = str(tmp_path / "binlog")
+    frames_dir = str(tmp_path / "frames")
+    os.makedirs(frames_dir)
+    from transferia_spark.streaming.mysql_binlog import load_gtid_state
+
+    with open(os.path.join(frames_dir, "000.jsonl"), "w") as f:
+        for fr in [
+            encode_format_description(),
+            encode_gtid(SID, 1, 10),
+            encode_query("ALTER TABLE items ADD COLUMN w INT",
+                         schema="shop", log_pos=20),
+            # txn 2 announced, rows never arrive: stays pending
+            encode_gtid(SID, 2, 30),
+        ]:
+            f.write(_json.dumps({"frame": fr.hex()}) + "\n")
+    drain_recorded_binlog(frames_dir, out)
+    assert load_gtid_state(out) == {SID: [[1, 1]]}  # DDL committed, 2 not

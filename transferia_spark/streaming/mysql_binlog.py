@@ -763,6 +763,13 @@ class BinlogTailer:
                 if len(words) >= 2 and words[0].upper() == "TRUNCATE":
                     doc["table"] = _ident_tail(words[1])
             self._emit(doc)
+            # DDL/TRUNCATE statements are auto-committing transactions
+            # (GTID_EVENT → QUERY, no XID): the statement IS the
+            # transaction's whole payload and it is now buffered, so
+            # its GTID becomes executed here — same contract as XID.
+            # Lines flush before the state persists, so a crash in
+            # between still replays, never skips.
+            self._commit_pending_gtid()
             return 1
         if tc in (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2,
                   DELETE_ROWS_EVENT_V2):
