@@ -755,3 +755,177 @@ def test_dial_read_preserves_partial_bytes_across_timeout():
     close()
     accepted["conn"].close()
     srv.close()
+
+
+# ------------------------------------------------------------- TLS
+# sslmode ladder over real loopback sockets (the reference connects
+# through libpq DSNs; the SSLRequest dance is the public "SSL Session
+# Encryption" protocol chapter).
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    """Self-signed localhost cert (its own CA for verify-ca)."""
+    import subprocess
+
+    d = tmp_path_factory.mktemp("tls")
+    cert, key = str(d / "cert.pem"), str(d / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+         "-keyout", key, "-out", cert, "-days", "1", "-nodes",
+         "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    return cert, key
+
+
+def _tls_server(cert, key, answer=b"S", payload=b"", expect=b""):
+    """Loopback server thread: read SSLRequest, answer, optionally
+    wrap with TLS, send `payload`, read len(expect) bytes back."""
+    import socket
+    import ssl
+    import threading
+
+    from transferia_spark.streaming.pg_replication import SSL_REQUEST
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    state = {}
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            got = b""
+            while len(got) < len(SSL_REQUEST):
+                got += conn.recv(len(SSL_REQUEST) - len(got))
+            state["sslrequest"] = got
+            conn.sendall(answer)
+            if answer == b"S":
+                ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+                ctx.load_cert_chain(cert, key)
+                try:
+                    conn = ctx.wrap_socket(conn, server_side=True)
+                except ssl.SSLError as e:  # client aborted (verify fail)
+                    state["handshake_error"] = e
+                    return
+            if payload:
+                conn.sendall(payload)
+            back = b""
+            while len(back) < len(expect):
+                chunk = conn.recv(len(expect) - len(back))
+                if not chunk:
+                    break
+                back += chunk
+            state["echo"] = back
+        finally:
+            conn.close()
+            srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    state["thread"] = t
+    return port, state
+
+
+def test_dial_sslrequest_is_protocol_magic():
+    from transferia_spark.streaming.pg_replication import SSL_REQUEST
+
+    assert SSL_REQUEST == struct.pack(">II", 8, 80877103)
+
+
+def test_dial_tls_require_handshakes_and_moves_bytes(tls_cert):
+    from transferia_spark.streaming.pg_replication import (
+        SSL_REQUEST,
+        dial,
+    )
+
+    cert, key = tls_cert
+    port, state = _tls_server(cert, key, payload=b"helloTLS",
+                              expect=b"ping")
+    read, write, close, poll = dial(
+        "127.0.0.1", port, timeout=5.0, sslmode="require"
+    )
+    assert read(5) == b"hello"
+    # the rest of the record is already decrypted in the TLS buffer —
+    # poll must see it even though the kernel socket may be idle
+    assert poll(0.0)
+    assert read(3) == b"TLS"
+    write(b"ping")
+    state["thread"].join(5)
+    assert state["sslrequest"] == SSL_REQUEST
+    assert state["echo"] == b"ping"
+    close()
+
+
+def test_dial_tls_refused_respects_sslmode(tls_cert):
+    from transferia_spark.streaming.pg_replication import (
+        PgServerError,
+        dial,
+    )
+
+    cert, key = tls_cert
+    port, _ = _tls_server(cert, key, answer=b"N")
+    with pytest.raises(PgServerError, match="refused TLS"):
+        dial("127.0.0.1", port, timeout=5.0, sslmode="require")
+    # prefer: continue cleartext on the same refusal
+    port, state = _tls_server(cert, key, answer=b"N",
+                              payload=b"clear", expect=b"ok")
+    read, write, close, _ = dial(
+        "127.0.0.1", port, timeout=5.0, sslmode="prefer"
+    )
+    assert read(5) == b"clear"
+    write(b"ok")
+    state["thread"].join(5)
+    assert state["echo"] == b"ok"
+    close()
+
+
+def test_dial_verify_ca_checks_the_chain(tls_cert, tmp_path):
+    import ssl
+    import subprocess
+
+    from transferia_spark.streaming.pg_replication import dial
+
+    cert, key = tls_cert
+    # the self-signed cert is its own CA: verify-ca succeeds
+    port, state = _tls_server(cert, key, payload=b"x", expect=b"")
+    read, _, close, _ = dial(
+        "127.0.0.1", port, timeout=5.0,
+        sslmode="verify-ca", sslrootcert=cert,
+    )
+    assert read(1) == b"x"
+    close()
+    # a different CA must fail the handshake loudly
+    other = str(tmp_path / "other.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+         "-keyout", str(tmp_path / "other.key"), "-out", other,
+         "-days", "1", "-nodes", "-subj", "/CN=evil"],
+        check=True, capture_output=True,
+    )
+    port, _ = _tls_server(cert, key)
+    with pytest.raises(ssl.SSLCertVerificationError):
+        dial("127.0.0.1", port, timeout=5.0,
+             sslmode="verify-ca", sslrootcert=other)
+
+
+def test_dial_sslmode_validation():
+    from transferia_spark.streaming.pg_replication import dial
+
+    with pytest.raises(ValueError, match="unknown sslmode"):
+        dial("127.0.0.1", 1, sslmode="yes")
+    with pytest.raises(ValueError, match="needs sslrootcert"):
+        dial("127.0.0.1", 1, sslmode="verify-full")
+
+
+def test_ssl_kwargs_forwarded_only_when_configured():
+    """Injected fake factories keep their 3-positional signature
+    unless the config opts into TLS."""
+    from transferia_spark.streaming.pg_replication import _ssl_kwargs
+
+    assert _ssl_kwargs({"host": "h"}) == {}
+    assert _ssl_kwargs(
+        {"sslmode": "verify-ca", "sslrootcert": "/ca.pem"}
+    ) == {"sslmode": "verify-ca", "sslrootcert": "/ca.pem"}

@@ -666,18 +666,78 @@ class ReplicationTailer:
         self._ack()
 
 
-def dial(host: str, port: int, timeout: float = 30.0):
+#: the protocol-level SSLRequest: length 8, magic 80877103 — the server
+#: answers one raw byte, ``S`` (proceed with TLS) or ``N`` (no TLS)
+SSL_REQUEST = struct.pack(">II", 8, 80877103)
+
+
+def _tls_context(sslmode: str, sslrootcert: str | None):
+    import ssl
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    if sslmode in ("verify-ca", "verify-full"):
+        # trust exactly the given CA (libpq's sslrootcert), hostname
+        # check only in verify-full — the same ladder libpq documents
+        ctx.load_verify_locations(sslrootcert)
+        ctx.check_hostname = sslmode == "verify-full"
+    else:
+        # require/prefer: encryption without identity verification
+        # (libpq semantics: require protects against passive
+        # eavesdropping only)
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    return ctx
+
+
+def dial(
+    host: str,
+    port: int,
+    timeout: float = 30.0,
+    sslmode: str = "disable",
+    sslrootcert: str | None = None,
+):
     """TCP transport factory: returns ``(read, write, close, poll)``
     where ``read(n)`` blocks for exactly n bytes (b"" only at a clean
     EOF boundary) and ``poll(t)`` reports whether the socket has
     readable data within ``t`` seconds — the bounded-drain primitive
     that lets a caught-up drain return instead of blocking on a live
     CopyBoth stream. Module-level so tests inject a fake duplex in its
-    place."""
+    place.
+
+    ``sslmode`` follows libpq's ladder (the reference connects through
+    libpq DSNs, ``postgres/connection.go``): ``disable`` | ``prefer``
+    (TLS if the server accepts, cleartext otherwise) | ``require``
+    (TLS or fail, no identity check) | ``verify-ca`` / ``verify-full``
+    (TLS + certificate chain against ``sslrootcert``, the latter also
+    matching the hostname). TLS is negotiated with the protocol's
+    SSLRequest before the StartupMessage, per the public "SSL Session
+    Encryption" docs."""
     import select
     import socket
 
+    if sslmode not in (
+        "disable", "prefer", "require", "verify-ca", "verify-full"
+    ):
+        raise ValueError(f"unknown sslmode {sslmode!r}")
+    if sslmode in ("verify-ca", "verify-full") and not sslrootcert:
+        raise ValueError(f"sslmode={sslmode} needs sslrootcert")
     sock = socket.create_connection((host, port), timeout=timeout)
+    if sslmode != "disable":
+        sock.sendall(SSL_REQUEST)
+        answer = sock.recv(1)
+        if answer == b"S":
+            sock = _tls_context(sslmode, sslrootcert).wrap_socket(
+                sock, server_hostname=host
+            )
+        elif answer == b"N" and sslmode == "prefer":
+            pass  # server without TLS: continue cleartext
+        else:
+            sock.close()
+            raise PgServerError(
+                {"S": "FATAL", "C": "08P01",
+                 "M": f"server refused TLS (answer={answer!r}) and "
+                      f"sslmode={sslmode} does not allow cleartext"}
+            )
     stash = bytearray()  # bytes received before a mid-read timeout
 
     def read(n: int) -> bytes:
@@ -701,6 +761,11 @@ def dial(host: str, port: int, timeout: float = 30.0):
         return buf
 
     def poll(t: float) -> bool:
+        # a TLS socket may hold already-decrypted bytes the kernel
+        # select cannot see — treating them as "idle" would end a
+        # drain with frames still in hand
+        if stash or getattr(sock, "pending", lambda: 0)():
+            return True
         r, _, _ = select.select([sock], [], [], t)
         return bool(r)
 
@@ -772,12 +837,25 @@ def live_drain(
     return tailer.run(stop_at_lsn=server_lsn)
 
 
+def _ssl_kwargs(live: dict) -> dict:
+    """TLS options from a ``live:`` config, passed to the transport
+    factory only when configured — injected fake duplexes keep their
+    3-positional signature."""
+    out = {}
+    if "sslmode" in live:
+        out["sslmode"] = live["sslmode"]
+    if "sslrootcert" in live:
+        out["sslrootcert"] = live["sslrootcert"]
+    return out
+
+
 def live_drain_tcp(live: dict, out_dir: str) -> int:
     """``replication.source.live`` config → one catch-up drain over a
     real TCP connection (``dial`` is the injectable seam)."""
     read, write, close, poll = dial(
         live["host"], int(live.get("port", 5432)),
         timeout=float(live.get("timeout", 30.0)),
+        **_ssl_kwargs(live),
     )
     try:
         return live_drain(
@@ -843,6 +921,7 @@ class LiveReplicationConnection:
         read, write, close, poll = self._factory(
             live["host"], int(live.get("port", 5432)),
             timeout=float(live.get("timeout", 30.0)),
+            **_ssl_kwargs(live),
         )
         self._eof = False
 
