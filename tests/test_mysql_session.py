@@ -80,11 +80,14 @@ class FakeDuplex:
 
 
 def handshake_payload(
-    scramble: bytes = NONCE, plugin: str = "mysql_native_password"
+    scramble: bytes = NONCE,
+    plugin: str = "mysql_native_password",
+    extra_caps: int = 0,
 ) -> bytes:
     part1, part2 = scramble[:8], scramble[8:] + b"\x00"
     caps = (
         CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+        | extra_caps
     )
     return (
         bytes([10])
@@ -393,14 +396,14 @@ def test_live_connection_drain_and_gtid_resume(tmp_path):
 
 
 def test_mysql_live_drain_tcp_one_shot(tmp_path, monkeypatch):
-    from transferia_spark.streaming import pg_replication as pgr
+    from transferia_spark.streaming import mysql_binlog as myb
 
     out = str(tmp_path / "binlog")
     fd = FakeDuplex(
         _session_script(_row_events(9, [[7, "x"]])), when_empty="timeout"
     )
     monkeypatch.setattr(
-        pgr, "dial", lambda host, port, timeout=30.0:
+        myb, "mysql_dial", lambda host, port, timeout=30.0:
         (fd.read, fd.write, fd.close, fd.poll)
     )
     n = mysql_live_drain_tcp(
@@ -419,7 +422,7 @@ def test_replicate_live_mysqlwire_end_to_end(spark, tmp_path, monkeypatch):
     through the binlogjson stream into the bucketed target — parity
     with the PG live e2e."""
     from transferia_spark.plans.config import transfer_from_yaml
-    from transferia_spark.streaming import pg_replication as pgr
+    from transferia_spark.streaming import mysql_binlog as myb
     from transferia_spark.tasks.replicate import run_replication
 
     src = str(tmp_path / "items.parquet")
@@ -444,7 +447,7 @@ def test_replicate_live_mysqlwire_end_to_end(spark, tmp_path, monkeypatch):
         fd = FakeDuplex(_session_script(events), when_empty="block")
         return fd.read, fd.write, fd.close, fd.poll
 
-    monkeypatch.setattr(pgr, "dial", fake_dial)
+    monkeypatch.setattr(myb, "mysql_dial", fake_dial)
     spec = transfer_from_yaml(f"""
 type: SNAPSHOT_AND_INCREMENT
 src: {{type: file, params: {{path: {src}, format: parquet}}}}
@@ -539,3 +542,173 @@ def test_multi_table_sink_threads_compact_policy(spark, tmp_path):
     })
     assert sink.targets["a"].compact_policy == "off"
     assert sink.targets["b"].compact_policy == "incremental"
+
+
+# ---------------------------------------------------------------- TLS
+# Mid-handshake upgrade (Protocol::SSLRequest): greeting in cleartext,
+# SSLRequest at seq 1, TLS handshake, HandshakeResponse41 encrypted —
+# which also unlocks caching_sha2's FULL-auth cleartext exchange.
+
+
+def test_encode_ssl_request_layout():
+    from transferia_spark.streaming.mysql_binlog import (
+        CLIENT_SSL,
+        encode_ssl_request,
+    )
+
+    p = encode_ssl_request()
+    assert len(p) == 32
+    caps, max_packet, charset = struct.unpack_from("<IIB", p, 0)
+    assert caps & CLIENT_SSL
+    assert charset == 33
+    assert p[9:] == b"\x00" * 23
+
+
+def test_connect_tls_upgrade_orders_the_dance():
+    from transferia_spark.streaming.mysql_binlog import CLIENT_SSL
+
+    fd = FakeDuplex(
+        encode_packet(handshake_payload(extra_caps=CLIENT_SSL), 0)
+        + encode_packet(ok_packet(), 2)
+    )
+    calls = []
+
+    def starttls(mode, rootcert, hostname):
+        calls.append((mode, rootcert, hostname))
+
+    sess = MySqlWireSession(fd.read, fd.write, starttls=starttls)
+    sess.connect(user="repl", password="pw", ssl_mode="REQUIRED",
+                 server_hostname="db.example")
+    assert sess.tls_active
+    assert calls == [("require", None, "db.example")]
+    sent = bytes(fd.sent)
+    # SSLRequest framed at seq 1: 32-byte payload with CLIENT_SSL
+    assert sent[:4] == b"\x20\x00\x00\x01"
+    caps = struct.unpack_from("<I", sent, 4)[0]
+    assert caps & CLIENT_SSL
+    # HandshakeResponse at seq 2 carries the SAME capability bits
+    assert sent[36:40] == bytes([sent[36]]) + b"\x00\x00\x02"
+    resp_caps = struct.unpack_from("<I", sent, 40)[0]
+    assert resp_caps & CLIENT_SSL
+    assert b"repl\x00" in sent[40:]
+
+
+def test_connect_tls_respects_server_capability():
+    from transferia_spark.streaming.mysql_binlog import CLIENT_SSL
+
+    # server without CLIENT_SSL: REQUIRED is loud...
+    fd = FakeDuplex(encode_packet(handshake_payload(), 0))
+    sess = MySqlWireSession(fd.read, fd.write, starttls=lambda *a: None)
+    with pytest.raises(MySqlServerError, match="does not support TLS"):
+        sess.connect(user="r", password="p", ssl_mode="REQUIRED")
+    # ...PREFERRED continues cleartext
+    fd = FakeDuplex(
+        encode_packet(handshake_payload(), 0) + encode_packet(ok_packet(), 2)
+    )
+    sess = MySqlWireSession(fd.read, fd.write, starttls=lambda *a: None)
+    sess.connect(user="r", password="p", ssl_mode="PREFERRED")
+    assert not sess.tls_active
+    # a TLS-less transport with ssl_mode set is a config error
+    fd = FakeDuplex(
+        encode_packet(handshake_payload(extra_caps=CLIENT_SSL), 0)
+    )
+    sess = MySqlWireSession(fd.read, fd.write)
+    with pytest.raises(ValueError, match="starttls"):
+        sess.connect(user="r", password="p", ssl_mode="REQUIRED")
+
+
+def test_connect_full_auth_over_tls():
+    from transferia_spark.streaming.mysql_binlog import CLIENT_SSL
+
+    fd = FakeDuplex(
+        encode_packet(
+            handshake_payload(plugin="caching_sha2_password",
+                              extra_caps=CLIENT_SSL), 0)
+        + encode_packet(b"\x01\x04", 3)  # FULL auth required
+        + encode_packet(ok_packet(), 5)
+    )
+    sess = MySqlWireSession(fd.read, fd.write, starttls=lambda *a: None)
+    sess.connect(user="repl", password="s3cret", ssl_mode="REQUIRED")
+    # the password went cleartext over the (fake-)encrypted channel
+    assert encode_packet(b"s3cret\x00", 4) in bytes(fd.sent)
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    import subprocess
+
+    d = tmp_path_factory.mktemp("mysql_tls")
+    cert, key = str(d / "cert.pem"), str(d / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+         "-keyout", key, "-out", cert, "-days", "1", "-nodes",
+         "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    return cert, key
+
+
+def test_mysql_dial_tls_e2e(tls_cert):
+    """Real loopback: cleartext greeting → SSLRequest → TLS wrap →
+    encrypted HandshakeResponse → caching_sha2 FULL auth with the
+    cleartext password protected by the channel."""
+    import socket
+    import ssl
+    import threading
+
+    from transferia_spark.streaming.mysql_binlog import (
+        CLIENT_SSL,
+        mysql_dial,
+    )
+
+    cert, key = tls_cert
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    state = {}
+
+    def recv_packet(conn):
+        head = b""
+        while len(head) < 4:
+            head += conn.recv(4 - len(head))
+        ln = int.from_bytes(head[:3], "little")
+        body = b""
+        while len(body) < ln:
+            body += conn.recv(ln - len(body))
+        return body
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            conn.sendall(encode_packet(
+                handshake_payload(plugin="caching_sha2_password",
+                                  extra_caps=CLIENT_SSL), 0))
+            state["sslreq"] = recv_packet(conn)  # cleartext SSLRequest
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(cert, key)
+            conn = ctx.wrap_socket(conn, server_side=True)
+            state["response"] = recv_packet(conn)  # encrypted
+            conn.sendall(encode_packet(b"\x01\x04", 3))  # full auth
+            state["password"] = recv_packet(conn)
+            conn.sendall(encode_packet(ok_packet(), 5))
+            conn.recv(1)  # hold until client closes
+        finally:
+            conn.close()
+            srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    read, write, close, poll, starttls = mysql_dial(
+        "127.0.0.1", port, timeout=5.0
+    )
+    sess = MySqlWireSession(read, write, starttls=starttls)
+    sess.connect(user="repl", password="s3cret", ssl_mode="REQUIRED",
+                 server_hostname="127.0.0.1")
+    close()
+    t.join(5)
+    assert sess.tls_active
+    caps = struct.unpack_from("<I", state["sslreq"], 0)[0]
+    assert caps & CLIENT_SSL
+    assert b"repl\x00" in state["response"]
+    assert state["password"] == b"s3cret\x00"

@@ -26,8 +26,9 @@ any iterator of events (a live socket's COM_BINLOG_DUMP stream or
 recorded vectors) into the binlog-JSON directory
 ``cdc_sources.BinlogJsonStreamReader`` tails — so the DataSource
 stream, offsets, collapse and merge paths are IDENTICAL with a live
-socket or a recorded capture. The auth handshake is out of scope (a
-live transport performs it before handing the event stream over).
+socket or a recorded capture. Session establishment (HandshakeV10,
+auth scrambles, optional mid-handshake TLS upgrade,
+COM_BINLOG_DUMP_GTID) lives in :class:`MySqlWireSession` below.
 """
 
 from __future__ import annotations
@@ -829,12 +830,14 @@ AUTH_MORE_DATA = 0x01
 CLIENT_LONG_PASSWORD = 0x00000001
 CLIENT_CONNECT_WITH_DB = 0x00000008
 CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SSL = 0x00000800
 CLIENT_SECURE_CONNECTION = 0x00008000
 CLIENT_PLUGIN_AUTH = 0x00080000
 CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA = 0x00200000
 
-#: capabilities this client presents (utf8 charset 33, no TLS — the
-#: caching_sha2 FULL-auth path needs TLS/RSA and is rejected loudly)
+#: capabilities this client presents (utf8 charset 33); CLIENT_SSL is
+#: OR'd in when the transport upgrades to TLS (which also unlocks the
+#: caching_sha2 FULL-auth cleartext exchange)
 CLIENT_CAPABILITIES = (
     CLIENT_LONG_PASSWORD
     | CLIENT_PROTOCOL_41
@@ -932,6 +935,22 @@ def scramble_for(plugin: str, password: str, nonce: bytes) -> bytes:
     )
 
 
+def encode_ssl_request(
+    database: str | None = None,
+    charset: int = 33,
+    max_packet: int = 1 << 24,
+) -> bytes:
+    """Protocol::SSLRequest payload — the 32-byte prefix of
+    HandshakeResponse41 with CLIENT_SSL set. Sent at seq 1 after the
+    greeting; the TLS handshake follows on the raw socket, then the
+    full HandshakeResponse41 (same capabilities) flows encrypted. The
+    capability bits here MUST match the later response's."""
+    caps = CLIENT_CAPABILITIES | CLIENT_SSL
+    if database:
+        caps |= CLIENT_CONNECT_WITH_DB
+    return struct.pack("<IIB", caps, max_packet, charset) + b"\x00" * 23
+
+
 def encode_handshake_response(
     user: str,
     auth_response: bytes,
@@ -939,12 +958,16 @@ def encode_handshake_response(
     database: str | None = None,
     charset: int = 33,
     max_packet: int = 1 << 24,
+    ssl_active: bool = False,
 ) -> bytes:
     """Protocol::HandshakeResponse41 payload (packet framing applied by
-    the caller — seq 1 follows the server's greeting at seq 0)."""
+    the caller — seq 1 follows the server's greeting at seq 0, or seq 2
+    after an SSLRequest)."""
     caps = CLIENT_CAPABILITIES
     if database:
         caps |= CLIENT_CONNECT_WITH_DB
+    if ssl_active:
+        caps |= CLIENT_SSL
     out = struct.pack("<IIB", caps, max_packet, charset) + b"\x00" * 23
     out += user.encode() + b"\x00"
     out += encode_lenenc(len(auth_response)) + auth_response
@@ -995,6 +1018,74 @@ def encode_com_binlog_dump_gtid(
     )
 
 
+#: MySQL's --ssl-mode spellings, normalized to the libpq-style ladder
+#: the shared TLS context builder understands
+_SSL_MODE_ALIASES = {
+    "disabled": "disable",
+    "preferred": "prefer",
+    "required": "require",
+    "verify_ca": "verify-ca",
+    "verify_identity": "verify-full",
+}
+
+
+def _norm_ssl_mode(mode: str) -> str:
+    m = mode.lower()
+    return _SSL_MODE_ALIASES.get(m, m)
+
+
+def mysql_dial(host: str, port: int, timeout: float = 30.0):
+    """TCP transport factory for the MySQL client: returns
+    ``(read, write, close, poll, starttls)``. Unlike the PG side —
+    where TLS is negotiated before any protocol bytes — MySQL upgrades
+    MID-handshake (greeting in cleartext, SSLRequest, then TLS), so the
+    factory exposes ``starttls(sslmode, sslrootcert, server_hostname)``
+    and every callable routes through the current (possibly wrapped)
+    socket. Same stash/poll contracts as ``pg_replication.dial``."""
+    import select
+    import socket
+
+    cell = [socket.create_connection((host, port), timeout=timeout)]
+    stash = bytearray()
+
+    def read(n: int) -> bytes:
+        buf = bytes(stash[:n])
+        del stash[: len(buf)]
+        while len(buf) < n:
+            try:
+                chunk = cell[0].recv(n - len(buf))
+            except TimeoutError:
+                stash[:0] = buf  # keep the prefix: stay frame-aligned
+                raise
+            if not chunk:
+                return buf
+            buf += chunk
+        return buf
+
+    def write(b: bytes) -> None:
+        cell[0].sendall(b)
+
+    def close() -> None:
+        cell[0].close()
+
+    def poll(t: float) -> bool:
+        if stash or getattr(cell[0], "pending", lambda: 0)():
+            return True
+        r, _, _ = select.select([cell[0]], [], [], t)
+        return bool(r)
+
+    def starttls(
+        sslmode: str, sslrootcert: str | None, server_hostname: str
+    ) -> None:
+        from transferia_spark.streaming.pg_replication import _tls_context
+
+        cell[0] = _tls_context(sslmode, sslrootcert).wrap_socket(
+            cell[0], server_hostname=server_hostname
+        )
+
+    return read, write, close, poll, starttls
+
+
 class MySqlWireSession:
     """Connection establishment + OK-commands + the binlog-dump switch
     over injectable ``read(n)``/``write(bytes)`` callables.
@@ -1012,11 +1103,15 @@ class MySqlWireSession:
         self,
         read: Callable[[int], bytes],
         write: Callable[[bytes], None],
+        starttls: Callable[..., None] | None = None,
     ):
         self._read = read
         self._write = write
+        self._starttls = starttls
         self._seq = 0
         self.handshake: HandshakeV10 | None = None
+        self.tls_active = False
+        self._password = ""
 
     def _recv_packet(self) -> bytes:
         head = self._read(4)
@@ -1041,19 +1136,54 @@ class MySqlWireSession:
         self._seq = (self._seq + 1) & 0xFF
 
     def connect(
-        self, user: str, password: str = "", database: str | None = None
+        self,
+        user: str,
+        password: str = "",
+        database: str | None = None,
+        ssl_mode: str = "disable",
+        sslrootcert: str | None = None,
+        server_hostname: str = "",
     ) -> None:
-        """HandshakeV10 → HandshakeResponse41 → auth continuations
-        (auth-switch; caching_sha2 fast-auth) → OK."""
+        """HandshakeV10 → [SSLRequest + TLS upgrade] →
+        HandshakeResponse41 → auth continuations (auth-switch;
+        caching_sha2 fast-auth, or FULL auth over TLS) → OK.
+
+        ``ssl_mode`` accepts MySQL's --ssl-mode spellings (DISABLED /
+        PREFERRED / REQUIRED / VERIFY_CA / VERIFY_IDENTITY) or the
+        libpq-style ones; the upgrade happens mid-handshake per the
+        public "Protocol::SSLRequest" chapter."""
+        mode = _norm_ssl_mode(ssl_mode)
+        if mode not in (
+            "disable", "prefer", "require", "verify-ca", "verify-full"
+        ):
+            raise ValueError(f"unknown ssl_mode {ssl_mode!r}")
         hs = decode_handshake_v10(self._recv_packet())
         self.handshake = hs
+        if mode != "disable":
+            if not hs.capabilities & CLIENT_SSL:
+                if mode != "prefer":
+                    raise MySqlServerError(
+                        3159, "HY000",
+                        f"server does not support TLS and "
+                        f"ssl_mode={ssl_mode} does not allow cleartext",
+                    )
+            elif self._starttls is None:
+                raise ValueError(
+                    "ssl_mode set but the transport provides no "
+                    "starttls (inject mysql_dial or a TLS-capable fake)"
+                )
+            else:
+                self._send_packet(encode_ssl_request(database=database))
+                self._starttls(mode, sslrootcert, server_hostname)
+                self.tls_active = True
         plugin = hs.auth_plugin or "mysql_native_password"
         self._send_packet(
             encode_handshake_response(
                 user, scramble_for(plugin, password, hs.scramble),
-                plugin, database=database,
+                plugin, database=database, ssl_active=self.tls_active,
             )
         )
+        self._password = password
         while True:
             reply = self._recv_packet()
             marker = reply[0] if reply else OK_HEADER
@@ -1068,12 +1198,20 @@ class MySqlWireSession:
             elif marker == AUTH_MORE_DATA:
                 if reply[1:2] == b"\x03":
                     continue  # caching_sha2 fast-auth success → OK next
+                if reply[1:2] == b"\x04" and self.tls_active:
+                    # FULL auth (server cache miss): over TLS the
+                    # protocol sends the password cleartext,
+                    # NUL-terminated — the channel is the protection
+                    self._send_packet(
+                        self._password.encode() + b"\x00"
+                    )
+                    continue
                 raise MySqlServerError(
                     1045, "28000",
                     "caching_sha2_password requires FULL authentication "
-                    "(server cache miss); the cleartext/RSA exchange "
-                    "needs TLS, which is out of scope — prime the "
-                    "server cache or use a mysql_native_password user",
+                    "(server cache miss); the cleartext exchange needs "
+                    "TLS (set ssl_mode) — or prime the server cache / "
+                    "use a mysql_native_password user",
                 )
             else:
                 raise ValueError(
@@ -1130,11 +1268,10 @@ class MySqlLiveConnection:
         transport_factory: Callable[..., tuple] | None = None,
         column_names: dict[str, list[str]] | None = None,
     ):
-        from transferia_spark.streaming.pg_replication import dial
-
         self.live = live
         self.out_dir = out_dir
-        self._factory = transport_factory or dial
+        self._factory = transport_factory  # None → mysql_dial, resolved
+        # at connect time so tests patching the module global take
         self._column_names = column_names
         self._close: Callable[[], None] | None = None
         self._read: Callable[[int], bytes] | None = None
@@ -1149,10 +1286,14 @@ class MySqlLiveConnection:
 
     def _connect(self) -> None:
         live = self.live
-        read, write, close, poll = self._factory(
+        parts = (self._factory or mysql_dial)(
             live["host"], int(live.get("port", 3306)),
             timeout=float(live.get("timeout", 30.0)),
         )
+        # injected fakes may return the classic 4-tuple; mysql_dial
+        # adds starttls for the mid-handshake TLS upgrade
+        read, write, close, poll = parts[:4]
+        starttls = parts[4] if len(parts) > 4 else None
         self._eof = False
 
         def tracked_read(n: int) -> bytes:
@@ -1162,10 +1303,13 @@ class MySqlLiveConnection:
             return b
 
         try:
-            sess = MySqlWireSession(tracked_read, write)
+            sess = MySqlWireSession(tracked_read, write, starttls=starttls)
             sess.connect(
                 user=live["user"], password=live.get("password", ""),
                 database=live.get("database"),
+                ssl_mode=live.get("ssl_mode", "disable"),
+                sslrootcert=live.get("sslrootcert"),
+                server_hostname=live["host"],
             )
             # announce checksum awareness (8.0 streams CRC32 by default;
             # FORMAT_DESCRIPTION still decides per-event)
@@ -1331,6 +1475,9 @@ __all__ = [
     "encode_com_binlog_dump_gtid",
     "encode_gtid_set_binary",
     "encode_handshake_response",
+    "encode_ssl_request",
+    "mysql_dial",
+    "CLIENT_SSL",
     "mysql_live_drain_tcp",
     "mysql_native_scramble",
     "scramble_for",
