@@ -1014,6 +1014,33 @@ def test_stale_claim_reclaimed_after_ttl(spark, tmp_path, monkeypatch):
     assert str(n) not in t._read_alloc()["inflight"]  # ledger pruned
 
 
+def test_fs_lock_closes_fd_when_flock_fails(spark, tmp_path, monkeypatch):
+    """flock can fail (ENOLCK on NFS) or be interrupted while blocked
+    on another process's lock — a commit path that retries must not
+    leak one _LOCK fd per attempt."""
+    import errno
+    import fcntl as _fcntl
+
+    t = BucketedParquetTable(
+        spark, str(tmp_path / "bt"), keys=["id"], n_buckets=2
+    )
+    closed = []
+    real_close = os.close
+    monkeypatch.setattr(
+        os, "close", lambda fd: (closed.append(fd), real_close(fd))[1]
+    )
+
+    def boom(fd, op):
+        raise OSError(errno.ENOLCK, "no locks available")
+
+    monkeypatch.setattr(_fcntl, "flock", boom)
+    with pytest.raises(OSError, match="locks"):
+        with t._fs_lock():
+            pass  # pragma: no cover — flock raises before entry
+    assert len(closed) == 1  # the just-opened fd was released
+    assert t._fs_lock_fd is None and t._fs_lock_depth == 0
+
+
 def test_commit_sections_mutually_exclude_across_instances(spark, tmp_path):
     """The manifest read-modify-write holds the _LOCK flock: while one
     instance (process stand-in) is inside its commit section, another

@@ -756,3 +756,61 @@ def test_ddl_statement_commits_its_gtid(tmp_path):
             f.write(_json.dumps({"frame": fr.hex()}) + "\n")
     drain_recorded_binlog(frames_dir, out)
     assert load_gtid_state(out) == {SID: [[1, 1]]}  # DDL committed, 2 not
+
+
+def test_ctas_transaction_commits_at_xid(tmp_path):
+    """Atomic CREATE TABLE ... SELECT (MySQL 8.0.21+) logs ONE
+    transaction under ONE GTID: Query('CREATE ... START TRANSACTION')
+    → Table_map → Write_rows → Xid. A drain ending right after the
+    Query event must NOT persist the GTID — a reconnect presenting it
+    would skip the inserted rows forever; the Xid commits it."""
+    import json as _json
+
+    from transferia_spark.streaming.mysql_binlog import load_gtid_state
+
+    types, metas = [TYPE_LONGLONG], [None]
+    head = [
+        encode_format_description(),
+        encode_gtid(SID, 1, 10),
+        encode_query(
+            "CREATE TABLE `t2` (`id` BIGINT) START TRANSACTION",
+            schema="shop", log_pos=20,
+        ),
+    ]
+    tail = [
+        encode_table_map(7, "shop", "t2", types, metas,
+                         col_names=["id"], log_pos=30),
+        encode_rows_event(WRITE_ROWS_EVENT_V2, 7, types, metas,
+                          [[1], [2]], log_pos=40),
+        encode_xid(log_pos=50),
+    ]
+
+    def drain(frames, name):
+        frames_dir = str(tmp_path / f"f_{name}")
+        out = str(tmp_path / f"b_{name}")
+        os.makedirs(frames_dir)
+        with open(os.path.join(frames_dir, "000.jsonl"), "w") as f:
+            for fr in frames:
+                f.write(_json.dumps({"frame": fr.hex()}) + "\n")
+        drain_recorded_binlog(frames_dir, out)
+        return out
+
+    # drain ends right after the CTAS Query event: GTID stays pending
+    out = drain(head, "partial")
+    assert load_gtid_state(out) == {}
+    # the ddl control doc itself still flowed
+    docs = []
+    for n in sorted(os.listdir(out)):
+        if n.endswith(".jsonl"):
+            with open(os.path.join(out, n)) as f:
+                docs += [_json.loads(line) for line in f]
+    assert [d["action"] for d in docs] == ["ddl"]
+    # the full transaction: rows delivered, Xid commits the GTID
+    out = drain(head + tail, "full")
+    assert load_gtid_state(out) == {SID: [[1, 1]]}
+    docs = []
+    for n in sorted(os.listdir(out)):
+        if n.endswith(".jsonl"):
+            with open(os.path.join(out, n)) as f:
+                docs += [_json.loads(line) for line in f]
+    assert [d["action"] for d in docs] == ["ddl", "insert", "insert"]

@@ -617,6 +617,33 @@ def test_connect_tls_respects_server_capability():
         sess.connect(user="r", password="p", ssl_mode="REQUIRED")
 
 
+def test_connect_prefer_without_starttls_stays_cleartext():
+    """PREFERRED degrades to cleartext when the CLIENT side can't do
+    TLS (no starttls on the transport) even if the server advertises
+    CLIENT_SSL — mysql --ssl-mode=PREFERRED / libpq prefer semantics;
+    only REQUIRED-and-up is loud."""
+    from transferia_spark.streaming.mysql_binlog import CLIENT_SSL
+
+    fd = FakeDuplex(
+        encode_packet(handshake_payload(extra_caps=CLIENT_SSL), 0)
+        + encode_packet(ok_packet(), 2)
+    )
+    sess = MySqlWireSession(fd.read, fd.write)  # no starttls
+    sess.connect(user="r", password="p", ssl_mode="PREFERRED")
+    assert not sess.tls_active
+
+
+def test_connect_verify_modes_need_rootcert():
+    """VERIFY_CA/VERIFY_IDENTITY without sslrootcert is a config error
+    diagnosed before any protocol bytes — not the ssl module's
+    TypeError mid-handshake on every reconnect tick."""
+    fd = FakeDuplex(b"")
+    sess = MySqlWireSession(fd.read, fd.write, starttls=lambda *a: None)
+    with pytest.raises(ValueError, match="needs sslrootcert"):
+        sess.connect(user="r", password="p", ssl_mode="VERIFY_CA")
+    assert not bytes(fd.sent)
+
+
 def test_connect_full_auth_over_tls():
     from transferia_spark.streaming.mysql_binlog import CLIENT_SSL
 

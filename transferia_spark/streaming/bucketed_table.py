@@ -242,11 +242,19 @@ class BucketedParquetTable:
             # open per outermost acquisition (closing the fd releases
             # the flock and avoids leaking one fd per table instance —
             # commits are parquet-write-scale, an open() is noise)
-            self._fs_lock_fd = os.open(
+            fd = os.open(
                 os.path.join(self.root, "_LOCK"),
                 os.O_CREAT | os.O_RDWR,
             )
-            fcntl.flock(self._fs_lock_fd, fcntl.LOCK_EX)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except BaseException:
+                # flock can fail (ENOLCK on NFS) or be interrupted
+                # while blocked on another process — a retrying commit
+                # path must not leak one fd per attempt
+                os.close(fd)
+                raise
+            self._fs_lock_fd = fd
         self._fs_lock_depth += 1
         try:
             yield

@@ -764,12 +764,21 @@ class BinlogTailer:
                 if len(words) >= 2 and words[0].upper() == "TRUNCATE":
                     doc["table"] = _ident_tail(words[1])
             self._emit(doc)
-            # DDL/TRUNCATE statements are auto-committing transactions
-            # (GTID_EVENT → QUERY, no XID): the statement IS the
-            # transaction's whole payload and it is now buffered, so
-            # its GTID becomes executed here — same contract as XID.
-            # Lines flush before the state persists, so a crash in
-            # between still replays, never skips.
+            if q.rstrip("; ").endswith("START TRANSACTION"):
+                # atomic CREATE TABLE ... SELECT (8.0.21+) logs ONE
+                # transaction: Query("CREATE TABLE ... START
+                # TRANSACTION") → Table_map → Write_rows → Xid, all
+                # under the SAME GTID — committing here would let a
+                # drain ending right after this event persist a GTID
+                # whose rows were never delivered (reconnect skips the
+                # whole transaction). The Xid commits it.
+                return 1
+            # Other DDL/TRUNCATE statements are auto-committing
+            # transactions (GTID_EVENT → QUERY, no XID): the statement
+            # IS the transaction's whole payload and it is now
+            # buffered, so its GTID becomes executed here — same
+            # contract as XID. Lines flush before the state persists,
+            # so a crash in between still replays, never skips.
             self._commit_pending_gtid()
             return 1
         if tc in (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2,
@@ -1041,38 +1050,14 @@ def mysql_dial(host: str, port: int, timeout: float = 30.0):
     MID-handshake (greeting in cleartext, SSLRequest, then TLS), so the
     factory exposes ``starttls(sslmode, sslrootcert, server_hostname)``
     and every callable routes through the current (possibly wrapped)
-    socket. Same stash/poll contracts as ``pg_replication.dial``."""
-    import select
+    socket. The stash/poll machinery is ``pg_replication``'s
+    ``socket_transport`` — one implementation for both wire clients."""
     import socket
 
+    from transferia_spark.streaming.pg_replication import socket_transport
+
     cell = [socket.create_connection((host, port), timeout=timeout)]
-    stash = bytearray()
-
-    def read(n: int) -> bytes:
-        buf = bytes(stash[:n])
-        del stash[: len(buf)]
-        while len(buf) < n:
-            try:
-                chunk = cell[0].recv(n - len(buf))
-            except TimeoutError:
-                stash[:0] = buf  # keep the prefix: stay frame-aligned
-                raise
-            if not chunk:
-                return buf
-            buf += chunk
-        return buf
-
-    def write(b: bytes) -> None:
-        cell[0].sendall(b)
-
-    def close() -> None:
-        cell[0].close()
-
-    def poll(t: float) -> bool:
-        if stash or getattr(cell[0], "pending", lambda: 0)():
-            return True
-        r, _, _ = select.select([cell[0]], [], [], t)
-        return bool(r)
+    read, write, close, poll = socket_transport(cell)
 
     def starttls(
         sslmode: str, sslrootcert: str | None, server_hostname: str
@@ -1157,6 +1142,12 @@ class MySqlWireSession:
             "disable", "prefer", "require", "verify-ca", "verify-full"
         ):
             raise ValueError(f"unknown ssl_mode {ssl_mode!r}")
+        if mode in ("verify-ca", "verify-full") and not sslrootcert:
+            # config error, diagnosed BEFORE any protocol bytes — the
+            # ssl module's late TypeError from load_verify_locations
+            # (None) would otherwise fire mid-handshake on every
+            # reconnect tick (same check as pg_replication.dial)
+            raise ValueError(f"ssl_mode={ssl_mode} needs sslrootcert")
         hs = decode_handshake_v10(self._recv_packet())
         self.handshake = hs
         if mode != "disable":
@@ -1168,10 +1159,16 @@ class MySqlWireSession:
                         f"ssl_mode={ssl_mode} does not allow cleartext",
                     )
             elif self._starttls is None:
-                raise ValueError(
-                    "ssl_mode set but the transport provides no "
-                    "starttls (inject mysql_dial or a TLS-capable fake)"
-                )
+                # prefer degrades to cleartext when the CLIENT side
+                # cannot do TLS too (mysql --ssl-mode=PREFERRED /
+                # libpq sslmode=prefer semantics); only require-and-up
+                # is loud about a TLS-less transport
+                if mode != "prefer":
+                    raise ValueError(
+                        "ssl_mode set but the transport provides no "
+                        "starttls (inject mysql_dial or a TLS-capable "
+                        "fake)"
+                    )
             else:
                 self._send_packet(encode_ssl_request(database=database))
                 self._starttls(mode, sslrootcert, server_hostname)

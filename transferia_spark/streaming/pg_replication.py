@@ -712,7 +712,6 @@ def dial(
     matching the hostname). TLS is negotiated with the protocol's
     SSLRequest before the StartupMessage, per the public "SSL Session
     Encryption" docs."""
-    import select
     import socket
 
     if sslmode not in (
@@ -738,6 +737,20 @@ def dial(
                  "M": f"server refused TLS (answer={answer!r}) and "
                       f"sslmode={sslmode} does not allow cleartext"}
             )
+    return socket_transport([sock])
+
+
+def socket_transport(cell: list):
+    """``(read, write, close, poll)`` over a mutable 1-element socket
+    holder — the transport machinery both wire dials share (the MySQL
+    side swaps ``cell[0]`` on its mid-handshake TLS upgrade; the PG
+    side's socket is final by the time this is built). ``read(n)``
+    blocks for exactly n bytes (b"" only at a clean EOF boundary) and
+    keeps a partial prefix across a mid-read timeout; ``poll(t)``
+    reports readability within ``t`` seconds, seeing TLS-buffered
+    bytes the kernel select cannot."""
+    import select
+
     stash = bytearray()  # bytes received before a mid-read timeout
 
     def read(n: int) -> bytes:
@@ -745,7 +758,7 @@ def dial(
         del stash[: len(buf)]
         while len(buf) < n:
             try:
-                chunk = sock.recv(n - len(buf))
+                chunk = cell[0].recv(n - len(buf))
             except TimeoutError:
                 # a timeout must not DISCARD already-received bytes: the
                 # parsers treat a boundary timeout as clean
@@ -760,16 +773,22 @@ def dial(
             buf += chunk
         return buf
 
+    def write(b: bytes) -> None:
+        cell[0].sendall(b)
+
+    def close() -> None:
+        cell[0].close()
+
     def poll(t: float) -> bool:
         # a TLS socket may hold already-decrypted bytes the kernel
         # select cannot see — treating them as "idle" would end a
         # drain with frames still in hand
-        if stash or getattr(sock, "pending", lambda: 0)():
+        if stash or getattr(cell[0], "pending", lambda: 0)():
             return True
-        r, _, _ = select.select([sock], [], [], t)
+        r, _, _ = select.select([cell[0]], [], [], t)
         return bool(r)
 
-    return read, sock.sendall, sock.close, poll
+    return read, write, close, poll
 
 
 def _next_file_no(out_dir: str) -> int:
