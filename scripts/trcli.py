@@ -16,6 +16,7 @@ Usage:
   python scripts/trcli.py describe  --transfer transfer.yaml   # endpoints+plan summary
   python scripts/trcli.py checksum  --transfer transfer.yaml   # verify delivery
   python scripts/trcli.py compact   --src dir/ --dst table/ [--target-mb 256]
+  python scripts/trcli.py rebucket  --src table/ [--n-buckets N]
 
 ``replicate`` is the long-lived process (``replicate.go:24``): activate
 if the coordinator state says so, then a supervised streaming loop —
@@ -38,11 +39,16 @@ def main() -> int:
         "verb",
         choices=[
             "activate", "replicate", "status", "upload", "check",
-            "validate", "describe", "checksum", "compact",
+            "validate", "describe", "checksum", "compact", "rebucket",
         ],
     )
     ap.add_argument("--transfer", help="path to transfer.yaml")
     ap.add_argument("--src", help="compact: fragmented parquet directory")
+    ap.add_argument(
+        "--n-buckets", type=int, default=None,
+        help="rebucket: explicit new bucket count (default: size-derived, "
+             "growth only)",
+    )
     ap.add_argument("--dst", help="compact: ParquetTable root to write")
     ap.add_argument("--target-mb", type=int, default=256,
                     help="compact: target output file size")
@@ -120,6 +126,25 @@ def main() -> int:
 
         after = data_file_count(_os.path.join(args.dst, f"_v{v}"))
         print(f"compacted: {before} -> {after} files (version {v})")
+        return 0
+
+    if args.verb == "rebucket":
+        if not args.src:
+            ap.error("rebucket needs --src (BucketedParquetTable root)")
+        from transferia_spark.session import get_spark
+        from transferia_spark.tasks.compact import rebucket_bucketed_table
+
+        spark = get_spark()
+        old_n, new_n, v = rebucket_bucketed_table(
+            spark, args.src, n_buckets=args.n_buckets,
+        )
+        if old_n == new_n:
+            print(f"no rebucket needed: {args.src} stays at {new_n} buckets")
+        else:
+            print(
+                f"rebucketed: {args.src} {old_n} -> {new_n} buckets "
+                f"(version {v})"
+            )
         return 0
 
     if args.verb == "status":

@@ -1139,3 +1139,156 @@ def test_gc_sweeps_outside_lock_and_reclaims_crash_trash(spark, tmp_path):
     # no _trash residue after normal operation either
     assert not [n for n in os.listdir(root) if n.startswith("_trash")]
     assert {(r.id, r.v) for r in t.read().collect()} == {(1, "v3")}
+
+
+# ------------------------------------------------------------ rebucket
+# A fixed creation-time bucket count is the long-horizon scale trap: a
+# CDC target seeded small keeps absorbing rows and every touched-bucket
+# rewrite grows with per-bucket size. rebucket() re-lays the table out
+# under a new count in one atomic manifest flip.
+
+
+def test_rebucket_preserves_rows_and_new_layout(spark, tmp_path):
+    root = str(tmp_path / "bt")
+    t = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    t.merge(_batch(spark, [(i, f"a{i}", "i", 1, i) for i in range(60)]))
+    t.merge(_batch(spark, [(3, "up", "u", 2, 0), (7, None, "d", 2, 1)]))
+    want = {(r.id, r.v) for r in t.read().collect()}
+    v_old = t.version()
+    v = t.rebucket(16)
+    assert t.n_buckets == 16
+    assert {(r.id, r.v) for r in t.read().collect()} == want
+    # manifest: every new bucket mapped, count recorded, deltas clear
+    doc = t._manifest_doc()
+    assert doc["n_buckets"] == 16
+    assert sorted(doc["buckets"]) == list(range(16))
+    assert doc["deltas"] == []
+    # reopening resolves the new count (meta + manifest agree)
+    fresh = BucketedParquetTable(spark, root, keys=["id"], n_buckets=None)
+    assert fresh.n_buckets == 16
+    # reader lease: the pre-rebucket manifest still reads (retention=2)
+    assert {(r.id, r.v) for r in t.read(version=v_old).collect()} == want
+    # and the table keeps merging under the new function
+    t.merge(_batch(spark, [(100, "new", "i", 3, 0)]))
+    assert (100, "new") in {(r.id, r.v) for r in t.read().collect()}
+    assert v == t.version() - 1
+
+
+def test_rebucket_shrink_rebuilds_manifest(spark, tmp_path):
+    """A shrink must not leave stale manifest entries above the new
+    count pointing at old rows (duplicate reads)."""
+    t = BucketedParquetTable(
+        spark, str(tmp_path / "bt"), keys=["id"], n_buckets=16
+    )
+    t.merge(_batch(spark, [(i, f"a{i}", "i", 1, i) for i in range(40)]))
+    want = {(r.id, r.v) for r in t.read().collect()}
+    t.rebucket(4)
+    doc = t._manifest_doc()
+    assert sorted(doc["buckets"]) == list(range(4))
+    assert {(r.id, r.v) for r in t.read().collect()} == want
+
+
+def test_rebucket_folds_pending_deltas_first(spark, tmp_path):
+    t = BucketedParquetTable(
+        spark, str(tmp_path / "bt"), keys=["id"], n_buckets=4,
+        merge_mode="delta", compact_policy="off",
+    )
+    t.merge(_batch(spark, [(i, f"a{i}", "i", 1, i) for i in range(20)]),
+            batch_id=0)
+    t.merge(_batch(spark, [(3, "up", "u", 2, 0)]), batch_id=1)
+    assert t._manifest_doc()["deltas"]  # tail pending
+    want = {(r.id, r.v) for r in t.read().collect()}
+    t.rebucket(8)
+    doc = t._manifest_doc()
+    assert doc["deltas"] == [] and doc["n_buckets"] == 8
+    # the replay watermark survives: a rebucket is maintenance inside
+    # ONE checkpoint lineage, not a new epoch
+    assert doc["last_batch_id"] == 1
+    assert {(r.id, r.v) for r in t.read().collect()} == want
+    t.merge(_batch(spark, [(3, "later", "u", 3, 0)]), batch_id=1)  # replay
+    assert (3, "up") in {(r.id, r.v) for r in t.read().collect()}
+    t.merge(_batch(spark, [(3, "later", "u", 3, 0)]), batch_id=2)
+    assert (3, "later") in {(r.id, r.v) for r in t.read().collect()}
+
+
+def test_rebucket_auto_sizing(spark, tmp_path):
+    t = BucketedParquetTable(
+        spark, str(tmp_path / "bt"), keys=["id"], n_buckets=4
+    )
+    t.merge(_batch(spark, [(i, "x" * 50, "i", 1, i) for i in range(100)]))
+    # the base fits comfortably in 4 × 1 GB: no-op
+    assert t.recommended_n_buckets() == 4
+    v = t.version()
+    assert t.rebucket() == v and t.n_buckets == 4
+    # shrink the per-bucket budget so the same base overflows it:
+    # power-of-two growth sized to ~target per bucket
+    total = t.base_bytes()
+    assert total > 0
+    t.target_bucket_bytes = max(1, total // 64)
+    rec = t.recommended_n_buckets()
+    assert rec > 4 and rec % 4 == 0 and (rec // 4) & (rec // 4 - 1) == 0
+    assert rec * t.target_bucket_bytes >= t.base_bytes()
+    t.rebucket()
+    assert t.n_buckets == rec
+
+
+def test_stale_writer_retries_after_cross_process_rebucket(spark, tmp_path):
+    """Instance B (process stand-in) rebuckets while instance A still
+    assumes the old count: A's next commit discards its mis-bucketed
+    write and retries under the refreshed layout — both for the
+    rewrite path and the delta path."""
+    root = str(tmp_path / "bt")
+    a = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    a.merge(_batch(spark, [(i, f"a{i}", "i", 1, i) for i in range(20)]))
+    b = BucketedParquetTable(spark, root, keys=["id"], n_buckets=None)
+    b.rebucket(8)
+    assert a.n_buckets == 4  # A is stale
+    a.merge(_batch(spark, [(3, "up", "u", 2, 0)]))
+    assert a.n_buckets == 8  # healed by the retry
+    got = {(r.id, r.v) for r in b.read().collect()}
+    assert (3, "up") in got and len(got) == 20
+    # delta path: make A stale again via B
+    a2 = BucketedParquetTable(
+        spark, root, keys=["id"], merge_mode="delta", compact_policy="off"
+    )
+    b.rebucket(16)
+    assert a2.n_buckets == 8
+    a2.merge(_batch(spark, [(5, "dd", "u", 3, 0)]), batch_id=10)
+    assert a2.n_buckets == 16
+    assert (5, "dd") in {(r.id, r.v) for r in a2.read().collect()}
+
+
+def test_reopen_resolves_manifest_count_over_meta(spark, tmp_path):
+    """Crash window: _meta.json is rewritten BEFORE the rebucket's
+    parquet + manifest land. A reopen must resolve the MANIFEST's
+    recorded count — the atomic commit point — not the half-done
+    meta."""
+    import json as _json
+
+    root = str(tmp_path / "bt")
+    t = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    t.merge(_batch(spark, [(1, "x", "i", 1, 0)]))
+    meta_path = os.path.join(root, "_meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    meta["n_buckets"] = 64  # the crashed rebucket's premature meta
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    fresh = BucketedParquetTable(spark, root, keys=["id"], n_buckets=None)
+    assert fresh.n_buckets == 4
+    assert {(r.id, r.v) for r in fresh.read().collect()} == {(1, "x")}
+
+
+def test_rebucket_task_and_verb_surface(spark, tmp_path):
+    from transferia_spark.tasks.compact import rebucket_bucketed_table
+
+    root = str(tmp_path / "bt")
+    t = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4)
+    t.merge(_batch(spark, [(i, f"a{i}", "i", 1, i) for i in range(30)]))
+    old_n, new_n, v = rebucket_bucketed_table(spark, root, n_buckets=8)
+    assert (old_n, new_n) == (4, 8)
+    fresh = BucketedParquetTable(spark, root, keys=["id"], n_buckets=None)
+    assert fresh.n_buckets == 8 and fresh.read().count() == 30
+    # auto mode on a fitting table: explicit no-op result
+    old_n, new_n, _ = rebucket_bucketed_table(spark, root)
+    assert old_n == new_n == 8

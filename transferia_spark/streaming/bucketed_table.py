@@ -74,6 +74,14 @@ BUCKET_COL = "bkt"  # no leading underscore: `_…=3` dirs are invisible
 # to Spark's file discovery (treated as metadata)
 
 
+class BucketLayoutChanged(RuntimeError):
+    """Another process changed the table's bucket count (``rebucket``)
+    between this writer's parquet write and its manifest commit — the
+    written files are bucketed by the OLD function and were discarded.
+    Writers catch this, refresh the layout from disk and retry the
+    batch; a maintenance fold treats it as nothing-left-to-fold."""
+
+
 def _tag_frame_presence(df: DataFrame) -> DataFrame:
     """Rewrite a delta frame's partial-row convention to an explicit
     ``_present`` column-name list scoped to THIS frame's payload
@@ -219,6 +227,14 @@ class BucketedParquetTable:
                 )
             self.n_buckets = int(meta["n_buckets"])
             self._schema_json = meta.get("schema")
+        # the CURRENT manifest's recorded count wins over meta: the
+        # manifest flip is the atomic commit point of a rebucket, and
+        # _meta.json is rewritten BEFORE the new layout's parquet even
+        # lands — a crash in between must not resurrect the half-done
+        # count (legacy manifests carry no count → meta stands)
+        cur_n = self._manifest_doc()["n_buckets"]
+        if cur_n is not None:
+            self.n_buckets = int(cur_n)
         self._last_alloc = self.version()
 
     #: an ``_ALLOC`` inflight claim older than this is a crashed
@@ -342,6 +358,36 @@ class BucketedParquetTable:
             return None
         return T.StructType.fromJson(self._schema_json)
 
+    def _refresh_layout(self) -> None:
+        """Re-resolve the on-disk layout after another process changed
+        it (``rebucket``): current-manifest count wins, then meta —
+        the same resolution order as opening the table."""
+        meta = self._load_meta()
+        if meta is not None:
+            self.n_buckets = int(meta["n_buckets"])
+            self._schema_json = meta.get("schema")
+        cur_n = self._manifest_doc()["n_buckets"]
+        if cur_n is not None:
+            self.n_buckets = int(cur_n)
+
+    def _check_layout(self, doc: dict, cleanup_dir: str, claim: int):
+        """Inside a locked commit section: if the manifest records a
+        DIFFERENT bucket count than this writer used, the just-written
+        parquet is bucketed by the wrong function — discard it and
+        raise for the caller's refresh-retry."""
+        cur_n = doc["n_buckets"]
+        if (
+            cur_n is not None
+            and self.n_buckets is not None
+            and int(cur_n) != self.n_buckets
+        ):
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
+            self._release_claim(claim)
+            raise BucketLayoutChanged(
+                f"table at {self.root} was re-bucketed to {cur_n} "
+                f"buckets while this writer assumed {self.n_buckets}"
+            )
+
     @property
     def _pointer(self) -> str:
         return os.path.join(self.root, "_CURRENT")
@@ -372,7 +418,7 @@ class BucketedParquetTable:
         if v < 0:
             return {
                 "buckets": {}, "deltas": [], "last_batch_id": None,
-                "folded": {}, "delta_sigs": {},
+                "folded": {}, "delta_sigs": {}, "n_buckets": None,
             }
         with open(self._manifest_path(v)) as f:
             raw = json.load(f)
@@ -383,6 +429,7 @@ class BucketedParquetTable:
                 "last_batch_id": None,
                 "folded": {},
                 "delta_sigs": {},
+                "n_buckets": None,
             }
         return {
             "buckets": {
@@ -401,6 +448,10 @@ class BucketedParquetTable:
             "delta_sigs": {
                 int(d): s for d, s in raw.get("delta_sigs", {}).items()
             },
+            # the bucket count this manifest's layout was committed
+            # under — the rebucket commit point (None for manifests
+            # written before rebucket existed)
+            "n_buckets": raw.get("n_buckets"),
         }
 
     def manifest(self, v: int | None = None) -> dict[int, int]:
@@ -489,12 +540,25 @@ class BucketedParquetTable:
         bucket-pruned on both sides when ``buckets`` is given."""
         doc = self._manifest_doc(version)
         m = doc["buckets"]
+        # the bucket-id space is the MANIFEST's: a pinned version reads
+        # under the count it was committed with, and a current-version
+        # read on a long-lived instance heals a count another process's
+        # rebucket changed underneath it
+        doc_n = doc["n_buckets"] if doc["n_buckets"] is not None else (
+            self.n_buckets
+        )
+        if (
+            version is None
+            and doc_n is not None
+            and doc_n != self.n_buckets
+        ):
+            self._refresh_layout()
         # buckets with PENDING delta rows (a delta already folded into a
         # bucket's base no longer applies there) — ONE listing pass over
         # the tail, reused for the read's own pairs
         all_pairs = (
-            self._pending_pairs(doc, range(self.n_buckets))
-            if doc["deltas"] and self.n_buckets is not None
+            self._pending_pairs(doc, range(doc_n))
+            if doc["deltas"] and doc_n is not None
             else []
         )
         delta_touched = {b for _, bs in all_pairs for b in bs}
@@ -661,7 +725,14 @@ class BucketedParquetTable:
                     ") and cannot be honored — attach or drop the "
                     "markers instead of passing toast_aware"
                 )
-            v = self.append_delta(batch, batch_id=batch_id)
+            try:
+                v = self.append_delta(batch, batch_id=batch_id)
+            except BucketLayoutChanged:
+                # a cross-process rebucket landed mid-write: re-resolve
+                # the layout and re-bucket the batch (once — rebuckets
+                # are rare maintenance events, not races)
+                self._refresh_layout()
+                v = self.append_delta(batch, batch_id=batch_id)
             if not fold:
                 # the caller runs compaction itself (the async apply
                 # sink folds in a background thread between batches)
@@ -679,7 +750,11 @@ class BucketedParquetTable:
         # would re-apply the tail on the next read (double-apply)
         if self._manifest_doc()["deltas"]:
             self.compact()
-        return self._merge_rewrite(batch, toast_aware=toast_aware)
+        try:
+            return self._merge_rewrite(batch, toast_aware=toast_aware)
+        except BucketLayoutChanged:
+            self._refresh_layout()
+            return self._merge_rewrite(batch, toast_aware=toast_aware)
 
     def _merge_rewrite(
         self, batch: DataFrame, toast_aware: bool | None = None
@@ -848,6 +923,7 @@ class BucketedParquetTable:
             # fold started) is above every fold watermark, so reads
             # apply it on top of the folded base
             doc = self._manifest_doc()
+            self._check_layout(doc, self._delta_dir(new_v), new_v)
             manifest_v = self.version() + 1
             self._write_manifest(
                 manifest_v,
@@ -904,6 +980,16 @@ class BucketedParquetTable:
         incremental policy between micro-batches — folds a few buckets
         at a time instead of stalling the apply path on a full-table
         fold (r7 verdict item 4)."""
+        try:
+            return self._compact_buckets_once(buckets)
+        except BucketLayoutChanged:
+            # a cross-process rebucket folded and cleared the tail as
+            # part of its rewrite; anything appended after it uses the
+            # new id space — recompute what (if anything) is still due
+            self._refresh_layout()
+            return self._compact_buckets_once(self._buckets_due())
+
+    def _compact_buckets_once(self, buckets: list[int]) -> int:
         doc = self._manifest_doc()
         pairs = self._pending_pairs(doc, buckets)
         if not pairs:
@@ -956,6 +1042,105 @@ class BucketedParquetTable:
             b for b, c in counts.items() if c >= md + (b % md)
         )
 
+    # --------------------------------------------------- rebucket
+
+    def base_bytes(self) -> int:
+        """Total bytes of the current base parquet files (driver-side
+        directory listing — maintenance-path only, one listdir per
+        bucket)."""
+        total = 0
+        for b, v in self.manifest().items():
+            d = self._bucket_dir(v, b)
+            try:
+                for n in os.listdir(d):
+                    try:
+                        total += os.path.getsize(os.path.join(d, n))
+                    except OSError:
+                        pass
+            except FileNotFoundError:
+                pass
+        return total
+
+    def recommended_n_buckets(self) -> int:
+        """The bucket count the CURRENT base size calls for: the
+        smallest power-of-two multiple of the current count that puts
+        ~``target_bucket_bytes`` in each bucket — or the current count
+        while the table still fits (growth triggers only past 2× the
+        target per bucket: hysteresis so a table hovering at the
+        boundary doesn't thrash). Never recommends shrinking — an
+        over-provisioned count costs small files, not correctness, and
+        a deliberate shrink can be passed to :meth:`rebucket`
+        explicitly."""
+        if self.n_buckets is None:
+            raise ValueError(
+                f"table at {self.root} has no bucket count yet"
+            )
+        total = self.base_bytes()
+        if total <= 2 * self.target_bucket_bytes * self.n_buckets:
+            return self.n_buckets
+        n = self.n_buckets
+        while n * self.target_bucket_bytes < total and n < 65536:
+            n *= 2
+        return min(n, 65536)
+
+    def rebucket(self, new_n_buckets: int | None = None) -> int:
+        """Change the bucket count of an existing table — the
+        maintenance answer to a table that outgrew its creation-time
+        layout (a CDC target seeded with a small snapshot keeps
+        absorbing rows; with a fixed count, per-bucket size grows
+        without bound and every touched-bucket rewrite with it).
+
+        ``new_n_buckets=None`` sizes from :meth:`recommended_n_buckets`
+        (no-op while the table still fits). The bucket function is part
+        of the on-disk layout, so this is a full rewrite: pending
+        deltas fold first, then every row rewrites under the new
+        function in ONE versioned commit — crash-safe like any commit
+        (the manifest flip is the atomic point; the manifest records
+        the count it was committed under, so a crash between the
+        _meta.json rewrite and the flip resurrects nothing). Readers
+        holding the previous manifest keep their lease; WRITERS in
+        other processes block on the table lock for the duration, and
+        one that already measured its batch against the old layout
+        discards, refreshes and retries (``BucketLayoutChanged`` — see
+        ``_check_layout``). The reference's analog is re-sharding a
+        target by rewriting through a staging table; ClickHouse-shape
+        deployments carry the same constraint (the sharding key is the
+        physical layout, ``clickhouse/sink_shard.go``)."""
+        with self._commit_mutex, self._fs_lock():
+            if not self.exists():
+                raise FileNotFoundError(
+                    f"no current version in {self.root} — rebucket "
+                    "operates on an existing table"
+                )
+            old_n = self.n_buckets
+            target = (
+                int(new_n_buckets)
+                if new_n_buckets is not None
+                else self.recommended_n_buckets()
+            )
+            if not 1 <= target <= 65536:
+                raise ValueError(
+                    f"new_n_buckets must be in [1, 65536], got {target}"
+                )
+            if target == old_n:
+                return self.version()
+            # fold the pending tail first: the rewrite below reads
+            # base-only paths, and delta files bucketed by the OLD
+            # function must not survive into the new layout
+            self.compact()
+            df = self.read()  # base only now; lazy — scanned by _commit
+            self.n_buckets = target
+            try:
+                return self._commit(
+                    df,
+                    list(range(target)),
+                    clear_deltas=True,
+                    replace_buckets=True,
+                )
+            except BaseException:
+                self.n_buckets = old_n
+                raise
+
     def _read_base_or_empty(self, buckets: list[int], schema) -> DataFrame:
         """Base buckets only — compaction must NOT read through the
         delta-resolving ``read()`` (the fold itself applies the tail)."""
@@ -978,6 +1163,7 @@ class BucketedParquetTable:
         clear_deltas: bool = False,
         reset_batch_id: bool = False,
         folded_update: dict[int, int] | None = None,
+        replace_buckets: bool = False,
     ) -> int:
         self._save_meta(df.schema)
         new_v = self._alloc_version()
@@ -1013,9 +1199,16 @@ class BucketedParquetTable:
             # allocated ABOVE every folded watermark, so reads apply
             # them on top of the folded base
             doc = self._manifest_doc()
-            m = doc["buckets"]
-            for b in touched:
-                m[b] = new_v
+            if replace_buckets:
+                # rebucket: the id space changed, so the whole map is
+                # rebuilt (a shrink would otherwise leave stale
+                # entries above the new count pointing at old rows)
+                m = {b: new_v for b in touched}
+            else:
+                self._check_layout(doc, path, new_v)
+                m = doc["buckets"]
+                for b in touched:
+                    m[b] = new_v
             if clear_deltas:
                 new_deltas: list[int] = []
                 new_folded: dict[int, int] = {}
@@ -1085,6 +1278,7 @@ class BucketedParquetTable:
                         for d, s in (delta_sigs or {}).items()
                         if d in live
                     },
+                    "n_buckets": self.n_buckets,
                 },
                 f,
             )

@@ -158,3 +158,39 @@ def compact_bucketed_table(
     if buckets is None:
         return t.compact()
     return t.compact_buckets(buckets)
+
+
+def rebucket_bucketed_table(
+    spark: SparkSession,
+    root: str,
+    n_buckets: int | None = None,
+    target_bucket_bytes: int | None = None,
+) -> tuple[int, int, int]:
+    """Maintenance re-layout for a BucketedParquetTable that outgrew
+    its creation-time bucket count: fold the delta tail, rewrite every
+    row under the new bucket function, one atomic commit (see
+    ``BucketedParquetTable.rebucket``). ``n_buckets=None`` sizes from
+    the measured base (~``target_bucket_bytes`` per bucket, growth
+    only) and is a no-op while the table still fits. Safe to run
+    against a live stream's table: writers block on the table lock for
+    the rewrite, and one mid-batch when the layout flips discards and
+    retries under the new count. Returns
+    ``(old_n_buckets, new_n_buckets, version)``."""
+    import json as _json
+
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedParquetTable,
+    )
+
+    with open(os.path.join(root, "_meta.json")) as f:
+        keys = _json.load(f)["keys"]
+    kwargs = {}
+    if target_bucket_bytes is not None:
+        kwargs["target_bucket_bytes"] = target_bucket_bytes
+    t = BucketedParquetTable(
+        spark, root, keys=keys, n_buckets=None, compact_policy="off",
+        **kwargs,
+    )
+    old_n = t.n_buckets
+    v = t.rebucket(n_buckets)
+    return old_n, t.n_buckets, v
