@@ -1066,6 +1066,38 @@ def q_cdc_merge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online re-layout mid-stream (BucketedParquetTable.rebucket): the
+    snapshot seeds a 4-bucket table, the changelog's older half applies,
+    the table re-buckets to 16 (fold + full rewrite under the new
+    bucket function + atomic manifest flip), the newer half applies
+    under the new layout. A hash match against the eager full-merge
+    oracle proves the re-layout preserved every row AND later merges
+    route by the new function (a mis-bucketed merge would strand
+    updates in buckets the manifest never points at). The reference's
+    analog is re-sharding a target through a staged rewrite; the
+    bucket function being part of the physical layout is the same
+    constraint ClickHouse sharding keys carry (sink_shard.go)."""
+    import tempfile
+
+    from transferia_spark.streaming.bucketed_table import BucketedParquetTable
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    ev = _t(spark, sf_dir, "events")
+    log = events_changelog(ev, key="c_custkey", value="c_acctbal")
+    # split by an LSN cut (NOT parity): rewrite-mode merges are
+    # sequential-apply, so per-key order must hold across the batches
+    cut = log.agg(F.max("_lsn")).collect()[0][0] // 2
+    root = tempfile.mkdtemp(prefix="rebucket_q_")
+    t = BucketedParquetTable(spark, root, keys=["c_custkey"], n_buckets=4)
+    t.overwrite(cust)
+    t.merge(log.filter(F.col("_lsn") <= cut))
+    t.rebucket(16)
+    assert t.n_buckets == 16 and t._manifest_doc()["n_buckets"] == 16
+    t.merge(log.filter(F.col("_lsn") > cut))
+    return t.read()
+
+
 def q_dblog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBLog chunked snapshot ∥ CDC (tasks/dblog.py ≈ pkg/dblog/
     signal_table.go:32 + incremental_iterator.go:61, the reference's
@@ -3639,17 +3671,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver scores the FIRST 50
-    entries in dict order. Round-8 window: (a) the 2 queries new this
+    entries in dict order. Round-8 window: (a) the 3 queries new this
     round (elastic_scroll_plan, gpfdist_plan — the last two plan-only
-    storages upgraded to driver rows), (b) the 9 queries whose
+    storages upgraded to driver rows — and cdc_rebucket, the online
+    re-layout landed late in the round), (b) the 9 queries whose
     implementation paths changed in rounds 7-8 (the merge-on-read
     delta layer + per-bucket incremental compaction under
     cdc_merge_delta / cdc_merge_bucketed / the replicate family, the
     mysql keyword-less-DDL scope fix, the incremental loud-retype
     schema probes, and the band-index watermark seeding) — including
     cdc_merge_delta, which r7 shipped unscored (r7 verdict item 2),
-    and (c) the 39 oldest-green r04/r05 rows rotating back into the
-    official record. 2+9+39 = 50 exactly. The tail holds r07-green and
+    and (c) the 38 oldest-green r04/r05 rows rotating back into the
+    official record. 3+9+38 = 50 exactly. The tail holds r07-green and
     younger rows and stays verified by ``python scripts/driver_sim.py``
     over ALL entries.
     """
@@ -3658,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # upgraded to driver rows (r6 item 7 / r7 item 9) ------
         "elastic_scroll_plan": q_elastic_scroll_plan,
         "gpfdist_plan": q_gpfdist_plan,
+        "cdc_rebucket": q_cdc_rebucket,
         # -- (b) r7/r8-changed paths: merge-on-read delta apply +
         # incremental compaction (bucketed table), the mysql DDL
         # fallback scope fix, format-routed probes, the live
@@ -3712,9 +3746,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "number_to_float": q_number_to_float,
         "raw_doc_grouper": q_raw_doc_grouper,
         "rename_tables": q_rename_tables,
-        "mongo_pk_extender": q_mongo_pk_extender,
         # -- tail: fresh r07 green rows and younger; verified
         # every round by scripts/driver_sim.py over ALL entries --
+        "mongo_pk_extender": q_mongo_pk_extender,
         "embed_ann_pipeline": q_embed_ann_pipeline,
         "oracle_rowid_plan": q_oracle_rowid_plan,
         "clickhouse_read_plan": q_clickhouse_read_plan,
@@ -4373,6 +4407,54 @@ FROM customer t ANTI JOIN net n USING (c_custkey)
         UNION ALL
         SELECT t.c_custkey, t.c_name, t.c_acctbal
         FROM customer t ANTI JOIN collapsed n USING (c_custkey)
+        """,
+        # TWO-STAGE sequential-merge oracle: the query applies the
+        # changelog as two micro-batches with a rebucket between them,
+        # and sequential apply is NOT the one-shot collapsed merge — a
+        # key net-deleted in the first half physically disappears, so
+        # a second-half re-insert does not resurrect its snapshot-only
+        # columns (c_name). The rebucket itself must be
+        # result-invisible: this oracle is exactly the two-batch apply
+        # with no rebucket at all.
+        "cdc_rebucket": """
+WITH changelog AS (
+  SELECT user_id AS c_custkey, value AS val, event_id AS lsn,
+         """ + OP_CASE_SQL + """ AS op
+  FROM events
+),
+cut AS (SELECT max(lsn) // 2 AS c FROM changelog),
+h1 AS (SELECT * FROM changelog WHERE lsn <= (SELECT c FROM cut)),
+h2 AS (SELECT * FROM changelog WHERE lsn >  (SELECT c FROM cut)),
+net1 AS (
+  SELECT c_custkey, arg_max(op, lsn) AS last_op,
+         arg_max(val, lsn) AS last_val
+  FROM h1 GROUP BY c_custkey
+),
+ups1 AS (SELECT * FROM net1 WHERE last_op <> 'd'),
+state1 AS (
+  SELECT t.c_custkey, t.c_name, coalesce(u.last_val, t.c_acctbal) AS c_acctbal
+  FROM customer t JOIN ups1 u USING (c_custkey)
+  UNION ALL
+  SELECT u.c_custkey, NULL AS c_name, u.last_val AS c_acctbal
+  FROM ups1 u ANTI JOIN customer t USING (c_custkey)
+  UNION ALL
+  SELECT t.c_custkey, t.c_name, t.c_acctbal
+  FROM customer t ANTI JOIN net1 n USING (c_custkey)
+),
+net2 AS (
+  SELECT c_custkey, arg_max(op, lsn) AS last_op,
+         arg_max(val, lsn) AS last_val
+  FROM h2 GROUP BY c_custkey
+),
+ups2 AS (SELECT * FROM net2 WHERE last_op <> 'd')
+SELECT s.c_custkey, s.c_name, coalesce(u.last_val, s.c_acctbal) AS c_acctbal
+FROM state1 s JOIN ups2 u USING (c_custkey)
+UNION ALL
+SELECT u.c_custkey, NULL AS c_name, u.last_val AS c_acctbal
+FROM ups2 u ANTI JOIN state1 s USING (c_custkey)
+UNION ALL
+SELECT s.c_custkey, s.c_name, s.c_acctbal
+FROM state1 s ANTI JOIN net2 n USING (c_custkey)
         """,
         # identical eager-merge oracle: the delta path must be
         # result-indistinguishable from the bucket-rewrite path
