@@ -1244,6 +1244,38 @@ def q_shard_fallback_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "kind string, idx int, predicate string")
 
 
+def q_pg_copy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-direct PG snapshot planning (sources/pg_copy.py ≈
+    postgres/storage.go's COPY bulk path + sharding_storage.go:195):
+    the exact ``COPY (SELECT …) TO STDOUT (FORMAT csv, NULL '\\N')``
+    statements shipped per PK-hash shard and per numeric-range shard,
+    hash-compared against a SQL oracle that rebuilds them. The
+    executor-side transport (one COPY stream per task via mapInPandas)
+    is pinned by the loopback e2e in tests/test_pg_copy.py."""
+    from transferia_spark.sources.jdbc import shard_by_numeric_range
+    from transferia_spark.sources.pg_copy import (
+        copy_out_sql,
+        copy_shard_statements,
+    )
+
+    rows = [
+        ("pk_hash", i, s)
+        for i, s in enumerate(
+            copy_shard_statements("public.customer", ["c_custkey"], 4)
+        )
+    ] + [
+        ("range", i, copy_out_sql(
+            "public.customer", columns=["c_custkey", "c_name"], where=p
+        ))
+        for i, p in enumerate(
+            shard_by_numeric_range("c_custkey", 1, 500, 2)
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "kind string, shard int, copy_sql string"
+    )
+
+
 def q_elastic_scroll_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elastic/OpenSearch sliced-scroll read planning
     (sources/elastic.py ≈ elastic/storage.go LoadTable:98-110 +
@@ -3671,18 +3703,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver scores the FIRST 50
-    entries in dict order. Round-8 window: (a) the 3 queries new this
+    entries in dict order. Round-8 window: (a) the 4 queries new this
     round (elastic_scroll_plan, gpfdist_plan — the last two plan-only
-    storages upgraded to driver rows — and cdc_rebucket, the online
-    re-layout landed late in the round), (b) the 9 queries whose
+    storages upgraded to driver rows — plus cdc_rebucket and
+    pg_copy_plan, the online re-layout and the wire-direct COPY
+    snapshot landed late in the round), (b) the 9 queries whose
     implementation paths changed in rounds 7-8 (the merge-on-read
     delta layer + per-bucket incremental compaction under
     cdc_merge_delta / cdc_merge_bucketed / the replicate family, the
     mysql keyword-less-DDL scope fix, the incremental loud-retype
     schema probes, and the band-index watermark seeding) — including
     cdc_merge_delta, which r7 shipped unscored (r7 verdict item 2),
-    and (c) the 38 oldest-green r04/r05 rows rotating back into the
-    official record. 3+9+38 = 50 exactly. The tail holds r07-green and
+    and (c) the 37 oldest-green r04/r05 rows rotating back into the
+    official record. 4+9+37 = 50 exactly. The tail holds r07-green and
     younger rows and stays verified by ``python scripts/driver_sim.py``
     over ALL entries.
     """
@@ -3692,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elastic_scroll_plan": q_elastic_scroll_plan,
         "gpfdist_plan": q_gpfdist_plan,
         "cdc_rebucket": q_cdc_rebucket,
+        "pg_copy_plan": q_pg_copy_plan,
         # -- (b) r7/r8-changed paths: merge-on-read delta apply +
         # incremental compaction (bucketed table), the mysql DDL
         # fallback scope fix, format-routed probes, the live
@@ -3745,9 +3779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_rows_by_ids": q_filter_rows_by_ids,
         "number_to_float": q_number_to_float,
         "raw_doc_grouper": q_raw_doc_grouper,
-        "rename_tables": q_rename_tables,
         # -- tail: fresh r07 green rows and younger; verified
         # every round by scripts/driver_sim.py over ALL entries --
+        "rename_tables": q_rename_tables,
         "mongo_pk_extender": q_mongo_pk_extender,
         "embed_ann_pipeline": q_embed_ann_pipeline,
         "oracle_rowid_plan": q_oracle_rowid_plan,
@@ -3977,6 +4011,23 @@ SELECT 'line', CAST(c_custkey AS INTEGER),
   COALESCE(CAST(CASE WHEN c_acctbal < 0 THEN NULL
                      ELSE c_acctbal END AS VARCHAR), '\\N')
 FROM customer
+""",
+        "pg_copy_plan": """
+WITH idx AS (SELECT unnest(range(4)) AS i)
+SELECT 'pk_hash' AS kind, CAST(i AS INTEGER) AS shard,
+       'COPY (SELECT * FROM public.customer WHERE '
+       || 'abs(hashtext(row(c_custkey)::text)) % 4 = '
+       || CAST(i AS VARCHAR)
+       || ') TO STDOUT (FORMAT csv, NULL ''\\N'')' AS copy_sql
+FROM idx
+UNION ALL
+SELECT 'range', r.i,
+       'COPY (SELECT c_custkey, c_name FROM public.customer WHERE '
+       || 'c_custkey >= ' || CAST(r.lo AS VARCHAR)
+       || ' AND c_custkey <= ' || CAST(r.hi AS VARCHAR)
+       || ') TO STDOUT (FORMAT csv, NULL ''\\N'')'
+FROM (SELECT 0 AS i, 1 AS lo, 250 AS hi
+      UNION ALL SELECT 1, 251, 500) r
 """,
         "shard_fallback_plans": """
 WITH idx AS (SELECT unnest(range(8)) AS i)

@@ -1,0 +1,279 @@
+"""Wire-direct PG snapshot (sources/pg_copy.py): COPY OUT session
+flow, CSV reassembly/typing, shard-statement planning, and a loopback
+e2e where executor tasks dial a scripted server themselves."""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+import pytest
+from test_pg_session import FakeDuplex, auth, be, cmd_complete, ready
+
+from transferia_spark.sources.pg_copy import (
+    copy_out_sql,
+    copy_shard_statements,
+    decode_copy_csv,
+    pg_copy_snapshot,
+    _split_csv_rows,
+)
+from transferia_spark.streaming.pg_replication import (
+    PgServerError,
+    PgWireSession,
+)
+
+
+def copy_out_resp(ncols: int = 1) -> bytes:
+    return be(b"H", b"\x00" + struct.pack(">H", ncols) + b"\x00\x00" * ncols)
+
+
+def copy_data(payload: bytes) -> bytes:
+    return be(b"d", payload)
+
+
+def copy_done() -> bytes:
+    return be(b"c", b"")
+
+
+# ------------------------------------------------------------ planning
+
+
+def test_copy_out_sql_strings():
+    assert copy_out_sql("public.items") == (
+        "COPY (SELECT * FROM public.items) TO STDOUT "
+        "(FORMAT csv, NULL '\\N')"
+    )
+    assert copy_out_sql(
+        "items", columns=["id", "v"], where="id > 5"
+    ) == (
+        "COPY (SELECT id, v FROM items WHERE id > 5) TO STDOUT "
+        "(FORMAT csv, NULL '\\N')"
+    )
+
+
+def test_copy_shard_statements_are_exclusive_exhaustive():
+    stmts = copy_shard_statements("public.orders", ["o_orderkey"], 4)
+    assert len(stmts) == 4
+    for i, s in enumerate(stmts):
+        # the reference's server-side PK-hash formula, shard i
+        assert f"abs(hashtext(row(o_orderkey)::text)) % 4 = {i}" in s
+        assert s.startswith("COPY (SELECT * FROM public.orders WHERE ")
+
+
+# ------------------------------------------------------- session flow
+
+
+def test_copy_out_yields_payloads_and_ends_clean():
+    fd = FakeDuplex(
+        copy_out_resp()
+        + copy_data(b"1,a\n2,")  # deliberately row-misaligned
+        + copy_data(b"b\n")
+        + copy_done()
+        + cmd_complete(b"COPY 2")
+        + ready()
+    )
+    sess = PgWireSession(fd.read, fd.write)
+    chunks = list(sess.copy_out("COPY (SELECT 1) TO STDOUT (FORMAT csv)"))
+    assert chunks == [b"1,a\n2,", b"b\n"]
+    # the Query message went out
+    assert bytes(fd.sent).startswith(b"Q")
+
+
+def test_copy_out_on_non_copy_query_is_loud():
+    fd = FakeDuplex(cmd_complete(b"SELECT 1") + ready())
+    sess = PgWireSession(fd.read, fd.write)
+    with pytest.raises(PgServerError, match="did not enter COPY OUT"):
+        list(sess.copy_out("SELECT 1"))
+
+
+# ------------------------------------------------------------- decode
+
+
+def test_split_csv_rows_respects_quoted_newlines():
+    # the last \n sits INSIDE a quoted field: the split must back off
+    # to the previous row boundary
+    buf = b'1,"line one\nline two\n'
+    rows, rest = _split_csv_rows(buf)
+    assert rows == b"" and rest == buf
+    buf = b'0,plain\n1,"a\nb",x\n2,"unfinished\n'
+    rows, rest = _split_csv_rows(buf)
+    assert rows == b'0,plain\n1,"a\nb",x\n'
+    assert rest == b'2,"unfinished\n'
+
+
+def test_decode_copy_csv_types_nulls_and_batching(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("d", T.DateType()),
+        ]
+    )
+    payload = (
+        b'1,alice,10.5,t,2024-01-02 03:04:05.123456,2024-01-02\n'
+        b'2,"qu""ote, comma\nnewline",\\N,f,\\N,\\N\n'
+        b'3,"",0.25,t,2024-06-30 23:59:59,2024-06-30\n'
+        b"4,\\N,-1,f,2024-01-01 00:00:00,2024-01-01\n"
+    )
+    # awkward chunking: splits inside quoted fields and numbers
+    chunks = [payload[i:i + 7] for i in range(0, len(payload), 7)]
+    frames = list(decode_copy_csv(iter(chunks), schema, batch_bytes=48))
+    assert len(frames) > 1  # batching actually kicked in
+    import pandas as pd
+
+    pdf = pd.concat(frames, ignore_index=True)
+    assert list(pdf["id"]) == [1, 2, 3, 4]
+    assert pdf.loc[1, "name"] == 'qu"ote, comma\nnewline'
+    assert pd.isna(pdf.loc[1, "bal"]) and bool(pdf.loc[1, "ok"]) is False
+    assert pdf.loc[2, "name"] == ""  # quoted "" is EMPTY, not NULL
+    assert pd.isna(pdf.loc[3, "name"])  # unquoted \N IS NULL
+    assert pdf.loc[0, "ts"].microsecond == 123456
+    assert str(pdf.loc[2, "d"]) == "2024-06-30"
+    # and the frames convert to the Spark schema losslessly
+    df = spark.createDataFrame(pdf, schema=schema)
+    rows = {r.id: r for r in df.collect()}
+    assert rows[3].name in (None, "")  # quoted-empty survives the hop
+    assert rows[4].name is None and rows[3].bal == 0.25
+    assert rows[2].name == 'qu"ote, comma\nnewline'
+
+
+def test_decode_truncated_stream_is_loud():
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    with pytest.raises(ValueError, match="mid-row"):
+        list(decode_copy_csv(iter([b"1\n2"]), schema))
+
+
+# ------------------------------------------------------------- e2e
+# A real loopback server: pg_copy_snapshot's tasks dial it from the
+# executor python workers (separate processes — nothing monkeypatched),
+# authenticate, run their shard's COPY and parse the stream.
+
+
+def _serve_copy_shards(srv: socket.socket, n_conns: int):
+    """Scripted PG: startup -> AuthOk -> ReadyForQuery -> one Query ->
+    COPY OUT of the shard the query names."""
+    shard_rows = {
+        0: b'1,alice,10.5\n3,"c,d",\\N\n',
+        1: b"2,bob,-0.25\n4,\\N,7\n",
+    }
+
+    def one(conn: socket.socket):
+        def recv_exact(n):
+            out = b""
+            while len(out) < n:
+                b = conn.recv(n - len(out))
+                if not b:
+                    return out
+                out += b
+            return out
+
+        (ln,) = struct.unpack(">I", recv_exact(4))
+        recv_exact(ln - 4)  # StartupMessage body
+        conn.sendall(auth(0) + ready())
+        tag = recv_exact(1)
+        assert tag == b"Q"
+        (ln,) = struct.unpack(">I", recv_exact(4))
+        sql = recv_exact(ln - 4).rstrip(b"\x00").decode()
+        shard = 0 if "% 2 = 0" in sql else 1
+        payload = shard_rows[shard]
+        conn.sendall(
+            copy_out_resp(3)
+            # split mid-row across CopyData messages on purpose
+            + copy_data(payload[:9])
+            + copy_data(payload[9:])
+            + copy_done()
+            + cmd_complete(b"COPY 2")
+            + ready()
+        )
+        conn.recv(1)  # hold until the client closes
+        conn.close()
+
+    for _ in range(n_conns):
+        conn, _addr = srv.accept()
+        threading.Thread(target=one, args=(conn,), daemon=True).start()
+
+
+def test_pg_copy_snapshot_loopback_e2e(spark):
+    from pyspark.sql import types as T
+
+    from transferia_spark.sources.jdbc import shard_by_pk_hash
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    t = threading.Thread(
+        target=_serve_copy_shards, args=(srv, 2), daemon=True
+    )
+    t.start()
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+        ]
+    )
+    df = pg_copy_snapshot(
+        spark,
+        live={
+            "host": "127.0.0.1", "port": port,
+            "user": "u", "database": "db", "timeout": 10.0,
+        },
+        table="public.items",
+        schema=schema,
+        predicates=shard_by_pk_hash(["id"], 2),
+    )
+    rows = {r.id: (r.name, r.bal) for r in df.collect()}
+    srv.close()
+    assert rows == {
+        1: ("alice", 10.5),
+        3: ("c,d", None),
+        2: ("bob", -0.25),
+        4: (None, 7.0),
+    }
+
+
+def test_pgcopy_source_registry_load_table(spark):
+    """The yaml-facing Source (type: pgcopy) plans PK-hash shards from
+    its per-table config and loads through the executor-side COPY
+    path — same loopback server, via the registry."""
+    from transferia_spark.sources import build_source
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    threading.Thread(
+        target=_serve_copy_shards, args=(srv, 2), daemon=True
+    ).start()
+
+    src = build_source(
+        "pgcopy",
+        live={"host": "127.0.0.1", "port": port,
+              "user": "u", "database": "db", "timeout": 10.0},
+        tables={
+            "public.items": {
+                "schema": "id long, name string, bal double",
+                "pk": ["id"],
+                "n_shards": 2,
+            }
+        },
+    )
+    [tid] = src.table_list(spark)
+    assert tid.fqtn() == "public.items"
+    df = src.load_table(spark, tid)
+    rows = {r.id: (r.name, r.bal) for r in df.collect()}
+    srv.close()
+    assert rows == {
+        1: ("alice", 10.5), 3: ("c,d", None),
+        2: ("bob", -0.25), 4: (None, 7.0),
+    }

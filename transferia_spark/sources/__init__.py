@@ -10,6 +10,7 @@ from transferia_spark.sources import (  # noqa: F401
     files,
     jdbc,
     mongo,
+    pg_copy,
     sample,
     ydb,
     yt,

@@ -532,6 +532,30 @@ class PgWireSession:
                 return rows
             # CommandComplete / EmptyQueryResponse / NoticeResponse: skip
 
+    def copy_out(self, sql: str):
+        """Run a ``COPY ... TO STDOUT`` and yield the raw CopyData
+        payloads — the bulk snapshot path (the reference snapshots PG
+        through COPY, ``postgres/storage.go``; a SELECT streams rows,
+        COPY streams pages). Ends cleanly at CopyDone → ReadyForQuery;
+        an ErrorResponse raises. Payload boundaries carry NO row
+        alignment guarantee — the decoder reassembles lines."""
+        self._write(encode_simple_query(sql))
+        started = False
+        while True:
+            tag, body = self._recv()
+            if tag == b"H":  # CopyOutResponse
+                started = True
+            elif tag == MSG_COPY_DATA:
+                yield body
+            elif tag == MSG_READY_FOR_QUERY:
+                if not started:
+                    raise PgServerError(
+                        {"S": "FATAL", "C": "42601",
+                         "M": f"server did not enter COPY OUT for: {sql}"}
+                    )
+                return
+            # CopyDone / CommandComplete / NoticeResponse: skip
+
     def start_replication(
         self,
         command: str,
