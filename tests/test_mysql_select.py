@@ -1,0 +1,224 @@
+"""Wire-direct MySQL snapshot (sources/mysql_select.py): text-protocol
+result-set decode, shard planning, and a loopback e2e where executor
+tasks dial a scripted server themselves — the MySQL twin of
+tests/test_pg_copy.py."""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+from test_mysql_session import (
+    FakeDuplex,
+    encode_packet,
+    handshake_payload,
+    ok_packet,
+)
+
+from transferia_spark.sources.mysql_select import (
+    mysql_select_snapshot,
+    select_shard_statements,
+    select_sql,
+)
+from transferia_spark.streaming.mysql_binlog import (
+    MySqlWireSession,
+    encode_lenenc,
+)
+
+
+def lenenc_str(s: bytes) -> bytes:
+    return encode_lenenc(len(s)) + s
+
+
+def column_def(name: bytes) -> bytes:
+    """ColumnDefinition41 — the decoder reads the first 5 lenenc
+    strings; the fixed trailer just has to be present."""
+    return (
+        lenenc_str(b"def")
+        + lenenc_str(b"db")
+        + lenenc_str(b"t")
+        + lenenc_str(b"t")
+        + lenenc_str(name)
+        + lenenc_str(name)
+        + b"\x0c" + struct.pack("<HIBHB", 33, 255, 0xFD, 0, 0) + b"\x00\x00"
+    )
+
+
+def eof_packet() -> bytes:
+    return b"\xfe\x00\x00\x02\x00"  # warnings=0, status=2
+
+
+def row_packet(vals: list[bytes | None]) -> bytes:
+    out = b""
+    for v in vals:
+        out += b"\xfb" if v is None else lenenc_str(v)
+    return out
+
+
+def result_set(names: list[bytes], rows: list[list[bytes | None]],
+               start_seq: int = 1) -> bytes:
+    seq = start_seq
+    out = encode_packet(encode_lenenc(len(names)), seq)
+    seq += 1
+    for n in names:
+        out += encode_packet(column_def(n), seq)
+        seq += 1
+    out += encode_packet(eof_packet(), seq)
+    seq += 1
+    for r in rows:
+        out += encode_packet(row_packet(r), seq)
+        seq += 1
+    return out + encode_packet(eof_packet(), seq)
+
+
+# ------------------------------------------------------------ planning
+
+
+def test_select_sql_and_shards():
+    assert select_sql("shop.items") == "SELECT * FROM shop.items"
+    assert select_sql("t", ["a", "b"], "a > 1") == (
+        "SELECT a, b FROM t WHERE a > 1"
+    )
+    stmts = select_shard_statements("shop.orders", ["o_orderkey"], 4,
+                                    columns=["o_orderkey"])
+    assert len(stmts) == 4
+    for i, s in enumerate(stmts):
+        assert f"crc32(concat_ws(',', o_orderkey)) % 4 = {i}" in s
+
+
+# ------------------------------------------------------------- decode
+
+
+def test_query_rows_decodes_text_resultset():
+    fd = FakeDuplex(
+        result_set(
+            [b"id", b"name", b"ok"],
+            [[b"1", b"alice", b"1"], [b"2", None, b"0"]],
+        )
+    )
+    sess = MySqlWireSession(fd.read, fd.write)
+    names, rows = sess.query_rows("SELECT id, name, ok FROM t")
+    assert names == ["id", "name", "ok"]
+    assert list(rows) == [["1", "alice", "1"], ["2", None, "0"]]
+    # the COM_QUERY went out with a reset sequence
+    assert bytes(fd.sent)[3] == 0 and bytes(fd.sent)[4] == 0x03
+
+
+def test_query_rows_on_dml_yields_nothing():
+    fd = FakeDuplex(encode_packet(ok_packet(), 1))
+    sess = MySqlWireSession(fd.read, fd.write)
+    names, rows = sess.query_rows("SET NAMES utf8")
+    assert names == [] and list(rows) == []
+
+
+# ------------------------------------------------------------- e2e
+
+
+def _serve_select_shards(srv: socket.socket, n_conns: int):
+    """Scripted MySQL: greeting -> HandshakeResponse -> OK -> one
+    COM_QUERY -> the shard's text result set."""
+    shard_rows = {
+        0: [[b"1", b"alice", b"10.5"], [b"3", None, b"0.25"]],
+        1: [[b"2", b"bob", b"-1"], [b"4", b"d,quo\"te", None]],
+    }
+
+    def one(conn: socket.socket):
+        def recv_exact(n):
+            out = b""
+            while len(out) < n:
+                b = conn.recv(n - len(out))
+                if not b:
+                    return out
+                out += b
+            return out
+
+        def recv_packet():
+            head = recv_exact(4)
+            ln = int.from_bytes(head[:3], "little")
+            return recv_exact(ln)
+
+        conn.sendall(encode_packet(handshake_payload(), 0))
+        recv_packet()  # HandshakeResponse41
+        conn.sendall(encode_packet(ok_packet(), 2))
+        q = recv_packet()
+        assert q[:1] == b"\x03"  # COM_QUERY
+        sql = q[1:].decode()
+        shard = 0 if "% 2 = 0" in sql else 1
+        conn.sendall(
+            result_set([b"id", b"name", b"bal"], shard_rows[shard])
+        )
+        conn.recv(1)  # hold until the client closes
+        conn.close()
+
+    for _ in range(n_conns):
+        conn, _addr = srv.accept()
+        threading.Thread(target=one, args=(conn,), daemon=True).start()
+
+
+def test_mysql_select_snapshot_loopback_e2e(spark):
+    from pyspark.sql import types as T
+
+    from transferia_spark.sources.jdbc import shard_by_pk_hash
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    threading.Thread(
+        target=_serve_select_shards, args=(srv, 2), daemon=True
+    ).start()
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+        ]
+    )
+    df = mysql_select_snapshot(
+        spark,
+        live={"host": "127.0.0.1", "port": port,
+              "user": "repl", "database": "shop", "timeout": 10.0},
+        table="shop.items",
+        schema=schema,
+        predicates=shard_by_pk_hash(["id"], 2, dialect="mysql"),
+    )
+    rows = {r.id: (r.name, r.bal) for r in df.collect()}
+    srv.close()
+    assert rows == {
+        1: ("alice", 10.5),
+        3: (None, 0.25),
+        2: ("bob", -1.0),
+        4: ('d,quo"te', None),
+    }
+
+
+def test_mysqlselect_source_registry(spark):
+    from transferia_spark.sources import build_source
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    threading.Thread(
+        target=_serve_select_shards, args=(srv, 2), daemon=True
+    ).start()
+
+    src = build_source(
+        "mysqlselect",
+        live={"host": "127.0.0.1", "port": port,
+              "user": "repl", "database": "shop", "timeout": 10.0},
+        tables={
+            "shop.items": {
+                "schema": "id long, name string, bal double",
+                "pk": ["id"],
+                "n_shards": 2,
+            }
+        },
+    )
+    [tid] = src.table_list(spark)
+    df = src.load_table(spark, tid)
+    n = df.count()
+    srv.close()
+    assert n == 4

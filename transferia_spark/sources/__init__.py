@@ -10,6 +10,7 @@ from transferia_spark.sources import (  # noqa: F401
     files,
     jdbc,
     mongo,
+    mysql_select,
     pg_copy,
     sample,
     ydb,

@@ -1,0 +1,181 @@
+"""Wire-direct MySQL snapshot via COM_QUERY text-protocol SELECTs.
+
+The MySQL twin of :mod:`transferia_spark.sources.pg_copy` — MySQL has
+no COPY, so the reference snapshots it with sharded SELECTs over the
+client connection (≈ ``pkg/providers/mysql/storage.go``; the shard
+formula is the same ``sharding_storage.go:195`` family, CRC32 over the
+PK). Built on the repo's own wire client
+(:class:`~transferia_spark.streaming.mysql_binlog.MySqlWireSession`),
+so one session layer serves snapshot AND binlog replication.
+
+Same gated split as the PG side: planning is pure statement strings
+(driver-scorable); transport is executor-side — one task per shard
+dials the server itself (``mysql_dial``, TLS ladder included), streams
+its result set row-packets and converts them to Arrow batches in
+bounded chunks through the shared text caster."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+
+def select_sql(
+    table: str,
+    columns: list[str] | None = None,
+    where: str | None = None,
+) -> str:
+    """The exact SELECT shipped per shard — projection and predicate
+    pushed down in SQL (``jdbc.pushdown_subquery`` contract)."""
+    cols = ", ".join(columns) if columns else "*"
+    sql = f"SELECT {cols} FROM {table}"
+    if where:
+        sql += f" WHERE {where}"
+    return sql
+
+
+def select_shard_statements(
+    table: str,
+    pk_cols: list[str],
+    n_shards: int,
+    columns: list[str] | None = None,
+) -> list[str]:
+    """One SELECT per CRC32-PK shard (the reference's MySQL dialect of
+    the server-side shard formula — mutually exclusive, exhaustive)."""
+    from transferia_spark.sources.jdbc import shard_by_pk_hash
+
+    return [
+        select_sql(table, columns, pred)
+        for pred in shard_by_pk_hash(pk_cols, n_shards, dialect="mysql")
+    ]
+
+
+def rows_to_frames(rows, schema, batch_rows: int = 50_000):
+    """Text-protocol rows → typed pandas frames in bounded chunks,
+    through the shared PG/MySQL text caster (booleans arrive as
+    tinyint 1/0 here, t/f there)."""
+    import pandas as pd
+
+    from transferia_spark.sources.pg_copy import cast_text_frame
+
+    names = [f.name for f in schema.fields]
+    buf: list[list] = []
+    for row in rows:
+        buf.append(row)
+        if len(buf) >= batch_rows:
+            yield cast_text_frame(
+                pd.DataFrame(buf, columns=names, dtype=object), schema
+            )
+            buf = []
+    if buf:
+        yield cast_text_frame(
+            pd.DataFrame(buf, columns=names, dtype=object), schema
+        )
+
+
+def mysql_select_snapshot(
+    spark,
+    live: dict,
+    table: str,
+    schema,
+    predicates: list[str] | None = None,
+    transport_factory: Callable[..., tuple] | None = None,
+):
+    """Distributed wire-direct snapshot: one SELECT result set per
+    shard, executed INSIDE the executors (``mapInPandas``, one task per
+    shard — each dials, authenticates, streams, closes). ``live`` is
+    the same host/port/user/password/database (+ ssl_mode ladder) dict
+    the ``live:`` binlog verbs take. Columns are always selected
+    EXPLICITLY in schema order so the row layout matches the schema
+    regardless of the table's column order."""
+    cols = [f.name for f in schema.fields]
+    preds = predicates if predicates else [None]
+    stmts = [select_sql(table, cols, p) for p in preds]
+    spec = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(stmts)], "shard int, select_sql string"
+    )
+    live_conf = dict(live)
+    schema_json = schema.json()
+
+    def run(frames):
+        from pyspark.sql import types as T
+
+        from transferia_spark.streaming.mysql_binlog import (
+            MySqlWireSession,
+            mysql_dial,
+        )
+
+        out_schema = T.StructType.fromJson(
+            __import__("json").loads(schema_json)
+        )
+        factory = transport_factory or mysql_dial
+        for pdf in frames:
+            for sql in pdf["select_sql"]:
+                parts = factory(
+                    live_conf["host"],
+                    int(live_conf.get("port", 3306)),
+                    timeout=float(live_conf.get("timeout", 30.0)),
+                )
+                read, write, close = parts[0], parts[1], parts[2]
+                starttls = parts[4] if len(parts) > 4 else None
+                try:
+                    sess = MySqlWireSession(read, write, starttls=starttls)
+                    sess.connect(
+                        user=live_conf["user"],
+                        password=live_conf.get("password", ""),
+                        database=live_conf.get("database"),
+                        ssl_mode=live_conf.get("ssl_mode", "disable"),
+                        sslrootcert=live_conf.get("sslrootcert"),
+                        server_hostname=live_conf["host"],
+                    )
+                    _names, rows = sess.query_rows(sql)
+                    yield from rows_to_frames(rows, out_schema)
+                finally:
+                    close()
+
+    n = max(1, len(stmts))
+    from pyspark.sql import functions as F
+
+    return spec.repartition(n, F.col("shard")).mapInPandas(
+        run, schema=schema
+    )
+
+
+from transferia_spark.sources.base import Source, register_source  # noqa: E402
+
+
+@register_source
+class MySqlSelectSource(Source):
+    """Registry face (``type: mysqlselect``) — the snapshot sibling of
+    the ``mysqlwire`` live replication format, sharing its connection
+    dict. Per-table config mirrors ``pgcopy``: Spark DDL schema +
+    pk/n_shards."""
+
+    TYPE = "mysqlselect"
+
+    def __init__(self, live: dict, tables: dict[str, dict]):
+        self.live = dict(live)
+        self.tables = {k: dict(v) for k, v in tables.items()}
+
+    def table_list(self, spark) -> list:
+        from transferia_spark.schema.colschema import TableID
+
+        return [TableID.parse(t) for t in self.tables]
+
+    def load_table(self, spark, table, where: str | None = None):
+        from pyspark.sql import types as T
+
+        cfg = self.tables[table.fqtn()]
+        schema = T._parse_datatype_string(cfg["schema"])
+        n = int(cfg.get("n_shards", 1))
+        pk = cfg.get("pk") or []
+        if n > 1 and pk:
+            from transferia_spark.sources.jdbc import shard_by_pk_hash
+
+            preds = shard_by_pk_hash(pk, n, dialect="mysql")
+            if where:
+                preds = [f"({where}) AND ({p})" for p in preds]
+        else:
+            preds = [where] if where else None
+        return mysql_select_snapshot(
+            spark, self.live, table.fqtn(), schema, predicates=preds
+        )

@@ -1229,6 +1229,63 @@ class MySqlWireSession:
                 "replication client)"
             )
 
+    def query_rows(self, sql: str):
+        """COM_QUERY returning a text-protocol result set:
+        ``(column_names, row_iterator)`` where each row is one
+        ``list[str | None]`` (lenenc strings; the 0xFB byte is SQL
+        NULL). The binlog client only ever needed OK statements
+        (``query_ok``); the wire-direct snapshot needs real result
+        sets — ≈ the reference's snapshot SELECT path
+        (``mysql/storage.go``). Column definitions parse eagerly so the
+        names are available before iteration; rows stream lazily."""
+        self._seq = 0
+        self._send_packet(bytes([COM_QUERY]) + sql.encode())
+        first = self._recv_packet()
+        if first[:1] == bytes([OK_HEADER]):
+            return [], iter(())  # DML/SET: no result set
+        n_cols, _ = decode_lenenc(first, 0)
+        names: list[str] = []
+        for _ in range(n_cols):
+            d = self._recv_packet()
+            pos = 0
+            strs = []
+            # ColumnDefinition41 leads with 5 lenenc strings:
+            # catalog, schema, table, org_table, name
+            for _f in range(5):
+                ln, pos = decode_lenenc(d, pos)
+                strs.append(d[pos:pos + ln])
+                pos += ln
+            names.append(strs[4].decode())
+        eof = self._recv_packet()
+        if eof[:1] != bytes([EOF_HEADER]) or len(eof) >= 9:
+            raise ValueError(
+                "expected EOF after column definitions "
+                f"(got marker {eof[0]:#04x}) — is CLIENT_DEPRECATE_EOF "
+                "set? this client never offers it"
+            )
+
+        def rows():
+            while True:
+                p = self._recv_packet()
+                # EOF terminates the rows (a VALUE may also start with
+                # 0xFE — an 8-byte lenenc — but only in a packet ≥ 9
+                # bytes, so the length disambiguates, per the docs)
+                if p[:1] == bytes([EOF_HEADER]) and len(p) < 9:
+                    return
+                row: list[str | None] = []
+                pos = 0
+                for _ in range(n_cols):
+                    if p[pos] == 0xFB:
+                        row.append(None)
+                        pos += 1
+                    else:
+                        ln, pos2 = decode_lenenc(p, pos)
+                        row.append(p[pos2:pos2 + ln].decode())
+                        pos = pos2 + ln
+                yield row
+
+        return names, rows()
+
     def start_binlog_dump_gtid(
         self,
         server_id: int,
