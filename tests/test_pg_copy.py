@@ -277,3 +277,95 @@ def test_pgcopy_source_registry_load_table(spark):
         1: ("alice", 10.5), 3: ("c,d", None),
         2: ("bob", -0.25), 4: (None, 7.0),
     }
+
+
+def test_wire_only_transfer_copy_snapshot_then_live_wal(
+    spark, tmp_path, monkeypatch
+):
+    """The flagship wire-only transfer: SNAPSHOT_AND_INCREMENT whose
+    snapshot seeds through the pgcopy source (executor tasks dialing a
+    loopback COPY server — real sockets, nothing patched) and whose
+    increment applies through the live pgwire drain (scripted duplex),
+    one session layer end to end, no JDBC anywhere."""
+    from test_pg_session import _live_script, _w2j
+
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.streaming import pg_replication as pgr
+    from transferia_spark.streaming.pg_replication import (
+        encode_keepalive,
+        encode_xlog_data,
+    )
+    from transferia_spark.tasks.replicate import run_replication
+
+    # the COPY side: loopback server with two PK-hash shards
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    threading.Thread(
+        target=_serve_copy_shards, args=(srv, 2), daemon=True
+    ).start()
+
+    # the WAL side: scripted live frames updating the snapshot rows
+    catchup = [
+        encode_xlog_data(0x10, 0x11,
+                         _w2j("U", id=2, name="bob2", bal=-0.5)),
+        encode_xlog_data(0x18, 0x19,
+                         _w2j("I", id=9, name="new", bal=1.0)),
+        encode_keepalive(0x20),
+    ]
+    dials = {"n": 0}
+
+    def fake_dial(host, port, timeout=30.0):
+        dials["n"] += 1
+        frames = catchup if dials["n"] == 2 else [encode_keepalive(0x20)]
+        pos = b"0/2" if dials["n"] == 1 else b"0/20"
+        fd = FakeDuplex(_live_script(pos, frames), when_empty="block")
+        return fd.read, fd.write, fd.close, fd.poll
+
+    monkeypatch.setattr(pgr, "dial", fake_dial)
+
+    wal = str(tmp_path / "wal")
+    target = str(tmp_path / "target")
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src:
+  type: pgcopy
+  params:
+    live: {{host: 127.0.0.1, port: {port}, user: u, database: db,
+           timeout: 10.0}}
+    tables:
+      public.items:
+        schema: "id long, name string, bal double"
+        pk: [id]
+        n_shards: 2
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: pgwire
+    live: {{host: pg.example, user: repl, database: db, password: pw,
+           slot: s1, idle_timeout: 0.01}}
+    path: {wal}
+    schema: "id long, name string, bal double"
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 4}}
+""")
+    run_replication(
+        spark, spec, state_dir=str(tmp_path / "state"), once=True,
+        retry_interval=0.0,
+    )
+    srv.close()
+
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedParquetTable,
+    )
+
+    t = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    got = {r.id: r.asDict() for r in t.read().collect()}
+    # snapshot rows 1-4 seeded over the wire; the WAL updated 2 and
+    # inserted 9; untouched rows keep their COPY values
+    assert set(got) == {1, 2, 3, 4, 9}
+    assert got[1]["name"] == "alice" and got[1]["bal"] == 10.5
+    assert got[3]["name"] == "c,d" and got[3]["bal"] is None
+    assert got[2]["name"] == "bob2" and got[2]["bal"] == -0.5
+    assert got[9]["name"] == "new" and got[9]["bal"] == 1.0
+    assert dials["n"] >= 2
