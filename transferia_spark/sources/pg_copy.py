@@ -96,7 +96,7 @@ def _split_csv_rows(buf: bytes) -> tuple[bytes, bytes]:
     return buf[:cut], buf[cut:]
 
 
-def _cast_frame(pdf, schema):
+def cast_text_frame(pdf, schema):
     """PG CSV text → the Spark schema's types, pandas-side (nullable
     extension dtypes so NULL survives the Arrow hop)."""
     import pandas as pd
@@ -114,7 +114,8 @@ def _cast_frame(pdf, schema):
             )
         elif t == "boolean":
             pdf[f.name] = s.map(
-                {"t": True, "f": False, "true": True, "false": False}
+                {"t": True, "f": False, "true": True, "false": False,
+                 "1": True, "0": False}  # PG t/f; MySQL tinyint 1/0
             ).astype("boolean")
         elif t == "timestamp":
             pdf[f.name] = pd.to_datetime(s, format="ISO8601")
@@ -155,7 +156,7 @@ def decode_copy_csv(
             na_values=[COPY_NULL],
             keep_default_na=False,
         )
-        return _cast_frame(pdf, schema)
+        return cast_text_frame(pdf, schema)
 
     buf = b""
     for chunk in chunks:

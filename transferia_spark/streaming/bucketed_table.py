@@ -1182,6 +1182,12 @@ class BucketedParquetTable:
                 # budget, so one writer per bucket is the intended
                 # parallelism.
                 .repartition(max(len(touched), 1), F.col(BUCKET_COL))
+                # key-sorted within each bucket file: parquet row-group
+                # min/max stats then prune selective key scans, and
+                # sorted keys delta-encode (smaller files). No extra
+                # exchange — the sort rides the repartition's
+                # partitions; at bucket sizes (~1 GB) it's in-memory.
+                .sortWithinPartitions(*[F.col(k) for k in self.keys])
                 .write.mode("overwrite")
                 .partitionBy(BUCKET_COL)
                 .parquet(path)
