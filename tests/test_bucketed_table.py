@@ -1292,3 +1292,62 @@ def test_rebucket_task_and_verb_surface(spark, tmp_path):
     # auto mode on a fitting table: explicit no-op result
     old_n, new_n, _ = rebucket_bucketed_table(spark, root)
     assert old_n == new_n == 8
+
+
+def test_stale_compact_after_rebucket_folds_everything(spark, tmp_path):
+    """A stale instance's compact() must neither miss deltas in
+    buckets above its old count nor stamp its stale count into the
+    manifest (review: compact's pending scan and its empty-pairs
+    bookkeeping commit both bypassed the layout guard)."""
+    root = str(tmp_path / "bt")
+    a = BucketedParquetTable(spark, root, keys=["id"], n_buckets=2,
+                             merge_mode="delta", compact_policy="off")
+    a.merge(_batch(spark, [(i, f"a{i}", "i", 1, i) for i in range(20)]),
+            batch_id=0)
+    a.compact()
+    b = BucketedParquetTable(spark, root, keys=["id"], n_buckets=None,
+                             merge_mode="delta", compact_policy="off")
+    b.rebucket(8)
+    # C appends a delta under the NEW layout (some bucket >= 2 is
+    # touched with 20 spread keys)
+    c = BucketedParquetTable(spark, root, keys=["id"], n_buckets=None,
+                             merge_mode="delta", compact_policy="off")
+    c.merge(_batch(spark, [(i, f"up{i}", "u", 2, i) for i in range(20)]),
+            batch_id=1)
+    touched = {b2 for d in c._manifest_doc()["deltas"]
+               for b2 in c._delta_buckets(d)}
+    assert any(x >= 2 for x in touched)
+    # the STALE instance folds: must refresh, fold the full tail, and
+    # keep the manifest's 8-bucket count
+    assert a.n_buckets == 2
+    a.compact()
+    assert a.n_buckets == 8
+    doc = a._manifest_doc()
+    assert doc["n_buckets"] == 8 and doc["deltas"] == []
+    got = {(r.id, r.v) for r in a.read().collect()}
+    assert got == {(i, f"up{i}") for i in range(20)}
+
+
+def test_bucket_files_are_key_sorted(spark, tmp_path):
+    """Commit writes cluster keys within each bucket file (row-group
+    min/max pruning + delta encoding); the sort leads with the bucket
+    column so the planner's partitionBy ordering requirement is
+    satisfied by THIS sort, not a second unstable one."""
+    import pyarrow.parquet as pq
+
+    t = BucketedParquetTable(spark, str(tmp_path / "bt"),
+                             keys=["id"], n_buckets=2)
+    t.merge(_batch(spark, [(i, "v", "i", 1, i) for i in range(300)]))
+    m = t.manifest()
+    checked = 0
+    for b, v in m.items():
+        d = t._bucket_dir(v, b)
+        if not os.path.isdir(d):
+            continue
+        for n in os.listdir(d):
+            if n.endswith(".parquet"):
+                ids = pq.read_table(os.path.join(d, n), columns=["id"])
+                vals = ids.column("id").to_pylist()
+                assert vals == sorted(vals)
+                checked += 1
+    assert checked >= 2

@@ -100,7 +100,9 @@ def test_query_rows_decodes_text_resultset():
     sess = MySqlWireSession(fd.read, fd.write)
     names, rows = sess.query_rows("SELECT id, name, ok FROM t")
     assert names == ["id", "name", "ok"]
-    assert list(rows) == [["1", "alice", "1"], ["2", None, "0"]]
+    # raw bytes on the wire contract: the caller decodes per schema
+    # (binary columns must survive undecoded)
+    assert list(rows) == [[b"1", b"alice", b"1"], [b"2", None, b"0"]]
     # the COM_QUERY went out with a reset sequence
     assert bytes(fd.sent)[3] == 0 and bytes(fd.sent)[4] == 0x03
 
@@ -222,3 +224,34 @@ def test_mysqlselect_source_registry(spark):
     n = df.count()
     srv.close()
     assert n == 4
+
+
+def test_rows_to_frames_binary_columns_stay_bytes():
+    """VARBINARY/BLOB payloads are not text: they must survive the hop
+    as raw bytes (review: a blanket utf-8 decode crashed the snapshot
+    on any non-UTF8 byte), while text columns decode STRICTLY so a
+    charset mismatch is loud."""
+    from pyspark.sql import types as T
+
+    from transferia_spark.sources.mysql_select import rows_to_frames
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    raw = b"\xff\xfe\x00invalid-utf8"
+    frames = list(rows_to_frames(
+        iter([[b"1", raw, b"alice"], [b"2", None, None]]), schema
+    ))
+    pdf = frames[0]
+    assert bytes(pdf.loc[0, "payload"]) == raw
+    assert pdf.loc[0, "name"] == "alice"
+    assert pdf.loc[1, "payload"] is None
+    # a text column carrying non-UTF8 bytes is loud, not mangled
+    import pytest as _pytest
+
+    with _pytest.raises(UnicodeDecodeError):
+        list(rows_to_frames(iter([[b"1", None, b"\xff\xfe"]]), schema))

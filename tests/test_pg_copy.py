@@ -369,3 +369,44 @@ replication:
     assert got[2]["name"] == "bob2" and got[2]["bal"] == -0.5
     assert got[9]["name"] == "new" and got[9]["bal"] == 1.0
     assert dials["n"] >= 2
+
+
+def test_decode_quoted_null_marker_is_data_not_null():
+    """A DATA value equal to the NULL marker arrives quoted ("\\N") —
+    PG quotes it for exactly this reason — and must survive as the
+    literal two-character string while bare \\N decodes to NULL
+    (review finding: pandas' na_values ignores quoting; the pyarrow
+    reader does not)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    frames = list(decode_copy_csv(
+        iter([b'1,\\N\n2,"\\N"\n3,plain\n']), schema
+    ))
+    import pandas as pd
+
+    pdf = pd.concat(frames, ignore_index=True)
+    assert pd.isna(pdf.loc[0, "v"])
+    assert pdf.loc[1, "v"] == "\\N"
+    assert pdf.loc[2, "v"] == "plain"
+
+
+def test_snapshot_projects_explicit_schema_order_columns():
+    """SELECT * would decode positionally against the YAML schema's
+    names and silently shift values when the physical column order
+    differs — the shipped statements must project explicitly."""
+    from pyspark.sql import types as T
+
+    from transferia_spark.sources.pg_copy import snapshot_statements
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    stmts = snapshot_statements("t", schema, predicates=["id > 0"])
+    assert stmts == [
+        "COPY (SELECT id, v FROM t WHERE id > 0) TO STDOUT "
+        "(FORMAT csv, NULL '\\N')"
+    ]
+    assert all("SELECT *" not in s for s in stmts)

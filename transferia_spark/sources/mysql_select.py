@@ -52,15 +52,30 @@ def select_shard_statements(
 def rows_to_frames(rows, schema, batch_rows: int = 50_000):
     """Text-protocol rows → typed pandas frames in bounded chunks,
     through the shared PG/MySQL text caster (booleans arrive as
-    tinyint 1/0 here, t/f there)."""
+    tinyint 1/0 here, t/f there). Rows arrive as RAW BYTES from
+    ``query_rows``; text columns decode utf-8 here — STRICT, so a
+    charset mismatch is loud instead of silently mangled — while
+    binary columns stay bytes (a blanket decode would crash on
+    VARBINARY/BLOB)."""
     import pandas as pd
 
     from transferia_spark.sources.pg_copy import cast_text_frame
 
     names = [f.name for f in schema.fields]
+    keep_raw = {
+        i for i, f in enumerate(schema.fields)
+        if f.dataType.typeName() == "binary"
+    }
+
+    def dec(row):
+        return [
+            v if v is None or i in keep_raw else v.decode()
+            for i, v in enumerate(row)
+        ]
+
     buf: list[list] = []
     for row in rows:
-        buf.append(row)
+        buf.append(dec(row))
         if len(buf) >= batch_rows:
             yield cast_text_frame(
                 pd.DataFrame(buf, columns=names, dtype=object), schema
@@ -90,9 +105,6 @@ def mysql_select_snapshot(
     cols = [f.name for f in schema.fields]
     preds = predicates if predicates else [None]
     stmts = [select_sql(table, cols, p) for p in preds]
-    spec = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(stmts)], "shard int, select_sql string"
-    )
     live_conf = dict(live)
     schema_json = schema.json()
 
@@ -132,12 +144,13 @@ def mysql_select_snapshot(
                 finally:
                     close()
 
-    n = max(1, len(stmts))
-    from pyspark.sql import functions as F
-
-    return spec.repartition(n, F.col("shard")).mapInPandas(
-        run, schema=schema
+    # explicit slice per shard: exact task-per-shard mapping (a hash
+    # repartition on the id would collide shards into one task)
+    rdd = spark.sparkContext.parallelize(
+        [(i, s) for i, s in enumerate(stmts)], max(1, len(stmts))
     )
+    spec = spark.createDataFrame(rdd, "shard int, select_sql string")
+    return spec.mapInPandas(run, schema=schema)
 
 
 from transferia_spark.sources.base import Source, register_source  # noqa: E402

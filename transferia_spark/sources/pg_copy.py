@@ -142,21 +142,32 @@ def decode_copy_csv(
     them in ~``batch_bytes`` chunks with pandas' C reader (NULL is the
     unquoted ``\\N`` marker; quoted ``""`` stays an empty string).
     Bounded memory: at most one chunk + one unterminated row tail is
-    ever held."""
-    import pandas as pd
+    ever held.
+
+    Parsed with pyarrow's CSV reader, not pandas': a DATA value equal
+    to the NULL marker arrives quoted (``"\\N"``) and PG quotes it for
+    exactly this reason — pandas' ``na_values`` matching ignores
+    quoting and would silently null real values, while pyarrow's
+    ``quoted_strings_can_be_null=False`` preserves the distinction
+    (code-review r8 session-2 finding 4)."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
 
     names = [f.name for f in schema.fields]
 
     def parse(data: bytes):
-        pdf = pd.read_csv(
+        tbl = pacsv.read_csv(
             io.BytesIO(data),
-            header=None,
-            names=names,
-            dtype=str,
-            na_values=[COPY_NULL],
-            keep_default_na=False,
+            read_options=pacsv.ReadOptions(column_names=names),
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
+            convert_options=pacsv.ConvertOptions(
+                column_types={n: pa.string() for n in names},
+                null_values=[COPY_NULL],
+                strings_can_be_null=True,
+                quoted_strings_can_be_null=False,
+            ),
         )
-        return cast_text_frame(pdf, schema)
+        return cast_text_frame(tbl.to_pandas(), schema)
 
     buf = b""
     for chunk in chunks:
@@ -179,6 +190,23 @@ def decode_copy_csv(
             yield parse(rows)
 
 
+def snapshot_statements(
+    table: str,
+    schema,
+    predicates: list[str] | None = None,
+    columns: list[str] | None = None,
+) -> list[str]:
+    """The statements ``pg_copy_snapshot`` ships, one per shard —
+    ALWAYS projecting explicitly in schema order: the CSV decodes
+    positionally against the schema's names, so a bare ``SELECT *``
+    against a table whose physical column order or count differs
+    would silently shift values into the wrong columns (code-review
+    r8 session-2 finding 2)."""
+    preds = predicates if predicates else [None]
+    cols = columns or [f.name for f in schema.fields]
+    return [copy_out_sql(table, cols, p) for p in preds]
+
+
 def pg_copy_snapshot(
     spark,
     live: dict,
@@ -199,11 +227,7 @@ def pg_copy_snapshot(
     picklable to reach executors); the default is the module dial, and
     the loopback e2e test exercises exactly that path against a
     scripted server."""
-    preds = predicates if predicates else [None]
-    stmts = [copy_out_sql(table, columns, p) for p in preds]
-    spec = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(stmts)], "shard int, copy_sql string"
-    )
+    stmts = snapshot_statements(table, schema, predicates, columns)
     live_conf = dict(live)
     schema_json = schema.json()
 
@@ -239,12 +263,15 @@ def pg_copy_snapshot(
                 finally:
                     close()
 
-    n = max(1, len(stmts))
-    from pyspark.sql import functions as F
-
-    return spec.repartition(n, F.col("shard")).mapInPandas(
-        run, schema=schema
+    # one element per RDD slice: a hash-repartition on the shard id
+    # maps n distinct ids into n partitions WITH collisions (two COPY
+    # streams serialized in one task while another sits empty); an
+    # explicit parallelize slice per shard makes task-per-shard exact
+    rdd = spark.sparkContext.parallelize(
+        [(i, s) for i, s in enumerate(stmts)], max(1, len(stmts))
     )
+    spec = spark.createDataFrame(rdd, "shard int, copy_sql string")
+    return spec.mapInPandas(run, schema=schema)
 
 
 from transferia_spark.sources.base import Source, register_source  # noqa: E402

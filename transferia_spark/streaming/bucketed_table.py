@@ -841,10 +841,20 @@ class BucketedParquetTable:
         at 0, and a carried-forward watermark would silently skip every
         batch until the ids caught up (r7 verdict item 5)."""
         self._ensure_buckets(df)
-        return self._commit(
-            df, list(range(self.n_buckets)), clear_deltas=True,
-            reset_batch_id=True,
-        )
+        try:
+            return self._commit(
+                df, list(range(self.n_buckets)), clear_deltas=True,
+                reset_batch_id=True,
+            )
+        except BucketLayoutChanged:
+            # a cross-process rebucket landed mid-write: a snapshot
+            # seed must refresh and retry like merge() does, not abort
+            # the activation
+            self._refresh_layout()
+            return self._commit(
+                df, list(range(self.n_buckets)), clear_deltas=True,
+                reset_batch_id=True,
+            )
 
     # ------------------------------------------------- merge-on-read
 
@@ -949,6 +959,13 @@ class BucketedParquetTable:
         against deltas appended concurrently by the streaming thread
         (a blanket clear here would silently drop them)."""
         doc = self._manifest_doc()
+        # pending-pairs ranges and the empty-pairs manifest write below
+        # both assume the CURRENT layout: a stale instance scanning
+        # range(old_n) would miss deltas in buckets above it — and the
+        # bookkeeping commit would both drop them and stamp the stale
+        # count into the manifest (code-review r8 session-2 finding 1)
+        if doc["n_buckets"] is not None and doc["n_buckets"] != self.n_buckets:
+            self._refresh_layout()
         if not doc["deltas"]:
             return self.version()
         pairs = self._pending_pairs(doc, range(self.n_buckets))
@@ -957,6 +974,13 @@ class BucketedParquetTable:
             # preserving anything appended since the check
             with self._commit_mutex, self._fs_lock():
                 doc = self._manifest_doc()
+                if (
+                    doc["n_buckets"] is not None
+                    and doc["n_buckets"] != self.n_buckets
+                ):
+                    # a rebucket slipped in before the lock: re-resolve
+                    # and rescan under the real layout
+                    self._refresh_layout()
                 still = self._pending_pairs(doc, range(self.n_buckets))
                 keep = sorted({d for d, _ in still})
                 new_v = self.version() + 1
@@ -985,9 +1009,14 @@ class BucketedParquetTable:
         except BucketLayoutChanged:
             # a cross-process rebucket folded and cleared the tail as
             # part of its rewrite; anything appended after it uses the
-            # new id space — recompute what (if anything) is still due
+            # new id space. Retry over EVERY bucket of the new layout:
+            # compact()'s fold-everything guarantee feeds merge()'s
+            # eager path, which commits a delta-resolved base on the
+            # assumption the tail is clear — folding only the staggered
+            # due-set here would let the leftover tail double-apply on
+            # the next read (code-review r8 session-2 finding 3)
             self._refresh_layout()
-            return self._compact_buckets_once(self._buckets_due())
+            return self._compact_buckets_once(list(range(self.n_buckets)))
 
     def _compact_buckets_once(self, buckets: list[int]) -> int:
         doc = self._manifest_doc()
@@ -1112,6 +1141,11 @@ class BucketedParquetTable:
                     f"no current version in {self.root} — rebucket "
                     "operates on an existing table"
                 )
+            # another process may have re-laid the table out since this
+            # instance opened it: resolve the REAL current count before
+            # deciding no-op vs rewrite (a stale old_n would also make
+            # the pre-rewrite compact() scan the wrong id range)
+            self._refresh_layout()
             old_n = self.n_buckets
             target = (
                 int(new_n_buckets)
@@ -1187,7 +1221,15 @@ class BucketedParquetTable:
                 # sorted keys delta-encode (smaller files). No extra
                 # exchange — the sort rides the repartition's
                 # partitions; at bucket sizes (~1 GB) it's in-memory.
-                .sortWithinPartitions(*[F.col(k) for k in self.keys])
+                # BUCKET_COL leads the order: a dynamic partitionBy
+                # write REQUIRES ordering by the partition column, so a
+                # keys-only sort would get a second planner-inserted
+                # sort by bkt on top (whose stability is not
+                # contractual — the key clustering could silently
+                # vanish while still paying for the first sort)
+                .sortWithinPartitions(
+                    F.col(BUCKET_COL), *[F.col(k) for k in self.keys]
+                )
                 .write.mode("overwrite")
                 .partitionBy(BUCKET_COL)
                 .parquet(path)

@@ -1232,12 +1232,16 @@ class MySqlWireSession:
     def query_rows(self, sql: str):
         """COM_QUERY returning a text-protocol result set:
         ``(column_names, row_iterator)`` where each row is one
-        ``list[str | None]`` (lenenc strings; the 0xFB byte is SQL
-        NULL). The binlog client only ever needed OK statements
-        (``query_ok``); the wire-direct snapshot needs real result
-        sets — ≈ the reference's snapshot SELECT path
-        (``mysql/storage.go``). Column definitions parse eagerly so the
-        names are available before iteration; rows stream lazily."""
+        ``list[bytes | None]`` (lenenc strings; the 0xFB byte is SQL
+        NULL). Values stay RAW BYTES — the wire carries column data in
+        the column's own charset, and VARBINARY/BLOB payloads are not
+        text at all; the caller decodes per its schema (a blanket
+        utf-8 decode here would crash on binary columns). The binlog
+        client only ever needed OK statements (``query_ok``); the
+        wire-direct snapshot needs real result sets — ≈ the
+        reference's snapshot SELECT path (``mysql/storage.go``).
+        Column definitions parse eagerly so the names are available
+        before iteration; rows stream lazily."""
         self._seq = 0
         self._send_packet(bytes([COM_QUERY]) + sql.encode())
         first = self._recv_packet()
@@ -1272,7 +1276,7 @@ class MySqlWireSession:
                 # bytes, so the length disambiguates, per the docs)
                 if p[:1] == bytes([EOF_HEADER]) and len(p) < 9:
                     return
-                row: list[str | None] = []
+                row: list[bytes | None] = []
                 pos = 0
                 for _ in range(n_cols):
                     if p[pos] == 0xFB:
@@ -1280,7 +1284,7 @@ class MySqlWireSession:
                         pos += 1
                     else:
                         ln, pos2 = decode_lenenc(p, pos)
-                        row.append(p[pos2:pos2 + ln].decode())
+                        row.append(bytes(p[pos2:pos2 + ln]))
                         pos = pos2 + ln
                 yield row
 
