@@ -117,15 +117,18 @@ def test_query_rows_on_dml_yields_nothing():
 # ------------------------------------------------------------- e2e
 
 
-def _serve_select_shards(srv: socket.socket, n_conns: int):
-    """Scripted MySQL: greeting -> HandshakeResponse -> OK -> one
-    COM_QUERY -> the shard's text result set."""
+def _serve_select_shards(srv: socket.socket, n_conns: int,
+                         log: list | None = None):
+    """Scripted MySQL: greeting -> HandshakeResponse -> OK -> setup
+    COM_QUERYs answered OK until the SELECT arrives -> the shard's
+    text result set. Received SQLs append to ``log`` tagged by
+    connection."""
     shard_rows = {
         0: [[b"1", b"alice", b"10.5"], [b"3", None, b"0.25"]],
         1: [[b"2", b"bob", b"-1"], [b"4", b"d,quo\"te", None]],
     }
 
-    def one(conn: socket.socket):
+    def one(conn: socket.socket, conn_no: int):
         def recv_exact(n):
             out = b""
             while len(out) < n:
@@ -143,19 +146,26 @@ def _serve_select_shards(srv: socket.socket, n_conns: int):
         conn.sendall(encode_packet(handshake_payload(), 0))
         recv_packet()  # HandshakeResponse41
         conn.sendall(encode_packet(ok_packet(), 2))
-        q = recv_packet()
-        assert q[:1] == b"\x03"  # COM_QUERY
-        sql = q[1:].decode()
-        shard = 0 if "% 2 = 0" in sql else 1
-        conn.sendall(
-            result_set([b"id", b"name", b"bal"], shard_rows[shard])
-        )
+        while True:
+            q = recv_packet()
+            assert q[:1] == b"\x03"  # COM_QUERY
+            sql = q[1:].decode()
+            if log is not None:
+                log.append((conn_no, sql))
+            if not sql.startswith("SELECT"):
+                conn.sendall(encode_packet(ok_packet(), 1))
+                continue
+            shard = 0 if "% 2 = 0" in sql else 1
+            conn.sendall(
+                result_set([b"id", b"name", b"bal"], shard_rows[shard])
+            )
+            break
         conn.recv(1)  # hold until the client closes
         conn.close()
 
-    for _ in range(n_conns):
+    for i in range(n_conns):
         conn, _addr = srv.accept()
-        threading.Thread(target=one, args=(conn,), daemon=True).start()
+        threading.Thread(target=one, args=(conn, i), daemon=True).start()
 
 
 def test_mysql_select_snapshot_loopback_e2e(spark):
@@ -255,3 +265,48 @@ def test_rows_to_frames_binary_columns_stay_bytes():
 
     with _pytest.raises(UnicodeDecodeError):
         list(rows_to_frames(iter([[b"1", None, b"\xff\xfe"]]), schema))
+
+
+def test_mysql_consistent_snapshot_setup_precedes_select(spark):
+    """live.consistent: each shard connection opens an InnoDB
+    consistent read view (REPEATABLE READ + START TRANSACTION WITH
+    CONSISTENT SNAPSHOT) BEFORE its SELECT — the reference's storage
+    recipe; per-connection instants, documented as weaker than PG's
+    shared exported snapshot."""
+    from pyspark.sql import types as T
+
+    from transferia_spark.sources.jdbc import shard_by_pk_hash
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    log: list = []
+    threading.Thread(
+        target=_serve_select_shards, args=(srv, 2, log), daemon=True
+    ).start()
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+        ]
+    )
+    df = mysql_select_snapshot(
+        spark,
+        live={"host": "127.0.0.1", "port": port, "user": "repl",
+              "database": "shop", "timeout": 10.0, "consistent": True},
+        table="shop.items",
+        schema=schema,
+        predicates=shard_by_pk_hash(["id"], 2, dialect="mysql"),
+    )
+    assert df.count() == 4
+    srv.close()
+    for conn_no in (0, 1):
+        sqls = [s for c, s in log if c == conn_no]
+        assert sqls[0].startswith(
+            "SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ"
+        )
+        assert sqls[1] == "START TRANSACTION WITH CONSISTENT SNAPSHOT"
+        assert sqls[2].startswith("SELECT ")

@@ -157,15 +157,18 @@ def test_decode_truncated_stream_is_loud():
 # authenticate, run their shard's COPY and parse the stream.
 
 
-def _serve_copy_shards(srv: socket.socket, n_conns: int):
-    """Scripted PG: startup -> AuthOk -> ReadyForQuery -> one Query ->
-    COPY OUT of the shard the query names."""
+def _serve_copy_shards(srv: socket.socket, n_conns: int,
+                       log: list | None = None):
+    """Scripted PG: startup -> AuthOk -> ReadyForQuery -> setup Query
+    messages answered with OK until the COPY arrives -> COPY OUT of
+    the shard the query names. Every received SQL is appended to
+    ``log`` (per-connection order preserved by tagging)."""
     shard_rows = {
         0: b'1,alice,10.5\n3,"c,d",\\N\n',
         1: b"2,bob,-0.25\n4,\\N,7\n",
     }
 
-    def one(conn: socket.socket):
+    def one(conn: socket.socket, conn_no: int):
         def recv_exact(n):
             out = b""
             while len(out) < n:
@@ -178,27 +181,34 @@ def _serve_copy_shards(srv: socket.socket, n_conns: int):
         (ln,) = struct.unpack(">I", recv_exact(4))
         recv_exact(ln - 4)  # StartupMessage body
         conn.sendall(auth(0) + ready())
-        tag = recv_exact(1)
-        assert tag == b"Q"
-        (ln,) = struct.unpack(">I", recv_exact(4))
-        sql = recv_exact(ln - 4).rstrip(b"\x00").decode()
-        shard = 0 if "% 2 = 0" in sql else 1
-        payload = shard_rows[shard]
-        conn.sendall(
-            copy_out_resp(3)
-            # split mid-row across CopyData messages on purpose
-            + copy_data(payload[:9])
-            + copy_data(payload[9:])
-            + copy_done()
-            + cmd_complete(b"COPY 2")
-            + ready()
-        )
+        while True:
+            tag = recv_exact(1)
+            assert tag == b"Q"
+            (ln,) = struct.unpack(">I", recv_exact(4))
+            sql = recv_exact(ln - 4).rstrip(b"\x00").decode()
+            if log is not None:
+                log.append((conn_no, sql))
+            if not sql.startswith("COPY"):
+                conn.sendall(cmd_complete(b"SET") + ready())
+                continue
+            shard = 0 if "% 2 = 0" in sql else 1
+            payload = shard_rows[shard]
+            conn.sendall(
+                copy_out_resp(3)
+                # split mid-row across CopyData messages on purpose
+                + copy_data(payload[:9])
+                + copy_data(payload[9:])
+                + copy_done()
+                + cmd_complete(b"COPY 2")
+                + ready()
+            )
+            break
         conn.recv(1)  # hold until the client closes
         conn.close()
 
-    for _ in range(n_conns):
+    for i in range(n_conns):
         conn, _addr = srv.accept()
-        threading.Thread(target=one, args=(conn,), daemon=True).start()
+        threading.Thread(target=one, args=(conn, i), daemon=True).start()
 
 
 def test_pg_copy_snapshot_loopback_e2e(spark):
@@ -410,3 +420,96 @@ def test_snapshot_projects_explicit_schema_order_columns():
         "(FORMAT csv, NULL '\\N')"
     ]
     assert all("SELECT *" not in s for s in stmts)
+
+
+def test_export_snapshot_coordinator_recipe():
+    from test_pg_session import data_row, row_desc
+
+    from transferia_spark.sources.pg_copy import export_snapshot
+
+    fd = FakeDuplex(
+        cmd_complete(b"BEGIN") + ready()
+        + row_desc([b"pg_export_snapshot"])
+        + data_row([b"00000003-000001BC-1"])
+        + cmd_complete(b"SELECT 1") + ready()
+    )
+    sess = PgWireSession(fd.read, fd.write)
+    assert export_snapshot(sess) == "00000003-000001BC-1"
+    sent = bytes(fd.sent)
+    assert b"BEGIN ISOLATION LEVEL REPEATABLE READ READ ONLY" in sent
+    assert sent.index(b"REPEATABLE READ") < sent.index(
+        b"pg_export_snapshot()"
+    )
+
+
+def test_pg_copy_snapshot_imports_exported_snapshot(spark):
+    """Every shard connection must import the coordinator's snapshot
+    id (BEGIN REPEATABLE READ + SET TRANSACTION SNAPSHOT) BEFORE its
+    COPY — otherwise the N parallel streams each observe their own
+    MVCC instant and a concurrent writer makes the shards disagree."""
+    from pyspark.sql import types as T
+
+    from transferia_spark.sources.jdbc import shard_by_pk_hash
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    log: list = []
+    threading.Thread(
+        target=_serve_copy_shards, args=(srv, 2, log), daemon=True
+    ).start()
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+        ]
+    )
+    df = pg_copy_snapshot(
+        spark,
+        live={"host": "127.0.0.1", "port": port,
+              "user": "u", "database": "db", "timeout": 10.0},
+        table="public.items",
+        schema=schema,
+        predicates=shard_by_pk_hash(["id"], 2),
+        snapshot_id="00000003-000001BC-1",
+    )
+    assert df.count() == 4
+    srv.close()
+    # per connection: BEGIN, SET TRANSACTION SNAPSHOT, then the COPY
+    for conn_no in (0, 1):
+        sqls = [s for c, s in log if c == conn_no]
+        assert sqls[0].startswith("BEGIN ISOLATION LEVEL REPEATABLE")
+        assert sqls[1] == (
+            "SET TRANSACTION SNAPSHOT '00000003-000001BC-1'"
+        )
+        assert sqls[2].startswith("COPY (SELECT")
+
+
+def test_exported_snapshot_context_manager(monkeypatch):
+    from test_pg_session import data_row, row_desc
+
+    from transferia_spark.sources.pg_copy import exported_snapshot
+    from transferia_spark.streaming import pg_replication as pgr
+
+    fd = FakeDuplex(
+        auth(0) + ready()
+        + cmd_complete(b"BEGIN") + ready()
+        + row_desc([b"pg_export_snapshot"])
+        + data_row([b"0003-1BC-2"])
+        + cmd_complete(b"SELECT 1") + ready()
+    )
+    closed = []
+    monkeypatch.setattr(
+        pgr, "dial",
+        lambda *a, **kw: (fd.read, fd.write,
+                          lambda: closed.append(1), fd.poll),
+    )
+    with exported_snapshot(
+        {"host": "h", "user": "u", "database": "d"}
+    ) as snap:
+        assert snap == "0003-1BC-2"
+        assert not closed  # coordinator connection held open
+    assert closed == [1]

@@ -139,6 +139,22 @@ def mysql_select_snapshot(
                         sslrootcert=live_conf.get("sslrootcert"),
                         server_hostname=live_conf["host"],
                     )
+                    if live_conf.get("consistent"):
+                        # per-connection InnoDB consistent read
+                        # (REPEATABLE READ + an immediate read view —
+                        # the reference's storage does the same before
+                        # its shard SELECTs, mysql/storage.go). NOTE:
+                        # unlike the PG exported snapshot, the views
+                        # are per-connection instants, not one shared
+                        # point — cross-shard consistency additionally
+                        # needs a quiesced binlog position.
+                        sess.query_ok(
+                            "SET SESSION TRANSACTION ISOLATION LEVEL "
+                            "REPEATABLE READ"
+                        )
+                        sess.query_ok(
+                            "START TRANSACTION WITH CONSISTENT SNAPSHOT"
+                        )
                     _names, rows = sess.query_rows(sql)
                     yield from rows_to_frames(rows, out_schema)
                 finally:

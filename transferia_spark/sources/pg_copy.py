@@ -207,6 +207,61 @@ def snapshot_statements(
     return [copy_out_sql(table, cols, p) for p in preds]
 
 
+def export_snapshot(session) -> str:
+    """On a COORDINATOR connection: open a REPEATABLE READ READ ONLY
+    transaction and export its MVCC snapshot id — every shard task
+    then imports it (``SET TRANSACTION SNAPSHOT``), so N parallel COPY
+    streams observe ONE point-in-time state (the reference's sharded
+    consistent-snapshot recipe, ``postgres/storage.go``; plain
+    parallel COPYs each see their own instant, and a row moving
+    between shards mid-scan would be read twice or not at all). The
+    coordinator session MUST stay open until every shard finishes —
+    the snapshot id dies with its exporting transaction."""
+    session.simple_query(
+        "BEGIN ISOLATION LEVEL REPEATABLE READ READ ONLY"
+    )
+    rows = session.simple_query("SELECT pg_export_snapshot()")
+    return rows[0]["pg_export_snapshot"]
+
+
+def exported_snapshot(live: dict):
+    """Context manager: dial a coordinator connection, export a
+    snapshot id for :func:`pg_copy_snapshot`'s tasks to import, hold
+    the connection open for the body, close on exit::
+
+        with exported_snapshot(live) as snap_id:
+            df = pg_copy_snapshot(spark, live, t, schema,
+                                  snapshot_id=snap_id)
+            df.write.parquet(out)   # materialize INSIDE the block
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        from transferia_spark.streaming.pg_replication import (
+            PgWireSession,
+            dial,
+        )
+
+        read, write, close, _poll = dial(
+            live["host"], int(live.get("port", 5432)),
+            timeout=float(live.get("timeout", 30.0)),
+            sslmode=live.get("sslmode", "disable"),
+            sslrootcert=live.get("sslrootcert"),
+        )
+        try:
+            sess = PgWireSession(read, write)
+            sess.connect(
+                user=live["user"], database=live["database"],
+                password=live.get("password", ""),
+            )
+            yield export_snapshot(sess)
+        finally:
+            close()
+
+    return cm()
+
+
 def pg_copy_snapshot(
     spark,
     live: dict,
@@ -215,6 +270,7 @@ def pg_copy_snapshot(
     predicates: list[str] | None = None,
     columns: list[str] | None = None,
     transport_factory: Callable[..., tuple] | None = None,
+    snapshot_id: str | None = None,
 ):
     """Distributed wire-direct snapshot: one COPY stream per shard
     predicate, executed INSIDE the executors (``mapInPandas`` over a
@@ -259,6 +315,16 @@ def pg_copy_snapshot(
                         database=live_conf["database"],
                         password=live_conf.get("password", ""),
                     )
+                    if snapshot_id:
+                        # import the coordinator's exported snapshot:
+                        # all shards observe ONE MVCC instant
+                        sess.simple_query(
+                            "BEGIN ISOLATION LEVEL REPEATABLE READ "
+                            "READ ONLY"
+                        )
+                        sess.simple_query(
+                            f"SET TRANSACTION SNAPSHOT '{snapshot_id}'"
+                        )
                     yield from decode_copy_csv(sess.copy_out(sql), out_schema)
                 finally:
                     close()
