@@ -466,6 +466,15 @@ def main() -> None:
         spark, SF_DIR, merge_mode="delta", seed_mult=20
     )
     timings["cdc_pipeline_delta_big"] = round(dl_big_dt, 3)
+    # bulk catch-up: the SAME backlog in ONE availableNow batch —
+    # separates the engine's throughput from the per-micro-batch fixed
+    # cost (job scheduling, commit, offset ack) that dominates the
+    # 8-batch numbers at sf0.1's tiny batch sizes; at production batch
+    # sizes the steady-state rate approaches this bound
+    blk_dt, blk_rows = bench_cdc_pipeline(
+        spark, SF_DIR, merge_mode="delta", n_batches=1
+    )
+    timings["cdc_pipeline_bulk"] = round(blk_dt, 3)
     # (merge mode × churn × bucket count) sweep so the delta-mode gain
     # has a curve, not a single point (r6 verdict item 9) — measured at
     # the merge layer, free of stream-decode noise
@@ -489,6 +498,9 @@ def main() -> None:
         else None,
         "cdc_delta_big_rows_per_sec": round(dl_big_rows / dl_big_dt)
         if dl_big_dt > 0
+        else None,
+        "cdc_bulk_rows_per_sec": round(blk_rows / blk_dt)
+        if blk_dt > 0
         else None,
         "cdc_sweep": sweep,
         "cdc_size_sweep": size_sweep,
