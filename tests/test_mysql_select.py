@@ -310,3 +310,25 @@ def test_mysql_consistent_snapshot_setup_precedes_select(spark):
         )
         assert sqls[1] == "START TRANSACTION WITH CONSISTENT SNAPSHOT"
         assert sqls[2].startswith("SELECT ")
+
+
+def test_snapshot_position_from_master_status():
+    from transferia_spark.sources.mysql_select import snapshot_position
+
+    fd = FakeDuplex(result_set(
+        [b"File", b"Position", b"Binlog_Do_DB", b"Binlog_Ignore_DB",
+         b"Executed_Gtid_Set"],
+        [[b"binlog.000042", b"157823", b"", b"",
+          b"3E11FA47-71CA-11E1-9E33-C80AA9429562:1-77"]],
+    ))
+    sess = MySqlWireSession(fd.read, fd.write)
+    pos = snapshot_position(sess)
+    assert pos == {
+        "file": "binlog.000042",
+        "position": 157823,
+        "gtid_set": "3E11FA47-71CA-11E1-9E33-C80AA9429562:1-77",
+    }
+    # the position string feeds COM_BINLOG_DUMP_GTID directly
+    from transferia_spark.streaming.mysql_binlog import parse_gtid_set
+
+    assert parse_gtid_set(pos["gtid_set"])

@@ -513,3 +513,17 @@ def test_exported_snapshot_context_manager(monkeypatch):
         assert snap == "0003-1BC-2"
         assert not closed  # coordinator connection held open
     assert closed == [1]
+
+
+def test_snapshot_position_recipe():
+    from test_pg_session import data_row, row_desc
+
+    from transferia_spark.sources.pg_copy import snapshot_position
+
+    fd = FakeDuplex(
+        row_desc([b"lsn"]) + data_row([b"0/1634FA0"])
+        + cmd_complete(b"SELECT 1") + ready()
+    )
+    sess = PgWireSession(fd.read, fd.write)
+    assert snapshot_position(sess) == "0/1634FA0"
+    assert b"pg_current_wal_lsn()" in bytes(fd.sent)

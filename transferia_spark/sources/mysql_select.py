@@ -87,6 +87,31 @@ def rows_to_frames(rows, schema, batch_rows: int = 50_000):
         )
 
 
+def snapshot_position(session) -> dict:
+    """``SHOW MASTER STATUS`` over the wire result set — the binlog
+    file/position and executed GTID set to start replication from
+    after a snapshot (≈ ``mysql/sync_binlog_position.go``). Take it on
+    a connection whose consistent read view is already open: the view
+    predates the position, so replaying from the position over the
+    snapshot re-delivers only the overlap the handoff dedup absorbs."""
+    names, rows = session.query_rows("SHOW MASTER STATUS")
+    row = next(iter(rows), None)
+    if row is None:
+        raise ValueError(
+            "SHOW MASTER STATUS returned no row — is binary logging "
+            "enabled on the server?"
+        )
+    d = {
+        n: (v.decode() if v is not None else None)
+        for n, v in zip(names, row)
+    }
+    return {
+        "file": d.get("File"),
+        "position": int(d.get("Position") or 0),
+        "gtid_set": d.get("Executed_Gtid_Set") or "",
+    }
+
+
 def mysql_select_snapshot(
     spark,
     live: dict,

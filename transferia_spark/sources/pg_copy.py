@@ -224,6 +224,20 @@ def export_snapshot(session) -> str:
     return rows[0]["pg_export_snapshot"]
 
 
+def snapshot_position(session) -> str:
+    """The WAL position to hand the increment phase after a wire
+    snapshot (``PositionalStorage.Position`` parity,
+    ``pkg/abstract/storage.go:300-309``). Taken on the COORDINATOR
+    connection right after :func:`export_snapshot`, the LSN trails the
+    exported MVCC view by at most the gap between the two statements —
+    replaying from it over the seeded snapshot only re-delivers that
+    overlap, which the handoff dedup (``snapshot_plus_changelog``)
+    absorbs; starting LATER would lose changes, starting here never
+    does."""
+    rows = session.simple_query("SELECT pg_current_wal_lsn() AS lsn")
+    return rows[0]["lsn"]
+
+
 def exported_snapshot(live: dict):
     """Context manager: dial a coordinator connection, export a
     snapshot id for :func:`pg_copy_snapshot`'s tasks to import, hold
