@@ -1276,6 +1276,43 @@ def q_pg_copy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pg_copy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COPY CSV decoder under the oracle gate with adversarial
+    fixed vectors: payload chunks split at awkward byte boundaries
+    (inside quoted fields, numbers, and the NULL marker), an embedded
+    newline/comma/doubled-quote field, a QUOTED "\\N" that must stay
+    DATA, and a bare \\N that must become NULL — decoded by
+    sources/pg_copy.decode_copy_csv exactly as an executor task would,
+    then hash-matched against a VALUES oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from transferia_spark.sources.pg_copy import decode_copy_csv
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+        ]
+    )
+    payload = (
+        b"1,alice,10.5\n"
+        b'2,"qu""ote, comma\nnewline",\\N\n'
+        b'3,"\\N",0.25\n'
+        b"4,\\N,-1.5\n"
+    )
+    chunks = [payload[i:i + 7] for i in range(0, len(payload), 7)]
+    frames = list(decode_copy_csv(iter(chunks), schema, batch_bytes=16))
+    pdf = pd.concat(frames, ignore_index=True)
+    # the engine path is mapInPandas (always Arrow), where nullable
+    # extension NAs convert natively; this driver-side materialization
+    # must not depend on the session's Arrow conf (the driver runs a
+    # virgin session), so degrade NAs to plain None first
+    pdf = pdf.astype(object).where(pdf.notna(), None)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def q_mysql_select_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wire-direct MySQL snapshot planning (sources/mysql_select.py ≈
     mysql/storage.go's sharded SELECT snapshot): the exact per-shard
@@ -3726,20 +3763,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver scores the FIRST 50
-    entries in dict order. Round-8 window: (a) the 5 queries new this
+    entries in dict order. Round-8 window: (a) the 6 queries new this
     round (elastic_scroll_plan, gpfdist_plan — the last two plan-only
     storages upgraded to driver rows — plus cdc_rebucket,
-    pg_copy_plan and mysql_select_plan: the online re-layout and the
-    two wire-direct snapshot paths landed late in the round), (b) the
-    9 queries whose
+    pg_copy_plan, pg_copy_decode and mysql_select_plan: the online
+    re-layout and the two wire-direct snapshot paths landed late in
+    the round), (b) the 9 queries whose
     implementation paths changed in rounds 7-8 (the merge-on-read
     delta layer + per-bucket incremental compaction under
     cdc_merge_delta / cdc_merge_bucketed / the replicate family, the
     mysql keyword-less-DDL scope fix, the incremental loud-retype
     schema probes, and the band-index watermark seeding) — including
     cdc_merge_delta, which r7 shipped unscored (r7 verdict item 2),
-    and (c) the 36 oldest-green r04/r05 rows rotating back into the
-    official record. 5+9+36 = 50 exactly. The tail holds r07-green and
+    and (c) the 35 oldest-green r04/r05 rows rotating back into the
+    official record. 6+9+35 = 50 exactly. The tail holds r07-green and
     younger rows and stays verified by ``python scripts/driver_sim.py``
     over ALL entries.
     """
@@ -3750,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpfdist_plan": q_gpfdist_plan,
         "cdc_rebucket": q_cdc_rebucket,
         "pg_copy_plan": q_pg_copy_plan,
+        "pg_copy_decode": q_pg_copy_decode,
         "mysql_select_plan": q_mysql_select_plan,
         # -- (b) r7/r8-changed paths: merge-on-read delta apply +
         # incremental compaction (bucketed table), the mysql DDL
@@ -3802,9 +3840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_cloudlogging": q_parser_cloudlogging,
         "parser_audittrails": q_parser_audittrails,
         "filter_rows_by_ids": q_filter_rows_by_ids,
-        "number_to_float": q_number_to_float,
         # -- tail: fresh r07 green rows and younger; verified
         # every round by scripts/driver_sim.py over ALL entries --
+        "number_to_float": q_number_to_float,
         "raw_doc_grouper": q_raw_doc_grouper,
         "rename_tables": q_rename_tables,
         "mongo_pk_extender": q_mongo_pk_extender,
@@ -4053,6 +4091,15 @@ SELECT 'range', r.i,
        || ') TO STDOUT (FORMAT csv, NULL ''\\N'')'
 FROM (SELECT 0 AS i, 1 AS lo, 250 AS hi
       UNION ALL SELECT 1, 251, 500) r
+""",
+        "pg_copy_decode": """
+SELECT CAST(id AS BIGINT) AS id, name, CAST(bal AS DOUBLE) AS bal
+FROM (VALUES
+  (1, 'alice', 10.5),
+  (2, 'qu"ote, comma' || chr(10) || 'newline', NULL),
+  (3, '\\N', 0.25),
+  (4, NULL, -1.5)
+) AS t(id, name, bal)
 """,
         "mysql_select_plan": """
 WITH idx AS (SELECT unnest(range(4)) AS i)

@@ -109,8 +109,16 @@ def cast_text_frame(pdf, schema):
                      "short": "Int16", "byte": "Int8"}[t]
             pdf[f.name] = pd.to_numeric(s, errors="raise").astype(width)
         elif t in ("double", "float"):
-            pdf[f.name] = pd.to_numeric(s, errors="raise").astype(
-                "float64" if t == "double" else "float32"
+            # str astype, not to_numeric: PG legitimately emits 'NaN'
+            # and '±Infinity', which to_numeric rejects. The NULLABLE
+            # extension dtype keeps NULL a null on BOTH DataFrame
+            # construction paths (plain numpy float64 turns None into
+            # NaN, which driver-side createDataFrame keeps as NaN
+            # while the Arrow path nulls it — divergent results).
+            # Caveat: a literal NaN VALUE also maps to null here —
+            # pandas' masked floats cannot hold NaN distinct from NA.
+            pdf[f.name] = s.astype("float64").astype(
+                "Float64" if t == "double" else "Float32"
             )
         elif t == "boolean":
             pdf[f.name] = s.map(
