@@ -332,3 +332,26 @@ def test_snapshot_position_from_master_status():
     from transferia_spark.streaming.mysql_binlog import parse_gtid_set
 
     assert parse_gtid_set(pos["gtid_set"])
+
+
+def test_snapshot_position_falls_back_to_pre_84_spelling():
+    """SHOW BINARY LOG STATUS (8.4+) errors on older servers; the
+    helper retries the classic spelling on the same connection."""
+    from test_mysql_session import err_packet
+
+    from transferia_spark.sources.mysql_select import snapshot_position
+
+    fd = FakeDuplex(
+        encode_packet(err_packet(1064, "syntax error"), 1)
+        + result_set(
+            [b"File", b"Position", b"Binlog_Do_DB", b"Binlog_Ignore_DB",
+             b"Executed_Gtid_Set"],
+            [[b"binlog.000007", b"4", b"", b"", b""]],
+        )
+    )
+    sess = MySqlWireSession(fd.read, fd.write)
+    pos = snapshot_position(sess)
+    assert pos["file"] == "binlog.000007" and pos["position"] == 4
+    sent = bytes(fd.sent)
+    assert b"SHOW BINARY LOG STATUS" in sent
+    assert b"SHOW MASTER STATUS" in sent

@@ -178,16 +178,33 @@ def _serve_copy_shards(srv: socket.socket, n_conns: int,
                 out += b
             return out
 
+        from test_pg_session import data_row, row_desc
+
         (ln,) = struct.unpack(">I", recv_exact(4))
         recv_exact(ln - 4)  # StartupMessage body
         conn.sendall(auth(0) + ready())
         while True:
             tag = recv_exact(1)
+            if not tag:
+                return  # coordinator connection closed by the client
             assert tag == b"Q"
             (ln,) = struct.unpack(">I", recv_exact(4))
             sql = recv_exact(ln - 4).rstrip(b"\x00").decode()
             if log is not None:
                 log.append((conn_no, sql))
+            if sql.startswith("SELECT pg_current_wal_lsn"):
+                conn.sendall(
+                    row_desc([b"lsn"]) + data_row([b"0/AAA0"])
+                    + cmd_complete() + ready()
+                )
+                continue
+            if sql.startswith("SELECT pg_export_snapshot"):
+                conn.sendall(
+                    row_desc([b"pg_export_snapshot"])
+                    + data_row([b"00000003-000001BC-1"])
+                    + cmd_complete() + ready()
+                )
+                continue
             if not sql.startswith("COPY"):
                 conn.sendall(cmd_complete(b"SET") + ready())
                 continue
@@ -527,3 +544,110 @@ def test_snapshot_position_recipe():
     sess = PgWireSession(fd.read, fd.write)
     assert snapshot_position(sess) == "0/1634FA0"
     assert b"pg_current_wal_lsn()" in bytes(fd.sent)
+
+
+def test_export_snapshot_with_position_orders_lsn_first():
+    """Position BEFORE view: a commit between the two is in the
+    snapshot AND replayed (duplicate, dedup absorbs); the reverse
+    order would lose it (review finding — the original recipe was
+    inverted)."""
+    from test_pg_session import data_row, row_desc
+
+    from transferia_spark.sources.pg_copy import (
+        export_snapshot_with_position,
+    )
+
+    fd = FakeDuplex(
+        row_desc([b"lsn"]) + data_row([b"0/1634FA0"])
+        + cmd_complete(b"SELECT 1") + ready()
+        + cmd_complete(b"BEGIN") + ready()
+        + row_desc([b"pg_export_snapshot"])
+        + data_row([b"00000003-000001BC-1"])
+        + cmd_complete(b"SELECT 1") + ready()
+    )
+    sess = PgWireSession(fd.read, fd.write)
+    snap, lsn = export_snapshot_with_position(sess)
+    assert (snap, lsn) == ("00000003-000001BC-1", "0/1634FA0")
+    sent = bytes(fd.sent)
+    assert sent.index(b"pg_current_wal_lsn()") < sent.index(
+        b"BEGIN ISOLATION"
+    ) < sent.index(b"pg_export_snapshot()")
+
+
+def test_snapshot_id_is_validated_before_interpolation(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    with pytest.raises(ValueError, match="malformed snapshot id"):
+        pg_copy_snapshot(
+            spark, live={"host": "h", "user": "u", "database": "d"},
+            table="t", schema=schema,
+            snapshot_id="x'; DROP TABLE t; --",
+        )
+
+
+def test_pgcopy_source_consistent_one_snapshot_all_shards(spark):
+    """live.consistent: the registry source dials ONE coordinator,
+    exports a snapshot with the position captured FIRST, and every
+    shard imports the id before its COPY."""
+    from transferia_spark.sources import build_source
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    log: list = []
+    threading.Thread(
+        target=_serve_copy_shards, args=(srv, 3, log), daemon=True
+    ).start()
+
+    src = build_source(
+        "pgcopy",
+        live={"host": "127.0.0.1", "port": port, "user": "u",
+              "database": "db", "timeout": 10.0, "consistent": True},
+        tables={
+            "public.items": {
+                "schema": "id long, name string, bal double",
+                "pk": ["id"],
+                "n_shards": 2,
+            }
+        },
+    )
+    [tid] = src.table_list(spark)
+    df = src.load_table(spark, tid)
+    assert df.count() == 4
+    assert src.start_lsn == "0/AAA0"
+    src.close()
+    srv.close()
+    # the coordinator (conn 0) captured the LSN before exporting
+    coord = [s for c, s in log if c == 0]
+    assert coord[0].startswith("SELECT pg_current_wal_lsn")
+    assert coord[1].startswith("BEGIN ISOLATION")
+    assert coord[2].startswith("SELECT pg_export_snapshot")
+    # every shard imported the exported id before its COPY
+    for conn_no in (1, 2):
+        sqls = [s for c, s in log if c == conn_no]
+        assert sqls[1] == (
+            "SET TRANSACTION SNAPSHOT '00000003-000001BC-1'"
+        )
+        assert sqls[2].startswith("COPY (SELECT")
+
+
+def test_decode_preserves_literal_nan_distinct_from_null():
+    """'NaN'::float8 is a real PG value: it must stay NaN at the
+    target while bare \\N stays NULL (review: the masked-dtype cast
+    conflated them and silently rewrote NaNs to NULLs)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("x", T.DoubleType())]
+    )
+    frames = list(decode_copy_csv(
+        iter([b"1,NaN\n2,\\N\n3,-Infinity\n"]), schema
+    ))
+    pdf = frames[0]
+    assert math.isnan(pdf.loc[0, "x"]) and not pdf["x"].isna()[0]
+    assert pdf["x"].isna()[1]
+    assert pdf.loc[2, "x"] == float("-inf")

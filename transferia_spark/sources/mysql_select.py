@@ -88,13 +88,24 @@ def rows_to_frames(rows, schema, batch_rows: int = 50_000):
 
 
 def snapshot_position(session) -> dict:
-    """``SHOW MASTER STATUS`` over the wire result set — the binlog
-    file/position and executed GTID set to start replication from
-    after a snapshot (≈ ``mysql/sync_binlog_position.go``). Take it on
-    a connection whose consistent read view is already open: the view
-    predates the position, so replaying from the position over the
-    snapshot re-delivers only the overlap the handoff dedup absorbs."""
-    names, rows = session.query_rows("SHOW MASTER STATUS")
+    """Binlog file/position + executed GTID set to start replication
+    from (≈ ``mysql/sync_binlog_position.go``). ORDERING IS THE
+    CONTRACT: capture it BEFORE opening the consistent read view —
+    transactions committing between the two are then in the snapshot
+    AND replayed from the position, a duplicate the handoff dedup
+    absorbs. The reverse order loses them: invisible to the view,
+    skipped by ``COM_BINLOG_DUMP_GTID`` (mysqldump's
+    --single-transaction --master-data takes the position under the
+    lock before the view for the same reason). MySQL 8.4 renamed the
+    statement; both spellings are tried."""
+    from transferia_spark.streaming.mysql_binlog import MySqlServerError
+
+    try:
+        names, rows = session.query_rows("SHOW BINARY LOG STATUS")
+    except MySqlServerError:
+        # pre-8.4 spelling; after an ERR reply the connection is back
+        # at command-ready
+        names, rows = session.query_rows("SHOW MASTER STATUS")
     row = next(iter(rows), None)
     if row is None:
         raise ValueError(

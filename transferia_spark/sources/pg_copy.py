@@ -34,6 +34,7 @@ keeps NULL distinct from the empty string (CSV's classic ambiguity).
 from __future__ import annotations
 
 import io
+import re
 from typing import Callable, Iterable, Iterator
 
 import numpy as np
@@ -111,14 +112,19 @@ def cast_text_frame(pdf, schema):
         elif t in ("double", "float"):
             # str astype, not to_numeric: PG legitimately emits 'NaN'
             # and '±Infinity', which to_numeric rejects. The NULLABLE
-            # extension dtype keeps NULL a null on BOTH DataFrame
+            # masked array keeps NULL a null on BOTH DataFrame
             # construction paths (plain numpy float64 turns None into
             # NaN, which driver-side createDataFrame keeps as NaN
-            # while the Arrow path nulls it — divergent results).
-            # Caveat: a literal NaN VALUE also maps to null here —
-            # pandas' masked floats cannot hold NaN distinct from NA.
-            pdf[f.name] = s.astype("float64").astype(
-                "Float64" if t == "double" else "Float32"
+            # while the Arrow path nulls it — divergent results). The
+            # mask is built from the PRE-cast series so a literal NaN
+            # VALUE stays NaN and only genuine NULLs mask (an
+            # astype("Float64") would conflate them and silently
+            # rewrite source NaNs to target NULLs).
+            vals = s.astype("float64").to_numpy(
+                dtype="float64" if t == "double" else "float32"
+            )
+            pdf[f.name] = pd.arrays.FloatingArray(
+                vals, s.isna().to_numpy()
             )
         elif t == "boolean":
             pdf[f.name] = s.map(
@@ -233,19 +239,56 @@ def export_snapshot(session) -> str:
 
 
 def snapshot_position(session) -> str:
-    """The WAL position to hand the increment phase after a wire
-    snapshot (``PositionalStorage.Position`` parity,
-    ``pkg/abstract/storage.go:300-309``). Taken on the COORDINATOR
-    connection right after :func:`export_snapshot`, the LSN trails the
-    exported MVCC view by at most the gap between the two statements —
-    replaying from it over the seeded snapshot only re-delivers that
-    overlap, which the handoff dedup (``snapshot_plus_changelog``)
-    absorbs; starting LATER would lose changes, starting here never
-    does."""
+    """The WAL position to hand the increment phase
+    (``PositionalStorage.Position`` parity,
+    ``pkg/abstract/storage.go:300-309``). ORDERING IS THE CONTRACT:
+    capture the position BEFORE :func:`export_snapshot` opens the MVCC
+    view — anything committed between the two is then visible in the
+    snapshot AND replayed from the position, a duplicate the handoff
+    dedup (``snapshot_plus_changelog``) absorbs. The reverse order
+    LOSES every commit landing in between: invisible to the view,
+    skipped by replication (the reference's slot creation returns
+    consistent_point + snapshot atomically for the same reason). Use
+    :func:`export_snapshot_with_position` to get the order right."""
     rows = session.simple_query("SELECT pg_current_wal_lsn() AS lsn")
     return rows[0]["lsn"]
 
 
+def export_snapshot_with_position(session) -> tuple[str, str]:
+    """Position FIRST, then the view: ``(snapshot_id, start_lsn)``
+    with the safe ordering (see :func:`snapshot_position`)."""
+    lsn = snapshot_position(session)
+    return export_snapshot(session), lsn
+
+
+def _coordinator_session(live: dict):
+    from transferia_spark.streaming.pg_replication import (
+        PgWireSession,
+        dial,
+    )
+
+    read, write, close, _poll = dial(
+        live["host"], int(live.get("port", 5432)),
+        timeout=float(live.get("timeout", 30.0)),
+        sslmode=live.get("sslmode", "disable"),
+        sslrootcert=live.get("sslrootcert"),
+    )
+    try:
+        sess = PgWireSession(read, write)
+        sess.connect(
+            user=live["user"], database=live["database"],
+            password=live.get("password", ""),
+        )
+    except BaseException:
+        close()
+        raise
+    return sess, close
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
 def exported_snapshot(live: dict):
     """Context manager: dial a coordinator connection, export a
     snapshot id for :func:`pg_copy_snapshot`'s tasks to import, hold
@@ -256,32 +299,11 @@ def exported_snapshot(live: dict):
                                   snapshot_id=snap_id)
             df.write.parquet(out)   # materialize INSIDE the block
     """
-    import contextlib
-
-    @contextlib.contextmanager
-    def cm():
-        from transferia_spark.streaming.pg_replication import (
-            PgWireSession,
-            dial,
-        )
-
-        read, write, close, _poll = dial(
-            live["host"], int(live.get("port", 5432)),
-            timeout=float(live.get("timeout", 30.0)),
-            sslmode=live.get("sslmode", "disable"),
-            sslrootcert=live.get("sslrootcert"),
-        )
-        try:
-            sess = PgWireSession(read, write)
-            sess.connect(
-                user=live["user"], database=live["database"],
-                password=live.get("password", ""),
-            )
-            yield export_snapshot(sess)
-        finally:
-            close()
-
-    return cm()
+    sess, close = _coordinator_session(live)
+    try:
+        yield export_snapshot(sess)
+    finally:
+        close()
 
 
 def pg_copy_snapshot(
@@ -305,6 +327,13 @@ def pg_copy_snapshot(
     picklable to reach executors); the default is the module dial, and
     the loopback e2e test exercises exactly that path against a
     scripted server."""
+    if snapshot_id is not None and not re.fullmatch(
+        r"[0-9A-Fa-f-]+", snapshot_id
+    ):
+        # interpolated into SET TRANSACTION SNAPSHOT on N connections:
+        # only the server's own id alphabet passes (a quote in an
+        # attacker-supplied value would otherwise inject SQL)
+        raise ValueError(f"malformed snapshot id {snapshot_id!r}")
     stmts = snapshot_statements(table, schema, predicates, columns)
     live_conf = dict(live)
     schema_json = schema.json()
@@ -382,6 +411,15 @@ class PgCopySource(Source):
                 schema: "c_custkey long, c_name string"
                 pk: [c_custkey]
                 n_shards: 8
+
+    ``live.consistent: true`` makes the source dial ONE coordinator
+    connection on first use, capture the replication start position
+    and export a snapshot id every shard task imports — all tables and
+    all shards then read one MVCC instant, and ``start_lsn`` is the
+    safe (position-before-view) handoff point. The coordinator
+    connection is held for the SOURCE's lifetime (the exported id dies
+    with its transaction); call :meth:`close` when the seed is
+    materialized.
     """
 
     TYPE = "pgcopy"
@@ -389,6 +427,28 @@ class PgCopySource(Source):
     def __init__(self, live: dict, tables: dict[str, dict]):
         self.live = dict(live)
         self.tables = {k: dict(v) for k, v in tables.items()}
+        self._coord_close = None
+        self._snapshot_id: str | None = None
+        self.start_lsn: str | None = None
+
+    def _ensure_snapshot(self) -> str | None:
+        if not self.live.get("consistent"):
+            return None
+        if self._snapshot_id is None:
+            sess, close = _coordinator_session(self.live)
+            self._coord_close = close
+            self._snapshot_id, self.start_lsn = (
+                export_snapshot_with_position(sess)
+            )
+        return self._snapshot_id
+
+    def close(self) -> None:
+        """Release the coordinator connection (ends the exporting
+        transaction — the snapshot id is invalid afterwards)."""
+        if self._coord_close is not None:
+            self._coord_close()
+            self._coord_close = None
+            self._snapshot_id = None
 
     def table_list(self, spark) -> list:
         from transferia_spark.schema.colschema import TableID
@@ -411,5 +471,6 @@ class PgCopySource(Source):
         else:
             preds = [where] if where else None
         return pg_copy_snapshot(
-            spark, self.live, table.fqtn(), schema, predicates=preds
+            spark, self.live, table.fqtn(), schema, predicates=preds,
+            snapshot_id=self._ensure_snapshot(),
         )
