@@ -651,3 +651,83 @@ def test_decode_preserves_literal_nan_distinct_from_null():
     assert math.isnan(pdf.loc[0, "x"]) and not pdf["x"].isna()[0]
     assert pdf["x"].isna()[1]
     assert pdf.loc[2, "x"] == float("-inf")
+
+
+def test_replicate_releases_consistent_coordinator(
+    spark, tmp_path, monkeypatch
+):
+    """The verb path with live.consistent: the seed reads one exported
+    MVCC instant across shards and the activation RELEASES the
+    coordinator connection once the seed is materialized (holding the
+    exporting transaction open for the stream's lifetime would pin
+    vacuum horizons on the server)."""
+    from test_pg_session import _live_script
+
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.streaming import pg_replication as pgr
+    from transferia_spark.streaming.pg_replication import encode_keepalive
+    from transferia_spark.tasks.replicate import run_replication
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    log: list = []
+    threading.Thread(
+        target=_serve_copy_shards, args=(srv, 3, log), daemon=True
+    ).start()
+
+    real_dial = pgr.dial
+
+    def route_dial(host, p, timeout=30.0, **kw):
+        if host == "127.0.0.1":
+            return real_dial(host, p, timeout=timeout, **kw)
+        fd = FakeDuplex(
+            _live_script(b"0/2", [encode_keepalive(0x20)]),
+            when_empty="block",
+        )
+        return fd.read, fd.write, fd.close, fd.poll
+
+    monkeypatch.setattr(pgr, "dial", route_dial)
+    wal = str(tmp_path / "wal")
+    target = str(tmp_path / "target")
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src:
+  type: pgcopy
+  params:
+    live: {{host: 127.0.0.1, port: {port}, user: u, database: db,
+           timeout: 10.0, consistent: true}}
+    tables:
+      public.items:
+        schema: "id long, name string, bal double"
+        pk: [id]
+        n_shards: 2
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: pgwire
+    live: {{host: pg.example, user: repl, database: db, password: pw,
+           slot: s1, idle_timeout: 0.01}}
+    path: {wal}
+    schema: "id long, name string, bal double"
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 4}}
+""")
+    run_replication(
+        spark, spec, state_dir=str(tmp_path / "state"), once=True,
+        retry_interval=0.0,
+    )
+    srv.close()
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedParquetTable,
+    )
+
+    t = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    assert t.read().count() == 4
+    # coordinator released after the seed; position captured FIRST
+    assert spec.src._snapshot_id is None
+    assert spec.src.start_lsn == "0/AAA0"
+    coord = [s for c, s in log if c == 0]
+    assert coord[0].startswith("SELECT pg_current_wal_lsn")
+    shard_sqls = [s for c, s in log if c in (1, 2)]
+    assert any(s.startswith("SET TRANSACTION SNAPSHOT") for s in shard_sqls)

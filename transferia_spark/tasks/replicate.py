@@ -713,6 +713,13 @@ def run_replication(
                 )
             if table_obj is not None:
                 report.snapshot_rows = _seed_snapshot(spark, spec, table_obj)
+                # a consistent wire source (pgcopy) holds a coordinator
+                # connection whose transaction exports the snapshot id;
+                # the seed is materialized now, so release it (the id
+                # is invalid afterwards by design)
+                src_close = getattr(spec.src, "close", None)
+                if callable(src_close):
+                    src_close()
             report.activated = True
         store.set(transfer_id, status="activated", source_position=position)
         state = store.get(transfer_id)
