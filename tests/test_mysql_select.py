@@ -152,6 +152,14 @@ def _serve_select_shards(srv: socket.socket, n_conns: int,
             sql = q[1:].decode()
             if log is not None:
                 log.append((conn_no, sql))
+            if sql.startswith(("SHOW BINARY LOG STATUS",
+                               "SHOW MASTER STATUS")):
+                conn.sendall(result_set(
+                    [b"File", b"Position", b"Binlog_Do_DB",
+                     b"Binlog_Ignore_DB", b"Executed_Gtid_Set"],
+                    [[b"binlog.000042", b"4242", b"", b"", b""]],
+                ))
+                continue
             if not sql.startswith("SELECT"):
                 conn.sendall(encode_packet(ok_packet(), 1))
                 continue
@@ -355,3 +363,49 @@ def test_snapshot_position_falls_back_to_pre_84_spelling():
     sent = bytes(fd.sent)
     assert b"SHOW BINARY LOG STATUS" in sent
     assert b"SHOW MASTER STATUS" in sent
+
+
+def test_mysqlselect_source_consistent_captures_position_first(spark):
+    """live.consistent on the registry source: the binlog position is
+    captured on a coordinator connection BEFORE any shard opens its
+    read view (position-first ordering — transactions in between
+    replay as duplicates the handoff dedup absorbs; the reverse order
+    loses them)."""
+    from transferia_spark.sources import build_source
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    log: list = []
+    threading.Thread(
+        target=_serve_select_shards, args=(srv, 3, log), daemon=True
+    ).start()
+
+    src = build_source(
+        "mysqlselect",
+        live={"host": "127.0.0.1", "port": port, "user": "repl",
+              "database": "shop", "timeout": 10.0, "consistent": True},
+        tables={
+            "shop.items": {
+                "schema": "id long, name string, bal double",
+                "pk": ["id"],
+                "n_shards": 2,
+            }
+        },
+    )
+    [tid] = src.table_list(spark)
+    df = src.load_table(spark, tid)
+    assert df.count() == 4
+    srv.close()
+    assert src.start_position == {
+        "file": "binlog.000042", "position": 4242, "gtid_set": "",
+    }
+    # coordinator (conn 0) asked for the position; every shard opened
+    # its read view before selecting
+    coord = [s for c, s in log if c == 0]
+    assert coord[0].startswith("SHOW BINARY LOG STATUS")
+    for conn_no in (1, 2):
+        sqls = [s for c, s in log if c == conn_no]
+        assert sqls[1] == "START TRANSACTION WITH CONSISTENT SNAPSHOT"
+        assert sqls[2].startswith("SELECT ")

@@ -213,13 +213,48 @@ class MySqlSelectSource(Source):
     """Registry face (``type: mysqlselect``) — the snapshot sibling of
     the ``mysqlwire`` live replication format, sharing its connection
     dict. Per-table config mirrors ``pgcopy``: Spark DDL schema +
-    pk/n_shards."""
+    pk/n_shards.
+
+    ``live.consistent: true`` additionally captures the binlog
+    position (``start_position``: file/pos + executed GTID set) on a
+    short-lived coordinator connection BEFORE any shard opens its read
+    view — safe ordering (see :func:`snapshot_position`); unlike the
+    PG exported snapshot no connection needs holding, since MySQL's
+    views are per-connection instants anyway.
+    """
 
     TYPE = "mysqlselect"
 
     def __init__(self, live: dict, tables: dict[str, dict]):
         self.live = dict(live)
         self.tables = {k: dict(v) for k, v in tables.items()}
+        self.start_position: dict | None = None
+
+    def _ensure_position(self) -> None:
+        if not self.live.get("consistent") or self.start_position is not None:
+            return
+        from transferia_spark.streaming.mysql_binlog import (
+            MySqlWireSession,
+            mysql_dial,
+        )
+
+        read, write, close, _poll, starttls = mysql_dial(
+            self.live["host"], int(self.live.get("port", 3306)),
+            timeout=float(self.live.get("timeout", 30.0)),
+        )
+        try:
+            sess = MySqlWireSession(read, write, starttls=starttls)
+            sess.connect(
+                user=self.live["user"],
+                password=self.live.get("password", ""),
+                database=self.live.get("database"),
+                ssl_mode=self.live.get("ssl_mode", "disable"),
+                sslrootcert=self.live.get("sslrootcert"),
+                server_hostname=self.live["host"],
+            )
+            self.start_position = snapshot_position(sess)
+        finally:
+            close()
 
     def table_list(self, spark) -> list:
         from transferia_spark.schema.colschema import TableID
@@ -241,6 +276,8 @@ class MySqlSelectSource(Source):
                 preds = [f"({where}) AND ({p})" for p in preds]
         else:
             preds = [where] if where else None
+        # position BEFORE the shard views open (ordering contract)
+        self._ensure_position()
         return mysql_select_snapshot(
             spark, self.live, table.fqtn(), schema, predicates=preds
         )
