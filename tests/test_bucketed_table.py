@@ -1351,3 +1351,42 @@ def test_bucket_files_are_key_sorted(spark, tmp_path):
                 assert vals == sorted(vals)
                 checked += 1
     assert checked >= 2
+
+
+def test_rebucket_races_streaming_sink(spark, tmp_path):
+    """A rebucket issued while the apply sink is mid-stream: appends
+    that measured their batch against the old layout discard and
+    retry under the new one (in-process the parquet write happens
+    OUTSIDE the commit mutex, so the interleaving is real), background
+    folds survive, and the final state is exactly the last-writer-wins
+    outcome with the new bucket count."""
+    import threading
+
+    root = str(tmp_path / "bt")
+    t = BucketedParquetTable(spark, root, keys=["id"], n_buckets=4,
+                             merge_mode="delta", max_deltas=2)
+    t.overwrite(spark.createDataFrame(
+        [(i, "seed") for i in range(40)], "id long, v string"
+    ))
+    sink = BucketedCdcApplySink(t)
+    errs = []
+
+    def stream():
+        try:
+            for i in range(6):
+                sink(_batch(
+                    spark, [(k, f"up{i}_{k}", "u", 10 + i, k)
+                            for k in range(40)]
+                ), i)
+        except Exception as e:  # pragma: no cover — must not happen
+            errs.append(e)
+
+    th = threading.Thread(target=stream)
+    th.start()
+    t.rebucket(16)
+    th.join(300)
+    assert not th.is_alive() and not errs
+    sink.wait_for_compaction(60)
+    assert t.n_buckets == 16
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {k: f"up5_{k}" for k in range(40)}
