@@ -4078,14 +4078,14 @@ FROM customer
         "pg_copy_plan": """
 WITH idx AS (SELECT unnest(range(4)) AS i)
 SELECT 'pk_hash' AS kind, CAST(i AS INTEGER) AS shard,
-       'COPY (SELECT * FROM public.customer WHERE '
-       || 'abs(hashtext(row(c_custkey)::text)) % 4 = '
+       'COPY (SELECT * FROM "public"."customer" WHERE '
+       || 'abs(hashtext(row("c_custkey")::text)) % 4 = '
        || CAST(i AS VARCHAR)
        || ') TO STDOUT (FORMAT csv, NULL ''\\N'')' AS copy_sql
 FROM idx
 UNION ALL
 SELECT 'range', r.i,
-       'COPY (SELECT c_custkey, c_name FROM public.customer WHERE '
+       'COPY (SELECT "c_custkey", "c_name" FROM "public"."customer" WHERE '
        || 'c_custkey >= ' || CAST(r.lo AS VARCHAR)
        || ' AND c_custkey <= ' || CAST(r.hi AS VARCHAR)
        || ') TO STDOUT (FORMAT csv, NULL ''\\N'')'
@@ -4104,8 +4104,8 @@ FROM (VALUES
         "mysql_select_plan": """
 WITH idx AS (SELECT unnest(range(4)) AS i)
 SELECT CAST(i AS INTEGER) AS shard,
-       'SELECT o_orderkey, o_totalprice FROM shop.orders WHERE '
-       || 'crc32(concat_ws('','', o_orderkey)) % 4 = '
+       'SELECT `o_orderkey`, `o_totalprice` FROM `shop`.`orders` WHERE '
+       || 'crc32(concat_ws('','', `o_orderkey`)) % 4 = '
        || CAST(i AS VARCHAR) AS select_sql
 FROM idx
 """,

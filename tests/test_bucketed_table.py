@@ -1390,3 +1390,47 @@ def test_rebucket_races_streaming_sink(spark, tmp_path):
     assert t.n_buckets == 16
     got = {r.id: r.v for r in t.read().collect()}
     assert got == {k: f"up5_{k}" for k in range(40)}
+
+
+def test_fold_vs_fold_overlap_detected_and_refolded(spark, tmp_path):
+    """ADVICE r8 (medium): a maintenance fold that read its base before
+    a concurrent fold committed the same buckets must NOT roll the base
+    back (losing the other fold's rows after its deltas were pruned).
+    The commit detects the stale base (StaleBaseFold) and refolds from
+    the fresh manifest — deterministic interleave via a read-time hook
+    on the maintenance instance."""
+    root = str(tmp_path / "ff")
+    dt1 = BucketedParquetTable(
+        spark, root, keys=["id"], n_buckets=4,
+        merge_mode="delta", compact_policy="off", retention=4,
+    )
+    dt2 = BucketedParquetTable(
+        spark, root, keys=["id"], n_buckets=4,
+        merge_mode="delta", compact_policy="off", retention=4,
+    )
+    dt1.overwrite(
+        spark.createDataFrame([(i, "s") for i in range(40)], "id long, v string")
+    )
+    dt1.merge(_batch(spark, [(i, f"u1_{i}", "u", 2, i) for i in range(40)]))
+
+    orig = dt1._read_deltas
+    fired = []
+
+    def hook(pairs, sigs=None):
+        if not fired:
+            fired.append(True)
+            # the "streaming" instance appends AND folds while the
+            # maintenance fold holds its stale base read
+            dt2.merge(
+                _batch(spark, [(i, f"u2_{i}", "u", 3, i) for i in range(40)])
+            )
+            dt2.compact()
+        return orig(pairs, sigs)
+
+    dt1._read_deltas = hook
+    dt1.compact()  # pre-fix: silently rolled back to u1_*
+    got = {r.id: r.v for r in dt1.read().collect()}
+    assert got == {i: f"u2_{i}" for i in range(40)}
+    # and the refold converged the bookkeeping: nothing left pending
+    doc = dt1._manifest_doc()
+    assert doc["deltas"] == []

@@ -116,12 +116,17 @@ def test_probe_scan_is_incremental(spark, tmp_path):
     _write(path, "000.jsonl", [_w2j(id=1, v="a", w_new=7)])
     st = probe_wal_schema(path, DDL)
     assert st.fields[-1].name == "w_new"
-    # same-size replacement introducing another column: skipped
-    original = open(os.path.join(path, "000.jsonl")).read()
+    # same-identity (name, size, mtime) replacement introducing another
+    # column: skipped — mtime restored because identity now includes it
+    # (a fresh mtime means a RECREATED file, a new capture epoch)
+    fpath = os.path.join(path, "000.jsonl")
+    st0 = os.stat(fpath)
+    original = open(fpath).read()
     doctored = original.replace("w_new", "q_new")
     assert len(doctored) == len(original)
-    with open(os.path.join(path, "000.jsonl"), "w") as f:
+    with open(fpath, "w") as f:
         f.write(doctored)
+    os.utime(fpath, ns=(st0.st_atime_ns, st0.st_mtime_ns))
     st = probe_wal_schema(path, DDL)
     names = [f.name for f in st.fields]
     assert "w_new" in names and "q_new" not in names
@@ -143,3 +148,39 @@ def test_grown_file_is_rescanned(spark, tmp_path):
         f.write(json.dumps(_w2j(id=2, grown=1.5)) + "\n")
     st = probe_wal_schema(path, DDL)
     assert st.fields[-1].name == "grown"
+
+
+def test_string_encoded_numerics_are_not_retypes():
+    """ADVICE r8: wal2json emits NaN/±Infinity (and numerics under
+    common options) as JSON strings — a healthy double column carrying
+    'NaN' must not stop the transfer as a retyping DDL."""
+    ok = json_kind_compatible
+    assert ok(T.DoubleType(), "NaN")
+    assert ok(T.DoubleType(), "Infinity") and ok(T.DoubleType(), "-Infinity")
+    assert ok(T.DoubleType(), "1.5") and ok(T.FloatType(), "2.25e-3")
+    assert ok(T.LongType(), "42")  # numeric-as-string option
+    assert not ok(T.DoubleType(), "abc")   # a genuine retype stays loud
+    assert not ok(T.LongType(), "not-a-number")
+
+
+def test_recreated_capture_file_starts_fresh_epoch(tmp_path):
+    """ADVICE r8: deactivate + re-activate in the same supervisor
+    process with a wiped capture dir — a recreated file of identical
+    name and size must be rescanned, and samples from the previous
+    epoch must not survive into the new one."""
+    path = str(tmp_path / "cap")
+    # epoch 1: q_new arrives as a NUMBER (4 serialized chars: 1234)
+    _write(path, "000.jsonl", [_w2j(id=1, v="a", q_new=1234)])
+    st = probe_wal_schema(path, DDL)
+    assert isinstance(st.fields[-1].dataType, T.LongType)
+    # wipe and re-seed: same name, same size, q_new now a STRING
+    # ("ab" quoted is also 4 chars)
+    size1 = os.path.getsize(os.path.join(path, "000.jsonl"))
+    os.remove(os.path.join(path, "000.jsonl"))
+    _write(path, "000.jsonl", [_w2j(id=1, v="a", q_new="ab")])
+    assert os.path.getsize(os.path.join(path, "000.jsonl")) == size1
+    st = probe_wal_schema(path, DDL)
+    assert isinstance(st.fields[-1].dataType, T.StringType)
+    # the epoch reset also dropped the stale numeric sample entirely
+    cache = probe_scan_cache("waljson", path)
+    assert cache.samples["q_new"] == "ab"

@@ -76,15 +76,19 @@ def result_set(names: list[bytes], rows: list[list[bytes | None]],
 
 
 def test_select_sql_and_shards():
-    assert select_sql("shop.items") == "SELECT * FROM shop.items"
+    assert select_sql("shop.items") == "SELECT * FROM `shop`.`items`"
     assert select_sql("t", ["a", "b"], "a > 1") == (
-        "SELECT a, b FROM t WHERE a > 1"
+        "SELECT `a`, `b` FROM `t` WHERE a > 1"
+    )
+    # reserved words and mixed case survive quoting (r8 verdict item 7)
+    assert select_sql("order", ["Select", "camelCase"]) == (
+        "SELECT `Select`, `camelCase` FROM `order`"
     )
     stmts = select_shard_statements("shop.orders", ["o_orderkey"], 4,
                                     columns=["o_orderkey"])
     assert len(stmts) == 4
     for i, s in enumerate(stmts):
-        assert f"crc32(concat_ws(',', o_orderkey)) % 4 = {i}" in s
+        assert f"crc32(concat_ws(',', `o_orderkey`)) % 4 = {i}" in s
 
 
 # ------------------------------------------------------------- decode

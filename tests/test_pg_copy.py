@@ -41,13 +41,18 @@ def copy_done() -> bytes:
 
 def test_copy_out_sql_strings():
     assert copy_out_sql("public.items") == (
-        "COPY (SELECT * FROM public.items) TO STDOUT "
+        'COPY (SELECT * FROM "public"."items") TO STDOUT '
         "(FORMAT csv, NULL '\\N')"
     )
     assert copy_out_sql(
         "items", columns=["id", "v"], where="id > 5"
     ) == (
-        "COPY (SELECT id, v FROM items WHERE id > 5) TO STDOUT "
+        'COPY (SELECT "id", "v" FROM "items" WHERE id > 5) TO STDOUT '
+        "(FORMAT csv, NULL '\\N')"
+    )
+    # reserved words and mixed case survive quoting (r8 verdict item 7)
+    assert copy_out_sql("user", columns=["Select", "camelCase"]) == (
+        'COPY (SELECT "Select", "camelCase" FROM "user") TO STDOUT '
         "(FORMAT csv, NULL '\\N')"
     )
 
@@ -57,8 +62,10 @@ def test_copy_shard_statements_are_exclusive_exhaustive():
     assert len(stmts) == 4
     for i, s in enumerate(stmts):
         # the reference's server-side PK-hash formula, shard i
-        assert f"abs(hashtext(row(o_orderkey)::text)) % 4 = {i}" in s
-        assert s.startswith("COPY (SELECT * FROM public.orders WHERE ")
+        assert f'abs(hashtext(row("o_orderkey")::text)) % 4 = {i}' in s
+        assert s.startswith(
+            'COPY (SELECT * FROM "public"."orders" WHERE '
+        )
 
 
 # ------------------------------------------------------- session flow
@@ -433,7 +440,7 @@ def test_snapshot_projects_explicit_schema_order_columns():
     )
     stmts = snapshot_statements("t", schema, predicates=["id > 0"])
     assert stmts == [
-        "COPY (SELECT id, v FROM t WHERE id > 0) TO STDOUT "
+        'COPY (SELECT "id", "v" FROM "t" WHERE id > 0) TO STDOUT '
         "(FORMAT csv, NULL '\\N')"
     ]
     assert all("SELECT *" not in s for s in stmts)

@@ -1015,3 +1015,64 @@ def test_wire_formats_without_frames_path_fail_loud(spark, tmp_path):
                  "schema": "id long"},
                 position=None,
             )
+
+
+def test_poisoned_background_fold_surfaces_at_stream_end(
+    spark, tmp_path, monkeypatch
+):
+    """Shutdown contract (r8 verdict item 8): a background fold that
+    fails after the LAST micro-batch must surface through the verb's
+    exit path (wait_for_compaction), not vanish with the stream."""
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedParquetTable,
+    )
+
+    src = str(tmp_path / "items.parquet")
+    binlog = str(tmp_path / "binlog")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    _write_items(spark, src)
+    _emit(binlog, "000.jsonl", [])
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src:
+  type: file
+  params: {{path: {src}, format: parquet}}
+dst:
+  type: file
+  params: {{path: {tmp_path}/unused_dst, format: parquet}}
+replication:
+  source:
+    format: binlogjson
+    path: {binlog}
+    schema: "id long, v string"
+  target:
+    kind: bucketed
+    root: {target}
+    keys: [id]
+    n_buckets: 4
+    merge_mode: delta
+    max_deltas: 1
+""")
+    # activate + seed first: the position handoff would skip events
+    # already on disk at activation
+    run_replication(
+        spark, spec, state_dir=state, once=True, retry_interval=0.0
+    )
+    # post-seed events: every key updated so buckets come due at once
+    _emit(binlog, "001.jsonl", [
+        {"action": "update", "log_file": "binlog.000001", "log_pos": 9,
+         "row_idx": 0, "after": {"id": 1, "v": "u1"}},
+        {"action": "update", "log_file": "binlog.000001", "log_pos": 13,
+         "row_idx": 1, "after": {"id": 2, "v": "u2"}},
+    ])
+
+    def poisoned(self, buckets):
+        raise RuntimeError("poisoned fold")
+
+    monkeypatch.setattr(BucketedParquetTable, "compact_buckets", poisoned)
+    with pytest.raises(RuntimeError, match="poisoned fold"):
+        run_replication(
+            spark, spec, state_dir=state, once=True,
+            retry_interval=0.0, max_attempts=1,
+        )

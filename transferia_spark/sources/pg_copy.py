@@ -44,6 +44,17 @@ import numpy as np
 COPY_NULL = "\\N"
 
 
+def _quote_fqtn(dialect: str, table: str) -> str:
+    """Dialect-quote a dotted ``schema.table`` name — identifiers come
+    from config and must be quoted like the sinks quote theirs: a table
+    named ``user`` or a mixed-case column is legal SQL the reference
+    handles (``abstract/storage.go`` identifier parsing) and a raw
+    interpolation breaks (r8 verdict item 7)."""
+    from transferia_spark.sinks.jdbc import quote_ident
+
+    return ".".join(quote_ident(dialect, p) for p in table.split("."))
+
+
 def copy_out_sql(
     table: str,
     columns: list[str] | None = None,
@@ -51,9 +62,17 @@ def copy_out_sql(
 ) -> str:
     """The exact statement shipped to the server — projection and
     shard predicate are pushed down HERE, in SQL, not in a Spark plan
-    node (same contract as ``jdbc.pushdown_subquery``)."""
-    cols = ", ".join(columns) if columns else "*"
-    inner = f"SELECT {cols} FROM {table}"
+    node (same contract as ``jdbc.pushdown_subquery``). Table and
+    projection identifiers are quoted; ``where`` arrives as SQL built
+    by the shard planners (already-quoted identifiers + literals)."""
+    from transferia_spark.sinks.jdbc import quote_ident
+
+    cols = (
+        ", ".join(quote_ident("postgres", c) for c in columns)
+        if columns
+        else "*"
+    )
+    inner = f"SELECT {cols} FROM {_quote_fqtn('postgres', table)}"
     if where:
         inner += f" WHERE {where}"
     return f"COPY ({inner}) TO STDOUT (FORMAT csv, NULL '{COPY_NULL}')"
@@ -67,12 +86,15 @@ def copy_shard_statements(
 ) -> list[str]:
     """One COPY statement per PK-hash shard (mutually exclusive,
     jointly exhaustive — ``shard_by_pk_hash`` is the reference's
-    server-side formula, so rows shard without reading them first)."""
+    server-side formula, so rows shard without reading them first).
+    PK identifiers are quoted before entering the formula."""
+    from transferia_spark.sinks.jdbc import quote_ident
     from transferia_spark.sources.jdbc import shard_by_pk_hash
 
+    qpk = [quote_ident("postgres", c) for c in pk_cols]
     return [
         copy_out_sql(table, columns, pred)
-        for pred in shard_by_pk_hash(pk_cols, n_shards, dialect="postgres")
+        for pred in shard_by_pk_hash(qpk, n_shards, dialect="postgres")
     ]
 
 
@@ -463,9 +485,11 @@ class PgCopySource(Source):
         n = int(cfg.get("n_shards", 1))
         pk = cfg.get("pk") or []
         if n > 1 and pk:
+            from transferia_spark.sinks.jdbc import quote_ident
             from transferia_spark.sources.jdbc import shard_by_pk_hash
 
-            preds = shard_by_pk_hash(pk, n, dialect="postgres")
+            qpk = [quote_ident("postgres", c) for c in pk]
+            preds = shard_by_pk_hash(qpk, n, dialect="postgres")
             if where:
                 preds = [f"({where}) AND ({p})" for p in preds]
         else:

@@ -82,6 +82,18 @@ class BucketLayoutChanged(RuntimeError):
     batch; a maintenance fold treats it as nothing-left-to-fold."""
 
 
+class StaleBaseFold(RuntimeError):
+    """A concurrent fold committed one of this fold's touched buckets
+    between the base read and the manifest commit — committing would
+    roll that bucket's base back to a state missing the rows the other
+    fold already applied (and then prune the deltas carrying them:
+    silent data loss). The written parquet was discarded;
+    :meth:`BucketedParquetTable.compact_buckets` retries from a fresh
+    manifest read (ADVICE r8: fold-vs-fold overlap between a
+    maintenance ``trcli compact`` and the streaming process's
+    background incremental compactor)."""
+
+
 def _tag_frame_presence(df: DataFrame) -> DataFrame:
     """Rewrite a delta frame's partial-row convention to an explicit
     ``_present`` column-name list scoped to THIS frame's payload
@@ -1004,19 +1016,31 @@ class BucketedParquetTable:
         incremental policy between micro-batches — folds a few buckets
         at a time instead of stalling the apply path on a full-table
         fold (r7 verdict item 4)."""
-        try:
-            return self._compact_buckets_once(buckets)
-        except BucketLayoutChanged:
-            # a cross-process rebucket folded and cleared the tail as
-            # part of its rewrite; anything appended after it uses the
-            # new id space. Retry over EVERY bucket of the new layout:
-            # compact()'s fold-everything guarantee feeds merge()'s
-            # eager path, which commits a delta-resolved base on the
-            # assumption the tail is clear — folding only the staggered
-            # due-set here would let the leftover tail double-apply on
-            # the next read (code-review r8 session-2 finding 3)
-            self._refresh_layout()
-            return self._compact_buckets_once(list(range(self.n_buckets)))
+        attempts = 8
+        for i in range(attempts):
+            try:
+                return self._compact_buckets_once(buckets)
+            except BucketLayoutChanged:
+                # a cross-process rebucket folded and cleared the tail
+                # as part of its rewrite; anything appended after it
+                # uses the new id space. Retry over EVERY bucket of the
+                # new layout: compact()'s fold-everything guarantee
+                # feeds merge()'s eager path, which commits a
+                # delta-resolved base on the assumption the tail is
+                # clear — folding only the staggered due-set here would
+                # let the leftover tail double-apply on the next read
+                # (code-review r8 session-2 finding 3)
+                self._refresh_layout()
+                buckets = list(range(self.n_buckets))
+            except StaleBaseFold:
+                # a concurrent fold committed one of our buckets while
+                # this fold read the (now-stale) base — re-read and
+                # refold. Each retry starts from the other fold's
+                # committed state, so two overlapping folders converge
+                # instead of losing rows; bounded because folds are
+                # maintenance-paced, not a steady stream
+                if i == attempts - 1:
+                    raise
 
     def _compact_buckets_once(self, buckets: list[int]) -> int:
         doc = self._manifest_doc()
@@ -1034,12 +1058,22 @@ class BucketedParquetTable:
         data_schema = self._stored_schema() or T.StructType(
             [f for f in ddf.schema.fields if f.name not in META_COLS]
         )
-        target = self._read_base_or_empty(touched, data_schema)
+        # the base this fold merges onto, by version — _commit verifies
+        # these are STILL the committed versions inside its locked
+        # section (a concurrent fold of the same buckets would
+        # otherwise be silently rolled back, ADVICE r8)
+        expected_base = {b: doc["buckets"].get(b) for b in touched}
+        target = self._read_base_or_empty(
+            touched, data_schema, bucket_map=doc["buckets"]
+        )
         merged = merge_batch(target, ddf, self.keys)
         folded_update = {
             b: max(d for d, bs in pairs if b in bs) for b in touched
         }
-        return self._commit(merged, touched, folded_update=folded_update)
+        return self._commit(
+            merged, touched, folded_update=folded_update,
+            expected_base=expected_base,
+        )
 
     def _buckets_due(self) -> list[int]:
         """Buckets whose pending-delta count reached their threshold.
@@ -1175,10 +1209,15 @@ class BucketedParquetTable:
                 self.n_buckets = old_n
                 raise
 
-    def _read_base_or_empty(self, buckets: list[int], schema) -> DataFrame:
+    def _read_base_or_empty(
+        self, buckets: list[int], schema, bucket_map: dict | None = None
+    ) -> DataFrame:
         """Base buckets only — compaction must NOT read through the
-        delta-resolving ``read()`` (the fold itself applies the tail)."""
-        m = self.manifest()
+        delta-resolving ``read()`` (the fold itself applies the tail).
+        ``bucket_map`` pins the bucket→version map to the manifest the
+        caller already read, so the versions read here are exactly the
+        ones its ``expected_base`` guard re-checks at commit."""
+        m = bucket_map if bucket_map is not None else self.manifest()
         paths = [
             self._bucket_dir(m[b], b)
             for b in buckets
@@ -1198,6 +1237,7 @@ class BucketedParquetTable:
         reset_batch_id: bool = False,
         folded_update: dict[int, int] | None = None,
         replace_buckets: bool = False,
+        expected_base: dict[int, int | None] | None = None,
     ) -> int:
         self._save_meta(df.schema)
         new_v = self._alloc_version()
@@ -1254,6 +1294,24 @@ class BucketedParquetTable:
                 m = {b: new_v for b in touched}
             else:
                 self._check_layout(doc, path, new_v)
+                if expected_base is not None:
+                    stale = [
+                        b
+                        for b in touched
+                        if doc["buckets"].get(b) != expected_base.get(b)
+                    ]
+                    if stale:
+                        # a concurrent fold committed these buckets
+                        # after our base read — committing would roll
+                        # them back past its rows. Discard and let the
+                        # caller refold from the fresh manifest.
+                        shutil.rmtree(path, ignore_errors=True)
+                        self._release_claim(new_v)
+                        raise StaleBaseFold(
+                            f"buckets {stale} of table at {self.root} "
+                            "were folded concurrently; refolding from "
+                            "the current manifest"
+                        )
                 m = doc["buckets"]
                 for b in touched:
                     m[b] = new_v
@@ -1261,7 +1319,12 @@ class BucketedParquetTable:
                 new_deltas: list[int] = []
                 new_folded: dict[int, int] = {}
             elif folded_update:
-                new_folded = {**doc["folded"], **folded_update}
+                # never DOWNGRADE a watermark: with the expected_base
+                # guard a lower update can't reach here from a fold,
+                # but max() keeps the invariant local and unconditional
+                new_folded = dict(doc["folded"])
+                for b, d in folded_update.items():
+                    new_folded[b] = max(d, new_folded.get(b, -1))
                 # a delta stays listed while ANY bucket it touches
                 # still pends it; fully-folded deltas age out (and GC
                 # reclaims their dirs once outside the retention

@@ -99,12 +99,29 @@ def json_kind_compatible(declared: T.DataType, v) -> bool:
             declared, (T.FloatType, T.DoubleType, T.DecimalType)
         )
     if isinstance(v, str):
-        return isinstance(
+        if isinstance(
             declared,
             (T.StringType, T.CharType, T.VarcharType, T.DateType,
              T.TimestampType, T.TimestampNTZType, T.BinaryType,
              T.DecimalType),
-        )
+        ):
+            return True
+        if isinstance(
+            declared,
+            (T.FloatType, T.DoubleType, T.ByteType, T.ShortType,
+             T.IntegerType, T.LongType),
+        ):
+            # real producers string-encode numerics: wal2json emits
+            # NaN/±Infinity as JSON strings (JSON has no spelling for
+            # them) and numeric values as strings under common options
+            # — a healthy double column carrying 'NaN' must not be
+            # flagged as a retyping DDL (ADVICE r8)
+            try:
+                float(v)
+                return True
+            except ValueError:
+                return False
+        return False
     return True  # nested/unknown kinds: out of the check's scope
 
 
@@ -118,7 +135,11 @@ class ProbeScanCache:
     """
 
     def __init__(self):
-        self.scanned: dict[str, int] = {}  # basename -> size
+        # basename -> (size, mtime_ns): size alone would let a transfer
+        # deactivated and re-activated in the same supervisor process
+        # (capture dir wiped, files recreated with identical names and
+        # sizes) silently skip the recreated files (ADVICE r8)
+        self.scanned: dict[str, tuple[int, int]] = {}
         self.samples: dict[str, object] = {}  # column -> latest sample
 
 
@@ -157,13 +178,34 @@ def incremental_probe(
     import json as _json
 
     cache = probe_scan_cache(kind, path)
+    # identify files by (size, mtime_ns), not size alone, and treat a
+    # RECREATED file (same name, different identity) as a fresh capture
+    # epoch: capture files are immutable once visible, so an identity
+    # change means the directory was wiped and re-seeded (transfer
+    # re-activated in the same supervisor process) — stale samples and
+    # scan marks from the previous epoch must not trigger or mask the
+    # retype check against the new schema (ADVICE r8). Plain deletions
+    # (prune_committed) keep the cache: samples legitimately outlive
+    # pruned files.
+    idents: dict[str, tuple[int, int]] = {}
     for f in files:
         name = os.path.basename(f)
         try:
-            size = os.path.getsize(f)
+            st_f = os.stat(f)
         except OSError:
             continue
-        if cache.scanned.get(name) == size:
+        idents[name] = (st_f.st_size, st_f.st_mtime_ns)
+        prev = cache.scanned.get(name)
+        if prev is not None and prev != idents[name]:
+            cache.scanned.clear()
+            cache.samples.clear()
+            break
+    for f in files:
+        name = os.path.basename(f)
+        ident = idents.get(name)
+        if ident is None:
+            continue
+        if cache.scanned.get(name) == ident:
             continue
         with open(f) as fh:
             for line in fh:
@@ -178,7 +220,7 @@ def incremental_probe(
                 for col, val in extract(ev):
                     if col and val is not None:
                         cache.samples[col] = val
-        cache.scanned[name] = size
+        cache.scanned[name] = ident  # (size, mtime_ns) identity
     st = T._parse_datatype_string(base_ddl)
     declared = {f.name: f.dataType for f in st.fields}
     inferred: dict[str, T.DataType] = {}

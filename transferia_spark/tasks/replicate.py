@@ -452,6 +452,21 @@ class MultiTableCdcSink:
         finally:
             batch_df.unpersist()
 
+    def wait_for_compaction(self, timeout: float | None = None) -> None:
+        """Join every routed table's in-flight background fold and
+        surface the first failure — the multi-table face of
+        ``BucketedCdcApplySink.wait_for_compaction`` so the replicate
+        verb's shutdown contract covers both shapes."""
+        first: Exception | None = None
+        for s in self.sinks.values():
+            try:
+                s.wait_for_compaction(timeout)
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                if first is None:
+                    first = e
+        if first is not None:
+            raise first
+
 
 def _n_buckets_cfg(cfg: dict) -> int | None:
     """``n_buckets: auto`` → None (derive from the snapshot seed's
@@ -875,6 +890,13 @@ def run_replication(
             )
             if once or (pipe.trigger or {}).get("availableNow"):
                 pipe.run_available(query_name=f"replicate_{transfer_id}")
+                # shutdown contract: a background fold that failed
+                # after the LAST batch would otherwise vanish with the
+                # stream (its error only surfaces on the next batch) —
+                # join it before reporting healthy; a poisoned fold
+                # raises into the supervisor like any apply error
+                if hasattr(sink, "wait_for_compaction"):
+                    sink.wait_for_compaction()
                 store.report_health(transfer_id, retry_count, None)
                 if dl_dir:
                     report.unparsed_rows = dead_letter_count(dl_dir)
@@ -922,6 +944,9 @@ def run_replication(
                     stopped = True
                     break
             if stopped:
+                # same shutdown contract as the once-mode exit above
+                if hasattr(sink, "wait_for_compaction"):
+                    sink.wait_for_compaction()
                 store.report_health(transfer_id, retry_count, None)
                 if dl_dir:
                     report.unparsed_rows = dead_letter_count(dl_dir)
