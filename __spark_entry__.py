@@ -1336,6 +1336,97 @@ def q_mysql_select_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "shard int, select_sql string")
 
 
+def q_pg_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-source schema discovery, PG side (sources/
+    schema_discovery.py ≈ postgres/schema.go + typesystem.md): the
+    native→Spark type matrix (oracle re-derives it as a DuckDB CASE —
+    an independent second implementation), the exact catalog
+    statements shipped over the wire session, and the PK fold
+    (first-constraint-wins, oracle re-derives it with window
+    functions). The live transport is pinned by the loopback e2e in
+    tests/test_schema_discovery.py where transfer.yaml omits schema:
+    entirely."""
+    from transferia_spark.sources.schema_discovery import (
+        fold_constraints,
+        pg_columns_sql,
+        pg_pkeys_sql,
+        pg_type_to_spark,
+    )
+
+    types = [
+        "bigint", "integer", "smallint", "numeric", "real",
+        "double precision", "bytea", "bit varying", "text",
+        "character varying", "uuid", "money", "interval", "boolean",
+        "date", "timestamp without time zone",
+        "timestamp with time zone", "character", "ARRAY", "json",
+        "jsonb", "inet", "USER-DEFINED",
+    ]
+    rows = [("type", t, pg_type_to_spark(t).simpleString()) for t in types]
+    rows += [
+        ("sql", "columns", pg_columns_sql("shop")),
+        ("sql", "pkeys", pg_pkeys_sql("shop")),
+    ]
+    cons = [
+        {"table_schema": "s", "table_name": "t1", "column_name": "id",
+         "ordinal_position": "1", "constraint_name": "PRIMARY KEY"},
+        {"table_schema": "s", "table_name": "t1",
+         "column_name": "region", "ordinal_position": "2",
+         "constraint_name": "PRIMARY KEY"},
+        {"table_schema": "s", "table_name": "t2", "column_name": "k",
+         "ordinal_position": "1", "constraint_name": "uniq_k"},
+    ]
+    rows += [
+        ("pk", tbl, ",".join(cols))
+        for tbl, cols in sorted(fold_constraints(cons).items())
+    ]
+    return spark.createDataFrame(rows, "kind string, name string, out string")
+
+
+def q_mysql_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL side of the discovery (≈ mysql/schema.go:16-101 +
+    cast.go:146-194 TypeToYt): the column_type→Spark matrix including
+    the unsigned bumps — the oracle re-PARSES the raw column_type
+    spellings (split off the width and the unsigned attribute) and
+    re-derives the mapping in SQL — plus the shipped catalog
+    statements and the PRIMARY-first constraint fold."""
+    from transferia_spark.sources.schema_discovery import (
+        fold_constraints,
+        mysql_columns_sql,
+        mysql_constraints_sql,
+        mysql_type_to_spark,
+    )
+
+    types = [
+        "tinyint(1)", "tinyint(3) unsigned", "smallint(5)",
+        "smallint(5) unsigned", "int(11)", "int(10) unsigned",
+        "mediumint(9)", "bigint(20)", "bigint(20) unsigned",
+        "decimal(10,2)", "double", "float", "date", "datetime(6)",
+        "timestamp", "varchar(255)", "char(4)", "text", "longtext",
+        "enum('a','b')", "set('x','y')", "time", "year(4)",
+        "varbinary(16)", "blob", "longblob", "binary(8)", "bit(1)",
+        "geometry", "json",
+    ]
+    rows = [
+        ("type", t, mysql_type_to_spark(t).simpleString()) for t in types
+    ]
+    rows += [
+        ("sql", "columns", mysql_columns_sql("shop")),
+        ("sql", "constraints", mysql_constraints_sql("shop")),
+    ]
+    cons = [
+        {"table_schema": "shop", "table_name": "o", "column_name": "id",
+         "ordinal_position": "1", "constraint_name": "PRIMARY"},
+        {"table_schema": "shop", "table_name": "o",
+         "column_name": "uniq_col", "ordinal_position": "1",
+         "constraint_name": "by_uniq"},
+    ]
+    rows += [
+        ("pk", tbl, ",".join(cols))
+        for tbl, cols in sorted(fold_constraints(cons).items())
+    ]
+    return spark.createDataFrame(rows, "kind string, name string, out string")
+
+
 def q_elastic_scroll_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elastic/OpenSearch sliced-scroll read planning
     (sources/elastic.py ≈ elastic/storage.go LoadTable:98-110 +
@@ -3781,8 +3872,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     over ALL entries.
     """
     return {
-        # -- (a) NEW this round: the two plan-only storages
-        # upgraded to driver rows (r6 item 7 / r7 item 9) ------
+        # -- (a) NEW in round 9: wire-source schema discovery ---
+        "pg_schema_discovery": q_pg_schema_discovery,
+        "mysql_schema_discovery": q_mysql_schema_discovery,
+        # -- r8-new rows -----------------------------------------
         "elastic_scroll_plan": q_elastic_scroll_plan,
         "gpfdist_plan": q_gpfdist_plan,
         "cdc_rebucket": q_cdc_rebucket,
@@ -4074,6 +4167,98 @@ SELECT 'line', CAST(c_custkey AS INTEGER),
   COALESCE(CAST(CASE WHEN c_acctbal < 0 THEN NULL
                      ELSE c_acctbal END AS VARCHAR), '\\N')
 FROM customer
+""",
+        "pg_schema_discovery": """
+WITH m(name, out) AS (
+  SELECT name, CASE
+    WHEN name = 'bigint' THEN 'bigint'
+    WHEN name = 'integer' THEN 'int'
+    WHEN name = 'smallint' THEN 'smallint'
+    WHEN name IN ('numeric', 'real', 'double precision') THEN 'double'
+    WHEN name IN ('bytea', 'bit varying') THEN 'binary'
+    WHEN name IN ('text', 'character varying', 'uuid', 'money',
+                  'interval') THEN 'string'
+    WHEN name = 'boolean' THEN 'boolean'
+    WHEN name = 'date' THEN 'date'
+    WHEN name LIKE 'timestamp%' THEN 'timestamp'
+    ELSE 'string'
+  END
+  FROM (VALUES ('bigint'), ('integer'), ('smallint'), ('numeric'),
+    ('real'), ('double precision'), ('bytea'), ('bit varying'),
+    ('text'), ('character varying'), ('uuid'), ('money'),
+    ('interval'), ('boolean'), ('date'),
+    ('timestamp without time zone'), ('timestamp with time zone'),
+    ('character'), ('ARRAY'), ('json'), ('jsonb'), ('inet'),
+    ('USER-DEFINED')) t(name)
+)
+SELECT 'type' AS kind, name, out FROM m
+UNION ALL
+SELECT 'sql', 'columns', $q$SELECT c.table_schema, c.table_name, c.column_name, c.ordinal_position, c.data_type, c.udt_name FROM information_schema.columns c JOIN information_schema.tables t ON t.table_schema = c.table_schema AND t.table_name = c.table_name WHERE t.table_type = 'BASE TABLE' AND c.table_schema = 'shop' ORDER BY c.table_schema, c.table_name, c.ordinal_position$q$
+UNION ALL
+SELECT 'sql', 'pkeys', $q$SELECT tc.table_schema, tc.table_name, kcu.column_name, kcu.ordinal_position FROM information_schema.table_constraints tc JOIN information_schema.key_column_usage kcu ON kcu.constraint_name = tc.constraint_name AND kcu.constraint_schema = tc.constraint_schema WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_schema = 'shop' ORDER BY tc.table_schema, tc.table_name, kcu.ordinal_position$q$
+UNION ALL
+SELECT 'pk', tbl, string_agg(col, ',' ORDER BY pos)
+FROM (
+  SELECT tbl, col, pos, cname,
+         first_value(cname) OVER (
+           PARTITION BY tbl
+           ORDER BY (cname = 'PRIMARY KEY') DESC, seq
+         ) AS chosen
+  FROM (VALUES ('s.t1', 'id', 1, 'PRIMARY KEY', 1),
+               ('s.t1', 'region', 2, 'PRIMARY KEY', 2),
+               ('s.t2', 'k', 1, 'uniq_k', 3)) v(tbl, col, pos, cname, seq)
+)
+WHERE cname = chosen GROUP BY tbl
+""",
+        "mysql_schema_discovery": """
+WITH raw(name) AS (VALUES ('tinyint(1)'), ('tinyint(3) unsigned'),
+  ('smallint(5)'), ('smallint(5) unsigned'), ('int(11)'),
+  ('int(10) unsigned'), ('mediumint(9)'), ('bigint(20)'),
+  ('bigint(20) unsigned'), ('decimal(10,2)'), ('double'), ('float'),
+  ('date'), ('datetime(6)'), ('timestamp'), ('varchar(255)'),
+  ('char(4)'), ('text'), ('longtext'), ('enum(''a'',''b'')'),
+  ('set(''x'',''y'')'), ('time'), ('year(4)'), ('varbinary(16)'),
+  ('blob'), ('longblob'), ('binary(8)'), ('bit(1)'), ('geometry'),
+  ('json')),
+p AS (SELECT name,
+        split_part(split_part(name, '(', 1), ' ', 1) AS base,
+        contains(name, 'unsigned') AS uns
+      FROM raw)
+SELECT 'type' AS kind, name, CASE
+    WHEN base = 'tinyint'
+      THEN CASE WHEN uns THEN 'smallint' ELSE 'tinyint' END
+    WHEN base = 'smallint'
+      THEN CASE WHEN uns THEN 'int' ELSE 'smallint' END
+    WHEN base IN ('int', 'mediumint')
+      THEN CASE WHEN uns THEN 'bigint' ELSE 'int' END
+    WHEN base = 'bigint'
+      THEN CASE WHEN uns THEN 'decimal(20,0)' ELSE 'bigint' END
+    WHEN base IN ('decimal', 'double', 'float') THEN 'double'
+    WHEN base = 'date' THEN 'date'
+    WHEN base IN ('datetime', 'timestamp') THEN 'timestamp'
+    WHEN base IN ('varchar', 'char', 'text', 'tinytext', 'mediumtext',
+                  'longtext', 'enum', 'set', 'time', 'year')
+      THEN 'string'
+    WHEN base = 'json' THEN 'string'
+    ELSE 'binary'
+  END AS out
+FROM p
+UNION ALL
+SELECT 'sql', 'columns', $q$SELECT c.table_schema, c.table_name, c.column_name, c.ordinal_position, c.column_type FROM information_schema.columns c INNER JOIN information_schema.tables t ON c.table_schema = t.table_schema AND c.table_name = t.table_name AND t.table_type IN ('BASE TABLE') AND c.table_schema = 'shop' WHERE c.table_schema NOT IN ('sys', 'mysql', 'information_schema', 'performance_schema') ORDER BY c.table_schema, c.table_name, c.ordinal_position$q$
+UNION ALL
+SELECT 'sql', 'constraints', $q$SELECT DISTINCT table_schema, table_name, column_name, ordinal_position, constraint_name FROM information_schema.key_column_usage WHERE table_schema NOT IN ('sys', 'mysql', 'information_schema', 'performance_schema') AND table_schema = 'shop' ORDER BY table_schema, table_name, constraint_name = 'PRIMARY' DESC, ordinal_position$q$
+UNION ALL
+SELECT 'pk', tbl, string_agg(col, ',' ORDER BY pos)
+FROM (
+  SELECT tbl, col, pos, cname,
+         first_value(cname) OVER (
+           PARTITION BY tbl ORDER BY (cname = 'PRIMARY') DESC, seq
+         ) AS chosen
+  FROM (VALUES ('shop.o', 'id', 1, 'PRIMARY', 1),
+               ('shop.o', 'uniq_col', 1, 'by_uniq', 2)
+       ) v(tbl, col, pos, cname, seq)
+)
+WHERE cname = chosen GROUP BY tbl
 """,
         "pg_copy_plan": """
 WITH idx AS (SELECT unnest(range(4)) AS i)

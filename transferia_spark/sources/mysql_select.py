@@ -247,10 +247,9 @@ class MySqlSelectSource(Source):
         self.live = dict(live)
         self.tables = {k: dict(v) for k, v in tables.items()}
         self.start_position: dict | None = None
+        self._discovered: dict[str, dict] | None = None
 
-    def _ensure_position(self) -> None:
-        if not self.live.get("consistent") or self.start_position is not None:
-            return
+    def _dial_session(self):
         from transferia_spark.streaming.mysql_binlog import (
             MySqlWireSession,
             mysql_dial,
@@ -270,6 +269,52 @@ class MySqlSelectSource(Source):
                 sslrootcert=self.live.get("sslrootcert"),
                 server_hostname=self.live["host"],
             )
+        except BaseException:
+            close()
+            raise
+        return sess, close
+
+    def _discover(self) -> dict[str, dict]:
+        """Catalog discovery over one short-lived wire session (r8
+        verdict item 1 — ``mysql/schema.go`` LoadSchema parity):
+        transfer.yaml needs no hand-written DDL strings."""
+        if self._discovered is None:
+            from transferia_spark.sources.schema_discovery import (
+                discover_mysql_tables,
+            )
+
+            sess, close = self._dial_session()
+            try:
+                self._discovered = discover_mysql_tables(
+                    sess, self.live.get("database")
+                )
+            finally:
+                close()
+        return self._discovered
+
+    def _table_schema_pk(self, fqtn: str):
+        from pyspark.sql import types as T
+
+        cfg = self.tables[fqtn]
+        if cfg.get("schema"):
+            return (
+                T._parse_datatype_string(cfg["schema"]),
+                cfg.get("pk") or [],
+            )
+        disc = self._discover().get(fqtn)
+        if disc is None:
+            raise ValueError(
+                f"table {fqtn!r} has no schema: in transfer.yaml and "
+                "was not found in information_schema — check the name "
+                "and the connecting user's privileges"
+            )
+        return disc["schema"], (cfg.get("pk") or disc["pk"])
+
+    def _ensure_position(self) -> None:
+        if not self.live.get("consistent") or self.start_position is not None:
+            return
+        sess, close = self._dial_session()
+        try:
             self.start_position = snapshot_position(sess)
         finally:
             close()
@@ -277,15 +322,18 @@ class MySqlSelectSource(Source):
     def table_list(self, spark) -> list:
         from transferia_spark.schema.colschema import TableID
 
+        if not self.tables:
+            # TableList parity: no tables configured = the whole
+            # database, discovered live (mysql/schema.go LoadSchema)
+            self.tables = {
+                fqtn: {} for fqtn in sorted(self._discover())
+            }
         return [TableID.parse(t) for t in self.tables]
 
     def load_table(self, spark, table, where: str | None = None):
-        from pyspark.sql import types as T
-
         cfg = self.tables[table.fqtn()]
-        schema = T._parse_datatype_string(cfg["schema"])
+        schema, pk = self._table_schema_pk(table.fqtn())
         n = int(cfg.get("n_shards", 1))
-        pk = cfg.get("pk") or []
         if n > 1 and pk:
             from transferia_spark.sinks.jdbc import quote_ident
             from transferia_spark.sources.jdbc import shard_by_pk_hash

@@ -452,6 +452,46 @@ class PgCopySource(Source):
         self._coord_close = None
         self._snapshot_id: str | None = None
         self.start_lsn: str | None = None
+        self._discovered: dict[str, dict] | None = None
+
+    def _discover(self) -> dict[str, dict]:
+        """Catalog discovery over one short-lived wire session (r8
+        verdict item 1: ``schema:`` in transfer.yaml becomes optional —
+        the reference never requires hand-written DDL,
+        ``postgres/schema.go``). Cached for the source's lifetime: the
+        activation schema is one instant by design."""
+        if self._discovered is None:
+            from transferia_spark.sources.schema_discovery import (
+                discover_pg_tables,
+            )
+
+            sess, close = _coordinator_session(self.live)
+            try:
+                self._discovered = discover_pg_tables(sess)
+            finally:
+                close()
+        return self._discovered
+
+    def _table_schema_pk(self, fqtn: str):
+        """(StructType, pk columns) for one table: explicit YAML wins,
+        anything omitted is discovered from the source catalog."""
+        from pyspark.sql import types as T
+
+        cfg = self.tables[fqtn]
+        if cfg.get("schema"):
+            return (
+                T._parse_datatype_string(cfg["schema"]),
+                cfg.get("pk") or [],
+            )
+        disc = self._discover().get(fqtn)
+        if disc is None:
+            raise ValueError(
+                f"table {fqtn!r} has no schema: in transfer.yaml and "
+                "was not found in the source catalog "
+                "(information_schema) — check the name and the "
+                "connecting role's privileges"
+            )
+        return disc["schema"], (cfg.get("pk") or disc["pk"])
 
     def _ensure_snapshot(self) -> str | None:
         if not self.live.get("consistent"):
@@ -475,15 +515,18 @@ class PgCopySource(Source):
     def table_list(self, spark) -> list:
         from transferia_spark.schema.colschema import TableID
 
+        if not self.tables:
+            # TableList parity (abstract/storage.go:286): no tables
+            # configured = transfer the whole catalog, discovered live
+            self.tables = {
+                fqtn: {} for fqtn in sorted(self._discover())
+            }
         return [TableID.parse(t) for t in self.tables]
 
     def load_table(self, spark, table, where: str | None = None):
-        from pyspark.sql import types as T
-
         cfg = self.tables[table.fqtn()]
-        schema = T._parse_datatype_string(cfg["schema"])
+        schema, pk = self._table_schema_pk(table.fqtn())
         n = int(cfg.get("n_shards", 1))
-        pk = cfg.get("pk") or []
         if n > 1 and pk:
             from transferia_spark.sinks.jdbc import quote_ident
             from transferia_spark.sources.jdbc import shard_by_pk_hash

@@ -1,0 +1,314 @@
+"""Wire-source schema discovery: ``TableList``/``TableSchema`` parity.
+
+The reference discovers each storage's tables, column types and primary
+keys from the source catalog at activation (``pkg/abstract/storage.go:
+286-297``; PG ``pkg/providers/postgres/schema.go``; MySQL
+``pkg/providers/mysql/schema.go:16-101``) — a user never hand-writes a
+DDL string per table. This module gives the repo's wire-direct
+snapshot sources (``pgcopy``/``mysqlselect``) the same power over the
+sessions they already hold: the catalog reads are plain result-set
+queries (``PgWireSession.simple_query`` / ``MySqlWireSession.
+query_rows``), and the native→Spark type mapping routes through the
+same YT-scalar currency as everything else
+(:mod:`transferia_spark.schema.typesystem`), reproducing the
+reference's published matrices (``postgres/typesystem.md``,
+``mysql/typesystem.go`` TypeToYt).
+
+Gated-provider split as usual: statement builders and type matrices
+are pure (driver-scorable — the oracle re-derives the matrix in SQL);
+the discovery calls run over injectable sessions and are pinned by
+loopback e2e tests where ``tables:`` omits ``schema:`` entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from transferia_spark.schema.typesystem import yt_to_spark
+
+# --------------------------------------------------------------- statements
+
+#: schemas the reference never lists (postgres/schema.go:33)
+PG_SYSTEM_SCHEMAS = ("pg_catalog", "information_schema")
+#: (mysql/schema.go:29)
+MYSQL_SYSTEM_SCHEMAS = (
+    "sys", "mysql", "information_schema", "performance_schema"
+)
+
+
+def _in_list(vals) -> str:
+    return ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+
+
+def pg_columns_sql(schema: str | None = None) -> str:
+    """Column list per table, in ordinal order — the
+    ``information_schema`` face of the reference's pg_catalog read
+    (``postgres/schema.go`` SchemaExtractor; the catalog subtleties it
+    needs — replica identity, inherited keys — live in the PK query).
+    ``data_type`` carries the normalized spellings the published type
+    matrix (typesystem.md) is written in."""
+    where = (
+        f"c.table_schema NOT IN ({_in_list(PG_SYSTEM_SCHEMAS)})"
+        if schema is None
+        else f"c.table_schema = '{schema}'"
+    )
+    return (
+        "SELECT c.table_schema, c.table_name, c.column_name, "
+        "c.ordinal_position, c.data_type, c.udt_name "
+        "FROM information_schema.columns c "
+        "JOIN information_schema.tables t "
+        "ON t.table_schema = c.table_schema "
+        "AND t.table_name = c.table_name "
+        "WHERE t.table_type = 'BASE TABLE' AND " + where
+        + " ORDER BY c.table_schema, c.table_name, c.ordinal_position"
+    )
+
+
+def pg_pkeys_sql(schema: str | None = None) -> str:
+    """Primary-key columns per table, in key order (the reference
+    additionally falls back to unique replica-identity indexes and
+    inherits parent keys, ``schema.go:318-447``; plain PKs cover the
+    wire-snapshot sharding contract)."""
+    where = (
+        f"tc.table_schema NOT IN ({_in_list(PG_SYSTEM_SCHEMAS)})"
+        if schema is None
+        else f"tc.table_schema = '{schema}'"
+    )
+    return (
+        "SELECT tc.table_schema, tc.table_name, kcu.column_name, "
+        "kcu.ordinal_position "
+        "FROM information_schema.table_constraints tc "
+        "JOIN information_schema.key_column_usage kcu "
+        "ON kcu.constraint_name = tc.constraint_name "
+        "AND kcu.constraint_schema = tc.constraint_schema "
+        "WHERE tc.constraint_type = 'PRIMARY KEY' AND " + where
+        + " ORDER BY tc.table_schema, tc.table_name, kcu.ordinal_position"
+    )
+
+
+def mysql_columns_sql(database: str | None = None) -> str:
+    """≈ ``mysql/schema.go:16-31`` columnList (base tables only; the
+    reference orders by column NAME and re-sorts constraints first
+    later — here ordinal order directly, since column order IS the
+    wire-snapshot row layout)."""
+    extra = (
+        f" AND c.table_schema = '{database}'" if database else ""
+    )
+    return (
+        "SELECT c.table_schema, c.table_name, c.column_name, "
+        "c.ordinal_position, c.column_type "
+        "FROM information_schema.columns c "
+        "INNER JOIN information_schema.tables t "
+        "ON c.table_schema = t.table_schema "
+        "AND c.table_name = t.table_name "
+        "AND t.table_type IN ('BASE TABLE')"
+        + extra
+        + " WHERE c.table_schema NOT IN "
+        f"({_in_list(MYSQL_SYSTEM_SCHEMAS)})"
+        " ORDER BY c.table_schema, c.table_name, c.ordinal_position"
+    )
+
+
+def mysql_constraints_sql(database: str | None = None) -> str:
+    """≈ ``mysql/schema.go:36-60`` constraintList — PRIMARY sorts
+    before any other unique constraint, then ordinal position; the
+    fold (:func:`fold_constraints`) keeps the FIRST constraint per
+    table."""
+    extra = f" AND table_schema = '{database}'" if database else ""
+    return (
+        "SELECT DISTINCT table_schema, table_name, column_name, "
+        "ordinal_position, constraint_name "
+        "FROM information_schema.key_column_usage "
+        "WHERE table_schema NOT IN "
+        f"({_in_list(MYSQL_SYSTEM_SCHEMAS)})"
+        + extra
+        + " ORDER BY table_schema, table_name, "
+        "constraint_name = 'PRIMARY' DESC, ordinal_position"
+    )
+
+
+# ------------------------------------------------------------ type matrices
+
+
+def pg_type_to_yt(data_type: str) -> str:
+    """PostgreSQL → YT scalar per the reference's published source
+    matrix (``postgres/typesystem.go:10-33`` + typesystem.md): exact
+    ints keep width, every other numeric (NUMERIC included) is double,
+    BYTEA/BIT are bytes, texty scalars are utf8, and everything
+    structured (arrays, json, ranges, hstore, inet, …) is ``any``."""
+    t = data_type.strip().lower()
+    if t in ("bigint", "int8"):
+        return "int64"
+    if t in ("integer", "int4", "int"):
+        return "int32"
+    if t in ("smallint", "int2"):
+        return "int16"
+    if t in ("numeric", "real", "double precision", "float4", "float8",
+             "decimal"):
+        return "double"
+    if t in ("bytea", "bit", "bit varying") or t.startswith("bit("):
+        return "string"  # YT string = bytes
+    if t in (
+        "text", "character varying", "varchar", "char", "name", "uuid",
+        "money", "interval", "abstime",
+        "time without time zone", "time with time zone", "time",
+    ):
+        return "utf8"
+    if t == "boolean":
+        return "boolean"
+    if t == "date":
+        return "date"
+    if t in (
+        "timestamp without time zone", "timestamp with time zone",
+        "timestamp", "timestamptz",
+    ):
+        return "timestamp"
+    # ARRAY, json(b), CHARACTER(N), ranges, hstore, citext, inet, cidr,
+    # macaddr, oid, point, xml, USER-DEFINED, …
+    return "any"
+
+
+def mysql_type_to_yt(column_type: str) -> str:
+    """MySQL ``column_type`` (e.g. ``int(11) unsigned``) → YT scalar,
+    the reference's ``TypeToYt`` (``mysql/cast.go:146-194``): width by
+    base type, unsigned bumps to the unsigned twin, every
+    decimal/float is double, text family utf8, blob/binary/geometry
+    bytes, json ``any``."""
+    ct = column_type.strip().lower()
+    base = ct.split("(", 1)[0].split(" ", 1)[0]
+    unsigned = "unsigned" in ct
+    if base == "tinyint":
+        return "uint8" if unsigned else "int8"
+    if base == "smallint":
+        return "uint16" if unsigned else "int16"
+    if base in ("int", "mediumint", "integer"):
+        return "uint32" if unsigned else "int32"
+    if base == "bigint":
+        return "uint64" if unsigned else "int64"
+    if base in ("decimal", "double", "float", "numeric", "real"):
+        return "double"
+    if base == "date":
+        return "date"
+    if base in ("datetime", "timestamp"):
+        return "timestamp"
+    if base in (
+        "tinytext", "text", "mediumtext", "longtext", "varchar", "char",
+        "time", "year", "enum", "set",
+    ):
+        return "utf8"
+    if base in (
+        "tinyblob", "blob", "mediumblob", "longblob", "binary",
+        "varbinary", "bit", "geometry", "geomcollection", "point",
+        "multipoint", "linestring", "multilinestring", "polygon",
+        "multipolygon",
+    ):
+        return "string"
+    if base == "json":
+        return "any"
+    return "string"  # the reference's default arm: bytes
+
+
+def pg_type_to_spark(data_type: str) -> T.DataType:
+    return yt_to_spark(pg_type_to_yt(data_type))
+
+
+def mysql_type_to_spark(column_type: str) -> T.DataType:
+    return yt_to_spark(mysql_type_to_yt(column_type))
+
+
+# ------------------------------------------------------------------- folds
+
+
+def fold_columns(
+    rows: list[dict], type_to_spark
+) -> dict[str, T.StructType]:
+    """Catalog column rows (``table_schema``/``table_name``/
+    ``column_name``/``ordinal_position`` + a type column already
+    extracted into ``type``) → one StructType per ``schema.table``,
+    fields in ordinal order."""
+    tables: dict[str, list[tuple[int, T.StructField]]] = {}
+    for r in rows:
+        fqtn = f"{r['table_schema']}.{r['table_name']}"
+        tables.setdefault(fqtn, []).append(
+            (
+                int(r["ordinal_position"]),
+                T.StructField(
+                    r["column_name"], type_to_spark(r["type"]), True
+                ),
+            )
+        )
+    return {
+        fqtn: T.StructType([f for _, f in sorted(cols, key=lambda p: p[0])])
+        for fqtn, cols in tables.items()
+    }
+
+
+def fold_constraints(rows: list[dict]) -> dict[str, list[str]]:
+    """Constraint rows (already ordered PRIMARY-first, then ordinal)
+    → the FIRST constraint's columns per table, in key order — the
+    reference's fold (``mysql/schema.go:166-215``): the primary key
+    when one exists, else the first unique constraint (a usable shard
+    key either way)."""
+    pk: dict[str, list[str]] = {}
+    chosen: dict[str, str] = {}
+    for r in rows:
+        fqtn = f"{r['table_schema']}.{r['table_name']}"
+        name = r.get("constraint_name") or ""
+        if fqtn not in chosen:
+            chosen[fqtn] = name
+        if chosen[fqtn] != name:
+            continue  # a later (lower-priority) constraint
+        pk.setdefault(fqtn, []).append(r["column_name"])
+    return pk
+
+
+# ---------------------------------------------------------------- discovery
+
+
+def discover_pg_tables(
+    session, schema: str | None = None
+) -> dict[str, dict]:
+    """TableList+TableSchema over a live ``PgWireSession``:
+    ``{fqtn: {"schema": StructType, "pk": [cols]}}``. One round trip
+    per catalog view — the reference does the same two reads
+    (``schema.go`` ListTables → extractor)."""
+    cols = session.simple_query(pg_columns_sql(schema))
+    keys = session.simple_query(pg_pkeys_sql(schema))
+    structs = fold_columns(
+        [{**r, "type": r["data_type"]} for r in cols], pg_type_to_spark
+    )
+    pks = fold_constraints(
+        [{**r, "constraint_name": "PRIMARY KEY"} for r in keys]
+    )
+    return {
+        fqtn: {"schema": st, "pk": pks.get(fqtn, [])}
+        for fqtn, st in structs.items()
+    }
+
+
+def discover_mysql_tables(
+    session, database: str | None = None
+) -> dict[str, dict]:
+    """Same over a live ``MySqlWireSession`` (text-protocol result
+    sets arrive as raw bytes; catalog identifiers are utf-8)."""
+    def q(sql: str) -> list[dict]:
+        names, rows = session.query_rows(sql)
+        return [
+            {
+                n: (v.decode() if v is not None else None)
+                for n, v in zip(names, row)
+            }
+            for row in rows
+        ]
+
+    cols = q(mysql_columns_sql(database))
+    cons = q(mysql_constraints_sql(database))
+    structs = fold_columns(
+        [{**r, "type": r["column_type"]} for r in cols],
+        mysql_type_to_spark,
+    )
+    pks = fold_constraints(cons)
+    return {
+        fqtn: {"schema": st, "pk": pks.get(fqtn, [])}
+        for fqtn, st in structs.items()
+    }
