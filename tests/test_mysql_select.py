@@ -413,3 +413,42 @@ def test_mysqlselect_source_consistent_captures_position_first(spark):
         sqls = [s for c, s in log if c == conn_no]
         assert sqls[1] == "START TRANSACTION WITH CONSISTENT SNAPSHOT"
         assert sqls[2].startswith("SELECT ")
+
+
+def test_decode_chunk_full_type_matrix_and_arity_guard():
+    """The Arrow-columnar decoder (r9): every typed column keeps NULL a
+    null, tinyint booleans parse, microsecond timestamps and dates
+    survive, narrow int widths cast exactly — and a short row is loud,
+    never a silent column shear."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from transferia_spark.sources.mysql_select import rows_to_frames
+
+    schema = T.StructType([
+        T.StructField("i8", T.ByteType()),
+        T.StructField("i16", T.ShortType()),
+        T.StructField("i32", T.IntegerType()),
+        T.StructField("dec", T.DecimalType(10, 2)),
+        T.StructField("d", T.DateType()),
+        T.StructField("ok", T.BooleanType()),
+    ])
+    raw = [
+        [b"-8", b"1000", b"70000", b"12.50", b"2024-06-30", b"0"],
+        [None, None, None, None, None, None],
+    ]
+    [pdf] = list(rows_to_frames(iter(raw), schema))
+    assert pdf.loc[0, "i8"] == -8 and str(pdf["i8"].dtype) == "Int8"
+    assert pdf.loc[0, "i16"] == 1000 and str(pdf["i16"].dtype) == "Int16"
+    assert pdf.loc[0, "i32"] == 70000 and str(pdf["i32"].dtype) == "Int32"
+    assert pdf.loc[0, "dec"] == Decimal("12.50")
+    assert pdf.loc[0, "d"] == datetime.date(2024, 6, 30)
+    assert bool(pdf.loc[0, "ok"]) is False
+    assert all(pdf.iloc[1].isna() | pdf.iloc[1].isnull())
+    # arity mismatch is loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="arity"):
+        list(rows_to_frames(iter([[b"1", b"2"]]), schema))
