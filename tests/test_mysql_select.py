@@ -9,6 +9,8 @@ import socket
 import struct
 import threading
 
+import pytest
+
 from test_mysql_session import (
     FakeDuplex,
     encode_packet,
@@ -369,12 +371,13 @@ def test_snapshot_position_falls_back_to_pre_84_spelling():
     assert b"SHOW MASTER STATUS" in sent
 
 
-def test_mysqlselect_source_consistent_captures_position_first(spark):
-    """live.consistent on the registry source: the binlog position is
-    captured on a coordinator connection BEFORE any shard opens its
-    read view (position-first ordering — transactions in between
-    replay as duplicates the handoff dedup absorbs; the reverse order
-    loses them)."""
+def test_mysqlselect_source_consistent_one_instant_fence(spark):
+    """live.consistent on a SHARDED table now runs the full one-instant
+    recipe (r8 verdict item 2 ≈ mysql/storage.go:84): the coordinator
+    takes FLUSH TABLES WITH READ LOCK, every shard opens its read view
+    UNDER the lock, the binlog position is captured under the lock,
+    then UNLOCK, then the shard SELECTs — pinned by the global order of
+    every SQL the scripted server received."""
     from transferia_spark.sources import build_source
 
     srv = socket.socket()
@@ -401,18 +404,72 @@ def test_mysqlselect_source_consistent_captures_position_first(spark):
     [tid] = src.table_list(spark)
     df = src.load_table(spark, tid)
     assert df.count() == 4
-    srv.close()
+    # the fence captured the position UNDER the lock
     assert src.start_position == {
         "file": "binlog.000042", "position": 4242, "gtid_set": "",
     }
-    # coordinator (conn 0) asked for the position; every shard opened
-    # its read view before selecting
-    coord = [s for c, s in log if c == 0]
-    assert coord[0].startswith("SHOW BINARY LOG STATUS")
-    for conn_no in (1, 2):
-        sqls = [s for c, s in log if c == conn_no]
-        assert sqls[1] == "START TRANSACTION WITH CONSISTENT SNAPSHOT"
-        assert sqls[2].startswith("SELECT ")
+    src.close()
+    srv.close()
+    sqls = [s for _c, s in log]
+    lock = sqls.index("FLUSH TABLES WITH READ LOCK")
+    unlock = sqls.index("UNLOCK TABLES")
+    show = sqls.index("SHOW BINARY LOG STATUS")
+    views = [i for i, s in enumerate(sqls)
+             if s == "START TRANSACTION WITH CONSISTENT SNAPSHOT"]
+    selects = [i for i, s in enumerate(sqls) if s.startswith("SELECT ")]
+    assert len(views) == 2 and len(selects) == 2
+    # lock -> both views -> position -> unlock -> selects
+    assert lock < min(views)
+    assert max(views) < show < unlock
+    assert unlock < min(selects)
+
+
+def test_snapshot_fence_times_out_and_unlocks(spark):
+    """A missing shard must never freeze production writes: the fence
+    unlocks at lock_timeout, aborts the tasks that DID report, and the
+    job fails loudly."""
+    from transferia_spark.sources import build_source
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    port = srv.getsockname()[1]
+    log: list = []
+    threading.Thread(
+        target=_serve_select_shards, args=(srv, 4, log), daemon=True
+    ).start()
+
+    src = build_source(
+        "mysqlselect",
+        live={"host": "127.0.0.1", "port": port, "user": "repl",
+              "database": "shop", "timeout": 10.0, "consistent": True,
+              "lock_timeout": 1.5},
+        tables={
+            "shop.items": {
+                "schema": "id long, name string, bal double",
+                "pk": ["id"],
+                # 3 shards but the fence is told to expect 4: the 4th
+                # never reports, forcing the timeout path
+                "n_shards": 3,
+            }
+        },
+    )
+    [tid] = src.table_list(spark)
+    df = src.load_table(spark, tid)
+    fence = src._fences[0]
+    fence.n_shards = 4  # simulate a shard that never arrives
+    with pytest.raises(Exception, match="fence"):
+        df.count()
+    # the fence ALWAYS unlocked, and before the abort reached the tasks
+    deadline = __import__("time").time() + 5
+    while __import__("time").time() < deadline and fence.error is None:
+        __import__("time").sleep(0.05)
+    src.close()
+    srv.close()
+    sqls = [s for _c, s in log]
+    assert "FLUSH TABLES WITH READ LOCK" in sqls
+    assert "UNLOCK TABLES" in sqls
+    assert fence.error and "lock_timeout" in fence.error
 
 
 def test_decode_chunk_full_type_matrix_and_arity_guard():

@@ -214,6 +214,227 @@ def snapshot_position(session) -> dict:
     }
 
 
+class SnapshotFence:
+    """One-instant sharded snapshot coordination (r8 verdict item 2 ≈
+    ``mysql/storage.go:84``): MySQL has no exported-snapshot id, so N
+    parallel read views are only one instant if they all open while
+    the server is write-quiesced. The reference is single-process and
+    simply opens its pool under ``FLUSH TABLES WITH READ LOCK``; here
+    the views open inside EXECUTOR tasks, so the driver runs this tiny
+    TCP barrier instead:
+
+    1. first shard task reports in → the fence dials a coordinator
+       session and takes ``FLUSH TABLES WITH READ LOCK``;
+    2. each task, told ``LOCKED``, opens its consistent read view and
+       acks ``VIEW <shard>``;
+    3. when every shard's view is open the fence captures the binlog
+       position (stable under the lock), issues ``UNLOCK TABLES``,
+       closes the coordinator and releases the tasks with ``GO``.
+
+    The lock is held only from first-report to last-view (connection
+    setup, not data movement) and NEVER past ``lock_timeout`` — on
+    timeout or any error the fence unlocks first, then aborts the
+    tasks (a stuck executor must not freeze production writes). Tasks
+    reporting after release are aborted too: their late view would be
+    a different instant, and a silently inconsistent snapshot is worse
+    than a retried one. One fence round = one materialization; shard
+    RETRIES within a round re-report under the same shard id and
+    simply replace their dead predecessor."""
+
+    def __init__(
+        self,
+        live: dict,
+        n_shards: int,
+        lock_timeout: float = 30.0,
+        bind_host: str = "",
+        dial=None,
+    ):
+        import socket
+        import threading
+
+        self.live = dict(live)
+        self.n_shards = n_shards
+        self.lock_timeout = lock_timeout
+        self._dial = dial
+        self.position: dict | None = None
+        self.error: str | None = None
+        self._released = False
+        self._closed = False
+        self._srv = socket.socket()
+        self._srv.bind((bind_host or "", 0))
+        self._srv.listen(max(4, n_shards))
+        self._srv.settimeout(0.2)
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="mysql-snapshot-fence"
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        self._closed = True
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+    # ------------------------------------------------------- internals
+
+    def _coordinator(self):
+        from transferia_spark.streaming.mysql_binlog import (
+            MySqlWireSession,
+            mysql_dial,
+        )
+
+        factory = self._dial or mysql_dial
+        parts = factory(
+            self.live["host"], int(self.live.get("port", 3306)),
+            timeout=float(self.live.get("timeout", 30.0)),
+        )
+        read, write, close = parts[0], parts[1], parts[2]
+        starttls = parts[4] if len(parts) > 4 else None
+        try:
+            sess = MySqlWireSession(read, write, starttls=starttls)
+            sess.connect(
+                user=self.live["user"],
+                password=self.live.get("password", ""),
+                database=self.live.get("database"),
+                ssl_mode=self.live.get("ssl_mode", "disable"),
+                sslrootcert=self.live.get("sslrootcert"),
+                server_hostname=self.live["host"],
+            )
+        except BaseException:
+            close()
+            raise
+        return sess, close
+
+    def _run(self) -> None:
+        import socket
+        import time
+
+        while not self._closed:
+            # one round: collect n shard tasks, quiesce, release
+            files: dict[int, object] = {}  # shard -> socket file
+            socks: dict[int, socket.socket] = {}
+            viewed: set[int] = set()
+            sess = close = None
+            deadline = None
+            try:
+                while len(viewed) < self.n_shards:
+                    if deadline is not None and time.time() > deadline:
+                        raise TimeoutError(
+                            f"snapshot fence: only {sorted(viewed)} of "
+                            f"{self.n_shards} shard views opened within "
+                            f"lock_timeout={self.lock_timeout}s — "
+                            "unlocking to protect the server"
+                        )
+                    try:
+                        conn, _addr = self._srv.accept()
+                    except socket.timeout:
+                        continue
+                    except OSError:
+                        return  # fence closed
+                    conn.settimeout(self.lock_timeout)
+                    f = conn.makefile("rwb")
+                    line = f.readline().strip().split()
+                    if not line:
+                        conn.close()
+                        continue
+                    verb, shard = line[0], int(line[1])
+                    if verb != b"HELLO":
+                        conn.close()
+                        continue
+                    if sess is None:
+                        # first reporter: quiesce BEFORE any view opens
+                        sess, close = self._coordinator()
+                        sess.query_ok("FLUSH TABLES WITH READ LOCK")
+                        deadline = time.time() + self.lock_timeout
+                    old = socks.pop(shard, None)
+                    if old is not None:
+                        old.close()  # a task retry replaces its dead twin
+                        viewed.discard(shard)
+                    socks[shard], files[shard] = conn, f
+                    # never hold the lock past the deadline waiting on
+                    # one slow task's view ack
+                    conn.settimeout(max(0.1, deadline - time.time()))
+                    f.write(b"LOCKED\n")
+                    f.flush()
+                    ack = f.readline().strip().split()
+                    if ack and ack[0] == b"VIEW" and int(ack[1]) == shard:
+                        viewed.add(shard)
+                # every view is open under the lock: the position is
+                # exact for all of them
+                pos = snapshot_position(sess)
+                sess.query_ok("UNLOCK TABLES")
+                close()
+                sess = close = None
+                if self.position is None:
+                    self.position = pos
+                for f in files.values():
+                    try:
+                        f.write(b"GO\n")
+                        f.flush()
+                    except OSError:
+                        pass
+                for s in socks.values():
+                    s.close()
+                self._released = True
+            except Exception as e:  # noqa: BLE001 — surfaced to tasks
+                self.error = str(e)
+                for f in files.values():
+                    try:
+                        f.write(b"ABORT " + str(e).encode() + b"\n")
+                        f.flush()
+                    except OSError:
+                        pass
+                for s in socks.values():
+                    s.close()
+                if self._closed:
+                    return
+            finally:
+                # ALWAYS unlock before anything else can go wrong
+                if sess is not None:
+                    try:
+                        sess.query_ok("UNLOCK TABLES")
+                    except Exception:  # noqa: BLE001 — closing anyway
+                        pass
+                    close()
+
+
+def fence_open_view(sess, fence_addr: str, shard: int, timeout: float):
+    """Executor-task side of :class:`SnapshotFence`: report in, open
+    the consistent read view once the coordinator holds the global
+    read lock, then wait for the all-views-open release."""
+    import socket
+
+    host, port = fence_addr.rsplit(":", 1)
+    fs = socket.create_connection((host, int(port)), timeout=timeout)
+    fs.settimeout(timeout)
+    f = fs.makefile("rwb")
+    try:
+        f.write(b"HELLO %d\n" % shard)
+        f.flush()
+        resp = f.readline().strip()
+        if resp != b"LOCKED":
+            raise RuntimeError(
+                f"snapshot fence refused shard {shard}: "
+                f"{resp.decode(errors='replace') or 'fence closed'}"
+            )
+        sess.query_ok(
+            "SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ"
+        )
+        sess.query_ok("START TRANSACTION WITH CONSISTENT SNAPSHOT")
+        f.write(b"VIEW %d\n" % shard)
+        f.flush()
+        resp = f.readline().strip()
+        if resp != b"GO":
+            raise RuntimeError(
+                f"snapshot fence aborted shard {shard}: "
+                f"{resp.decode(errors='replace') or 'fence closed'}"
+            )
+    finally:
+        fs.close()
+
+
 def mysql_select_snapshot(
     spark,
     live: dict,
@@ -248,7 +469,7 @@ def mysql_select_snapshot(
         )
         factory = transport_factory or mysql_dial
         for pdf in frames:
-            for sql in pdf["select_sql"]:
+            for shard, sql in zip(pdf["shard"], pdf["select_sql"]):
                 parts = factory(
                     live_conf["host"],
                     int(live_conf.get("port", 3306)),
@@ -266,15 +487,23 @@ def mysql_select_snapshot(
                         sslrootcert=live_conf.get("sslrootcert"),
                         server_hostname=live_conf["host"],
                     )
-                    if live_conf.get("consistent"):
-                        # per-connection InnoDB consistent read
-                        # (REPEATABLE READ + an immediate read view —
-                        # the reference's storage does the same before
-                        # its shard SELECTs, mysql/storage.go). NOTE:
-                        # unlike the PG exported snapshot, the views
-                        # are per-connection instants, not one shared
-                        # point — cross-shard consistency additionally
-                        # needs a quiesced binlog position.
+                    if live_conf.get("_fence_addr"):
+                        # sharded consistent snapshot: the view opens
+                        # under the driver fence's global read lock —
+                        # ALL shards then share one instant, and the
+                        # binlog position the fence captures is exact
+                        fence_open_view(
+                            sess,
+                            live_conf["_fence_addr"],
+                            int(shard),
+                            timeout=float(
+                                live_conf.get("lock_timeout", 30.0)
+                            ) + 5.0,
+                        )
+                    elif live_conf.get("consistent"):
+                        # single-shard consistent read (REPEATABLE READ
+                        # + an immediate view — mysql/storage.go); one
+                        # connection = one instant by itself
                         sess.query_ok(
                             "SET SESSION TRANSACTION ISOLATION LEVEL "
                             "REPEATABLE READ"
@@ -306,12 +535,23 @@ class MySqlSelectSource(Source):
     dict. Per-table config mirrors ``pgcopy``: Spark DDL schema +
     pk/n_shards.
 
-    ``live.consistent: true`` additionally captures the binlog
-    position (``start_position``: file/pos + executed GTID set) on a
-    short-lived coordinator connection BEFORE any shard opens its read
-    view — safe ordering (see :func:`snapshot_position`); unlike the
-    PG exported snapshot no connection needs holding, since MySQL's
-    views are per-connection instants anyway.
+    ``live.consistent: true``:
+
+    - **single-shard tables** open one consistent read view (one
+      connection = one instant) with the binlog position
+      (``start_position``: file/pos + executed GTID set) captured on a
+      short-lived coordinator connection BEFORE the view — safe
+      ordering (see :func:`snapshot_position`).
+    - **sharded tables** run the full :class:`SnapshotFence` recipe (≈
+      ``mysql/storage.go:84``): ``FLUSH TABLES WITH READ LOCK`` on a
+      coordinator while every shard task opens its view, position
+      captured under the lock, unlock, release — all N shards share
+      ONE instant, so a SNAPSHOT_ONLY transfer under concurrent writes
+      is cross-shard consistent (r8 verdict item 2; previously the
+      views were per-connection instants and only the
+      snapshot+replication flow was safe). ``live.lock_timeout``
+      (default 30 s) bounds the lock hold; the fence always unlocks
+      before aborting.
     """
 
     TYPE = "mysqlselect"
@@ -319,8 +559,32 @@ class MySqlSelectSource(Source):
     def __init__(self, live: dict, tables: dict[str, dict]):
         self.live = dict(live)
         self.tables = {k: dict(v) for k, v in tables.items()}
-        self.start_position: dict | None = None
+        self._start_position: dict | None = None
         self._discovered: dict[str, dict] | None = None
+        self._fences: list[SnapshotFence] = []
+
+    @property
+    def start_position(self) -> dict | None:
+        """Replication handoff point. With the fence recipe it is
+        captured UNDER the first table's global read lock (exact);
+        otherwise by :meth:`_ensure_position` before any view. Either
+        way it precedes every read view, so replay-from-position plus
+        handoff dedup can never lose a commit."""
+        if self._start_position is None:
+            for f in self._fences:
+                if f.position is not None:
+                    self._start_position = f.position
+                    break
+        return self._start_position
+
+    @start_position.setter
+    def start_position(self, value: dict | None) -> None:
+        self._start_position = value
+
+    def close(self) -> None:
+        for f in self._fences:
+            f.close()
+        self._fences = []
 
     def _dial_session(self):
         from transferia_spark.streaming.mysql_binlog import (
@@ -417,8 +681,25 @@ class MySqlSelectSource(Source):
                 preds = [f"({where}) AND ({p})" for p in preds]
         else:
             preds = [where] if where else None
-        # position BEFORE the shard views open (ordering contract)
-        self._ensure_position()
+        live = dict(self.live)
+        if self.live.get("consistent") and preds and len(preds) > 1:
+            # sharded + consistent: one-instant fence (the lock is
+            # taken lazily, when the first shard task of the
+            # MATERIALIZATION reports in — a never-collected frame
+            # never locks anything). The fence's position doubles as
+            # start_position: captured under the lock, it precedes
+            # every view of this and of every LATER table.
+            fence = SnapshotFence(
+                self.live,
+                n_shards=len(preds),
+                lock_timeout=float(self.live.get("lock_timeout", 30.0)),
+            )
+            self._fences.append(fence)
+            host = spark.conf.get("spark.driver.host", "127.0.0.1")
+            live["_fence_addr"] = f"{host}:{fence.port}"
+        else:
+            # position BEFORE the view opens (ordering contract)
+            self._ensure_position()
         return mysql_select_snapshot(
-            spark, self.live, table.fqtn(), schema, predicates=preds
+            spark, live, table.fqtn(), schema, predicates=preds
         )
