@@ -374,8 +374,14 @@ def test_delta_append_is_o_batch(spark, delta_table):
     v1 = delta_table.version()
     assert v1 == v0 + 1
     assert delta_table._manifest_doc()["deltas"] == [v1]
-    bucket_dirs = os.listdir(delta_table._delta_dir(v1))
-    assert len([d for d in bucket_dirs if d.startswith(f"{BUCKET_COL}=")]) == 1
+    # r9 layout: ONE sorted parquet file per append (bucket rides as a
+    # data column; the manifest records the exact touched set) — the
+    # old per-bucket bkt= dirs were one file create per touched bucket
+    # per batch
+    names = os.listdir(delta_table._delta_dir(v1))
+    assert len([n for n in names if n.endswith(".parquet")]) == 1
+    assert not [n for n in names if n.startswith(f"{BUCKET_COL}=")]
+    assert len(delta_table._manifest_doc()["delta_buckets"][v1]) == 1
     # no new base version dir was written
     assert not os.path.isdir(os.path.join(delta_table.root, f"_v{v1}"))
     assert {
@@ -1434,3 +1440,52 @@ def test_fold_vs_fold_overlap_detected_and_refolded(spark, tmp_path):
     # and the refold converged the bookkeeping: nothing left pending
     doc = dt1._manifest_doc()
     assert doc["deltas"] == []
+
+
+def test_legacy_bucket_dir_deltas_still_read_and_fold(spark, tmp_path):
+    """Back-compat: deltas written by the pre-r9 layout (bkt= partition
+    dirs, no delta_buckets manifest record) still read and fold
+    correctly next to new-layout single-file deltas."""
+    import json as _json
+    import shutil as _shutil
+
+    dt = BucketedParquetTable(
+        spark, str(tmp_path / "legacy"), keys=["id"], n_buckets=4,
+        merge_mode="delta", compact_policy="off",
+    )
+    dt.overwrite(
+        spark.createDataFrame(
+            [(i, f"a{i}") for i in range(20)], "id long, v string"
+        )
+    )
+    dt.merge(_batch(spark, [(i, f"u1_{i}", "u", 2, i) for i in range(10)]))
+    dv = dt._manifest_doc()["deltas"][0]
+    # rewrite that delta into the LEGACY layout: bkt= partition dirs
+    ddir = dt._delta_dir(dv)
+    legacy = str(tmp_path / "legacy_delta")
+    (
+        spark.read.parquet(ddir)
+        .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(legacy)
+    )
+    _shutil.rmtree(ddir)
+    _shutil.move(legacy, ddir)
+    # strip the new-layout manifest record, as a pre-r9 writer would
+    # have left it
+    mp = dt._manifest_path(dt.version())
+    doc = _json.load(open(mp))
+    doc.pop("delta_buckets", None)
+    with open(mp, "w") as f:
+        _json.dump(doc, f)
+    dt2 = BucketedParquetTable(
+        spark, str(tmp_path / "legacy"), keys=["id"], n_buckets=4,
+        merge_mode="delta", compact_policy="off",
+    )
+    got = {r.id: r.v for r in dt2.read().collect()}
+    assert got[3] == "u1_3" and got[15] == "a15" and len(got) == 20
+    # a NEW-layout append lands on top and both fold together
+    dt2.merge(_batch(spark, [(3, "u2_3", "u", 5, 0)]))
+    dt2.compact()
+    doc = dt2._manifest_doc()
+    assert doc["deltas"] == []
+    got = {r.id: r.v for r in dt2.read().collect()}
+    assert got[3] == "u2_3" and got[7] == "u1_7" and len(got) == 20

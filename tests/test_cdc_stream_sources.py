@@ -818,7 +818,11 @@ def test_wal_and_mongo_readers_dead_letter_poison_lines(spark, tmp_path):
     ]
     assert [r[0] for r in rows] == [1, 2]
     recorded = sorted(os.listdir(dl))
-    assert recorded == ["000.jsonl.1.json", "000.jsonl.2.json"]
+    # keys are per-line BYTE offsets (stable under seek hints, r9):
+    # exactly the two poison lines, one record each
+    assert len(recorded) == 2
+    assert all(n.startswith("000.jsonl.") and n.endswith(".json")
+               for n in recorded)
     # re-read (crash replay): same files, no duplicates
     rows = [
         r
@@ -992,3 +996,91 @@ def test_scan_cache_transient_stat_failure_not_skippable(tmp_path, monkeypatch):
     monkeypatch.setattr(os.path, "getsize", real_getsize)
     os.remove(f)
     assert cache.skippable(f, 5)  # genuinely vanished: nothing to read
+
+
+def test_wal_read_seeks_past_processed_bytes_and_early_stops(spark, tmp_path):
+    """r9: read() is O(batch bytes), not O(file) — proven by byte
+    surgery. A later batch SEEKS past the file head (garbage planted
+    there is never decoded), and an lsn-ordered file EARLY-STOPS past
+    the batch end (garbage planted in the tail is never decoded
+    either). A full-scan reader would raise on both."""
+    from transferia_spark.streaming.wal_source import (
+        WalJsonStreamReader,
+        wal_output_schema,
+    )
+
+    wdir = str(tmp_path / "w")
+    os.makedirs(wdir)
+    path = os.path.join(wdir, "000.jsonl")
+    with open(path, "w") as f:
+        for lsn in range(1, 2001):
+            f.write(json.dumps({"action": "I", "lsn": lsn,
+                                "columns": [{"name": "id", "value": lsn}]})
+                    + "\n")
+    reader = WalJsonStreamReader(
+        wal_output_schema("id long"),
+        {"path": wdir, "max_events_per_batch": "1000"},
+    )
+    end1 = reader.latestOffset()
+    assert end1 == {"lsn": 1000}
+    [p1] = [p for p in reader.partitions({"lsn": 0}, end1) if p.path]
+    assert p1.ordered
+    # tail surgery: everything after the first line above batch 1's
+    # end (which must parse to trigger the stop) becomes garbage
+    raw = open(path, "rb").read()
+    marker = json.dumps({"action": "I", "lsn": 1001,
+                         "columns": [{"name": "id", "value": 1001}]}
+                        ).encode() + b"\n"
+    cut = raw.index(marker) + len(marker)
+    with open(path, "r+b") as f:
+        f.seek(cut)
+        f.write(b"X" * (len(raw) - cut))
+    rows = list(reader.read(p1))
+    assert [r[0] for r in rows] == list(range(1, 1001))
+    # restore, then plan batch 2 and corrupt the file HEAD up to the
+    # slice's seek hint — a seeking reader never touches those bytes
+    with open(path, "wb") as f:
+        f.write(raw)
+    end2 = reader.latestOffset()
+    assert end2 == {"lsn": 2000}
+    [p2] = [p for p in reader.partitions(end1, end2) if p.path]
+    assert p2.start_byte > 0
+    with open(path, "r+b") as f:
+        f.write(b"X" * p2.start_byte)
+    rows = list(reader.read(p2))
+    assert [r[0] for r in rows] == list(range(1001, 2001))
+
+
+def test_wal_planner_decodes_each_file_once(spark, tmp_path):
+    """r9: latestOffset answers repeat triggers from the cached sorted
+    positions — a size-stable file is never re-decoded (pinned by
+    same-size content surgery, the probe-cache proof style)."""
+    from transferia_spark.streaming.wal_source import (
+        WalJsonStreamReader,
+        wal_output_schema,
+    )
+
+    wdir = str(tmp_path / "w")
+    os.makedirs(wdir)
+    path = os.path.join(wdir, "000.jsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps({"action": "I", "lsn": 11,
+                            "columns": [{"name": "id", "value": 1}]}) + "\n")
+    reader = WalJsonStreamReader(
+        wal_output_schema("id long"), {"path": wdir}
+    )
+    assert reader.latestOffset() == {"lsn": 11}
+    # same-size replacement with a DIFFERENT lsn: a re-decoding planner
+    # would see 99, the cache answers 11
+    raw = open(path, "rb").read()
+    doctored = raw.replace(b'"lsn": 11', b'"lsn": 99')
+    assert len(doctored) == len(raw)
+    with open(path, "wb") as f:
+        f.write(doctored)
+    assert reader.latestOffset() == {"lsn": 11}
+    # a GROWN file is re-decoded (size change invalidates)
+    with open(path, "ab") as f:
+        f.write(json.dumps({"action": "I", "lsn": 120,
+                            "columns": [{"name": "id", "value": 2}]}
+                           ).encode() + b"\n")
+    assert reader.latestOffset() == {"lsn": 120}

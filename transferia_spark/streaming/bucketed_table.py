@@ -430,7 +430,8 @@ class BucketedParquetTable:
         if v < 0:
             return {
                 "buckets": {}, "deltas": [], "last_batch_id": None,
-                "folded": {}, "delta_sigs": {}, "n_buckets": None,
+                "folded": {}, "delta_sigs": {}, "delta_buckets": {},
+                "n_buckets": None,
             }
         with open(self._manifest_path(v)) as f:
             raw = json.load(f)
@@ -441,6 +442,7 @@ class BucketedParquetTable:
                 "last_batch_id": None,
                 "folded": {},
                 "delta_sigs": {},
+                "delta_buckets": {},
                 "n_buckets": None,
             }
         return {
@@ -460,6 +462,13 @@ class BucketedParquetTable:
             "delta_sigs": {
                 int(d): s for d, s in raw.get("delta_sigs", {}).items()
             },
+            # delta version → exact touched-bucket set (new-layout
+            # single-file deltas, r9; legacy dir-layout versions are
+            # absent here and fall back to a directory listing)
+            "delta_buckets": {
+                int(d): [int(b) for b in bs]
+                for d, bs in raw.get("delta_buckets", {}).items()
+            },
             # the bucket count this manifest's layout was committed
             # under — the rebucket commit point (None for manifests
             # written before rebucket existed)
@@ -475,9 +484,30 @@ class BucketedParquetTable:
     def _delta_dir(self, ver: int) -> str:
         return os.path.join(self.root, f"_d{ver}")
 
-    def _delta_buckets(self, ver: int) -> list[int]:
-        """Buckets a delta version touches — from the directory layout,
-        no Spark job."""
+    @staticmethod
+    def _scan_delta_buckets(path: str) -> list[int]:
+        """Exact touched-bucket set of a just-written delta: one
+        driver-side pyarrow scan of the bucket column (a local
+        one-column read of a micro-batch-sized file — no Spark job)."""
+        import pyarrow.dataset as pads
+
+        try:
+            tbl = pads.dataset(path, format="parquet").to_table(
+                columns=[BUCKET_COL]
+            )
+        except FileNotFoundError:
+            return []
+        return sorted(set(tbl[BUCKET_COL].to_pylist()))
+
+    def _delta_buckets(self, ver: int, doc: dict | None = None) -> list[int]:
+        """Buckets a delta version touches. New-layout deltas (single
+        sorted files, r9) record the exact set in the manifest at
+        append time; legacy bkt= partition dirs fall back to a
+        directory listing."""
+        if doc is not None:
+            rec = doc.get("delta_buckets", {}).get(ver)
+            if rec is not None:
+                return list(rec)
         try:
             names = os.listdir(self._delta_dir(ver))
         except FileNotFoundError:
@@ -489,7 +519,11 @@ class BucketedParquetTable:
                     out.append(int(n.split("=", 1)[1]))
                 except ValueError:
                     pass
-        return sorted(out)
+        if out:
+            return sorted(out)
+        # new layout but manifest record unavailable (e.g. a caller
+        # without the doc): scan the file's bucket column
+        return self._scan_delta_buckets(self._delta_dir(ver))
 
     def _pending_pairs(
         self, doc: dict, wanted: list[int] | set[int]
@@ -503,7 +537,7 @@ class BucketedParquetTable:
         for d in doc["deltas"]:
             bs = [
                 b
-                for b in self._delta_buckets(d)
+                for b in self._delta_buckets(d, doc)
                 if b in wanted_set and d > folded.get(b, -1)
             ]
             if bs:
@@ -585,7 +619,6 @@ class BucketedParquetTable:
             for d, bs in all_pairs
             if (kept := [b for b in bs if b in wanted_set])
         ]
-        sigs = doc["delta_sigs"]
         paths = [
             self._bucket_dir(m[b], b)
             for b in wanted
@@ -610,7 +643,7 @@ class BucketedParquetTable:
                 )
         else:
             base = self.spark.read.parquet(*paths)
-        ddf = self._read_deltas(pairs, sigs)
+        ddf = self._read_deltas(pairs, doc)
         if ddf is None:
             return base
         from transferia_spark.cdc.merge import merge_batch
@@ -620,14 +653,21 @@ class BucketedParquetTable:
     def _read_deltas(
         self,
         pairs: list[tuple[int, list[int]]],
-        sigs: dict[int, str] | None = None,
+        doc: dict | None = None,
     ) -> DataFrame | None:
         """Union the pending delta tail — ``pairs`` is
         ``[(delta_version, pending buckets)]`` from
-        :meth:`_pending_pairs` — reading each delta version separately
-        (one write → one schema) and aligning versions by name — a
-        later delta may carry different meta columns (``_toasted`` vs
-        none) or a column subset.
+        :meth:`_pending_pairs` — aligning versions by name — a later
+        delta may carry different meta columns (``_toasted`` vs none)
+        or a column subset.
+
+        New-layout deltas (r9: single sorted files, bucket as a data
+        column) read with an EXPLICIT schema rebuilt from the append
+        signature — no schema-inference footer job — and a per-version
+        ``bkt IN (pending)`` filter: a bucket already folded for this
+        delta must NOT re-apply (the fold dropped its meta columns, so
+        re-reading would regress the base). Legacy bkt= partition dirs
+        read per-directory as before.
 
         Mixed payload column sets are aligned with an explicit
         ``_present`` marker per frame, NOT bare ``allowMissingColumns``
@@ -636,22 +676,55 @@ class BucketedParquetTable:
         keeps the target value), but a NULL-filled union would let the
         filled NULLs overwrite base values at read/compact time — a
         silent divergence from the rewrite-mode oracle (ADVICE r7)."""
-        # group SAME-SCHEMA delta versions (signature recorded at append
-        # time) into one multi-path scan: per-key ordering comes from
-        # the rows' own (_lsn, _counter), never from file order, so
-        # mixing versions in one read is sound — and a fold over an
-        # 8-deep tail pays 1 read plan instead of 8. Versions without
-        # a signature (legacy manifests) read alone.
+        from pyspark.sql import types as T
+
+        sigs = (doc or {}).get("delta_sigs", {})
+        recorded = (doc or {}).get("delta_buckets", {})
+        # group versions that share BOTH the schema signature and the
+        # pending-bucket set into one multi-path scan: per-key ordering
+        # comes from the rows' own (_lsn, _counter), never from file
+        # order, so mixing versions in one read is sound — and a fold
+        # over an 8-deep tail pays 1 read plan instead of 8. Versions
+        # without a signature (legacy manifests) read alone.
         groups: dict[object, list[tuple[int, list[int]]]] = {}
         for d, bs in pairs:
-            sig = (sigs or {}).get(d)
-            key: object = sig if sig is not None else ("solo", d)
+            sig = sigs.get(d)
+            if sig is None:
+                key: object = ("solo", d)
+            elif d in recorded:
+                # new layout: the bucket filter is part of the plan, so
+                # only same-filter versions may share a scan
+                key = ("file", sig, tuple(sorted(bs)))
+            else:
+                key = ("dir", sig)
             groups.setdefault(key, []).append((d, bs))
         frames = []
-        for members in groups.values():
+        for key, members in groups.items():
+            if isinstance(key, tuple) and key[0] == "file":
+                dirs = [self._delta_dir(d) for d, _bs in members]
+                bs = list(members[0][1])
+                schema = T.StructType(
+                    [
+                        T.StructField(n, T._parse_datatype_string(ts), True)
+                        for n, ts in json.loads(key[1])
+                    ]
+                    + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+                )
+                full = {
+                    b
+                    for d, _ in members
+                    for b in recorded.get(d, [])
+                }
+                f = self.spark.read.schema(schema).parquet(*dirs)
+                if set(bs) != full:
+                    # prune to still-pending buckets (sorted files →
+                    # row-group stats make this a cheap skip-scan)
+                    f = f.filter(F.col(BUCKET_COL).isin(bs))
+                frames.append(f.drop(BUCKET_COL))
+                continue
             dpaths = []
             for d, bs in members:
-                present = set(self._delta_buckets(d))
+                present = set(self._delta_buckets(d, doc))
                 dpaths += [
                     os.path.join(self._delta_dir(d), f"{BUCKET_COL}={b}")
                     for b in bs
@@ -905,26 +978,52 @@ class BucketedParquetTable:
             sorted((f.name, f.dataType.simpleString()) for f in batch.schema)
         )
         out = batch.withColumn(BUCKET_COL, self._bucket_of())
-        # one file per touched bucket needs writers aligned with
-        # buckets — but a micro-batch usually arrives in 1-2 planned
-        # partitions, where a dynamic partitionBy write already emits
-        # ≤ P files per bucket; skip the extra shuffle stage there
-        # (per-batch latency IS the steady-state CDC cost) and only
-        # repartition wide batches (e.g. a collapsed backlog)
-        if batch.rdd.getNumPartitions() > 4:
-            out = out.repartition(self.n_buckets, F.col(BUCKET_COL))
-        try:
-            (
-                out.write.mode("overwrite")
-                .partitionBy(BUCKET_COL)
-                .parquet(self._delta_dir(new_v))
+        # delta layout (r9): the bucket rides as a DATA COLUMN in ONE
+        # sorted file per append (a handful for wide backlogs), not as
+        # a bkt= partition directory — a dynamic partitionBy write was
+        # paying one file create + commit PER TOUCHED BUCKET per batch,
+        # which (a) dominated steady-state micro-batch latency and
+        # (b) made an over-provisioned n_buckets (b64 vs b16 in the
+        # sweep) pay ~4× the append cost for the same rows. Sorting by
+        # (bucket, keys) keeps parquet row-group min/max stats able to
+        # prune per-bucket fold reads, and the manifest records each
+        # delta's EXACT touched-bucket set (read driver-side from the
+        # written file's bucket column — a one-column scan of a local
+        # file, no Spark job).
+        parts = out.rdd.getNumPartitions()
+        if parts > 4:
+            # wide backlog: contiguous bucket ranges per file so file
+            # and row-group stats both prune
+            out = out.repartitionByRange(
+                min(self.n_buckets, parts), F.col(BUCKET_COL)
             )
+        # else: keep the batch's natural 1-4 partitions — 1-4 files per
+        # append (vs one per touched bucket before), and a bulk
+        # catch-up batch keeps its natural write parallelism (a
+        # coalesce(1) here serialized the whole backlog sort+encode
+        # through one task)
+        out = out.sortWithinPartitions(
+            F.col(BUCKET_COL), *[F.col(k) for k in self.keys]
+        )
+        try:
+            out.write.mode("overwrite").parquet(self._delta_dir(new_v))
+            touched = self._scan_delta_buckets(self._delta_dir(new_v))
         except BaseException:
             # release the reserved version; a partial dir is never
             # referenced and the next GC (post-release) sweeps it
             shutil.rmtree(self._delta_dir(new_v), ignore_errors=True)
             self._release_claim(new_v)
             raise
+        if not touched:
+            # empty micro-batch: nothing to record (replaying an empty
+            # batch appends nothing either way, so the watermark need
+            # not advance) — this replaces the sink's former per-batch
+            # head(1) pre-check, which cost a full Spark job on EVERY
+            # batch to protect against the rare empty one
+            shutil.rmtree(self._delta_dir(new_v), ignore_errors=True)
+            with self._commit_mutex, self._fs_lock():
+                self._release_claim(new_v)
+            return self.version()
         if stored is None:
             # first-ever commit is a delta: the payload schema becomes
             # the table schema (a later overwrite/compact may widen it)
@@ -956,6 +1055,7 @@ class BucketedParquetTable:
                 else doc["last_batch_id"],
                 folded=doc["folded"],
                 delta_sigs={**doc["delta_sigs"], new_v: sig},
+                delta_buckets={**doc["delta_buckets"], new_v: touched},
             )
             self._release_claim(new_v)
             trash = self._gc(keep=self.retention)
@@ -1001,6 +1101,7 @@ class BucketedParquetTable:
                     last_batch_id=doc["last_batch_id"],
                     folded=doc["folded"] if keep else {},
                     delta_sigs=doc["delta_sigs"],
+                    delta_buckets=doc["delta_buckets"],
                 )
                 trash = self._gc(keep=self.retention)
             self._sweep_trash(trash)
@@ -1048,7 +1149,7 @@ class BucketedParquetTable:
         if not pairs:
             return self.version()
         touched = sorted({b for _, bs in pairs for b in bs})
-        ddf = self._read_deltas(pairs, doc["delta_sigs"])
+        ddf = self._read_deltas(pairs, doc)
         if ddf is None:
             return self.version()
         from transferia_spark.cdc.changeitem import META_COLS
@@ -1097,7 +1198,7 @@ class BucketedParquetTable:
         folded = doc["folded"]
         counts: dict[int, int] = {}
         for d in doc["deltas"]:
-            for b in self._delta_buckets(d):
+            for b in self._delta_buckets(d, doc):
                 if d > folded.get(b, -1):
                     counts[b] = counts.get(b, 0) + 1
         md = self.max_deltas
@@ -1334,7 +1435,7 @@ class BucketedParquetTable:
                     for d in doc["deltas"]
                     if any(
                         d > new_folded.get(b, -1)
-                        for b in self._delta_buckets(d)
+                        for b in self._delta_buckets(d, doc)
                     )
                 ]
                 if new_deltas:
@@ -1358,6 +1459,7 @@ class BucketedParquetTable:
                 else doc["last_batch_id"],
                 folded=new_folded,
                 delta_sigs=doc["delta_sigs"],  # pruned to live on write
+                delta_buckets=doc["delta_buckets"],
             )
             self._release_claim(new_v)
             trash = self._gc(keep=self.retention)
@@ -1372,6 +1474,7 @@ class BucketedParquetTable:
         last_batch_id: int | None,
         folded: dict[int, int] | None = None,
         delta_sigs: dict[int, str] | None = None,
+        delta_buckets: dict[int, list[int]] | None = None,
     ) -> None:
         live = set(deltas)
         tmp = self._manifest_path(new_v) + ".tmp"
@@ -1387,6 +1490,11 @@ class BucketedParquetTable:
                     "delta_sigs": {
                         str(d): s
                         for d, s in (delta_sigs or {}).items()
+                        if d in live
+                    },
+                    "delta_buckets": {
+                        str(d): bs
+                        for d, bs in (delta_buckets or {}).items()
                         if d in live
                     },
                     "n_buckets": self.n_buckets,
@@ -1551,8 +1659,12 @@ class BucketedCdcApplySink:
         if self._compact_err is not None:
             err, self._compact_err = self._compact_err, None
             raise err
-        if not batch_df.head(1):
-            return
+        # no head(1) pre-check: it cost a FULL Spark job (including the
+        # Python-source batch decode) on EVERY micro-batch to guard the
+        # rare empty one — ~15-20% of steady-state per-batch latency.
+        # Empty batches are handled downstream for free: append_delta
+        # sees zero touched buckets and discards its write; the eager
+        # merge sees zero touched buckets and returns.
         last_err: Exception | None = None
         for _ in range(self.max_retries + 1):
             try:

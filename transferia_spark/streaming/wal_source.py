@@ -66,10 +66,18 @@ def wal_output_schema(payload_ddl: str) -> T.StructType:
 
 
 class _FileSlice(InputPartition):
-    def __init__(self, path: str, start_lsn: int, end_lsn: int):
+    def __init__(self, path: str, start_lsn: int, end_lsn: int,
+                 start_byte: int = 0, ordered: bool = False):
         self.path = path
         self.start_lsn = start_lsn
         self.end_lsn = end_lsn
+        # planner seek hints (r9): byte offset of the last sparse
+        # checkpoint at-or-below start_lsn, and whether the file is
+        # lsn-ordered (enables early stop past end_lsn) — read() is
+        # then O(batch bytes) instead of re-decoding the file head
+        # every micro-batch
+        self.start_byte = start_byte
+        self.ordered = ordered
 
 
 def _scan_files(path: str) -> list[str]:
@@ -127,29 +135,39 @@ class OffsetScanCache:
     """
 
     def __init__(self):
-        self._hw: dict[str, tuple[int, object]] = {}
+        # file -> (size, max position, SORTED positions list). The
+        # positions list makes re-planning O(log n) instead of
+        # re-decoding the file: the tailer contract is
+        # immutable-once-visible files, so one decode per file EVER —
+        # every later trigger answers from the cached list (r9: the
+        # per-trigger latestOffset re-decode of the newest backlog file
+        # was ~15% of steady-state micro-batch latency)
+        self._hw: dict[str, tuple[int, object, list]] = {}
 
     def pending(self, files, floor, positions_of_file):
         """Positions strictly above ``floor`` across ``files``;
         ``positions_of_file(f)`` yields a file's (poison-filtered)
         positions. Updates the high-watermark cache as a side effect."""
+        import bisect
+
         for f in files:
             try:
                 size = os.path.getsize(f)
             except OSError:
                 continue
             c = self._hw.get(f)
-            if c is not None and c[0] == size and c[1] is not None and not (
-                c[1] > floor
-            ):
+            if c is not None and c[0] == size:
+                if c[1] is None or not (c[1] > floor):
+                    continue
+                # answer from the cached (sorted) positions — the file
+                # is immutable at this size, no re-decode
+                yield from c[2][bisect.bisect_right(c[2], floor):]
                 continue
-            mx = None
-            for pos in positions_of_file(f):
-                if mx is None or pos > mx:
-                    mx = pos
-                if pos > floor:
-                    yield pos
-            self._hw[f] = (size, mx)
+            positions = list(positions_of_file(f))
+            positions.sort()
+            mx = positions[-1] if positions else None
+            self._hw[f] = (size, mx, positions)
+            yield from positions[bisect.bisect_right(positions, floor):]
 
     def skippable(self, f: str, floor) -> bool:
         """True when the cache PROVES the file holds nothing above
@@ -237,18 +255,48 @@ class WalJsonStreamReader(DataSourceStreamReader):
             options.get("prune_committed", "false")
         ).lower() in ("true", "1")
         self._scan_cache = OffsetScanCache()
+        # file -> (sparse [(lsn, byte)] checkpoints, lsn-ordered flag),
+        # recorded by _file_positions' one-time decode; partitions()
+        # turns these into executor seek hints
+        self._seek_index: dict[str, tuple[list, bool]] = {}
+
+    #: record a (lsn, byte offset) checkpoint every this many events —
+    #: the executor seeks to the last checkpoint at-or-below the batch
+    #: start instead of re-decoding the file head (bounded memory:
+    #: one pair per 512 events)
+    SEEK_CHECKPOINT_EVERY = 512
 
     def _file_positions(self, f: str):
-        with open(f) as fh:
+        """Decode a file's positions ONCE (the scan cache holds the
+        result for the file's lifetime), recording as a side effect a
+        sparse lsn→byte seek index + whether the file is lsn-ordered —
+        partitions() turns those into executor seek hints so read()
+        is O(batch), not O(file)."""
+        ckpts: list[tuple[int, int]] = []
+        ordered = True
+        prev = None
+        i = 0
+        off = 0
+        with open(f, "rb") as fh:
             for line in fh:
+                start = off
+                off += len(line)
                 if not line.strip():
                     continue
                 try:
-                    yield int(json.loads(line)["lsn"])
+                    lsn = int(json.loads(line)["lsn"])
                 except (ValueError, KeyError, TypeError):
                     if self.dead_letter:
                         continue  # read() dead-letters it
                     raise
+                if prev is not None and lsn < prev:
+                    ordered = False
+                prev = lsn
+                if i % self.SEEK_CHECKPOINT_EVERY == 0:
+                    ckpts.append((lsn, start))
+                i += 1
+                yield lsn
+        self._seek_index[f] = (ckpts, ordered)
 
     # -- offset algebra: an offset is {"lsn": n}, rows with lsn in
     # (start, end] belong to the batch (same half-open contract as
@@ -285,7 +333,20 @@ class WalJsonStreamReader(DataSourceStreamReader):
         ]
         if not files:
             return [_FileSlice("", lo, hi)]
-        return [_FileSlice(f, lo, hi) for f in files]
+        out = []
+        for f in files:
+            ckpts, ordered = self._seek_index.get(f, ([], False))
+            start_byte = 0
+            if ordered:
+                import bisect
+
+                # last checkpoint whose lsn <= lo: every earlier line
+                # is <= its lsn <= lo, so nothing in (lo, hi] is skipped
+                i = bisect.bisect_right(ckpts, (lo, float("inf"))) - 1
+                if i >= 0:
+                    start_byte = ckpts[i][1]
+            out.append(_FileSlice(f, lo, hi, start_byte, ordered))
+        return out
 
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
@@ -296,8 +357,21 @@ class WalJsonStreamReader(DataSourceStreamReader):
         # whole transactions to one file, so per-file counting is total
         # per (lsn) — matching the reference's counter-within-tx.
         last_lsn, counter = None, 0
-        with open(partition.path) as fh:
-            for line_no, line in enumerate(fh):
+        with open(partition.path, "rb") as fh:
+            if partition.start_byte:
+                # seek hint: everything before this byte is <= lo by
+                # the planner's order proof; counters stay exact
+                # because a checkpoint lands on a line start and all
+                # lines of any lsn > lo sit at-or-after it
+                fh.seek(partition.start_byte)
+            # dead-letter idempotence keys use the line's BYTE OFFSET,
+            # not its index: with seeking, an index is relative to the
+            # seek point, and the same poison line replayed under a
+            # different batch start would duplicate its record
+            off = partition.start_byte
+            for line in fh:
+                line_pos = off
+                off += len(line)
                 if not line.strip():
                     continue
                 # poison events (malformed JSON, missing positions, bad
@@ -308,6 +382,10 @@ class WalJsonStreamReader(DataSourceStreamReader):
                 try:
                     ev = json.loads(line)
                     lsn = int(ev["lsn"])
+                    if partition.ordered and lsn > hi:
+                        # lsn-ordered file (planner-proved): nothing
+                        # past this line belongs to (lo, hi]
+                        return
                     action = ev.get("action")
                     if action not in _ACTIONS:
                         # wal2json 'T' (TRUNCATE) becomes a control
@@ -371,8 +449,8 @@ class WalJsonStreamReader(DataSourceStreamReader):
                 except Exception as e:  # noqa: BLE001 — routed, not dropped
                     if self.dead_letter:
                         dead_letter_record(
-                            self.dead_letter, partition.path, line_no,
-                            line.strip(), e,
+                            self.dead_letter, partition.path, line_pos,
+                            line.strip().decode(errors="replace"), e,
                         )
                         continue
                     raise
