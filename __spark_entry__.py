@@ -1198,6 +1198,55 @@ def q_oracle_rowid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clickhouse_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse live read plane's decoders under the oracle gate
+    (r8 verdict item 6; transport pinned by the loopback HTTP e2e in
+    tests/test_mongo_clickhouse_sources.py): the same logical rows
+    arrive once as FORMAT ArrowStream bytes (server Arrow widths
+    narrower than the declared contract — int32/float32 cast up) and
+    once as FORMAT JSONEachRow lines; both decodes must hash-match one
+    VALUES oracle, row-doubled."""
+    import io
+
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from transferia_spark.sources.clickhouse import (
+        decode_arrow_stream,
+        decode_json_each_row,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+    tbl = pa.table({
+        "id": pa.array([1, 2, None], type=pa.int32()),
+        "v": pa.array(["a", None, 'qu"ote'], type=pa.string()),
+        "bal": pa.array([1.5, None, -2.25], type=pa.float32()),
+        "ok": pa.array([True, False, None], type=pa.bool_()),
+    })
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    frames = list(decode_arrow_stream(sink.getvalue(), schema))
+    jbody = (
+        b'{"id": 1, "v": "a", "bal": 1.5, "ok": true}\n'
+        b'{"id": 2, "v": null, "bal": null, "ok": false}\n'
+        b'{"id": null, "v": "qu\\"ote", "bal": -2.25, "ok": null}\n'
+    )
+    frames.append(decode_json_each_row(jbody, schema))
+    pdf = pd.concat(frames, ignore_index=True)
+    # virgin-session rule: degrade extension NAs to plain None
+    pdf = pdf.astype(object).where(pdf.notna(), None)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def q_clickhouse_read_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse shard×part unit planning (sources/clickhouse.py
     plan_read_tasks ≈ the reference's shard/part fan-out): one shard
@@ -3923,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pg_schema_discovery": q_pg_schema_discovery,
         "mysql_schema_discovery": q_mysql_schema_discovery,
         "mysql_select_decode": q_mysql_select_decode,
+        "clickhouse_decode": q_clickhouse_decode,
         # -- r8-new rows -----------------------------------------
         "elastic_scroll_plan": q_elastic_scroll_plan,
         "gpfdist_plan": q_gpfdist_plan,
@@ -4333,6 +4383,15 @@ FROM (VALUES
   (3, '\\N', 0.25),
   (4, NULL, -1.5)
 ) AS t(id, name, bal)
+""",
+        "clickhouse_decode": """
+WITH rows(id, v, bal, ok) AS (VALUES
+  (1, 'a', 1.5, TRUE),
+  (2, NULL, NULL, FALSE),
+  (NULL, 'qu"ote', -2.25, NULL)
+)
+SELECT CAST(id AS BIGINT) AS id, v, CAST(bal AS DOUBLE) AS bal, ok
+FROM rows CROSS JOIN (SELECT 1 AS dup UNION ALL SELECT 2) d
 """,
         "mysql_select_decode": """
 SELECT CAST(id AS BIGINT) AS id, name, CAST(bal AS DOUBLE) AS bal,

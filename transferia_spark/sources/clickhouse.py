@@ -58,6 +58,101 @@ def build_select_query(
     return q
 
 
+def decode_arrow_stream(body: bytes, schema: T.StructType):
+    """ClickHouse ``FORMAT ArrowStream`` response → typed pandas
+    frames. The server serializes columns straight into Arrow record
+    batches, so the read plane is zero-parse: one IPC open per
+    response, a vectorized cast per column onto the declared schema
+    (ClickHouse Arrow types differ in width/signedness from the
+    declared contract), no per-row Python. This is the default read
+    format — the JSONEachRow path stays for old servers."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    targets = {f.name: to_arrow_type(f.dataType) for f in schema.fields}
+
+    def series(arr, f):
+        t = f.dataType.typeName()
+        # nullable extension arrays for the mask-carrying types: a
+        # plain to_pandas() turns an int64-with-nulls Arrow column into
+        # float64 + NaN, which neither the Arrow hop back nor a
+        # driver-side createDataFrame accepts for a LongType column
+        if t in ("long", "integer", "short", "byte"):
+            # width rides the numpy dtype (arr is already cast to the
+            # declared Arrow type)
+            return pd.arrays.IntegerArray(
+                arr.fill_null(0).to_numpy(zero_copy_only=False),
+                arr.is_null().to_numpy(zero_copy_only=False),
+            )
+        if t in ("double", "float"):
+            return pd.arrays.FloatingArray(
+                arr.fill_null(0.0).to_numpy(zero_copy_only=False),
+                arr.is_null().to_numpy(zero_copy_only=False),
+            )
+        if t == "boolean":
+            return pd.arrays.BooleanArray(
+                arr.fill_null(False).to_numpy(zero_copy_only=False),
+                arr.is_null().to_numpy(zero_copy_only=False),
+            )
+        return arr.to_pandas()
+
+    with pa.ipc.open_stream(pa.BufferReader(body)) as reader:
+        for batch in reader:
+            cols = {}
+            for f in schema.fields:
+                arr = batch.column(batch.schema.get_field_index(f.name))
+                t = targets[f.name]
+                if arr.type != t:
+                    arr = arr.cast(t)
+                cols[f.name] = series(arr, f)
+            yield pd.DataFrame(cols)
+
+
+def decode_json_each_row(body: bytes, schema: T.StructType):
+    """``FORMAT JSONEachRow`` response → one typed pandas frame
+    (legacy/debug read format; values arrive already JSON-typed, so
+    the cast is per-column nullable-dtype construction, not text
+    parsing)."""
+    import pandas as pd
+
+    rows = [json.loads(line) for line in body.splitlines() if line.strip()]
+    data = {}
+    for f in schema.fields:
+        vals = [r.get(f.name) for r in rows]
+        t = f.dataType.typeName()
+        if t in ("long", "integer", "short", "byte"):
+            width = {"long": "Int64", "integer": "Int32",
+                     "short": "Int16", "byte": "Int8"}[t]
+            data[f.name] = pd.array(vals, dtype=width)
+        elif t in ("double", "float"):
+            data[f.name] = pd.array(
+                [float(v) if v is not None else None for v in vals],
+                dtype="Float64" if t == "double" else "Float32",
+            )
+        elif t == "boolean":
+            data[f.name] = pd.array(
+                [bool(v) if v is not None else None for v in vals],
+                dtype="boolean",
+            )
+        elif t == "timestamp":
+            data[f.name] = pd.to_datetime(pd.Series(vals, dtype=object))
+        elif t == "date":
+            dt = pd.to_datetime(pd.Series(vals, dtype=object))
+            data[f.name] = dt.dt.date.where(dt.notna(), None)
+        elif t == "decimal":
+            from decimal import Decimal
+
+            data[f.name] = pd.Series(
+                [Decimal(str(v)) if v is not None else None for v in vals],
+                dtype=object,
+            )
+        else:
+            data[f.name] = pd.Series(vals, dtype=object)
+    return pd.DataFrame(data)
+
+
 @register_source
 class ClickHouseSource(Source):
     """Sharded snapshot reads; one HTTP endpoint per shard.
@@ -78,6 +173,7 @@ class ClickHouseSource(Source):
         deletable: bool = False,
         parts_per_shard: int = 4,
         client_factory: Callable[[str], ChHttpClient] = ChHttpClient,
+        read_format: str = "ArrowStream",
     ):
         self.shard_urls = dict(shard_urls)
         self.schemas = dict(schemas)
@@ -86,6 +182,12 @@ class ClickHouseSource(Source):
         self.deletable = deletable
         self.parts_per_shard = max(1, parts_per_shard)
         self.client_factory = client_factory
+        if read_format not in ("ArrowStream", "JSONEachRow"):
+            raise ValueError(
+                f"read_format {read_format!r}: ArrowStream (zero-parse, "
+                "CH ≥ 21.x) or JSONEachRow (legacy)"
+            )
+        self.read_format = read_format
 
     def table_list(self, spark: SparkSession) -> list[TableID]:
         return [TableID(self.database, t) for t in sorted(self.schemas)]
@@ -120,23 +222,29 @@ class ClickHouseSource(Source):
         self, spark: SparkSession, table: TableID, where: str | None = None
     ) -> DataFrame:
         st = T._parse_datatype_string(self.schemas[table.name])
-        cols = [f.name for f in st.fields]
         tasks = self.plan_read_tasks(table, where)
 
-        parts_df = spark.createDataFrame(tasks, "url string, query string").repartition(
-            len(tasks)
-        )
+        # one RDD slice per (shard × part) task: exact task mapping,
+        # same contract as the wire snapshots (a hash repartition can
+        # collide tasks)
+        rdd = spark.sparkContext.parallelize(tasks, max(1, len(tasks)))
+        parts_df = spark.createDataFrame(rdd, "url string, query string")
         factory = self.client_factory
+        fmt = self.read_format
+        schema_json = st.json()
 
         def read_parts(batches):
-            import pandas as pd
+            from pyspark.sql import types as T2
 
+            out_schema = T2.StructType.fromJson(json.loads(schema_json))
             for pdf in batches:
                 for url, query in zip(pdf["url"], pdf["query"]):
-                    body = factory(url).execute(query + " FORMAT JSONEachRow")
-                    rows = [json.loads(line) for line in body.splitlines() if line]
-                    if not rows:
-                        continue
-                    yield pd.DataFrame({c: [r.get(c) for r in rows] for c in cols})
+                    body = factory(url).execute(f"{query} FORMAT {fmt}")
+                    if fmt == "ArrowStream":
+                        yield from decode_arrow_stream(body, out_schema)
+                    else:
+                        frame = decode_json_each_row(body, out_schema)
+                        if len(frame):
+                            yield frame
 
         return parts_df.mapInPandas(read_parts, st)
