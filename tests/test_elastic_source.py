@@ -110,3 +110,102 @@ def test_sliced_scroll_reads_all_docs(spark, es_stub):
     assert df.columns == ["id", "meta", "name", "score"]
     one = {r["id"]: r for r in rows}[105]
     assert one["name"] == "d1_5" and one["score"] == 2.5
+
+
+# --------------------------------------------------------------------------
+# Live HTTP data plane (r9): a REAL loopback server, the DEFAULT
+# SearchHttpClient — executor tasks run the whole sliced-scroll loop
+# (open -> page -> page -> clear) over actual sockets.
+# --------------------------------------------------------------------------
+
+
+def _loopback_es_server(received: list, n_docs: int = 10, page: int = 3):
+    import http.server
+    import json as _json
+    import threading
+
+    docs = [{"id": i, "v": f"d{i}"} for i in range(n_docs)]
+    scrolls: dict[str, dict] = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def _reply(self, obj, code=200):
+            out = _json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def do_GET(self):
+            received.append(("GET", self.path, b""))
+            if self.path == "/_stats":
+                self._reply({"indices": {"docs": {}, ".internal": {}}})
+            elif self.path.endswith("/_mapping"):
+                idx = self.path.split("/")[1]
+                self._reply({idx: {"mappings": {"properties": {
+                    "id": {"type": "long"}, "v": {"type": "keyword"},
+                }}}})
+            else:
+                self._reply({}, 404)
+
+        def do_POST(self):
+            ln = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(ln)
+            received.append(("POST", self.path, body))
+            req = _json.loads(body)
+            if self.path.startswith("/_search/scroll"):
+                st = scrolls[req["scroll_id"]]
+            else:
+                sl = req.get("slice", {"id": 0, "max": 1})
+                mine = [d for i, d in enumerate(docs)
+                        if i % sl["max"] == sl["id"]]
+                sid = f"s{sl['id']}"
+                scrolls[sid] = {"docs": mine, "pos": 0, "id": sid}
+                st = scrolls[sid]
+            take = st["docs"][st["pos"]:st["pos"] + page]
+            st["pos"] += len(take)
+            self._reply({
+                "_scroll_id": st["id"],
+                "hits": {"hits": [{"_source": d} for d in take]},
+            })
+
+        def do_DELETE(self):
+            received.append(("DELETE", self.path, b""))
+            self._reply({"succeeded": True})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_elastic_live_http_sliced_scroll_e2e(spark):
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sources.elastic import ElasticSource
+
+    received: list = []
+    srv = _loopback_es_server(received, n_docs=10, page=3)
+    src = ElasticSource(
+        url=f"http://127.0.0.1:{srv.server_port}", n_slices=2,
+        page_size=3,
+    )
+    tids = src.table_list(spark)
+    assert [t.name for t in tids] == ["docs"]  # dot-index skipped
+    df = src.load_table(spark, TableID("", "docs"))
+    rows = sorted((r.id, r.v) for r in df.collect())
+    srv.shutdown()
+    assert rows == [(i, f"d{i}") for i in range(10)]
+    # discovered schema came from the live _mapping call
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string"
+    ]
+    opens = [b for m, p, b in received
+             if m == "POST" and p.startswith("/docs/_search")]
+    assert len(opens) == 2  # one open per slice
+    # each slice PAGED (5 docs at page 3 -> at least one continuation)
+    conts = [p for m, p, _b in received
+             if m == "POST" and p.startswith("/_search/scroll")]
+    assert len(conts) >= 2
+    # scroll contexts were cleared
+    assert any(m == "DELETE" for m, _p, _b in received)

@@ -177,7 +177,14 @@ class ElasticSource(Source):
                             "DELETE", f"/_search/scroll/{page['_scroll_id']}"
                         )
 
-        slices = spark.range(n).repartition(n)
+        # one RDD slice per scroll slice: exact task-per-slice mapping
+        # (range().repartition(n) round-robins and may collide two
+        # slices into one task while another sits empty — the wire
+        # snapshots' parallelize-slices contract)
+        rdd = spark.sparkContext.parallelize(
+            [(i,) for i in range(n)], max(1, n)
+        )
+        slices = spark.createDataFrame(rdd, "id int")
         raw = slices.mapInPandas(fetch, "_doc string")
         return raw.select(
             F.from_json(F.col("_doc"), schema).alias("_p")
