@@ -4293,7 +4293,7 @@ SELECT 'type' AS kind, name, out FROM m
 UNION ALL
 SELECT 'sql', 'columns', $q$SELECT c.table_schema, c.table_name, c.column_name, c.ordinal_position, c.data_type, c.udt_name FROM information_schema.columns c JOIN information_schema.tables t ON t.table_schema = c.table_schema AND t.table_name = c.table_name WHERE t.table_type = 'BASE TABLE' AND c.table_schema = 'shop' ORDER BY c.table_schema, c.table_name, c.ordinal_position$q$
 UNION ALL
-SELECT 'sql', 'pkeys', $q$SELECT tc.table_schema, tc.table_name, kcu.column_name, kcu.ordinal_position FROM information_schema.table_constraints tc JOIN information_schema.key_column_usage kcu ON kcu.constraint_name = tc.constraint_name AND kcu.constraint_schema = tc.constraint_schema WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_schema = 'shop' ORDER BY tc.table_schema, tc.table_name, kcu.ordinal_position$q$
+SELECT 'sql', 'pkeys', $q$SELECT tc.table_schema, tc.table_name, kcu.column_name, kcu.ordinal_position FROM information_schema.table_constraints tc JOIN information_schema.key_column_usage kcu ON kcu.constraint_name = tc.constraint_name AND kcu.constraint_schema = tc.constraint_schema AND kcu.table_name = tc.table_name WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_schema = 'shop' ORDER BY tc.table_schema, tc.table_name, kcu.ordinal_position$q$
 UNION ALL
 SELECT 'pk', tbl, string_agg(col, ',' ORDER BY pos)
 FROM (
@@ -4344,7 +4344,7 @@ FROM p
 UNION ALL
 SELECT 'sql', 'columns', $q$SELECT c.table_schema, c.table_name, c.column_name, c.ordinal_position, c.column_type FROM information_schema.columns c INNER JOIN information_schema.tables t ON c.table_schema = t.table_schema AND c.table_name = t.table_name AND t.table_type IN ('BASE TABLE') AND c.table_schema = 'shop' WHERE c.table_schema NOT IN ('sys', 'mysql', 'information_schema', 'performance_schema') ORDER BY c.table_schema, c.table_name, c.ordinal_position$q$
 UNION ALL
-SELECT 'sql', 'constraints', $q$SELECT DISTINCT table_schema, table_name, column_name, ordinal_position, constraint_name FROM information_schema.key_column_usage WHERE table_schema NOT IN ('sys', 'mysql', 'information_schema', 'performance_schema') AND table_schema = 'shop' ORDER BY table_schema, table_name, constraint_name = 'PRIMARY' DESC, ordinal_position$q$
+SELECT 'sql', 'constraints', $q$SELECT DISTINCT k.table_schema, k.table_name, k.column_name, k.ordinal_position, k.constraint_name FROM information_schema.key_column_usage k JOIN information_schema.table_constraints tc ON tc.constraint_schema = k.constraint_schema AND tc.constraint_name = k.constraint_name AND tc.table_name = k.table_name WHERE tc.constraint_type IN ('PRIMARY KEY', 'UNIQUE') AND k.table_schema NOT IN ('sys', 'mysql', 'information_schema', 'performance_schema') AND k.table_schema = 'shop' ORDER BY k.table_schema, k.table_name, k.constraint_name = 'PRIMARY' DESC, k.constraint_name, k.ordinal_position$q$
 UNION ALL
 SELECT 'pk', tbl, string_agg(col, ',' ORDER BY pos)
 FROM (

@@ -509,3 +509,87 @@ def test_decode_chunk_full_type_matrix_and_arity_guard():
 
     with _pytest.raises(ValueError, match="arity"):
         list(rows_to_frames(iter([[b"1", b"2"]]), schema))
+
+
+def test_fence_aborts_post_release_stragglers_without_relocking():
+    """code-review r9: a shard task retried AFTER the fence released
+    must be aborted (its late view would be a different instant) and
+    must NOT start a new FTWRL round that freezes writes for the full
+    lock_timeout."""
+    import socket as _socket
+    import time as _time
+
+    from transferia_spark.sources.mysql_select import SnapshotFence
+
+    coordinator_sqls: list = []
+
+    def fake_dial(host, port, timeout=30.0):
+        fd = FakeDuplex(
+            encode_packet(handshake_payload(), 0)
+            + encode_packet(ok_packet(), 2)      # auth OK
+            + encode_packet(ok_packet(), 1)      # FTWRL OK
+            + result_set(
+                [b"File", b"Position", b"Binlog_Do_DB",
+                 b"Binlog_Ignore_DB", b"Executed_Gtid_Set"],
+                [[b"binlog.000001", b"4", b"", b"", b""]],
+            )
+            + encode_packet(ok_packet(), 1)      # UNLOCK OK
+        )
+        real_write = fd.write
+
+        def logging_write(data):
+            if data[4:5] == b"\x03":
+                coordinator_sqls.append(bytes(data[5:]).decode())
+            return real_write(data)
+
+        return fd.read, logging_write, fd.close, fd.poll, None
+
+    fence = SnapshotFence(
+        {"host": "h", "user": "u"}, n_shards=1, lock_timeout=5.0,
+        dial=fake_dial,
+    )
+
+    def handshake(expect_go: bool) -> bytes:
+        fs = _socket.create_connection(("127.0.0.1", fence.port), 5)
+        f = fs.makefile("rwb")
+        f.write(b"HELLO 0\n"); f.flush()
+        resp = f.readline().strip()
+        if resp != b"LOCKED":
+            fs.close()
+            return resp
+        f.write(b"VIEW 0\n"); f.flush()
+        resp = f.readline().strip()
+        fs.close()
+        return resp
+
+    assert handshake(True) == b"GO"
+    deadline = _time.time() + 5
+    while fence.position is None and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert fence.position == {"file": "binlog.000001", "position": 4,
+                              "gtid_set": ""}
+    n_locks = coordinator_sqls.count("FLUSH TABLES WITH READ LOCK")
+    # a straggler after release: immediate ABORT, no new lock round
+    resp = handshake(False)
+    assert resp.startswith(b"ABORT")
+    assert coordinator_sqls.count("FLUSH TABLES WITH READ LOCK") == n_locks
+    assert "UNLOCK TABLES" in coordinator_sqls
+    fence.close()
+
+
+def test_fence_refuses_more_shards_than_task_slots(spark):
+    """code-review r9: the fence is a gang — with fewer slots than
+    shards the later waves never schedule and every attempt holds the
+    global read lock until timeout. Refuse up front."""
+    from transferia_spark.sources import build_source
+
+    src = build_source(
+        "mysqlselect",
+        live={"host": "h", "user": "u", "database": "d",
+              "consistent": True},
+        tables={"d.t": {"schema": "id long", "pk": ["id"],
+                        "n_shards": 10_000}},
+    )
+    [tid] = src.table_list(spark)
+    with pytest.raises(ValueError, match="task slots"):
+        src.load_table(spark, tid)

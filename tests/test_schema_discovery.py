@@ -349,7 +349,7 @@ def _serve_mysql_discovery_and_select(srv: socket.socket, n_conns: int,
                     cat_cols,
                 ))
                 continue
-            if sql.startswith("SELECT DISTINCT table_schema"):
+            if sql.startswith("SELECT DISTINCT k.table_schema"):
                 conn.sendall(result_set(
                     [b"table_schema", b"table_name", b"column_name",
                      b"ordinal_position", b"constraint_name"],

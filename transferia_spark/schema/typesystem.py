@@ -184,3 +184,32 @@ def apply_fallbacks(df: DataFrame, version: int) -> DataFrame:
         if version < introduced_in:
             out = fn(out)
     return out
+
+
+def arrow_to_pandas_column(arr, dt: T.DataType):
+    """One Arrow array → a pandas column that round-trips NULLs for the
+    given Spark type: nullable extension arrays for ints/floats/bools
+    (a plain ``to_pandas()`` turns an int64-with-nulls column into
+    float64 + NaN, which neither the Arrow hop back nor a driver-side
+    ``createDataFrame`` accepts), plain conversion otherwise. Shared by
+    every wire-decode path (mysql_select, clickhouse) so the mask
+    semantics can't drift between them (code-review r9)."""
+    import pandas as pd
+
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        # width rides the numpy dtype of the (already target-cast) array
+        return pd.arrays.IntegerArray(
+            arr.fill_null(0).to_numpy(zero_copy_only=False),
+            arr.is_null().to_numpy(zero_copy_only=False),
+        )
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return pd.arrays.FloatingArray(
+            arr.fill_null(0.0).to_numpy(zero_copy_only=False),
+            arr.is_null().to_numpy(zero_copy_only=False),
+        )
+    if isinstance(dt, T.BooleanType):
+        return pd.arrays.BooleanArray(
+            arr.fill_null(False).to_numpy(zero_copy_only=False),
+            arr.is_null().to_numpy(zero_copy_only=False),
+        )
+    return arr.to_pandas()

@@ -71,42 +71,29 @@ def decode_arrow_stream(body: bytes, schema: T.StructType):
 
     from pyspark.sql.pandas.types import to_arrow_type
 
+    from transferia_spark.schema.typesystem import arrow_to_pandas_column
+
     targets = {f.name: to_arrow_type(f.dataType) for f in schema.fields}
-
-    def series(arr, f):
-        t = f.dataType.typeName()
-        # nullable extension arrays for the mask-carrying types: a
-        # plain to_pandas() turns an int64-with-nulls Arrow column into
-        # float64 + NaN, which neither the Arrow hop back nor a
-        # driver-side createDataFrame accepts for a LongType column
-        if t in ("long", "integer", "short", "byte"):
-            # width rides the numpy dtype (arr is already cast to the
-            # declared Arrow type)
-            return pd.arrays.IntegerArray(
-                arr.fill_null(0).to_numpy(zero_copy_only=False),
-                arr.is_null().to_numpy(zero_copy_only=False),
-            )
-        if t in ("double", "float"):
-            return pd.arrays.FloatingArray(
-                arr.fill_null(0.0).to_numpy(zero_copy_only=False),
-                arr.is_null().to_numpy(zero_copy_only=False),
-            )
-        if t == "boolean":
-            return pd.arrays.BooleanArray(
-                arr.fill_null(False).to_numpy(zero_copy_only=False),
-                arr.is_null().to_numpy(zero_copy_only=False),
-            )
-        return arr.to_pandas()
-
     with pa.ipc.open_stream(pa.BufferReader(body)) as reader:
         for batch in reader:
             cols = {}
             for f in schema.fields:
-                arr = batch.column(batch.schema.get_field_index(f.name))
+                idx = batch.schema.get_field_index(f.name)
+                if idx < 0:
+                    # pyarrow's column(-1) would silently return the
+                    # LAST column — fabricated data under the declared
+                    # name (code-review r9). A missing column is loud.
+                    raise ValueError(
+                        f"ArrowStream response has no column "
+                        f"{f.name!r} (server columns: "
+                        f"{batch.schema.names}) — declared schema and "
+                        "server table disagree"
+                    )
+                arr = batch.column(idx)
                 t = targets[f.name]
                 if arr.type != t:
                     arr = arr.cast(t)
-                cols[f.name] = series(arr, f)
+                cols[f.name] = arrow_to_pandas_column(arr, f.dataType)
             yield pd.DataFrame(cols)
 
 

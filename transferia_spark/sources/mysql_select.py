@@ -97,6 +97,8 @@ def _decode_chunk(buf: list[list], schema):
     import pandas as pd
     import pyarrow as pa
 
+    from transferia_spark.schema.typesystem import arrow_to_pandas_column
+
     # transpose INSIDE Arrow: one row-major ingest into a ListArray,
     # then a strided take per column — measurably faster than a Python
     # zip(*rows) transpose plus per-column pa.array (the ingest loop
@@ -137,28 +139,16 @@ def _decode_chunk(buf: list[list], schema):
                 type=pa.large_string(),
             )
         if t in ("long", "integer", "short", "byte"):
-            pa_t, np_t, pd_t = {
-                "long": (pa.int64(), np.int64, "Int64"),
-                "integer": (pa.int32(), np.int32, "Int32"),
-                "short": (pa.int16(), np.int16, "Int16"),
-                "byte": (pa.int8(), np.int8, "Int8"),
-            }[t]
-            arr = s.cast(pa_t)
-            data[f.name] = pd.arrays.IntegerArray(
-                arr.fill_null(0).to_numpy(zero_copy_only=False),
-                arr.is_null().to_numpy(zero_copy_only=False),
-            )
+            pa_t = {"long": pa.int64(), "integer": pa.int32(),
+                    "short": pa.int16(), "byte": pa.int8()}[t]
+            data[f.name] = arrow_to_pandas_column(s.cast(pa_t), f.dataType)
         elif t in ("double", "float"):
             arr = s.cast(pa.float64() if t == "double" else pa.float32())
-            data[f.name] = pd.arrays.FloatingArray(
-                arr.fill_null(0.0).to_numpy(zero_copy_only=False),
-                arr.is_null().to_numpy(zero_copy_only=False),
-            )
+            data[f.name] = arrow_to_pandas_column(arr, f.dataType)
         elif t == "boolean":
-            arr = s.cast(pa.bool_())  # '1'/'0' and 'true'/'false'
-            data[f.name] = pd.arrays.BooleanArray(
-                arr.fill_null(False).to_numpy(zero_copy_only=False),
-                arr.is_null().to_numpy(zero_copy_only=False),
+            # '1'/'0' and 'true'/'false' both cast
+            data[f.name] = arrow_to_pandas_column(
+                s.cast(pa.bool_()), f.dataType
             )
         elif t == "timestamp":
             data[f.name] = s.cast(pa.timestamp("us")).to_pandas()
@@ -341,6 +331,26 @@ class SnapshotFence:
                         continue
                     verb, shard = line[0], int(line[1])
                     if verb != b"HELLO":
+                        conn.close()
+                        continue
+                    if self._released:
+                        # one fence = ONE instant: a task retried after
+                        # the release would open a LATER view — and a
+                        # new round would re-take the global read lock
+                        # and hold it for the full timeout waiting for
+                        # shards that never come. Abort loudly instead
+                        # (re-materializing a consistent snapshot needs
+                        # a fresh source/fence).
+                        try:
+                            f.write(
+                                b"ABORT fence already released; a "
+                                b"post-release view would be a "
+                                b"different instant - rerun the "
+                                b"snapshot\n"
+                            )
+                            f.flush()
+                        except OSError:
+                            pass
                         conn.close()
                         continue
                     if sess is None:
@@ -683,6 +693,22 @@ class MySqlSelectSource(Source):
             preds = [where] if where else None
         live = dict(self.live)
         if self.live.get("consistent") and preds and len(preds) > 1:
+            # the fence is a GANG: every shard task must hold a slot
+            # simultaneously (each blocks on GO while the global read
+            # lock is held). With fewer slots than shards the later
+            # waves never schedule, the fence times out holding FTWRL,
+            # and retries repeat the production write freeze — refuse
+            # up front with the remedy.
+            slots = int(spark.sparkContext.defaultParallelism)
+            if len(preds) > slots:
+                raise ValueError(
+                    f"consistent sharded snapshot needs all "
+                    f"{len(preds)} shard tasks running at once, but "
+                    f"the cluster offers only {slots} task slots — "
+                    "lower n_shards, add capacity, or drop "
+                    "live.consistent (per-shard instants + "
+                    "replication handoff)"
+                )
             # sharded + consistent: one-instant fence (the lock is
             # taken lazily, when the first shard task of the
             # MATERIALIZATION reports in — a never-collected frame

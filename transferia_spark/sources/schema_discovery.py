@@ -37,7 +37,15 @@ MYSQL_SYSTEM_SCHEMAS = (
 
 
 def _in_list(vals) -> str:
-    return ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+    return ", ".join(_lit(v) for v in vals)
+
+
+def _lit(val: str) -> str:
+    """SQL string literal with quote escaping — schema/database names
+    come from config and must not break out of the catalog statement
+    (code-review r9: the repo's quote_ident contract applies to
+    literals too)."""
+    return "'" + val.replace("'", "''") + "'"
 
 
 def pg_columns_sql(schema: str | None = None) -> str:
@@ -50,7 +58,7 @@ def pg_columns_sql(schema: str | None = None) -> str:
     where = (
         f"c.table_schema NOT IN ({_in_list(PG_SYSTEM_SCHEMAS)})"
         if schema is None
-        else f"c.table_schema = '{schema}'"
+        else f"c.table_schema = {_lit(schema)}"
     )
     return (
         "SELECT c.table_schema, c.table_name, c.column_name, "
@@ -72,7 +80,7 @@ def pg_pkeys_sql(schema: str | None = None) -> str:
     where = (
         f"tc.table_schema NOT IN ({_in_list(PG_SYSTEM_SCHEMAS)})"
         if schema is None
-        else f"tc.table_schema = '{schema}'"
+        else f"tc.table_schema = {_lit(schema)}"
     )
     return (
         "SELECT tc.table_schema, tc.table_name, kcu.column_name, "
@@ -81,6 +89,10 @@ def pg_pkeys_sql(schema: str | None = None) -> str:
         "JOIN information_schema.key_column_usage kcu "
         "ON kcu.constraint_name = tc.constraint_name "
         "AND kcu.constraint_schema = tc.constraint_schema "
+        # constraint names are unique PER TABLE in PG, not per schema:
+        # without the table_name join two same-named PKs would
+        # cross-contaminate each other's key lists (code-review r9)
+        "AND kcu.table_name = tc.table_name "
         "WHERE tc.constraint_type = 'PRIMARY KEY' AND " + where
         + " ORDER BY tc.table_schema, tc.table_name, kcu.ordinal_position"
     )
@@ -92,7 +104,7 @@ def mysql_columns_sql(database: str | None = None) -> str:
     later — here ordinal order directly, since column order IS the
     wire-snapshot row layout)."""
     extra = (
-        f" AND c.table_schema = '{database}'" if database else ""
+        f" AND c.table_schema = {_lit(database)}" if database else ""
     )
     return (
         "SELECT c.table_schema, c.table_name, c.column_name, "
@@ -114,16 +126,26 @@ def mysql_constraints_sql(database: str | None = None) -> str:
     before any other unique constraint, then ordinal position; the
     fold (:func:`fold_constraints`) keeps the FIRST constraint per
     table."""
-    extra = f" AND table_schema = '{database}'" if database else ""
+    extra = f" AND k.table_schema = {_lit(database)}" if database else ""
     return (
-        "SELECT DISTINCT table_schema, table_name, column_name, "
-        "ordinal_position, constraint_name "
-        "FROM information_schema.key_column_usage "
-        "WHERE table_schema NOT IN "
+        "SELECT DISTINCT k.table_schema, k.table_name, k.column_name, "
+        "k.ordinal_position, k.constraint_name "
+        "FROM information_schema.key_column_usage k "
+        "JOIN information_schema.table_constraints tc "
+        "ON tc.constraint_schema = k.constraint_schema "
+        "AND tc.constraint_name = k.constraint_name "
+        "AND tc.table_name = k.table_name "
+        # PRIMARY/UNIQUE only: key_column_usage also lists FOREIGN KEY
+        # columns, which are not shard keys (code-review r9); the
+        # constraint_name tiebreak makes the PK-less choice stable
+        # across activations
+        "WHERE tc.constraint_type IN ('PRIMARY KEY', 'UNIQUE') "
+        "AND k.table_schema NOT IN "
         f"({_in_list(MYSQL_SYSTEM_SCHEMAS)})"
         + extra
-        + " ORDER BY table_schema, table_name, "
-        "constraint_name = 'PRIMARY' DESC, ordinal_position"
+        + " ORDER BY k.table_schema, k.table_name, "
+        "k.constraint_name = 'PRIMARY' DESC, k.constraint_name, "
+        "k.ordinal_position"
     )
 
 

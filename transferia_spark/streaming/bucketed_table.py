@@ -848,6 +848,7 @@ class BucketedParquetTable:
         from transferia_spark.cdc.changeitem import META_COLS
         from pyspark.sql import types as T
 
+        derived_now = self.n_buckets is None
         self._ensure_buckets(batch)
         stored = self._stored_schema()
         if stored is not None:
@@ -902,6 +903,10 @@ class BucketedParquetTable:
                 # ≤ n_buckets small ints — bounded by design
             )
             if not touched:
+                if derived_now:
+                    # see append_delta: an empty batch must not pin
+                    # the auto-derived bucket count
+                    self.n_buckets = None
                 return self.version()
             # schema for empty/never-written buckets: the STORED table
             # schema (a column-subset TOAST batch must not narrow a
@@ -963,6 +968,7 @@ class BucketedParquetTable:
             and batch_id <= doc["last_batch_id"]
         ):
             return self.version()  # replayed micro-batch: already durable
+        derived_now = self.n_buckets is None
         self._ensure_buckets(batch)
         stored = self._stored_schema()
         if stored is not None:
@@ -1020,6 +1026,11 @@ class BucketedParquetTable:
             # not advance) — this replaces the sink's former per-batch
             # head(1) pre-check, which cost a full Spark job on EVERY
             # batch to protect against the rare empty one
+            if derived_now:
+                # n_buckets='auto' must resolve from the first REAL
+                # batch's size stats, not an empty startup trigger's
+                # floor (code-review r9)
+                self.n_buckets = None
             shutil.rmtree(self._delta_dir(new_v), ignore_errors=True)
             with self._commit_mutex, self._fs_lock():
                 self._release_claim(new_v)
@@ -1133,6 +1144,11 @@ class BucketedParquetTable:
                 # (code-review r8 session-2 finding 3)
                 self._refresh_layout()
                 buckets = list(range(self.n_buckets))
+                # same contract as StaleBaseFold below: falling off
+                # the loop would return None and let the eager merge
+                # treat the tail as folded (code-review r9)
+                if i == attempts - 1:
+                    raise
             except StaleBaseFold:
                 # a concurrent fold committed one of our buckets while
                 # this fold read the (now-stale) base — re-read and

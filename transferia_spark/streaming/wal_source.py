@@ -150,6 +150,14 @@ class OffsetScanCache:
         positions. Updates the high-watermark cache as a side effect."""
         import bisect
 
+        files = list(files)
+        if len(self._hw) > 2 * len(files) + 64:
+            # bound the cache to files that still exist: entries for
+            # pruned/rotated capture files would otherwise accumulate
+            # their full position lists for the stream's lifetime
+            # (code-review r9)
+            live = set(files)
+            self._hw = {f: v for f, v in self._hw.items() if f in live}
         for f in files:
             try:
                 size = os.path.getsize(f)
@@ -158,6 +166,10 @@ class OffsetScanCache:
             c = self._hw.get(f)
             if c is not None and c[0] == size:
                 if c[1] is None or not (c[1] > floor):
+                    if c[2]:
+                        # fully below the floor forever (floors are
+                        # monotone): two scalars suffice from here on
+                        self._hw[f] = (c[0], c[1], [])
                     continue
                 # answer from the cached (sorted) positions — the file
                 # is immutable at this size, no re-decode
