@@ -3965,8 +3965,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     official record. 6+9+35 = 50 exactly. The tail holds r07-green and
     younger rows and stays verified by ``python scripts/driver_sim.py``
     over ALL entries.
+
+    ROUND-9 rotation (the `_R9_WINDOW` reorder at the end of this
+    function, standing contract): (a) the 4 queries NEW this round
+    (wire-source schema discovery for both databases, the vectorized
+    MySQL text-row decode, the ClickHouse live-read decoders), (b) the
+    14 queries whose implementation paths changed in round 9
+    (identifier quoting in both wire snapshot planners; the
+    single-file delta layout + head(1)-free sink + O(batch) waljson
+    reads under the cdc_merge/cdc_rebucket/dblog/replicate families
+    and both recorded CDC readers; the exact-task fan-outs in the
+    ClickHouse and Elastic read planes; the FTWRL fence behind
+    snapshot_handoff), and (c) the 32 oldest-green r04 rows rotating
+    back into the official record. 4+14+32 = 50 exactly.
     """
-    return {
+    q = {
         # -- (a) NEW in round 9: wire-source schema discovery +
         # the vectorized MySQL decode ----------------------------
         "pg_schema_discovery": q_pg_schema_discovery,
@@ -4129,6 +4142,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_splitter": q_table_splitter,
         "parser_json": q_parser_json,
         "parser_protobuf": q_parser_protobuf,
+    }
+    _R9_WINDOW = [
+        "pg_schema_discovery",
+        "mysql_schema_discovery",
+        "mysql_select_decode",
+        "clickhouse_decode",
+        "pg_copy_plan",
+        "mysql_select_plan",
+        "snapshot_handoff",
+        "cdc_merge_delta",
+        "cdc_merge_bucketed",
+        "cdc_rebucket",
+        "dblog_snapshot",
+        "replicate_yaml",
+        "replicate_controls",
+        "replicate_multi_table",
+        "mysql_cdc_envelope",
+        "mongo_change_stream",
+        "clickhouse_read_plan",
+        "elastic_scroll_plan",
+        "ann_lsh_multiprobe",
+        "decontaminate",
+        "quota_cap",
+        "global_shuffle",
+        "pack_sequences",
+        "pii_scrub",
+        "quality_gopher",
+        "sample_stratified",
+        "clickhouse_insert_plan",
+        "raw_cdc_doc_grouper",
+        "native_roundtrip",
+        "typesystem_edges",
+        "ydb_changefeed",
+        "airbyte_records",
+        "ydb_scan",
+        "dbt_models",
+        "cdc_collapse",
+        "cdc_merge",
+        "tpch_q2ish",
+        "tpch_q8",
+        "tpch_q9ish",
+        "tpch_q11ish",
+        "tpch_q13ish",
+        "tpch_q17ish",
+        "tpch_q20ish",
+        "tpch_q21ish",
+        "repetition_score",
+        "chunk_documents",
+        "dedup_exact",
+        "dedup_embedding_cosine",
+        "ann_brute_force",
+        "ann_sq8",
+    ]
+    assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+    missing = [n for n in _R9_WINDOW if n not in q]
+    assert not missing, f"window names drifted: {missing}"
+    return {
+        **{n: q[n] for n in _R9_WINDOW},
+        **{n: f for n, f in q.items() if n not in set(_R9_WINDOW)},
     }
 
 
