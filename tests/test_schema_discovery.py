@@ -485,3 +485,64 @@ def test_discover_mysql_tables_over_fake_session():
     st = out["shop.o"]["schema"]
     assert isinstance(st["id"].dataType, T.DecimalType)  # uint64 exact
     assert isinstance(st["blob_c"].dataType, T.BinaryType)
+
+
+def test_replicate_stream_schema_resolves_from_discovery(spark, tmp_path):
+    """r9: replication.source may omit schema/schema_file when the
+    snapshot source discovers the catalog — one schema authority for
+    seed AND stream (TableSchema-at-activation parity)."""
+    import json
+    import os
+
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedParquetTable,
+    )
+    from transferia_spark.tasks.replicate import run_replication
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    port = srv.getsockname()[1]
+    threading.Thread(
+        target=_serve_pg_discovery_and_copy, args=(srv, 3), daemon=True
+    ).start()
+
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    target = str(tmp_path / "target")
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_AND_INCREMENT
+src:
+  type: pgcopy
+  params:
+    live: {{host: 127.0.0.1, port: {port}, user: u, database: db,
+           timeout: 10.0}}
+    tables:
+      public.items: {{n_shards: 2}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: binlogjson
+    path: {binlog}
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 4}}
+""")
+    run_replication(
+        spark, spec, state_dir=str(tmp_path / "state"), once=True,
+        retry_interval=0.0,
+    )
+    with open(os.path.join(binlog, "000.jsonl"), "w") as f:
+        f.write(json.dumps(
+            {"action": "insert", "log_file": "b.1", "log_pos": 9,
+             "row_idx": 0,
+             "after": {"id": 9, "name": "new", "bal": 3.5}}) + "\n")
+    run_replication(
+        spark, spec, state_dir=str(tmp_path / "state"), once=True,
+        retry_interval=0.0,
+    )
+    srv.close()
+    t = BucketedParquetTable(spark, target, keys=["id"], n_buckets=4)
+    got = {r.id: (r.name, r.bal) for r in t.read().collect()}
+    # 4 seeded rows (discovered schema) + 1 streamed row (same schema,
+    # resolved from the SAME discovery — no schema: anywhere)
+    assert got[9] == ("new", 3.5) and len(got) == 5

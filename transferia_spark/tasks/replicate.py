@@ -665,6 +665,34 @@ def run_replication(
     store = TransferStateStore(state_dir)
     report = ReplicationReport()
 
+    src_cfg = rep.get("source")
+    if (
+        src_cfg is not None
+        and not src_cfg.get("schema")
+        and not src_cfg.get("schema_file")
+        and hasattr(spec.src, "_table_schema_pk")
+        and getattr(spec.src, "tables", None)
+    ):
+        # neither schema: nor schema_file: on the stream — resolve the
+        # payload DDL from the SNAPSHOT source's catalog discovery
+        # (pgcopy/mysqlselect, r9): one schema authority for seed AND
+        # stream, the reference's TableSchema-at-activation shape.
+        # Multi-table streams need an explicit union schema (columns
+        # across tables differ); keep that loud.
+        names = list(spec.src.tables)
+        if len(names) != 1:
+            raise FatalError(
+                "replication.source has no schema/schema_file and the "
+                f"snapshot source declares {len(names)} tables — "
+                "discovery can stand in for exactly one; declare the "
+                "union schema explicitly for multi-table streams"
+            )
+        from transferia_spark.streaming.cdc_sources import schema_to_ddl
+
+        st, _pk = spec.src._table_schema_pk(names[0])
+        rep = dict(rep)
+        rep["source"] = {**src_cfg, "schema": schema_to_ddl(st)}
+
     table_obj = None
     if sink is None:
         sink, table_obj = build_replication_sink(spark, rep.get("target") or {})
