@@ -1559,6 +1559,34 @@ def q_elastic_scroll_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "kind string, idx int, val string")
 
 
+def q_gpfdist_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gpfdist proto-1 wire framing (sinks/gpfdist_server.py — the
+    data plane the reference delegates to the gpfdist binary,
+    ``greenplum/gpfdist/``): exact F/O/L/D block bytes for fixed
+    payloads plus the deterministic segment file-distribution, hex-
+    compared against a SQL oracle that rebuilds the frames. The live
+    server is pinned by fake-segment loopback e2es."""
+    from transferia_spark.sinks.gpfdist_server import (
+        encode_gpfdist_blocks,
+        segment_files,
+    )
+
+    rows = [
+        ("frame", "p1",
+         encode_gpfdist_blocks("t/p1.txt", b"1\ta\n2\tb\n").hex()),
+        ("frame", "p2_final",
+         encode_gpfdist_blocks("t/p2.txt", b"3\tc\n", offset=0,
+                               final=True).hex()),
+    ]
+    files = [f"part-{i:05d}" for i in range(5)]
+    for seg in range(2):
+        rows.append(
+            ("split", f"seg{seg}",
+             ",".join(segment_files(files, seg, 2)))
+        )
+    return spark.createDataFrame(rows, "kind string, name string, out string")
+
+
 def q_gpfdist_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenplum gpfdist load planning (sinks/greenplum.py ≈
     greenplum/ddl_operations.go): the READABLE EXTERNAL TABLE DDL +
@@ -3986,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mysql_schema_discovery": q_mysql_schema_discovery,
         "mysql_select_decode": q_mysql_select_decode,
         "clickhouse_decode": q_clickhouse_decode,
+        "gpfdist_frames": q_gpfdist_frames,
         # -- r8-new rows -----------------------------------------
         "elastic_scroll_plan": q_elastic_scroll_plan,
         "gpfdist_plan": q_gpfdist_plan,
@@ -4148,6 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mysql_schema_discovery",
         "mysql_select_decode",
         "clickhouse_decode",
+        "gpfdist_frames",
         "pg_copy_plan",
         "mysql_select_plan",
         "snapshot_handoff",
@@ -4193,7 +4223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact",
         "dedup_embedding_cosine",
         "ann_brute_force",
-        "ann_sq8",
     ]
     assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
     missing = [n for n in _R9_WINDOW if n not in q]
@@ -4464,6 +4493,34 @@ WITH rows(id, v, bal, ok) AS (VALUES
 )
 SELECT CAST(id AS BIGINT) AS id, v, CAST(bal AS DOUBLE) AS bal, ok
 FROM rows CROSS JOIN (SELECT 1 AS dup UNION ALL SELECT 2) d
+""",
+        "gpfdist_frames": """
+WITH inputs(name, fname, data, fin) AS (
+  SELECT 'p1', 't/p1.txt',
+         '1' || chr(9) || 'a' || chr(10) || '2' || chr(9) || 'b'
+             || chr(10), FALSE
+  UNION ALL
+  SELECT 'p2_final', 't/p2.txt', '3' || chr(9) || 'c' || chr(10), TRUE
+)
+SELECT 'frame' AS kind, name,
+       lower(hex('F')) || lpad(to_hex(length(fname)), 8, '0')
+       || lower(hex(fname))
+       || lower(hex('O')) || '00000008' || repeat('0', 16)
+       || lower(hex('L')) || '00000008'
+       || lpad(to_hex(length(data)
+                      - length(replace(data, chr(10), ''))), 16, '0')
+       || lower(hex('D')) || lpad(to_hex(length(data)), 8, '0')
+       || lower(hex(data))
+       || CASE WHEN fin THEN lower(hex('D')) || '00000000' ELSE '' END
+       AS out
+FROM inputs
+UNION ALL
+SELECT 'split', 'seg' || CAST(s AS VARCHAR),
+       string_agg('part-' || lpad(CAST(i AS VARCHAR), 5, '0'),
+                  ',' ORDER BY i)
+FROM (SELECT unnest(range(2)) AS s) a,
+     (SELECT unnest(range(5)) AS i) b
+WHERE i % 2 = s GROUP BY s
 """,
         "mysql_select_decode": """
 SELECT CAST(id AS BIGINT) AS id, name, CAST(bal AS DOUBLE) AS bal,
