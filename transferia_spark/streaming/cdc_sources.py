@@ -83,10 +83,71 @@ def _ack(ack_file: str | None, end: dict) -> None:
 
 
 class _FileSlice(InputPartition):
-    def __init__(self, path: str, start: dict, end: dict):
+    def __init__(self, path: str, start: dict, end: dict,
+                 start_byte: int = 0, ordered: bool = False):
         self.path = path
         self.start = start
         self.end = end
+        # planner seek hints (r9, waljson-reader pattern): byte offset
+        # of the last sparse checkpoint at-or-below the batch start and
+        # whether the file is position-ordered (enables early stop) —
+        # read() is then O(batch bytes) instead of re-decoding the
+        # file head every micro-batch
+        self.start_byte = start_byte
+        self.ordered = ordered
+
+
+#: sparse seek-checkpoint cadence (one (pos, byte) pair per this many
+#: events) — the waljson reader's value
+_SEEK_EVERY = 512
+
+
+def _positions_with_seek_index(f, extract_pos, seek_index, dead_letter):
+    """Decode a file's positions ONCE (the scan cache materializes the
+    result), recording a sparse pos→byte seek index + orderedness as a
+    side effect for partitions() to hand to read()."""
+    ckpts: list[tuple] = []
+    ordered = True
+    prev = None
+    i = 0
+    off = 0
+    with open(f, "rb") as fh:
+        for line in fh:
+            start = off
+            off += len(line)
+            if not line.strip():
+                continue
+            try:
+                pos = extract_pos(json.loads(line))
+            except Exception:  # noqa: BLE001 — mirrors _events(skip_bad)
+                if dead_letter:
+                    continue  # read() dead-letters the same line
+                raise
+            if prev is not None and pos < prev:
+                ordered = False
+            prev = pos
+            if i % _SEEK_EVERY == 0:
+                ckpts.append((pos, start))
+            i += 1
+            yield pos
+    seek_index[f] = (ckpts, ordered)
+
+
+def _attach_seek_hints(files, lo, seek_index, start, end):
+    """One _FileSlice per file with the byte hint for ``lo`` (only on
+    planner-proven position-ordered files)."""
+    import bisect
+
+    out = []
+    for f in files:
+        ckpts, ordered = seek_index.get(f, ([], False))
+        sb = 0
+        if ordered and ckpts:
+            i = bisect.bisect_right([c[0] for c in ckpts], lo) - 1
+            if i >= 0:
+                sb = ckpts[i][1]
+        out.append(_FileSlice(f, start, end, sb, ordered))
+    return out
 
 
 # --------------------------------------------------------------- MySQL
@@ -158,23 +219,23 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         from transferia_spark.streaming.wal_source import OffsetScanCache
 
         self._scan_cache = OffsetScanCache()
+        self._seek_index: dict[str, tuple[list, bool]] = {}
 
     def initialOffset(self) -> dict:
         return {"lsn": self.start_lsn}
 
     def _file_positions(self, f: str) -> Iterator[int]:
-        """A file's parseable positions; with a dead-letter route,
-        poison lines are invisible to planning (read() records them)."""
-        for ev in _events(f, bool(self.dead_letter)):
-            try:
-                yield binlog_lsn(ev["log_file"], ev["log_pos"])
-            except (KeyError, ValueError, TypeError, AttributeError):
-                # AttributeError included: a non-string log_file (e.g.
-                # 123) fails inside binlog_lsn's str methods; read()
-                # routes the same line to the dead letter, so planning
-                # must agree or the poison kills latestOffset()
-                if not self.dead_letter:
-                    raise
+        """A file's parseable positions (one decode per immutable file;
+        the poison filter mirrors read()'s dead-letter route —
+        AttributeError included: a non-string log_file fails inside
+        binlog_lsn's str methods, and planning must agree with read()
+        or the poison kills latestOffset())."""
+        yield from _positions_with_seek_index(
+            f,
+            lambda ev: binlog_lsn(ev["log_file"], ev["log_pos"]),
+            self._seek_index,
+            bool(self.dead_letter),
+        )
 
     def latestOffset(self) -> dict:
         base = self._base if self._base is not None else self.start_lsn
@@ -202,7 +263,9 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         ]
         if not files:
             return [_FileSlice("", start, end)]
-        return [_FileSlice(f, start, end) for f in files]
+        return _attach_seek_hints(
+            files, int(start["lsn"]), self._seek_index, start, end
+        )
 
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
@@ -210,8 +273,13 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         from transferia_spark.streaming.wal_source import dead_letter_record
 
         lo, hi = int(partition.start["lsn"]), int(partition.end["lsn"])
-        with open(partition.path) as fh:
-            for line_no, line in enumerate(fh):
+        with open(partition.path, "rb") as fh:
+            if partition.start_byte:
+                fh.seek(partition.start_byte)
+            off = partition.start_byte
+            for line in fh:
+                line_pos = off
+                off += len(line)
                 if not line.strip():
                     continue
                 # poison events dead-letter and the stream continues
@@ -232,6 +300,8 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
                         ):
                             continue
                         lsn = binlog_lsn(ev["log_file"], ev["log_pos"])
+                        if partition.ordered and lsn > hi:
+                            return
                         if not (lo < lsn <= hi):
                             continue
                         yield tuple(None for _ in self.payload_fields) + (
@@ -248,6 +318,8 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
                         )
                         continue
                     lsn = binlog_lsn(ev["log_file"], ev["log_pos"])
+                    if partition.ordered and lsn > hi:
+                        return
                     if not (lo < lsn <= hi):
                         continue
                     before_map = ev.get("before") or {}
@@ -276,8 +348,8 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
                 except Exception as e:  # noqa: BLE001 — routed, not dropped
                     if self.dead_letter:
                         dead_letter_record(
-                            self.dead_letter, partition.path, line_no,
-                            line.strip(), e,
+                            self.dead_letter, partition.path, line_pos,
+                            line.strip().decode(errors="replace"), e,
                             table=ev.get("table")
                             if isinstance(ev, dict)
                             else None,
@@ -504,19 +576,18 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
         from transferia_spark.streaming.wal_source import OffsetScanCache
 
         self._scan_cache = OffsetScanCache()
+        self._seek_index: dict[str, tuple[list, bool]] = {}
 
     def initialOffset(self) -> dict:
         return {"ts": self.start_ts, "order": self.start_order}
 
     def _file_positions(self, f: str) -> Iterator[tuple[int, int]]:
-        for ev in _events(f, bool(self.dead_letter)):
-            try:
-                yield _cs_pos(ev)
-            except (ValueError, TypeError, KeyError, AttributeError):
-                # clusterTime: null, _id as a scalar, malformed tokens:
-                # poison shapes read() dead-letters — invisible here
-                if not self.dead_letter:
-                    raise
+        """One decode per immutable file; poison shapes (clusterTime:
+        null, _id as a scalar, malformed tokens) stay invisible here
+        when read() dead-letters them."""
+        yield from _positions_with_seek_index(
+            f, _cs_pos, self._seek_index, bool(self.dead_letter)
+        )
 
     def latestOffset(self) -> dict:
         base = (
@@ -550,7 +621,7 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
         ]
         if not files:
             return [_FileSlice("", start, end)]
-        return [_FileSlice(f, start, end) for f in files]
+        return _attach_seek_hints(files, lo, self._seek_index, start, end)
 
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
@@ -559,8 +630,13 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
 
         lo = (int(partition.start["ts"]), int(partition.start["order"]))
         hi = (int(partition.end["ts"]), int(partition.end["order"]))
-        with open(partition.path) as fh:
-            for line_no, line in enumerate(fh):
+        with open(partition.path, "rb") as fh:
+            if partition.start_byte:
+                fh.seek(partition.start_byte)
+            off = partition.start_byte
+            for line in fh:
+                line_pos = off
+                off += len(line)
                 if not line.strip():
                     continue
                 # poison events dead-letter and the stream continues
@@ -570,9 +646,13 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
                     op = _MONGO_OPS.get(ev.get("operationType"))
                     if op is None:
                         # invalidate / drop / rename: control events —
-                        # the watcher restarts on them, not row changes
+                        # the watcher restarts on them, not row changes.
+                        # No early-stop probe here: control shapes may
+                        # lack positions entirely
                         continue
                     pos = _cs_pos(ev)
+                    if partition.ordered and pos > hi:
+                        return
                     if not (lo < pos <= hi):
                         continue
                     doc_key = (ev.get("documentKey") or {}).get("_id")
@@ -604,8 +684,8 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
                 except Exception as e:  # noqa: BLE001 — routed, not dropped
                     if self.dead_letter:
                         dead_letter_record(
-                            self.dead_letter, partition.path, line_no,
-                            line.strip(), e,
+                            self.dead_letter, partition.path, line_pos,
+                            line.strip().decode(errors="replace"), e,
                         )
                         continue
                     raise
