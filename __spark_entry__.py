@@ -3995,9 +3995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     over ALL entries.
 
     ROUND-9 rotation (the `_R9_WINDOW` reorder at the end of this
-    function, standing contract): (a) the 4 queries NEW this round
+    function, standing contract): (a) the 5 queries NEW this round
     (wire-source schema discovery for both databases, the vectorized
-    MySQL text-row decode, the ClickHouse live-read decoders), (b) the
+    MySQL text-row decode, the ClickHouse live-read decoders, the
+    gpfdist proto-1 framing), (b) the
     14 queries whose implementation paths changed in round 9
     (identifier quoting in both wire snapshot planners; the
     single-file delta layout + head(1)-free sink + O(batch) waljson

@@ -195,3 +195,43 @@ def test_gpfdist_server_unload_post_path(tmp_path):
         assert (base / "seg1.txt").read_bytes() == b"3\tc\n"
     finally:
         srv.close()
+
+
+def test_gpfdist_post_retransmit_dedup_and_bad_segment(tmp_path):
+    """code-review r9 session 2: a re-POSTed chunk (same X-GP-SEQ — the
+    lost-response retry) must not append twice, and an out-of-range
+    segment id must be refused (it would slice an overlapping share)."""
+    import urllib.error
+    import urllib.request
+
+    from transferia_spark.sinks.gpfdist_server import GpfdistServer
+
+    srv = GpfdistServer(str(tmp_path))
+    try:
+        def post(seq, data):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/unload/t", data=data,
+                method="POST",
+            )
+            req.add_header("X-GP-SEGMENT-ID", "0")
+            req.add_header("X-GP-SEQ", str(seq))
+            urllib.request.urlopen(req, timeout=10).read()
+
+        post(0, b"1\ta\n")
+        post(0, b"1\ta\n")  # retransmit: deduped
+        post(1, b"2\tb\n")
+        assert (tmp_path / "unload" / "t" / "seg0.txt").read_bytes() == (
+            b"1\ta\n2\tb\n"
+        )
+        # out-of-range segment id → 400
+        req = urllib.request.Request(f"http://127.0.0.1:{srv.port}/x")
+        req.add_header("X-GP-SEGMENT-ID", "2")
+        req.add_header("X-GP-SEGMENT-COUNT", "2")
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            code = 200
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 400
+    finally:
+        srv.close()

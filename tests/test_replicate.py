@@ -841,7 +841,7 @@ def test_replicate_poison_event_dead_letters_not_fatal(spark, tmp_path):
     # the dead-letter table carries the raw lines + reasons
     dl = read_unparsed(spark, os.path.join(state, "unparsed_transfer"))
     rows = sorted(
-        (r.line_no, r.unparsed_row[:5], r.reason.split(":")[0])
+        (r.byte_pos, r.unparsed_row[:5], r.reason.split(":")[0])
         for r in dl.collect()
     )
     # keys are per-line BYTE offsets now (r9 seek hints) — assert

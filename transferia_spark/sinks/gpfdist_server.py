@@ -125,35 +125,58 @@ class GpfdistServer:
                 proto = self._hdr_int("X-GP-PROTO", 0)
                 seg = self._hdr_int("X-GP-SEGMENT-ID", 0)
                 n = self._hdr_int("X-GP-SEGMENT-COUNT", 1)
+                if not (0 <= seg < max(1, n)):
+                    # an out-of-range id would slice an OVERLAPPING
+                    # share (files[2::2] ⊂ files[0::2]) and load rows
+                    # twice — real gpfdist rejects it too
+                    self.send_error(400, "segment id out of range")
+                    return
                 matches = [
                     f for f in glob.glob(pattern)
                     if os.path.isfile(f)
                 ]
                 mine = segment_files(matches, seg, n)
-                body = b""
+                # EMPTY files (Spark's _SUCCESS markers) must not be
+                # framed: a zero-length D block IS the protocol's
+                # end-of-stream marker and would truncate the response
+                # after the first empty file
+                serve = [
+                    (f, os.path.getsize(f))
+                    for f in mine
+                    if os.path.getsize(f) > 0
+                ]
                 if proto >= 1:
-                    # EMPTY files (Spark's _SUCCESS markers) must not be
-                    # framed: a zero-length D block IS the protocol's
-                    # end-of-stream marker and would truncate the
-                    # response after the first empty file
-                    payloads = []
-                    for f in mine:
+                    # Content-Length is computable from file sizes +
+                    # per-file frame overhead, so frames stream out
+                    # file-by-file — memory stays O(largest file), not
+                    # O(segment share)
+                    total = sum(
+                        # F + name, O + 8, L + 8, D + data
+                        5 + len(os.path.relpath(f, outer.root).encode())
+                        + 5 + 8 + 5 + 8 + 5 + sz
+                        for f, sz in serve
+                    )
+                    total += 5  # terminating empty D (with or without files)
+                    self.send_response(200)
+                    self.send_header("X-GP-PROTO", str(proto))
+                    self.send_header("Content-Length", str(total))
+                    self.end_headers()
+                    for i, (f, _sz) in enumerate(serve):
                         with open(f, "rb") as fh:
                             data = fh.read()
-                        if data:
-                            payloads.append(
-                                (os.path.relpath(f, outer.root), data)
+                        self.wfile.write(
+                            encode_gpfdist_blocks(
+                                os.path.relpath(f, outer.root), data,
+                                final=(i == len(serve) - 1),
                             )
-                    for i, (name, data) in enumerate(payloads):
-                        body += encode_gpfdist_blocks(
-                            name, data, final=(i == len(payloads) - 1)
                         )
-                    if not payloads:
-                        body = b"D" + struct.pack(">I", 0)
-                else:
-                    for f in mine:
-                        with open(f, "rb") as fh:
-                            body += fh.read()
+                    if not serve:
+                        self.wfile.write(b"D" + struct.pack(">I", 0))
+                    return
+                body = b""
+                for f, _sz in serve:
+                    with open(f, "rb") as fh:
+                        body += fh.read()
                 self.send_response(200)
                 self.send_header("X-GP-PROTO", str(proto))
                 self.send_header("Content-Length", str(len(body)))
@@ -171,13 +194,35 @@ class GpfdistServer:
                 data = self.rfile.read(ln)
                 seg = self._hdr_int("X-GP-SEGMENT-ID", 0)
                 os.makedirs(target_dir, exist_ok=True)
-                # per-segment file; X-GP-SEQ orders chunks within one
-                # segment's own HTTP stream, which arrives in order on
-                # one connection — append is sufficient
+                seq = self.headers.get("X-GP-SEQ")
+                seq_file = os.path.join(target_dir, f"seg{seg}.seq")
+                if seq is not None:
+                    # retransmit dedup: a chunk whose response was lost
+                    # is re-POSTed under the SAME sequence number — a
+                    # blind append would duplicate its rows. The last
+                    # applied seq per segment persists next to the data.
+                    try:
+                        with open(seq_file) as fh:
+                            last = int(fh.read().strip())
+                    except (FileNotFoundError, ValueError):
+                        last = -1
+                    if int(seq) <= last:
+                        self.send_response(200)
+                        self.send_header("X-GP-PROTO", "1")
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
+                # per-segment file; chunks of one segment's stream
+                # arrive in order on its connection — append + seq mark
                 with open(
                     os.path.join(target_dir, f"seg{seg}.txt"), "ab"
                 ) as fh:
                     fh.write(data)
+                if seq is not None:
+                    tmp = seq_file + ".tmp"
+                    with open(tmp, "w") as fh:
+                        fh.write(seq)
+                    os.replace(tmp, seq_file)
                 self.send_response(200)
                 self.send_header("X-GP-PROTO", "1")
                 self.send_header("Content-Length", "0")

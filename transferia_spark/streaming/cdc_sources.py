@@ -60,20 +60,6 @@ def _scan_files(path: str) -> list[str]:
     return [os.path.join(path, n) for n in names if n.endswith((".json", ".jsonl"))]
 
 
-def _events(path: str, skip_bad: bool = False) -> Iterator[dict]:
-    with open(path) as fh:
-        for line in fh:
-            if not line.strip():
-                continue
-            try:
-                yield json.loads(line)
-            except ValueError:
-                # offset scans with a dead-letter route skip poison
-                # lines (read() records them); otherwise loud
-                if not skip_bad:
-                    raise
-
-
 def _ack(ack_file: str | None, end: dict) -> None:
     if ack_file:
         tmp = ack_file + ".tmp"
@@ -97,57 +83,23 @@ class _FileSlice(InputPartition):
         self.ordered = ordered
 
 
-#: sparse seek-checkpoint cadence (one (pos, byte) pair per this many
-#: events) — the waljson reader's value
-_SEEK_EVERY = 512
-
-
 def _positions_with_seek_index(f, extract_pos, seek_index, dead_letter):
-    """Decode a file's positions ONCE (the scan cache materializes the
-    result), recording a sparse pos→byte seek index + orderedness as a
-    side effect for partitions() to hand to read()."""
-    ckpts: list[tuple] = []
-    ordered = True
-    prev = None
-    i = 0
-    off = 0
-    with open(f, "rb") as fh:
-        for line in fh:
-            start = off
-            off += len(line)
-            if not line.strip():
-                continue
-            try:
-                pos = extract_pos(json.loads(line))
-            except Exception:  # noqa: BLE001 — mirrors _events(skip_bad)
-                if dead_letter:
-                    continue  # read() dead-letters the same line
-                raise
-            if prev is not None and pos < prev:
-                ordered = False
-            prev = pos
-            if i % _SEEK_EVERY == 0:
-                ckpts.append((pos, start))
-            i += 1
-            yield pos
-    seek_index[f] = (ckpts, ordered)
+    from transferia_spark.streaming.wal_source import (
+        positions_with_seek_index,
+    )
+
+    yield from positions_with_seek_index(
+        f, extract_pos, seek_index, dead_letter
+    )
 
 
 def _attach_seek_hints(files, lo, seek_index, start, end):
-    """One _FileSlice per file with the byte hint for ``lo`` (only on
-    planner-proven position-ordered files)."""
-    import bisect
+    from transferia_spark.streaming.wal_source import attach_seek_hints
 
-    out = []
-    for f in files:
-        ckpts, ordered = seek_index.get(f, ([], False))
-        sb = 0
-        if ordered and ckpts:
-            i = bisect.bisect_right([c[0] for c in ckpts], lo) - 1
-            if i >= 0:
-                sb = ckpts[i][1]
-        out.append(_FileSlice(f, start, end, sb, ordered))
-    return out
+    return attach_seek_hints(
+        files, lo, seek_index,
+        lambda f, sb, o: _FileSlice(f, start, end, sb, o),
+    )
 
 
 # --------------------------------------------------------------- MySQL
@@ -456,7 +408,20 @@ def probe_stream_schema(fmt: str, path: str, base_ddl: str) -> T.StructType:
 
 
 def schema_to_ddl(st: T.StructType) -> str:
-    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
+    """StructType → Spark DDL, backtick-quoting any identifier that is
+    not a plain word — discovered catalogs legally carry spaces/dashes
+    (code-review r9 session 2: an unquoted `my col string` fails
+    _parse_datatype_string after the snapshot already seeded)."""
+    import re
+
+    def q(name: str) -> str:
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            return name
+        return "`" + name.replace("`", "``") + "`"
+
+    return ", ".join(
+        f"{q(f.name)} {f.dataType.simpleString()}" for f in st.fields
+    )
 
 
 # --------------------------------------------------------------- Mongo

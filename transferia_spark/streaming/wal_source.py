@@ -89,7 +89,7 @@ def _scan_files(path: str) -> list[str]:
 
 
 def dead_letter_record(
-    dl_dir: str, src_file: str, line_no: int, raw: str, err: BaseException,
+    dl_dir: str, src_file: str, byte_pos: int, raw: str, err: BaseException,
     table: str | None = None,
 ) -> None:
     """Write one poison line to the dead-letter directory (≈ the
@@ -97,20 +97,23 @@ def dead_letter_record(
     ``generic_parser.go:575``): a malformed event must not kill the
     transfer — the reference replicates on and surfaces the row.
 
-    One file per (source file, line) with an atomic replace, so batch
+    One file per (source file, byte offset) with an atomic replace, so batch
     REPLAYS (crash recovery, DDL abort-and-restart) re-record the same
     poison line idempotently instead of appending duplicates. Runs on
     executors — no shared state, no driver round-trip."""
     os.makedirs(dl_dir, exist_ok=True)
     base = os.path.basename(src_file)
-    final = os.path.join(dl_dir, f"{base}.{line_no}.json")
+    final = os.path.join(dl_dir, f"{base}.{byte_pos}.json")
     tmp = final + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
             {
                 "table": table,
                 "file": base,
-                "line_no": line_no,
+                # the line's BYTE offset in the capture file (r9: seek
+                # hints made ordinals seek-relative; a byte offset is
+                # stable and seekable for inspection)
+                "byte_pos": byte_pos,
                 "unparsed_row": raw,
                 "reason": f"{type(err).__name__}: {err}",
             },
@@ -200,6 +203,73 @@ class OffsetScanCache:
         return c[0] == size and not (c[1] > floor)
 
 
+#: sparse seek-checkpoint cadence: one (position, byte) pair per this
+#: many events — enough to land an executor seek within ~512 lines of
+#: the batch start without growing the planner's memory
+SEEK_CHECKPOINT_EVERY = 512
+
+
+def positions_with_seek_index(f, extract_pos, seek_index, dead_letter):
+    """Decode a capture file's positions ONCE (the scan cache
+    materializes the result for the file's lifetime), recording as a
+    side effect a sparse position→byte seek index + whether the file
+    is position-ordered — :func:`attach_seek_hints` turns those into
+    executor seek hints so read() is O(batch), not O(file). Shared by
+    the waljson, binlog and change-stream readers (one implementation,
+    code-review r9)."""
+    ckpts: list[tuple] = []
+    ordered = True
+    prev = None
+    i = 0
+    off = 0
+    with open(f, "rb") as fh:
+        for line in fh:
+            start = off
+            off += len(line)
+            if not line.strip():
+                continue
+            try:
+                pos = extract_pos(json.loads(line))
+            except Exception:  # noqa: BLE001 — mirrors read()'s routing
+                if dead_letter:
+                    continue  # read() dead-letters the same line
+                raise
+            if prev is not None and pos < prev:
+                ordered = False
+            prev = pos
+            if i % SEEK_CHECKPOINT_EVERY == 0:
+                ckpts.append((pos, start))
+            i += 1
+            yield pos
+    seek_index[f] = (ckpts, ordered)
+
+
+def attach_seek_hints(files, lo, seek_index, make_slice):
+    """One partition per file via ``make_slice(f, start_byte, ordered)``
+    with the byte hint for ``lo`` (only on planner-proven
+    position-ordered files: the last checkpoint at-or-below ``lo`` —
+    every earlier line is <= its position <= lo, so nothing in the
+    batch is skipped). Also bounds the seek index to live files (the
+    same eviction contract as the scan cache — entries for pruned
+    capture files must not accumulate for the stream's lifetime)."""
+    import bisect
+
+    if len(seek_index) > 2 * len(files) + 64:
+        live = set(files)
+        for k in [k for k in seek_index if k not in live]:
+            del seek_index[k]
+    out = []
+    for f in files:
+        ckpts, ordered = seek_index.get(f, ([], False))
+        sb = 0
+        if ordered and ckpts:
+            i = bisect.bisect_right([c[0] for c in ckpts], lo) - 1
+            if i >= 0:
+                sb = ckpts[i][1]
+        out.append(make_slice(f, sb, ordered))
+    return out
+
+
 def prune_committed_files(cache: OffsetScanCache, files, end) -> int:
     """Slot-trim analog (≈ the reference letting the server trim the
     slot at the acked LSN): delete recorded files whose every position
@@ -272,43 +342,16 @@ class WalJsonStreamReader(DataSourceStreamReader):
         # turns these into executor seek hints
         self._seek_index: dict[str, tuple[list, bool]] = {}
 
-    #: record a (lsn, byte offset) checkpoint every this many events —
-    #: the executor seeks to the last checkpoint at-or-below the batch
-    #: start instead of re-decoding the file head (bounded memory:
-    #: one pair per 512 events)
-    SEEK_CHECKPOINT_EVERY = 512
-
     def _file_positions(self, f: str):
-        """Decode a file's positions ONCE (the scan cache holds the
-        result for the file's lifetime), recording as a side effect a
-        sparse lsn→byte seek index + whether the file is lsn-ordered —
-        partitions() turns those into executor seek hints so read()
-        is O(batch), not O(file)."""
-        ckpts: list[tuple[int, int]] = []
-        ordered = True
-        prev = None
-        i = 0
-        off = 0
-        with open(f, "rb") as fh:
-            for line in fh:
-                start = off
-                off += len(line)
-                if not line.strip():
-                    continue
-                try:
-                    lsn = int(json.loads(line)["lsn"])
-                except (ValueError, KeyError, TypeError):
-                    if self.dead_letter:
-                        continue  # read() dead-letters it
-                    raise
-                if prev is not None and lsn < prev:
-                    ordered = False
-                prev = lsn
-                if i % self.SEEK_CHECKPOINT_EVERY == 0:
-                    ckpts.append((lsn, start))
-                i += 1
-                yield lsn
-        self._seek_index[f] = (ckpts, ordered)
+        """One decode per immutable file, seek index recorded as a side
+        effect (the shared helper — partitions() turns it into executor
+        seek hints so read() is O(batch), not O(file))."""
+        yield from positions_with_seek_index(
+            f,
+            lambda ev: int(ev["lsn"]),
+            self._seek_index,
+            bool(self.dead_letter),
+        )
 
     # -- offset algebra: an offset is {"lsn": n}, rows with lsn in
     # (start, end] belong to the batch (same half-open contract as
@@ -345,20 +388,10 @@ class WalJsonStreamReader(DataSourceStreamReader):
         ]
         if not files:
             return [_FileSlice("", lo, hi)]
-        out = []
-        for f in files:
-            ckpts, ordered = self._seek_index.get(f, ([], False))
-            start_byte = 0
-            if ordered:
-                import bisect
-
-                # last checkpoint whose lsn <= lo: every earlier line
-                # is <= its lsn <= lo, so nothing in (lo, hi] is skipped
-                i = bisect.bisect_right(ckpts, (lo, float("inf"))) - 1
-                if i >= 0:
-                    start_byte = ckpts[i][1]
-            out.append(_FileSlice(f, lo, hi, start_byte, ordered))
-        return out
+        return attach_seek_hints(
+            files, lo, self._seek_index,
+            lambda f, sb, o: _FileSlice(f, lo, hi, sb, o),
+        )
 
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:

@@ -546,13 +546,17 @@ def dead_letter_count(dl_dir: str) -> int:
 
 def read_unparsed(spark: SparkSession, dl_dir: str) -> DataFrame:
     """The dead-letter table (≈ ``<table>_unparsed``,
-    ``generic_parser.go:575``): columns (table, file, line_no,
-    unparsed_row, reason)."""
+    ``generic_parser.go:575``): columns (table, file, byte_pos,
+    unparsed_row, reason). ``byte_pos`` is the poison line's byte
+    offset in its capture file (records written before r9 carried a
+    line ordinal under ``line_no``; reads coalesce both spellings)."""
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     schema = T.StructType([
         T.StructField("table", T.StringType()),
         T.StructField("file", T.StringType()),
+        T.StructField("byte_pos", T.LongType()),
         T.StructField("line_no", T.LongType()),
         T.StructField("unparsed_row", T.StringType()),
         T.StructField("reason", T.StringType()),
@@ -565,9 +569,14 @@ def read_unparsed(spark: SparkSession, dl_dir: str) -> DataFrame:
         ]
     except FileNotFoundError:
         files = []
+    out_cols = ["table", "file", "byte_pos", "unparsed_row", "reason"]
     if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).json(files)
+        return spark.createDataFrame([], schema).select(*out_cols)
+    return (
+        spark.read.schema(schema).json(files)
+        .withColumn("byte_pos", F.coalesce("byte_pos", "line_no"))
+        .select(*out_cols)
+    )
 
 
 def _seed_snapshot(spark: SparkSession, spec: TransferSpec, table_obj) -> int:
@@ -671,19 +680,21 @@ def run_replication(
         and not src_cfg.get("schema")
         and not src_cfg.get("schema_file")
         and hasattr(spec.src, "_table_schema_pk")
-        and getattr(spec.src, "tables", None)
     ):
         # neither schema: nor schema_file: on the stream — resolve the
         # payload DDL from the SNAPSHOT source's catalog discovery
         # (pgcopy/mysqlselect, r9): one schema authority for seed AND
         # stream, the reference's TableSchema-at-activation shape.
+        # table_list() populates an empty tables: section from the
+        # catalog (whole-database mode), so this must go through it,
+        # not read .tables directly (code-review r9 session 2).
         # Multi-table streams need an explicit union schema (columns
         # across tables differ); keep that loud.
-        names = list(spec.src.tables)
+        names = [t.fqtn() for t in spec.src.table_list(spark)]
         if len(names) != 1:
             raise FatalError(
                 "replication.source has no schema/schema_file and the "
-                f"snapshot source declares {len(names)} tables — "
+                f"snapshot source resolves to {len(names)} tables — "
                 "discovery can stand in for exactly one; declare the "
                 "union schema explicitly for multi-table streams"
             )
