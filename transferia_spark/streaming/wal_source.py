@@ -170,14 +170,19 @@ class OffsetScanCache:
             if c is not None and c[0] == size:
                 if c[1] is None or not (c[1] > floor):
                     if c[2]:
-                        # fully below the floor forever (floors are
-                        # monotone): two scalars suffice from here on
+                        # fully below the floor (floors are monotone in
+                        # a reader's lifetime): two scalars suffice
                         self._hw[f] = (c[0], c[1], [])
                     continue
-                # answer from the cached (sorted) positions — the file
-                # is immutable at this size, no re-decode
-                yield from c[2][bisect.bisect_right(c[2], floor):]
-                continue
+                if c[2]:
+                    # answer from the cached (sorted) positions — the
+                    # file is immutable at this size, no re-decode
+                    yield from c[2][bisect.bisect_right(c[2], floor):]
+                    continue
+                # the list was dropped under a HIGHER floor and a lower
+                # one arrived (shouldn't happen for a live reader, but
+                # a wrong answer is worse than one re-decode) — fall
+                # through and re-scan the file (property-test finding)
             positions = list(positions_of_file(f))
             positions.sort()
             mx = positions[-1] if positions else None
