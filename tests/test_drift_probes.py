@@ -161,6 +161,34 @@ def test_string_encoded_numerics_are_not_retypes():
     assert ok(T.LongType(), "42")  # numeric-as-string option
     assert not ok(T.DoubleType(), "abc")   # a genuine retype stays loud
     assert not ok(T.LongType(), "not-a-number")
+    # ADVICE r9: the NaN/Infinity rationale is FLOAT-specific — an
+    # int-declared column whose stream now carries a float-looking or
+    # non-finite string IS a retype and must be flagged
+    assert not ok(T.LongType(), "12.5")
+    assert not ok(T.IntegerType(), "NaN")
+    assert not ok(T.LongType(), "Infinity")
+    assert ok(T.IntegerType(), "7")
+
+
+def test_epoch_reset_rescans_every_file_same_probe(tmp_path):
+    """ADVICE r9: when the FIRST file's recreation triggers the epoch
+    reset, files later in the listing must still be scanned in the SAME
+    probe cycle (the old code broke out of the ident loop, leaving them
+    ident-less and skipped for one trigger)."""
+    path = str(tmp_path / "cap")
+    _write(path, "000.jsonl", [_w2j(id=1, v="a")])
+    _write(path, "001.jsonl", [_w2j(id=2, v="b")])
+    probe_wal_schema(path, DDL)
+    # wipe + re-seed BOTH files (same names/sizes, new identities);
+    # the new column arrives only in the LATER file
+    for name, evs in (
+        ("000.jsonl", [_w2j(id=1, v="a")]),
+        ("001.jsonl", [_w2j(id=2, v="b", zz=9)]),
+    ):
+        os.remove(os.path.join(path, name))
+        _write(path, name, evs)
+    st = probe_wal_schema(path, DDL)
+    assert st.fields[-1].name == "zz"  # detected THIS cycle, not next
 
 
 def test_recreated_capture_file_starts_fresh_epoch(tmp_path):

@@ -197,6 +197,52 @@ def test_gpfdist_server_unload_post_path(tmp_path):
         srv.close()
 
 
+def test_gpfdist_proto0_streams_multi_file_share(tmp_path):
+    """r10: proto-0 now streams file-by-file like proto-1 (no
+    whole-share concatenation in memory) — the body must still be the
+    exact concatenation of the segment's files in sorted order, and a
+    file deleted between glob and open must yield a 500, not a torn
+    response."""
+    import urllib.error
+    import urllib.request
+
+    from transferia_spark.sinks.gpfdist_server import GpfdistServer
+
+    d = tmp_path / "t"
+    d.mkdir()
+    (d / "p1.txt").write_bytes(b"1\ta\n")
+    (d / "p2.txt").write_bytes(b"2\tb\n")
+    (d / "p3.txt").write_bytes(b"3\tc\n")
+    (d / "_SUCCESS").write_bytes(b"")  # empty marker: skipped
+    srv = GpfdistServer(str(tmp_path))
+    try:
+        body = _segment_get(srv.port, "t/*", 0, 1, proto=0)
+        assert body == b"1\ta\n2\tb\n3\tc\n"
+        # missing file → clean 500 before any body bytes (delete AFTER
+        # the split so the isfile filter can't silently absorb it)
+        import transferia_spark.sinks.gpfdist_server as mod
+
+        saved = mod.segment_files
+
+        def fake_split(files, seg, n):
+            out = saved(files, seg, n)
+            (d / "p2.txt").unlink(missing_ok=True)
+            return out
+
+        mod.segment_files = fake_split
+        try:
+            try:
+                _segment_get(srv.port, "t/*", 0, 1, proto=0)
+                code = 200
+            except urllib.error.HTTPError as e:
+                code = e.code
+            assert code == 500
+        finally:
+            mod.segment_files = saved
+    finally:
+        srv.close()
+
+
 def test_gpfdist_post_retransmit_dedup_and_bad_segment(tmp_path):
     """code-review r9 session 2: a re-POSTed chunk (same X-GP-SEQ — the
     lost-response retry) must not append twice, and an out-of-range
@@ -223,6 +269,22 @@ def test_gpfdist_post_retransmit_dedup_and_bad_segment(tmp_path):
         assert (tmp_path / "unload" / "t" / "seg0.txt").read_bytes() == (
             b"1\ta\n2\tb\n"
         )
+        # ADVICE r9 crash window: simulate a crash mid-append of seq 2
+        # (journal written, data file carries a partial chunk) — the
+        # segment's replay of seq 2 must truncate the partial bytes
+        # back to the journaled pre-append length before re-appending
+        seg_file = tmp_path / "unload" / "t" / "seg0.txt"
+        seq_file = tmp_path / "unload" / "t" / "seg0.seq"
+        pre = seg_file.stat().st_size
+        seq_file.write_text(f"2 {pre}")
+        with open(seg_file, "ab") as fh:
+            fh.write(b"3\tpartial")  # torn append, no response sent
+        post(2, b"3\tc\n")  # the retry
+        assert seg_file.read_bytes() == b"1\ta\n2\tb\n3\tc\n"
+        post(2, b"3\tc\n")  # plain lost-response retransmit: still one copy
+        assert seg_file.read_bytes() == b"1\ta\n2\tb\n3\tc\n"
+        post(3, b"4\td\n")  # stream continues past the recovered chunk
+        assert seg_file.read_bytes() == b"1\ta\n2\tb\n3\tc\n4\td\n"
         # out-of-range segment id → 400
         req = urllib.request.Request(f"http://127.0.0.1:{srv.port}/x")
         req.add_header("X-GP-SEGMENT-ID", "2")

@@ -146,14 +146,21 @@ def _serve_select_shards(srv: socket.socket, n_conns: int,
 
         def recv_packet():
             head = recv_exact(4)
+            if len(head) < 4:
+                return None  # peer closed (aborted shard task)
             ln = int.from_bytes(head[:3], "little")
             return recv_exact(ln)
 
         conn.sendall(encode_packet(handshake_payload(), 0))
-        recv_packet()  # HandshakeResponse41
+        if recv_packet() is None:  # HandshakeResponse41
+            conn.close()
+            return
         conn.sendall(encode_packet(ok_packet(), 2))
         while True:
             q = recv_packet()
+            if not q:  # clean disconnect mid-session, not a protocol bug
+                conn.close()
+                return
             assert q[:1] == b"\x03"  # COM_QUERY
             sql = q[1:].decode()
             if log is not None:
@@ -178,8 +185,37 @@ def _serve_select_shards(srv: socket.socket, n_conns: int,
         conn.close()
 
     for i in range(n_conns):
-        conn, _addr = srv.accept()
-        threading.Thread(target=one, args=(conn, i), daemon=True).start()
+        try:
+            conn, _addr = srv.accept()
+        except OSError:
+            return  # listener closed by the test before every conn arrived
+        t = threading.Thread(target=one, args=(conn, i), daemon=True)
+        _helper_threads.append(t)
+        t.start()
+
+
+#: every scripted-server helper thread registers here; the autouse
+#: fixture joins them before the test returns, so a protocol assert in
+#: a helper can't surface as an ignored post-teardown
+#: PytestUnhandledThreadExceptionWarning (r9 verdict item, hygiene)
+_helper_threads: list[threading.Thread] = []
+
+
+@pytest.fixture(autouse=True)
+def _join_scripted_helpers():
+    _helper_threads.clear()
+    yield
+    for t in _helper_threads:
+        t.join(timeout=10)
+    assert not any(t.is_alive() for t in _helper_threads)
+
+
+def _start_serving(srv, n_conns, log=None):
+    t = threading.Thread(
+        target=_serve_select_shards, args=(srv, n_conns, log), daemon=True
+    )
+    _helper_threads.append(t)
+    t.start()
 
 
 def test_mysql_select_snapshot_loopback_e2e(spark):
@@ -191,9 +227,7 @@ def test_mysql_select_snapshot_loopback_e2e(spark):
     srv.bind(("127.0.0.1", 0))
     srv.listen(4)
     port = srv.getsockname()[1]
-    threading.Thread(
-        target=_serve_select_shards, args=(srv, 2), daemon=True
-    ).start()
+    _start_serving(srv, 2)
 
     schema = T.StructType(
         [
@@ -227,9 +261,7 @@ def test_mysqlselect_source_registry(spark):
     srv.bind(("127.0.0.1", 0))
     srv.listen(4)
     port = srv.getsockname()[1]
-    threading.Thread(
-        target=_serve_select_shards, args=(srv, 2), daemon=True
-    ).start()
+    _start_serving(srv, 2)
 
     src = build_source(
         "mysqlselect",
@@ -296,9 +328,7 @@ def test_mysql_consistent_snapshot_setup_precedes_select(spark):
     srv.listen(4)
     port = srv.getsockname()[1]
     log: list = []
-    threading.Thread(
-        target=_serve_select_shards, args=(srv, 2, log), daemon=True
-    ).start()
+    _start_serving(srv, 2, log)
 
     schema = T.StructType(
         [
@@ -385,9 +415,7 @@ def test_mysqlselect_source_consistent_one_instant_fence(spark):
     srv.listen(4)
     port = srv.getsockname()[1]
     log: list = []
-    threading.Thread(
-        target=_serve_select_shards, args=(srv, 3, log), daemon=True
-    ).start()
+    _start_serving(srv, 3, log)
 
     src = build_source(
         "mysqlselect",
@@ -435,9 +463,7 @@ def test_snapshot_fence_times_out_and_unlocks(spark):
     srv.listen(8)
     port = srv.getsockname()[1]
     log: list = []
-    threading.Thread(
-        target=_serve_select_shards, args=(srv, 4, log), daemon=True
-    ).start()
+    _start_serving(srv, 4, log)
 
     src = build_source(
         "mysqlselect",

@@ -80,6 +80,41 @@ def decode_gpfdist_blocks(body: bytes) -> list[tuple[str, bytes]]:
     return out
 
 
+_COPY_CHUNK = 1 << 20
+
+
+def _count_newlines(fh) -> int:
+    """Chunked newline count for the advisory L frame (the file is
+    about to be streamed anyway, so this pre-pass is page-cached);
+    rewinds the handle."""
+    n = 0
+    while True:
+        chunk = fh.read(_COPY_CHUNK)
+        if not chunk:
+            break
+        n += chunk.count(b"\n")
+    fh.seek(0)
+    return n
+
+
+def _copy_exact(fh, out, size: int, name: str) -> None:
+    """Stream exactly ``size`` bytes from ``fh`` to ``out`` in bounded
+    chunks. A short read means the staged file shrank after its size
+    was baked into Content-Length — raise so the connection dies loudly
+    (the segment sees a truncated read and retries) instead of the
+    segment hanging on a Content-Length that will never be filled."""
+    left = size
+    while left > 0:
+        chunk = fh.read(min(_COPY_CHUNK, left))
+        if not chunk:
+            raise OSError(
+                f"staged file {name!r} shrank while being served "
+                f"({left} of {size} bytes missing)"
+            )
+        out.write(chunk)
+        left -= len(chunk)
+
+
 def segment_files(files: list[str], seg_id: int, seg_count: int) -> list[str]:
     """Deterministic exclusive-and-exhaustive split of a path's files
     among the session's segments (the coordination gpfdist keeps in
@@ -140,48 +175,68 @@ class GpfdistServer:
                 # framed: a zero-length D block IS the protocol's
                 # end-of-stream marker and would truncate the response
                 # after the first empty file
-                serve = [
-                    (f, os.path.getsize(f))
-                    for f in mine
-                    if os.path.getsize(f) > 0
-                ]
-                if proto >= 1:
-                    # Content-Length is computable from file sizes +
-                    # per-file frame overhead, so frames stream out
-                    # file-by-file — memory stays O(largest file), not
-                    # O(segment share)
-                    total = sum(
-                        # F + name, O + 8, L + 8, D + data
-                        5 + len(os.path.relpath(f, outer.root).encode())
-                        + 5 + 8 + 5 + 8 + 5 + sz
-                        for f, sz in serve
-                    )
-                    total += 5  # terminating empty D (with or without files)
+                # open + stat each file ONCE before any header goes
+                # out: a file that vanished between glob and read must
+                # become a clean 500, not an OSError after headers, and
+                # the streamed byte count must equal the stat'ed size
+                # the Content-Length was computed from (ADVICE r9)
+                serve: list[tuple[str, object, int, int]] = []
+                try:
+                    for f in mine:
+                        fh = open(f, "rb")
+                        sz = os.fstat(fh.fileno()).st_size
+                        if sz == 0:
+                            # EMPTY files (Spark's _SUCCESS markers)
+                            # must not be framed: a zero-length D block
+                            # IS the protocol's end-of-stream marker
+                            fh.close()
+                            continue
+                        serve.append((f, fh, sz, _count_newlines(fh)))
+                except OSError:
+                    for _f, fh, _sz, _nl in serve:
+                        fh.close()
+                    self.send_error(500, "staged file unreadable")
+                    return
+                try:
+                    if proto >= 1:
+                        # Content-Length is computable from file sizes
+                        # + per-file frame overhead, so frames stream
+                        # out in bounded chunks — memory stays O(chunk)
+                        # in both protocol arms, not O(segment share)
+                        total = sum(
+                            # F + name, O + 8, L + 8, D + data
+                            5 + len(os.path.relpath(f, outer.root).encode())
+                            + 5 + 8 + 5 + 8 + 5 + sz
+                            for f, _fh, sz, _nl in serve
+                        )
+                        total += 5  # terminating empty D (always sent)
+                        self.send_response(200)
+                        self.send_header("X-GP-PROTO", str(proto))
+                        self.send_header("Content-Length", str(total))
+                        self.end_headers()
+                        for f, fh, sz, nlines in serve:
+                            name = os.path.relpath(f, outer.root).encode()
+                            self.wfile.write(
+                                b"F" + struct.pack(">I", len(name)) + name
+                                + b"O" + struct.pack(">IQ", 8, 0)
+                                + b"L" + struct.pack(">IQ", 8, nlines)
+                                + b"D" + struct.pack(">I", sz)
+                            )
+                            _copy_exact(fh, self.wfile, sz, f)
+                        self.wfile.write(b"D" + struct.pack(">I", 0))
+                        return
                     self.send_response(200)
                     self.send_header("X-GP-PROTO", str(proto))
-                    self.send_header("Content-Length", str(total))
+                    self.send_header(
+                        "Content-Length",
+                        str(sum(sz for _f, _fh, sz, _nl in serve)),
+                    )
                     self.end_headers()
-                    for i, (f, _sz) in enumerate(serve):
-                        with open(f, "rb") as fh:
-                            data = fh.read()
-                        self.wfile.write(
-                            encode_gpfdist_blocks(
-                                os.path.relpath(f, outer.root), data,
-                                final=(i == len(serve) - 1),
-                            )
-                        )
-                    if not serve:
-                        self.wfile.write(b"D" + struct.pack(">I", 0))
-                    return
-                body = b""
-                for f, _sz in serve:
-                    with open(f, "rb") as fh:
-                        body += fh.read()
-                self.send_response(200)
-                self.send_header("X-GP-PROTO", str(proto))
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                    for f, fh, sz, _nl in serve:
+                        _copy_exact(fh, self.wfile, sz, f)
+                finally:
+                    for _f, fh, _sz, _nl in serve:
+                        fh.close()
 
             def do_POST(self):
                 rel = self.path.lstrip("/")
@@ -196,33 +251,53 @@ class GpfdistServer:
                 os.makedirs(target_dir, exist_ok=True)
                 seq = self.headers.get("X-GP-SEQ")
                 seq_file = os.path.join(target_dir, f"seg{seg}.seq")
+                data_file = os.path.join(target_dir, f"seg{seg}.txt")
                 if seq is not None:
                     # retransmit dedup: a chunk whose response was lost
                     # is re-POSTed under the SAME sequence number — a
-                    # blind append would duplicate its rows. The last
-                    # applied seq per segment persists next to the data.
+                    # blind append would duplicate its rows. The marker
+                    # journals ``<seq> <pre-append length>`` and is
+                    # written BEFORE the append: a crash between append
+                    # and response makes the replayed seq EQUAL the
+                    # journaled one, and the pre-append length lets the
+                    # partial/duplicate bytes be truncated away before
+                    # re-appending (ADVICE r9 crash-window fix).
                     try:
                         with open(seq_file) as fh:
-                            last = int(fh.read().strip())
-                    except (FileNotFoundError, ValueError):
-                        last = -1
-                    if int(seq) <= last:
+                            parts = fh.read().split()
+                        last, pre_len = int(parts[0]), int(parts[1])
+                    except (FileNotFoundError, ValueError, IndexError):
+                        last, pre_len = -1, 0
+                    cur = int(seq)
+                    if cur < last:
+                        # strictly older than the journaled seq: its
+                        # append AND its successor's journal both
+                        # completed — already applied
                         self.send_response(200)
                         self.send_header("X-GP-PROTO", "1")
                         self.send_header("Content-Length", "0")
                         self.end_headers()
                         return
+                    if cur == last:
+                        # the journaled seq itself replayed: its append
+                        # may be complete (response lost) or partial
+                        # (crash mid-append) — truncate back to the
+                        # journaled pre-append length, then re-append
+                        with open(data_file, "ab") as fh:
+                            fh.truncate(pre_len)
+                    else:
+                        try:
+                            cur_len = os.path.getsize(data_file)
+                        except FileNotFoundError:
+                            cur_len = 0
+                        tmp = seq_file + ".tmp"
+                        with open(tmp, "w") as fh:
+                            fh.write(f"{cur} {cur_len}")
+                        os.replace(tmp, seq_file)
                 # per-segment file; chunks of one segment's stream
-                # arrive in order on its connection — append + seq mark
-                with open(
-                    os.path.join(target_dir, f"seg{seg}.txt"), "ab"
-                ) as fh:
+                # arrive in order on its connection — journal then append
+                with open(data_file, "ab") as fh:
                     fh.write(data)
-                if seq is not None:
-                    tmp = seq_file + ".tmp"
-                    with open(tmp, "w") as fh:
-                        fh.write(seq)
-                    os.replace(tmp, seq_file)
                 self.send_response(200)
                 self.send_header("X-GP-PROTO", "1")
                 self.send_header("Content-Length", "0")

@@ -106,11 +106,7 @@ def json_kind_compatible(declared: T.DataType, v) -> bool:
              T.DecimalType),
         ):
             return True
-        if isinstance(
-            declared,
-            (T.FloatType, T.DoubleType, T.ByteType, T.ShortType,
-             T.IntegerType, T.LongType),
-        ):
+        if isinstance(declared, (T.FloatType, T.DoubleType)):
             # real producers string-encode numerics: wal2json emits
             # NaN/±Infinity as JSON strings (JSON has no spelling for
             # them) and numeric values as strings under common options
@@ -118,6 +114,19 @@ def json_kind_compatible(declared: T.DataType, v) -> bool:
             # flagged as a retyping DDL (ADVICE r8)
             try:
                 float(v)
+                return True
+            except ValueError:
+                return False
+        if isinstance(
+            declared,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            # integer columns accept only integer-parseable strings:
+            # the NaN/Infinity rationale is float-specific, so an
+            # int-declared column whose stream now carries '12.5' or
+            # 'hello' IS a retype and must be flagged (ADVICE r9)
+            try:
+                int(v)
                 return True
             except ValueError:
                 return False
@@ -195,11 +204,16 @@ def incremental_probe(
         except OSError:
             continue
         idents[name] = (st_f.st_size, st_f.st_mtime_ns)
-        prev = cache.scanned.get(name)
-        if prev is not None and prev != idents[name]:
-            cache.scanned.clear()
-            cache.samples.clear()
-            break
+    # compute EVERY ident before acting on an epoch change: breaking at
+    # the first recreated file would leave later files ident-less, so
+    # they would be skipped for this probe cycle and their drift
+    # detection delayed one trigger (ADVICE r9)
+    if any(
+        cache.scanned.get(name) not in (None, ident)
+        for name, ident in idents.items()
+    ):
+        cache.scanned.clear()
+        cache.samples.clear()
     for f in files:
         name = os.path.basename(f)
         ident = idents.get(name)
