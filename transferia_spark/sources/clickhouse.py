@@ -58,14 +58,18 @@ def build_select_query(
     return q
 
 
-def decode_arrow_stream(body: bytes, schema: T.StructType):
+def decode_arrow_stream(body, schema: T.StructType):
     """ClickHouse ``FORMAT ArrowStream`` response → typed pandas
     frames. The server serializes columns straight into Arrow record
     batches, so the read plane is zero-parse: one IPC open per
     response, a vectorized cast per column onto the declared schema
     (ClickHouse Arrow types differ in width/signedness from the
     declared contract), no per-row Python. This is the default read
-    format — the JSONEachRow path stays for old servers."""
+    format — the JSONEachRow path stays for old servers.
+
+    ``body`` is either the full response bytes or a FILE-LIKE (the
+    open HTTP response): with a file-like, record batches decode
+    straight off the socket and memory stays O(batch), not O(slice)."""
     import pandas as pd
     import pyarrow as pa
 
@@ -74,7 +78,12 @@ def decode_arrow_stream(body: bytes, schema: T.StructType):
     from transferia_spark.schema.typesystem import arrow_to_pandas_column
 
     targets = {f.name: to_arrow_type(f.dataType) for f in schema.fields}
-    with pa.ipc.open_stream(pa.BufferReader(body)) as reader:
+    src = (
+        pa.BufferReader(body)
+        if isinstance(body, (bytes, bytearray, memoryview))
+        else body
+    )
+    with pa.ipc.open_stream(src) as reader:
         for batch in reader:
             cols = {}
             for f in schema.fields:
@@ -140,6 +149,26 @@ def decode_json_each_row(body: bytes, schema: T.StructType):
     return pd.DataFrame(data)
 
 
+def _iter_line_chunks(resp, chunk_bytes: int = 8 << 20):
+    """Split a streamed JSONEachRow response into ~``chunk_bytes``
+    chunks that end on line boundaries, so the legacy format decodes
+    incrementally too."""
+    tail = b""
+    while True:
+        block = resp.read(chunk_bytes)
+        if not block:
+            break
+        block = tail + block
+        cut = block.rfind(b"\n")
+        if cut < 0:
+            tail = block
+            continue
+        tail = block[cut + 1:]
+        yield block[:cut + 1]
+    if tail.strip():
+        yield tail
+
+
 @register_source
 class ClickHouseSource(Source):
     """Sharded snapshot reads; one HTTP endpoint per shard.
@@ -158,16 +187,27 @@ class ClickHouseSource(Source):
         database: str = "",
         keys: dict[str, list[str]] | None = None,
         deletable: bool = False,
-        parts_per_shard: int = 4,
+        parts_per_shard: int | None = None,
         client_factory: Callable[[str], ChHttpClient] = ChHttpClient,
         read_format: str = "ArrowStream",
+        rows_per_part: int = 1_000_000,
+        max_parts_per_shard: int = 64,
     ):
         self.shard_urls = dict(shard_urls)
         self.schemas = dict(schemas)
         self.database = database
         self.keys = keys or {}
         self.deletable = deletable
-        self.parts_per_shard = max(1, parts_per_shard)
+        # None = derive from the shard's own system.parts row counts at
+        # plan time (≈ CalculatePartCount, sharding_storage.go:234 — the
+        # reference sizes part counts from table size); an explicit int
+        # pins the fan-out (tests, plan-only flows)
+        self.parts_per_shard = (
+            None if parts_per_shard is None else max(1, parts_per_shard)
+        )
+        self.rows_per_part = max(1, rows_per_part)
+        self.max_parts_per_shard = max(1, max_parts_per_shard)
+        self._parts_cache: dict[str, dict[str, int]] = {}
         self.client_factory = client_factory
         if read_format not in ("ArrowStream", "JSONEachRow"):
             raise ValueError(
@@ -178,6 +218,41 @@ class ClickHouseSource(Source):
 
     def table_list(self, spark: SparkSession) -> list[TableID]:
         return [TableID(self.database, t) for t in sorted(self.schemas)]
+
+    def derive_parts(self, table: TableID) -> dict[str, int]:
+        """Per-shard part counts from the shard's OWN size: active
+        ``system.parts`` row totals ÷ ``rows_per_part``, clamped to
+        ``max_parts_per_shard`` (≈ ``CalculatePartCount``,
+        ``sharding_storage.go:234`` — a fixed fan-out under-splits big
+        shards and over-splits small ones). Cached per table; used when
+        ``parts_per_shard`` wasn't pinned."""
+        cached = self._parts_cache.get(table.name)
+        if cached is not None:
+            return cached
+        db = (table.namespace or self.database or "default").replace("'", "''")
+        name = table.name.replace("'", "''")
+        sql = (
+            "SELECT coalesce(sum(rows), 0) FROM system.parts WHERE active"
+            f" AND database = '{db}' AND table = '{name}'"
+            " FORMAT TabSeparated"
+        )
+        out: dict[str, int] = {}
+        for s, url in self.shard_urls.items():
+            body = self.client_factory(url).execute(sql)
+            rows = int(body.strip() or 0)
+            out[s] = min(
+                self.max_parts_per_shard,
+                max(1, -(-rows // self.rows_per_part)),
+            )
+        self._parts_cache[table.name] = out
+        return out
+
+    def _parts_for(self, table: TableID) -> dict[str, int]:
+        if not self.keys.get(table.name):
+            return {s: 1 for s in self.shard_urls}
+        if self.parts_per_shard is not None:
+            return {s: self.parts_per_shard for s in self.shard_urls}
+        return self.derive_parts(table)
 
     def plan_read_tasks(
         self, table: TableID, where: str | None = None
@@ -190,9 +265,11 @@ class ClickHouseSource(Source):
         st = T._parse_datatype_string(self.schemas[table.name])
         cols = [f.name for f in st.fields]
         keys = self.keys.get(table.name, [])
-        n_parts = self.parts_per_shard if keys else 1
+        by_shard = self._parts_for(table)
         tasks = []
-        for url in (self.shard_urls[s] for s in sorted(self.shard_urls)):
+        for s in sorted(self.shard_urls):
+            url = self.shard_urls[s]
+            n_parts = by_shard[s]
             for p in range(n_parts):
                 cond = None
                 if n_parts > 1:
@@ -226,12 +303,33 @@ class ClickHouseSource(Source):
             out_schema = T2.StructType.fromJson(json.loads(schema_json))
             for pdf in batches:
                 for url, query in zip(pdf["url"], pdf["query"]):
-                    body = factory(url).execute(f"{query} FORMAT {fmt}")
-                    if fmt == "ArrowStream":
-                        yield from decode_arrow_stream(body, out_schema)
-                    else:
-                        frame = decode_json_each_row(body, out_schema)
-                        if len(frame):
-                            yield frame
+                    client = factory(url)
+                    stream = getattr(client, "execute_stream", None)
+                    if stream is None:
+                        # injected test clients may only buffer
+                        body = client.execute(f"{query} FORMAT {fmt}")
+                        if fmt == "ArrowStream":
+                            yield from decode_arrow_stream(body, out_schema)
+                        else:
+                            frame = decode_json_each_row(body, out_schema)
+                            if len(frame):
+                                yield frame
+                        continue
+                    # stream the response: record batches (or bounded
+                    # line chunks) decode straight off the socket, so
+                    # per-task memory is O(batch), never O(slice)
+                    resp = stream(f"{query} FORMAT {fmt}")
+                    try:
+                        if fmt == "ArrowStream":
+                            yield from decode_arrow_stream(resp, out_schema)
+                        else:
+                            for chunk in _iter_line_chunks(resp):
+                                frame = decode_json_each_row(
+                                    chunk, out_schema
+                                )
+                                if len(frame):
+                                    yield frame
+                    finally:
+                        resp.close()
 
         return parts_df.mapInPandas(read_parts, st)
