@@ -1631,6 +1631,31 @@ def q_gpfdist_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.unionByName(lines)
 
 
+def q_gp_control_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the FULL Greenplum load control sequence
+    (GreenplumGpfdistSink.load_statements ≈ processDoneTableLoad,
+    ``greenplum/ddl_operations.go:107``) — external table over gpfdist
+    → temp stage → transactional commit swap → cleanup, as the exact
+    ordered statement strings the live wire session executes
+    (GpWireExecutor). Hash-compared against a SQL oracle rebuilding
+    all nine."""
+    from transferia_spark.sinks.greenplum import GreenplumGpfdistSink
+
+    sink = GreenplumGpfdistSink(
+        staging_dir="/unused",
+        gpfdist_urls=["gpfdist://etl1:8080"],
+        sql_executor=lambda q: None,
+    )
+    stmts = sink.load_statements(
+        TableID("public", "customer"),
+        ["c_custkey", "c_name"],
+        [("c_custkey", "bigint"), ("c_name", "text")],
+    )
+    return spark.createDataFrame(
+        list(enumerate(stmts)), "idx int, stmt string"
+    )
+
+
 def q_mongo_id_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo parallel-unit planning (sources/mongo.py plan_id_ranges ≈
     ShardTable): sampled delimiters become half-open [from, to) _id
@@ -4019,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r8-new rows -----------------------------------------
         "elastic_scroll_plan": q_elastic_scroll_plan,
         "gpfdist_plan": q_gpfdist_plan,
+        "gp_control_plane": q_gp_control_plane,
         "cdc_rebucket": q_cdc_rebucket,
         "pg_copy_plan": q_pg_copy_plan,
         "pg_copy_decode": q_pg_copy_decode,
@@ -4354,6 +4380,19 @@ SELECT 'type', t.i, t.v FROM (VALUES
   (6, 'g_date=timestamp'), (7, 'h_ip=string'), (8, 'i_bin=binary'),
   (9, 'j_obj=string'), (10, 'k_geo=string'),
   (11, 'l_uns=decimal(20,0)')) t(i, v)
+""",
+        "gp_control_plane": """
+SELECT t.i AS idx, t.v AS stmt FROM (VALUES
+  (0, $gp$DROP EXTERNAL TABLE IF EXISTS "public"."ext_customer"$gp$),
+  (1, $gp$CREATE READABLE EXTERNAL TABLE "public"."ext_customer" ("c_custkey" bigint, "c_name" text) LOCATION ('gpfdist://etl1:8080/customer/*') FORMAT 'TEXT' (DELIMITER E'\\t' NULL E'\\\\N')$gp$),
+  (2, $gp$CREATE TEMPORARY TABLE "tmp_public_customer" AS SELECT * FROM "public"."customer" LIMIT 0$gp$),
+  (3, $gp$INSERT INTO "tmp_public_customer"("c_custkey", "c_name") SELECT "c_custkey", "c_name" FROM "public"."ext_customer"$gp$),
+  (4, 'BEGIN'),
+  (5, $gp$INSERT INTO "public"."customer"("c_custkey", "c_name") SELECT "c_custkey", "c_name" FROM "tmp_public_customer"$gp$),
+  (6, $gp$DROP TABLE IF EXISTS "tmp_public_customer"$gp$),
+  (7, 'COMMIT'),
+  (8, $gp$DROP EXTERNAL TABLE IF EXISTS "public"."ext_customer"$gp$)
+) t(i, v)
 """,
         "gpfdist_plan": """
 SELECT 'ddl' AS kind, 0 AS idx,

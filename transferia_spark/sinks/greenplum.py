@@ -92,9 +92,80 @@ def gpfdist_text_line(df: DataFrame, cols: list[str]) -> F.Column:
     return F.concat_ws("\t", *parts)
 
 
+class GpWireExecutor:
+    """Live Greenplum control plane over the repo's OWN PG wire session
+    — GP speaks the PostgreSQL protocol, so the session layer built for
+    PG replication/COPY carries the external-table DDL and the
+    ``INSERT ... SELECT`` commit too (≈ ``ddl_operations.go`` running
+    them through a pgx pool in the reference; here no client library at
+    all). ONE persistent connection, lazily dialed: the load sequence
+    brackets its commit in ``BEGIN``/``COMMIT``, which only means
+    anything when every statement shares the connection."""
+
+    def __init__(self, live: dict, dial_fn=None):
+        self.live = dict(live)
+        self._dial = dial_fn
+        self._sess = None
+        self._close = None
+
+    def _ensure(self):
+        if self._sess is None:
+            from transferia_spark.streaming.pg_replication import (
+                PgWireSession,
+                dial,
+            )
+
+            d = self._dial or dial
+            read, write, close, _poll = d(
+                self.live["host"],
+                int(self.live.get("port", 5432)),
+                timeout=float(self.live.get("timeout", 30.0)),
+                sslmode=self.live.get("sslmode", "disable"),
+                sslrootcert=self.live.get("sslrootcert"),
+            )
+            try:
+                sess = PgWireSession(read, write)
+                sess.connect(
+                    user=self.live["user"],
+                    database=self.live.get("database", ""),
+                    password=self.live.get("password", ""),
+                )
+            except BaseException:
+                close()
+                raise
+            self._sess, self._close = sess, close
+        return self._sess
+
+    def __call__(self, sql: str):
+        return self._ensure().simple_query(sql)
+
+    def close(self) -> None:
+        if self._close is not None:
+            try:
+                self._close()
+            except OSError:
+                pass
+        self._sess = self._close = None
+
+
 @register_sink
 class GreenplumGpfdistSink(Sink):
-    """Stage part files → external-table load → transactional swap."""
+    """Stage part files → external-table load → transactional swap.
+
+    Three deployment shapes:
+
+    - ``sql_executor=`` injected (psycopg/JDBC/test recorder) — as
+      before;
+    - ``live={host,port,user,password,database}`` — the control plane
+      runs over the repo's own PG wire session
+      (:class:`GpWireExecutor`), no client library needed;
+    - ``serve_staging=True`` — the sink also runs its own
+      :class:`~transferia_spark.sinks.gpfdist_server.GpfdistServer`
+      over ``staging_dir`` and points the external-table LOCATION at
+      it, making the whole load path self-contained (stage → serve →
+      DDL+INSERT), ≈ the reference owning its gpfdist binary
+      (``gpfdist_table_sink.go``). ``close()`` stops both.
+    """
 
     TYPE = "greenplum_gpfdist"
 
@@ -104,16 +175,38 @@ class GreenplumGpfdistSink(Sink):
         gpfdist_urls: list[str] | None = None,
         sql_executor: Callable[[str], None] | None = None,
         generated_cols: list[str] | None = None,
+        live: dict | None = None,
+        serve_staging: bool = False,
+        bind_host: str = "127.0.0.1",
     ):
         self.staging_dir = staging_dir
+        self._server = None
+        if serve_staging:
+            from transferia_spark.sinks.gpfdist_server import GpfdistServer
+
+            self._server = GpfdistServer(staging_dir, host=bind_host)
+            gpfdist_urls = [self._server.url]
         self.gpfdist_urls = gpfdist_urls or ["gpfdist://localhost:8080"]
-        self.sql = sql_executor or (lambda q: (_ for _ in ()).throw(
-            NotImplementedError(
-                "greenplum sink needs a SQL executor (psycopg/JDBC "
-                "connection to the master); inject via sql_executor"
+        if sql_executor is not None:
+            self.sql = sql_executor
+        elif live is not None:
+            self.sql = GpWireExecutor(live)
+        else:
+            self.sql = lambda q: (_ for _ in ()).throw(
+                NotImplementedError(
+                    "greenplum sink needs a control plane: pass "
+                    "live={host,port,user,...} (wire session) or "
+                    "inject sql_executor (psycopg/JDBC)"
+                )
             )
-        ))
         self.generated_cols = set(generated_cols or ())
+
+    def close(self) -> None:
+        if self._server is not None:
+            self._server.close()
+            self._server = None
+        if isinstance(self.sql, GpWireExecutor):
+            self.sql.close()
 
     def _data_cols(self, df: DataFrame) -> list[str]:
         return [
@@ -130,6 +223,31 @@ class GreenplumGpfdistSink(Sink):
         ).text(path)
         return path
 
+    def load_statements(
+        self, table: TableID, cols: list[str],
+        col_types: list[tuple[str, str]],
+    ) -> list[str]:
+        """The exact control-plane sequence, as pure strings (driver-
+        scorable): external table over the gpfdist endpoints → temp
+        stage → transactional commit swap → cleanup
+        (``processDoneTableLoad:107`` order)."""
+        locations = [
+            f"{u.rstrip('/')}/{table.name}/*" for u in self.gpfdist_urls
+        ]
+        target, tmp, ext = pg_name(table), tmp_name(table), ext_name(table)
+        return [
+            f"DROP EXTERNAL TABLE IF EXISTS {ext}",
+            readable_external_table_ddl(table, col_types, locations),
+            f"CREATE TEMPORARY TABLE {tmp} AS "
+            f"SELECT * FROM {target} LIMIT 0",
+            insert_from_select(tmp, ext, cols),
+            "BEGIN",
+            insert_from_select(target, tmp, cols),
+            f"DROP TABLE IF EXISTS {tmp}",
+            "COMMIT",
+            f"DROP EXTERNAL TABLE IF EXISTS {ext}",
+        ]
+
     def write(self, df: DataFrame, table: TableID) -> None:
         cols = self._data_cols(df)
         col_types = [
@@ -138,22 +256,8 @@ class GreenplumGpfdistSink(Sink):
             if f.name in cols
         ]
         self.stage(df, table)
-        locations = [
-            f"{u.rstrip('/')}/{table.name}/*" for u in self.gpfdist_urls
-        ]
-        target, tmp, ext = pg_name(table), tmp_name(table), ext_name(table)
-        self.sql(f"DROP EXTERNAL TABLE IF EXISTS {ext}")
-        self.sql(readable_external_table_ddl(table, col_types, locations))
-        self.sql(
-            f"CREATE TEMPORARY TABLE {tmp} AS SELECT * FROM {target} LIMIT 0"
-        )
-        self.sql(insert_from_select(tmp, ext, cols))
-        # commit swap: one transactional insert into the target
-        self.sql("BEGIN")
-        self.sql(insert_from_select(target, tmp, cols))
-        self.sql(f"DROP TABLE IF EXISTS {tmp}")
-        self.sql("COMMIT")
-        self.sql(f"DROP EXTERNAL TABLE IF EXISTS {ext}")
+        for stmt in self.load_statements(table, cols, col_types):
+            self.sql(stmt)
 
     def cleanup(self, table: TableID, policy: CleanupPolicy) -> None:
         if policy == CleanupPolicy.DISABLED:
@@ -174,6 +278,7 @@ def _pg_type(simple: str) -> str:
 
 
 __all__ = [
+    "GpWireExecutor",
     "GreenplumGpfdistSink",
     "readable_external_table_ddl",
     "insert_from_select",
