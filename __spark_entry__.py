@@ -1656,6 +1656,43 @@ def q_gp_control_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kafka_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the pure-wire Kafka CONSUMER plane
+    (sinks/kafka_wire.py fetch codecs + streaming/kafka_source.py ≈
+    ``kafka/source.go:105``) — exact Fetch v4 / ListOffsets v1 request
+    bytes for fixed arguments, and the records decoded back out of a
+    fixed RecordBatch v2 record set (offsets resolve against the base,
+    null key survives). Hash-compared against hardcoded oracle rows."""
+    from transferia_spark.sinks.kafka_wire import (
+        decode_record_set,
+        encode_fetch_request,
+        encode_list_offsets_request,
+        encode_record_batch,
+    )
+
+    rows = [
+        ("fetch_frame", 0,
+         encode_fetch_request(
+             "orders", {0: 42, 1: 7}, max_wait_ms=500, correlation_id=9
+         ).hex()),
+        ("list_offsets_frame", 0,
+         encode_list_offsets_request(
+             "orders", {0: -1, 1: -2}, correlation_id=3
+         ).hex()),
+    ]
+    rec_set = encode_record_batch(
+        [(b"k1", b"v1"), (None, b"v2")],
+        base_offset=5, base_timestamp=1_700_000_000_000,
+    )
+    for r in decode_record_set(rec_set):
+        rows.append((
+            "record", int(r["offset"]),
+            f"{(r['key'] or b'').decode()}={r['value'].decode()}"
+            f"@{r['timestamp']}",
+        ))
+    return spark.createDataFrame(rows, "kind string, idx int, val string")
+
+
 def q_mongo_id_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo parallel-unit planning (sources/mongo.py plan_id_ranges ≈
     ShardTable): sampled delimiters become half-open [from, to) _id
@@ -4045,6 +4082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elastic_scroll_plan": q_elastic_scroll_plan,
         "gpfdist_plan": q_gpfdist_plan,
         "gp_control_plane": q_gp_control_plane,
+        "kafka_fetch_plan": q_kafka_fetch_plan,
         "cdc_rebucket": q_cdc_rebucket,
         "pg_copy_plan": q_pg_copy_plan,
         "pg_copy_decode": q_pg_copy_decode,
@@ -4380,6 +4418,14 @@ SELECT 'type', t.i, t.v FROM (VALUES
   (6, 'g_date=timestamp'), (7, 'h_ip=string'), (8, 'i_bin=binary'),
   (9, 'j_obj=string'), (10, 'k_geo=string'),
   (11, 'l_uns=decimal(20,0)')) t(i, v)
+""",
+        "kafka_fetch_plan": """
+SELECT t.kind, t.idx, t.val FROM (VALUES
+  ('fetch_frame', 0, '0000005b000100040000000900107472616e7366657269612d737061726bffffffff000001f40000000100800000000000000100066f72646572730000000200000000000000000000002a0010000000000001000000000000000700100000'),
+  ('list_offsets_frame', 0, '00000046000200010000000300107472616e7366657269612d737061726bffffffff0000000100066f72646572730000000200000000ffffffffffffffff00000001fffffffffffffffe'),
+  ('record', 5, 'k1=v1@1700000000000'),
+  ('record', 6, '=v2@1700000000000')
+) t(kind, idx, val)
 """,
         "gp_control_plane": """
 SELECT t.i AS idx, t.v AS stmt FROM (VALUES

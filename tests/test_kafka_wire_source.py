@@ -1,0 +1,323 @@
+"""Pure-wire Kafka CONSUMER (streaming/kafka_source.py): a REAL
+loopback broker speaking Metadata/ListOffsets/Fetch — rows produced by
+the repo's own wire PRODUCER come back through the new
+DataSourceStreamReader (r9 verdict next #4 ≈ kafka/source.go:105)."""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+import pytest
+
+from transferia_spark.sinks.kafka_wire import (
+    decode_record_batch,
+    decode_record_set,
+    encode_record_batch,
+)
+
+# ------------------------------------------------------- scripted broker
+
+
+def _enc_str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode()
+    return struct.pack(">h", len(b)) + b
+
+
+def _read_str(body: bytes, pos: int):
+    (ln,) = struct.unpack_from(">h", body, pos)
+    pos += 2
+    if ln < 0:
+        return None, pos
+    return body[pos:pos + ln].decode(), pos + ln
+
+
+class LoopbackBroker:
+    """Single-node broker: RecordBatch v2 log per (topic, partition);
+    answers Produce v3, Metadata v1, ListOffsets v1, Fetch v4."""
+
+    def __init__(self, topics: dict[str, int]):
+        # topic -> partition -> list of (key, value, timestamp_ms)
+        self.log: dict[str, dict[int, list]] = {
+            t: {p: [] for p in range(n)} for t, n in topics.items()
+        }
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(16)
+        self.port = self._srv.getsockname()[1]
+        self._closed = False
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+
+    def close(self):
+        self._closed = True
+        self._srv.close()
+
+    def _accept_loop(self):
+        while not self._closed:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _serve(self, conn: socket.socket):
+        def recv_exact(n):
+            out = b""
+            while len(out) < n:
+                b = conn.recv(n - len(out))
+                if not b:
+                    return None
+                out += b
+            return out
+
+        while True:
+            head = recv_exact(4)
+            if head is None:
+                conn.close()
+                return
+            (ln,) = struct.unpack(">i", head)
+            body = recv_exact(ln)
+            if body is None:
+                conn.close()
+                return
+            api, _ver, corr = struct.unpack_from(">hhi", body, 0)
+            pos = 8
+            _cid, pos = _read_str(body, pos)
+            resp = {
+                0: self._produce, 1: self._fetch,
+                2: self._list_offsets, 3: self._metadata,
+            }[api](body, pos)
+            frame = struct.pack(">i", corr) + resp
+            conn.sendall(struct.pack(">i", len(frame)) + frame)
+
+    def _produce(self, body: bytes, pos: int) -> bytes:
+        _txid, pos = _read_str(body, pos)
+        _acks, _timeout = struct.unpack_from(">hi", body, pos)
+        pos += 6
+        (n_topics,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        out = struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic, pos = _read_str(body, pos)
+            (n_parts,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            out += _enc_str(topic) + struct.pack(">i", n_parts)
+            for _p in range(n_parts):
+                part, set_len = struct.unpack_from(">ii", body, pos)
+                pos += 8
+                batch = decode_record_batch(body[pos:pos + set_len])
+                pos += set_len
+                plog = self.log[topic][part]
+                base = len(plog)
+                for r in batch["records"]:
+                    plog.append((r["key"], r["value"], r["timestamp"]))
+                out += struct.pack(">ihqq", part, 0, base, -1)
+        return out + struct.pack(">i", 0)  # throttle
+
+    def _metadata(self, body: bytes, pos: int) -> bytes:
+        (n,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        names = []
+        for _ in range(n):
+            nm, pos = _read_str(body, pos)
+            names.append(nm)
+        out = struct.pack(">i", 1)  # one broker
+        out += struct.pack(">i", 0) + _enc_str("127.0.0.1")
+        out += struct.pack(">i", self.port) + _enc_str(None)  # rack
+        out += struct.pack(">i", 0)  # controller id
+        out += struct.pack(">i", len(names))
+        for nm in names:
+            parts = self.log.get(nm, {})
+            out += struct.pack(">h", 0 if nm in self.log else 3)
+            out += _enc_str(nm) + b"\x00"  # not internal
+            out += struct.pack(">i", len(parts))
+            for p in sorted(parts):
+                out += struct.pack(">hii", 0, p, 0)
+                out += struct.pack(">ii", 1, 0)  # replicas [0]
+                out += struct.pack(">ii", 1, 0)  # isr [0]
+        return out
+
+    def _list_offsets(self, body: bytes, pos: int) -> bytes:
+        pos += 4  # replica id
+        (n_topics,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        out = struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic, pos = _read_str(body, pos)
+            (n_parts,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            out += _enc_str(topic) + struct.pack(">i", n_parts)
+            for _p in range(n_parts):
+                part, ts = struct.unpack_from(">iq", body, pos)
+                pos += 12
+                off = 0 if ts == -2 else len(self.log[topic][part])
+                out += struct.pack(">ihqq", part, 0, -1, off)
+        return out
+
+    def _fetch(self, body: bytes, pos: int) -> bytes:
+        pos += 16 + 1  # replica, max_wait, min_bytes, max_bytes, isolation
+        (n_topics,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        out = struct.pack(">i", 0)  # throttle
+        out += struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic, pos = _read_str(body, pos)
+            (n_parts,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            out += _enc_str(topic) + struct.pack(">i", n_parts)
+            for _p in range(n_parts):
+                part, off, _pmax = struct.unpack_from(">iqi", body, pos)
+                pos += 16
+                plog = self.log[topic][part]
+                hw = len(plog)
+                if off < hw:
+                    recs = [(k, v) for k, v, _t in plog[off:]]
+                    rec_set = encode_record_batch(
+                        recs, base_offset=off,
+                        base_timestamp=plog[off][2],
+                    )
+                else:
+                    rec_set = b""
+                out += struct.pack(">ihqq", part, 0, hw, hw)
+                out += struct.pack(">i", 0)  # aborted txns
+                out += struct.pack(">i", len(rec_set)) + rec_set
+        return out
+
+
+# ---------------------------------------------------------------- tests
+
+
+def test_consumer_loopback_e2e_produce_then_fetch(spark, tmp_path):
+    """Full circle with NO jars: the wire producer ships RecordBatch v2
+    frames to a loopback broker; the wire consumer streams them back
+    with Spark's natural offsets — exact keys/values, both partitions,
+    dense offsets."""
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sinks.queues import KafkaSink
+
+    broker = LoopbackBroker({"shop.orders": 2})
+    port = broker.port
+
+    def transport(frame: bytes) -> None:
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        try:
+            s.sendall(frame)
+            s.recv(4096)  # drain the ack (producer is fire-and-forget)
+        finally:
+            s.close()
+
+    try:
+        sink = KafkaSink(
+            bootstrap_servers=f"127.0.0.1:{port}",
+            num_partitions=2,
+            transport=transport,
+        )
+        df = spark.createDataFrame(
+            [(str(i), f"v{i}") for i in range(20)],
+            "key string, value string",
+        )
+        sink.write(df, TableID("shop", "orders"))
+        produced = sum(len(v) for v in broker.log["shop.orders"].values())
+        assert produced == 20
+        assert all(len(v) > 0 for v in broker.log["shop.orders"].values())
+
+        from transferia_spark.streaming.kafka_source import kafka_wire_stream
+
+        stream = kafka_wire_stream(
+            spark, f"127.0.0.1:{port}", "shop.orders",
+            starting_offsets="earliest",
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("kafka_wire_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = spark.sql("SELECT * FROM kafka_wire_sink").collect()
+        assert len(rows) == 20
+        got = sorted(
+            (bytes(r.key).decode(), bytes(r.value).decode()) for r in rows
+        )
+        assert got == sorted((str(i), f"v{i}") for i in range(20))
+        assert {r.partition for r in rows} == {0, 1}
+        for p in (0, 1):
+            offs = sorted(r.offset for r in rows if r.partition == p)
+            assert offs == list(range(len(offs)))  # dense natural offsets
+        assert all(r.topic == "shop.orders" for r in rows)
+    finally:
+        broker.close()
+
+
+def test_fetch_client_offsets_and_metadata():
+    broker = LoopbackBroker({"t": 3})
+    from transferia_spark.streaming.kafka_source import KafkaFetchClient
+
+    try:
+        c = KafkaFetchClient("127.0.0.1", broker.port, timeout=10)
+        md = c.metadata("t")
+        assert md["topics"]["t"]["partitions"] == {0: 0, 1: 0, 2: 0}
+        assert md["brokers"][0] == ("127.0.0.1", broker.port)
+        assert c.list_offsets("t", -1) == {0: 0, 1: 0, 2: 0}
+        broker.log["t"][1] = [(b"k", b"v", 123)]
+        assert c.list_offsets("t", -1) == {0: 0, 1: 1, 2: 0}
+        assert c.list_offsets("t", -2) == {0: 0, 1: 0, 2: 0}
+        [rec] = c.fetch("t", 1, 0)
+        assert rec["key"] == b"k" and rec["value"] == b"v"
+        assert rec["offset"] == 0 and rec["timestamp"] == 123
+        c.close()
+        # unknown topic is loud
+        c2 = KafkaFetchClient("127.0.0.1", broker.port, timeout=10)
+        with pytest.raises(ValueError, match="metadata error"):
+            c2.metadata("nope")
+        c2.close()
+    finally:
+        broker.close()
+
+
+def test_reader_bounded_catchup_never_regresses():
+    """max_records_per_batch caps the PLANNED end (not the read range)
+    so no record between cap and checkpoint can be skipped, and a
+    later smaller log-end (impossible in Kafka, defensive) never plans
+    a regressed offset."""
+    from transferia_spark.streaming.kafka_source import KafkaWireStreamReader
+
+    r = KafkaWireStreamReader({
+        "bootstrap": "127.0.0.1:1", "topic": "t",
+        "max_records_per_batch": "5",
+    })
+
+    class StubClient:
+        def __init__(self):
+            self.ends = {0: 12}
+
+        def list_offsets(self, topic, ts):
+            return dict(self.ends)
+
+    r._client = StubClient()
+    # no base yet: first latest is uncapped (safe, just bigger)
+    assert r.latestOffset() == {"0": 12}
+    parts = r.partitions({"0": 0}, {"0": 12})
+    assert [(p.partition, p.start, p.end) for p in parts] == [(0, 0, 12)]
+    # base now 12; log grows to 25 → capped at 12+5
+    r._client.ends[0] = 25
+    assert r.latestOffset() == {"0": 17}
+    # defensive: a log-end below base never regresses the plan
+    r._client.ends[0] = 3
+    assert r.latestOffset() == {"0": 17}
+
+
+def test_decode_record_set_drops_truncated_tail():
+    full = encode_record_batch([(b"a", b"1")], base_offset=0)
+    second = encode_record_batch([(b"b", b"2")], base_offset=1)
+    recs = decode_record_set(full + second[: len(second) - 3])
+    assert [r["key"] for r in recs] == [b"a"]  # partial tail dropped
+    recs = decode_record_set(full + second)
+    assert [r["offset"] for r in recs] == [0, 1]

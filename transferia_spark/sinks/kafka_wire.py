@@ -271,6 +271,189 @@ def encode_metadata_request(
     return struct.pack(">i", len(body)) + bytes(body)
 
 
+# ------------------------------------------- consumer-side request frames
+# (the fetch plane of the pure-wire CONSUMER, ≈ kafka/source.go:105 —
+# the reference consumes through franz-go emitting exactly these
+# layouts; versions are pinned to the lowest message-format-v2-capable,
+# non-flexible encodings: Fetch v4, ListOffsets v1, Metadata v1)
+
+
+def encode_fetch_request(
+    topic: str,
+    partition_offsets: dict[int, int],
+    max_wait_ms: int = 500,
+    min_bytes: int = 1,
+    max_bytes: int = 8 << 20,
+    partition_max_bytes: int = 1 << 20,
+    correlation_id: int = 0,
+    client_id: str = "transferia-spark",
+) -> bytes:
+    """Fetch v4: one topic, ``{partition: fetch_offset}`` — the
+    consumer's read request. READ_UNCOMMITTED isolation (the reference
+    source's default)."""
+    body = bytearray()
+    body += request_header(1, 4, correlation_id, client_id)
+    body += struct.pack(">iiii", -1, max_wait_ms, min_bytes, max_bytes)
+    body += b"\x00"  # isolation_level: READ_UNCOMMITTED
+    body += struct.pack(">i", 1)  # one topic
+    body += _string(topic)
+    body += struct.pack(">i", len(partition_offsets))
+    for part in sorted(partition_offsets):
+        body += struct.pack(
+            ">iqi", part, partition_offsets[part], partition_max_bytes
+        )
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def encode_list_offsets_request(
+    topic: str,
+    partition_timestamps: dict[int, int],
+    correlation_id: int = 0,
+    client_id: str = "transferia-spark",
+) -> bytes:
+    """ListOffsets v1: timestamp -1 = log-end (latest), -2 = log-start
+    (earliest) — how the consumer resolves ``starting_offsets``."""
+    body = bytearray()
+    body += request_header(2, 1, correlation_id, client_id)
+    body += struct.pack(">i", -1)  # replica_id
+    body += struct.pack(">i", 1)  # one topic
+    body += _string(topic)
+    body += struct.pack(">i", len(partition_timestamps))
+    for part in sorted(partition_timestamps):
+        body += struct.pack(">iq", part, partition_timestamps[part])
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def _read_string(data: bytes, pos: int) -> tuple[str | None, int]:
+    (ln,) = struct.unpack_from(">h", data, pos)
+    pos += 2
+    if ln < 0:
+        return None, pos
+    return data[pos:pos + ln].decode("utf-8"), pos + ln
+
+
+def decode_record_set(data: bytes) -> list[dict]:
+    """Concatenated RecordBatch v2 frames (a fetch response's record
+    set) → flat record dicts. A TRUNCATED trailing batch is normal
+    broker behavior when the partition's max-bytes lands mid-batch —
+    dropped silently, exactly like stock clients; the next fetch re-asks
+    from the last full offset."""
+    out: list[dict] = []
+    pos = 0
+    while pos + 12 <= len(data):
+        (batch_len,) = struct.unpack_from(">i", data, pos + 8)
+        end = pos + 12 + batch_len
+        if end > len(data):
+            break  # truncated trailing batch
+        out.extend(decode_record_batch(data[pos:end])["records"])
+        pos = end
+    return out
+
+
+def decode_fetch_response(body: bytes) -> dict[str, dict[int, dict]]:
+    """Fetch v4 response → ``{topic: {partition: {error,
+    high_watermark, records}}}``. ``body`` excludes the length prefix
+    and correlation id (the transport strips both)."""
+    pos = 4  # throttle_time_ms
+    (n_topics,) = struct.unpack_from(">i", body, pos)
+    pos += 4
+    out: dict[str, dict[int, dict]] = {}
+    for _ in range(n_topics):
+        topic, pos = _read_string(body, pos)
+        (n_parts,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        parts: dict[int, dict] = {}
+        for _p in range(n_parts):
+            part, err, hw, lso = struct.unpack_from(">ihqq", body, pos)
+            pos += 22
+            (n_aborted,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            if n_aborted > 0:
+                pos += 16 * n_aborted  # producer_id + first_offset
+            (set_len,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            raw = body[pos:pos + max(0, set_len)]
+            pos += max(0, set_len)
+            parts[part] = {
+                "error": err,
+                "high_watermark": hw,
+                "last_stable_offset": lso,
+                "records": decode_record_set(raw),
+            }
+        out[topic or ""] = parts
+    return out
+
+
+def decode_list_offsets_response(body: bytes) -> dict[str, dict[int, int]]:
+    """ListOffsets v1 response → ``{topic: {partition: offset}}``;
+    a per-partition error code raises (an unknown topic must be loud,
+    not an empty stream)."""
+    pos = 0
+    (n_topics,) = struct.unpack_from(">i", body, pos)
+    pos += 4
+    out: dict[str, dict[int, int]] = {}
+    for _ in range(n_topics):
+        topic, pos = _read_string(body, pos)
+        (n_parts,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        parts: dict[int, int] = {}
+        for _p in range(n_parts):
+            part, err, _ts, off = struct.unpack_from(">ihqq", body, pos)
+            pos += 22
+            if err:
+                raise ValueError(
+                    f"ListOffsets error {err} for {topic}[{part}]"
+                )
+            parts[part] = off
+        out[topic or ""] = parts
+    return out
+
+
+def decode_metadata_response(body: bytes) -> dict:
+    """Metadata v1 response → ``{"brokers": {node_id: (host, port)},
+    "topics": {name: {"partitions": {id: leader_node}}}}`` (errors per
+    topic/partition raise — a misspelled topic is loud)."""
+    pos = 0
+    (n_brokers,) = struct.unpack_from(">i", body, pos)
+    pos += 4
+    brokers: dict[int, tuple[str, int]] = {}
+    for _ in range(n_brokers):
+        (node,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        host, pos = _read_string(body, pos)
+        (port,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        _rack, pos = _read_string(body, pos)
+        brokers[node] = (host or "", port)
+    pos += 4  # controller_id
+    (n_topics,) = struct.unpack_from(">i", body, pos)
+    pos += 4
+    topics: dict[str, dict] = {}
+    for _ in range(n_topics):
+        (terr,) = struct.unpack_from(">h", body, pos)
+        pos += 2
+        name, pos = _read_string(body, pos)
+        pos += 1  # is_internal
+        if terr:
+            raise ValueError(f"metadata error {terr} for topic {name!r}")
+        (n_parts,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        parts: dict[int, int] = {}
+        for _p in range(n_parts):
+            perr, part, leader = struct.unpack_from(">hii", body, pos)
+            pos += 10
+            if perr:
+                raise ValueError(
+                    f"metadata error {perr} for {name}[{part}]"
+                )
+            for _arr in range(2):  # replicas, isr
+                (n,) = struct.unpack_from(">i", body, pos)
+                pos += 4 + 4 * n
+            parts[part] = leader
+        topics[name or ""] = {"partitions": parts}
+    return {"brokers": brokers, "topics": topics}
+
+
 __all__ = [
     "crc32c",
     "write_varint",
@@ -278,8 +461,14 @@ __all__ = [
     "encode_record",
     "encode_record_batch",
     "decode_record_batch",
+    "decode_record_set",
     "encode_produce_request",
     "encode_metadata_request",
+    "encode_fetch_request",
+    "encode_list_offsets_request",
+    "decode_fetch_response",
+    "decode_list_offsets_response",
+    "decode_metadata_response",
     "request_header",
 ]
 

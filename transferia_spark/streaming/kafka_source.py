@@ -1,0 +1,323 @@
+"""Pure-wire Kafka CONSUMER as a PySpark DataSourceStreamReader.
+
+≈ ``pkg/providers/kafka/source.go:105`` in transferia/transferia: the
+reference consumes with franz-go and feeds parsed rows to the sink; its
+offset bookkeeping is the consumer-group commit. Spark-first, the
+natural offsets ARE Spark's streaming offsets — ``latestOffset`` asks
+the broker for log-end offsets (ListOffsets), ``partitions`` plans one
+input partition per topic-partition over the ``(start, end]`` range,
+and ``read`` runs inside the executor task: it dials the broker itself,
+speaks Fetch v4, and yields the raw mirror row shape
+(``key/value/topic/partition/offset/timestamp`` —
+``changeitem/mirror.go``). No consumer group, no connector jar: the
+checkpoint is the committed position, exactly the
+``kafka_stream``/connector contract.
+
+The wire codecs live in :mod:`transferia_spark.sinks.kafka_wire` (one
+module owns the protocol for both directions); transport is a plain
+socket — tests run a REAL loopback broker, produce with the wire
+producer and consume with this reader.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator, Sequence
+from datetime import datetime, timezone
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+KAFKA_MIRROR_DDL = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp"
+)
+
+
+class KafkaFetchClient:
+    """Blocking single-connection fetch client. One instance per driver
+    (offset planning) or per executor task (reads); ``close()`` when
+    done. Only the bootstrap broker is dialed — for multi-broker
+    clusters the metadata's leader map picks the right host per
+    partition (``leader_for``)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        timeout: float = 30.0,
+        client_id: str = "transferia-spark",
+    ):
+        import socket
+
+        self.client_id = client_id
+        self._corr = 0
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._sock.settimeout(timeout)
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def _recv_exact(self, n: int) -> bytes:
+        out = b""
+        while len(out) < n:
+            chunk = self._sock.recv(n - len(out))
+            if not chunk:
+                raise ConnectionError(
+                    "broker closed the connection mid-response"
+                )
+            out += chunk
+        return out
+
+    def _request(self, frame: bytes, corr: int) -> bytes:
+        self._sock.sendall(frame)
+        (ln,) = struct.unpack(">i", self._recv_exact(4))
+        body = self._recv_exact(ln)
+        (got,) = struct.unpack_from(">i", body, 0)
+        if got != corr:
+            raise ValueError(
+                f"correlation id mismatch: sent {corr}, got {got}"
+            )
+        return body[4:]
+
+    def _next_corr(self) -> int:
+        self._corr += 1
+        return self._corr
+
+    def metadata(self, topic: str) -> dict:
+        from transferia_spark.sinks.kafka_wire import (
+            decode_metadata_response,
+            encode_metadata_request,
+        )
+
+        corr = self._next_corr()
+        return decode_metadata_response(
+            self._request(
+                encode_metadata_request(
+                    [topic], correlation_id=corr, client_id=self.client_id
+                ),
+                corr,
+            )
+        )
+
+    def list_offsets(self, topic: str, timestamp: int) -> dict[int, int]:
+        """Per-partition offsets at ``timestamp`` (-1 latest/log-end,
+        -2 earliest/log-start) for every partition the metadata
+        reports."""
+        from transferia_spark.sinks.kafka_wire import (
+            decode_list_offsets_response,
+            encode_list_offsets_request,
+        )
+
+        parts = self.metadata(topic)["topics"][topic]["partitions"]
+        corr = self._next_corr()
+        resp = decode_list_offsets_response(
+            self._request(
+                encode_list_offsets_request(
+                    topic,
+                    {p: timestamp for p in parts},
+                    correlation_id=corr,
+                    client_id=self.client_id,
+                ),
+                corr,
+            )
+        )
+        return resp[topic]
+
+    def fetch(
+        self, topic: str, partition: int, offset: int,
+        max_wait_ms: int = 500,
+    ) -> list[dict]:
+        from transferia_spark.sinks.kafka_wire import (
+            decode_fetch_response,
+            encode_fetch_request,
+        )
+
+        corr = self._next_corr()
+        resp = decode_fetch_response(
+            self._request(
+                encode_fetch_request(
+                    topic,
+                    {partition: offset},
+                    max_wait_ms=max_wait_ms,
+                    correlation_id=corr,
+                    client_id=self.client_id,
+                ),
+                corr,
+            )
+        )
+        part = resp[topic][partition]
+        if part["error"]:
+            raise ValueError(
+                f"fetch error {part['error']} for {topic}[{partition}]"
+            )
+        return part["records"]
+
+
+def _parse_bootstrap(bootstrap: str) -> tuple[str, int]:
+    host, _, port = bootstrap.partition(":")
+    return host, int(port or 9092)
+
+
+class _TopicSlice(InputPartition):
+    def __init__(self, partition: int, start: int, end: int):
+        self.partition = partition
+        self.start = start
+        self.end = end
+
+
+class KafkaWireStreamReader(DataSourceStreamReader):
+    """Offsets are ``{partition(str): next_offset}`` — the same
+    half-open ``(start, end]`` batch contract as the stock connector;
+    the committed checkpoint is the only offset store (no consumer
+    group)."""
+
+    def __init__(self, options: dict):
+        self.bootstrap = options["bootstrap"]
+        self.topic = options["topic"]
+        self.starting = str(options.get("starting_offsets", "latest"))
+        mx = options.get("max_records_per_batch")
+        self.max_records = int(mx) if mx is not None else None
+        self.timeout = float(options.get("timeout", 30.0))
+        self._client: KafkaFetchClient | None = None
+        self._base: dict[str, int] = {}  # partition -> last planned end
+
+    def _driver_client(self) -> KafkaFetchClient:
+        if self._client is None:
+            host, port = _parse_bootstrap(self.bootstrap)
+            self._client = KafkaFetchClient(host, port, timeout=self.timeout)
+        return self._client
+
+    def initialOffset(self) -> dict:
+        ts = -2 if self.starting == "earliest" else -1
+        offs = self._driver_client().list_offsets(self.topic, ts)
+        return {str(p): o for p, o in sorted(offs.items())}
+
+    def latestOffset(self) -> dict:
+        # bounded catch-up (max_records_per_batch, the bufferer's
+        # TriggingCount analog): the PLANNED end is capped at base +
+        # max_records per partition — capping later, in partitions(),
+        # would silently skip the records between the capped end and
+        # the end Spark records in its checkpoint. The base is the last
+        # end this reader planned (seeded by partitions()' start after
+        # a restart); with no base yet the first batch is uncapped —
+        # safe, just bigger.
+        offs = self._driver_client().list_offsets(self.topic, -1)
+        out = {}
+        for p, o in sorted(offs.items()):
+            base = self._base.get(str(p))
+            if self.max_records is not None and base is not None:
+                o = min(o, base + self.max_records)
+                o = max(o, base)  # never regress below a planned end
+            out[str(p)] = o
+        self._base.update(out)
+        return out
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        out: list[InputPartition] = []
+        for p_str, hi in end.items():
+            lo = int(start.get(p_str, 0))
+            hi = int(hi)
+            # Spark's committed start is a durable floor for the
+            # bounded-catch-up base (restart regression guard)
+            self._base[p_str] = max(
+                self._base.get(p_str, 0), hi, lo
+            )
+            if hi > lo:
+                out.append(_TopicSlice(int(p_str), lo, hi))
+        if not out:
+            out.append(_TopicSlice(-1, 0, 0))  # empty batch
+        return out
+
+    def read(self, partition: _TopicSlice) -> Iterator[tuple]:
+        if partition.partition < 0:
+            return
+        host, port = _parse_bootstrap(self.bootstrap)
+        client = KafkaFetchClient(host, port, timeout=self.timeout)
+        try:
+            off = partition.start
+            while off < partition.end:
+                records = client.fetch(self.topic, partition.partition, off)
+                if not records:
+                    # the planned end came from ListOffsets — records
+                    # must exist; an empty fetch here means truncation/
+                    # retention raced the plan. Stop rather than spin.
+                    raise ValueError(
+                        f"fetch at {off} returned no records below "
+                        f"planned end {partition.end} for "
+                        f"{self.topic}[{partition.partition}] — "
+                        "log truncated under the running batch?"
+                    )
+                for rec in records:
+                    if rec["offset"] < off:
+                        continue  # batch replay below request offset
+                    if rec["offset"] >= partition.end:
+                        return
+                    yield (
+                        rec["key"],
+                        rec["value"],
+                        self.topic,
+                        partition.partition,
+                        rec["offset"],
+                        datetime.fromtimestamp(
+                            rec["timestamp"] / 1000.0, tz=timezone.utc
+                        ),
+                    )
+                    off = rec["offset"] + 1
+        finally:
+            client.close()
+
+    def commit(self, end: dict) -> None:
+        # no consumer group: the checkpoint IS the committed position
+        return
+
+    def stop(self) -> None:
+        if self._client is not None:
+            self._client.close()
+            self._client = None
+
+
+class KafkaWireDataSource(DataSource):
+    """Register with ``spark.dataSource.register(KafkaWireDataSource)``;
+    then ``spark.readStream.format("kafkawire").option("bootstrap",
+    "host:9092").option("topic", "t").load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafkawire"
+
+    def schema(self) -> str:
+        return KAFKA_MIRROR_DDL
+
+    def streamReader(self, schema: T.StructType) -> KafkaWireStreamReader:
+        return KafkaWireStreamReader(self.options)
+
+
+def kafka_wire_stream(spark, bootstrap: str, topic: str, **options):
+    """readStream façade mirroring :func:`readers.kafka_stream`'s row
+    shape, jar-free."""
+    spark.dataSource.register(KafkaWireDataSource)
+    reader = (
+        spark.readStream.format("kafkawire")
+        .option("bootstrap", bootstrap)
+        .option("topic", topic)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+__all__ = [
+    "KAFKA_MIRROR_DDL",
+    "KafkaFetchClient",
+    "KafkaWireDataSource",
+    "KafkaWireStreamReader",
+    "kafka_wire_stream",
+]

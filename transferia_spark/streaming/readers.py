@@ -55,14 +55,47 @@ def kafka_stream(
     bootstrap_servers: str,
     topics: str,
     starting_offsets: str = "latest",
+    engine: str = "auto",
     **options,
 ) -> DataFrame:
     """Kafka replication source: raw (key, value, topic, partition,
     offset, timestamp) — the reference's "mirror" row shape
     (``pkg/abstract/changeitem/mirror.go``). Compose with a parser from
-    ``transferia_spark.parsers`` for typed rows. Untested in this
-    environment (no broker); the contract is the standard connector's.
-    """
+    ``transferia_spark.parsers`` for typed rows.
+
+    Two engines (r10 — the jar is optional now):
+
+    - ``connector``: Spark's ``format("kafka")`` from the external
+      spark-sql-kafka package (consumer groups, SASL, multi-topic);
+    - ``wire``: the repo's own pure-Python Fetch-protocol
+      DataSourceStreamReader
+      (:mod:`transferia_spark.streaming.kafka_source` ≈
+      ``kafka/source.go:105``) — single topic, plain TCP, checkpointed
+      natural offsets, loopback-tested in this container.
+
+    ``auto`` picks the connector when its class loads, else the wire
+    source."""
+    use_wire = engine == "wire"
+    if engine == "auto":
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+            )
+        except Exception:  # noqa: BLE001 — jar probe
+            use_wire = True
+    if use_wire:
+        from transferia_spark.streaming.kafka_source import kafka_wire_stream
+
+        if "," in topics:
+            raise ValueError(
+                "the wire Kafka source consumes ONE topic per stream; "
+                f"got {topics!r} — start one stream per topic or add "
+                "the spark-sql-kafka connector jar"
+            )
+        return kafka_wire_stream(
+            spark, bootstrap_servers, topics,
+            starting_offsets=starting_offsets, **options,
+        )
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
