@@ -1444,8 +1444,11 @@ def q_pg_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transferia_spark.sources.schema_discovery import (
         fold_constraints,
         pg_columns_sql,
+        pg_partition_parents_sql,
         pg_pkeys_sql,
+        pg_replident_keys_sql,
         pg_type_to_spark,
+        resolve_pg_keys,
     )
 
     types = [
@@ -1460,7 +1463,21 @@ def q_pg_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows += [
         ("sql", "columns", pg_columns_sql("shop")),
         ("sql", "pkeys", pg_pkeys_sql("shop")),
+        ("sql", "replident", pg_replident_keys_sql("shop")),
+        ("sql", "parents", pg_partition_parents_sql("shop")),
     ]
+    # r10: key-fallback resolution (schema.go:318-447) — PK wins over
+    # replident, partition children inherit up the tree; the oracle
+    # re-derives it with COALESCE over join hops
+    fb_pks = {"t_haspk": ["id"], "t_both": ["id"]}
+    fb_ident = {"t_ident": ["b", "a"], "t_both": ["z"]}
+    fb_parents = {"t_child": "t_haspk", "t_gc": "t_child"}
+    for tname in ("t_haspk", "t_both", "t_ident", "t_child", "t_gc",
+                  "t_keyless"):
+        rows.append((
+            "fallback", tname,
+            ",".join(resolve_pg_keys(fb_pks, fb_ident, fb_parents, tname)),
+        ))
     cons = [
         {"table_schema": "s", "table_name": "t1", "column_name": "id",
          "ordinal_position": "1", "constraint_name": "PRIMARY KEY"},
@@ -4482,6 +4499,10 @@ SELECT 'sql', 'columns', $q$SELECT c.table_schema, c.table_name, c.column_name, 
 UNION ALL
 SELECT 'sql', 'pkeys', $q$SELECT tc.table_schema, tc.table_name, kcu.column_name, kcu.ordinal_position FROM information_schema.table_constraints tc JOIN information_schema.key_column_usage kcu ON kcu.constraint_name = tc.constraint_name AND kcu.constraint_schema = tc.constraint_schema AND kcu.table_name = tc.table_name WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_schema = 'shop' ORDER BY tc.table_schema, tc.table_name, kcu.ordinal_position$q$
 UNION ALL
+SELECT 'sql', 'replident', $q$SELECT n.nspname AS table_schema, c.relname AS table_name, a.attname AS column_name, k.ord AS ordinal_position FROM pg_index i JOIN pg_class c ON c.oid = i.indrelid JOIN pg_namespace n ON n.oid = c.relnamespace JOIN LATERAL unnest(i.indkey) WITH ORDINALITY k(attnum, ord) ON true JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum = k.attnum WHERE i.indisreplident AND i.indisunique AND n.nspname = 'shop' ORDER BY table_schema, table_name, k.ord$q$
+UNION ALL
+SELECT 'sql', 'parents', $q$SELECT cn.nspname AS child_schema, c.relname AS child_name, pn.nspname AS parent_schema, p.relname AS parent_name FROM pg_inherits i JOIN pg_class c ON c.oid = i.inhrelid JOIN pg_namespace cn ON cn.oid = c.relnamespace JOIN pg_class p ON p.oid = i.inhparent JOIN pg_namespace pn ON pn.oid = p.relnamespace WHERE cn.nspname = 'shop' ORDER BY child_schema, child_name$q$
+UNION ALL
 SELECT 'pk', tbl, string_agg(col, ',' ORDER BY pos)
 FROM (
   SELECT tbl, col, pos, cname,
@@ -4494,6 +4515,26 @@ FROM (
                ('s.t2', 'k', 1, 'uniq_k', 3)) v(tbl, col, pos, cname, seq)
 )
 WHERE cname = chosen GROUP BY tbl
+UNION ALL
+SELECT 'fallback', t, COALESCE(o0.k, o1.k, o2.k, '')
+FROM (VALUES ('t_haspk'), ('t_both'), ('t_ident'), ('t_child'),
+             ('t_gc'), ('t_keyless')) tabs(t)
+LEFT JOIN (
+  SELECT tbl, COALESCE(pk.k, idk.k) AS k FROM (
+    SELECT tbl FROM (VALUES ('t_haspk'), ('t_both'), ('t_ident')) x(tbl)
+  ) all_k
+  LEFT JOIN (VALUES ('t_haspk', 'id'), ('t_both', 'id')) pk(tbl_p, k)
+    ON pk.tbl_p = all_k.tbl
+  LEFT JOIN (VALUES ('t_ident', 'b,a'), ('t_both', 'z')) idk(tbl_i, k)
+    ON idk.tbl_i = all_k.tbl
+) o0 ON o0.tbl = tabs.t
+LEFT JOIN (VALUES ('t_child', 't_haspk'), ('t_gc', 't_child')) p1(c, p)
+  ON p1.c = tabs.t
+LEFT JOIN (VALUES ('t_haspk', 'id'), ('t_both', 'id'),
+                  ('t_ident', 'b,a')) o1(tbl, k) ON o1.tbl = p1.p
+LEFT JOIN (VALUES ('t_child', 't_haspk'), ('t_gc', 't_child')) p2(c, p)
+  ON p2.c = p1.p
+LEFT JOIN (VALUES ('t_haspk', 'id')) o2(tbl, k) ON o2.tbl = p2.p
 """,
         "mysql_schema_discovery": """
 WITH raw(name) AS (VALUES ('tinyint(1)'), ('tinyint(3) unsigned'),

@@ -154,9 +154,16 @@ def _pg_catalog_rows():
         (b"public", b"items", b"bal", b"3", b"double precision", b"float8"),
         (b"public", b"items", b"id", b"1", b"bigint", b"int8"),
         (b"public", b"items", b"name", b"2", b"text", b"text"),
+        # PK-less table whose key is a unique replica-identity index
+        (b"public", b"audit", b"aid", b"1", b"bigint", b"int8"),
+        (b"public", b"audit", b"name", b"2", b"text", b"text"),
+        (b"public", b"audit", b"bal", b"3", b"double precision",
+         b"float8"),
     ]
     pks = [(b"public", b"items", b"id", b"1")]
-    return cols, pks
+    ident = [(b"public", b"audit", b"aid", b"1")]
+    parents: list = []
+    return cols, pks, ident, parents
 
 
 def _serve_pg_discovery_and_copy(srv: socket.socket, n_conns: int,
@@ -170,7 +177,7 @@ def _serve_pg_discovery_and_copy(srv: socket.socket, n_conns: int,
         0: b'1,alice,10.5\n3,"c,d",\\N\n',
         1: b"2,bob,-0.25\n4,\\N,7\n",
     }
-    cat_cols, cat_pks = _pg_catalog_rows()
+    cat_cols, cat_pks, cat_ident, cat_parents = _pg_catalog_rows()
 
     def one(conn: socket.socket, conn_no: int):
         def recv_exact(n):
@@ -208,6 +215,24 @@ def _serve_pg_discovery_and_copy(srv: socket.socket, n_conns: int,
                      b"ordinal_position"]
                 )
                 for r in cat_pks:
+                    payload += data_row(list(r))
+                conn.sendall(payload + cmd_complete() + ready())
+                continue
+            if sql.startswith("SELECT n.nspname"):  # replident fallback
+                payload = row_desc(
+                    [b"table_schema", b"table_name", b"column_name",
+                     b"ordinal_position"]
+                )
+                for r in cat_ident:
+                    payload += data_row(list(r))
+                conn.sendall(payload + cmd_complete() + ready())
+                continue
+            if sql.startswith("SELECT cn.nspname"):  # partition parents
+                payload = row_desc(
+                    [b"child_schema", b"child_name", b"parent_schema",
+                     b"parent_name"]
+                )
+                for r in cat_parents:
                     payload += data_row(list(r))
                 conn.sendall(payload + cmd_complete() + ready())
                 continue
@@ -453,16 +478,110 @@ def test_discover_pg_tables_over_fake_session():
                      "column_name": "tags", "ordinal_position": "2",
                      "data_type": "ARRAY", "udt_name": "_text"},
                 ]
-            return [
-                {"table_schema": "public", "table_name": "t",
-                 "column_name": "id", "ordinal_position": "1"},
-            ]
+            if sql.startswith("SELECT tc.table_schema"):
+                return [
+                    {"table_schema": "public", "table_name": "t",
+                     "column_name": "id", "ordinal_position": "1"},
+                ]
+            return []  # replident / partition-parent catalogs: empty
 
     out = discover_pg_tables(FakeSession(), schema="public")
     assert out["public.t"]["pk"] == ["id"]
     st = out["public.t"]["schema"]
     assert isinstance(st["id"].dataType, T.LongType)
     assert isinstance(st["tags"].dataType, T.StringType)  # ARRAY → any
+
+
+def test_pg_discovery_key_fallbacks():
+    """r10 (≈ postgres/schema.go:318-447): a PK-less table falls back
+    to its unique replica-identity index, a partition child inherits
+    the parent's key (walking multi-level trees), and a PK always wins
+    over both."""
+    from transferia_spark.sources.schema_discovery import (
+        pg_partition_parents_sql,
+        pg_replident_keys_sql,
+        resolve_pg_keys,
+    )
+
+    def col(t, name, pos):
+        return {"table_schema": "s", "table_name": t,
+                "column_name": name, "ordinal_position": str(pos),
+                "data_type": "bigint", "udt_name": "int8"}
+
+    class FakeSession:
+        def simple_query(self, sql):
+            if sql.startswith("SELECT c.table_schema"):
+                return [
+                    col("haspk", "id", 1),
+                    col("ident_only", "a", 1), col("ident_only", "b", 2),
+                    col("child", "id", 1),
+                    col("grandchild", "id", 1),
+                    col("keyless", "x", 1),
+                ]
+            if sql.startswith("SELECT tc.table_schema"):
+                return [{"table_schema": "s", "table_name": "haspk",
+                         "column_name": "id", "ordinal_position": "1"}]
+            if sql.startswith("SELECT n.nspname"):
+                # replident on (b, a) — INDEX key order, not ordinal
+                return [
+                    {"table_schema": "s", "table_name": "ident_only",
+                     "column_name": "b", "ordinal_position": "1"},
+                    {"table_schema": "s", "table_name": "ident_only",
+                     "column_name": "a", "ordinal_position": "2"},
+                ]
+            if sql.startswith("SELECT cn.nspname"):
+                return [
+                    {"child_schema": "s", "child_name": "child",
+                     "parent_schema": "s", "parent_name": "haspk"},
+                    {"child_schema": "s", "child_name": "grandchild",
+                     "parent_schema": "s", "parent_name": "child"},
+                ]
+            return []
+
+    out = discover_pg_tables(FakeSession(), schema="s")
+    assert out["s.haspk"]["pk"] == ["id"]
+    assert out["s.ident_only"]["pk"] == ["b", "a"]  # index key order
+    assert out["s.child"]["pk"] == ["id"]        # inherited from parent
+    assert out["s.grandchild"]["pk"] == ["id"]   # two levels up
+    assert out["s.keyless"]["pk"] == []          # honest: no key at all
+    # a parent-loop (corrupt catalog) terminates instead of recursing
+    assert resolve_pg_keys({}, {}, {"a.t": "a.t"}, "a.t") == []
+    # statement shape: pg_catalog reads filter the schema literal
+    assert "nspname = 'shop'" in pg_replident_keys_sql("shop")
+    assert "indisreplident" in pg_replident_keys_sql(None)
+    assert "pg_inherits" in pg_partition_parents_sql("shop")
+
+
+def test_pgcopy_pk_less_table_shards_on_replica_identity(spark):
+    """Loopback e2e (r9 verdict next #5 'done' bar): a table with NO
+    primary key discovers its replica-identity key over the wire and
+    shards its COPY on it."""
+    from transferia_spark.sources import build_source
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    log: list = []
+    threading.Thread(
+        target=_serve_pg_discovery_and_copy, args=(srv, 3, log),
+        daemon=True,
+    ).start()
+
+    src = build_source(
+        "pgcopy",
+        live={"host": "127.0.0.1", "port": port, "user": "u",
+              "database": "db", "timeout": 10.0},
+        tables={"public.audit": {"n_shards": 2}},
+    )
+    [tid] = src.table_list(spark)
+    df = src.load_table(spark, tid)
+    assert df.count() == 4
+    srv.close()
+    copies = [s for _c, s in log if s.startswith("COPY")]
+    assert len(copies) == 2
+    # shard predicates use the DISCOVERED replica-identity key
+    assert all('row("aid")' in s for s in copies)
 
 
 def test_discover_mysql_tables_over_fake_session():

@@ -73,10 +73,12 @@ def pg_columns_sql(schema: str | None = None) -> str:
 
 
 def pg_pkeys_sql(schema: str | None = None) -> str:
-    """Primary-key columns per table, in key order (the reference
-    additionally falls back to unique replica-identity indexes and
-    inherits parent keys, ``schema.go:318-447``; plain PKs cover the
-    wire-snapshot sharding contract)."""
+    """Primary-key columns per table, in key order. The reference's
+    two fallbacks (``schema.go:318-447``) are separate catalog reads:
+    :func:`pg_replident_keys_sql` (unique replica-identity indexes) and
+    :func:`pg_partition_parents_sql` (partitioned children inherit the
+    parent's key) — :func:`discover_pg_tables` resolves PK → replident
+    → parent, in that order."""
     where = (
         f"tc.table_schema NOT IN ({_in_list(PG_SYSTEM_SCHEMAS)})"
         if schema is None
@@ -95,6 +97,54 @@ def pg_pkeys_sql(schema: str | None = None) -> str:
         "AND kcu.table_name = tc.table_name "
         "WHERE tc.constraint_type = 'PRIMARY KEY' AND " + where
         + " ORDER BY tc.table_schema, tc.table_name, kcu.ordinal_position"
+    )
+
+
+def pg_replident_keys_sql(schema: str | None = None) -> str:
+    """Unique replica-identity index columns per table, in index-key
+    order — the reference's first PK fallback (``schema.go:318-380``:
+    a PK-less table whose REPLICA IDENTITY is a unique index still has
+    a usable shard/merge key). pg_catalog, not information_schema:
+    ``indisreplident`` has no standard face."""
+    where = (
+        f"n.nspname NOT IN ({_in_list(PG_SYSTEM_SCHEMAS)})"
+        if schema is None
+        else f"n.nspname = {_lit(schema)}"
+    )
+    return (
+        "SELECT n.nspname AS table_schema, c.relname AS table_name, "
+        "a.attname AS column_name, k.ord AS ordinal_position "
+        "FROM pg_index i "
+        "JOIN pg_class c ON c.oid = i.indrelid "
+        "JOIN pg_namespace n ON n.oid = c.relnamespace "
+        "JOIN LATERAL unnest(i.indkey) WITH ORDINALITY k(attnum, ord) "
+        "ON true "
+        "JOIN pg_attribute a "
+        "ON a.attrelid = c.oid AND a.attnum = k.attnum "
+        "WHERE i.indisreplident AND i.indisunique AND " + where
+        + " ORDER BY table_schema, table_name, k.ord"
+    )
+
+
+def pg_partition_parents_sql(schema: str | None = None) -> str:
+    """child → partitioned parent map (``pg_inherits``) — the
+    reference's second fallback (``schema.go:400-447``): a partition
+    child with no key of its own inherits the parent's."""
+    where = (
+        f"cn.nspname NOT IN ({_in_list(PG_SYSTEM_SCHEMAS)})"
+        if schema is None
+        else f"cn.nspname = {_lit(schema)}"
+    )
+    return (
+        "SELECT cn.nspname AS child_schema, c.relname AS child_name, "
+        "pn.nspname AS parent_schema, p.relname AS parent_name "
+        "FROM pg_inherits i "
+        "JOIN pg_class c ON c.oid = i.inhrelid "
+        "JOIN pg_namespace cn ON cn.oid = c.relnamespace "
+        "JOIN pg_class p ON p.oid = i.inhparent "
+        "JOIN pg_namespace pn ON pn.oid = p.relnamespace "
+        "WHERE " + where
+        + " ORDER BY child_schema, child_name"
     )
 
 
@@ -287,23 +337,60 @@ def fold_constraints(rows: list[dict]) -> dict[str, list[str]]:
 # ---------------------------------------------------------------- discovery
 
 
+def resolve_pg_keys(
+    pks: dict[str, list[str]],
+    replident: dict[str, list[str]],
+    parent_of: dict[str, str],
+    fqtn: str,
+    _seen: tuple = (),
+) -> list[str]:
+    """The reference's key resolution order (``schema.go:318-447``):
+    plain PRIMARY KEY, else the unique replica-identity index, else the
+    partitioned parent's key (itself resolved PK-then-replident —
+    multi-level partition trees walk up)."""
+    if fqtn in pks:
+        return pks[fqtn]
+    if fqtn in replident:
+        return replident[fqtn]
+    parent = parent_of.get(fqtn)
+    if parent and parent not in _seen:
+        return resolve_pg_keys(
+            pks, replident, parent_of, parent, _seen + (fqtn,)
+        )
+    return []
+
+
 def discover_pg_tables(
     session, schema: str | None = None
 ) -> dict[str, dict]:
     """TableList+TableSchema over a live ``PgWireSession``:
     ``{fqtn: {"schema": StructType, "pk": [cols]}}``. One round trip
-    per catalog view — the reference does the same two reads
-    (``schema.go`` ListTables → extractor)."""
+    per catalog view — columns, PKs, replica-identity indexes,
+    partition parents — the same reads the reference's extractor does
+    (``schema.go`` ListTables → extractor → key fallbacks)."""
     cols = session.simple_query(pg_columns_sql(schema))
     keys = session.simple_query(pg_pkeys_sql(schema))
+    ident = session.simple_query(pg_replident_keys_sql(schema))
+    parents = session.simple_query(pg_partition_parents_sql(schema))
     structs = fold_columns(
         [{**r, "type": r["data_type"]} for r in cols], pg_type_to_spark
     )
     pks = fold_constraints(
         [{**r, "constraint_name": "PRIMARY KEY"} for r in keys]
     )
+    replident = fold_constraints(
+        [{**r, "constraint_name": "REPLICA IDENTITY"} for r in ident]
+    )
+    parent_of = {
+        f"{r['child_schema']}.{r['child_name']}":
+            f"{r['parent_schema']}.{r['parent_name']}"
+        for r in parents
+    }
     return {
-        fqtn: {"schema": st, "pk": pks.get(fqtn, [])}
+        fqtn: {
+            "schema": st,
+            "pk": resolve_pg_keys(pks, replident, parent_of, fqtn),
+        }
         for fqtn, st in structs.items()
     }
 
