@@ -54,6 +54,37 @@ def test_merge_sequence_matches_full_table_merge(spark, table):
     assert all(i != 7 for i, _ in got)
 
 
+def test_full_churn_shortcut_engages_and_disengages(spark, table):
+    """r10: two consecutive full-coverage probes engage the no-probe
+    shortcut (touched = all buckets, one Spark job per batch); results
+    stay byte-equal to the probed path, and a later LOW-coverage probe
+    at the re-calibration point disengages it (the only-touched-buckets
+    contract returns)."""
+    wide = [(i, f"a{i}", "i", 1, i) for i in range(64)]
+    table.merge(_batch(spark, wide))                      # probe: full
+    assert table._full_churn_budget == 0                  # streak = 1
+    table.merge(_batch(spark, [(i, f"b{i}", "u", 2, i) for i in range(64)]))
+    assert table._full_churn_budget == table.rewrite_probe_every - 1
+    # shortcut batches: correct content, budget draining
+    table.merge(_batch(spark, [(3, "short", "u", 3, 0)]))
+    assert table._full_churn_budget == table.rewrite_probe_every - 2
+    got = {r.id: r.v for r in table.read().collect()}
+    assert got[3] == "short" and got[5] == "b5" and len(got) == 64
+    # drain the budget; the re-probe sees 1/8 coverage → disengage
+    for i in range(table._full_churn_budget):
+        table.merge(_batch(spark, [(4, f"x{i}", "u", 10 + i, 0)]))
+    assert table._full_churn_budget == 0
+    table.merge(_batch(spark, [(5, "probe", "u", 99, 0)]))  # the probe
+    assert table._full_churn_budget == 0 and table._full_churn_streak == 0
+    table.merge(_batch(spark, [(6, "pruned", "u", 100, 0)]))
+    newest = max(table.manifest().values())
+    dirs = os.listdir(os.path.join(table.root, f"_v{newest}"))
+    bucket_dirs = [d for d in dirs if d.startswith(f"{BUCKET_COL}=")]
+    assert len(bucket_dirs) == 1  # pruning is back
+    got = {r.id: r.v for r in table.read().collect()}
+    assert got[4].startswith("x") and got[5] == "probe" and got[6] == "pruned"
+
+
 def test_merge_rewrites_only_touched_buckets(spark, table):
     table.merge(_batch(spark, [(i, f"a{i}", "i", 1, i) for i in range(50)]))
     v1 = table.version()

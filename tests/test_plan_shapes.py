@@ -131,6 +131,46 @@ def test_cdc_merge_is_single_full_outer_join(spark):
     assert plan.count("FullOuter") == 1
 
 
+def test_clustered_merge_is_one_exchange(spark):
+    """r10: the bucketed writer's eager merge is a ONE-exchange plan —
+    union target∪net, one repartition on the bucket column, then a
+    groupBy(bkt, keys) that Catalyst proves needs no further shuffle
+    (the join formulation shuffled the touched table twice: key join +
+    bucket write)."""
+    from transferia_spark.cdc.merge import merge_batch_clustered
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        target = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("old").alias("v")
+        )
+        batch = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("new").alias("v"),
+            F.lit("i").alias("_op"), F.col("id").alias("_lsn"),
+            F.lit(0).alias("_counter"),
+        )
+        merged = merge_batch_clustered(
+            target, batch, ["k"], "bkt",
+            lambda df: F.pmod(F.xxhash64(F.col("k")), F.lit(8)).cast("int"),
+            8,
+        )
+        plan = _simple_plan(merged.sortWithinPartitions("bkt", "k"))
+        # the TARGET rows cross exactly ONE exchange (the bucket
+        # repartition) — the pairing groupBy(bkt, keys) and the sorted
+        # write both run on its partitioning with no further shuffle;
+        # the only other exchange permitted is collapse's small-side
+        # agg UNDER the union (absent here: the Range fixture's known
+        # partitioning satisfies it)
+        assert len(re.findall(r"Exchange hashpartitioning\(bkt", plan)) == 1
+        assert plan.count("Exchange hashpartitioning") <= 2
+        above = plan.split("Exchange hashpartitioning(bkt", 1)[0]
+        assert above.count("Exchange") == 0  # nothing re-shuffles above it
+        rows = {r.k: r.v for r in merged.collect()}
+        assert len(rows) == 1000 and rows[5] == "new" and rows[500] == "old"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_corpus_window_ops_single_exchange(spark):
     """quota_cap / global_shuffle / pack_sequences each shuffle exactly
     once (on their partition key) — the window never introduces a

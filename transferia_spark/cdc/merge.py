@@ -97,6 +97,120 @@ def merge_batch(
     return joined.filter(~deleted).select(*[_merged(c) for c in cols])
 
 
+def merge_batch_clustered(
+    target: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    cluster_col: str,
+    cluster_expr,
+    n_out: int,
+    toast_aware: bool | None = None,
+) -> DataFrame:
+    """:func:`merge_batch` re-expressed as a ONE-EXCHANGE plan for
+    bucket-clustered writers (r10, the CDC fixed-cost squeeze).
+
+    The join formulation shuffles the target twice per merge: once on
+    the key for the full-outer join, then again on the bucket for the
+    one-file-per-bucket write. But the bucket IS a function of the key,
+    so both frames union first, take ONE ``repartition(n_out,
+    cluster)`` exchange, and the per-key pairing happens in a
+    ``groupBy(cluster, *keys)`` hash aggregate that Catalyst proves
+    needs no further exchange (HashPartitioning(cluster) ⊆ the required
+    clustering — verified in the plan test). Output stays partitioned
+    by the cluster column: the caller writes sorted bucket files with
+    no additional shuffle. groupBy's NULL-keys-group-together matches
+    the join's eqNullSafe semantics; per-column TOAST/presence rules
+    are identical to :func:`merge_batch`'s ``_merged``.
+
+    ``cluster_expr(df) -> Column`` computes the cluster id from the key
+    columns; target rows are unique per key (table invariant), so
+    ``first(ignorenulls)`` pairs the ≤1 target row with the ≤1
+    collapsed net row exactly like the join did.
+    """
+    from pyspark.sql import types as T
+
+    if toast_aware is None:
+        toast_aware = has_partial_rows(batch)
+    marked = has_partial_rows(batch)
+    net = collapse(
+        batch, keys, toast_aware=toast_aware,
+        with_presence=toast_aware and marked,
+    )
+    cols = list(target.columns)
+    has = set(net.columns)
+    presence = PRESENT_NET_COL in net.columns
+
+    t_payload = [c for c in cols if c not in keys]
+    u_payload = [c for c in net.columns if c not in keys]
+    t_struct = T.StructType(
+        [f for f in target.schema.fields if f.name in t_payload]
+    )
+    u_struct = T.StructType(
+        [f for f in net.schema.fields if f.name in u_payload]
+    )
+
+    t_tag = target.select(
+        *[F.col(k) for k in keys],
+        (F.struct(*[F.col(c) for c in t_payload]) if t_payload
+         else F.struct(F.lit(0).alias("_z"))).alias("_t"),
+        F.lit(None).cast(
+            u_struct if u_struct.fields else
+            T.StructType([T.StructField("_z", T.IntegerType())])
+        ).alias("_u"),
+    )
+    u_tag = net.select(
+        *[F.col(k) for k in keys],
+        F.lit(None).cast(
+            t_struct if t_struct.fields else
+            T.StructType([T.StructField("_z", T.IntegerType())])
+        ).alias("_t"),
+        (F.struct(*[F.col(c) for c in u_payload]) if u_payload
+         else F.struct(F.lit(0).alias("_z"))).alias("_u"),
+    )
+    un = t_tag.unionByName(u_tag)
+    un = un.withColumn(cluster_col, cluster_expr(un)).repartition(
+        max(1, n_out), F.col(cluster_col)
+    )
+    agg = un.groupBy(cluster_col, *keys).agg(
+        F.first("_t", ignorenulls=True).alias("_t"),
+        F.first("_u", ignorenulls=True).alias("_u"),
+    )
+    matched = F.col("_u").isNotNull()
+    deleted = matched & (F.col(f"_u.{OP_COL}") == OP_DELETE)
+
+    def _merged(c: str):
+        if c not in has:
+            return F.col(f"_t.{c}").alias(c)
+        if presence:
+            return (
+                F.when(
+                    matched & F.col(f"_u.{PRESENT_NET_COL}.{c}"),
+                    F.col(f"_u.{c}"),
+                )
+                .otherwise(F.col(f"_t.{c}"))
+                .alias(c)
+            )
+        if toast_aware:
+            return (
+                F.when(
+                    matched,
+                    F.coalesce(F.col(f"_u.{c}"), F.col(f"_t.{c}")),
+                )
+                .otherwise(F.col(f"_t.{c}"))
+                .alias(c)
+            )
+        return (
+            F.when(matched, F.col(f"_u.{c}"))
+            .otherwise(F.col(f"_t.{c}"))
+            .alias(c)
+        )
+
+    return agg.filter(~deleted).select(
+        F.col(cluster_col),
+        *[F.col(c) if c in keys else _merged(c) for c in cols],
+    )
+
+
 def apply_changelog(
     target: DataFrame,
     changelog: DataFrame,

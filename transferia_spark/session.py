@@ -41,6 +41,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # files: keep scan partitions big enough to amortize task overhead
         .config("spark.sql.files.maxPartitionBytes", "256m")
+        # commit algorithm v2: task outputs rename straight into the
+        # destination instead of through the job-level _temporary move —
+        # halves the per-commit rename fan-out. Correct for the
+        # engine's write pattern (every versioned write goes to a FRESH
+        # directory whose visibility is flipped by a manifest/pointer
+        # write, so a failed job's partial files are never referenced)
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         # testdata's events.ts is parquet TIMESTAMP(NANOS); Spark has no
         # ns timestamps — read as long, converted in load_tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -67,6 +67,7 @@ except ImportError:  # pragma: no cover
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from transferia_spark.cdc.merge import merge_batch
 
@@ -226,6 +227,17 @@ class BucketedParquetTable:
         self._inflight: set[int] = set()
         self._fs_lock_fd: int | None = None
         self._fs_lock_depth = 0
+        # adaptive full-churn shortcut (r10): when the last PROBED
+        # batch touched ≥ threshold of the buckets, the next batches
+        # skip the touched-probe job (touched = all buckets — always
+        # correct, merely rewrites a few extra buckets) and re-probe
+        # every rewrite_probe_every batches to re-calibrate. A small
+        # batch over a big table probes once, sees low coverage, and
+        # the shortcut never engages — scale-safe by construction.
+        self.rewrite_full_threshold = 0.8
+        self.rewrite_probe_every = 8
+        self._full_churn_budget = 0
+        self._full_churn_streak = 0
         os.makedirs(root, exist_ok=True)
         # the bucket function is part of the ON-DISK layout: reopening
         # with a different n_buckets would silently mis-bucket merges
@@ -861,6 +873,18 @@ class BucketedParquetTable:
             for k in self.keys:
                 if k in types and batch.schema[k].dataType != types[k]:
                     batch = batch.withColumn(k, F.col(k).cast(types[k]))
+        if self._full_churn_budget > 0:
+            # adaptive full-churn shortcut: the last probe saw ≥
+            # threshold coverage, so skip the touched-probe job
+            # entirely (one Spark job per batch instead of two; the
+            # batch flows ONCE, straight into the merge plan).
+            # touched = every bucket is always CORRECT — unchanged
+            # buckets rewrite byte-identical content — and under real
+            # full churn it is also exact.
+            self._full_churn_budget -= 1
+            return self._merge_touched(
+                batch, list(range(self.n_buckets)), stored, toast_aware,
+            )
         # the batch feeds two jobs (touched-bucket collect + the merge
         # write); persist so an upstream transformation chain isn't
         # recomputed per job
@@ -908,19 +932,54 @@ class BucketedParquetTable:
                     # the auto-derived bucket count
                     self.n_buckets = None
                 return self.version()
-            # schema for empty/never-written buckets: the STORED table
-            # schema (a column-subset TOAST batch must not narrow a
-            # bucket's files relative to the rest of the table)
-            data_schema = stored or T.StructType(
-                [f for f in batch.schema.fields if f.name not in META_COLS]
-            )
-            target = self._read_or_empty(touched, data_schema)
-            merged = merge_batch(
-                target, batch, self.keys, toast_aware=toast_aware
-            )
-            return self._commit(merged, touched)
+            if len(touched) >= self.rewrite_full_threshold * self.n_buckets:
+                # calibrated: churn is table-wide. TWO consecutive
+                # high-coverage probes engage the shortcut (a single
+                # full batch followed by tiny ones must keep pruning
+                # — the only-touched-buckets contract), then the next
+                # batches skip the probe until the re-calibration.
+                self._full_churn_streak += 1
+                if self._full_churn_streak >= 2:
+                    self._full_churn_budget = max(
+                        0, self.rewrite_probe_every - 1
+                    )
+            else:
+                self._full_churn_streak = 0
+                self._full_churn_budget = 0
+            return self._merge_touched(batch, touched, stored, toast_aware)
         finally:
             batch.unpersist()
+
+    def _merge_touched(
+        self, batch: DataFrame, touched: list[int], stored, toast_aware
+    ) -> int:
+        """The merge-and-commit tail shared by the probe and
+        full-churn paths: one-exchange merge (r10) — union target∪net,
+        ONE repartition on the bucket column, groupBy(bkt, keys)
+        pairing. The join formulation shuffled the touched buckets
+        twice (key join + bucket write); this plan shuffles them once
+        and the write adds no exchange."""
+        from transferia_spark.cdc.changeitem import META_COLS
+        from transferia_spark.cdc.merge import merge_batch_clustered
+
+        # schema for empty/never-written buckets: the STORED table
+        # schema (a column-subset TOAST batch must not narrow a
+        # bucket's files relative to the rest of the table)
+        data_schema = stored or T.StructType(
+            [f for f in batch.schema.fields if f.name not in META_COLS]
+        )
+        target = self._read_or_empty(touched, data_schema)
+        n_bk = self.n_buckets
+        ks = list(self.keys)
+        merged = merge_batch_clustered(
+            target, batch, ks, BUCKET_COL,
+            lambda df: F.pmod(
+                F.xxhash64(*[F.col(k) for k in ks]), F.lit(n_bk)
+            ).cast("int"),
+            len(touched),
+            toast_aware=toast_aware,
+        )
+        return self._commit(merged, touched, pre_bucketed=True)
 
     def overwrite(self, df: DataFrame) -> int:
         """Full rewrite (initial snapshot load): every bucket. Pending
@@ -1355,7 +1414,38 @@ class BucketedParquetTable:
         folded_update: dict[int, int] | None = None,
         replace_buckets: bool = False,
         expected_base: dict[int, int | None] | None = None,
+        pre_bucketed: bool = False,
     ) -> int:
+        if pre_bucketed:
+            # the merge plan already carries BUCKET_COL and is hash-
+            # partitioned on it (merge_batch_clustered) — re-deriving
+            # and re-shuffling here would add the exchange that plan
+            # exists to avoid. _save_meta must not record the bucket
+            # column as data.
+            self._save_meta(
+                T.StructType(
+                    [f for f in df.schema.fields if f.name != BUCKET_COL]
+                )
+            )
+            new_v = self._alloc_version()
+            path = os.path.join(self.root, f"_v{new_v}")
+            try:
+                (
+                    df.sortWithinPartitions(
+                        F.col(BUCKET_COL), *[F.col(k) for k in self.keys]
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy(BUCKET_COL)
+                    .parquet(path)
+                )
+            except BaseException:
+                shutil.rmtree(path, ignore_errors=True)
+                self._release_claim(new_v)
+                raise
+            return self._commit_manifest(
+                path, new_v, touched, clear_deltas, reset_batch_id,
+                folded_update, replace_buckets, expected_base,
+            )
         self._save_meta(df.schema)
         new_v = self._alloc_version()
         path = os.path.join(self.root, f"_v{new_v}")
@@ -1395,6 +1485,22 @@ class BucketedParquetTable:
             shutil.rmtree(path, ignore_errors=True)
             self._release_claim(new_v)
             raise
+        return self._commit_manifest(
+            path, new_v, touched, clear_deltas, reset_batch_id,
+            folded_update, replace_buckets, expected_base,
+        )
+
+    def _commit_manifest(
+        self,
+        path: str,
+        new_v: int,
+        touched: list[int],
+        clear_deltas: bool = False,
+        reset_batch_id: bool = False,
+        folded_update: dict[int, int] | None = None,
+        replace_buckets: bool = False,
+        expected_base: dict[int, int | None] | None = None,
+    ) -> int:
         # a bucket whose rows were all deleted writes no dir; it still
         # moves to new_v in the manifest (read() tolerates the absence)
         with self._commit_mutex, self._fs_lock():
