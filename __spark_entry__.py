@@ -4073,19 +4073,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     younger rows and stays verified by ``python scripts/driver_sim.py``
     over ALL entries.
 
-    ROUND-9 rotation (the `_R9_WINDOW` reorder at the end of this
-    function, standing contract): (a) the 5 queries NEW this round
-    (wire-source schema discovery for both databases, the vectorized
-    MySQL text-row decode, the ClickHouse live-read decoders, the
-    gpfdist proto-1 framing), (b) the
-    14 queries whose implementation paths changed in round 9
-    (identifier quoting in both wire snapshot planners; the
-    single-file delta layout + head(1)-free sink + O(batch) waljson
-    reads under the cdc_merge/cdc_rebucket/dblog/replicate families
-    and both recorded CDC readers; the exact-task fan-outs in the
-    ClickHouse and Elastic read planes; the FTWRL fence behind
-    snapshot_handoff), and (c) the 32 oldest-green r04 rows rotating
-    back into the official record. 4+14+32 = 50 exactly.
+    ROUND-10 rotation (the `_R10_WINDOW` reorder at the end of this
+    function, standing contract): (a) the 2 queries NEW this round
+    (the Greenplum control-plane statement sequence now executed live
+    over the PG wire session, and the pure-wire Kafka consumer's
+    Fetch/ListOffsets frames + record-set decode), (b) the 14 queries
+    whose implementation paths changed in round 10 (PG discovery key
+    fallbacks under pg_schema_discovery; the streaming ClickHouse read
+    plane + size-derived parts under clickhouse_read_plan /
+    clickhouse_decode / clickhouse_insert_plan; the hardened gpfdist
+    server under gpfdist_frames / gpfdist_plan; the one-exchange
+    bucketed merge + adaptive probe skip + commit-manifest refactor
+    under the cdc_merge/cdc_rebucket/replicate families; the
+    eager-materializing FTWRL fence behind snapshot_handoff), and (c)
+    the 34 oldest-green rows (7×r04 + 14×r05 + 13×r07) rotating back
+    into the official record. 2+14+34 = 50 exactly.
     """
     q = {
         # -- (a) NEW in round 9: wire-source schema discovery +
@@ -4254,64 +4256,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_json": q_parser_json,
         "parser_protobuf": q_parser_protobuf,
     }
-    _R9_WINDOW = [
+    _R10_WINDOW = [
+        "gp_control_plane",
+        "kafka_fetch_plan",
         "pg_schema_discovery",
-        "mysql_schema_discovery",
-        "mysql_select_decode",
+        "clickhouse_read_plan",
         "clickhouse_decode",
+        "clickhouse_insert_plan",
         "gpfdist_frames",
-        "pg_copy_plan",
-        "mysql_select_plan",
-        "snapshot_handoff",
-        "cdc_merge_delta",
+        "gpfdist_plan",
         "cdc_merge_bucketed",
         "cdc_rebucket",
-        "dblog_snapshot",
+        "cdc_merge_delta",
+        "cdc_merge",
         "replicate_yaml",
         "replicate_controls",
         "replicate_multi_table",
-        "mysql_cdc_envelope",
-        "mongo_change_stream",
-        "clickhouse_read_plan",
-        "elastic_scroll_plan",
-        "ann_lsh_multiprobe",
-        "decontaminate",
-        "quota_cap",
-        "global_shuffle",
-        "pack_sequences",
-        "pii_scrub",
-        "quality_gopher",
-        "sample_stratified",
-        "clickhouse_insert_plan",
-        "raw_cdc_doc_grouper",
-        "native_roundtrip",
-        "typesystem_edges",
-        "ydb_changefeed",
-        "airbyte_records",
-        "ydb_scan",
-        "dbt_models",
-        "cdc_collapse",
-        "cdc_merge",
-        "tpch_q2ish",
-        "tpch_q8",
-        "tpch_q9ish",
-        "tpch_q11ish",
-        "tpch_q13ish",
-        "tpch_q17ish",
-        "tpch_q20ish",
-        "tpch_q21ish",
-        "repetition_score",
-        "chunk_documents",
-        "dedup_exact",
-        "dedup_embedding_cosine",
-        "ann_brute_force",
+        "snapshot_handoff",
+        "ann_sq8",
+        "bm25_rank",
+        "lm_familiarity",
+        "parser_json",
+        "parser_protobuf",
+        "table_splitter",
+        "token_count",
+        "filter_rows",
+        "jsonparser",
+        "lambda",
+        "mongo_pk_extender",
+        "number_to_float",
+        "parser_blank",
+        "parser_raw_to_table",
+        "parser_tskv",
+        "raw_doc_grouper",
+        "rename_tables",
+        "serializer_csv",
+        "skip_events",
+        "transform_chain",
+        "yt_dict",
+        "asof_join",
+        "audio_energy",
+        "convert_to_datetime",
+        "convert_to_string",
+        "dedup_incremental",
+        "dedup_minhash_lsh",
+        "delta_scan",
+        "embed_ann_pipeline",
+        "events_hourly_rollup",
+        "events_sliding_rollup",
+        "filter_columns",
+        "image_resize",
+        "interval_join",
     ]
-    assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
-    missing = [n for n in _R9_WINDOW if n not in q]
+    assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+    missing = [n for n in _R10_WINDOW if n not in q]
     assert not missing, f"window names drifted: {missing}"
     return {
-        **{n: q[n] for n in _R9_WINDOW},
-        **{n: f for n, f in q.items() if n not in set(_R9_WINDOW)},
+        **{n: q[n] for n in _R10_WINDOW},
+        **{n: f for n, f in q.items() if n not in set(_R10_WINDOW)},
     }
 
 
