@@ -269,9 +269,13 @@ def test_fetch_client_offsets_and_metadata():
         broker.log["t"][1] = [(b"k", b"v", 123)]
         assert c.list_offsets("t", -1) == {0: 0, 1: 1, 2: 0}
         assert c.list_offsets("t", -2) == {0: 0, 1: 0, 2: 0}
-        [rec] = c.fetch("t", 1, 0)
+        part = c.fetch("t", 1, 0)
+        [rec] = part["records"]
+        assert part["high_watermark"] == 1
         assert rec["key"] == b"k" and rec["value"] == b"v"
         assert rec["offset"] == 0 and rec["timestamp"] == 123
+        # the loopback broker IS the leader → for_leader returns self
+        assert c.for_leader("t", 1) is c
         c.close()
         # unknown topic is loud
         c2 = KafkaFetchClient("127.0.0.1", broker.port, timeout=10)
@@ -321,3 +325,67 @@ def test_decode_record_set_drops_truncated_tail():
     assert [r["key"] for r in recs] == [b"a"]  # partial tail dropped
     recs = decode_record_set(full + second)
     assert [r["offset"] for r in recs] == [0, 1]
+
+
+def test_decode_rejects_compression_and_skips_control_batches():
+    """code-review r10: a compressed batch must fail with the CAUSE
+    (not a baffling record-length mismatch), and a transactional
+    producer's commit/abort markers (control bit 0x20) must not
+    surface as data rows."""
+    import struct
+
+    from transferia_spark.sinks.kafka_wire import crc32c
+
+    def with_attributes(batch: bytes, attrs: int) -> bytes:
+        tail = bytearray(batch[21:])
+        struct.pack_into(">h", tail, 0, attrs)
+        head = (
+            batch[:17]
+            + struct.pack(">I", crc32c(bytes(tail)))
+        )
+        return head + bytes(tail)
+
+    plain = encode_record_batch([(b"k", b"v")], base_offset=0)
+    gz = with_attributes(plain, 0x01)  # gzip bit
+    with pytest.raises(ValueError, match="compression codec 1"):
+        decode_record_batch(gz)
+    ctrl = with_attributes(
+        encode_record_batch([(b"\x00\x00\x00\x01", b"")], base_offset=1),
+        0x20,
+    )
+    data = encode_record_batch([(b"k2", b"v2")], base_offset=2)
+    recs = decode_record_set(plain + ctrl + data)
+    # the marker's offset (1) is a gap, not a row
+    assert [r["offset"] for r in recs] == [0, 2]
+    assert decode_record_batch(ctrl)["control"] is True
+
+
+def test_gpfdist_seq_one_token_upgrade_fallback(tmp_path):
+    """code-review r10: a pre-upgrade single-token seq marker (= last
+    APPLIED seq) must keep deduping a replay of that seq after the
+    format gained the pre-append length."""
+    import urllib.request
+
+    from transferia_spark.sinks.gpfdist_server import GpfdistServer
+
+    d = tmp_path / "unload" / "t"
+    d.mkdir(parents=True)
+    (d / "seg0.txt").write_bytes(b"1\ta\n")
+    (d / "seg0.seq").write_text("12")  # old format: seq 12 applied
+    srv = GpfdistServer(str(tmp_path))
+    try:
+        def post(seq, data):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/unload/t", data=data,
+                method="POST",
+            )
+            req.add_header("X-GP-SEGMENT-ID", "0")
+            req.add_header("X-GP-SEQ", str(seq))
+            urllib.request.urlopen(req, timeout=10).read()
+
+        post(12, b"1\ta\n")  # replay of the applied chunk: deduped
+        assert (d / "seg0.txt").read_bytes() == b"1\ta\n"
+        post(13, b"2\tb\n")  # the stream continues
+        assert (d / "seg0.txt").read_bytes() == b"1\ta\n2\tb\n"
+    finally:
+        srv.close()

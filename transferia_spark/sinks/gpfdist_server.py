@@ -175,47 +175,49 @@ class GpfdistServer:
                 # framed: a zero-length D block IS the protocol's
                 # end-of-stream marker and would truncate the response
                 # after the first empty file
-                # open + stat each file ONCE before any header goes
-                # out: a file that vanished between glob and read must
-                # become a clean 500, not an OSError after headers, and
-                # the streamed byte count must equal the stat'ed size
-                # the Content-Length was computed from (ADVICE r9)
-                serve: list[tuple[str, object, int, int]] = []
+                # STAT each file once before any header goes out (a
+                # vanished file is a clean 500, not an OSError after
+                # headers; the streamed byte count must equal the
+                # stat'ed size the Content-Length was computed from —
+                # ADVICE r9). Handles open JUST-IN-TIME per file while
+                # streaming: pre-opening a 2000-part table would trip
+                # the fd limit and fail every GET (code-review r10).
+                serve: list[tuple[str, int]] = []
                 try:
                     for f in mine:
-                        fh = open(f, "rb")
-                        sz = os.fstat(fh.fileno()).st_size
+                        sz = os.stat(f).st_size
                         if sz == 0:
                             # EMPTY files (Spark's _SUCCESS markers)
                             # must not be framed: a zero-length D block
                             # IS the protocol's end-of-stream marker
-                            fh.close()
                             continue
-                        serve.append((f, fh, sz, _count_newlines(fh)))
+                        serve.append((f, sz))
                 except OSError:
-                    for _f, fh, _sz, _nl in serve:
-                        fh.close()
                     self.send_error(500, "staged file unreadable")
                     return
-                try:
-                    if proto >= 1:
-                        # Content-Length is computable from file sizes
-                        # + per-file frame overhead, so frames stream
-                        # out in bounded chunks — memory stays O(chunk)
-                        # in both protocol arms, not O(segment share)
-                        total = sum(
-                            # F + name, O + 8, L + 8, D + data
-                            5 + len(os.path.relpath(f, outer.root).encode())
-                            + 5 + 8 + 5 + 8 + 5 + sz
-                            for f, _fh, sz, _nl in serve
-                        )
-                        total += 5  # terminating empty D (always sent)
-                        self.send_response(200)
-                        self.send_header("X-GP-PROTO", str(proto))
-                        self.send_header("Content-Length", str(total))
-                        self.end_headers()
-                        for f, fh, sz, nlines in serve:
-                            name = os.path.relpath(f, outer.root).encode()
+                if proto >= 1:
+                    # Content-Length is computable from file sizes +
+                    # per-file frame overhead, so frames stream out in
+                    # bounded chunks — memory stays O(chunk) in both
+                    # protocol arms, not O(segment share)
+                    total = sum(
+                        # F + name, O + 8, L + 8, D + data
+                        5 + len(os.path.relpath(f, outer.root).encode())
+                        + 5 + 8 + 5 + 8 + 5 + sz
+                        for f, sz in serve
+                    )
+                    total += 5  # terminating empty D (always sent)
+                    self.send_response(200)
+                    self.send_header("X-GP-PROTO", str(proto))
+                    self.send_header("Content-Length", str(total))
+                    self.end_headers()
+                    for f, sz in serve:
+                        name = os.path.relpath(f, outer.root).encode()
+                        # the L frame precedes the data, so the count
+                        # pre-pass reads the (page-cached) file once
+                        # more — proto 0 never pays it
+                        with open(f, "rb") as fh:
+                            nlines = _count_newlines(fh)
                             self.wfile.write(
                                 b"F" + struct.pack(">I", len(name)) + name
                                 + b"O" + struct.pack(">IQ", 8, 0)
@@ -223,20 +225,18 @@ class GpfdistServer:
                                 + b"D" + struct.pack(">I", sz)
                             )
                             _copy_exact(fh, self.wfile, sz, f)
-                        self.wfile.write(b"D" + struct.pack(">I", 0))
-                        return
-                    self.send_response(200)
-                    self.send_header("X-GP-PROTO", str(proto))
-                    self.send_header(
-                        "Content-Length",
-                        str(sum(sz for _f, _fh, sz, _nl in serve)),
-                    )
-                    self.end_headers()
-                    for f, fh, sz, _nl in serve:
+                    self.wfile.write(b"D" + struct.pack(">I", 0))
+                    return
+                self.send_response(200)
+                self.send_header("X-GP-PROTO", str(proto))
+                self.send_header(
+                    "Content-Length",
+                    str(sum(sz for _f, sz in serve)),
+                )
+                self.end_headers()
+                for f, sz in serve:
+                    with open(f, "rb") as fh:
                         _copy_exact(fh, self.wfile, sz, f)
-                finally:
-                    for _f, fh, _sz, _nl in serve:
-                        fh.close()
 
             def do_POST(self):
                 rel = self.path.lstrip("/")
@@ -265,7 +265,21 @@ class GpfdistServer:
                     try:
                         with open(seq_file) as fh:
                             parts = fh.read().split()
-                        last, pre_len = int(parts[0]), int(parts[1])
+                        last = int(parts[0])
+                        if len(parts) > 1:
+                            pre_len = int(parts[1])
+                        else:
+                            # pre-r10 single-token marker: that format
+                            # recorded a fully-APPLIED seq, so its
+                            # pre-append length is the current file
+                            # size — parsing it as "no journal" would
+                            # lose retransmit dedup across the upgrade
+                            # (code-review r10)
+                            try:
+                                pre_len = os.path.getsize(data_file)
+                            except FileNotFoundError:
+                                pre_len = 0
+                            last += 1  # treat as: next expected seq's journal
                     except (FileNotFoundError, ValueError, IndexError):
                         last, pre_len = -1, 0
                     cur = int(seq)

@@ -137,7 +137,19 @@ class GpWireExecutor:
         return self._sess
 
     def __call__(self, sql: str):
-        return self._ensure().simple_query(sql)
+        try:
+            return self._ensure().simple_query(sql)
+        except Exception:
+            # a failed statement leaves the session mid-protocol (the
+            # ErrorResponse raised before ReadyForQuery was consumed)
+            # and possibly inside an aborted BEGIN block — a later
+            # statement on the same connection would read the previous
+            # statement's leftovers (off-by-one responses) or no-op in
+            # the aborted transaction. Drop the connection: the server
+            # rolls the transaction back on disconnect, and the next
+            # call dials fresh (code-review r10).
+            self.close()
+            raise
 
     def close(self) -> None:
         if self._close is not None:

@@ -166,6 +166,19 @@ def decode_record_batch(data: bytes) -> dict:
     if crc32c(tail) != crc:
         raise ValueError("CRC mismatch")
     attributes, last_delta = struct.unpack_from(">hi", tail, 0)
+    codec = attributes & 0x07
+    if codec:
+        # bits 0-2: compression. Decoding would need the codec libs;
+        # failing here with the cause beats read_zigzag parsing
+        # compressed bytes into a baffling 'record length mismatch'
+        # (code-review r10)
+        raise ValueError(
+            f"record batch uses compression codec {codec} "
+            "(1=gzip 2=snappy 3=lz4 4=zstd) — the pure-wire consumer "
+            "decodes uncompressed batches only; produce uncompressed "
+            "or use the spark-sql-kafka connector"
+        )
+    is_control = bool(attributes & 0x20)
     base_ts, max_ts = struct.unpack_from(">qq", tail, 6)
     count = struct.unpack_from(">i", tail, 36)[0]
     pos = 40
@@ -209,6 +222,7 @@ def decode_record_batch(data: bytes) -> dict:
     return {
         "base_offset": base_offset,
         "attributes": attributes,
+        "control": is_control,
         "last_offset_delta": last_delta,
         "max_timestamp": max_ts,
         "records": records,
@@ -345,7 +359,13 @@ def decode_record_set(data: bytes) -> list[dict]:
         end = pos + 12 + batch_len
         if end > len(data):
             break  # truncated trailing batch
-        out.extend(decode_record_batch(data[pos:end])["records"])
+        batch = decode_record_batch(data[pos:end])
+        if not batch["control"]:
+            # transaction commit/abort markers (attributes bit 0x20)
+            # are protocol metadata, not data rows — a transactional
+            # producer's marker must not surface in the mirror stream
+            # (code-review r10); the offsets they occupy simply skip
+            out.extend(batch["records"])
         pos = end
     return out
 

@@ -240,6 +240,24 @@ class ClickHouseSource(Source):
         for s, url in self.shard_urls.items():
             body = self.client_factory(url).execute(sql)
             rows = int(body.strip() or 0)
+            if rows == 0:
+                # zero active system.parts rows for a KEYED table —
+                # Distributed/Merge/View engines have no local parts,
+                # so the size probe says nothing about the data behind
+                # them. Pinning 1 would silently serialize an
+                # arbitrarily large read; warn and keep a non-trivial
+                # split (code-review r10).
+                import warnings
+
+                warnings.warn(
+                    f"system.parts reports 0 rows for {table.fqtn()!r}"
+                    f" on shard {s!r} — not a local MergeTree table? "
+                    "Falling back to 4 parts; pin parts_per_shard to "
+                    "size the fan-out explicitly.",
+                    stacklevel=3,
+                )
+                out[s] = 4
+                continue
             out[s] = min(
                 self.max_parts_per_shard,
                 max(1, -(-rows // self.rows_per_part)),

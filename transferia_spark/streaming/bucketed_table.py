@@ -880,7 +880,12 @@ class BucketedParquetTable:
             # batch flows ONCE, straight into the merge plan).
             # touched = every bucket is always CORRECT — unchanged
             # buckets rewrite byte-identical content — and under real
-            # full churn it is also exact.
+            # full churn it is also exact. The isEmpty guard (a
+            # one-task first-row probe, far cheaper than the full
+            # distinct-collect) keeps a replayed/empty batch from
+            # rewriting the whole table for nothing (code-review r10).
+            if batch.isEmpty():
+                return self.version()
             self._full_churn_budget -= 1
             return self._merge_touched(
                 batch, list(range(self.n_buckets)), stored, toast_aware,

@@ -54,16 +54,41 @@ class KafkaFetchClient:
     ):
         import socket
 
+        self.host, self.port = host, port
+        self.timeout = timeout
         self.client_id = client_id
         self._corr = 0
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._sock.settimeout(timeout)
+        #: (host, port) -> connected peer client, lazily dialed when a
+        #: partition's leader is another broker (code-review r10: the
+        #: bootstrap broker answers NOT_LEADER on multi-broker
+        #: clusters; metadata's leader map routes every data request)
+        self._peers: dict[tuple[str, int], KafkaFetchClient] = {}
 
     def close(self) -> None:
+        for p in self._peers.values():
+            p.close()
+        self._peers = {}
         try:
             self._sock.close()
         except OSError:
             pass
+
+    def for_leader(self, topic: str, partition: int) -> "KafkaFetchClient":
+        """The client connected to the partition's leader (self when
+        the bootstrap broker leads it, or metadata gave no address)."""
+        md = self.metadata(topic)
+        leader = md["topics"][topic]["partitions"].get(partition)
+        addr = md["brokers"].get(leader)
+        if addr is None or addr == (self.host, self.port):
+            return self
+        if addr not in self._peers:
+            self._peers[addr] = KafkaFetchClient(
+                addr[0], addr[1], timeout=self.timeout,
+                client_id=self.client_id,
+            )
+        return self._peers[addr]
 
     def _recv_exact(self, n: int) -> bytes:
         out = b""
@@ -110,31 +135,53 @@ class KafkaFetchClient:
     def list_offsets(self, topic: str, timestamp: int) -> dict[int, int]:
         """Per-partition offsets at ``timestamp`` (-1 latest/log-end,
         -2 earliest/log-start) for every partition the metadata
-        reports."""
+        reports — each partition asked on its LEADER (only the leader
+        answers authoritatively; followers reply NOT_LEADER)."""
         from transferia_spark.sinks.kafka_wire import (
             decode_list_offsets_response,
             encode_list_offsets_request,
         )
 
-        parts = self.metadata(topic)["topics"][topic]["partitions"]
-        corr = self._next_corr()
-        resp = decode_list_offsets_response(
-            self._request(
-                encode_list_offsets_request(
-                    topic,
-                    {p: timestamp for p in parts},
-                    correlation_id=corr,
-                    client_id=self.client_id,
-                ),
-                corr,
+        md = self.metadata(topic)
+        parts = md["topics"][topic]["partitions"]
+        by_client: dict[KafkaFetchClient, list[int]] = {}
+        for p, leader in parts.items():
+            addr = md["brokers"].get(leader)
+            if addr is None or addr == (self.host, self.port):
+                c = self
+            else:
+                if addr not in self._peers:
+                    self._peers[addr] = KafkaFetchClient(
+                        addr[0], addr[1], timeout=self.timeout,
+                        client_id=self.client_id,
+                    )
+                c = self._peers[addr]
+            by_client.setdefault(c, []).append(p)
+        out: dict[int, int] = {}
+        for c, ps in by_client.items():
+            corr = c._next_corr()
+            resp = decode_list_offsets_response(
+                c._request(
+                    encode_list_offsets_request(
+                        topic,
+                        {p: timestamp for p in ps},
+                        correlation_id=corr,
+                        client_id=c.client_id,
+                    ),
+                    corr,
+                )
             )
-        )
-        return resp[topic]
+            out.update(resp[topic])
+        return out
 
     def fetch(
         self, topic: str, partition: int, offset: int,
         max_wait_ms: int = 500,
-    ) -> list[dict]:
+    ) -> dict:
+        """One Fetch round → the partition response dict (``records``,
+        ``high_watermark``, …); a per-partition error code raises.
+        Control batches' records were already dropped by the decoder —
+        their offsets appear as gaps the caller steps over."""
         from transferia_spark.sinks.kafka_wire import (
             decode_fetch_response,
             encode_fetch_request,
@@ -158,7 +205,7 @@ class KafkaFetchClient:
             raise ValueError(
                 f"fetch error {part['error']} for {topic}[{partition}]"
             )
-        return part["records"]
+        return part
 
 
 def _parse_bootstrap(bootstrap: str) -> tuple[str, int]:
@@ -198,7 +245,14 @@ class KafkaWireStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         ts = -2 if self.starting == "earliest" else -1
         offs = self._driver_client().list_offsets(self.topic, ts)
-        return {str(p): o for p, o in sorted(offs.items())}
+        out = {str(p): o for p, o in sorted(offs.items())}
+        # seed the bounded-catch-up base: without this, the VERY FIRST
+        # batch of starting_offsets=earliest on a deep topic would plan
+        # the whole retained log in one micro-batch — exactly the case
+        # max_records_per_batch exists for (code-review r10)
+        for p, o in out.items():
+            self._base.setdefault(p, o)
+        return out
 
     def latestOffset(self) -> dict:
         # bounded catch-up (max_records_per_batch, the bufferer's
@@ -206,9 +260,10 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         # max_records per partition — capping later, in partitions(),
         # would silently skip the records between the capped end and
         # the end Spark records in its checkpoint. The base is the last
-        # end this reader planned (seeded by partitions()' start after
-        # a restart); with no base yet the first batch is uncapped —
-        # safe, just bigger.
+        # end this reader planned (seeded by initialOffset on a fresh
+        # stream / by partitions()' start after a restart); restart
+        # before the first partitions() call leaves it empty, so that
+        # one batch is uncapped — safe, just bigger.
         offs = self._driver_client().list_offsets(self.topic, -1)
         out = {}
         for p, o in sorted(offs.items()):
@@ -240,14 +295,24 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         if partition.partition < 0:
             return
         host, port = _parse_bootstrap(self.bootstrap)
-        client = KafkaFetchClient(host, port, timeout=self.timeout)
+        boot = KafkaFetchClient(host, port, timeout=self.timeout)
         try:
+            # fetch from the partition's LEADER (the bootstrap broker
+            # answers NOT_LEADER on multi-broker clusters)
+            client = boot.for_leader(self.topic, partition.partition)
             off = partition.start
             while off < partition.end:
-                records = client.fetch(self.topic, partition.partition, off)
+                part = client.fetch(self.topic, partition.partition, off)
+                records = part["records"]
                 if not records:
-                    # the planned end came from ListOffsets — records
-                    # must exist; an empty fetch here means truncation/
+                    if off < part["high_watermark"]:
+                        # a transaction marker (control batch) occupies
+                        # this offset: the decoder dropped it, the
+                        # position steps over it
+                        off += 1
+                        continue
+                    # the planned end came from ListOffsets — data must
+                    # exist below it; nothing here means truncation/
                     # retention raced the plan. Stop rather than spin.
                     raise ValueError(
                         f"fetch at {off} returned no records below "
@@ -272,7 +337,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                     )
                     off = rec["offset"] + 1
         finally:
-            client.close()
+            boot.close()  # closes leader peers too
 
     def commit(self, end: dict) -> None:
         # no consumer group: the checkpoint IS the committed position

@@ -77,12 +77,22 @@ def kafka_stream(
     source."""
     use_wire = engine == "wire"
     if engine == "auto":
-        try:
-            spark._jvm.java.lang.Class.forName(
-                "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-            )
-        except Exception:  # noqa: BLE001 — jar probe
-            use_wire = True
+        jvm = getattr(spark, "_jvm", None)
+        if jvm is None:
+            # Spark Connect: no driver JVM handle to probe — the
+            # cluster may well have the connector, so DON'T silently
+            # downgrade to the wire engine (code-review r10); the
+            # connector path fails with a clear ClassNotFound at
+            # stream start if the jar really is absent, and
+            # engine="wire" stays available explicitly.
+            use_wire = False
+        else:
+            try:
+                jvm.java.lang.Class.forName(
+                    "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+                )
+            except Exception:  # noqa: BLE001 — jar probe
+                use_wire = True
     if use_wire:
         from transferia_spark.streaming.kafka_source import kafka_wire_stream
 
