@@ -880,12 +880,15 @@ class BucketedParquetTable:
             # batch flows ONCE, straight into the merge plan).
             # touched = every bucket is always CORRECT — unchanged
             # buckets rewrite byte-identical content — and under real
-            # full churn it is also exact. The isEmpty guard (a
-            # one-task first-row probe, far cheaper than the full
-            # distinct-collect) keeps a replayed/empty batch from
-            # rewriting the whole table for nothing (code-review r10).
-            if batch.isEmpty():
-                return self.version()
+            # full churn it is also exact. An empty batch here rewrites
+            # identical content once — deliberately NOT guarded by
+            # isEmpty: measured, the first-row probe on a Python-
+            # datasource-backed frame costs a full job wave and ate the
+            # shortcut's entire win. The waste is bounded: a stream
+            # with no new offsets plans no batches at all, so empties
+            # only arise from filtered/replayed bursts, and the
+            # re-probe (≤ rewrite_probe_every-1 batches away) sees low
+            # coverage and disengages.
             self._full_churn_budget -= 1
             return self._merge_touched(
                 batch, list(range(self.n_buckets)), stored, toast_aware,
