@@ -256,6 +256,75 @@ def test_consumer_loopback_e2e_produce_then_fetch(spark, tmp_path):
         broker.close()
 
 
+def test_kafka_wire_source_through_parser_to_sink(spark, tmp_path):
+    """The reference's Kafka source chain — consume → parse → push
+    (kafka/source.go:105: franz-go → parsequeue → parser) — composed
+    from the repo's own parts with NO jars: wire producer → loopback
+    broker → wire consumer (raw mirror frame) → registry json parser →
+    parquet sink; typed rows land with the queue system columns."""
+    import json as _json
+
+    from transferia_spark.parsers.registry import build_parser
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sinks.queues import KafkaSink
+
+    broker = LoopbackBroker({"events": 1})
+    port = broker.port
+
+    def transport(frame: bytes) -> None:
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        try:
+            s.sendall(frame)
+            s.recv(4096)
+        finally:
+            s.close()
+
+    try:
+        payloads = [
+            _json.dumps({"id": i, "name": f"n{i}", "extra": "x"})
+            for i in range(6)
+        ]
+        sink = KafkaSink(
+            bootstrap_servers=f"127.0.0.1:{port}", transport=transport
+        )
+        df = spark.createDataFrame(
+            [(str(i), p) for i, p in enumerate(payloads)],
+            "key string, value string",
+        )
+        sink.write(df, TableID("", "events"))
+
+        from transferia_spark.streaming.kafka_source import kafka_wire_stream
+
+        stream = kafka_wire_stream(
+            spark, f"127.0.0.1:{port}", "events",
+            starting_offsets="earliest",
+        )
+        parsed = build_parser("json", schema="id long, name string")(stream)
+        out = str(tmp_path / "out")
+        q = (
+            parsed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = spark.read.parquet(out).collect()
+        assert sorted((r.id, r.name) for r in rows) == [
+            (i, f"n{i}") for i in range(6)
+        ]
+        # queue system columns + unknown-field overflow survive
+        # (producer order within the batch is not key order — only the
+        # offset SET is dense)
+        assert sorted(r._offset for r in rows) == list(range(6))
+        assert {r._partition for r in rows} == {0}
+        r0 = next(r for r in rows if r.id == 0)
+        assert r0._rest["extra"] == "x"
+        assert all(r._unparsed_raw is None for r in rows)
+    finally:
+        broker.close()
+
+
 def test_fetch_client_offsets_and_metadata():
     broker = LoopbackBroker({"t": 3})
     from transferia_spark.streaming.kafka_source import KafkaFetchClient
