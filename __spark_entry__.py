@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1708,6 +1709,94 @@ def q_kafka_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"@{r['timestamp']}",
         ))
     return spark.createDataFrame(rows, "kind string, idx int, val string")
+
+
+def q_yt_schema_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the YT static-table contract (sources/yt.py ≈
+    ``pkg/providers/yt`` schema-attribute mapping) as a driver row —
+    the full YT→Spark type matrix (unsigned widths bump to the
+    next-wider signed, uint64 exact via decimal(20,0), YT string =
+    bytes, any/json/composite = JSON strings), plus the key-column and
+    nullability folds of a fixed schema attribute list. The oracle
+    re-derives the matrix as a CASE — an independent second
+    implementation."""
+    from transferia_spark.sources.yt import key_columns, yt_schema_to_spark
+
+    yt_types = [
+        "int8", "int16", "int32", "int64", "uint8", "uint16", "uint32",
+        "uint64", "float", "double", "string", "utf8", "boolean",
+        "date", "datetime", "timestamp", "interval", "any", "json",
+        "timestamp_tz", "big_float", "composite", "decimal(12,3)",
+    ]
+    from transferia_spark.schema.typesystem import yt_to_spark
+
+    rows = [
+        ("type", t, yt_to_spark(t).simpleString()) for t in yt_types
+    ]
+    spec = [
+        {"name": "k1", "type": "int64", "required": True,
+         "sort_order": "ascending"},
+        {"name": "k2", "type": "utf8", "sort_order": "ascending"},
+        {"name": "v", "type": "double"},
+        {"name": "blob", "type": "string", "required": True},
+    ]
+    st = yt_schema_to_spark(spec)
+    rows += [
+        ("field", f.name,
+         f"{f.dataType.simpleString()}:"
+         f"{'null' if f.nullable else 'req'}:"
+         f"{'pk' if f.metadata.get('pk') else '-'}")
+        for f in st.fields
+    ]
+    rows += [("keys", ",".join(key_columns(spec)), "")]
+    return spark.createDataFrame(rows, "kind string, name string, out string")
+
+
+def q_queue_adapters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the EventHub and YDS record-frame adapters
+    (streaming/readers.py ≈ ``eventhub/eventhub.go:191`` /
+    ``yds/source/common.go:89`` makeRawChangeItem) over a fixed record
+    set — partition-id parse with non-numeric fallback, offset-string
+    try_cast falling back to the sequence number, topic composition —
+    value/key/timestamp all hash-compared against a SQL oracle doing
+    the same projections. (The Kinesis twin's synthetic offset is
+    xxhash64 — engine-specific by design, pinned in pytest instead.)"""
+    from transferia_spark.streaming.readers import (
+        eventhub_records_to_raw,
+        yds_records_to_raw,
+    )
+
+    eh = spark.createDataFrame(
+        [
+            ("0", 11, "42", datetime(2024, 1, 1, 8, 0, 0), b"a1"),
+            ("$Default", 12, "not-an-offset",
+             datetime(2024, 1, 1, 8, 0, 1), b"a2"),
+            ("3", 13, None, datetime(2024, 1, 1, 8, 0, 2), b"a3"),
+        ],
+        "partition_id string, sequence_number long, offset string, "
+        "enqueued_time timestamp, body binary",
+    )
+    eh_raw = eventhub_records_to_raw(eh, "tr1").select(
+        F.lit("eventhub").alias("kind"),
+        F.col("topic"), F.col("partition"), F.col("offset"),
+        F.col("value").cast("string").alias("val"),
+        F.col("timestamp"),
+    )
+    yds = spark.createDataFrame(
+        [
+            (0, 5, "src-a", datetime(2024, 2, 2, 9, 0, 0), b"y1"),
+            (2, 6, "src-b", datetime(2024, 2, 2, 9, 0, 1), b"y2"),
+        ],
+        "partition long, offset long, source_id string, "
+        "created_at timestamp, data binary",
+    )
+    yds_raw = yds_records_to_raw(yds, "stream-x").select(
+        F.lit("yds").alias("kind"),
+        F.col("topic"), F.col("partition"), F.col("offset"),
+        F.col("value").cast("string").alias("val"),
+        F.col("timestamp"),
+    )
+    return eh_raw.unionByName(yds_raw)
 
 
 def q_mongo_id_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4074,10 +4163,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     over ALL entries.
 
     ROUND-10 rotation (the `_R10_WINDOW` reorder at the end of this
-    function, standing contract): (a) the 2 queries NEW this round
+    function, standing contract): (a) the 4 queries NEW this round
     (the Greenplum control-plane statement sequence now executed live
-    over the PG wire session, and the pure-wire Kafka consumer's
-    Fetch/ListOffsets frames + record-set decode), (b) the 14 queries
+    over the PG wire session, the pure-wire Kafka consumer's
+    Fetch/ListOffsets frames + record-set decode, the YT schema-
+    attribute matrix, and the EventHub/YDS record adapters), (b) the 14 queries
     whose implementation paths changed in round 10 (PG discovery key
     fallbacks under pg_schema_discovery; the streaming ClickHouse read
     plane + size-derived parts under clickhouse_read_plan /
@@ -4086,8 +4176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bucketed merge + adaptive probe skip + commit-manifest refactor
     under the cdc_merge/cdc_rebucket/replicate families; the
     eager-materializing FTWRL fence behind snapshot_handoff), and (c)
-    the 34 oldest-green rows (7×r04 + 14×r05 + 13×r07) rotating back
-    into the official record. 2+14+34 = 50 exactly.
+    the 32 oldest-green rows (7×r04 + 14×r05 + 11×r07) rotating back
+    into the official record. 4+14+32 = 50 exactly.
     """
     q = {
         # -- (a) NEW in round 9: wire-source schema discovery +
@@ -4102,6 +4192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpfdist_plan": q_gpfdist_plan,
         "gp_control_plane": q_gp_control_plane,
         "kafka_fetch_plan": q_kafka_fetch_plan,
+        "yt_schema_map": q_yt_schema_map,
+        "queue_adapters": q_queue_adapters,
         "cdc_rebucket": q_cdc_rebucket,
         "pg_copy_plan": q_pg_copy_plan,
         "pg_copy_decode": q_pg_copy_decode,
@@ -4259,6 +4351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _R10_WINDOW = [
         "gp_control_plane",
         "kafka_fetch_plan",
+        "yt_schema_map",
+        "queue_adapters",
         "pg_schema_discovery",
         "clickhouse_read_plan",
         "clickhouse_decode",
@@ -4305,8 +4399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup",
         "events_sliding_rollup",
         "filter_columns",
-        "image_resize",
-        "interval_join",
     ]
     assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
     missing = [n for n in _R10_WINDOW if n not in q]
@@ -4437,6 +4529,55 @@ SELECT 'type', t.i, t.v FROM (VALUES
   (6, 'g_date=timestamp'), (7, 'h_ip=string'), (8, 'i_bin=binary'),
   (9, 'j_obj=string'), (10, 'k_geo=string'),
   (11, 'l_uns=decimal(20,0)')) t(i, v)
+""",
+        "yt_schema_map": """
+WITH m(name, out) AS (
+  SELECT name, CASE
+    WHEN name LIKE 'decimal(%' THEN name
+    WHEN name = 'int8' THEN 'tinyint'
+    WHEN name = 'int16' THEN 'smallint'
+    WHEN name = 'int32' THEN 'int'
+    WHEN name = 'int64' THEN 'bigint'
+    WHEN name = 'uint8' THEN 'smallint'
+    WHEN name = 'uint16' THEN 'int'
+    WHEN name = 'uint32' THEN 'bigint'
+    WHEN name = 'uint64' THEN 'decimal(20,0)'
+    WHEN name = 'float' THEN 'float'
+    WHEN name IN ('double', 'big_float') THEN 'double'
+    WHEN name = 'string' THEN 'binary'
+    WHEN name IN ('utf8', 'any', 'json', 'composite') THEN 'string'
+    WHEN name = 'boolean' THEN 'boolean'
+    WHEN name = 'date' THEN 'date'
+    WHEN name IN ('datetime', 'timestamp', 'timestamp_tz')
+      THEN 'timestamp'
+    WHEN name = 'interval' THEN 'interval day to second'
+  END
+  FROM (VALUES ('int8'), ('int16'), ('int32'), ('int64'), ('uint8'),
+    ('uint16'), ('uint32'), ('uint64'), ('float'), ('double'),
+    ('string'), ('utf8'), ('boolean'), ('date'), ('datetime'),
+    ('timestamp'), ('interval'), ('any'), ('json'), ('timestamp_tz'),
+    ('big_float'), ('composite'), ('decimal(12,3)')) t(name)
+)
+SELECT 'type' AS kind, name, out FROM m
+UNION ALL
+SELECT 'field', t.n, t.o FROM (VALUES
+  ('k1', 'bigint:req:pk'), ('k2', 'string:null:pk'),
+  ('v', 'double:null:-'), ('blob', 'binary:req:-')) t(n, o)
+UNION ALL
+SELECT 'keys', 'k1,k2', ''
+""",
+        "queue_adapters": """
+SELECT 'eventhub' AS kind, 'tr1_0' AS topic, 0 AS "partition",
+       42 AS "offset", 'a1' AS val,
+       TIMESTAMP '2024-01-01 08:00:00' AS "timestamp"
+UNION ALL SELECT 'eventhub', 'tr1_0', 0, 12, 'a2',
+       TIMESTAMP '2024-01-01 08:00:01'
+UNION ALL SELECT 'eventhub', 'tr1_3', 3, 13, 'a3',
+       TIMESTAMP '2024-01-01 08:00:02'
+UNION ALL SELECT 'yds', 'stream-x', 0, 5, 'y1',
+       TIMESTAMP '2024-02-02 09:00:00'
+UNION ALL SELECT 'yds', 'stream-x', 2, 6, 'y2',
+       TIMESTAMP '2024-02-02 09:00:01'
 """,
         "kafka_fetch_plan": """
 SELECT t.kind, t.idx, t.val FROM (VALUES
