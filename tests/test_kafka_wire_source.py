@@ -456,5 +456,84 @@ def test_gpfdist_seq_one_token_upgrade_fallback(tmp_path):
         assert (d / "seg0.txt").read_bytes() == b"1\ta\n"
         post(13, b"2\tb\n")  # the stream continues
         assert (d / "seg0.txt").read_bytes() == b"1\ta\n2\tb\n"
+        # code-review r10 pass 2 (reproduced live before the fix): the
+        # fallback journal must PERSIST — a lost-response retransmit of
+        # the first post-upgrade chunk must dedup, not re-append
+        assert (d / "seg0.seq").read_text().split()[0] == "13"
+        post(13, b"2\tb\n")
+        assert (d / "seg0.txt").read_bytes() == b"1\ta\n2\tb\n"
     finally:
         srv.close()
+
+
+def test_reader_advances_past_compacted_and_control_gaps():
+    """code-review r10 pass 2: a compacted batch whose retained records
+    all sit below the requested offset must not re-fetch forever — the
+    reader advances to the batch end (base + last_offset_delta + 1)."""
+    import struct as _struct
+
+    import transferia_spark.streaming.kafka_source as mod
+    from transferia_spark.sinks.kafka_wire import (
+        crc32c,
+        decode_record_set_with_end,
+    )
+
+    # a batch spanning offsets 5..15 that retains only 5 and 7
+    # (compaction): two records with offset deltas 0 and 2, but
+    # lastOffsetDelta 10 — hand-built the way a compacted segment is
+    from transferia_spark.sinks.kafka_wire import encode_record
+
+    recs = encode_record(0, 0, b"a", b"1") + encode_record(2, 0, b"b", b"2")
+    # attributes(2) lastOffsetDelta(4) ts(16) pid(8) epoch(2)
+    # baseSeq(4) count(4) records
+    head = (
+        _struct.pack(">h", 0) + _struct.pack(">i", 10)
+        + _struct.pack(">qq", 0, 0) + _struct.pack(">q", -1)
+        + _struct.pack(">h", -1) + _struct.pack(">i", -1)
+        + _struct.pack(">i", 2) + recs
+    )
+    body = (
+        _struct.pack(">i", -1) + b"\x02"
+        + _struct.pack(">I", crc32c(head)) + head
+    )
+    raw = _struct.pack(">q", 5) + _struct.pack(">i", len(body)) + body
+    records, nxt = decode_record_set_with_end(raw)
+    assert [r["offset"] for r in records] == [5, 7]
+    assert nxt == 16  # base 5 + lastOffsetDelta 10 + 1
+
+    # reader loop: fetch at 9 returns that batch → off jumps to 16
+    class StubClient:
+        def __init__(self, *a, **k):
+            self.fetches = []
+
+        def for_leader(self, topic, partition):
+            return self
+
+        def fetch(self, topic, partition, off):
+            self.fetches.append(off)
+            if off < 16:
+                return {"records": records, "high_watermark": 20,
+                        "next_offset": nxt}
+            return {
+                "records": [
+                    {"offset": off, "timestamp": 0, "key": b"k",
+                     "value": b"v", "headers": []}
+                ],
+                "high_watermark": 20,
+                "next_offset": off + 1,
+            }
+
+        def close(self):
+            pass
+
+    reader = mod.KafkaWireStreamReader(
+        {"bootstrap": "127.0.0.1:1", "topic": "t"}
+    )
+    saved = mod.KafkaFetchClient
+    mod.KafkaFetchClient = StubClient
+    try:
+        rows = list(reader.read(mod._TopicSlice(0, 9, 17)))
+    finally:
+        mod.KafkaFetchClient = saved
+    # fetch at 9 once (not an infinite loop), then the gap skipped
+    assert [r[4] for r in rows] == [16]

@@ -301,13 +301,21 @@ class GpfdistServer:
                             fh.truncate(pre_len)
                     else:
                         try:
-                            cur_len = os.path.getsize(data_file)
+                            pre_len = os.path.getsize(data_file)
                         except FileNotFoundError:
-                            cur_len = 0
-                        tmp = seq_file + ".tmp"
-                        with open(tmp, "w") as fh:
-                            fh.write(f"{cur} {cur_len}")
-                        os.replace(tmp, seq_file)
+                            pre_len = 0
+                    # ALWAYS persist the two-token journal before the
+                    # append — including the cur==last path: a
+                    # fallback-synthesized journal (old single-token
+                    # marker) exists only in memory, and skipping the
+                    # write there let a lost-response retransmit of the
+                    # first post-upgrade chunk recompute pre_len AFTER
+                    # the append and duplicate it (code-review r10
+                    # pass 2, reproduced live)
+                    tmp = seq_file + ".tmp"
+                    with open(tmp, "w") as fh:
+                        fh.write(f"{cur} {pre_len}")
+                    os.replace(tmp, seq_file)
                 # per-segment file; chunks of one segment's stream
                 # arrive in order on its connection — journal then append
                 with open(data_file, "ab") as fh:

@@ -352,7 +352,20 @@ def decode_record_set(data: bytes) -> list[dict]:
     broker behavior when the partition's max-bytes lands mid-batch —
     dropped silently, exactly like stock clients; the next fetch re-asks
     from the last full offset."""
+    return decode_record_set_with_end(data)[0]
+
+
+def decode_record_set_with_end(
+    data: bytes,
+) -> tuple[list[dict], int | None]:
+    """:func:`decode_record_set` plus the position AFTER the last full
+    batch (``base_offset + last_offset_delta + 1``), or None when no
+    full batch decoded. Consumers need it to advance past COMPACTED
+    batches whose retained records all sit below the requested offset
+    and past control batches — a records-only view would re-fetch the
+    same batch forever (code-review r10 pass 2)."""
     out: list[dict] = []
+    next_off: int | None = None
     pos = 0
     while pos + 12 <= len(data):
         (batch_len,) = struct.unpack_from(">i", data, pos + 8)
@@ -360,6 +373,7 @@ def decode_record_set(data: bytes) -> list[dict]:
         if end > len(data):
             break  # truncated trailing batch
         batch = decode_record_batch(data[pos:end])
+        next_off = batch["base_offset"] + batch["last_offset_delta"] + 1
         if not batch["control"]:
             # transaction commit/abort markers (attributes bit 0x20)
             # are protocol metadata, not data rows — a transactional
@@ -367,7 +381,7 @@ def decode_record_set(data: bytes) -> list[dict]:
             # (code-review r10); the offsets they occupy simply skip
             out.extend(batch["records"])
         pos = end
-    return out
+    return out, next_off
 
 
 def decode_fetch_response(body: bytes) -> dict[str, dict[int, dict]]:
@@ -394,11 +408,13 @@ def decode_fetch_response(body: bytes) -> dict[str, dict[int, dict]]:
             pos += 4
             raw = body[pos:pos + max(0, set_len)]
             pos += max(0, set_len)
+            records, next_off = decode_record_set_with_end(raw)
             parts[part] = {
                 "error": err,
                 "high_watermark": hw,
                 "last_stable_offset": lso,
-                "records": decode_record_set(raw),
+                "records": records,
+                "next_offset": next_off,
             }
         out[topic or ""] = parts
     return out
@@ -482,6 +498,7 @@ __all__ = [
     "encode_record_batch",
     "decode_record_batch",
     "decode_record_set",
+    "decode_record_set_with_end",
     "encode_produce_request",
     "encode_metadata_request",
     "encode_fetch_request",

@@ -256,7 +256,7 @@ class ClickHouseSource(Source):
                     "size the fan-out explicitly.",
                     stacklevel=3,
                 )
-                out[s] = 4
+                out[s] = min(4, self.max_parts_per_shard)
                 continue
             out[s] = min(
                 self.max_parts_per_shard,

@@ -75,11 +75,10 @@ class KafkaFetchClient:
         except OSError:
             pass
 
-    def for_leader(self, topic: str, partition: int) -> "KafkaFetchClient":
-        """The client connected to the partition's leader (self when
-        the bootstrap broker leads it, or metadata gave no address)."""
-        md = self.metadata(topic)
-        leader = md["topics"][topic]["partitions"].get(partition)
+    def _client_for(self, md: dict, leader: int) -> "KafkaFetchClient":
+        """The client connected to ``leader`` per the metadata's broker
+        map — self when the bootstrap broker leads (or the map has no
+        address); peers dial lazily and are cached/closed with self."""
         addr = md["brokers"].get(leader)
         if addr is None or addr == (self.host, self.port):
             return self
@@ -89,6 +88,12 @@ class KafkaFetchClient:
                 client_id=self.client_id,
             )
         return self._peers[addr]
+
+    def for_leader(self, topic: str, partition: int) -> "KafkaFetchClient":
+        """The client connected to the partition's leader."""
+        md = self.metadata(topic)
+        leader = md["topics"][topic]["partitions"].get(partition)
+        return self._client_for(md, leader)
 
     def _recv_exact(self, n: int) -> bytes:
         out = b""
@@ -146,17 +151,7 @@ class KafkaFetchClient:
         parts = md["topics"][topic]["partitions"]
         by_client: dict[KafkaFetchClient, list[int]] = {}
         for p, leader in parts.items():
-            addr = md["brokers"].get(leader)
-            if addr is None or addr == (self.host, self.port):
-                c = self
-            else:
-                if addr not in self._peers:
-                    self._peers[addr] = KafkaFetchClient(
-                        addr[0], addr[1], timeout=self.timeout,
-                        client_id=self.client_id,
-                    )
-                c = self._peers[addr]
-            by_client.setdefault(c, []).append(p)
+            by_client.setdefault(self._client_for(md, leader), []).append(p)
         out: dict[int, int] = {}
         for c, ps in by_client.items():
             corr = c._next_corr()
@@ -304,16 +299,12 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             while off < partition.end:
                 part = client.fetch(self.topic, partition.partition, off)
                 records = part["records"]
-                if not records:
-                    if off < part["high_watermark"]:
-                        # a transaction marker (control batch) occupies
-                        # this offset: the decoder dropped it, the
-                        # position steps over it
-                        off += 1
-                        continue
-                    # the planned end came from ListOffsets — data must
-                    # exist below it; nothing here means truncation/
-                    # retention raced the plan. Stop rather than spin.
+                nxt = part.get("next_offset")
+                if not records and nxt is None:
+                    # no decodable batch at all: the planned end came
+                    # from ListOffsets — data must exist below it;
+                    # nothing here means truncation/retention raced
+                    # the plan. Stop rather than spin.
                     raise ValueError(
                         f"fetch at {off} returned no records below "
                         f"planned end {partition.end} for "
@@ -336,6 +327,13 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                         ),
                     )
                     off = rec["offset"] + 1
+                if nxt is not None and nxt > off:
+                    # step past offsets the decoded batches ACCOUNT FOR
+                    # but yielded no records at/above the request
+                    # offset: compacted-away slots and control markers
+                    # — without this, re-fetching the same batch spins
+                    # forever (code-review r10 pass 2)
+                    off = nxt
         finally:
             boot.close()  # closes leader peers too
 
