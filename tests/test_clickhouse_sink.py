@@ -211,6 +211,7 @@ def test_write_cdc_pushes_jsoneachrow_per_shard(spark, ch_stub):
         "clickhouse",
         shard_urls={"s0": url, "s1": url},
         sharding=ChShardingConfig(shards=["s0", "s1"], shard_col="id"),
+        write_format="JSONEachRow",  # the legacy write path, kept
     )
     sink.write_cdc(_changelog(spark), TableID("", "users"), keys=["id"])
     inserts = [s for s in stmts if s[0].startswith("INSERT INTO")]
@@ -223,6 +224,65 @@ def test_write_cdc_pushes_jsoneachrow_per_shard(spark, ch_stub):
     # each row went to the shard its fnv hash picks — rows for one key
     # are never split across inserts of different shards
     assert len(all_rows) == 4
+
+
+def test_write_cdc_pushes_arrowstream_per_shard(spark, tmp_path):
+    """r10 default write path: IPC bodies, one vectorized encode per
+    shard slice — rows round-trip exactly through a binary recorder."""
+    import http.server
+    import io
+    import threading
+    import urllib.parse
+
+    import pyarrow as pa
+
+    received: list = []
+
+    class BinRecorder(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            ln = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(ln)
+            q = urllib.parse.parse_qs(
+                urllib.parse.urlparse(self.path).query
+            ).get("query", [""])[0]
+            received.append((q, body))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), BinRecorder)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        sink = build_sink(
+            "clickhouse",
+            shard_urls={"s0": url, "s1": url},
+            sharding=ChShardingConfig(shards=["s0", "s1"], shard_col="id"),
+        )
+        sink.write_cdc(_changelog(spark), TableID("", "users"), keys=["id"])
+        inserts = [
+            (q, b) for q, b in received if q.startswith("INSERT INTO")
+        ]
+        assert inserts
+        rows = []
+        for sql, body in inserts:
+            assert "FORMAT ArrowStream" in sql and "`users`" in sql
+            with pa.ipc.open_stream(pa.BufferReader(body)) as r:
+                rows += r.read_all().to_pylist()
+        assert {r["id"] for r in rows} == {1, 2, 3, 4}
+        assert len(rows) == 4
+        # version/tombstone system columns ride along
+        assert all(
+            "__data_transfer_commit_time" in r
+            and "__data_transfer_delete_time" in r
+            for r in rows
+        )
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_cleanup_and_create_table(spark, ch_stub):

@@ -302,16 +302,23 @@ def test_clickhouse_live_http_insert_e2e(spark):
     )
     sink.write(df, TID("db", "t"))
     s0.shutdown(); s1.shutdown()
-    inserts = [(p, b) for p, sql, b in received if sql.startswith("INSERT")]
+    inserts = [
+        (p, sql, b) for p, sql, b in received if sql.startswith("INSERT")
+    ]
     assert inserts, "no INSERT reached the loopback shards"
     rows = []
-    for _p, body in inserts:
-        rows += [json.loads(ln) for ln in body.splitlines() if ln.strip()]
+    for _p, sql, body in inserts:
+        # r10 default write path: Arrow IPC bodies, zero-parse
+        assert "FORMAT ArrowStream" in sql
+        import pyarrow as pa
+
+        with pa.ipc.open_stream(pa.BufferReader(body)) as r:
+            rows += r.read_all().to_pylist()
     assert sorted((r["id"], r["v"]) for r in rows) == [
         (i, f"v{i}") for i in range(20)
     ]
     # sharded: both endpoints received data (fnv1a32 spread over 20 ids)
-    assert len({p for p, _b in inserts}) == 2
+    assert len({p for p, _s, _b in inserts}) == 2
 
 
 def test_clickhouse_read_is_streaming_not_buffered():

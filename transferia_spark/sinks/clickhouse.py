@@ -339,6 +339,26 @@ class ChHttpClient:
         body = b"\n".join(json.dumps(r, default=str).encode() for r in rows)
         self.execute(sql, body=body)
 
+    def insert_arrow(self, table: str, cols: list[str], pdf) -> None:
+        """``INSERT ... FORMAT ArrowStream`` with an Arrow IPC body —
+        the zero-parse write twin of the read plane (r10): the server
+        ingests columns straight from the IPC buffers, and the encode
+        side is one vectorized ``Table.from_pandas`` instead of a
+        json.dumps per row."""
+        import io
+
+        import pyarrow as pa
+
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, tbl.schema) as w:
+            w.write_table(tbl)
+        sql = (
+            f"INSERT INTO {table} ({', '.join(quote_ch(c) for c in cols)}) "
+            "FORMAT ArrowStream"
+        )
+        self.execute(sql, body=sink.getvalue())
+
 
 # --------------------------------------------------------------------------
 # The sink
@@ -370,6 +390,7 @@ class ClickHouseSink(Sink):
         batch_rows: int = 10_000,
         client_factory: Callable[[str], ChHttpClient] = ChHttpClient,
         ch_version: tuple[int, int] = (23, 8),
+        write_format: str = "ArrowStream",
     ):
         self.shard_names = sorted(shard_urls)
         self.shard_urls = dict(shard_urls)
@@ -382,6 +403,12 @@ class ClickHouseSink(Sink):
         self.batch_rows = batch_rows
         self.client_factory = client_factory
         self.ch_version = ch_version
+        if write_format not in ("ArrowStream", "JSONEachRow"):
+            raise ValueError(
+                f"write_format {write_format!r}: ArrowStream (zero-parse, "
+                "CH ≥ 21.x, the default) or JSONEachRow (legacy)"
+            )
+        self.write_format = write_format
 
     # -- DDL / cleanup ------------------------------------------------------
 
@@ -450,6 +477,30 @@ class ClickHouseSink(Sink):
         cols = [c for c in out.columns if c != SHARD_COL]
         urls = [self.shard_urls[n] for n in self.shard_names]
         tname, factory, batch_rows = self._qualified(table), self.client_factory, self.batch_rows
+        fmt = self.write_format
+
+        if fmt == "ArrowStream":
+            # vectorized path (r10): Arrow-batched frames arrive via
+            # mapInPandas, split by the shard column with ONE groupby,
+            # and ship as IPC bodies — no per-row Python dict/json in
+            # the hot loop (the write twin of the ArrowStream reads)
+            def per_frames(frames):
+                import pandas as pd
+
+                clients: dict[int, ChHttpClient] = {}
+                for pdf in frames:
+                    for sid, g in pdf.groupby(SHARD_COL, sort=False):
+                        sid = int(sid)
+                        client = clients.setdefault(sid, factory(urls[sid]))
+                        data = g[cols]
+                        for i in range(0, len(data), batch_rows):
+                            client.insert_arrow(
+                                tname, cols, data.iloc[i:i + batch_rows]
+                            )
+                yield pd.DataFrame({"n": [0]})
+
+            out.mapInPandas(per_frames, "n long").count()
+            return
 
         def per_partition(rows):
             bufs: dict[int, list] = {}
