@@ -1799,6 +1799,28 @@ def q_queue_adapters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eh_raw.unionByName(yds_raw)
 
 
+def q_yt_read_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the YT live read plane's parallel-unit plan
+    (sources/yt.py plan_read_ranges + range_ypath ≈ the reference's
+    chunked read_table decomposition, ``pkg/providers/yt``): half-open
+    ``[#start:#end]`` row ranges tiling a 23-row table at 5 rows per
+    task — exclusive, exhaustive, ragged tail. The live transport is
+    pinned by the loopback proxy e2e in tests/test_yt_logsinks.py."""
+    from transferia_spark.sources.yt import plan_read_ranges, range_ypath
+
+    rows = [
+        (i, s, e, range_ypath("//home/users", s, e))
+        for i, (s, e) in enumerate(plan_read_ranges(23, 5))
+    ]
+    rows += [
+        (100 + i, s, e, range_ypath("//t", s, e))
+        for i, (s, e) in enumerate(plan_read_ranges(0, 5))
+    ]
+    return spark.createDataFrame(
+        rows, "idx int, start long, end long, ypath string"
+    )
+
+
 def q_mongo_id_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mongo parallel-unit planning (sources/mongo.py plan_id_ranges ≈
     ShardTable): sampled delimiters become half-open [from, to) _id
@@ -4163,11 +4185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     over ALL entries.
 
     ROUND-10 rotation (the `_R10_WINDOW` reorder at the end of this
-    function, standing contract): (a) the 4 queries NEW this round
+    function, standing contract): (a) the 5 queries NEW this round
     (the Greenplum control-plane statement sequence now executed live
     over the PG wire session, the pure-wire Kafka consumer's
     Fetch/ListOffsets frames + record-set decode, the YT schema-
-    attribute matrix, and the EventHub/YDS record adapters), (b) the 14 queries
+    attribute matrix + live-read range plan, and the EventHub/YDS
+    record adapters), (b) the 14 queries
     whose implementation paths changed in round 10 (PG discovery key
     fallbacks under pg_schema_discovery; the streaming ClickHouse read
     plane + size-derived parts under clickhouse_read_plan /
@@ -4176,8 +4199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bucketed merge + adaptive probe skip + commit-manifest refactor
     under the cdc_merge/cdc_rebucket/replicate families; the
     eager-materializing FTWRL fence behind snapshot_handoff), and (c)
-    the 32 oldest-green rows (7×r04 + 14×r05 + 11×r07) rotating back
-    into the official record. 4+14+32 = 50 exactly.
+    the 31 oldest-green rows (7×r04 + 14×r05 + 10×r07) rotating back
+    into the official record. 5+14+31 = 50 exactly.
     """
     q = {
         # -- (a) NEW in round 9: wire-source schema discovery +
@@ -4193,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gp_control_plane": q_gp_control_plane,
         "kafka_fetch_plan": q_kafka_fetch_plan,
         "yt_schema_map": q_yt_schema_map,
+        "yt_read_plan": q_yt_read_plan,
         "queue_adapters": q_queue_adapters,
         "cdc_rebucket": q_cdc_rebucket,
         "pg_copy_plan": q_pg_copy_plan,
@@ -4352,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gp_control_plane",
         "kafka_fetch_plan",
         "yt_schema_map",
+        "yt_read_plan",
         "queue_adapters",
         "pg_schema_discovery",
         "clickhouse_read_plan",
@@ -4398,7 +4423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_pipeline",
         "events_hourly_rollup",
         "events_sliding_rollup",
-        "filter_columns",
     ]
     assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
     missing = [n for n in _R10_WINDOW if n not in q]
@@ -4529,6 +4553,17 @@ SELECT 'type', t.i, t.v FROM (VALUES
   (6, 'g_date=timestamp'), (7, 'h_ip=string'), (8, 'i_bin=binary'),
   (9, 'j_obj=string'), (10, 'k_geo=string'),
   (11, 'l_uns=decimal(20,0)')) t(i, v)
+""",
+        "yt_read_plan": """
+SELECT t.i AS idx, t.s AS "start", t.e AS "end", t.y AS ypath
+FROM (VALUES
+  (0, 0, 5, '//home/users[#0:#5]'),
+  (1, 5, 10, '//home/users[#5:#10]'),
+  (2, 10, 15, '//home/users[#10:#15]'),
+  (3, 15, 20, '//home/users[#15:#20]'),
+  (4, 20, 23, '//home/users[#20:#23]'),
+  (100, 0, 0, '//t[#0:#0]')
+) t(i, s, e, y)
 """,
         "yt_schema_map": """
 WITH m(name, out) AS (

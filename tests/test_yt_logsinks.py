@@ -56,6 +56,97 @@ def test_yt_static_source_reads_weak_json_export(spark, tmp_path):
     assert src.table_list(spark) == [TableID("", "users")]
 
 
+def test_yt_live_http_read_e2e(spark):
+    """r10: the YT live read plane — row-range-parallel read_table over
+    a loopback HTTP proxy (the public /api/v3 surface) with the
+    executor tasks dialing it themselves; ranges are exclusive and
+    exhaustive, the OAuth header rides every request, and the weak
+    JSON rows strictify into the declared schema."""
+    import urllib.parse
+
+    from transferia_spark.sources.yt import plan_read_ranges, range_ypath
+
+    assert plan_read_ranges(23, 5) == [
+        (0, 5), (5, 10), (10, 15), (15, 20), (20, 23)
+    ]
+    assert plan_read_ranges(0, 5) == [(0, 0)]
+    assert range_ypath("//home/t", 5, 10) == "//home/t[#5:#10]"
+
+    all_rows = [
+        {"id": i, "name": f"u{i}", "score": i / 2} for i in range(12)
+    ]
+    requests: list = []
+
+    class Proxy(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            u = urllib.parse.urlparse(self.path)
+            q = urllib.parse.parse_qs(u.query)
+            requests.append(
+                (u.path, q.get("path", [""])[0],
+                 self.headers.get("Authorization"))
+            )
+            if u.path.endswith("/get"):
+                body = b"12"  # @row_count
+            else:
+                ypath = q["path"][0]
+                rng = ypath[ypath.index("[#") + 2:-1]
+                s, e = (int(x) for x in rng.split(":#"))
+                body = b"\n".join(
+                    json.dumps(r).encode() for r in all_rows[s:e]
+                )
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Proxy)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = YtStaticSource({
+            "users": {
+                "path": "//home/users",
+                "schema": [
+                    {"name": "id", "type": "int64", "required": True,
+                     "sort_order": "ascending"},
+                    {"name": "name", "type": "utf8"},
+                    {"name": "score", "type": "double"},
+                ],
+                "format": "live",
+                "live": {
+                    "proxy": f"http://127.0.0.1:{srv.server_address[1]}",
+                    "token": "sekret",
+                },
+                "rows_per_task": 5,
+            }
+        })
+        df = src.load_table(spark, TableID("", "users"))
+        rows = sorted((r.id, r.name, r.score) for r in df.collect())
+        assert rows == [(i, f"u{i}", i / 2) for i in range(12)]
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "bigint", "string", "double"
+        ]
+        # the driver asked for @row_count; tasks pulled disjoint,
+        # exhaustive ranges with the OAuth header
+        gets = [p for p, _y, _a in requests if p.endswith("/get")]
+        reads = [y for p, y, _a in requests if p.endswith("/read_table")]
+        assert len(gets) == 1
+        assert sorted(reads) == [
+            "//home/users[#0:#5]", "//home/users[#10:#12]",
+            "//home/users[#5:#10]",
+        ]
+        assert all(a == "OAuth sekret" for _p, _y, a in requests)
+        # predicate pushes into the plan (post-strictify filter)
+        assert src.load_table(
+            spark, TableID("", "users"), where="id >= 10"
+        ).count() == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 # ------------------------------------------------------------- log sinks
 
 
