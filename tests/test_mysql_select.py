@@ -591,6 +591,59 @@ def test_activation_scoped_one_instant_across_tables(spark):
     assert rows == {1, 2, 3, 4}
 
 
+def test_activate_verb_uses_activation_scoped_fence(spark, tmp_path):
+    """r10: the ACTIVATE verb itself routes a multi-table consistent
+    mysqlselect snapshot through load_tables_consistent — one FTWRL
+    round for the whole activation, both tables written to the sink."""
+    from transferia_spark.plans.transfer import TransferSpec, activate
+    from transferia_spark.sinks.base import CleanupPolicy, build_sink
+    from transferia_spark.sources import build_source
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(8)
+    port = srv.getsockname()[1]
+    log: list = []
+    t = threading.Thread(
+        target=_serve_multi_table, args=(srv, 4, log), daemon=True
+    )
+    _helper_threads.append(t)
+    t.start()
+
+    spec = TransferSpec(
+        src=build_source(
+            "mysqlselect",
+            live={"host": "127.0.0.1", "port": port, "user": "repl",
+                  "database": "shop", "timeout": 10.0,
+                  "consistent": True},
+            tables={
+                "shop.items": {
+                    "schema": "id long, name string, bal double",
+                    "pk": ["id"], "n_shards": 2,
+                },
+                "shop.tags": {
+                    "schema": "id long, tag string", "pk": ["id"],
+                },
+            },
+        ),
+        dst=build_sink("file", path=str(tmp_path / "out")),
+        cleanup=CleanupPolicy.DISABLED,
+    )
+    written = activate(spark, spec)
+    spec.src.close()
+    srv.close()
+    assert set(written) == {"shop.items", "shop.tags"}
+    items = spark.read.parquet(str(tmp_path / "out" / "shop.items"))
+    tags = spark.read.parquet(str(tmp_path / "out" / "shop.tags"))
+    assert items.count() == 4 and tags.count() == 1
+    sqls = [s for _c, s in log]
+    assert sqls.count("FLUSH TABLES WITH READ LOCK") == 1  # ONE instant
+    assert sqls.count("UNLOCK TABLES") == 1
+    views = [s for s in sqls
+             if s == "START TRANSACTION WITH CONSISTENT SNAPSHOT"]
+    assert len(views) == 3  # 2 item shards + 1 tags
+
+
 def test_per_table_fences_warn_and_oversized_gang_falls_back(spark):
     """The multi-table caveat is LOUD now: a second per-table lock
     round warns (per-table instants), and an activation gang larger

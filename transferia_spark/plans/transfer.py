@@ -134,6 +134,20 @@ def activate(
     tables = [t for t in spec.src.table_list(spark) if _selected(spec, t)]
     written: dict[str, int] = {}
     cleaned: set[str] = set()
+    # activation-scoped one-instant snapshot (r10 ≈ mysql/storage.go:
+    # 71-140 single BeginSnapshot): when the source offers it and the
+    # transfer is a multi-table consistent snapshot, ALL tables'
+    # frames materialize under ONE fence round before the per-table
+    # transform/write loop — tables loaded one by one would each open
+    # their own instant (per-table consistency only).
+    preloaded: dict[str, "DataFrame"] = {}
+    loader = getattr(spec.src, "load_tables_consistent", None)
+    if (
+        loader is not None
+        and len(tables) > 1
+        and getattr(spec.src, "live", {}).get("consistent")
+    ):
+        preloaded = loader(spark, tables=tables, wheres=spec.filters)
     if process_count > 1:
         import threading
         from concurrent.futures import ThreadPoolExecutor
@@ -141,14 +155,16 @@ def activate(
         lock = threading.Lock()
 
         def one(table):
-            _activate_one(spark, spec, table, written, lock, cleaned)
+            _activate_one(
+                spark, spec, table, written, lock, cleaned, preloaded
+            )
 
         with ThreadPoolExecutor(max_workers=process_count) as ex:
             list(ex.map(one, tables))  # re-raises the first failure
         return written
     lock = None
     for table in tables:
-        _activate_one(spark, spec, table, written, lock, cleaned)
+        _activate_one(spark, spec, table, written, lock, cleaned, preloaded)
     return written
 
 
@@ -161,7 +177,8 @@ class _NullLock:
 
 
 def _activate_one(
-    spark, spec, table, written: dict, lock, cleaned: set | None = None
+    spark, spec, table, written: dict, lock, cleaned: set | None = None,
+    preloaded: dict | None = None,
 ) -> None:
     lock = lock or _NullLock()
     cleaned = cleaned if cleaned is not None else set()
@@ -171,7 +188,11 @@ def _activate_one(
             # previous run (tracker contract — don't redo it)
             written[table.fqtn()] = -2
             return
-    df = spec.src.load_table(spark, table, where=spec.filters.get(table.fqtn()))
+    df = (preloaded or {}).get(table.fqtn())
+    if df is None:
+        df = spec.src.load_table(
+            spark, table, where=spec.filters.get(table.fqtn())
+        )
     new_cursor = None
     if spec.type != TransferType.SNAPSHOT_ONLY and spec.state is not None:
         cursor = spec.cursor_cols.get(table.fqtn())

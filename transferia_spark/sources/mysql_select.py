@@ -777,7 +777,11 @@ class MySqlSelectSource(Source):
         )
 
     def load_tables_consistent(
-        self, spark, where: str | None = None
+        self,
+        spark,
+        where: str | None = None,
+        tables: list | None = None,
+        wheres: dict[str, str] | None = None,
     ) -> dict:
         """One-instant snapshot across ALL configured tables — the
         activation-scoped fence (≈ ``mysql/storage.go:71-140``: one
@@ -805,13 +809,18 @@ class MySqlSelectSource(Source):
         import threading
         import warnings
 
-        tids = self.table_list(spark)
+        tids = tables if tables is not None else self.table_list(spark)
+        wheres = wheres or {}
         if not self.live.get("consistent"):
             return {
-                t.fqtn(): self.load_table(spark, t, where) for t in tids
+                t.fqtn(): self.load_table(
+                    spark, t, wheres.get(t.fqtn(), where)
+                )
+                for t in tids
             }
         plans = [
-            (t, *self._shard_plan(t.fqtn(), where)) for t in tids
+            (t, *self._shard_plan(t.fqtn(), wheres.get(t.fqtn(), where)))
+            for t in tids
         ]
         gang = sum(len(preds or [None]) for _t, _s, preds in plans)
         slots = int(spark.sparkContext.defaultParallelism)
@@ -827,7 +836,10 @@ class MySqlSelectSource(Source):
                 stacklevel=2,
             )
             return {
-                t.fqtn(): self.load_table(spark, t, where) for t in tids
+                t.fqtn(): self.load_table(
+                    spark, t, wheres.get(t.fqtn(), where)
+                )
+                for t in tids
             }
         fence = SnapshotFence(
             self.live,
