@@ -325,6 +325,85 @@ def test_kafka_wire_source_through_parser_to_sink(spark, tmp_path):
         broker.close()
 
 
+def test_replicate_verb_consumes_kafkawire(spark, tmp_path):
+    """r10: `format: kafkawire` in the replicate verb — the pure-wire
+    consumer feeds the registry parser and lands append ChangeItems in
+    a bucketed target through `run_replication` alone; a second pass
+    drains ONLY new records from the Spark checkpoint (natural
+    offsets ≈ kafka/source.go:105)."""
+    import json as _json
+
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sinks.queues import KafkaSink
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedParquetTable,
+    )
+    from transferia_spark.tasks.replicate import run_replication
+
+    broker = LoopbackBroker({"mirror": 2})
+    port = broker.port
+
+    def transport(frame: bytes) -> None:
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        try:
+            s.sendall(frame)
+            s.recv(4096)
+        finally:
+            s.close()
+
+    def produce(lo, hi):
+        sink = KafkaSink(
+            bootstrap_servers=f"127.0.0.1:{port}", num_partitions=2,
+            transport=transport,
+        )
+        df = spark.createDataFrame(
+            [(str(i), _json.dumps({"id": i, "name": f"n{i}"}))
+             for i in range(lo, hi)],
+            "key string, value string",
+        )
+        sink.write(df, TableID("", "mirror"))
+
+    src = str(tmp_path / "seed.parquet")
+    spark.createDataFrame([(0, "seed")], "id long, name string").coalesce(
+        1
+    ).write.parquet(src)
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    try:
+        produce(1, 7)
+        spec = transfer_from_yaml(f"""
+type: SNAPSHOT_ONLY
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: kafkawire
+    bootstrap: 127.0.0.1:{port}
+    topic: mirror
+    schema: "id long, name string"
+    options: {{starting_offsets: earliest}}
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 4}}
+""")
+        run_replication(
+            spark, spec, state_dir=state, once=True, retry_interval=0.0
+        )
+        table = BucketedParquetTable(
+            spark, target, keys=["id"], n_buckets=4
+        )
+        got = {(r.id, r.name) for r in table.read().collect()}
+        assert got == {(i, f"n{i}") for i in range(1, 7)}
+        # new records arrive; the next pass drains ONLY them
+        produce(7, 10)
+        run_replication(
+            spark, spec, state_dir=state, once=True, retry_interval=0.0
+        )
+        got = {(r.id, r.name) for r in table.read().collect()}
+        assert got == {(i, f"n{i}") for i in range(1, 10)}
+    finally:
+        broker.close()
+
+
 def test_fetch_client_offsets_and_metadata():
     broker = LoopbackBroker({"t": 3})
     from transferia_spark.streaming.kafka_source import KafkaFetchClient

@@ -214,6 +214,13 @@ def source_position(
     exactly like one arriving mid-stream would, instead of failing the
     activation the dead-letter contract exists to protect."""
     formats = _stream_formats()
+    if fmt == "kafkawire":
+        # queue offsets live in the Spark checkpoint; there is no
+        # snapshot-handoff position to capture (start controlled by
+        # options.starting_offsets) — keyed targets absorb the
+        # at-least-once overlap through collapse's (_lsn,_counter)
+        # ordering like every other source
+        return {}
     if fmt == "pgwire":
         from transferia_spark.streaming.pg_replication import (
             drain_recorded_frames,
@@ -276,6 +283,52 @@ def build_replication_stream(
     """
     formats = _stream_formats()
     fmt = source.get("format")
+    if fmt == "kafkawire":
+        # queue replication (≈ kafka/source.go:105 consume→parse→push):
+        # the pure-wire consumer's mirror frame, parsed by a registry
+        # parser (default: json against the declared payload schema),
+        # mapped to append-only ChangeItems — _op='i' (mirror streams
+        # carry no deletes), _lsn = the partition offset, _counter =
+        # the partition id (collapse ordering is per key; a producer
+        # keys a given row to one partition, so offsets order its
+        # changes). Offsets live in the Spark checkpoint — there is no
+        # handoff position (start from options.starting_offsets).
+        from pyspark.sql import types as T
+
+        from transferia_spark.cdc.changeitem import (
+            COUNTER_COL,
+            LSN_COL,
+            OP_COL,
+        )
+        from transferia_spark.parsers.registry import build_parser
+        from transferia_spark.streaming.kafka_source import kafka_wire_stream
+
+        ddl = source_schema_ddl(source)
+        pcfg = dict(source.get("parser") or {"type": "json"})
+        ptype = pcfg.pop("type", "json")
+        pcfg.setdefault("schema", ddl)
+        raw = kafka_wire_stream(
+            spark, source["bootstrap"], source["topic"],
+            **{k: str(v) for k, v in (source.get("options") or {}).items()},
+        )
+        parsed = build_parser(ptype, **pcfg)(raw)
+        if "_unparsed_raw" in parsed.columns:
+            # poison payloads drop out of the mirror stream (the
+            # reference routes them to <table>_unparsed; file-based
+            # dead-letter needs a file position, which queue offsets
+            # are not) — declare parser.add_rest etc. to tune
+            parsed = parsed.filter(F.col("_unparsed_raw").isNull())
+        payload = [
+            f.name for f in T._parse_datatype_string(ddl).fields
+        ]
+        return parsed.select(
+            *[F.col(c) for c in payload],
+            F.lit("i").alias(OP_COL),
+            F.col("_offset").cast("long").alias(LSN_COL),
+            F.coalesce(
+                F.col("_partition").cast("long"), F.lit(0)
+            ).alias(COUNTER_COL),
+        )
     if fmt == "pgwire":
         # PG streaming-replication wire sessions (live socket drain or
         # recorded CopyBoth captures under `frames_path`): decode
@@ -340,8 +393,8 @@ def build_replication_stream(
         fmt = "binlogjson"
     if fmt not in formats:
         raise FatalError(
-            f"unknown replication source format {fmt!r}; "
-            f"supported: {sorted(formats) + ['pgwire', 'mysqlwire']}"
+            f"unknown replication source format {fmt!r}; supported: "
+            f"{sorted(formats) + ['pgwire', 'mysqlwire', 'kafkawire']}"
         )
     cls, schema_fn = formats[fmt]
     spark.dataSource.register(cls)
@@ -760,7 +813,8 @@ def run_replication(
                         column_names=src.get("column_names"),
                     )
                 position = source_position(
-                    src["format"], source_schema_ddl(src), src["path"],
+                    src["format"], source_schema_ddl(src),
+                    src.get("path", ""),
                     frames_path=src.get("frames_path"),
                     column_names=src.get("column_names"),
                     options={"dead_letter_dir": dl_dir} if dl_dir else None,
@@ -831,7 +885,10 @@ def run_replication(
             # restarted query reads them (widening-only). The probe is
             # ROUTED BY FORMAT — wal2json records columns as arrays,
             # binlog as before/after dicts (r5 verdict item 1).
-            if src.get("schema_file"):
+            if src.get("schema_file") and src.get("path"):
+                # pathless sources (kafkawire) carry no recorded files
+                # to probe — schema evolution arrives via schema_file
+                # edits + restart
                 evolved = probe_stream_schema(
                     src.get("format", "binlogjson"), src["path"], ddl
                 )
