@@ -280,6 +280,22 @@ def test_write_cdc_pushes_arrowstream_per_shard(spark, tmp_path):
             and "__data_transfer_delete_time" in r
             for r in rows
         )
+        # code-review r10 pass 3: a delete-only batch NULLs every
+        # payload column — the pinned IPC schema must keep the Spark
+        # types (pandas inference would ship null-typed / float64
+        # columns a real server rejects)
+        received.clear()
+        tomb = spark.createDataFrame(
+            [(1, None, "d", 99, 0)],
+            "id long, v string, _op string, _lsn long, _counter long",
+        )
+        sink.write_cdc(tomb, TableID("", "users"), keys=["id"])
+        bodies = [b for q, b in received if q.startswith("INSERT INTO")]
+        assert bodies
+        with pa.ipc.open_stream(pa.BufferReader(bodies[0])) as r:
+            sch = r.schema
+        assert sch.field("id").type == pa.int64()
+        assert sch.field("v").type == pa.string()  # NOT null/float64
     finally:
         srv.shutdown()
         srv.server_close()

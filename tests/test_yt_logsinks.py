@@ -73,7 +73,14 @@ def test_yt_live_http_read_e2e(spark):
     assert range_ypath("//home/t", 5, 10) == "//home/t[#5:#10]"
 
     all_rows = [
-        {"id": i, "name": f"u{i}", "score": i / 2} for i in range(12)
+        {"id": i, "name": f"u{i}", "score": i / 2,
+         # full type-matrix coverage (code-review r10 pass 3: the
+         # string demotion crashed on any non-core type): epoch-day
+         # date, µs timestamp, uint64 above int64.max, bytes, json
+         "d": 19600 + i, "ts": 1_700_000_000_000_000 + i,
+         "big": 18446744073709551615 - i, "blob": f"b{i}",
+         "tags": {"k": i}}
+        for i in range(12)
     ]
     requests: list = []
 
@@ -113,6 +120,11 @@ def test_yt_live_http_read_e2e(spark):
                      "sort_order": "ascending"},
                     {"name": "name", "type": "utf8"},
                     {"name": "score", "type": "double"},
+                    {"name": "d", "type": "date"},
+                    {"name": "ts", "type": "timestamp"},
+                    {"name": "big", "type": "uint64"},
+                    {"name": "blob", "type": "string"},
+                    {"name": "tags", "type": "any"},
                 ],
                 "format": "live",
                 "live": {
@@ -123,11 +135,23 @@ def test_yt_live_http_read_e2e(spark):
             }
         })
         df = src.load_table(spark, TableID("", "users"))
-        rows = sorted((r.id, r.name, r.score) for r in df.collect())
-        assert rows == [(i, f"u{i}", i / 2) for i in range(12)]
+        rows = {r.id: r for r in df.collect()}
+        assert sorted(rows) == list(range(12))
+        assert rows[3].name == "u3" and rows[3].score == 1.5
         assert [f.dataType.simpleString() for f in df.schema.fields] == [
-            "bigint", "string", "double"
+            "bigint", "string", "double", "date", "timestamp",
+            "decimal(20,0)", "binary", "string",
         ]
+        import datetime as dt
+        import json as _json
+
+        assert rows[0].d == dt.date(1970, 1, 1) + dt.timedelta(days=19600)
+        assert rows[0].ts == dt.datetime(
+            2023, 11, 14, 22, 13, 20
+        )  # 1.7e15 µs, UTC session
+        assert str(rows[0].big) == "18446744073709551615"  # uint64.max
+        assert bytes(rows[1].blob) == b"b1"
+        assert _json.loads(rows[2].tags) == {"k": 2}
         # the driver asked for @row_count; tasks pulled disjoint,
         # exhaustive ranges with the OAuth header
         gets = [p for p, _y, _a in requests if p.endswith("/get")]

@@ -147,7 +147,17 @@ def activate(
         and len(tables) > 1
         and getattr(spec.src, "live", {}).get("consistent")
     ):
-        preloaded = loader(spark, tables=tables, wheres=spec.filters)
+        # a RESUMED activation must not re-freeze production writes to
+        # re-materialize tables whose writes already committed — the
+        # fence gang spans only the tables still pending (code-review
+        # r10 pass 3)
+        pending = [
+            t for t in tables
+            if spec.progress is None
+            or not spec.progress.table_done(t.fqtn())
+        ]
+        if len(pending) > 1:
+            preloaded = loader(spark, tables=pending, wheres=spec.filters)
     if process_count > 1:
         import threading
         from concurrent.futures import ThreadPoolExecutor

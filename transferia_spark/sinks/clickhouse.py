@@ -339,17 +339,26 @@ class ChHttpClient:
         body = b"\n".join(json.dumps(r, default=str).encode() for r in rows)
         self.execute(sql, body=body)
 
-    def insert_arrow(self, table: str, cols: list[str], pdf) -> None:
+    def insert_arrow(
+        self, table: str, cols: list[str], pdf, schema=None
+    ) -> None:
         """``INSERT ... FORMAT ArrowStream`` with an Arrow IPC body —
         the zero-parse write twin of the read plane (r10): the server
         ingests columns straight from the IPC buffers, and the encode
         side is one vectorized ``Table.from_pandas`` instead of a
-        json.dumps per row."""
+        json.dumps per row.
+
+        ``schema`` (a ``pa.Schema``) pins the IPC column types:
+        without it pandas inference drifts per batch — an all-NULL
+        slice ships Arrow ``null``-typed columns and a NULL-containing
+        int column ships float64 (NaN boxing), both of which a real
+        server rejects or, worse, float64 silently corrupts int64
+        values beyond 2^53 (code-review r10 pass 3)."""
         import io
 
         import pyarrow as pa
 
-        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        tbl = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
         sink = io.BytesIO()
         with pa.ipc.new_stream(sink, tbl.schema) as w:
             w.write_table(tbl)
@@ -483,10 +492,28 @@ class ClickHouseSink(Sink):
             # vectorized path (r10): Arrow-batched frames arrive via
             # mapInPandas, split by the shard column with ONE groupby,
             # and ship as IPC bodies — no per-row Python dict/json in
-            # the hot loop (the write twin of the ArrowStream reads)
-            def per_frames(frames):
-                import pandas as pd
+            # the hot loop (the write twin of the ArrowStream reads).
+            # The IPC schema is pinned from the SPARK schema: pandas
+            # inference would drift per batch (all-NULL slices → null
+            # type, NULLable ints → float64) — code-review r10 pass 3
+            schema_json = out.schema.json()
 
+            def per_frames(frames):
+                import json as _json
+
+                import pandas as pd
+                import pyarrow as pa
+                from pyspark.sql import types as T2
+                from pyspark.sql.pandas.types import to_arrow_type
+
+                st = T2.StructType.fromJson(_json.loads(schema_json))
+                pa_schema = pa.schema(
+                    [
+                        (f.name, to_arrow_type(f.dataType))
+                        for f in st.fields
+                        if f.name in cols
+                    ]
+                )
                 clients: dict[int, ChHttpClient] = {}
                 for pdf in frames:
                     for sid, g in pdf.groupby(SHARD_COL, sort=False):
@@ -495,7 +522,8 @@ class ClickHouseSink(Sink):
                         data = g[cols]
                         for i in range(0, len(data), batch_rows):
                             client.insert_arrow(
-                                tname, cols, data.iloc[i:i + batch_rows]
+                                tname, cols, data.iloc[i:i + batch_rows],
+                                schema=pa_schema,
                             )
                 yield pd.DataFrame({"n": [0]})
 

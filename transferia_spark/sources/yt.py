@@ -89,12 +89,19 @@ class YtStaticSource(Source):
     def _load_live(self, spark, table, spec, where):
         """Row-range-parallel live read over the YT HTTP proxy — one
         executor task per ``[#start:#end]`` slice (the reference's
-        chunked read_table decomposition)."""
+        chunked read_table decomposition). JSON values convert to the
+        exact Python objects the DECLARED YT type maps to
+        (:func:`yt_json_value` — epoch-day dates, second/µs temporals,
+        Decimal-exact uint64, bytes for YT strings), so the task output
+        schema IS the target schema — no lossy string detour
+        (code-review r10 pass 3: the string demotion crashed on any
+        non-core type)."""
         import json as _json
 
         from pyspark.sql import types as T2
 
         target = yt_schema_to_spark(spec["schema"])
+        yt_types = {c["name"]: c["type"] for c in spec["schema"]}
         live = dict(spec["live"])
         path = spec["path"]
         client = YtHttpClient(**live)
@@ -126,22 +133,63 @@ class YtStaticSource(Source):
                     if rows:
                         yield pd.DataFrame(
                             {
-                                f.name: [r.get(f.name) for r in rows]
+                                f.name: pd.Series(
+                                    [
+                                        yt_json_value(
+                                            yt_types.get(f.name, "any"),
+                                            r.get(f.name),
+                                        )
+                                        for r in rows
+                                    ],
+                                    dtype=object,
+                                )
                                 for f in out_schema.fields
                             }
                         )
 
-        raw_schema = T2.StructType(
-            [T2.StructField(f.name, T2.StringType(), True)
-             if not isinstance(
-                 f.dataType,
-                 (T2.LongType, T2.IntegerType, T2.DoubleType,
-                  T2.BooleanType),
-             ) else f
-             for f in target.fields]
-        )
-        df = strictify(spec_df.mapInPandas(read_ranges, raw_schema), target)
+        df = spec_df.mapInPandas(read_ranges, target)
         return df.filter(where) if where else df
+
+
+def yt_json_value(yt_type: str, v):
+    """One JSON-decoded YT value → the exact Python object the declared
+    type's Spark mapping expects (the proxy's json format carries
+    temporals as epoch ints — days / seconds / microseconds — uint64 as
+    full-width numbers, and YT strings as text)."""
+    import datetime as _dt
+    import json as _json
+    from decimal import Decimal
+
+    if v is None:
+        return None
+    t = yt_type.strip()
+    if t in ("int8", "int16", "int32", "int64", "uint8", "uint16",
+             "uint32"):
+        return int(v)
+    if t == "uint64" or t.startswith("decimal("):
+        return Decimal(str(v))  # int64-exact is not enough for uint64
+    if t in ("float", "double", "big_float"):
+        return float(v)
+    if t == "boolean":
+        return bool(v)
+    if t == "date":  # days since epoch
+        if isinstance(v, str):
+            return _dt.date.fromisoformat(v)
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+    if t == "datetime":  # seconds since epoch
+        return _dt.datetime.fromtimestamp(int(v), tz=_dt.timezone.utc)
+    if t in ("timestamp", "timestamp_tz"):  # microseconds since epoch
+        return _dt.datetime.fromtimestamp(
+            int(v) / 1_000_000, tz=_dt.timezone.utc
+        )
+    if t == "interval":  # microseconds
+        return _dt.timedelta(microseconds=int(v))
+    if t == "string":  # YT string is BYTES
+        return v.encode() if isinstance(v, str) else bytes(v)
+    if t == "utf8":
+        return str(v)
+    # any / json / composite: JSON container as its serialized form
+    return v if isinstance(v, str) else _json.dumps(v)
 
 
 def plan_read_ranges(
@@ -213,5 +261,6 @@ __all__ = [
     "key_columns",
     "plan_read_ranges",
     "range_ypath",
+    "yt_json_value",
     "yt_schema_to_spark",
 ]

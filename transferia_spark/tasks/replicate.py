@@ -288,11 +288,16 @@ def build_replication_stream(
         # the pure-wire consumer's mirror frame, parsed by a registry
         # parser (default: json against the declared payload schema),
         # mapped to append-only ChangeItems — _op='i' (mirror streams
-        # carry no deletes), _lsn = the partition offset, _counter =
-        # the partition id (collapse ordering is per key; a producer
-        # keys a given row to one partition, so offsets order its
-        # changes). Offsets live in the Spark checkpoint — there is no
-        # handoff position (start from options.starting_offsets).
+        # carry no deletes), _lsn = the record's event TIMESTAMP in ms
+        # (not the raw offset: offsets only order within a partition,
+        # and a partition-count change moves keys between partitions —
+        # comparing raw offsets across them would let an old high-
+        # offset record permanently outrank newer low-offset ones;
+        # producer timestamps order correctly across the move,
+        # code-review r10 pass 3), _counter = the partition offset
+        # (exact tiebreak within one partition's same-ms records).
+        # Offsets live in the Spark checkpoint — there is no handoff
+        # position (start from options.starting_offsets).
         from pyspark.sql import types as T
 
         from transferia_spark.cdc.changeitem import (
@@ -312,22 +317,40 @@ def build_replication_stream(
             **{k: str(v) for k, v in (source.get("options") or {}).items()},
         )
         parsed = build_parser(ptype, **pcfg)(raw)
+        op_expr = F.lit("i")
         if "_unparsed_raw" in parsed.columns:
-            # poison payloads drop out of the mirror stream (the
-            # reference routes them to <table>_unparsed; file-based
-            # dead-letter needs a file position, which queue offsets
-            # are not) — declare parser.add_rest etc. to tune
-            parsed = parsed.filter(F.col("_unparsed_raw").isNull())
+            on_unparsed = str(source.get("on_unparsed", "fail"))
+            if on_unparsed == "skip":
+                # explicit opt-in ONLY: dropping poison payloads is
+                # silent data loss — queue offsets are not file
+                # positions, so the file dead-letter route can't hold
+                # them; the reference lands them in <table>_unparsed
+                parsed = parsed.filter(F.col("_unparsed_raw").isNull())
+            else:
+                # default LOUD: the stream fails naming the payload —
+                # the supervisor classifies parse errors fatal rather
+                # than advancing the checkpoint past lost data
+                # (code-review r10 pass 3: the silent filter dropped
+                # rows with dead_letter enabled and no trace). The
+                # check rides a SELECTED column (_op), else column
+                # pruning would drop it along with _unparsed_raw.
+                op_expr = F.when(
+                    F.col("_unparsed_raw").isNotNull(),
+                    F.raise_error(F.concat(
+                        F.lit("unparsed kafka payload (set "
+                              "replication.source.on_unparsed: skip "
+                              "to drop): "),
+                        F.col("_unparsed_raw"),
+                    )),
+                ).otherwise(F.lit("i"))
         payload = [
             f.name for f in T._parse_datatype_string(ddl).fields
         ]
         return parsed.select(
             *[F.col(c) for c in payload],
-            F.lit("i").alias(OP_COL),
-            F.col("_offset").cast("long").alias(LSN_COL),
-            F.coalesce(
-                F.col("_partition").cast("long"), F.lit(0)
-            ).alias(COUNTER_COL),
+            op_expr.alias(OP_COL),
+            F.unix_millis(F.col("_timestamp")).alias(LSN_COL),
+            F.col("_offset").cast("long").alias(COUNTER_COL),
         )
     if fmt == "pgwire":
         # PG streaming-replication wire sessions (live socket drain or
@@ -812,9 +835,16 @@ def run_replication(
                         src["live"], src["path"],
                         column_names=src.get("column_names"),
                     )
+                # kafkawire is the only pathless format and it early-
+                # returns inside source_position — every path-based
+                # format keeps the LOUD KeyError on a missing path:
+                # swallowing it would silently record an empty
+                # position, run the whole seed, and only then fail
+                # (code-review r10 pass 3)
                 position = source_position(
                     src["format"], source_schema_ddl(src),
-                    src.get("path", ""),
+                    "" if src.get("format") == "kafkawire"
+                    else src["path"],
                     frames_path=src.get("frames_path"),
                     column_names=src.get("column_names"),
                     options={"dead_letter_dir": dl_dir} if dl_dir else None,
