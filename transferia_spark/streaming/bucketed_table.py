@@ -1236,8 +1236,7 @@ class BucketedParquetTable:
         if ddf is None:
             return self.version()
         from transferia_spark.cdc.changeitem import META_COLS
-        from transferia_spark.cdc.merge import merge_batch
-        from pyspark.sql import types as T
+        from transferia_spark.cdc.merge import merge_batch_clustered
 
         data_schema = self._stored_schema() or T.StructType(
             [f for f in ddf.schema.fields if f.name not in META_COLS]
@@ -1250,13 +1249,25 @@ class BucketedParquetTable:
         target = self._read_base_or_empty(
             touched, data_schema, bucket_map=doc["buckets"]
         )
-        merged = merge_batch(target, ddf, self.keys)
+        # the fold uses the same ONE-exchange merge the eager path does
+        # (r10): the join formulation shuffled the folded buckets twice
+        # (key join + bucket write) — folds run per-batch under the
+        # incremental policy, so they're on the steady-state cost path
+        n_bk = self.n_buckets
+        ks = list(self.keys)
+        merged = merge_batch_clustered(
+            target, ddf, ks, BUCKET_COL,
+            lambda df: F.pmod(
+                F.xxhash64(*[F.col(k) for k in ks]), F.lit(n_bk)
+            ).cast("int"),
+            len(touched),
+        )
         folded_update = {
             b: max(d for d, bs in pairs if b in bs) for b in touched
         }
         return self._commit(
             merged, touched, folded_update=folded_update,
-            expected_base=expected_base,
+            expected_base=expected_base, pre_bucketed=True,
         )
 
     def _buckets_due(self) -> list[int]:
