@@ -338,6 +338,105 @@ def encode_list_offsets_request(
     return struct.pack(">i", len(body)) + bytes(body)
 
 
+# --------------------------------------------------------- SASL frames
+# (SaslHandshake v1 / SaslAuthenticate v0 — the credentialed entry to
+# every managed Kafka; ≈ ``pkg/providers/kafka/model_connection.go:8-25``
+# in transferia/transferia, which enables SASL SCRAM-SHA-256/512 + TLS
+# through franz-go. With handshake v1 the SASL tokens travel inside
+# SaslAuthenticate frames, not as raw bytes on the socket.)
+
+
+def _bytes_field(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+def encode_sasl_handshake_request(
+    mechanism: str,
+    correlation_id: int = 0,
+    client_id: str = "transferia-spark",
+) -> bytes:
+    body = request_header(17, 1, correlation_id, client_id) + _string(
+        mechanism
+    )
+    return struct.pack(">i", len(body)) + body
+
+
+def decode_sasl_handshake_response(body: bytes) -> tuple[int, list[str]]:
+    """→ ``(error_code, enabled_mechanisms)``; the caller raises with
+    the broker's mechanism list so a mismatch names the fix."""
+    (err,) = struct.unpack_from(">h", body, 0)
+    pos = 2
+    (n,) = struct.unpack_from(">i", body, pos)
+    pos += 4
+    mechs: list[str] = []
+    for _ in range(max(0, n)):
+        m, pos = _read_string(body, pos)
+        mechs.append(m or "")
+    return err, mechs
+
+
+def encode_sasl_authenticate_request(
+    auth_bytes: bytes,
+    correlation_id: int = 0,
+    client_id: str = "transferia-spark",
+) -> bytes:
+    body = request_header(36, 0, correlation_id, client_id) + _bytes_field(
+        auth_bytes
+    )
+    return struct.pack(">i", len(body)) + body
+
+
+def decode_sasl_authenticate_response(
+    body: bytes,
+) -> tuple[int, str | None, bytes]:
+    """→ ``(error_code, error_message, auth_bytes)`` — error 58 is
+    SASL_AUTHENTICATION_FAILED (wrong credentials)."""
+    (err,) = struct.unpack_from(">h", body, 0)
+    pos = 2
+    msg, pos = _read_string(body, pos)
+    (ln,) = struct.unpack_from(">i", body, pos)
+    pos += 4
+    auth = body[pos:pos + max(0, ln)]
+    return err, msg, auth
+
+
+def plain_sasl_token(username: str, password: str) -> bytes:
+    """RFC 4616 PLAIN: NUL authzid NUL authcid NUL passwd (empty
+    authzid — Kafka derives the principal from authcid)."""
+    return b"\x00" + username.encode("utf-8") + b"\x00" + password.encode(
+        "utf-8"
+    )
+
+
+def decode_produce_response(body: bytes) -> dict[str, dict[int, int]]:
+    """Produce v3 response → ``{topic: {partition: base_offset}}``; a
+    per-partition error code raises (a fire-and-forget producer that
+    swallows NOT_LEADER/MESSAGE_TOO_LARGE silently drops data)."""
+    pos = 0
+    (n_topics,) = struct.unpack_from(">i", body, pos)
+    pos += 4
+    out: dict[str, dict[int, int]] = {}
+    for _ in range(n_topics):
+        topic, pos = _read_string(body, pos)
+        (n_parts,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        parts: dict[int, int] = {}
+        for _p in range(n_parts):
+            part, err, base, _log_append = struct.unpack_from(
+                ">ihqq", body, pos
+            )
+            pos += 22
+            if err:
+                raise ValueError(
+                    f"produce error {err} for {topic}[{part}]"
+                )
+            parts[part] = base
+        out[topic or ""] = parts
+    return out
+
+
 def _read_string(data: bytes, pos: int) -> tuple[str | None, int]:
     (ln,) = struct.unpack_from(">h", data, pos)
     pos += 2
@@ -500,7 +599,13 @@ __all__ = [
     "decode_record_set",
     "decode_record_set_with_end",
     "encode_produce_request",
+    "decode_produce_response",
     "encode_metadata_request",
+    "encode_sasl_handshake_request",
+    "decode_sasl_handshake_response",
+    "encode_sasl_authenticate_request",
+    "decode_sasl_authenticate_response",
+    "plain_sasl_token",
     "encode_fetch_request",
     "encode_list_offsets_request",
     "decode_fetch_response",

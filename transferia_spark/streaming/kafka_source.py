@@ -37,13 +37,85 @@ KAFKA_MIRROR_DDL = (
     "offset long, timestamp timestamp"
 )
 
+SASL_MECHANISMS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
+
+
+class KafkaSecurity:
+    """TLS + SASL settings for the wire plane — the picklable config
+    half; sockets are dialed by the client. ≈ the reference's Kafka
+    connection model (``pkg/providers/kafka/model_connection.go:8-25``:
+    TLS + SASL SCRAM-SHA-256/512), plus PLAIN (what most managed Kafka
+    API keys use). Kafka TLS is implicit from byte 0 (no STARTTLS)."""
+
+    def __init__(
+        self,
+        tls: bool = False,
+        tls_ca: str | None = None,
+        tls_insecure: bool = False,
+        sasl_mechanism: str | None = None,
+        sasl_username: str = "",
+        sasl_password: str = "",
+    ):
+        if sasl_mechanism is not None:
+            mech = sasl_mechanism.upper()
+            if mech not in SASL_MECHANISMS:
+                raise ValueError(
+                    f"unsupported sasl_mechanism {sasl_mechanism!r} "
+                    f"(supported: {', '.join(SASL_MECHANISMS)})"
+                )
+            sasl_mechanism = mech
+        self.tls = bool(tls or tls_ca)
+        self.tls_ca = tls_ca
+        self.tls_insecure = tls_insecure
+        self.sasl_mechanism = sasl_mechanism
+        self.sasl_username = sasl_username
+        self.sasl_password = sasl_password
+
+    @classmethod
+    def from_options(cls, options: dict) -> "KafkaSecurity | None":
+        """Reader/sink option strings → config; None when every knob is
+        off (the plaintext default)."""
+        def flag(name: str) -> bool:
+            return str(options.get(name, "false")).lower() in (
+                "true", "1", "yes"
+            )
+
+        mech = options.get("sasl_mechanism")
+        if not (flag("tls") or options.get("tls_ca") or mech):
+            return None
+        return cls(
+            tls=flag("tls"),
+            tls_ca=options.get("tls_ca"),
+            tls_insecure=flag("tls_insecure"),
+            sasl_mechanism=mech,
+            sasl_username=str(options.get("sasl_username", "")),
+            sasl_password=str(options.get("sasl_password", "")),
+        )
+
+    def wrap_tls(self, sock, server_hostname: str):
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        if self.tls_ca:
+            # trust exactly the given CA, hostname checked — the
+            # verify-full analog of the PG/MySQL ladders
+            ctx.load_verify_locations(self.tls_ca)
+        elif self.tls_insecure:
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        # else: system trust store, hostname checked (public-CA brokers)
+        return ctx.wrap_socket(sock, server_hostname=server_hostname)
+
 
 class KafkaFetchClient:
     """Blocking single-connection fetch client. One instance per driver
     (offset planning) or per executor task (reads); ``close()`` when
     done. Only the bootstrap broker is dialed — for multi-broker
     clusters the metadata's leader map picks the right host per
-    partition (``leader_for``)."""
+    partition (``leader_for``). ``security`` adds implicit TLS and a
+    SASL exchange (PLAIN / SCRAM-SHA-256 / SCRAM-SHA-512) before any
+    data request; peers inherit it (every broker in a secured cluster
+    requires its own handshake)."""
 
     def __init__(
         self,
@@ -51,12 +123,14 @@ class KafkaFetchClient:
         port: int,
         timeout: float = 30.0,
         client_id: str = "transferia-spark",
+        security: KafkaSecurity | None = None,
     ):
         import socket
 
         self.host, self.port = host, port
         self.timeout = timeout
         self.client_id = client_id
+        self.security = security
         self._corr = 0
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._sock.settimeout(timeout)
@@ -65,6 +139,79 @@ class KafkaFetchClient:
         #: bootstrap broker answers NOT_LEADER on multi-broker
         #: clusters; metadata's leader map routes every data request)
         self._peers: dict[tuple[str, int], KafkaFetchClient] = {}
+        try:
+            if security is not None and security.tls:
+                self._sock = security.wrap_tls(
+                    self._sock, server_hostname=host
+                )
+            if security is not None and security.sasl_mechanism:
+                self._sasl_authenticate(security)
+        except BaseException:
+            self._sock.close()
+            raise
+
+    def _sasl_authenticate(self, sec: KafkaSecurity) -> None:
+        """SaslHandshake v1 → token rounds in SaslAuthenticate frames.
+        SCRAM reuses the repo's RFC 5802/7677 client
+        (pg_replication.ScramClient) with Kafka's n=user convention."""
+        from transferia_spark.sinks.kafka_wire import (
+            decode_sasl_handshake_response,
+            encode_sasl_handshake_request,
+            plain_sasl_token,
+        )
+
+        corr = self._next_corr()
+        err, mechs = decode_sasl_handshake_response(
+            self._request(
+                encode_sasl_handshake_request(
+                    sec.sasl_mechanism, correlation_id=corr,
+                    client_id=self.client_id,
+                ),
+                corr,
+            )
+        )
+        if err:
+            raise ValueError(
+                f"SASL handshake failed (error {err}): broker enables "
+                f"{mechs or ['<none>']}, requested {sec.sasl_mechanism}"
+            )
+        if sec.sasl_mechanism == "PLAIN":
+            self._sasl_round(
+                plain_sasl_token(sec.sasl_username, sec.sasl_password)
+            )
+            return
+        from transferia_spark.streaming.pg_replication import ScramClient
+
+        algo = "sha512" if sec.sasl_mechanism.endswith("512") else "sha256"
+        scram = ScramClient(
+            sec.sasl_username, sec.sasl_password,
+            scram_username=sec.sasl_username, algo=algo,
+        )
+        server_first = self._sasl_round(scram.client_first())
+        server_final = self._sasl_round(scram.client_final(server_first))
+        scram.verify_server_final(server_final)
+
+    def _sasl_round(self, token: bytes) -> bytes:
+        from transferia_spark.sinks.kafka_wire import (
+            decode_sasl_authenticate_response,
+            encode_sasl_authenticate_request,
+        )
+
+        corr = self._next_corr()
+        err, msg, out = decode_sasl_authenticate_response(
+            self._request(
+                encode_sasl_authenticate_request(
+                    token, correlation_id=corr, client_id=self.client_id
+                ),
+                corr,
+            )
+        )
+        if err:
+            raise ValueError(
+                f"SASL authentication failed (error {err}): "
+                f"{msg or 'broker rejected the credentials'}"
+            )
+        return out
 
     def close(self) -> None:
         for p in self._peers.values():
@@ -85,7 +232,7 @@ class KafkaFetchClient:
         if addr not in self._peers:
             self._peers[addr] = KafkaFetchClient(
                 addr[0], addr[1], timeout=self.timeout,
-                client_id=self.client_id,
+                client_id=self.client_id, security=self.security,
             )
         return self._peers[addr]
 
@@ -228,13 +375,16 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         mx = options.get("max_records_per_batch")
         self.max_records = int(mx) if mx is not None else None
         self.timeout = float(options.get("timeout", 30.0))
+        self.security = KafkaSecurity.from_options(options)
         self._client: KafkaFetchClient | None = None
         self._base: dict[str, int] = {}  # partition -> last planned end
 
     def _driver_client(self) -> KafkaFetchClient:
         if self._client is None:
             host, port = _parse_bootstrap(self.bootstrap)
-            self._client = KafkaFetchClient(host, port, timeout=self.timeout)
+            self._client = KafkaFetchClient(
+                host, port, timeout=self.timeout, security=self.security
+            )
         return self._client
 
     def initialOffset(self) -> dict:
@@ -290,7 +440,9 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         if partition.partition < 0:
             return
         host, port = _parse_bootstrap(self.bootstrap)
-        boot = KafkaFetchClient(host, port, timeout=self.timeout)
+        boot = KafkaFetchClient(
+            host, port, timeout=self.timeout, security=self.security
+        )
         try:
             # fetch from the partition's LEADER (the bootstrap broker
             # answers NOT_LEADER on multi-broker clusters)
@@ -377,10 +529,73 @@ def kafka_wire_stream(spark, bootstrap: str, topic: str, **options):
     return reader.load()
 
 
+class KafkaWireTransport:
+    """Live socket transport for :class:`~transferia_spark.sinks.queues.
+    KafkaSink`'s wire engine: picklable config, lazy per-process dial
+    (TLS + SASL via :class:`KafkaSecurity`), sends each produce frame on
+    a persistent connection and CHECKS the response — a fire-and-forget
+    producer that swallows NOT_LEADER/MESSAGE_TOO_LARGE drops data
+    silently. ≈ the acks handling franz-go gives the reference's writer
+    (``pkg/providers/kafka/writer``)."""
+
+    def __init__(
+        self,
+        bootstrap: str,
+        timeout: float = 30.0,
+        security: KafkaSecurity | None = None,
+        client_id: str = "transferia-spark",
+    ):
+        self.bootstrap = bootstrap
+        self.timeout = timeout
+        self.security = security
+        self.client_id = client_id
+        self._client: KafkaFetchClient | None = None
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_client"] = None  # sockets never cross process bounds
+        return state
+
+    def _connected(self) -> KafkaFetchClient:
+        if self._client is None:
+            host, port = _parse_bootstrap(self.bootstrap)
+            self._client = KafkaFetchClient(
+                host, port, timeout=self.timeout,
+                client_id=self.client_id, security=self.security,
+            )
+        return self._client
+
+    def __call__(self, frame: bytes) -> None:
+        from transferia_spark.sinks.kafka_wire import (
+            decode_produce_response,
+        )
+
+        client = self._connected()
+        try:
+            # reuse the client's request/response framing; the produce
+            # frame already carries its own header, so bump and patch
+            # the correlation id to keep the session's sequence intact
+            corr = client._next_corr()
+            patched = frame[:8] + struct.pack(">i", corr) + frame[12:]
+            decode_produce_response(client._request(patched, corr))
+        except BaseException:
+            # any mid-frame failure desyncs the stream: drop the
+            # connection so the next call redials cleanly
+            self.close()
+            raise
+
+    def close(self) -> None:
+        if self._client is not None:
+            self._client.close()
+            self._client = None
+
+
 __all__ = [
     "KAFKA_MIRROR_DDL",
     "KafkaFetchClient",
+    "KafkaSecurity",
     "KafkaWireDataSource",
     "KafkaWireStreamReader",
+    "KafkaWireTransport",
     "kafka_wire_stream",
 ]

@@ -302,8 +302,9 @@ def encode_simple_query(sql: str) -> bytes:
 
 
 class ScramClient:
-    """SCRAM-SHA-256 client (RFC 5802/7677), channel-binding 'n' (no
-    TLS in scope). Nonce is injectable for deterministic tests."""
+    """SCRAM client (RFC 5802/7677), channel-binding 'n'. Defaults to
+    SHA-256 (PG's mechanism); ``algo="sha512"`` covers Kafka's
+    SCRAM-SHA-512. Nonce is injectable for deterministic tests."""
 
     def __init__(
         self,
@@ -311,15 +312,24 @@ class ScramClient:
         password: str,
         nonce: str | None = None,
         scram_username: str = "",
+        algo: str = "sha256",
     ):
         import base64
         import secrets
 
+        if algo not in ("sha256", "sha512"):
+            raise ValueError(f"unsupported SCRAM hash {algo!r}")
+        self.algo = algo
         self.password = password
         # PG ignores the SCRAM username (it rides the startup message);
         # send an empty n= per libpq. ``scram_username`` exists so the
         # RFC 7677 §3 published exchange (which carries n=user) can be
-        # replayed byte-exactly in tests.
+        # replayed byte-exactly in tests, and because Kafka DOES read
+        # the user from n= (its SASL has no separate identity field).
+        # RFC 5802 §5.1: ',' and '=' in the name must be escaped.
+        scram_username = scram_username.replace("=", "=3D").replace(
+            ",", "=2C"
+        )
         self.nonce = nonce or base64.b64encode(
             secrets.token_bytes(18)
         ).decode()
@@ -343,23 +353,20 @@ class ScramClient:
                 {"S": "FATAL", "C": "28000",
                  "M": "SCRAM server nonce does not extend the client nonce"}
             )
+        h = getattr(hashlib, self.algo)
         salted = hashlib.pbkdf2_hmac(
-            "sha256", self.password.encode(), base64.b64decode(s), i
+            self.algo, self.password.encode(), base64.b64decode(s), i
         )
-        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
-        stored_key = hashlib.sha256(client_key).digest()
+        client_key = hmac.new(salted, b"Client Key", h).digest()
+        stored_key = h(client_key).digest()
         without_proof = f"c=biws,r={r}"
         auth_message = ",".join(
             [self._client_first_bare, server_first.decode(), without_proof]
         ).encode()
-        client_sig = hmac.new(
-            stored_key, auth_message, hashlib.sha256
-        ).digest()
+        client_sig = hmac.new(stored_key, auth_message, h).digest()
         proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
-        server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
-        self.server_signature = hmac.new(
-            server_key, auth_message, hashlib.sha256
-        ).digest()
+        server_key = hmac.new(salted, b"Server Key", h).digest()
+        self.server_signature = hmac.new(server_key, auth_message, h).digest()
         return (
             without_proof + ",p=" + base64.b64encode(proof).decode()
         ).encode()
