@@ -616,3 +616,200 @@ def test_reader_advances_past_compacted_and_control_gaps():
         mod.KafkaFetchClient = saved
     # fetch at 9 once (not an infinite loop), then the gap skipped
     assert [r[4] for r in rows] == [16]
+
+
+def test_parse_bootstrap_multi_host_and_malformed():
+    """r10 verdict wrong #2: the standard comma-separated
+    bootstrap.servers string crashed on int('9092,host2...')."""
+    from transferia_spark.streaming.kafka_source import _parse_bootstrap
+
+    assert _parse_bootstrap("h1:9092,h2:9093, h3 ") == [
+        ("h1", 9092), ("h2", 9093), ("h3", 9092)
+    ]
+    assert _parse_bootstrap("solo") == [("solo", 9092)]
+    with pytest.raises(ValueError, match="malformed bootstrap"):
+        _parse_bootstrap("h1:nope")
+    with pytest.raises(ValueError, match="empty bootstrap"):
+        _parse_bootstrap(" , ")
+
+
+def test_connect_bootstrap_failover_to_second_broker():
+    """A down first broker must not kill the source — stock clients
+    iterate the list; all-down raises ONE error naming every attempt."""
+    from transferia_spark.streaming.kafka_source import connect_bootstrap
+
+    # grab a port that refuses connections (bound then closed)
+    dead = socket.socket()
+    dead.bind(("127.0.0.1", 0))
+    dead_port = dead.getsockname()[1]
+    dead.close()
+
+    broker = LoopbackBroker({"t": 1})
+    try:
+        c = connect_bootstrap(
+            f"127.0.0.1:{dead_port},127.0.0.1:{broker.port}", timeout=5
+        )
+        assert c.metadata("t")["topics"]["t"]["partitions"] == {0: 0}
+        c.close()
+        with pytest.raises(ConnectionError, match=str(dead_port)):
+            connect_bootstrap(
+                f"127.0.0.1:{dead_port},127.0.0.1:{dead_port}", timeout=5
+            )
+    finally:
+        broker.close()
+
+
+def test_starting_offsets_validation_and_explicit_form():
+    """ADVICE r10: a typo'd starting_offsets silently meant 'latest';
+    now it raises. The stock connector's explicit JSON form resolves
+    per-partition (-1 latest, -2 earliest, N exact)."""
+    from transferia_spark.streaming.kafka_source import (
+        KafkaWireStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="starting_offsets"):
+        KafkaWireStreamReader({
+            "bootstrap": "h:1", "topic": "t",
+            "starting_offsets": "earliets",
+        })
+
+    r = KafkaWireStreamReader({
+        "bootstrap": "h:1", "topic": "t",
+        "starting_offsets": '{"t": {"0": 5, "1": -1, "2": -2}}',
+    })
+
+    class StubClient:
+        def list_offsets(self, topic, ts):
+            return {0: 100, 1: 100, 2: 100} if ts == -1 else {
+                0: 10, 1: 10, 2: 10
+            }
+
+    r._client = StubClient()
+    assert r.initialOffset() == {"0": 5, "1": 100, "2": 10}
+
+
+def test_read_retries_on_not_leader_and_nulls_sentinel_timestamp():
+    """Mid-read leadership churn (fetch error 6) re-resolves the leader
+    and continues; a -1 record timestamp surfaces as NULL, not 1969."""
+    import transferia_spark.streaming.kafka_source as mod
+    from transferia_spark.streaming.kafka_source import KafkaFetchError
+
+    class StubClient:
+        calls = []
+
+        def __init__(self, *a, **k):
+            pass
+
+        def for_leader(self, topic, partition):
+            StubClient.calls.append("lead")
+            return self
+
+        def fetch(self, topic, partition, off):
+            StubClient.calls.append(off)
+            if StubClient.calls.count("lead") < 2:
+                raise KafkaFetchError(topic, partition, 6)
+            return {
+                "records": [
+                    {"offset": off, "timestamp": -1, "key": b"k",
+                     "value": b"v", "headers": []},
+                    {"offset": off + 1, "timestamp": 1_700_000_000_000,
+                     "key": b"k2", "value": b"v2", "headers": []},
+                ],
+                "high_watermark": 2,
+                "next_offset": off + 2,
+            }
+
+        def close(self):
+            pass
+
+    saved = mod.KafkaFetchClient
+    mod.KafkaFetchClient = StubClient
+    try:
+        reader = mod.KafkaWireStreamReader(
+            {"bootstrap": "127.0.0.1:1", "topic": "t"}
+        )
+        rows = list(reader.read(mod._TopicSlice(0, 0, 2)))
+    finally:
+        mod.KafkaFetchClient = saved
+    assert [r[4] for r in rows] == [0, 1]
+    assert rows[0][5] is None  # -1 sentinel → null
+    assert rows[1][5] is not None
+    # leader was re-resolved exactly once after the NOT_LEADER
+    assert StubClient.calls.count("lead") == 2
+
+
+def test_read_gives_up_after_bounded_leader_refreshes():
+    import transferia_spark.streaming.kafka_source as mod
+    from transferia_spark.streaming.kafka_source import KafkaFetchError
+
+    class AlwaysNotLeader:
+        def __init__(self, *a, **k):
+            pass
+
+        def for_leader(self, topic, partition):
+            return self
+
+        def fetch(self, topic, partition, off):
+            raise KafkaFetchError(topic, partition, 6)
+
+        def close(self):
+            pass
+
+    saved = mod.KafkaFetchClient
+    mod.KafkaFetchClient = AlwaysNotLeader
+    try:
+        reader = mod.KafkaWireStreamReader(
+            {"bootstrap": "127.0.0.1:1", "topic": "t"}
+        )
+        with pytest.raises(KafkaFetchError, match="fetch error 6"):
+            list(reader.read(mod._TopicSlice(0, 0, 2)))
+    finally:
+        mod.KafkaFetchClient = saved
+
+
+def test_kafkawire_untimestamped_policy(spark, tmp_path):
+    """ADVICE r10: a -1 (no producer timestamp) record must not order
+    as 1969 in the collapse — default is a loud failure naming the
+    knob; `on_untimestamped: offset` uses the partition offset as the
+    _lsn surrogate."""
+    import json as _json
+
+    from transferia_spark.tasks.replicate import build_replication_stream
+
+    broker = LoopbackBroker({"m": 2})
+    broker.log["m"][0] = [(b"1", _json.dumps({"id": 1}).encode(), -1)]
+    broker.log["m"][1] = [
+        (b"2", _json.dumps({"id": 2}).encode(), 1_700_000_000_000)
+    ]
+    base = {
+        "format": "kafkawire",
+        "bootstrap": f"127.0.0.1:{broker.port}",
+        "topic": "m",
+        "schema": "id long",
+        "options": {"starting_offsets": "earliest"},
+    }
+    try:
+        df = build_replication_stream(
+            spark, {**base, "on_untimestamped": "offset"}
+        )
+        q = (
+            df.writeStream.format("memory").queryName("unts_ok")
+            .option("checkpointLocation", str(tmp_path / "c1"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        rows = {r.id: r._lsn
+                for r in spark.sql("SELECT * FROM unts_ok").collect()}
+        assert rows == {1: 0, 2: 1_700_000_000_000}
+
+        # default: loud, names the knob
+        df2 = build_replication_stream(spark, dict(base))
+        q2 = (
+            df2.writeStream.format("memory").queryName("unts_fail")
+            .option("checkpointLocation", str(tmp_path / "c2"))
+            .trigger(availableNow=True).start()
+        )
+        with pytest.raises(Exception, match="producer timestamp"):
+            q2.awaitTermination(60)
+    finally:
+        broker.close()

@@ -346,10 +346,33 @@ def build_replication_stream(
         payload = [
             f.name for f in T._parse_datatype_string(ddl).fields
         ]
+        # ADVICE r10: a broker record with timestamp -1 (producer
+        # omitted it) surfaces as a NULL _timestamp from the wire
+        # reader; letting it order as 1969/NULL would permanently lose
+        # collapse ordering to any timestamped record for the same key.
+        # Default: fail naming the fix; `on_untimestamped: offset` opts
+        # into the partition offset as a surrogate (monotonic within a
+        # partition — document: only safe while the key→partition map
+        # is stable).
+        ts_ms = F.unix_millis(F.col("_timestamp"))
+        if str(source.get("on_untimestamped", "fail")) == "offset":
+            lsn_expr = F.coalesce(ts_ms, F.col("_offset").cast("long"))
+        else:
+            lsn_expr = F.when(
+                F.col("_timestamp").isNull(),
+                F.raise_error(F.concat(
+                    F.lit("kafka record without a producer timestamp "
+                          "(broker sentinel -1) at offset "),
+                    F.col("_offset").cast("string"),
+                    F.lit(" — mirror ordering needs timestamps; set "
+                          "replication.source.on_untimestamped: "
+                          "offset to order by partition offset"),
+                )),
+            ).otherwise(ts_ms)
         return parsed.select(
             *[F.col(c) for c in payload],
             op_expr.alias(OP_COL),
-            F.unix_millis(F.col("_timestamp")).alias(LSN_COL),
+            lsn_expr.alias(LSN_COL),
             F.col("_offset").cast("long").alias(COUNTER_COL),
         )
     if fmt == "pgwire":
