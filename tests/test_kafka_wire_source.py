@@ -476,8 +476,9 @@ def test_decode_record_set_drops_truncated_tail():
 
 
 def test_decode_rejects_compression_and_skips_control_batches():
-    """code-review r10: a compressed batch must fail with the CAUSE
-    (not a baffling record-length mismatch), and a transactional
+    """code-review r10 (updated r11): a codec the container lacks must
+    fail with the install remedy, a CORRUPT gzip payload with the
+    cause (not a baffling record-length mismatch), and a transactional
     producer's commit/abort markers (control bit 0x20) must not
     surface as data rows."""
     import struct
@@ -494,9 +495,14 @@ def test_decode_rejects_compression_and_skips_control_batches():
         return head + bytes(tail)
 
     plain = encode_record_batch([(b"k", b"v")], base_offset=0)
-    gz = with_attributes(plain, 0x01)  # gzip bit
-    with pytest.raises(ValueError, match="compression codec 1"):
+    # gzip bit set but payload is NOT gzip → corrupt, named as such
+    gz = with_attributes(plain, 0x01)
+    with pytest.raises(ValueError, match="corrupt gzip"):
         decode_record_batch(gz)
+    # snappy lib absent in this container → remedy named
+    sn = with_attributes(plain, 0x02)
+    with pytest.raises(ValueError, match="python-snappy"):
+        decode_record_batch(sn)
     ctrl = with_attributes(
         encode_record_batch([(b"\x00\x00\x00\x01", b"")], base_offset=1),
         0x20,
@@ -811,5 +817,107 @@ def test_kafkawire_untimestamped_policy(spark, tmp_path):
         )
         with pytest.raises(Exception, match="producer timestamp"):
             q2.awaitTermination(60)
+    finally:
+        broker.close()
+
+
+def test_gzip_record_batch_round_trip():
+    """r10 verdict next #3: gzip (codec 1) decodes via stdlib —
+    compressed produce → decode gives back exact records, offsets,
+    timestamps; the attributes carry the codec bits."""
+    recs = [(b"k1", b"v" * 500), (None, b"w" * 500), (b"k3", None)]
+    batch = encode_record_batch(
+        recs, base_offset=7, base_timestamp=1_700_000_000_000,
+        compression="gzip",
+    )
+    plain = encode_record_batch(
+        recs, base_offset=7, base_timestamp=1_700_000_000_000
+    )
+    assert len(batch) < len(plain)  # it actually compressed
+    out = decode_record_batch(batch)
+    assert out["attributes"] & 0x07 == 1
+    assert [(r["key"], r["value"], r["offset"]) for r in out["records"]] \
+        == [(k, v, 7 + i) for i, (k, v) in enumerate(recs)]
+    # record-set walk (fetch response shape) handles compressed batches
+    mixed = plain + batch
+    assert len(decode_record_set(mixed)) == 6
+
+
+def test_compressed_batch_property_roundtrip():
+    """Hypothesis: decode(encode(recs, gzip)) ≡ decode(encode(recs))
+    for arbitrary key/value byte payloads incl. None and empties."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    blob = st.one_of(st.none(), st.binary(max_size=200))
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.tuples(blob, blob), min_size=1, max_size=20))
+    def check(recs):
+        gz = decode_record_batch(
+            encode_record_batch(recs, base_offset=3, compression="gzip")
+        )
+        pl = decode_record_batch(encode_record_batch(recs, base_offset=3))
+        strip = lambda rs: [
+            (r["key"], r["value"], r["offset"], r["timestamp"])
+            for r in rs
+        ]
+        assert strip(gz["records"]) == strip(pl["records"])
+
+    check()
+
+
+def test_unavailable_producer_codecs_name_the_remedy():
+    for codec in ("snappy", "lz4", "zstd"):
+        with pytest.raises(ValueError, match=codec):
+            encode_record_batch([(b"k", b"v")], compression=codec)
+    with pytest.raises(ValueError, match="unknown compression"):
+        encode_record_batch([(b"k", b"v")], compression="brotli")
+
+
+def test_compressed_produce_consume_e2e(spark, tmp_path):
+    """KafkaSink(compression='gzip') → loopback broker → wire consumer:
+    the full circle over compressed batches."""
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sinks.queues import KafkaSink
+    from transferia_spark.streaming.kafka_source import kafka_wire_stream
+
+    broker = LoopbackBroker({"gz": 1})
+    port = broker.port
+
+    def transport(frame: bytes) -> None:
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        try:
+            s.sendall(frame)
+            s.recv(4096)
+        finally:
+            s.close()
+
+    try:
+        sink = KafkaSink(
+            bootstrap_servers=f"127.0.0.1:{port}", transport=transport,
+            compression="gzip",
+        )
+        df = spark.createDataFrame(
+            [(str(i), f"val{i}" * 50) for i in range(12)],
+            "key string, value string",
+        )
+        sink.write(df, TableID("", "gz"))
+        assert len(broker.log["gz"][0]) == 12
+
+        stream = kafka_wire_stream(
+            spark, f"127.0.0.1:{port}", "gz",
+            starting_offsets="earliest",
+        )
+        q = (
+            stream.writeStream.format("memory").queryName("gz_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        rows = spark.sql("SELECT * FROM gz_sink").collect()
+        assert sorted(bytes(r.key).decode() for r in rows) == sorted(
+            str(i) for i in range(12)
+        )
     finally:
         broker.close()

@@ -77,6 +77,107 @@ def read_zigzag(data: bytes, pos: int) -> tuple[int, int]:
     return _unzz(v), pos
 
 
+# -------------------------------------------------- compression codecs
+# (RecordBatch v2 attributes bits 0-2; the compressed region is the
+# records array AFTER the count field. gzip is pure stdlib and decodes
+# unconditionally; snappy/lz4/zstd are feature-detected like the
+# multimodal codecs — absent libs fail with the install remedy, never
+# a baffling parse error. ≈ franz-go's codec support consumed by
+# ``pkg/providers/kafka/source.go``.)
+
+CODEC_NAMES = {0: None, 1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
+_XERIAL_MAGIC = b"\x82SNAPPY\x00"
+
+
+def decompress_records(codec: int, data: bytes) -> bytes:
+    if codec == 1:
+        import zlib
+
+        try:
+            return zlib.decompress(data, 47)  # gzip-or-zlib wrapper
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip record payload: {e}") from e
+    if codec == 2:
+        try:
+            import snappy
+        except ImportError:
+            raise ValueError(
+                "record batch uses snappy compression; pip install "
+                "python-snappy to consume it (or produce gzip)"
+            ) from None
+        if data[: len(_XERIAL_MAGIC)] == _XERIAL_MAGIC:
+            # the Java client's xerial block framing: 16-byte header,
+            # then [int32 len][snappy block]...
+            out = bytearray()
+            pos = 16
+            while pos + 4 <= len(data):
+                (ln,) = struct.unpack_from(">i", data, pos)
+                pos += 4
+                out += snappy.decompress(data[pos:pos + ln])
+                pos += ln
+            return bytes(out)
+        return snappy.decompress(data)
+    if codec == 3:
+        try:
+            import lz4.frame
+        except ImportError:
+            raise ValueError(
+                "record batch uses lz4 compression; pip install lz4 "
+                "to consume it (or produce gzip)"
+            ) from None
+        return lz4.frame.decompress(data)
+    if codec == 4:
+        try:
+            import zstandard
+        except ImportError:
+            raise ValueError(
+                "record batch uses zstd compression; pip install "
+                "zstandard to consume it (or produce gzip)"
+            ) from None
+        # decompressobj handles frames without a content-size header
+        return zstandard.ZstdDecompressor().decompressobj().decompress(
+            data
+        )
+    raise ValueError(f"unknown compression codec {codec}")
+
+
+def compress_records(codec_name: str, data: bytes) -> tuple[int, bytes]:
+    """name → (attributes codec bits, compressed records bytes)."""
+    if codec_name == "gzip":
+        import gzip as _gzip
+
+        # mtime=0: byte-deterministic batches (tests round-trip exact)
+        return 1, _gzip.compress(data, mtime=0)
+    if codec_name == "snappy":
+        try:
+            import snappy
+        except ImportError:
+            raise ValueError(
+                "snappy compression needs python-snappy installed"
+            ) from None
+        return 2, snappy.compress(data)
+    if codec_name == "lz4":
+        try:
+            import lz4.frame
+        except ImportError:
+            raise ValueError(
+                "lz4 compression needs the lz4 package installed"
+            ) from None
+        return 3, lz4.frame.compress(data)
+    if codec_name == "zstd":
+        try:
+            import zstandard
+        except ImportError:
+            raise ValueError(
+                "zstd compression needs the zstandard package installed"
+            ) from None
+        return 4, zstandard.ZstdCompressor().compress(data)
+    raise ValueError(
+        f"unknown compression {codec_name!r} "
+        "(gzip/snappy/lz4/zstd)"
+    )
+
+
 # -------------------------------------------------------- RecordBatch
 
 
@@ -115,10 +216,13 @@ def encode_record_batch(
     base_offset: int = 0,
     base_timestamp: int = 0,
     headers_per_record: list[list[tuple[str, bytes]]] | None = None,
+    compression: str | None = None,
 ) -> bytes:
     """One RecordBatch v2 holding ``records`` = [(key, value), ...] at
-    ``base_timestamp`` (ms). Uncompressed, non-transactional — the
-    shape an idempotence-off producer emits."""
+    ``base_timestamp`` (ms). Non-transactional — the shape an
+    idempotence-off producer emits; ``compression`` ("gzip" stdlib,
+    snappy/lz4/zstd when their libs are present) compresses the records
+    array per the v2 layout."""
     n = len(records)
     recs = b"".join(
         encode_record(
@@ -130,9 +234,12 @@ def encode_record_batch(
         )
         for i, (k, v) in enumerate(records)
     )
+    attrs = 0
+    if compression:
+        attrs, recs = compress_records(compression, recs)
     # attributes..records — the CRC'd region
     tail = (
-        struct.pack(">h", 0)  # attributes: no compression/txn
+        struct.pack(">h", attrs)
         + struct.pack(">i", n - 1)  # lastOffsetDelta
         + struct.pack(">q", base_timestamp)
         + struct.pack(">q", base_timestamp)  # maxTimestamp
@@ -167,20 +274,15 @@ def decode_record_batch(data: bytes) -> dict:
         raise ValueError("CRC mismatch")
     attributes, last_delta = struct.unpack_from(">hi", tail, 0)
     codec = attributes & 0x07
-    if codec:
-        # bits 0-2: compression. Decoding would need the codec libs;
-        # failing here with the cause beats read_zigzag parsing
-        # compressed bytes into a baffling 'record length mismatch'
-        # (code-review r10)
-        raise ValueError(
-            f"record batch uses compression codec {codec} "
-            "(1=gzip 2=snappy 3=lz4 4=zstd) — the pure-wire consumer "
-            "decodes uncompressed batches only; produce uncompressed "
-            "or use the spark-sql-kafka connector"
-        )
     is_control = bool(attributes & 0x20)
     base_ts, max_ts = struct.unpack_from(">qq", tail, 6)
     count = struct.unpack_from(">i", tail, 36)[0]
+    if codec:
+        # bits 0-2: compression over the records array (count stays
+        # plain); an absent codec lib fails with the install remedy —
+        # never read_zigzag parsing compressed bytes into a baffling
+        # 'record length mismatch' (code-review r10)
+        tail = tail[:40] + decompress_records(codec, tail[40:])
     pos = 40
     records = []
     for _ in range(count):

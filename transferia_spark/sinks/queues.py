@@ -59,6 +59,7 @@ class KafkaSink(Sink):
         num_partitions: int = 1,
         batch_records: int = 500,
         transport: Callable[[bytes], None] | None = None,
+        compression: str | None = None,
     ):
         self.bootstrap_servers = bootstrap_servers
         self.topic_for = topic_for or (lambda t: t.fqtn())
@@ -67,6 +68,10 @@ class KafkaSink(Sink):
         self.num_partitions = num_partitions
         self.batch_records = batch_records
         self.transport = transport
+        #: wire-engine record-batch compression ("gzip" is stdlib;
+        #: snappy/lz4/zstd need their libs). The connector engine takes
+        #: kafka.compression.type via ``options`` instead.
+        self.compression = compression
 
     def cleanup(self, table: TableID, policy: CleanupPolicy) -> None:
         # queues are append-only; cleanup (topic recreation) is an
@@ -83,6 +88,7 @@ class KafkaSink(Sink):
         n_parts = self.num_partitions
         batch_records = self.batch_records
         transport = self.transport
+        compression = self.compression
         cols = out.columns
         key_col = "key" if "key" in cols else None
         if "value" not in cols:
@@ -103,7 +109,9 @@ class KafkaSink(Sink):
             def flush():
                 for part, recs in by_part.items():
                     if recs:
-                        batch = encode_record_batch(recs)
+                        batch = encode_record_batch(
+                            recs, compression=compression
+                        )
                         transport(
                             encode_produce_request(topic, {part: batch})
                         )
