@@ -1274,6 +1274,48 @@ def q_clickhouse_read_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(tasks, "url string, query string")
 
 
+def q_clickhouse_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: ClickHouse cluster topology discovery
+    (sources/clickhouse.py discover_cluster_shards ≈ the reference's
+    cluster-metadata reads in pkg/providers/clickhouse) — the exact
+    system.clusters query strings (incl. quote escaping) and the
+    shard→endpoint fold (lowest replica_num wins per shard) over a
+    nation-derived replica matrix; the oracle rebuilds both with SQL
+    string concat + a window rank. The live HTTP plane is pinned by
+    the loopback e2e in tests/test_mongo_clickhouse_sources.py."""
+    import json as _json
+
+    from transferia_spark.sources.clickhouse import (
+        cluster_shards_sql,
+        discover_cluster_shards,
+    )
+
+    keys = sorted(
+        int(r.n_nationkey)
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    lines = [
+        _json.dumps({
+            "shard_num": k % 4 + 1,
+            "replica_num": k // 4 + 1,
+            "host_address": f"10.0.{k}.1",
+            "host_name": f"ch{k}",
+        })
+        for k in keys
+    ]
+
+    class _Scripted:
+        def execute(self, sql: str) -> bytes:
+            return "\n".join(lines).encode()
+
+    shards = discover_cluster_shards(_Scripted(), "prod", http_port=8123)
+    rows = [
+        ("sql", "prod", cluster_shards_sql("prod")),
+        ("sql", "o'brien", cluster_shards_sql("o'brien")),
+    ] + [("shard", name, url) for name, url in sorted(shards.items())]
+    return spark.createDataFrame(rows, "kind string, name string, val string")
+
+
 def q_shard_fallback_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-free fallback sharding plans (sources/enterprise.py):
     Greenplum per-segment predicates (one Spark partition drains one
@@ -4282,6 +4324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_pipeline": q_embed_ann_pipeline,
         "oracle_rowid_plan": q_oracle_rowid_plan,
         "clickhouse_read_plan": q_clickhouse_read_plan,
+        "clickhouse_topology": q_clickhouse_topology,
         "shard_fallback_plans": q_shard_fallback_plans,
         "delta_scan": q_delta_scan,
         "dedup_incremental": q_dedup_incremental,
@@ -4865,6 +4908,31 @@ SELECT 'http://ch-' || CAST(r_regionkey AS VARCHAR) || ':8123' AS url,
 FROM region,
      (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2
       UNION ALL SELECT 3) p
+""",
+        "clickhouse_topology": """
+WITH q(name) AS (SELECT 'prod' UNION ALL SELECT 'o''brien'),
+replicas AS (
+  SELECT n_nationkey % 4 + 1 AS shard_num,
+         n_nationkey // 4 + 1 AS replica_num,
+         '10.0.' || CAST(n_nationkey AS VARCHAR) || '.1' AS host
+  FROM nation
+),
+best AS (
+  SELECT shard_num, host,
+         ROW_NUMBER() OVER (PARTITION BY shard_num
+                            ORDER BY replica_num) AS rn
+  FROM replicas
+)
+SELECT 'sql' AS kind, name,
+       'SELECT shard_num, replica_num, host_address, host_name'
+       || ' FROM system.clusters WHERE cluster = '''
+       || REPLACE(name, '''', '''''')
+       || ''' ORDER BY shard_num, replica_num FORMAT JSONEachRow' AS val
+FROM q
+UNION ALL
+SELECT 'shard', 'shard' || CAST(shard_num AS VARCHAR),
+       'http://' || host || ':8123'
+FROM best WHERE rn = 1
 """,
         "partition_expansion": """
             SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) AS table_name

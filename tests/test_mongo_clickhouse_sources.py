@@ -457,3 +457,92 @@ def test_clickhouse_decoders_typed():
     pdf = decode_json_each_row(jbody, schema)
     assert pdf.loc[0, "id"] == 7 and pdf["id"].isna()[1]
     assert pdf["bal"].isna()[1]
+
+
+def test_cluster_topology_discovery_loopback():
+    """r10 verdict next #7: shard_urls derive from the server's own
+    system.clusters over the existing HTTP client — lowest replica_num
+    wins per shard, host_address beats host_name, 0.0.0.0 falls back
+    to the name, unknown cluster is loud."""
+    import http.server
+    import json as _json
+    import threading
+
+    from transferia_spark.sources.clickhouse import (
+        clickhouse_source_from_cluster,
+        cluster_shards_sql,
+        discover_cluster_shards,
+    )
+
+    rows = [
+        {"shard_num": 1, "replica_num": 2, "host_address": "10.0.0.2",
+         "host_name": "ch1b"},
+        {"shard_num": 1, "replica_num": 1, "host_address": "10.0.0.1",
+         "host_name": "ch1a"},
+        {"shard_num": 2, "replica_num": 1, "host_address": "0.0.0.0",
+         "host_name": "ch2a"},
+    ]
+    got_sql = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            ln = int(self.headers.get("Content-Length", 0))
+            sql = self.rfile.read(ln).decode()
+            got_sql.append(sql)
+            if "'nope'" in sql:
+                out = b""
+            else:
+                out = b"\n".join(
+                    _json.dumps(r).encode() for r in rows
+                )
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from transferia_spark.sinks.clickhouse import ChHttpClient
+
+        url = f"http://127.0.0.1:{srv.server_port}"
+        shards = discover_cluster_shards(
+            ChHttpClient(url), "prod", http_port=8123
+        )
+        assert shards == {
+            "shard1": "http://10.0.0.1:8123",  # replica 1 beat replica 2
+            "shard2": "http://ch2a:8123",      # 0.0.0.0 → host_name
+        }
+        assert got_sql[-1] == cluster_shards_sql("prod")
+        assert "cluster = 'prod'" in got_sql[-1]
+
+        src = clickhouse_source_from_cluster(
+            url, "prod", schemas={"t": "id long"}
+        )
+        assert sorted(src.shard_urls) == ["shard1", "shard2"]
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no shards"):
+            discover_cluster_shards(ChHttpClient(url), "nope")
+    finally:
+        srv.shutdown()
+
+
+def test_ch_sink_write_format_default_follows_version():
+    """ADVICE r10: the ArrowStream default must not break configs
+    declaring a pre-Arrow server — ch_version < 21 defaults to
+    JSONEachRow; explicit overrides always win."""
+    from transferia_spark.sinks.clickhouse import ClickHouseSink
+
+    new = ClickHouseSink({"s0": "http://x"}, ch_version=(23, 8))
+    assert new.write_format == "ArrowStream"
+    old = ClickHouseSink({"s0": "http://x"}, ch_version=(20, 8))
+    assert old.write_format == "JSONEachRow"
+    forced = ClickHouseSink(
+        {"s0": "http://x"}, ch_version=(20, 8), write_format="ArrowStream"
+    )
+    assert forced.write_format == "ArrowStream"

@@ -399,7 +399,7 @@ class ClickHouseSink(Sink):
         batch_rows: int = 10_000,
         client_factory: Callable[[str], ChHttpClient] = ChHttpClient,
         ch_version: tuple[int, int] = (23, 8),
-        write_format: str = "ArrowStream",
+        write_format: str | None = None,
     ):
         self.shard_names = sorted(shard_urls)
         self.shard_urls = dict(shard_urls)
@@ -412,10 +412,18 @@ class ClickHouseSink(Sink):
         self.batch_rows = batch_rows
         self.client_factory = client_factory
         self.ch_version = ch_version
+        if write_format is None:
+            # ADVICE r10: derive the default from the declared server
+            # version — configs pointing at pre-Arrow servers (<21.x)
+            # that worked on JSONEachRow must not start failing at
+            # write time because the default moved
+            write_format = (
+                "ArrowStream" if ch_version >= (21, 0) else "JSONEachRow"
+            )
         if write_format not in ("ArrowStream", "JSONEachRow"):
             raise ValueError(
                 f"write_format {write_format!r}: ArrowStream (zero-parse, "
-                "CH ≥ 21.x, the default) or JSONEachRow (legacy)"
+                "CH ≥ 21.x, the default there) or JSONEachRow (legacy)"
             )
         self.write_format = write_format
 

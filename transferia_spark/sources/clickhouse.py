@@ -351,3 +351,82 @@ class ClickHouseSource(Source):
                         resp.close()
 
         return parts_df.mapInPandas(read_parts, st)
+
+
+# ------------------------------------------------- topology discovery
+# (≈ the reference's cluster-metadata reads in
+# ``pkg/providers/clickhouse`` model/topology — shard lists come from
+# the server's own system.clusters, not hand config that drifts
+# against ALTER CLUSTER.)
+
+
+def cluster_shards_sql(cluster: str) -> str:
+    """The system.clusters topology query — a pure string builder so
+    the driver oracle can rebuild and hash it independently."""
+    esc = cluster.replace("'", "''")
+    return (
+        "SELECT shard_num, replica_num, host_address, host_name"
+        f" FROM system.clusters WHERE cluster = '{esc}'"
+        " ORDER BY shard_num, replica_num FORMAT JSONEachRow"
+    )
+
+
+def discover_cluster_shards(
+    client,
+    cluster: str,
+    http_port: int = 8123,
+    scheme: str = "http",
+) -> dict[str, str]:
+    """shard name → HTTP endpoint from ``system.clusters``. One
+    endpoint per shard (the lowest replica_num); ``system.clusters``
+    reports the NATIVE port, so the HTTP port rides a parameter.
+    ``host_address`` wins over ``host_name`` (no DNS dependency on
+    executors); an unknown cluster is loud, never an empty source."""
+    raw = client.execute(cluster_shards_sql(cluster))
+    shards: dict[int, tuple[int, str]] = {}
+    for line in raw.decode().splitlines():
+        if not line.strip():
+            continue
+        row = json.loads(line)
+        num, rep = int(row["shard_num"]), int(row["replica_num"])
+        host = row.get("host_address") or row.get("host_name") or ""
+        # 0.0.0.0 / empty = the server couldn't resolve the replica's
+        # address; fall back to its name and let DNS answer
+        if host in ("", "0.0.0.0"):
+            host = row.get("host_name") or ""
+        if not host:
+            continue
+        if num not in shards or rep < shards[num][0]:
+            shards[num] = (rep, host)
+    if not shards:
+        raise ValueError(
+            f"cluster {cluster!r} has no shards in system.clusters — "
+            "check the cluster name on the server's remote_servers"
+        )
+    return {
+        f"shard{num}": f"{scheme}://{host}:{http_port}"
+        for num, (_rep, host) in sorted(shards.items())
+    }
+
+
+def clickhouse_source_from_cluster(
+    url: str,
+    cluster: str,
+    schemas: dict[str, str],
+    http_port: int = 8123,
+    client_factory: Callable[[str], ChHttpClient] = ChHttpClient,
+    **kwargs,
+) -> ClickHouseSource:
+    """Build a :class:`ClickHouseSource` by asking ANY node of the
+    cluster for the shard topology instead of hand-listing
+    ``shard_urls``."""
+    import urllib.parse
+
+    scheme = urllib.parse.urlsplit(url).scheme or "http"
+    shard_urls = discover_cluster_shards(
+        client_factory(url), cluster, http_port=http_port, scheme=scheme
+    )
+    return ClickHouseSource(
+        shard_urls=shard_urls, schemas=schemas,
+        client_factory=client_factory, **kwargs,
+    )
