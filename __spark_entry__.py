@@ -1316,6 +1316,86 @@ def q_clickhouse_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "kind string, name string, val string")
 
 
+def q_schema_registry_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: Confluent Schema Registry resolution + pure-Python Avro
+    binary decode (parsers/schema_registry.py ≈
+    pkg/schemaregistry/confluent + pkg/parsers/registry/
+    confluentschemaregistry) — nation rows encode into Confluent-framed
+    Avro on the driver, then EXECUTOR tasks split the magic+id frame,
+    resolve the id against a (scripted) registry and decode the body
+    with the writer schema; the oracle recomputes the id assignment and
+    values relationally. The live HTTP plane (cache, auth, 404) is
+    pinned in tests/test_schema_registry.py."""
+    import json as _json
+
+    from transferia_spark.parsers.schema_registry import (
+        AvroCodec,
+        encode_confluent_frame,
+    )
+
+    writer = _json.dumps({
+        "type": "record", "name": "N", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "n", "type": "string"},
+            {"name": "tag", "type": ["null", "string"]},
+        ],
+    })
+    codec = AvroCodec(writer)
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    )
+    frames = [
+        (
+            encode_confluent_frame(
+                100 + int(r.n_nationkey) % 3,
+                codec.encode({
+                    "k": int(r.n_nationkey),
+                    "n": r.n_name,
+                    "tag": (
+                        None if int(r.n_nationkey) % 2 else "even"
+                    ),
+                }),
+            ),
+        )
+        for r in nat
+    ]
+    df = spark.createDataFrame(frames, "value binary")
+    schemas = {
+        sid: {"schema": writer, "schemaType": "AVRO"}
+        for sid in (100, 101, 102)
+    }
+
+    class _ScriptedSR:
+        def get_schema(self, sid: int) -> dict:
+            return schemas[sid]
+
+    def run(batches):
+        import pandas as pd
+
+        from transferia_spark.parsers.schema_registry import (
+            decode_confluent,
+        )
+
+        client = _ScriptedSR()
+        for pdf in batches:
+            sids, ks, ns, tags = [], [], [], []
+            for v in pdf["value"]:
+                sid, rec = decode_confluent(bytes(v), client)
+                sids.append(sid)
+                ks.append(rec["k"])
+                ns.append(rec["n"])
+                tags.append(rec["tag"])
+            yield pd.DataFrame(
+                {"sid": sids, "k": ks, "n": ns, "tag": tags}
+            )
+
+    return df.mapInPandas(
+        run, "sid int, k long, n string, tag string"
+    )
+
+
 def q_shard_fallback_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-free fallback sharding plans (sources/enterprise.py):
     Greenplum per-segment predicates (one Spark partition drains one
@@ -4325,6 +4405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oracle_rowid_plan": q_oracle_rowid_plan,
         "clickhouse_read_plan": q_clickhouse_read_plan,
         "clickhouse_topology": q_clickhouse_topology,
+        "schema_registry_avro": q_schema_registry_avro,
         "shard_fallback_plans": q_shard_fallback_plans,
         "delta_scan": q_delta_scan,
         "dedup_incremental": q_dedup_incremental,
@@ -4908,6 +4989,13 @@ SELECT 'http://ch-' || CAST(r_regionkey AS VARCHAR) || ':8123' AS url,
 FROM region,
      (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2
       UNION ALL SELECT 3) p
+""",
+        "schema_registry_avro": """
+SELECT CAST(100 + n_nationkey % 3 AS INTEGER) AS sid,
+       n_nationkey AS k,
+       n_name AS n,
+       CASE WHEN n_nationkey % 2 = 0 THEN 'even' END AS tag
+FROM nation
 """,
         "clickhouse_topology": """
 WITH q(name) AS (SELECT 'prod' UNION ALL SELECT 'o''brien'),

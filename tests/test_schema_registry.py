@@ -1,0 +1,304 @@
+"""Live Confluent Schema Registry client + pure-Python Avro binary
+codec (r10 verdict next #4 ≈ pkg/schemaregistry/confluent +
+pkg/parsers/registry/confluentschemaregistry): loopback HTTP registry,
+id→schema cache behavior, and executor-side frame decode through the
+confluent_schema_registry parser."""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+
+import pytest
+
+from transferia_spark.parsers.schema_registry import (
+    AvroCodec,
+    SchemaRegistryClient,
+    decode_confluent,
+    encode_confluent_frame,
+    split_confluent_frame,
+)
+
+REC_SCHEMA = json.dumps({
+    "type": "record", "name": "Order", "namespace": "shop",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "price", "type": "double"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {"name": "note", "type": ["null", "string"]},
+        {"name": "status", "type": {
+            "type": "enum", "name": "St", "symbols": ["NEW", "PAID"]}},
+        {"name": "digest", "type": {
+            "type": "fixed", "name": "D8", "size": 4}},
+        {"name": "child", "type": {
+            "type": "record", "name": "Child",
+            "fields": [{"name": "k", "type": "int"}]}},
+    ],
+})
+
+REC_VALUE = {
+    "id": -42, "name": "héllo", "price": 1.25,
+    "tags": ["a", "b"], "attrs": {"x": 1, "y": -2},
+    "note": None, "status": "PAID", "digest": b"\x01\x02\x03\x04",
+    "child": {"k": 7},
+}
+
+
+def test_avro_codec_round_trip_record():
+    codec = AvroCodec(REC_SCHEMA)
+    out = codec.decode(codec.encode(REC_VALUE))
+    assert out == REC_VALUE
+    v2 = dict(REC_VALUE, note="set", status="NEW", tags=[], attrs={})
+    assert codec.decode(codec.encode(v2)) == v2
+
+
+def test_avro_zigzag_and_block_sized_arrays():
+    """Negative block counts carry a byte-size prefix (writers use them
+    for skippability) — the decoder must honor them; zigzag edges
+    round-trip."""
+    codec = AvroCodec('{"type": "array", "items": "long"}')
+    # hand-build: block of -2 items (count -2, size 2 bytes), items 1, 2,
+    # then terminator 0
+    from transferia_spark.parsers.schema_registry import _zigzag_encode
+
+    raw = (
+        _zigzag_encode(-2) + _zigzag_encode(2)
+        + _zigzag_encode(1) + _zigzag_encode(2) + _zigzag_encode(0)
+    )
+    assert codec.decode(bytes(raw)) == [1, 2]
+
+    lc = AvroCodec('"long"')
+    for v in (0, -1, 1, 2**62, -(2**62), 63, -64):
+        assert lc.decode(lc.encode(v)) == v
+
+
+def test_avro_codec_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    codec = AvroCodec(json.dumps({
+        "type": "record", "name": "R", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "u", "type": ["null", "long", "string"]},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+        ],
+    }))
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.text(max_size=50),
+        st.binary(max_size=50),
+        st.one_of(st.none(), st.integers(-1000, 1000), st.text(max_size=10)),
+        st.lists(st.integers(-(2**31), 2**31), max_size=10),
+    )
+    def check(a, s, b, u, xs):
+        v = {"a": a, "s": s, "b": b, "u": u, "xs": xs}
+        assert codec.decode(codec.encode(v)) == v
+
+    check()
+
+
+def test_avro_recursive_schema_is_loud():
+    with pytest.raises(ValueError, match="recursive"):
+        AvroCodec(json.dumps({
+            "type": "record", "name": "Node", "fields": [
+                {"name": "next", "type": ["null", "Node"]},
+            ],
+        }))
+
+
+def test_confluent_frame_split():
+    f = encode_confluent_frame(77, b"body")
+    assert f[0] == 0 and struct.unpack_from(">i", f, 1)[0] == 77
+    assert split_confluent_frame(f) == (77, b"body")
+    with pytest.raises(ValueError, match="magic"):
+        split_confluent_frame(b"\x01xxxx")
+    with pytest.raises(ValueError, match="magic"):
+        split_confluent_frame(b"")
+
+
+# ------------------------------------------------- loopback registry
+
+
+def _registry(schemas: dict[int, dict], hits: list, require_auth=None):
+    import http.server
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def _send(self, code, obj):
+            out = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def do_GET(self):
+            hits.append(("GET", self.path,
+                         self.headers.get("Authorization")))
+            if require_auth and \
+                    self.headers.get("Authorization") != require_auth:
+                self._send(401, {"message": "unauthorized"})
+                return
+            if self.path.startswith("/schemas/ids/"):
+                sid = int(self.path.rsplit("/", 1)[1])
+                if sid in schemas:
+                    self._send(200, schemas[sid])
+                else:
+                    self._send(404, {
+                        "error_code": 40403,
+                        "message": "Schema not found"})
+            else:
+                self._send(404, {"message": "nope"})
+
+        def do_POST(self):
+            ln = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(ln))
+            hits.append(("POST", self.path, body))
+            nid = max(schemas) + 1 if schemas else 1
+            schemas[nid] = {
+                "schema": body["schema"],
+                "schemaType": body.get("schemaType", "AVRO"),
+            }
+            self._send(200, {"id": nid})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_registry_client_fetch_cache_register_and_errors():
+    hits: list = []
+    schemas = {7: {"schema": REC_SCHEMA}}
+    srv = _registry(schemas, hits)
+    try:
+        c = SchemaRegistryClient(f"http://127.0.0.1:{srv.server_port}")
+        got = c.get_schema(7)
+        assert got["schema"] == REC_SCHEMA
+        assert got["schemaType"] == "AVRO"  # default filled in
+        # cache hit: no second GET
+        c.get_schema(7)
+        assert len([h for h in hits if h[0] == "GET"]) == 1
+        # unknown id is loud with the server detail
+        with pytest.raises(ValueError, match="40403"):
+            c.get_schema(999)
+        # register returns the new id, fetchable afterwards
+        nid = c.register_schema("orders-value", '"long"')
+        assert c.get_schema(nid)["schema"] == '"long"'
+        # bounded cache evicts oldest
+        small = SchemaRegistryClient(
+            f"http://127.0.0.1:{srv.server_port}", cache_size=1
+        )
+        small.get_schema(7)
+        small.get_schema(nid)
+        assert list(small._cache) == [nid]
+    finally:
+        srv.shutdown()
+
+
+def test_registry_client_basic_auth_header():
+    hits: list = []
+    import base64
+
+    tok = "Basic " + base64.b64encode(b"u:p").decode()
+    srv = _registry({1: {"schema": '"long"'}}, hits, require_auth=tok)
+    try:
+        noauth = SchemaRegistryClient(
+            f"http://127.0.0.1:{srv.server_port}"
+        )
+        with pytest.raises(ValueError, match="401"):
+            noauth.get_schema(1)
+        ok = SchemaRegistryClient(
+            f"http://127.0.0.1:{srv.server_port}", auth=("u", "p")
+        )
+        assert ok.get_schema(1)["schema"] == '"long"'
+    finally:
+        srv.shutdown()
+
+
+def test_decode_confluent_avro_json_and_protobuf_routes():
+    hits: list = []
+    schemas = {
+        5: {"schema": REC_SCHEMA},
+        6: {"schema": "{}", "schemaType": "JSON"},
+        8: {"schema": "syntax...", "schemaType": "PROTOBUF"},
+    }
+    srv = _registry(schemas, hits)
+    try:
+        c = SchemaRegistryClient(f"http://127.0.0.1:{srv.server_port}")
+        codec = AvroCodec(REC_SCHEMA)
+        sid, rec = decode_confluent(
+            encode_confluent_frame(5, codec.encode(REC_VALUE)), c
+        )
+        assert (sid, rec) == (5, REC_VALUE)
+        sid, rec = decode_confluent(
+            encode_confluent_frame(6, b'{"a": 1}'), c
+        )
+        assert (sid, rec) == (6, {"a": 1})
+        with pytest.raises(ValueError, match="PROTOBUF"):
+            decode_confluent(encode_confluent_frame(8, b"x"), c)
+    finally:
+        srv.shutdown()
+
+
+def test_parser_resolves_ids_on_executors(spark):
+    """confluent_schema_registry + registry_url: executor tasks resolve
+    ids over HTTP and decode Avro bodies with the writer schema —
+    MIXED schema ids in one batch, system columns carried through."""
+    from transferia_spark.parsers.registry import build_parser
+
+    v1 = json.dumps({
+        "type": "record", "name": "E", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+        ],
+    })
+    v2 = json.dumps({
+        "type": "record", "name": "E", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "extra", "type": ["null", "string"]},
+        ],
+    })
+    hits: list = []
+    srv = _registry({1: {"schema": v1}, 2: {"schema": v2}}, hits)
+    c1, c2 = AvroCodec(v1), AvroCodec(v2)
+    try:
+        frames = [
+            (encode_confluent_frame(1, c1.encode(
+                {"id": i, "name": f"n{i}"})), i)
+            for i in range(4)
+        ] + [
+            (encode_confluent_frame(2, c2.encode(
+                {"id": i, "name": f"n{i}", "extra": "x"})), i)
+            for i in range(4, 6)
+        ]
+        df = spark.createDataFrame(frames, "value binary, _offset long")
+        parser = build_parser(
+            "confluent_schema_registry",
+            registry_url=f"http://127.0.0.1:{srv.server_port}",
+            schema="id long, name string",
+        )
+        rows = parser(df).collect()
+        assert sorted((r.id, r.name, r._schema_id, r._offset)
+                      for r in rows) == [
+            (i, f"n{i}", 1 if i < 4 else 2, i) for i in range(6)
+        ]
+    finally:
+        srv.shutdown()
+
+
+def test_parser_live_requires_declared_schema():
+    from transferia_spark.parsers.registry import build_parser
+
+    with pytest.raises(ValueError, match="schema"):
+        build_parser(
+            "confluent_schema_registry", registry_url="http://x"
+        )

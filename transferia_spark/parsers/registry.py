@@ -427,11 +427,75 @@ def audittrails_parser(add_system_cols: bool = False):
 
 # Confluent wire format: 1 magic byte (0x0) + 4-byte big-endian schema
 # id, then the Avro/Protobuf/JSON body. The reference resolves the id
-# against a live registry (pkg/parsers/registry/confluentschemaregistry);
-# without network access we expose the framing split + a pluggable body
-# parser, which is the part that runs on the executors anyway.
+# against a live registry (pkg/parsers/registry/confluentschemaregistry
+# + pkg/schemaregistry/confluent); `registry_url` does the same here —
+# executor tasks resolve ids over stdlib HTTP (bounded per-process
+# cache) and decode the body with the WRITER schema (AVRO binary via
+# parsers/schema_registry.AvroCodec, JSON via json.loads), projecting
+# onto the declared `schema`. Without a registry, the framing split +
+# a pluggable body parser remain (offline flows, tests).
 @register_parser("confluent_schema_registry")
-def confluent_sr_parser(body_parser=None, **body_config):
+def confluent_sr_parser(
+    body_parser=None,
+    registry_url: str | None = None,
+    schema: str | None = None,
+    registry_auth: tuple[str, str] | None = None,
+    **body_config,
+):
+    if registry_url is not None:
+        if schema is None:
+            raise ValueError(
+                "confluent_schema_registry with registry_url needs the "
+                "declared output `schema` DDL (Spark plans need a "
+                "static schema; the registry supplies the WRITER "
+                "schema per record)"
+            )
+        out_st = T._parse_datatype_string(schema)
+        names = [f.name for f in out_st.fields]
+
+        def parse_live(df: DataFrame) -> DataFrame:
+            import pandas as pd
+
+            aux = [c for c in df.columns if c != "value"]
+            st = T.StructType(
+                [T.StructField("_schema_id", T.IntegerType())]
+                + list(out_st.fields)
+                + [df.schema[c] for c in aux]
+            )
+
+            def run(batches):
+                from transferia_spark.parsers.schema_registry import (
+                    SchemaRegistryClient,
+                    decode_confluent,
+                )
+
+                client = SchemaRegistryClient(
+                    registry_url, auth=registry_auth
+                )
+                for pdf in batches:
+                    ids, cols = [], {n: [] for n in names}
+                    for v in pdf["value"]:
+                        sid, rec = decode_confluent(bytes(v), client)
+                        ids.append(sid)
+                        for n in names:
+                            cols[n].append(
+                                rec.get(n) if isinstance(rec, dict)
+                                else None
+                            )
+                    out = {"_schema_id": ids, **cols}
+                    for c in aux:
+                        out[c] = pdf[c]
+                    yield pd.DataFrame(out)
+
+            return df.mapInPandas(run, st)
+
+        return parse_live
+
+    if schema is not None:
+        # offline path: `schema` belongs to the BODY parser (json etc.),
+        # not the registry resolution
+        body_config["schema"] = schema
+
     def parse(df: DataFrame) -> DataFrame:
         framed = df.withColumn(
             "_schema_id",

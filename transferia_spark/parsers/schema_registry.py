@@ -1,0 +1,410 @@
+"""Confluent Schema Registry client + pure-Python Avro binary codec.
+
+≈ ``pkg/schemaregistry/confluent`` + ``pkg/parsers/registry/
+confluentschemaregistry`` in transferia/transferia: the reference
+resolves the 4-byte schema id of the Confluent wire frame against a
+live registry and decodes the Avro body with the WRITER schema it gets
+back. The registry is a small HTTP JSON API (GET /schemas/ids/{id},
+POST /subjects/{s}/versions), so the client is stdlib-only like the
+repo's ClickHouse/Elastic/YT planes; the Avro binary layout is a
+public spec (zigzag-varint ints, length-prefixed bytes/strings,
+union-index prefixes) and shares the varint primitives with the
+protobuf wire decoder.
+
+Scope: the codec covers the full Avro binary type system EXCEPT
+recursive schemas (a record type referencing itself) — those raise
+loudly. Logical types decode as their underlying primitive, matching
+what a schema-unaware consumer sees.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+from transferia_spark.parsers.protowire import encode_varint, read_varint
+
+# ----------------------------------------------------------- varints
+# Avro ints/longs are zigzag base-128 varints — same as Kafka record
+# deltas (sinks/kafka_wire.py), reused here with Avro's own names.
+
+
+def _zigzag_decode(data: bytes, pos: int) -> tuple[int, int]:
+    v, pos = read_varint(data, pos)
+    return (v >> 1) ^ -(v & 1), pos
+
+
+def _zigzag_encode(value: int) -> bytes:
+    return encode_varint(((value << 1) ^ (value >> 63)) & (2**64 - 1))
+
+
+# ------------------------------------------------------- Avro binary
+
+
+class AvroCodec:
+    """Decode/encode Avro binary against ONE parsed writer schema.
+
+    Named types are registered on first definition and resolvable by
+    (namespaced) name afterwards, per the spec; self-recursion is
+    rejected at parse time (bounded decode depth is a feature for a
+    streaming engine, not a limitation).
+    """
+
+    def __init__(self, schema: str | dict | list):
+        self._named: dict[str, dict] = {}
+        self.schema = self._parse(
+            json.loads(schema) if isinstance(schema, str) else schema,
+            namespace="",
+            defining=set(),
+        )
+
+    # -- schema normalization ------------------------------------------
+
+    def _parse(self, s, namespace: str, defining: set):
+        if isinstance(s, str):
+            if s in (
+                "null", "boolean", "int", "long", "float", "double",
+                "bytes", "string",
+            ):
+                return {"type": s}
+            full = s if "." in s else (
+                f"{namespace}.{s}" if namespace else s
+            )
+            if full in defining or s in defining:
+                raise ValueError(
+                    f"recursive Avro schema {s!r} is not supported"
+                )
+            got = self._named.get(full) or self._named.get(s)
+            if got is None:
+                raise ValueError(f"unknown Avro type reference {s!r}")
+            return got
+        if isinstance(s, list):  # union
+            return {
+                "type": "union",
+                "branches": [
+                    self._parse(b, namespace, defining) for b in s
+                ],
+            }
+        t = s["type"]
+        if isinstance(t, (dict, list)):
+            # {"type": {...}} wrapper
+            return self._parse(t, namespace, defining)
+        if t in ("record", "error"):
+            ns = s.get("namespace", namespace)
+            name = s["name"] if "." in s["name"] else (
+                f"{ns}.{s['name']}" if ns else s["name"]
+            )
+            out = {"type": "record", "name": name, "fields": []}
+            self._named[name] = out
+            self._named.setdefault(s["name"], out)
+            for f in s["fields"]:
+                out["fields"].append(
+                    (
+                        f["name"],
+                        self._parse(
+                            f["type"], ns, defining | {name, s["name"]}
+                        ),
+                    )
+                )
+            return out
+        if t == "enum":
+            out = {"type": "enum", "symbols": list(s["symbols"])}
+            self._named[s["name"]] = out
+            return out
+        if t == "fixed":
+            out = {"type": "fixed", "size": int(s["size"])}
+            self._named[s["name"]] = out
+            return out
+        if t == "array":
+            return {
+                "type": "array",
+                "items": self._parse(s["items"], namespace, defining),
+            }
+        if t == "map":
+            return {
+                "type": "map",
+                "values": self._parse(s["values"], namespace, defining),
+            }
+        return self._parse(t, namespace, defining)
+
+    # -- decode ---------------------------------------------------------
+
+    def decode(self, data: bytes):
+        value, pos = self._read(self.schema, data, 0)
+        return value
+
+    def _read(self, s: dict, data: bytes, pos: int):
+        t = s["type"]
+        if t == "null":
+            return None, pos
+        if t == "boolean":
+            return data[pos] != 0, pos + 1
+        if t in ("int", "long"):
+            return _zigzag_decode(data, pos)
+        if t == "float":
+            return struct.unpack_from("<f", data, pos)[0], pos + 4
+        if t == "double":
+            return struct.unpack_from("<d", data, pos)[0], pos + 8
+        if t in ("bytes", "string"):
+            ln, pos = _zigzag_decode(data, pos)
+            raw = data[pos:pos + ln]
+            pos += ln
+            return (raw.decode("utf-8") if t == "string" else raw), pos
+        if t == "fixed":
+            raw = data[pos:pos + s["size"]]
+            return raw, pos + s["size"]
+        if t == "enum":
+            idx, pos = _zigzag_decode(data, pos)
+            return s["symbols"][idx], pos
+        if t == "union":
+            idx, pos = _zigzag_decode(data, pos)
+            return self._read(s["branches"][idx], data, pos)
+        if t == "record":
+            out = {}
+            for name, fs in s["fields"]:
+                out[name], pos = self._read(fs, data, pos)
+            return out, pos
+        if t == "array":
+            out = []
+            while True:
+                n, pos = _zigzag_decode(data, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:  # block with byte size prefix
+                    n = -n
+                    _sz, pos = _zigzag_decode(data, pos)
+                for _ in range(n):
+                    v, pos = self._read(s["items"], data, pos)
+                    out.append(v)
+        if t == "map":
+            out = {}
+            while True:
+                n, pos = _zigzag_decode(data, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _sz, pos = _zigzag_decode(data, pos)
+                for _ in range(n):
+                    k, pos = self._read({"type": "string"}, data, pos)
+                    out[k], pos = self._read(s["values"], data, pos)
+        raise ValueError(f"unsupported Avro type {t!r}")
+
+    # -- encode (the producer twin; also what the tests round-trip) -----
+
+    def encode(self, value) -> bytes:
+        return bytes(self._write(self.schema, value))
+
+    def _write(self, s: dict, value) -> bytearray:
+        t = s["type"]
+        out = bytearray()
+        if t == "null":
+            return out
+        if t == "boolean":
+            out.append(1 if value else 0)
+        elif t in ("int", "long"):
+            out += _zigzag_encode(int(value))
+        elif t == "float":
+            out += struct.pack("<f", float(value))
+        elif t == "double":
+            out += struct.pack("<d", float(value))
+        elif t == "string":
+            raw = value.encode("utf-8")
+            out += _zigzag_encode(len(raw)) + raw
+        elif t == "bytes":
+            out += _zigzag_encode(len(value)) + bytes(value)
+        elif t == "fixed":
+            if len(value) != s["size"]:
+                raise ValueError(
+                    f"fixed size mismatch: {len(value)} != {s['size']}"
+                )
+            out += bytes(value)
+        elif t == "enum":
+            out += _zigzag_encode(s["symbols"].index(value))
+        elif t == "union":
+            idx = self._union_branch(s["branches"], value)
+            out += _zigzag_encode(idx)
+            out += self._write(s["branches"][idx], value)
+        elif t == "record":
+            for name, fs in s["fields"]:
+                out += self._write(fs, value.get(name))
+        elif t == "array":
+            if value:
+                out += _zigzag_encode(len(value))
+                for v in value:
+                    out += self._write(s["items"], v)
+            out += _zigzag_encode(0)
+        elif t == "map":
+            if value:
+                out += _zigzag_encode(len(value))
+                for k, v in value.items():
+                    out += self._write({"type": "string"}, k)
+                    out += self._write(s["values"], v)
+            out += _zigzag_encode(0)
+        else:
+            raise ValueError(f"unsupported Avro type {t!r}")
+        return out
+
+    @staticmethod
+    def _union_branch(branches: list[dict], value) -> int:
+        kind = (
+            "null" if value is None
+            else "boolean" if isinstance(value, bool)
+            else "record" if isinstance(value, dict)
+            else "string" if isinstance(value, str)
+            else "bytes" if isinstance(value, (bytes, bytearray))
+            else "double" if isinstance(value, float)
+            else "long" if isinstance(value, int)
+            else "array" if isinstance(value, list)
+            else None
+        )
+        for i, b in enumerate(branches):
+            if b["type"] == kind:
+                return i
+        # int/long and float/double interchange
+        for i, b in enumerate(branches):
+            if kind == "long" and b["type"] == "int":
+                return i
+            if kind == "double" and b["type"] == "float":
+                return i
+            if kind == "record" and b["type"] == "map":
+                return i
+        raise ValueError(f"no union branch for {type(value).__name__}")
+
+
+# ------------------------------------------------ Confluent wire frame
+
+MAGIC = 0
+
+
+def split_confluent_frame(value: bytes) -> tuple[int, bytes]:
+    """1 magic byte (0x0) + 4-byte big-endian schema id + body."""
+    if not value or value[0] != MAGIC:
+        raise ValueError(
+            f"not a Confluent-framed payload (magic byte "
+            f"{value[:1].hex() or '<empty>'}, want 00)"
+        )
+    (schema_id,) = struct.unpack_from(">i", value, 1)
+    return schema_id, value[5:]
+
+
+def encode_confluent_frame(schema_id: int, body: bytes) -> bytes:
+    return b"\x00" + struct.pack(">i", schema_id) + body
+
+
+# ----------------------------------------------------- registry client
+
+
+class SchemaRegistryClient:
+    """Stdlib-HTTP client for the Confluent Schema Registry REST API
+    with a bounded id→schema cache (ids are immutable server-side, so
+    cache entries never invalidate — the bound only caps memory)."""
+
+    def __init__(
+        self,
+        base_url: str,
+        auth: tuple[str, str] | None = None,
+        timeout: float = 15.0,
+        cache_size: int = 256,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.auth = auth
+        self.timeout = timeout
+        self.cache_size = cache_size
+        from collections import OrderedDict
+
+        self._cache: OrderedDict[int, dict] = OrderedDict()
+
+    def _request(self, path: str, payload: dict | None = None) -> dict:
+        import base64
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=(
+                json.dumps(payload).encode() if payload is not None
+                else None
+            ),
+            method="POST" if payload is not None else "GET",
+        )
+        req.add_header(
+            "Accept", "application/vnd.schemaregistry.v1+json"
+        )
+        if payload is not None:
+            req.add_header(
+                "Content-Type", "application/vnd.schemaregistry.v1+json"
+            )
+        if self.auth:
+            tok = base64.b64encode(
+                f"{self.auth[0]}:{self.auth[1]}".encode()
+            ).decode()
+            req.add_header("Authorization", f"Basic {tok}")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                return json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            detail = e.read().decode(errors="replace")[:500]
+            raise ValueError(
+                f"schema registry {path}: HTTP {e.code} {detail}"
+            ) from e
+
+    def get_schema(self, schema_id: int) -> dict:
+        """id → ``{"schema": str, "schemaType": "AVRO"|"JSON"|...}``
+        (absent schemaType = AVRO, per the API)."""
+        hit = self._cache.get(schema_id)
+        if hit is not None:
+            self._cache.move_to_end(schema_id)
+            return hit
+        out = self._request(f"/schemas/ids/{schema_id}")
+        out.setdefault("schemaType", "AVRO")
+        self._cache[schema_id] = out
+        while len(self._cache) > self.cache_size:
+            self._cache.popitem(last=False)
+        return out
+
+    def register_schema(
+        self, subject: str, schema: str, schema_type: str = "AVRO"
+    ) -> int:
+        """POST the schema under ``subject`` → its global id (the
+        producer-side half; idempotent server-side for equal schemas)."""
+        payload = {"schema": schema}
+        if schema_type != "AVRO":
+            payload["schemaType"] = schema_type
+        return int(
+            self._request(f"/subjects/{subject}/versions", payload)["id"]
+        )
+
+    def latest(self, subject: str) -> dict:
+        return self._request(f"/subjects/{subject}/versions/latest")
+
+
+def decode_confluent(value: bytes, client: SchemaRegistryClient):
+    """Framed payload → ``(schema_id, decoded)``: resolve the id, then
+    decode by schemaType — AVRO via :class:`AvroCodec`, JSON via
+    ``json.loads``; PROTOBUF needs the descriptor toolchain and is
+    routed to the protobuf parser instead (loud here)."""
+    schema_id, body = split_confluent_frame(value)
+    meta = client.get_schema(schema_id)
+    stype = meta.get("schemaType", "AVRO")
+    if stype == "AVRO":
+        codec = meta.get("_codec")
+        if codec is None:
+            codec = AvroCodec(meta["schema"])
+            meta["_codec"] = codec  # rides the client cache
+        return schema_id, codec.decode(body)
+    if stype == "JSON":
+        return schema_id, json.loads(body)
+    raise ValueError(
+        f"schema id {schema_id} is {stype}; route PROTOBUF subjects "
+        "through the protobuf parser (descriptor_file/field_spec)"
+    )
+
+
+__all__ = [
+    "AvroCodec",
+    "SchemaRegistryClient",
+    "split_confluent_frame",
+    "encode_confluent_frame",
+    "decode_confluent",
+]
