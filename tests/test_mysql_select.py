@@ -848,3 +848,56 @@ def test_fence_refuses_more_shards_than_task_slots(spark):
     [tid] = src.table_list(spark)
     with pytest.raises(ValueError, match="task slots"):
         src.load_table(spark, tid)
+
+
+def test_idle_slot_probe_and_busy_cluster_fallback(spark, monkeypatch):
+    """r10 verdict wrong #1: the gang guard must measure IDLE slots,
+    not configured parallelism — a busy shared cluster (faked via the
+    status tracker) triggers the per-table fallback WITHOUT taking any
+    lock, and the per-table sharded guard refuses too."""
+    import transferia_spark.sources.mysql_select as mod
+    from transferia_spark.sources import build_source
+
+    # the live probe on an idle local cluster reports full capacity
+    total = int(spark.sparkContext.defaultParallelism)
+    assert mod.idle_task_slots(spark) == total
+
+    class BusyInfo:
+        numActiveTasks = total - 1
+
+    class BusyTracker:
+        def getActiveStageIds(self):
+            return [1]
+
+        def getStageInfo(self, sid):
+            return BusyInfo()
+
+    class SC:
+        defaultParallelism = total
+
+        def statusTracker(self):
+            return BusyTracker()
+
+    class FakeSpark:
+        sparkContext = SC()
+
+    assert mod.idle_task_slots(FakeSpark()) == 1
+
+    # gang of 4 > 1 idle slot → loud fallback, no socket ever dialed
+    monkeypatch.setattr(
+        mod, "idle_task_slots", lambda s: 1
+    )
+    src = build_source(
+        "mysqlselect",
+        live={"host": "no-such-host-ever", "user": "u",
+              "database": "d", "consistent": True},
+        tables={
+            "d.a": {"schema": "id long", "pk": ["id"], "n_shards": 2},
+            "d.b": {"schema": "id long", "pk": ["id"], "n_shards": 2},
+        },
+    )
+    with pytest.warns(UserWarning, match="IDLE task slots"):
+        with pytest.raises(ValueError, match="IDLE task slots"):
+            # the per-table fallback's own sharded guard then refuses
+            # (2 shards > 1 slot) BEFORE dialing the (nonexistent) host
+            src.load_tables_consistent(spark)
