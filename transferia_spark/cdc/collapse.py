@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from transferia_spark.cdc.exprcache import cached_exprs
+
 from transferia_spark.cdc.changeitem import (
     BEFORE_COL,
     COUNTER_COL,
@@ -47,34 +49,61 @@ def normalize_pk_changes(df: DataFrame, keys: list[str]) -> DataFrame:
     The delete keeps the same (lsn, counter); the insert gets counter+0.5
     ordering via a sub-counter so it sorts after the delete — we encode
     this by doubling counters: delete=2n, insert=2n+1 (others 2n).
+
+    ONE pass over the batch: each row maps to an array of 1-2 row
+    structs, exploded. The previous 3-way union (stable ∪ deletes ∪
+    inserts) referenced the batch THREE times in the plan — on a
+    Python-datasource-backed micro-batch each reference re-executes the
+    whole source decode (profiled at 3× numInputRows per merge, r11
+    fixed-cost hunt), and no cache can help inside one job because the
+    union branches schedule concurrently.
     """
     if BEFORE_COL not in df.columns:
         return df.withColumn(COUNTER_COL, F.col(COUNTER_COL) * 2)
-    changed = keys_changed(df, keys)
-    stable = df.filter(~changed).withColumn(COUNTER_COL, F.col(COUNTER_COL) * 2)
-    moved = df.filter(changed)
-    payload = payload_columns(df)
-    deletes = moved.select(
-        *[
-            F.col(f"{BEFORE_COL}.{c}").alias(c)
-            if c in keys
-            else F.lit(None).cast(dict(zip(df.columns, df.schema))[c].dataType).alias(c)
-            for c in payload
-        ],
-        F.lit(OP_DELETE).alias(OP_COL),
-        F.col(LSN_COL),
-        (F.col(COUNTER_COL) * 2).alias(COUNTER_COL),
-        *( [F.col(c)] if (c := "_commit_ts") in df.columns else [] ),
+
+    def build():
+        changed = keys_changed(df, keys)
+        keep = [c for c in df.columns if c != BEFORE_COL]
+        types = {f.name: f.dataType for f in df.schema.fields}
+
+        def stable_f(c):
+            if c == COUNTER_COL:
+                return (F.col(COUNTER_COL) * 2).alias(c)
+            return F.col(c).alias(c)
+
+        def delete_f(c):
+            # exactly the old deletes-branch shape: keys from the
+            # pre-image, payload NULL, op='d', same lsn, counter 2n,
+            # _commit_ts carried; everything else (markers, routing)
+            # rode in as NULL via allowMissingColumns
+            if c in keys:
+                return F.col(f"{BEFORE_COL}.{c}").cast(types[c]).alias(c)
+            if c == OP_COL:
+                return F.lit(OP_DELETE).alias(c)
+            if c == COUNTER_COL:
+                return (F.col(COUNTER_COL) * 2).alias(c)
+            if c == LSN_COL or c == "_commit_ts":
+                return F.col(c).alias(c)
+            return F.lit(None).cast(types[c]).alias(c)
+
+        def insert_f(c):
+            if c == OP_COL:
+                return F.lit(OP_INSERT).alias(c)
+            if c == COUNTER_COL:
+                return (F.col(COUNTER_COL) * 2 + 1).alias(c)
+            return F.col(c).alias(c)
+
+        stable_s = F.struct(*[stable_f(c) for c in keep])
+        delete_s = F.struct(*[delete_f(c) for c in keep])
+        insert_s = F.struct(*[insert_f(c) for c in keep])
+        return F.when(changed, F.array(delete_s, insert_s)).otherwise(
+            F.array(stable_s)
+        )
+
+    rows = cached_exprs(
+        ("pkchg", df.schema.json(), tuple(keys)), build
     )
-    inserts = moved.withColumn(OP_COL, F.lit(OP_INSERT)).withColumn(
-        COUNTER_COL, F.col(COUNTER_COL) * 2 + 1
-    )
-    keep = [c for c in df.columns if c != BEFORE_COL]
-    return (
-        stable.select(*keep)
-        .unionByName(deletes.select(*[c for c in keep if c in deletes.columns]), allowMissingColumns=True)
-        .unionByName(inserts.select(*keep), allowMissingColumns=True)
-    )
+    return df.select(F.explode(rows).alias("_r")).select("_r.*")
 
 
 def collapse(
@@ -107,66 +136,87 @@ def collapse(
     """
     if toast_aware is None:
         toast_aware = has_partial_rows(df)
+    # cache key from the INPUT schema: the normalized frame's schema is
+    # a pure function of it, and asking the normalized frame would
+    # force a fresh analysis round trip on every batch (cache misses
+    # the point if computing the key costs what the build did)
+    in_schema = df.schema.json()
     df = normalize_pk_changes(df, keys)
-    payload = [c for c in payload_columns(df) if c not in keys]
-    seq = F.struct(F.col(LSN_COL), F.col(COUNTER_COL))
-    marked = has_partial_rows(df)
 
-    aggs = [
-        F.max_by(F.col(OP_COL), seq).alias("_last_op"),
-        F.min_by(F.col(OP_COL), seq).alias("_first_op"),
-        F.max(F.col(LSN_COL)).alias(LSN_COL),
-        F.max(F.col(COUNTER_COL)).alias(COUNTER_COL),
-    ]
-    presence: dict[str, F.Column] = {}
-    for c in payload:
-        if toast_aware and marked:
-            # fold only over events that actually carry the column;
-            # a full row's NULL is carried and therefore wins by seq.
-            carried = column_present(df, c)
-        elif toast_aware:
-            # legacy escape hatch: no marker on the frame, caller still
-            # asked for toast folding → blanket last-non-null.
-            carried = F.col(c).isNotNull()
-        else:
-            carried = F.lit(True)
-        aggs.append(F.max_by(F.col(c), F.when(carried, seq)).alias(c))
-        if with_presence:
-            aggs.append(F.max(F.when(carried, F.lit(True))).alias(f"_has_{c}"))
+    def build():
+        payload = [c for c in payload_columns(df) if c not in keys]
+        seq = F.struct(F.col(LSN_COL), F.col(COUNTER_COL))
+        marked = has_partial_rows(df)
 
-    out = df.groupBy(*keys).agg(*aggs)
-    # A key inserted AND deleted within the batch nets to a DELETE, not to
-    # nothing: eliding it is only sound when the key is also absent from the
-    # MERGE target, which a batch cannot know (at-least-once replay and
-    # micro-batch re-splitting both place a prior insert for the same key in
-    # an earlier batch). Emitting an idempotent delete keeps one-shot results
-    # identical (delete of an absent key is a no-op in merge_batch) and makes
-    # split application batch-size independent (r3 verdict "What's wrong" §1;
-    # falsifying log [i(2) | i(2), d(2)] pinned in test_cdc_property.py).
-    final_op = (
-        F.when(F.col("_last_op") == OP_DELETE, OP_DELETE)
-        .when(F.col("_first_op") == OP_INSERT, OP_INSERT)
-        .otherwise(OP_UPDATE)
-    )
-    null_if_deleted = [
-        F.when(F.col("_last_op") == OP_DELETE, F.lit(None)).otherwise(F.col(c)).alias(c)
-        for c in payload
-    ]
-    extra = []
-    if with_presence:
-        extra.append(
-            F.struct(
-                *[
-                    F.coalesce(F.col(f"_has_{c}"), F.lit(False)).alias(c)
-                    for c in payload
-                ]
-            ).alias(PRESENT_NET_COL)
+        aggs = [
+            F.max_by(F.col(OP_COL), seq).alias("_last_op"),
+            F.min_by(F.col(OP_COL), seq).alias("_first_op"),
+            F.max(F.col(LSN_COL)).alias(LSN_COL),
+            F.max(F.col(COUNTER_COL)).alias(COUNTER_COL),
+        ]
+        for c in payload:
+            if toast_aware and marked:
+                # fold only over events that actually carry the column;
+                # a full row's NULL is carried and so wins by seq.
+                carried = column_present(df, c)
+            elif toast_aware:
+                # legacy escape hatch: no marker on the frame, caller
+                # still asked for toast folding → blanket last-non-null.
+                carried = F.col(c).isNotNull()
+            else:
+                carried = F.lit(True)
+            aggs.append(F.max_by(F.col(c), F.when(carried, seq)).alias(c))
+            if with_presence:
+                aggs.append(
+                    F.max(F.when(carried, F.lit(True))).alias(f"_has_{c}")
+                )
+
+        # A key inserted AND deleted within the batch nets to a DELETE,
+        # not to nothing: eliding it is only sound when the key is also
+        # absent from the MERGE target, which a batch cannot know
+        # (at-least-once replay and micro-batch re-splitting both place
+        # a prior insert for the same key in an earlier batch). An
+        # idempotent delete keeps one-shot results identical (delete of
+        # an absent key is a no-op in merge_batch) and makes split
+        # application batch-size independent (r3 verdict "What's wrong"
+        # §1; falsifying log [i(2) | i(2), d(2)] pinned in
+        # test_cdc_property.py).
+        final_op = (
+            F.when(F.col("_last_op") == OP_DELETE, OP_DELETE)
+            .when(F.col("_first_op") == OP_INSERT, OP_INSERT)
+            .otherwise(OP_UPDATE)
         )
-    return out.select(
-        *keys,
-        *null_if_deleted,
-        final_op.alias(OP_COL),
-        F.col(LSN_COL),
-        F.col(COUNTER_COL),
-        *extra,
+        null_if_deleted = [
+            F.when(F.col("_last_op") == OP_DELETE, F.lit(None))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload
+        ]
+        extra = []
+        if with_presence:
+            extra.append(
+                F.struct(
+                    *[
+                        F.coalesce(F.col(f"_has_{c}"), F.lit(False)).alias(c)
+                        for c in payload
+                    ]
+                ).alias(PRESENT_NET_COL)
+            )
+        select_cols = [
+            *[F.col(k) for k in keys],
+            *null_if_deleted,
+            final_op.alias(OP_COL),
+            F.col(LSN_COL),
+            F.col(COUNTER_COL),
+            *extra,
+        ]
+        return tuple(aggs), tuple(select_cols)
+
+    aggs, select_cols = cached_exprs(
+        (
+            "collapse", in_schema, tuple(keys),
+            bool(toast_aware), bool(with_presence),
+        ),
+        build,
     )
+    return df.groupBy(*keys).agg(*aggs).select(*select_cols)

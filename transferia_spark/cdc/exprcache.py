@@ -1,0 +1,38 @@
+"""Memoized Column-tree construction for the per-batch CDC hot path.
+
+pyspark Column objects are immutable, unresolved expression trees —
+they bind to a DataFrame only at analysis, so the SAME Column list is
+reusable across every micro-batch that shares a schema. Building them
+is NOT free though: each ``F.col``/``F.when``/``F.struct`` is a py4j
+round trip, and the collapse+merge plan for one batch costs ~0.4 s of
+pure driver-side expression construction (profiled r11 — 25% of
+steady-state addBatch). The shapes depend only on (schema, keys,
+flags), so they memoize perfectly.
+
+Entries key on the active SparkContext's identity: a stopped/replaced
+context invalidates its gateway objects, so stale entries must never
+be served across sessions (tests create several)."""
+
+from __future__ import annotations
+
+_CACHE: dict = {}
+_MAX = 512
+
+
+def cached_exprs(key: tuple, build):
+    """Return ``build()``, memoized per (SparkContext, key)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return build()  # no session — don't cache unbindable objects
+    full = (id(sc), key)
+    hit = _CACHE.get(full)
+    if hit is None:
+        if len(_CACHE) >= _MAX:
+            _CACHE.clear()
+        hit = _CACHE[full] = build()
+    return hit
+
+
+__all__ = ["cached_exprs"]

@@ -29,6 +29,7 @@ from transferia_spark.cdc.changeitem import (
     has_partial_rows,
 )
 from transferia_spark.cdc.collapse import PRESENT_NET_COL, collapse
+from transferia_spark.cdc.exprcache import cached_exprs
 
 
 def merge_batch(
@@ -53,48 +54,65 @@ def merge_batch(
     net = collapse(
         batch, keys, toast_aware=toast_aware, with_presence=toast_aware and marked
     )
-    cols = list(target.columns)
-    has = set(net.columns)  # batch may carry only a column subset
-    presence = PRESENT_NET_COL in net.columns
+    def build():
+        cols = list(target.columns)
+        has = set(net.columns)  # batch may carry only a column subset
+        presence = PRESENT_NET_COL in net.columns
+
+        cond = None
+        for k in keys:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}"))
+            cond = c if cond is None else cond & c
+        matched = F.col(f"u.{OP_COL}").isNotNull()
+        deleted = matched & (F.col(f"u.{OP_COL}") == OP_DELETE)
+
+        def _merged(c: str):
+            if c in keys:
+                return F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+            if c not in has:
+                return F.col(f"t.{c}").alias(c)
+            if presence:
+                # carried columns (incl. genuine NULLs) win; absent
+                # keep old
+                return (
+                    F.when(
+                        matched & F.col(f"u.{PRESENT_NET_COL}.{c}"),
+                        F.col(f"u.{c}"),
+                    )
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                )
+            if toast_aware:
+                # legacy no-marker fold: non-null wins, NULL keeps old
+                return (
+                    F.when(
+                        matched, F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}"))
+                    )
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                )
+            return (
+                F.when(matched, F.col(f"u.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+
+        return cond, deleted, tuple(_merged(c) for c in cols)
+
+    # expression trees memoized across micro-batches (see exprcache)
+    cond, deleted, merged = cached_exprs((
+        # keyed on the BATCH schema: net's schema is a pure function of
+        # it and asking net would force a per-batch analysis round trip
+        "mb", target.schema.json(), batch.schema.json(),
+        tuple(keys), bool(toast_aware), marked,
+    ), build)
 
     # Single full-outer join — the changelog is scanned & aggregated once
     # (a 3-way union of inner/anti/anti joins recomputes the aggregation
     # per branch and tripled wall-clock at sf0.1). The small side
     # broadcasts under AQE; at 100 TB both sides shuffle on the key once.
-    t = target.alias("t")
-    u = net.alias("u")
-    cond = None
-    for k in keys:
-        c = F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}"))
-        cond = c if cond is None else cond & c
-    joined = t.join(u, cond, "full_outer")
-    matched = F.col(f"u.{OP_COL}").isNotNull()
-    deleted = matched & (F.col(f"u.{OP_COL}") == OP_DELETE)
-
-    def _merged(c: str):
-        if c in keys:
-            return F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
-        if c not in has:
-            return F.col(f"t.{c}").alias(c)
-        if presence:
-            # carried columns (incl. genuine NULLs) win; absent keep old
-            return (
-                F.when(
-                    matched & F.col(f"u.{PRESENT_NET_COL}.{c}"), F.col(f"u.{c}")
-                )
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-            )
-        if toast_aware:
-            # legacy no-marker fold: non-null wins, NULL keeps old
-            return (
-                F.when(matched, F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-            )
-        return F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-
-    return joined.filter(~deleted).select(*[_merged(c) for c in cols])
+    joined = target.alias("t").join(net.alias("u"), cond, "full_outer")
+    return joined.filter(~deleted).select(*merged)
 
 
 def merge_batch_clustered(
@@ -107,108 +125,166 @@ def merge_batch_clustered(
     toast_aware: bool | None = None,
 ) -> DataFrame:
     """:func:`merge_batch` re-expressed as a ONE-EXCHANGE plan for
-    bucket-clustered writers (r10, the CDC fixed-cost squeeze).
+    bucket-clustered writers (r10; r11 fuses the collapse in too).
 
-    The join formulation shuffles the target twice per merge: once on
-    the key for the full-outer join, then again on the bucket for the
-    one-file-per-bucket write. But the bucket IS a function of the key,
-    so both frames union first, take ONE ``repartition(n_out,
-    cluster)`` exchange, and the per-key pairing happens in a
-    ``groupBy(cluster, *keys)`` hash aggregate that Catalyst proves
-    needs no further exchange (HashPartitioning(cluster) ⊆ the required
-    clustering — verified in the plan test). Output stays partitioned
-    by the cluster column: the caller writes sorted bucket files with
-    no additional shuffle. groupBy's NULL-keys-group-together matches
-    the join's eqNullSafe semantics; per-column TOAST/presence rules
-    are identical to :func:`merge_batch`'s ``_merged``.
-
-    ``cluster_expr(df) -> Column`` computes the cluster id from the key
-    columns; target rows are unique per key (table invariant), so
-    ``first(ignorenulls)`` pairs the ≤1 target row with the ≤1
-    collapsed net row exactly like the join did.
+    The join formulation shuffles the batch twice per merge: once on
+    the key for collapse's groupBy, then again (with the target) for
+    the pairing/write. But collapse and pairing group by the SAME key,
+    and the bucket is a function of the key — so the raw (pk-change-
+    normalized) batch unions with the target directly, takes ONE
+    ``repartition(n_out, cluster)`` exchange, and a single
+    ``groupBy(cluster, *keys)`` hash aggregate does BOTH the collapse
+    fold (max_by over the events' (_lsn, _counter), exactly
+    :func:`transferia_spark.cdc.collapse.collapse`'s aggregates — the
+    batch-row indicator rides on ``_op IS NOT NULL``, and ``max_by``
+    ignores NULL orderings, so target rows never win a fold) and the
+    target pairing (``first(_t, ignorenulls)``; target rows are unique
+    per key). Catalyst proves the aggregate needs no further exchange
+    (HashPartitioning(cluster) ⊆ the required clustering — plan test),
+    and the output stays partitioned by the cluster column for the
+    sorted bucket write. groupBy's NULL-keys-group-together matches the
+    join's eqNullSafe; per-column TOAST/presence rules are identical to
+    :func:`merge_batch`'s ``_merged`` (Hypothesis equivalence test).
+    The whole expression set is memoized across micro-batches
+    (exprcache; ~0.4 s of py4j calls per merge otherwise, r11 profile).
     """
     from pyspark.sql import types as T
+
+    from transferia_spark.cdc.changeitem import (
+        OP_INSERT,
+        OP_UPDATE,
+        column_present,
+        payload_columns,
+    )
+    from transferia_spark.cdc.collapse import normalize_pk_changes
 
     if toast_aware is None:
         toast_aware = has_partial_rows(batch)
     marked = has_partial_rows(batch)
-    net = collapse(
-        batch, keys, toast_aware=toast_aware,
-        with_presence=toast_aware and marked,
-    )
-    cols = list(target.columns)
-    has = set(net.columns)
-    presence = PRESENT_NET_COL in net.columns
+    target_sj = target.schema.json()
+    batch_sj = batch.schema.json()
+    # delete(old key)+insert(new key) rewriting is a narrow map
+    # (explode) — no shuffle
+    nb = normalize_pk_changes(batch, keys)
 
-    t_payload = [c for c in cols if c not in keys]
-    u_payload = [c for c in net.columns if c not in keys]
-    t_struct = T.StructType(
-        [f for f in target.schema.fields if f.name in t_payload]
-    )
-    u_struct = T.StructType(
-        [f for f in net.schema.fields if f.name in u_payload]
-    )
+    def build():
+        cols = list(target.columns)
+        nb_types = {f.name: f.dataType for f in nb.schema.fields}
+        flats = [c for c in nb.columns if c not in keys]
+        t_payload = [c for c in cols if c not in keys]
+        t_struct = T.StructType(
+            [f for f in target.schema.fields if f.name in t_payload]
+        )
+        t_sel = (
+            *[F.col(k) for k in keys],
+            (F.struct(*[F.col(c) for c in t_payload]) if t_payload
+             else F.struct(F.lit(0).alias("_z"))).alias("_t"),
+            *[F.lit(None).cast(nb_types[c]).alias(c) for c in flats],
+        )
+        u_sel = (
+            *[F.col(k) for k in keys],
+            F.lit(None).cast(
+                t_struct if t_struct.fields else
+                T.StructType([T.StructField("_z", T.IntegerType())])
+            ).alias("_t"),
+            *[F.col(c) for c in flats],
+        )
 
-    t_tag = target.select(
-        *[F.col(k) for k in keys],
-        (F.struct(*[F.col(c) for c in t_payload]) if t_payload
-         else F.struct(F.lit(0).alias("_z"))).alias("_t"),
-        F.lit(None).cast(
-            u_struct if u_struct.fields else
-            T.StructType([T.StructField("_z", T.IntegerType())])
-        ).alias("_u"),
-    )
-    u_tag = net.select(
-        *[F.col(k) for k in keys],
-        F.lit(None).cast(
-            t_struct if t_struct.fields else
-            T.StructType([T.StructField("_z", T.IntegerType())])
-        ).alias("_t"),
-        (F.struct(*[F.col(c) for c in u_payload]) if u_payload
-         else F.struct(F.lit(0).alias("_z"))).alias("_u"),
-    )
-    un = t_tag.unionByName(u_tag)
+        is_b = F.col(OP_COL).isNotNull()  # batch-row indicator
+        seq = F.when(is_b, F.struct(F.col(LSN_COL), F.col(COUNTER_COL)))
+        payload = [c for c in payload_columns(nb) if c not in keys]
+        pay_set = set(payload)
+        presence = toast_aware and marked
+        aggs = [
+            F.first("_t", ignorenulls=True).alias("_t"),
+            F.max_by(F.col(OP_COL), seq).alias("_last_op"),
+        ]
+        if OP_COL in cols:
+            aggs.append(F.min_by(F.col(OP_COL), seq).alias("_first_op"))
+        for c in cols:
+            if c in (LSN_COL, COUNTER_COL) and c not in keys:
+                # a target carrying CDC meta folds them like collapse:
+                # max over the batch's events
+                aggs.append(
+                    F.max(F.when(is_b, F.col(c))).alias(f"_n_{c}")
+                )
+        for c in payload:
+            # carried-ness per column — collapse()'s exact rules,
+            # evaluated pre-aggregation on the union frame (target
+            # rows excluded via the is_b gate / NULL seq)
+            if toast_aware and marked:
+                carried = is_b & column_present(nb, c)
+            elif toast_aware:
+                carried = is_b & F.col(c).isNotNull()
+            else:
+                carried = is_b
+            aggs.append(
+                F.max_by(F.col(c), F.when(carried, seq)).alias(f"_n_{c}")
+            )
+            if presence:
+                aggs.append(
+                    F.max(F.when(carried, F.lit(True))).alias(f"_has_{c}")
+                )
+
+        matched = F.col("_last_op").isNotNull()
+        deleted = matched & (F.col("_last_op") == OP_DELETE)
+
+        def _merged(c: str):
+            if c == OP_COL:
+                final_op = (
+                    F.when(F.col("_last_op") == OP_DELETE, OP_DELETE)
+                    .when(F.col("_first_op") == OP_INSERT, OP_INSERT)
+                    .otherwise(OP_UPDATE)
+                )
+                return (
+                    F.when(matched, final_op)
+                    .otherwise(F.col(f"_t.{c}"))
+                    .alias(c)
+                )
+            if c in (LSN_COL, COUNTER_COL):
+                return (
+                    F.when(matched, F.col(f"_n_{c}"))
+                    .otherwise(F.col(f"_t.{c}"))
+                    .alias(c)
+                )
+            if c not in pay_set:
+                return F.col(f"_t.{c}").alias(c)
+            v = F.col(f"_n_{c}")
+            if presence:
+                return (
+                    F.when(
+                        matched
+                        & F.coalesce(F.col(f"_has_{c}"), F.lit(False)),
+                        v,
+                    )
+                    .otherwise(F.col(f"_t.{c}"))
+                    .alias(c)
+                )
+            if toast_aware:
+                return (
+                    F.when(matched, F.coalesce(v, F.col(f"_t.{c}")))
+                    .otherwise(F.col(f"_t.{c}"))
+                    .alias(c)
+                )
+            return F.when(matched, v).otherwise(F.col(f"_t.{c}")).alias(c)
+
+        final = (
+            F.col(cluster_col),
+            *[F.col(c) if c in keys else _merged(c) for c in cols],
+        )
+        return t_sel, u_sel, tuple(aggs), deleted, final
+
+    t_sel, u_sel, aggs, deleted, final = cached_exprs((
+        "mbc", target_sj, batch_sj,
+        tuple(keys), cluster_col, bool(toast_aware), marked,
+    ), build)
+
+    un = target.select(*t_sel).unionByName(nb.select(*u_sel))
     un = un.withColumn(cluster_col, cluster_expr(un)).repartition(
         max(1, n_out), F.col(cluster_col)
     )
-    agg = un.groupBy(cluster_col, *keys).agg(
-        F.first("_t", ignorenulls=True).alias("_t"),
-        F.first("_u", ignorenulls=True).alias("_u"),
-    )
-    matched = F.col("_u").isNotNull()
-    deleted = matched & (F.col(f"_u.{OP_COL}") == OP_DELETE)
-
-    def _merged(c: str):
-        if c not in has:
-            return F.col(f"_t.{c}").alias(c)
-        if presence:
-            return (
-                F.when(
-                    matched & F.col(f"_u.{PRESENT_NET_COL}.{c}"),
-                    F.col(f"_u.{c}"),
-                )
-                .otherwise(F.col(f"_t.{c}"))
-                .alias(c)
-            )
-        if toast_aware:
-            return (
-                F.when(
-                    matched,
-                    F.coalesce(F.col(f"_u.{c}"), F.col(f"_t.{c}")),
-                )
-                .otherwise(F.col(f"_t.{c}"))
-                .alias(c)
-            )
-        return (
-            F.when(matched, F.col(f"_u.{c}"))
-            .otherwise(F.col(f"_t.{c}"))
-            .alias(c)
-        )
-
-    return agg.filter(~deleted).select(
-        F.col(cluster_col),
-        *[F.col(c) if c in keys else _merged(c) for c in cols],
-    )
+    agg = un.groupBy(cluster_col, *keys).agg(*aggs)
+    return agg.filter(~deleted).select(*final)
 
 
 def apply_changelog(

@@ -653,6 +653,11 @@ class BucketedParquetTable:
                 raise FileNotFoundError(
                     f"no data for buckets {wanted} in {self.root}"
                 )
+        elif schema is not None:
+            # explicit schema: the footer schema-inference job cost one
+            # Spark job on EVERY micro-batch merge (profiled r11); the
+            # stored schema is authoritative — commits _save_meta it
+            base = self.spark.read.schema(schema).parquet(*paths)
         else:
             base = self.spark.read.parquet(*paths)
         ddf = self._read_deltas(pairs, doc)
