@@ -1316,6 +1316,72 @@ def q_clickhouse_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "kind string, name string, val string")
 
 
+def q_kafka_sasl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: the Kafka wire plane's security + compression codecs
+    (sinks/kafka_wire.py SASL frames + gzip record batches,
+    streaming/kafka_source.py KafkaSecurity ≈
+    ``pkg/providers/kafka/model_connection.go:8-25``) — exact
+    SaslHandshake v1 / SaslAuthenticate v0 bytes, the RFC 4616 PLAIN
+    token, the full deterministic SCRAM-SHA-256/512 exchange strings
+    (fixed nonce; any regression in the RFC 5802 math breaks the
+    hash), and a byte-deterministic gzip RecordBatch v2 (mtime=0)
+    decoded back out. Hash-compared against hardcoded oracle rows;
+    the live handshake/broker behavior is pinned by the loopback e2es
+    in tests/test_kafka_sasl.py."""
+    import base64
+
+    from transferia_spark.sinks.kafka_wire import (
+        decode_record_set,
+        encode_record_batch,
+        encode_sasl_authenticate_request,
+        encode_sasl_handshake_request,
+        plain_sasl_token,
+    )
+    from transferia_spark.streaming.pg_replication import ScramClient
+
+    server_first = b"r=fixednonceSRV,s=cGVwcGVyNDI=,i=4096"
+    rows = [
+        ("frame", "handshake",
+         encode_sasl_handshake_request(
+             "SCRAM-SHA-256", correlation_id=5, client_id="t"
+         ).hex()),
+        ("frame", "authenticate",
+         encode_sasl_authenticate_request(
+             b"tok", correlation_id=6, client_id="t"
+         ).hex()),
+        ("frame", "plain_token", plain_sasl_token("u", "p").hex()),
+    ]
+    for algo in ("sha256", "sha512"):
+        c = ScramClient(
+            "svc", "pw", nonce="fixednonce", scram_username="svc",
+            algo=algo,
+        )
+        rows.append(
+            (f"scram_{algo}", "client_first", c.client_first().decode())
+        )
+        rows.append(
+            (f"scram_{algo}", "client_final",
+             c.client_final(server_first).decode())
+        )
+        rows.append(
+            (f"scram_{algo}", "server_sig",
+             base64.b64encode(c.server_signature).decode())
+        )
+    gz = encode_record_batch(
+        [(b"k1", b"v1"), (None, b"v2")],
+        base_offset=5, base_timestamp=1_700_000_000_000,
+        compression="gzip",
+    )
+    rows.append(("gzip", "batch_frame", gz.hex()))
+    for r in decode_record_set(gz):
+        rows.append((
+            "gzip_rec", str(r["offset"]),
+            f"{(r['key'] or b'').decode()}={r['value'].decode()}"
+            f"@{r['timestamp']}",
+        ))
+    return spark.createDataFrame(rows, "kind string, name string, val string")
+
+
 def q_schema_registry_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11: Confluent Schema Registry resolution + pure-Python Avro
     binary decode (parsers/schema_registry.py ≈
@@ -4406,6 +4472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_read_plan": q_clickhouse_read_plan,
         "clickhouse_topology": q_clickhouse_topology,
         "schema_registry_avro": q_schema_registry_avro,
+        "kafka_sasl_plan": q_kafka_sasl_plan,
         "shard_fallback_plans": q_shard_fallback_plans,
         "delta_scan": q_delta_scan,
         "dedup_incremental": q_dedup_incremental,
@@ -4989,6 +5056,29 @@ SELECT 'http://ch-' || CAST(r_regionkey AS VARCHAR) || ':8123' AS url,
 FROM region,
      (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2
       UNION ALL SELECT 3) p
+""",
+        "kafka_sasl_plan": """
+SELECT * FROM (VALUES
+  ('frame', 'handshake',
+   '0000001a0011000100000005000174000d534352414d2d5348412d323536'),
+  ('frame', 'authenticate',
+   '00000012002400000000000600017400000003746f6b'),
+  ('frame', 'plain_token', '00750070'),
+  ('scram_sha256', 'client_first', 'n,,n=svc,r=fixednonce'),
+  ('scram_sha256', 'client_final',
+   'c=biws,r=fixednonceSRV,p=byAWa5T6uOC/hbtCL85BZfDMgK/uKIt3zVqXjIJbVdg='),
+  ('scram_sha256', 'server_sig',
+   'il+4UoTbYXrmpjBaXF4jxhWvhx/YSNE/NLWdd0hmpbE='),
+  ('scram_sha512', 'client_first', 'n,,n=svc,r=fixednonce'),
+  ('scram_sha512', 'client_final',
+   'c=biws,r=fixednonceSRV,p=C/FdsMGsyookoEf3PQTEgf5Eaggg7wnN22O8SJz7fKSDz9YxvksvpsRJJ3iZw69KgZkVLcgdoxP1XV/44eBRlQ=='),
+  ('scram_sha512', 'server_sig',
+   '2CL9EADuqLLlwis4yc4Sh2nczHhgCzfnulOa8kN09iI6jJcDCY+BwpDhfP9wwdQorzV56/VsTUnGPHpubh7apQ=='),
+  ('gzip', 'batch_frame',
+   '000000000000000500000059ffffffff0233116f440001000000010000018bcfe568000000018bcfe56800ffffffffffffffffffffffffffff000000021f8b08000000000002031361606060c936642933641060606062642933620000f916f0d314000000'),
+  ('gzip_rec', '5', 'k1=v1@1700000000000'),
+  ('gzip_rec', '6', '=v2@1700000000000')
+) AS t(kind, name, val)
 """,
         "schema_registry_avro": """
 SELECT CAST(100 + n_nationkey % 3 AS INTEGER) AS sid,
