@@ -1316,6 +1316,68 @@ def q_clickhouse_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "kind string, name string, val string")
 
 
+def q_mongo_bson_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: the pure-Python BSON codec behind the live Mongo wire
+    plane (streaming/mongo_wire.py ≈ pkg/providers/mongo through the
+    official driver) — nation rows encode into real BSON documents
+    (nested doc, array, int32/int64/double/bool/null) on the driver
+    and EXECUTOR tasks decode them back; the oracle recomputes every
+    projected value relationally. The OP_MSG/OP_QUERY framing, SCRAM
+    auth and find/getMore cursor plane are pinned by the loopback
+    mongod e2e in tests/test_mongo_wire.py."""
+    from transferia_spark.streaming.mongo_wire import encode_document
+
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    frames = [
+        (
+            encode_document({
+                "_id": int(r.n_nationkey),
+                "name": r.n_name,
+                "bal": float(r.n_nationkey) * 1.5,
+                "big": int(r.n_nationkey) + 2**40,
+                "tags": [str(r.n_nationkey), "x"],
+                "meta": {
+                    "even": int(r.n_nationkey) % 2 == 0,
+                    "region": int(r.n_regionkey),
+                    "nil": None,
+                },
+            }),
+        )
+        for r in nat
+    ]
+    df = spark.createDataFrame(frames, "doc binary")
+
+    def run(batches):
+        import pandas as pd
+
+        from transferia_spark.streaming.mongo_wire import (
+            decode_document,
+        )
+
+        for pdf in batches:
+            rows = [decode_document(bytes(b))[0] for b in pdf["doc"]]
+            yield pd.DataFrame({
+                "k": [d["_id"] for d in rows],
+                "name": [d["name"] for d in rows],
+                "bal": [d["bal"] for d in rows],
+                "big": [d["big"] for d in rows],
+                "tags": [",".join(d["tags"]) for d in rows],
+                "even": [d["meta"]["even"] for d in rows],
+                "region": [d["meta"]["region"] for d in rows],
+                "nil_is_null": [d["meta"]["nil"] is None for d in rows],
+            })
+
+    return df.mapInPandas(
+        run,
+        "k long, name string, bal double, big long, tags string, "
+        "even boolean, region long, nil_is_null boolean",
+    )
+
+
 def q_kafka_sasl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11: the Kafka wire plane's security + compression codecs
     (sinks/kafka_wire.py SASL frames + gzip record batches,
@@ -4473,6 +4535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_topology": q_clickhouse_topology,
         "schema_registry_avro": q_schema_registry_avro,
         "kafka_sasl_plan": q_kafka_sasl_plan,
+        "mongo_bson_codec": q_mongo_bson_codec,
         "shard_fallback_plans": q_shard_fallback_plans,
         "delta_scan": q_delta_scan,
         "dedup_incremental": q_dedup_incremental,
@@ -5056,6 +5119,17 @@ SELECT 'http://ch-' || CAST(r_regionkey AS VARCHAR) || ':8123' AS url,
 FROM region,
      (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2
       UNION ALL SELECT 3) p
+""",
+        "mongo_bson_codec": """
+SELECT n_nationkey AS k,
+       n_name AS name,
+       CAST(n_nationkey AS DOUBLE) * 1.5 AS bal,
+       n_nationkey + 1099511627776 AS big,
+       CAST(n_nationkey AS VARCHAR) || ',x' AS tags,
+       n_nationkey % 2 = 0 AS even,
+       n_regionkey AS region,
+       TRUE AS nil_is_null
+FROM nation
 """,
         "kafka_sasl_plan": """
 SELECT * FROM (VALUES

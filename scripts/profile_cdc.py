@@ -155,6 +155,9 @@ def main() -> None:
 
     def timed_call(self, *a, **k):
         t = time.time()
+        _ = a[0].schema  # cost of the batch frame's first analysis
+        times["bschema"] = times.get("bschema", 0.0) + time.time() - t
+        t = time.time()
         out = orig_call(self, *a, **k)
         times["sink"] = times.get("sink", 0.0) + time.time() - t
         return out
@@ -258,7 +261,8 @@ def main() -> None:
           f"manifest {times.get('manifest', 0):.2f}s  "
           f"merge-total {times.get('merge', 0):.2f}s  "
           f"sink-total {times.get('sink', 0):.2f}s  "
-          f"write-action {times.get('action', 0):.2f}s")
+          f"write-action {times.get('action', 0):.2f}s  "
+          f"batch-schema {times.get('bschema', 0):.2f}s")
     shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -1,0 +1,614 @@
+"""Pure-Python MongoDB wire plane: BSON codec + OP_MSG + SCRAM auth.
+
+≈ ``pkg/providers/mongo`` in transferia/transferia, which reads through
+the official Go driver; this is the jar-less/driver-less live path the
+repo's other storages already have (PG COPY, MySQL SELECT, ClickHouse
+HTTP, Kafka wire). Everything here is built from public specs:
+
+- **BSON** (bsonspec.org): the document codec — the full element set a
+  CDC/snapshot read meets (double/string/doc/array/binary/ObjectId/
+  bool/UTC-datetime/null/regex/int32/timestamp/int64/decimal128).
+  Decimal128 decodes as an opaque 16-byte wrapper (exact pass-through;
+  arithmetic belongs in the engine, not the codec).
+- **OP_MSG** (opcode 2013, MongoDB 3.6+): section-kind-0 command
+  bodies; the first ``hello`` rides legacy **OP_QUERY**/OP_REPLY like
+  real drivers do, so pre-auth works against any server version.
+- **SCRAM-SHA-256 / SCRAM-SHA-1** via ``saslStart``/``saslContinue``
+  commands, reusing the repo's RFC 5802/7677 :class:`ScramClient`
+  (pg_replication.py); SHA-1 uses Mongo's historical
+  ``md5(user:mongo:password)`` derived secret.
+
+The executor-side consumer is :class:`MongoWireClientFactory` — a
+picklable ``client_factory`` for :class:`~transferia_spark.sources.
+mongo.MongoSource`, presenting the pymongo shape the source already
+programs against (``client[db][coll].find/aggregate``,
+``list_collection_names``), so the existing ``_id``-range parallel
+units gain a LIVE transport with no jar and no pymongo: every Spark
+task dials the server and drains exactly one range through
+find/getMore cursor batches.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct
+
+# ----------------------------------------------------------------- BSON
+
+
+class ObjectId:
+    """12-byte BSON ObjectId; compares/sorts by raw bytes (what _id
+    range delimiters need) and prints as the canonical 24-hex form."""
+
+    __slots__ = ("raw",)
+
+    def __init__(self, raw: bytes | str):
+        if isinstance(raw, str):
+            raw = bytes.fromhex(raw)
+        if len(raw) != 12:
+            raise ValueError("ObjectId needs 12 bytes / 24 hex chars")
+        self.raw = bytes(raw)
+
+    def __repr__(self):
+        return f"ObjectId({self.raw.hex()!r})"
+
+    def __str__(self):
+        return self.raw.hex()
+
+    def __eq__(self, other):
+        return isinstance(other, ObjectId) and self.raw == other.raw
+
+    def __lt__(self, other):
+        return self.raw < other.raw
+
+    def __hash__(self):
+        return hash(self.raw)
+
+
+class Decimal128:
+    """Opaque IEEE 754-2008 decimal128 (16 LE bytes, exact
+    pass-through)."""
+
+    __slots__ = ("raw",)
+
+    def __init__(self, raw: bytes):
+        if len(raw) != 16:
+            raise ValueError("Decimal128 needs 16 bytes")
+        self.raw = bytes(raw)
+
+    def __eq__(self, other):
+        return isinstance(other, Decimal128) and self.raw == other.raw
+
+    def __repr__(self):
+        return f"Decimal128({self.raw.hex()!r})"
+
+
+class BsonTimestamp:
+    """BSON internal timestamp (0x11): (time_t seconds, increment)."""
+
+    __slots__ = ("time", "inc")
+
+    def __init__(self, time: int, inc: int):
+        self.time, self.inc = int(time), int(inc)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, BsonTimestamp)
+            and (self.time, self.inc) == (other.time, other.inc)
+        )
+
+    def __repr__(self):
+        return f"BsonTimestamp({self.time}, {self.inc})"
+
+
+class Binary(bytes):
+    """bytes + BSON binary subtype (plain bytes encode as subtype 0)."""
+
+    def __new__(cls, data: bytes, subtype: int = 0):
+        self = super().__new__(cls, data)
+        self.subtype = subtype
+        return self
+
+
+class Regex:
+    __slots__ = ("pattern", "options")
+
+    def __init__(self, pattern: str, options: str = ""):
+        self.pattern, self.options = pattern, options
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Regex)
+            and (self.pattern, self.options)
+            == (other.pattern, other.options)
+        )
+
+    def __repr__(self):
+        return f"Regex({self.pattern!r}, {self.options!r})"
+
+
+_EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _cstring(s: str) -> bytes:
+    b = s.encode("utf-8")
+    if b"\x00" in b:
+        raise ValueError("BSON cstring cannot contain NUL")
+    return b + b"\x00"
+
+
+def encode_document(doc) -> bytes:
+    """dict (ordered) → BSON document bytes."""
+    body = bytearray()
+    for k, v in doc.items():
+        body += _encode_element(k, v)
+    return struct.pack("<i", len(body) + 5) + bytes(body) + b"\x00"
+
+
+def _encode_element(k: str, v) -> bytes:
+    name = _cstring(k)
+    if v is None:
+        return b"\x0a" + name
+    if isinstance(v, bool):  # before int — bool is an int subclass
+        return b"\x08" + name + (b"\x01" if v else b"\x00")
+    if isinstance(v, float):
+        return b"\x01" + name + struct.pack("<d", v)
+    if isinstance(v, int):
+        if -(2**31) <= v < 2**31:
+            return b"\x10" + name + struct.pack("<i", v)
+        return b"\x12" + name + struct.pack("<q", v)
+    if isinstance(v, str):
+        b = v.encode("utf-8") + b"\x00"
+        return b"\x02" + name + struct.pack("<i", len(b)) + b
+    if isinstance(v, ObjectId):
+        return b"\x07" + name + v.raw
+    if isinstance(v, Decimal128):
+        return b"\x13" + name + v.raw
+    if isinstance(v, BsonTimestamp):
+        return b"\x11" + name + struct.pack("<II", v.inc, v.time)
+    if isinstance(v, Binary):
+        return (
+            b"\x05" + name + struct.pack("<i", len(v))
+            + bytes([v.subtype]) + bytes(v)
+        )
+    if isinstance(v, (bytes, bytearray)):
+        return (
+            b"\x05" + name + struct.pack("<i", len(v)) + b"\x00" + bytes(v)
+        )
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        ms = int(v.timestamp() * 1000)
+        return b"\x09" + name + struct.pack("<q", ms)
+    if isinstance(v, Regex):
+        return b"\x0b" + name + _cstring(v.pattern) + _cstring(v.options)
+    if isinstance(v, dict):
+        return b"\x03" + name + encode_document(v)
+    if isinstance(v, (list, tuple)):
+        return b"\x04" + name + encode_document(
+            {str(i): x for i, x in enumerate(v)}
+        )
+    raise TypeError(f"cannot BSON-encode {type(v).__name__}")
+
+
+def decode_document(data: bytes, pos: int = 0):
+    """BSON document bytes → (dict, end_pos)."""
+    (ln,) = struct.unpack_from("<i", data, pos)
+    end = pos + ln
+    if data[end - 1] != 0:
+        raise ValueError("BSON document missing terminator")
+    pos += 4
+    out: dict = {}
+    while pos < end - 1:
+        t = data[pos]
+        pos += 1
+        nul = data.index(b"\x00", pos)
+        k = data[pos:nul].decode("utf-8")
+        pos = nul + 1
+        out[k], pos = _decode_value(t, data, pos)
+    return out, end
+
+
+def _decode_value(t: int, data: bytes, pos: int):
+    if t == 0x01:
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if t == 0x02 or t == 0x0D:  # string / JS code
+        (ln,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        return data[pos:pos + ln - 1].decode("utf-8"), pos + ln
+    if t == 0x03:
+        return decode_document(data, pos)
+    if t == 0x04:
+        doc, pos = decode_document(data, pos)
+        return [doc[str(i)] for i in range(len(doc))], pos
+    if t == 0x05:
+        (ln,) = struct.unpack_from("<i", data, pos)
+        sub = data[pos + 4]
+        pos += 5
+        return Binary(data[pos:pos + ln], sub), pos + ln
+    if t == 0x06:  # undefined (deprecated)
+        return None, pos
+    if t == 0x07:
+        return ObjectId(data[pos:pos + 12]), pos + 12
+    if t == 0x08:
+        return data[pos] != 0, pos + 1
+    if t == 0x09:
+        (ms,) = struct.unpack_from("<q", data, pos)
+        return _EPOCH + _dt.timedelta(milliseconds=ms), pos + 8
+    if t == 0x0A:
+        return None, pos
+    if t == 0x0B:
+        nul = data.index(b"\x00", pos)
+        pat = data[pos:nul].decode("utf-8")
+        pos = nul + 1
+        nul = data.index(b"\x00", pos)
+        opts = data[pos:nul].decode("utf-8")
+        return Regex(pat, opts), nul + 1
+    if t == 0x10:
+        return struct.unpack_from("<i", data, pos)[0], pos + 4
+    if t == 0x11:
+        inc, tm = struct.unpack_from("<II", data, pos)
+        return BsonTimestamp(tm, inc), pos + 8
+    if t == 0x12:
+        return struct.unpack_from("<q", data, pos)[0], pos + 8
+    if t == 0x13:
+        return Decimal128(data[pos:pos + 16]), pos + 16
+    raise ValueError(f"unsupported BSON element type 0x{t:02x}")
+
+
+# ------------------------------------------------------------ wire ops
+
+OP_REPLY = 1
+OP_QUERY = 2004
+OP_MSG = 2013
+
+
+def encode_op_msg(body: dict, request_id: int) -> bytes:
+    doc = encode_document(body)
+    ln = 16 + 4 + 1 + len(doc)  # header + flagBits + section kind 0
+    return (
+        struct.pack("<iiii", ln, request_id, 0, OP_MSG)
+        + struct.pack("<i", 0)  # flagBits
+        + b"\x00"  # section kind 0: body
+        + doc
+    )
+
+
+def decode_op_msg(frame: bytes) -> dict:
+    ln, _req, _resp, opcode = struct.unpack_from("<iiii", frame, 0)
+    if opcode != OP_MSG:
+        raise ValueError(f"expected OP_MSG, got opcode {opcode}")
+    pos = 16 + 4  # header + flagBits
+    kind = frame[pos]
+    pos += 1
+    if kind != 0:
+        raise ValueError(f"unsupported OP_MSG section kind {kind}")
+    doc, _ = decode_document(frame, pos)
+    return doc
+
+
+def encode_op_query(
+    collection: str, query: dict, request_id: int, n_return: int = -1
+) -> bytes:
+    doc = encode_document(query)
+    body = (
+        struct.pack("<i", 0)  # flags
+        + _cstring(collection)
+        + struct.pack("<ii", 0, n_return)
+        + doc
+    )
+    return struct.pack("<iiii", 16 + len(body), request_id, 0, OP_QUERY) + body
+
+
+def decode_op_reply(frame: bytes) -> list[dict]:
+    ln, _req, _resp, opcode = struct.unpack_from("<iiii", frame, 0)
+    if opcode != OP_REPLY:
+        raise ValueError(f"expected OP_REPLY, got opcode {opcode}")
+    _flags, _cursor, _start, n = struct.unpack_from("<iqii", frame, 16)
+    pos = 16 + 20
+    docs = []
+    for _ in range(n):
+        doc, pos = decode_document(frame, pos)
+        docs.append(doc)
+    return docs
+
+
+# --------------------------------------------------------------- client
+
+
+class MongoServerError(RuntimeError):
+    def __init__(self, doc: dict):
+        super().__init__(
+            f"mongo command failed (code {doc.get('code')}): "
+            f"{doc.get('errmsg', doc)}"
+        )
+        self.doc = doc
+
+
+class MongoWireClient:
+    """Blocking single-connection command client: hello (legacy
+    OP_QUERY), optional SCRAM auth, then OP_MSG commands with
+    find/getMore cursor draining."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int = 27017,
+        timeout: float = 30.0,
+        user: str | None = None,
+        password: str = "",
+        auth_source: str = "admin",
+        auth_mechanism: str = "SCRAM-SHA-256",
+    ):
+        import socket
+
+        self._req = 0
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._sock.settimeout(timeout)
+        try:
+            self.hello = self._hello()
+            if user is not None:
+                self._authenticate(
+                    user, password, auth_source, auth_mechanism
+                )
+        except BaseException:
+            self._sock.close()
+            raise
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    # -- transport ------------------------------------------------------
+
+    def _recv_exact(self, n: int) -> bytes:
+        out = b""
+        while len(out) < n:
+            chunk = self._sock.recv(n - len(out))
+            if not chunk:
+                raise ConnectionError("server closed mid-response")
+            out += chunk
+        return out
+
+    def _recv_frame(self) -> bytes:
+        head = self._recv_exact(4)
+        (ln,) = struct.unpack("<i", head)
+        return head + self._recv_exact(ln - 4)
+
+    def _next_req(self) -> int:
+        self._req += 1
+        return self._req
+
+    def _hello(self) -> dict:
+        self._sock.sendall(
+            encode_op_query("admin.$cmd", {"hello": 1}, self._next_req())
+        )
+        frame = self._recv_frame()
+        opcode = struct.unpack_from("<i", frame, 12)[0]
+        # modern servers may answer hello with OP_MSG even to OP_QUERY?
+        # No — OP_QUERY gets OP_REPLY; keep the strict path and let a
+        # protocol violation be loud.
+        [doc] = decode_op_reply(frame) if opcode == OP_REPLY else [
+            decode_op_msg(frame)
+        ]
+        if not doc.get("ok"):
+            raise MongoServerError(doc)
+        return doc
+
+    def command(self, db: str, body: dict) -> dict:
+        """One OP_MSG command against ``db``; non-ok raises with the
+        server's code/errmsg."""
+        body = {**body, "$db": db}
+        self._sock.sendall(encode_op_msg(body, self._next_req()))
+        doc = decode_op_msg(self._recv_frame())
+        if not doc.get("ok"):
+            raise MongoServerError(doc)
+        return doc
+
+    # -- auth -------------------------------------------------------------
+
+    def _authenticate(
+        self, user: str, password: str, source: str, mechanism: str
+    ) -> None:
+        from transferia_spark.streaming.pg_replication import ScramClient
+
+        mech = mechanism.upper()
+        if mech == "SCRAM-SHA-256":
+            secret, algo = password, "sha256"
+        elif mech == "SCRAM-SHA-1":
+            # Mongo's historical derived secret (public auth spec):
+            # md5hex("user:mongo:password") is the SCRAM password
+            import hashlib
+
+            secret = hashlib.md5(
+                f"{user}:mongo:{password}".encode()
+            ).hexdigest()
+            algo = "sha1"
+        else:
+            raise ValueError(
+                f"unsupported auth_mechanism {mechanism!r} "
+                "(SCRAM-SHA-256 or SCRAM-SHA-1)"
+            )
+        scram = ScramClient(
+            user, secret, scram_username=user, algo=algo
+        )
+        first = self.command(source, {
+            "saslStart": 1,
+            "mechanism": mech,
+            "payload": Binary(scram.client_first()),
+            "options": {"skipEmptyExchange": True},
+        })
+        final = self.command(source, {
+            "saslContinue": 1,
+            "conversationId": first["conversationId"],
+            "payload": Binary(
+                scram.client_final(bytes(first["payload"]))
+            ),
+        })
+        scram.verify_server_final(bytes(final["payload"]))
+        while not final.get("done"):
+            # servers without skipEmptyExchange need one empty round
+            final = self.command(source, {
+                "saslContinue": 1,
+                "conversationId": first["conversationId"],
+                "payload": Binary(b""),
+            })
+
+    # -- cursors -----------------------------------------------------------
+
+    def find(
+        self,
+        db: str,
+        collection: str,
+        filter: dict | None = None,
+        sort: dict | None = None,
+        limit: int = 0,
+        batch_size: int = 1000,
+        projection: dict | None = None,
+    ):
+        """Yield documents, draining the cursor with getMore — each
+        batch is O(batch_size) client memory, never O(result)."""
+        body: dict = {
+            "find": collection,
+            "filter": filter or {},
+            "batchSize": batch_size,
+        }
+        if sort:
+            body["sort"] = sort
+        if limit:
+            body["limit"] = limit
+        if projection:
+            body["projection"] = projection
+        doc = self.command(db, body)
+        cur = doc["cursor"]
+        yield from cur["firstBatch"]
+        cid = cur["id"]
+        while cid:
+            doc = self.command(db, {
+                "getMore": cid,
+                "collection": collection,
+                "batchSize": batch_size,
+            })
+            cur = doc["cursor"]
+            yield from cur["nextBatch"]
+            cid = cur["id"]
+
+    def aggregate(
+        self, db: str, collection: str, pipeline: list, batch_size: int = 1000
+    ):
+        doc = self.command(db, {
+            "aggregate": collection,
+            "pipeline": list(pipeline),
+            "cursor": {"batchSize": batch_size},
+        })
+        cur = doc["cursor"]
+        yield from cur["firstBatch"]
+        cid = cur["id"]
+        while cid:
+            doc = self.command(db, {
+                "getMore": cid,
+                "collection": collection,
+                "batchSize": batch_size,
+            })
+            cur = doc["cursor"]
+            yield from cur["nextBatch"]
+            cid = cur["id"]
+
+    def list_collection_names(self, db: str) -> list[str]:
+        doc = self.command(db, {"listCollections": 1, "nameOnly": True})
+        return [d["name"] for d in doc["cursor"]["firstBatch"]]
+
+
+# --------------------------------------------- pymongo-shaped adapter
+
+
+def parse_mongo_uri(uri: str) -> dict:
+    """Minimal ``mongodb://[user:pass@]host[:port]/[?options]`` parse
+    (authSource, authMechanism honored)."""
+    import urllib.parse
+
+    u = urllib.parse.urlsplit(uri)
+    if u.scheme not in ("mongodb", ""):
+        raise ValueError(f"unsupported mongo uri scheme {u.scheme!r}")
+    q = dict(urllib.parse.parse_qsl(u.query))
+    return {
+        "host": u.hostname or "127.0.0.1",
+        "port": u.port or 27017,
+        "user": urllib.parse.unquote(u.username) if u.username else None,
+        "password": (
+            urllib.parse.unquote(u.password) if u.password else ""
+        ),
+        "auth_source": q.get("authSource", "admin"),
+        "auth_mechanism": q.get("authMechanism", "SCRAM-SHA-256"),
+    }
+
+
+class _WireCollection:
+    def __init__(self, client: MongoWireClient, db: str, name: str):
+        self._c, self._db, self._name = client, db, name
+
+    def find(self, filter=None, sort=None, **kw):
+        return self._c.find(
+            self._db, self._name, filter=filter,
+            sort=dict(sort) if sort else None, **kw,
+        )
+
+    def aggregate(self, pipeline, **kw):
+        return self._c.aggregate(self._db, self._name, pipeline, **kw)
+
+
+class _WireDatabase:
+    def __init__(self, client: MongoWireClient, db: str):
+        self._c, self._db = client, db
+
+    def list_collection_names(self):
+        return self._c.list_collection_names(self._db)
+
+    def __getitem__(self, name: str) -> _WireCollection:
+        return _WireCollection(self._c, self._db, name)
+
+
+class MongoWireAdapter:
+    """The pymongo shape :class:`MongoSource` programs against, over
+    one wire client."""
+
+    def __init__(self, uri: str, timeout: float = 30.0):
+        self._client = MongoWireClient(
+            timeout=timeout, **parse_mongo_uri(uri)
+        )
+
+    def __getitem__(self, db: str) -> _WireDatabase:
+        return _WireDatabase(self._client, db)
+
+    def close(self):
+        self._client.close()
+
+
+def mongo_wire_client_factory(uri: str) -> MongoWireAdapter:
+    """Drop-in ``client_factory`` for MongoSource — a LIVE socket
+    transport with zero dependencies; the factory itself is a
+    module-level function, so executor tasks pickle the reference and
+    dial their own connections."""
+    return MongoWireAdapter(uri)
+
+
+__all__ = [
+    "Binary",
+    "BsonTimestamp",
+    "Decimal128",
+    "MongoServerError",
+    "MongoWireAdapter",
+    "MongoWireClient",
+    "ObjectId",
+    "Regex",
+    "decode_document",
+    "decode_op_msg",
+    "decode_op_reply",
+    "encode_document",
+    "encode_op_msg",
+    "encode_op_query",
+    "mongo_wire_client_factory",
+    "parse_mongo_uri",
+]

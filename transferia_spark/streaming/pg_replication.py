@@ -317,7 +317,9 @@ class ScramClient:
         import base64
         import secrets
 
-        if algo not in ("sha256", "sha512"):
+        if algo not in ("sha1", "sha256", "sha512"):
+            # sha1 exists for MongoDB's SCRAM-SHA-1 (with its md5-derived
+            # secret); PG and Kafka use the sha256/sha512 variants
             raise ValueError(f"unsupported SCRAM hash {algo!r}")
         self.algo = algo
         self.password = password
