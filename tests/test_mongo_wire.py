@@ -148,10 +148,12 @@ class LoopbackMongod:
 
     def __init__(self, data: dict[str, list[dict]],
                  users: dict[str, str] | None = None,
-                 scram_algo: str = "sha256"):
+                 scram_algo: str = "sha256",
+                 changes: dict[str, list[dict]] | None = None):
         self.data = data  # "db.coll" -> docs
         self.users = users
         self.scram_algo = scram_algo
+        self.changes = changes or {}  # "db.coll" -> change events
         self._cursors: dict[int, list[dict]] = {}
         self._next_cursor = 100
         self._srv = socket.socket()
@@ -265,8 +267,33 @@ class LoopbackMongod:
                 authed, scram,
             )
         if "aggregate" in body:
+            pipeline = body["pipeline"]
+            if pipeline and "$changeStream" in pipeline[0]:
+                evs = list(
+                    self.changes.get(f"{db}.{body['aggregate']}", [])
+                )
+                resume = pipeline[0]["$changeStream"].get("resumeAfter")
+                if resume:
+                    tok = resume["_data"]
+                    idx = next(
+                        (i for i, e in enumerate(evs)
+                         if e["_id"]["_data"] == tok),
+                        None,
+                    )
+                    if idx is None:
+                        return (
+                            {"ok": 0.0, "code": 286,
+                             "errmsg": "resume token not found"},
+                            authed, scram,
+                        )
+                    evs = evs[idx + 1:]
+                return self._cursor_reply(
+                    db, body["aggregate"], evs,
+                    body.get("cursor", {}).get("batchSize", 1000),
+                    authed, scram,
+                )
             docs = list(self.data.get(f"{db}.{body['aggregate']}", []))
-            for stage in body["pipeline"]:
+            for stage in pipeline:
                 if "$collStats" in stage:
                     docs = [{"storageStats": {
                         "size": sum(64 for _ in docs) or 1}}]
@@ -437,5 +464,117 @@ def test_mongo_source_live_wire_e2e(spark):
         assert len(src._plan_parts(
             mongo_wire_client_factory(src.uri)["shop"]["customers"]
         )) > 1
+    finally:
+        srv.close()
+
+
+def _cs_event(i: int, name: str) -> dict:
+    from transferia_spark.streaming.cdc_sources import format_resume_token
+
+    return {
+        "_id": {"_data": format_resume_token(1_700_000_000 + i, i)},
+        "operationType": "insert",
+        "documentKey": {"_id": i},
+        "fullDocument": {"_id": i, "name": name},
+        "ns": {"db": "shop", "coll": "customers"},
+    }
+
+
+def test_live_drain_change_stream_and_resume(tmp_path):
+    """One catch-up drain lands the events as recorded JSONL; a second
+    drain resumes from the persisted token and fetches ONLY new
+    events."""
+    import json as _json
+
+    from transferia_spark.streaming.mongo_wire import (
+        live_drain_change_stream,
+    )
+
+    evs = [_cs_event(i, f"n{i}") for i in range(1, 5)]
+    srv = LoopbackMongod({}, changes={"shop.customers": evs})
+    out = str(tmp_path / "cs")
+    live = {
+        "host": "127.0.0.1", "port": srv.port,
+        "database": "shop", "collection": "customers",
+        "batch_size": 2,
+    }
+    try:
+        n = live_drain_change_stream(live, out)
+        assert n == 4
+        files = sorted(
+            f for f in __import__("os").listdir(out)
+            if f.endswith(".jsonl")
+        )
+        assert len(files) == 1
+        lines = open(f"{out}/{files[0]}").read().splitlines()
+        assert len(lines) == 4
+        assert _json.loads(lines[0])["fullDocument"]["name"] == "n1"
+        # nothing new → no file, no token movement
+        assert live_drain_change_stream(live, out) == 0
+        # new events → only they are fetched
+        evs.extend(_cs_event(i, f"n{i}") for i in (5, 6))
+        assert live_drain_change_stream(live, out) == 2
+        files = sorted(
+            f for f in __import__("os").listdir(out)
+            if f.endswith(".jsonl")
+        )
+        assert len(files) == 2
+        tok = _json.load(open(f"{out}/_resume.json"))["_data"]
+        assert tok == evs[-1]["_id"]["_data"]
+    finally:
+        srv.close()
+
+
+def test_replicate_verb_mongowire_live(spark, tmp_path):
+    """`format: mongowire` in the replicate verb — the wire client's
+    change-stream drain front-ends the mongostream DataSource; a
+    second pass drains only new server-side events (resume token) and
+    only new recorded positions (Spark checkpoint)."""
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedParquetTable,
+    )
+    from transferia_spark.tasks.replicate import run_replication
+
+    evs = [_cs_event(i, f"n{i}") for i in range(1, 7)]
+    srv = LoopbackMongod({}, changes={"shop.customers": evs})
+    src = str(tmp_path / "seed.parquet")
+    spark.createDataFrame(
+        [(0, "seed")], "_id long, name string"
+    ).coalesce(1).write.parquet(src)
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    cs_dir = str(tmp_path / "cs")
+    try:
+        spec = transfer_from_yaml(f"""
+type: SNAPSHOT_ONLY
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: mongowire
+    path: {cs_dir}
+    schema: "_id long, name string"
+    live:
+      host: 127.0.0.1
+      port: {srv.port}
+      database: shop
+      collection: customers
+  target: {{kind: bucketed, root: {target}, keys: [_id], n_buckets: 4}}
+""")
+        run_replication(
+            spark, spec, state_dir=state, once=True, retry_interval=0.0
+        )
+        table = BucketedParquetTable(
+            spark, target, keys=["_id"], n_buckets=4
+        )
+        got = {(r._id, r.name) for r in table.read().collect()}
+        assert got == {(i, f"n{i}") for i in range(1, 7)}
+        evs.extend(_cs_event(i, f"n{i}") for i in (7, 8))
+        run_replication(
+            spark, spec, state_dir=state, once=True, retry_interval=0.0
+        )
+        got = {(r._id, r.name) for r in table.read().collect()}
+        assert got == {(i, f"n{i}") for i in range(1, 9)}
     finally:
         srv.close()

@@ -586,6 +586,132 @@ class MongoWireAdapter:
         self._client.close()
 
 
+def bson_to_jsonable(v):
+    """BSON value → JSON-safe value for the recorded change-stream
+    format (ObjectId/Binary/Decimal128 → hex strings, datetimes → ISO,
+    internal timestamps → {t, i}; containers recurse)."""
+    if isinstance(v, ObjectId):
+        return v.raw.hex()
+    if isinstance(v, BsonTimestamp):
+        return {"t": v.time, "i": v.inc}
+    if isinstance(v, Decimal128):
+        return v.raw.hex()
+    if isinstance(v, Regex):
+        return v.pattern
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dict):
+        return {k: bson_to_jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [bson_to_jsonable(x) for x in v]
+    return v
+
+
+def live_drain_change_stream(live: dict, out_dir: str) -> int:
+    """``replication.source.live`` config → one catch-up drain of a
+    collection's change stream into the recorded JSONL directory the
+    ``mongostream`` DataSource tails — the same live-front pattern as
+    PG's ``live_drain_tcp`` / MySQL's ``mysql_live_drain_tcp``
+    (≈ ``pkg/providers/mongo/change_stream_watcher.go:38``: watch →
+    batcher → pusher, with the resume token as the durable position).
+
+    ``live``: ``{uri | host/port/user/password/auth_source, database,
+    collection, start_after?, batch_size?, max_await_ms?}``. The drain
+    pulls until the server returns an empty batch (caught up), appends
+    events verbatim (resume token `_id` included — the reader derives
+    its (clusterTime, order) offsets from it), and persists the last
+    token in ``out_dir/_resume.json`` so the next drain asks the
+    server for only-new events; replayed events are idempotent anyway
+    (the reader's offsets filter at-or-below positions).
+    """
+    import json as _json
+    import os
+
+    if live.get("uri"):
+        cfg = parse_mongo_uri(live["uri"])
+    else:
+        cfg = {
+            "host": live["host"],
+            "port": int(live.get("port", 27017)),
+            "user": live.get("user"),
+            "password": live.get("password", ""),
+            "auth_source": live.get("auth_source", "admin"),
+            "auth_mechanism": live.get(
+                "auth_mechanism", "SCRAM-SHA-256"
+            ),
+        }
+    db, coll = live["database"], live["collection"]
+    os.makedirs(out_dir, exist_ok=True)
+    resume_path = os.path.join(out_dir, "_resume.json")
+    token = live.get("start_after")
+    if token is None:
+        try:
+            with open(resume_path) as f:
+                token = _json.load(f)["_data"]
+        except (FileNotFoundError, ValueError, KeyError):
+            token = None
+
+    cs: dict = {"fullDocument": "updateLookup"}
+    if token:
+        cs["resumeAfter"] = {"_data": token}
+    client = MongoWireClient(timeout=float(live.get("timeout", 30.0)),
+                             **cfg)
+    n = 0
+    try:
+        doc = client.command(db, {
+            "aggregate": coll,
+            "pipeline": [{"$changeStream": cs}],
+            "cursor": {"batchSize": int(live.get("batch_size", 500))},
+        })
+        cur = doc["cursor"]
+        batch = cur["firstBatch"]
+        cid = cur["id"]
+        seq = len(
+            [f for f in os.listdir(out_dir) if f.endswith(".jsonl")]
+        )
+        out_path = os.path.join(out_dir, f"live_{seq:06d}.jsonl")
+        tmp = out_path + ".tmp"
+        last_token = token
+        with open(tmp, "w") as out:
+            while True:
+                for ev in batch:
+                    ev = bson_to_jsonable(ev)
+                    # the resume token doubles as the event position;
+                    # a tokenless event cannot be resumed past — loud
+                    data = (ev.get("_id") or {}).get("_data")
+                    if not data:
+                        raise ValueError(
+                            "change stream event without a resume "
+                            f"token: {ev.get('operationType')}"
+                        )
+                    out.write(_json.dumps(ev) + "\n")
+                    last_token = data
+                    n += 1
+                if not cid or not batch:
+                    break  # caught up (empty batch) or cursor done
+                doc = client.command(db, {
+                    "getMore": cid,
+                    "collection": coll,
+                    "batchSize": int(live.get("batch_size", 500)),
+                    "maxTimeMS": int(live.get("max_await_ms", 200)),
+                })
+                cur = doc["cursor"]
+                batch = cur["nextBatch"]
+                cid = cur["id"]
+        if n:
+            os.replace(tmp, out_path)
+            with open(resume_path + ".tmp", "w") as f:
+                _json.dump({"_data": last_token}, f)
+            os.replace(resume_path + ".tmp", resume_path)
+        else:
+            os.remove(tmp)
+        return n
+    finally:
+        client.close()
+
+
 def mongo_wire_client_factory(uri: str) -> MongoWireAdapter:
     """Drop-in ``client_factory`` for MongoSource — a LIVE socket
     transport with zero dependencies; the factory itself is a
@@ -606,6 +732,8 @@ __all__ = [
     "decode_document",
     "decode_op_msg",
     "decode_op_reply",
+    "bson_to_jsonable",
+    "live_drain_change_stream",
     "encode_document",
     "encode_op_msg",
     "encode_op_query",

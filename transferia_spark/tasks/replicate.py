@@ -237,6 +237,11 @@ def source_position(
         if frames_path:
             drain_recorded_binlog(frames_path, path, column_names=column_names)
         fmt = "binlogjson"
+    if fmt == "mongowire":
+        # position = whatever the recorded dir holds after the last
+        # drain; the activation drain itself happens in
+        # build_replication_stream (live config not passed here)
+        fmt = "mongostream"
     if fmt not in formats:
         raise FatalError(
             f"unknown replication source format {fmt!r}; "
@@ -404,6 +409,25 @@ def build_replication_stream(
             )
         source = {**source, "format": "waljson"}
         fmt = "waljson"
+    if fmt == "mongowire":
+        # Mongo change streams over the pure-Python wire client
+        # (streaming/mongo_wire.py ≈ change_stream_watcher.go): one
+        # catch-up drain of aggregate [$changeStream] into the
+        # recorded JSONL directory at `path` (resume token persisted
+        # alongside), then tail it with the mongostream DataSource —
+        # the same live-front pattern as pgwire/mysqlwire
+        if not source.get("live"):
+            raise FatalError(
+                "replication.source format mongowire needs live: "
+                "{uri | host/port/user/password, database, collection}"
+            )
+        from transferia_spark.streaming.mongo_wire import (
+            live_drain_change_stream,
+        )
+
+        live_drain_change_stream(source["live"], source["path"])
+        source = {**source, "format": "mongostream"}
+        fmt = "mongostream"
     if fmt == "mysqlwire":
         # MySQL binlog wire sessions (live socket drain, or recorded
         # event captures under `frames_path`): decode row/query events
