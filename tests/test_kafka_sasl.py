@@ -521,3 +521,75 @@ def test_scram_client_sha512_vectors():
 
     with pytest.raises(ValueError, match="unsupported SCRAM hash"):
         ScramClient("u", "p", algo="md5")
+
+
+def test_wire_transport_routes_produce_to_leader():
+    """code-review r11: every produce frame went to the bootstrap
+    broker — on a multi-broker cluster that's a permanent NOT_LEADER
+    failure. The transport now routes each partition's batch to ITS
+    leader per metadata, and re-resolves once on a retriable produce
+    error (leadership churn)."""
+    from test_kafka_wire_source import LoopbackBroker
+    from transferia_spark.sinks.kafka_wire import (
+        encode_record_batch,
+    )
+
+    leader = LoopbackBroker({"t": 1})  # node 1: owns the log
+
+    class Front(LoopbackBroker):
+        """node 0: bootstrap broker; metadata points partition 0's
+        leadership at the peer after the first call (churn script),
+        and its own produce answers NOT_LEADER."""
+
+        calls = 0
+
+        def _metadata(self, body, pos):
+            (n,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            names = []
+            for _ in range(n):
+                nm, pos2 = _read_str(body, pos)
+                names.append(nm)
+                pos = pos2
+            Front.calls += 1
+            lead = 0 if Front.calls == 1 else 1
+            out = struct.pack(">i", 2)  # two brokers
+            out += struct.pack(">i", 0) + _enc_str("127.0.0.1")
+            out += struct.pack(">i", self.port) + _enc_str(None)
+            out += struct.pack(">i", 1) + _enc_str("127.0.0.1")
+            out += struct.pack(">i", leader.port) + _enc_str(None)
+            out += struct.pack(">i", 0)  # controller
+            out += struct.pack(">i", len(names))
+            for nm in names:
+                out += struct.pack(">h", 0) + _enc_str(nm) + b"\x00"
+                out += struct.pack(">i", 1)
+                out += struct.pack(">hii", 0, 0, lead)
+                out += struct.pack(">ii", 1, lead)
+                out += struct.pack(">ii", 1, lead)
+            return out
+
+        def _produce(self, body, pos):
+            # this node never leads: NOT_LEADER (6)
+            return (
+                struct.pack(">i", 1) + _enc_str("t")
+                + struct.pack(">i", 1)
+                + struct.pack(">ihqq", 0, 6, -1, -1)
+                + struct.pack(">i", 0)
+            )
+
+    front = Front({"t": 1})
+    from transferia_spark.streaming.kafka_source import (
+        KafkaWireTransport,
+    )
+
+    try:
+        t = KafkaWireTransport(f"127.0.0.1:{front.port}", timeout=10)
+        # first metadata says the front leads → its produce answers 6
+        # → one fresh-metadata retry routes to the real leader
+        t.produce("t", {0: encode_record_batch([(b"k", b"v")])})
+        assert leader.log["t"][0] == [(b"k", b"v", 0)]
+        assert front.log["t"][0] == []  # nothing landed on the front
+        t.close()
+    finally:
+        front.close()
+        leader.close()

@@ -774,10 +774,12 @@ def test_read_gives_up_after_bounded_leader_refreshes():
 
 
 def test_kafkawire_untimestamped_policy(spark, tmp_path):
-    """ADVICE r10: a -1 (no producer timestamp) record must not order
-    as 1969 in the collapse — default is a loud failure naming the
-    knob; `on_untimestamped: offset` uses the partition offset as the
-    _lsn surrogate."""
+    """ADVICE r10 + code-review r11: a -1 (no producer timestamp)
+    record must not order as 1969 in the collapse — default is a loud
+    failure naming the knob; `on_untimestamped: offset` switches the
+    WHOLE stream to partition-offset ordering (a ts/offset mix would
+    put two ordering domains in one column and untimestamped records
+    would always lose)."""
     import json as _json
 
     from transferia_spark.tasks.replicate import build_replication_stream
@@ -806,7 +808,9 @@ def test_kafkawire_untimestamped_policy(spark, tmp_path):
         q.awaitTermination(60)
         rows = {r.id: r._lsn
                 for r in spark.sql("SELECT * FROM unts_ok").collect()}
-        assert rows == {1: 0, 2: 1_700_000_000_000}
+        # offset mode: EVERY record orders by its partition offset
+        # (one domain), not a ts/offset mix
+        assert rows == {1: 0, 2: 0}
 
         # default: loud, names the knob
         df2 = build_replication_stream(spark, dict(base))

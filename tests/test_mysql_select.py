@@ -653,7 +653,7 @@ def test_per_table_fences_warn_and_oversized_gang_falls_back(spark):
     src = build_source(
         "mysqlselect",
         live={"host": "h", "user": "u", "database": "d",
-              "consistent": True},
+              "consistent": True, "slot_wait": 0},
         tables={
             "d.a": {"schema": "id long", "pk": ["id"],
                     "n_shards": 10_000},
@@ -890,7 +890,7 @@ def test_idle_slot_probe_and_busy_cluster_fallback(spark, monkeypatch):
     src = build_source(
         "mysqlselect",
         live={"host": "no-such-host-ever", "user": "u",
-              "database": "d", "consistent": True},
+              "database": "d", "consistent": True, "slot_wait": 0},
         tables={
             "d.a": {"schema": "id long", "pk": ["id"], "n_shards": 2},
             "d.b": {"schema": "id long", "pk": ["id"], "n_shards": 2},
@@ -901,3 +901,20 @@ def test_idle_slot_probe_and_busy_cluster_fallback(spark, monkeypatch):
             # the per-table fallback's own sharded guard then refuses
             # (2 shards > 1 slot) BEFORE dialing the (nonexistent) host
             src.load_tables_consistent(spark)
+
+
+def test_wait_for_idle_slots_recovers_from_transient_load(monkeypatch):
+    """code-review r11: a transient unrelated job must not downgrade
+    consistency — the guard waits (lock-free) and succeeds when slots
+    free up within the grace window."""
+    import transferia_spark.sources.mysql_select as mod
+
+    readings = iter([1, 1, 8])
+    monkeypatch.setattr(
+        mod, "idle_task_slots", lambda s: next(readings, 8)
+    )
+    got = mod.wait_for_idle_slots(None, 4, grace=5.0, poll=0.01)
+    assert got == 8
+    # grace 0 = the old instantaneous behavior
+    monkeypatch.setattr(mod, "idle_task_slots", lambda s: 2)
+    assert mod.wait_for_idle_slots(None, 4, grace=0) == 2

@@ -26,7 +26,14 @@ def cached_exprs(key: tuple, build):
     sc = SparkContext._active_spark_context
     if sc is None:
         return build()  # no session — don't cache unbindable objects
-    full = (id(sc), key)
+    # id() alone can be REUSED after the old context is GC'd
+    # (code-review r11) — pair it with the context's own identity so a
+    # same-address successor can never serve the predecessor's entries
+    try:
+        ident = (sc.applicationId, sc.startTime)
+    except Exception:
+        ident = None
+    full = (id(sc), ident, key)
     hit = _CACHE.get(full)
     if hit is None:
         if len(_CACHE) >= _MAX:

@@ -465,16 +465,26 @@ def confluent_sr_parser(
 
             def run(batches):
                 from transferia_spark.parsers.schema_registry import (
-                    SchemaRegistryClient,
+                    client_for,
                     decode_confluent,
                 )
 
-                client = SchemaRegistryClient(
-                    registry_url, auth=registry_auth
-                )
+                # per-PROCESS client: the id→schema cache must survive
+                # across tasks/batches or every micro-batch re-issues
+                # registry GETs (code-review r11)
+                client = client_for(registry_url, auth=registry_auth)
                 for pdf in batches:
                     ids, cols = [], {n: [] for n in names}
                     for v in pdf["value"]:
+                        if v is None:
+                            # Kafka tombstone (delete marker): null
+                            # payload rides through as a null row, the
+                            # frame split must not crash the stream
+                            # (code-review r11)
+                            ids.append(None)
+                            for n in names:
+                                cols[n].append(None)
+                            continue
                         sid, rec = decode_confluent(bytes(v), client)
                         ids.append(sid)
                         for n in names:

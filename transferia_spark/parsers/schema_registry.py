@@ -379,6 +379,27 @@ class SchemaRegistryClient:
         return self._request(f"/subjects/{subject}/versions/latest")
 
 
+#: per-process client memo — executor tasks are short-lived, so a
+#: client built per task restarts the id→schema cache empty and
+#: re-issues registry GETs every micro-batch (code-review r11); ids
+#: are immutable server-side, so sharing across tasks is always safe
+_CLIENTS: dict = {}
+
+
+def client_for(
+    base_url: str,
+    auth: tuple[str, str] | None = None,
+    timeout: float = 15.0,
+) -> SchemaRegistryClient:
+    key = (base_url, auth)
+    c = _CLIENTS.get(key)
+    if c is None:
+        c = _CLIENTS[key] = SchemaRegistryClient(
+            base_url, auth=auth, timeout=timeout
+        )
+    return c
+
+
 def decode_confluent(value: bytes, client: SchemaRegistryClient):
     """Framed payload → ``(schema_id, decoded)``: resolve the id, then
     decode by schemaType — AVRO via :class:`AvroCodec`, JSON via

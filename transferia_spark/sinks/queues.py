@@ -107,14 +107,25 @@ class KafkaSink(Sink):
             by_part: dict[int, list] = {}
 
             def flush():
-                for part, recs in by_part.items():
-                    if recs:
-                        batch = encode_record_batch(
-                            recs, compression=compression
-                        )
-                        transport(
-                            encode_produce_request(topic, {part: batch})
-                        )
+                batches = {
+                    part: encode_record_batch(
+                        recs, compression=compression
+                    )
+                    for part, recs in by_part.items()
+                    if recs
+                }
+                if batches:
+                    if hasattr(transport, "produce"):
+                        # leader-routed path (KafkaWireTransport):
+                        # each partition's batch reaches ITS leader
+                        transport.produce(topic, batches)
+                    else:
+                        for part, batch in batches.items():
+                            transport(
+                                encode_produce_request(
+                                    topic, {part: batch}
+                                )
+                            )
                 by_part.clear()
 
             n = 0

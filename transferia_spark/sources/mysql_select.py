@@ -570,6 +570,31 @@ def idle_task_slots(spark) -> int:
         return total
 
 
+def wait_for_idle_slots(
+    spark, need: int, grace: float = 10.0, poll: float = 0.5
+) -> int:
+    """Wait up to ``grace`` seconds for ``need`` idle slots; returns
+    the best observed idle count (≥ ``need`` means success). The probe
+    is instantaneous — without a grace window a transient unrelated
+    job sampled at the wrong moment would silently downgrade
+    cross-table consistency (or hard-fail a sharded load) that would
+    have scheduled fine a second later (code-review r11). NO lock is
+    held while waiting."""
+    import time
+
+    best = idle_task_slots(spark)
+    if best >= need or grace <= 0:
+        return best
+    deadline = time.time() + grace
+    while time.time() < deadline:
+        time.sleep(poll)
+        cur = idle_task_slots(spark)
+        best = max(best, cur)
+        if cur >= need:
+            return cur
+    return best
+
+
 @register_source
 class MySqlSelectSource(Source):
     """Registry face (``type: mysqlselect``) — the snapshot sibling of
@@ -737,16 +762,20 @@ class MySqlSelectSource(Source):
             # waves never schedule, the fence times out holding FTWRL,
             # and retries repeat the production write freeze — refuse
             # up front with the remedy.
-            slots = idle_task_slots(spark)
+            slots = wait_for_idle_slots(
+                spark, len(preds),
+                grace=float(self.live.get("slot_wait", 10.0)),
+            )
             if len(preds) > slots:
                 raise ValueError(
                     f"consistent sharded snapshot needs all "
                     f"{len(preds)} shard tasks running at once, but "
-                    f"the cluster has only {slots} IDLE task slots "
-                    "right now (live status-tracker probe) — lower "
-                    "n_shards, add capacity, wait for running jobs to "
-                    "drain, or drop live.consistent (per-shard "
-                    "instants + replication handoff)"
+                    f"the cluster had only {slots} IDLE task slots "
+                    "(live status-tracker probe, waited "
+                    "live.slot_wait) — lower n_shards, add capacity, "
+                    "wait for running jobs to drain, or drop "
+                    "live.consistent (per-shard instants + "
+                    "replication handoff)"
                 )
             # sharded + consistent: one-instant fence (the lock is
             # taken lazily, when the first shard task of the
@@ -844,7 +873,9 @@ class MySqlSelectSource(Source):
             for t in tids
         ]
         gang = sum(len(preds or [None]) for _t, _s, preds in plans)
-        slots = idle_task_slots(spark)
+        slots = wait_for_idle_slots(
+            spark, gang, grace=float(self.live.get("slot_wait", 10.0))
+        )
         if gang > slots:
             warnings.warn(
                 f"activation-scoped consistent snapshot needs all "

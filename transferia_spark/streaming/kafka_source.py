@@ -677,7 +677,53 @@ class KafkaWireTransport:
             )
         return self._client
 
+    def produce(self, topic: str, partition_batches: dict[int, bytes]) -> None:
+        """Leader-routed produce (code-review r11: sending every frame
+        to the bootstrap-dialed broker fails permanently with
+        NOT_LEADER on any multi-broker cluster): each partition's
+        batch goes to ITS leader per metadata, and a retriable
+        per-partition error (leadership churn) re-resolves the leader
+        once before failing loudly."""
+        from transferia_spark.sinks.kafka_wire import (
+            decode_produce_response,
+            encode_produce_request,
+        )
+
+        boot = self._connected()
+        for part, batch in sorted(partition_batches.items()):
+            for attempt in (0, 1):
+                client = boot.for_leader(topic, part)
+                corr = client._next_corr()
+                frame = encode_produce_request(
+                    topic, {part: batch}, correlation_id=corr,
+                    client_id=self.client_id,
+                )
+                try:
+                    decode_produce_response(
+                        client._request(frame, corr)
+                    )
+                    break
+                except ValueError as e:
+                    code = next(
+                        (c for c in KafkaFetchError.RETRIABLE
+                         if f"produce error {c} " in str(e)),
+                        None,
+                    )
+                    if attempt or code is None:
+                        self.close()
+                        raise
+                    # leadership moved between metadata and produce:
+                    # one fresh-metadata retry (for_leader re-asks)
+                except BaseException:
+                    # mid-frame transport failure desyncs the stream:
+                    # drop every connection so the next call redials
+                    self.close()
+                    raise
+
     def __call__(self, frame: bytes) -> None:
+        """Legacy raw-frame path (pre-encoded produce request sent to
+        the bootstrap connection — single-broker/test transports);
+        :meth:`produce` is the leader-routed path KafkaSink prefers."""
         from transferia_spark.sinks.kafka_wire import (
             decode_produce_response,
         )

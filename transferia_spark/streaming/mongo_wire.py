@@ -101,6 +101,14 @@ class BsonTimestamp:
         return f"BsonTimestamp({self.time}, {self.inc})"
 
 
+class Int64(int):
+    """Force BSON int64 (0x12) regardless of magnitude — MongoDB
+    requires it for specific fields (``getMore``'s cursor id rejects
+    int32 with TypeMismatch even when the value fits)."""
+
+    __slots__ = ()
+
+
 class Binary(bytes):
     """bytes + BSON binary subtype (plain bytes encode as subtype 0)."""
 
@@ -153,6 +161,8 @@ def _encode_element(k: str, v) -> bytes:
         return b"\x08" + name + (b"\x01" if v else b"\x00")
     if isinstance(v, float):
         return b"\x01" + name + struct.pack("<d", v)
+    if isinstance(v, Int64):
+        return b"\x12" + name + struct.pack("<q", v)
     if isinstance(v, int):
         if -(2**31) <= v < 2**31:
             return b"\x10" + name + struct.pack("<i", v)
@@ -458,6 +468,38 @@ class MongoWireClient:
 
     # -- cursors -----------------------------------------------------------
 
+    def drain_cursor(
+        self,
+        db: str,
+        collection: str,
+        first_doc: dict,
+        batch_size: int = 1000,
+        max_time_ms: int | None = None,
+        stop_on_empty_batch: bool = False,
+    ):
+        """Yield documents from a command's cursor, following getMore —
+        each batch is O(batch_size) client memory, never O(result).
+        The cursor id travels as an explicit BSON int64 (servers
+        reject int32 there even when the value fits — code-review
+        r11). ``stop_on_empty_batch`` is the tailable-cursor caught-up
+        signal change-stream drains stop on."""
+        cur = first_doc["cursor"]
+        batch = cur["firstBatch"]
+        cid = cur["id"]
+        yield from batch
+        while cid and (batch or not stop_on_empty_batch):
+            body: dict = {
+                "getMore": Int64(cid),
+                "collection": collection,
+                "batchSize": batch_size,
+            }
+            if max_time_ms is not None:
+                body["maxTimeMS"] = max_time_ms
+            cur = self.command(db, body)["cursor"]
+            batch = cur["nextBatch"]
+            cid = cur["id"]
+            yield from batch
+
     def find(
         self,
         db: str,
@@ -468,8 +510,6 @@ class MongoWireClient:
         batch_size: int = 1000,
         projection: dict | None = None,
     ):
-        """Yield documents, draining the cursor with getMore — each
-        batch is O(batch_size) client memory, never O(result)."""
         body: dict = {
             "find": collection,
             "filter": filter or {},
@@ -481,19 +521,9 @@ class MongoWireClient:
             body["limit"] = limit
         if projection:
             body["projection"] = projection
-        doc = self.command(db, body)
-        cur = doc["cursor"]
-        yield from cur["firstBatch"]
-        cid = cur["id"]
-        while cid:
-            doc = self.command(db, {
-                "getMore": cid,
-                "collection": collection,
-                "batchSize": batch_size,
-            })
-            cur = doc["cursor"]
-            yield from cur["nextBatch"]
-            cid = cur["id"]
+        return self.drain_cursor(
+            db, collection, self.command(db, body), batch_size
+        )
 
     def aggregate(
         self, db: str, collection: str, pipeline: list, batch_size: int = 1000
@@ -503,18 +533,7 @@ class MongoWireClient:
             "pipeline": list(pipeline),
             "cursor": {"batchSize": batch_size},
         })
-        cur = doc["cursor"]
-        yield from cur["firstBatch"]
-        cid = cur["id"]
-        while cid:
-            doc = self.command(db, {
-                "getMore": cid,
-                "collection": collection,
-                "batchSize": batch_size,
-            })
-            cur = doc["cursor"]
-            yield from cur["nextBatch"]
-            cid = cur["id"]
+        return self.drain_cursor(db, collection, doc, batch_size)
 
     def list_collection_names(self, db: str) -> list[str]:
         doc = self.command(db, {"listCollections": 1, "nameOnly": True})
@@ -660,14 +679,12 @@ def live_drain_change_stream(live: dict, out_dir: str) -> int:
                              **cfg)
     n = 0
     try:
+        bs = int(live.get("batch_size", 500))
         doc = client.command(db, {
             "aggregate": coll,
             "pipeline": [{"$changeStream": cs}],
-            "cursor": {"batchSize": int(live.get("batch_size", 500))},
+            "cursor": {"batchSize": bs},
         })
-        cur = doc["cursor"]
-        batch = cur["firstBatch"]
-        cid = cur["id"]
         seq = len(
             [f for f in os.listdir(out_dir) if f.endswith(".jsonl")]
         )
@@ -675,31 +692,23 @@ def live_drain_change_stream(live: dict, out_dir: str) -> int:
         tmp = out_path + ".tmp"
         last_token = token
         with open(tmp, "w") as out:
-            while True:
-                for ev in batch:
-                    ev = bson_to_jsonable(ev)
-                    # the resume token doubles as the event position;
-                    # a tokenless event cannot be resumed past — loud
-                    data = (ev.get("_id") or {}).get("_data")
-                    if not data:
-                        raise ValueError(
-                            "change stream event without a resume "
-                            f"token: {ev.get('operationType')}"
-                        )
-                    out.write(_json.dumps(ev) + "\n")
-                    last_token = data
-                    n += 1
-                if not cid or not batch:
-                    break  # caught up (empty batch) or cursor done
-                doc = client.command(db, {
-                    "getMore": cid,
-                    "collection": coll,
-                    "batchSize": int(live.get("batch_size", 500)),
-                    "maxTimeMS": int(live.get("max_await_ms", 200)),
-                })
-                cur = doc["cursor"]
-                batch = cur["nextBatch"]
-                cid = cur["id"]
+            for ev in client.drain_cursor(
+                db, coll, doc, bs,
+                max_time_ms=int(live.get("max_await_ms", 200)),
+                stop_on_empty_batch=True,
+            ):
+                ev = bson_to_jsonable(ev)
+                # the resume token doubles as the event position; a
+                # tokenless event cannot be resumed past — loud
+                data = (ev.get("_id") or {}).get("_data")
+                if not data:
+                    raise ValueError(
+                        "change stream event without a resume "
+                        f"token: {ev.get('operationType')}"
+                    )
+                out.write(_json.dumps(ev) + "\n")
+                last_token = data
+                n += 1
         if n:
             os.replace(tmp, out_path)
             with open(resume_path + ".tmp", "w") as f:
@@ -723,6 +732,7 @@ def mongo_wire_client_factory(uri: str) -> MongoWireAdapter:
 __all__ = [
     "Binary",
     "BsonTimestamp",
+    "Int64",
     "Decimal128",
     "MongoServerError",
     "MongoWireAdapter",

@@ -355,13 +355,16 @@ def build_replication_stream(
         # omitted it) surfaces as a NULL _timestamp from the wire
         # reader; letting it order as 1969/NULL would permanently lose
         # collapse ordering to any timestamped record for the same key.
-        # Default: fail naming the fix; `on_untimestamped: offset` opts
-        # into the partition offset as a surrogate (monotonic within a
-        # partition — document: only safe while the key→partition map
-        # is stable).
+        # Default: fail naming the fix. `on_untimestamped: offset`
+        # switches the WHOLE stream to partition-offset ordering — a
+        # coalesce(ts, offset) mix would put epoch-millis and raw
+        # offsets in one ordering domain, so an untimestamped record
+        # always loses to any timestamped one (code-review r11); the
+        # mode is for topics with no producer timestamps at all, and
+        # is only safe while the key→partition map is stable.
         ts_ms = F.unix_millis(F.col("_timestamp"))
         if str(source.get("on_untimestamped", "fail")) == "offset":
-            lsn_expr = F.coalesce(ts_ms, F.col("_offset").cast("long"))
+            lsn_expr = F.col("_offset").cast("long")
         else:
             lsn_expr = F.when(
                 F.col("_timestamp").isNull(),
