@@ -302,3 +302,63 @@ def test_parser_live_requires_declared_schema():
         build_parser(
             "confluent_schema_registry", registry_url="http://x"
         )
+
+
+def test_avro_serializer_and_live_registration_round_trip(spark):
+    """The produce twin: avro_serializer encodes rows under the writer
+    schema, confluent_sr_serializer REGISTERS it live and frames with
+    the returned id, and the registry parser decodes the frames back —
+    full sink→source parity with no pre-shared id."""
+    from transferia_spark.parsers.registry import build_parser
+    from transferia_spark.serializers import confluent_sr_serializer
+
+    writer = json.dumps({
+        "type": "record", "name": "E", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+        ],
+    })
+    hits: list = []
+    srv = _registry({}, hits)
+    try:
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c")], "id long, name string"
+        )
+        wire = confluent_sr_serializer(
+            df,
+            registry_url=f"http://127.0.0.1:{srv.server_port}",
+            subject="events-value",
+            schema_json=writer,
+            schema_type="AVRO",
+        )
+        rows = wire.collect()
+        assert len(rows) == 3
+        sid = int.from_bytes(bytes(rows[0].value)[1:5], "big")
+        assert ("POST", "/subjects/events-value/versions",
+                {"schema": writer}) in [
+            (h[0], h[1], h[2]) for h in hits if h[0] == "POST"
+        ]
+        parser = build_parser(
+            "confluent_schema_registry",
+            registry_url=f"http://127.0.0.1:{srv.server_port}",
+            schema="id long, name string",
+        )
+        back = parser(wire).collect()
+        assert sorted((r.id, r.name, r._schema_id) for r in back) == [
+            (1, "a", sid), (2, None, sid), (3, "c", sid),
+        ]
+        # tombstone rows (null value) ride through as null rows
+        tomb = spark.createDataFrame(
+            [(b"k1", None)], "key binary, value binary"
+        )
+        trows = parser(tomb).collect()
+        assert trows[0].id is None and trows[0]._schema_id is None
+    finally:
+        srv.shutdown()
+
+
+def test_confluent_serializer_needs_id_or_registry():
+    from transferia_spark.serializers import confluent_sr_serializer
+
+    with pytest.raises(ValueError, match="schema_id"):
+        confluent_sr_serializer(None)

@@ -119,21 +119,99 @@ def native_serializer(df: DataFrame, table: str = "") -> DataFrame:
     )
 
 
+def avro_serializer(
+    df: DataFrame,
+    schema_json: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rows → Avro binary ``value`` under the given writer schema —
+    the produce twin of the registry parser's decode (pure-Python
+    codec from parsers/schema_registry.py, Arrow-batched mapInPandas;
+    ≈ the Avro subjects of ``pkg/serializer/queue``). Optional ``key``
+    = JSON of the PK columns (framing parity with json_serializer)."""
+    import json as _json
+
+    payload = [c for c in df.columns if c not in META_COLS]
+    with_key = bool(key_cols)
+    out_ddl = ("key binary, " if with_key else "") + "value binary"
+
+    def run(batches):
+        import pandas as pd
+
+        from transferia_spark.parsers.schema_registry import AvroCodec
+
+        codec = AvroCodec(schema_json)
+
+        def py(v):
+            # numpy scalars / pandas NA → Python natives (the codec
+            # type-dispatches on exact native types)
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            if v is pd.NaT or v is pd.NA:
+                return None
+            return v.item() if hasattr(v, "item") else v
+
+        for pdf in batches:
+            recs = pdf[payload].to_dict("records")
+            vals = [
+                codec.encode({k: py(v) for k, v in r.items()})
+                for r in recs
+            ]
+            out = {}
+            if with_key:
+                out["key"] = [
+                    _json.dumps(
+                        {k: py(r[k]) for k in key_cols}
+                    ).encode()
+                    for r in recs
+                ]
+            out["value"] = vals
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, out_ddl)
+
+
 def confluent_sr_serializer(
     df: DataFrame,
-    schema_id: int,
+    schema_id: int | None = None,
     body=json_serializer,
+    registry_url: str | None = None,
+    subject: str | None = None,
+    schema_json: str | None = None,
+    schema_type: str = "JSON",
+    registry_auth: tuple[str, str] | None = None,
     **body_kw,
 ) -> DataFrame:
     """Confluent wire framing on the SINK side, mirroring the
     ``confluent_schema_registry`` parser (parsers/registry.py):
     ``value`` = 1 magic byte (0x0) + 4-byte big-endian schema id + the
-    body bytes from an inner serializer (JSON by default — the
-    registry's JSON-schema subject framing; Avro/Protobuf bodies plug in
-    the same way). ≈ ``pkg/serializer/queue`` SR framing: registering
-    the schema and obtaining ``schema_id`` is a control-plane call; this
-    is the per-row data-plane half that runs on executors. Round-trips
+    body bytes from an inner serializer (JSON by default; AVRO via
+    :func:`avro_serializer`). ≈ ``pkg/serializer/queue`` SR framing +
+    ``pkg/schemaregistry/confluent``: with ``registry_url`` + ``subject``
+    + ``schema_json`` the schema REGISTERS live (one driver-side HTTP
+    call, idempotent server-side) and the returned id frames every row;
+    a pre-resolved ``schema_id`` skips the control plane. Round-trips
     through the parser: frame → (_schema_id, body)."""
+    if schema_id is None:
+        if not (registry_url and subject and schema_json):
+            raise ValueError(
+                "confluent_sr_serializer needs schema_id, or "
+                "registry_url + subject + schema_json to register live"
+            )
+        from transferia_spark.parsers.schema_registry import (
+            SchemaRegistryClient,
+        )
+
+        schema_id = SchemaRegistryClient(
+            registry_url, auth=registry_auth
+        ).register_schema(subject, schema_json, schema_type)
+    if (
+        schema_type.upper() == "AVRO"
+        and body is json_serializer
+        and schema_json
+    ):
+        body = avro_serializer
+        body_kw.setdefault("schema_json", schema_json)
     framed = body(df, **body_kw)
     prefix = bytes([0]) + int(schema_id).to_bytes(4, "big")
     cols = []
