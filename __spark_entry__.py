@@ -4434,23 +4434,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     younger rows and stays verified by ``python scripts/driver_sim.py``
     over ALL entries.
 
-    ROUND-10 rotation (the `_R10_WINDOW` reorder at the end of this
-    function, standing contract): (a) the 5 queries NEW this round
-    (the Greenplum control-plane statement sequence now executed live
-    over the PG wire session, the pure-wire Kafka consumer's
-    Fetch/ListOffsets frames + record-set decode, the YT schema-
-    attribute matrix + live-read range plan, and the EventHub/YDS
-    record adapters), (b) the 14 queries
-    whose implementation paths changed in round 10 (PG discovery key
-    fallbacks under pg_schema_discovery; the streaming ClickHouse read
-    plane + size-derived parts under clickhouse_read_plan /
-    clickhouse_decode / clickhouse_insert_plan; the hardened gpfdist
-    server under gpfdist_frames / gpfdist_plan; the one-exchange
-    bucketed merge + adaptive probe skip + commit-manifest refactor
-    under the cdc_merge/cdc_rebucket/replicate families; the
-    eager-materializing FTWRL fence behind snapshot_handoff), and (c)
-    the 31 oldest-green rows (7×r04 + 14×r05 + 10×r07) rotating back
-    into the official record. 5+14+31 = 50 exactly.
+    ROUND-11 rotation (the `_R11_WINDOW` reorder at the end of this
+    function, standing contract): (a) the 4 queries NEW this round
+    (the Kafka SASL/SCRAM + gzip wire security surface, the live
+    Confluent Schema Registry + Avro binary codec, the Mongo BSON
+    codec behind the new wire plane, and ClickHouse system.clusters
+    topology discovery), (b) the 20 queries whose implementation paths
+    changed in round 11 (the single-scan collapse + fused one-exchange
+    clustered merge + expression cache under the
+    cdc_collapse/cdc_merge/cdc_rebucket families; the idle-slot fence
+    guards behind snapshot_handoff and the mysql_select rows; the
+    kafkawire _lsn policy + mongowire format under the replicate rows;
+    the multi-host/leader-failover Kafka codecs under kafka_fetch_plan
+    / queue_adapters; the version-aware ClickHouse write default +
+    explicit-schema reads under the clickhouse rows; the
+    registry-backed parser/serializer under parser_confluent_sr /
+    serializer_confluent; the wire client factory under the mongo
+    rows), and (c) the 26 oldest-green r07 rows rotating back into the
+    official record. 4+20+26 = 50 exactly.
     """
     q = {
         # -- (a) NEW in round 9: wire-source schema discovery +
@@ -4626,64 +4627,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_json": q_parser_json,
         "parser_protobuf": q_parser_protobuf,
     }
-    _R10_WINDOW = [
-        "gp_control_plane",
-        "kafka_fetch_plan",
-        "yt_schema_map",
-        "yt_read_plan",
-        "queue_adapters",
-        "pg_schema_discovery",
-        "clickhouse_read_plan",
-        "clickhouse_decode",
-        "clickhouse_insert_plan",
-        "gpfdist_frames",
-        "gpfdist_plan",
-        "cdc_merge_bucketed",
-        "cdc_rebucket",
-        "cdc_merge_delta",
+    _R11_WINDOW = [
+        "kafka_sasl_plan",
+        "schema_registry_avro",
+        "mongo_bson_codec",
+        "clickhouse_topology",
+        "cdc_collapse",
         "cdc_merge",
+        "cdc_merge_bucketed",
+        "cdc_merge_delta",
+        "cdc_rebucket",
+        "snapshot_handoff",
+        "mysql_select_plan",
+        "mysql_select_decode",
         "replicate_yaml",
         "replicate_controls",
         "replicate_multi_table",
-        "snapshot_handoff",
-        "ann_sq8",
-        "bm25_rank",
-        "lm_familiarity",
-        "parser_json",
-        "parser_protobuf",
-        "table_splitter",
-        "token_count",
-        "filter_rows",
-        "jsonparser",
-        "lambda",
-        "mongo_pk_extender",
-        "number_to_float",
-        "parser_blank",
-        "parser_raw_to_table",
-        "parser_tskv",
-        "raw_doc_grouper",
-        "rename_tables",
-        "serializer_csv",
-        "skip_events",
-        "transform_chain",
-        "yt_dict",
-        "asof_join",
-        "audio_energy",
-        "convert_to_datetime",
-        "convert_to_string",
-        "dedup_incremental",
-        "dedup_minhash_lsh",
-        "delta_scan",
-        "embed_ann_pipeline",
-        "events_hourly_rollup",
-        "events_sliding_rollup",
+        "kafka_fetch_plan",
+        "queue_adapters",
+        "clickhouse_read_plan",
+        "clickhouse_decode",
+        "clickhouse_insert_plan",
+        "parser_confluent_sr",
+        "serializer_confluent",
+        "mongo_change_stream",
+        "mongo_id_ranges",
+        "oracle_rowid_plan",
+        "shard_fallback_plans",
+        "middleware_chain",
+        "mask_field",
+        "filter_columns",
+        "regex_replace",
+        "tpch_q5ish",
+        "tpch_q4ish",
+        "tpch_q14ish",
+        "tpch_q16ish",
+        "tpch_q7ish",
+        "tpch_q10ish",
+        "tpch_q22ish",
+        "tpch_q12ish",
+        "tpch_q15ish",
+        "tpch_q19ish",
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q6",
+        "tpch_q18ish",
+        "window_topk",
+        "salted_join",
+        "interval_join",
+        "percentile_stats",
+        "two_phase_agg",
+        "range_join",
     ]
-    assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
-    missing = [n for n in _R10_WINDOW if n not in q]
+    assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+    missing = [n for n in _R11_WINDOW if n not in q]
     assert not missing, f"window names drifted: {missing}"
     return {
-        **{n: q[n] for n in _R10_WINDOW},
-        **{n: f for n, f in q.items() if n not in set(_R10_WINDOW)},
+        **{n: q[n] for n in _R11_WINDOW},
+        **{n: f for n, f in q.items() if n not in set(_R11_WINDOW)},
     }
 
 
