@@ -499,10 +499,15 @@ def test_decode_rejects_compression_and_skips_control_batches():
     gz = with_attributes(plain, 0x01)
     with pytest.raises(ValueError, match="corrupt gzip"):
         decode_record_batch(gz)
-    # snappy lib absent in this container → remedy named
+    # snappy decodes pure-Python now — garbage payload fails naming
+    # the corruption, not a baffling record-length mismatch
     sn = with_attributes(plain, 0x02)
-    with pytest.raises(ValueError, match="python-snappy"):
+    with pytest.raises(ValueError, match="snappy"):
         decode_record_batch(sn)
+    # zstd is the one lib-gated codec (entropy coding) → remedy named
+    zs = with_attributes(plain, 0x04)
+    with pytest.raises(ValueError, match="zstandard"):
+        decode_record_batch(zs)
     ctrl = with_attributes(
         encode_record_batch([(b"\x00\x00\x00\x01", b"")], base_offset=1),
         0x20,
@@ -925,3 +930,309 @@ def test_compressed_produce_consume_e2e(spark, tmp_path):
         )
     finally:
         broker.close()
+
+
+def test_starting_offsets_by_timestamp():
+    """startingOffsetsByTimestamp parity: ListOffsets with a real ms
+    timestamp resolves each partition's first offset at/after it; a
+    partition with nothing at/after the timestamp starts at log-end."""
+    from transferia_spark.streaming.kafka_source import (
+        KafkaWireStreamReader,
+    )
+
+    r = KafkaWireStreamReader({
+        "bootstrap": "h:1", "topic": "t",
+        "starting_offsets_by_timestamp": "1700000000000",
+    })
+
+    class StubClient:
+        def list_offsets(self, topic, ts):
+            if ts == 1_700_000_000_000:
+                return {0: 7, 1: -1}
+            assert ts == -1
+            return {0: 100, 1: 50}
+
+    r._client = StubClient()
+    assert r.initialOffset() == {"0": 7, "1": 50}
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        KafkaWireStreamReader({
+            "bootstrap": "h:1", "topic": "t",
+            "starting_offsets": "earliest",
+            "starting_offsets_by_timestamp": "1700000000000",
+        })
+
+
+def test_include_headers_e2e(spark, tmp_path):
+    """include_headers=true appends the stock connector's headers
+    column; a headers-carrying producer round-trips through a broker
+    that retains them."""
+    from transferia_spark.sinks.kafka_wire import (
+        encode_record_batch,
+    )
+    from transferia_spark.streaming.kafka_source import (
+        KafkaWireDataSource,
+        kafka_wire_stream,
+    )
+
+    assert "headers" in KafkaWireDataSource(
+        {"include_headers": "true"}
+    ).schema()
+    assert "headers" not in KafkaWireDataSource({}).schema()
+
+    class HeaderBroker(LoopbackBroker):
+        def _produce(self, body, pos):
+            _txid, pos = _read_str(body, pos)
+            pos += 6
+            (n_topics,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            out = struct.pack(">i", n_topics)
+            for _ in range(n_topics):
+                topic, pos = _read_str(body, pos)
+                (n_parts,) = struct.unpack_from(">i", body, pos)
+                pos += 4
+                out += _enc_str(topic) + struct.pack(">i", n_parts)
+                for _p in range(n_parts):
+                    part, set_len = struct.unpack_from(">ii", body, pos)
+                    pos += 8
+                    batch = decode_record_batch(body[pos:pos + set_len])
+                    pos += set_len
+                    plog = self.log[topic][part]
+                    base = len(plog)
+                    for r in batch["records"]:
+                        plog.append(
+                            (r["key"], r["value"], r["timestamp"],
+                             r["headers"])
+                        )
+                    out += struct.pack(">ihqq", part, 0, base, -1)
+            return out + struct.pack(">i", 0)
+
+        def _fetch(self, body, pos):
+            pos += 17
+            (n_topics,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            out = struct.pack(">i", 0) + struct.pack(">i", n_topics)
+            for _ in range(n_topics):
+                topic, pos = _read_str(body, pos)
+                (n_parts,) = struct.unpack_from(">i", body, pos)
+                pos += 4
+                out += _enc_str(topic) + struct.pack(">i", n_parts)
+                for _p in range(n_parts):
+                    part, off, _pm = struct.unpack_from(">iqi", body, pos)
+                    pos += 16
+                    plog = self.log[topic][part]
+                    hw = len(plog)
+                    if off < hw:
+                        rec_set = encode_record_batch(
+                            [(k, v) for k, v, _t, _h in plog[off:]],
+                            base_offset=off,
+                            base_timestamp=plog[off][2],
+                            headers_per_record=[
+                                h for _k, _v, _t, h in plog[off:]
+                            ],
+                        )
+                    else:
+                        rec_set = b""
+                    out += struct.pack(">ihqq", part, 0, hw, hw)
+                    out += struct.pack(">i", 0)
+                    out += struct.pack(">i", len(rec_set)) + rec_set
+            return out
+
+    broker = HeaderBroker({"h": 1})
+    try:
+        # produce records WITH headers straight through the socket
+        from transferia_spark.sinks.kafka_wire import (
+            encode_produce_request,
+        )
+
+        batch = encode_record_batch(
+            [(b"k1", b"v1"), (b"k2", b"v2")],
+            base_timestamp=1_700_000_000_000,
+            headers_per_record=[
+                [("trace", b"abc"), ("null_h", None)], [],
+            ],
+        )
+        s = socket.create_connection(("127.0.0.1", broker.port), 10)
+        s.sendall(encode_produce_request("h", {0: batch}))
+        s.recv(4096)
+        s.close()
+
+        stream = kafka_wire_stream(
+            spark, f"127.0.0.1:{broker.port}", "h",
+            starting_offsets="earliest", include_headers="true",
+        )
+        assert "headers" in stream.columns
+        q = (
+            stream.writeStream.format("memory").queryName("hdr_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        rows = {bytes(r.key).decode(): r
+                for r in spark.sql("SELECT * FROM hdr_sink").collect()}
+        h1 = {h.key: (bytes(h.value) if h.value is not None else None)
+              for h in rows["k1"].headers}
+        assert h1 == {"trace": b"abc", "null_h": None}
+        assert rows["k2"].headers == []
+    finally:
+        broker.close()
+
+
+def _snappy_literal_compress(data: bytes) -> bytes:
+    """Valid snappy with literal-only elements (the spec permits any
+    element mix) — the test-side encoder for round trips."""
+    from transferia_spark.parsers.protowire import encode_varint
+
+    out = bytearray(encode_varint(len(data)))
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos:pos + 60]
+        out += bytes([(len(chunk) - 1) << 2]) + chunk
+        pos += len(chunk)
+    return bytes(out)
+
+
+def test_pure_python_snappy_decode():
+    from transferia_spark.parsers.protowire import encode_varint
+    from transferia_spark.sinks.kafka_wire import snappy_decompress
+
+    # literal-only round trip incl. the 1-byte extended length form
+    data = bytes(range(256)) * 3
+    assert snappy_decompress(_snappy_literal_compress(data)) == data
+    # extended literal: tag 60 (1 extra len byte), 100 bytes
+    payload = b"x" * 100
+    raw = encode_varint(100) + bytes([60 << 2, 99]) + payload
+    assert snappy_decompress(raw) == payload
+    # copy1 element: "abc" + copy(len 9, offset 3) = RLE of "abc"
+    raw = (
+        encode_varint(12)
+        + bytes([(3 - 1) << 2]) + b"abc"
+        + bytes([((9 - 4) << 2) | 1, 3])
+    )
+    assert snappy_decompress(raw) == b"abcabcabcabc"
+    # copy2 element with non-overlapping offset
+    raw = (
+        encode_varint(8)
+        + bytes([(4 - 1) << 2]) + b"wxyz"
+        + bytes([((4 - 1) << 2) | 2]) + (4).to_bytes(2, "little")
+    )
+    assert snappy_decompress(raw) == b"wxyzwxyz"
+    # corruption is loud
+    with pytest.raises(ValueError, match="corrupt snappy"):
+        snappy_decompress(encode_varint(5) + bytes([1, 9]))  # bad offset
+    with pytest.raises(ValueError, match="expected"):
+        snappy_decompress(encode_varint(99) + bytes([(3 - 1) << 2]) + b"abc")
+
+
+def _lz4_literal_block(data: bytes) -> bytes:
+    """One LZ4 block holding only literals (valid last sequence)."""
+    lit = len(data)
+    if lit < 15:
+        return bytes([lit << 4]) + data
+    out = bytearray([15 << 4])
+    rest = lit - 15
+    while rest >= 255:
+        out.append(255)
+        rest -= 255
+    out.append(rest)
+    return bytes(out) + data
+
+
+def _lz4_frame(blocks: list[tuple[bool, bytes]]) -> bytes:
+    """Minimal LZ4 frame: FLG v1 (linked blocks, no checksums/size),
+    BD 64KB, dummy HC byte; blocks = [(is_uncompressed, payload)]."""
+    out = bytearray((0x184D2204).to_bytes(4, "little"))
+    out += bytes([0x40, 0x40, 0x00])  # FLG, BD, HC (HC not verified)
+    for uncompressed, payload in blocks:
+        size = len(payload) | (0x80000000 if uncompressed else 0)
+        out += size.to_bytes(4, "little") + payload
+    out += (0).to_bytes(4, "little")  # EndMark
+    return bytes(out)
+
+
+def test_pure_python_lz4_decode():
+    from transferia_spark.sinks.kafka_wire import (
+        _lz4_block_into,
+        lz4_frame_decompress,
+    )
+
+    # literal-only block round trip (incl. extended literal length)
+    data = b"The quick brown fox jumps over the lazy dog" * 10
+    frame = _lz4_frame([(False, _lz4_literal_block(data))])
+    assert lz4_frame_decompress(frame) == data
+
+    # block with a match sequence: 5 literals + match(offset 5, len 5)
+    blk = bytes([(5 << 4) | (5 - 4)]) + b"hello" + (5).to_bytes(2, "little")
+    out = bytearray()
+    _lz4_block_into(out, blk)
+    assert bytes(out) == b"hellohello"
+
+    # overlapping match = run extension: 1 literal + offset 1, len 8
+    blk = bytes([(1 << 4) | (8 - 4)]) + b"z" + (1).to_bytes(2, "little")
+    out = bytearray()
+    _lz4_block_into(out, blk)
+    assert bytes(out) == b"z" * 9
+
+    # LINKED blocks: second block's match reaches the FIRST block's
+    # output (offset 5 over empty literals)
+    blk2 = bytes([(0 << 4) | (5 - 4)]) + (5).to_bytes(2, "little")
+    frame = _lz4_frame([
+        (False, _lz4_literal_block(b"hello")), (False, blk2),
+    ])
+    assert lz4_frame_decompress(frame) == b"hellohello"
+
+    # uncompressed (high-bit) blocks pass through
+    frame = _lz4_frame([(True, b"raw bytes")])
+    assert lz4_frame_decompress(frame) == b"raw bytes"
+
+    with pytest.raises(ValueError, match="frame magic"):
+        lz4_frame_decompress(b"\x00\x00\x00\x00rest")
+
+
+def test_compressed_record_batch_snappy_lz4_paths():
+    """A RecordBatch v2 whose records region is snappy (xerial-framed
+    AND raw) or lz4-frame compressed decodes through the pure-Python
+    fallbacks — no codec lib in this container."""
+    import struct as _struct
+
+    from transferia_spark.sinks.kafka_wire import (
+        _XERIAL_MAGIC,
+        crc32c,
+    )
+
+    plain = encode_record_batch(
+        [(b"k1", b"v1"), (None, b"v2")], base_offset=3,
+        base_timestamp=1_700_000_000_000,
+    )
+    tail = plain[21:]
+    recs = tail[40:]
+
+    def rebuild(codec: int, compressed: bytes) -> bytes:
+        new_tail = bytearray(tail[:40]) + compressed
+        _struct.pack_into(">h", new_tail, 0, codec)
+        body = (
+            plain[12:17]  # partitionLeaderEpoch + magic
+            + _struct.pack(">I", crc32c(bytes(new_tail)))
+            + bytes(new_tail)
+        )
+        return (
+            plain[:8] + _struct.pack(">i", len(body)) + body
+        )
+
+    def check(batch):
+        out = decode_record_batch(batch)
+        assert [(r["offset"], r["key"], r["value"])
+                for r in out["records"]] == [
+            (3, b"k1", b"v1"), (4, None, b"v2"),
+        ]
+
+    check(rebuild(2, _snappy_literal_compress(recs)))  # raw snappy
+    xerial = (
+        _XERIAL_MAGIC + (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        + _struct.pack(">i", len(_snappy_literal_compress(recs)))
+        + _snappy_literal_compress(recs)
+    )
+    check(rebuild(2, xerial))
+    check(rebuild(3, _lz4_frame(
+        [(False, _lz4_literal_block(recs))]
+    )))

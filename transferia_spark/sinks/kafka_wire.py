@@ -88,6 +88,140 @@ def read_zigzag(data: bytes, pos: int) -> tuple[int, int]:
 CODEC_NAMES = {0: None, 1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
 _XERIAL_MAGIC = b"\x82SNAPPY\x00"
 
+# decode coverage: gzip (stdlib), snappy + lz4 (pure-Python block/frame
+# decoders below, C libs win when installed), zstd (lib-gated — its
+# FSE/huffman entropy stage is not reasonably re-implementable here)
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Pure-Python raw-snappy DECODE (the public block format:
+    varint uncompressed length, then literal/copy tagged elements) —
+    consuming snappy topics must not require python-snappy; when the
+    lib is present it wins (C speed), this is the always-available
+    fallback. Encode stays lib-gated (produce gzip instead)."""
+    n, pos = read_varint(data, 0)
+    out = bytearray()
+    end = len(data)
+    while pos < end:
+        tag = data[pos]
+        pos += 1
+        t = tag & 3
+        if t == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                ln = int.from_bytes(data[pos:pos + nb], "little")
+                pos += nb
+            ln += 1
+            out += data[pos:pos + ln]
+            pos += ln
+            continue
+        if t == 1:
+            ln = ((tag >> 2) & 7) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif t == 2:
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("corrupt snappy: copy offset out of range")
+        if off >= ln:
+            start = len(out) - off
+            out += out[start:start + ln]
+        else:  # overlapping copy = run extension, byte-serial
+            for _ in range(ln):
+                out.append(out[-off])
+    if len(out) != n:
+        raise ValueError(
+            f"corrupt snappy: expected {n} bytes, got {len(out)}"
+        )
+    return bytes(out)
+
+
+_LZ4_MAGIC = 0x184D2204
+
+
+def _lz4_block_into(out: bytearray, data: bytes) -> None:
+    """LZ4 block format into a shared history buffer (linked-block
+    frames let matches reach into previous blocks' output)."""
+    pos = 0
+    end = len(data)
+    while pos < end:
+        token = data[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = data[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        out += data[pos:pos + lit]
+        pos += lit
+        if pos >= end:
+            break  # last sequence carries literals only
+        off = int.from_bytes(data[pos:pos + 2], "little")
+        pos += 2
+        if off == 0 or off > len(out):
+            raise ValueError("corrupt lz4: match offset out of range")
+        ml = token & 15
+        if ml == 15:
+            while True:
+                b = data[pos]
+                pos += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        if off >= ml:
+            start = len(out) - off
+            out += out[start:start + ml]
+        else:
+            for _ in range(ml):
+                out.append(out[-off])
+
+
+def lz4_frame_decompress(data: bytes) -> bytes:
+    """Pure-Python LZ4 Frame DECODE (magic, FLG/BD descriptor,
+    size-prefixed blocks; checksums skipped, not verified — the
+    record batch's own CRC-32C covers integrity). Linked blocks
+    supported via the shared history buffer."""
+    if int.from_bytes(data[:4], "little") != _LZ4_MAGIC:
+        raise ValueError("corrupt lz4: bad frame magic")
+    flg = data[4]
+    if flg >> 6 != 1:
+        raise ValueError(f"unsupported lz4 frame version {flg >> 6}")
+    pos = 6  # magic + FLG + BD
+    if (flg >> 3) & 1:  # content size present
+        pos += 8
+    if flg & 1:  # dictionary id present
+        pos += 4
+    pos += 1  # header checksum byte
+    block_checksum = (flg >> 4) & 1
+    out = bytearray()
+    while True:
+        size = int.from_bytes(data[pos:pos + 4], "little")
+        pos += 4
+        if size == 0:
+            break  # EndMark
+        uncompressed = size >> 31
+        size &= 0x7FFFFFFF
+        block = data[pos:pos + size]
+        pos += size
+        if block_checksum:
+            pos += 4
+        if uncompressed:
+            out += block
+        else:
+            _lz4_block_into(out, block)
+    return bytes(out)
+
 
 def decompress_records(codec: int, data: bytes) -> bytes:
     if codec == 1:
@@ -99,12 +233,13 @@ def decompress_records(codec: int, data: bytes) -> bytes:
             raise ValueError(f"corrupt gzip record payload: {e}") from e
     if codec == 2:
         try:
-            import snappy
+            import snappy  # C fast path when present
         except ImportError:
-            raise ValueError(
-                "record batch uses snappy compression; pip install "
-                "python-snappy to consume it (or produce gzip)"
-            ) from None
+            snappy = None
+        raw = (
+            snappy.decompress if snappy is not None
+            else snappy_decompress
+        )
         if data[: len(_XERIAL_MAGIC)] == _XERIAL_MAGIC:
             # the Java client's xerial block framing: 16-byte header,
             # then [int32 len][snappy block]...
@@ -113,18 +248,15 @@ def decompress_records(codec: int, data: bytes) -> bytes:
             while pos + 4 <= len(data):
                 (ln,) = struct.unpack_from(">i", data, pos)
                 pos += 4
-                out += snappy.decompress(data[pos:pos + ln])
+                out += raw(data[pos:pos + ln])
                 pos += ln
             return bytes(out)
-        return snappy.decompress(data)
+        return raw(data)
     if codec == 3:
         try:
-            import lz4.frame
+            import lz4.frame  # C fast path when present
         except ImportError:
-            raise ValueError(
-                "record batch uses lz4 compression; pip install lz4 "
-                "to consume it (or produce gzip)"
-            ) from None
+            return lz4_frame_decompress(data)
         return lz4.frame.decompress(data)
     if codec == 4:
         try:
@@ -693,6 +825,8 @@ def decode_metadata_response(body: bytes) -> dict:
 
 __all__ = [
     "crc32c",
+    "snappy_decompress",
+    "lz4_frame_decompress",
     "write_varint",
     "read_zigzag",
     "encode_record",

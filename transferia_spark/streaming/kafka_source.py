@@ -36,6 +36,10 @@ KAFKA_MIRROR_DDL = (
     "key binary, value binary, topic string, partition int, "
     "offset long, timestamp timestamp"
 )
+#: appended when include_headers=true — the stock connector's shape
+KAFKA_HEADERS_DDL = (
+    ", headers array<struct<key: string, value: binary>>"
+)
 
 SASL_MECHANISMS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
 
@@ -449,6 +453,23 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 f"starting_offsets must be 'earliest', 'latest' or a "
                 f"JSON offsets object, got {self.starting!r}"
             )
+        # offsets-by-timestamp start (the stock connector's
+        # startingOffsetsByTimestamp): ListOffsets with a real ms
+        # timestamp resolves each partition's first offset at/after it
+        bts = options.get("starting_offsets_by_timestamp")
+        self.start_ts_ms = int(bts) if bts is not None else None
+        if self.start_ts_ms is not None and (
+            self.explicit_start is not None
+            or str(options.get("starting_offsets", "")).strip()
+            not in ("", "latest")
+        ):
+            raise ValueError(
+                "starting_offsets and starting_offsets_by_timestamp "
+                "are mutually exclusive"
+            )
+        self.include_headers = str(
+            options.get("include_headers", "false")
+        ).lower() in ("true", "1", "yes")
         mx = options.get("max_records_per_batch")
         self.max_records = int(mx) if mx is not None else None
         self.timeout = float(options.get("timeout", 30.0))
@@ -466,7 +487,20 @@ class KafkaWireStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         ts = -2 if self.starting == "earliest" else -1
-        offs = self._driver_client().list_offsets(self.topic, ts)
+        if self.start_ts_ms is not None:
+            offs = self._driver_client().list_offsets(
+                self.topic, self.start_ts_ms
+            )
+            if any(o < 0 for o in offs.values()):
+                # -1 = no message at/after the timestamp in that
+                # partition → start at log-end (stock behavior)
+                ends = self._driver_client().list_offsets(self.topic, -1)
+                offs = {
+                    p: (o if o >= 0 else ends[p])
+                    for p, o in offs.items()
+                }
+        else:
+            offs = self._driver_client().list_offsets(self.topic, ts)
         if self.explicit_start is not None:
             earliest = None
             for p in offs:
@@ -590,6 +624,13 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                         datetime.fromtimestamp(
                             rec["timestamp"] / 1000.0, tz=timezone.utc
                         ),
+                        *(
+                            ([
+                                (hk, hv)
+                                for hk, hv in rec.get("headers") or []
+                            ],)
+                            if self.include_headers else ()
+                        ),
                     )
                     off = rec["offset"] + 1
                 if nxt is not None and nxt > off:
@@ -622,7 +663,12 @@ class KafkaWireDataSource(DataSource):
         return "kafkawire"
 
     def schema(self) -> str:
-        return KAFKA_MIRROR_DDL
+        ddl = KAFKA_MIRROR_DDL
+        if str(self.options.get("include_headers", "false")).lower() in (
+            "true", "1", "yes"
+        ):
+            ddl += KAFKA_HEADERS_DDL
+        return ddl
 
     def streamReader(self, schema: T.StructType) -> KafkaWireStreamReader:
         return KafkaWireStreamReader(self.options)
@@ -749,6 +795,7 @@ class KafkaWireTransport:
 
 
 __all__ = [
+    "KAFKA_HEADERS_DDL",
     "KAFKA_MIRROR_DDL",
     "KafkaFetchClient",
     "KafkaFetchError",
