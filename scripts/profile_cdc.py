@@ -86,6 +86,8 @@ def main() -> None:
             "c_custkey long, c_name string, c_acctbal double"))
         .option("path", wal)
         .option("ack_file", os.path.join(tmp, "ack.json"))
+        .option("decode_splits",
+                os.environ.get("PROFILE_SPLITS", "8"))
         .option(
             "max_events_per_batch",
             str(max(1, len(backlog) // n_batches)),

@@ -1085,3 +1085,64 @@ def test_wal_planner_decodes_each_file_once(spark, tmp_path):
                             "columns": [{"name": "id", "value": 2}]}
                            ).encode() + b"\n")
     assert reader.latestOffset() == {"lsn": 120}
+
+
+def test_split_decode_slices_are_equivalent(spark, tmp_path):
+    """attach_split_slices (r11): a big planned range splits into
+    parallel sub-slices at seek-checkpoint LSN boundaries — the union
+    of the sub-slices' rows is EXACTLY the single-slice read
+    (payloads, ops, lsns AND counters), including multi-event
+    transactions and one >512-line transaction spanning checkpoint
+    boundaries."""
+    import json as _json
+    from collections import Counter
+
+    from transferia_spark.streaming.wal_source import (
+        WalJsonStreamReader,
+        wal_output_schema,
+    )
+
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    lines = []
+    lsn = 0
+    rows = 0
+    while rows < 4000:
+        lsn += 1
+        per_tx = 1 + (lsn % 5)
+        if lsn == 40:
+            per_tx = 1200  # giant tx: same lsn across >2 checkpoints
+        for i in range(per_tx):
+            lines.append(_json.dumps({
+                "action": "I", "lsn": lsn,
+                "columns": [
+                    {"name": "id", "value": rows},
+                    {"name": "v", "value": f"r{rows}"},
+                ],
+            }))
+            rows += 1
+    (wal / "000.jsonl").write_text("\n".join(lines) + "\n")
+    schema = wal_output_schema("id long, v string")
+
+    def collect(splits, lo, hi):
+        r = WalJsonStreamReader(schema, {
+            "path": str(wal), "decode_splits": str(splits),
+        })
+        r.latestOffset()  # builds scan cache + seek index
+        parts = r.partitions({"lsn": lo}, {"lsn": hi})
+        return parts, [t for p in parts for t in r.read(p)]
+
+    hi = lsn
+    for lo in (0, 37, 40):  # incl. a start INSIDE the giant tx
+        p1, rows1 = collect(1, lo, hi)
+        assert len(p1) == 1
+        p8, rows8 = collect(8, lo, hi)
+        assert len(p8) >= 3, f"expected splits at lo={lo}"
+        # sub-ranges tile (lo, hi] exactly
+        assert p8[0].start_lsn == lo and p8[-1].end_lsn == hi
+        for a, b in zip(p8, p8[1:]):
+            assert a.end_lsn == b.start_lsn
+        assert Counter(map(repr, rows8)) == Counter(map(repr, rows1))
+    # small ranges don't shred into tiny tasks
+    psm, _ = collect(8, 0, 3)
+    assert len(psm) == 1

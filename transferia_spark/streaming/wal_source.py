@@ -275,6 +275,62 @@ def attach_seek_hints(files, lo, seek_index, make_slice):
     return out
 
 
+def attach_split_slices(
+    files, lo, hi, seek_index, make_slice, max_splits: int,
+):
+    """:func:`attach_seek_hints` + WITHIN-FILE parallel decode: an
+    ordered file's planned ``(lo, hi]`` range splits at sparse seek-
+    checkpoint boundaries into up to ``max_splits`` sub-slices, each
+    an independent executor task — without this, one capture file is
+    ONE task no matter how big the batch, so a catch-up batch decodes
+    single-threaded while the cluster idles (the 100 TB failure mode;
+    locally it single-threads the bulk path).
+
+    Correctness: ``make_slice(f, sub_lo, sub_hi, start_byte, ordered)``
+    sub-ranges tile (lo, hi] exactly at checkpoint POSITIONS, and each
+    boundary's seek byte is at-or-before the first line of every
+    position above it (ordered-file proof, same as the start hint), so
+    no line is skipped and boundary-position lines re-read filtered.
+    Counters stay exact because they are per-position (reset on every
+    position change) and each sub-slice sees every line of the
+    positions it OWNS. Only position-ordered files split; unordered
+    ones fall back to the single whole-range slice."""
+    import bisect
+
+    if len(seek_index) > 2 * len(files) + 64:
+        live = set(files)
+        for k in [k for k in seek_index if k not in live]:
+            del seek_index[k]
+    out = []
+    for f in files:
+        ckpts, ordered = seek_index.get(f, ([], False))
+        sb = 0
+        if ordered and ckpts:
+            keys = [c[0] for c in ckpts]
+            i = bisect.bisect_right(keys, lo) - 1
+            if i >= 0:
+                sb = ckpts[i][1]
+            inner = [
+                c for c in ckpts[max(i, 0):bisect.bisect_right(keys, hi)]
+                if lo < c[0] < hi
+            ]
+            # ≥2 checkpoints (~2×SEEK_CHECKPOINT_EVERY rows) per slice
+            # so splits never shred a small batch into tiny tasks
+            n_slices = min(max_splits, (len(inner) + 1) // 2)
+            if n_slices > 1:
+                step = max(1, (len(inner) + 1) // n_slices)
+                cur_lo, cur_sb = lo, sb
+                for bp, bbyte in inner[step - 1::step]:
+                    if bp == cur_lo:
+                        continue  # >512-line tx: duplicate boundary
+                    out.append(make_slice(f, cur_lo, bp, cur_sb, True))
+                    cur_lo, cur_sb = bp, bbyte
+                out.append(make_slice(f, cur_lo, hi, cur_sb, True))
+                continue
+        out.append(make_slice(f, lo, hi, sb, ordered))
+    return out
+
+
 def prune_committed_files(cache: OffsetScanCache, files, end) -> int:
     """Slot-trim analog (≈ the reference letting the server trim the
     slot at the acked LSN): delete recorded files whose every position
@@ -309,6 +365,10 @@ class WalJsonStreamReader(DataSourceStreamReader):
         # advance at most this many LSNs per planned batch
         mx = options.get("max_events_per_batch")
         self.max_events = int(mx) if mx is not None else None
+        # within-file parallel decode (attach_split_slices): a planned
+        # range splits into up to this many executor tasks at seek-
+        # checkpoint boundaries; 1 = one task per file (old behavior)
+        self.decode_splits = max(1, int(options.get("decode_splits", 8)))
         # _base floors latestOffset() so bounded catch-up never plans an
         # end below an already-planned one. In-memory alone it is LOST
         # on a query restart — a fresh reader would re-base on start_lsn
@@ -393,9 +453,10 @@ class WalJsonStreamReader(DataSourceStreamReader):
         ]
         if not files:
             return [_FileSlice("", lo, hi)]
-        return attach_seek_hints(
-            files, lo, self._seek_index,
-            lambda f, sb, o: _FileSlice(f, lo, hi, sb, o),
+        return attach_split_slices(
+            files, lo, hi, self._seek_index,
+            lambda f, slo, shi, sb, o: _FileSlice(f, slo, shi, sb, o),
+            max_splits=self.decode_splits,
         )
 
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
