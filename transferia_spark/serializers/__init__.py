@@ -141,27 +141,63 @@ def avro_serializer(
         from transferia_spark.parsers.schema_registry import AvroCodec
 
         codec = AvroCodec(schema_json)
+        # per-field accepted primitive names from the PARSED writer
+        # schema — the coercions below are schema-driven, not guessed
+        accepts: dict[str, set] = {}
+        if codec.schema.get("type") == "record":
+            for name, fs in codec.schema["fields"]:
+                ts = (
+                    {b["type"] for b in fs["branches"]}
+                    if fs["type"] == "union" else {fs["type"]}
+                )
+                accepts[name] = ts
 
-        def py(v):
+        def py(v, col=None):
             # numpy scalars / pandas NA → Python natives (the codec
             # type-dispatches on exact native types)
-            if v is None or (isinstance(v, float) and v != v):
+            if v is None or v is pd.NaT or v is pd.NA:
                 return None
-            if v is pd.NaT or v is pd.NA:
+            if isinstance(v, float) and v != v:
                 return None
-            return v.item() if hasattr(v, "item") else v
+            ts = accepts.get(col, set())
+            if isinstance(v, pd.Timestamp):
+                # Arrow hands timestamps as pd.Timestamp; the writer
+                # schema decides the carrier (timestamp-millis long or
+                # ISO string) — code-review r11 pass 2
+                if ts & {"long", "int"}:
+                    return int(v.value // 1_000_000)  # epoch millis
+                if "string" in ts:
+                    return v.isoformat()
+                raise ValueError(
+                    f"column {col!r} is a timestamp but the writer "
+                    f"schema accepts {sorted(ts)} — use long "
+                    "(timestamp-millis) or string"
+                )
+            v = v.item() if hasattr(v, "item") else v
+            if (
+                isinstance(v, float)
+                and v.is_integer()
+                and ts & {"long", "int"}
+                and not ts & {"double", "float"}
+            ):
+                # a nullable int/long column reaches pandas as float64
+                # (Arrow NULL coercion) — restore the integer the
+                # schema demands (code-review r11 pass 2)
+                return int(v)
+            return v
 
         for pdf in batches:
             recs = pdf[payload].to_dict("records")
             vals = [
-                codec.encode({k: py(v) for k, v in r.items()})
+                codec.encode({k: py(v, k) for k, v in r.items()})
                 for r in recs
             ]
             out = {}
             if with_key:
                 out["key"] = [
                     _json.dumps(
-                        {k: py(r[k]) for k in key_cols}
+                        {k: py(r[k], k) for k in key_cols},
+                        default=str,
                     ).encode()
                     for r in recs
                 ]
@@ -192,6 +228,8 @@ def confluent_sr_serializer(
     call, idempotent server-side) and the returned id frames every row;
     a pre-resolved ``schema_id`` skips the control plane. Round-trips
     through the parser: frame → (_schema_id, body)."""
+    schema_type = schema_type.upper()  # 'avro' would register as-is
+    #                                    and real registries 422 it
     if schema_id is None:
         if not (registry_url and subject and schema_json):
             raise ValueError(
@@ -206,7 +244,7 @@ def confluent_sr_serializer(
             registry_url, auth=registry_auth
         ).register_schema(subject, schema_json, schema_type)
     if (
-        schema_type.upper() == "AVRO"
+        schema_type == "AVRO"
         and body is json_serializer
         and schema_json
     ):

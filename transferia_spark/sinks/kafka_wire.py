@@ -148,7 +148,16 @@ _LZ4_MAGIC = 0x184D2204
 
 def _lz4_block_into(out: bytearray, data: bytes) -> None:
     """LZ4 block format into a shared history buffer (linked-block
-    frames let matches reach into previous blocks' output)."""
+    frames let matches reach into previous blocks' output). Truncated
+    sequences surface as the module's 'corrupt lz4' ValueError, never
+    a bare IndexError (code-review r11 pass 2)."""
+    try:
+        _lz4_block_into_unchecked(out, data)
+    except IndexError:
+        raise ValueError("corrupt lz4: truncated block") from None
+
+
+def _lz4_block_into_unchecked(out: bytearray, data: bytes) -> None:
     pos = 0
     end = len(data)
     while pos < end:
@@ -206,6 +215,10 @@ def lz4_frame_decompress(data: bytes) -> bytes:
     block_checksum = (flg >> 4) & 1
     out = bytearray()
     while True:
+        if pos + 4 > len(data):
+            # int.from_bytes(b'') == 0 would read as EndMark and
+            # silently return partial output (code-review r11 pass 2)
+            raise ValueError("corrupt lz4: truncated frame (no EndMark)")
         size = int.from_bytes(data[pos:pos + 4], "little")
         pos += 4
         if size == 0:
@@ -213,6 +226,8 @@ def lz4_frame_decompress(data: bytes) -> bytes:
         uncompressed = size >> 31
         size &= 0x7FFFFFFF
         block = data[pos:pos + size]
+        if len(block) != size:
+            raise ValueError("corrupt lz4: truncated block payload")
         pos += size
         if block_checksum:
             pos += 4

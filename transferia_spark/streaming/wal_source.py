@@ -249,20 +249,25 @@ def positions_with_seek_index(f, extract_pos, seek_index, dead_letter):
     seek_index[f] = (ckpts, ordered)
 
 
+def _evict_seek_index(seek_index, files) -> None:
+    """Bound the seek index to live files (the same eviction contract
+    as the scan cache — entries for pruned capture files must not
+    accumulate for the stream's lifetime)."""
+    if len(seek_index) > 2 * len(files) + 64:
+        live = set(files)
+        for k in [k for k in seek_index if k not in live]:
+            del seek_index[k]
+
+
 def attach_seek_hints(files, lo, seek_index, make_slice):
     """One partition per file via ``make_slice(f, start_byte, ordered)``
     with the byte hint for ``lo`` (only on planner-proven
     position-ordered files: the last checkpoint at-or-below ``lo`` —
     every earlier line is <= its position <= lo, so nothing in the
-    batch is skipped). Also bounds the seek index to live files (the
-    same eviction contract as the scan cache — entries for pruned
-    capture files must not accumulate for the stream's lifetime)."""
+    batch is skipped)."""
     import bisect
 
-    if len(seek_index) > 2 * len(files) + 64:
-        live = set(files)
-        for k in [k for k in seek_index if k not in live]:
-            del seek_index[k]
+    _evict_seek_index(seek_index, files)
     out = []
     for f in files:
         ckpts, ordered = seek_index.get(f, ([], False))
@@ -297,10 +302,7 @@ def attach_split_slices(
     ones fall back to the single whole-range slice."""
     import bisect
 
-    if len(seek_index) > 2 * len(files) + 64:
-        live = set(files)
-        for k in [k for k in seek_index if k not in live]:
-            del seek_index[k]
+    _evict_seek_index(seek_index, files)
     out = []
     for f in files:
         ckpts, ordered = seek_index.get(f, ([], False))
@@ -318,9 +320,14 @@ def attach_split_slices(
             # so splits never shred a small batch into tiny tasks
             n_slices = min(max_splits, (len(inner) + 1) // 2)
             if n_slices > 1:
-                step = max(1, (len(inner) + 1) // n_slices)
+                # exactly ≤ max_splits slices: n_slices-1 boundaries
+                # (the naive stride over-emitted up to ~40% more
+                # tasks than the option promised, code-review r11
+                # pass 2)
+                step = max(1, -(-(len(inner) + 1) // n_slices))
+                bounds = inner[step - 1::step][: n_slices - 1]
                 cur_lo, cur_sb = lo, sb
-                for bp, bbyte in inner[step - 1::step]:
+                for bp, bbyte in bounds:
                     if bp == cur_lo:
                         continue  # >512-line tx: duplicate boundary
                     out.append(make_slice(f, cur_lo, bp, cur_sb, True))
