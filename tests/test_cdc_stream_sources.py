@@ -1146,3 +1146,76 @@ def test_split_decode_slices_are_equivalent(spark, tmp_path):
     # small ranges don't shred into tiny tasks
     psm, _ = collect(8, 0, 3)
     assert len(psm) == 1
+
+
+def test_split_decode_binlog_and_change_stream_equivalence(
+    spark, tmp_path
+):
+    """The binlog and change-stream readers split the same way — and a
+    fortiori safely: row_idx / resume-token order ride IN the events,
+    nothing is scan-assigned."""
+    import json as _json
+    from collections import Counter
+
+    from transferia_spark.streaming.cdc_sources import (
+        BinlogJsonStreamReader,
+        ChangeStreamJsonStreamReader,
+        binlog_output_schema,
+        change_stream_output_schema,
+        format_resume_token,
+    )
+
+    # binlog: 3000 events over distinct positions
+    bdir = tmp_path / "binlog"
+    bdir.mkdir()
+    with open(bdir / "000.jsonl", "w") as f:
+        for i in range(3000):
+            f.write(_json.dumps({
+                "action": "insert", "log_file": "binlog.000001",
+                "log_pos": 100 + i, "row_idx": i % 3,
+                "schema": "d", "table": "t",
+                "after": {"id": i},
+            }) + "\n")
+
+    def collect(cls, schema, path, splits, lo_d, hi_d):
+        r = cls(schema, {"path": path, "decode_splits": str(splits)})
+        r.latestOffset()
+        parts = r.partitions(lo_d, hi_d)
+        return parts, [t for p in parts for t in r.read(p)]
+
+    bs = binlog_output_schema("id long")
+    hi = 10**12 + 100 + 2999
+    p1, r1 = collect(
+        BinlogJsonStreamReader, bs, str(bdir), 1,
+        {"lsn": 0}, {"lsn": hi},
+    )
+    p8, r8 = collect(
+        BinlogJsonStreamReader, bs, str(bdir), 8,
+        {"lsn": 0}, {"lsn": hi},
+    )
+    assert len(p1) == 1 and len(p8) > 1
+    assert Counter(map(repr, r8)) == Counter(map(repr, r1))
+
+    # change stream: tuple positions from real resume tokens
+    cdir = tmp_path / "cs"
+    cdir.mkdir()
+    with open(cdir / "000.jsonl", "w") as f:
+        for i in range(3000):
+            f.write(_json.dumps({
+                "_id": {"_data": format_resume_token(
+                    1_700_000_000 + i // 4, i % 4)},
+                "operationType": "insert",
+                "documentKey": {"_id": i},
+                "fullDocument": {"_id": i, "v": f"x{i}"},
+            }) + "\n")
+    cs = change_stream_output_schema("_id long, v string")
+    lo_d = {"ts": 0, "order": -1}
+    hi_d = {"ts": 1_700_000_000 + 3000 // 4, "order": 99}
+    p1, r1 = collect(
+        ChangeStreamJsonStreamReader, cs, str(cdir), 1, lo_d, hi_d
+    )
+    p8, r8 = collect(
+        ChangeStreamJsonStreamReader, cs, str(cdir), 8, lo_d, hi_d
+    )
+    assert len(p1) == 1 and len(p8) > 1
+    assert Counter(map(repr, r8)) == Counter(map(repr, r1))

@@ -102,6 +102,29 @@ def _attach_seek_hints(files, lo, seek_index, start, end):
     )
 
 
+def _attach_split_slices(
+    files, lo, hi, seek_index, start, end, to_pos_dict, max_splits
+):
+    """Within-file parallel decode for the binlog/change-stream
+    readers (same machinery as the waljson reader — see
+    wal_source.attach_split_slices). Safe here a fortiori: these
+    events CARRY their sub-position (binlog row_idx / resume-token
+    order), nothing is scan-assigned, so any boundary placement keeps
+    every emitted tuple identical."""
+    from transferia_spark.streaming.wal_source import attach_split_slices
+
+    return attach_split_slices(
+        files, lo, hi, seek_index,
+        lambda f, slo, shi, sb, o: _FileSlice(
+            f,
+            start if slo == lo else to_pos_dict(slo),
+            end if shi == hi else to_pos_dict(shi),
+            sb, o,
+        ),
+        max_splits,
+    )
+
+
 # --------------------------------------------------------------- MySQL
 
 
@@ -147,6 +170,10 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         # memory-bounded micro-batches instead of one giant batch
         mx = options.get("max_events_per_batch")
         self.max_events = int(mx) if mx is not None else None
+        # within-file parallel decode (wal_source.attach_split_slices)
+        self.decode_splits = max(
+            1, int(options.get("decode_splits", 8))
+        )
         # seed the latestOffset floor from the durable ack commit()
         # writes: a restarted reader must never plan an end below the
         # committed checkpoint (regressed offsets replay processed
@@ -215,8 +242,10 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         ]
         if not files:
             return [_FileSlice("", start, end)]
-        return _attach_seek_hints(
-            files, int(start["lsn"]), self._seek_index, start, end
+        return _attach_split_slices(
+            files, int(start["lsn"]), int(end["lsn"]),
+            self._seek_index, start, end,
+            lambda p: {"lsn": p}, self.decode_splits,
         )
 
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
@@ -521,6 +550,10 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
         # bounded catch-up batches (≈ middlewares/bufferer.go caps)
         mx = options.get("max_events_per_batch")
         self.max_events = int(mx) if mx is not None else None
+        # within-file parallel decode (wal_source.attach_split_slices)
+        self.decode_splits = max(
+            1, int(options.get("decode_splits", 8))
+        )
         # durable floor for latestOffset (same contract as the binlog
         # reader: never plan an end below the committed checkpoint)
         self._base: tuple[int, int] | None = None
@@ -586,7 +619,10 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
         ]
         if not files:
             return [_FileSlice("", start, end)]
-        return _attach_seek_hints(files, lo, self._seek_index, start, end)
+        return _attach_split_slices(
+            files, lo, hi, self._seek_index, start, end,
+            lambda p: {"ts": p[0], "order": p[1]}, self.decode_splits,
+        )
 
     def read(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
