@@ -379,33 +379,46 @@ def test_avro_serializer_nullable_ints_and_timestamps(spark):
             {"name": "id", "type": ["null", "long"]},
             {"name": "ts", "type": {
                 "type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "ts_us", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}},
             {"name": "ts_s", "type": "string"},
         ],
     })
     t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
     df = spark.createDataFrame(
-        [(1, t0, t0), (None, t0, t0)],
-        "id long, ts timestamp, ts_s timestamp",
+        [(1, t0, t0, t0, t0), (None, t0, t0, t0, t0)],
+        "id long, ts timestamp, ts_us timestamp, ts_s timestamp, "
+        "extra_ts timestamp",  # absent from the writer: dropped
     )
     codec = AvroCodec(writer)
     vals = [codec.decode(bytes(r.value))
             for r in avro_serializer(df, writer).collect()]
     ids = sorted((v["id"] is None, v["id"]) for v in vals)
     assert ids == [(False, 1), (True, None)]
-    for v in vals:
-        assert isinstance(v["ts"], int)
-        assert v["ts"] == int(t0.replace(
-            tzinfo=dt.timezone.utc
-        ).timestamp() * 1000) or v["ts"] > 0  # tz-local offset tolerated
-        assert v["ts_s"].startswith("2024-05-01")
+    # EXACT instants (code-review r11 pass 3: the earlier `or ts > 0`
+    # assertion was vacuous): independent epoch computation through
+    # zoneinfo with the SESSION tz Spark localized the naive value to
+    from zoneinfo import ZoneInfo
 
-    # a timestamp column whose writer field can't carry it is loud
-    bad = json.dumps({
-        "type": "record", "name": "B", "fields": [
-            {"name": "ts", "type": "double"},
-        ],
-    })
-    with pytest.raises(Exception, match="timestamp"):
-        avro_serializer(
-            spark.createDataFrame([(t0,)], "ts timestamp"), bad
-        ).collect()
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    expected_ms = int(
+        t0.replace(tzinfo=ZoneInfo(tz)).timestamp() * 1000
+    )
+    for v in vals:
+        assert v["ts"] == expected_ms
+        assert v["ts_us"] == expected_ms * 1000  # micros, not millis
+        assert v["ts_s"].endswith("+00:00")  # UTC-normalized ISO
+        assert "extra_ts" not in v
+
+    # a long field with NO logicalType cannot silently guess the unit
+    for bad_field in (
+        {"name": "ts", "type": "long"},
+        {"name": "ts", "type": "double"},
+    ):
+        bad = json.dumps({
+            "type": "record", "name": "B", "fields": [bad_field],
+        })
+        with pytest.raises(Exception, match="timestamp"):
+            avro_serializer(
+                spark.createDataFrame([(t0,)], "ts timestamp"), bad
+            ).collect()

@@ -89,6 +89,19 @@ class AvroCodec:
         if isinstance(t, (dict, list)):
             # {"type": {...}} wrapper
             return self._parse(t, namespace, defining)
+        if t in (
+            "null", "boolean", "int", "long", "float", "double",
+            "bytes", "string",
+        ):
+            # annotated primitive: logicalType is PRESERVED — it does
+            # not change the binary layout, but writers (e.g. the avro
+            # serializer's timestamp coercion) must know the unit a
+            # long carries (timestamp-millis vs -micros, code-review
+            # r11 pass 3)
+            out = {"type": t}
+            if s.get("logicalType"):
+                out["logicalType"] = s["logicalType"]
+            return out
         if t in ("record", "error"):
             ns = s.get("namespace", namespace)
             name = s["name"] if "." in s["name"] else (

@@ -135,22 +135,34 @@ def avro_serializer(
     with_key = bool(key_cols)
     out_ddl = ("key binary, " if with_key else "") + "value binary"
 
+    # Spark's Arrow conversion hands mapInPandas NAIVE timestamps
+    # localized to the SESSION timezone — epoch math must re-anchor
+    # them or every encoded instant shifts by the tz offset
+    # (code-review r11 pass 3)
+    session_tz = df.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
+
     def run(batches):
         import pandas as pd
 
         from transferia_spark.parsers.schema_registry import AvroCodec
 
         codec = AvroCodec(schema_json)
-        # per-field accepted primitive names from the PARSED writer
-        # schema — the coercions below are schema-driven, not guessed
+        # per-field (accepted primitives, logical types) from the
+        # PARSED writer schema — coercions are schema-driven
         accepts: dict[str, set] = {}
+        logicals: dict[str, set] = {}
         if codec.schema.get("type") == "record":
             for name, fs in codec.schema["fields"]:
-                ts = (
-                    {b["type"] for b in fs["branches"]}
-                    if fs["type"] == "union" else {fs["type"]}
+                branches = (
+                    fs["branches"] if fs["type"] == "union" else [fs]
                 )
-                accepts[name] = ts
+                accepts[name] = {b["type"] for b in branches}
+                logicals[name] = {
+                    b.get("logicalType") for b in branches
+                    if b.get("logicalType")
+                }
 
         def py(v, col=None):
             # numpy scalars / pandas NA → Python natives (the codec
@@ -159,23 +171,38 @@ def avro_serializer(
                 return None
             if isinstance(v, float) and v != v:
                 return None
-            ts = accepts.get(col, set())
+            ts = accepts.get(col)
             if isinstance(v, pd.Timestamp):
-                # Arrow hands timestamps as pd.Timestamp; the writer
-                # schema decides the carrier (timestamp-millis long or
-                # ISO string) — code-review r11 pass 2
+                if v.tzinfo is None:
+                    v = v.tz_localize(session_tz)
+                v = v.tz_convert("UTC")
+                if ts is None or not ts:
+                    # column absent from the writer record (the codec
+                    # drops it) or a JSON key column — ISO string
+                    return v.isoformat()
                 if ts & {"long", "int"}:
-                    return int(v.value // 1_000_000)  # epoch millis
+                    lts = logicals.get(col) or set()
+                    if "timestamp-micros" in lts:
+                        return int(v.value // 1_000)
+                    if "timestamp-millis" in lts:
+                        return int(v.value // 1_000_000)
+                    raise ValueError(
+                        f"column {col!r} is a timestamp feeding a "
+                        "long field with no logicalType — declare "
+                        "timestamp-millis or timestamp-micros (a "
+                        "silent unit guess corrupts instants)"
+                    )
                 if "string" in ts:
                     return v.isoformat()
                 raise ValueError(
                     f"column {col!r} is a timestamp but the writer "
                     f"schema accepts {sorted(ts)} — use long "
-                    "(timestamp-millis) or string"
+                    "(timestamp-millis/micros) or string"
                 )
             v = v.item() if hasattr(v, "item") else v
             if (
-                isinstance(v, float)
+                ts
+                and isinstance(v, float)
                 and v.is_integer()
                 and ts & {"long", "int"}
                 and not ts & {"double", "float"}
@@ -194,10 +221,13 @@ def avro_serializer(
             ]
             out = {}
             if with_key:
+                # no default=str: a binary key would silently become
+                # its Python repr and break key compaction/affinity —
+                # loud TypeError beats a non-interoperable key
+                # (code-review r11 pass 3)
                 out["key"] = [
                     _json.dumps(
-                        {k: py(r[k], k) for k in key_cols},
-                        default=str,
+                        {k: py(r[k], k) for k in key_cols}
                     ).encode()
                     for r in recs
                 ]

@@ -171,10 +171,16 @@ def _lz4_block_into_unchecked(out: bytearray, data: bytes) -> None:
                 lit += b
                 if b != 255:
                     break
+        if pos + lit > end:
+            # a short slice would silently return partial output
+            # (code-review r11 pass 3) — truncation must be loud
+            raise ValueError("corrupt lz4: truncated literal run")
         out += data[pos:pos + lit]
         pos += lit
         if pos >= end:
             break  # last sequence carries literals only
+        if pos + 2 > end:
+            raise ValueError("corrupt lz4: truncated match offset")
         off = int.from_bytes(data[pos:pos + 2], "little")
         pos += 2
         if off == 0 or off > len(out):

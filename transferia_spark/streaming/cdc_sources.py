@@ -93,15 +93,6 @@ def _positions_with_seek_index(f, extract_pos, seek_index, dead_letter):
     )
 
 
-def _attach_seek_hints(files, lo, seek_index, start, end):
-    from transferia_spark.streaming.wal_source import attach_seek_hints
-
-    return attach_seek_hints(
-        files, lo, seek_index,
-        lambda f, sb, o: _FileSlice(f, start, end, sb, o),
-    )
-
-
 def _attach_split_slices(
     files, lo, hi, seek_index, start, end, to_pos_dict, max_splits
 ):

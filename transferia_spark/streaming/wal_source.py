@@ -218,7 +218,7 @@ def positions_with_seek_index(f, extract_pos, seek_index, dead_letter):
     """Decode a capture file's positions ONCE (the scan cache
     materializes the result for the file's lifetime), recording as a
     side effect a sparse position→byte seek index + whether the file
-    is position-ordered — :func:`attach_seek_hints` turns those into
+    is position-ordered — :func:`attach_split_slices` turns those into
     executor seek hints so read() is O(batch), not O(file). Shared by
     the waljson, binlog and change-stream readers (one implementation,
     code-review r9)."""
@@ -259,31 +259,10 @@ def _evict_seek_index(seek_index, files) -> None:
             del seek_index[k]
 
 
-def attach_seek_hints(files, lo, seek_index, make_slice):
-    """One partition per file via ``make_slice(f, start_byte, ordered)``
-    with the byte hint for ``lo`` (only on planner-proven
-    position-ordered files: the last checkpoint at-or-below ``lo`` —
-    every earlier line is <= its position <= lo, so nothing in the
-    batch is skipped)."""
-    import bisect
-
-    _evict_seek_index(seek_index, files)
-    out = []
-    for f in files:
-        ckpts, ordered = seek_index.get(f, ([], False))
-        sb = 0
-        if ordered and ckpts:
-            i = bisect.bisect_right([c[0] for c in ckpts], lo) - 1
-            if i >= 0:
-                sb = ckpts[i][1]
-        out.append(make_slice(f, sb, ordered))
-    return out
-
-
 def attach_split_slices(
     files, lo, hi, seek_index, make_slice, max_splits: int,
 ):
-    """:func:`attach_seek_hints` + WITHIN-FILE parallel decode: an
+    """Seek-hinted partition planning + WITHIN-FILE parallel decode: an
     ordered file's planned ``(lo, hi]`` range splits at sparse seek-
     checkpoint boundaries into up to ``max_splits`` sub-slices, each
     an independent executor task — without this, one capture file is
