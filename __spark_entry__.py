@@ -1386,10 +1386,13 @@ def q_kafka_sasl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SaslHandshake v1 / SaslAuthenticate v0 bytes, the RFC 4616 PLAIN
     token, the full deterministic SCRAM-SHA-256/512 exchange strings
     (fixed nonce; any regression in the RFC 5802 math breaks the
-    hash), and a byte-deterministic gzip RecordBatch v2 (mtime=0)
-    decoded back out. Hash-compared against hardcoded oracle rows;
-    the live handshake/broker behavior is pinned by the loopback e2es
-    in tests/test_kafka_sasl.py."""
+    hash), a byte-deterministic gzip RecordBatch v2 (mtime=0) decoded
+    back out, and the zstd path (sinks/zstd_pure.py): a hand-built
+    multi-block frame (raw+RLE blocks, hex is spec-fixed) plus a
+    zstd-compressed batch round-trip — decoded ROWS only, since
+    libzstd frame bytes may vary by version. Hash-compared against
+    hardcoded oracle rows; the live handshake/broker behavior is
+    pinned by the loopback e2es in tests/test_kafka_sasl.py."""
     import base64
 
     from transferia_spark.sinks.kafka_wire import (
@@ -1440,6 +1443,26 @@ def q_kafka_sasl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gzip_rec", str(r["offset"]),
             f"{(r['key'] or b'').decode()}={r['value'].decode()}"
             f"@{r['timestamp']}",
+        ))
+    # zstd (r11): hand-built raw+RLE multi-block frame with a declared
+    # content size — fixed bytes by the RFC 8878 layout, so both the
+    # hex and the decode are oracle-hashable
+    from transferia_spark.sinks.zstd_pure import ZSTD_MAGIC, zstd_decompress
+
+    hand = ZSTD_MAGIC.to_bytes(4, "little") + bytes([0x20, 7])
+    hand += ((2 << 3) | 0).to_bytes(3, "little") + b"ab"
+    hand += ((5 << 3) | (1 << 1) | 1).to_bytes(3, "little") + b"c"
+    rows.append(("zstd", "handbuilt_frame", hand.hex()))
+    rows.append(("zstd", "handbuilt_decode", zstd_decompress(hand).decode()))
+    zs = encode_record_batch(
+        [(b"zk", b"zv" * 30)],
+        base_offset=9, base_timestamp=1_700_000_000_000,
+        compression="zstd",
+    )
+    for r in decode_record_set(zs):
+        rows.append((
+            "zstd_rec", str(r["offset"]),
+            f"{r['key'].decode()}={r['value'].decode()}@{r['timestamp']}",
         ))
     return spark.createDataFrame(rows, "kind string, name string, val string")
 
@@ -5152,7 +5175,10 @@ SELECT * FROM (VALUES
   ('gzip', 'batch_frame',
    '000000000000000500000059ffffffff0233116f440001000000010000018bcfe568000000018bcfe56800ffffffffffffffffffffffffffff000000021f8b08000000000002031361606060c936642933641060606062642933620000f916f0d314000000'),
   ('gzip_rec', '5', 'k1=v1@1700000000000'),
-  ('gzip_rec', '6', '=v2@1700000000000')
+  ('gzip_rec', '6', '=v2@1700000000000'),
+  ('zstd', 'handbuilt_frame', '28b52ffd200710000061622b000063'),
+  ('zstd', 'handbuilt_decode', 'abccccc'),
+  ('zstd_rec', '9', 'zk=' || REPEAT('zv', 30) || '@1700000000000')
 ) AS t(kind, name, val)
 """,
         "schema_registry_avro": """

@@ -476,11 +476,11 @@ def test_decode_record_set_drops_truncated_tail():
 
 
 def test_decode_rejects_compression_and_skips_control_batches():
-    """code-review r10 (updated r11): a codec the container lacks must
-    fail with the install remedy, a CORRUPT gzip payload with the
-    cause (not a baffling record-length mismatch), and a transactional
-    producer's commit/abort markers (control bit 0x20) must not
-    surface as data rows."""
+    """code-review r10 (updated r11): a CORRUPT compressed payload
+    must fail naming the cause (not a baffling record-length
+    mismatch) for every codec — all four decode pure-Python now —
+    and a transactional producer's commit/abort markers (control bit
+    0x20) must not surface as data rows."""
     import struct
 
     from transferia_spark.sinks.kafka_wire import crc32c
@@ -504,9 +504,10 @@ def test_decode_rejects_compression_and_skips_control_batches():
     sn = with_attributes(plain, 0x02)
     with pytest.raises(ValueError, match="snappy"):
         decode_record_batch(sn)
-    # zstd is the one lib-gated codec (entropy coding) → remedy named
+    # zstd decodes pure-Python too (zstd_pure.py) — a non-zstd
+    # payload fails as corruption, never the old install-remedy gate
     zs = with_attributes(plain, 0x04)
-    with pytest.raises(ValueError, match="zstandard"):
+    with pytest.raises(ValueError, match="corrupt zstd"):
         decode_record_batch(zs)
     ctrl = with_attributes(
         encode_record_batch([(b"\x00\x00\x00\x01", b"")], base_offset=1),
@@ -877,11 +878,24 @@ def test_compressed_batch_property_roundtrip():
 
 
 def test_unavailable_producer_codecs_name_the_remedy():
-    for codec in ("snappy", "lz4", "zstd"):
+    # snappy/lz4 PRODUCE stay lib-gated (decode is pure-Python)
+    for codec in ("snappy", "lz4"):
         with pytest.raises(ValueError, match=codec):
             encode_record_batch([(b"k", b"v")], compression=codec)
     with pytest.raises(ValueError, match="unknown compression"):
         encode_record_batch([(b"k", b"v")], compression="brotli")
+
+
+def test_zstd_producer_works_lib_free():
+    """zstd produce no longer needs the zstandard package: pyarrow's
+    libzstd (or the stored-frame fallback) emits a standard frame the
+    wire consumer decodes back exactly."""
+    recs = [(b"k1", b"v1" * 50), (None, b""), (b"k3", None)]
+    batch = encode_record_batch(recs, base_offset=7, compression="zstd")
+    got = decode_record_batch(batch)
+    assert got["attributes"] & 0x07 == 4
+    assert [(r["key"], r["value"]) for r in got["records"]] == recs
+    assert [r["offset"] for r in got["records"]] == [7, 8, 9]
 
 
 def test_compressed_produce_consume_e2e(spark, tmp_path):

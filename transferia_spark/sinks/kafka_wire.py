@@ -89,8 +89,9 @@ CODEC_NAMES = {0: None, 1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
 _XERIAL_MAGIC = b"\x82SNAPPY\x00"
 
 # decode coverage: gzip (stdlib), snappy + lz4 (pure-Python block/frame
-# decoders below, C libs win when installed), zstd (lib-gated — its
-# FSE/huffman entropy stage is not reasonably re-implementable here)
+# decoders below), zstd (pure-Python RFC 8878 decoder in zstd_pure.py,
+# round-trip-pinned against libzstd) — every Kafka codec consumes out
+# of the box; installed C libs win on speed when present.
 
 
 def snappy_decompress(data: bytes) -> bytes:
@@ -281,12 +282,11 @@ def decompress_records(codec: int, data: bytes) -> bytes:
         return lz4.frame.decompress(data)
     if codec == 4:
         try:
-            import zstandard
+            import zstandard  # C fast path when present
         except ImportError:
-            raise ValueError(
-                "record batch uses zstd compression; pip install "
-                "zstandard to consume it (or produce gzip)"
-            ) from None
+            from transferia_spark.sinks.zstd_pure import zstd_decompress
+
+            return zstd_decompress(data)
         # decompressobj handles frames without a content-size header
         return zstandard.ZstdDecompressor().decompressobj().decompress(
             data
@@ -321,9 +321,11 @@ def compress_records(codec_name: str, data: bytes) -> tuple[int, bytes]:
         try:
             import zstandard
         except ImportError:
-            raise ValueError(
-                "zstd compression needs the zstandard package installed"
-            ) from None
+            # real libzstd via pyarrow when available, else a valid
+            # raw-block (stored) frame — producing zstd always works
+            from transferia_spark.sinks.zstd_pure import zstd_compress
+
+            return 4, zstd_compress(data)
         return 4, zstandard.ZstdCompressor().compress(data)
     raise ValueError(
         f"unknown compression {codec_name!r} "

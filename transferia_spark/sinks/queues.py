@@ -68,9 +68,11 @@ class KafkaSink(Sink):
         self.num_partitions = num_partitions
         self.batch_records = batch_records
         self.transport = transport
-        #: wire-engine record-batch compression ("gzip" is stdlib;
-        #: snappy/lz4/zstd need their libs). The connector engine takes
-        #: kafka.compression.type via ``options`` instead.
+        #: wire-engine record-batch compression (gzip is stdlib; zstd
+        #: works lib-free too — pyarrow's libzstd or a stored frame;
+        #: snappy/lz4 PRODUCE need their libs, all codecs consume).
+        #: The connector engine takes kafka.compression.type via
+        #: ``options`` instead.
         self.compression = compression
 
     def cleanup(self, table: TableID, policy: CleanupPolicy) -> None:
