@@ -1547,6 +1547,133 @@ def q_schema_registry_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_registry_protojson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r11: the registry's other two schema types, matching the
+    reference engine's dispatch (confluentschemaregistry
+    engine/parser.go:44 — 'only the json & protobuf schema is
+    supported' there): nation rows encode as Confluent PROTOBUF frames
+    (message-indexes prefix, enum→symbol, a nested message imported
+    through a registry REFERENCE), region rows as schema-checked JSON;
+    EXECUTOR tasks resolve ids against a scripted registry and decode
+    via parsers/proto_schema.ProtoCodec + JsonSchemaCodec. The oracle
+    recomputes both relationally."""
+    import json as _json
+
+    from transferia_spark.parsers.proto_schema import ProtoCodec, field_spec
+    from transferia_spark.parsers.protowire import encode_message
+    from transferia_spark.parsers.schema_registry import (
+        encode_confluent_frame,
+        encode_message_indexes,
+    )
+
+    proto_writer = """
+        syntax = "proto3";
+        package sr;
+        import "geo.proto";
+        message Nation {
+          int64 k = 1;
+          string n = 2;
+          Cat cat = 3;
+          common.Geo geo = 4;
+          enum Cat { ODD = 0; EVEN = 1; }
+        }
+        message Probe { bool ok = 1; }
+    """
+    geo_proto = (
+        'syntax = "proto3"; package common;'
+        " message Geo { string region = 1; }"
+    )
+    json_writer = _json.dumps({
+        "type": "object", "title": "region.evt",
+        "properties": {
+            "id": {"type": "integer"},
+            "name": {"type": "string"},
+            "opt": {"oneOf": [{"type": "null"}, {"type": "string"}]},
+        },
+        "required": ["id", "name"],
+    })
+    pc = ProtoCodec(proto_writer, imports={"geo.proto": geo_proto})
+    nation_spec = field_spec(pc.schema.message_by_indexes([0]))
+    frames = []
+    for r in _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).collect():
+        k = int(r.n_nationkey)
+        body = encode_message(nation_spec, {
+            "k": k, "n": r.n_name, "cat": 1 if k % 2 == 0 else 0,
+            "geo": {"region": f"R{int(r.n_regionkey)}"},
+        })
+        frames.append((
+            encode_confluent_frame(
+                100 + k % 3, encode_message_indexes([0]) + body
+            ),
+        ))
+    for r in _t(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    ).collect():
+        rk = int(r.r_regionkey)
+        doc = {"id": rk, "name": r.r_name}
+        if rk % 2 == 0:
+            doc["opt"] = "even"
+        frames.append((
+            encode_confluent_frame(
+                200 + rk % 2, _json.dumps(doc).encode()
+            ),
+        ))
+    df = spark.createDataFrame(frames, "value binary")
+    schemas = {
+        **{sid: {"schema": proto_writer, "schemaType": "PROTOBUF",
+                 "references": [{"name": "geo.proto",
+                                 "subject": "geo", "version": 1}]}
+           for sid in (100, 101, 102)},
+        **{sid: {"schema": json_writer, "schemaType": "JSON"}
+           for sid in (200, 201)},
+    }
+
+    class _ScriptedSR:
+        def get_schema(self, sid: int) -> dict:
+            return schemas[sid]  # same dict each call → codec memo rides
+
+        def resolve_references(self, refs: list) -> dict:
+            assert refs == [{"name": "geo.proto", "subject": "geo",
+                             "version": 1}]
+            return {"geo.proto": geo_proto}
+
+    def run(batches):
+        import pandas as pd
+
+        from transferia_spark.parsers.schema_registry import (
+            decode_confluent,
+        )
+
+        client = _ScriptedSR()
+        for pdf in batches:
+            kinds, sids, ks, ns, extras = [], [], [], [], []
+            for v in pdf["value"]:
+                sid, rec = decode_confluent(bytes(v), client)
+                sids.append(sid)
+                if "cat" in rec:  # proto route
+                    kinds.append("proto")
+                    ks.append(rec["k"])
+                    ns.append(rec["n"])
+                    extras.append(f"{rec['cat']}:{rec['geo']['region']}")
+                else:  # json route
+                    kinds.append("json")
+                    ks.append(rec["id"])
+                    ns.append(rec["name"])
+                    extras.append(rec["opt"])
+            yield pd.DataFrame({
+                "kind": kinds, "sid": sids, "k": ks, "n": ns,
+                "extra": extras,
+            })
+
+    return df.mapInPandas(
+        run, "kind string, sid int, k long, n string, extra string"
+    )
+
+
 def q_shard_fallback_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-free fallback sharding plans (sources/enterprise.py):
     Greenplum per-segment predicates (one Spark partition drains one
@@ -4558,6 +4685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_read_plan": q_clickhouse_read_plan,
         "clickhouse_topology": q_clickhouse_topology,
         "schema_registry_avro": q_schema_registry_avro,
+        "schema_registry_protojson": q_schema_registry_protojson,
         "kafka_sasl_plan": q_kafka_sasl_plan,
         "mongo_bson_codec": q_mongo_bson_codec,
         "shard_fallback_plans": q_shard_fallback_plans,
@@ -4653,6 +4781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _R11_WINDOW = [
         "kafka_sasl_plan",
         "schema_registry_avro",
+        "schema_registry_protojson",
         "mongo_bson_codec",
         "clickhouse_topology",
         "cdc_collapse",
@@ -4700,7 +4829,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join",
         "percentile_stats",
         "two_phase_agg",
-        "range_join",
     ]
     assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
     missing = [n for n in _R11_WINDOW if n not in q]
@@ -5187,6 +5315,22 @@ SELECT CAST(100 + n_nationkey % 3 AS INTEGER) AS sid,
        n_name AS n,
        CASE WHEN n_nationkey % 2 = 0 THEN 'even' END AS tag
 FROM nation
+""",
+        "schema_registry_protojson": """
+SELECT 'proto' AS kind,
+       CAST(100 + n_nationkey % 3 AS INTEGER) AS sid,
+       n_nationkey AS k,
+       n_name AS n,
+       CASE WHEN n_nationkey % 2 = 0 THEN 'EVEN' ELSE 'ODD' END
+         || ':R' || CAST(n_regionkey AS VARCHAR) AS extra
+FROM nation
+UNION ALL
+SELECT 'json',
+       CAST(200 + r_regionkey % 2 AS INTEGER),
+       r_regionkey,
+       r_name,
+       CASE WHEN r_regionkey % 2 = 0 THEN 'even' END
+FROM region
 """,
         "clickhouse_topology": """
 WITH q(name) AS (SELECT 'prod' UNION ALL SELECT 'o''brien'),

@@ -126,7 +126,8 @@ def test_confluent_frame_split():
 # ------------------------------------------------- loopback registry
 
 
-def _registry(schemas: dict[int, dict], hits: list, require_auth=None):
+def _registry(schemas: dict[int, dict], hits: list, require_auth=None,
+              subject_versions: dict | None = None):
     import http.server
 
     class H(http.server.BaseHTTPRequestHandler):
@@ -152,6 +153,16 @@ def _registry(schemas: dict[int, dict], hits: list, require_auth=None):
                     self._send(404, {
                         "error_code": 40403,
                         "message": "Schema not found"})
+            elif self.path.startswith("/subjects/") and \
+                    "/versions/" in self.path:
+                _, _, subject, _, version = self.path.split("/")
+                meta = (subject_versions or {}).get((subject, version))
+                if meta is not None:
+                    self._send(200, meta)
+                else:
+                    self._send(404, {
+                        "error_code": 40402,
+                        "message": "Version not found"})
             else:
                 self._send(404, {"message": "nope"})
 
@@ -223,14 +234,56 @@ def test_registry_client_basic_auth_header():
         srv.shutdown()
 
 
+JSON_SCHEMA = json.dumps({
+    "type": "object", "title": "orders.evt",
+    "properties": {
+        "id": {"type": "integer"},
+        "name": {"type": "string"},
+        "score": {"type": "number"},
+        "opt": {"oneOf": [{"type": "null"}, {"type": "string"}]},
+    },
+    "required": ["id", "name"],
+})
+
+PROTO_SCHEMA = """
+syntax = "proto3";
+package shop;
+import "common.proto";
+message Evt {
+  int64 id = 1;
+  string name = 2;
+  Status status = 3;
+  common.Geo where = 4;
+  enum Status { NEW = 0; DONE = 1; }
+}
+message Other { bool x = 1; }
+"""
+
+PROTO_COMMON = """
+syntax = "proto3";
+package common;
+message Geo { string city = 1; }
+"""
+
+
 def test_decode_confluent_avro_json_and_protobuf_routes():
+    """All three registry schema types decode, matching the reference
+    engine's dispatch (engine/parser.go:44) — JSON is schema-checked
+    (required/type enforcement), PROTOBUF resolves its registry
+    references as imports and walks the message-indexes prefix."""
     hits: list = []
     schemas = {
         5: {"schema": REC_SCHEMA},
-        6: {"schema": "{}", "schemaType": "JSON"},
-        8: {"schema": "syntax...", "schemaType": "PROTOBUF"},
+        6: {"schema": JSON_SCHEMA, "schemaType": "JSON"},
+        8: {"schema": PROTO_SCHEMA, "schemaType": "PROTOBUF",
+            "references": [
+                {"name": "common.proto", "subject": "common",
+                 "version": 1}]},
     }
-    srv = _registry(schemas, hits)
+    srv = _registry(
+        schemas, hits,
+        subject_versions={("common", "1"): {"schema": PROTO_COMMON}},
+    )
     try:
         c = SchemaRegistryClient(f"http://127.0.0.1:{srv.server_port}")
         codec = AvroCodec(REC_SCHEMA)
@@ -238,12 +291,50 @@ def test_decode_confluent_avro_json_and_protobuf_routes():
             encode_confluent_frame(5, codec.encode(REC_VALUE)), c
         )
         assert (sid, rec) == (5, REC_VALUE)
+        # JSON: typed + nullable-through-oneOf + absent-optional → None
         sid, rec = decode_confluent(
-            encode_confluent_frame(6, b'{"a": 1}'), c
+            encode_confluent_frame(6, b'{"id": 1, "name": "a", "score": 2}'),
+            c,
         )
-        assert (sid, rec) == (6, {"a": 1})
-        with pytest.raises(ValueError, match="PROTOBUF"):
-            decode_confluent(encode_confluent_frame(8, b"x"), c)
+        assert (sid, rec) == (6, {
+            "id": 1, "name": "a", "opt": None, "score": 2.0})
+        with pytest.raises(ValueError, match="required"):
+            decode_confluent(encode_confluent_frame(6, b'{"name": "a"}'), c)
+        # PROTOBUF: [0] shortcut frame, enum by name, imported message
+        from transferia_spark.parsers.proto_schema import (
+            ProtoCodec,
+            field_spec,
+        )
+        from transferia_spark.parsers.protowire import encode_message
+        from transferia_spark.parsers.schema_registry import (
+            encode_message_indexes,
+        )
+
+        pc = ProtoCodec(PROTO_SCHEMA, {"common.proto": PROTO_COMMON})
+        body = encode_message(
+            field_spec(pc.schema.message_by_indexes([0])),
+            {"id": 9, "name": "p", "status": 1, "where": {"city": "oslo"}},
+        )
+        sid, rec = decode_confluent(
+            encode_confluent_frame(8, encode_message_indexes([0]) + body),
+            c,
+        )
+        assert (sid, rec) == (8, {
+            "id": 9, "name": "p", "status": "DONE",
+            "where": {"city": "oslo"}})
+        # the reference GETs hit /subjects/common/versions/1 exactly once
+        ref_gets = [h for h in hits if h[0] == "GET"
+                    and h[1] == "/subjects/common/versions/1"]
+        assert len(ref_gets) == 1
+        # second message addressable by explicit indexes [1]
+        body2 = encode_message(
+            field_spec(pc.schema.message_by_indexes([1])), {"x": True}
+        )
+        sid, rec = decode_confluent(
+            encode_confluent_frame(8, encode_message_indexes([1]) + body2),
+            c,
+        )
+        assert (sid, rec) == (8, {"x": True})
     finally:
         srv.shutdown()
 

@@ -135,6 +135,8 @@ def decode_message(data: bytes, fields: dict[int, tuple]) -> dict:
     for _num, (name, typ) in fields.items():
         if isinstance(typ, str) and typ.startswith("repeated "):
             out[name] = []
+        elif isinstance(typ, tuple) and typ[0] == "repeated message":
+            out[name] = []
     pos = 0
     while pos < len(data):
         tag, pos = read_varint(data, pos)
@@ -144,10 +146,17 @@ def decode_message(data: bytes, fields: dict[int, tuple]) -> dict:
             pos = _skip(wire, data, pos)
             continue
         name, typ = spec
-        if isinstance(typ, tuple) and typ[0] == "message":
+        if isinstance(typ, tuple):
+            # ("message", spec) keeps the last occurrence (the spec's
+            # merge rule, approximated); ("repeated message", spec)
+            # accumulates — map<k,v> entries and repeated submessages
             n, pos = read_varint(data, pos)
-            out[name] = decode_message(data[pos : pos + n], typ[1])
+            sub = decode_message(data[pos : pos + n], typ[1])
             pos += n
+            if typ[0] == "repeated message":
+                out[name].append(sub)
+            else:
+                out[name] = sub
             continue
         repeated = typ.startswith("repeated ")
         base = typ[len("repeated "):] if repeated else typ
@@ -182,6 +191,10 @@ def decode_message(data: bytes, fields: dict[int, tuple]) -> dict:
 def encode_field(num: int, typ: str | tuple, value: Any) -> bytes:
     """Wire-encode one field (tests build messages with this — protoc
     is not needed for wire-exact fixtures)."""
+    if isinstance(typ, tuple) and typ[0] == "repeated message":
+        return b"".join(
+            encode_field(num, ("message", typ[1]), v) for v in value
+        )
     if isinstance(typ, tuple) and typ[0] == "message":
         body = b"".join(
             encode_field(n, t, value[name])

@@ -15,6 +15,12 @@ Scope: the codec covers the full Avro binary type system EXCEPT
 recursive schemas (a record type referencing itself) — those raise
 loudly. Logical types decode as their underlying primitive, matching
 what a schema-unaware consumer sees.
+
+All three registry schema types decode (the reference engine's
+dispatch, ``engine/parser.go:44``): AVRO here, JSON schema-checked via
+:class:`JsonSchemaCodec`, PROTOBUF via the message-indexes prefix +
+``parsers/proto_schema.ProtoCodec`` with registry ``references``
+resolved recursively as imports.
 """
 
 from __future__ import annotations
@@ -305,6 +311,110 @@ def encode_confluent_frame(schema_id: int, body: bytes) -> bytes:
     return b"\x00" + struct.pack(">i", schema_id) + body
 
 
+def extract_message_indexes(body: bytes) -> tuple[list[int], bytes]:
+    """Confluent PROTOBUF framing puts a zigzag-varint array (count,
+    then indexes) between the schema id and the proto body, addressing
+    a (possibly nested) message declaration; the single byte 0 is the
+    shortcut for [0] = first top-level message.  ≈ extractMessageIndexes
+    (utils_protobuf.go:119) + the Confluent wire spec."""
+    count, pos = _zigzag_decode(body, 0)
+    if count == 0:
+        return [0], body[pos:]
+    if count < 0 or count > 128:
+        raise ValueError(f"implausible message-index count {count}")
+    indexes = []
+    for _ in range(count):
+        v, pos = _zigzag_decode(body, pos)
+        indexes.append(v)
+    return indexes, body[pos:]
+
+
+def encode_message_indexes(indexes: list[int]) -> bytes:
+    if indexes == [0]:
+        return b"\x00"
+    out = bytearray(_zigzag_encode(len(indexes)))
+    for v in indexes:
+        out += _zigzag_encode(v)
+    return bytes(out)
+
+
+# ----------------------------------------------------- JSON Schema body
+
+
+class JsonSchemaCodec:
+    """Schema-checked JSON bodies, matching the reference engine's
+    JSON support (utils_json.go processPayload): the registry schema
+    must be ``type: object``; properties map to engine types
+    (integer→int64, number→float64, boolean, string, array/object→any
+    per types_json.go:23), ``oneOf`` with a null branch marks the
+    column nullable, ``required`` fields must be present, and a value
+    of the wrong JSON type fails loudly (the reference routes that row
+    to unparsed)."""
+
+    _TYPES = {
+        "integer": "bigint", "number": "double", "boolean": "boolean",
+        "string": "string", "array": "any", "object": "any",
+    }
+
+    def __init__(self, schema: str | dict):
+        s = json.loads(schema) if isinstance(schema, str) else schema
+        if s.get("type") != "object":
+            raise ValueError("JSON schema type must be 'object'")
+        self.title = s.get("title", "")
+        required = set(s.get("required") or [])
+        #: name → (engine type, required); sorted like the reference's
+        #: MapKeysInOrder so column order is deterministic
+        self.columns: list[tuple[str, str, bool]] = []
+        for name in sorted((s.get("properties") or {})):
+            prop = s["properties"][name] or {}
+            jtype = prop.get("type")
+            req = name in required
+            for branch in prop.get("oneOf") or []:
+                if (branch or {}).get("type") == "null":
+                    req = False
+                else:
+                    jtype = (branch or {}).get("type")
+            self.columns.append((name, self._TYPES.get(jtype, "any"), req))
+
+    def decode(self, body: bytes) -> dict:
+        doc = json.loads(body)
+        if not isinstance(doc, dict):
+            raise ValueError("JSON body is not an object")
+        out = {}
+        for name, etype, required in self.columns:
+            if name not in doc:
+                if required:
+                    raise ValueError(
+                        f"required field {name!r} missing from payload"
+                    )
+                out[name] = None
+                continue
+            out[name] = self._convert(name, doc[name], etype, required)
+        return out
+
+    @staticmethod
+    def _convert(name: str, v, etype: str, required: bool):
+        if v is None:
+            if required:
+                raise ValueError(f"required field {name!r} is null")
+            return None
+        ok = (
+            etype == "any"
+            or (etype == "boolean" and isinstance(v, bool))
+            or (etype == "bigint" and isinstance(v, int)
+                and not isinstance(v, bool))
+            or (etype == "double" and isinstance(v, (int, float))
+                and not isinstance(v, bool))
+            or (etype == "string" and isinstance(v, str))
+        )
+        if not ok:
+            raise ValueError(
+                f"field {name!r}: {type(v).__name__} value does not "
+                f"match schema type {etype}"
+            )
+        return float(v) if etype == "double" else v
+
+
 # ----------------------------------------------------- registry client
 
 
@@ -391,6 +501,29 @@ class SchemaRegistryClient:
     def latest(self, subject: str) -> dict:
         return self._request(f"/subjects/{subject}/versions/latest")
 
+    def subject_version(self, subject: str, version) -> dict:
+        return self._request(f"/subjects/{subject}/versions/{version}")
+
+    def resolve_references(
+        self, refs: list[dict], _depth: int = 0
+    ) -> dict[str, str]:
+        """Schema ``references`` → {reference name: schema text},
+        recursively (a referenced schema may reference further) with a
+        depth bound — ≈ ResolveReferencesRecursive
+        (pkg/schemaregistry/confluent)."""
+        if _depth > 8:
+            raise ValueError("schema reference chain deeper than 8")
+        out: dict[str, str] = {}
+        for r in refs or []:
+            meta = self.subject_version(r["subject"], r["version"])
+            out.update(
+                self.resolve_references(
+                    meta.get("references") or [], _depth + 1
+                )
+            )
+            out[r["name"]] = meta["schema"]
+        return out
+
 
 #: per-process client memo — executor tasks are short-lived, so a
 #: client built per task restarts the id→schema cache empty and
@@ -414,31 +547,50 @@ def client_for(
 
 
 def decode_confluent(value: bytes, client: SchemaRegistryClient):
-    """Framed payload → ``(schema_id, decoded)``: resolve the id, then
-    decode by schemaType — AVRO via :class:`AvroCodec`, JSON via
-    ``json.loads``; PROTOBUF needs the descriptor toolchain and is
-    routed to the protobuf parser instead (loud here)."""
+    """Framed payload → ``(schema_id, decoded dict)``: resolve the id,
+    then decode by schemaType — all three registry types, matching the
+    reference engine's dispatch (engine/parser.go:44): AVRO via
+    :class:`AvroCodec`, JSON schema-checked via
+    :class:`JsonSchemaCodec`, PROTOBUF via the message-indexes walk +
+    :class:`~transferia_spark.parsers.proto_schema.ProtoCodec` (with
+    registry ``references`` resolved recursively as imports)."""
     schema_id, body = split_confluent_frame(value)
     meta = client.get_schema(schema_id)
     stype = meta.get("schemaType", "AVRO")
+    codec = meta.get("_codec")
     if stype == "AVRO":
-        codec = meta.get("_codec")
         if codec is None:
-            codec = AvroCodec(meta["schema"])
-            meta["_codec"] = codec  # rides the client cache
+            codec = meta["_codec"] = AvroCodec(meta["schema"])
         return schema_id, codec.decode(body)
     if stype == "JSON":
-        return schema_id, json.loads(body)
+        if codec is None:
+            codec = meta["_codec"] = JsonSchemaCodec(meta["schema"])
+        return schema_id, codec.decode(body)
+    if stype == "PROTOBUF":
+        if codec is None:
+            from transferia_spark.parsers.proto_schema import ProtoCodec
+
+            imports = client.resolve_references(
+                meta.get("references") or []
+            )
+            codec = meta["_codec"] = ProtoCodec(
+                meta["schema"], imports=imports
+            )
+        indexes, proto_body = extract_message_indexes(body)
+        return schema_id, codec.decode(proto_body, indexes)
     raise ValueError(
-        f"schema id {schema_id} is {stype}; route PROTOBUF subjects "
-        "through the protobuf parser (descriptor_file/field_spec)"
+        f"schema id {schema_id} has unknown schemaType {stype!r} "
+        "(AVRO/JSON/PROTOBUF)"
     )
 
 
 __all__ = [
     "AvroCodec",
+    "JsonSchemaCodec",
     "SchemaRegistryClient",
     "split_confluent_frame",
     "encode_confluent_frame",
+    "extract_message_indexes",
+    "encode_message_indexes",
     "decode_confluent",
 ]
