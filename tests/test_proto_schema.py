@@ -132,6 +132,66 @@ def test_columns_match_reference_type_mapping():
     assert PROTO_COLUMN_TYPES["sint64"] == "bigint"
 
 
+def test_map_entries_with_omitted_default_values_backfill():
+    """proto3 implicit presence: encoders omit default values inside
+    map entries, so the decoder must backfill the default for enum,
+    message, and scalar value types (code-review r11 pass 4)."""
+    from transferia_spark.parsers.protowire import encode_varint
+
+    codec = ProtoCodec("""
+        syntax = "proto3";
+        message M {
+          map<string, Cat> cats = 1;
+          map<string, Sub> subs = 2;
+          map<string, int64> nums = 3;
+          enum Cat { ODD = 0; EVEN = 1; }
+          message Sub { int32 x = 1; }
+        }
+    """)
+
+    def entry(field_num: int, key: str) -> bytes:
+        # an entry message carrying ONLY the key (value omitted = default)
+        body = encode_varint(1 << 3 | 2) + encode_varint(len(key)) \
+            + key.encode()
+        return encode_varint(field_num << 3 | 2) \
+            + encode_varint(len(body)) + body
+
+    out = codec.decode(entry(1, "a") + entry(2, "b") + entry(3, "c"))
+    assert out == {
+        "cats": {"a": "ODD"}, "subs": {"b": {"x": 0}}, "nums": {"c": 0}
+    }
+
+
+def test_message_field_with_wrong_wire_type_is_loud():
+    codec = ProtoCodec(
+        "syntax = \"proto3\"; message M { Sub s = 1; "
+        "message Sub { int32 x = 1; } }"
+    )
+    from transferia_spark.parsers.protowire import encode_varint
+
+    # field 1 arrives as a varint (wire type 0) where a message is
+    # declared — must not read the value as a byte length
+    with pytest.raises(ValueError, match="wire type 0"):
+        codec.decode(encode_varint(1 << 3 | 0) + encode_varint(300))
+
+
+def test_decode_memoizes_field_spec_per_message(monkeypatch):
+    import transferia_spark.parsers.proto_schema as ps
+
+    codec = _codec()
+    calls = []
+    real = ps.field_spec
+    monkeypatch.setattr(
+        ps, "field_spec", lambda m, d=frozenset(): (
+            calls.append(m.full_name) or real(m, d))
+    )
+    for _ in range(5):
+        codec.decode(b"", [0])
+        codec.decode(b"", [1, 0])
+    assert calls.count("demo.orders.Order") == 1
+    assert calls.count("demo.orders.Heartbeat.Inner") == 1
+
+
 def test_recursive_message_and_group_are_loud():
     rec = ProtoSchema(
         "syntax = \"proto3\"; message Node { Node next = 1; }"

@@ -339,6 +339,32 @@ def test_decode_confluent_avro_json_and_protobuf_routes():
         srv.shutdown()
 
 
+def test_permissive_json_schemas_fall_back_to_raw_loads():
+    """'{}', type-less, and array JSON schemas carry no column
+    contract — bodies ride through as plain parsed JSON instead of
+    killing the stream at codec construction (code-review r11 pass 4);
+    object-typed schemas stay strict."""
+    hits: list = []
+    schemas = {
+        1: {"schema": "{}", "schemaType": "JSON"},
+        2: {"schema": json.dumps({"type": "array"}), "schemaType": "JSON"},
+        3: {"schema": JSON_SCHEMA, "schemaType": "JSON"},
+    }
+    srv = _registry(schemas, hits)
+    try:
+        c = SchemaRegistryClient(f"http://127.0.0.1:{srv.server_port}")
+        assert decode_confluent(
+            encode_confluent_frame(1, b'{"a": 1}'), c
+        ) == (1, {"a": 1})
+        assert decode_confluent(
+            encode_confluent_frame(2, b"[1, 2]"), c
+        ) == (2, [1, 2])
+        with pytest.raises(ValueError, match="required"):
+            decode_confluent(encode_confluent_frame(3, b"{}"), c)
+    finally:
+        srv.shutdown()
+
+
 def test_parser_resolves_ids_on_executors(spark):
     """confluent_schema_registry + registry_url: executor tasks resolve
     ids over HTTP and decode Avro bodies with the writer schema —

@@ -153,6 +153,18 @@ def test_corruption_is_loud_never_indexerror():
         blob[i] = old
 
 
+def test_backward_bitstream_requires_sentinel_in_last_byte():
+    """A zeroed final byte must not silently re-frame the stream from
+    an earlier byte's high bit (code-review r11 pass 4)."""
+    from transferia_spark.sinks.zstd_pure import _BackBits
+
+    with pytest.raises(ValueError, match="sentinel"):
+        _BackBits(b"\x05\x00")
+    with pytest.raises(ValueError, match="sentinel"):
+        _BackBits(b"\x00")
+    assert _BackBits(b"\x05").bitpos == 2  # sentinel at bit 2
+
+
 def test_kafka_record_batch_zstd_consumes():
     """The wire consumer's decode path: a zstd-compressed RecordBatch
     (real libzstd via the produce ladder) decodes without the

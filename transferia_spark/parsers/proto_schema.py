@@ -387,14 +387,24 @@ class ProtoCodec:
 
     def __init__(self, text: str, imports: dict[str, str] | None = None):
         self.schema = ProtoSchema(text, imports)
+        #: indexes → (message, spec): the schema is immutable for the
+        #: codec's lifetime, and decode runs once per Kafka record —
+        #: rebuilding the spec tree per record is per-record hot-path
+        #: CPU (code-review r11 pass 4)
+        self._specs: dict[tuple, tuple] = {}
 
     def decode(self, body: bytes, indexes: list[int] | None = None):
         """(message-indexes-addressed) body → dict of column values:
         enums as symbol names, maps folded to dicts, nested messages as
         dicts, proto3 defaults filled for absent singular scalars (what
         protoreflect's GetFieldByName surfaces in the reference)."""
-        msg = self.schema.message_by_indexes(indexes or [0])
-        raw = decode_message(body, field_spec(msg))
+        key = tuple(indexes or [0])
+        hit = self._specs.get(key)
+        if hit is None:
+            msg = self.schema.message_by_indexes(list(key))
+            hit = self._specs[key] = (msg, field_spec(msg))
+        msg, spec = hit
+        raw = decode_message(body, spec)
         return self._shape(msg, raw)
 
     def _shape(self, msg: ProtoMessage, raw: dict) -> dict:
@@ -405,11 +415,17 @@ class ProtoCodec:
                 _, vres = f.resolved
                 folded = {}
                 for entry in val or []:
+                    # proto3 implicit presence: default-valued map
+                    # entries arrive with the key (or value) field
+                    # omitted — backfill the default for EVERY value
+                    # kind, like the singular branches below
+                    # (code-review r11 pass 4)
                     v = entry.get("value")
                     if isinstance(vres, ProtoMessage):
-                        v = self._shape(vres, v) if v is not None else None
+                        v = self._shape(vres, v if v is not None else {})
                     elif isinstance(vres, ProtoEnum):
-                        v = vres.symbols.get(v, v) if v is not None else None
+                        ev = 0 if v is None else v
+                        v = vres.symbols.get(ev, ev)
                     elif v is None:
                         v = _DEFAULTS.get(vres, 0)
                     folded[entry.get("key", _DEFAULTS.get(f.resolved[0], 0))] = v

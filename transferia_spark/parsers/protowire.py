@@ -150,6 +150,13 @@ def decode_message(data: bytes, fields: dict[int, tuple]) -> dict:
             # ("message", spec) keeps the last occurrence (the spec's
             # merge rule, approximated); ("repeated message", spec)
             # accumulates — map<k,v> entries and repeated submessages
+            if wire != _WIRE_LEN:
+                # a renumbered/corrupt field must not read a varint
+                # VALUE as a byte length (code-review r11 pass 4)
+                raise ValueError(
+                    f"field {num} ({name}): message field arrived "
+                    f"with wire type {wire}, want length-delimited"
+                )
             n, pos = read_varint(data, pos)
             sub = decode_message(data[pos : pos + n], typ[1])
             pos += n

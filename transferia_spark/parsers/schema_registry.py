@@ -346,10 +346,13 @@ class JsonSchemaCodec:
     JSON support (utils_json.go processPayload): the registry schema
     must be ``type: object``; properties map to engine types
     (integer→int64, number→float64, boolean, string, array/object→any
-    per types_json.go:23), ``oneOf`` with a null branch marks the
-    column nullable, ``required`` fields must be present, and a value
-    of the wrong JSON type fails loudly (the reference routes that row
-    to unparsed)."""
+    per types_json.go:23), ``required`` fields must be present, and a
+    value of the wrong JSON type fails loudly (the reference routes
+    that row to unparsed).  A ``oneOf`` null branch makes the field
+    fully optional — presence AND nullability — exactly like the
+    reference (utils_json.go:75 clears isRequired on the null branch;
+    this deliberately diverges from strict JSON Schema semantics,
+    where required is a presence check, to stay behavior-compatible)."""
 
     _TYPES = {
         "integer": "bigint", "number": "double", "boolean": "boolean",
@@ -546,6 +549,12 @@ def client_for(
     return c
 
 
+class _RawJson:
+    @staticmethod
+    def decode(body: bytes):
+        return json.loads(body)
+
+
 def decode_confluent(value: bytes, client: SchemaRegistryClient):
     """Framed payload → ``(schema_id, decoded dict)``: resolve the id,
     then decode by schemaType — all three registry types, matching the
@@ -564,7 +573,16 @@ def decode_confluent(value: bytes, client: SchemaRegistryClient):
         return schema_id, codec.decode(body)
     if stype == "JSON":
         if codec is None:
-            codec = meta["_codec"] = JsonSchemaCodec(meta["schema"])
+            try:
+                codec = JsonSchemaCodec(meta["schema"])
+            except (ValueError, KeyError):
+                # permissive registrations ('{}', no 'type', array
+                # schemas) carry no column contract — raw json.loads
+                # passthrough, the pre-r11 behavior, instead of killing
+                # the stream at codec construction (code-review r11
+                # pass 4); object-typed schemas stay strict
+                codec = _RawJson()
+            meta["_codec"] = codec
         return schema_id, codec.decode(body)
     if stype == "PROTOBUF":
         if codec is None:

@@ -117,9 +117,12 @@ class _BackBits:
     def __init__(self, data: bytes) -> None:
         if not data:
             raise _corrupt("empty bitstream")
-        val = int.from_bytes(data, "little")
-        if val == 0:
+        if data[-1] == 0:
+            # the sentinel must top the LAST byte — re-framing from an
+            # earlier byte would silently decode wrong output
+            # (code-review r11 pass 4)
             raise _corrupt("bitstream missing its sentinel bit")
+        val = int.from_bytes(data, "little")
         self.val = val
         self.bitpos = val.bit_length() - 1  # bits below the sentinel
 
