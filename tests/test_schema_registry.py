@@ -339,6 +339,89 @@ def test_decode_confluent_avro_json_and_protobuf_routes():
         srv.shutdown()
 
 
+def test_build_table_id_policies():
+    """≈ table_name_policy.go: manual pin, debezium-style splits (JSON
+    title first-dot, proto 4-segment), bare title/message_name."""
+    from transferia_spark.parsers.schema_registry import build_table_id
+
+    assert build_table_id("manual:t1", "JSON", "ignored") == "t1"
+    assert build_table_id("debezium", "JSON", "shop.orders") \
+        == "shop.orders"
+    assert build_table_id("debezium", "JSON", "a.b.c") == "a.b.c"
+    with pytest.raises(ValueError, match="schema and table"):
+        build_table_id("debezium", "JSON", "notitle")
+    assert build_table_id(
+        "debezium", "PROTOBUF", "corp.shop.orders.Evt"
+    ) == "shop.orders"
+    with pytest.raises(ValueError, match="4 dot segments"):
+        build_table_id("debezium", "PROTOBUF", "shop.Evt")
+    assert build_table_id("debezium", "AVRO", "ns.shop.Order") \
+        == "shop.Order"
+    assert build_table_id("title", "JSON", "shop.orders") == "shop.orders"
+    assert build_table_id(
+        "message_name", "PROTOBUF", "corp.shop.orders.Evt"
+    ) == "Evt"
+    with pytest.raises(ValueError, match="unknown table_name_policy"):
+        build_table_id("bogus", "JSON", "x")
+
+
+def test_parser_table_name_policy_routes_mixed_schema_types(spark):
+    """confluent_schema_registry + table_name_policy: each record gains
+    a `_table` column derived from ITS schema (JSON title / proto
+    message name), feeding the replicate verb's multi-table router."""
+    from transferia_spark.parsers.registry import build_parser
+    from transferia_spark.parsers.proto_schema import (
+        ProtoCodec,
+        field_spec,
+    )
+    from transferia_spark.parsers.protowire import encode_message
+    from transferia_spark.parsers.schema_registry import (
+        encode_confluent_frame,
+        encode_message_indexes,
+    )
+
+    hits: list = []
+    srv = _registry(
+        {
+            6: {"schema": JSON_SCHEMA, "schemaType": "JSON"},
+            8: {"schema": PROTO_SCHEMA, "schemaType": "PROTOBUF",
+                "references": [
+                    {"name": "common.proto", "subject": "common",
+                     "version": 1}]},
+        },
+        hits,
+        subject_versions={("common", "1"): {"schema": PROTO_COMMON}},
+    )
+    try:
+        pc = ProtoCodec(PROTO_SCHEMA, {"common.proto": PROTO_COMMON})
+        body = encode_message(
+            field_spec(pc.schema.message_by_indexes([0])),
+            {"id": 3, "name": "p"},
+        )
+        frames = [
+            (encode_confluent_frame(6, b'{"id": 1, "name": "j"}'),),
+            (encode_confluent_frame(
+                8, encode_message_indexes([0]) + body),),
+        ]
+        parse = build_parser(
+            "confluent_schema_registry",
+            registry_url=f"http://127.0.0.1:{srv.server_port}",
+            schema="id long, name string",
+            table_name_policy="title",
+        )
+        rows = {
+            r["_table"]: r
+            for r in parse(
+                spark.createDataFrame(frames, "value binary")
+            ).collect()
+        }
+        assert set(rows) == {"orders.evt", "Evt"}
+        assert rows["orders.evt"]["id"] == 1
+        assert rows["Evt"]["name"] == "p"
+    finally:
+        srv.shutdown()
+
+
 def test_permissive_json_schemas_fall_back_to_raw_loads():
     """'{}', type-less, and array JSON schemas carry no column
     contract — bodies ride through as plain parsed JSON instead of

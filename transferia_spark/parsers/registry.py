@@ -440,6 +440,7 @@ def confluent_sr_parser(
     registry_url: str | None = None,
     schema: str | None = None,
     registry_auth: tuple[str, str] | None = None,
+    table_name_policy: str | None = None,
     **body_config,
 ):
     if registry_url is not None:
@@ -457,16 +458,23 @@ def confluent_sr_parser(
             import pandas as pd
 
             aux = [c for c in df.columns if c != "value"]
+            route = (
+                [T.StructField("_table", T.StringType())]
+                if table_name_policy else []
+            )
             st = T.StructType(
                 [T.StructField("_schema_id", T.IntegerType())]
+                + route
                 + list(out_st.fields)
                 + [df.schema[c] for c in aux]
             )
 
             def run(batches):
                 from transferia_spark.parsers.schema_registry import (
+                    build_table_id,
                     client_for,
                     decode_confluent,
+                    decode_confluent_full,
                 )
 
                 # per-PROCESS client: the id→schema cache must survive
@@ -474,7 +482,7 @@ def confluent_sr_parser(
                 # registry GETs (code-review r11)
                 client = client_for(registry_url, auth=registry_auth)
                 for pdf in batches:
-                    ids, cols = [], {n: [] for n in names}
+                    ids, tables, cols = [], [], {n: [] for n in names}
                     for v in pdf["value"]:
                         if v is None:
                             # Kafka tombstone (delete marker): null
@@ -482,17 +490,34 @@ def confluent_sr_parser(
                             # frame split must not crash the stream
                             # (code-review r11)
                             ids.append(None)
+                            tables.append(None)
                             for n in names:
                                 cols[n].append(None)
                             continue
-                        sid, rec = decode_confluent(bytes(v), client)
+                        if table_name_policy:
+                            sid, rec, stype, src = decode_confluent_full(
+                                bytes(v), client
+                            )
+                            tables.append(
+                                build_table_id(
+                                    table_name_policy, stype, src
+                                )
+                            )
+                        else:
+                            sid, rec = decode_confluent(bytes(v), client)
                         ids.append(sid)
                         for n in names:
                             cols[n].append(
                                 rec.get(n) if isinstance(rec, dict)
                                 else None
                             )
-                    out = {"_schema_id": ids, **cols}
+                    out = {"_schema_id": ids}
+                    if table_name_policy:
+                        # schema-derived routing table per record ≈ the
+                        # reference's table_name_policy — feeds the
+                        # replicate verb's `_table` multi-table router
+                        out["_table"] = tables
+                    out.update(cols)
                     for c in aux:
                         out[c] = pdf[c]
                     yield pd.DataFrame(out)

@@ -550,9 +550,67 @@ def client_for(
 
 
 class _RawJson:
+    title = ""
+
     @staticmethod
     def decode(body: bytes):
         return json.loads(body)
+
+
+def build_table_id(policy: str, schema_type: str, name: str) -> str:
+    """Schema-derived routing table id ≈ the reference's
+    table_name_policy.go: ``manual:<t>`` pins one table; ``debezium``
+    splits the JSON schema title on its first dot (schema.table) and
+    requires exactly 4 dot segments of a proto full message name
+    (taking segments 2 and 3, BuildProtobufTableID); ``title`` /
+    ``message_name`` use the bare name.  AVRO (which the reference's
+    SR parser doesn't speak) gets the record full name treated like a
+    proto message name."""
+    if policy.startswith("manual:"):
+        return policy[len("manual:"):]
+    if policy == "debezium":
+        if schema_type == "JSON":
+            parts = name.split(".", 1)
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"can't split JSON schema title {name!r} into "
+                    "schema and table names (want 'schema.table')"
+                )
+            return f"{parts[0]}.{parts[1]}"
+        parts = name.split(".")
+        if schema_type == "AVRO" and len(parts) >= 2:
+            return f"{parts[-2]}.{parts[-1]}"
+        if len(parts) != 4:
+            raise ValueError(
+                f"can't split message name {name!r} into schema and "
+                "table names (want 4 dot segments)"
+            )
+        return f"{parts[1]}.{parts[2]}"
+    if policy in ("title", "message_name"):
+        return name if schema_type == "JSON" else name.rsplit(".", 1)[-1]
+    raise ValueError(
+        f"unknown table_name_policy {policy!r} "
+        "(manual:<table>/debezium/title/message_name)"
+    )
+
+
+def decode_confluent_full(value: bytes, client: SchemaRegistryClient):
+    """Framed payload → ``(schema_id, decoded dict, schema_type,
+    source name)`` where the source name feeds
+    :func:`build_table_id` — the JSON schema title, the addressed
+    proto message's full name, or the Avro record's full name."""
+    schema_id, rec = decode_confluent(value, client)
+    meta = client.get_schema(schema_id)
+    stype = meta.get("schemaType", "AVRO")
+    codec = meta.get("_codec")
+    if stype == "AVRO":
+        name = codec.schema.get("name", "") if codec else ""
+    elif stype == "JSON":
+        name = getattr(codec, "title", "")
+    else:
+        indexes, _ = extract_message_indexes(value[5:])
+        name = codec.schema.message_by_indexes(indexes).full_name
+    return schema_id, rec, stype, name
 
 
 def decode_confluent(value: bytes, client: SchemaRegistryClient):
@@ -611,4 +669,6 @@ __all__ = [
     "extract_message_indexes",
     "encode_message_indexes",
     "decode_confluent",
+    "decode_confluent_full",
+    "build_table_id",
 ]
