@@ -422,6 +422,108 @@ def test_parser_table_name_policy_routes_mixed_schema_types(spark):
         srv.shutdown()
 
 
+def _cloudevent_frame(dataschema_uri: str, body: bytes,
+                      type_url: str, subject: str = "s1") -> bytes:
+    """Wire-exact CloudEvents protobuf envelope via the repo's own
+    codec spec — no cloudevents SDK."""
+    from transferia_spark.parsers.cloudevents_proto import _envelope
+    from transferia_spark.parsers.proto_schema import field_spec
+    from transferia_spark.parsers.protowire import encode_message
+
+    env = _envelope().schema.message_by_name("CloudEvent")
+    spec = field_spec(env)
+    return encode_message(spec, {
+        "id": "ev-1", "source": "//src", "spec_version": "1.0",
+        "type": "demo.created",
+        "attributes": [
+            {"key": "dataschema", "value": {"ce_uri": dataschema_uri}},
+            {"key": "subject", "value": {"ce_string": subject}},
+            {"key": "time", "value": {
+                "ce_timestamp": {"seconds": 1_700_000_000,
+                                 "nanos": 500_000_000}}},
+        ],
+        "proto_data": {"type_url": type_url, "value": body},
+    })
+
+
+def test_cloudevents_proto_binding_end_to_end(spark):
+    """The reference's actual cloudevents flow (cloudevents/engine):
+    protobuf envelope → dataschema URI names registry + schema id →
+    Any type_url addresses the message (NO message-indexes prefix) →
+    decoded payload; mandatory time/dataschema enforced."""
+    from transferia_spark.parsers.cloudevents_proto import (
+        extract_schema_id_and_url,
+        unpack_cloudevent,
+    )
+    from transferia_spark.parsers.proto_schema import (
+        ProtoCodec,
+        field_spec,
+    )
+    from transferia_spark.parsers.protowire import encode_message
+    from transferia_spark.parsers.registry import build_parser
+
+    assert extract_schema_id_and_url(
+        "http://localhost:8081/schemas/ids/2"
+    ) == ("http://localhost:8081", 2)
+    with pytest.raises(ValueError, match="schemas/ids"):
+        extract_schema_id_and_url("http://h:1/subjects/x")
+
+    hits: list = []
+    srv = _registry(
+        {4: {"schema": PROTO_SCHEMA, "schemaType": "PROTOBUF",
+             "references": [
+                 {"name": "common.proto", "subject": "common",
+                  "version": 1}]}},
+        hits,
+        subject_versions={("common", "1"): {"schema": PROTO_COMMON}},
+    )
+    try:
+        uri = f"http://127.0.0.1:{srv.server_port}/schemas/ids/4"
+        pc = ProtoCodec(PROTO_SCHEMA, {"common.proto": PROTO_COMMON})
+        body = encode_message(
+            field_spec(pc.schema.message_by_name("shop.Evt")),
+            {"id": 11, "name": "ce", "status": 1,
+             "where": {"city": "oslo"}},
+        )
+        frame = _cloudevent_frame(
+            uri, body, "type.googleapis.com/shop.Evt"
+        )
+        # envelope unpack surfaces the reference's mandatory fields
+        fields, data, proto_path = unpack_cloudevent(frame)
+        assert (fields["id"], fields["subject"], proto_path) == (
+            "ev-1", "s1", "shop.Evt")
+        assert fields["time"] == 1_700_000_000.5
+        assert data == body
+        # full flow through the Spark parser
+        parse = build_parser("cloudevents", binding="proto")
+        rows = parse(
+            spark.createDataFrame([(frame,)], "value binary")
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["id"], r["subject"], r["_schema_id"]) == ("ev-1", "s1", 4)
+        assert json.loads(r["payload"]) == {
+            "id": 11, "name": "ce", "status": "DONE",
+            "where": {"city": "oslo"}}
+        assert str(r["time"]).startswith("2023-11-14")
+        # a missing time attribute is loud (reference: mandatory)
+        from transferia_spark.parsers.cloudevents_proto import (
+            _envelope as _env,
+        )
+
+        env = _env().schema.message_by_name("CloudEvent")
+        bad = encode_message(field_spec(env), {
+            "id": "x", "source": "s", "type": "t",
+            "attributes": [
+                {"key": "dataschema", "value": {"ce_uri": uri}}],
+            "proto_data": {"type_url": "a/b", "value": b""},
+        })
+        with pytest.raises(ValueError, match="time"):
+            unpack_cloudevent(bad)
+    finally:
+        srv.shutdown()
+
+
 def test_permissive_json_schemas_fall_back_to_raw_loads():
     """'{}', type-less, and array JSON schemas carry no column
     contract — bodies ride through as plain parsed JSON instead of

@@ -1,0 +1,188 @@
+"""CloudEvents PROTOBUF binding → schema-registry-resolved payloads.
+
+≈ ``pkg/parsers/registry/cloudevents/engine`` (protobuf.go parser.go
+utils.go) in transferia/transferia: the producer wraps each payload in
+the public CloudEvents protobuf envelope (``pb.CloudEvent``: id,
+source, spec_version, type, an attributes map of typed values, and the
+data as a ``google.protobuf.Any``); the ``dataschema`` attribute is a
+CE-URI pointing INTO a Confluent Schema Registry
+(``http://host:port/schemas/ids/<id>``) and the Any ``type_url`` names
+the proto message the body encodes — no message-indexes prefix in this
+flow (format_protobuf.go:27 keeps the caller's messageName).
+
+The envelope itself decodes with the repo's own bounded proto codec —
+the CloudEvents .proto (a public spec) is embedded below with a
+mini ``google.protobuf`` import for Any/Timestamp, so no protoc and no
+cloudevents SDK.  Mandatory fields mirror the reference: ``time``
+(must be a ce_timestamp) and ``dataschema`` are required, loudly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from transferia_spark.parsers.proto_schema import ProtoCodec
+
+# the CloudEvents protobuf format (public spec:
+# cloudevents/spec formats/protobuf — message CloudEvent), trimmed to
+# the wire-relevant declarations
+CLOUDEVENT_PROTO = """
+syntax = "proto3";
+package io.cloudevents.v1;
+import "google/protobuf/any.proto";
+
+message CloudEvent {
+  string id = 1;
+  string source = 2;
+  string spec_version = 3;
+  string type = 4;
+  map<string, CloudEventAttributeValue> attributes = 5;
+  oneof data {
+    bytes binary_data = 6;
+    string text_data = 7;
+    google.protobuf.Any proto_data = 8;
+  }
+
+  message CloudEventAttributeValue {
+    oneof attr {
+      bool ce_boolean = 1;
+      int32 ce_integer = 2;
+      string ce_string = 3;
+      bytes ce_bytes = 4;
+      string ce_uri = 5;
+      string ce_uri_ref = 6;
+      google.protobuf.Timestamp ce_timestamp = 7;
+    }
+  }
+}
+"""
+
+_WELL_KNOWN = """
+syntax = "proto3";
+package google.protobuf;
+message Any { string type_url = 1; bytes value = 2; }
+message Timestamp { int64 seconds = 1; int32 nanos = 2; }
+"""
+
+_ENVELOPE: ProtoCodec | None = None
+
+
+def _envelope() -> ProtoCodec:
+    global _ENVELOPE
+    if _ENVELOPE is None:
+        _ENVELOPE = ProtoCodec(
+            CLOUDEVENT_PROTO,
+            imports={"google/protobuf/any.proto": _WELL_KNOWN},
+        )
+    return _ENVELOPE
+
+
+_ANY_PREFIX = "type.googleapis.com/"
+_IDS_RE = re.compile(r"/schemas/ids/(\d+)(?:$|[/?])")
+
+
+def extract_schema_id_and_url(uri: str) -> tuple[str, int]:
+    """``http://host:port/schemas/ids/7`` → (registry base URL, 7) —
+    ≈ extractSchemaIDAndURL (cloudevents/engine/utils.go:15)."""
+    from urllib.parse import urlparse
+
+    u = urlparse(uri)
+    if not u.scheme or not u.hostname:
+        raise ValueError(f"dataschema {uri!r} is not an absolute URL")
+    base = f"{u.scheme}://{u.hostname}"
+    if u.port:
+        base += f":{u.port}"
+    m = _IDS_RE.search(uri)
+    if not m:
+        raise ValueError(
+            f"dataschema {uri!r} carries no /schemas/ids/<id> path"
+        )
+    return base, int(m.group(1))
+
+
+def unpack_cloudevent(buf: bytes) -> tuple[dict, bytes | str | None, str]:
+    """Envelope bytes → (fields, data, proto_path) —
+    ≈ unpackCloudEventsProtoMessage (cloudevents/engine/protobuf.go:11).
+
+    fields: id, source, type, subject, dataschema, time (epoch
+    seconds + nanos/1e9 as float).  data: the Any value bytes when
+    proto_data (proto_path = type_url sans the googleapis prefix),
+    else the text/binary payload verbatim (proto_path '').
+    """
+    ev = _envelope().decode(buf, name="CloudEvent")
+    attrs = ev["attributes"] or {}
+    ds = attrs.get("dataschema") or {}
+    dataschema = ds.get("ce_uri") or ds.get("ce_uri_ref") or ""
+    ts = (attrs.get("time") or {}).get("ce_timestamp")
+    if ts is None:
+        raise ValueError(
+            "field 'time' is mandatory and must be a ce_timestamp"
+        )
+    fields = {
+        "id": ev["id"],
+        "source": ev["source"],
+        "type": ev["type"],
+        "subject": (attrs.get("subject") or {}).get("ce_string") or "",
+        "dataschema": dataschema,
+        "time": float(ts["seconds"]) + float(ts["nanos"]) / 1e9,
+    }
+    proto_path = ""
+    any_msg = ev.get("proto_data")
+    if any_msg is not None:
+        turl = any_msg["type_url"]
+        if turl.startswith(_ANY_PREFIX):
+            proto_path = turl[len(_ANY_PREFIX):]
+        data = any_msg["value"]
+    elif ev.get("text_data"):
+        data = ev["text_data"]
+    else:
+        data = ev.get("binary_data")
+    return fields, data, proto_path
+
+
+def decode_cloudevent_payload(
+    buf: bytes,
+    client_factory,
+    url_converter=None,
+):
+    """Full reference flow (cloudevents/engine/parser.go:145): unpack
+    the envelope, resolve the dataschema's registry + schema id, and
+    decode the Any body by its type_url message name.  Returns
+    (fields, schema_id, decoded-dict-or-raw).
+
+    client_factory: base_url → SchemaRegistryClient (injection point
+    for the per-process memo AND for tests)."""
+    fields, data, proto_path = unpack_cloudevent(buf)
+    if not isinstance(data, bytes) or not fields["dataschema"]:
+        if not fields["dataschema"] and isinstance(data, bytes) and data:
+            raise ValueError(
+                "unable to find attribute 'dataschema' in cloudevents "
+                "message"
+            )
+        return fields, None, data  # text payload rides through raw
+    base, schema_id = extract_schema_id_and_url(fields["dataschema"])
+    if url_converter is not None:
+        base = url_converter(base)
+    client = client_factory(base)
+    meta = client.get_schema(schema_id)
+    stype = meta.get("schemaType", "AVRO")
+    if stype != "PROTOBUF":
+        raise ValueError(
+            f"cloudevents dataschema id {schema_id} is {stype}, "
+            "want PROTOBUF"
+        )
+    codec = meta.get("_codec")
+    if codec is None:
+        imports = client.resolve_references(meta.get("references") or [])
+        codec = meta["_codec"] = ProtoCodec(
+            meta["schema"], imports=imports
+        )
+    return fields, schema_id, codec.decode(data, name=proto_path)
+
+
+__all__ = [
+    "CLOUDEVENT_PROTO",
+    "unpack_cloudevent",
+    "extract_schema_id_and_url",
+    "decode_cloudevent_payload",
+]

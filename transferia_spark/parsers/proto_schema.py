@@ -348,6 +348,29 @@ class ProtoSchema:
             pool = msg.nested
         return msg
 
+    def message_by_name(self, name: str) -> ProtoMessage:
+        """Address a message by (suffix of its) full name — the
+        cloudevents path, where the Any ``type_url`` names the message
+        instead of a message-indexes prefix (≈ format_protobuf.go:27
+        keeping the caller's messageName).  Empty name → the first
+        top-level message."""
+        if not name:
+            return self.message_by_indexes([0])
+        got = self._types.get(name)
+        if isinstance(got, ProtoMessage):
+            return got
+        tail = "." + name
+        hits = [
+            v for k, v in self._types.items()
+            if isinstance(v, ProtoMessage) and k.endswith(tail)
+        ]
+        if len(hits) == 1:
+            return hits[0]
+        raise ValueError(
+            f"message {name!r} not found"
+            f"{' (ambiguous suffix)' if len(hits) > 1 else ''}"
+        )
+
 
 def field_spec(msg: ProtoMessage, _defining: frozenset = frozenset()):
     """ProtoMessage → the ``protowire.decode_message`` field dict.
@@ -393,15 +416,25 @@ class ProtoCodec:
         #: CPU (code-review r11 pass 4)
         self._specs: dict[tuple, tuple] = {}
 
-    def decode(self, body: bytes, indexes: list[int] | None = None):
-        """(message-indexes-addressed) body → dict of column values:
-        enums as symbol names, maps folded to dicts, nested messages as
-        dicts, proto3 defaults filled for absent singular scalars (what
-        protoreflect's GetFieldByName surfaces in the reference)."""
-        key = tuple(indexes or [0])
+    def decode(
+        self,
+        body: bytes,
+        indexes: list[int] | None = None,
+        name: str | None = None,
+    ):
+        """(message-indexes- or name-addressed) body → dict of column
+        values: enums as symbol names, maps folded to dicts, nested
+        messages as dicts, proto3 defaults filled for absent singular
+        scalars (what protoreflect's GetFieldByName surfaces in the
+        reference).  ``name`` (the cloudevents Any type_url path) wins
+        over ``indexes``."""
+        key = name if name is not None else tuple(indexes or [0])
         hit = self._specs.get(key)
         if hit is None:
-            msg = self.schema.message_by_indexes(list(key))
+            if name is not None:
+                msg = self.schema.message_by_name(name)
+            else:
+                msg = self.schema.message_by_indexes(list(key))
             hit = self._specs[key] = (msg, field_spec(msg))
         msg, spec = hit
         raw = decode_message(body, spec)

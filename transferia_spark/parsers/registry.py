@@ -316,15 +316,91 @@ def raw_to_table_parser(column: str = "raw", keep_binary: bool = False):
 
 
 @register_parser("cloudevents")
-def cloudevents_parser(add_system_cols: bool = False):
-    """CloudEvents JSON envelope → fixed row shape
+def cloudevents_parser(
+    add_system_cols: bool = False,
+    binding: str = "json",
+    registry_auth: tuple[str, str] | None = None,
+    url_converter=None,
+):
+    """CloudEvents envelope → fixed row shape
     (≈ ``pkg/parsers/registry/cloudevents/engine/parser.go:37-47``:
     id PK, source, type, dataschema, subject, time, payload).
 
-    The reference consumes the protobuf binding framed by a schema
-    registry; here we parse the public JSON binding — same logical
-    schema, schema-registry framing handled by
-    ``confluent_schema_registry`` when present."""
+    ``binding="json"`` parses the public JSON binding declaratively.
+    ``binding="proto"`` is the reference's actual flow
+    (cloudevents/engine/protobuf.go + parser.go): the protobuf
+    envelope decodes with the repo's bounded proto codec, the
+    ``dataschema`` CE-URI names the registry + schema id, and the Any
+    ``type_url`` addresses the message — executor tasks resolve and
+    decode, payload lands as canonical JSON (bytes hex-encoded)."""
+    if binding == "proto":
+        st = T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("dataschema", T.StringType()),
+            T.StructField("subject", T.StringType()),
+            T.StructField("time", T.TimestampType()),
+            T.StructField("payload", T.StringType()),
+            T.StructField("_schema_id", T.IntegerType()),
+        ])
+
+        def parse_proto(df: DataFrame) -> DataFrame:
+            def run(batches):
+                import datetime as _dt
+                import json as _json
+
+                import pandas as pd
+
+                from transferia_spark.parsers.cloudevents_proto import (
+                    decode_cloudevent_payload,
+                )
+                from transferia_spark.parsers.schema_registry import (
+                    client_for,
+                )
+
+                factory = (
+                    lambda base: client_for(base, auth=registry_auth)
+                )
+
+                def canon(v):
+                    if isinstance(v, bytes):
+                        return v.hex()
+                    if isinstance(v, dict):
+                        return {k: canon(x) for k, x in v.items()}
+                    if isinstance(v, list):
+                        return [canon(x) for x in v]
+                    return v
+
+                for pdf in batches:
+                    rows = {n: [] for n in (
+                        "id", "source", "type", "dataschema", "subject",
+                        "time", "payload", "_schema_id",
+                    )}
+                    for v in pdf["value"]:
+                        fields, sid, rec = decode_cloudevent_payload(
+                            bytes(v), factory, url_converter
+                        )
+                        for n in ("id", "source", "type", "dataschema",
+                                  "subject"):
+                            rows[n].append(fields[n])
+                        rows["time"].append(_dt.datetime.fromtimestamp(
+                            fields["time"], _dt.timezone.utc
+                        ).replace(tzinfo=None))
+                        rows["payload"].append(
+                            _json.dumps(canon(rec), sort_keys=True)
+                            if isinstance(rec, dict)
+                            else (rec.hex() if isinstance(rec, bytes)
+                                  else rec)
+                        )
+                        rows["_schema_id"].append(sid)
+                    yield pd.DataFrame(rows)
+
+            return df.mapInPandas(run, st)
+
+        return parse_proto
+    if binding != "json":
+        raise ValueError(f"unknown cloudevents binding {binding!r}")
     env = T.StructType(
         [
             T.StructField("id", T.StringType()),
