@@ -1674,6 +1674,88 @@ def q_schema_registry_protojson(
     )
 
 
+def q_cloudevents_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: the CloudEvents PROTOBUF binding end-to-end
+    (parsers/cloudevents_proto.py ≈ cloudevents/engine protobuf.go +
+    parser.go): nation rows wrap into pb.CloudEvent envelopes
+    driver-side (repo codec, no SDK), EXECUTOR tasks unpack the
+    envelope, read the dataschema CE-URI's schema id, and decode the
+    Any body by its type_url message name against a scripted registry.
+    The oracle recomputes envelope fields + payload relationally."""
+    from transferia_spark.parsers.cloudevents_proto import (
+        _envelope,
+        decode_cloudevent_payload,
+    )
+    from transferia_spark.parsers.proto_schema import ProtoCodec, field_spec
+    from transferia_spark.parsers.protowire import encode_message
+
+    payload_proto = (
+        'syntax = "proto3"; package ce.demo;'
+        " message Nation { int64 k = 1; string n = 2; }"
+        " message Probe { bool ok = 1; }"
+    )
+    pc = ProtoCodec(payload_proto)
+    nation_spec = field_spec(pc.schema.message_by_name("Nation"))
+    env_spec = field_spec(_envelope().schema.message_by_name("CloudEvent"))
+    frames = []
+    for r in _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).collect():
+        k = int(r.n_nationkey)
+        body = encode_message(nation_spec, {"k": k, "n": r.n_name})
+        frames.append((encode_message(env_spec, {
+            "id": f"ev-{k}", "source": "//nation", "spec_version": "1.0",
+            "type": "nation.created",
+            "attributes": [
+                {"key": "dataschema", "value": {"ce_uri":
+                    f"http://sr.local:8081/schemas/ids/{40 + k % 2}"}},
+                {"key": "subject", "value": {"ce_string": f"s{k % 3}"}},
+                {"key": "time", "value": {"ce_timestamp": {
+                    "seconds": 1_700_000_000 + k, "nanos": 0}}},
+            ],
+            "proto_data": {
+                "type_url": "type.googleapis.com/ce.demo.Nation",
+                "value": body,
+            },
+        }),))
+    df = spark.createDataFrame(frames, "value binary")
+    schemas = {
+        sid: {"schema": payload_proto, "schemaType": "PROTOBUF"}
+        for sid in (40, 41)
+    }
+
+    class _ScriptedSR:
+        def get_schema(self, sid: int) -> dict:
+            return schemas[sid]
+
+        def resolve_references(self, refs: list) -> dict:
+            assert not refs
+            return {}
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {n: [] for n in (
+                "id", "subject", "sid", "at", "k", "n")}
+            for v in pdf["value"]:
+                fields, sid, rec = decode_cloudevent_payload(
+                    bytes(v), lambda base: _ScriptedSR()
+                )
+                out["id"].append(fields["id"])
+                out["subject"].append(fields["subject"])
+                out["sid"].append(sid)
+                out["at"].append(int(fields["time"]))
+                out["k"].append(rec["k"])
+                out["n"].append(rec["n"])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        "id string, subject string, sid int, at long, k long, n string",
+    )
+
+
 def q_shard_fallback_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-free fallback sharding plans (sources/enterprise.py):
     Greenplum per-segment predicates (one Spark partition drains one
@@ -4686,6 +4768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clickhouse_topology": q_clickhouse_topology,
         "schema_registry_avro": q_schema_registry_avro,
         "schema_registry_protojson": q_schema_registry_protojson,
+        "cloudevents_proto": q_cloudevents_proto,
         "kafka_sasl_plan": q_kafka_sasl_plan,
         "mongo_bson_codec": q_mongo_bson_codec,
         "shard_fallback_plans": q_shard_fallback_plans,
@@ -4782,6 +4865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_sasl_plan",
         "schema_registry_avro",
         "schema_registry_protojson",
+        "cloudevents_proto",
         "mongo_bson_codec",
         "clickhouse_topology",
         "cdc_collapse",
@@ -4828,7 +4912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join",
         "interval_join",
         "percentile_stats",
-        "two_phase_agg",
     ]
     assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
     missing = [n for n in _R11_WINDOW if n not in q]
@@ -5314,6 +5397,15 @@ SELECT CAST(100 + n_nationkey % 3 AS INTEGER) AS sid,
        n_nationkey AS k,
        n_name AS n,
        CASE WHEN n_nationkey % 2 = 0 THEN 'even' END AS tag
+FROM nation
+""",
+        "cloudevents_proto": """
+SELECT 'ev-' || CAST(n_nationkey AS VARCHAR) AS id,
+       's' || CAST(n_nationkey % 3 AS VARCHAR) AS subject,
+       CAST(40 + n_nationkey % 2 AS INTEGER) AS sid,
+       1700000000 + n_nationkey AS at,
+       n_nationkey AS k,
+       n_name AS n
 FROM nation
 """,
         "schema_registry_protojson": """
