@@ -886,6 +886,25 @@ def test_unavailable_producer_codecs_name_the_remedy():
         encode_record_batch([(b"k", b"v")], compression="brotli")
 
 
+def test_snappy_fast_path_agrees_with_pure_decoder():
+    """pyarrow's libsnappy tier: the raw block's own varint is the
+    exact size it needs; garbage falls through to the pure decoder's
+    NAMED error."""
+    import pyarrow as pa
+
+    from transferia_spark.parsers.protowire import encode_varint
+    from transferia_spark.sinks.kafka_wire import (
+        _snappy_fast,
+        snappy_decompress,
+    )
+
+    data = b"skew " * 5000
+    comp = pa.compress(data, codec="snappy", asbytes=True)
+    assert _snappy_fast(comp) == snappy_decompress(comp) == data
+    with pytest.raises(ValueError, match="snappy"):
+        _snappy_fast(encode_varint(5) + bytes([1, 9]))
+
+
 def test_zstd_producer_works_lib_free():
     """zstd produce no longer needs the zstandard package: pyarrow's
     libzstd (or the stored-frame fallback) emits a standard frame the

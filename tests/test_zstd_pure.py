@@ -14,8 +14,10 @@ import pytest
 
 from transferia_spark.sinks.zstd_pure import (
     ZSTD_MAGIC,
+    _peek_content_size,
     zstd_compress,
     zstd_decompress,
+    zstd_decompress_pure,
 )
 
 
@@ -52,10 +54,35 @@ def _shapes() -> dict[str, bytes]:
 
 @pytest.mark.parametrize("level", [1, 3, 9, 19])
 def test_roundtrip_against_libzstd(level):
+    """BOTH paths: the pure decoder (the real subject under test) and
+    the public entry whose pyarrow fast path must agree with it."""
     codec = pa.Codec("zstd", compression_level=level)
     for name, data in _shapes().items():
         frame = codec.compress(data, asbytes=True)
-        assert zstd_decompress(frame) == data, f"{name} @ level {level}"
+        assert zstd_decompress_pure(frame) == data, f"{name} @ {level}"
+        assert zstd_decompress(frame) == data, f"{name} fast @ {level}"
+
+
+def test_fast_path_engages_on_content_sized_frames():
+    """librdkafka-style frames (FCS present) peek their size — the C
+    decoder handles them; streaming-style frames without FCS and
+    skippable-prefixed inputs go pure."""
+    codec = pa.Codec("zstd", compression_level=3)
+    frame = codec.compress(b"x" * 500, asbytes=True)
+    assert _peek_content_size(frame) == 500
+    # no-FCS hand frame → None → pure path
+    raw = ZSTD_MAGIC.to_bytes(4, "little") + bytes([0x00, 0x00])
+    raw += ((5 << 3) | 1).to_bytes(3, "little") + b"hello"
+    assert _peek_content_size(raw) is None
+    assert zstd_decompress(raw) == b"hello"
+    # skippable prefix → None → pure path handles the sequence
+    skip = (0x184D2A53).to_bytes(4, "little") + (0).to_bytes(4, "little")
+    assert _peek_content_size(skip + frame) is None
+    assert zstd_decompress(skip + frame) == b"x" * 500
+    # multi-frame input: the first frame's FCS undershoots the total →
+    # libzstd errors → pure path decodes the concatenation
+    two = frame + codec.compress(b"tail", asbytes=True)
+    assert zstd_decompress(two) == b"x" * 500 + b"tail"
 
 
 def test_hypothesis_roundtrip():
@@ -79,7 +106,9 @@ def test_hypothesis_roundtrip():
     def check(pieces):
         data = b"".join(pieces)
         for codec in (codec1, codec19):
-            assert zstd_decompress(codec.compress(data, asbytes=True)) == data
+            frame = codec.compress(data, asbytes=True)
+            assert zstd_decompress_pure(frame) == data
+            assert zstd_decompress(frame) == data
 
     check()
 

@@ -94,6 +94,25 @@ _XERIAL_MAGIC = b"\x82SNAPPY\x00"
 # of the box; installed C libs win on speed when present.
 
 
+def _snappy_fast(data: bytes) -> bytes:
+    """C-speed raw-snappy decode via pyarrow: the block's own leading
+    varint IS the exact uncompressed length pa.decompress needs.
+    Falls back to the pure decoder on any error (which then raises a
+    NAMED corruption) — at scale a compressed catch-up must not decode
+    at Python speed when libsnappy sits in pyarrow."""
+    try:
+        import pyarrow as pa
+
+        n, _pos = read_varint(data, 0)
+        if n <= 64 * len(data) + 64:  # snappy's own expansion bound
+            return pa.decompress(
+                data, decompressed_size=n, codec="snappy", asbytes=True
+            )
+    except Exception:
+        pass
+    return snappy_decompress(data)
+
+
 def snappy_decompress(data: bytes) -> bytes:
     """Pure-Python raw-snappy DECODE (the public block format:
     varint uncompressed length, then literal/copy tagged elements) —
@@ -260,7 +279,7 @@ def decompress_records(codec: int, data: bytes) -> bytes:
             snappy = None
         raw = (
             snappy.decompress if snappy is not None
-            else snappy_decompress
+            else _snappy_fast  # pyarrow's libsnappy, pure-Python last
         )
         if data[: len(_XERIAL_MAGIC)] == _XERIAL_MAGIC:
             # the Java client's xerial block framing: 16-byte header,
@@ -278,6 +297,20 @@ def decompress_records(codec: int, data: bytes) -> bytes:
         try:
             import lz4.frame  # C fast path when present
         except ImportError:
+            # pyarrow's liblz4 needs the exact output size, which an
+            # lz4 frame only carries when the producer set the
+            # content-size FLG bit (Kafka clients usually don't)
+            if len(data) > 14 and (data[4] >> 3) & 1:
+                try:
+                    import pyarrow as pa
+
+                    n = int.from_bytes(data[6:14], "little")
+                    return pa.decompress(
+                        data, decompressed_size=n,
+                        codec="lz4_frame", asbytes=True,
+                    )
+                except Exception:
+                    pass  # the pure path names the corruption
             return lz4_frame_decompress(data)
         return lz4.frame.decompress(data)
     if codec == 4:

@@ -611,13 +611,54 @@ def _decode_compressed_block(
     )
 
 
+def _peek_content_size(data: bytes) -> int | None:
+    """Frame-header peek: declared content size of a dict-less first
+    frame, else None.  Drives the libzstd (pyarrow) fast path — at
+    scale a compressed catch-up must not decode at Python speed when
+    a C decoder is sitting in pyarrow."""
+    if len(data) < 6 or int.from_bytes(data[:4], "little") != ZSTD_MAGIC:
+        return None
+    fhd = data[4]
+    if fhd & 0x08 or fhd & 3:  # reserved bit / dictionary frame
+        return None
+    pos = 5 + (0 if (fhd >> 5) & 1 else 1)
+    fcs_flag = fhd >> 6
+    fcs_size = (1 if (fhd >> 5) & 1 else 0, 2, 4, 8)[fcs_flag]
+    if fcs_size == 0 or pos + fcs_size > len(data):
+        return None
+    fcs = int.from_bytes(data[pos : pos + fcs_size], "little")
+    if fcs_size == 2:
+        fcs += 256
+    return fcs
+
+
 def zstd_decompress(data: bytes) -> bytes:
     """Decode a (possibly concatenated) sequence of zstd frames.
 
-    Raises ValueError (never IndexError) on any malformation, naming
-    the spot — truncation and corruption must be loud, matching the
-    module's snappy/lz4 decoders.
+    When the first frame declares its content size (librdkafka's
+    ZSTD_compress frames always do), libzstd via pyarrow decodes at C
+    speed; a multi-frame input, absent pyarrow, or any libzstd error
+    falls through to the pure-Python decoder, which raises ValueError
+    (never IndexError) on malformation, naming the spot — truncation
+    and corruption must be loud, matching the module's snappy/lz4
+    decoders.
     """
+    fcs = _peek_content_size(data)
+    if fcs is not None:
+        try:
+            import pyarrow as pa
+
+            return pa.decompress(
+                data, decompressed_size=fcs, codec="zstd", asbytes=True
+            )
+        except Exception:
+            pass  # the pure path decides: decode or a NAMED corruption
+    return zstd_decompress_pure(data)
+
+
+def zstd_decompress_pure(data: bytes) -> bytes:
+    """The always-available pure-Python path (tests pin it directly —
+    the fast path above must not mask its coverage)."""
     try:
         return _decompress_unchecked(data)
     except IndexError:
