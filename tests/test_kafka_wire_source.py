@@ -600,7 +600,7 @@ def test_reader_advances_past_compacted_and_control_gaps():
         def for_leader(self, topic, partition):
             return self
 
-        def fetch(self, topic, partition, off):
+        def fetch(self, topic, partition, off, isolation_level=0):
             self.fetches.append(off)
             if off < 16:
                 return {"records": records, "high_watermark": 20,
@@ -716,7 +716,7 @@ def test_read_retries_on_not_leader_and_nulls_sentinel_timestamp():
             StubClient.calls.append("lead")
             return self
 
-        def fetch(self, topic, partition, off):
+        def fetch(self, topic, partition, off, isolation_level=0):
             StubClient.calls.append(off)
             if StubClient.calls.count("lead") < 2:
                 raise KafkaFetchError(topic, partition, 6)
@@ -761,7 +761,7 @@ def test_read_gives_up_after_bounded_leader_refreshes():
         def for_leader(self, topic, partition):
             return self
 
-        def fetch(self, topic, partition, off):
+        def fetch(self, topic, partition, off, isolation_level=0):
             raise KafkaFetchError(topic, partition, 6)
 
         def close(self):
@@ -884,6 +884,166 @@ def test_unavailable_producer_codecs_name_the_remedy():
             encode_record_batch([(b"k", b"v")], compression=codec)
     with pytest.raises(ValueError, match="unknown compression"):
         encode_record_batch([(b"k", b"v")], compression="brotli")
+
+
+def _txn_batch(recs, base_offset, pid=-1, attrs=0):
+    """Rewrite a batch's attributes + producer_id (and CRC) — the
+    encoder has no transactional producer, tests build the layouts."""
+    import struct as _struct
+
+    from transferia_spark.sinks.kafka_wire import crc32c
+
+    b = encode_record_batch(recs, base_offset=base_offset)
+    tail = bytearray(b[21:])
+    _struct.pack_into(">h", tail, 0, attrs)
+    _struct.pack_into(">q", tail, 22, pid)
+    return b[:17] + _struct.pack(">I", crc32c(bytes(tail))) + bytes(tail)
+
+
+def _txn_layout():
+    """offsets 0-1 pid-7 txn data (ABORTED), 2 abort marker, 3-4 pid-8
+    txn data (committed), 5 commit marker, 6 plain record."""
+    import struct as _struct
+
+    abort_key = _struct.pack(">hh", 0, 0)  # version 0, type 0 = abort
+    commit_key = _struct.pack(">hh", 0, 1)
+    return b"".join([
+        _txn_batch([(b"a0", b"x"), (b"a1", b"x")], 0, pid=7, attrs=0x10),
+        _txn_batch([(abort_key, b"")], 2, pid=7, attrs=0x30),
+        _txn_batch([(b"c0", b"y"), (b"c1", b"y")], 3, pid=8, attrs=0x10),
+        _txn_batch([(commit_key, b"")], 5, pid=8, attrs=0x30),
+        _txn_batch([(b"p0", b"z")], 6),
+    ])
+
+
+def test_read_committed_filters_aborted_transactions():
+    """KIP-98 consumer walk: under READ_COMMITTED the aborted
+    producer's transactional batches vanish (their offsets stay gaps),
+    committed and non-transactional data surfaces; READ_UNCOMMITTED
+    keeps everything but the markers."""
+    from transferia_spark.sinks.kafka_wire import (
+        decode_record_set_with_end,
+    )
+
+    data = _txn_layout()
+    keys = lambda rs: [r["key"] for r in rs]
+    committed, nxt = decode_record_set_with_end(data, aborted=[(7, 0)])
+    assert keys(committed) == [b"c0", b"c1", b"p0"]
+    assert [r["offset"] for r in committed] == [3, 4, 6]
+    assert nxt == 7
+    uncommitted, _ = decode_record_set_with_end(data)
+    assert keys(uncommitted) == [b"a0", b"a1", b"c0", b"c1", b"p0"]
+    # interleaved producers: only the aborted one's records drop, and
+    # its abort marker closes the range for LATER (reused-pid) batches
+    import struct as _struct
+
+    abort_key = _struct.pack(">hh", 0, 0)
+    inter = b"".join([
+        _txn_batch([(b"a", b"")], 0, pid=7, attrs=0x10),
+        _txn_batch([(b"b", b"")], 1, pid=8, attrs=0x10),
+        _txn_batch([(b"c", b"")], 2, pid=7, attrs=0x10),
+        _txn_batch([(abort_key, b"")], 3, pid=7, attrs=0x30),
+        _txn_batch([(b"d", b"")], 4, pid=7, attrs=0x10),  # next txn
+    ])
+    got, _ = decode_record_set_with_end(inter, aborted=[(7, 0)])
+    assert keys(got) == [b"b", b"d"]
+
+
+class TxnBroker(LoopbackBroker):
+    """Serves a FIXED transactional log for one topic-partition:
+    honors the fetch's isolation byte (aborted list + LSO cap) the way
+    a real broker does."""
+
+    def __init__(self):
+        super().__init__({"txn": 1})
+        self.raw = _txn_layout()
+        self.hw = 7
+        self.lso = 7
+        self.aborted = [(7, 0)]
+
+    def _list_offsets(self, body, pos):
+        pos += 4
+        (n_topics,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        out = struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic, pos = _read_str(body, pos)
+            (n_parts,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            out += _enc_str(topic) + struct.pack(">i", n_parts)
+            for _p in range(n_parts):
+                part, ts = struct.unpack_from(">iq", body, pos)
+                pos += 12
+                off = 0 if ts == -2 else self.hw
+                out += struct.pack(">ihqq", part, 0, -1, off)
+        return out
+
+    def _fetch(self, body, pos):
+        iso = body[pos + 16]
+        pos += 17
+        (n_topics,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        out = struct.pack(">i", 0) + struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic, pos = _read_str(body, pos)
+            (n_parts,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            out += _enc_str(topic) + struct.pack(">i", n_parts)
+            for _p in range(n_parts):
+                part, off, _pm = struct.unpack_from(">iqi", body, pos)
+                pos += 16
+                cap = self.lso if iso == 1 else self.hw
+                rec_set = b"" if off >= cap else self.raw
+                out += struct.pack(
+                    ">ihqq", part, 0, self.hw,
+                    self.lso if iso == 1 else -1,
+                )
+                if iso == 1:
+                    out += struct.pack(">i", len(self.aborted))
+                    for pid, first in self.aborted:
+                        out += struct.pack(">qq", pid, first)
+                else:
+                    out += struct.pack(">i", 0)
+                out += struct.pack(">i", len(rec_set)) + rec_set
+        return out
+
+
+def test_wire_reader_isolation_levels_end_to_end():
+    """The reader plane: read_committed plans to the LSO and yields
+    only committed + plain records; read_uncommitted yields aborted
+    data too; a bogus isolation option is loud."""
+    from transferia_spark.streaming.kafka_source import (
+        KafkaWireStreamReader,
+    )
+
+    broker = TxnBroker()
+    try:
+        base = {
+            "bootstrap": f"127.0.0.1:{broker.port}", "topic": "txn",
+            "starting_offsets": "earliest",
+        }
+        with pytest.raises(ValueError, match="isolation_level"):
+            KafkaWireStreamReader({**base, "isolation_level": "bogus"})
+
+        def drain(opts):
+            r = KafkaWireStreamReader(opts)
+            start = r.initialOffset()
+            end = r.latestOffset()
+            rows = []
+            for sl in r.partitions(start, end):
+                rows.extend(r.read(sl))
+            r.stop()
+            return [bytes(t[0]) for t in rows], end
+
+        committed, end_c = drain(
+            {**base, "isolation_level": "read_committed"}
+        )
+        assert committed == [b"c0", b"c1", b"p0"]
+        assert end_c == {"0": 7}  # planned to the LSO
+        everything, _ = drain(base)  # default read_uncommitted
+        assert everything == [b"a0", b"a1", b"c0", b"c1", b"p0"]
+    finally:
+        broker.close()
 
 
 def test_snappy_fast_path_agrees_with_pure_decoder():

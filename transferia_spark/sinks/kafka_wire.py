@@ -464,6 +464,7 @@ def decode_record_batch(data: bytes) -> dict:
     codec = attributes & 0x07
     is_control = bool(attributes & 0x20)
     base_ts, max_ts = struct.unpack_from(">qq", tail, 6)
+    producer_id = struct.unpack_from(">q", tail, 22)[0]
     count = struct.unpack_from(">i", tail, 36)[0]
     if codec:
         # bits 0-2: compression over the records array (count stays
@@ -513,6 +514,8 @@ def decode_record_batch(data: bytes) -> dict:
         "base_offset": base_offset,
         "attributes": attributes,
         "control": is_control,
+        "transactional": bool(attributes & 0x10),
+        "producer_id": producer_id,
         "last_offset_delta": last_delta,
         "max_timestamp": max_ts,
         "records": records,
@@ -591,14 +594,16 @@ def encode_fetch_request(
     partition_max_bytes: int = 1 << 20,
     correlation_id: int = 0,
     client_id: str = "transferia-spark",
+    isolation_level: int = 0,
 ) -> bytes:
     """Fetch v4: one topic, ``{partition: fetch_offset}`` — the
-    consumer's read request. READ_UNCOMMITTED isolation (the reference
-    source's default)."""
+    consumer's read request. isolation_level 0 = READ_UNCOMMITTED (the
+    reference source's default), 1 = READ_COMMITTED (the broker caps
+    data at the last stable offset and lists aborted transactions)."""
     body = bytearray()
     body += request_header(1, 4, correlation_id, client_id)
     body += struct.pack(">iiii", -1, max_wait_ms, min_bytes, max_bytes)
-    body += b"\x00"  # isolation_level: READ_UNCOMMITTED
+    body += struct.pack(">b", isolation_level)
     body += struct.pack(">i", 1)  # one topic
     body += _string(topic)
     body += struct.pack(">i", len(partition_offsets))
@@ -746,13 +751,26 @@ def decode_record_set(data: bytes) -> list[dict]:
 
 def decode_record_set_with_end(
     data: bytes,
+    aborted: list[tuple[int, int]] | None = None,
 ) -> tuple[list[dict], int | None]:
     """:func:`decode_record_set` plus the position AFTER the last full
     batch (``base_offset + last_offset_delta + 1``), or None when no
     full batch decoded. Consumers need it to advance past COMPACTED
     batches whose retained records all sit below the requested offset
     and past control batches — a records-only view would re-fetch the
-    same batch forever (code-review r10 pass 2)."""
+    same batch forever (code-review r10 pass 2).
+
+    ``aborted`` is the fetch response's aborted-transactions list
+    ``[(producer_id, first_offset), …]`` under READ_COMMITTED: a
+    transactional batch whose producer has an open aborted range is
+    dropped, and the producer leaves the aborted set at its ABORT
+    marker — the Java consumer's CompletedFetch walk (KIP-98)."""
+    pending: dict[int, list[int]] = {}
+    for pid, first in aborted or []:
+        pending.setdefault(pid, []).append(first)
+    for firsts in pending.values():
+        firsts.sort()
+    aborted_now: set[int] = set()
     out: list[dict] = []
     next_off: int | None = None
     pos = 0
@@ -762,21 +780,41 @@ def decode_record_set_with_end(
         if end > len(data):
             break  # truncated trailing batch
         batch = decode_record_batch(data[pos:end])
-        next_off = batch["base_offset"] + batch["last_offset_delta"] + 1
-        if not batch["control"]:
+        last = batch["base_offset"] + batch["last_offset_delta"]
+        next_off = last + 1
+        pid = batch["producer_id"]
+        firsts = pending.get(pid)
+        while firsts and firsts[0] <= last:
+            aborted_now.add(pid)
+            firsts.pop(0)
+        if batch["control"]:
             # transaction commit/abort markers (attributes bit 0x20)
             # are protocol metadata, not data rows — a transactional
             # producer's marker must not surface in the mirror stream
-            # (code-review r10); the offsets they occupy simply skip
+            # (code-review r10); the offsets they occupy simply skip.
+            # The marker KEY is int16 version + int16 type (0 = abort):
+            # an abort marker closes its producer's aborted range.
+            recs = batch["records"]
+            if recs and recs[0]["key"] and len(recs[0]["key"]) >= 4:
+                if struct.unpack_from(">h", recs[0]["key"], 2)[0] == 0:
+                    aborted_now.discard(pid)
+        elif batch["transactional"] and pid in aborted_now:
+            pass  # READ_COMMITTED: aborted data never surfaces
+        else:
             out.extend(batch["records"])
         pos = end
     return out, next_off
 
 
-def decode_fetch_response(body: bytes) -> dict[str, dict[int, dict]]:
+def decode_fetch_response(
+    body: bytes, isolation_level: int = 0
+) -> dict[str, dict[int, dict]]:
     """Fetch v4 response → ``{topic: {partition: {error,
     high_watermark, records}}}``. ``body`` excludes the length prefix
-    and correlation id (the transport strips both)."""
+    and correlation id (the transport strips both).  Under
+    READ_COMMITTED (isolation_level 1) the per-partition
+    aborted-transactions list filters transactional batches out of
+    ``records``."""
     pos = 4  # throttle_time_ms
     (n_topics,) = struct.unpack_from(">i", body, pos)
     pos += 4
@@ -791,17 +829,22 @@ def decode_fetch_response(body: bytes) -> dict[str, dict[int, dict]]:
             pos += 22
             (n_aborted,) = struct.unpack_from(">i", body, pos)
             pos += 4
-            if n_aborted > 0:
-                pos += 16 * n_aborted  # producer_id + first_offset
+            aborted: list[tuple[int, int]] = []
+            for _a in range(max(0, n_aborted)):
+                aborted.append(struct.unpack_from(">qq", body, pos))
+                pos += 16
             (set_len,) = struct.unpack_from(">i", body, pos)
             pos += 4
             raw = body[pos:pos + max(0, set_len)]
             pos += max(0, set_len)
-            records, next_off = decode_record_set_with_end(raw)
+            records, next_off = decode_record_set_with_end(
+                raw, aborted if isolation_level == 1 else None
+            )
             parts[part] = {
                 "error": err,
                 "high_watermark": hw,
                 "last_stable_offset": lso,
+                "aborted": aborted,
                 "records": records,
                 "next_offset": next_off,
             }

@@ -323,11 +323,14 @@ class KafkaFetchClient:
     def fetch(
         self, topic: str, partition: int, offset: int,
         max_wait_ms: int = 500,
+        isolation_level: int = 0,
     ) -> dict:
         """One Fetch round → the partition response dict (``records``,
         ``high_watermark``, …); a per-partition error code raises.
         Control batches' records were already dropped by the decoder —
-        their offsets appear as gaps the caller steps over."""
+        their offsets appear as gaps the caller steps over.  With
+        isolation_level 1 (READ_COMMITTED) the decoder also drops
+        aborted transactional batches per the response's aborted list."""
         from transferia_spark.sinks.kafka_wire import (
             decode_fetch_response,
             encode_fetch_request,
@@ -342,14 +345,56 @@ class KafkaFetchClient:
                     max_wait_ms=max_wait_ms,
                     correlation_id=corr,
                     client_id=self.client_id,
+                    isolation_level=isolation_level,
                 ),
                 corr,
-            )
+            ),
+            isolation_level=isolation_level,
         )
         part = resp[topic][partition]
         if part["error"]:
             raise KafkaFetchError(topic, partition, part["error"])
         return part
+
+    def stable_offsets(
+        self, topic: str, hw_offsets: dict[int, int]
+    ) -> dict[int, int]:
+        """Per-partition LAST STABLE OFFSET via a zero-wait
+        READ_COMMITTED fetch probe at the high watermark — what the
+        stock connector gets from the Java consumer's isolation-aware
+        ``endOffsets``.  A partition whose probe fails keeps its high
+        watermark (the read path will then simply see no data past the
+        LSO and the next batch replans)."""
+        from transferia_spark.sinks.kafka_wire import (
+            decode_fetch_response,
+            encode_fetch_request,
+        )
+
+        out = dict(hw_offsets)
+        corr = self._next_corr()
+        try:
+            resp = decode_fetch_response(
+                self._request(
+                    encode_fetch_request(
+                        topic,
+                        hw_offsets,
+                        max_wait_ms=0,
+                        partition_max_bytes=16,
+                        correlation_id=corr,
+                        client_id=self.client_id,
+                        isolation_level=1,
+                    ),
+                    corr,
+                ),
+                isolation_level=1,
+            )
+        except Exception:
+            return out
+        for part, info in resp.get(topic, {}).items():
+            lso = info.get("last_stable_offset", -1)
+            if not info["error"] and lso is not None and lso >= 0:
+                out[part] = min(out.get(part, lso), lso)
+        return out
 
 
 class KafkaFetchError(ValueError):
@@ -467,6 +512,19 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 "starting_offsets and starting_offsets_by_timestamp "
                 "are mutually exclusive"
             )
+        iso = str(
+            options.get("isolation_level", "read_uncommitted")
+        ).lower()
+        if iso not in ("read_uncommitted", "read_committed"):
+            raise ValueError(
+                "isolation_level must be read_uncommitted or "
+                f"read_committed, got {iso!r}"
+            )
+        #: 1 = READ_COMMITTED: planned ends cap at the last stable
+        #: offset and aborted transactional batches never surface —
+        #: stock-connector kafka.isolation.level semantics (the
+        #: reference's franz-go default is read_uncommitted)
+        self.isolation = 1 if iso == "read_committed" else 0
         self.include_headers = str(
             options.get("include_headers", "false")
         ).lower() in ("true", "1", "yes")
@@ -535,6 +593,13 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         # before the first partitions() call leaves it empty, so that
         # one batch is uncapped — safe, just bigger.
         offs = self._driver_client().list_offsets(self.topic, -1)
+        if self.isolation == 1:
+            # READ_COMMITTED plans only STABLE offsets: data between
+            # the LSO and the high watermark belongs to open
+            # transactions — planning it would strand the batch waiting
+            # on commits (ListOffsets v1 has no isolation field, so the
+            # LSO comes from a zero-wait fetch probe)
+            offs = self._driver_client().stable_offsets(self.topic, offs)
         out = {}
         for p, o in sorted(offs.items()):
             base = self._base.get(str(p))
@@ -576,7 +641,8 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             while off < partition.end:
                 try:
                     part = client.fetch(
-                        self.topic, partition.partition, off
+                        self.topic, partition.partition, off,
+                        isolation_level=self.isolation,
                     )
                 except KafkaFetchError as e:
                     # mid-read leadership churn: re-ask metadata and
@@ -595,6 +661,18 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 records = part["records"]
                 nxt = part.get("next_offset")
                 if not records and nxt is None:
+                    lso = part.get("last_stable_offset", -1)
+                    if self.isolation == 1 and 0 <= lso <= off:
+                        # READ_COMMITTED safety net: the broker is
+                        # holding data behind open transactions (the
+                        # planner caps at the LSO, but a probe that
+                        # fell back to the high watermark can land
+                        # here) — wait for commit/abort, bounded by
+                        # the broker's transaction.timeout.ms
+                        import time as _time
+
+                        _time.sleep(0.2)
+                        continue
                     # no decodable batch at all: the planned end came
                     # from ListOffsets — data must exist below it;
                     # nothing here means truncation/retention raced
