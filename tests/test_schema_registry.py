@@ -363,6 +363,13 @@ def test_build_table_id_policies():
     ) == "Evt"
     with pytest.raises(ValueError, match="unknown table_name_policy"):
         build_table_id("bogus", "JSON", "x")
+    # nameless schemas (top-level Avro union, title-less JSON) must
+    # not silently route to an empty table id — manual pin excepted
+    with pytest.raises(ValueError, match="manual"):
+        build_table_id("title", "AVRO", "")
+    with pytest.raises(ValueError, match="manual"):
+        build_table_id("debezium", "JSON", "")
+    assert build_table_id("manual:t", "AVRO", "") == "t"
 
 
 def test_parser_table_name_policy_routes_mixed_schema_types(spark):
@@ -465,8 +472,15 @@ def test_cloudevents_proto_binding_end_to_end(spark):
     assert extract_schema_id_and_url(
         "http://localhost:8081/schemas/ids/2"
     ) == ("http://localhost:8081", 2)
+    # path-mounted registries (Apicurio/Karapace ccompat) keep their
+    # prefix; ids in query strings don't count (code-review r11 pass 5)
+    assert extract_schema_id_and_url(
+        "http://h:1/apis/ccompat/v7/schemas/ids/7"
+    ) == ("http://h:1/apis/ccompat/v7", 7)
     with pytest.raises(ValueError, match="schemas/ids"):
         extract_schema_id_and_url("http://h:1/subjects/x")
+    with pytest.raises(ValueError, match="schemas/ids"):
+        extract_schema_id_and_url("http://h:1/x?u=/schemas/ids/5")
 
     hits: list = []
     srv = _registry(
@@ -488,24 +502,47 @@ def test_cloudevents_proto_binding_end_to_end(spark):
         frame = _cloudevent_frame(
             uri, body, "type.googleapis.com/shop.Evt"
         )
+        # the Any spec allows any authority: resolution goes by the
+        # LAST path segment, never silently the first message
+        from transferia_spark.parsers.cloudevents_proto import (
+            unpack_cloudevent as _unpack,
+        )
+
+        other = _cloudevent_frame(uri, body, "type.example.com/shop.Evt")
+        assert _unpack(other)[2] == "shop.Evt"
+        bare = _cloudevent_frame(uri, body, "shop.Evt")
+        assert _unpack(bare)[2] == "shop.Evt"
         # envelope unpack surfaces the reference's mandatory fields
         fields, data, proto_path = unpack_cloudevent(frame)
         assert (fields["id"], fields["subject"], proto_path) == (
             "ev-1", "s1", "shop.Evt")
         assert fields["time"] == 1_700_000_000.5
         assert data == body
-        # full flow through the Spark parser
-        parse = build_parser("cloudevents", binding="proto")
+        # full flow through the Spark parser — a Kafka tombstone rides
+        # as a null row (code-review r11 pass 5), system cols carry
+        parse = build_parser(
+            "cloudevents", binding="proto", add_system_cols=True
+        )
         rows = parse(
-            spark.createDataFrame([(frame,)], "value binary")
-        ).collect()
-        assert len(rows) == 1
+            spark.createDataFrame(
+                [(frame, 3), (None, 4)], "value binary, offset int"
+            )
+        ).orderBy("offset").collect()
+        assert len(rows) == 2
         r = rows[0]
         assert (r["id"], r["subject"], r["_schema_id"]) == ("ev-1", "s1", 4)
         assert json.loads(r["payload"]) == {
             "id": 11, "name": "ce", "status": "DONE",
             "where": {"city": "oslo"}}
-        assert str(r["time"]).startswith("2023-11-14")
+        # tz-AWARE instant: 1_700_000_000.5 s epoch exactly, no
+        # session-timezone shift (code-review r11 pass 5)
+        from datetime import timezone as _tz
+
+        assert r["time"].replace(
+            tzinfo=_tz.utc
+        ).timestamp() == 1_700_000_000.5
+        assert r["offset"] == 3
+        assert rows[1]["id"] is None and rows[1]["offset"] == 4
         # a missing time attribute is loud (reference: mandatory)
         from transferia_spark.parsers.cloudevents_proto import (
             _envelope as _env,

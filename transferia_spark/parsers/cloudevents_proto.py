@@ -77,26 +77,29 @@ def _envelope() -> ProtoCodec:
     return _ENVELOPE
 
 
-_ANY_PREFIX = "type.googleapis.com/"
-_IDS_RE = re.compile(r"/schemas/ids/(\d+)(?:$|[/?])")
+_IDS_RE = re.compile(r"/schemas/ids/(\d+)/?(?:[?#]|$)")
 
 
 def extract_schema_id_and_url(uri: str) -> tuple[str, int]:
-    """``http://host:port/schemas/ids/7`` → (registry base URL, 7) —
-    ≈ extractSchemaIDAndURL (cloudevents/engine/utils.go:15)."""
+    """``…/schemas/ids/7`` → (registry base URL, 7) —
+    ≈ extractSchemaIDAndURL (cloudevents/engine/utils.go:15), but
+    keeping any PATH PREFIX before ``/schemas/ids/`` (Apicurio /
+    Karapace mount the compat API under one, e.g.
+    ``/apis/ccompat/v7/schemas/ids/7`` — code-review r11 pass 5)."""
     from urllib.parse import urlparse
 
     u = urlparse(uri)
     if not u.scheme or not u.hostname:
         raise ValueError(f"dataschema {uri!r} is not an absolute URL")
-    base = f"{u.scheme}://{u.hostname}"
-    if u.port:
-        base += f":{u.port}"
-    m = _IDS_RE.search(uri)
+    m = _IDS_RE.search(u.path)
     if not m:
         raise ValueError(
             f"dataschema {uri!r} carries no /schemas/ids/<id> path"
         )
+    base = f"{u.scheme}://{u.hostname}"
+    if u.port:
+        base += f":{u.port}"
+    base += u.path[: m.start()]
     return base, int(m.group(1))
 
 
@@ -129,9 +132,12 @@ def unpack_cloudevent(buf: bytes) -> tuple[dict, bytes | str | None, str]:
     proto_path = ""
     any_msg = ev.get("proto_data")
     if any_msg is not None:
-        turl = any_msg["type_url"]
-        if turl.startswith(_ANY_PREFIX):
-            proto_path = turl[len(_ANY_PREFIX):]
+        # the Any spec allows ANY authority before the final path
+        # segment (protobuf-go resolves by the last '/'-segment); only
+        # honoring type.googleapis.com silently decoded other
+        # authorities against the FIRST message (code-review r11
+        # pass 5)
+        proto_path = any_msg["type_url"].rsplit("/", 1)[-1]
         data = any_msg["value"]
     elif ev.get("text_data"):
         data = ev["text_data"]

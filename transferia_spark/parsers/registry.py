@@ -334,18 +334,25 @@ def cloudevents_parser(
     ``type_url`` addresses the message — executor tasks resolve and
     decode, payload lands as canonical JSON (bytes hex-encoded)."""
     if binding == "proto":
-        st = T.StructType([
-            T.StructField("id", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("type", T.StringType()),
-            T.StructField("dataschema", T.StringType()),
-            T.StructField("subject", T.StringType()),
-            T.StructField("time", T.TimestampType()),
-            T.StructField("payload", T.StringType()),
-            T.StructField("_schema_id", T.IntegerType()),
-        ])
-
         def parse_proto(df: DataFrame) -> DataFrame:
+            aux = (
+                [c for c in df.columns if c != "value"]
+                if add_system_cols else []
+            )
+            st = T.StructType(
+                [
+                    T.StructField("id", T.StringType()),
+                    T.StructField("source", T.StringType()),
+                    T.StructField("type", T.StringType()),
+                    T.StructField("dataschema", T.StringType()),
+                    T.StructField("subject", T.StringType()),
+                    T.StructField("time", T.TimestampType()),
+                    T.StructField("payload", T.StringType()),
+                    T.StructField("_schema_id", T.IntegerType()),
+                ]
+                + [df.schema[c] for c in aux]
+            )
+
             def run(batches):
                 import datetime as _dt
                 import json as _json
@@ -372,21 +379,29 @@ def cloudevents_parser(
                         return [canon(x) for x in v]
                     return v
 
+                names = ("id", "source", "type", "dataschema",
+                         "subject", "time", "payload", "_schema_id")
                 for pdf in batches:
-                    rows = {n: [] for n in (
-                        "id", "source", "type", "dataschema", "subject",
-                        "time", "payload", "_schema_id",
-                    )}
+                    rows = {n: [] for n in names}
                     for v in pdf["value"]:
+                        if v is None:
+                            # Kafka tombstone: a null row, never a
+                            # crashed stream (code-review r11 pass 5)
+                            for n in names:
+                                rows[n].append(None)
+                            continue
                         fields, sid, rec = decode_cloudevent_payload(
                             bytes(v), factory, url_converter
                         )
                         for n in ("id", "source", "type", "dataschema",
                                   "subject"):
                             rows[n].append(fields[n])
+                        # tz-AWARE: a naive datetime would be
+                        # re-interpreted in the session timezone,
+                        # shifting the instant (code-review r11 pass 5)
                         rows["time"].append(_dt.datetime.fromtimestamp(
                             fields["time"], _dt.timezone.utc
-                        ).replace(tzinfo=None))
+                        ))
                         rows["payload"].append(
                             _json.dumps(canon(rec), sort_keys=True)
                             if isinstance(rec, dict)
@@ -394,7 +409,10 @@ def cloudevents_parser(
                                   else rec)
                         )
                         rows["_schema_id"].append(sid)
-                    yield pd.DataFrame(rows)
+                    out = dict(rows)
+                    for c in aux:
+                        out[c] = pdf[c]
+                    yield pd.DataFrame(out)
 
             return df.mapInPandas(run, st)
 

@@ -568,6 +568,16 @@ def build_table_id(policy: str, schema_type: str, name: str) -> str:
     proto message name."""
     if policy.startswith("manual:"):
         return policy[len("manual:"):]
+    if not name:
+        # a top-level Avro union/primitive/array, or a title-less JSON
+        # schema, carries no name to route by — silence here would send
+        # every such record to an empty-string table (code-review r11
+        # pass 5)
+        raise ValueError(
+            f"{schema_type} schema carries no record name/title to "
+            "derive a table id from; use table_name_policy="
+            "'manual:<table>'"
+        )
     if policy == "debezium":
         if schema_type == "JSON":
             parts = name.split(".", 1)

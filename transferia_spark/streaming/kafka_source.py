@@ -362,38 +362,51 @@ class KafkaFetchClient:
         """Per-partition LAST STABLE OFFSET via a zero-wait
         READ_COMMITTED fetch probe at the high watermark — what the
         stock connector gets from the Java consumer's isolation-aware
-        ``endOffsets``.  A partition whose probe fails keeps its high
-        watermark (the read path will then simply see no data past the
-        LSO and the next batch replans)."""
+        ``endOffsets``.  Each partition probes its LEADER (only the
+        leader answers; a bootstrap-only probe would NOT_LEADER its
+        way back to the high watermark on every multi-broker cluster —
+        code-review r11 pass 5).  A partition whose probe still fails
+        keeps its high watermark (the read path's bounded
+        open-transaction wait covers it)."""
         from transferia_spark.sinks.kafka_wire import (
             decode_fetch_response,
             encode_fetch_request,
         )
 
         out = dict(hw_offsets)
-        corr = self._next_corr()
         try:
-            resp = decode_fetch_response(
-                self._request(
-                    encode_fetch_request(
-                        topic,
-                        hw_offsets,
-                        max_wait_ms=0,
-                        partition_max_bytes=16,
-                        correlation_id=corr,
-                        client_id=self.client_id,
-                        isolation_level=1,
-                    ),
-                    corr,
-                ),
-                isolation_level=1,
-            )
+            md = self.metadata(topic)
+            parts = md["topics"][topic]["partitions"]
+            by_client: dict[KafkaFetchClient, list[int]] = {}
+            for p in hw_offsets:
+                c = self._client_for(md, parts.get(p))
+                by_client.setdefault(c, []).append(p)
         except Exception:
             return out
-        for part, info in resp.get(topic, {}).items():
-            lso = info.get("last_stable_offset", -1)
-            if not info["error"] and lso is not None and lso >= 0:
-                out[part] = min(out.get(part, lso), lso)
+        for c, ps in by_client.items():
+            corr = c._next_corr()
+            try:
+                resp = decode_fetch_response(
+                    c._request(
+                        encode_fetch_request(
+                            topic,
+                            {p: hw_offsets[p] for p in ps},
+                            max_wait_ms=0,
+                            partition_max_bytes=16,
+                            correlation_id=corr,
+                            client_id=c.client_id,
+                            isolation_level=1,
+                        ),
+                        corr,
+                    ),
+                    isolation_level=1,
+                )
+            except Exception:
+                continue
+            for part, info in resp.get(topic, {}).items():
+                lso = info.get("last_stable_offset", -1)
+                if not info["error"] and lso is not None and lso >= 0:
+                    out[part] = min(out.get(part, lso), lso)
         return out
 
 
