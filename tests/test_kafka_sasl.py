@@ -197,6 +197,7 @@ class SecureBroker(LoopbackBroker):
                 resp = {
                     0: self._produce, 1: self._fetch,
                     2: self._list_offsets, 3: self._metadata,
+                    22: self._init_producer_id,
                 }[api](body, pos)
             frame = struct.pack(">i", corr) + resp
             conn.sendall(struct.pack(">i", len(frame)) + frame)

@@ -92,9 +92,15 @@ class LoopbackBroker:
             resp = {
                 0: self._produce, 1: self._fetch,
                 2: self._list_offsets, 3: self._metadata,
+                22: self._init_producer_id,
             }[api](body, pos)
             frame = struct.pack(">i", corr) + resp
             conn.sendall(struct.pack(">i", len(frame)) + frame)
+
+    def _init_producer_id(self, body: bytes, pos: int) -> bytes:
+        # InitProducerId v0: throttle, error, pid, epoch
+        self._next_pid = getattr(self, "_next_pid", 1000) + 1
+        return struct.pack(">ihqh", 0, 0, self._next_pid, 0)
 
     def _produce(self, body: bytes, pos: int) -> bytes:
         _txid, pos = _read_str(body, pos)
@@ -103,6 +109,9 @@ class LoopbackBroker:
         (n_topics,) = struct.unpack_from(">i", body, pos)
         pos += 4
         out = struct.pack(">i", n_topics)
+        seqs = getattr(self, "_seqs", None)
+        if seqs is None:
+            seqs = self._seqs = {}  # (topic, part, pid) -> next seq
         for _ in range(n_topics):
             topic, pos = _read_str(body, pos)
             (n_parts,) = struct.unpack_from(">i", body, pos)
@@ -115,6 +124,16 @@ class LoopbackBroker:
                 pos += set_len
                 plog = self.log[topic][part]
                 base = len(plog)
+                pid, bseq = batch["producer_id"], batch["base_sequence"]
+                if pid >= 0 and bseq >= 0:
+                    # KIP-98 idempotence: a replayed (pid, sequence)
+                    # dedupes with DUPLICATE_SEQUENCE_NUMBER (46)
+                    expect = seqs.get((topic, part, pid), 0)
+                    if bseq < expect:
+                        out += struct.pack(">ihqq", part, 46, base, -1)
+                        continue
+                    seqs[(topic, part, pid)] = \
+                        bseq + len(batch["records"])
                 for r in batch["records"]:
                     plog.append((r["key"], r["value"], r["timestamp"]))
                 out += struct.pack(">ihqq", part, 0, base, -1)
@@ -1042,6 +1061,64 @@ def test_wire_reader_isolation_levels_end_to_end():
         assert end_c == {"0": 7}  # planned to the LSO
         everything, _ = drain(base)  # default read_uncommitted
         assert everything == [b"a0", b"a1", b"c0", b"c1", b"p0"]
+    finally:
+        broker.close()
+
+
+def test_idempotent_produce_stamps_and_dedupes():
+    """KIP-98 idempotent produce, ON by default like franz-go: the
+    transport allocates a pid via InitProducerId, stamps each batch
+    with (pid, epoch, sequence), and a replay of already-acked data
+    (simulating a lost ack + caller retry) dedupes broker-side instead
+    of duplicating."""
+    from transferia_spark.sinks.kafka_wire import (
+        batch_record_count,
+        stamp_producer,
+    )
+    from transferia_spark.streaming.kafka_source import (
+        KafkaWireTransport,
+    )
+
+    # unit: the stamp patches pid/epoch/seq and the CRC still verifies
+    b = encode_record_batch([(b"k1", b"v1"), (b"k2", b"v2")])
+    assert batch_record_count(b) == 2
+    stamped = stamp_producer(b, 777, 3, 12)
+    got = decode_record_batch(stamped)
+    assert (got["producer_id"], got["producer_epoch"],
+            got["base_sequence"]) == (777, 3, 12)
+    assert [r["key"] for r in got["records"]] == [b"k1", b"k2"]
+
+    broker = LoopbackBroker({"t": 1})
+    try:
+        t = KafkaWireTransport(f"127.0.0.1:{broker.port}", timeout=10)
+        t.produce("t", {0: encode_record_batch([(b"a", b"1")])})
+        t.produce("t", {0: encode_record_batch([(b"b", b"2")])})
+        assert t._pid is not None and t._seq[("t", 0)] == 2
+        # sequences are per-batch cumulative: the broker saw 0 then 1
+        assert broker._seqs[("t", 0, t._pid)] == 2
+        # replay: ack lost, caller resends the SAME data — rewinding
+        # the local sequence reproduces the duplicate (pid, seq) send
+        t._seq[("t", 0)] = 1
+        t.produce("t", {0: encode_record_batch([(b"b", b"2")])})
+        assert [k for k, _v, _t in broker.log["t"][0]] == [b"a", b"b"]
+        # a NEW process (pickle round-trip) starts a fresh pid session
+        import pickle
+
+        t2 = pickle.loads(pickle.dumps(t))
+        assert t2._pid is None and t2._seq == {}
+        t2.produce("t", {0: encode_record_batch([(b"c", b"3")])})
+        assert t2._pid != t.pid if hasattr(t, "pid") else True
+        assert [k for k, _v, _t in broker.log["t"][0]] == [
+            b"a", b"b", b"c"]
+        t.close()
+        t2.close()
+        # opt-out keeps the unstamped shape (pid -1, no InitProducerId)
+        t3 = KafkaWireTransport(
+            f"127.0.0.1:{broker.port}", timeout=10, idempotent=False
+        )
+        t3.produce("t", {0: encode_record_batch([(b"d", b"4")])})
+        assert t3._pid is None
+        t3.close()
     finally:
         broker.close()
 

@@ -446,6 +446,50 @@ def encode_record_batch(
     return struct.pack(">q", base_offset) + struct.pack(">i", len(body)) + body
 
 
+def stamp_producer(
+    batch: bytes, pid: int, epoch: int, base_sequence: int
+) -> bytes:
+    """Patch producerId/producerEpoch/baseSequence into an encoded
+    RecordBatch v2 and recompute its CRC — the idempotent-produce
+    stamp (KIP-98).  A RETRY must resend the SAME stamped bytes so the
+    broker dedupes on (pid, sequence)."""
+    tail = bytearray(batch[21:])
+    struct.pack_into(">q", tail, 22, pid)
+    struct.pack_into(">h", tail, 30, epoch)
+    struct.pack_into(">i", tail, 32, base_sequence)
+    return batch[:17] + struct.pack(">I", crc32c(bytes(tail))) + bytes(tail)
+
+
+def batch_record_count(batch: bytes) -> int:
+    """Record count of an encoded RecordBatch v2 (drives the producer's
+    per-partition sequence advance)."""
+    return struct.unpack_from(">i", batch, 57)[0]  # 21-byte head + 36
+
+
+def encode_init_producer_id_request(
+    correlation_id: int = 0,
+    client_id: str = "transferia-spark",
+    transactional_id: str | None = None,
+    transaction_timeout_ms: int = 60_000,
+) -> bytes:
+    """InitProducerId v0 (API 22): allocates the (pid, epoch) an
+    idempotent producer stamps into its batches — franz-go enables
+    idempotent produce by default, so this is what the reference's
+    writer actually sends."""
+    body = bytearray()
+    body += request_header(22, 0, correlation_id, client_id)
+    body += _string(transactional_id)
+    body += struct.pack(">i", transaction_timeout_ms)
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def decode_init_producer_id_response(body: bytes) -> tuple[int, int]:
+    _throttle, err, pid, epoch = struct.unpack_from(">ihqh", body, 0)
+    if err:
+        raise ValueError(f"InitProducerId error {err}")
+    return pid, epoch
+
+
 def decode_record_batch(data: bytes) -> dict:
     """Inverse of ``encode_record_batch`` — validates length, magic and
     CRC, returns records with keys/values/headers."""
@@ -465,6 +509,8 @@ def decode_record_batch(data: bytes) -> dict:
     is_control = bool(attributes & 0x20)
     base_ts, max_ts = struct.unpack_from(">qq", tail, 6)
     producer_id = struct.unpack_from(">q", tail, 22)[0]
+    producer_epoch = struct.unpack_from(">h", tail, 30)[0]
+    base_sequence = struct.unpack_from(">i", tail, 32)[0]
     count = struct.unpack_from(">i", tail, 36)[0]
     if codec:
         # bits 0-2: compression over the records array (count stays
@@ -516,6 +562,8 @@ def decode_record_batch(data: bytes) -> dict:
         "control": is_control,
         "transactional": bool(attributes & 0x10),
         "producer_id": producer_id,
+        "producer_epoch": producer_epoch,
+        "base_sequence": base_sequence,
         "last_offset_delta": last_delta,
         "max_timestamp": max_ts,
         "records": records,

@@ -794,17 +794,48 @@ class KafkaWireTransport:
         timeout: float = 30.0,
         security: KafkaSecurity | None = None,
         client_id: str = "transferia-spark",
+        idempotent: bool = True,
     ):
         self.bootstrap = bootstrap
         self.timeout = timeout
         self.security = security
         self.client_id = client_id
+        #: KIP-98 idempotent produce — ON by default, matching
+        #: franz-go's default in the reference's writer: batches carry
+        #: (pid, epoch, base sequence) so a broker-side retry dedupes
+        #: instead of duplicating
+        self.idempotent = idempotent
         self._client: KafkaFetchClient | None = None
+        self._pid: int | None = None
+        self._epoch = 0
+        self._seq: dict[tuple[str, int], int] = {}
 
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_client"] = None  # sockets never cross process bounds
+        # a NEW process is a NEW idempotence session: fresh pid, and
+        # sequences restart at 0 under it (per KIP-98 semantics)
+        state["_pid"] = None
+        state["_seq"] = {}
         return state
+
+    def _ensure_pid(self, boot: KafkaFetchClient) -> None:
+        if self._pid is not None:
+            return
+        from transferia_spark.sinks.kafka_wire import (
+            decode_init_producer_id_response,
+            encode_init_producer_id_request,
+        )
+
+        corr = boot._next_corr()
+        self._pid, self._epoch = decode_init_producer_id_response(
+            boot._request(
+                encode_init_producer_id_request(
+                    correlation_id=corr, client_id=self.client_id
+                ),
+                corr,
+            )
+        )
 
     def _connected(self) -> KafkaFetchClient:
         if self._client is None:
@@ -822,12 +853,23 @@ class KafkaWireTransport:
         per-partition error (leadership churn) re-resolves the leader
         once before failing loudly."""
         from transferia_spark.sinks.kafka_wire import (
+            batch_record_count,
             decode_produce_response,
             encode_produce_request,
+            stamp_producer,
         )
 
         boot = self._connected()
+        if self.idempotent:
+            self._ensure_pid(boot)
         for part, batch in sorted(partition_batches.items()):
+            count = 0
+            if self.idempotent:
+                # stamp ONCE per batch: the retry below must resend
+                # the SAME (pid, sequence) bytes so the broker dedupes
+                count = batch_record_count(batch)
+                seq = self._seq.get((topic, part), 0)
+                batch = stamp_producer(batch, self._pid, self._epoch, seq)
             for attempt in (0, 1):
                 client = boot.for_leader(topic, part)
                 corr = client._next_corr()
@@ -841,6 +883,12 @@ class KafkaWireTransport:
                     )
                     break
                 except ValueError as e:
+                    if self.idempotent and \
+                            f"produce error 46 for {topic}" in str(e):
+                        # DUPLICATE_SEQUENCE_NUMBER: an earlier send of
+                        # this exact batch already landed — the whole
+                        # POINT of idempotence; success, not failure
+                        break
                     code = next(
                         (c for c in KafkaFetchError.RETRIABLE
                          if f"produce error {c} " in str(e)),
@@ -856,6 +904,9 @@ class KafkaWireTransport:
                     # drop every connection so the next call redials
                     self.close()
                     raise
+            if self.idempotent:
+                self._seq[(topic, part)] = \
+                    self._seq.get((topic, part), 0) + count
 
     def __call__(self, frame: bytes) -> None:
         """Legacy raw-frame path (pre-encoded produce request sent to
