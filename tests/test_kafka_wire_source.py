@@ -469,7 +469,7 @@ def test_reader_bounded_catchup_never_regresses():
         def __init__(self):
             self.ends = {0: 12}
 
-        def list_offsets(self, topic, ts):
+        def list_offsets(self, topic, ts, md=None):
             return dict(self.ends)
 
     r._client = StubClient()
@@ -710,7 +710,7 @@ def test_starting_offsets_validation_and_explicit_form():
     })
 
     class StubClient:
-        def list_offsets(self, topic, ts):
+        def list_offsets(self, topic, ts, md=None):
             return {0: 100, 1: 100, 2: 100} if ts == -1 else {
                 0: 10, 1: 10, 2: 10
             }
@@ -1107,7 +1107,7 @@ def test_idempotent_produce_stamps_and_dedupes():
         t2 = pickle.loads(pickle.dumps(t))
         assert t2._pid is None and t2._seq == {}
         t2.produce("t", {0: encode_record_batch([(b"c", b"3")])})
-        assert t2._pid != t.pid if hasattr(t, "pid") else True
+        assert t2._pid != t._pid  # a NEW pid session, not a reuse
         assert [k for k, _v, _t in broker.log["t"][0]] == [
             b"a", b"b", b"c"]
         t.close()
@@ -1119,6 +1119,52 @@ def test_idempotent_produce_stamps_and_dedupes():
         t3.produce("t", {0: encode_record_batch([(b"d", b"4")])})
         assert t3._pid is None
         t3.close()
+    finally:
+        broker.close()
+
+
+class LostAckBroker(LoopbackBroker):
+    """Persists the FIRST data produce, then kills the connection
+    before acking — the classic lost-ack; the redial's resend must
+    dedupe on (pid, sequence), not duplicate."""
+
+    dropped = False
+
+    def _produce(self, body, pos):
+        resp = super()._produce(body, pos)
+        if not LostAckBroker.dropped:
+            LostAckBroker.dropped = True
+            raise ConnectionAbortedError  # _serve closes the socket
+        return resp
+
+    def _serve(self, conn):
+        try:
+            super()._serve(conn)
+        except ConnectionAbortedError:
+            conn.close()
+
+
+def test_idempotent_produce_survives_lost_ack_without_duplicating():
+    """code-review r11 pass 6: the dedupe must be reachable from the
+    production path — a socket that dies AFTER the broker persisted
+    the batch but BEFORE the ack triggers an in-process redial that
+    resends the SAME stamped bytes; the broker answers
+    DUPLICATE_SEQUENCE_NUMBER and the records land exactly once."""
+    from transferia_spark.streaming.kafka_source import (
+        KafkaWireTransport,
+    )
+
+    LostAckBroker.dropped = False
+    broker = LostAckBroker({"t": 1})
+    try:
+        t = KafkaWireTransport(f"127.0.0.1:{broker.port}", timeout=10)
+        t.produce("t", {0: encode_record_batch([(b"a", b"1")])})
+        assert LostAckBroker.dropped
+        assert [k for k, _v, _t in broker.log["t"][0]] == [b"a"]
+        # the session keeps working after the redial
+        t.produce("t", {0: encode_record_batch([(b"b", b"2")])})
+        assert [k for k, _v, _t in broker.log["t"][0]] == [b"a", b"b"]
+        t.close()
     finally:
         broker.close()
 
@@ -1216,7 +1262,7 @@ def test_starting_offsets_by_timestamp():
     })
 
     class StubClient:
-        def list_offsets(self, topic, ts):
+        def list_offsets(self, topic, ts, md=None):
             if ts == 1_700_000_000_000:
                 return {0: 7, 1: -1}
             assert ts == -1

@@ -527,7 +527,7 @@ def test_cloudevents_proto_binding_end_to_end(spark):
             spark.createDataFrame(
                 [(frame, 3), (None, 4)], "value binary, offset int"
             )
-        ).orderBy("offset").collect()
+        ).orderBy("_offset").collect()
         assert len(rows) == 2
         r = rows[0]
         assert (r["id"], r["subject"], r["_schema_id"]) == ("ev-1", "s1", 4)
@@ -541,8 +541,9 @@ def test_cloudevents_proto_binding_end_to_end(spark):
         assert r["time"].replace(
             tzinfo=_tz.utc
         ).timestamp() == 1_700_000_000.5
-        assert r["offset"] == 3
-        assert rows[1]["id"] is None and rows[1]["offset"] == 4
+        # system columns follow the parser contract (_offset/_idx/...)
+        assert r["_offset"] == 3 and r["_idx"] == 3
+        assert rows[1]["id"] is None and rows[1]["_offset"] == 4
         # a missing time attribute is loud (reference: mandatory)
         from transferia_spark.parsers.cloudevents_proto import (
             _envelope as _env,

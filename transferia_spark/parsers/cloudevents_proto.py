@@ -96,10 +96,10 @@ def extract_schema_id_and_url(uri: str) -> tuple[str, int]:
         raise ValueError(
             f"dataschema {uri!r} carries no /schemas/ids/<id> path"
         )
-    base = f"{u.scheme}://{u.hostname}"
-    if u.port:
-        base += f":{u.port}"
-    base += u.path[: m.start()]
+    # netloc, not hostname: hostname strips IPv6 brackets (making
+    # 'http://::1:8081' — unusable) and drops userinfo (code-review
+    # r11 pass 6)
+    base = f"{u.scheme}://{u.netloc}" + u.path[: m.start()]
     return base, int(m.group(1))
 
 

@@ -335,6 +335,10 @@ def cloudevents_parser(
     decode, payload lands as canonical JSON (bytes hex-encoded)."""
     if binding == "proto":
         def parse_proto(df: DataFrame) -> DataFrame:
+            # the same _timestamp/_partition/_offset/_idx system-column
+            # CONTRACT every parser emits (generic_parser.go:115-166) —
+            # raw source names here broke downstream selects keyed on
+            # the underscored names (code-review r11 pass 6)
             aux = (
                 [c for c in df.columns if c != "value"]
                 if add_system_cols else []
@@ -414,7 +418,11 @@ def cloudevents_parser(
                         out[c] = pdf[c]
                     yield pd.DataFrame(out)
 
-            return df.mapInPandas(run, st)
+            parsed = df.mapInPandas(run, st)
+            if aux:
+                keep = [c for c in parsed.columns if c not in aux]
+                return parsed.select(*keep, *_aux_columns(parsed))
+            return parsed
 
         return parse_proto
     if binding != "json":

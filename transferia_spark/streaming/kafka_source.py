@@ -288,7 +288,26 @@ class KafkaFetchClient:
             )
         )
 
-    def list_offsets(self, topic: str, timestamp: int) -> dict[int, int]:
+    def _leader_groups(
+        self, topic: str, partitions, md: dict | None = None
+    ) -> dict["KafkaFetchClient", list[int]]:
+        """{leader client: [partitions]} — only leaders answer offset
+        and fetch requests authoritatively.  Pass ``md`` to reuse a
+        metadata response across calls in one planning round
+        (code-review r11 pass 6: a redundant Metadata round-trip per
+        micro-batch)."""
+        if md is None:
+            md = self.metadata(topic)
+        parts = md["topics"][topic]["partitions"]
+        by_client: dict[KafkaFetchClient, list[int]] = {}
+        for p in partitions:
+            c = self._client_for(md, parts.get(p))
+            by_client.setdefault(c, []).append(p)
+        return by_client
+
+    def list_offsets(
+        self, topic: str, timestamp: int, md: dict | None = None
+    ) -> dict[int, int]:
         """Per-partition offsets at ``timestamp`` (-1 latest/log-end,
         -2 earliest/log-start) for every partition the metadata
         reports — each partition asked on its LEADER (only the leader
@@ -298,11 +317,10 @@ class KafkaFetchClient:
             encode_list_offsets_request,
         )
 
-        md = self.metadata(topic)
+        if md is None:
+            md = self.metadata(topic)
         parts = md["topics"][topic]["partitions"]
-        by_client: dict[KafkaFetchClient, list[int]] = {}
-        for p, leader in parts.items():
-            by_client.setdefault(self._client_for(md, leader), []).append(p)
+        by_client = self._leader_groups(topic, parts, md)
         out: dict[int, int] = {}
         for c, ps in by_client.items():
             corr = c._next_corr()
@@ -357,7 +375,8 @@ class KafkaFetchClient:
         return part
 
     def stable_offsets(
-        self, topic: str, hw_offsets: dict[int, int]
+        self, topic: str, hw_offsets: dict[int, int],
+        md: dict | None = None,
     ) -> dict[int, int]:
         """Per-partition LAST STABLE OFFSET via a zero-wait
         READ_COMMITTED fetch probe at the high watermark — what the
@@ -375,12 +394,7 @@ class KafkaFetchClient:
 
         out = dict(hw_offsets)
         try:
-            md = self.metadata(topic)
-            parts = md["topics"][topic]["partitions"]
-            by_client: dict[KafkaFetchClient, list[int]] = {}
-            for p in hw_offsets:
-                c = self._client_for(md, parts.get(p))
-                by_client.setdefault(c, []).append(p)
+            by_client = self._leader_groups(topic, hw_offsets, md)
         except Exception:
             return out
         for c, ps in by_client.items():
@@ -605,14 +619,17 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         # stream / by partitions()' start after a restart); restart
         # before the first partitions() call leaves it empty, so that
         # one batch is uncapped — safe, just bigger.
-        offs = self._driver_client().list_offsets(self.topic, -1)
+        c = self._driver_client()
+        md = c.metadata(self.topic) if self.isolation == 1 else None
+        offs = c.list_offsets(self.topic, -1, md=md)
         if self.isolation == 1:
             # READ_COMMITTED plans only STABLE offsets: data between
             # the LSO and the high watermark belongs to open
             # transactions — planning it would strand the batch waiting
             # on commits (ListOffsets v1 has no isolation field, so the
-            # LSO comes from a zero-wait fetch probe)
-            offs = self._driver_client().stable_offsets(self.topic, offs)
+            # LSO comes from a zero-wait fetch probe reusing the SAME
+            # metadata response)
+            offs = c.stable_offsets(self.topic, offs, md=md)
         out = {}
         for p, o in sorted(offs.items()):
             base = self._base.get(str(p))
@@ -865,12 +882,15 @@ class KafkaWireTransport:
         for part, batch in sorted(partition_batches.items()):
             count = 0
             if self.idempotent:
-                # stamp ONCE per batch: the retry below must resend
-                # the SAME (pid, sequence) bytes so the broker dedupes
+                # stamp ONCE per batch: every retry below must resend
+                # the SAME (pid, sequence) bytes so the broker dedupes;
+                # sequences wrap at int32 max per KIP-98
                 count = batch_record_count(batch)
                 seq = self._seq.get((topic, part), 0)
                 batch = stamp_producer(batch, self._pid, self._epoch, seq)
-            for attempt in (0, 1):
+            attempt = 0
+            redialed = False
+            while True:
                 client = boot.for_leader(topic, part)
                 corr = client._next_corr()
                 frame = encode_produce_request(
@@ -897,16 +917,31 @@ class KafkaWireTransport:
                     if attempt or code is None:
                         self.close()
                         raise
+                    attempt += 1
                     # leadership moved between metadata and produce:
                     # one fresh-metadata retry (for_leader re-asks)
+                except (ConnectionError, OSError):
+                    # the LOST-ACK case: the broker may have persisted
+                    # the batch before the socket died. Redial once and
+                    # resend the SAME stamped bytes — under idempotence
+                    # the broker dedupes (error 46 above), so the retry
+                    # is safe; without it, or on a second failure, the
+                    # error propagates and the caller's task retry is
+                    # at-least-once (a fresh process = fresh pid, same
+                    # as a restarted franz-go producer)
+                    self.close()
+                    if redialed or not self.idempotent:
+                        raise
+                    redialed = True
+                    boot = self._connected()
                 except BaseException:
-                    # mid-frame transport failure desyncs the stream:
+                    # any other mid-frame failure desyncs the stream:
                     # drop every connection so the next call redials
                     self.close()
                     raise
             if self.idempotent:
                 self._seq[(topic, part)] = \
-                    self._seq.get((topic, part), 0) + count
+                    (self._seq.get((topic, part), 0) + count) % (1 << 31)
 
     def __call__(self, frame: bytes) -> None:
         """Legacy raw-frame path (pre-encoded produce request sent to
