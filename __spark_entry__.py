@@ -1464,6 +1464,33 @@ def q_kafka_sasl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zstd_rec", str(r["offset"]),
             f"{r['key'].decode()}={r['value'].decode()}@{r['timestamp']}",
         ))
+    # idempotent produce (r11): InitProducerId v0 frame bytes and the
+    # (pid, epoch, sequence) stamp — byte-deterministic, CRC re-proven
+    # by the decode
+    from transferia_spark.sinks.kafka_wire import (
+        decode_record_batch,
+        encode_init_producer_id_request,
+        stamp_producer,
+    )
+
+    rows.append((
+        "idem", "init_pid_frame",
+        encode_init_producer_id_request(
+            correlation_id=9, client_id="t"
+        ).hex(),
+    ))
+    plain = encode_record_batch(
+        [(b"ik", b"iv")], base_offset=4,
+        base_timestamp=1_700_000_000_000,
+    )
+    stamped = stamp_producer(plain, 777, 3, 12)
+    rows.append(("idem", "stamped_batch", stamped.hex()))
+    d = decode_record_batch(stamped)
+    rows.append((
+        "idem", "stamped_decode",
+        f"pid={d['producer_id']} epoch={d['producer_epoch']} "
+        f"seq={d['base_sequence']} n={len(d['records'])}",
+    ))
     return spark.createDataFrame(rows, "kind string, name string, val string")
 
 
@@ -5389,7 +5416,12 @@ SELECT * FROM (VALUES
   ('gzip_rec', '6', '=v2@1700000000000'),
   ('zstd', 'handbuilt_frame', '28b52ffd200710000061622b000063'),
   ('zstd', 'handbuilt_decode', 'abccccc'),
-  ('zstd_rec', '9', 'zk=' || REPEAT('zv', 30) || '@1700000000000')
+  ('zstd_rec', '9', 'zk=' || REPEAT('zv', 30) || '@1700000000000'),
+  ('idem', 'init_pid_frame',
+   '000000110016000000000009000174ffff0000ea60'),
+  ('idem', 'stamped_batch',
+   '00000000000000040000003cffffffff024b67363c0000000000000000018bcfe568000000018bcfe56800000000000000030900030000000c000000011400000004696b04697600'),
+  ('idem', 'stamped_decode', 'pid=777 epoch=3 seq=12 n=1')
 ) AS t(kind, name, val)
 """,
         "schema_registry_avro": """
