@@ -92,10 +92,43 @@ class LoopbackBroker:
             resp = {
                 0: self._produce, 1: self._fetch,
                 2: self._list_offsets, 3: self._metadata,
+                8: self._offset_commit, 10: self._find_coordinator,
                 22: self._init_producer_id,
             }[api](body, pos)
             frame = struct.pack(">i", corr) + resp
             conn.sendall(struct.pack(">i", len(frame)) + frame)
+
+    def _find_coordinator(self, body: bytes, pos: int) -> bytes:
+        # FindCoordinator v0: this broker coordinates every group
+        return (
+            struct.pack(">h", 0) + struct.pack(">i", 0)
+            + _enc_str("127.0.0.1") + struct.pack(">i", self.port)
+        )
+
+    def _offset_commit(self, body: bytes, pos: int) -> bytes:
+        group, pos = _read_str(body, pos)
+        _gen = struct.unpack_from(">i", body, pos)[0]
+        pos += 4
+        _member, pos = _read_str(body, pos)
+        pos += 8  # retention
+        (n_topics,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        commits = getattr(self, "commits", None)
+        if commits is None:
+            commits = self.commits = {}  # (group, topic, part) -> off
+        out = struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic, pos = _read_str(body, pos)
+            (n_parts,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            out += _enc_str(topic) + struct.pack(">i", n_parts)
+            for _p in range(n_parts):
+                part, off = struct.unpack_from(">iq", body, pos)
+                pos += 12
+                _meta, pos = _read_str(body, pos)
+                commits[(group, topic, part)] = off
+                out += struct.pack(">ih", part, 0)
+        return out
 
     def _init_producer_id(self, body: bytes, pos: int) -> bytes:
         # InitProducerId v0: throttle, error, pid, epoch
@@ -1167,6 +1200,58 @@ def test_idempotent_produce_survives_lost_ack_without_duplicating():
         t.close()
     finally:
         broker.close()
+
+
+def test_group_id_mirrors_committed_offsets_for_lag_tooling():
+    """With group_id the reader mirrors each finished batch's end
+    offsets via standalone OffsetCommit (generation -1, no
+    membership) so standard lag monitors see progress; a coordinator
+    failure is ADVISORY — logged, never fatal. ≈ the reference's
+    ack-after-push group commits (kafka/source.go)."""
+    from transferia_spark.streaming.kafka_source import (
+        KafkaWireStreamReader,
+    )
+
+    broker = LoopbackBroker({"t": 1})
+    try:
+        from transferia_spark.schema.colschema import TableID
+        from transferia_spark.sinks.queues import KafkaSink
+        from transferia_spark.streaming.kafka_source import (
+            KafkaWireTransport,
+        )
+
+        t = KafkaWireTransport(f"127.0.0.1:{broker.port}", timeout=10)
+        t.produce("t", {0: encode_record_batch([(b"a", b"1"),
+                                                (b"b", b"2")])})
+        t.close()
+        r = KafkaWireStreamReader({
+            "bootstrap": f"127.0.0.1:{broker.port}", "topic": "t",
+            "starting_offsets": "earliest", "group_id": "mirror-g",
+        })
+        start = r.initialOffset()
+        end = r.latestOffset()
+        list(r.read(list(r.partitions(start, end))[0]))
+        r.commit(end)
+        assert broker.commits[("mirror-g", "t", 0)] == 2
+        r.stop()
+        # no group_id → no commit traffic at all
+        r2 = KafkaWireStreamReader({
+            "bootstrap": f"127.0.0.1:{broker.port}", "topic": "t",
+            "starting_offsets": "earliest",
+        })
+        r2.commit({"0": 2})
+        assert len(broker.commits) == 1
+        r2.stop()
+    finally:
+        broker.close()
+
+    # advisory: a dead coordinator logs, never raises
+    r3 = KafkaWireStreamReader({
+        "bootstrap": "127.0.0.1:1", "topic": "t",
+        "starting_offsets": "earliest", "group_id": "g",
+    })
+    r3.commit({"0": 5})  # bootstrap refuses connections → swallowed
+    r3.stop()
 
 
 def test_snappy_fast_path_agrees_with_pure_decoder():

@@ -490,6 +490,76 @@ def decode_init_producer_id_response(body: bytes) -> tuple[int, int]:
     return pid, epoch
 
 
+def encode_find_coordinator_request(
+    group_id: str,
+    correlation_id: int = 0,
+    client_id: str = "transferia-spark",
+) -> bytes:
+    """FindCoordinator v0 (API 10): which broker coordinates
+    ``group_id`` — the prelude to committing offsets."""
+    body = bytearray()
+    body += request_header(10, 0, correlation_id, client_id)
+    body += _string(group_id)
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def decode_find_coordinator_response(body: bytes) -> tuple[int, str, int]:
+    """→ (node_id, host, port); the error code raises."""
+    (err,) = struct.unpack_from(">h", body, 0)
+    if err:
+        raise ValueError(f"FindCoordinator error {err}")
+    node, pos = struct.unpack_from(">i", body, 2)[0], 6
+    host, pos = _read_string(body, pos)
+    (port,) = struct.unpack_from(">i", body, pos)
+    return node, host or "", port
+
+
+def encode_offset_commit_request(
+    group_id: str,
+    topic: str,
+    offsets: dict[int, int],
+    correlation_id: int = 0,
+    client_id: str = "transferia-spark",
+) -> bytes:
+    """OffsetCommit v2 as a STANDALONE consumer (generation -1, empty
+    member id — the broker accepts commits outside group membership;
+    retention -1 = broker default).  The committed positions make
+    progress visible to standard Kafka lag tooling; the Spark
+    checkpoint remains the source of truth, exactly the reference's
+    ack-after-push posture (``kafka/source.go``)."""
+    body = bytearray()
+    body += request_header(8, 2, correlation_id, client_id)
+    body += _string(group_id)
+    body += struct.pack(">i", -1)  # generation id: standalone
+    body += _string("")  # member id
+    body += struct.pack(">q", -1)  # retention time: broker default
+    body += struct.pack(">i", 1)  # one topic
+    body += _string(topic)
+    body += struct.pack(">i", len(offsets))
+    for part in sorted(offsets):
+        body += struct.pack(">iq", part, offsets[part])
+        body += _string(None)  # metadata
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def decode_offset_commit_response(body: bytes) -> None:
+    """Per-partition error codes raise (the caller decides whether a
+    failed ADVISORY commit is fatal — for the Spark reader it is not)."""
+    (n_topics,) = struct.unpack_from(">i", body, 0)
+    pos = 4
+    for _ in range(n_topics):
+        topic, pos = _read_string(body, pos)
+        (n_parts,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        for _p in range(n_parts):
+            part, err = struct.unpack_from(">ih", body, pos)
+            pos += 6
+            if err:
+                raise ValueError(
+                    f"OffsetCommit error {err} for {topic}[{part}]"
+                )
+
+
 def decode_record_batch(data: bytes) -> dict:
     """Inverse of ``encode_record_batch`` — validates length, magic and
     CRC, returns records with keys/values/headers."""

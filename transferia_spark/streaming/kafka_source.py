@@ -555,6 +555,9 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         self.include_headers = str(
             options.get("include_headers", "false")
         ).lower() in ("true", "1", "yes")
+        #: optional consumer-group MIRROR for the committed positions
+        #: (lag-tooling visibility; the checkpoint stays authoritative)
+        self.group_id = options.get("group_id") or None
         mx = options.get("max_records_per_batch")
         self.max_records = int(mx) if mx is not None else None
         self.timeout = float(options.get("timeout", 30.0))
@@ -752,8 +755,57 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             boot.close()  # closes leader peers too
 
     def commit(self, end: dict) -> None:
-        # no consumer group: the checkpoint IS the committed position
-        return
+        # The checkpoint IS the committed position. With a group_id the
+        # reader ALSO mirrors each finished batch's end offsets into
+        # the broker's offset store (standalone OffsetCommit, no group
+        # membership) so standard Kafka lag tooling sees progress —
+        # the reference's franz-go consumer commits after push the
+        # same way. ADVISORY: a failed commit logs and moves on, it
+        # must never fail the stream.
+        if not self.group_id:
+            return
+        from transferia_spark.sinks.kafka_wire import (
+            decode_find_coordinator_response,
+            decode_offset_commit_response,
+            encode_find_coordinator_request,
+            encode_offset_commit_request,
+        )
+
+        try:
+            boot = self._driver_client()
+            corr = boot._next_corr()
+            _node, host, port = decode_find_coordinator_response(
+                boot._request(
+                    encode_find_coordinator_request(
+                        self.group_id, correlation_id=corr,
+                        client_id=boot.client_id,
+                    ),
+                    corr,
+                )
+            )
+            coord = boot
+            if (host, port) != (boot.host, boot.port):
+                coord = boot._client_for(
+                    {"brokers": {-100: (host, port)}}, -100
+                )
+            corr = coord._next_corr()
+            decode_offset_commit_response(
+                coord._request(
+                    encode_offset_commit_request(
+                        self.group_id, self.topic,
+                        {int(p): int(o) for p, o in end.items()},
+                        correlation_id=corr, client_id=coord.client_id,
+                    ),
+                    corr,
+                )
+            )
+        except Exception as e:  # advisory path: log, never fail
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "advisory OffsetCommit for group %s failed: %s",
+                self.group_id, e,
+            )
 
     def stop(self) -> None:
         if self._client is not None:
