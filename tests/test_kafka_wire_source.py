@@ -92,7 +92,8 @@ class LoopbackBroker:
             resp = {
                 0: self._produce, 1: self._fetch,
                 2: self._list_offsets, 3: self._metadata,
-                8: self._offset_commit, 10: self._find_coordinator,
+                8: self._offset_commit, 9: self._offset_fetch,
+                10: self._find_coordinator,
                 22: self._init_producer_id,
             }[api](body, pos)
             frame = struct.pack(">i", corr) + resp
@@ -128,6 +129,25 @@ class LoopbackBroker:
                 _meta, pos = _read_str(body, pos)
                 commits[(group, topic, part)] = off
                 out += struct.pack(">ih", part, 0)
+        return out
+
+    def _offset_fetch(self, body: bytes, pos: int) -> bytes:
+        group, pos = _read_str(body, pos)
+        (n_topics,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        commits = getattr(self, "commits", {})
+        out = struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic, pos = _read_str(body, pos)
+            (n_parts,) = struct.unpack_from(">i", body, pos)
+            pos += 4
+            out += _enc_str(topic) + struct.pack(">i", n_parts)
+            for _p in range(n_parts):
+                (part,) = struct.unpack_from(">i", body, pos)
+                pos += 4
+                off = commits.get((group, topic, part), -1)
+                out += struct.pack(">iq", part, off)
+                out += _enc_str(None) + struct.pack(">h", 0)
         return out
 
     def _init_producer_id(self, body: bytes, pos: int) -> bytes:
@@ -1252,6 +1272,47 @@ def test_group_id_mirrors_committed_offsets_for_lag_tooling():
     })
     r3.commit({"0": 5})  # bootstrap refuses connections → swallowed
     r3.stop()
+
+
+def test_starting_offsets_group_resumes_from_committed():
+    """The resume half of the group mirror: starting_offsets='group'
+    reads the group's committed positions (FindCoordinator +
+    OffsetFetch), so a consumer migrating off the reference's group
+    consumer continues at its exact offsets; partitions without a
+    commit fall back (default earliest — no silent skip)."""
+    from transferia_spark.streaming.kafka_source import (
+        KafkaWireStreamReader,
+        KafkaWireTransport,
+    )
+
+    broker = LoopbackBroker({"t": 2})
+    try:
+        t = KafkaWireTransport(f"127.0.0.1:{broker.port}", timeout=10)
+        recs = [(b"k%d" % i, b"v") for i in range(4)]
+        for p in (0, 1):
+            batch = encode_record_batch(recs)
+            t.produce("t", {p: batch})
+        t.close()
+        # a prior consumer (the reference) committed offset 3 on p0 only
+        broker.commits = {("legacy-g", "t", 0): 3}
+        base = {
+            "bootstrap": f"127.0.0.1:{broker.port}", "topic": "t",
+            "starting_offsets": "group", "group_id": "legacy-g",
+        }
+        r = KafkaWireStreamReader(base)
+        assert r.initialOffset() == {"0": 3, "1": 0}  # p1 → earliest
+        r.stop()
+        r2 = KafkaWireStreamReader({**base, "group_fallback": "latest"})
+        assert r2.initialOffset() == {"0": 3, "1": 4}  # p1 → log-end
+        r2.stop()
+        with pytest.raises(ValueError, match="group_id"):
+            KafkaWireStreamReader({
+                **base, "group_id": None
+            }).initialOffset()
+        with pytest.raises(ValueError, match="group_fallback"):
+            KafkaWireStreamReader({**base, "group_fallback": "bogus"})
+    finally:
+        broker.close()
 
 
 def test_snappy_fast_path_agrees_with_pure_decoder():

@@ -514,6 +514,55 @@ def decode_find_coordinator_response(body: bytes) -> tuple[int, str, int]:
     return node, host or "", port
 
 
+def encode_offset_fetch_request(
+    group_id: str,
+    topic: str,
+    partitions: list[int],
+    correlation_id: int = 0,
+    client_id: str = "transferia-spark",
+) -> bytes:
+    """OffsetFetch v1 (API 9, reads the broker's offset store): the
+    resume half of the group mirror — ``starting_offsets: group``
+    migrates a consumer off the reference's group-committed positions
+    without replay or loss."""
+    body = bytearray()
+    body += request_header(9, 1, correlation_id, client_id)
+    body += _string(group_id)
+    body += struct.pack(">i", 1)  # one topic
+    body += _string(topic)
+    body += struct.pack(">i", len(partitions))
+    for part in sorted(partitions):
+        body += struct.pack(">i", part)
+    return struct.pack(">i", len(body)) + bytes(body)
+
+
+def decode_offset_fetch_response(body: bytes) -> dict[str, dict[int, int]]:
+    """→ ``{topic: {partition: committed offset}}``; -1 = the group
+    holds no commit for that partition (the caller picks a fallback);
+    a per-partition error raises."""
+    (n_topics,) = struct.unpack_from(">i", body, 0)
+    pos = 4
+    out: dict[str, dict[int, int]] = {}
+    for _ in range(n_topics):
+        topic, pos = _read_string(body, pos)
+        (n_parts,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        parts: dict[int, int] = {}
+        for _p in range(n_parts):
+            part, off = struct.unpack_from(">iq", body, pos)
+            pos += 12
+            _meta, pos = _read_string(body, pos)
+            (err,) = struct.unpack_from(">h", body, pos)
+            pos += 2
+            if err:
+                raise ValueError(
+                    f"OffsetFetch error {err} for {topic}[{part}]"
+                )
+            parts[part] = off
+        out[topic or ""] = parts
+    return out
+
+
 def encode_offset_commit_request(
     group_id: str,
     topic: str,

@@ -518,12 +518,13 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             self.explicit_start = {
                 str(p): int(o) for p, o in parsed.items()
             }
-        elif self.starting not in ("earliest", "latest"):
+        elif self.starting not in ("earliest", "latest", "group"):
             # ADVICE r10: anything else silently meant 'latest' —
             # a typo must not skip data
             raise ValueError(
-                f"starting_offsets must be 'earliest', 'latest' or a "
-                f"JSON offsets object, got {self.starting!r}"
+                f"starting_offsets must be 'earliest', 'latest', "
+                f"'group' or a JSON offsets object, got "
+                f"{self.starting!r}"
             )
         # offsets-by-timestamp start (the stock connector's
         # startingOffsetsByTimestamp): ListOffsets with a real ms
@@ -557,7 +558,16 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         ).lower() in ("true", "1", "yes")
         #: optional consumer-group MIRROR for the committed positions
         #: (lag-tooling visibility; the checkpoint stays authoritative)
+        #: — with starting_offsets='group' also the RESUME source
         self.group_id = options.get("group_id") or None
+        self.group_fallback = str(
+            options.get("group_fallback", "earliest")
+        )
+        if self.group_fallback not in ("earliest", "latest"):
+            raise ValueError(
+                "group_fallback must be earliest or latest, got "
+                f"{self.group_fallback!r}"
+            )
         mx = options.get("max_records_per_batch")
         self.max_records = int(mx) if mx is not None else None
         self.timeout = float(options.get("timeout", 30.0))
@@ -573,8 +583,77 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             )
         return self._client
 
+    def _group_committed(self) -> dict[int, int]:
+        """The group's committed positions via FindCoordinator +
+        OffsetFetch — the resume half of the group mirror:
+        ``starting_offsets: group`` migrates off the reference's
+        group consumer at its exact committed offsets.  -1 (no commit
+        for a partition) falls back to `group_fallback` (default
+        earliest — replaying beats skipping for a CDC mirror)."""
+        from transferia_spark.sinks.kafka_wire import (
+            decode_find_coordinator_response,
+            decode_offset_fetch_response,
+            encode_find_coordinator_request,
+            encode_offset_fetch_request,
+        )
+
+        boot = self._driver_client()
+        parts = sorted(
+            boot.metadata(self.topic)["topics"][self.topic][
+                "partitions"
+            ]
+        )
+        corr = boot._next_corr()
+        _node, host, port = decode_find_coordinator_response(
+            boot._request(
+                encode_find_coordinator_request(
+                    self.group_id, correlation_id=corr,
+                    client_id=boot.client_id,
+                ),
+                corr,
+            )
+        )
+        coord = boot
+        if (host, port) != (boot.host, boot.port):
+            coord = boot._client_for(
+                {"brokers": {-100: (host, port)}}, -100
+            )
+        corr = coord._next_corr()
+        offs = decode_offset_fetch_response(
+            coord._request(
+                encode_offset_fetch_request(
+                    self.group_id, self.topic, parts,
+                    correlation_id=corr, client_id=coord.client_id,
+                ),
+                corr,
+            )
+        )[self.topic]
+        if any(o < 0 for o in offs.values()):
+            # default earliest: a group mirror exists to not lose data
+            fb = self.group_fallback
+            fallback = boot.list_offsets(
+                self.topic, -2 if fb == "earliest" else -1
+            )
+            offs = {
+                p: (o if o >= 0 else fallback[p])
+                for p, o in offs.items()
+            }
+        return offs
+
     def initialOffset(self) -> dict:
         ts = -2 if self.starting == "earliest" else -1
+        if self.starting == "group":
+            if not self.group_id:
+                raise ValueError(
+                    "starting_offsets='group' needs the group_id "
+                    "option (the group whose committed offsets to "
+                    "resume from)"
+                )
+            offs = self._group_committed()
+            out = {str(p): o for p, o in sorted(offs.items())}
+            for p, o in out.items():
+                self._base.setdefault(p, o)
+            return out
         if self.start_ts_ms is not None:
             offs = self._driver_client().list_offsets(
                 self.topic, self.start_ts_ms
