@@ -1234,8 +1234,6 @@ def test_group_id_mirrors_committed_offsets_for_lag_tooling():
 
     broker = LoopbackBroker({"t": 1})
     try:
-        from transferia_spark.schema.colschema import TableID
-        from transferia_spark.sinks.queues import KafkaSink
         from transferia_spark.streaming.kafka_source import (
             KafkaWireTransport,
         )
@@ -1265,12 +1263,16 @@ def test_group_id_mirrors_committed_offsets_for_lag_tooling():
     finally:
         broker.close()
 
-    # advisory: a dead coordinator logs, never raises
+    # advisory: a dead coordinator logs, never raises — and tears the
+    # possibly-poisoned driver connection down (code-review r11
+    # pass 7: a swallowed timeout would desync the SHARED socket and
+    # kill the next batch's planning on a correlation-id mismatch)
     r3 = KafkaWireStreamReader({
         "bootstrap": "127.0.0.1:1", "topic": "t",
         "starting_offsets": "earliest", "group_id": "g",
     })
     r3.commit({"0": 5})  # bootstrap refuses connections → swallowed
+    assert r3._client is None  # poisoned connection torn down
     r3.stop()
 
 

@@ -583,26 +583,19 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             )
         return self._client
 
-    def _group_committed(self) -> dict[int, int]:
-        """The group's committed positions via FindCoordinator +
-        OffsetFetch — the resume half of the group mirror:
-        ``starting_offsets: group`` migrates off the reference's
-        group consumer at its exact committed offsets.  -1 (no commit
-        for a partition) falls back to `group_fallback` (default
-        earliest — replaying beats skipping for a CDC mirror)."""
+    def _coordinator(self, boot: KafkaFetchClient) -> KafkaFetchClient:
+        """The group coordinator's client, cached per driver client —
+        re-resolving it every committed micro-batch is a wasted round
+        trip (code-review r11 pass 7); invalidated whenever the
+        driver client is torn down (stop/commit-failure)."""
+        cached = getattr(self, "_coord", None)
+        if cached is not None and cached[0] is boot:
+            return cached[1]
         from transferia_spark.sinks.kafka_wire import (
             decode_find_coordinator_response,
-            decode_offset_fetch_response,
             encode_find_coordinator_request,
-            encode_offset_fetch_request,
         )
 
-        boot = self._driver_client()
-        parts = sorted(
-            boot.metadata(self.topic)["topics"][self.topic][
-                "partitions"
-            ]
-        )
         corr = boot._next_corr()
         _node, host, port = decode_find_coordinator_response(
             boot._request(
@@ -613,11 +606,26 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                 corr,
             )
         )
-        coord = boot
-        if (host, port) != (boot.host, boot.port):
-            coord = boot._client_for(
-                {"brokers": {-100: (host, port)}}, -100
-            )
+        coord = boot._client_for({"brokers": {-100: (host, port)}}, -100)
+        self._coord = (boot, coord)
+        return coord
+
+    def _group_committed(self) -> dict[int, int]:
+        """The group's committed positions via FindCoordinator +
+        OffsetFetch — the resume half of the group mirror:
+        ``starting_offsets: group`` migrates off the reference's
+        group consumer at its exact committed offsets.  -1 (no commit
+        for a partition) falls back to `group_fallback` (default
+        earliest — replaying beats skipping for a CDC mirror)."""
+        from transferia_spark.sinks.kafka_wire import (
+            decode_offset_fetch_response,
+            encode_offset_fetch_request,
+        )
+
+        boot = self._driver_client()
+        md = boot.metadata(self.topic)
+        parts = sorted(md["topics"][self.topic]["partitions"])
+        coord = self._coordinator(boot)
         corr = coord._next_corr()
         offs = decode_offset_fetch_response(
             coord._request(
@@ -629,10 +637,11 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             )
         )[self.topic]
         if any(o < 0 for o in offs.values()):
-            # default earliest: a group mirror exists to not lose data
+            # default earliest: a group mirror exists to not lose
+            # data; md rides through — no second Metadata round trip
             fb = self.group_fallback
             fallback = boot.list_offsets(
-                self.topic, -2 if fb == "earliest" else -1
+                self.topic, -2 if fb == "earliest" else -1, md=md
             )
             offs = {
                 p: (o if o >= 0 else fallback[p])
@@ -844,29 +853,13 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         if not self.group_id:
             return
         from transferia_spark.sinks.kafka_wire import (
-            decode_find_coordinator_response,
             decode_offset_commit_response,
-            encode_find_coordinator_request,
             encode_offset_commit_request,
         )
 
         try:
             boot = self._driver_client()
-            corr = boot._next_corr()
-            _node, host, port = decode_find_coordinator_response(
-                boot._request(
-                    encode_find_coordinator_request(
-                        self.group_id, correlation_id=corr,
-                        client_id=boot.client_id,
-                    ),
-                    corr,
-                )
-            )
-            coord = boot
-            if (host, port) != (boot.host, boot.port):
-                coord = boot._client_for(
-                    {"brokers": {-100: (host, port)}}, -100
-                )
+            coord = self._coordinator(boot)
             corr = coord._next_corr()
             decode_offset_commit_response(
                 coord._request(
@@ -878,13 +871,20 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                     corr,
                 )
             )
-        except Exception as e:  # advisory path: log, never fail
+        except Exception as e:  # advisory path: log, never fail —
             import logging
 
             logging.getLogger(__name__).warning(
                 "advisory OffsetCommit for group %s failed: %s",
                 self.group_id, e,
             )
+            # …but a timeout/half-read leaves unread bytes on the
+            # SHARED driver socket, and the next latestOffset() would
+            # die on a correlation-id mismatch one batch later
+            # (code-review r11 pass 7): tear the poisoned connections
+            # down so the next call redials cleanly
+            self._coord = None
+            self.stop()
 
     def stop(self) -> None:
         if self._client is not None:
