@@ -133,6 +133,7 @@ def test_parse_mongo_uri():
     assert u == {
         "host": "db1", "port": 27018, "user": "u@x", "password": "p:w",
         "auth_source": "shop", "auth_mechanism": "SCRAM-SHA-1",
+        "tls": False, "tls_ca": None, "tls_insecure": False,
     }
     assert parse_mongo_uri("mongodb://localhost")["user"] is None
 
@@ -149,13 +150,20 @@ class LoopbackMongod:
     def __init__(self, data: dict[str, list[dict]],
                  users: dict[str, str] | None = None,
                  scram_algo: str = "sha256",
-                 changes: dict[str, list[dict]] | None = None):
+                 changes: dict[str, list[dict]] | None = None,
+                 tls: tuple[str, str] | None = None):
         self.data = data  # "db.coll" -> docs
         self.users = users
         self.scram_algo = scram_algo
         self.changes = changes or {}  # "db.coll" -> change events
         self._cursors: dict[int, list[dict]] = {}
         self._next_cursor = 100
+        self._tls_ctx = None
+        if tls is not None:
+            import ssl
+
+            self._tls_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._tls_ctx.load_cert_chain(*tls)
         self._srv = socket.socket()
         self._srv.bind(("127.0.0.1", 0))
         self._srv.listen(16)
@@ -173,6 +181,13 @@ class LoopbackMongod:
                 conn, _ = self._srv.accept()
             except OSError:
                 return
+            if self._tls_ctx is not None:
+                try:
+                    conn = self._tls_ctx.wrap_socket(
+                        conn, server_side=True
+                    )
+                except OSError:
+                    continue  # failed handshake (e.g. plaintext peer)
             threading.Thread(
                 target=self._serve, args=(conn,), daemon=True
             ).start()
@@ -576,5 +591,106 @@ replication:
         )
         got = {(r._id, r.name) for r in table.read().collect()}
         assert got == {(i, f"n{i}") for i in range(1, 9)}
+    finally:
+        srv.close()
+
+
+# ------------------------------------------------------------- TLS
+
+
+@pytest.fixture(scope="module")
+def mongo_tls_cert(tmp_path_factory):
+    import subprocess
+
+    d = tmp_path_factory.mktemp("mongo_tls")
+    cert, key = str(d / "cert.pem"), str(d / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+         "-keyout", key, "-out", cert, "-days", "1", "-nodes",
+         "-subj", "/CN=localhost",
+         "-addext", "subjectAltName=IP:127.0.0.1,DNS:localhost"],
+        check=True, capture_output=True,
+    )
+    return cert, key
+
+
+def test_tls_scram_find_e2e(mongo_tls_cert):
+    """Implicit TLS from byte 0 (CA-pinned, hostname via the SAN) +
+    SCRAM inside the channel + a cursor drain — the managed-MongoDB
+    (Atlas-style) connection shape."""
+    cert, key = mongo_tls_cert
+    docs = [{"_id": i, "name": f"n{i}"} for i in range(12)]
+    srv = LoopbackMongod(
+        {"shop.customers": docs}, users={"alice": "pw"},
+        tls=(cert, key),
+    )
+    try:
+        c = MongoWireClient(
+            "127.0.0.1", srv.port, timeout=10,
+            user="alice", password="pw", tls_ca=cert,
+        )
+        assert list(c.find("shop", "customers", batch_size=5)) == docs
+        c.close()
+        # a plaintext client against the TLS port fails loudly
+        with pytest.raises((ConnectionError, OSError, ValueError)):
+            MongoWireClient("127.0.0.1", srv.port, timeout=3).close()
+    finally:
+        srv.close()
+
+
+def test_tls_rejects_unknown_ca(mongo_tls_cert, tmp_path):
+    """tls_ca PINS trust: a CA that did not sign the server cert must
+    fail the handshake; tls_insecure is the explicit opt-out."""
+    import ssl
+    import subprocess
+
+    cert, key = mongo_tls_cert
+    other = str(tmp_path / "other.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+         "-keyout", str(tmp_path / "other.key"), "-out", other,
+         "-days", "1", "-nodes", "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    srv = LoopbackMongod({"shop.t": [{"_id": 1}]}, tls=(cert, key))
+    try:
+        with pytest.raises(ssl.SSLError):
+            MongoWireClient("127.0.0.1", srv.port, timeout=5,
+                            tls_ca=other)
+        c = MongoWireClient("127.0.0.1", srv.port, timeout=5,
+                            tls=True, tls_insecure=True)
+        assert list(c.find("shop", "t")) == [{"_id": 1}]
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_uri_tls_options_and_srv_rejection(mongo_tls_cert):
+    """Standard URI TLS options reach the client; the adapter (the
+    MongoSource client_factory path) dials TLS end-to-end off the URI
+    alone; mongodb+srv is a loud error, not a silent plaintext dial."""
+    cfg = parse_mongo_uri(
+        "mongodb://u:p@h:27018/?tls=true&tlsCAFile=/ca.pem"
+        "&authSource=users"
+    )
+    assert cfg["tls"] and cfg["tls_ca"] == "/ca.pem"
+    assert not cfg["tls_insecure"]
+    cfg = parse_mongo_uri(
+        "mongodb://h/?ssl=true&tlsAllowInvalidCertificates=true"
+    )
+    assert cfg["tls"] and cfg["tls_insecure"] and cfg["tls_ca"] is None
+    assert parse_mongo_uri("mongodb://h:27017/")["tls"] is False
+    with pytest.raises(ValueError, match=r"\+srv"):
+        parse_mongo_uri("mongodb+srv://cluster0.example.net/")
+
+    cert, key = mongo_tls_cert
+    srv = LoopbackMongod({"shop.t": [{"_id": 1}]}, tls=(cert, key))
+    try:
+        adapter = mongo_wire_client_factory(
+            f"mongodb://127.0.0.1:{srv.port}/?tls=true"
+            f"&tlsCAFile={cert}"
+        )
+        assert list(adapter["shop"]["t"].find()) == [{"_id": 1}]
+        adapter.close()
     finally:
         srv.close()

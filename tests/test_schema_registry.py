@@ -127,7 +127,8 @@ def test_confluent_frame_split():
 
 
 def _registry(schemas: dict[int, dict], hits: list, require_auth=None,
-              subject_versions: dict | None = None):
+              subject_versions: dict | None = None,
+              tls: tuple[str, str] | None = None):
     import http.server
 
     class H(http.server.BaseHTTPRequestHandler):
@@ -181,6 +182,12 @@ def _registry(schemas: dict[int, dict], hits: list, require_auth=None,
             pass
 
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    if tls is not None:
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(*tls)
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv
 
@@ -762,3 +769,47 @@ def test_avro_serializer_nullable_ints_and_timestamps(spark):
             avro_serializer(
                 spark.createDataFrame([(t0,)], "ts timestamp"), bad
             ).collect()
+
+
+def test_registry_client_custom_ca_https(tmp_path):
+    """Private-CA https registry (the common on-prem setup): tls_ca
+    pins trust with hostname checking; the default context (public
+    CAs only) must REJECT the self-signed server; tls_insecure is the
+    explicit opt-out. ≈ the reference SR parser config's TLSFile
+    (parser_config_confluent_schema_registry_common.go:12)."""
+    import ssl
+    import subprocess
+
+    cert, key = str(tmp_path / "cert.pem"), str(tmp_path / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+         "-keyout", key, "-out", cert, "-days", "1", "-nodes",
+         "-subj", "/CN=localhost",
+         "-addext", "subjectAltName=IP:127.0.0.1,DNS:localhost"],
+        check=True, capture_output=True,
+    )
+    hits: list = []
+    srv = _registry({5: {"schema": '"long"'}}, hits, tls=(cert, key))
+    base = f"https://127.0.0.1:{srv.server_port}"
+    try:
+        c = SchemaRegistryClient(base, tls_ca=cert)
+        assert c.get_schema(5)["schema"] == '"long"'
+        nid = c.register_schema("t-value", '"int"')
+        assert c.get_schema(nid)["schema"] == '"int"'
+        # no CA given → system trust store → self-signed fails loudly
+        with pytest.raises((ssl.SSLError, OSError)):
+            SchemaRegistryClient(base).get_schema(5)
+        # explicit opt-out works
+        ok = SchemaRegistryClient(base, tls_insecure=True)
+        assert ok.get_schema(5)["schema"] == '"long"'
+    finally:
+        srv.shutdown()
+
+
+def test_client_for_memo_keys_include_tls(tmp_path):
+    from transferia_spark.parsers.schema_registry import client_for
+
+    a = client_for("http://r:1", auth=None)
+    b = client_for("http://r:1", auth=None, tls_insecure=True)
+    c = client_for("http://r:1", auth=None)
+    assert a is c and a is not b

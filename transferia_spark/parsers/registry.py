@@ -320,6 +320,8 @@ def cloudevents_parser(
     add_system_cols: bool = False,
     binding: str = "json",
     registry_auth: tuple[str, str] | None = None,
+    registry_tls_ca: str | None = None,
+    registry_tls_insecure: bool = False,
     url_converter=None,
 ):
     """CloudEvents envelope → fixed row shape
@@ -371,7 +373,11 @@ def cloudevents_parser(
                 )
 
                 factory = (
-                    lambda base: client_for(base, auth=registry_auth)
+                    lambda base: client_for(
+                        base, auth=registry_auth,
+                        tls_ca=registry_tls_ca,
+                        tls_insecure=registry_tls_insecure,
+                    )
                 )
 
                 def canon(v):
@@ -542,6 +548,8 @@ def confluent_sr_parser(
     registry_url: str | None = None,
     schema: str | None = None,
     registry_auth: tuple[str, str] | None = None,
+    registry_tls_ca: str | None = None,
+    registry_tls_insecure: bool = False,
     table_name_policy: str | None = None,
     **body_config,
 ):
@@ -582,7 +590,11 @@ def confluent_sr_parser(
                 # per-PROCESS client: the id→schema cache must survive
                 # across tasks/batches or every micro-batch re-issues
                 # registry GETs (code-review r11)
-                client = client_for(registry_url, auth=registry_auth)
+                client = client_for(
+                    registry_url, auth=registry_auth,
+                    tls_ca=registry_tls_ca,
+                    tls_insecure=registry_tls_insecure,
+                )
                 for pdf in batches:
                     ids, tables, cols = [], [], {n: [] for n in names}
                     for v in pdf["value"]:

@@ -432,11 +432,24 @@ class SchemaRegistryClient:
         auth: tuple[str, str] | None = None,
         timeout: float = 15.0,
         cache_size: int = 256,
+        tls_ca: str | None = None,
+        tls_insecure: bool = False,
     ):
         self.base_url = base_url.rstrip("/")
         self.auth = auth
         self.timeout = timeout
         self.cache_size = cache_size
+        # custom-CA https (the common on-prem registry setup) — the
+        # same trust ladder as the Kafka/Mongo wire planes; ≈ the
+        # reference SR parser config's TLSFile
+        # (parser_config_confluent_schema_registry_common.go:12)
+        self._ssl_ctx = None
+        if tls_ca or tls_insecure:
+            from transferia_spark.streaming.tlsutil import (
+                client_tls_context,
+            )
+
+            self._ssl_ctx = client_tls_context(tls_ca, tls_insecure)
         from collections import OrderedDict
 
         self._cache: OrderedDict[int, dict] = OrderedDict()
@@ -467,7 +480,9 @@ class SchemaRegistryClient:
             ).decode()
             req.add_header("Authorization", f"Basic {tok}")
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            with urllib.request.urlopen(
+                req, timeout=self.timeout, context=self._ssl_ctx
+            ) as r:
                 return json.loads(r.read())
         except urllib.error.HTTPError as e:
             detail = e.read().decode(errors="replace")[:500]
@@ -539,12 +554,15 @@ def client_for(
     base_url: str,
     auth: tuple[str, str] | None = None,
     timeout: float = 15.0,
+    tls_ca: str | None = None,
+    tls_insecure: bool = False,
 ) -> SchemaRegistryClient:
-    key = (base_url, auth)
+    key = (base_url, auth, tls_ca, tls_insecure)
     c = _CLIENTS.get(key)
     if c is None:
         c = _CLIENTS[key] = SchemaRegistryClient(
-            base_url, auth=auth, timeout=timeout
+            base_url, auth=auth, timeout=timeout,
+            tls_ca=tls_ca, tls_insecure=tls_insecure,
         )
     return c
 

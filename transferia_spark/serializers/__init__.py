@@ -246,6 +246,8 @@ def confluent_sr_serializer(
     schema_json: str | None = None,
     schema_type: str = "JSON",
     registry_auth: tuple[str, str] | None = None,
+    registry_tls_ca: str | None = None,
+    registry_tls_insecure: bool = False,
     **body_kw,
 ) -> DataFrame:
     """Confluent wire framing on the SINK side, mirroring the
@@ -271,7 +273,8 @@ def confluent_sr_serializer(
         )
 
         schema_id = SchemaRegistryClient(
-            registry_url, auth=registry_auth
+            registry_url, auth=registry_auth,
+            tls_ca=registry_tls_ca, tls_insecure=registry_tls_insecure,
         ).register_schema(subject, schema_json, schema_type)
     if (
         schema_type == "AVRO"

@@ -97,18 +97,14 @@ class KafkaSecurity:
         )
 
     def wrap_tls(self, sock, server_hostname: str):
-        import ssl
+        # shared three-mode ladder: CA-pinned verify-full / explicit
+        # insecure opt-out / system trust store
+        from transferia_spark.streaming.tlsutil import wrap_client_tls
 
-        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
-        if self.tls_ca:
-            # trust exactly the given CA, hostname checked — the
-            # verify-full analog of the PG/MySQL ladders
-            ctx.load_verify_locations(self.tls_ca)
-        elif self.tls_insecure:
-            ctx.check_hostname = False
-            ctx.verify_mode = ssl.CERT_NONE
-        # else: system trust store, hostname checked (public-CA brokers)
-        return ctx.wrap_socket(sock, server_hostname=server_hostname)
+        return wrap_client_tls(
+            sock, server_hostname,
+            tls_ca=self.tls_ca, tls_insecure=self.tls_insecure,
+        )
 
 
 class KafkaFetchClient:

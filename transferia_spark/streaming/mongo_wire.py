@@ -349,12 +349,31 @@ class MongoWireClient:
         password: str = "",
         auth_source: str = "admin",
         auth_mechanism: str = "SCRAM-SHA-256",
+        tls: bool = False,
+        tls_ca: str | None = None,
+        tls_insecure: bool = False,
     ):
         import socket
 
         self._req = 0
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._sock.settimeout(timeout)
+        if tls or tls_ca:
+            # Mongo TLS is implicit from byte 0 (no STARTTLS), same as
+            # Kafka — managed deployments (Atlas-style) require it.
+            # Same three-mode trust ladder as the Kafka/PG/MySQL planes.
+            # ≈ pkg/providers/mongo/client.go connection TLS options.
+            from transferia_spark.streaming.tlsutil import wrap_client_tls
+
+            try:
+                self._sock = wrap_client_tls(
+                    self._sock, host,
+                    tls_ca=tls_ca, tls_insecure=tls_insecure,
+                )
+                self._sock.settimeout(timeout)
+            except BaseException:
+                self._sock.close()
+                raise
         try:
             self.hello = self._hello()
             if user is not None:
@@ -545,13 +564,30 @@ class MongoWireClient:
 
 def parse_mongo_uri(uri: str) -> dict:
     """Minimal ``mongodb://[user:pass@]host[:port]/[?options]`` parse
-    (authSource, authMechanism honored)."""
+    (authSource, authMechanism and the standard TLS options honored:
+    ``tls``/``ssl``, ``tlsCAFile``, ``tlsInsecure``/
+    ``tlsAllowInvalidCertificates``)."""
     import urllib.parse
 
     u = urllib.parse.urlsplit(uri)
+    if u.scheme == "mongodb+srv":
+        # SRV resolution needs a DNS TXT/SRV lookup stdlib can't do;
+        # be loud rather than guess (the seedlist host:port form works)
+        raise ValueError(
+            "mongodb+srv:// needs DNS SRV resolution — use the "
+            "resolved mongodb://host:port form (with tls=true; +srv "
+            "implies TLS)"
+        )
     if u.scheme not in ("mongodb", ""):
         raise ValueError(f"unsupported mongo uri scheme {u.scheme!r}")
     q = dict(urllib.parse.parse_qsl(u.query))
+
+    def flag(*names: str) -> bool:
+        return any(
+            str(q.get(n, "false")).lower() in ("true", "1", "yes")
+            for n in names
+        )
+
     return {
         "host": u.hostname or "127.0.0.1",
         "port": u.port or 27017,
@@ -561,6 +597,10 @@ def parse_mongo_uri(uri: str) -> dict:
         ),
         "auth_source": q.get("authSource", "admin"),
         "auth_mechanism": q.get("authMechanism", "SCRAM-SHA-256"),
+        "tls": flag("tls", "ssl"),
+        "tls_ca": q.get("tlsCAFile"),
+        "tls_insecure": flag("tlsInsecure",
+                             "tlsAllowInvalidCertificates"),
     }
 
 
@@ -660,6 +700,9 @@ def live_drain_change_stream(live: dict, out_dir: str) -> int:
             "auth_mechanism": live.get(
                 "auth_mechanism", "SCRAM-SHA-256"
             ),
+            "tls": bool(live.get("tls") or live.get("tls_ca")),
+            "tls_ca": live.get("tls_ca"),
+            "tls_insecure": bool(live.get("tls_insecure")),
         }
     db, coll = live["database"], live["collection"]
     os.makedirs(out_dir, exist_ok=True)
