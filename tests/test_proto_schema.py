@@ -239,3 +239,34 @@ def test_packed_and_unpacked_repeated_scalars_agree():
     assert codec.decode(unpacked) == codec.decode(packed) == {
         "xs": [1, 2, 300]
     }
+
+
+def test_map_entry_occupies_confluent_nested_index_slot():
+    """protoc materializes map<k,v> fields as synthetic <Field>Entry
+    nested messages at their declaration position, and Confluent
+    message-indexes are computed over those descriptor nested_type
+    arrays — so Order (map `counts` declared before `message Line`)
+    has nested slots [CountsEntry, Line] and a serializer addresses
+    Line as [0, 1] (ADVICE r11: without the placeholder the walk
+    decoded the wrong message or spuriously errored)."""
+    codec = _codec()
+    line = codec.schema.message_by_indexes([0, 1])
+    assert line.full_name == "demo.orders.Order.Line"
+    body = encode_message(field_spec(line), {"sku": "a1", "qty": 3})
+    assert codec.decode(body, [0, 1]) == {"sku": "a1", "qty": 3}
+    # addressing the synthetic entry itself is loud, not a bogus decode
+    with pytest.raises(ValueError, match="synthetic map-entry"):
+        codec.schema.message_by_indexes([0, 0])
+    # the synthetic type registers under its descriptor full name,
+    # with the protoc CamelCase convention for snake_case field names
+    two = ProtoSchema("""
+        syntax = "proto3";
+        message M {
+          map<string, string> my_attr_set = 1;
+          message N { bool ok = 1; }
+        }
+    """)
+    assert [m.full_name for m in two.messages[0].nested] == [
+        "M.MyAttrSetEntry", "M.N",
+    ]
+    assert two.message_by_indexes([0, 1]).name == "N"

@@ -813,3 +813,61 @@ def test_client_for_memo_keys_include_tls(tmp_path):
     b = client_for("http://r:1", auth=None, tls_insecure=True)
     c = client_for("http://r:1", auth=None)
     assert a is c and a is not b
+
+
+def test_parser_routes_invalid_records_to_unparsed(spark):
+    """ADVICE r11: one bad record must not poison the topic. The
+    default on_invalid='unparsed' turns per-record schema violations
+    (wrong-typed field, bad magic, unknown id) into null rows carrying
+    _unparsed_raw + _error — the repo's dead-letter convention
+    (route_unparsed) — while on_invalid='fail' keeps the loud raise."""
+    from transferia_spark.parsers.registry import build_parser
+
+    js = json.dumps({
+        "type": "object", "title": "shop.events",
+        "properties": {"id": {"type": "integer"},
+                       "name": {"type": "string"}},
+        "required": ["id"],
+    })
+    srv = _registry({3: {"schema": js, "schemaType": "JSON"}}, [])
+    base = dict(
+        registry_url=f"http://127.0.0.1:{srv.server_port}",
+        schema="id long, name string",
+    )
+    good = encode_confluent_frame(3, b'{"id": 1, "name": "a"}')
+    wrong_type = encode_confluent_frame(3, b'{"id": "oops"}')
+    missing_req = encode_confluent_frame(3, b'{"name": "b"}')
+    bad_magic = b"\x01\x00\x00\x00\x03{}"
+    unknown_id = encode_confluent_frame(99, b'{"id": 2}')
+    try:
+        df = spark.createDataFrame(
+            [(good, 0), (wrong_type, 1), (missing_req, 2),
+             (bad_magic, 3), (unknown_id, 4), (None, 5)],
+            "value binary, _offset long",
+        )
+        rows = {r._offset: r for r in build_parser(
+            "confluent_schema_registry", **base)(df).collect()}
+        assert (rows[0].id, rows[0].name, rows[0]._error) == (1, "a", None)
+        assert rows[0]._unparsed_raw is None
+        for off, frag in [(1, "does not match"), (2, "required"),
+                          (3, "magic"), (4, "40403")]:
+            r = rows[off]
+            assert r.id is None and r._schema_id is None
+            assert frag in r._error
+            assert bytes(r._unparsed_raw) == df.collect()[off].value
+        # tombstone stays a plain null row, NOT an unparsed one
+        assert rows[5]._error is None and rows[5]._unparsed_raw is None
+
+        # strict mode keeps the old loud behavior and drops the
+        # dead-letter columns from the schema
+        strict = build_parser(
+            "confluent_schema_registry", on_invalid="fail", **base)
+        out = strict(df.filter("_offset = 0"))
+        assert "_unparsed_raw" not in out.columns
+        with pytest.raises(Exception, match="does not match"):
+            strict(df.filter("_offset = 1")).collect()
+        with pytest.raises(ValueError, match="on_invalid"):
+            build_parser("confluent_schema_registry",
+                         on_invalid="bogus", **base)
+    finally:
+        srv.shutdown()

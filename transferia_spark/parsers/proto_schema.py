@@ -75,14 +75,19 @@ class ProtoField:
 
 
 class ProtoMessage:
-    __slots__ = ("name", "full_name", "fields", "nested", "enums")
+    __slots__ = ("name", "full_name", "fields", "nested", "enums",
+                 "synthetic")
 
-    def __init__(self, name: str, full_name: str):
+    def __init__(self, name: str, full_name: str, synthetic: bool = False):
         self.name = name
         self.full_name = full_name
         self.fields: list[ProtoField] = []
         self.nested: list[ProtoMessage] = []
         self.enums: list[ProtoEnum] = []
+        # protoc-generated map-entry message (<Field>Entry) — occupies
+        # a nested_type slot for Confluent index addressing, but no
+        # conformant serializer addresses it as a payload message
+        self.synthetic = synthetic
 
 
 def _tokenize(text: str) -> list[str]:
@@ -257,6 +262,23 @@ class ProtoSchema:
             ProtoField(name, number, None, repeated=True,
                        map_types=(key_t, val_t))
         )
+        # protoc materializes every map field as a synthetic nested
+        # message <CamelField>Entry {key; value;} APPENDED to
+        # nested_type at the map field's declaration position —
+        # Confluent message-indexes count these slots (the serializer
+        # walks real descriptors), so the placeholder must occupy an
+        # index here or every later sibling shifts (ADVICE r11:
+        # message_by_indexes decoded the wrong message / spuriously
+        # errored out-of-range when a map preceded the addressed
+        # nested message)
+        cam = "".join(p[:1].upper() + p[1:] for p in name.split("_") if p)
+        entry = ProtoMessage(
+            cam + "Entry", f"{msg.full_name}.{cam}Entry", synthetic=True
+        )
+        entry.fields.append(ProtoField("key", 1, key_t, repeated=False))
+        entry.fields.append(ProtoField("value", 2, val_t, repeated=False))
+        self._types[entry.full_name] = entry
+        msg.nested.append(entry)
 
     def _parse_enum(self, tk: _Tokens, scope: str) -> ProtoEnum:
         name = tk.next()
@@ -346,6 +368,12 @@ class ProtoSchema:
                 )
             msg = pool[idx]
             pool = msg.nested
+        if msg.synthetic:
+            raise ValueError(
+                f"message indexes {indexes} address the synthetic "
+                f"map-entry message {msg.full_name!r} — no conformant "
+                "serializer emits map entries as payload messages"
+            )
         return msg
 
     def message_by_name(self, name: str) -> ProtoMessage:

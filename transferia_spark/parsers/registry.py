@@ -551,8 +551,21 @@ def confluent_sr_parser(
     registry_tls_ca: str | None = None,
     registry_tls_insecure: bool = False,
     table_name_policy: str | None = None,
+    on_invalid: str = "unparsed",
     **body_config,
 ):
+    # per-RECORD schema violations (wrong-typed field, missing
+    # required, bad magic/frame, unknown id) route to unparsed rows by
+    # default like the reference (engine/parser.go: a bad record
+    # becomes NewUnparsed, never a dead stream); on_invalid="fail" is
+    # the opt-in strict mode keeping the old loud raise (ADVICE r11:
+    # one bad record must not poison the topic). Registry transport
+    # failures (connection refused, TLS, timeouts) stay loud in both
+    # modes — they are infra, not data.
+    if on_invalid not in ("unparsed", "fail"):
+        raise ValueError(
+            f"on_invalid must be 'unparsed' or 'fail', got {on_invalid!r}"
+        )
     if registry_url is not None:
         if schema is None:
             raise ValueError(
@@ -572,14 +585,22 @@ def confluent_sr_parser(
                 [T.StructField("_table", T.StringType())]
                 if table_name_policy else []
             )
+            dead = (
+                [T.StructField("_unparsed_raw", T.BinaryType()),
+                 T.StructField("_error", T.StringType())]
+                if on_invalid == "unparsed" else []
+            )
             st = T.StructType(
                 [T.StructField("_schema_id", T.IntegerType())]
                 + route
                 + list(out_st.fields)
+                + dead
                 + [df.schema[c] for c in aux]
             )
 
             def run(batches):
+                import struct
+
                 from transferia_spark.parsers.schema_registry import (
                     build_table_id,
                     client_for,
@@ -595,8 +616,15 @@ def confluent_sr_parser(
                     tls_ca=registry_tls_ca,
                     tls_insecure=registry_tls_insecure,
                 )
+                #: data-shaped decode failures; transport errors
+                #: (OSError incl. URLError, ssl) propagate and fail
+                #: the task loudly in BOTH modes
+                _record_errs = (ValueError, KeyError, IndexError,
+                                struct.error, UnicodeDecodeError,
+                                EOFError, OverflowError)
                 for pdf in batches:
                     ids, tables, cols = [], [], {n: [] for n in names}
+                    raws, errs = [], []
                     for v in pdf["value"]:
                         if v is None:
                             # Kafka tombstone (delete marker): null
@@ -605,20 +633,40 @@ def confluent_sr_parser(
                             # (code-review r11)
                             ids.append(None)
                             tables.append(None)
+                            raws.append(None)
+                            errs.append(None)
                             for n in names:
                                 cols[n].append(None)
                             continue
-                        if table_name_policy:
-                            sid, rec, stype, src = decode_confluent_full(
-                                bytes(v), client
-                            )
-                            tables.append(
-                                build_table_id(
+                        try:
+                            if table_name_policy:
+                                (sid, rec, stype,
+                                 src) = decode_confluent_full(
+                                    bytes(v), client
+                                )
+                                table = build_table_id(
                                     table_name_policy, stype, src
                                 )
+                            else:
+                                sid, rec = decode_confluent(
+                                    bytes(v), client
+                                )
+                                table = None
+                        except _record_errs as e:
+                            if on_invalid == "fail":
+                                raise
+                            ids.append(None)
+                            tables.append(None)
+                            raws.append(bytes(v))
+                            errs.append(
+                                f"confluent_schema_registry: {e}"
                             )
-                        else:
-                            sid, rec = decode_confluent(bytes(v), client)
+                            for n in names:
+                                cols[n].append(None)
+                            continue
+                        tables.append(table)
+                        raws.append(None)
+                        errs.append(None)
                         ids.append(sid)
                         for n in names:
                             cols[n].append(
@@ -632,6 +680,9 @@ def confluent_sr_parser(
                         # replicate verb's `_table` multi-table router
                         out["_table"] = tables
                     out.update(cols)
+                    if on_invalid == "unparsed":
+                        out["_unparsed_raw"] = raws
+                        out["_error"] = errs
                     for c in aux:
                         out[c] = pdf[c]
                     yield pd.DataFrame(out)

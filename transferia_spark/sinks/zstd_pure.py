@@ -309,7 +309,10 @@ def _read_huffman_table(
     if rest & (rest - 1):
         raise _corrupt("huffman weights do not complete a power of two")
     weights.append(rest.bit_length())
-    if table_log > 12:
+    if table_log > 11:
+        # RFC 8878 §4.2.1: max huffman code length is 11 bits — weight
+        # sets implying a 12-bit table come from no conformant encoder
+        # and must be named corrupt (ADVICE r11)
         raise _corrupt(f"huffman code length {table_log} exceeds the format max")
     # Canonical decode table: symbols by (weight asc, symbol asc), a
     # weight-w symbol fills 2^(w-1) cells of (symbol, nbits).
