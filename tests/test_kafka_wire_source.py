@@ -1928,3 +1928,140 @@ def test_read_committed_wait_is_bounded():
             list(r.read(_TopicSlice(0, 5, 7)))
     finally:
         broker.close()
+
+
+def test_registry_driven_schema_drift_restart_e2e(spark, tmp_path):
+    """r11 verdict next #4: a topic whose WRITER schema evolves
+    mid-stream. v2 adds a column → the in-stream guard raises the
+    transient RegistrySchemaDrift, the supervisor evolves schema_file
+    from the registry and the restarted stream lands the new column;
+    a RETYPE raises the fatal loud control. ≈ engine/parser.go:44
+    (per-record writer-schema resolution IS the drift handling)."""
+    import json as _json
+
+    from test_schema_registry import _registry
+    from transferia_spark.parsers.schema_registry import (
+        AvroCodec,
+        encode_confluent_frame,
+    )
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sinks.queues import KafkaSink
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedParquetTable,
+    )
+    from transferia_spark.tasks.replicate import run_replication
+
+    v1 = _json.dumps({
+        "type": "record", "name": "E", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+        ],
+    })
+    v2 = _json.dumps({
+        "type": "record", "name": "E", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    })
+    v3_retype = _json.dumps({
+        "type": "record", "name": "E", "fields": [
+            {"name": "id", "type": "string"},
+        ],
+    })
+    schemas = {1: {"schema": v1}, 2: {"schema": v2},
+               3: {"schema": v3_retype}}
+    reg = _registry(schemas, [])
+    broker = LoopbackBroker({"ev": 1})
+    port = broker.port
+    c1, c2, c3 = AvroCodec(v1), AvroCodec(v2), AvroCodec(v3_retype)
+
+    def transport(frame: bytes) -> None:
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        try:
+            s.sendall(frame)
+            s.recv(4096)
+        finally:
+            s.close()
+
+    def produce(frames):
+        sink = KafkaSink(
+            bootstrap_servers=f"127.0.0.1:{port}", num_partitions=1,
+            transport=transport, serializer=lambda df: df.selectExpr(
+                "key", "value"),
+        )
+        df = spark.createDataFrame(
+            [(str(i), bytes(f)) for i, f in enumerate(frames)],
+            "key string, value binary",
+        )
+        sink.write(df, TableID("", "ev"))
+
+    schema_file = str(tmp_path / "schema.ddl")
+    with open(schema_file, "w") as f:
+        f.write("id long, name string")
+    src = str(tmp_path / "seed.parquet")
+    spark.createDataFrame([(0, "seed")], "id long, name string").coalesce(
+        1
+    ).write.parquet(src)
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_ONLY
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: kafkawire
+    bootstrap: 127.0.0.1:{port}
+    topic: ev
+    schema_file: {schema_file}
+    parser:
+      type: confluent_schema_registry
+      registry_url: http://127.0.0.1:{reg.server_port}
+    options: {{starting_offsets: earliest}}
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 2}}
+""")
+    try:
+        produce([
+            encode_confluent_frame(1, c1.encode(
+                {"id": i, "name": f"n{i}"})) for i in (1, 2, 3)
+        ])
+        run_replication(
+            spark, spec, state_dir=state, once=True, retry_interval=0.0
+        )
+        table = BucketedParquetTable(
+            spark, target, keys=["id"], n_buckets=2
+        )
+        assert {(r.id, r.name) for r in table.read().collect()} == {
+            (i, f"n{i}") for i in (1, 2, 3)
+        }
+
+        # writer schema EVOLVES mid-stream: v2 adds `note`
+        produce([
+            encode_confluent_frame(2, c2.encode(
+                {"id": i, "name": f"n{i}", "note": f"x{i}"}))
+            for i in (4, 5)
+        ])
+        run_replication(
+            spark, spec, state_dir=state, once=True, retry_interval=0.0,
+            max_attempts=3,
+        )
+        # schema_file evolved (widening-only, nullable append)
+        with open(schema_file) as f:
+            assert "note" in f.read()
+        got = {(r.id, r.name, r.note)
+               for r in table.read().collect()}
+        assert got == {(1, "n1", None), (2, "n2", None), (3, "n3", None),
+                       (4, "n4", "x4"), (5, "n5", "x5")}
+
+        # a RETYPE (id long -> string) is the loud fatal control
+        produce([encode_confluent_frame(3, c3.encode({"id": "nope"}))])
+        with pytest.raises(Exception, match="registry-schema-retype"):
+            run_replication(
+                spark, spec, state_dir=state, once=True,
+                retry_interval=0.0, max_attempts=3,
+            )
+    finally:
+        broker.close()
+        reg.shutdown()

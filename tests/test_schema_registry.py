@@ -871,3 +871,106 @@ def test_parser_routes_invalid_records_to_unparsed(spark):
                          on_invalid="bogus", **base)
     finally:
         srv.shutdown()
+
+
+def test_registry_engine_columns_all_three_types():
+    """Writer schema → engine columns across AVRO/JSON/PROTOBUF — the
+    classification half of registry-driven drift."""
+    from transferia_spark.parsers.schema_registry import (
+        registry_engine_columns,
+    )
+
+    class StubClient:
+        base_url = "http://r"
+
+        def resolve_references(self, refs, _depth=0):
+            return {}
+
+    c = StubClient()
+    avro = {"schemaType": "AVRO", "schema": json.dumps({
+        "type": "record", "name": "E", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "note", "type": ["null", "string"]},
+            {"name": "raw", "type": "bytes"},
+            {"name": "mix", "type": ["long", "string"]},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+        ],
+    })}
+    assert registry_engine_columns(avro, c) == [
+        ("id", "bigint"), ("ok", "boolean"), ("note", "string"),
+        ("raw", "binary"), ("mix", "any"), ("xs", "any"),
+    ]
+    # non-record avro → no column contract
+    assert registry_engine_columns(
+        {"schemaType": "AVRO", "schema": '"long"'}, c) == []
+
+    js = {"schemaType": "JSON", "schema": json.dumps({
+        "type": "object", "properties": {
+            "id": {"type": "integer"}, "score": {"type": "number"},
+        }, "required": ["id"],
+    })}
+    assert registry_engine_columns(js, c) == [
+        ("id", "bigint"), ("score", "double"),
+    ]
+    # permissive JSON registration → no contract
+    assert registry_engine_columns(
+        {"schemaType": "JSON", "schema": "{}"}, c) == []
+
+    proto = {"schemaType": "PROTOBUF", "schema": """
+        syntax = "proto3";
+        message M { int64 id = 1; string name = 2;
+                    map<string, int64> attrs = 3; }
+    """}
+    assert registry_engine_columns(proto, c) == [
+        ("id", "bigint"), ("name", "string"), ("attrs", "any"),
+    ]
+
+
+def test_check_registry_drift_classification():
+    """New writer columns → transient RegistrySchemaDrift with the
+    machine-readable id marker; a retype → fatal ValueError; matching
+    ids memoize (one registry round per new id, not per record)."""
+    from pyspark.sql import types as T
+
+    from transferia_spark.parsers.schema_registry import (
+        RegistrySchemaDrift,
+        check_registry_drift,
+    )
+
+    v1 = json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+    ]})
+    v2 = json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "note", "type": ["null", "string"]},
+    ]})
+    v3 = json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "id", "type": "string"},
+    ]})
+    hits: list = []
+    srv = _registry({1: {"schema": v1}, 2: {"schema": v2},
+                     3: {"schema": v3}}, hits)
+    try:
+        c = SchemaRegistryClient(f"http://127.0.0.1:{srv.server_port}")
+        declared = {"id": T.LongType(), "name": T.StringType()}
+        frame = encode_confluent_frame(1, b"")
+        check_registry_drift(frame, c, declared)
+        n = len(hits)
+        check_registry_drift(frame, c, declared)  # memoized
+        assert len(hits) == n
+        with pytest.raises(RegistrySchemaDrift,
+                           match=r"registry-schema-drift id=2"):
+            check_registry_drift(encode_confluent_frame(2, b""), c,
+                                 declared)
+        with pytest.raises(ValueError, match="registry-schema-retype"):
+            check_registry_drift(encode_confluent_frame(3, b""), c,
+                                 declared)
+        # the evolved declared set validates the once-drifting id
+        declared2 = dict(declared, note=T.StringType())
+        check_registry_drift(encode_confluent_frame(2, b""), c,
+                             declared2)
+    finally:
+        srv.shutdown()

@@ -552,6 +552,7 @@ def confluent_sr_parser(
     registry_tls_insecure: bool = False,
     table_name_policy: str | None = None,
     on_invalid: str = "unparsed",
+    drift_guard: bool = False,
     **body_config,
 ):
     # per-RECORD schema violations (wrong-typed field, missing
@@ -566,6 +567,13 @@ def confluent_sr_parser(
         raise ValueError(
             f"on_invalid must be 'unparsed' or 'fail', got {on_invalid!r}"
         )
+    # drift_guard=True (the replicate verb's registry drift contract):
+    # every NEW writer-schema id is checked against the declared
+    # columns — added columns raise the transient RegistrySchemaDrift
+    # (the supervisor evolves the declared schema from the registry
+    # and restarts), a retype raises the fatal ValueError. Off by
+    # default: a standalone parser projecting a wider writer schema
+    # onto fewer declared columns is a legitimate read.
     if registry_url is not None:
         if schema is None:
             raise ValueError(
@@ -603,6 +611,7 @@ def confluent_sr_parser(
 
                 from transferia_spark.parsers.schema_registry import (
                     build_table_id,
+                    check_registry_drift,
                     client_for,
                     decode_confluent,
                     decode_confluent_full,
@@ -622,6 +631,10 @@ def confluent_sr_parser(
                 _record_errs = (ValueError, KeyError, IndexError,
                                 struct.error, UnicodeDecodeError,
                                 EOFError, OverflowError)
+                declared_types = (
+                    {f.name: f.dataType for f in out_st.fields}
+                    if drift_guard else None
+                )
                 for pdf in batches:
                     ids, tables, cols = [], [], {n: [] for n in names}
                     raws, errs = [], []
@@ -664,6 +677,14 @@ def confluent_sr_parser(
                             for n in names:
                                 cols[n].append(None)
                             continue
+                        if declared_types is not None:
+                            # OUTSIDE the per-record catch: drift is
+                            # schema lifecycle, not per-record poison
+                            # — RegistrySchemaDrift must reach the
+                            # supervisor, a retype must stay fatal
+                            check_registry_drift(
+                                bytes(v), client, declared_types
+                            )
                         tables.append(table)
                         raws.append(None)
                         errs.append(None)
@@ -687,7 +708,19 @@ def confluent_sr_parser(
                         out[c] = pdf[c]
                     yield pd.DataFrame(out)
 
-            return df.mapInPandas(run, st)
+            parsed = df.mapInPandas(run, st)
+            # over a live queue source the raw kafka system columns
+            # become the reference's underscored system columns
+            # (_timestamp/_partition/_offset/_idx) like every other
+            # parser — the replicate verb's kafkawire path orders on
+            # _timestamp/_offset. Aux columns already underscored
+            # (offline fixtures) pass through untouched.
+            raw_sys = [c for c in ("timestamp", "partition", "offset")
+                       if c in aux]
+            if raw_sys:
+                keep = [c for c in parsed.columns if c not in raw_sys]
+                parsed = parsed.select(*keep, *_aux_columns(parsed))
+            return parsed
 
         return parse_live
 

@@ -688,8 +688,179 @@ def decode_confluent(value: bytes, client: SchemaRegistryClient):
     )
 
 
+# ------------------------------------------- registry-driven drift
+
+
+class RegistrySchemaDrift(RuntimeError):
+    """A record's WRITER schema adds columns beyond the declared
+    output schema. Deliberately a RuntimeError (transient to the
+    replicate supervisor): the supervisor evolves the declared schema
+    from the registry and restarts the stream into it — per-record
+    writer-schema resolution IS the reference's drift handling
+    (engine/parser.go:44). A retyped column raises ValueError instead
+    (fatal — widening-only evolution cannot express it)."""
+
+
+_AVRO_ENGINE = {
+    "int": "bigint", "long": "bigint", "float": "double",
+    "double": "double", "boolean": "boolean", "string": "string",
+    "bytes": "binary", "fixed": "binary", "enum": "string",
+}
+
+
+def _avro_engine_type(s: dict) -> str:
+    t = s["type"]
+    if t == "union":
+        real = [b for b in s["branches"] if b["type"] != "null"]
+        if len(real) == 1:
+            return _avro_engine_type(real[0])
+        return "any"
+    return _AVRO_ENGINE.get(t, "any")
+
+
+def _codec_for(meta: dict, client: SchemaRegistryClient):
+    """meta → cached decode codec (the same lazy construction
+    decode_confluent performs, factored so drift tooling can reuse
+    it)."""
+    codec = meta.get("_codec")
+    if codec is not None:
+        return codec
+    stype = meta.get("schemaType", "AVRO")
+    if stype == "AVRO":
+        codec = AvroCodec(meta["schema"])
+    elif stype == "JSON":
+        try:
+            codec = JsonSchemaCodec(meta["schema"])
+        except (ValueError, KeyError):
+            codec = _RawJson()
+    elif stype == "PROTOBUF":
+        from transferia_spark.parsers.proto_schema import ProtoCodec
+
+        codec = ProtoCodec(
+            meta["schema"],
+            imports=client.resolve_references(
+                meta.get("references") or []
+            ),
+        )
+    else:
+        raise ValueError(f"unknown schemaType {stype!r}")
+    meta["_codec"] = codec
+    return codec
+
+
+def registry_engine_columns(
+    meta: dict,
+    client: SchemaRegistryClient,
+    indexes: list[int] | None = None,
+) -> list[tuple[str, str]]:
+    """Writer schema → [(column, engine type)] across all three
+    registry schema types (engine types per types_json.go /
+    types_protobuf.go / the Avro analog: bigint/double/boolean/
+    string/binary/any). Non-record/permissive schemas carry no column
+    contract → []."""
+    stype = meta.get("schemaType", "AVRO")
+    codec = _codec_for(meta, client)
+    if stype == "AVRO":
+        sch = codec.schema
+        if sch.get("type") != "record":
+            return []
+        return [(n, _avro_engine_type(t)) for n, t in sch["fields"]]
+    if stype == "JSON":
+        if isinstance(codec, _RawJson):
+            return []
+        return [(n, t) for n, t, _req in codec.columns]
+    return [(n, t) for n, t, _n in codec.columns(indexes or [0])]
+
+
+def _engine_type_fits(etype: str, declared) -> bool:
+    """Can a writer column of engine type ``etype`` inhabit the
+    DECLARED Spark column type? Coarse on purpose, mirroring
+    json_kind_compatible: the check exists to catch RETYPES."""
+    from pyspark.sql import types as T
+
+    if etype == "any":
+        return True
+    if etype == "bigint":
+        return isinstance(declared, (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+            T.StringType,
+        ))
+    if etype == "double":
+        return isinstance(declared, (
+            T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
+        ))
+    if etype == "boolean":
+        return isinstance(declared, (T.BooleanType, T.StringType))
+    if etype == "string":
+        return isinstance(declared, (
+            T.StringType, T.CharType, T.VarcharType, T.DateType,
+            T.TimestampType, T.TimestampNTZType, T.BinaryType,
+            T.DecimalType,
+        ))
+    if etype == "binary":
+        return isinstance(declared, (T.BinaryType, T.StringType))
+    return True
+
+
+#: writer schema ids already checked against a declared column set —
+#: per-process like the client memo (ids are immutable server-side)
+_VALIDATED_IDS: set = set()
+
+
+def check_registry_drift(
+    raw: bytes, client: SchemaRegistryClient, declared: dict
+) -> None:
+    """Guard one framed record's writer schema against the DECLARED
+    output columns ``{name: spark DataType}``:
+
+    - new writer columns → :class:`RegistrySchemaDrift` (transient;
+      the supervisor evolves the declared schema and restarts) with a
+      machine-readable ``id=<n> indexes=<i.j>`` marker;
+    - a retyped declared column → ValueError (fatal);
+    - known-compatible ids memoize per process (one registry check
+      per new id, not per record).
+    """
+    sid, body = split_confluent_frame(raw)
+    meta = client.get_schema(sid)
+    indexes: list[int] | None = None
+    if meta.get("schemaType") == "PROTOBUF":
+        indexes, _rest = extract_message_indexes(body)
+    key = (client.base_url, tuple(sorted(declared)), sid,
+           tuple(indexes or ()))
+    if key in _VALIDATED_IDS:
+        return
+    cols = registry_engine_columns(meta, client, indexes)
+    retyped = [
+        (n, t, declared[n].simpleString())
+        for n, t in cols
+        if n in declared and not _engine_type_fits(t, declared[n])
+    ]
+    if retyped:
+        raise ValueError(
+            f"registry-schema-retype id={sid}: writer schema retypes "
+            f"declared columns {retyped} ((column, writer engine "
+            "type, declared type)) — widening-only evolution cannot "
+            "express a retype; update the declared schema and "
+            "re-activate the transfer"
+        )
+    extras = [n for n, _ in cols if n not in declared]
+    if extras:
+        raise RegistrySchemaDrift(
+            f"registry-schema-drift id={sid} "
+            f"indexes={'.'.join(map(str, indexes or []))} adds "
+            f"columns {sorted(extras)} beyond the declared schema — "
+            "the supervisor evolves the declared schema from the "
+            "registry and restarts the stream"
+        )
+    _VALIDATED_IDS.add(key)
+
+
 __all__ = [
     "AvroCodec",
+    "RegistrySchemaDrift",
+    "check_registry_drift",
+    "registry_engine_columns",
     "JsonSchemaCodec",
     "SchemaRegistryClient",
     "split_confluent_frame",

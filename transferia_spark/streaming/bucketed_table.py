@@ -597,6 +597,15 @@ class BucketedParquetTable:
         ``(_lsn, _counter)`` — one key-shuffle over base ∪ deltas,
         bucket-pruned on both sides when ``buckets`` is given."""
         doc = self._manifest_doc(version)
+        if version is None:
+            # a current-version read on a long-lived instance must see
+            # schema WIDENING another process committed (drift restart
+            # appends nullable columns via _save_meta), same healing
+            # contract as the bucket count below; one tiny JSON read
+            # next to the manifest read this method already does
+            meta = self._load_meta()
+            if meta is not None and meta.get("schema"):
+                self._schema_json = meta["schema"]
         m = doc["buckets"]
         # the bucket-id space is the MANIFEST's: a pinned version reads
         # under the count it was committed with, and a current-version
@@ -982,6 +991,28 @@ class BucketedParquetTable:
             [f for f in batch.schema.fields if f.name not in META_COLS]
         )
         target = self._read_or_empty(touched, data_schema)
+        # widening-only drift at the table: a batch carrying NEW
+        # payload columns (schema_file evolved mid-stream — recorded
+        # DDL or registry-driven) widens the target with nullable
+        # holes instead of silently narrowing to the stored schema;
+        # _commit's _save_meta then records the widened schema, so
+        # untouched buckets' older files read back with null for the
+        # new columns (Spark fills missing parquet columns by name)
+        from transferia_spark.cdc.changeitem import payload_columns
+
+        have = set(target.columns)
+        widen = [
+            f for f in batch.schema.fields
+            if f.name in set(payload_columns(batch)) - have
+        ]
+        if widen:
+            target = target.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in widen
+                ],
+            )
         n_bk = self.n_buckets
         ks = list(self.keys)
         merged = merge_batch_clustered(

@@ -87,6 +87,89 @@ def is_fatal(err: BaseException) -> bool:
     return False
 
 
+_DRIFT_MARKER_RE = None
+
+
+def _registry_drift_signal(err: BaseException):
+    """Extract the ``registry-schema-drift id=<n> indexes=<i.j>``
+    marker from an error chain (the executor-side marker survives the
+    JVM boundary only as text)."""
+    import re
+
+    global _DRIFT_MARKER_RE
+    if _DRIFT_MARKER_RE is None:
+        _DRIFT_MARKER_RE = re.compile(
+            r"registry-schema-drift id=(\d+) indexes=([\d.]*)"
+        )
+    seen: set[int] = set()
+    e: BaseException | None = err
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        m = _DRIFT_MARKER_RE.search(str(e))
+        if m:
+            idx = [int(x) for x in m.group(2).split(".") if x]
+            return int(m.group(1)), idx
+        e = e.__cause__ or e.__context__
+    return None
+
+
+_ENGINE_TO_SPARK_DDL = {
+    "bigint": "bigint", "double": "double", "boolean": "boolean",
+    "string": "string", "binary": "binary", "any": "string",
+}
+
+
+def evolve_schema_file_from_registry(source: dict, schema_id: int,
+                                     indexes: list[int]) -> list[str]:
+    """The supervisor half of registry-driven drift: fetch the writer
+    schema that raised RegistrySchemaDrift, append its NEW columns to
+    the declared schema as nullable (widening-only -- schema_drift.py's
+    evolve contract), and atomically rewrite ``schema_file`` so the
+    restarted stream reads them. Returns the added column names."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from transferia_spark.parsers.schema_registry import (
+        client_for,
+        registry_engine_columns,
+    )
+    from transferia_spark.streaming.cdc_sources import schema_to_ddl
+
+    pcfg = dict(source.get("parser") or {})
+    client = client_for(
+        pcfg["registry_url"],
+        auth=pcfg.get("registry_auth"),
+        tls_ca=pcfg.get("registry_tls_ca"),
+        tls_insecure=bool(pcfg.get("registry_tls_insecure")),
+    )
+    cols = registry_engine_columns(
+        client.get_schema(schema_id), client, indexes or None
+    )
+    st = T._parse_datatype_string(source_schema_ddl(source))
+    have = {f.name for f in st.fields}
+    added = [(n, t) for n, t in cols if n not in have]
+    if not added:
+        return []
+    evolved = T.StructType(
+        list(st.fields)
+        + [
+            T.StructField(
+                n,
+                T._parse_datatype_string(_ENGINE_TO_SPARK_DDL[t]),
+                True,
+            )
+            for n, t in added
+        ]
+    )
+    sf = source["schema_file"]
+    tmp = sf + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(schema_to_ddl(evolved))
+    _os.replace(tmp, sf)
+    return [n for n, _t in added]
+
+
 _ID_NOISE_RE = None
 
 
@@ -317,6 +400,20 @@ def build_replication_stream(
         pcfg = dict(source.get("parser") or {"type": "json"})
         ptype = pcfg.pop("type", "json")
         pcfg.setdefault("schema", ddl)
+        if (
+            ptype == "confluent_schema_registry"
+            and pcfg.get("registry_url")
+            and source.get("schema_file")
+        ):
+            # registry-driven drift (r11 verdict next #4): with a
+            # mutable schema_file to evolve, every NEW writer-schema id
+            # is classified in-stream -- added columns raise the
+            # transient RegistrySchemaDrift, the supervisor evolves
+            # schema_file from the registry and the restart reads the
+            # widened schema; a retype stays fatal. Per-record
+            # writer-schema resolution IS the reference's drift
+            # handling (engine/parser.go:44).
+            pcfg.setdefault("drift_guard", True)
         raw = kafka_wire_stream(
             spark, source["bootstrap"], source["topic"],
             **{k: str(v) for k, v in (source.get("options") or {}).items()},
@@ -1147,6 +1244,23 @@ def run_replication(
                 store.remove(transfer_id, ["status"])
                 _close_live()
                 raise
+            drift = _registry_drift_signal(e)
+            if drift is not None:
+                # registry-driven schema drift: evolve schema_file
+                # from the writer schema that raised, so this retry
+                # restarts the stream into the widened schema
+                src_cfg = dict(rep.get("source") or {})
+                if src_cfg.get("schema_file"):
+                    added = evolve_schema_file_from_registry(
+                        src_cfg, drift[0], drift[1]
+                    )
+                    import logging
+
+                    logging.getLogger(__name__).info(
+                        "registry drift: schema id %s added columns "
+                        "%s; restarting into the evolved schema",
+                        drift[0], added,
+                    )
             if max_attempts is not None and report.attempts >= max_attempts:
                 _close_live()
                 raise
