@@ -100,10 +100,11 @@ def normalize_pk_changes(df: DataFrame, keys: list[str]) -> DataFrame:
             F.array(stable_s)
         )
 
-    rows = cached_exprs(
-        ("pkchg", df.schema.json(), tuple(keys)), build
+    exploded = cached_exprs(
+        ("pkchg", df.schema.json(), tuple(keys)),
+        lambda: F.explode(build()).alias("_r"),
     )
-    return df.select(F.explode(rows).alias("_r")).select("_r.*")
+    return df.select(exploded).select("_r.*")
 
 
 def collapse(

@@ -28,11 +28,22 @@ def cached_exprs(key: tuple, build):
         return build()  # no session — don't cache unbindable objects
     # id() alone can be REUSED after the old context is GC'd
     # (code-review r11) — pair it with the context's own identity so a
-    # same-address successor can never serve the predecessor's entries
-    try:
-        ident = (sc.applicationId, sc.startTime)
-    except Exception:
-        ident = None
+    # same-address successor can never serve the predecessor's entries.
+    # The identity is memoized ON the context instance: applicationId/
+    # startTime are immutable py4j PROPERTY calls (two gateway round
+    # trips per cache lookup, ~15 lookups per micro-batch — profiled
+    # r12), and an instance attribute dies with the instance, so id
+    # reuse can never serve a stale memo
+    ident = getattr(sc, "_transferia_exprcache_ident", None)
+    if ident is None:
+        try:
+            ident = (sc.applicationId, sc.startTime)
+        except Exception:
+            ident = ("unknown",)
+        try:
+            sc._transferia_exprcache_ident = ident
+        except Exception:
+            pass
     full = (id(sc), ident, key)
     hit = _CACHE.get(full)
     if hit is None:
@@ -43,3 +54,56 @@ def cached_exprs(key: tuple, build):
 
 
 __all__ = ["cached_exprs"]
+
+
+def _jseq(df, cols, ckey: tuple):
+    """Java ``Seq[Column]`` memoized under ``ckey`` — py4j's
+    ListConverter costs one gateway ROUND TRIP PER ELEMENT on every
+    ``select``/``agg``/``groupBy`` call (profiled r12: ~90 of the ~300
+    per-merge gateway calls were list-element converts of the SAME
+    cached Column objects). The seq is a plain JVM object holding
+    references to the memoized Columns, so it is exactly as reusable
+    as they are."""
+    spark = df.sparkSession
+
+    def build():
+        sc = spark.sparkContext
+        return sc._jvm.PythonUtils.toSeq([c._jc for c in cols])
+
+    return cached_exprs(("jseq",) + ckey, build)
+
+
+def fast_select(df, cols, ckey: tuple):
+    """``df.select(*cols)`` through one gateway call with a cached
+    Seq; falls back to the public API on any internals mismatch."""
+    try:
+        cls = type(df)
+        return cls(df._jdf.select(_jseq(df, cols, ckey)),
+                   df.sparkSession)
+    except Exception:
+        return df.select(*cols)
+
+
+def fast_group_agg(df, group_cols, aggs, ckey: tuple):
+    """``df.groupBy(*group_cols).agg(*aggs)`` in two gateway calls
+    (cached Seqs; Scala's ``agg(expr, exprs*)`` takes head + tail)."""
+    try:
+        cls = type(df)
+        jgd = df._jdf.groupBy(_jseq(df, group_cols, ckey + ("g",)))
+        jdf = jgd.agg(aggs[0]._jc,
+                      _jseq(df, aggs[1:], ckey + ("a",)))
+        return cls(jdf, df.sparkSession)
+    except Exception:
+        return df.groupBy(*group_cols).agg(*aggs)
+
+
+def fast_sort_within(df, cols, ckey: tuple):
+    """``df.sortWithinPartitions(*cols)`` through one gateway call."""
+    try:
+        cls = type(df)
+        return cls(
+            df._jdf.sortWithinPartitions(_jseq(df, cols, ckey)),
+            df.sparkSession,
+        )
+    except Exception:
+        return df.sortWithinPartitions(*cols)

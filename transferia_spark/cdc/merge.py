@@ -274,17 +274,31 @@ def merge_batch_clustered(
         )
         return t_sel, u_sel, tuple(aggs), deleted, final
 
-    t_sel, u_sel, aggs, deleted, final = cached_exprs((
+    key = (
         "mbc", target_sj, batch_sj,
         tuple(keys), cluster_col, bool(toast_aware), marked,
-    ), build)
+    )
+    t_sel, u_sel, aggs, deleted, final = cached_exprs(key, build)
 
-    un = target.select(*t_sel).unionByName(nb.select(*u_sel))
+    # jseq-cached ops: one gateway call per select/agg instead of one
+    # per COLUMN (py4j list conversion, profiled r12)
+    from transferia_spark.cdc.exprcache import (
+        fast_group_agg,
+        fast_select,
+    )
+
+    un = fast_select(target, t_sel, key + ("t",)).unionByName(
+        fast_select(nb, u_sel, key + ("u",))
+    )
     un = un.withColumn(cluster_col, cluster_expr(un)).repartition(
         max(1, n_out), F.col(cluster_col)
     )
-    agg = un.groupBy(cluster_col, *keys).agg(*aggs)
-    return agg.filter(~deleted).select(*final)
+    gcols = cached_exprs(
+        key + ("gcols",),
+        lambda: [F.col(cluster_col)] + [F.col(k) for k in keys],
+    )
+    agg = fast_group_agg(un, gcols, list(aggs), key + ("agg",))
+    return fast_select(agg.filter(~deleted), final, key + ("f",))
 
 
 def apply_changelog(

@@ -645,6 +645,23 @@ class BucketedParquetTable:
             for b in wanted
             if b in m and os.path.isdir(self._bucket_dir(m[b], b))
         ]
+        # steady full-churn reads (every bucket at ONE version, the
+        # version dir holding exactly those buckets) collapse to the
+        # parent dir: one path instead of n_buckets paths (py4j
+        # converts each path per read — profiled r12), with the
+        # discovered partition column dropped. Stale sibling bucket
+        # dirs from a superseded commit disqualify the shortcut.
+        if len(paths) > 4 and len({m[b] for b in wanted if b in m}) == 1:
+            v0 = m[next(b for b in wanted if b in m)]
+            parent = os.path.join(self.root, f"_v{v0}")
+            try:
+                entries = set(os.listdir(parent))
+            except OSError:
+                entries = set()
+            if {os.path.basename(p) for p in paths} == {
+                e for e in entries if e.startswith(f"{BUCKET_COL}=")
+            }:
+                paths = [parent]
         schema = self._stored_schema()
         if not paths:
             # table exists but the wanted buckets hold no BASE rows
@@ -667,8 +684,14 @@ class BucketedParquetTable:
             # Spark job on EVERY micro-batch merge (profiled r11); the
             # stored schema is authoritative — commits _save_meta it
             base = self.spark.read.schema(schema).parquet(*paths)
+            if BUCKET_COL in base.columns:
+                # parent-dir shortcut: partition discovery appended
+                # the bucket dir column — data columns only here
+                base = base.drop(BUCKET_COL)
         else:
             base = self.spark.read.parquet(*paths)
+            if BUCKET_COL in base.columns:
+                base = base.drop(BUCKET_COL)
         ddf = self._read_deltas(pairs, doc)
         if ddf is None:
             return base
@@ -1015,11 +1038,17 @@ class BucketedParquetTable:
             )
         n_bk = self.n_buckets
         ks = list(self.keys)
-        merged = merge_batch_clustered(
-            target, batch, ks, BUCKET_COL,
-            lambda df: F.pmod(
+        from transferia_spark.cdc.exprcache import cached_exprs
+
+        cluster = cached_exprs(
+            ("bktexpr", tuple(ks), n_bk),
+            lambda: F.pmod(
                 F.xxhash64(*[F.col(k) for k in ks]), F.lit(n_bk)
             ).cast("int"),
+        )
+        merged = merge_batch_clustered(
+            target, batch, ks, BUCKET_COL,
+            lambda df: cluster,
             len(touched),
             toast_aware=toast_aware,
         )
@@ -1484,10 +1513,20 @@ class BucketedParquetTable:
             )
             new_v = self._alloc_version()
             path = os.path.join(self.root, f"_v{new_v}")
+            from transferia_spark.cdc.exprcache import (
+                cached_exprs,
+                fast_sort_within,
+            )
+
+            sort_cols = cached_exprs(
+                ("bktsort", tuple(self.keys)),
+                lambda: [F.col(BUCKET_COL)]
+                + [F.col(k) for k in self.keys],
+            )
             try:
                 (
-                    df.sortWithinPartitions(
-                        F.col(BUCKET_COL), *[F.col(k) for k in self.keys]
+                    fast_sort_within(
+                        df, sort_cols, ("bktsort", tuple(self.keys))
                     )
                     .write.mode("overwrite")
                     .partitionBy(BUCKET_COL)
