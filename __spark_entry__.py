@@ -1701,6 +1701,321 @@ def q_schema_registry_protojson(
     )
 
 
+
+
+def q_registry_drift_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: registry-driven schema drift classification
+    (parsers/schema_registry.check_registry_drift ≈ engine/parser.go:44,
+    where per-record writer-schema resolution IS the reference's drift
+    handling) — nation rows frame under three writer schemas chosen by
+    ``n_nationkey % 3``: a declared-compatible schema validates, one
+    that ADDS a column raises the transient RegistrySchemaDrift carrying
+    the machine-readable id marker the replicate supervisor evolves
+    schema_file from, and one that RETYPES a declared column raises the
+    fatal control. EXECUTOR tasks classify each frame against the
+    declared columns via a scripted registry; the oracle recomputes the
+    outcome relationally. The restart-into-evolved-schema loop is
+    pinned by the e2e in tests/test_kafka_wire_source.py."""
+    import json as _json
+
+    from transferia_spark.parsers.schema_registry import (
+        AvroCodec,
+        encode_confluent_frame,
+    )
+
+    v_ok = _json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "n", "type": "string"},
+    ]})
+    v_add = _json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "n", "type": "string"},
+        {"name": "note", "type": ["null", "string"]},
+    ]})
+    v_retype = _json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "k", "type": "string"},
+    ]})
+    codecs = {200: AvroCodec(v_ok), 201: AvroCodec(v_add),
+              202: AvroCodec(v_retype)}
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    )
+    frames = []
+    for r in nat:
+        sid = 200 + int(r.n_nationkey) % 3
+        body = {"k": int(r.n_nationkey), "n": r.n_name}
+        if sid == 201:
+            body["note"] = "x"
+        elif sid == 202:
+            body = {"k": str(r.n_nationkey)}
+        frames.append((
+            int(r.n_nationkey),
+            encode_confluent_frame(sid, codecs[sid].encode(body)),
+        ))
+    df = spark.createDataFrame(frames, "k long, value binary")
+    schemas = {
+        200: {"schema": v_ok, "schemaType": "AVRO"},
+        201: {"schema": v_add, "schemaType": "AVRO"},
+        202: {"schema": v_retype, "schemaType": "AVRO"},
+    }
+
+    class _ScriptedSR:
+        base_url = "scripted://drift"
+
+        def get_schema(self, sid: int) -> dict:
+            return schemas[sid]
+
+        def resolve_references(self, refs, _depth=0):
+            return {}
+
+    def run(batches):
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        from transferia_spark.parsers.schema_registry import (
+            RegistrySchemaDrift,
+            check_registry_drift,
+        )
+
+        client = _ScriptedSR()
+        declared = {"k": T.LongType(), "n": T.StringType()}
+        for pdf in batches:
+            ks, outcomes, details = [], [], []
+            for k, v in zip(pdf["k"], pdf["value"]):
+                ks.append(int(k))
+                try:
+                    check_registry_drift(bytes(v), client, declared)
+                    outcomes.append("ok")
+                    details.append("")
+                except RegistrySchemaDrift as e:
+                    outcomes.append("drift")
+                    # keep only the machine-readable marker prefix
+                    details.append(str(e).split(" adds ")[0])
+                except ValueError:
+                    outcomes.append("retype")
+                    details.append("registry-schema-retype id=202")
+            yield pd.DataFrame(
+                {"k": ks, "outcome": outcomes, "detail": details}
+            )
+
+    return df.mapInPandas(run, "k long, outcome string, detail string")
+
+
+#: live loopback servers started by driver queries must outlive the
+#: query FUNCTION (Spark plans are lazy; the driver collects later)
+_LIVE_SERVERS: list = []
+
+
+def _loopback_registry(schemas: dict) -> str:
+    """Minimal Confluent-registry HTTP endpoint for the live-parser
+    driver rows; kept alive for the process via _LIVE_SERVERS."""
+    import http.server
+    import json as _json
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith("/schemas/ids/"):
+                sid = int(self.path.rsplit("/", 1)[1])
+                meta = schemas.get(sid)
+                code = 200 if meta else 404
+                out = _json.dumps(
+                    meta or {"error_code": 40403,
+                             "message": "Schema not found"}
+                ).encode()
+            else:
+                code, out = 404, b"{}"
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    _LIVE_SERVERS.append(srv)
+    return f"http://127.0.0.1:{srv.server_port}"
+
+
+def q_parser_unparsed_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the live confluent_schema_registry parser's dead-letter
+    contract (parsers/registry.py on_invalid='unparsed' ≈ the
+    reference routing bad records to NewUnparsed instead of killing
+    the stream, generic_parser.go:575) — region rows frame as
+    JSON-schema bodies against a REAL loopback registry; every third
+    row is poisoned (wrong-typed field / bad magic byte), and the
+    parser lands those as null rows carrying _unparsed_raw + _error
+    while good rows decode. The oracle recomputes the split
+    relationally."""
+    import json as _json
+
+    from transferia_spark.parsers.registry import build_parser
+    from transferia_spark.parsers.schema_registry import (
+        encode_confluent_frame,
+    )
+
+    js = _json.dumps({
+        "type": "object", "title": "demo.regions",
+        "properties": {"k": {"type": "integer"},
+                       "name": {"type": "string"}},
+        "required": ["k"],
+    })
+    url = _loopback_registry({7: {"schema": js, "schemaType": "JSON"}})
+    reg = (
+        _t(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .collect()
+    )
+    frames = []
+    for r in reg:
+        k = int(r.r_regionkey)
+        if k % 3 == 1:
+            body = _json.dumps({"k": "oops", "name": r.r_name}).encode()
+            frames.append((k, encode_confluent_frame(7, body)))
+        elif k % 3 == 2:
+            frames.append((k, b"\x01bogus-magic"))
+        else:
+            body = _json.dumps({"k": k, "name": r.r_name}).encode()
+            frames.append((k, encode_confluent_frame(7, body)))
+    df = spark.createDataFrame(frames, "_idx long, value binary")
+    parsed = build_parser(
+        "confluent_schema_registry",
+        registry_url=url,
+        schema="k long, name string",
+    )(df)
+    return parsed.select(
+        F.col("_idx").alias("rk"),
+        F.col("_schema_id").alias("sid"),
+        "k",
+        "name",
+        F.col("_unparsed_raw").isNotNull().alias("dead"),
+        F.col("_error").isNotNull().alias("has_error"),
+    )
+
+
+def q_tls_trust_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the shared three-mode client trust ladder
+    (streaming/tlsutil.py ≈ the reference's TLS connection options:
+    kafka model_connection.go:8-25, mongo client.go, the SR parser's
+    TLSFile) — one policy resolved identically by the Kafka
+    KafkaSecurity options, the standard Mongo URI TLS options and the
+    SchemaRegistryClient knobs: CA pin => verify-full, insecure =>
+    explicit opt-out, default => system trust with hostname checking.
+    Bracketed IPv6 bootstrap literals parse alongside. Rows are the
+    resolved settings; the oracle is the fixed expectation table."""
+    import ssl
+
+    from transferia_spark.streaming.kafka_source import (
+        KafkaSecurity,
+        _parse_bootstrap,
+    )
+    from transferia_spark.streaming.mongo_wire import parse_mongo_uri
+    from transferia_spark.streaming.tlsutil import client_tls_context
+
+    rows = []
+    for mode, ca, insecure in (
+        ("system", None, False),
+        ("insecure", None, True),
+    ):
+        ctx = client_tls_context(ca, insecure)
+        rows.append((
+            "ladder", mode,
+            f"hostname={ctx.check_hostname} "
+            f"verify={ctx.verify_mode == ssl.CERT_REQUIRED}",
+        ))
+    sec = KafkaSecurity.from_options({
+        "tls": "true", "tls_insecure": "yes",
+        "sasl_mechanism": "scram-sha-512", "sasl_username": "svc",
+    })
+    rows.append((
+        "kafka", "options",
+        f"tls={sec.tls} insecure={sec.tls_insecure} "
+        f"mech={sec.sasl_mechanism}",
+    ))
+    u = parse_mongo_uri(
+        "mongodb://u:p@db1:27018/?tls=true&tlsCAFile=/ca.pem"
+        "&authSource=shop"
+    )
+    rows.append((
+        "mongo", "uri",
+        f"tls={u['tls']} ca={u['tls_ca']} insecure={u['tls_insecure']} "
+        f"auth={u['auth_source']}",
+    ))
+    u2 = parse_mongo_uri(
+        "mongodb://h/?ssl=true&tlsAllowInvalidCertificates=true"
+    )
+    rows.append((
+        "mongo", "uri_insecure",
+        f"tls={u2['tls']} ca={u2['tls_ca']} insecure={u2['tls_insecure']}",
+    ))
+    try:
+        parse_mongo_uri("mongodb+srv://c.example.net/")
+        rows.append(("mongo", "srv", "accepted"))
+    except ValueError:
+        rows.append(("mongo", "srv", "loud"))
+    rows.append((
+        "kafka", "ipv6_bootstrap",
+        ";".join(
+            f"{h}:{p}" for h, p in _parse_bootstrap(
+                "[::1]:9092,[2001:db8::2]:9093,h1:9094"
+            )
+        ),
+    ))
+    return spark.createDataFrame(rows, "plane string, name string, val string")
+
+
+def q_kafka_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: lib-free PRODUCE for every Kafka codec (sinks/kafka_wire.py
+    snappy_compress_stored / lz4_frame_compress_stored + the existing
+    gzip/zstd paths ≈ franz-go's codec support) — the stored
+    literal-only encodings are byte-deterministic, so both the frame
+    hex and the round-trip through the repo's own lib-free DECODERS are
+    oracle-hashable; the pure xxHash32 behind the lz4 header checksum
+    pins its spec vectors. Record batches for all four codecs decode
+    back to exact rows (zstd/snappy/lz4 by rows only — C fast paths may
+    pick different compressed bytes)."""
+    from transferia_spark.sinks.kafka_wire import (
+        _xxh32,
+        decode_record_set,
+        decompress_records,
+        encode_record_batch,
+        lz4_frame_compress_stored,
+        snappy_compress_stored,
+    )
+
+    data = b"nation-rows-ride-here:" + bytes(range(32))
+    sn = snappy_compress_stored(data)
+    lz = lz4_frame_compress_stored(data)
+    rows = [
+        ("snappy", "stored_frame", sn.hex()),
+        ("snappy", "roundtrip",
+         decompress_records(2, sn).decode("latin1")[:22]),
+        ("lz4", "stored_frame", lz.hex()),
+        ("lz4", "roundtrip",
+         decompress_records(3, lz).decode("latin1")[:22]),
+        ("xxh32", "empty", hex(_xxh32(b""))),
+        ("xxh32", "spam",
+         hex(_xxh32(b"Nobody inspects the spammish repetition"))),
+    ]
+    for codec in ("gzip", "snappy", "lz4", "zstd"):
+        batch = encode_record_batch(
+            [(b"k1", b"v1"), (b"k2", b"v" * 40)],
+            base_offset=3, base_timestamp=1_700_000_000_000,
+            compression=codec,
+        )
+        for r in decode_record_set(batch):
+            rows.append((
+                f"{codec}_rec", str(r["offset"]),
+                f"{r['key'].decode()}={r['value'].decode()}",
+            ))
+    return spark.createDataFrame(rows, "kind string, name string, val string")
+
+
 def q_cloudevents_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11: the CloudEvents PROTOBUF binding end-to-end
     (parsers/cloudevents_proto.py ≈ cloudevents/engine protobuf.go +
@@ -4693,8 +5008,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     younger rows and stays verified by ``python scripts/driver_sim.py``
     over ALL entries.
 
-    ROUND-11 rotation (the `_R11_WINDOW` reorder at the end of this
-    function, standing contract): (a) the 4 queries NEW this round
+    ROUND-12 rotation (the `_R12_WINDOW` reorder at the end of this
+    function, standing contract): (a) the 4 queries NEW in r12
+    (registry-driven drift classification, the live parser's
+    on_invalid='unparsed' dead-letter routing, the shared TLS trust
+    ladder across the Kafka/Mongo/SR planes, the lib-free produce
+    codec matrix), (b) the 19 rows whose implementation paths changed
+    in round 12 (see the window's inline comments), (c) the 27
+    oldest-green rows — the 8 last scored in r07 plus the 19
+    alphabetically-first of the 34 last scored in r08. 4+19+27 = 50.
+
+    ROUND-11 rotation (historical): (a) the 4 queries NEW that round
     (the Kafka SASL/SCRAM + gzip wire security surface, the live
     Confluent Schema Registry + Avro binary codec, the Mongo BSON
     codec behind the new wire plane, and ClickHouse system.clusters
@@ -4797,6 +5121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_registry_protojson": q_schema_registry_protojson,
         "cloudevents_proto": q_cloudevents_proto,
         "kafka_sasl_plan": q_kafka_sasl_plan,
+        "registry_drift_classify": q_registry_drift_classify,
+        "parser_unparsed_routing": q_parser_unparsed_routing,
+        "tls_trust_ladder": q_tls_trust_ladder,
+        "kafka_codec_matrix": q_kafka_codec_matrix,
         "mongo_bson_codec": q_mongo_bson_codec,
         "shard_fallback_plans": q_shard_fallback_plans,
         "delta_scan": q_delta_scan,
@@ -4888,64 +5216,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_json": q_parser_json,
         "parser_protobuf": q_parser_protobuf,
     }
-    _R11_WINDOW = [
-        "kafka_sasl_plan",
-        "schema_registry_avro",
-        "schema_registry_protojson",
-        "cloudevents_proto",
-        "mongo_bson_codec",
-        "clickhouse_topology",
+    _R12_WINDOW = [
+        # (a) NEW in round 12: registry-driven drift classification,
+        # the live parser's unparsed dead-letter routing, the shared
+        # TLS trust ladder across the Kafka/Mongo/SR planes, and the
+        # lib-free produce codec matrix
+        "registry_drift_classify",
+        "parser_unparsed_routing",
+        "tls_trust_ladder",
+        "kafka_codec_matrix",
+        # (b) the 19 rows whose implementation paths changed in r12:
+        # the jseq-cached one-exchange merge + parent-dir reads under
+        # the cdc family; the drift supervisor + system-column parser
+        # fix under the replicate family; on_invalid routing +
+        # drift_guard + registry TLS under the parser/serializer and
+        # schema-registry rows (incl. the proto map-entry index fix);
+        # tlsutil + IPv6 bootstrap + LSO-probe teardown + bounded
+        # read_committed wait under the kafka rows; TLS/URI options
+        # under the mongo rows
         "cdc_collapse",
         "cdc_merge",
         "cdc_merge_bucketed",
         "cdc_merge_delta",
         "cdc_rebucket",
-        "snapshot_handoff",
-        "mysql_select_plan",
-        "mysql_select_decode",
         "replicate_yaml",
         "replicate_controls",
         "replicate_multi_table",
-        "kafka_fetch_plan",
-        "queue_adapters",
-        "clickhouse_read_plan",
-        "clickhouse_decode",
-        "clickhouse_insert_plan",
         "parser_confluent_sr",
         "serializer_confluent",
+        "schema_registry_avro",
+        "schema_registry_protojson",
+        "cloudevents_proto",
+        "kafka_sasl_plan",
+        "kafka_fetch_plan",
+        "queue_adapters",
+        "mongo_bson_codec",
         "mongo_change_stream",
         "mongo_id_ranges",
-        "oracle_rowid_plan",
-        "shard_fallback_plans",
-        "middleware_chain",
-        "mask_field",
-        "filter_columns",
-        "regex_replace",
-        "tpch_q5ish",
-        "tpch_q4ish",
-        "tpch_q14ish",
-        "tpch_q16ish",
-        "tpch_q7ish",
-        "tpch_q10ish",
-        "tpch_q22ish",
-        "tpch_q12ish",
-        "tpch_q15ish",
-        "tpch_q19ish",
-        "tpch_q1",
-        "tpch_q3",
-        "tpch_q6",
-        "tpch_q18ish",
-        "window_topk",
-        "salted_join",
-        "interval_join",
-        "percentile_stats",
+        # (c) the 27 oldest-green rows rotating back into the official
+        # record: the 8 last scored in r07 and the 19 alphabetically
+        # first of the 34 last scored in r08
+        "image_resize",
+        "mix_sources",
+        "range_join",
+        "replace_primary_key",
+        "rollup_agg",
+        "scalar_funcs",
+        "set_ops",
+        "two_phase_agg",
+        "ann_ivf",
+        "ann_lsh_bucketed",
+        "corpus_pipeline",
+        "debezium_roundtrip",
+        "dedup_blocks",
+        "dedup_cluster",
+        "dedup_incremental_store",
+        "dedup_keep_best",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_stream_ingest",
+        "embed_documents",
+        "filter_access_log",
+        "filter_rows_by_ids",
+        "fingerprint",
+        "frame_sample",
+        "incremental_read",
+        "jdbc_pushdown",
+        "jdbc_shard_ranges",
     ]
-    assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
-    missing = [n for n in _R11_WINDOW if n not in q]
+    assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+    missing = [n for n in _R12_WINDOW if n not in q]
     assert not missing, f"window names drifted: {missing}"
     return {
-        **{n: q[n] for n in _R11_WINDOW},
-        **{n: f for n, f in q.items() if n not in set(_R11_WINDOW)},
+        **{n: q[n] for n in _R12_WINDOW},
+        **{n: f for n, f in q.items() if n not in set(_R12_WINDOW)},
     }
 
 
@@ -5381,6 +5725,57 @@ SELECT 'http://ch-' || CAST(r_regionkey AS VARCHAR) || ':8123' AS url,
 FROM region,
      (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2
       UNION ALL SELECT 3) p
+""",
+        "registry_drift_classify": """
+SELECT n_nationkey AS k,
+       CASE n_nationkey % 3 WHEN 0 THEN 'ok'
+            WHEN 1 THEN 'drift' ELSE 'retype' END AS outcome,
+       CASE n_nationkey % 3 WHEN 0 THEN ''
+            WHEN 1 THEN 'registry-schema-drift id=201 indexes='
+            ELSE 'registry-schema-retype id=202' END AS detail
+FROM nation
+""",
+        "parser_unparsed_routing": """
+SELECT CAST(r_regionkey AS BIGINT) AS rk,
+       CASE WHEN r_regionkey % 3 = 0
+            THEN CAST(7 AS INTEGER) END AS sid,
+       CASE WHEN r_regionkey % 3 = 0
+            THEN CAST(r_regionkey AS BIGINT) END AS k,
+       CASE WHEN r_regionkey % 3 = 0 THEN r_name END AS name,
+       r_regionkey % 3 <> 0 AS dead,
+       r_regionkey % 3 <> 0 AS has_error
+FROM region
+""",
+        "tls_trust_ladder": """
+SELECT * FROM (VALUES
+  ('ladder', 'system', 'hostname=True verify=True'),
+  ('ladder', 'insecure', 'hostname=False verify=False'),
+  ('kafka', 'options', 'tls=True insecure=True mech=SCRAM-SHA-512'),
+  ('mongo', 'uri', 'tls=True ca=/ca.pem insecure=False auth=shop'),
+  ('mongo', 'uri_insecure', 'tls=True ca=None insecure=True'),
+  ('mongo', 'srv', 'loud'),
+  ('kafka', 'ipv6_bootstrap', '::1:9092;2001:db8::2:9093;h1:9094')
+) AS t(plane, name, val)
+""",
+        "kafka_codec_matrix": """
+SELECT * FROM (VALUES
+  ('snappy', 'stored_frame',
+   '36d46e6174696f6e2d726f77732d726964652d686572653a000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f'),
+  ('snappy', 'roundtrip', 'nation-rows-ride-here:'),
+  ('lz4', 'stored_frame',
+   '04224d18607073360000806e6174696f6e2d726f77732d726964652d686572653a000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f00000000'),
+  ('lz4', 'roundtrip', 'nation-rows-ride-here:'),
+  ('xxh32', 'empty', '0x2cc5d05'),
+  ('xxh32', 'spam', '0xe2293b2f'),
+  ('gzip_rec', '3', 'k1=v1'),
+  ('gzip_rec', '4', 'k2=vvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvv'),
+  ('snappy_rec', '3', 'k1=v1'),
+  ('snappy_rec', '4', 'k2=vvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvv'),
+  ('lz4_rec', '3', 'k1=v1'),
+  ('lz4_rec', '4', 'k2=vvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvv'),
+  ('zstd_rec', '3', 'k1=v1'),
+  ('zstd_rec', '4', 'k2=vvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvvv')
+) AS t(kind, name, val)
 """,
         "mongo_bson_codec": """
 SELECT n_nationkey AS k,
