@@ -213,11 +213,19 @@ def collapse(
         ]
         return tuple(aggs), tuple(select_cols)
 
-    aggs, select_cols = cached_exprs(
-        (
-            "collapse", in_schema, tuple(keys),
-            bool(toast_aware), bool(with_presence),
-        ),
-        build,
+    ckey = (
+        "collapse", in_schema, tuple(keys),
+        bool(toast_aware), bool(with_presence),
     )
-    return df.groupBy(*keys).agg(*aggs).select(*select_cols)
+    aggs, select_cols = cached_exprs(ckey, build)
+    # jseq-cached groupBy/agg/select: one gateway call per op instead
+    # of one per COLUMN (py4j list conversion, profiled r12)
+    from transferia_spark.cdc.exprcache import fast_group_agg, fast_select
+
+    gcols = cached_exprs(
+        ckey + ("g",), lambda: [F.col(k) for k in keys]
+    )
+    return fast_select(
+        fast_group_agg(df, gcols, list(aggs), ckey + ("agg",)),
+        select_cols, ckey + ("sel",),
+    )

@@ -100,19 +100,22 @@ def merge_batch(
         return cond, deleted, tuple(_merged(c) for c in cols)
 
     # expression trees memoized across micro-batches (see exprcache)
-    cond, deleted, merged = cached_exprs((
+    mb_key = (
         # keyed on the BATCH schema: net's schema is a pure function of
         # it and asking net would force a per-batch analysis round trip
         "mb", target.schema.json(), batch.schema.json(),
         tuple(keys), bool(toast_aware), marked,
-    ), build)
+    )
+    cond, deleted, merged = cached_exprs(mb_key, build)
+
+    from transferia_spark.cdc.exprcache import fast_select
 
     # Single full-outer join — the changelog is scanned & aggregated once
     # (a 3-way union of inner/anti/anti joins recomputes the aggregation
     # per branch and tripled wall-clock at sf0.1). The small side
     # broadcasts under AQE; at 100 TB both sides shuffle on the key once.
     joined = target.alias("t").join(net.alias("u"), cond, "full_outer")
-    return joined.filter(~deleted).select(*merged)
+    return fast_select(joined.filter(~deleted), merged, mb_key + ("f",))
 
 
 def merge_batch_clustered(

@@ -562,9 +562,16 @@ class BucketedParquetTable:
                 f"table at {self.root} has no bucket count yet — "
                 "n_buckets=None resolves at the first write"
             )
-        return F.pmod(
-            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
-        ).cast("int")
+        from transferia_spark.cdc.exprcache import cached_exprs
+
+        n_bk = self.n_buckets
+        ks = tuple(self.keys)
+        return cached_exprs(
+            ("bktexpr", ks, n_bk),
+            lambda: F.pmod(
+                F.xxhash64(*[F.col(k) for k in ks]), F.lit(n_bk)
+            ).cast("int"),
+        )
 
     def _ensure_buckets(self, df: DataFrame) -> None:
         """Resolve ``n_buckets=None`` from the first written frame's
