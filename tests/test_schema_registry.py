@@ -974,3 +974,92 @@ def test_check_registry_drift_classification():
                              declared2)
     finally:
         srv.shutdown()
+
+
+def test_check_registry_drift_protobuf_indexes_marker():
+    """PROTOBUF drift: the marker carries the message-indexes path
+    (the addressed message, not just the schema id), the supervisor
+    parses it back, and map-entry slots count in the walk."""
+    from pyspark.sql import types as T
+
+    from transferia_spark.parsers.schema_registry import (
+        RegistrySchemaDrift,
+        check_registry_drift,
+        encode_message_indexes,
+        registry_engine_columns,
+    )
+    from transferia_spark.tasks.replicate import _registry_drift_signal
+
+    proto = """
+        syntax = "proto3";
+        message Outer {
+          map<string, string> attrs = 1;
+          message Evt { int64 k = 1; string n = 2; string note = 3; }
+          Evt evt = 2;
+        }
+    """
+    meta = {"schemaType": "PROTOBUF", "schema": proto}
+
+    class C:
+        base_url = "scripted://p"
+
+        def get_schema(self, sid):
+            return meta
+
+        def resolve_references(self, refs, _depth=0):
+            return {}
+
+    c = C()
+    # Evt sits at [0, 1]: the synthetic AttrsEntry occupies slot 0
+    assert registry_engine_columns(meta, c, [0, 1]) == [
+        ("k", "bigint"), ("n", "string"), ("note", "string"),
+    ]
+    frame = b"\x00" + (77).to_bytes(4, "big") \
+        + encode_message_indexes([0, 1]) + b""
+    declared = {"k": T.LongType(), "n": T.StringType()}
+    with pytest.raises(RegistrySchemaDrift) as ei:
+        check_registry_drift(frame, c, declared)
+    sig = _registry_drift_signal(ei.value)
+    assert sig == (77, [0, 1])
+    # evolved declared set validates
+    check_registry_drift(
+        frame, c, dict(declared, note=T.StringType())
+    )
+
+
+def test_evolve_schema_file_from_registry_proto_indexes(spark, tmp_path):
+    """The supervisor half resolves the PROTOBUF writer schema at the
+    marker's indexes and appends exactly its new columns."""
+    from transferia_spark.tasks.replicate import (
+        evolve_schema_file_from_registry,
+    )
+
+    proto = """
+        syntax = "proto3";
+        message Outer {
+          map<string, string> attrs = 1;
+          message Evt { int64 k = 1; string n = 2; double score = 4;
+                        bool live = 5; }
+          Evt evt = 2;
+        }
+    """
+    srv = _registry({9: {"schema": proto, "schemaType": "PROTOBUF"}}, [])
+    sf = str(tmp_path / "schema.ddl")
+    with open(sf, "w") as f:
+        f.write("k bigint, n string")
+    src = {
+        "schema_file": sf,
+        "parser": {
+            "type": "confluent_schema_registry",
+            "registry_url": f"http://127.0.0.1:{srv.server_port}",
+        },
+    }
+    try:
+        added = evolve_schema_file_from_registry(src, 9, [0, 1])
+        assert added == ["score", "live"]
+        with open(sf) as f:
+            assert f.read() == "k bigint, n string, score double, live boolean"
+        # idempotent: nothing new on a replayed marker
+        assert evolve_schema_file_from_registry(src, 9, [0, 1]) == []
+    finally:
+        srv.shutdown()
