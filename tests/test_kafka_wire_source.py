@@ -2065,3 +2065,37 @@ replication:
     finally:
         broker.close()
         reg.shutdown()
+
+
+def test_lso_probe_self_failure_spares_peer_sockets(monkeypatch):
+    """code-review r12: when the POISONED probe socket is the
+    bootstrap client's own, peers carry their own (healthy)
+    connections — close() would kill them mid-probe-round. Only the
+    bootstrap socket tears down; the planner's redial then closes the
+    family."""
+    import transferia_spark.sinks.kafka_wire as kw
+    from transferia_spark.streaming.kafka_source import KafkaFetchClient
+
+    broker = LoopbackBroker({"t": 1})
+    try:
+        c = KafkaFetchClient("127.0.0.1", broker.port, timeout=5)
+
+        class FakePeer:
+            closed = False
+
+            def close(self):
+                self.closed = True
+
+        peer = FakePeer()
+        c._peers[("other", 1)] = peer
+        monkeypatch.setattr(
+            kw, "decode_fetch_response",
+            lambda *a, **k: (_ for _ in ()).throw(ValueError("boom")),
+        )
+        assert c.stable_offsets("t", {0: 9}) == {0: 9}
+        assert c.closed and not peer.closed
+        monkeypatch.undo()
+        c.close()  # the redial path closes the family
+        assert peer.closed
+    finally:
+        broker.close()

@@ -1063,3 +1063,70 @@ def test_evolve_schema_file_from_registry_proto_indexes(spark, tmp_path):
         assert evolve_schema_file_from_registry(src, 9, [0, 1]) == []
     finally:
         srv.shutdown()
+
+
+def test_drift_guard_covers_every_engine_type_and_keys_on_types():
+    """code-review r12: (a) the fits-check and the supervisor's
+    engine→Spark map must cover EVERY engine type the three codecs can
+    emit ('int'/'float' were missing — a proto int32 drift KeyError'd
+    the supervisor); (b) the validated-ids memo keys on declared
+    TYPES, not just names — same names under different types is a
+    different retype question."""
+    from pyspark.sql import types as T
+
+    from transferia_spark.parsers.proto_schema import PROTO_COLUMN_TYPES
+    from transferia_spark.parsers.schema_registry import (
+        _AVRO_ENGINE,
+        JsonSchemaCodec,
+        _engine_type_fits,
+        check_registry_drift,
+    )
+    from transferia_spark.tasks.replicate import _ENGINE_TO_SPARK_DDL
+
+    every = (set(PROTO_COLUMN_TYPES.values()) | set(_AVRO_ENGINE.values())
+             | set(JsonSchemaCodec._TYPES.values()) | {"any"})
+    assert every <= set(_ENGINE_TO_SPARK_DDL), every
+    # the fits-check must give a REAL verdict (not fall-through-True)
+    # for every engine type: an int/float writer into a boolean column
+    # is a retype
+    for et in every - {"any"}:
+        assert not _engine_type_fits(et, T.TimestampType()) or et in (
+            "string",
+        ), et
+    assert _engine_type_fits("int", T.LongType())
+    assert _engine_type_fits("float", T.DoubleType())
+    assert not _engine_type_fits("float", T.LongType())
+    # int→boolean stays permitted on purpose: MySQL BOOLEAN is
+    # tinyint(1), the same stance json_kind_compatible takes
+    assert _engine_type_fits("int", T.BooleanType())
+
+    # (b) memo key includes types
+    v = json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "k", "type": "long"}]})
+    srv = _registry({4: {"schema": v}}, [])
+    try:
+        c = SchemaRegistryClient(f"http://127.0.0.1:{srv.server_port}")
+        frame = encode_confluent_frame(4, b"")
+        check_registry_drift(frame, c, {"k": T.LongType()})  # validates
+        with pytest.raises(ValueError, match="registry-schema-retype"):
+            check_registry_drift(frame, c, {"k": T.DateType()})
+    finally:
+        srv.shutdown()
+
+
+def test_unknown_schema_id_is_negative_cached():
+    """code-review r12: under on_invalid='unparsed' a topic carrying
+    an unregistered id must not issue one registry GET per record —
+    404s negative-cache (ids are never recycled) and stay loud."""
+    hits: list = []
+    srv = _registry({1: {"schema": '"long"'}}, hits)
+    try:
+        c = SchemaRegistryClient(f"http://127.0.0.1:{srv.server_port}")
+        for _ in range(5):
+            with pytest.raises(ValueError, match="40403"):
+                c.get_schema(999)
+        assert len([h for h in hits if h[0] == "GET"]) == 1
+        # real ids still resolve and cache independently
+        assert c.get_schema(1)["schema"] == '"long"'
+    finally:
+        srv.shutdown()

@@ -492,12 +492,26 @@ class SchemaRegistryClient:
 
     def get_schema(self, schema_id: int) -> dict:
         """id → ``{"schema": str, "schemaType": "AVRO"|"JSON"|...}``
-        (absent schemaType = AVRO, per the API)."""
+        (absent schemaType = AVRO, per the API). Unknown ids (HTTP
+        404) negative-cache in the same bounded LRU: ids are only
+        issued by registration and never recycled, so a 404 id stays
+        404 — without the sentinel, a topic carrying frames with an
+        unregistered id under on_invalid='unparsed' would issue one
+        blocking GET per RECORD forever (code-review r12)."""
         hit = self._cache.get(schema_id)
         if hit is not None:
             self._cache.move_to_end(schema_id)
+            if isinstance(hit, ValueError):
+                raise hit
             return hit
-        out = self._request(f"/schemas/ids/{schema_id}")
+        try:
+            out = self._request(f"/schemas/ids/{schema_id}")
+        except ValueError as e:
+            if "HTTP 404" in str(e):
+                self._cache[schema_id] = e
+                while len(self._cache) > self.cache_size:
+                    self._cache.popitem(last=False)
+            raise
         out.setdefault("schemaType", "AVRO")
         self._cache[schema_id] = out
         while len(self._cache) > self.cache_size:
@@ -780,13 +794,14 @@ def _engine_type_fits(etype: str, declared) -> bool:
 
     if etype == "any":
         return True
-    if etype == "bigint":
+    if etype in ("bigint", "int"):
+        # proto int32/sint32/... surface as engine 'int'
         return isinstance(declared, (
             T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
             T.StringType,
         ))
-    if etype == "double":
+    if etype in ("double", "float"):
         return isinstance(declared, (
             T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
         ))
@@ -826,8 +841,17 @@ def check_registry_drift(
     indexes: list[int] | None = None
     if meta.get("schemaType") == "PROTOBUF":
         indexes, _rest = extract_message_indexes(body)
-    key = (client.base_url, tuple(sorted(declared)), sid,
-           tuple(indexes or ()))
+    key = (
+        client.base_url,
+        # names AND types: the same column names under different
+        # declared types are a different retype question entirely
+        # (code-review r12)
+        tuple(sorted(
+            (n, t.simpleString()) for n, t in declared.items()
+        )),
+        sid,
+        tuple(indexes or ()),
+    )
     if key in _VALIDATED_IDS:
         return
     cols = registry_engine_columns(meta, client, indexes)

@@ -1043,16 +1043,8 @@ class BucketedParquetTable:
                     for f in widen
                 ],
             )
-        n_bk = self.n_buckets
         ks = list(self.keys)
-        from transferia_spark.cdc.exprcache import cached_exprs
-
-        cluster = cached_exprs(
-            ("bktexpr", tuple(ks), n_bk),
-            lambda: F.pmod(
-                F.xxhash64(*[F.col(k) for k in ks]), F.lit(n_bk)
-            ).cast("int"),
-        )
+        cluster = self._bucket_of()  # cached (exprcache)
         merged = merge_batch_clustered(
             target, batch, ks, BUCKET_COL,
             lambda df: cluster,
@@ -1325,13 +1317,11 @@ class BucketedParquetTable:
         # (r10): the join formulation shuffled the folded buckets twice
         # (key join + bucket write) — folds run per-batch under the
         # incremental policy, so they're on the steady-state cost path
-        n_bk = self.n_buckets
         ks = list(self.keys)
+        cluster = self._bucket_of()  # cached (exprcache)
         merged = merge_batch_clustered(
             target, ddf, ks, BUCKET_COL,
-            lambda df: F.pmod(
-                F.xxhash64(*[F.col(k) for k in ks]), F.lit(n_bk)
-            ).cast("int"),
+            lambda df: cluster,
             len(touched),
         )
         folded_update = {

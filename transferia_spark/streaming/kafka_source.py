@@ -430,10 +430,23 @@ class KafkaFetchClient:
                     "LSO probe for %s%s failed (%s); those partitions "
                     "plan at the high watermark", topic, sorted(ps), e,
                 )
-                c.close()
-                self._peers = {
-                    a: p for a, p in self._peers.items() if p is not c
-                }
+                if c is self:
+                    # only the bootstrap socket is poisoned — peers
+                    # carry their own connections and may still be
+                    # probed this round; close() would kill them
+                    # mid-loop (code-review r12). The planner's redial
+                    # closes the whole family afterwards.
+                    self.closed = True
+                    try:
+                        self._sock.close()
+                    except OSError:
+                        pass
+                else:
+                    c.close()
+                    self._peers = {
+                        a: p for a, p in self._peers.items()
+                        if p is not c
+                    }
                 continue
             for part, info in resp.get(topic, {}).items():
                 lso = info.get("last_stable_offset", -1)
@@ -616,7 +629,9 @@ class KafkaWireStreamReader(DataSourceStreamReader):
 
     def _driver_client(self) -> KafkaFetchClient:
         if getattr(self._client, "closed", False):
-            # stable_offsets tore it down after a poisoned probe
+            # stable_offsets tore it down after a poisoned probe;
+            # close() the family so cached peer sockets don't leak
+            self._client.close()
             self._client = None
         if self._client is None:
             self._client = connect_bootstrap(
@@ -861,6 +876,12 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                         f"{self.topic}[{partition.partition}] — "
                         "log truncated under the running batch?"
                     )
+                if records:
+                    # the LSO advanced enough to surface data — the
+                    # wait ceiling guards ONE stuck transaction, not
+                    # the sum of independent short commits across the
+                    # partition (code-review r12)
+                    lso_waited = 0.0
                 for rec in records:
                     if rec["offset"] < off:
                         continue  # batch replay below request offset

@@ -114,8 +114,9 @@ def _registry_drift_signal(err: BaseException):
 
 
 _ENGINE_TO_SPARK_DDL = {
-    "bigint": "bigint", "double": "double", "boolean": "boolean",
-    "string": "string", "binary": "binary", "any": "string",
+    "bigint": "bigint", "int": "int", "double": "double",
+    "float": "float", "boolean": "boolean", "string": "string",
+    "binary": "binary", "any": "string",
 }
 
 
@@ -1251,16 +1252,29 @@ def run_replication(
                 # restarts the stream into the widened schema
                 src_cfg = dict(rep.get("source") or {})
                 if src_cfg.get("schema_file"):
-                    added = evolve_schema_file_from_registry(
-                        src_cfg, drift[0], drift[1]
-                    )
                     import logging
 
-                    logging.getLogger(__name__).info(
-                        "registry drift: schema id %s added columns "
-                        "%s; restarting into the evolved schema",
-                        drift[0], added,
-                    )
+                    try:
+                        added = evolve_schema_file_from_registry(
+                            src_cfg, drift[0], drift[1]
+                        )
+                    except Exception as ee:  # noqa: BLE001
+                        # a registry hiccup during evolution is the
+                        # transient class this loop exists to retry —
+                        # it must not abort the worker and skip
+                        # _close_live (code-review r12); the next
+                        # attempt re-raises the drift and lands here
+                        # again
+                        logging.getLogger(__name__).warning(
+                            "registry drift evolution for schema id "
+                            "%s failed (%s); retrying", drift[0], ee,
+                        )
+                    else:
+                        logging.getLogger(__name__).info(
+                            "registry drift: schema id %s added "
+                            "columns %s; restarting into the evolved "
+                            "schema", drift[0], added,
+                        )
             if max_attempts is not None and report.attempts >= max_attempts:
                 _close_live()
                 raise
