@@ -1520,3 +1520,36 @@ def test_legacy_bucket_dir_deltas_still_read_and_fold(spark, tmp_path):
     assert doc["deltas"] == []
     got = {r.id: r.v for r in dt2.read().collect()}
     assert got[3] == "u2_3" and got[7] == "u1_7" and len(got) == 20
+
+
+def test_drift_widened_columns_survive_delta_fold_and_read(spark, tmp_path):
+    """code-review r12 pass 2: the widening contract holds in DELTA
+    mode too — a drift-evolved batch's new column must surface through
+    merge-on-read AND survive the fold into the base (previously both
+    built their output from the stored target columns and silently
+    dropped it)."""
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedParquetTable,
+    )
+
+    t = BucketedParquetTable(
+        spark, str(tmp_path / "t"), keys=["k"], n_buckets=4,
+        merge_mode="delta",
+    )
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ))
+    evolved = spark.createDataFrame(
+        [(2, "b2", "note2", "u", 10, 0), (3, "c", "note3", "i", 11, 0)],
+        "k long, v string, note string, _op string, _lsn long, "
+        "_counter long",
+    )
+    t.merge(evolved, fold=False)
+    # merge-on-read: old rows null, new rows carry the column
+    got = {(r.k, r.v, r.note) for r in t.read().collect()}
+    assert got == {(1, "a", None), (2, "b2", "note2"), (3, "c", "note3")}
+    # the fold persists it into the base
+    t.compact()
+    assert t._manifest_doc()["deltas"] == []
+    got = {(r.k, r.v, r.note) for r in t.read().collect()}
+    assert got == {(1, "a", None), (2, "b2", "note2"), (3, "c", "note3")}

@@ -231,7 +231,13 @@ def test_registry_client_basic_auth_header():
         noauth = SchemaRegistryClient(
             f"http://127.0.0.1:{srv.server_port}"
         )
-        with pytest.raises(ValueError, match="401"):
+        # 401 is INFRA (RegistryHTTPError, r12) — misconfigured creds
+        # must fail the stream loudly, never dead-letter records
+        from transferia_spark.parsers.schema_registry import (
+            RegistryHTTPError,
+        )
+
+        with pytest.raises(RegistryHTTPError, match="401"):
             noauth.get_schema(1)
         ok = SchemaRegistryClient(
             f"http://127.0.0.1:{srv.server_port}", auth=("u", "p")
@@ -1128,5 +1134,81 @@ def test_unknown_schema_id_is_negative_cached():
         assert len([h for h in hits if h[0] == "GET"]) == 1
         # real ids still resolve and cache independently
         assert c.get_schema(1)["schema"] == '"long"'
+    finally:
+        srv.shutdown()
+
+
+def test_registry_5xx_is_infra_loud_not_unparsed(spark):
+    """code-review r12 pass 2: a registry outage (503/429/401) is
+    INFRA — it must fail the stream loudly, never dead-letter records
+    as unparsed data errors. Only 404 is data-shaped."""
+    import http.server
+    import threading
+
+    from transferia_spark.parsers.registry import build_parser
+    from transferia_spark.parsers.schema_registry import (
+        RegistryHTTPError,
+        encode_confluent_frame,
+    )
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            out = b'{"message": "registry restarting"}'
+            self.send_response(503)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        c = SchemaRegistryClient(f"http://127.0.0.1:{srv.server_port}")
+        with pytest.raises(RegistryHTTPError, match="503"):
+            c.get_schema(1)
+        # and it is a RuntimeError (supervisor-transient), NOT a
+        # ValueError the unparsed routing would swallow
+        assert not issubclass(RegistryHTTPError, ValueError)
+        df = spark.createDataFrame(
+            [(encode_confluent_frame(1, b"{}"), 0)],
+            "value binary, _offset long",
+        )
+        parsed = build_parser(
+            "confluent_schema_registry",
+            registry_url=f"http://127.0.0.1:{srv.server_port}",
+            schema="k long",
+        )(df)
+        with pytest.raises(Exception, match="503"):
+            parsed.collect()
+    finally:
+        srv.shutdown()
+
+
+def test_unknown_id_negative_cache_expires_and_raises_fresh():
+    """code-review r12 pass 2: a 404 can be a registration race /
+    replica lag — the negative entry re-probes after the TTL; and
+    each hit raises a FRESH exception (re-raising one cached instance
+    grows its __traceback__ per raise)."""
+    import time
+
+    hits: list = []
+    schemas: dict = {}
+    srv = _registry(schemas, hits)
+    try:
+        c = SchemaRegistryClient(f"http://127.0.0.1:{srv.server_port}")
+        c.negative_ttl = 0.2
+        errs = []
+        for _ in range(2):
+            with pytest.raises(ValueError, match="40403") as ei:
+                c.get_schema(31)
+            errs.append(ei.value)
+        assert errs[0] is not errs[1]  # fresh instances
+        assert len([h for h in hits if h[0] == "GET"]) == 1
+        # the producer registers; after the TTL the id resolves
+        schemas[31] = {"schema": '"long"'}
+        time.sleep(0.25)
+        assert c.get_schema(31)["schema"] == '"long"'
     finally:
         srv.shutdown()

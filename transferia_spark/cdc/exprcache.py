@@ -39,11 +39,17 @@ def cached_exprs(key: tuple, build):
         try:
             ident = (sc.applicationId, sc.startTime)
         except Exception:
-            ident = ("unknown",)
-        try:
-            sc._transferia_exprcache_ident = ident
-        except Exception:
-            pass
+            # transient (mid-init/gateway hiccup): fall back to the
+            # uncached per-lookup behavior WITHOUT memoizing — a
+            # memoized failure sentinel would disable the id-reuse
+            # stale-cache guard for the context's whole lifetime
+            # (code-review r12)
+            ident = None
+        else:
+            try:
+                sc._transferia_exprcache_ident = ident
+            except Exception:
+                pass
     full = (id(sc), ident, key)
     hit = _CACHE.get(full)
     if hit is None:

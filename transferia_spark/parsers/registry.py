@@ -635,6 +635,13 @@ def confluent_sr_parser(
                     {f.name: f.dataType for f in out_st.fields}
                     if drift_guard else None
                 )
+                dkey = None
+                if declared_types is not None:
+                    from transferia_spark.parsers.schema_registry import (
+                        declared_key,
+                    )
+
+                    dkey = declared_key(declared_types)
                 for pdf in batches:
                     ids, tables, cols = [], [], {n: [] for n in names}
                     raws, errs = [], []
@@ -683,7 +690,8 @@ def confluent_sr_parser(
                             # — RegistrySchemaDrift must reach the
                             # supervisor, a retype must stay fatal
                             check_registry_drift(
-                                bytes(v), client, declared_types
+                                bytes(v), client, declared_types,
+                                dkey=dkey,
                             )
                         tables.append(table)
                         raws.append(None)

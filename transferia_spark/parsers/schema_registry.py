@@ -421,6 +421,13 @@ class JsonSchemaCodec:
 # ----------------------------------------------------- registry client
 
 
+class RegistryHTTPError(RuntimeError):
+    """Non-404 registry HTTP failure — transport/infra, NOT a
+    per-record data error: deliberately a RuntimeError so the parser's
+    unparsed routing never swallows it and the replicate supervisor
+    classifies it transient (retried)."""
+
+
 class SchemaRegistryClient:
     """Stdlib-HTTP client for the Confluent Schema Registry REST API
     with a bounded id→schema cache (ids are immutable server-side, so
@@ -439,6 +446,10 @@ class SchemaRegistryClient:
         self.auth = auth
         self.timeout = timeout
         self.cache_size = cache_size
+        #: how long an id's 404 is believed before re-probing —
+        #: registration races and replica lag resolve in seconds;
+        #: without any cache a dead id costs one GET per record
+        self.negative_ttl = 60.0
         # custom-CA https (the common on-prem registry setup) — the
         # same trust ladder as the Kafka/Mongo wire planes; ≈ the
         # reference SR parser config's TLSFile
@@ -486,7 +497,16 @@ class SchemaRegistryClient:
                 return json.loads(r.read())
         except urllib.error.HTTPError as e:
             detail = e.read().decode(errors="replace")[:500]
-            raise ValueError(
+            if e.code == 404:
+                # data-shaped: the id/subject does not exist —
+                # eligible for unparsed routing
+                raise ValueError(
+                    f"schema registry {path}: HTTP {e.code} {detail}"
+                ) from e
+            # 5xx/429/401/...: INFRA, must stay loud — a ValueError
+            # here would dead-letter records through on_invalid=
+            # 'unparsed' during a registry outage (code-review r12)
+            raise RegistryHTTPError(
                 f"schema registry {path}: HTTP {e.code} {detail}"
             ) from e
 
@@ -498,17 +518,31 @@ class SchemaRegistryClient:
         404 — without the sentinel, a topic carrying frames with an
         unregistered id under on_invalid='unparsed' would issue one
         blocking GET per RECORD forever (code-review r12)."""
+        import time as _time
+
         hit = self._cache.get(schema_id)
         if hit is not None:
-            self._cache.move_to_end(schema_id)
-            if isinstance(hit, ValueError):
-                raise hit
-            return hit
+            if isinstance(hit, tuple) and hit[0] is _NOT_FOUND:
+                # negative entry: registration races / replica lag
+                # make a 404 only MOSTLY permanent — re-probe after
+                # the TTL, and raise a FRESH exception meanwhile (a
+                # cached instance grows its __traceback__ per raise)
+                # — code-review r12
+                if _time.time() < hit[2]:
+                    self._cache.move_to_end(schema_id)
+                    raise ValueError(hit[1])
+                del self._cache[schema_id]
+            else:
+                self._cache.move_to_end(schema_id)
+                return hit
         try:
             out = self._request(f"/schemas/ids/{schema_id}")
         except ValueError as e:
             if "HTTP 404" in str(e):
-                self._cache[schema_id] = e
+                self._cache[schema_id] = (
+                    _NOT_FOUND, str(e),
+                    _time.time() + self.negative_ttl,
+                )
                 while len(self._cache) > self.cache_size:
                     self._cache.popitem(last=False)
             raise
@@ -556,6 +590,9 @@ class SchemaRegistryClient:
             out[r["name"]] = meta["schema"]
         return out
 
+
+#: negative-cache marker for unknown schema ids
+_NOT_FOUND = object()
 
 #: per-process client memo — executor tasks are short-lived, so a
 #: client built per task restarts the id→schema cache empty and
@@ -823,8 +860,18 @@ def _engine_type_fits(etype: str, declared) -> bool:
 _VALIDATED_IDS: set = set()
 
 
+def declared_key(declared: dict) -> tuple:
+    """Precompute the (name, type) memo key once per stream — the
+    guard runs per RECORD, and rebuilding simpleString tuples there
+    dominated the memoized fast path (code-review r12)."""
+    return tuple(sorted(
+        (n, t.simpleString()) for n, t in declared.items()
+    ))
+
+
 def check_registry_drift(
-    raw: bytes, client: SchemaRegistryClient, declared: dict
+    raw: bytes, client: SchemaRegistryClient, declared: dict,
+    dkey: tuple | None = None,
 ) -> None:
     """Guard one framed record's writer schema against the DECLARED
     output columns ``{name: spark DataType}``:
@@ -846,9 +893,7 @@ def check_registry_drift(
         # names AND types: the same column names under different
         # declared types are a different retype question entirely
         # (code-review r12)
-        tuple(sorted(
-            (n, t.simpleString()) for n, t in declared.items()
-        )),
+        dkey if dkey is not None else declared_key(declared),
         sid,
         tuple(indexes or ()),
     )
@@ -882,8 +927,10 @@ def check_registry_drift(
 
 __all__ = [
     "AvroCodec",
+    "RegistryHTTPError",
     "RegistrySchemaDrift",
     "check_registry_drift",
+    "declared_key",
     "registry_engine_columns",
     "JsonSchemaCodec",
     "SchemaRegistryClient",

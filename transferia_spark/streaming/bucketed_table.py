@@ -134,6 +134,32 @@ def _tag_frame_presence(df: DataFrame) -> DataFrame:
     return df.withColumn(PRESENT_COL, marker).drop(TOASTED_COL)
 
 
+def _widen_to_batch(target: DataFrame, batch: DataFrame) -> DataFrame:
+    """Widening-only drift at the table: a batch (or delta tail)
+    carrying NEW payload columns — schema_file evolved mid-stream,
+    recorded DDL or registry-driven — widens the target with nullable
+    holes instead of the merge silently narrowing to the stored
+    schema (merge output columns are the TARGET's). Used by the eager
+    merge, the delta fold and the merge-on-read resolution
+    (code-review r12: the last two dropped drift-added columns);
+    _commit's _save_meta then records the widened schema, so untouched
+    buckets' older files read back with null for the new columns
+    (Spark fills missing parquet columns by name)."""
+    from transferia_spark.cdc.changeitem import payload_columns
+
+    have = set(target.columns)
+    widen = [
+        f for f in batch.schema.fields
+        if f.name in set(payload_columns(batch)) - have
+    ]
+    if not widen:
+        return target
+    return target.select(
+        "*",
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in widen],
+    )
+
+
 class BucketedParquetTable:
     """Versioned, PK-hash-bucketed parquet table with atomic manifest
     swap and bucket-scoped merges."""
@@ -704,7 +730,7 @@ class BucketedParquetTable:
             return base
         from transferia_spark.cdc.merge import merge_batch
 
-        return merge_batch(base, ddf, self.keys)
+        return merge_batch(_widen_to_batch(base, ddf), ddf, self.keys)
 
     def _read_deltas(
         self,
@@ -1021,28 +1047,7 @@ class BucketedParquetTable:
             [f for f in batch.schema.fields if f.name not in META_COLS]
         )
         target = self._read_or_empty(touched, data_schema)
-        # widening-only drift at the table: a batch carrying NEW
-        # payload columns (schema_file evolved mid-stream — recorded
-        # DDL or registry-driven) widens the target with nullable
-        # holes instead of silently narrowing to the stored schema;
-        # _commit's _save_meta then records the widened schema, so
-        # untouched buckets' older files read back with null for the
-        # new columns (Spark fills missing parquet columns by name)
-        from transferia_spark.cdc.changeitem import payload_columns
-
-        have = set(target.columns)
-        widen = [
-            f for f in batch.schema.fields
-            if f.name in set(payload_columns(batch)) - have
-        ]
-        if widen:
-            target = target.select(
-                "*",
-                *[
-                    F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in widen
-                ],
-            )
+        target = _widen_to_batch(target, batch)
         ks = list(self.keys)
         cluster = self._bucket_of()  # cached (exprcache)
         merged = merge_batch_clustered(
@@ -1318,6 +1323,7 @@ class BucketedParquetTable:
         # (key join + bucket write) — folds run per-batch under the
         # incremental policy, so they're on the steady-state cost path
         ks = list(self.keys)
+        target = _widen_to_batch(target, ddf)
         cluster = self._bucket_of()  # cached (exprcache)
         merged = merge_batch_clustered(
             target, ddf, ks, BUCKET_COL,
