@@ -237,8 +237,14 @@ def test_registry_client_basic_auth_header():
             RegistryHTTPError,
         )
 
-        with pytest.raises(RegistryHTTPError, match="401"):
+        with pytest.raises(RegistryHTTPError, match="401") as ei:
             noauth.get_schema(1)
+        # wrong creds are CONFIGURATION: never swallowed by unparsed
+        # routing (RuntimeError), and [FATAL]-marked so the replicate
+        # supervisor surfaces instead of retrying forever
+        from transferia_spark.tasks.replicate import is_fatal
+
+        assert is_fatal(ei.value)
         ok = SchemaRegistryClient(
             f"http://127.0.0.1:{srv.server_port}", auth=("u", "p")
         )
@@ -1166,8 +1172,11 @@ def test_registry_5xx_is_infra_loud_not_unparsed(spark):
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     try:
         c = SchemaRegistryClient(f"http://127.0.0.1:{srv.server_port}")
-        with pytest.raises(RegistryHTTPError, match="503"):
+        with pytest.raises(RegistryHTTPError, match="503") as ei:
             c.get_schema(1)
+        from transferia_spark.tasks.replicate import is_fatal
+
+        assert not is_fatal(ei.value)  # outage: supervisor retries
         # and it is a RuntimeError (supervisor-transient), NOT a
         # ValueError the unparsed routing would swallow
         assert not issubclass(RegistryHTTPError, ValueError)

@@ -39,17 +39,16 @@ def cached_exprs(key: tuple, build):
         try:
             ident = (sc.applicationId, sc.startTime)
         except Exception:
-            # transient (mid-init/gateway hiccup): fall back to the
-            # uncached per-lookup behavior WITHOUT memoizing — a
-            # memoized failure sentinel would disable the id-reuse
-            # stale-cache guard for the context's whole lifetime
-            # (code-review r12)
-            ident = None
-        else:
-            try:
-                sc._transferia_exprcache_ident = ident
-            except Exception:
-                pass
+            # transient (mid-init/gateway hiccup): with NO identity we
+            # cannot key safely at all — an (id(sc), None, key) entry
+            # could be served to a same-address successor whose first
+            # lookup also failed (code-review r12 pass 3). Build
+            # uncached like the sc-is-None branch.
+            return build()
+        try:
+            sc._transferia_exprcache_ident = ident
+        except Exception:
+            pass
     full = (id(sc), ident, key)
     hit = _CACHE.get(full)
     if hit is None:

@@ -503,11 +503,16 @@ class SchemaRegistryClient:
                 raise ValueError(
                     f"schema registry {path}: HTTP {e.code} {detail}"
                 ) from e
-            # 5xx/429/401/...: INFRA, must stay loud — a ValueError
-            # here would dead-letter records through on_invalid=
-            # 'unparsed' during a registry outage (code-review r12)
+            # 5xx/429/...: INFRA, must stay loud — a ValueError here
+            # would dead-letter records through on_invalid='unparsed'
+            # during a registry outage (code-review r12). 401/403 are
+            # CONFIGURATION (wrong creds cannot heal by retrying):
+            # still a RegistryHTTPError so the parser never swallows
+            # them, but marked [FATAL] so the replicate supervisor
+            # surfaces instead of retrying forever (pass 3)
+            fatal = " [FATAL]" if e.code in (401, 403) else ""
             raise RegistryHTTPError(
-                f"schema registry {path}: HTTP {e.code} {detail}"
+                f"schema registry {path}: HTTP {e.code}{fatal} {detail}"
             ) from e
 
     def get_schema(self, schema_id: int) -> dict:

@@ -917,6 +917,12 @@ class KafkaWireStreamReader(DataSourceStreamReader):
                     # — without this, re-fetching the same batch spins
                     # forever (code-review r10 pass 2)
                     off = nxt
+                    # marker-only progress (an aborted transaction's
+                    # dropped batch + its marker) is still PROGRESS —
+                    # the wait ceiling must not carry a resolved
+                    # transaction's wait into the next one
+                    # (code-review r12 pass 3)
+                    lso_waited = 0.0
         finally:
             boot.close()  # closes leader peers too
 

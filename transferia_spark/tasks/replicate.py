@@ -1264,7 +1264,15 @@ def run_replication(
                         # it must not abort the worker and skip
                         # _close_live (code-review r12); the next
                         # attempt re-raises the drift and lands here
-                        # again
+                        # again. A FATAL-class failure (hard-deleted
+                        # schema id → 404 ValueError, unwritable
+                        # schema_file) must surface though, or a
+                        # max_attempts=None worker drift-loops forever
+                        # (code-review r12 pass 3)
+                        if is_fatal(ee):
+                            store.remove(transfer_id, ["status"])
+                            _close_live()
+                            raise
                         logging.getLogger(__name__).warning(
                             "registry drift evolution for schema id "
                             "%s failed (%s); retrying", drift[0], ee,
