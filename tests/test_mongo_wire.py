@@ -334,6 +334,12 @@ class LoopbackMongod:
                     docs = [d for d in docs if d["_id"] < idf["$lt"]]
             elif idf is not None:
                 docs = [d for d in docs if d["_id"] == idf]
+            tsf = flt.get("ts")
+            if isinstance(tsf, dict) and "$gt" in tsf:
+                gt = tsf["$gt"]
+                docs = [d for d in docs if gt < d["ts"]]
+            if isinstance(flt.get("ns"), str):
+                docs = [d for d in docs if d.get("ns") == flt["ns"]]
             if body.get("sort"):
                 [(k, direction)] = list(body["sort"].items())
                 docs = sorted(
@@ -692,5 +698,217 @@ def test_uri_tls_options_and_srv_rejection(mongo_tls_cert):
         )
         assert list(adapter["shop"]["t"].find()) == [{"_id": 1}]
         adapter.close()
+    finally:
+        srv.close()
+
+
+# ------------------------------------------------------ oplog fallback
+
+
+def test_oplog_v2_diff_decodes_to_update_description():
+    """The $v:2 oplog diff format → the public change-stream
+    updateDescription shape (dotted paths, array truncation) — the
+    reference's oplog_v2_parser surface."""
+    from transferia_spark.streaming.mongo_wire import (
+        decode_oplog_v2_diff,
+    )
+
+    upd, rem, trunc = decode_oplog_v2_diff({
+        "u": {"name": "n2"},
+        "i": {"note": "fresh"},
+        "d": {"legacy": False},
+        "saddr": {"u": {"city": "SFO"}, "d": {"zip": False}},
+        "stags": {"a": True, "l": 2, "u1": "kept"},
+    })
+    assert upd == {
+        "name": "n2", "note": "fresh", "addr.city": "SFO",
+        "tags.1": "kept",
+    }
+    assert rem == ["legacy", "addr.zip"]
+    assert trunc == [{"field": "tags", "newSize": 2}]
+    # nested sub-diff inside a sub-diff
+    upd, rem, trunc = decode_oplog_v2_diff(
+        {"sa": {"sb": {"u": {"c": 1}}}}
+    )
+    assert upd == {"a.b.c": 1} and rem == [] and trunc == []
+    with pytest.raises(ValueError, match="unsupported oplog"):
+        decode_oplog_v2_diff({"x": 1})
+
+
+def test_oplog_entries_map_to_change_stream_events():
+    from transferia_spark.streaming.mongo_wire import (
+        oplog_entry_to_change_event,
+    )
+
+    ts = BsonTimestamp(1_700_000_100, 3)
+    ins = oplog_entry_to_change_event({
+        "op": "i", "ts": ts, "ns": "shop.customers",
+        "o": {"_id": 7, "name": "n7"},
+    })
+    assert ins["operationType"] == "insert"
+    assert ins["clusterTime"] == 1_700_000_100 and ins["order"] == 3
+    assert ins["fullDocument"] == {"_id": 7, "name": "n7"}
+    assert ins["documentKey"] == {"_id": 7}
+    assert ins["ns"] == {"db": "shop", "coll": "customers"}
+
+    v2 = oplog_entry_to_change_event({
+        "op": "u", "ts": ts, "ns": "shop.customers",
+        "o2": {"_id": 7},
+        "o": {"$v": 2, "diff": {"u": {"name": "n7b"},
+                                "d": {"tmp": False}}},
+    })
+    assert v2["operationType"] == "update"
+    assert v2["updateDescription"] == {
+        "updatedFields": {"name": "n7b"}, "removedFields": ["tmp"],
+    }
+
+    legacy = oplog_entry_to_change_event({
+        "op": "u", "ts": ts, "ns": "shop.customers",
+        "o2": {"_id": 7},
+        "o": {"$set": {"name": "n7c"}, "$unset": {"tmp": True}},
+    })
+    assert legacy["updateDescription"] == {
+        "updatedFields": {"name": "n7c"}, "removedFields": ["tmp"],
+    }
+
+    replace = oplog_entry_to_change_event({
+        "op": "u", "ts": ts, "ns": "shop.customers",
+        "o2": {"_id": 7}, "o": {"_id": 7, "name": "whole"},
+    })
+    assert replace["operationType"] == "replace"
+    assert replace["fullDocument"]["name"] == "whole"
+
+    dele = oplog_entry_to_change_event({
+        "op": "d", "ts": ts, "ns": "shop.customers", "o": {"_id": 7},
+    })
+    assert dele["operationType"] == "delete"
+    assert dele["documentKey"] == {"_id": 7}
+
+    for op in ("n", "c"):
+        assert oplog_entry_to_change_event(
+            {"op": op, "ts": ts, "ns": "shop.$cmd", "o": {}}
+        ) is None
+
+
+def test_live_drain_oplog_two_pass_resume(tmp_path):
+    """Catch-up drains of local.oplog.rs over the wire client: pass 1
+    lands all row events for the collection (noops/commands skipped
+    but advancing the position, other collections filtered
+    server-side); pass 2 resumes past the persisted ts and drains
+    only new entries. ≈ local_oplog_rs_watcher.go."""
+    import json as _json
+    import os
+
+    from transferia_spark.streaming.mongo_wire import live_drain_oplog
+
+    def e(t, i, op, coll="customers", **kw):
+        return {"op": op, "ts": BsonTimestamp(t, i),
+                "ns": f"shop.{coll}", **kw}
+
+    oplog = [
+        e(100, 1, "i", o={"_id": 1, "name": "a"}),
+        e(100, 2, "n", o={}),  # noop: skipped, advances position
+        e(100, 3, "i", coll="other", o={"_id": 9}),  # filtered by ns
+        e(101, 1, "u", o2={"_id": 1},
+          o={"$v": 2, "diff": {"u": {"name": "a2"}}}),
+        e(102, 1, "d", o={"_id": 1}),
+    ]
+    srv = LoopbackMongod({"local.oplog.rs": oplog})
+    out = str(tmp_path / "cs")
+    live = {"host": "127.0.0.1", "port": srv.port,
+            "database": "shop", "collection": "customers"}
+    try:
+        assert live_drain_oplog(live, out) == 3
+        files = sorted(
+            f for f in os.listdir(out) if f.endswith(".jsonl")
+        )
+        evs = [
+            _json.loads(ln)
+            for f in files
+            for ln in open(os.path.join(out, f))
+        ]
+        assert [ev["operationType"] for ev in evs] == [
+            "insert", "update", "delete"
+        ]
+        assert [(ev["clusterTime"], ev["order"]) for ev in evs] == [
+            (100, 1), (101, 1), (102, 1)
+        ]
+        assert evs[1]["updateDescription"]["updatedFields"] == {
+            "name": "a2"
+        }
+        # nothing new: no file, position stable
+        assert live_drain_oplog(live, out) == 0
+        # new entries drain from the resume point only
+        oplog.append(e(103, 1, "i", o={"_id": 2, "name": "b"}))
+        assert live_drain_oplog(live, out) == 1
+        with open(os.path.join(out, "_resume_oplog.json")) as f:
+            assert _json.load(f) == {"t": 103, "i": 1}
+    finally:
+        srv.close()
+
+
+def test_replicate_verb_mongowire_oplog_mode(spark, tmp_path):
+    """`format: mongowire` with `live.mode: oplog` replicates through
+    the verb alone — the oplog drain front-ends the same mongostream
+    reader the change-stream mode uses."""
+    import json as _json  # noqa: F401
+
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedParquetTable,
+    )
+    from transferia_spark.tasks.replicate import run_replication
+
+    oplog = [
+        {"op": "i", "ts": BsonTimestamp(200, i), "ns": "shop.customers",
+         "o": {"_id": i, "name": f"n{i}"}}
+        for i in range(1, 5)
+    ]
+    srv = LoopbackMongod({"local.oplog.rs": oplog})
+    cs_dir = str(tmp_path / "cs")
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    src = str(tmp_path / "seed.parquet")
+    spark.createDataFrame(
+        [(0, "seed")], "_id long, name string"
+    ).coalesce(1).write.parquet(src)
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_ONLY
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: mongowire
+    path: {cs_dir}
+    schema: "_id long, name string"
+    live:
+      mode: oplog
+      host: 127.0.0.1
+      port: {srv.port}
+      database: shop
+      collection: customers
+  target: {{kind: bucketed, root: {target}, keys: [_id], n_buckets: 4}}
+""")
+    try:
+        run_replication(
+            spark, spec, state_dir=state, once=True, retry_interval=0.0
+        )
+        table = BucketedParquetTable(
+            spark, target, keys=["_id"], n_buckets=4
+        )
+        got = {(r._id, r.name) for r in table.read().collect()}
+        assert got == {(i, f"n{i}") for i in range(1, 5)}
+        # a v2-diff update and a delete arrive; the next pass applies
+        # only them
+        oplog.append({"op": "u", "ts": BsonTimestamp(201, 1),
+                      "ns": "shop.customers", "o2": {"_id": 2},
+                      "o": {"$v": 2, "diff": {"u": {"name": "n2b"}}}})
+        oplog.append({"op": "d", "ts": BsonTimestamp(202, 1),
+                      "ns": "shop.customers", "o": {"_id": 3}})
+        run_replication(
+            spark, spec, state_dir=state, once=True, retry_interval=0.0
+        )
+        got = {(r._id, r.name) for r in table.read().collect()}
+        assert got == {(1, "n1"), (2, "n2b"), (4, "n4")}
     finally:
         srv.close()

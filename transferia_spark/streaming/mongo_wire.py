@@ -97,6 +97,12 @@ class BsonTimestamp:
             and (self.time, self.inc) == (other.time, other.inc)
         )
 
+    def __lt__(self, other):
+        return (self.time, self.inc) < (other.time, other.inc)
+
+    def __hash__(self):
+        return hash((self.time, self.inc))
+
     def __repr__(self):
         return f"BsonTimestamp({self.time}, {self.inc})"
 
@@ -764,6 +770,212 @@ def live_drain_change_stream(live: dict, out_dir: str) -> int:
         client.close()
 
 
+# ------------------------------------------------------ oplog fallback
+
+
+def decode_oplog_v2_diff(diff: dict, prefix: str = ""):
+    """MongoDB's ``$v: 2`` oplog update *diff* format → the public
+    change-stream ``updateDescription`` shape:
+    ``(updatedFields, removedFields, truncatedArrays)`` with dotted
+    paths, exactly what a change stream would have reported for the
+    same update (≈ the reference's ``oplog_v2_parser.go``; format per
+    the mongo source's oplog_diff spec):
+
+    - ``i``/``u``: {field: new value} — inserted / updated fields
+    - ``d``: {field: false} — removed fields
+    - ``s<field>``: a sub-diff for an object field (recurse, dotted)
+    - a sub-diff with ``a: true`` is an ARRAY diff: ``l`` is the new
+      (truncated) length, ``u<idx>``/``s<idx>`` address elements
+    """
+    updated: dict = {}
+    removed: list = []
+    truncated: list = []
+
+    def dot(f: str) -> str:
+        return f"{prefix}.{f}" if prefix else f
+
+    def walk(d: dict, pre: str) -> None:
+        if d.get("a") is True:
+            if "l" in d:
+                truncated.append(
+                    {"field": pre, "newSize": int(d["l"])}
+                )
+            for k, v in d.items():
+                if k in ("a", "l"):
+                    continue
+                if k[:1] == "u" and k[1:].isdigit():
+                    updated[f"{pre}.{k[1:]}"] = v
+                elif k[:1] == "s" and k[1:].isdigit() and isinstance(
+                    v, dict
+                ):
+                    walk(v, f"{pre}.{k[1:]}")
+                else:
+                    raise ValueError(
+                        f"unsupported oplog array-diff key {k!r}"
+                    )
+            return
+        for f, v in (d.get("i") or {}).items():
+            updated[f"{pre}.{f}" if pre else f] = v
+        for f, v in (d.get("u") or {}).items():
+            updated[f"{pre}.{f}" if pre else f] = v
+        for f in (d.get("d") or {}):
+            removed.append(f"{pre}.{f}" if pre else f)
+        for k, v in d.items():
+            if k in ("i", "u", "d"):
+                continue
+            if k[:1] == "s" and len(k) > 1 and isinstance(v, dict):
+                walk(v, f"{pre}.{k[1:]}" if pre else k[1:])
+            else:
+                raise ValueError(
+                    f"unsupported oplog diff key {k!r}"
+                )
+
+    walk(diff, prefix)
+    return updated, removed, truncated
+
+
+def oplog_entry_to_change_event(entry: dict) -> dict | None:
+    """One ``local.oplog.rs`` document → the change-stream event shape
+    the ``mongostream`` reader consumes (explicit clusterTime/order
+    position from the oplog ``ts``); None for non-row entries (noops,
+    commands). ≈ ``local_oplog_rs_watcher.go`` + ``oplog_v2_parser.go``
+    — the reference's fallback when change streams are unavailable
+    (pre-4.0 servers, missing privileges)."""
+    op = entry.get("op")
+    if op not in ("i", "u", "d"):
+        return None  # 'n' noop, 'c' command — not row changes
+    ts = entry["ts"]
+    ns = entry.get("ns") or ""
+    db, _, coll = ns.partition(".")
+    ev: dict = {
+        "clusterTime": int(ts.time),
+        "order": int(ts.inc),
+        "ns": {"db": db, "coll": coll},
+    }
+    o = entry.get("o") or {}
+    if op == "i":
+        ev["operationType"] = "insert"
+        ev["documentKey"] = {"_id": o.get("_id")}
+        ev["fullDocument"] = o
+        return ev
+    if op == "d":
+        ev["operationType"] = "delete"
+        ev["documentKey"] = {"_id": o.get("_id")}
+        return ev
+    # update: documentKey rides in o2; the o payload is one of the
+    # three public update encodings
+    ev["documentKey"] = dict(entry.get("o2") or {})
+    if o.get("$v") == 2 and isinstance(o.get("diff"), dict):
+        upd, rem, trunc = decode_oplog_v2_diff(o["diff"])
+        ev["operationType"] = "update"
+        ev["updateDescription"] = {
+            "updatedFields": upd,
+            "removedFields": rem,
+            **({"truncatedArrays": trunc} if trunc else {}),
+        }
+        return ev
+    if "$set" in o or "$unset" in o:
+        # the pre-4.2 modifier encoding
+        ev["operationType"] = "update"
+        ev["updateDescription"] = {
+            "updatedFields": dict(o.get("$set") or {}),
+            "removedFields": sorted(o.get("$unset") or {}),
+        }
+        return ev
+    # whole-document replacement
+    ev["operationType"] = "replace"
+    ev["fullDocument"] = o
+    return ev
+
+
+def live_drain_oplog(live: dict, out_dir: str) -> int:
+    """Oplog-tailing analog of :func:`live_drain_change_stream` — the
+    catch-up drain reads ``local.oplog.rs`` rows for one collection
+    past the persisted position and appends change-stream-shaped
+    events to the recorded JSONL directory the ``mongostream``
+    DataSource tails. The position is the oplog ``ts`` (a BSON
+    Timestamp — the same (clusterTime, order) pair the reader's
+    offsets run on), persisted in ``_resume_oplog.json``. Reading the
+    oplog requires privileges on ``local`` but NOT the changeStream
+    aggregation stage — the reference's fallback deployment shape."""
+    import json as _json
+    import os
+
+    if live.get("uri"):
+        cfg = parse_mongo_uri(live["uri"])
+    else:
+        cfg = {
+            "host": live["host"],
+            "port": int(live.get("port", 27017)),
+            "user": live.get("user"),
+            "password": live.get("password", ""),
+            "auth_source": live.get("auth_source", "admin"),
+            "auth_mechanism": live.get(
+                "auth_mechanism", "SCRAM-SHA-256"
+            ),
+            "tls": bool(live.get("tls") or live.get("tls_ca")),
+            "tls_ca": live.get("tls_ca"),
+            "tls_insecure": bool(live.get("tls_insecure")),
+        }
+    db, coll = live["database"], live["collection"]
+    os.makedirs(out_dir, exist_ok=True)
+    resume_path = os.path.join(out_dir, "_resume_oplog.json")
+    start = live.get("start_after_ts")
+    if start is None:
+        try:
+            with open(resume_path) as f:
+                doc = _json.load(f)
+            start = (int(doc["t"]), int(doc["i"]))
+        except (FileNotFoundError, ValueError, KeyError):
+            start = (0, 0)
+    else:
+        start = (int(start[0]), int(start[1]))
+
+    client = MongoWireClient(timeout=float(live.get("timeout", 30.0)),
+                             **cfg)
+    n = 0
+    try:
+        bs = int(live.get("batch_size", 500))
+        seq = len(
+            [f for f in os.listdir(out_dir) if f.endswith(".jsonl")]
+        )
+        out_path = os.path.join(out_dir, f"oplog_{seq:06d}.jsonl")
+        tmp = out_path + ".tmp"
+        last = start
+        with open(tmp, "w") as out:
+            for entry in client.find(
+                "local", "oplog.rs",
+                filter={
+                    "ts": {"$gt": BsonTimestamp(*start)},
+                    "ns": f"{db}.{coll}",
+                },
+                batch_size=bs,
+            ):
+                ts = entry.get("ts")
+                if not isinstance(ts, BsonTimestamp):
+                    raise ValueError(
+                        "oplog entry without a ts Timestamp — cannot "
+                        "order or resume"
+                    )
+                ev = oplog_entry_to_change_event(entry)
+                last = (ts.time, ts.inc)
+                if ev is None:
+                    continue  # noop/command: advances the position only
+                out.write(_json.dumps(bson_to_jsonable(ev)) + "\n")
+                n += 1
+        if n:
+            os.replace(tmp, out_path)
+        else:
+            os.remove(tmp)
+        if last != start:
+            with open(resume_path + ".tmp", "w") as f:
+                _json.dump({"t": last[0], "i": last[1]}, f)
+            os.replace(resume_path + ".tmp", resume_path)
+        return n
+    finally:
+        client.close()
+
+
 def mongo_wire_client_factory(uri: str) -> MongoWireAdapter:
     """Drop-in ``client_factory`` for MongoSource — a LIVE socket
     transport with zero dependencies; the factory itself is a
@@ -786,7 +998,10 @@ __all__ = [
     "decode_op_msg",
     "decode_op_reply",
     "bson_to_jsonable",
+    "decode_oplog_v2_diff",
     "live_drain_change_stream",
+    "live_drain_oplog",
+    "oplog_entry_to_change_event",
     "encode_document",
     "encode_op_msg",
     "encode_op_query",

@@ -524,9 +524,18 @@ def build_replication_stream(
             )
         from transferia_spark.streaming.mongo_wire import (
             live_drain_change_stream,
+            live_drain_oplog,
         )
 
-        live_drain_change_stream(source["live"], source["path"])
+        if str(source["live"].get("mode", "change_stream")) == "oplog":
+            # the reference's fallback when change streams are
+            # unavailable (pre-4.0 servers, missing aggregation
+            # privileges): tail local.oplog.rs over the same wire
+            # client, mapped to change-stream-shaped events
+            # (≈ local_oplog_rs_watcher.go + oplog_v2_parser.go)
+            live_drain_oplog(source["live"], source["path"])
+        else:
+            live_drain_change_stream(source["live"], source["path"])
         source = {**source, "format": "mongostream"}
         fmt = "mongostream"
     if fmt == "mysqlwire":
