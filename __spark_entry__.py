@@ -1703,6 +1703,98 @@ def q_schema_registry_protojson(
 
 
 
+def q_mongo_oplog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the Mongo OPLOG FALLBACK's decode plane
+    (streaming/mongo_wire.py ≈ local_oplog_rs_watcher.go +
+    oplog_v2_parser.go — the reference's path when change streams are
+    unavailable) — nation rows become real BSON-typed oplog entries on
+    the driver (inserts; $v:2 diff updates with a sub-document diff;
+    deletes; noops that must vanish), EXECUTOR tasks map them to the
+    change-stream event shape the mongostream reader consumes; the
+    oracle recomputes every event relationally. The live tail plane
+    (ts>last filter, resume persistence, verb integration) is pinned
+    by the loopback-mongod e2es in tests/test_mongo_wire.py."""
+    from transferia_spark.streaming.mongo_wire import (
+        BsonTimestamp,
+        encode_document,
+    )
+
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    )
+    entries = []
+    for r in nat:
+        k = int(r.n_nationkey)
+        entries.append({
+            "op": "i", "ts": BsonTimestamp(1000 + k, 1),
+            "ns": "shop.customers",
+            "o": {"_id": k, "name": r.n_name},
+        })
+        if k % 2 == 0:
+            entries.append({
+                "op": "u", "ts": BsonTimestamp(2000 + k, 2),
+                "ns": "shop.customers", "o2": {"_id": k},
+                "o": {"$v": 2, "diff": {
+                    "u": {"name": f"u{r.n_name}"},
+                    "d": {"tmp": False},
+                    "smeta": {"u": {"rank": k}},
+                }},
+            })
+        if k % 5 == 0:
+            entries.append({
+                "op": "n", "ts": BsonTimestamp(2500 + k, 0),
+                "ns": "shop.$cmd", "o": {},
+            })
+            entries.append({
+                "op": "d", "ts": BsonTimestamp(3000 + k, 3),
+                "ns": "shop.customers", "o": {"_id": k},
+            })
+    df = spark.createDataFrame(
+        [(encode_document(e),) for e in entries], "entry binary"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from transferia_spark.streaming.mongo_wire import (
+            decode_document,
+            oplog_entry_to_change_event,
+        )
+
+        cols = ("k", "op", "ct", "ord", "full_name", "upd_name",
+                "upd_rank", "removed")
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for raw in pdf["entry"]:
+                ev = oplog_entry_to_change_event(
+                    decode_document(bytes(raw))[0]
+                )
+                if ev is None:
+                    continue  # noop/command — never a row change
+                upd = ev.get("updateDescription") or {}
+                u = upd.get("updatedFields") or {}
+                full = ev.get("fullDocument") or {}
+                rows["k"].append(ev["documentKey"]["_id"])
+                rows["op"].append(ev["operationType"])
+                rows["ct"].append(ev["clusterTime"])
+                rows["ord"].append(ev["order"])
+                rows["full_name"].append(full.get("name"))
+                rows["upd_name"].append(u.get("name"))
+                rows["upd_rank"].append(u.get("meta.rank"))
+                rows["removed"].append(
+                    ",".join(upd.get("removedFields") or []) or None
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        "k long, op string, ct long, ord long, full_name string, "
+        "upd_name string, upd_rank long, removed string",
+    )
+
+
 def q_registry_drift_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12: registry-driven schema drift classification
     (parsers/schema_registry.check_registry_drift ≈ engine/parser.go:44,
@@ -5009,14 +5101,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     over ALL entries.
 
     ROUND-12 rotation (the `_R12_WINDOW` reorder at the end of this
-    function, standing contract): (a) the 4 queries NEW in r12
+    function, standing contract): (a) the 5 queries NEW in r12
     (registry-driven drift classification, the live parser's
     on_invalid='unparsed' dead-letter routing, the shared TLS trust
     ladder across the Kafka/Mongo/SR planes, the lib-free produce
-    codec matrix), (b) the 19 rows whose implementation paths changed
-    in round 12 (see the window's inline comments), (c) the 27
-    oldest-green rows — the 8 last scored in r07 plus the 19
-    alphabetically-first of the 34 last scored in r08. 4+19+27 = 50.
+    codec matrix, the Mongo oplog-fallback decode plane), (b) the 19
+    rows whose implementation paths changed in round 12 (see the
+    window's inline comments), (c) the 26 oldest-green rows — the 8
+    last scored in r07 plus the 18 alphabetically-first of the 34
+    last scored in r08. 5+19+26 = 50.
 
     ROUND-11 rotation (historical): (a) the 4 queries NEW that round
     (the Kafka SASL/SCRAM + gzip wire security surface, the live
@@ -5122,6 +5215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloudevents_proto": q_cloudevents_proto,
         "kafka_sasl_plan": q_kafka_sasl_plan,
         "registry_drift_classify": q_registry_drift_classify,
+        "mongo_oplog_decode": q_mongo_oplog_decode,
         "parser_unparsed_routing": q_parser_unparsed_routing,
         "tls_trust_ladder": q_tls_trust_ladder,
         "kafka_codec_matrix": q_kafka_codec_matrix,
@@ -5219,12 +5313,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _R12_WINDOW = [
         # (a) NEW in round 12: registry-driven drift classification,
         # the live parser's unparsed dead-letter routing, the shared
-        # TLS trust ladder across the Kafka/Mongo/SR planes, and the
-        # lib-free produce codec matrix
+        # TLS trust ladder across the Kafka/Mongo/SR planes, the
+        # lib-free produce codec matrix, and the Mongo oplog-fallback
+        # decode plane
         "registry_drift_classify",
         "parser_unparsed_routing",
         "tls_trust_ladder",
         "kafka_codec_matrix",
+        "mongo_oplog_decode",
         # (b) the 19 rows whose implementation paths changed in r12:
         # the jseq-cached one-exchange merge + parent-dir reads under
         # the cdc family; the drift supervisor + system-column parser
@@ -5282,7 +5378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample",
         "incremental_read",
         "jdbc_pushdown",
-        "jdbc_shard_ranges",
     ]
     assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
     missing = [n for n in _R12_WINDOW if n not in q]
@@ -5725,6 +5820,34 @@ SELECT 'http://ch-' || CAST(r_regionkey AS VARCHAR) || ':8123' AS url,
 FROM region,
      (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2
       UNION ALL SELECT 3) p
+""",
+        "mongo_oplog_decode": """
+WITH ins AS (
+  SELECT n_nationkey AS k, 'insert' AS op,
+         1000 + n_nationkey AS ct, CAST(1 AS BIGINT) AS ord,
+         n_name AS full_name, CAST(NULL AS VARCHAR) AS upd_name,
+         CAST(NULL AS BIGINT) AS upd_rank,
+         CAST(NULL AS VARCHAR) AS removed
+  FROM nation
+), upd AS (
+  SELECT n_nationkey AS k, 'update' AS op,
+         2000 + n_nationkey AS ct, CAST(2 AS BIGINT) AS ord,
+         CAST(NULL AS VARCHAR) AS full_name,
+         'u' || n_name AS upd_name,
+         CAST(n_nationkey AS BIGINT) AS upd_rank,
+         'tmp' AS removed
+  FROM nation WHERE n_nationkey % 2 = 0
+), del AS (
+  SELECT n_nationkey AS k, 'delete' AS op,
+         3000 + n_nationkey AS ct, CAST(3 AS BIGINT) AS ord,
+         CAST(NULL AS VARCHAR) AS full_name,
+         CAST(NULL AS VARCHAR) AS upd_name,
+         CAST(NULL AS BIGINT) AS upd_rank,
+         CAST(NULL AS VARCHAR) AS removed
+  FROM nation WHERE n_nationkey % 5 = 0
+)
+SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL
+SELECT * FROM del
 """,
         "registry_drift_classify": """
 SELECT n_nationkey AS k,
