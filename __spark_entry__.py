@@ -2045,11 +2045,13 @@ def q_tls_trust_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mongo", "uri_insecure",
         f"tls={u2['tls']} ca={u2['tls_ca']} insecure={u2['tls_insecure']}",
     ))
+    # +srv resolves via DNS since r12 (resolve_srv_seedlist; loopback
+    # e2e in tests) — the hermetic check here is the spec's port ban
     try:
-        parse_mongo_uri("mongodb+srv://c.example.net/")
+        parse_mongo_uri("mongodb+srv://h:27017/")
         rows.append(("mongo", "srv", "accepted"))
     except ValueError:
-        rows.append(("mongo", "srv", "loud"))
+        rows.append(("mongo", "srv", "port_loud"))
     rows.append((
         "kafka", "ipv6_bootstrap",
         ";".join(
@@ -5876,7 +5878,7 @@ SELECT * FROM (VALUES
   ('kafka', 'options', 'tls=True insecure=True mech=SCRAM-SHA-512'),
   ('mongo', 'uri', 'tls=True ca=/ca.pem insecure=False auth=shop'),
   ('mongo', 'uri_insecure', 'tls=True ca=None insecure=True'),
-  ('mongo', 'srv', 'loud'),
+  ('mongo', 'srv', 'port_loud'),
   ('kafka', 'ipv6_bootstrap', '::1:9092;2001:db8::2:9093;h1:9094')
 ) AS t(plane, name, val)
 """,

@@ -674,7 +674,7 @@ def test_tls_rejects_unknown_ca(mongo_tls_cert, tmp_path):
 def test_uri_tls_options_and_srv_rejection(mongo_tls_cert):
     """Standard URI TLS options reach the client; the adapter (the
     MongoSource client_factory path) dials TLS end-to-end off the URI
-    alone; mongodb+srv is a loud error, not a silent plaintext dial."""
+    alone."""
     cfg = parse_mongo_uri(
         "mongodb://u:p@h:27018/?tls=true&tlsCAFile=/ca.pem"
         "&authSource=users"
@@ -686,8 +686,6 @@ def test_uri_tls_options_and_srv_rejection(mongo_tls_cert):
     )
     assert cfg["tls"] and cfg["tls_insecure"] and cfg["tls_ca"] is None
     assert parse_mongo_uri("mongodb://h:27017/")["tls"] is False
-    with pytest.raises(ValueError, match=r"\+srv"):
-        parse_mongo_uri("mongodb+srv://cluster0.example.net/")
 
     cert, key = mongo_tls_cert
     srv = LoopbackMongod({"shop.t": [{"_id": 1}]}, tls=(cert, key))
@@ -912,3 +910,135 @@ replication:
         assert got == {(1, "n1"), (2, "n2b"), (4, "n4")}
     finally:
         srv.close()
+
+
+# --------------------------------------------------------- +srv DNS
+
+
+class LoopbackDNS:
+    """Scripted UDP DNS server: answers SRV/TXT questions from a
+    records dict {(name, qtype): [rdata builders]}; SRV targets use
+    a compression pointer into the question to prove the parser
+    handles RFC 1035 §4.1.4."""
+
+    def __init__(self, srv=None, txt=None, rcode=0):
+        import socket as _socket
+
+        self.srv = srv or {}   # name -> [(prio, weight, port, target)]
+        self.txt = txt or {}   # name -> str
+        self.rcode = rcode
+        self._sock = _socket.socket(_socket.AF_INET,
+                                    _socket.SOCK_DGRAM)
+        self._sock.bind(("127.0.0.1", 0))
+        self.port = self._sock.getsockname()[1]
+        self._closed = False
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def close(self):
+        self._closed = True
+        self._sock.close()
+
+    def _serve(self):
+        from transferia_spark.streaming.mongo_wire import (
+            _dns_encode_name,
+            _dns_read_name,
+        )
+
+        while not self._closed:
+            try:
+                data, addr = self._sock.recvfrom(4096)
+            except OSError:
+                return
+            qid = data[:2]
+            name, pos = _dns_read_name(data, 12)
+            (qtype,) = struct.unpack_from(">H", data, pos)
+            answers = []
+            if qtype == 33:
+                for prio, weight, port, target in self.srv.get(
+                    name, []
+                ):
+                    rdata = struct.pack(">HHH", prio, weight, port)
+                    rdata += _dns_encode_name(target)
+                    answers.append((33, rdata))
+            elif qtype == 16 and name in self.txt:
+                t = self.txt[name].encode()
+                answers.append((16, bytes([len(t)]) + t))
+            flags = 0x8180 | self.rcode
+            out = qid + struct.pack(">HHHHH", flags, 1, len(answers),
+                                    0, 0)
+            out += data[12:pos + 4]  # echo the question
+            for rtype, rdata in answers:
+                out += b"\xc0\x0c"  # name = pointer to the question
+                out += struct.pack(">HHIH", rtype, 1, 60, len(rdata))
+                out += rdata
+            self._sock.sendto(out, addr)
+
+
+def test_srv_seedlist_resolution_and_uri():
+    """mongodb+srv URIs resolve per the public seedlist spec: SRV
+    seeds ordered by (priority, -weight), TXT options as DEFAULTS the
+    URI's own options override, TLS on unless explicitly disabled."""
+    from transferia_spark.streaming.mongo_wire import (
+        resolve_srv_seedlist,
+    )
+
+    dns = LoopbackDNS(
+        srv={"_mongodb._tcp.cluster0.example.com": [
+            (10, 5, 27020, "shard-b.example.com"),
+            (0, 5, 27017, "shard-a.example.com"),
+            (0, 9, 27018, "shard-heavy.example.com"),
+        ]},
+        txt={"cluster0.example.com":
+             "authSource=users&replicaSet=rs0"},
+    )
+    try:
+        seeds, opts = resolve_srv_seedlist(
+            "cluster0.example.com", resolver=f"127.0.0.1:{dns.port}"
+        )
+        assert seeds == [
+            ("shard-heavy.example.com", 27018),  # prio 0, weight 9
+            ("shard-a.example.com", 27017),
+            ("shard-b.example.com", 27020),
+        ]
+        assert opts == {"authSource": "users", "replicaSet": "rs0"}
+
+        cfg = parse_mongo_uri(
+            "mongodb+srv://u:p@cluster0.example.com/"
+            "?authSource=override",
+            srv_resolver=f"127.0.0.1:{dns.port}",
+        )
+        assert (cfg["host"], cfg["port"]) == (
+            "shard-heavy.example.com", 27018
+        )
+        assert cfg["tls"] is True  # +srv default
+        assert cfg["auth_source"] == "override"  # URI wins over TXT
+        cfg2 = parse_mongo_uri(
+            "mongodb+srv://cluster0.example.com/",
+            srv_resolver=f"127.0.0.1:{dns.port}",
+        )
+        assert cfg2["auth_source"] == "users"  # TXT default applies
+    finally:
+        dns.close()
+
+
+def test_srv_failures_are_loud():
+    from transferia_spark.streaming.mongo_wire import (
+        resolve_srv_seedlist,
+    )
+
+    empty = LoopbackDNS()
+    nx = LoopbackDNS(rcode=3)  # NXDOMAIN
+    try:
+        with pytest.raises(ValueError, match="no SRV records"):
+            resolve_srv_seedlist(
+                "c.example.com", resolver=f"127.0.0.1:{empty.port}"
+            )
+        with pytest.raises(ValueError, match="rcode 3"):
+            resolve_srv_seedlist(
+                "c.example.com", resolver=f"127.0.0.1:{nx.port}"
+            )
+        with pytest.raises(ValueError, match="must not carry a port"):
+            parse_mongo_uri("mongodb+srv://h:27017/")
+    finally:
+        empty.close()
+        nx.close()

@@ -565,28 +565,183 @@ class MongoWireClient:
         return [d["name"] for d in doc["cursor"]["firstBatch"]]
 
 
+# --------------------------------------------------- DNS SRV (+srv URIs)
+
+
+def _dns_encode_name(name: str) -> bytes:
+    out = bytearray()
+    for label in name.rstrip(".").split("."):
+        b = label.encode("idna") if label else b""
+        if not 0 < len(b) < 64:
+            raise ValueError(f"bad DNS label in {name!r}")
+        out.append(len(b))
+        out += b
+    out.append(0)
+    return bytes(out)
+
+
+def _dns_read_name(data: bytes, pos: int) -> tuple[str, int]:
+    """Parse a possibly-compressed DNS name (RFC 1035 §4.1.4)."""
+    labels = []
+    jumped = False
+    end = pos
+    hops = 0
+    while True:
+        ln = data[pos]
+        if ln & 0xC0 == 0xC0:  # compression pointer
+            if not jumped:
+                end = pos + 2
+            pos = ((ln & 0x3F) << 8) | data[pos + 1]
+            jumped = True
+            hops += 1
+            if hops > 64:
+                raise ValueError("DNS name compression loop")
+            continue
+        pos += 1
+        if ln == 0:
+            if not jumped:
+                end = pos
+            return ".".join(labels), end
+        labels.append(data[pos:pos + ln].decode("ascii",
+                                                errors="replace"))
+        pos += ln
+
+
+def _dns_query(name: str, qtype: int, resolver: str,
+               timeout: float = 5.0) -> list[tuple[int, bytes, bytes]]:
+    """One UDP DNS question → [(type, rdata, full_message)] answer
+    records (RFC 1035; no TCP fallback — SRV/TXT answers for a
+    replica-set seed list fit comfortably in a UDP response)."""
+    import os
+    import socket
+    import struct as _struct
+
+    qid = int.from_bytes(os.urandom(2), "big")
+    msg = _struct.pack(">HHHHHH", qid, 0x0100, 1, 0, 0, 0)
+    msg += _dns_encode_name(name) + _struct.pack(">HH", qtype, 1)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.settimeout(timeout)
+    try:
+        host, _, port = resolver.partition(":")
+        sock.sendto(msg, (host, int(port or 53)))
+        data, _addr = sock.recvfrom(4096)
+    finally:
+        sock.close()
+    rid, flags, qd, an, _ns, _ar = _struct.unpack_from(">HHHHHH", data, 0)
+    if rid != qid:
+        raise ValueError("DNS response id mismatch")
+    rcode = flags & 0xF
+    if rcode:
+        raise ValueError(
+            f"DNS query {name!r} type {qtype} failed (rcode {rcode})"
+        )
+    pos = 12
+    for _ in range(qd):
+        _n, pos = _dns_read_name(data, pos)
+        pos += 4
+    out = []
+    for _ in range(an):
+        _n, pos = _dns_read_name(data, pos)
+        rtype, _cls, _ttl, rdlen = _struct.unpack_from(">HHIH", data, pos)
+        pos += 10
+        # (type, rdata offset, rdata length, whole message) — names
+        # inside rdata may carry compression pointers into the rest of
+        # the message, so the slice alone cannot be parsed
+        out.append((rtype, pos, rdlen, data))
+        pos += rdlen
+    return out
+
+
+def resolve_srv_seedlist(
+    hostname: str, resolver: str | None = None, timeout: float = 5.0
+) -> tuple[list[tuple[str, int]], dict]:
+    """``mongodb+srv`` resolution per the public MongoDB seedlist
+    spec: SRV records at ``_mongodb._tcp.<host>`` give the seed
+    (target, port) list ordered by (priority, -weight); the TXT record
+    at ``<host>`` carries default URI options (authSource/replicaSet).
+    Pure stdlib UDP DNS — the same no-install stance as the rest of
+    the wire plane. The resolver defaults to the first nameserver in
+    /etc/resolv.conf."""
+    import struct as _struct
+
+    if resolver is None:
+        resolver = "127.0.0.53"
+        try:
+            with open("/etc/resolv.conf") as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2 and parts[0] == "nameserver":
+                        resolver = parts[1]
+                        break
+        except OSError:
+            pass
+    seeds = []
+    for rtype, off, _rdlen, msg in _dns_query(
+        f"_mongodb._tcp.{hostname}", 33, resolver, timeout
+    ):
+        if rtype != 33:
+            continue  # CNAME chains ride along; only SRV carries seeds
+        prio, weight, port = _struct.unpack_from(">HHH", msg, off)
+        # the target name may carry compression pointers into the
+        # question section — parse against the whole message
+        target, _end = _dns_read_name(msg, off + 6)
+        seeds.append((prio, -weight, target, port))
+    if not seeds:
+        raise ValueError(
+            f"mongodb+srv: no SRV records at _mongodb._tcp.{hostname}"
+        )
+    seeds.sort()
+    options: dict = {}
+    try:
+        for rtype, off, rdlen, msg in _dns_query(
+            hostname, 16, resolver, timeout
+        ):
+            if rtype != 16:
+                continue
+            pos, end, txt = off, off + rdlen, []
+            while pos < end:
+                ln = msg[pos]
+                txt.append(msg[pos + 1:pos + 1 + ln].decode())
+                pos += 1 + ln
+            import urllib.parse
+
+            options.update(urllib.parse.parse_qsl("".join(txt)))
+    except ValueError:
+        pass  # no TXT record is the common case
+    return [(t, p) for _pr, _w, t, p in seeds], options
+
+
 # --------------------------------------------- pymongo-shaped adapter
 
 
-def parse_mongo_uri(uri: str) -> dict:
-    """Minimal ``mongodb://[user:pass@]host[:port]/[?options]`` parse
-    (authSource, authMechanism and the standard TLS options honored:
-    ``tls``/``ssl``, ``tlsCAFile``, ``tlsInsecure``/
-    ``tlsAllowInvalidCertificates``)."""
+def parse_mongo_uri(uri: str, srv_resolver: str | None = None) -> dict:
+    """``mongodb://`` and ``mongodb+srv://`` URI parse (authSource,
+    authMechanism and the standard TLS options honored: ``tls``/
+    ``ssl``, ``tlsCAFile``, ``tlsInsecure``/
+    ``tlsAllowInvalidCertificates``). ``+srv`` resolves the seedlist
+    via DNS (first seed by priority/weight; TXT options as defaults;
+    TLS on unless explicitly disabled) — ``srv_resolver`` overrides
+    the system nameserver, for tests."""
     import urllib.parse
 
     u = urllib.parse.urlsplit(uri)
-    if u.scheme == "mongodb+srv":
-        # SRV resolution needs a DNS TXT/SRV lookup stdlib can't do;
-        # be loud rather than guess (the seedlist host:port form works)
-        raise ValueError(
-            "mongodb+srv:// needs DNS SRV resolution — use the "
-            "resolved mongodb://host:port form (with tls=true; +srv "
-            "implies TLS)"
-        )
-    if u.scheme not in ("mongodb", ""):
-        raise ValueError(f"unsupported mongo uri scheme {u.scheme!r}")
+    srv_host = srv_port = None
     q = dict(urllib.parse.parse_qsl(u.query))
+    if u.scheme == "mongodb+srv":
+        # the public seedlist spec: SRV records give the seeds, the
+        # TXT record gives default options, TLS defaults ON
+        # (r12 — previously a loud error; the DNS client is pure
+        # stdlib like the rest of the wire plane)
+        if u.port is not None:
+            raise ValueError("mongodb+srv URIs must not carry a port")
+        seeds, txt_opts = resolve_srv_seedlist(
+            u.hostname or "", resolver=srv_resolver
+        )
+        srv_host, srv_port = seeds[0]
+        q = {**txt_opts, **q}  # URI options win over TXT defaults
+        q.setdefault("tls", "true")
+    elif u.scheme not in ("mongodb", ""):
+        raise ValueError(f"unsupported mongo uri scheme {u.scheme!r}")
 
     def flag(*names: str) -> bool:
         return any(
@@ -595,8 +750,8 @@ def parse_mongo_uri(uri: str) -> dict:
         )
 
     return {
-        "host": u.hostname or "127.0.0.1",
-        "port": u.port or 27017,
+        "host": srv_host or u.hostname or "127.0.0.1",
+        "port": srv_port or u.port or 27017,
         "user": urllib.parse.unquote(u.username) if u.username else None,
         "password": (
             urllib.parse.unquote(u.password) if u.password else ""
@@ -1007,4 +1162,5 @@ __all__ = [
     "encode_op_query",
     "mongo_wire_client_factory",
     "parse_mongo_uri",
+    "resolve_srv_seedlist",
 ]
