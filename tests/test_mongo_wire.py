@@ -134,8 +134,30 @@ def test_parse_mongo_uri():
         "host": "db1", "port": 27018, "user": "u@x", "password": "p:w",
         "auth_source": "shop", "auth_mechanism": "SCRAM-SHA-1",
         "tls": False, "tls_ca": None, "tls_insecure": False,
+        "seeds": [("db1", 27018)], "read_preference": "primary",
+        "replica_set": None, "direct_connection": False,
     }
     assert parse_mongo_uri("mongodb://localhost")["user"] is None
+
+
+def test_parse_mongo_uri_multi_host_and_topology_options():
+    """Multi-host authorities land in seeds (IPv6 literals included);
+    readPreference/replicaSet/directConnection parse."""
+    u = parse_mongo_uri(
+        "mongodb://u:p@rs-a:27017,rs-b,[::1]:27020/"
+        "?replicaSet=rs0&readPreference=secondaryPreferred"
+        "&directConnection=false"
+    )
+    assert u["seeds"] == [
+        ("rs-a", 27017), ("rs-b", 27017), ("::1", 27020),
+    ]
+    assert (u["host"], u["port"]) == ("rs-a", 27017)
+    assert u["replica_set"] == "rs0"
+    assert u["read_preference"] == "secondaryPreferred"
+    assert u["direct_connection"] is False
+    assert parse_mongo_uri(
+        "mongodb://h/?directConnection=true"
+    )["direct_connection"] is True
 
 
 # ----------------------------------------------------- loopback server
@@ -151,11 +173,15 @@ class LoopbackMongod:
                  users: dict[str, str] | None = None,
                  scram_algo: str = "sha256",
                  changes: dict[str, list[dict]] | None = None,
-                 tls: tuple[str, str] | None = None):
+                 tls: tuple[str, str] | None = None,
+                 hello_extra: dict | None = None):
         self.data = data  # "db.coll" -> docs
         self.users = users
         self.scram_algo = scram_algo
         self.changes = changes or {}  # "db.coll" -> change events
+        # replica-set role fields (setName/secondary/primary/hosts/
+        # isWritablePrimary) for the seedlist-failover tests
+        self.hello_extra = hello_extra or {}
         self._cursors: dict[int, list[dict]] = {}
         self._next_cursor = 100
         self._tls_ctx = None
@@ -215,7 +241,7 @@ class LoopbackMongod:
             if opcode == 2004:  # hello
                 doc = encode_document({
                     "ok": 1.0, "maxWireVersion": 17,
-                    "readOnly": False,
+                    "readOnly": False, **self.hello_extra,
                 })
                 out = (
                     struct.pack("<iiii", 16 + 20 + len(doc), 1, req, 1)
@@ -921,38 +947,48 @@ class LoopbackDNS:
     a compression pointer into the question to prove the parser
     handles RFC 1035 §4.1.4."""
 
-    def __init__(self, srv=None, txt=None, rcode=0):
+    def __init__(self, srv=None, txt=None, rcode=0,
+                 truncate_udp=False, drop_first=False):
         import socket as _socket
 
         self.srv = srv or {}   # name -> [(prio, weight, port, target)]
-        self.txt = txt or {}   # name -> str
+        self.txt = txt or {}   # name -> str | [str, ...]
         self.rcode = rcode
+        self.truncate_udp = truncate_udp  # UDP answers only set TC
+        self.drop_first = drop_first      # swallow the first datagram
+        self._dropped = 0
         self._sock = _socket.socket(_socket.AF_INET,
                                     _socket.SOCK_DGRAM)
         self._sock.bind(("127.0.0.1", 0))
         self.port = self._sock.getsockname()[1]
         self._closed = False
+        self._tcp = None
+        if truncate_udp:
+            # RFC 1035 §4.2.2 fallback transport on the same port
+            self._tcp = _socket.socket()
+            self._tcp.bind(("127.0.0.1", self.port))
+            self._tcp.listen(4)
+            threading.Thread(target=self._serve_tcp,
+                             daemon=True).start()
         threading.Thread(target=self._serve, daemon=True).start()
 
     def close(self):
         self._closed = True
         self._sock.close()
+        if self._tcp is not None:
+            self._tcp.close()
 
-    def _serve(self):
+    def _answer(self, data: bytes, truncated: bool) -> bytes:
         from transferia_spark.streaming.mongo_wire import (
             _dns_encode_name,
             _dns_read_name,
         )
 
-        while not self._closed:
-            try:
-                data, addr = self._sock.recvfrom(4096)
-            except OSError:
-                return
-            qid = data[:2]
-            name, pos = _dns_read_name(data, 12)
-            (qtype,) = struct.unpack_from(">H", data, pos)
-            answers = []
+        qid = data[:2]
+        name, pos = _dns_read_name(data, 12)
+        (qtype,) = struct.unpack_from(">H", data, pos)
+        answers = []
+        if not truncated:
             if qtype == 33:
                 for prio, weight, port, target in self.srv.get(
                     name, []
@@ -961,23 +997,63 @@ class LoopbackDNS:
                     rdata += _dns_encode_name(target)
                     answers.append((33, rdata))
             elif qtype == 16 and name in self.txt:
-                t = self.txt[name].encode()
-                answers.append((16, bytes([len(t)]) + t))
-            flags = 0x8180 | self.rcode
-            out = qid + struct.pack(">HHHHH", flags, 1, len(answers),
-                                    0, 0)
-            out += data[12:pos + 4]  # echo the question
-            for rtype, rdata in answers:
-                out += b"\xc0\x0c"  # name = pointer to the question
-                out += struct.pack(">HHIH", rtype, 1, 60, len(rdata))
-                out += rdata
-            self._sock.sendto(out, addr)
+                vals = self.txt[name]
+                if isinstance(vals, str):
+                    vals = [vals]
+                for v in vals:  # one answer RR per list entry
+                    t = v.encode()
+                    answers.append((16, bytes([len(t)]) + t))
+        flags = 0x8180 | self.rcode | (0x0200 if truncated else 0)
+        out = qid + struct.pack(">HHHHH", flags, 1, len(answers),
+                                0, 0)
+        out += data[12:pos + 4]  # echo the question
+        for rtype, rdata in answers:
+            out += b"\xc0\x0c"  # name = pointer to the question
+            out += struct.pack(">HHIH", rtype, 1, 60, len(rdata))
+            out += rdata
+        return out
+
+    def _serve(self):
+        while not self._closed:
+            try:
+                data, addr = self._sock.recvfrom(4096)
+            except OSError:
+                return
+            if self.drop_first and self._dropped == 0:
+                self._dropped += 1
+                continue  # lost datagram — the client must retry
+            self._sock.sendto(
+                self._answer(data, self.truncate_udp), addr
+            )
+
+    def _serve_tcp(self):
+        while not self._closed:
+            try:
+                conn, _ = self._tcp.accept()
+            except OSError:
+                return
+            with conn:
+                head = conn.recv(2)
+                if len(head) < 2:
+                    continue
+                (ln,) = struct.unpack(">H", head)
+                data = b""
+                while len(data) < ln:
+                    chunk = conn.recv(ln - len(data))
+                    if not chunk:
+                        break
+                    data += chunk
+                out = self._answer(data, False)
+                conn.sendall(struct.pack(">H", len(out)) + out)
 
 
 def test_srv_seedlist_resolution_and_uri():
     """mongodb+srv URIs resolve per the public seedlist spec: SRV
-    seeds ordered by (priority, -weight), TXT options as DEFAULTS the
-    URI's own options override, TLS on unless explicitly disabled."""
+    seeds in ascending priority groups with RFC 2782 weighted-random
+    order inside a group, TXT options as DEFAULTS the URI's own
+    options override, TLS on unless explicitly disabled."""
+    import random
+
     from transferia_spark.streaming.mongo_wire import (
         resolve_srv_seedlist,
     )
@@ -995,30 +1071,111 @@ def test_srv_seedlist_resolution_and_uri():
         seeds, opts = resolve_srv_seedlist(
             "cluster0.example.com", resolver=f"127.0.0.1:{dns.port}"
         )
-        assert seeds == [
-            ("shard-heavy.example.com", 27018),  # prio 0, weight 9
+        # priority groups are strict; order WITHIN prio 0 is weighted
+        assert set(seeds[:2]) == {
+            ("shard-heavy.example.com", 27018),
             ("shard-a.example.com", 27017),
-            ("shard-b.example.com", 27020),
-        ]
+        }
+        assert seeds[2] == ("shard-b.example.com", 27020)  # prio 10
         assert opts == {"authSource": "users", "replicaSet": "rs0"}
+        # weighted selection consults the rng: across seeds, both
+        # prio-0 orders occur, and a fixed seed is deterministic
+        orders = {
+            tuple(resolve_srv_seedlist(
+                "cluster0.example.com",
+                resolver=f"127.0.0.1:{dns.port}",
+                rng=random.Random(s),
+            )[0][:2])
+            for s in range(12)
+        }
+        assert len(orders) == 2
+        assert resolve_srv_seedlist(
+            "cluster0.example.com", resolver=f"127.0.0.1:{dns.port}",
+            rng=random.Random(7),
+        ) == resolve_srv_seedlist(
+            "cluster0.example.com", resolver=f"127.0.0.1:{dns.port}",
+            rng=random.Random(7),
+        )
 
         cfg = parse_mongo_uri(
             "mongodb+srv://u:p@cluster0.example.com/"
             "?authSource=override",
             srv_resolver=f"127.0.0.1:{dns.port}",
         )
-        assert (cfg["host"], cfg["port"]) == (
-            "shard-heavy.example.com", 27018
-        )
+        assert set(cfg["seeds"]) == {
+            ("shard-heavy.example.com", 27018),
+            ("shard-a.example.com", 27017),
+            ("shard-b.example.com", 27020),
+        }
+        assert (cfg["host"], cfg["port"]) == cfg["seeds"][0]
         assert cfg["tls"] is True  # +srv default
         assert cfg["auth_source"] == "override"  # URI wins over TXT
+        assert cfg["replica_set"] == "rs0"  # TXT default applies
         cfg2 = parse_mongo_uri(
             "mongodb+srv://cluster0.example.com/",
             srv_resolver=f"127.0.0.1:{dns.port}",
         )
         assert cfg2["auth_source"] == "users"  # TXT default applies
+        cfg3 = parse_mongo_uri(
+            "mongodb+srv://cluster0.example.com/?srvMaxHosts=2",
+            srv_resolver=f"127.0.0.1:{dns.port}",
+        )
+        assert len(cfg3["seeds"]) == 2  # spec's srvMaxHosts cap
     finally:
         dns.close()
+
+
+def test_srv_spec_must_rejections():
+    """Seedlist-spec security MUSTs: out-of-domain SRV targets,
+    TXT options outside the allowlist (DNS must not be able to set
+    tlsInsecure), more than one TXT record, and hostnames with fewer
+    than three labels are all loud errors."""
+    from transferia_spark.streaming.mongo_wire import (
+        resolve_srv_seedlist,
+    )
+
+    redirect = LoopbackDNS(
+        srv={"_mongodb._tcp.c.example.com": [
+            (0, 0, 27017, "evil.attacker.net"),
+        ]},
+    )
+    bad_txt = LoopbackDNS(
+        srv={"_mongodb._tcp.c.example.com": [
+            (0, 0, 27017, "a.example.com"),
+        ]},
+        txt={"c.example.com": "tlsInsecure=true"},
+    )
+    two_txt = LoopbackDNS(
+        srv={"_mongodb._tcp.c.example.com": [
+            (0, 0, 27017, "a.example.com"),
+        ]},
+        txt={"c.example.com": ["authSource=u", "replicaSet=rs0"]},
+    )
+    try:
+        with pytest.raises(ValueError, match="outside the queried"):
+            resolve_srv_seedlist(
+                "c.example.com",
+                resolver=f"127.0.0.1:{redirect.port}",
+            )
+        with pytest.raises(ValueError, match="allowlist"):
+            resolve_srv_seedlist(
+                "c.example.com",
+                resolver=f"127.0.0.1:{bad_txt.port}",
+            )
+        with pytest.raises(ValueError, match="at most one"):
+            resolve_srv_seedlist(
+                "c.example.com",
+                resolver=f"127.0.0.1:{two_txt.port}",
+            )
+        with pytest.raises(ValueError, match="three labels"):
+            resolve_srv_seedlist(
+                "example.com",
+                resolver=f"127.0.0.1:{bad_txt.port}",
+            )
+    finally:
+        redirect.close()
+        bad_txt.close()
+        two_txt.close()
 
 
 def test_srv_failures_are_loud():
@@ -1042,3 +1199,173 @@ def test_srv_failures_are_loud():
     finally:
         empty.close()
         nx.close()
+
+
+def test_dns_udp_retry_and_tcp_fallback():
+    """Resolver transport hardening (advisor r12): one retry after a
+    lost datagram, and a truncated UDP answer (TC bit — large Atlas
+    seedlists) re-asks over TCP instead of silently returning a
+    partial seed list."""
+    from transferia_spark.streaming.mongo_wire import (
+        resolve_srv_seedlist,
+    )
+
+    srv_recs = {"_mongodb._tcp.c.example.com": [
+        (0, 0, 27017, "a.example.com"),
+        (0, 0, 27018, "b.example.com"),
+    ]}
+    lossy = LoopbackDNS(srv=srv_recs, drop_first=True)
+    trunc = LoopbackDNS(srv=srv_recs, truncate_udp=True)
+    try:
+        seeds, _ = resolve_srv_seedlist(
+            "c.example.com", resolver=f"127.0.0.1:{lossy.port}",
+            timeout=2.0,
+        )
+        assert {h for h, _p in seeds} == {
+            "a.example.com", "b.example.com",
+        }
+        seeds, _ = resolve_srv_seedlist(
+            "c.example.com", resolver=f"127.0.0.1:{trunc.port}",
+            timeout=2.0,
+        )
+        assert {h for h, _p in seeds} == {
+            "a.example.com", "b.example.com",
+        }
+    finally:
+        lossy.close()
+        trunc.close()
+
+
+# ------------------------------------------- seedlist failover / SDAM
+
+
+def _dead_port() -> int:
+    """A loopback port that refuses connections."""
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_seedlist_failover_past_dead_first_seed():
+    """The r12 gap: a seedlist whose FIRST host is down must still
+    connect (the reference's driver walks the seedlist; previously
+    only seeds[0] was dialed)."""
+    docs = [{"_id": 1, "name": "n1"}]
+    live = LoopbackMongod({"shop.t": docs})
+    try:
+        c = MongoWireClient(
+            seeds=[("127.0.0.1", _dead_port()),
+                   ("127.0.0.1", live.port)],
+            timeout=5,
+        )
+        assert c.node == ("127.0.0.1", live.port)
+        assert list(c.find("shop", "t")) == docs
+        c.close()
+        # every seed dead → aggregated loud error naming each seed
+        d1, d2 = _dead_port(), _dead_port()
+        with pytest.raises(ConnectionError, match="2 dial"):
+            MongoWireClient(
+                seeds=[("127.0.0.1", d1), ("127.0.0.1", d2)],
+                timeout=2,
+            )
+    finally:
+        live.close()
+
+
+def test_seedlist_primary_discovery_and_read_preference():
+    """hello-based topology discovery: a secondary seed redirects the
+    default readPreference=primary dial to the reported primary;
+    secondaryPreferred settles on a secondary discovered from
+    hello.hosts, and falls back to the primary when no secondary
+    answers; replicaSet mismatches are rejected."""
+    primary = LoopbackMongod({"shop.t": [{"_id": 1}]})
+    p_addr = f"127.0.0.1:{primary.port}"
+    secondary = LoopbackMongod(
+        {"shop.t": [{"_id": 1}]},
+        hello_extra={
+            "setName": "rs0", "secondary": True,
+            "isWritablePrimary": False, "primary": p_addr,
+        },
+    )
+    s_addr = f"127.0.0.1:{secondary.port}"
+    primary.hello_extra = {
+        "setName": "rs0", "isWritablePrimary": True,
+        "primary": p_addr, "hosts": [p_addr, s_addr],
+    }
+    secondary.hello_extra["hosts"] = [p_addr, s_addr]
+    try:
+        # seed names only the SECONDARY; primary preference must land
+        # on the reported primary
+        c = MongoWireClient(
+            seeds=[("127.0.0.1", secondary.port)], timeout=5,
+        )
+        assert c.node == ("127.0.0.1", primary.port)
+        assert c.hello.get("isWritablePrimary") is True
+        c.close()
+        # secondaryPreferred from a primary-only seed: hosts discovery
+        # finds the secondary
+        c = MongoWireClient(
+            seeds=[("127.0.0.1", primary.port)], timeout=5,
+            read_preference="secondaryPreferred",
+        )
+        assert c.node == ("127.0.0.1", secondary.port)
+        c.close()
+        # hard "secondary" preference with only the primary alive is
+        # loud; secondaryPreferred falls back to the primary
+        secondary.close()
+        primary.hello_extra["hosts"] = [p_addr]
+        c = MongoWireClient(
+            seeds=[("127.0.0.1", primary.port)], timeout=2,
+            read_preference="secondaryPreferred",
+        )
+        assert c.node == ("127.0.0.1", primary.port)
+        c.close()
+        with pytest.raises(ConnectionError, match="readPreference"):
+            MongoWireClient(
+                seeds=[("127.0.0.1", primary.port)], timeout=2,
+                read_preference="secondary",
+            )
+        # replicaSet mismatch is rejected, not silently used
+        with pytest.raises(ConnectionError, match="setName"):
+            MongoWireClient(
+                seeds=[("127.0.0.1", primary.port)], timeout=2,
+                replica_set="rsOTHER",
+            )
+    finally:
+        primary.close()
+        secondary.close()
+
+
+def test_srv_to_failover_end_to_end():
+    """mongodb+srv → DNS seedlist → dead-first-seed failover, through
+    parse_mongo_uri + MongoWireAdapter — the Atlas-operations shape
+    the r12 verdict called the last gap."""
+    from transferia_spark.streaming.mongo_wire import MongoWireAdapter
+
+    live = LoopbackMongod({"shop.t": [{"_id": 5, "name": "x"}]})
+    dns = LoopbackDNS(
+        srv={"_mongodb._tcp.c0.example.com": [
+            (0, 0, _dead_port(), "localhost.example.com"),
+            (1, 0, live.port, "localhost.example.com"),
+        ]},
+    )
+    try:
+        cfg = parse_mongo_uri(
+            "mongodb+srv://c0.example.com/?tls=false",
+            srv_resolver=f"127.0.0.1:{dns.port}",
+        )
+        assert len(cfg["seeds"]) == 2
+        adapter = MongoWireAdapter.__new__(MongoWireAdapter)
+        adapter._client = MongoWireClient(timeout=5, **{
+            **cfg,
+            "seeds": [("127.0.0.1", p) for _h, p in cfg["seeds"]],
+        })
+        assert list(adapter["shop"]["t"].find()) == [
+            {"_id": 5, "name": "x"},
+        ]
+        adapter.close()
+    finally:
+        live.close()
+        dns.close()

@@ -344,11 +344,27 @@ class MongoServerError(RuntimeError):
 class MongoWireClient:
     """Blocking single-connection command client: hello (legacy
     OP_QUERY), optional SCRAM auth, then OP_MSG commands with
-    find/getMore cursor draining."""
+    find/getMore cursor draining.
+
+    Given ``seeds`` (a resolved ``+srv`` seedlist or a multi-host
+    ``mongodb://`` authority), the constructor dials them IN ORDER
+    with failover — a dead first seed just moves on, the Kafka
+    bootstrap pattern — and discovers the topology from each node's
+    ``hello``: replica-set members the seeds didn't name are enqueued
+    from ``hello.hosts``/``hello.primary``, ``replica_set`` must match
+    the node's ``setName``, and ``read_preference`` picks the node
+    (``primary`` redials the reported primary; ``secondaryPreferred``
+    settles for the primary only when no secondary answers; etc.).
+    ``direct_connection`` skips discovery and takes the first node
+    that answers — the spec's escape hatch.
+    ≈ pkg/providers/mongo/client.go (the official driver's SDAM,
+    reduced to one blocking dial)."""
+
+    _MAX_DISCOVERY_DIALS = 16
 
     def __init__(
         self,
-        host: str,
+        host: str | None = None,
         port: int = 27017,
         timeout: float = 30.0,
         user: str | None = None,
@@ -358,30 +374,28 @@ class MongoWireClient:
         tls: bool = False,
         tls_ca: str | None = None,
         tls_insecure: bool = False,
+        seeds: list[tuple[str, int]] | None = None,
+        read_preference: str = "primary",
+        replica_set: str | None = None,
+        direct_connection: bool = False,
     ):
-        import socket
-
         self._req = 0
-        self._sock = socket.create_connection((host, port), timeout=timeout)
-        self._sock.settimeout(timeout)
-        if tls or tls_ca:
-            # Mongo TLS is implicit from byte 0 (no STARTTLS), same as
-            # Kafka — managed deployments (Atlas-style) require it.
-            # Same three-mode trust ladder as the Kafka/PG/MySQL planes.
-            # ≈ pkg/providers/mongo/client.go connection TLS options.
-            from transferia_spark.streaming.tlsutil import wrap_client_tls
-
-            try:
-                self._sock = wrap_client_tls(
-                    self._sock, host,
-                    tls_ca=tls_ca, tls_insecure=tls_insecure,
-                )
-                self._sock.settimeout(timeout)
-            except BaseException:
-                self._sock.close()
-                raise
+        self._tls = (tls or bool(tls_ca), tls_ca, tls_insecure)
+        self._timeout = timeout
+        queue = [tuple(s) for s in (seeds or [])]
+        if not queue:
+            queue = [(host or "127.0.0.1", port)]
+        pref = (read_preference or "primary").replace("_", "").lower()
+        if pref not in ("primary", "primarypreferred", "secondary",
+                        "secondarypreferred", "nearest"):
+            raise ValueError(
+                f"unsupported readPreference {read_preference!r}"
+            )
+        self._sock, self.hello, self.node = self._dial_seedlist(
+            queue, pref, replica_set,
+            direct_connection or (len(queue) == 1 and not seeds),
+        )
         try:
-            self.hello = self._hello()
             if user is not None:
                 self._authenticate(
                     user, password, auth_source, auth_mechanism
@@ -389,6 +403,123 @@ class MongoWireClient:
         except BaseException:
             self._sock.close()
             raise
+
+    def _dial_node(self, host: str, port: int):
+        """One (connect, TLS, hello) attempt → (socket, hello doc)."""
+        import socket
+
+        sock = socket.create_connection((host, port),
+                                        timeout=self._timeout)
+        sock.settimeout(self._timeout)
+        tls, tls_ca, tls_insecure = self._tls
+        if tls:
+            # Mongo TLS is implicit from byte 0 (no STARTTLS), same as
+            # Kafka — managed deployments (Atlas-style) require it.
+            # Same three-mode trust ladder as the Kafka/PG/MySQL
+            # planes. ≈ pkg/providers/mongo/client.go TLS options.
+            from transferia_spark.streaming.tlsutil import wrap_client_tls
+
+            try:
+                sock = wrap_client_tls(
+                    sock, host, tls_ca=tls_ca, tls_insecure=tls_insecure,
+                )
+                sock.settimeout(self._timeout)
+            except BaseException:
+                sock.close()
+                raise
+        try:
+            self._sock = sock  # _hello/_recv use the instance socket
+            hello = self._hello()
+        except BaseException:
+            sock.close()
+            raise
+        return sock, hello
+
+    def _dial_seedlist(self, queue, pref, replica_set, direct):
+        """Walk the seedlist (plus hello-discovered members) until a
+        node satisfies the read preference; keep the best
+        non-preferred node as the fallback for *Preferred modes."""
+        errors: list[str] = []
+        dial_excs: list[BaseException] = []
+        tried: set[tuple[str, int]] = set()
+        fallback = None  # (sock, hello, node) for the *Preferred modes
+        dials = 0
+        i = 0
+        while i < len(queue) and dials < self._MAX_DISCOVERY_DIALS:
+            node = queue[i]
+            i += 1
+            if node in tried:
+                continue
+            tried.add(node)
+            dials += 1
+            try:
+                sock, hello = self._dial_node(*node)
+            except (OSError, ValueError, MongoServerError) as e:
+                errors.append(f"{node[0]}:{node[1]}: {e}")
+                dial_excs.append(e)
+                continue
+            if direct:
+                return sock, hello, node
+            set_name = hello.get("setName")
+            if replica_set and set_name != replica_set:
+                sock.close()
+                errors.append(
+                    f"{node[0]}:{node[1]}: setName {set_name!r} != "
+                    f"replicaSet {replica_set!r}"
+                )
+                continue
+            # topology discovery: members the seeds didn't name
+            discovered = list(hello.get("hosts") or [])
+            if hello.get("primary"):
+                discovered.insert(0, hello["primary"])
+            for hp in discovered:
+                member = _split_host_port(hp)
+                if member not in tried and member not in queue[i:]:
+                    # the reported primary jumps the queue — it is the
+                    # node the default preference is looking for
+                    queue.insert(i, member)
+            is_primary = bool(
+                hello.get("isWritablePrimary", hello.get("ismaster"))
+            )
+            is_secondary = bool(hello.get("secondary"))
+            standalone = set_name is None and not is_secondary
+            if pref == "nearest" or standalone:
+                if fallback is not None:
+                    fallback[0].close()
+                return sock, hello, node
+            if pref in ("primary", "primarypreferred"):
+                if is_primary:
+                    if fallback is not None:
+                        fallback[0].close()
+                    return sock, hello, node
+                if pref == "primarypreferred" and fallback is None:
+                    fallback = (sock, hello, node)
+                    continue
+            else:  # secondary / secondarypreferred
+                if is_secondary:
+                    if fallback is not None:
+                        fallback[0].close()
+                    return sock, hello, node
+                if pref == "secondarypreferred" and fallback is None:
+                    fallback = (sock, hello, node)
+                    continue
+            sock.close()
+            errors.append(
+                f"{node[0]}:{node[1]}: role "
+                f"{'primary' if is_primary else 'secondary' if is_secondary else 'arbiter/ghost'}"
+                f" does not satisfy readPreference={pref}"
+            )
+        if fallback is not None:
+            return fallback
+        if dials == 1 and len(dial_excs) == 1:
+            # one node, one dial-time failure: surface it with its own
+            # type (ssl.SSLError, auth MongoServerError, ECONNREFUSED…)
+            # — the single-host error contract predates failover
+            raise dial_excs[0]
+        raise ConnectionError(
+            f"no mongo node satisfied readPreference={pref} after "
+            f"{dials} dial(s): " + "; ".join(errors)
+        )
 
     def close(self) -> None:
         try:
@@ -607,11 +738,40 @@ def _dns_read_name(data: bytes, pos: int) -> tuple[str, int]:
         pos += ln
 
 
+def _dns_query_tcp(msg: bytes, host: str, port: int,
+                   timeout: float) -> bytes:
+    """RFC 1035 §4.2.2 TCP transport: the same question with a 2-byte
+    length prefix — the fallback when a UDP answer arrives truncated
+    (TC bit), e.g. a large Atlas replica set's SRV answer."""
+    import socket
+    import struct as _struct
+
+    with socket.create_connection((host, port), timeout=timeout) as s:
+        s.settimeout(timeout)
+        s.sendall(_struct.pack(">H", len(msg)) + msg)
+        head = b""
+        while len(head) < 2:
+            chunk = s.recv(2 - len(head))
+            if not chunk:
+                raise ValueError("DNS TCP peer closed before length")
+            head += chunk
+        (ln,) = _struct.unpack(">H", head)
+        data = b""
+        while len(data) < ln:
+            chunk = s.recv(ln - len(data))
+            if not chunk:
+                raise ValueError("DNS TCP peer closed mid-message")
+            data += chunk
+    return data
+
+
 def _dns_query(name: str, qtype: int, resolver: str,
                timeout: float = 5.0) -> list[tuple[int, bytes, bytes]]:
-    """One UDP DNS question → [(type, rdata, full_message)] answer
-    records (RFC 1035; no TCP fallback — SRV/TXT answers for a
-    replica-set seed list fit comfortably in a UDP response)."""
+    """One DNS question → [(type, rdata, full_message)] answer records
+    (RFC 1035). UDP first with one retry on timeout; replies from a
+    peer other than the resolver are ignored (off-path spoof
+    hardening); a truncated reply (TC bit) re-asks over TCP — a large
+    replica-set seedlist can overflow one UDP datagram."""
     import os
     import socket
     import struct as _struct
@@ -619,14 +779,40 @@ def _dns_query(name: str, qtype: int, resolver: str,
     qid = int.from_bytes(os.urandom(2), "big")
     msg = _struct.pack(">HHHHHH", qid, 0x0100, 1, 0, 0, 0)
     msg += _dns_encode_name(name) + _struct.pack(">HH", qtype, 1)
-    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    sock.settimeout(timeout)
+    host, _, port = resolver.partition(":")
+    port_n = int(port or 53)
     try:
-        host, _, port = resolver.partition(":")
-        sock.sendto(msg, (host, int(port or 53)))
-        data, _addr = sock.recvfrom(4096)
-    finally:
-        sock.close()
+        resolver_ip = socket.gethostbyname(host)
+    except OSError:
+        resolver_ip = host
+    data = None
+    for attempt in (1, 2):  # one retry on a lost datagram
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.settimeout(timeout)
+        try:
+            sock.sendto(msg, (host, port_n))
+            try:
+                while True:
+                    data, addr = sock.recvfrom(4096)
+                    if addr[0] == resolver_ip and addr[1] == port_n:
+                        break
+                    data = None  # answer from a stranger — keep waiting
+            except TimeoutError:
+                data = None
+        finally:
+            sock.close()
+        if data is not None:
+            break
+        if attempt == 2:
+            raise TimeoutError(
+                f"DNS query {name!r} to {resolver} timed out "
+                f"({timeout}s × 2 attempts)"
+            )
+    if data[:2] != qid.to_bytes(2, "big"):
+        raise ValueError("DNS response id mismatch")
+    flags = _struct.unpack_from(">H", data, 2)[0]
+    if flags & 0x0200:  # TC: answer truncated — re-ask over TCP
+        data = _dns_query_tcp(msg, host, port_n, timeout)
     rid, flags, qd, an, _ns, _ar = _struct.unpack_from(">HHHHHH", data, 0)
     if rid != qid:
         raise ValueError("DNS response id mismatch")
@@ -652,16 +838,60 @@ def _dns_query(name: str, qtype: int, resolver: str,
     return out
 
 
+# TXT options the seedlist spec allows a DNS record to set; anything
+# else (e.g. tlsInsecure) is REJECTED loudly — DNS is unauthenticated,
+# so a spoofed TXT record must not be able to weaken the connection
+# (spec security MUST; advisor finding r12).
+_SRV_TXT_ALLOWED = frozenset({"authSource", "replicaSet",
+                              "loadBalanced"})
+
+
+def _weighted_seed_order(
+    groups: dict[int, list[tuple[str, int, int]]], rng
+) -> list[tuple[str, int]]:
+    """RFC 2782 selection: ascending priority groups; within a group,
+    repeated weighted-random draws (weight-0 targets last-ish). With a
+    seeded ``rng`` the order is deterministic — tests pin it."""
+    out: list[tuple[str, int]] = []
+    for prio in sorted(groups):
+        pool = list(groups[prio])
+        while pool:
+            total = sum(w for _t, _p, w in pool)
+            if total == 0:
+                pick = rng.randrange(len(pool))
+            else:
+                point = rng.randrange(total)
+                acc = 0
+                pick = 0
+                for i, (_t, _p, w) in enumerate(pool):
+                    acc += w
+                    if point < acc:
+                        pick = i
+                        break
+            t, p, _w = pool.pop(pick)
+            out.append((t, p))
+    return out
+
+
 def resolve_srv_seedlist(
-    hostname: str, resolver: str | None = None, timeout: float = 5.0
+    hostname: str,
+    resolver: str | None = None,
+    timeout: float = 5.0,
+    service: str = "mongodb",
+    rng=None,
 ) -> tuple[list[tuple[str, int]], dict]:
     """``mongodb+srv`` resolution per the public MongoDB seedlist
-    spec: SRV records at ``_mongodb._tcp.<host>`` give the seed
-    (target, port) list ordered by (priority, -weight); the TXT record
-    at ``<host>`` carries default URI options (authSource/replicaSet).
-    Pure stdlib UDP DNS — the same no-install stance as the rest of
-    the wire plane. The resolver defaults to the first nameserver in
-    /etc/resolv.conf."""
+    spec: SRV records at ``_<service>._tcp.<host>`` give the seed
+    (target, port) list — priority groups ascending, weighted-random
+    order within a group (RFC 2782) — and the single TXT record at
+    ``<host>`` carries default URI options. Spec MUSTs enforced here:
+    the query hostname needs ≥3 labels, every SRV target must end with
+    the hostname's parent domain (an out-of-domain record is a
+    redirect attack, not a seed), at most one TXT record may exist,
+    and TXT keys outside authSource/replicaSet/loadBalanced are
+    rejected (DNS must not weaken TLS). Pure stdlib DNS — the same
+    no-install stance as the rest of the wire plane. The resolver
+    defaults to the first nameserver in /etc/resolv.conf."""
     import struct as _struct
 
     if resolver is None:
@@ -675,9 +905,16 @@ def resolve_srv_seedlist(
                         break
         except OSError:
             pass
-    seeds = []
+    labels = hostname.rstrip(".").split(".")
+    if len(labels) < 3:
+        raise ValueError(
+            "mongodb+srv hostnames need at least three labels "
+            f"(host.domain.tld), got {hostname!r}"
+        )
+    parent = ".".join(labels[1:]).lower()
+    groups: dict[int, list[tuple[str, int, int]]] = {}
     for rtype, off, _rdlen, msg in _dns_query(
-        f"_mongodb._tcp.{hostname}", 33, resolver, timeout
+        f"_{service}._tcp.{hostname}", 33, resolver, timeout
     ):
         if rtype != 33:
             continue  # CNAME chains ride along; only SRV carries seeds
@@ -685,62 +922,126 @@ def resolve_srv_seedlist(
         # the target name may carry compression pointers into the
         # question section — parse against the whole message
         target, _end = _dns_read_name(msg, off + 6)
-        seeds.append((prio, -weight, target, port))
-    if not seeds:
+        t = target.rstrip(".").lower()
+        if t != parent and not t.endswith("." + parent):
+            raise ValueError(
+                f"mongodb+srv: SRV target {target!r} is outside the "
+                f"queried parent domain {parent!r} (seedlist spec "
+                "rejects out-of-domain redirects)"
+            )
+        groups.setdefault(prio, []).append((target, port, weight))
+    if not groups:
         raise ValueError(
-            f"mongodb+srv: no SRV records at _mongodb._tcp.{hostname}"
+            f"mongodb+srv: no SRV records at _{service}._tcp.{hostname}"
         )
-    seeds.sort()
+    if rng is None:
+        import random
+
+        rng = random.Random()
+    seeds = _weighted_seed_order(groups, rng)
     options: dict = {}
     try:
-        for rtype, off, rdlen, msg in _dns_query(
-            hostname, 16, resolver, timeout
-        ):
-            if rtype != 16:
-                continue
-            pos, end, txt = off, off + rdlen, []
-            while pos < end:
-                ln = msg[pos]
-                txt.append(msg[pos + 1:pos + 1 + ln].decode())
-                pos += 1 + ln
-            import urllib.parse
+        answers = _dns_query(hostname, 16, resolver, timeout)
+    except (ValueError, TimeoutError):
+        answers = []  # no TXT record (NXDOMAIN/timeout) is common
+    txt_records = [
+        (off, rdlen, msg)
+        for rtype, off, rdlen, msg in answers
+        if rtype == 16
+    ]
+    if len(txt_records) > 1:
+        raise ValueError(
+            f"mongodb+srv: {len(txt_records)} TXT records at "
+            f"{hostname} — the seedlist spec allows at most one"
+        )
+    for off, rdlen, msg in txt_records:
+        pos, end, txt = off, off + rdlen, []
+        while pos < end:
+            ln = msg[pos]
+            txt.append(msg[pos + 1:pos + 1 + ln].decode())
+            pos += 1 + ln
+        import urllib.parse
 
-            options.update(urllib.parse.parse_qsl("".join(txt)))
-    except ValueError:
-        pass  # no TXT record is the common case
-    return [(t, p) for _pr, _w, t, p in seeds], options
+        for k, v in urllib.parse.parse_qsl("".join(txt)):
+            if k not in _SRV_TXT_ALLOWED:
+                raise ValueError(
+                    f"mongodb+srv: TXT option {k!r} at {hostname} "
+                    "is not in the seedlist spec's allowlist "
+                    "(authSource/replicaSet/loadBalanced) — "
+                    "refusing DNS-supplied connection options"
+                )
+            options[k] = v
+    return seeds, options
 
 
 # --------------------------------------------- pymongo-shaped adapter
+
+
+def _split_host_port(hp: str, default_port: int = 27017
+                     ) -> tuple[str, int]:
+    """One ``host[:port]`` token, bracketed IPv6 literals included."""
+    hp = hp.strip()
+    if hp.startswith("["):
+        host, _, rest = hp[1:].partition("]")
+        port = rest.lstrip(":")
+        return host, int(port) if port else default_port
+    host, _, port = hp.partition(":")
+    if not host:
+        raise ValueError(f"empty host in mongo uri seed {hp!r}")
+    return host, int(port) if port else default_port
 
 
 def parse_mongo_uri(uri: str, srv_resolver: str | None = None) -> dict:
     """``mongodb://`` and ``mongodb+srv://`` URI parse (authSource,
     authMechanism and the standard TLS options honored: ``tls``/
     ``ssl``, ``tlsCAFile``, ``tlsInsecure``/
-    ``tlsAllowInvalidCertificates``). ``+srv`` resolves the seedlist
-    via DNS (first seed by priority/weight; TXT options as defaults;
-    TLS on unless explicitly disabled) — ``srv_resolver`` overrides
-    the system nameserver, for tests."""
+    ``tlsAllowInvalidCertificates``; plus the topology options
+    ``readPreference``, ``replicaSet``, ``directConnection``,
+    ``srvMaxHosts``). Multi-host ``mongodb://h1,h2:p2/...`` URIs and
+    resolved ``+srv`` seedlists land in ``seeds`` — the client dials
+    them in order with failover and hello-based primary discovery
+    (r13; previously only the first seed was dialed). ``+srv``
+    resolves via DNS (TXT options as defaults; TLS on unless
+    explicitly disabled) — ``srv_resolver`` overrides the system
+    nameserver, for tests."""
     import urllib.parse
 
     u = urllib.parse.urlsplit(uri)
-    srv_host = srv_port = None
+    # netloc by hand: urlsplit cannot represent multi-host authorities
+    # (mongodb://h1:p1,h2:p2) — u.port would raise on access
+    userinfo, _, hostpart = u.netloc.rpartition("@")
+    username = password = None
+    if userinfo:
+        user_enc, sep, pass_enc = userinfo.partition(":")
+        username = urllib.parse.unquote(user_enc)
+        password = urllib.parse.unquote(pass_enc) if sep else None
     q = dict(urllib.parse.parse_qsl(u.query))
     if u.scheme == "mongodb+srv":
         # the public seedlist spec: SRV records give the seeds, the
         # TXT record gives default options, TLS defaults ON
         # (r12 — previously a loud error; the DNS client is pure
         # stdlib like the rest of the wire plane)
-        if u.port is not None:
-            raise ValueError("mongodb+srv URIs must not carry a port")
+        if ":" in hostpart or "," in hostpart:
+            raise ValueError(
+                "mongodb+srv URIs must not carry a port or more than "
+                "one hostname"
+            )
         seeds, txt_opts = resolve_srv_seedlist(
-            u.hostname or "", resolver=srv_resolver
+            hostpart, resolver=srv_resolver
         )
-        srv_host, srv_port = seeds[0]
         q = {**txt_opts, **q}  # URI options win over TXT defaults
         q.setdefault("tls", "true")
-    elif u.scheme not in ("mongodb", ""):
+        max_hosts = int(q.get("srvMaxHosts", 0))
+        if max_hosts > 0:
+            # the resolver already weighted-shuffled within priority
+            # groups, so the prefix IS the spec's random selection
+            seeds = seeds[:max_hosts]
+    elif u.scheme in ("mongodb", ""):
+        seeds = [
+            _split_host_port(hp)
+            for hp in (hostpart.split(",") if hostpart else [])
+        ] or [("127.0.0.1", 27017)]
+    else:
         raise ValueError(f"unsupported mongo uri scheme {u.scheme!r}")
 
     def flag(*names: str) -> bool:
@@ -750,18 +1051,20 @@ def parse_mongo_uri(uri: str, srv_resolver: str | None = None) -> dict:
         )
 
     return {
-        "host": srv_host or u.hostname or "127.0.0.1",
-        "port": srv_port or u.port or 27017,
-        "user": urllib.parse.unquote(u.username) if u.username else None,
-        "password": (
-            urllib.parse.unquote(u.password) if u.password else ""
-        ),
+        "host": seeds[0][0],
+        "port": seeds[0][1],
+        "seeds": seeds,
+        "user": username,
+        "password": password or "",
         "auth_source": q.get("authSource", "admin"),
         "auth_mechanism": q.get("authMechanism", "SCRAM-SHA-256"),
         "tls": flag("tls", "ssl"),
         "tls_ca": q.get("tlsCAFile"),
         "tls_insecure": flag("tlsInsecure",
                              "tlsAllowInvalidCertificates"),
+        "read_preference": q.get("readPreference", "primary"),
+        "replica_set": q.get("replicaSet"),
+        "direct_connection": flag("directConnection"),
     }
 
 
