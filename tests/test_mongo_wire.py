@@ -817,9 +817,11 @@ def test_oplog_entries_map_to_change_stream_events():
 def test_live_drain_oplog_two_pass_resume(tmp_path):
     """Catch-up drains of local.oplog.rs over the wire client: pass 1
     lands all row events for the collection (noops/commands skipped
-    but advancing the position, other collections filtered
-    server-side); pass 2 resumes past the persisted ts and drains
-    only new entries. ≈ local_oplog_rs_watcher.go."""
+    but advancing the position, other collections filtered on the
+    decoded events — the server filter is ts-only, like the
+    reference's default, so applyOps entries are not lost); pass 2
+    resumes past the persisted ts and drains only new entries.
+    ≈ local_oplog_rs_watcher.go."""
     import json as _json
     import os
 
@@ -1369,3 +1371,110 @@ def test_srv_to_failover_end_to_end():
     finally:
         live.close()
         dns.close()
+
+
+def test_oplog_applyops_transaction_expansion():
+    """Multi-document transactions (op:"c" applyOps, servers ≥4.0)
+    expand to per-row change events in entry order, all sharing the
+    outer entry's ts as their resume position; non-transaction
+    commands still vanish. (The reference's local_oplog_rs_watcher.go
+    drops applyOps — decoding it here closes that hole for the
+    privilege-limited deployments the fallback exists for.)"""
+    from transferia_spark.streaming.mongo_wire import (
+        oplog_entry_to_change_events,
+    )
+
+    txn = {
+        "op": "c", "ts": BsonTimestamp(500, 2), "ns": "admin.$cmd",
+        "o": {"applyOps": [
+            {"op": "i", "ns": "shop.customers",
+             "o": {"_id": 1, "name": "a"}},
+            {"op": "u", "ns": "shop.orders", "o2": {"_id": 7},
+             "o": {"$v": 2, "diff": {"u": {"qty": 3}}}},
+            {"op": "d", "ns": "shop.customers", "o": {"_id": 2}},
+            {"op": "n", "ns": "shop.customers", "o": {}},
+        ]},
+    }
+    evs = oplog_entry_to_change_events(txn)
+    assert [(e["operationType"],
+             f"{e['ns']['db']}.{e['ns']['coll']}") for e in evs] == [
+        ("insert", "shop.customers"),
+        ("update", "shop.orders"),
+        ("delete", "shop.customers"),
+    ]
+    assert {(e["clusterTime"], e["order"]) for e in evs} == {(500, 2)}
+    assert evs[1]["updateDescription"]["updatedFields"] == {"qty": 3}
+    # plain commands and non-applyOps op:"c" entries yield nothing
+    assert oplog_entry_to_change_events(
+        {"op": "c", "ts": BsonTimestamp(501, 1), "ns": "shop.$cmd",
+         "o": {"create": "customers"}}
+    ) == []
+    # non-command entries delegate to the single-entry decoder
+    [ins] = oplog_entry_to_change_events(
+        {"op": "i", "ts": BsonTimestamp(502, 1),
+         "ns": "shop.customers", "o": {"_id": 3}}
+    )
+    assert ins["operationType"] == "insert"
+    with pytest.raises(ValueError, match="malformed applyOps"):
+        oplog_entry_to_change_events(
+            {"op": "c", "ts": BsonTimestamp(503, 1), "ns": "admin.$cmd",
+             "o": {"applyOps": ["bogus"]}}
+        )
+
+
+def test_live_drain_oplog_applyops_and_crash_window(tmp_path):
+    """The drain lands transaction rows for ITS collection only, and
+    the advisor-flagged crash window is closed: if the events file
+    published but the resume ts did not persist, the next drain skips
+    at-or-below the newest file's last position instead of re-emitting
+    it; file numbering derives from the max existing index, so pruned
+    early files cannot cause collisions."""
+    import json as _json
+    import os
+
+    from transferia_spark.streaming.mongo_wire import live_drain_oplog
+
+    oplog = [
+        {"op": "i", "ts": BsonTimestamp(100, 1), "ns": "shop.customers",
+         "o": {"_id": 1, "name": "a"}},
+        {"op": "c", "ts": BsonTimestamp(101, 1), "ns": "admin.$cmd",
+         "o": {"applyOps": [
+             {"op": "u", "ns": "shop.customers", "o2": {"_id": 1},
+              "o": {"$v": 2, "diff": {"u": {"name": "a2"}}}},
+             {"op": "i", "ns": "shop.other", "o": {"_id": 9}},
+             {"op": "i", "ns": "shop.customers", "o": {"_id": 2}},
+         ]}},
+    ]
+    srv = LoopbackMongod({"local.oplog.rs": oplog})
+    out = str(tmp_path / "cs")
+    live = {"host": "127.0.0.1", "port": srv.port,
+            "database": "shop", "collection": "customers"}
+    try:
+        assert live_drain_oplog(live, out) == 3  # txn row for .other skipped
+        files = sorted(f for f in os.listdir(out)
+                       if f.endswith(".jsonl"))
+        assert files == ["oplog_000000.jsonl"]
+        evs = [_json.loads(ln)
+               for ln in open(os.path.join(out, files[0]))]
+        assert [e["operationType"] for e in evs] == [
+            "insert", "update", "insert",
+        ]
+        assert (evs[1]["clusterTime"], evs[1]["order"]) == (101, 1)
+
+        # simulate the crash: events published, resume ts NOT persisted
+        os.remove(os.path.join(out, "_resume_oplog.json"))
+        assert live_drain_oplog(live, out) == 0  # no re-emission
+        # the position re-persisted from the drained (empty) pass
+        oplog.append({"op": "i", "ts": BsonTimestamp(102, 1),
+                      "ns": "shop.customers", "o": {"_id": 3}})
+        assert live_drain_oplog(live, out) == 1
+        # prune the first file: the next file index must not collide
+        os.remove(os.path.join(out, "oplog_000000.jsonl"))
+        oplog.append({"op": "i", "ts": BsonTimestamp(103, 1),
+                      "ns": "shop.customers", "o": {"_id": 4}})
+        assert live_drain_oplog(live, out) == 1
+        assert sorted(
+            f for f in os.listdir(out) if f.endswith(".jsonl")
+        ) == ["oplog_000001.jsonl", "oplog_000002.jsonl"]
+    finally:
+        srv.close()

@@ -1178,6 +1178,25 @@ def live_drain_change_stream(live: dict, out_dir: str) -> int:
                 token = _json.load(f)["_data"]
         except (FileNotFoundError, ValueError, KeyError):
             token = None
+    # crash-window dedupe (advisor r12): the newest PUBLISHED file's
+    # last resume token supersedes the persisted one — events publish
+    # before the token persists, so after a crash between the two the
+    # file is the further-along position
+    published = sorted(
+        f for f in os.listdir(out_dir)
+        if f.startswith("live_") and f.endswith(".jsonl")
+    )
+    if published and live.get("start_after") is None:
+        try:
+            with open(os.path.join(out_dir, published[-1])) as f:
+                tail = None
+                for line in f:
+                    if line.strip():
+                        tail = line
+            if tail is not None:
+                token = _json.loads(tail)["_id"]["_data"] or token
+        except (OSError, ValueError, KeyError, TypeError):
+            pass  # unreadable tail: fall back to the persisted token
 
     cs: dict = {"fullDocument": "updateLookup"}
     if token:
@@ -1192,8 +1211,10 @@ def live_drain_change_stream(live: dict, out_dir: str) -> int:
             "pipeline": [{"$changeStream": cs}],
             "cursor": {"batchSize": bs},
         })
-        seq = len(
-            [f for f in os.listdir(out_dir) if f.endswith(".jsonl")]
+        # max existing index, not the file count — pruning-safe
+        seq = 1 + max(
+            (int(f[len("live_"):-len(".jsonl")]) for f in published),
+            default=-1,
         )
         out_path = os.path.join(out_dir, f"live_{seq:06d}.jsonl")
         tmp = out_path + ".tmp"
@@ -1346,6 +1367,39 @@ def oplog_entry_to_change_event(entry: dict) -> dict | None:
     return ev
 
 
+def oplog_entry_to_change_events(entry: dict) -> list[dict]:
+    """Like :func:`oplog_entry_to_change_event` but EXPANDS
+    multi-document transactions: an ``op: "c"`` entry whose command is
+    ``applyOps`` (servers ≥4.0 write transactions this way) yields one
+    change event per inner row operation, in entry order, each stamped
+    with the OUTER entry's ``ts`` — inner entries carry no timestamp
+    of their own, so the whole transaction shares one resume position
+    (a drain re-emits it atomically or not at all). The reference's
+    ``local_oplog_rs_watcher.go`` drops applyOps entirely; this closes
+    that hole because the oplog fallback's own pitch (privilege-
+    limited deployments) is exactly where transactions still flow.
+    Non-transaction commands (create/drop/...) yield nothing."""
+    if entry.get("op") != "c":
+        ev = oplog_entry_to_change_event(entry)
+        return [ev] if ev is not None else []
+    ops = (entry.get("o") or {}).get("applyOps")
+    if not isinstance(ops, list):
+        return []  # create/drop/collMod/... — not row changes
+    ts = entry["ts"]
+    out = []
+    for inner in ops:
+        if not isinstance(inner, dict):
+            raise ValueError(
+                f"malformed applyOps entry: {type(inner).__name__}"
+            )
+        if inner.get("op") == "c":
+            continue  # nested commands (e.g. prepare) — not rows
+        ev = oplog_entry_to_change_event({**inner, "ts": ts})
+        if ev is not None:
+            out.append(ev)
+    return out
+
+
 def live_drain_oplog(live: dict, out_dir: str) -> int:
     """Oplog-tailing analog of :func:`live_drain_change_stream` — the
     catch-up drain reads ``local.oplog.rs`` rows for one collection
@@ -1389,24 +1443,53 @@ def live_drain_oplog(live: dict, out_dir: str) -> int:
     else:
         start = (int(start[0]), int(start[1]))
 
+    # crash-window dedupe (advisor r12): events publish before the
+    # resume position persists, so a crash between the two would
+    # re-emit the newest file's events on the next drain. The newest
+    # PUBLISHED file's last event position therefore supersedes the
+    # persisted resume ts when it is ahead.
+    published = sorted(
+        f for f in os.listdir(out_dir)
+        if f.startswith("oplog_") and f.endswith(".jsonl")
+    )
+    if published:
+        try:
+            with open(os.path.join(out_dir, published[-1])) as f:
+                tail = None
+                for line in f:
+                    if line.strip():
+                        tail = line
+            if tail is not None:
+                last_ev = _json.loads(tail)
+                pub_pos = (int(last_ev["clusterTime"]),
+                           int(last_ev["order"]))
+                start = max(start, pub_pos)
+        except (OSError, ValueError, KeyError):
+            pass  # unreadable tail: fall back to the persisted ts
+
     client = MongoWireClient(timeout=float(live.get("timeout", 30.0)),
                              **cfg)
     n = 0
     try:
         bs = int(live.get("batch_size", 500))
-        seq = len(
-            [f for f in os.listdir(out_dir) if f.endswith(".jsonl")]
+        # the sequence derives from the max existing index, not the
+        # file count — pruned early files must not cause collisions
+        seq = 1 + max(
+            (int(f[len("oplog_"):-len(".jsonl")]) for f in published),
+            default=-1,
         )
         out_path = os.path.join(out_dir, f"oplog_{seq:06d}.jsonl")
         tmp = out_path + ".tmp"
         last = start
+        ns_want = f"{db}.{coll}"
+        # ts-only server filter ≈ local_oplog_rs_watcher.go's default
+        # (filterOplogWithRegex=false): a server-side ns match would
+        # skip applyOps transaction entries, whose ns is admin.$cmd —
+        # collection filtering happens on the decoded events instead
         with open(tmp, "w") as out:
             for entry in client.find(
                 "local", "oplog.rs",
-                filter={
-                    "ts": {"$gt": BsonTimestamp(*start)},
-                    "ns": f"{db}.{coll}",
-                },
+                filter={"ts": {"$gt": BsonTimestamp(*start)}},
                 batch_size=bs,
             ):
                 ts = entry.get("ts")
@@ -1415,12 +1498,12 @@ def live_drain_oplog(live: dict, out_dir: str) -> int:
                         "oplog entry without a ts Timestamp — cannot "
                         "order or resume"
                     )
-                ev = oplog_entry_to_change_event(entry)
                 last = (ts.time, ts.inc)
-                if ev is None:
-                    continue  # noop/command: advances the position only
-                out.write(_json.dumps(bson_to_jsonable(ev)) + "\n")
-                n += 1
+                for ev in oplog_entry_to_change_events(entry):
+                    if f"{ev['ns']['db']}.{ev['ns']['coll']}" != ns_want:
+                        continue  # other collections ride the oplog
+                    out.write(_json.dumps(bson_to_jsonable(ev)) + "\n")
+                    n += 1
         if n:
             os.replace(tmp, out_path)
         else:
@@ -1460,6 +1543,7 @@ __all__ = [
     "live_drain_change_stream",
     "live_drain_oplog",
     "oplog_entry_to_change_event",
+    "oplog_entry_to_change_events",
     "encode_document",
     "encode_op_msg",
     "encode_op_query",
