@@ -149,3 +149,177 @@ def test_missing_pymongo_is_gated():
         pass
     with pytest.raises(NotImplementedError, match="pymongo"):
         sink.applier_factory("mongodb://nowhere")
+
+
+# -------------------------------------------- sharded target support
+
+
+def test_path_helpers_and_shard_key_info():
+    from transferia_spark.sinks.mongo import (
+        ShardKeyInfo,
+        get_value_by_path,
+        has_key_diff,
+        set_value_by_path,
+    )
+
+    doc = {"a": {"b": {"c": 7}}, "x": 1}
+    assert get_value_by_path(doc, "a.b.c") == (7, True)
+    assert get_value_by_path(doc, "a.b.z") == (None, False)
+    assert get_value_by_path(doc, "x.y") == (None, False)
+    out: dict = {}
+    set_value_by_path(out, "a.b.c", 7)
+    set_value_by_path(out, "a.d", 1)
+    assert out == {"a": {"b": {"c": 7}, "d": 1}}
+
+    assert has_key_diff({"r": 1}, {"r": 2}, ["r"]) is True
+    assert has_key_diff({"r": 1}, {"r": 1}, ["r"]) is False
+    assert has_key_diff({"r": 1}, {}, ["r"]) is True      # vanished
+    assert has_key_diff({}, {}, ["r"]) is False           # both absent
+    assert has_key_diff(
+        {"a": {"b": 1}}, {"a": {"b": 2}}, ["a.b"]
+    ) is True
+
+    assert ShardKeyInfo(["_id"]).is_trivial
+    assert ShardKeyInfo(["_id.sub"]).is_trivial
+    info = ShardKeyInfo(["region", "_id"])
+    assert not info.is_trivial and info.contains_id
+    assert not ShardKeyInfo(["region"]).contains_id
+
+
+def test_plan_sharded_ops_filters_and_isolation():
+    """≈ sharded_collection.go GetDocumentKey + write_models.go
+    makeDocumentFilter: replace filters carry the STORED shard-key
+    values next to _id; an event that changes a shard-key field is
+    isolated in its own bulk and refreshes the cache; deletes filter
+    on _id alone and evict the cache."""
+    from transferia_spark.sinks.mongo import plan_sharded_ops
+
+    def row(id_val, op, doc=None, shard=0):
+        return {
+            "_id_json": json.dumps({"v": id_val}),
+            "_doc_json": json.dumps(doc or {}),
+            "_shard": shard, "_mop": op,
+        }
+
+    stored = {"1": {"_id": 1, "region": "eu"},
+              "2": {"_id": 2, "region": "us"}}
+    rows = [
+        # same region: routed filter, same bulk
+        row(1, "u", {"k": 1, "region": "eu", "v": "a"}),
+        # region CHANGES us->ap: isolated, filter still has OLD value
+        row(2, "u", {"k": 2, "region": "ap", "v": "b"}),
+        # unseen id: filter from the item's own key, upsert path
+        row(3, "i", {"k": 3, "region": "eu", "v": "c"}),
+        # delete: _id-only filter
+        row(1, "d"),
+    ]
+    by_shard = plan_sharded_ops(
+        rows, ["region", "_id"], stored, pk_cols=["k"],
+    )
+    bulks = by_shard[0]
+    flat = [op for b in bulks for op in b]
+    assert [op["op"] for op in flat] == [
+        "replace", "replace", "replace", "delete",
+    ]
+    assert flat[0]["filter"] == {"_id": 1, "region": "eu"}
+    assert flat[1]["filter"] == {"_id": 2, "region": "us"}  # OLD value
+    assert flat[2]["filter"] == {"_id": 3, "region": "eu"}
+    assert flat[3]["filter"] == {"_id": 1}
+    # the key-changing op sits alone in its bulk
+    key_change_bulk = [b for b in bulks if flat[1] in b]
+    assert key_change_bulk == [[flat[1]]]
+    # cache refreshed by the change, evicted by the delete
+    assert stored["2"]["region"] == "ap"
+    assert "1" not in stored
+    # the single-pk payload column became the document _id
+    assert flat[0]["doc"]["_id"] == 1 and "k" not in flat[0]["doc"]
+
+
+def test_sharded_write_cdc_end_to_end(spark, recorder):
+    """MongoSink against a sharded target: scripted provider/fetcher,
+    recording applier — upsert filters carry the shard key, a shard-
+    key change is isolated, unsharded path untouched."""
+    from transferia_spark.sinks.mongo import ShardKeyInfo
+
+    factory, _, ops = recorder
+
+    def provider(uri, db, coll):
+        assert (db, coll) == ("db", "t")
+        return ShardKeyInfo(["region"])
+
+    def fetcher(uri, db, coll, ids, fields):
+        assert fields == ["region"]
+        stored = {1: "eu", 2: "us"}
+        return [{"_id": i, "region": stored[i]}
+                for i in ids if i in stored]
+
+    sink = build_sink(
+        "mongo", database="db", applier_factory=factory,
+        shard_key_provider=provider, doc_key_fetcher=fetcher,
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "eu", "a", "u", 10, 0),
+            (2, "ap", "b", "u", 11, 0),   # shard key moves us -> ap
+            (3, "eu", "c", "i", 12, 0),   # new doc
+        ],
+        f"k long, region string, v string, {OP_COL} string, "
+        f"{LSN_COL} long, {COUNTER_COL} int",
+    )
+    sink.write_cdc(batch, TableID("", "t"), keys=["k"])
+    got = {op["filter"]["_id"]: op for op in ops()}
+    assert got[1]["filter"] == {"_id": 1, "region": "eu"}
+    assert got[2]["filter"] == {"_id": 2, "region": "us"}  # OLD value
+    assert got[3]["filter"] == {"_id": 3, "region": "eu"}
+    assert got[2]["doc"]["region"] == "ap"  # the doc carries the NEW
+
+
+def test_shard_key_lookup_failure_disables_sharding(spark, recorder):
+    factory, _, ops = recorder
+
+    def provider(uri, db, coll):
+        raise ConnectionError("config db unreachable")
+
+    sink = build_sink(
+        "mongo", database="db", keys=["k"], applier_factory=factory,
+        shard_key_provider=provider,
+    )
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    sink.write(df, TableID("", "users"))  # warns, falls back to _id
+    assert ops()[0]["filter"] == {"_id": 1}
+
+
+def test_wire_shard_key_provider_and_fetcher():
+    """The zero-dep defaults read config.collections and the target
+    collection over the live wire client (loopback mongod)."""
+    from test_mongo_wire import LoopbackMongod
+    from transferia_spark.sinks.mongo import (
+        wire_doc_key_fetcher,
+        wire_shard_key_provider,
+    )
+
+    srv = LoopbackMongod({
+        "config.collections": [
+            {"_id": "db.t", "key": {"region": 1, "_id": 1}},
+            {"_id": "db.plain"},  # no key -> unsharded
+        ],
+        "db.t": [
+            {"_id": 1, "region": "eu", "v": "a"},
+            {"_id": 2, "region": "us", "v": "b"},
+            {"_id": 3, "region": "ap", "v": "c"},
+        ],
+    })
+    try:
+        uri = f"mongodb://127.0.0.1:{srv.port}/"
+        info = wire_shard_key_provider(uri, "db", "t")
+        assert info.fields == ["region", "_id"]
+        assert not info.is_trivial and info.contains_id
+        assert wire_shard_key_provider(uri, "db", "plain") is None
+        assert wire_shard_key_provider(uri, "db", "absent") is None
+        docs = wire_doc_key_fetcher(uri, "db", "t", [1, 3],
+                                    ["region", "_id"])
+        assert {d["_id"]: d["region"] for d in docs} == {
+            1: "eu", 3: "ap",
+        }
+    finally:
+        srv.close()

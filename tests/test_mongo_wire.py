@@ -358,6 +358,9 @@ class LoopbackMongod:
                     docs = [d for d in docs if d["_id"] >= idf["$gte"]]
                 if "$lt" in idf:
                     docs = [d for d in docs if d["_id"] < idf["$lt"]]
+                if "$in" in idf:
+                    want = list(idf["$in"])
+                    docs = [d for d in docs if d["_id"] in want]
             elif idf is not None:
                 docs = [d for d in docs if d["_id"] == idf]
             tsf = flt.get("ts")

@@ -13,7 +13,16 @@
 - write models (``makeWriteModel:167``): insert/update → ReplaceOne
   (filter by ``_id``, upsert), delete → DeleteOne, partial
   change-stream patches → UpdateOne with ``$set``/``$unset``;
-- snapshot Drop/Truncate → drop collection / delete-many.
+- snapshot Drop/Truncate → drop collection / delete-many;
+- sharded target collections (r13 ≈ ``sharded_collection.go`` +
+  ``shard_key.go`` + ``write_models.go:10``): the collection's shard
+  key is read from ``config.collections`` once per table; replace
+  filters carry the STORED shard-key values alongside ``_id`` (a
+  mongos routes the upsert to one shard instead of broadcasting), the
+  stored values come from one ``$in`` lookup per partition per batch,
+  and an event that CHANGES a shard-key field is isolated in its own
+  single-op bulk (``GetDocumentKey``'s ``updateKey`` contract) so the
+  key-changing replace applies alone.
 
 Spark-first: the document JSON, the ``_id``, and the FNV shard id are
 planned as Catalyst expressions (reusing the byte-exact ``fnv1a32`` of
@@ -41,6 +50,185 @@ from transferia_spark.sinks.clickhouse import fnv1a32
 
 WRITE_SHARDS = 16  # sinkWriteConcurrency in the reference
 _SYSTEM_COLS = (OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before", "_batch")
+
+
+# ------------------------------------------------ sharded collections
+
+
+def get_value_by_path(doc, path: str):
+    """Dotted-path lookup into nested dicts → (value, found)
+    (≈ ``bson.go GetValueByPath:123``)."""
+    val = doc
+    for key in path.split("."):
+        if not isinstance(val, dict) or key not in val:
+            return None, False
+        val = val[key]
+    return val, True
+
+
+def set_value_by_path(doc: dict, path: str, value) -> None:
+    """Dotted-path set, creating intermediate dicts
+    (≈ ``bson.go SetValueByPath:145``, dict-only shape)."""
+    keys = path.split(".")
+    cur = doc
+    for key in keys[:-1]:
+        nxt = cur.get(key)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            cur[key] = nxt
+        cur = nxt
+    cur[keys[-1]] = value
+
+
+def has_key_diff(left: dict, right: dict, keys: list[str]) -> bool:
+    """True when any shard-key path differs between two key documents
+    (≈ ``document.go hasDiff:144``)."""
+    for key in keys:
+        lv, lok = get_value_by_path(left, key)
+        rv, rok = get_value_by_path(right, key)
+        if lok and rok and lv != rv:
+            return True
+        if (not lok or not rok) and (lv is not None or rv is not None):
+            return True
+    return False
+
+
+def _uses_id(path: str) -> bool:
+    return path == "_id" or path.startswith("_id.")
+
+
+class ShardKeyInfo:
+    """A target collection's shard key (≈ ``shard_key.go
+    ShardKeysInfo``): the ordered field paths plus the two shape
+    flags the sink branches on."""
+
+    def __init__(self, fields: list[str]):
+        self.fields = list(fields)
+        self.is_trivial = all(_uses_id(f) for f in self.fields)
+        self.contains_id = any(_uses_id(f) for f in self.fields)
+
+    def __repr__(self):
+        return f"ShardKeyInfo({self.fields!r})"
+
+
+def wire_shard_key_provider(uri: str, database: str,
+                            collection: str) -> ShardKeyInfo | None:
+    """Default shard-key lookup over the zero-dependency wire client:
+    ``config.collections`` holds one doc per sharded collection keyed
+    by its full name (≈ ``shard_key.go GetShardingKey:79``). Returns
+    None for unsharded collections (no doc / no ``key``) — sharding
+    disabled, `_id`-only filters. Lookup failures are downgraded to
+    "unsharded" by the caller with a warning — the reference does the
+    same (``newShardedCollectionSinkContext`` Debugf) because plain
+    replica sets have no config.collections to ask."""
+    from transferia_spark.streaming.mongo_wire import MongoWireAdapter
+
+    adapter = MongoWireAdapter(uri)
+    try:
+        docs = list(adapter["config"]["collections"].find(
+            filter={"_id": f"{database}.{collection}"}, limit=1,
+        ))
+    finally:
+        adapter.close()
+    if not docs or not isinstance(docs[0].get("key"), dict):
+        return None
+    return ShardKeyInfo(list(docs[0]["key"].keys()))
+
+
+def wire_doc_key_fetcher(uri: str, database: str, collection: str,
+                         ids: list, fields: list[str]) -> list[dict]:
+    """Default stored-key lookup (≈ ``sharded_collection.go
+    Init:25``): one ``$in`` find over the batch's ids projecting only
+    ``_id`` + the non-``_id`` shard-key paths — O(batch) per
+    partition, never O(collection)."""
+    from transferia_spark.streaming.mongo_wire import MongoWireAdapter
+
+    projection = {"_id": 1}
+    for f in fields:
+        if not _uses_id(f):
+            projection[f] = 1
+    adapter = MongoWireAdapter(uri)
+    try:
+        return list(adapter[database][collection].find(
+            filter={"_id": {"$in": list(ids)}},
+            projection=projection,
+        ))
+    finally:
+        adapter.close()
+
+
+def _id_cache_key(id_val) -> str:
+    """Stable string form of a document ``_id`` for the stored-key
+    cache — both sides (planned rows, fetched docs) normalize through
+    it (≈ ``documentID.String``)."""
+    return json.dumps(id_val, sort_keys=True, separators=(",", ":"),
+                      default=str)
+
+
+def plan_sharded_ops(rows, key_fields: list[str],
+                     stored_keys: dict[str, dict],
+                     max_ops: int = 1000,
+                     pk_cols: list[str] | None = None,
+                     ) -> dict[int, list[list[dict]]]:
+    """The executor-side op planner for one partition of planned rows
+    (``_id_json/_doc_json/_shard/_mop``-shaped, already sorted by
+    (shard, lsn, counter)): builds replace/delete op dicts with
+    shard-key-aware filters and cuts bulks per shard. ``key_fields``
+    empty/None → the unsharded `_id`-only path. Returns
+    {shard: [bulk, ...]} preserving per-shard op order.
+    ≈ ``splitItemsToBulkOperations`` + ``makeWriteModel`` +
+    ``GetDocumentKey``/``getResultDocumentKey``
+    (sink_bulk_operations.go:22,167; sharded_collection.go:96,120)."""
+    nontrivial = [f for f in (key_fields or []) if not _uses_id(f)]
+    splitters: dict[int, BulkSplitter] = {}
+    cache = stored_keys  # id cache key -> stored key document
+    for row in rows:
+        id_val = json.loads(row["_id_json"])["v"]
+        ck = _id_cache_key(id_val)
+        flt = {"_id": id_val}
+        isolated = False
+        if row["_mop"] == OP_DELETE:
+            cache.pop(ck, None)  # delete uses the _id-only filter
+            op = {"op": "delete", "filter": flt}
+        else:
+            doc = json.loads(row["_doc_json"])
+            if pk_cols is not None:
+                # single-PK payload column becomes the document _id;
+                # composite keys keep the struct id (MongoSink._push
+                # contract, unchanged)
+                if len(pk_cols) == 1 and pk_cols[0] in doc:
+                    doc["_id"] = doc.pop(pk_cols[0])
+                else:
+                    doc["_id"] = id_val
+            if key_fields:
+                # the item's own key values — the would-be stored key
+                item_key: dict = {}
+                for f in key_fields:
+                    v, ok = get_value_by_path(
+                        {**doc, "_id": id_val}, f
+                    )
+                    if ok:
+                        set_value_by_path(item_key, f, v)
+                stored = cache.get(ck)
+                if stored is not None:
+                    isolated = has_key_diff(stored, item_key,
+                                            key_fields)
+                    filter_key = stored
+                    if isolated:
+                        cache[ck] = item_key
+                else:
+                    filter_key = item_key
+                    cache[ck] = item_key
+                for f in nontrivial:
+                    v, ok = get_value_by_path(filter_key, f)
+                    if ok:
+                        flt[f] = v  # mongos targets one shard
+            op = {"op": "replace", "filter": flt, "doc": doc}
+        splitters.setdefault(
+            row["_shard"], BulkSplitter(max_ops)
+        ).add(op, row["_id_json"], isolated=isolated)
+    out = {s: sp.get() for s, sp in splitters.items()}
+    return {s: bulks for s, bulks in out.items() if bulks}
 
 
 class BulkSplitter:
@@ -132,12 +320,53 @@ class MongoSink(Sink):
         write_shards: int = WRITE_SHARDS,
         max_bulk_ops: int = 1000,
         applier_factory: Callable[[str], Callable] | None = None,
+        shard_key_provider: Callable[..., ShardKeyInfo | None] | None = None,
+        doc_key_fetcher: Callable[..., list[dict]] | None = None,
+        sharded_upserts: bool = True,
     ):
         self.uri, self.database = uri, database
         self.keys = keys or ["_id"]
         self.write_shards = write_shards
         self.max_bulk_ops = max_bulk_ops
         self.applier_factory = applier_factory or pymongo_applier
+        # sharded-target support (≈ sharded_collection.go): the
+        # provider reads config.collections once per table (driver
+        # side, memoized); the fetcher runs per partition per batch
+        self.shard_key_provider = shard_key_provider or wire_shard_key_provider
+        self.doc_key_fetcher = doc_key_fetcher or wire_doc_key_fetcher
+        # the default provider dials self.uri — pointless (and a
+        # misleading warning) when the transport itself was injected
+        # and no provider came with it
+        self.sharded_upserts = sharded_upserts and not (
+            applier_factory is not None and shard_key_provider is None
+        )
+        self._shard_info_cache: dict[str, ShardKeyInfo | None] = {}
+
+    def _shard_key_info(self, database: str,
+                        collection: str) -> ShardKeyInfo | None:
+        """Driver-side, once per (db, collection) per sink: the shard
+        key from config.collections, or None when the target is not a
+        sharded collection (also when sharded_upserts=False or the
+        default provider is used with an applier-injected test
+        double — there is no config db to ask)."""
+        if not self.sharded_upserts:
+            return None
+        key = f"{database}.{collection}"
+        if key not in self._shard_info_cache:
+            try:
+                self._shard_info_cache[key] = self.shard_key_provider(
+                    self.uri, database, collection
+                )
+            except Exception as e:  # ≈ reference: debug-log + disable
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "cannot read shard key for %s (%s) — treating the "
+                    "target as unsharded; upserts filter on _id only",
+                    key, e,
+                )
+                self._shard_info_cache[key] = None
+        return self._shard_info_cache[key]
 
     # -- planning ----------------------------------------------------
 
@@ -176,29 +405,30 @@ class MongoSink(Sink):
         collection = table.name
         factory, uri, max_ops = self.applier_factory, self.uri, self.max_bulk_ops
         keys = self.keys
+        info = self._shard_key_info(database, collection)
+        key_fields = info.fields if info and not info.is_trivial else None
+        fetcher = self.doc_key_fetcher
 
         def per_partition(rows):
             apply = factory(uri)
-            splitters: dict[int, BulkSplitter] = {}
-            for row in rows:
-                id_val = json.loads(row["_id_json"])["v"]
-                flt = {"_id": id_val}
-                if row["_mop"] == OP_DELETE:
-                    op = {"op": "delete", "filter": flt}
-                else:
-                    doc = json.loads(row["_doc_json"])
-                    if len(keys) == 1 and keys[0] in doc:
-                        doc["_id"] = doc.pop(keys[0])
-                    else:
-                        doc["_id"] = id_val
-                    op = {"op": "replace", "filter": flt, "doc": doc}
-                splitters.setdefault(
-                    row["_shard"], BulkSplitter(max_ops)
-                ).add(op, row["_id_json"])
-            for splitter in splitters.values():
-                bulks = splitter.get()
-                if bulks:
-                    apply(database, collection, bulks)
+            stored: dict[str, dict] = {}
+            if key_fields:
+                # one bounded $in lookup for THIS partition's ids —
+                # O(partition), runs on the executor that owns them
+                rows = list(rows)
+                ids = {}
+                for row in rows:
+                    v = json.loads(row["_id_json"])["v"]
+                    ids[_id_cache_key(v)] = v
+                if ids:
+                    for doc in fetcher(uri, database, collection,
+                                       list(ids.values()), key_fields):
+                        stored[_id_cache_key(doc["_id"])] = doc
+            by_shard = plan_sharded_ops(
+                rows, key_fields, stored, max_ops, pk_cols=keys,
+            )
+            for _shard, bulks in sorted(by_shard.items()):
+                apply(database, collection, bulks)
 
         planned.foreachPartition(per_partition)
 
@@ -221,4 +451,16 @@ class MongoSink(Sink):
         apply(database, table.name, [[{"op": "cleanup", "policy": policy.value}]])
 
 
-__all__ = ["MongoSink", "BulkSplitter", "pymongo_applier", "WRITE_SHARDS"]
+__all__ = [
+    "MongoSink",
+    "BulkSplitter",
+    "ShardKeyInfo",
+    "get_value_by_path",
+    "has_key_diff",
+    "plan_sharded_ops",
+    "pymongo_applier",
+    "set_value_by_path",
+    "wire_doc_key_fetcher",
+    "wire_shard_key_provider",
+    "WRITE_SHARDS",
+]
