@@ -1795,6 +1795,221 @@ def q_mongo_oplog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oplog_applyops_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: multi-document TRANSACTIONS in the Mongo oplog fallback
+    (streaming/mongo_wire.oplog_entry_to_change_events — beyond the
+    reference, whose local_oplog_rs_watcher.go drops op:'c' applyOps
+    entries): nation rows become BSON applyOps transaction entries on
+    the driver (insert + conditional $v:2-diff update + delete inner
+    ops across two collections, a nested noop, and a plain 'create'
+    command that must vanish); EXECUTOR tasks expand them to per-row
+    change events sharing the outer ts as their resume position. The
+    oracle recomputes every inner event relationally."""
+    from transferia_spark.streaming.mongo_wire import (
+        BsonTimestamp,
+        encode_document,
+    )
+
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    )
+    entries = []
+    for r in nat:
+        k = int(r.n_nationkey)
+        inner = [
+            {"op": "i", "ns": "shop.customers",
+             "o": {"_id": k, "name": r.n_name}},
+            {"op": "n", "ns": "shop.customers", "o": {}},  # noop
+            {"op": "i", "ns": "shop.audit",
+             "o": {"_id": 10_000 + k, "who": r.n_name}},
+        ]
+        if k % 2 == 0:
+            inner.append({
+                "op": "u", "ns": "shop.customers", "o2": {"_id": k},
+                "o": {"$v": 2,
+                      "diff": {"u": {"name": f"t{r.n_name}"}}},
+            })
+        if k % 3 == 0:
+            inner.append({"op": "d", "ns": "shop.customers",
+                          "o": {"_id": k}})
+        entries.append({
+            "op": "c", "ts": BsonTimestamp(600 + k, 2),
+            "ns": "admin.$cmd", "o": {"applyOps": inner},
+        })
+        if k % 5 == 0:  # plain command entry: decodes to nothing
+            entries.append({
+                "op": "c", "ts": BsonTimestamp(900 + k, 1),
+                "ns": "shop.$cmd", "o": {"create": "customers"},
+            })
+    df = spark.createDataFrame(
+        [(encode_document(e),) for e in entries], "entry binary"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from transferia_spark.streaming.mongo_wire import (
+            decode_document,
+            oplog_entry_to_change_events,
+        )
+
+        cols = ("k", "seq", "op", "coll", "ct", "ord", "upd_name")
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for raw in pdf["entry"]:
+                evs = oplog_entry_to_change_events(
+                    decode_document(bytes(raw))[0]
+                )
+                for seq, ev in enumerate(evs):
+                    upd = (ev.get("updateDescription") or {}).get(
+                        "updatedFields") or {}
+                    rows["k"].append(ev["documentKey"]["_id"])
+                    rows["seq"].append(seq)
+                    rows["op"].append(ev["operationType"])
+                    rows["coll"].append(ev["ns"]["coll"])
+                    rows["ct"].append(ev["clusterTime"])
+                    rows["ord"].append(ev["order"])
+                    rows["upd_name"].append(upd.get("name"))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        "k long, seq int, op string, coll string, ct long, ord long, "
+        "upd_name string",
+    )
+
+
+def q_mongo_shard_key_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: the shard-key-aware Mongo sink's op planner
+    (sinks/mongo.plan_sharded_ops ≈ sharded_collection.go
+    GetDocumentKey:96 + getResultDocumentKey:120 +
+    write_models.go makeDocumentFilter:10) — nation rows become
+    change events against a sharded target whose stored shard-key
+    values are scripted; EXECUTOR tasks plan the write ops and emit
+    each op's routing filter and isolation flag. Contract pinned:
+    replace filters carry the STORED key value (a shard-key change
+    still routes to where the document lives), a key-changing op is
+    isolated in its own bulk, unseen ids filter on their own key
+    (upsert path), deletes are _id-only. The oracle recomputes every
+    column relationally."""
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def run(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from transferia_spark.sinks.mongo import plan_sharded_ops
+
+        cols = ("k", "op", "flt_region", "isolated", "doc_region")
+        for pdf in batches:
+            stored = {}
+            planned = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                # stored key exists for k%3 != 2 with region r{k%5};
+                # the incoming event moves odd keys to r{(k+1)%5}
+                if k % 3 != 2:
+                    stored[str(k)] = {"_id": k, "region": f"r{k % 5}"}
+                op = "d" if k % 7 == 0 else ("u" if k % 2 else "i")
+                new_region = f"r{(k + (k % 2)) % 5}"
+                planned.append({
+                    "_id_json": _json.dumps({"v": k}),
+                    "_doc_json": _json.dumps(
+                        {"k": k, "region": new_region}
+                    ),
+                    "_shard": 0,
+                    "_mop": op,
+                })
+            by_shard = plan_sharded_ops(
+                planned, ["region", "_id"], stored, pk_cols=["k"],
+            )
+            rows = {c: [] for c in cols}
+            for bulks in by_shard.values():
+                for bulk in bulks:
+                    for op_dict in bulk:
+                        doc = op_dict.get("doc") or {}
+                        iso = bool(op_dict.get("_isolated"))
+                        # an isolated op must really sit alone
+                        assert not iso or len(bulk) == 1
+                        rows["k"].append(op_dict["filter"]["_id"])
+                        rows["op"].append(op_dict["op"])
+                        rows["flt_region"].append(
+                            op_dict["filter"].get("region")
+                        )
+                        rows["isolated"].append(iso)
+                        rows["doc_region"].append(doc.get("region"))
+            yield pd.DataFrame(rows)
+
+    return nat.repartition(8, "n_nationkey").mapInPandas(
+        run,
+        "k long, op string, flt_region string, isolated boolean, "
+        "doc_region string",
+    )
+
+
+def q_mongo_seedlist_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: the Mongo seedlist/topology plane's pure kernels
+    (streaming/mongo_wire ≈ the official driver's SDAM bootstrap the
+    reference's client.go delegates to) — per nation row: a multi-host
+    ``mongodb://`` authority parses into ordered seeds with its
+    readPreference; RFC 2782 weighted selection orders a two-seed
+    priority group deterministically (one seed holds all the weight,
+    so the draw is rng-independent); the seedlist spec's parent-domain
+    MUST accepts the in-domain SRV target and rejects the redirect.
+    The failover dial itself is socket-bound — pinned by the loopback
+    e2es in tests/test_mongo_wire.py (dead first seed, secondary
+    redirect, rs mismatch)."""
+    import random
+
+    from transferia_spark.streaming.mongo_wire import (
+        _weighted_seed_order,
+        parse_mongo_uri,
+        srv_target_in_parent_domain,
+    )
+
+    prefs = ["primary", "primaryPreferred", "secondary",
+             "secondaryPreferred", "nearest"]
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    )
+    rows = []
+    for r in nat:
+        k = int(r.n_nationkey)
+        name = r.n_name.lower().replace(" ", "-")
+        cfg = parse_mongo_uri(
+            f"mongodb://u:p@{name}-a:{27000 + k},{name}-b/"
+            f"?replicaSet=rs{k}&readPreference={prefs[k % 5]}"
+        )
+        rows.append((
+            k, "uri",
+            ";".join(f"{h}:{p}" for h, p in cfg["seeds"])
+            + f"|{cfg['read_preference']}|{cfg['replica_set']}",
+        ))
+        # weight k%7+1 vs 0 in one priority group: the weighted draw
+        # must pick the weighted seed first for ANY rng
+        order = _weighted_seed_order(
+            {0: [(f"{name}-zero", 27017, 0),
+                 (f"{name}-heavy", 27018, k % 7 + 1)],
+             1: [(f"{name}-low", 27019, 5)]},
+            random.Random(k),
+        )
+        rows.append((
+            k, "weighted",
+            ";".join(f"{h}:{p}" for h, p in order),
+        ))
+        rows.append((
+            k, "domain",
+            f"in={srv_target_in_parent_domain(f'{name}.example.com', f'c{k}.example.com')}"
+            f" out={srv_target_in_parent_domain(f'{name}.attacker.net', f'c{k}.example.com')}",
+        ))
+    return spark.createDataFrame(rows, "k long, kind string, val string")
+
+
 def q_registry_drift_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12: registry-driven schema drift classification
     (parsers/schema_registry.check_registry_drift ≈ engine/parser.go:44,
@@ -5102,8 +5317,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     younger rows and stays verified by ``python scripts/driver_sim.py``
     over ALL entries.
 
-    ROUND-12 rotation (the `_R12_WINDOW` reorder at the end of this
-    function, standing contract): (a) the 5 queries NEW in r12
+    ROUND-13 rotation (the `_R13_WINDOW` reorder at the end of this
+    function, standing contract): (a) the 3 queries NEW in r13 (the
+    oplog fallback's applyOps transaction expansion, the
+    shard-key-aware Mongo sink's op planner, the seedlist/topology
+    kernels), (b) the 6 rows whose implementation paths changed in
+    r13 (the mongo wire plane under seedlist failover + SDAM
+    discovery + hardened DNS + drain dedupe; parse_mongo_uri's
+    topology options under tls_trust_ladder; the mongowire drain
+    formats under replicate_yaml), (c) the 41 oldest-green rows —
+    all 16 last scored in r08 plus the 25 alphabetically first of
+    the 33 last scored in r09. 3+6+41 = 50.
+
+    ROUND-12 rotation (historical): (a) the 5 queries NEW in r12
     (registry-driven drift classification, the live parser's
     on_invalid='unparsed' dead-letter routing, the shared TLS trust
     ladder across the Kafka/Mongo/SR planes, the lib-free produce
@@ -5218,6 +5444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_sasl_plan": q_kafka_sasl_plan,
         "registry_drift_classify": q_registry_drift_classify,
         "mongo_oplog_decode": q_mongo_oplog_decode,
+        "oplog_applyops_decode": q_oplog_applyops_decode,
+        "mongo_shard_key_plan": q_mongo_shard_key_plan,
+        "mongo_seedlist_plan": q_mongo_seedlist_plan,
         "parser_unparsed_routing": q_parser_unparsed_routing,
         "tls_trust_ladder": q_tls_trust_ladder,
         "kafka_codec_matrix": q_kafka_codec_matrix,
@@ -5312,81 +5541,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_json": q_parser_json,
         "parser_protobuf": q_parser_protobuf,
     }
-    _R12_WINDOW = [
-        # (a) NEW in round 12: registry-driven drift classification,
-        # the live parser's unparsed dead-letter routing, the shared
-        # TLS trust ladder across the Kafka/Mongo/SR planes, the
-        # lib-free produce codec matrix, and the Mongo oplog-fallback
-        # decode plane
-        "registry_drift_classify",
-        "parser_unparsed_routing",
-        "tls_trust_ladder",
-        "kafka_codec_matrix",
-        "mongo_oplog_decode",
-        # (b) the 19 rows whose implementation paths changed in r12:
-        # the jseq-cached one-exchange merge + parent-dir reads under
-        # the cdc family; the drift supervisor + system-column parser
-        # fix under the replicate family; on_invalid routing +
-        # drift_guard + registry TLS under the parser/serializer and
-        # schema-registry rows (incl. the proto map-entry index fix);
-        # tlsutil + IPv6 bootstrap + LSO-probe teardown + bounded
-        # read_committed wait under the kafka rows; TLS/URI options
-        # under the mongo rows
-        "cdc_collapse",
-        "cdc_merge",
-        "cdc_merge_bucketed",
-        "cdc_merge_delta",
-        "cdc_rebucket",
-        "replicate_yaml",
-        "replicate_controls",
-        "replicate_multi_table",
-        "parser_confluent_sr",
-        "serializer_confluent",
-        "schema_registry_avro",
-        "schema_registry_protojson",
-        "cloudevents_proto",
-        "kafka_sasl_plan",
-        "kafka_fetch_plan",
-        "queue_adapters",
+    _R13_WINDOW = [
+        # (a) NEW in round 13: the oplog fallback's applyOps
+        # transaction expansion, the shard-key-aware Mongo sink's op
+        # planner, and the seedlist/topology plane's pure kernels
+        # (multi-host parse, RFC 2782 weighted order, parent-domain
+        # MUST)
+        "oplog_applyops_decode",
+        "mongo_shard_key_plan",
+        "mongo_seedlist_plan",
+        # (b) the 6 rows whose implementation paths changed in r13:
+        # the whole mongo wire plane (seedlist failover + SDAM
+        # discovery in MongoWireClient, hardened DNS, drain
+        # crash-window dedupe + max-index naming) under the mongo
+        # rows, parse_mongo_uri's topology options under
+        # tls_trust_ladder, and the mongowire live-drain formats under
+        # replicate_yaml
         "mongo_bson_codec",
         "mongo_change_stream",
         "mongo_id_ranges",
-        # (c) the 27 oldest-green rows rotating back into the official
-        # record: the 8 last scored in r07 and the 19 alphabetically
-        # first of the 34 last scored in r08
-        "image_resize",
-        "mix_sources",
-        "range_join",
-        "replace_primary_key",
-        "rollup_agg",
-        "scalar_funcs",
-        "set_ops",
-        "two_phase_agg",
-        "ann_ivf",
-        "ann_lsh_bucketed",
-        "corpus_pipeline",
-        "debezium_roundtrip",
-        "dedup_blocks",
-        "dedup_cluster",
-        "dedup_incremental_store",
-        "dedup_keep_best",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        "dedup_stream_ingest",
-        "embed_documents",
-        "filter_access_log",
-        "filter_rows_by_ids",
-        "fingerprint",
-        "frame_sample",
-        "incremental_read",
-        "jdbc_pushdown",
+        "mongo_oplog_decode",
+        "tls_trust_ladder",
+        "replicate_yaml",
+        # (c) the 41 oldest-green rows rotating back into the official
+        # record: all 16 last scored in r08 plus the 25 alphabetically
+        # first of the 33 last scored in r09
+        "jdbc_shard_ranges",
+        "lang_id",
+        "media_decode",
+        "parser_audittrails",
+        "parser_cloudevents",
+        "parser_cloudlogging",
+        "parser_logfeller",
+        "partition_expansion",
+        "pg_copy_decode",
+        "problem_item_detector",
+        "quality_score",
+        "serializer_json",
+        "sessionize",
+        "sharder",
+        "split_leakage_safe",
+        "transfer_yaml",
+        "airbyte_records",
+        "ann_brute_force",
+        "ann_lsh_multiprobe",
+        "chunk_documents",
+        "dblog_snapshot",
+        "dbt_models",
+        "decontaminate",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "elastic_scroll_plan",
+        "global_shuffle",
+        "mysql_cdc_envelope",
+        "mysql_schema_discovery",
+        "native_roundtrip",
+        "pack_sequences",
+        "pg_copy_plan",
+        "pii_scrub",
+        "quality_gopher",
+        "quota_cap",
+        "raw_cdc_doc_grouper",
+        "repetition_score",
+        "sample_stratified",
+        "tpch_q11ish",
+        "tpch_q13ish",
+        "tpch_q17ish",
     ]
-    assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
-    missing = [n for n in _R12_WINDOW if n not in q]
+    assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
+    missing = [n for n in _R13_WINDOW if n not in q]
     assert not missing, f"window names drifted: {missing}"
     return {
-        **{n: q[n] for n in _R12_WINDOW},
-        **{n: f for n, f in q.items() if n not in set(_R12_WINDOW)},
+        **{n: q[n] for n in _R13_WINDOW},
+        **{n: f for n, f in q.items() if n not in set(_R13_WINDOW)},
     }
 
 
@@ -5850,6 +6077,78 @@ WITH ins AS (
 )
 SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL
 SELECT * FROM del
+""",
+        "oplog_applyops_decode": """
+WITH base AS (
+  SELECT n_nationkey AS nk, n_name AS name FROM nation
+), i0 AS (
+  SELECT CAST(nk AS BIGINT) AS k, CAST(0 AS INTEGER) AS seq,
+         'insert' AS op, 'customers' AS coll,
+         CAST(600 + nk AS BIGINT) AS ct, CAST(2 AS BIGINT) AS ord,
+         CAST(NULL AS VARCHAR) AS upd_name
+  FROM base
+), i1 AS (
+  SELECT CAST(10000 + nk AS BIGINT), CAST(1 AS INTEGER),
+         'insert', 'audit', CAST(600 + nk AS BIGINT),
+         CAST(2 AS BIGINT), CAST(NULL AS VARCHAR)
+  FROM base
+), u AS (
+  SELECT CAST(nk AS BIGINT), CAST(2 AS INTEGER),
+         'update', 'customers', CAST(600 + nk AS BIGINT),
+         CAST(2 AS BIGINT), 't' || name
+  FROM base WHERE nk % 2 = 0
+), d AS (
+  SELECT CAST(nk AS BIGINT),
+         CAST(CASE WHEN nk % 2 = 0 THEN 3 ELSE 2 END AS INTEGER),
+         'delete', 'customers', CAST(600 + nk AS BIGINT),
+         CAST(2 AS BIGINT), CAST(NULL AS VARCHAR)
+  FROM base WHERE nk % 3 = 0
+)
+SELECT * FROM i0 UNION ALL SELECT * FROM i1
+UNION ALL SELECT * FROM u UNION ALL SELECT * FROM d
+""",
+        "mongo_shard_key_plan": """
+SELECT CAST(n_nationkey AS BIGINT) AS k,
+       CASE WHEN n_nationkey % 7 = 0 THEN 'delete'
+            ELSE 'replace' END AS op,
+       CASE WHEN n_nationkey % 7 = 0 THEN NULL
+            WHEN n_nationkey % 3 <> 2
+                THEN 'r' || CAST(n_nationkey % 5 AS VARCHAR)
+            ELSE 'r' || CAST(
+                (n_nationkey + n_nationkey % 2) % 5 AS VARCHAR)
+       END AS flt_region,
+       (n_nationkey % 7 <> 0 AND n_nationkey % 3 <> 2
+        AND n_nationkey % 2 = 1) AS isolated,
+       CASE WHEN n_nationkey % 7 = 0 THEN NULL
+            ELSE 'r' || CAST(
+                (n_nationkey + n_nationkey % 2) % 5 AS VARCHAR)
+       END AS doc_region
+FROM nation
+""",
+        "mongo_seedlist_plan": """
+WITH base AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         lower(replace(n_name, ' ', '-')) AS nm,
+         n_nationkey AS nk
+  FROM nation
+)
+SELECT k, 'uri' AS kind,
+       nm || '-a:' || CAST(27000 + nk AS VARCHAR) || ';'
+          || nm || '-b:27017|'
+          || CASE nk % 5 WHEN 0 THEN 'primary'
+                 WHEN 1 THEN 'primaryPreferred'
+                 WHEN 2 THEN 'secondary'
+                 WHEN 3 THEN 'secondaryPreferred'
+                 ELSE 'nearest' END
+          || '|rs' || CAST(nk AS VARCHAR) AS val
+FROM base
+UNION ALL
+SELECT k, 'weighted',
+       nm || '-heavy:27018;' || nm || '-zero:27017;'
+          || nm || '-low:27019'
+FROM base
+UNION ALL
+SELECT k, 'domain', 'in=True out=False' FROM base
 """,
         "registry_drift_classify": """
 SELECT n_nationkey AS k,

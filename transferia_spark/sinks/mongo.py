@@ -224,6 +224,9 @@ def plan_sharded_ops(rows, key_fields: list[str],
                     if ok:
                         flt[f] = v  # mongos targets one shard
             op = {"op": "replace", "filter": flt, "doc": doc}
+            if isolated:
+                # marker for observability/tests; appliers ignore it
+                op["_isolated"] = True
         splitters.setdefault(
             row["_shard"], BulkSplitter(max_ops)
         ).add(op, row["_id_json"], isolated=isolated)

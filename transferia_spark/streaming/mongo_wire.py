@@ -846,6 +846,17 @@ _SRV_TXT_ALLOWED = frozenset({"authSource", "replicaSet",
                               "loadBalanced"})
 
 
+def srv_target_in_parent_domain(target: str, hostname: str) -> bool:
+    """Seedlist-spec security MUST: an SRV target is only a valid seed
+    when it sits at or under the queried hostname's PARENT domain
+    (``cluster0.example.com`` → targets must end in ``example.com``);
+    anything else is a DNS redirect, not a seed."""
+    labels = hostname.rstrip(".").split(".")
+    parent = ".".join(labels[1:]).lower()
+    t = target.rstrip(".").lower()
+    return bool(parent) and (t == parent or t.endswith("." + parent))
+
+
 def _weighted_seed_order(
     groups: dict[int, list[tuple[str, int, int]]], rng
 ) -> list[tuple[str, int]]:
@@ -922,8 +933,7 @@ def resolve_srv_seedlist(
         # the target name may carry compression pointers into the
         # question section — parse against the whole message
         target, _end = _dns_read_name(msg, off + 6)
-        t = target.rstrip(".").lower()
-        if t != parent and not t.endswith("." + parent):
+        if not srv_target_in_parent_domain(target, hostname):
             raise ValueError(
                 f"mongodb+srv: SRV target {target!r} is outside the "
                 f"queried parent domain {parent!r} (seedlist spec "
@@ -1550,4 +1560,5 @@ __all__ = [
     "mongo_wire_client_factory",
     "parse_mongo_uri",
     "resolve_srv_seedlist",
+    "srv_target_in_parent_domain",
 ]
