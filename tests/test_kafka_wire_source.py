@@ -2099,3 +2099,147 @@ def test_lso_probe_self_failure_spares_peer_sockets(monkeypatch):
         assert peer.closed
     finally:
         broker.close()
+
+
+def test_registry_driven_schema_drift_restart_protobuf_e2e(
+    spark, tmp_path
+):
+    """r12 verdict next #6: the SAME mid-stream drift contract with a
+    PROTOBUF writer — v2 adds a field → transient RegistrySchemaDrift
+    whose marker carries the message-indexes path, the supervisor
+    evolves schema_file from the registry (proto engine columns) and
+    the restarted stream lands the new column; a retype stays the
+    loud fatal control. Exercises the `id=<n> indexes=<i.j>` marker
+    path LIVE, not just in the classify unit."""
+    from test_schema_registry import _registry
+    from transferia_spark.parsers.proto_schema import (
+        ProtoCodec,
+        field_spec,
+    )
+    from transferia_spark.parsers.protowire import encode_message
+    from transferia_spark.parsers.schema_registry import (
+        encode_confluent_frame,
+        encode_message_indexes,
+    )
+    from transferia_spark.plans.config import transfer_from_yaml
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sinks.queues import KafkaSink
+    from transferia_spark.streaming.bucketed_table import (
+        BucketedParquetTable,
+    )
+    from transferia_spark.tasks.replicate import run_replication
+
+    v1 = """
+        syntax = "proto3";
+        message E { int64 id = 1; string name = 2; }
+    """
+    v2 = """
+        syntax = "proto3";
+        message E { int64 id = 1; string name = 2; string note = 3; }
+    """
+    v3_retype = """
+        syntax = "proto3";
+        message E { string id = 1; }
+    """
+    schemas = {
+        sid: {"schema": s, "schemaType": "PROTOBUF"}
+        for sid, s in ((1, v1), (2, v2), (3, v3_retype))
+    }
+    reg = _registry(schemas, [])
+    broker = LoopbackBroker({"ev": 1})
+    port = broker.port
+
+    def pbody(schema: str, rec: dict) -> bytes:
+        pc = ProtoCodec(schema)
+        return encode_message_indexes([0]) + encode_message(
+            field_spec(pc.schema.message_by_indexes([0])), rec
+        )
+
+    def transport(frame: bytes) -> None:
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        try:
+            s.sendall(frame)
+            s.recv(4096)
+        finally:
+            s.close()
+
+    def produce(frames):
+        sink = KafkaSink(
+            bootstrap_servers=f"127.0.0.1:{port}", num_partitions=1,
+            transport=transport, serializer=lambda df: df.selectExpr(
+                "key", "value"),
+        )
+        df = spark.createDataFrame(
+            [(str(i), bytes(f)) for i, f in enumerate(frames)],
+            "key string, value binary",
+        )
+        sink.write(df, TableID("", "ev"))
+
+    schema_file = str(tmp_path / "schema.ddl")
+    with open(schema_file, "w") as f:
+        f.write("id long, name string")
+    src = str(tmp_path / "seed.parquet")
+    spark.createDataFrame(
+        [(0, "seed")], "id long, name string"
+    ).coalesce(1).write.parquet(src)
+    target = str(tmp_path / "target")
+    state = str(tmp_path / "state")
+    spec = transfer_from_yaml(f"""
+type: SNAPSHOT_ONLY
+src: {{type: file, params: {{path: {src}, format: parquet}}}}
+dst: {{type: file, params: {{path: {tmp_path}/unused, format: parquet}}}}
+replication:
+  source:
+    format: kafkawire
+    bootstrap: 127.0.0.1:{port}
+    topic: ev
+    schema_file: {schema_file}
+    parser:
+      type: confluent_schema_registry
+      registry_url: http://127.0.0.1:{reg.server_port}
+    options: {{starting_offsets: earliest}}
+  target: {{kind: bucketed, root: {target}, keys: [id], n_buckets: 2}}
+""")
+    try:
+        produce([
+            encode_confluent_frame(
+                1, pbody(v1, {"id": i, "name": f"n{i}"})
+            ) for i in (1, 2)
+        ])
+        run_replication(
+            spark, spec, state_dir=state, once=True, retry_interval=0.0
+        )
+        table = BucketedParquetTable(
+            spark, target, keys=["id"], n_buckets=2
+        )
+        assert {(r.id, r.name) for r in table.read().collect()} == {
+            (1, "n1"), (2, "n2"),
+        }
+
+        # PROTO writer evolves mid-stream: v2 adds `note`
+        produce([
+            encode_confluent_frame(
+                2, pbody(v2, {"id": i, "name": f"n{i}", "note": f"x{i}"})
+            ) for i in (3, 4)
+        ])
+        run_replication(
+            spark, spec, state_dir=state, once=True, retry_interval=0.0,
+            max_attempts=3,
+        )
+        with open(schema_file) as f:
+            assert "note" in f.read()
+        got = {(r.id, r.name, r.note) for r in table.read().collect()}
+        assert got == {(1, "n1", None), (2, "n2", None),
+                       (3, "n3", "x3"), (4, "n4", "x4")}
+
+        # retype (id int64 -> string) is the loud fatal control
+        produce([encode_confluent_frame(3, pbody(v3_retype,
+                                                 {"id": "nope"}))])
+        with pytest.raises(Exception, match="registry-schema-retype"):
+            run_replication(
+                spark, spec, state_dir=state, once=True,
+                retry_interval=0.0, max_attempts=3,
+            )
+    finally:
+        broker.close()
+        reg.shutdown()
