@@ -46,6 +46,66 @@ _ACTIONS = {"I": "i", "U": "u", "D": "d"}
 
 _META_FIELDS = ("_op", "_lsn", "_counter", "_table", "_before", "_present")
 
+# payload types pa.array converts from plain JSON-decoded values with
+# the same strictness as the worker's per-cell converters — anything
+# else (timestamps, decimals, nested payloads) keeps the tuple path
+_ARROW_SAFE_TYPES = (
+    T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+    T.DoubleType, T.FloatType, T.StringType, T.BooleanType,
+    T.BinaryType,
+)
+
+
+def _arrow_read_plan(schema: T.StructType):
+    """(pyarrow schema, index of the ``_before`` struct column) when
+    the reader may yield RecordBatches directly; None → row tuples.
+    The wal output layout is payload fields + the six _META_FIELDS,
+    ``_before`` a struct of the payload fields (wal_output_schema)."""
+    payload = [f for f in schema.fields if f.name not in _META_FIELDS]
+    if not all(isinstance(f.dataType, _ARROW_SAFE_TYPES) for f in payload):
+        return None
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(schema), schema.fieldNames().index("_before")
+    except Exception:  # pragma: no cover — exotic/unmapped type
+        return None
+
+
+def _tuples_to_arrow(rows, plan, payload_fields, chunk: int):
+    """Row tuples → pyarrow RecordBatches: zip-transpose a chunk and
+    let pa.array convert whole columns (C-side) instead of the
+    worker's per-cell converter calls. ``_before`` rides as a
+    positional tuple in the row — pa needs dicts for struct arrays."""
+    import pyarrow as pa
+    from itertools import islice
+
+    pa_schema, before_idx = plan
+    it = iter(rows)
+    while True:
+        batch = list(islice(it, chunk))
+        if not batch:
+            return
+        cols = list(zip(*batch))
+        cols[before_idx] = [
+            None if b is None else dict(zip(payload_fields, b))
+            for b in cols[before_idx]
+        ]
+        try:
+            arrays = [
+                pa.array(list(c), type=pa_schema.field(i).type)
+                for i, c in enumerate(cols)
+            ]
+        except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError,
+                OverflowError) as e:
+            raise ValueError(
+                "waljson arrow fast-path could not convert a decoded "
+                f"column ({e}); the value does not fit its declared "
+                "type — fix the schema, or set arrow_batches=false to "
+                "use the per-row converter path"
+            ) from e
+        yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
+
 
 def wal_output_schema(payload_ddl: str) -> T.StructType:
     st = T._parse_datatype_string(payload_ddl)
@@ -338,9 +398,18 @@ def prune_committed_files(cache: OffsetScanCache, files, end) -> int:
 class WalJsonStreamReader(DataSourceStreamReader):
     def __init__(self, schema: T.StructType, options: dict):
         self.path = options["path"]
+        self.schema = schema
         self.payload_fields = [
             f.name for f in schema.fields if f.name not in _META_FIELDS
         ]
+        # executor tasks yield pyarrow RecordBatches instead of row
+        # tuples when every payload type is arrow-safe — skips the
+        # worker's per-cell converter calls (measured ~1.9× on the
+        # decode plane, r13); arrow_batches=false restores row tuples
+        self.arrow_batches = str(
+            options.get("arrow_batches", "true")
+        ).lower() in ("true", "1")
+        self.arrow_chunk = max(256, int(options.get("arrow_chunk", 8192)))
         self.ack_file = options.get("ack_file")
         # snapshot→replication handoff (≈ the slot LSN recorded at
         # activate time, lsn_slot.go): a fresh checkpoint starts AFTER
@@ -445,7 +514,22 @@ class WalJsonStreamReader(DataSourceStreamReader):
             max_splits=self.decode_splits,
         )
 
-    def read(self, partition: _FileSlice) -> Iterator[tuple]:
+    def read(self, partition: _FileSlice):
+        """Yields pyarrow RecordBatches (fast path: pa.array converts
+        whole columns C-side, no per-cell Python converter calls in the
+        worker) or row tuples when the payload types are not in the
+        arrow-safe set / arrow_batches=false. Same rows either way —
+        the tuple generator stays the single decode implementation."""
+        rows = self._read_tuples(partition)
+        plan = _arrow_read_plan(self.schema) if self.arrow_batches else None
+        if plan is None:
+            yield from rows
+            return
+        yield from _tuples_to_arrow(
+            rows, plan, self.payload_fields, self.arrow_chunk
+        )
+
+    def _read_tuples(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
             return
         lo, hi = partition.start_lsn, partition.end_lsn
