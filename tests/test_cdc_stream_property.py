@@ -64,7 +64,7 @@ def _write_files(dirpath: str, files: list[list[dict]]) -> None:
 def _drain(reader, start: dict, end: dict) -> list[tuple]:
     rows: list[tuple] = []
     for p in reader.partitions(start, end):
-        rows.extend(reader.read(p))
+        rows.extend(reader._read_tuples(p))
     return rows
 
 

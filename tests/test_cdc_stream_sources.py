@@ -411,7 +411,7 @@ def test_binlog_bounded_catchup_batches(tmp_path):
             break
         batches += 1
         for part in reader.partitions(start, end):
-            seen += [r[0] for r in reader.read(part)]
+            seen += [r[0] for r in reader._read_tuples(part)]
         start = end
     assert batches == 3  # 3 + 3 + 1
     assert seen == [10, 20, 30, 40, 50, 60, 70]
@@ -445,7 +445,7 @@ def test_waljson_bounded_catchup_batches(tmp_path):
         if end == start:
             break
         for part in reader.partitions(start, end):
-            seen += [r[0] for r in reader.read(part)]
+            seen += [r[0] for r in reader._read_tuples(part)]
         start = end
     assert seen == [1, 2, 3, 4, 5]
 
@@ -472,7 +472,7 @@ def test_change_stream_bounded_catchup_batches(tmp_path):
         if end == start:
             break
         for part in reader.partitions(start, end):
-            seen += [r[0] for r in reader.read(part)]
+            seen += [r[0] for r in reader._read_tuples(part)]
         start = end
     assert seen == [1, 2, 3, 4, 5]
 
@@ -617,7 +617,7 @@ def test_resume_token_algebra_and_token_bearing_captures(spark, tmp_path):
     assert end == {"ts": 100, "order": 3}
     rows = []
     for part in reader.partitions(reader.initialOffset(), end):
-        rows += list(reader.read(part))
+        rows += list(reader._read_tuples(part))
     assert [(r[0], r[1]) for r in rows] == [
         (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3"),
     ]
@@ -630,7 +630,7 @@ def test_resume_token_algebra_and_token_bearing_captures(spark, tmp_path):
     assert resumed.initialOffset() == {"ts": 100, "order": 1}
     rows = []
     for part in resumed.partitions(resumed.initialOffset(), resumed.latestOffset()):
-        rows += list(resumed.read(part))
+        rows += list(resumed._read_tuples(part))
     assert [(r[0], r[1]) for r in rows] == [(2, "v2"), (3, "v3")]
 
 
@@ -732,7 +732,7 @@ def test_offset_scan_cache_skips_fully_planned_files(spark, tmp_path, monkeypatc
     # read tasks for the new batch exclude the old file entirely
     parts = reader.partitions({"lsn": 3}, {"lsn": 5})
     assert [os.path.basename(p.path) for p in parts] == ["001.jsonl"]
-    rows = [r for p in parts for r in reader.read(p)]
+    rows = [r for p in parts for r in reader._read_tuples(p)]
     assert [r[0] for r in rows] == [4, 5]
 
     # a file that GROWS (size change) is re-scanned, cache refreshed
@@ -777,7 +777,7 @@ def test_prune_committed_trims_fully_acked_files(spark, tmp_path):
     rows = [
         r
         for p in reader.partitions({"lsn": 4}, {"lsn": 6})
-        for r in reader.read(p)
+        for r in reader._read_tuples(p)
     ]
     assert [r[0] for r in rows] == [5, 6]
 
@@ -814,7 +814,7 @@ def test_wal_and_mongo_readers_dead_letter_poison_lines(spark, tmp_path):
     rows = [
         r
         for p in reader.partitions(reader.initialOffset(), end)
-        for r in reader.read(p)
+        for r in reader._read_tuples(p)
     ]
     assert [r[0] for r in rows] == [1, 2]
     recorded = sorted(os.listdir(dl))
@@ -827,7 +827,7 @@ def test_wal_and_mongo_readers_dead_letter_poison_lines(spark, tmp_path):
     rows = [
         r
         for p in reader.partitions(reader.initialOffset(), end)
-        for r in reader.read(p)
+        for r in reader._read_tuples(p)
     ]
     assert sorted(os.listdir(dl)) == recorded
 
@@ -852,7 +852,7 @@ def test_wal_and_mongo_readers_dead_letter_poison_lines(spark, tmp_path):
     rows = [
         r
         for p in creader.partitions(creader.initialOffset(), cend)
-        for r in creader.read(p)
+        for r in creader._read_tuples(p)
     ]
     assert [r[0] for r in rows] == [1]
     cs_recorded = sorted(os.listdir(cdl))
@@ -926,7 +926,7 @@ def test_mongo_poison_position_types_dead_letter(spark, tmp_path):
     rows = [
         r
         for p in reader.partitions(reader.initialOffset(), end)
-        for r in reader.read(p)
+        for r in reader._read_tuples(p)
     ]
     assert [r[0] for r in rows] == [8, 1]
     assert len(os.listdir(dl)) == 1  # only the TypeError line routed
@@ -959,7 +959,7 @@ def test_binlog_poison_log_file_type_dead_letter(spark, tmp_path):
     rows = [
         r
         for p in reader.partitions(reader.initialOffset(), end)
-        for r in reader.read(p)
+        for r in reader._read_tuples(p)
     ]
     assert [r[0] for r in rows] == [2]
     assert len(os.listdir(dl)) == 1
@@ -1036,7 +1036,7 @@ def test_wal_read_seeks_past_processed_bytes_and_early_stops(spark, tmp_path):
     with open(path, "r+b") as f:
         f.seek(cut)
         f.write(b"X" * (len(raw) - cut))
-    rows = list(reader.read(p1))
+    rows = list(reader._read_tuples(p1))
     assert [r[0] for r in rows] == list(range(1, 1001))
     # restore, then plan batch 2 and corrupt the file HEAD up to the
     # slice's seek hint — a seeking reader never touches those bytes
@@ -1048,7 +1048,7 @@ def test_wal_read_seeks_past_processed_bytes_and_early_stops(spark, tmp_path):
     assert p2.start_byte > 0
     with open(path, "r+b") as f:
         f.write(b"X" * p2.start_byte)
-    rows = list(reader.read(p2))
+    rows = list(reader._read_tuples(p2))
     assert [r[0] for r in rows] == list(range(1001, 2001))
 
 
@@ -1130,7 +1130,7 @@ def test_split_decode_slices_are_equivalent(spark, tmp_path):
         })
         r.latestOffset()  # builds scan cache + seek index
         parts = r.partitions({"lsn": lo}, {"lsn": hi})
-        return parts, [t for p in parts for t in r.read(p)]
+        return parts, [t for p in parts for t in r._read_tuples(p)]
 
     hi = lsn
     for lo in (0, 37, 40):  # incl. a start INSIDE the giant tx
@@ -1181,7 +1181,7 @@ def test_split_decode_binlog_and_change_stream_equivalence(
         r = cls(schema, {"path": path, "decode_splits": str(splits)})
         r.latestOffset()
         parts = r.partitions(lo_d, hi_d)
-        return parts, [t for p in parts for t in r.read(p)]
+        return parts, [t for p in parts for t in r._read_tuples(p)]
 
     bs = binlog_output_schema("id long")
     hi = 10**12 + 100 + 2999

@@ -276,7 +276,7 @@ def test_tailer_feeds_binlogjson_source(spark, tmp_path):
     assert end == {"lsn": 2 * 10**12 + 180}
     rows = []
     for part in reader.partitions(start, end):
-        rows += list(reader.read(part))
+        rows += list(reader._read_tuples(part))
     # (id, v, _op, _lsn)
     assert [(r[0], r[1], r[2], r[3]) for r in rows] == [
         (1, "a", "i", 2 * 10**12 + 130),

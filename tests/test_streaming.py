@@ -541,7 +541,9 @@ def test_waljson_arrow_fast_path_equivalence(spark, tmp_path):
     assert _arrow_read_plan(safe) is not None
     tsy = wal_output_schema("id long, ts timestamp")
     assert _arrow_read_plan(tsy) is None
-    assert _arrow_read_plan(safe)[1] == safe.fieldNames().index("_before")
+    [(bidx, bnames)] = _arrow_read_plan(safe)[1]
+    assert bidx == safe.fieldNames().index("_before")
+    assert bnames == ["id", "v", "x"]
 
     spark.dataSource.register(WalJsonDataSource)
     waldir = str(tmp_path / "wal")

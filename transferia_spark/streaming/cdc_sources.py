@@ -139,10 +139,17 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
     before?, after?}``."""
 
     def __init__(self, schema: T.StructType, options: dict):
+        from transferia_spark.streaming.wal_source import (
+            arrow_option_fields,
+        )
+
         self.path = options["path"]
+        self.schema = schema
         self.payload_fields = [
             f.name for f in schema.fields if f.name not in _META_FIELDS
         ]
+        # arrow RecordBatch fast path (wal_source.wrap_arrow_read)
+        self.arrow_batches, self.arrow_chunk = arrow_option_fields(options)
         self.ack_file = options.get("ack_file")
         # snapshot→replication handoff: a fresh checkpoint starts AFTER
         # this binlog position (≈ the saved position RunActivate records)
@@ -239,7 +246,12 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
             lambda p: {"lsn": p}, self.decode_splits,
         )
 
-    def read(self, partition: _FileSlice) -> Iterator[tuple]:
+    def read(self, partition: _FileSlice):
+        from transferia_spark.streaming.wal_source import wrap_arrow_read
+
+        yield from wrap_arrow_read(self, self._read_tuples(partition))
+
+    def _read_tuples(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
             return
         from transferia_spark.streaming.wal_source import dead_letter_record
@@ -522,10 +534,17 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
     ns?: {db, coll}}``."""
 
     def __init__(self, schema: T.StructType, options: dict):
+        from transferia_spark.streaming.wal_source import (
+            arrow_option_fields,
+        )
+
         self.path = options["path"]
+        self.schema = schema
         self.payload_fields = [
             f.name for f in schema.fields if f.name not in _META_FIELDS
         ]
+        # arrow RecordBatch fast path (wal_source.wrap_arrow_read)
+        self.arrow_batches, self.arrow_chunk = arrow_option_fields(options)
         self.ack_file = options.get("ack_file")
         # snapshot→replication handoff: fresh checkpoints resume after
         # this (clusterTime, order) pair — either explicit, or as the
@@ -615,7 +634,12 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
             lambda p: {"ts": p[0], "order": p[1]}, self.decode_splits,
         )
 
-    def read(self, partition: _FileSlice) -> Iterator[tuple]:
+    def read(self, partition: _FileSlice):
+        from transferia_spark.streaming.wal_source import wrap_arrow_read
+
+        yield from wrap_arrow_read(self, self._read_tuples(partition))
+
+    def _read_tuples(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
             return
         from transferia_spark.streaming.wal_source import dead_letter_record

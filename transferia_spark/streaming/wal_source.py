@@ -57,40 +57,49 @@ _ARROW_SAFE_TYPES = (
 
 
 def _arrow_read_plan(schema: T.StructType):
-    """(pyarrow schema, index of the ``_before`` struct column) when
-    the reader may yield RecordBatches directly; None → row tuples.
-    The wal output layout is payload fields + the six _META_FIELDS,
-    ``_before`` a struct of the payload fields (wal_output_schema)."""
+    """(pyarrow schema, [(struct col index, field names), ...]) when a
+    recorded-CDC reader may yield RecordBatches directly; None → row
+    tuples. Gated on every payload type sitting in the arrow-safe set;
+    struct meta columns (``_before``) ride as positional tuples in the
+    rows and get dict-ified per the struct's own field names."""
     payload = [f for f in schema.fields if f.name not in _META_FIELDS]
     if not all(isinstance(f.dataType, _ARROW_SAFE_TYPES) for f in payload):
         return None
     try:
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        return to_arrow_schema(schema), schema.fieldNames().index("_before")
+        struct_cols = [
+            (i, [sf.name for sf in f.dataType.fields])
+            for i, f in enumerate(schema.fields)
+            if isinstance(f.dataType, T.StructType)
+        ]
+        return to_arrow_schema(schema), struct_cols
     except Exception:  # pragma: no cover — exotic/unmapped type
         return None
 
 
-def _tuples_to_arrow(rows, plan, payload_fields, chunk: int):
+def _tuples_to_arrow(rows, plan, chunk: int):
     """Row tuples → pyarrow RecordBatches: zip-transpose a chunk and
     let pa.array convert whole columns (C-side) instead of the
-    worker's per-cell converter calls. ``_before`` rides as a
-    positional tuple in the row — pa needs dicts for struct arrays."""
+    worker's per-cell converter calls (~1.9× on the decode plane,
+    measured r13)."""
     import pyarrow as pa
     from itertools import islice
 
-    pa_schema, before_idx = plan
+    pa_schema, struct_cols = plan
     it = iter(rows)
     while True:
         batch = list(islice(it, chunk))
         if not batch:
             return
         cols = list(zip(*batch))
-        cols[before_idx] = [
-            None if b is None else dict(zip(payload_fields, b))
-            for b in cols[before_idx]
-        ]
+        for idx, names in struct_cols:
+            cols[idx] = [
+                None if v is None
+                else v if isinstance(v, dict)
+                else dict(zip(names, v))
+                for v in cols[idx]
+            ]
         try:
             arrays = [
                 pa.array(list(c), type=pa_schema.field(i).type)
@@ -99,12 +108,32 @@ def _tuples_to_arrow(rows, plan, payload_fields, chunk: int):
         except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError,
                 OverflowError) as e:
             raise ValueError(
-                "waljson arrow fast-path could not convert a decoded "
-                f"column ({e}); the value does not fit its declared "
-                "type — fix the schema, or set arrow_batches=false to "
-                "use the per-row converter path"
+                "recorded-CDC arrow fast-path could not convert a "
+                f"decoded column ({e}); the value does not fit its "
+                "declared type — fix the schema, or set "
+                "arrow_batches=false to use the per-row converter path"
             ) from e
         yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
+
+
+def arrow_option_fields(options: dict) -> tuple[bool, int]:
+    """The shared (arrow_batches, arrow_chunk) option parse for the
+    recorded-CDC readers."""
+    on = str(options.get("arrow_batches", "true")).lower() in (
+        "true", "1",
+    )
+    return on, max(256, int(options.get("arrow_chunk", 8192)))
+
+
+def wrap_arrow_read(reader, rows):
+    """Reader-agnostic fast path: yield RecordBatches when the
+    reader's schema plans (see ``_arrow_read_plan``), else the rows
+    unchanged. Readers call this from ``read()`` around their tuple
+    generator."""
+    plan = _arrow_read_plan(reader.schema) if reader.arrow_batches else None
+    if plan is None:
+        return rows
+    return _tuples_to_arrow(rows, plan, reader.arrow_chunk)
 
 
 def wal_output_schema(payload_ddl: str) -> T.StructType:
@@ -520,14 +549,7 @@ class WalJsonStreamReader(DataSourceStreamReader):
         worker) or row tuples when the payload types are not in the
         arrow-safe set / arrow_batches=false. Same rows either way —
         the tuple generator stays the single decode implementation."""
-        rows = self._read_tuples(partition)
-        plan = _arrow_read_plan(self.schema) if self.arrow_batches else None
-        if plan is None:
-            yield from rows
-            return
-        yield from _tuples_to_arrow(
-            rows, plan, self.payload_fields, self.arrow_chunk
-        )
+        yield from wrap_arrow_read(self, self._read_tuples(partition))
 
     def _read_tuples(self, partition: _FileSlice) -> Iterator[tuple]:
         if not partition.path:
