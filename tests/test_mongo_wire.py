@@ -369,6 +369,15 @@ class LoopbackMongod:
                 docs = [d for d in docs if gt < d["ts"]]
             if isinstance(flt.get("ns"), str):
                 docs = [d for d in docs if d.get("ns") == flt["ns"]]
+            if isinstance(flt.get("$or"), list):
+                clauses = flt["$or"]
+                docs = [
+                    d for d in docs
+                    if any(
+                        all(d.get(k) == v for k, v in c.items())
+                        for c in clauses
+                    )
+                ]
             if body.get("sort"):
                 [(k, direction)] = list(body["sort"].items())
                 docs = sorted(
@@ -1479,5 +1488,99 @@ def test_live_drain_oplog_applyops_and_crash_window(tmp_path):
         assert sorted(
             f for f in os.listdir(out) if f.endswith(".jsonl")
         ) == ["oplog_000001.jsonl", "oplog_000002.jsonl"]
+    finally:
+        srv.close()
+
+
+def test_review_r13_fixes():
+    """Pins the r13 in-session review findings: (1) prepared /
+    partialTxn applyOps entries are NOT emitted (an abort may discard
+    them; multi-entry large txns apply at their final entry only);
+    (2) empty-username URIs stay unauthenticated (no SCRAM with '');
+    (3) discovered members keep hello order (primary first), a
+    fixed-index insert would dial the primary LAST."""
+    from transferia_spark.streaming.mongo_wire import (
+        oplog_entry_to_change_events,
+    )
+
+    prep = {
+        "op": "c", "ts": BsonTimestamp(700, 1), "ns": "admin.$cmd",
+        "o": {"applyOps": [
+            {"op": "i", "ns": "shop.t", "o": {"_id": 1}},
+        ], "prepare": True},
+    }
+    assert oplog_entry_to_change_events(prep) == []
+    part = {
+        "op": "c", "ts": BsonTimestamp(700, 2), "ns": "admin.$cmd",
+        "o": {"applyOps": [
+            {"op": "i", "ns": "shop.t", "o": {"_id": 2}},
+        ], "partialTxn": True},
+    }
+    assert oplog_entry_to_change_events(part) == []
+
+    u = parse_mongo_uri("mongodb://:pw@h/")
+    assert u["user"] is None  # no spurious SCRAM attempt
+
+    # three-member set, seed = a secondary: the PRIMARY (first in the
+    # discovered list) must be the next dial, not the last
+    primary = LoopbackMongod({"shop.t": [{"_id": 1}]})
+    sec_b = LoopbackMongod({"shop.t": [{"_id": 1}]})
+    seed = LoopbackMongod({"shop.t": [{"_id": 1}]})
+    p_addr = f"127.0.0.1:{primary.port}"
+    b_addr = f"127.0.0.1:{sec_b.port}"
+    s_addr = f"127.0.0.1:{seed.port}"
+    hosts = [p_addr, b_addr, s_addr]
+    primary.hello_extra = {"setName": "rs0", "isWritablePrimary": True,
+                           "primary": p_addr, "hosts": hosts}
+    for srv in (sec_b, seed):
+        srv.hello_extra = {"setName": "rs0", "secondary": True,
+                           "isWritablePrimary": False,
+                           "primary": p_addr, "hosts": hosts}
+    try:
+        c = MongoWireClient(
+            seeds=[("127.0.0.1", seed.port)], timeout=5,
+        )
+        assert c.node == ("127.0.0.1", primary.port)
+        c.close()
+    finally:
+        primary.close()
+        sec_b.close()
+        seed.close()
+
+
+def test_live_drain_oplog_explicit_rewind_not_clamped(tmp_path):
+    """An explicit start_after_ts is an intentional rewind: the
+    crash-window clamp from the newest published file must not
+    override it (review finding — the change-stream twin already
+    guarded this)."""
+    import json as _json
+    import os
+
+    from transferia_spark.streaming.mongo_wire import live_drain_oplog
+
+    oplog = [
+        {"op": "i", "ts": BsonTimestamp(100, 1), "ns": "shop.t",
+         "o": {"_id": 1}},
+        {"op": "i", "ts": BsonTimestamp(200, 1), "ns": "shop.t",
+         "o": {"_id": 2}},
+    ]
+    srv = LoopbackMongod({"local.oplog.rs": oplog})
+    out = str(tmp_path / "cs")
+    base = {"host": "127.0.0.1", "port": srv.port,
+            "database": "shop", "collection": "t"}
+    try:
+        assert live_drain_oplog(dict(base), out) == 2
+        # explicit rewind re-emits everything past (0,0)
+        assert live_drain_oplog(
+            dict(base, start_after_ts=(0, 0)), out
+        ) == 2
+        files = sorted(f for f in os.listdir(out)
+                       if f.endswith(".jsonl"))
+        assert len(files) == 2
+        ids = [
+            _json.loads(ln)["documentKey"]["_id"]
+            for f in files for ln in open(os.path.join(out, f))
+        ]
+        assert ids == [1, 2, 1, 2]
     finally:
         srv.close()

@@ -472,12 +472,16 @@ class MongoWireClient:
             discovered = list(hello.get("hosts") or [])
             if hello.get("primary"):
                 discovered.insert(0, hello["primary"])
+            ins = i
             for hp in discovered:
                 member = _split_host_port(hp)
                 if member not in tried and member not in queue[i:]:
-                    # the reported primary jumps the queue — it is the
-                    # node the default preference is looking for
-                    queue.insert(i, member)
+                    # discovered members jump the remaining seeds IN
+                    # ORDER (the reported primary leads the list) — a
+                    # fixed-index insert would reverse them and dial
+                    # the primary last (code-review r13)
+                    queue.insert(ins, member)
+                    ins += 1
             is_primary = bool(
                 hello.get("isWritablePrimary", hello.get("ismaster"))
             )
@@ -1023,7 +1027,9 @@ def parse_mongo_uri(uri: str, srv_resolver: str | None = None) -> dict:
     username = password = None
     if userinfo:
         user_enc, sep, pass_enc = userinfo.partition(":")
-        username = urllib.parse.unquote(user_enc)
+        # an empty username stays None — 'mongodb://:pw@h/' must not
+        # trigger a SCRAM attempt with user '' (code-review r13)
+        username = urllib.parse.unquote(user_enc) if user_enc else None
         password = urllib.parse.unquote(pass_enc) if sep else None
     q = dict(urllib.parse.parse_qsl(u.query))
     if u.scheme == "mongodb+srv":
@@ -1392,9 +1398,25 @@ def oplog_entry_to_change_events(entry: dict) -> list[dict]:
     if entry.get("op") != "c":
         ev = oplog_entry_to_change_event(entry)
         return [ev] if ev is not None else []
-    ops = (entry.get("o") or {}).get("applyOps")
+    o = entry.get("o") or {}
+    ops = o.get("applyOps")
     if not isinstance(ops, list):
         return []  # create/drop/collMod/... — not row changes
+    if o.get("prepare") or o.get("partialTxn"):
+        # prepared (cross-shard) transactions commit LATER via
+        # commitTransaction — emitting at prepare time would surface
+        # writes an abort may discard; multi-entry large transactions
+        # (partialTxn) apply only at their final entry. Both fall back
+        # to the reference's behavior (dropped) rather than emitting
+        # uncommitted rows. (code-review r13)
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "skipping %s applyOps oplog entry at ts=%s (not decoded)",
+            "prepared" if o.get("prepare") else "partial",
+            entry.get("ts"),
+        )
+        return []
     ts = entry["ts"]
     out = []
     for inner in ops:
@@ -1462,7 +1484,9 @@ def live_drain_oplog(live: dict, out_dir: str) -> int:
         f for f in os.listdir(out_dir)
         if f.startswith("oplog_") and f.endswith(".jsonl")
     )
-    if published:
+    # an EXPLICIT start_after_ts is an intentional rewind — never
+    # clamp it (same guard as the change-stream twin; code-review r13)
+    if published and live.get("start_after_ts") is None:
         try:
             with open(os.path.join(out_dir, published[-1])) as f:
                 tail = None
@@ -1492,14 +1516,18 @@ def live_drain_oplog(live: dict, out_dir: str) -> int:
         tmp = out_path + ".tmp"
         last = start
         ns_want = f"{db}.{coll}"
-        # ts-only server filter ≈ local_oplog_rs_watcher.go's default
-        # (filterOplogWithRegex=false): a server-side ns match would
-        # skip applyOps transaction entries, whose ns is admin.$cmd —
-        # collection filtering happens on the decoded events instead
+        # server filter: ts plus (our ns OR a command entry) — a bare
+        # ns match would skip applyOps transaction entries (their ns is
+        # admin.$cmd), while ts-only would stream every tenant's oplog
+        # over the wire (code-review r13); decoded events re-filter by
+        # ns because transactions interleave collections
         with open(tmp, "w") as out:
             for entry in client.find(
                 "local", "oplog.rs",
-                filter={"ts": {"$gt": BsonTimestamp(*start)}},
+                filter={
+                    "ts": {"$gt": BsonTimestamp(*start)},
+                    "$or": [{"ns": ns_want}, {"op": "c"}],
+                },
                 batch_size=bs,
             ):
                 ts = entry.get("ts")

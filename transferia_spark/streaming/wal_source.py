@@ -435,10 +435,7 @@ class WalJsonStreamReader(DataSourceStreamReader):
         # tuples when every payload type is arrow-safe — skips the
         # worker's per-cell converter calls (measured ~1.9× on the
         # decode plane, r13); arrow_batches=false restores row tuples
-        self.arrow_batches = str(
-            options.get("arrow_batches", "true")
-        ).lower() in ("true", "1")
-        self.arrow_chunk = max(256, int(options.get("arrow_chunk", 8192)))
+        self.arrow_batches, self.arrow_chunk = arrow_option_fields(options)
         self.ack_file = options.get("ack_file")
         # snapshot→replication handoff (≈ the slot LSN recorded at
         # activate time, lsn_slot.go): a fresh checkpoint starts AFTER
