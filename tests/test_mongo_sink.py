@@ -323,3 +323,79 @@ def test_wire_shard_key_provider_and_fetcher():
         }
     finally:
         srv.close()
+
+
+def test_partial_update_becomes_update_one(spark, recorder):
+    """Mongo change-stream partial updates (no full image) must apply
+    as UpdateOne $set over the CARRIED columns — a replace would wipe
+    every uncarried field (r13 ≈ makeUpdateModel write_models.go:33).
+    Full rows keep the replace path; presence folds through collapse."""
+    factory, _, ops = recorder
+    sink = build_sink("mongo", database="db", applier_factory=factory)
+    batch = spark.createDataFrame(
+        [
+            # full insert: replace with every column
+            (1, "v1", "w1", "i", 10, 0, None),
+            # partial update of k=2: only v carried (w untouched on
+            # the target; a removed field would ride carried-as-NULL)
+            (2, "v2b", None, "u", 11, 0, ["v"]),
+        ],
+        f"k long, v string, w string, {OP_COL} string, {LSN_COL} long, "
+        f"{COUNTER_COL} int, _present array<string>",
+    )
+    sink.write_cdc(batch, TableID("", "t"), keys=["k"])
+    got = {op["filter"]["_id"]: op for op in ops()}
+    assert got[1]["op"] == "replace"
+    assert got[1]["doc"] == {"_id": 1, "v": "v1", "w": "w1"}
+    assert got[2]["op"] == "update"
+    assert got[2]["set"] == {"v": "v2b"}
+    assert "w" not in got[2]["set"] and "doc" not in got[2]
+    # the presence marker itself never leaks into documents
+    assert "_present" not in got[1]["doc"]
+
+
+def test_partial_update_shard_key_patch(spark, recorder):
+    """Sharded target + partial updates: an update NOT carrying the
+    shard key keeps the stored key (no spurious isolation from the
+    absent column); one that DOES carry a new value is isolated with
+    the OLD value in the filter (≈ getResultDocumentKey +
+    CheckDiffByKeys)."""
+    from transferia_spark.sinks.mongo import ShardKeyInfo
+
+    factory, _, ops = recorder
+
+    def provider(uri, db, coll):
+        return ShardKeyInfo(["region"])
+
+    def fetcher(uri, db, coll, ids, fields):
+        stored = {1: "eu", 2: "us"}
+        return [{"_id": i, "region": stored[i]}
+                for i in ids if i in stored]
+
+    sink = build_sink(
+        "mongo", database="db", applier_factory=factory,
+        shard_key_provider=provider, doc_key_fetcher=fetcher,
+    )
+    batch = spark.createDataFrame(
+        [
+            # partial, shard key NOT carried: stored key rides, not
+            # isolated (a replace-path item_key would read region=None
+            # and flag a spurious key change); w stays untouched
+            (1, None, "a2", None, "u", 10, 0, ["v"]),
+            # partial, shard key CARRIED and changed us -> ap; w
+            # still uncarried, so this stays an UpdateOne
+            (2, "ap", "b2", None, "u", 11, 0, ["region", "v"]),
+        ],
+        f"k long, region string, v string, w string, {OP_COL} string, "
+        f"{LSN_COL} long, {COUNTER_COL} int, _present array<string>",
+    )
+    sink.write_cdc(batch, TableID("", "t"), keys=["k"])
+    got = {op["filter"]["_id"]: op for op in ops()}
+    assert got[1]["op"] == "update"
+    assert got[1]["filter"] == {"_id": 1, "region": "eu"}
+    assert not got[1].get("_isolated")
+    assert got[1]["set"] == {"v": "a2"}
+    assert got[2]["op"] == "update"
+    assert got[2]["filter"] == {"_id": 2, "region": "us"}  # OLD value
+    assert got[2].get("_isolated") is True
+    assert got[2]["set"] == {"region": "ap", "v": "b2"}

@@ -42,14 +42,24 @@ from collections.abc import Callable, Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from transferia_spark.cdc.changeitem import COUNTER_COL, LSN_COL, OP_COL, OP_DELETE
-from transferia_spark.cdc.collapse import collapse
+from transferia_spark.cdc.changeitem import (
+    COUNTER_COL,
+    LSN_COL,
+    OP_COL,
+    OP_DELETE,
+    PRESENT_COL,
+    has_partial_rows,
+)
+from transferia_spark.cdc.collapse import PRESENT_NET_COL, collapse
 from transferia_spark.schema.colschema import TableID
 from transferia_spark.sinks.base import CleanupPolicy, Sink, register_sink
 from transferia_spark.sinks.clickhouse import fnv1a32
 
 WRITE_SHARDS = 16  # sinkWriteConcurrency in the reference
-_SYSTEM_COLS = (OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before", "_batch")
+_SYSTEM_COLS = (
+    OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before",
+    "_batch", PRESENT_COL, PRESENT_NET_COL, "_toasted",
+)
 
 
 # ------------------------------------------------ sharded collections
@@ -192,6 +202,18 @@ def plan_sharded_ops(rows, key_fields: list[str],
             op = {"op": "delete", "filter": flt}
         else:
             doc = json.loads(row["_doc_json"])
+            presence = (
+                json.loads(row["_present_json"])
+                if "_present_json" in row and row["_present_json"]
+                else None
+            )
+            carried = (
+                None if presence is None
+                else {c for c, b in presence.items() if b}
+            )
+            partial = carried is not None and any(
+                not b for b in presence.values()
+            )
             if pk_cols is not None:
                 # single-PK payload column becomes the document _id;
                 # composite keys keep the struct id (MongoSink._push
@@ -201,15 +223,29 @@ def plan_sharded_ops(rows, key_fields: list[str],
                 else:
                     doc["_id"] = id_val
             if key_fields:
-                # the item's own key values — the would-be stored key
-                item_key: dict = {}
-                for f in key_fields:
-                    v, ok = get_value_by_path(
-                        {**doc, "_id": id_val}, f
-                    )
-                    if ok:
-                        set_value_by_path(item_key, f, v)
                 stored = cache.get(ck)
+                if partial and stored is not None:
+                    # partial update: the result key is the STORED key
+                    # patched with the CARRIED key fields only
+                    # (≈ getResultDocumentKey + CheckDiffByKeys,
+                    # sharded_collection.go:120, schema.go:201)
+                    item_key = json.loads(json.dumps(stored))
+                    src = {"_id": id_val,
+                           **{c: doc.get(c) for c in carried}}
+                    for f in key_fields:
+                        v, ok = get_value_by_path(src, f)
+                        if ok or f.split(".", 1)[0] in carried:
+                            set_value_by_path(item_key, f, v)
+                else:
+                    # full image (or unseen id): the item's own key
+                    # values are the would-be stored key
+                    item_key = {}
+                    for f in key_fields:
+                        v, ok = get_value_by_path(
+                            {**doc, "_id": id_val}, f
+                        )
+                        if ok:
+                            set_value_by_path(item_key, f, v)
                 if stored is not None:
                     isolated = has_key_diff(stored, item_key,
                                             key_fields)
@@ -223,7 +259,18 @@ def plan_sharded_ops(rows, key_fields: list[str],
                     v, ok = get_value_by_path(filter_key, f)
                     if ok:
                         flt[f] = v  # mongos targets one shard
-            op = {"op": "replace", "filter": flt, "doc": doc}
+            if partial:
+                # UpdateOne $set over the carried columns only — a
+                # replace would wipe every uncarried field (a removed
+                # field arrives carried-with-NULL: explicit null write,
+                # the recorded-reader contract)
+                patch = {c: doc.get(c) for c in sorted(carried)}
+                if not patch:
+                    continue  # nothing carried: nothing to apply
+                op = {"op": "update", "filter": flt, "set": patch,
+                      "unset": []}
+            else:
+                op = {"op": "replace", "filter": flt, "doc": doc}
             if isolated:
                 # marker for observability/tests; appliers ignore it
                 op["_isolated"] = True
@@ -393,6 +440,14 @@ class MongoSink(Sink):
             (F.col(OP_COL) if OP_COL in df.columns else F.lit("i")).alias("_mop"),
             (F.col(LSN_COL) if LSN_COL in df.columns else F.lit(0)).alias("_mlsn"),
             (F.col(COUNTER_COL) if COUNTER_COL in df.columns else F.lit(0)).alias("_mctr"),
+            # per-column carried bits from the presence-aware collapse
+            # — partial change-stream updates become UpdateOne $set ops
+            # instead of replaces that would wipe uncarried fields
+            (
+                F.to_json(F.col(PRESENT_NET_COL))
+                if PRESENT_NET_COL in df.columns
+                else F.lit(None).cast("string")
+            ).alias("_present_json"),
         ]
         return df.select(*cols)
 
@@ -440,9 +495,16 @@ class MongoSink(Sink):
 
     def write_cdc(self, batch: DataFrame, table: TableID, keys: list[str]) -> None:
         """Collapse to net effect per key first (each id then appears
-        once → single unordered bulk per shard), then push."""
+        once → single unordered bulk per shard), then push. Batches
+        carrying a partial-row marker (mongo change-stream updates
+        without a full image) collapse presence-aware, so uncarried
+        columns become UpdateOne $set patches instead of replace-wiped
+        fields (≈ makeUpdateModel, write_models.go:33)."""
         self.keys = keys
-        self._push(collapse(batch, keys), table)
+        self._push(
+            collapse(batch, keys, with_presence=has_partial_rows(batch)),
+            table,
+        )
 
     def cleanup(self, table: TableID, policy: CleanupPolicy) -> None:
         if policy == CleanupPolicy.DISABLED:
