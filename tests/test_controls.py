@@ -143,7 +143,7 @@ def test_wal_truncate_statement_emits_control(tmp_path):
         r = WalJsonStreamReader(wal_output_schema("id long"), opts)
         out = []
         for part in r.partitions(r.initialOffset(), r.latestOffset()):
-            out += list(r.read(part))
+            out += list(r._read_tuples(part))
         return out
 
     plain = read_all({"path": wdir})
