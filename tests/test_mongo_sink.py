@@ -399,3 +399,133 @@ def test_partial_update_shard_key_patch(spark, recorder):
     assert got[2]["filter"] == {"_id": 2, "region": "us"}  # OLD value
     assert got[2].get("_isolated") is True
     assert got[2]["set"] == {"region": "ap", "v": "b2"}
+
+
+def test_plan_sharded_ops_property_model():
+    """Model-based property: for ANY event sequence and stored-key
+    seed, applying the planned ops with real filter semantics
+    (ReplaceOne upsert / UpdateOne / DeleteOne against a store seeded
+    at the stored key values) reaches the same final state as naive
+    per-id event application — and no replace's filter ever MISSES an
+    existing document (the mis-routing bug class the shard-key cache
+    exists to prevent)."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from transferia_spark.sinks.mongo import plan_sharded_ops
+
+    REGIONS = ["r0", "r1", "r2"]
+    ids = st.integers(min_value=0, max_value=3)
+    events = st.lists(
+        st.tuples(
+            ids,
+            st.sampled_from(["i", "u", "d", "p"]),  # p = partial
+            st.sampled_from(REGIONS),
+            st.integers(min_value=0, max_value=9),   # v payload
+            st.booleans(),                           # partial carries region?
+        ),
+        min_size=1, max_size=10,
+    )
+    seeds = st.dictionaries(ids, st.sampled_from(REGIONS), max_size=4)
+
+    @settings(max_examples=150, deadline=None)
+    @given(events, seeds)
+    def check(evs, seed_regions):
+        # the target store seeded AT the stored key values
+        store = {
+            i: {"_id": i, "region": r, "v": -1}
+            for i, r in seed_regions.items()
+        }
+        stored_keys = {
+            str(i): {"_id": i, "region": r}
+            for i, r in seed_regions.items()
+        }
+        rows = []
+        for i, op, region, v, carries_region in evs:
+            if op == "p":
+                carried = ["region", "v"] if carries_region else ["v"]
+                present = {"region": carries_region, "v": True}
+                rows.append({
+                    "_id_json": _json.dumps({"v": i}),
+                    "_doc_json": _json.dumps(
+                        {"k": i, "region": region if carries_region
+                         else None, "v": v}
+                    ),
+                    "_present_json": _json.dumps(present),
+                    "_shard": 0, "_mop": "u",
+                })
+                _ = carried
+            else:
+                rows.append({
+                    "_id_json": _json.dumps({"v": i}),
+                    "_doc_json": _json.dumps(
+                        {"k": i, "region": region, "v": v}
+                    ),
+                    "_present_json": None,
+                    "_shard": 0, "_mop": op,
+                })
+        by_shard = plan_sharded_ops(
+            rows, ["region", "_id"], dict(stored_keys), pk_cols=["k"],
+        )
+
+        # expected: naive per-id application of the raw events
+        expected = {
+            i: dict(d) for i, d in store.items()
+        }
+        for i, op, region, v, carries_region in evs:
+            if op == "d":
+                expected.pop(i, None)
+            elif op == "p":
+                if carries_region:
+                    # every column carried → the planner upgrades the
+                    # row to a replace (upsert heals a missing doc —
+                    # the standard CDC-sink stance; the reference's
+                    # UpdateOne would silently no-op instead)
+                    expected[i] = {"_id": i, "region": region, "v": v}
+                elif i in expected:
+                    # genuine partial: patch carried columns only,
+                    # no-op when the document does not exist
+                    expected[i]["v"] = v
+            else:
+                expected[i] = {"_id": i, "region": region, "v": v}
+
+        # apply the planned ops with mongo filter semantics
+        def matches(doc, flt):
+            return all(doc.get(k) == val for k, val in flt.items())
+
+        for bulks in by_shard.values():
+            for bulk in bulks:
+                ids_in_bulk = [op["filter"]["_id"] for op in bulk]
+                assert len(ids_in_bulk) == len(set(ids_in_bulk))
+                for op_dict in bulk:
+                    oid = op_dict["filter"]["_id"]
+                    doc = store.get(oid)
+                    if op_dict["op"] == "delete":
+                        if doc is not None:
+                            del store[oid]
+                    elif op_dict["op"] == "update":
+                        if doc is not None:
+                            assert matches(doc, op_dict["filter"]), (
+                                "UpdateOne filter missed the live "
+                                f"document: {op_dict['filter']} vs {doc}"
+                            )
+                            for c, val in op_dict["set"].items():
+                                if val is not None or c in op_dict["set"]:
+                                    doc[c] = val
+                    else:  # replace, upsert
+                        if doc is not None:
+                            assert matches(doc, op_dict["filter"]), (
+                                "ReplaceOne filter missed the live "
+                                f"document: {op_dict['filter']} vs {doc}"
+                            )
+                        store[oid] = dict(op_dict["doc"])
+        # partial sets write explicit None for carried-null columns;
+        # normalize region=None vs absent for comparison
+        def norm(d):
+            return {i: {k: v for k, v in doc.items()}
+                    for i, doc in d.items()}
+        assert norm(store) == norm(expected)
+
+    check()
