@@ -1584,3 +1584,54 @@ def test_live_drain_oplog_explicit_rewind_not_clamped(tmp_path):
         assert ids == [1, 2, 1, 2]
     finally:
         srv.close()
+
+
+def test_old_wire_version_rejected():
+    """OP_MSG needs maxWireVersion >= 6 — a pre-3.6 server fails the
+    dial with the reason, not protocol garbage."""
+    srv = LoopbackMongod({"shop.t": [{"_id": 1}]},
+                         hello_extra={"maxWireVersion": 5})
+    try:
+        with pytest.raises(MongoServerError, match="maxWireVersion 5"):
+            MongoWireClient("127.0.0.1", srv.port, timeout=5)
+    finally:
+        srv.close()
+
+
+def test_snapshot_reads_spread_to_secondary(spark):
+    """Scale story: MongoSource snapshot units with
+    readPreference=secondaryPreferred dial a SECONDARY per executor
+    task — the 100TB snapshot reads come off the primary's back. Each
+    task resolves the topology itself (module-level factory, own
+    sockets)."""
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sources.mongo import MongoSource
+
+    docs = [{"_id": i, "name": f"n{i}"} for i in range(30)]
+    primary = LoopbackMongod({"shop.customers": []})  # EMPTY on purpose
+    secondary = LoopbackMongod({"shop.customers": docs})
+    p_addr = f"127.0.0.1:{primary.port}"
+    s_addr = f"127.0.0.1:{secondary.port}"
+    primary.hello_extra = {"setName": "rs0", "isWritablePrimary": True,
+                           "primary": p_addr, "hosts": [p_addr, s_addr]}
+    secondary.hello_extra = {"setName": "rs0", "secondary": True,
+                             "isWritablePrimary": False,
+                             "primary": p_addr,
+                             "hosts": [p_addr, s_addr]}
+    try:
+        src = MongoSource(
+            uri=(
+                f"mongodb://127.0.0.1:{primary.port}/"
+                "?readPreference=secondaryPreferred"
+            ),
+            database="shop",
+            schemas={"customers": "_id long, name string"},
+            client_factory=mongo_wire_client_factory,
+        )
+        df = src.load_table(spark, TableID("shop", "customers"))
+        got = sorted((r._id, r.name) for r in df.collect())
+        # rows came from the SECONDARY (the primary holds none)
+        assert got == [(i, f"n{i}") for i in range(30)]
+    finally:
+        primary.close()
+        secondary.close()

@@ -430,6 +430,19 @@ class MongoWireClient:
         try:
             self._sock = sock  # _hello/_recv use the instance socket
             hello = self._hello()
+            # OP_MSG needs wire version >= 6 (server 3.6) — older
+            # servers would answer protocol garbage; fail with the
+            # reason instead
+            max_wire = int(hello.get("maxWireVersion", 0))
+            if max_wire < 6:
+                raise MongoServerError({
+                    "code": 0,
+                    "errmsg": (
+                        f"server speaks maxWireVersion {max_wire} "
+                        "(< 6, MongoDB 3.6) — the OP_MSG command "
+                        "plane this client uses is not supported"
+                    ),
+                })
         except BaseException:
             sock.close()
             raise
