@@ -512,8 +512,7 @@ def test_plan_sharded_ops_property_model():
                                 f"document: {op_dict['filter']} vs {doc}"
                             )
                             for c, val in op_dict["set"].items():
-                                if val is not None or c in op_dict["set"]:
-                                    doc[c] = val
+                                doc[c] = val  # null $set writes null
                     else:  # replace, upsert
                         if doc is not None:
                             assert matches(doc, op_dict["filter"]), (

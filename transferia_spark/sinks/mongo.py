@@ -48,6 +48,7 @@ from transferia_spark.cdc.changeitem import (
     OP_COL,
     OP_DELETE,
     PRESENT_COL,
+    TOASTED_COL,
     has_partial_rows,
 )
 from transferia_spark.cdc.collapse import PRESENT_NET_COL, collapse
@@ -58,7 +59,7 @@ from transferia_spark.sinks.clickhouse import fnv1a32
 WRITE_SHARDS = 16  # sinkWriteConcurrency in the reference
 _SYSTEM_COLS = (
     OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before",
-    "_batch", PRESENT_COL, PRESENT_NET_COL, "_toasted",
+    "_batch", PRESENT_COL, PRESENT_NET_COL, TOASTED_COL,
 )
 
 
@@ -228,8 +229,13 @@ def plan_sharded_ops(rows, key_fields: list[str],
                     # partial update: the result key is the STORED key
                     # patched with the CARRIED key fields only
                     # (≈ getResultDocumentKey + CheckDiffByKeys,
-                    # sharded_collection.go:120, schema.go:201)
-                    item_key = json.loads(json.dumps(stored))
+                    # sharded_collection.go:120, schema.go:201).
+                    # deepcopy, NOT a json round-trip: the wire fetcher
+                    # returns BSON-native values (ObjectId/datetime)
+                    # json cannot carry (code-review r13 pass 2)
+                    import copy as _copy
+
+                    item_key = _copy.deepcopy(stored)
                     src = {"_id": id_val,
                            **{c: doc.get(c) for c in carried}}
                     for f in key_fields:
@@ -261,14 +267,18 @@ def plan_sharded_ops(rows, key_fields: list[str],
                         flt[f] = v  # mongos targets one shard
             if partial:
                 # UpdateOne $set over the carried columns only — a
-                # replace would wipe every uncarried field (a removed
-                # field arrives carried-with-NULL: explicit null write,
-                # the recorded-reader contract)
-                patch = {c: doc.get(c) for c in sorted(carried)}
+                # replace would wipe every uncarried field. A removed
+                # source field arrives carried-with-NULL and writes an
+                # explicit null (the recorded-reader contract; a true
+                # $unset would need a removal marker collapse does not
+                # carry — documented divergence). Intersect with the
+                # DOC's columns: presence can name system columns the
+                # doc excludes (_batch), which must not leak as
+                # spurious null patches (code-review r13 pass 2)
+                patch = {c: doc[c] for c in sorted(carried) if c in doc}
                 if not patch:
                     continue  # nothing carried: nothing to apply
-                op = {"op": "update", "filter": flt, "set": patch,
-                      "unset": []}
+                op = {"op": "update", "filter": flt, "set": patch}
             else:
                 op = {"op": "replace", "filter": flt, "doc": doc}
             if isolated:
