@@ -695,7 +695,7 @@ def test_reader_advances_past_compacted_and_control_gaps():
     saved = mod.KafkaFetchClient
     mod.KafkaFetchClient = StubClient
     try:
-        rows = list(reader.read(mod._TopicSlice(0, 9, 17)))
+        rows = list(reader._read_tuples(mod._TopicSlice(0, 9, 17)))
     finally:
         mod.KafkaFetchClient = saved
     # fetch at 9 once (not an infinite loop), then the gap skipped
@@ -820,7 +820,7 @@ def test_read_retries_on_not_leader_and_nulls_sentinel_timestamp():
         reader = mod.KafkaWireStreamReader(
             {"bootstrap": "127.0.0.1:1", "topic": "t"}
         )
-        rows = list(reader.read(mod._TopicSlice(0, 0, 2)))
+        rows = list(reader._read_tuples(mod._TopicSlice(0, 0, 2)))
     finally:
         mod.KafkaFetchClient = saved
     assert [r[4] for r in rows] == [0, 1]
@@ -854,7 +854,7 @@ def test_read_gives_up_after_bounded_leader_refreshes():
             {"bootstrap": "127.0.0.1:1", "topic": "t"}
         )
         with pytest.raises(KafkaFetchError, match="fetch error 6"):
-            list(reader.read(mod._TopicSlice(0, 0, 2)))
+            list(reader._read_tuples(mod._TopicSlice(0, 0, 2)))
     finally:
         mod.KafkaFetchClient = saved
 
@@ -1064,7 +1064,7 @@ def test_stored_snappy_lz4_consume_loopback_e2e(monkeypatch):
             })
             rows = []
             for sl in r.partitions(r.initialOffset(), r.latestOffset()):
-                rows.extend(r.read(sl))
+                rows.extend(r._read_tuples(sl))
             r.stop()
             assert [(bytes(k), bytes(v)) for k, v, *_ in rows] == [
                 (b"a", b"1"), (b"b", b"2" * 99)
@@ -1218,7 +1218,7 @@ def test_wire_reader_isolation_levels_end_to_end():
             end = r.latestOffset()
             rows = []
             for sl in r.partitions(start, end):
-                rows.extend(r.read(sl))
+                rows.extend(r._read_tuples(sl))
             r.stop()
             return [bytes(t[0]) for t in rows], end
 
@@ -2243,3 +2243,74 @@ replication:
     finally:
         broker.close()
         reg.shutdown()
+
+
+def test_kafkawire_arrow_fast_path_equivalence(spark, tmp_path):
+    """r13: the kafkawire reader yields arrow RecordBatches by default
+    (headers off) — rows must be IDENTICAL to arrow_batches=false,
+    including binary key/value, offsets and timestamps; with
+    include_headers the tuple path serves (header structs ride nested
+    in lists)."""
+    import json as _json  # noqa: F401
+
+    broker = LoopbackBroker({"t": 1})
+    port = broker.port
+
+    def transport(frame: bytes) -> None:
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        try:
+            s.sendall(frame)
+            s.recv(4096)
+        finally:
+            s.close()
+
+    try:
+        from transferia_spark.schema.colschema import TableID
+        from transferia_spark.sinks.queues import KafkaSink
+        from transferia_spark.streaming.kafka_source import (
+            kafka_wire_stream,
+        )
+
+        sink = KafkaSink(
+            bootstrap_servers=f"127.0.0.1:{port}", transport=transport,
+            serializer=lambda df: df.selectExpr("key", "value"),
+        )
+        df = spark.createDataFrame(
+            [(f"k{i}", bytes([i]) * 8) for i in range(40)],
+            "key string, value binary",
+        )
+        sink.write(df, TableID("", "t"))
+
+        def drain(tag: str, **opts):
+            stream = kafka_wire_stream(
+                spark, f"127.0.0.1:{port}", "t",
+                starting_offsets="earliest", **opts,
+            )
+            out = str(tmp_path / f"out_{tag}")
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ck_{tag}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+            return sorted(
+                (bytes(r.key or b""), bytes(r.value), r.partition,
+                 r.offset, r.timestamp)
+                for r in spark.read.parquet(out).collect()
+            )
+
+        rows_arrow = drain("arrow")
+        rows_tuple = drain("tuple", arrow_batches="false")
+        assert rows_arrow == rows_tuple
+        assert len(rows_arrow) == 40
+        # offsets are dense (produce order is not key order)
+        assert sorted(r[3] for r in rows_arrow) == list(range(40))
+        # headers path still consumes (tuple fallback)
+        rows_hdr = drain("hdr", include_headers="true")
+        assert sorted(r[3] for r in rows_hdr) == list(range(40))
+    finally:
+        broker.close()

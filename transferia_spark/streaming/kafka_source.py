@@ -44,6 +44,25 @@ KAFKA_HEADERS_DDL = (
 SASL_MECHANISMS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
 
 
+def _kafka_arrow_schema():
+    """pyarrow schema of KAFKA_MIRROR_DDL, built by hand — executors
+    have no JVM to parse DDL strings, and to_arrow_schema itself is
+    pure Python. Timestamp rides as timestamp[us, UTC]; the reader
+    yields tz-aware datetimes (or None for the -1 sentinel), which
+    pa.array converts directly."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(T.StructType([
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ]))
+
+
 class KafkaSecurity:
     """TLS + SASL settings for the wire plane — the picklable config
     half; sockets are dialed by the client. ≈ the reference's Kafka
@@ -599,6 +618,16 @@ class KafkaWireStreamReader(DataSourceStreamReader):
         self.include_headers = str(
             options.get("include_headers", "false")
         ).lower() in ("true", "1", "yes")
+        # arrow RecordBatch fast path (r13, same contract as the
+        # recorded-CDC readers): ~5× on the worker-side conversion for
+        # this row shape (the timestamp converter dominates);
+        # include_headers falls back to tuples — header structs ride
+        # nested in lists, outside the generic dict-ify
+        from transferia_spark.streaming.wal_source import (
+            arrow_option_fields,
+        )
+
+        self.arrow_batches, self.arrow_chunk = arrow_option_fields(options)
         #: optional consumer-group MIRROR for the committed positions
         #: (lag-tooling visibility; the checkpoint stays authoritative)
         #: — with starting_offsets='group' also the RESUME source
@@ -804,7 +833,18 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             out.append(_TopicSlice(-1, 0, 0))  # empty batch
         return out
 
-    def read(self, partition: _TopicSlice) -> Iterator[tuple]:
+    def read(self, partition: _TopicSlice):
+        rows = self._read_tuples(partition)
+        if not self.arrow_batches or self.include_headers:
+            yield from rows
+            return
+        from transferia_spark.streaming.wal_source import _tuples_to_arrow
+
+        yield from _tuples_to_arrow(
+            rows, (_kafka_arrow_schema(), []), self.arrow_chunk
+        )
+
+    def _read_tuples(self, partition: _TopicSlice) -> Iterator[tuple]:
         if partition.partition < 0:
             return
         boot = connect_bootstrap(
