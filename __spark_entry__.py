@@ -1950,6 +1950,86 @@ def q_mongo_shard_key_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mongo_partial_unset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: partial-update parity for the Mongo sink (≈ makeUpdateModel
+    write_models.go:23-47) — removedFields thread a ``_removed`` marker
+    through the presence-aware collapse (cdc/collapse.REMOVED_NET_COL)
+    into true UpdateOne $unset ops, while full images and all-carried
+    no-removal nets stay on the replace path. Nation rows synthesize a
+    3-event-per-key change mix ENTIRELY in Catalyst (full insert for
+    k%5==0 at lsn 9; a partial at lsn 10 setting v and REMOVING w for
+    even k; a partial at lsn 11 re-setting w for k%3==0), collapse runs
+    the one-shuffle presence/removal fold, MongoSink.planned() renders
+    the executor rows, and plan_sharded_ops emits the final op per key.
+    The oracle recomputes the net op/patch relationally."""
+    from pyspark.sql import functions as F
+
+    from transferia_spark.cdc.collapse import collapse
+    from transferia_spark.sinks.mongo import MongoSink
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), "n_name"
+    )
+    k = F.col("k")
+    ev_full = nat.filter(k % 5 == 0).select(
+        "k", F.lit("V0").alias("v"), F.lit("W").alias("w"),
+        F.lit("X").alias("x"), F.lit("i").alias("_op"),
+        F.lit(9).cast("long").alias("_lsn"), F.lit(0).alias("_counter"),
+        F.lit(None).cast("array<string>").alias("_present"),
+        F.lit(None).cast("array<string>").alias("_removed"),
+    )
+    ev_set_v = nat.select(
+        "k", F.col("n_name").alias("v"),
+        F.lit(None).cast("string").alias("w"),
+        F.lit(None).cast("string").alias("x"),
+        F.lit("u").alias("_op"),
+        F.lit(10).cast("long").alias("_lsn"), F.lit(0).alias("_counter"),
+        F.when(k % 2 == 0, F.array(F.lit("v"), F.lit("w")))
+        .otherwise(F.array(F.lit("v"))).alias("_present"),
+        F.when(k % 2 == 0, F.array(F.lit("w"))).alias("_removed"),
+    )
+    ev_set_w = nat.filter(k % 3 == 0).select(
+        "k", F.lit(None).cast("string").alias("v"),
+        F.lit("back").alias("w"),
+        F.lit(None).cast("string").alias("x"),
+        F.lit("u").alias("_op"),
+        F.lit(11).cast("long").alias("_lsn"), F.lit(0).alias("_counter"),
+        F.array(F.lit("w")).alias("_present"),
+        F.lit(None).cast("array<string>").alias("_removed"),
+    )
+    batch = ev_full.unionByName(ev_set_v).unionByName(ev_set_w)
+    sink = MongoSink(database="db", keys=["k"], applier_factory=lambda u: None)
+    planned = sink.planned(collapse(batch, ["k"], with_presence=True))
+
+    def run(batches):
+        import pandas as pd
+
+        from transferia_spark.sinks.mongo import plan_sharded_ops
+
+        cols = ("k", "op", "val_v", "val_w", "unset_w")
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            by_shard = plan_sharded_ops(rows, None, {}, pk_cols=["k"])
+            out = {c: [] for c in cols}
+            for bulks in by_shard.values():
+                for bulk in bulks:
+                    for op_dict in bulk:
+                        vals = op_dict.get("set") or op_dict.get("doc") or {}
+                        out["k"].append(int(op_dict["filter"]["_id"]))
+                        out["op"].append(op_dict["op"])
+                        out["val_v"].append(vals.get("v"))
+                        out["val_w"].append(vals.get("w"))
+                        out["unset_w"].append(
+                            "w" in (op_dict.get("unset") or [])
+                        )
+            yield pd.DataFrame(out)
+
+    return planned.mapInPandas(
+        run, "k long, op string, val_v string, val_w string, "
+        "unset_w boolean",
+    )
+
+
 def q_mongo_seedlist_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13: the Mongo seedlist/topology plane's pure kernels
     (streaming/mongo_wire ≈ the official driver's SDAM bootstrap the
@@ -5446,6 +5526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_oplog_decode": q_mongo_oplog_decode,
         "oplog_applyops_decode": q_oplog_applyops_decode,
         "mongo_shard_key_plan": q_mongo_shard_key_plan,
+        "mongo_partial_unset": q_mongo_partial_unset,
         "mongo_seedlist_plan": q_mongo_seedlist_plan,
         "parser_unparsed_routing": q_parser_unparsed_routing,
         "tls_trust_ladder": q_tls_trust_ladder,
@@ -6123,6 +6204,18 @@ SELECT CAST(n_nationkey AS BIGINT) AS k,
             ELSE 'r' || CAST(
                 (n_nationkey + n_nationkey % 2) % 5 AS VARCHAR)
        END AS doc_region
+FROM nation
+""",
+        "mongo_partial_unset": """
+SELECT CAST(n_nationkey AS BIGINT) AS k,
+       CASE WHEN n_nationkey % 5 = 0
+                 AND NOT (n_nationkey % 2 = 0 AND n_nationkey % 3 <> 0)
+            THEN 'replace' ELSE 'update' END AS op,
+       n_name AS val_v,
+       CASE WHEN n_nationkey % 3 = 0 THEN 'back'
+            WHEN n_nationkey % 5 = 0 AND n_nationkey % 2 <> 0 THEN 'W'
+            ELSE NULL END AS val_w,
+       (n_nationkey % 2 = 0 AND n_nationkey % 3 <> 0) AS unset_w
 FROM nation
 """,
         "mongo_seedlist_plan": """

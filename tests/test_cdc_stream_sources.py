@@ -251,6 +251,46 @@ def test_change_stream_feeds_merge_with_present_contract(spark, tmp_path):
     assert [tuple(r) for r in out.collect()] == [(1, "b", "keep")]
 
 
+def test_change_stream_unset_reaches_mongo_sink(spark, tmp_path):
+    """mongo2mongo removal parity end-to-end: removedFields ride the
+    reader's ``_removed`` marker through the presence-aware collapse
+    into a true UpdateOne $unset at the sink — not an explicit null
+    (≈ makeUpdateModel write_models.go:23-47; r14)."""
+    import tempfile
+
+    from test_mongo_sink import _file_recorder
+    from transferia_spark.schema.colschema import TableID
+    from transferia_spark.sinks.base import build_sink
+
+    spark.dataSource.register(ChangeStreamJsonDataSource)
+    csdir = str(tmp_path / "cs")
+    schema = change_stream_output_schema("_id long, v string, w string")
+    got: list = []
+    _emit(csdir, "000.jsonl", [
+        # one partial event: $set v, $unset w (x of the doc untouched)
+        {"operationType": "update", "clusterTime": 2, "order": 0,
+         "documentKey": {"_id": 1}, "ns": {"db": "db", "coll": "c"},
+         "updateDescription": {"updatedFields": {"v": "b"},
+                               "removedFields": ["w"]}},
+    ])
+    _run(spark, "mongostream", schema, csdir, str(tmp_path / "ckpt"), got)
+    (row,) = got
+    assert row["_removed"] == ["w"]
+    assert sorted(row["_present"]) == ["_id", "v", "w"]
+    batch = spark.createDataFrame(got, schema).drop("_table")
+    with tempfile.NamedTemporaryFile(suffix=".jsonl") as tf:
+        sink = build_sink("mongo", database="db",
+                          applier_factory=_file_recorder(tf.name))
+        sink.write_cdc(batch, TableID("", "c"), keys=["_id"])
+        ops = [op for line in open(tf.name)
+               for op in json.loads(line)["bulks"][0]]
+    (op,) = ops
+    assert op["op"] == "update"
+    assert op["filter"] == {"_id": 1}
+    assert op["set"] == {"v": "b"}
+    assert op["unset"] == ["w"]
+
+
 def test_binlog_replication_pipeline_end_to_end(spark, tmp_path):
     """Full integration of the round's pieces: binlog DataSource stream
     → ReplicationPipeline → bucket-scoped CDC sink, with a checkpoint

@@ -337,7 +337,7 @@ def test_partial_update_becomes_update_one(spark, recorder):
             # full insert: replace with every column
             (1, "v1", "w1", "i", 10, 0, None),
             # partial update of k=2: only v carried (w untouched on
-            # the target; a removed field would ride carried-as-NULL)
+            # the target; a removed field rides _removed → $unset)
             (2, "v2b", None, "u", 11, 0, ["v"]),
         ],
         f"k long, v string, w string, {OP_COL} string, {LSN_COL} long, "
@@ -352,6 +352,158 @@ def test_partial_update_becomes_update_one(spark, recorder):
     assert "w" not in got[2]["set"] and "doc" not in got[2]
     # the presence marker itself never leaks into documents
     assert "_present" not in got[1]["doc"]
+
+
+def test_partial_update_unset_and_genuine_null(spark, recorder):
+    """≈ makeUpdateModel (write_models.go:23-47): a REMOVED field
+    ($unset / removedFields) emits a true $unset — not an explicit
+    null — while a carried SET col = NULL patches explicit null (the
+    null-dropping doc JSON cannot carry it, so the planner
+    reconstructs it from presence − removal). A later $set clears an
+    earlier $unset through the collapse fold."""
+    factory, _, ops = recorder
+    sink = build_sink("mongo", database="db", applier_factory=factory)
+    batch = spark.createDataFrame(
+        [
+            # k=1: one partial event sets v to NULL and removes w
+            # (u stays uncarried — all-carried rows upgrade to replace)
+            (1, None, None, None, "u", 10, 0, ["v", "w"], ["w"]),
+            # k=2: $unset of v at lsn 20 then $set v=x at lsn 21 —
+            # the net write is the SET, no $unset survives
+            (2, None, None, None, "u", 20, 0, ["v"], ["v"]),
+            (2, "x", None, None, "u", 21, 0, ["v"], None),
+        ],
+        f"k long, v string, w string, u string, {OP_COL} string, "
+        f"{LSN_COL} long, {COUNTER_COL} int, _present array<string>, "
+        "_removed array<string>",
+    )
+    sink.write_cdc(batch, TableID("", "t"), keys=["k"])
+    got = {op["filter"]["_id"]: op for op in ops()}
+    assert got[1]["op"] == "update"
+    assert got[1]["set"] == {"v": None}       # genuine SET v = NULL
+    assert got[1]["unset"] == ["w"]           # true removal
+    assert got[2]["op"] == "update"
+    assert got[2]["set"] == {"v": "x"}
+    assert "unset" not in got[2]
+
+
+def test_partial_unset_only_update(spark, recorder):
+    """An event that ONLY removes fields still emits an UpdateOne
+    (unset-only, no $set) — and never a replace that would wipe the
+    uncarried columns."""
+    factory, _, ops = recorder
+    sink = build_sink("mongo", database="db", applier_factory=factory)
+    batch = spark.createDataFrame(
+        [(1, None, None, "u", 10, 0, ["v"], ["v"])],
+        f"k long, v string, w string, {OP_COL} string, {LSN_COL} long, "
+        f"{COUNTER_COL} int, _present array<string>, "
+        "_removed array<string>",
+    )
+    sink.write_cdc(batch, TableID("", "t"), keys=["k"])
+    (op,) = ops()
+    assert op["op"] == "update"
+    assert op["unset"] == ["v"] and "set" not in op
+
+
+def test_shared_wire_adapter_memoizes_dials():
+    """Per-executor client memo: two fetches over the same uri ride
+    ONE TCP dial; a dead socket evicts and retries once on a fresh
+    dial (advisor/verdict r13 — ~16 TLS+SCRAM handshakes per batch
+    per table otherwise)."""
+    from test_mongo_wire import LoopbackMongod
+    from transferia_spark.sinks.mongo import wire_doc_key_fetcher
+    from transferia_spark.streaming import mongo_wire as mw
+
+    srv = LoopbackMongod({
+        "db.t": [
+            {"_id": 1, "region": "eu"},
+            {"_id": 2, "region": "us"},
+        ],
+    })
+    uri = f"mongodb://127.0.0.1:{srv.port}/"
+    try:
+        mw.evict_shared_adapter(uri)
+        before = srv.dial_count() if hasattr(srv, "dial_count") else None
+        d1 = wire_doc_key_fetcher(uri, "db", "t", [1], ["region", "_id"])
+        d2 = wire_doc_key_fetcher(uri, "db", "t", [2], ["region", "_id"])
+        assert d1[0]["region"] == "eu" and d2[0]["region"] == "us"
+        assert (uri, 30.0) in mw._SHARED_ADAPTERS
+        if before is not None:
+            assert srv.dial_count() - before == 1
+        # kill the cached socket server-side: the next call must evict
+        # and transparently redial (with_shared_adapter retry-once)
+        mw._SHARED_ADAPTERS[(uri, 30.0)]._client._sock.close()
+        d3 = wire_doc_key_fetcher(uri, "db", "t", [1], ["region", "_id"])
+        assert d3[0]["region"] == "eu"
+        if before is not None:
+            assert srv.dial_count() - before == 2
+    finally:
+        mw.evict_shared_adapter(uri)
+        srv.close()
+
+
+def test_fetcher_normalizes_wire_types():
+    """Fetched stored-key values pass through bson_to_jsonable: wire
+    wrapper types (ObjectId/datetime) become JSON-safe forms BEFORE
+    they reach filters/the cache, so a non-_id shard key of such a
+    type never hits a pymongo filter it cannot encode and cache keys
+    render deterministically (advisor r13)."""
+    import datetime as dt
+
+    from test_mongo_wire import LoopbackMongod
+    from transferia_spark.sinks.mongo import (
+        _id_cache_key,
+        wire_doc_key_fetcher,
+    )
+    from transferia_spark.streaming import mongo_wire as mw
+
+    oid = mw.ObjectId(b"\x01" * 12)
+    when = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    srv = LoopbackMongod({
+        "db.t": [{"_id": oid, "region": when}],
+    })
+    uri = f"mongodb://127.0.0.1:{srv.port}/"
+    try:
+        docs = wire_doc_key_fetcher(uri, "db", "t", [oid],
+                                    ["region", "_id"])
+        (doc,) = docs
+        assert doc["_id"] == oid.raw.hex()        # not an ObjectId
+        assert isinstance(doc["region"], str)     # ISO, not datetime
+        # cache keys are pure-JSON on both sides — json.dumps never
+        # falls back to default=str on a fetched value
+        _id_cache_key(doc["_id"])
+        import json as _json
+        _json.dumps(doc)  # fully JSON-safe
+    finally:
+        mw.evict_shared_adapter(uri)
+        srv.close()
+
+
+def test_shard_key_info_ttl_refresh(recorder):
+    """The shard-key memo refreshes after its TTL: a collection
+    sharded mid-transfer is picked up by a later batch instead of
+    riding stale _id-only filters forever (advisor r13; the reference
+    rebuilds the context every push)."""
+    factory, _, _ = recorder
+    from transferia_spark.sinks.mongo import ShardKeyInfo
+
+    calls = []
+
+    def provider(uri, db, coll):
+        calls.append(coll)
+        return ShardKeyInfo(["region"]) if len(calls) > 1 else None
+
+    sink = build_sink(
+        "mongo", database="db", keys=["k"], applier_factory=factory,
+        shard_key_provider=provider, shard_key_ttl=0.0,
+    )
+    assert sink._shard_key_info("db", "t") is None
+    info = sink._shard_key_info("db", "t")   # TTL 0 → re-read
+    assert info is not None and info.fields == ["region"]
+    assert len(calls) == 2
+    sink.shard_key_ttl = 3600.0
+    sink._shard_key_info("db", "t")          # within TTL → memo
+    assert len(calls) == 2
 
 
 def test_partial_update_shard_key_patch(spark, recorder):
@@ -404,11 +556,14 @@ def test_partial_update_shard_key_patch(spark, recorder):
 def test_plan_sharded_ops_property_model():
     """Model-based property: for ANY event sequence and stored-key
     seed, applying the planned ops with real filter semantics
-    (ReplaceOne upsert / UpdateOne / DeleteOne against a store seeded
-    at the stored key values) reaches the same final state as naive
-    per-id event application — and no replace's filter ever MISSES an
-    existing document (the mis-routing bug class the shard-key cache
-    exists to prevent)."""
+    (ReplaceOne upsert / UpdateOne upsert / DeleteOne against a store
+    seeded at the stored key values) reaches the same final state as
+    naive per-id event application — and no replace's filter ever
+    MISSES an existing document (the mis-routing bug class the
+    shard-key cache exists to prevent). r14 extends the model with the
+    reference's partial-update contract (write_models.go:23-47):
+    removed fields emit $unset, UpdateOne upserts a missing target
+    document instead of silently no-opping."""
     import json as _json
 
     from hypothesis import given, settings
@@ -421,7 +576,8 @@ def test_plan_sharded_ops_property_model():
     events = st.lists(
         st.tuples(
             ids,
-            st.sampled_from(["i", "u", "d", "p"]),  # p = partial
+            # p = partial set of v, r = partial REMOVAL of v
+            st.sampled_from(["i", "u", "d", "p", "r"]),
             st.sampled_from(REGIONS),
             st.integers(min_value=0, max_value=9),   # v payload
             st.booleans(),                           # partial carries region?
@@ -429,6 +585,10 @@ def test_plan_sharded_ops_property_model():
         min_size=1, max_size=10,
     )
     seeds = st.dictionaries(ids, st.sampled_from(REGIONS), max_size=4)
+
+    def _doc_json(d):
+        # mimic Catalyst to_json: null fields are DROPPED
+        return _json.dumps({k: v for k, v in d.items() if v is not None})
 
     @settings(max_examples=150, deadline=None)
     @given(events, seeds)
@@ -444,23 +604,24 @@ def test_plan_sharded_ops_property_model():
         }
         rows = []
         for i, op, region, v, carries_region in evs:
-            if op == "p":
-                carried = ["region", "v"] if carries_region else ["v"]
+            if op in ("p", "r"):
                 present = {"region": carries_region, "v": True}
+                removed = {"region": False, "v": op == "r"}
                 rows.append({
                     "_id_json": _json.dumps({"v": i}),
-                    "_doc_json": _json.dumps(
-                        {"k": i, "region": region if carries_region
-                         else None, "v": v}
+                    "_doc_json": _doc_json(
+                        {"k": i,
+                         "region": region if carries_region else None,
+                         "v": None if op == "r" else v}
                     ),
                     "_present_json": _json.dumps(present),
+                    "_removed_json": _json.dumps(removed),
                     "_shard": 0, "_mop": "u",
                 })
-                _ = carried
             else:
                 rows.append({
                     "_id_json": _json.dumps({"v": i}),
-                    "_doc_json": _json.dumps(
+                    "_doc_json": _doc_json(
                         {"k": i, "region": region, "v": v}
                     ),
                     "_present_json": None,
@@ -477,17 +638,30 @@ def test_plan_sharded_ops_property_model():
         for i, op, region, v, carries_region in evs:
             if op == "d":
                 expected.pop(i, None)
-            elif op == "p":
-                if carries_region:
-                    # every column carried → the planner upgrades the
-                    # row to a replace (upsert heals a missing doc —
-                    # the standard CDC-sink stance; the reference's
-                    # UpdateOne would silently no-op instead)
+            elif op in ("p", "r"):
+                if carries_region and op == "p":
+                    # every column carried, none removed → the planner
+                    # upgrades the row to a full replace
                     expected[i] = {"_id": i, "region": region, "v": v}
+                elif carries_region:
+                    # op == "r" carrying region: all columns carried
+                    # but v is net-REMOVED, so the planner stays on
+                    # the UpdateOne path ($set region, $unset v) —
+                    # final state {_id, region} either way
+                    expected[i] = {"_id": i, "region": region}
                 elif i in expected:
-                    # genuine partial: patch carried columns only,
-                    # no-op when the document does not exist
-                    expected[i]["v"] = v
+                    # genuine partial: patch/remove carried columns
+                    if op == "r":
+                        expected[i].pop("v", None)
+                    else:
+                        expected[i]["v"] = v
+                else:
+                    # UpdateOne upsert ≈ SetUpsert(true): a missing
+                    # target document is CREATED from the filter's
+                    # equality fields + $set (write_models.go:35)
+                    expected[i] = (
+                        {"_id": i} if op == "r" else {"_id": i, "v": v}
+                    )
             else:
                 expected[i] = {"_id": i, "region": region, "v": v}
 
@@ -506,13 +680,19 @@ def test_plan_sharded_ops_property_model():
                         if doc is not None:
                             del store[oid]
                     elif op_dict["op"] == "update":
-                        if doc is not None:
+                        if doc is None:
+                            # mongo upsert: new doc = filter equality
+                            # fields + $set ($unset is a no-op there)
+                            doc = store[oid] = dict(op_dict["filter"])
+                        else:
                             assert matches(doc, op_dict["filter"]), (
                                 "UpdateOne filter missed the live "
                                 f"document: {op_dict['filter']} vs {doc}"
                             )
-                            for c, val in op_dict["set"].items():
-                                doc[c] = val  # null $set writes null
+                        for c, val in op_dict.get("set", {}).items():
+                            doc[c] = val  # null $set writes null
+                        for c in op_dict.get("unset", []):
+                            doc.pop(c, None)
                     else:  # replace, upsert
                         if doc is not None:
                             assert matches(doc, op_dict["filter"]), (

@@ -195,11 +195,15 @@ class LoopbackMongod:
         self._srv.listen(16)
         self.port = self._srv.getsockname()[1]
         self._closed = False
+        self._dials = 0  # accepted connections (client-memo tests)
         threading.Thread(target=self._accept, daemon=True).start()
 
     def close(self):
         self._closed = True
         self._srv.close()
+
+    def dial_count(self) -> int:
+        return self._dials
 
     def _accept(self):
         while not self._closed:
@@ -207,6 +211,7 @@ class LoopbackMongod:
                 conn, _ = self._srv.accept()
             except OSError:
                 return
+            self._dials += 1
             if self._tls_ctx is not None:
                 try:
                     conn = self._tls_ctx.wrap_socket(

@@ -49,6 +49,15 @@ BEFORE_COL = "_before"
 # present-with-NULL).
 TOASTED_COL = "_toasted"
 PRESENT_COL = "_present"
+# Removal marker: an array<string> of column names the event REMOVED
+# from the document (Mongo ``updateDescription.removedFields`` /
+# ``$unset``). Removed columns must ALSO appear in ``_present`` — a
+# removal is a carried write (it beats an older ``$set`` in the
+# collapse fold) — with a NULL value; ``_removed`` is what lets a
+# document sink emit a true ``$unset`` instead of an explicit null
+# (≈ ``write_models.go makeUpdateModel:23-47``). Relational sinks may
+# ignore it: there, removed ≡ SET col = NULL.
+REMOVED_COL = "_removed"
 
 META_COLS = (
     OP_COL,
@@ -59,6 +68,7 @@ META_COLS = (
     BEFORE_COL,
     TOASTED_COL,
     PRESENT_COL,
+    REMOVED_COL,
 )
 
 OP_INSERT = "i"

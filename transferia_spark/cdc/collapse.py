@@ -31,6 +31,7 @@ from transferia_spark.cdc.changeitem import (
     OP_DELETE,
     OP_INSERT,
     OP_UPDATE,
+    REMOVED_COL,
     column_present,
     has_partial_rows,
     keys_changed,
@@ -41,6 +42,11 @@ from transferia_spark.cdc.changeitem import (
 # whether any event in the batch carried the column (distinct from the
 # input-side PRESENT_COL, which is array<string> per row).
 PRESENT_NET_COL = "_present_net"
+# companion struct<col:boolean>: the key's NET write for the column is a
+# REMOVAL (the seq-winning carrying event listed it in ``_removed``) —
+# document sinks turn these into ``$unset`` instead of explicit nulls.
+# Emitted only when the input declares a ``_removed`` marker.
+REMOVED_NET_COL = "_removed_net"
 
 
 def normalize_pk_changes(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -148,6 +154,7 @@ def collapse(
         payload = [c for c in payload_columns(df) if c not in keys]
         seq = F.struct(F.col(LSN_COL), F.col(COUNTER_COL))
         marked = has_partial_rows(df)
+        track_removed = with_presence and REMOVED_COL in df.columns
 
         aggs = [
             F.max_by(F.col(OP_COL), seq).alias("_last_op"),
@@ -170,6 +177,18 @@ def collapse(
             if with_presence:
                 aggs.append(
                     F.max(F.when(carried, F.lit(True))).alias(f"_has_{c}")
+                )
+            if track_removed:
+                # the removed bit of the SEQ-WINNING carrying event: a
+                # later $set clears an earlier $unset and vice versa
+                removed_c = F.coalesce(
+                    F.array_contains(F.col(REMOVED_COL), F.lit(c)),
+                    F.lit(False),
+                )
+                aggs.append(
+                    F.max_by(removed_c, F.when(carried, seq)).alias(
+                        f"_rm_{c}"
+                    )
                 )
 
         # A key inserted AND deleted within the batch nets to a DELETE,
@@ -202,6 +221,15 @@ def collapse(
                         for c in payload
                     ]
                 ).alias(PRESENT_NET_COL)
+            )
+        if track_removed:
+            extra.append(
+                F.struct(
+                    *[
+                        F.coalesce(F.col(f"_rm_{c}"), F.lit(False)).alias(c)
+                        for c in payload
+                    ]
+                ).alias(REMOVED_NET_COL)
             )
         select_cols = [
             *[F.col(k) for k in keys],

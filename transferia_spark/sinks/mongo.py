@@ -48,10 +48,15 @@ from transferia_spark.cdc.changeitem import (
     OP_COL,
     OP_DELETE,
     PRESENT_COL,
+    REMOVED_COL,
     TOASTED_COL,
     has_partial_rows,
 )
-from transferia_spark.cdc.collapse import PRESENT_NET_COL, collapse
+from transferia_spark.cdc.collapse import (
+    PRESENT_NET_COL,
+    REMOVED_NET_COL,
+    collapse,
+)
 from transferia_spark.schema.colschema import TableID
 from transferia_spark.sinks.base import CleanupPolicy, Sink, register_sink
 from transferia_spark.sinks.clickhouse import fnv1a32
@@ -59,7 +64,8 @@ from transferia_spark.sinks.clickhouse import fnv1a32
 WRITE_SHARDS = 16  # sinkWriteConcurrency in the reference
 _SYSTEM_COLS = (
     OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before",
-    "_batch", PRESENT_COL, PRESENT_NET_COL, TOASTED_COL,
+    "_batch", PRESENT_COL, PRESENT_NET_COL, REMOVED_COL,
+    REMOVED_NET_COL, TOASTED_COL,
 )
 
 
@@ -132,15 +138,13 @@ def wire_shard_key_provider(uri: str, database: str,
     "unsharded" by the caller with a warning — the reference does the
     same (``newShardedCollectionSinkContext`` Debugf) because plain
     replica sets have no config.collections to ask."""
-    from transferia_spark.streaming.mongo_wire import MongoWireAdapter
+    from transferia_spark.streaming.mongo_wire import with_shared_adapter
 
-    adapter = MongoWireAdapter(uri)
-    try:
-        docs = list(adapter["config"]["collections"].find(
+    docs = with_shared_adapter(uri, lambda a: list(
+        a["config"]["collections"].find(
             filter={"_id": f"{database}.{collection}"}, limit=1,
-        ))
-    finally:
-        adapter.close()
+        )
+    ))
     if not docs or not isinstance(docs[0].get("key"), dict):
         return None
     return ShardKeyInfo(list(docs[0]["key"].keys()))
@@ -151,21 +155,29 @@ def wire_doc_key_fetcher(uri: str, database: str, collection: str,
     """Default stored-key lookup (≈ ``sharded_collection.go
     Init:25``): one ``$in`` find over the batch's ids projecting only
     ``_id`` + the non-``_id`` shard-key paths — O(batch) per
-    partition, never O(collection)."""
-    from transferia_spark.streaming.mongo_wire import MongoWireAdapter
+    partition, never O(collection). The adapter is per-process memoized
+    (one TCP+TLS+SCRAM dial per executor instead of one per partition
+    per batch). Fetched values are normalized through
+    ``bson_to_jsonable`` so (a) wire-plane wrapper types
+    (ObjectId/Decimal128/datetime) never reach a pymongo filter they
+    cannot BSON-encode, and (b) the stored-key cache keys render
+    deterministically on both sides (advisor r13)."""
+    from transferia_spark.streaming.mongo_wire import (
+        bson_to_jsonable,
+        with_shared_adapter,
+    )
 
     projection = {"_id": 1}
     for f in fields:
         if not _uses_id(f):
             projection[f] = 1
-    adapter = MongoWireAdapter(uri)
-    try:
-        return list(adapter[database][collection].find(
+    docs = with_shared_adapter(uri, lambda a: list(
+        a[database][collection].find(
             filter={"_id": {"$in": list(ids)}},
             projection=projection,
-        ))
-    finally:
-        adapter.close()
+        )
+    ))
+    return [bson_to_jsonable(d) for d in docs]
 
 
 def _id_cache_key(id_val) -> str:
@@ -208,12 +220,25 @@ def plan_sharded_ops(rows, key_fields: list[str],
                 if "_present_json" in row and row["_present_json"]
                 else None
             )
+            removed_net = (
+                json.loads(row["_removed_json"])
+                if "_removed_json" in row and row["_removed_json"]
+                else {}
+            )
             carried = (
                 None if presence is None
                 else {c for c, b in presence.items() if b}
             )
-            partial = carried is not None and any(
-                not b for b in presence.values()
+            # partial when any column is uncarried OR any net write is
+            # a removal: a removal can only come from a partial event
+            # (full images carry every column and clear the bit in the
+            # fold), and replacing there would wipe the target's
+            # UNDECLARED fields a mongo document may carry outside the
+            # probed schema — the reference's makeUpdateModel applies
+            # $set/$unset for every partial update (write_models.go:23)
+            partial = carried is not None and (
+                any(not b for b in presence.values())
+                or any(removed_net.get(c) for c in carried)
             )
             if pk_cols is not None:
                 # single-PK payload column becomes the document _id;
@@ -266,19 +291,31 @@ def plan_sharded_ops(rows, key_fields: list[str],
                     if ok:
                         flt[f] = v  # mongos targets one shard
             if partial:
-                # UpdateOne $set over the carried columns only — a
-                # replace would wipe every uncarried field. A removed
-                # source field arrives carried-with-NULL and writes an
-                # explicit null (the recorded-reader contract; a true
-                # $unset would need a removal marker collapse does not
-                # carry — documented divergence). Intersect with the
-                # DOC's columns: presence can name system columns the
-                # doc excludes (_batch), which must not leak as
-                # spurious null patches (code-review r13 pass 2)
-                patch = {c: doc[c] for c in sorted(carried) if c in doc}
-                if not patch:
+                # UpdateOne over the carried columns only — a replace
+                # would wipe every uncarried field. A column the net
+                # removal marker flags becomes a true ``$unset``
+                # (≈ makeUpdateModel, write_models.go:23-47); a carried
+                # column ABSENT from the null-dropping doc JSON is a
+                # genuine SET col = NULL and patches explicit null.
+                # planned() projects presence/removal to PAYLOAD
+                # columns only, so system columns (_batch) can never
+                # leak as spurious null patches (code-review r13 pass 2)
+                patch = {}
+                unset = []
+                for c in sorted(carried):
+                    if removed_net.get(c):
+                        unset.append(c)
+                    elif c in doc:
+                        patch[c] = doc[c]
+                    else:
+                        patch[c] = None
+                if not patch and not unset:
                     continue  # nothing carried: nothing to apply
-                op = {"op": "update", "filter": flt, "set": patch}
+                op = {"op": "update", "filter": flt}
+                if patch:
+                    op["set"] = patch
+                if unset:
+                    op["unset"] = unset
             else:
                 op = {"op": "replace", "filter": flt, "doc": doc}
             if isolated:
@@ -322,6 +359,14 @@ class BulkSplitter:
         return self.bulks
 
 
+#: per-process pymongo client memo (the schema-registry ``client_for``
+#: pattern): the applier factory runs once per partition per batch, and
+#: a fresh MongoClient there is a fresh connection-pool handshake —
+#: ~WRITE_SHARDS of them per batch per table (advisor/verdict r13).
+#: MongoClient is thread-safe and pools internally, so sharing is safe.
+_PYMONGO_CLIENTS: dict = {}
+
+
 def pymongo_applier(uri: str):
     """Real applier (gated): returns a callable applying bulks to a
     collection via pymongo's BulkWrite, unordered per bulk."""
@@ -333,7 +378,9 @@ def pymongo_applier(uri: str):
             "or inject an applier via applier_factory"
         ) from e
 
-    client = pymongo.MongoClient(uri)
+    client = _PYMONGO_CLIENTS.get(uri)
+    if client is None:
+        client = _PYMONGO_CLIENTS[uri] = pymongo.MongoClient(uri)
 
     def apply(database: str, collection: str, bulks: Iterable[list[dict]]) -> None:
         coll = client[database][collection]
@@ -359,7 +406,12 @@ def pymongo_applier(uri: str):
                         update["$set"] = op["set"]
                     if op.get("unset"):
                         update["$unset"] = {k: "" for k in op["unset"]}
-                    models.append(pymongo.UpdateOne(op["filter"], update, upsert=False))
+                    # upsert=True ≈ makeUpdateModel SetUpsert(true)
+                    # (write_models.go:35): a partial patch for a
+                    # document missing at the target creates the
+                    # partial document (filter equality fields + $set)
+                    # instead of silently no-opping
+                    models.append(pymongo.UpdateOne(op["filter"], update, upsert=True))
             if models:
                 coll.bulk_write(models, ordered=False)
 
@@ -383,6 +435,7 @@ class MongoSink(Sink):
         shard_key_provider: Callable[..., ShardKeyInfo | None] | None = None,
         doc_key_fetcher: Callable[..., list[dict]] | None = None,
         sharded_upserts: bool = True,
+        shard_key_ttl: float = 60.0,
     ):
         self.uri, self.database = uri, database
         self.keys = keys or ["_id"]
@@ -400,33 +453,47 @@ class MongoSink(Sink):
         self.sharded_upserts = sharded_upserts and not (
             applier_factory is not None and shard_key_provider is None
         )
-        self._shard_info_cache: dict[str, ShardKeyInfo | None] = {}
+        # TTL on the per-(db, collection) shard-key memo: the reference
+        # rebuilds the sharded-collection context on every push
+        # (newShardedCollectionSinkContext per bulk); a bounded TTL
+        # keeps a collection sharded/resharded MID-transfer from riding
+        # stale filters forever while still amortizing the
+        # config.collections read across batches (advisor r13).
+        # shard_key_ttl <= 0 re-reads every push.
+        self.shard_key_ttl = shard_key_ttl
+        self._shard_info_cache: dict[
+            str, tuple[ShardKeyInfo | None, float]
+        ] = {}
 
     def _shard_key_info(self, database: str,
                         collection: str) -> ShardKeyInfo | None:
-        """Driver-side, once per (db, collection) per sink: the shard
-        key from config.collections, or None when the target is not a
-        sharded collection (also when sharded_upserts=False or the
-        default provider is used with an applier-injected test
+        """Driver-side, once per (db, collection) per TTL window: the
+        shard key from config.collections, or None when the target is
+        not a sharded collection (also when sharded_upserts=False or
+        the default provider is used with an applier-injected test
         double — there is no config db to ask)."""
         if not self.sharded_upserts:
             return None
-        key = f"{database}.{collection}"
-        if key not in self._shard_info_cache:
-            try:
-                self._shard_info_cache[key] = self.shard_key_provider(
-                    self.uri, database, collection
-                )
-            except Exception as e:  # ≈ reference: debug-log + disable
-                import logging
+        import time
 
-                logging.getLogger(__name__).warning(
-                    "cannot read shard key for %s (%s) — treating the "
-                    "target as unsharded; upserts filter on _id only",
-                    key, e,
-                )
-                self._shard_info_cache[key] = None
-        return self._shard_info_cache[key]
+        key = f"{database}.{collection}"
+        hit = self._shard_info_cache.get(key)
+        now = time.monotonic()
+        if hit is not None and now - hit[1] < self.shard_key_ttl:
+            return hit[0]
+        try:
+            info = self.shard_key_provider(self.uri, database, collection)
+        except Exception as e:  # ≈ reference: debug-log + disable
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cannot read shard key for %s (%s) — treating the "
+                "target as unsharded; upserts filter on _id only",
+                key, e,
+            )
+            info = None
+        self._shard_info_cache[key] = (info, now)
+        return info
 
     # -- planning ----------------------------------------------------
 
@@ -441,6 +508,22 @@ class MongoSink(Sink):
         """(_id_json, _doc_json, _shard, _op?, _lsn, _counter) — every
         expensive transformation stays in Catalyst."""
         payload = [c for c in df.columns if c not in _SYSTEM_COLS]
+
+        def _net_json(net_col: str):
+            # per-column net bits from the presence-aware collapse,
+            # projected to PAYLOAD columns only: the collapse struct
+            # can name system columns (_batch rides outside META_COLS)
+            # which must never become patch keys (code-review r13)
+            if net_col not in df.columns:
+                return F.lit(None).cast("string")
+            fields = [
+                f.name for f in df.schema[net_col].dataType.fields
+                if f.name in payload
+            ]
+            return F.to_json(F.struct(
+                *[F.col(f"{net_col}.{c}").alias(c) for c in fields]
+            ))
+
         id_col = self._id_column(df)
         id_str = F.to_json(F.struct(id_col.alias("v")))
         cols = [
@@ -450,14 +533,11 @@ class MongoSink(Sink):
             (F.col(OP_COL) if OP_COL in df.columns else F.lit("i")).alias("_mop"),
             (F.col(LSN_COL) if LSN_COL in df.columns else F.lit(0)).alias("_mlsn"),
             (F.col(COUNTER_COL) if COUNTER_COL in df.columns else F.lit(0)).alias("_mctr"),
-            # per-column carried bits from the presence-aware collapse
-            # — partial change-stream updates become UpdateOne $set ops
-            # instead of replaces that would wipe uncarried fields
-            (
-                F.to_json(F.col(PRESENT_NET_COL))
-                if PRESENT_NET_COL in df.columns
-                else F.lit(None).cast("string")
-            ).alias("_present_json"),
+            # partial change-stream updates become UpdateOne ops
+            # instead of replaces that would wipe uncarried fields;
+            # net-removed columns become true $unset ops
+            _net_json(PRESENT_NET_COL).alias("_present_json"),
+            _net_json(REMOVED_NET_COL).alias("_removed_json"),
         ]
         return df.select(*cols)
 

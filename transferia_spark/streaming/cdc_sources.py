@@ -46,7 +46,9 @@ from pyspark.sql.datasource import (
 from transferia_spark.cdc.envelopes import MYSQL_FILE_OFFSET
 from transferia_spark.streaming.wal_source import wal_output_schema
 
-_META_FIELDS = ("_op", "_lsn", "_counter", "_table", "_before", "_present")
+_META_FIELDS = (
+    "_op", "_lsn", "_counter", "_table", "_before", "_present", "_removed",
+)
 
 _MYSQL_OPS = {"insert": "i", "update": "u", "delete": "d"}
 _MONGO_OPS = {"insert": "i", "update": "u", "replace": "u", "delete": "d"}
@@ -472,6 +474,10 @@ def change_stream_output_schema(doc_ddl: str) -> T.StructType:
             T.StructField("_counter", T.IntegerType(), False),
             T.StructField("_table", T.StringType(), True),
             T.StructField("_present", T.ArrayType(T.StringType()), True),
+            # removedFields of a partial update ($unset): also listed in
+            # _present (a removal is a carried NULL write for the fold);
+            # document sinks turn them into true $unset ops
+            T.StructField("_removed", T.ArrayType(T.StringType()), True),
         ]
     )
 
@@ -679,16 +685,21 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
                     if op == "d":
                         vals = {}
                         present = None
+                        removed_out = None
                     elif full is not None:
                         vals = dict(full)
                         present = None  # full image: every column carried
+                        removed_out = None
                     else:
                         # partial update: updated names carry values,
-                        # removed names carry NULL (an $unset IS an
-                        # explicit NULL write), everything else is
-                        # ABSENT (the _present contract collapse folds on)
+                        # removed names carry NULL and are ALSO named in
+                        # _removed (document sinks emit a true $unset;
+                        # relational sinks apply the carried NULL),
+                        # everything else is ABSENT (the _present
+                        # contract collapse folds on)
                         vals = dict(updated)
                         present = ["_id", *updated.keys(), *removed]
+                        removed_out = list(removed) or None
                     ns = ev.get("ns") or {}
                     table = ".".join(
                         x for x in (ns.get("db"), ns.get("coll")) if x
@@ -696,7 +707,7 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
                     yield tuple(
                         doc_key if n == "_id" else vals.get(n)
                         for n in self.payload_fields
-                    ) + (op, pos[0], pos[1], table, present)
+                    ) + (op, pos[0], pos[1], table, present, removed_out)
                 except Exception as e:  # noqa: BLE001 — routed, not dropped
                     if self.dead_letter:
                         dead_letter_record(

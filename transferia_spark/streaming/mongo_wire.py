@@ -1576,6 +1576,46 @@ def mongo_wire_client_factory(uri: str) -> MongoWireAdapter:
     return MongoWireAdapter(uri)
 
 
+#: per-process adapter memo (the schema-registry ``client_for``
+#: pattern, parsers/schema_registry.py:606): the mongo sink's
+#: shard-key provider/fetcher run once per partition per batch, and a
+#: fresh adapter there is a fresh TCP+TLS+SCRAM handshake — at
+#: WRITE_SHARDS=16 and a ~333ms batch cadence that is ~48 dials/second
+#: per table against a sharded target. PySpark executor workers run
+#: one task at a time per process, so a shared single-socket client is
+#: never used concurrently within a process.
+_SHARED_ADAPTERS: dict = {}
+
+
+def shared_wire_adapter(uri: str, timeout: float = 30.0) -> MongoWireAdapter:
+    key = (uri, timeout)
+    a = _SHARED_ADAPTERS.get(key)
+    if a is None:
+        a = _SHARED_ADAPTERS[key] = MongoWireAdapter(uri, timeout=timeout)
+    return a
+
+
+def evict_shared_adapter(uri: str, timeout: float = 30.0) -> None:
+    a = _SHARED_ADAPTERS.pop((uri, timeout), None)
+    if a is not None:
+        try:
+            a.close()
+        except OSError:
+            pass
+
+
+def with_shared_adapter(uri: str, fn, timeout: float = 30.0):
+    """Run ``fn(adapter)`` on the memoized adapter; on a transport
+    error (a long-idle pooled socket the server closed, a failover)
+    evict the dead client and retry ONCE on a fresh dial — server-side
+    errors (MongoServerError) propagate without eviction."""
+    try:
+        return fn(shared_wire_adapter(uri, timeout))
+    except OSError:
+        evict_shared_adapter(uri, timeout)
+        return fn(shared_wire_adapter(uri, timeout))
+
+
 __all__ = [
     "Binary",
     "BsonTimestamp",
@@ -1601,5 +1641,8 @@ __all__ = [
     "mongo_wire_client_factory",
     "parse_mongo_uri",
     "resolve_srv_seedlist",
+    "shared_wire_adapter",
+    "evict_shared_adapter",
+    "with_shared_adapter",
     "srv_target_in_parent_domain",
 ]

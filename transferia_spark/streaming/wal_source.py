@@ -44,7 +44,9 @@ from pyspark.sql.datasource import (
 
 _ACTIONS = {"I": "i", "U": "u", "D": "d"}
 
-_META_FIELDS = ("_op", "_lsn", "_counter", "_table", "_before", "_present")
+_META_FIELDS = (
+    "_op", "_lsn", "_counter", "_table", "_before", "_present", "_removed",
+)
 
 # payload types pa.array converts from plain JSON-decoded values with
 # the same strictness as the worker's per-cell converters — anything
