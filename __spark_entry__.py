@@ -1881,6 +1881,121 @@ def q_oplog_applyops_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oplog_txn_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: PREPARED / multi-entry transactions in the Mongo oplog
+    fallback (streaming/mongo_wire.OplogTransactionBuffer — beyond the
+    reference, which drops ALL applyOps): per nation key, a prepared
+    transaction (prepare:true applyOps with an insert + a delete) is
+    followed by commitTransaction (k%3≠0 — events emit RESTAMPED to
+    the commit entry's ts) or abortTransaction (k%3=0 — nothing
+    surfaces); even keys add an unprepared partialTxn chain flushed by
+    its final applyOps entry. Entries are BSON-encoded on the driver;
+    EXECUTOR tasks feed them through the buffer — including a
+    mid-sequence to_state→JSON→from_state round trip, the drain's
+    crash-persistence sidecar path. The oracle recomputes every
+    surviving event relationally."""
+    from transferia_spark.streaming.mongo_wire import (
+        BsonTimestamp,
+        encode_document,
+    )
+
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    )
+    rows_bin = []
+    for r in nat:
+        k = int(r.n_nationkey)
+        lsid = {"id": f"s{k}"}
+        entries = [{
+            "op": "c", "ts": BsonTimestamp(800 + k, 1),
+            "ns": "admin.$cmd", "lsid": lsid, "txnNumber": 1,
+            "o": {"applyOps": [
+                {"op": "i", "ns": "shop.customers",
+                 "o": {"_id": k, "name": r.n_name}},
+                {"op": "d", "ns": "shop.audit",
+                 "o": {"_id": 10_000 + k}},
+            ], "prepare": True},
+        }]
+        if k % 3 == 0:
+            entries.append({
+                "op": "c", "ts": BsonTimestamp(800 + k, 2),
+                "ns": "admin.$cmd", "lsid": lsid, "txnNumber": 1,
+                "o": {"abortTransaction": 1},
+            })
+        else:
+            entries.append({
+                "op": "c", "ts": BsonTimestamp(800 + k, 3),
+                "ns": "admin.$cmd", "lsid": lsid, "txnNumber": 1,
+                "o": {"commitTransaction": 1,
+                      "commitTimestamp": BsonTimestamp(800 + k, 1)},
+            })
+        if k % 2 == 0:
+            entries.append({
+                "op": "c", "ts": BsonTimestamp(850 + k, 1),
+                "ns": "admin.$cmd", "lsid": lsid, "txnNumber": 2,
+                "o": {"applyOps": [
+                    {"op": "i", "ns": "shop.customers",
+                     "o": {"_id": 500 + k}},
+                ], "partialTxn": True},
+            })
+            entries.append({
+                "op": "c", "ts": BsonTimestamp(850 + k, 2),
+                "ns": "admin.$cmd", "lsid": lsid, "txnNumber": 2,
+                "o": {"applyOps": [
+                    {"op": "i", "ns": "shop.customers",
+                     "o": {"_id": 600 + k}},
+                ]},
+            })
+        rows_bin.append((k, encode_document({"entries": entries})))
+    df = spark.createDataFrame(rows_bin, "k long, entries binary")
+
+    def run(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from transferia_spark.streaming.mongo_wire import (
+            OplogTransactionBuffer,
+            decode_document,
+        )
+
+        cols = ("k", "seq", "doc_id", "op", "coll", "ct", "ord")
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for k, raw in zip(pdf["k"], pdf["entries"]):
+                buf = OplogTransactionBuffer()
+                seq = 0
+                for i, entry in enumerate(
+                    decode_document(bytes(raw))[0]["entries"]
+                ):
+                    evs = buf.feed(entry)
+                    if i == 0:
+                        # the drain's sidecar path: pending state is
+                        # JSON-safe and survives a round trip
+                        buf = OplogTransactionBuffer.from_state(
+                            _json.loads(_json.dumps(buf.to_state()))
+                        )
+                    for ev in evs:
+                        rows["k"].append(int(k))
+                        rows["seq"].append(seq)
+                        rows["doc_id"].append(ev["documentKey"]["_id"])
+                        rows["op"].append(ev["operationType"])
+                        rows["coll"].append(ev["ns"]["coll"])
+                        rows["ct"].append(ev["clusterTime"])
+                        rows["ord"].append(ev["order"])
+                        seq += 1
+                assert not buf.pending  # every txn resolved in-fixture
+            yield pd.DataFrame(rows)
+
+    return df.repartition(8, "k").mapInPandas(
+        run,
+        "k long, seq int, doc_id long, op string, coll string, "
+        "ct long, ord long",
+    )
+
+
 def q_mongo_shard_key_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13: the shard-key-aware Mongo sink's op planner
     (sinks/mongo.plan_sharded_ops ≈ sharded_collection.go
@@ -5525,6 +5640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_drift_classify": q_registry_drift_classify,
         "mongo_oplog_decode": q_mongo_oplog_decode,
         "oplog_applyops_decode": q_oplog_applyops_decode,
+        "oplog_txn_commit": q_oplog_txn_commit,
         "mongo_shard_key_plan": q_mongo_shard_key_plan,
         "mongo_partial_unset": q_mongo_partial_unset,
         "mongo_seedlist_plan": q_mongo_seedlist_plan,
@@ -6187,6 +6303,32 @@ WITH base AS (
 )
 SELECT * FROM i0 UNION ALL SELECT * FROM i1
 UNION ALL SELECT * FROM u UNION ALL SELECT * FROM d
+""",
+        "oplog_txn_commit": """
+WITH base AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM nation
+),
+committed AS (
+  SELECT k, 0 AS seq, k AS doc_id, 'insert' AS op,
+         'customers' AS coll, k + 800 AS ct, 3 AS ord
+  FROM base WHERE k % 3 <> 0
+  UNION ALL
+  SELECT k, 1, k + 10000, 'delete', 'audit', k + 800, 3
+  FROM base WHERE k % 3 <> 0
+),
+chain AS (
+  SELECT k, CASE WHEN k % 3 <> 0 THEN 2 ELSE 0 END AS seq,
+         k + 500 AS doc_id, 'insert' AS op, 'customers' AS coll,
+         k + 850 AS ct, 2 AS ord
+  FROM base WHERE k % 2 = 0
+  UNION ALL
+  SELECT k, CASE WHEN k % 3 <> 0 THEN 3 ELSE 1 END,
+         k + 600, 'insert', 'customers', k + 850, 2
+  FROM base WHERE k % 2 = 0
+)
+SELECT k, CAST(seq AS INTEGER) AS seq, CAST(doc_id AS BIGINT) AS doc_id,
+       op, coll, CAST(ct AS BIGINT) AS ct, CAST(ord AS BIGINT) AS ord
+FROM (SELECT * FROM committed UNION ALL SELECT * FROM chain)
 """,
         "mongo_shard_key_plan": """
 SELECT CAST(n_nationkey AS BIGINT) AS k,

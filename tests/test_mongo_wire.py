@@ -1255,6 +1255,52 @@ def test_dns_udp_retry_and_tcp_fallback():
         trunc.close()
 
 
+def test_dns_stranger_flood_bounded_by_deadline():
+    """Off-path spoof hardening stays BOUNDED (advisor r13): replies
+    from a stranger are discarded without re-arming the timeout — a
+    continuous spoof flood cannot pin the resolver loop open. One
+    attempt is wall-clock-bounded, so the 2-attempt query times out in
+    ~2×timeout instead of never."""
+    import socket as _socket
+    import time as _time
+
+    from transferia_spark.streaming.mongo_wire import _dns_query
+
+    srv = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    stranger = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    stop = threading.Event()
+
+    def flood():
+        while not stop.is_set():
+            try:
+                data, addr = srv.recvfrom(4096)
+            except OSError:
+                return
+            # spam junk from a DIFFERENT source port until told to stop
+            while not stop.is_set():
+                try:
+                    stranger.sendto(b"\x00" * 12, addr)
+                except OSError:
+                    return
+                _time.sleep(0.02)
+
+    t = threading.Thread(target=flood, daemon=True)
+    t.start()
+    try:
+        t0 = _time.monotonic()
+        with pytest.raises(TimeoutError, match="timed out"):
+            _dns_query("x.example.com", 33, f"127.0.0.1:{port}",
+                       timeout=0.4)
+        elapsed = _time.monotonic() - t0
+        assert elapsed < 3.0, f"stranger flood pinned the loop: {elapsed}s"
+    finally:
+        stop.set()
+        srv.close()
+        stranger.close()
+
+
 # ------------------------------------------- seedlist failover / SDAM
 
 
@@ -1551,6 +1597,152 @@ def test_review_r13_fixes():
         primary.close()
         sec_b.close()
         seed.close()
+
+
+def test_oplog_txn_buffer_prepare_commit_abort():
+    """r14 (beyond-reference): prepared transactions buffer at
+    prepare and emit at their commitTransaction RESTAMPED to the
+    commit entry's ts (what a real change stream reports); an abort
+    discards them; an unprepared partialTxn chain flushes at its
+    final applyOps entry; state round-trips JSON-safe."""
+    import json as _json
+
+    from transferia_spark.streaming.mongo_wire import (
+        OplogTransactionBuffer,
+    )
+
+    buf = OplogTransactionBuffer()
+    lsid = {"id": "sess-1"}
+    prep = {
+        "op": "c", "ts": BsonTimestamp(700, 1), "ns": "admin.$cmd",
+        "lsid": lsid, "txnNumber": 9,
+        "o": {"applyOps": [
+            {"op": "i", "ns": "shop.t", "o": {"_id": 1, "v": "a"}},
+            {"op": "d", "ns": "shop.t", "o": {"_id": 2}},
+        ], "prepare": True},
+    }
+    assert buf.feed(prep) == []
+    # unrelated rows flow through while the txn is pending
+    [ins] = buf.feed({"op": "i", "ts": BsonTimestamp(700, 2),
+                      "ns": "shop.t", "o": {"_id": 5}})
+    assert ins["operationType"] == "insert"
+    # state survives a JSON round trip (the drain sidecar)
+    buf = OplogTransactionBuffer.from_state(
+        _json.loads(_json.dumps(buf.to_state()))
+    )
+    commit = {
+        "op": "c", "ts": BsonTimestamp(705, 3), "ns": "admin.$cmd",
+        "lsid": lsid, "txnNumber": 9,
+        "o": {"commitTransaction": 1,
+              "commitTimestamp": BsonTimestamp(705, 1)},
+    }
+    evs = buf.feed(commit)
+    assert [(e["operationType"], e["documentKey"]["_id"]) for e in evs] \
+        == [("insert", 1), ("delete", 2)]
+    # restamped to the COMMIT entry's position, not the prepare's
+    assert {(e["clusterTime"], e["order"]) for e in evs} == {(705, 3)}
+    assert buf.pending == {}
+    # a second commit for the same txn is a no-op (retries/idempotence)
+    assert buf.feed(commit) == []
+
+    # prepare → abort: nothing ever surfaces
+    assert buf.feed({**prep, "txnNumber": 10}) == []
+    assert buf.feed({
+        "op": "c", "ts": BsonTimestamp(706, 1), "ns": "admin.$cmd",
+        "lsid": lsid, "txnNumber": 10, "o": {"abortTransaction": 1},
+    }) == []
+    assert buf.pending == {}
+
+    # unprepared multi-entry chain: partialTxn entries buffer, the
+    # FINAL plain applyOps entry of the same session flushes the chain
+    assert buf.feed({
+        "op": "c", "ts": BsonTimestamp(710, 1), "ns": "admin.$cmd",
+        "lsid": lsid, "txnNumber": 11,
+        "o": {"applyOps": [
+            {"op": "i", "ns": "shop.t", "o": {"_id": 7}},
+        ], "partialTxn": True},
+    }) == []
+    evs = buf.feed({
+        "op": "c", "ts": BsonTimestamp(710, 2), "ns": "admin.$cmd",
+        "lsid": lsid, "txnNumber": 11,
+        "o": {"applyOps": [
+            {"op": "i", "ns": "shop.t", "o": {"_id": 8}},
+        ]},
+    })
+    assert [e["documentKey"]["_id"] for e in evs] == [7, 8]
+    assert {(e["clusterTime"], e["order"]) for e in evs} == {(710, 2)}
+
+    # a prepared entry WITHOUT session identity cannot await a commit:
+    # dropped with a warning (the reference drops all applyOps)
+    assert buf.feed({
+        "op": "c", "ts": BsonTimestamp(711, 1), "ns": "admin.$cmd",
+        "o": {"applyOps": [{"op": "i", "ns": "shop.t", "o": {"_id": 9}}],
+              "prepare": True},
+    }) == []
+
+    # bounded buffering: overflow fails loudly, not silently
+    small = OplogTransactionBuffer(max_buffered_ops=1)
+    with pytest.raises(ValueError, match="buffer overflow"):
+        small.feed({**prep, "txnNumber": 12})
+
+
+def test_live_drain_oplog_prepared_txn_across_drains(tmp_path):
+    """A prepare read by one drain whose commitTransaction arrives
+    before the NEXT drain still emits — pending transactions persist
+    in the _txn_pending.json sidecar; aborted ones never surface and
+    the sidecar cleans up."""
+    import json as _json
+    import os
+
+    from transferia_spark.streaming.mongo_wire import live_drain_oplog
+
+    lsid = {"id": "sess-9"}
+    oplog = [
+        {"op": "i", "ts": BsonTimestamp(100, 1), "ns": "shop.t",
+         "o": {"_id": 1}},
+        {"op": "c", "ts": BsonTimestamp(101, 1), "ns": "admin.$cmd",
+         "lsid": lsid, "txnNumber": 1,
+         "o": {"applyOps": [
+             {"op": "i", "ns": "shop.t", "o": {"_id": 2}},
+             {"op": "i", "ns": "shop.other", "o": {"_id": 99}},
+         ], "prepare": True}},
+    ]
+    srv = LoopbackMongod({"local.oplog.rs": oplog})
+    out = str(tmp_path / "cs")
+    live = {"host": "127.0.0.1", "port": srv.port,
+            "database": "shop", "collection": "t"}
+    try:
+        # drain 1: the plain insert emits; the prepared txn buffers
+        assert live_drain_oplog(live, out) == 1
+        assert os.path.exists(os.path.join(out, "_txn_pending.json"))
+        # drain 2: the commit arrives → txn rows emit at the commit ts
+        oplog.append({
+            "op": "c", "ts": BsonTimestamp(102, 1), "ns": "admin.$cmd",
+            "lsid": lsid, "txnNumber": 1, "o": {"commitTransaction": 1},
+        })
+        assert live_drain_oplog(live, out) == 1  # shop.other filtered
+        assert not os.path.exists(os.path.join(out, "_txn_pending.json"))
+        files = sorted(f for f in os.listdir(out)
+                       if f.endswith(".jsonl"))
+        evs = [_json.loads(ln)
+               for f in files for ln in open(os.path.join(out, f))]
+        assert [(e["documentKey"]["_id"], e["clusterTime"]) for e in evs] \
+            == [(1, 100), (2, 102)]
+        # drain 3: a prepared txn that ABORTS never surfaces
+        oplog.append({
+            "op": "c", "ts": BsonTimestamp(103, 1), "ns": "admin.$cmd",
+            "lsid": lsid, "txnNumber": 2,
+            "o": {"applyOps": [
+                {"op": "i", "ns": "shop.t", "o": {"_id": 3}},
+            ], "prepare": True}})
+        oplog.append({
+            "op": "c", "ts": BsonTimestamp(104, 1), "ns": "admin.$cmd",
+            "lsid": lsid, "txnNumber": 2, "o": {"abortTransaction": 1},
+        })
+        assert live_drain_oplog(live, out) == 0
+        assert not os.path.exists(os.path.join(out, "_txn_pending.json"))
+    finally:
+        srv.close()
 
 
 def test_live_drain_oplog_explicit_rewind_not_clamped(tmp_path):

@@ -793,11 +793,17 @@ def _dns_query(name: str, qtype: int, resolver: str,
     import socket
     import struct as _struct
 
+    import time as _time
+
     qid = int.from_bytes(os.urandom(2), "big")
     msg = _struct.pack(">HHHHHH", qid, 0x0100, 1, 0, 0, 0)
     msg += _dns_encode_name(name) + _struct.pack(">HH", qtype, 1)
     host, _, port = resolver.partition(":")
     port_n = int(port or 53)
+    # resolve the resolver ONCE and send to that same address — a
+    # multi-A resolver hostname resolved independently by sendto could
+    # answer from an address the stranger filter then discards
+    # (advisor r13)
     try:
         resolver_ip = socket.gethostbyname(host)
     except OSError:
@@ -805,11 +811,18 @@ def _dns_query(name: str, qtype: int, resolver: str,
     data = None
     for attempt in (1, 2):  # one retry on a lost datagram
         sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        sock.settimeout(timeout)
         try:
-            sock.sendto(msg, (host, port_n))
+            sock.sendto(msg, (resolver_ip, port_n))
+            # wall-clock deadline across the stranger-skipping loop:
+            # each spoofed packet must not re-arm the full timeout
+            deadline = _time.monotonic() + timeout
             try:
                 while True:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        data = None
+                        break
+                    sock.settimeout(remaining)
                     data, addr = sock.recvfrom(4096)
                     if addr[0] == resolver_ip and addr[1] == port_n:
                         break
@@ -1396,41 +1409,10 @@ def oplog_entry_to_change_event(entry: dict) -> dict | None:
     return ev
 
 
-def oplog_entry_to_change_events(entry: dict) -> list[dict]:
-    """Like :func:`oplog_entry_to_change_event` but EXPANDS
-    multi-document transactions: an ``op: "c"`` entry whose command is
-    ``applyOps`` (servers ≥4.0 write transactions this way) yields one
-    change event per inner row operation, in entry order, each stamped
-    with the OUTER entry's ``ts`` — inner entries carry no timestamp
-    of their own, so the whole transaction shares one resume position
-    (a drain re-emits it atomically or not at all). The reference's
-    ``local_oplog_rs_watcher.go`` drops applyOps entirely; this closes
-    that hole because the oplog fallback's own pitch (privilege-
-    limited deployments) is exactly where transactions still flow.
-    Non-transaction commands (create/drop/...) yield nothing."""
-    if entry.get("op") != "c":
-        ev = oplog_entry_to_change_event(entry)
-        return [ev] if ev is not None else []
-    o = entry.get("o") or {}
-    ops = o.get("applyOps")
-    if not isinstance(ops, list):
-        return []  # create/drop/collMod/... — not row changes
-    if o.get("prepare") or o.get("partialTxn"):
-        # prepared (cross-shard) transactions commit LATER via
-        # commitTransaction — emitting at prepare time would surface
-        # writes an abort may discard; multi-entry large transactions
-        # (partialTxn) apply only at their final entry. Both fall back
-        # to the reference's behavior (dropped) rather than emitting
-        # uncommitted rows. (code-review r13)
-        import logging
-
-        logging.getLogger(__name__).debug(
-            "skipping %s applyOps oplog entry at ts=%s (not decoded)",
-            "prepared" if o.get("prepare") else "partial",
-            entry.get("ts"),
-        )
-        return []
-    ts = entry["ts"]
+def _decode_applyops(ops: list, ts) -> list[dict]:
+    """Inner applyOps row operations → change events, all stamped with
+    the OUTER entry's ``ts`` (inner entries carry no timestamp of their
+    own, so the whole transaction shares one resume position)."""
     out = []
     for inner in ops:
         if not isinstance(inner, dict):
@@ -1443,6 +1425,147 @@ def oplog_entry_to_change_events(entry: dict) -> list[dict]:
         if ev is not None:
             out.append(ev)
     return out
+
+
+def oplog_entry_to_change_events(entry: dict) -> list[dict]:
+    """Like :func:`oplog_entry_to_change_event` but EXPANDS
+    multi-document transactions: an ``op: "c"`` entry whose command is
+    ``applyOps`` (servers ≥4.0 write transactions this way) yields one
+    change event per inner row operation, in entry order, each stamped
+    with the OUTER entry's ``ts``. The reference's
+    ``local_oplog_rs_watcher.go`` drops applyOps entirely; this closes
+    that hole because the oplog fallback's own pitch (privilege-
+    limited deployments) is exactly where transactions still flow.
+    Non-transaction commands (create/drop/...) yield nothing.
+
+    STATELESS: prepared / multi-entry (partialTxn) transaction entries
+    yield [] here — they only become visible at their commit, which
+    needs cross-entry state; drains track that via
+    :class:`OplogTransactionBuffer` (r14)."""
+    if entry.get("op") != "c":
+        ev = oplog_entry_to_change_event(entry)
+        return [ev] if ev is not None else []
+    o = entry.get("o") or {}
+    ops = o.get("applyOps")
+    if not isinstance(ops, list):
+        return []  # create/drop/collMod/... — not row changes
+    if o.get("prepare") or o.get("partialTxn"):
+        # emitting at prepare time would surface writes an abort may
+        # discard (code-review r13); the stateful buffer handles these
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "skipping %s applyOps oplog entry at ts=%s (stateless "
+            "decode; use OplogTransactionBuffer)",
+            "prepared" if o.get("prepare") else "partial",
+            entry.get("ts"),
+        )
+        return []
+    return _decode_applyops(ops, entry["ts"])
+
+
+class OplogTransactionBuffer:
+    """Stateful oplog decode for PREPARED and MULTI-ENTRY transactions
+    (beyond the reference, which drops all applyOps): ``prepare:true``
+    / ``partialTxn:true`` applyOps entries buffer their decoded row
+    events keyed by (lsid, txnNumber); the matching ``commitTransaction``
+    command (or the final non-partial applyOps entry of an unprepared
+    large transaction) flushes them RESTAMPED to the committing entry's
+    ``ts`` — exactly the position a real change stream reports for
+    transactional writes; ``abortTransaction`` discards them, so an
+    aborted prepare never surfaces.
+
+    State is JSON-safe (events pass through ``bson_to_jsonable`` at
+    buffer time) so a drain can persist pending transactions across
+    runs (``to_state``/``from_state``) — a prepare read in one drain
+    whose commit arrives in the next still emits."""
+
+    def __init__(self, max_buffered_ops: int = 100_000):
+        self.pending: dict[str, list[dict]] = {}
+        self.max_buffered_ops = max_buffered_ops
+
+    @staticmethod
+    def _txn_key(entry: dict) -> str | None:
+        lsid, txn = entry.get("lsid"), entry.get("txnNumber")
+        if lsid is None or txn is None:
+            return None
+        import json as _json
+
+        return _json.dumps(
+            {"lsid": bson_to_jsonable(lsid), "txn": int(txn)},
+            sort_keys=True, separators=(",", ":"),
+        )
+
+    @staticmethod
+    def _stamp(events: list[dict], ts) -> list[dict]:
+        for ev in events:
+            ev["clusterTime"] = int(ts.time)
+            ev["order"] = int(ts.inc)
+        return events
+
+    def feed(self, entry: dict) -> list[dict]:
+        """One oplog entry → the change events it makes VISIBLE (its
+        own rows, or a whole transaction at its commit point)."""
+        if entry.get("op") != "c":
+            ev = oplog_entry_to_change_event(entry)
+            return [ev] if ev is not None else []
+        o = entry.get("o") or {}
+        ts = entry.get("ts")
+        if isinstance(o.get("applyOps"), list):
+            key = self._txn_key(entry)
+            events = _decode_applyops(o["applyOps"], ts)
+            if o.get("prepare") or o.get("partialTxn"):
+                if key is None:
+                    # no session identity to correlate the commit with
+                    # — fall back to the reference's behavior (dropped)
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "dropping %s applyOps entry at ts=%s: no "
+                        "lsid/txnNumber to await its commit on",
+                        "prepared" if o.get("prepare") else "partial",
+                        ts,
+                    )
+                    return []
+                buf = self.pending.setdefault(key, [])
+                buf.extend(bson_to_jsonable(ev) for ev in events)
+                total = sum(len(v) for v in self.pending.values())
+                if total > self.max_buffered_ops:
+                    raise ValueError(
+                        f"oplog transaction buffer overflow: {total} "
+                        f"buffered ops across {len(self.pending)} open "
+                        "transactions exceeds max_buffered_ops="
+                        f"{self.max_buffered_ops}"
+                    )
+                return []
+            if key is not None and key in self.pending:
+                # final entry of an unprepared multi-entry (partialTxn
+                # chain) transaction: it commits the whole chain
+                events = self.pending.pop(key) + events
+            return self._stamp(events, ts)
+        if "commitTransaction" in o:
+            key = self._txn_key(entry)
+            events = self.pending.pop(key, []) if key else []
+            return self._stamp(events, ts)
+        if "abortTransaction" in o:
+            key = self._txn_key(entry)
+            if key:
+                self.pending.pop(key, None)
+            return []
+        return []
+
+    def to_state(self) -> dict:
+        return {"pending": self.pending}
+
+    @classmethod
+    def from_state(cls, state: dict,
+                   max_buffered_ops: int = 100_000
+                   ) -> "OplogTransactionBuffer":
+        buf = cls(max_buffered_ops)
+        buf.pending = {
+            k: list(v) for k, v in (state.get("pending") or {}).items()
+        }
+        return buf
 
 
 def live_drain_oplog(live: dict, out_dir: str) -> int:
@@ -1514,6 +1637,21 @@ def live_drain_oplog(live: dict, out_dir: str) -> int:
         except (OSError, ValueError, KeyError):
             pass  # unreadable tail: fall back to the persisted ts
 
+    # pending-transaction sidecar (r14): a prepare:true / partialTxn
+    # chain read in THIS drain may commit in a LATER one — buffered
+    # events persist here so the commit still emits them. The state
+    # persists BEFORE the events file publishes: re-buffering after a
+    # crash is idempotent (keyed by lsid/txnNumber), re-emitting is not.
+    txn_path = os.path.join(out_dir, "_txn_pending.json")
+    max_txn_ops = int(live.get("max_txn_buffer_ops", 100_000))
+    try:
+        with open(txn_path) as f:
+            txn = OplogTransactionBuffer.from_state(
+                _json.load(f), max_txn_ops
+            )
+    except (FileNotFoundError, ValueError, KeyError):
+        txn = OplogTransactionBuffer(max_txn_ops)
+
     client = MongoWireClient(timeout=float(live.get("timeout", 30.0)),
                              **cfg)
     n = 0
@@ -1550,11 +1688,17 @@ def live_drain_oplog(live: dict, out_dir: str) -> int:
                         "order or resume"
                     )
                 last = (ts.time, ts.inc)
-                for ev in oplog_entry_to_change_events(entry):
+                for ev in txn.feed(entry):
                     if f"{ev['ns']['db']}.{ev['ns']['coll']}" != ns_want:
                         continue  # other collections ride the oplog
                     out.write(_json.dumps(bson_to_jsonable(ev)) + "\n")
                     n += 1
+        if txn.pending:
+            with open(txn_path + ".tmp", "w") as f:
+                _json.dump(txn.to_state(), f)
+            os.replace(txn_path + ".tmp", txn_path)
+        elif os.path.exists(txn_path):
+            os.remove(txn_path)
         if n:
             os.replace(tmp, out_path)
         else:
@@ -1633,6 +1777,7 @@ __all__ = [
     "decode_oplog_v2_diff",
     "live_drain_change_stream",
     "live_drain_oplog",
+    "OplogTransactionBuffer",
     "oplog_entry_to_change_event",
     "oplog_entry_to_change_events",
     "encode_document",
