@@ -176,6 +176,7 @@ def bench_cdc_pipeline(
     n_batches: int = 8,
     max_deltas: int = 8,
     seed_mult: int = 1,
+    wide_cols: int = 0,
 ) -> tuple[float, int]:
     """Steady-state CDC replication throughput (r5 verdict item 8): one
     PRE-STARTED streaming query (waljson decode → collapse → bucketed
@@ -206,6 +207,14 @@ def bench_cdc_pipeline(
     ack = os.path.join(tmp, "ack.json")
     tables = load_tables(spark, sf_dir, ["customer", "events"])
     cust = tables["customer"].select("c_custkey", "c_name", "c_acctbal")
+    # wide-payload variant (r14): N extra double columns ride every
+    # event — the decode plane's per-cell cost (where the arrow
+    # RecordBatch fast path lives) is invisible on the 3-column rows
+    wide_names = [f"w{i:02d}" for i in range(wide_cols)]
+    for i, w in enumerate(wide_names):
+        cust = cust.withColumn(
+            w, (F.col("c_acctbal") + F.lit(float(i))).cast("double")
+        )
     if seed_mult > 1:
         # scale the TARGET ONLY (r7 verdict item 3): the churn stream
         # stays identical, so rewrite's O(table) per-batch cost shows
@@ -244,6 +253,8 @@ def bench_cdc_pipeline(
             {"name": "c_custkey", "value": r.user_id},
             {"name": "c_name", "value": f"u{r.user_id}"},
             {"name": "c_acctbal", "value": r.value},
+            *({"name": w, "value": float(r.value) + i}
+              for i, w in enumerate(wide_names)),
         ]}
 
     warm, backlog = evs[:1000], evs[1000:]
@@ -257,9 +268,12 @@ def bench_cdc_pipeline(
             f.write(json.dumps(line(r, base + i + 1)) + "\n")
 
     spark.dataSource.register(WalJsonDataSource)
+    ddl = "c_custkey long, c_name string, c_acctbal double" + "".join(
+        f", {w} double" for w in wide_names
+    )
     stream = (
         spark.readStream.format("waljson")
-        .schema(wal_output_schema("c_custkey long, c_name string, c_acctbal double"))
+        .schema(wal_output_schema(ddl))
         .option("path", wal)
         .option("ack_file", ack)
         # bounded catch-up batches over the backlog
@@ -513,6 +527,14 @@ def main() -> None:
         spark, SF_DIR, merge_mode="delta", n_batches=1
     )
     timings["cdc_pipeline_bulk"] = round(blk_dt, 3)
+    # wide-payload steady state: the same backlog with 30 extra double
+    # columns per event — makes the decode plane's per-cell cost (the
+    # r13 arrow RecordBatch fast path) visible in BENCH history; the
+    # 3-column rows above are fixed-cost-dominated (r13 verdict next #5)
+    wd_dt, wd_rows = bench_cdc_pipeline(
+        spark, SF_DIR, merge_mode="delta", wide_cols=30
+    )
+    timings["cdc_pipeline_wide"] = round(wd_dt, 3)
     # (merge mode × churn × bucket count) sweep so the delta-mode gain
     # has a curve, not a single point (r6 verdict item 9) — measured at
     # the merge layer, free of stream-decode noise
@@ -539,6 +561,9 @@ def main() -> None:
         else None,
         "cdc_bulk_rows_per_sec": round(blk_rows / blk_dt)
         if blk_dt > 0
+        else None,
+        "cdc_wide_rows_per_sec": round(wd_rows / wd_dt)
+        if wd_dt > 0
         else None,
         "cdc_sweep": sweep,
         "cdc_size_sweep": size_sweep,
