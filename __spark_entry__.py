@@ -5512,8 +5512,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     younger rows and stays verified by ``python scripts/driver_sim.py``
     over ALL entries.
 
-    ROUND-13 rotation (the `_R13_WINDOW` reorder at the end of this
-    function, standing contract): (a) the 3 queries NEW in r13 (the
+    ROUND-14 rotation (the `_R14_WINDOW` reorder at the end of this
+    function, standing contract): (a) the 2 queries NEW in r14
+    (commit-point decode of prepared/multi-entry oplog transactions;
+    the `$unset`/upsert partial-update sink plan), (b) the 8 rows
+    whose implementation paths changed in r14 (the mongo sink's
+    removal-marker planning + upsert + BSON-safe fetched-key
+    normalization + shard-key TTL + shared wire adapter under
+    mongo_shard_key_plan; the applyOps decode refactor under the two
+    oplog rows; the SRV resolver's wall-clock DNS deadline under
+    mongo_seedlist_plan; the change-stream reader's `_removed` emission
+    under mongo_change_stream; collapse's removed-net tracking under
+    cdc_collapse/cdc_merge; the wal plane's `_removed` meta column
+    under replicate_yaml), (c) the 40 oldest-green rows — all 8 last
+    scored in r09 plus the 32 alphabetically first of the 37 last
+    scored in r10. 2+8+40 = 50.
+
+    ROUND-13 rotation (historical): (a) the 3 queries NEW in r13 (the
     oplog fallback's applyOps transaction expansion, the
     shard-key-aware Mongo sink's op planner, the seedlist/topology
     kernels), (b) the 6 rows whose implementation paths changed in
@@ -5738,79 +5753,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_json": q_parser_json,
         "parser_protobuf": q_parser_protobuf,
     }
-    _R13_WINDOW = [
-        # (a) NEW in round 13: the oplog fallback's applyOps
-        # transaction expansion, the shard-key-aware Mongo sink's op
-        # planner, and the seedlist/topology plane's pure kernels
-        # (multi-host parse, RFC 2782 weighted order, parent-domain
-        # MUST)
-        "oplog_applyops_decode",
+    _R14_WINDOW = [
+        # (a) NEW in round 14: commit-point decode of prepared /
+        # multi-entry oplog transactions (TxnBuffer), and the
+        # `$unset`-for-removed-fields + upserting-UpdateOne
+        # partial-update sink plan
+        "oplog_txn_commit",
+        "mongo_partial_unset",
+        # (b) the 8 rows whose implementation paths changed in r14:
+        # the mongo sink's removal-marker planning, upsert parity,
+        # BSON-safe fetched-key normalization, shard-key TTL and
+        # shared wire adapter (mongo_shard_key_plan); the applyOps
+        # decode refactor feeding TxnBuffer (the two oplog rows); the
+        # SRV resolver's wall-clock DNS deadline + single-resolve
+        # anti-spoof (mongo_seedlist_plan); the change-stream
+        # reader's `_removed` emission (mongo_change_stream);
+        # collapse's removed-net tracking (cdc_collapse/cdc_merge);
+        # the wal plane's `_removed` meta column (replicate_yaml)
         "mongo_shard_key_plan",
-        "mongo_seedlist_plan",
-        # (b) the 6 rows whose implementation paths changed in r13:
-        # the whole mongo wire plane (seedlist failover + SDAM
-        # discovery in MongoWireClient, hardened DNS, drain
-        # crash-window dedupe + max-index naming) under the mongo
-        # rows, parse_mongo_uri's topology options under
-        # tls_trust_ladder, and the mongowire live-drain formats under
-        # replicate_yaml
-        "mongo_bson_codec",
-        "mongo_change_stream",
-        "mongo_id_ranges",
+        "oplog_applyops_decode",
         "mongo_oplog_decode",
-        "tls_trust_ladder",
+        "mongo_seedlist_plan",
+        "mongo_change_stream",
+        "cdc_collapse",
+        "cdc_merge",
         "replicate_yaml",
-        # (c) the 41 oldest-green rows rotating back into the official
-        # record: all 16 last scored in r08 plus the 25 alphabetically
-        # first of the 33 last scored in r09
-        "jdbc_shard_ranges",
-        "lang_id",
-        "media_decode",
-        "parser_audittrails",
-        "parser_cloudevents",
-        "parser_cloudlogging",
-        "parser_logfeller",
-        "partition_expansion",
-        "pg_copy_decode",
-        "problem_item_detector",
-        "quality_score",
-        "serializer_json",
-        "sessionize",
-        "sharder",
-        "split_leakage_safe",
-        "transfer_yaml",
-        "airbyte_records",
-        "ann_brute_force",
-        "ann_lsh_multiprobe",
-        "chunk_documents",
-        "dblog_snapshot",
-        "dbt_models",
-        "decontaminate",
-        "dedup_embedding_cosine",
-        "dedup_exact",
-        "elastic_scroll_plan",
-        "global_shuffle",
-        "mysql_cdc_envelope",
-        "mysql_schema_discovery",
-        "native_roundtrip",
-        "pack_sequences",
-        "pg_copy_plan",
-        "pii_scrub",
-        "quality_gopher",
-        "quota_cap",
-        "raw_cdc_doc_grouper",
-        "repetition_score",
-        "sample_stratified",
-        "tpch_q11ish",
-        "tpch_q13ish",
-        "tpch_q17ish",
+        # (c) the 40 oldest-green rows rotating back into the official
+        # record: all 8 last scored in r09 plus the 32 alphabetically
+        # first of the 37 last scored in r10
+        "tpch_q20ish",
+        "tpch_q21ish",
+        "tpch_q2ish",
+        "tpch_q8",
+        "tpch_q9ish",
+        "typesystem_edges",
+        "ydb_changefeed",
+        "ydb_scan",
+        "ann_sq8",
+        "asof_join",
+        "audio_energy",
+        "bm25_rank",
+        "convert_to_datetime",
+        "convert_to_string",
+        "dedup_incremental",
+        "dedup_minhash_lsh",
+        "delta_scan",
+        "embed_ann_pipeline",
+        "events_hourly_rollup",
+        "events_sliding_rollup",
+        "filter_rows",
+        "gp_control_plane",
+        "gpfdist_frames",
+        "gpfdist_plan",
+        "jsonparser",
+        "lambda",
+        "lm_familiarity",
+        "mongo_pk_extender",
+        "number_to_float",
+        "parser_blank",
+        "parser_json",
+        "parser_protobuf",
+        "parser_raw_to_table",
+        "parser_tskv",
+        "pg_schema_discovery",
+        "raw_doc_grouper",
+        "rename_tables",
+        "serializer_csv",
+        "skip_events",
+        "table_splitter",
     ]
-    assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
-    missing = [n for n in _R13_WINDOW if n not in q]
+    assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
+    missing = [n for n in _R14_WINDOW if n not in q]
     assert not missing, f"window names drifted: {missing}"
     return {
-        **{n: q[n] for n in _R13_WINDOW},
-        **{n: f for n, f in q.items() if n not in set(_R13_WINDOW)},
+        **{n: q[n] for n in _R14_WINDOW},
+        **{n: f for n, f in q.items() if n not in set(_R14_WINDOW)},
     }
 
 

@@ -442,6 +442,47 @@ def test_shared_wire_adapter_memoizes_dials():
         srv.close()
 
 
+def test_with_shared_adapter_serializes_threads():
+    """The shared single-socket adapter is lock-guarded: DRIVER-side
+    callers (each streaming query's foreachBatch thread) serialize
+    their wire exchanges instead of interleaving OP_MSG frames on one
+    socket (code-review r14)."""
+    import threading
+    import time
+
+    from test_mongo_wire import LoopbackMongod
+    from transferia_spark.streaming import mongo_wire as mw
+
+    srv = LoopbackMongod({"db.t": [{"_id": 1, "region": "eu"}]})
+    uri = f"mongodb://127.0.0.1:{srv.port}/"
+    active, peaks, results = [], [], []
+
+    def fn(a):
+        active.append(1)
+        peaks.append(len(active))
+        docs = list(a["db"]["t"].find(filter={"_id": 1}, limit=1))
+        time.sleep(0.02)
+        active.pop()
+        return docs
+
+    def worker():
+        results.append(mw.with_shared_adapter(uri, fn))
+
+    try:
+        mw.evict_shared_adapter(uri)
+        threads = [threading.Thread(target=worker) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 4
+        assert all(r[0]["region"] == "eu" for r in results)
+        assert max(peaks) == 1  # never two exchanges in flight
+    finally:
+        mw.evict_shared_adapter(uri)
+        srv.close()
+
+
 def test_fetcher_normalizes_wire_types():
     """Fetched stored-key values pass through bson_to_jsonable: wire
     wrapper types (ObjectId/datetime) become JSON-safe forms BEFORE

@@ -1772,6 +1772,20 @@ def test_oplog_txn_buffer_prepare_commit_abort():
     with pytest.raises(ValueError, match="buffer overflow"):
         small.feed({**prep, "txnNumber": 12})
 
+    # crash-window idempotence (code-review r14): re-feeding an
+    # already-buffered entry — a drain restored from the sidecar
+    # re-reading the same prepare — must NOT duplicate its rows
+    buf2 = OplogTransactionBuffer()
+    assert buf2.feed(prep) == []
+    buf2 = OplogTransactionBuffer.from_state(
+        _json.loads(_json.dumps(buf2.to_state()))
+    )
+    assert buf2.feed(prep) == []  # deduped by oplog position
+    evs2 = buf2.feed(commit)
+    assert [e["documentKey"]["_id"] for e in evs2] == [1, 2]
+    # the flush is recorded for the drain's phase-1 sidecar
+    assert list(buf2.flushed) and buf2.pending == {}
+
 
 def test_live_drain_oplog_prepared_txn_across_drains(tmp_path):
     """A prepare read by one drain whose commitTransaction arrives
@@ -1828,6 +1842,137 @@ def test_live_drain_oplog_prepared_txn_across_drains(tmp_path):
         })
         assert live_drain_oplog(live, out) == 0
         assert not os.path.exists(os.path.join(out, "_txn_pending.json"))
+    finally:
+        srv.close()
+
+
+def _crashed_txn_drain_state(tmp_path, prep, commit):
+    """Reproduce the on-disk state a drain leaves when it crashes
+    while flushing a prepared txn: the phase-1 "union" sidecar (the
+    flushed txn still inside ``pending``, named in ``flushed``, with
+    the drain's events-file seq) plus a resume position still BEFORE
+    the commit. Returns (out_dir, flushed_events, sidecar_dict)."""
+    import json as _json
+    import os
+
+    from transferia_spark.streaming.mongo_wire import (
+        OplogTransactionBuffer,
+    )
+
+    buf = OplogTransactionBuffer()
+    assert buf.feed(prep) == []
+    evs = buf.feed(commit)
+    assert evs
+    key = OplogTransactionBuffer._txn_key(prep)
+    out = str(tmp_path / "cs")
+    os.makedirs(out)
+    sidecar = {
+        "pending": {**buf.flushed},
+        "flushed": [key],
+        "seq": 0,
+    }
+    with open(os.path.join(out, "_txn_pending.json"), "w") as f:
+        _json.dump(sidecar, f)
+    with open(os.path.join(out, "_resume_oplog.json"), "w") as f:
+        _json.dump({"t": 100, "i": 0}, f)
+    return out, evs, sidecar
+
+
+def test_live_drain_oplog_crash_after_publish_no_duplicate(tmp_path):
+    """Crash window AFTER the events-file publish but BEFORE the
+    phase-2 sidecar rewrite: the flushed txn's rows are already in
+    the published file, so the next drain must DROP the sidecar's
+    flushed entry — not re-emit it (code-review r14: the old
+    delete-sidecar-then-publish order lost the opposite window)."""
+    import json as _json
+    import os
+
+    from transferia_spark.streaming.mongo_wire import (
+        bson_to_jsonable,
+        live_drain_oplog,
+    )
+
+    lsid = {"id": "crash-a"}
+    prep = {
+        "op": "c", "ts": BsonTimestamp(101, 1), "ns": "admin.$cmd",
+        "lsid": lsid, "txnNumber": 1,
+        "o": {"applyOps": [
+            {"op": "i", "ns": "shop.t", "o": {"_id": 2, "v": "x"}},
+        ], "prepare": True},
+    }
+    commit = {
+        "op": "c", "ts": BsonTimestamp(102, 1), "ns": "admin.$cmd",
+        "lsid": lsid, "txnNumber": 1, "o": {"commitTransaction": 1},
+    }
+    out, evs, _ = _crashed_txn_drain_state(tmp_path, prep, commit)
+    # the crashed drain DID publish its events file (seq 0)
+    with open(os.path.join(out, "oplog_000000.jsonl"), "w") as f:
+        for ev in evs:
+            f.write(_json.dumps(bson_to_jsonable(ev)) + "\n")
+    oplog = [prep, commit,
+             {"op": "i", "ts": BsonTimestamp(103, 1), "ns": "shop.t",
+              "o": {"_id": 9}}]
+    srv = LoopbackMongod({"local.oplog.rs": oplog})
+    live = {"host": "127.0.0.1", "port": srv.port,
+            "database": "shop", "collection": "t"}
+    try:
+        # only the post-crash insert emits; the txn is NOT re-emitted
+        assert live_drain_oplog(live, out) == 1
+        files = sorted(f for f in os.listdir(out)
+                       if f.endswith(".jsonl"))
+        got = [_json.loads(ln)
+               for f in files for ln in open(os.path.join(out, f))]
+        assert [(e["documentKey"]["_id"], e["clusterTime"])
+                for e in got] == [(2, 102), (9, 103)]
+        assert not os.path.exists(
+            os.path.join(out, "_txn_pending.json")
+        )
+    finally:
+        srv.close()
+
+
+def test_live_drain_oplog_crash_before_publish_no_loss(tmp_path):
+    """Crash window BEFORE the events-file publish (the phase-1
+    sidecar persisted, the publish never happened): the flushed txn
+    stays pending, the commit re-reads (the resume position never
+    advanced), re-buffering the prepare is DEDUPED by its recorded
+    oplog position, and the rows emit exactly once (code-review r14:
+    the committed transaction used to be permanently lost here)."""
+    import json as _json
+    import os
+
+    from transferia_spark.streaming.mongo_wire import live_drain_oplog
+
+    lsid = {"id": "crash-b"}
+    prep = {
+        "op": "c", "ts": BsonTimestamp(101, 1), "ns": "admin.$cmd",
+        "lsid": lsid, "txnNumber": 1,
+        "o": {"applyOps": [
+            {"op": "i", "ns": "shop.t", "o": {"_id": 2, "v": "x"}},
+            {"op": "i", "ns": "shop.t", "o": {"_id": 3, "v": "y"}},
+        ], "prepare": True},
+    }
+    commit = {
+        "op": "c", "ts": BsonTimestamp(102, 1), "ns": "admin.$cmd",
+        "lsid": lsid, "txnNumber": 1, "o": {"commitTransaction": 1},
+    }
+    out, _, _ = _crashed_txn_drain_state(tmp_path, prep, commit)
+    # NO events file: os.replace(tmp, out_path) never ran
+    srv = LoopbackMongod({"local.oplog.rs": [prep, commit]})
+    live = {"host": "127.0.0.1", "port": srv.port,
+            "database": "shop", "collection": "t"}
+    try:
+        assert live_drain_oplog(live, out) == 2
+        files = sorted(f for f in os.listdir(out)
+                       if f.endswith(".jsonl"))
+        got = [_json.loads(ln)
+               for f in files for ln in open(os.path.join(out, f))]
+        # exactly once each, restamped to the commit position
+        assert [(e["documentKey"]["_id"], e["clusterTime"])
+                for e in got] == [(2, 102), (3, 102)]
+        assert not os.path.exists(
+            os.path.join(out, "_txn_pending.json")
+        )
     finally:
         srv.close()
 

@@ -161,7 +161,19 @@ def wire_doc_key_fetcher(uri: str, database: str, collection: str,
     ``bson_to_jsonable`` so (a) wire-plane wrapper types
     (ObjectId/Decimal128/datetime) never reach a pymongo filter they
     cannot BSON-encode, and (b) the stored-key cache keys render
-    deterministically on both sides (advisor r13)."""
+    deterministically on both sides (advisor r13).
+
+    VALUE-PLANE CONTRACT: this sink's whole document plane is
+    JSON-rendered — planned docs/ids come from Spark ``to_json``, so
+    documents THIS sink writes carry strings where the source had
+    timestamps/binary, and jsonable-normalized filters compare equal
+    to them (and to the planner's own key values in
+    ``has_key_diff``). The known divergence: a PRE-EXISTING target
+    document written by another tool with a BSON-native (date/Binary)
+    non-``_id`` shard-key value won't match the string-typed filter —
+    that heterogeneous-writer case needs a BSON-native value plane
+    end-to-end, which the JSON planning contract deliberately trades
+    away (documented, code-review r14)."""
     from transferia_spark.streaming.mongo_wire import (
         bson_to_jsonable,
         with_shared_adapter,
@@ -255,9 +267,9 @@ def plan_sharded_ops(rows, key_fields: list[str],
                     # patched with the CARRIED key fields only
                     # (≈ getResultDocumentKey + CheckDiffByKeys,
                     # sharded_collection.go:120, schema.go:201).
-                    # deepcopy, NOT a json round-trip: the wire fetcher
-                    # returns BSON-native values (ObjectId/datetime)
-                    # json cannot carry (code-review r13 pass 2)
+                    # deepcopy: the default fetcher normalizes docs to
+                    # JSON-safe values (r14), but an INJECTED fetcher
+                    # may return BSON-native values json cannot carry
                     import copy as _copy
 
                     item_key = _copy.deepcopy(stored)

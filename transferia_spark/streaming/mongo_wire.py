@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import struct
+import threading as _threading
 
 # ----------------------------------------------------------------- BSON
 
@@ -1478,10 +1479,24 @@ class OplogTransactionBuffer:
     State is JSON-safe (events pass through ``bson_to_jsonable`` at
     buffer time) so a drain can persist pending transactions across
     runs (``to_state``/``from_state``) — a prepare read in one drain
-    whose commit arrives in the next still emits."""
+    whose commit arrives in the next still emits.
+
+    Crash-safety contract (code-review r14): buffering is IDEMPOTENT —
+    each pending txn records the oplog positions of the entries it
+    absorbed, so a drain that re-reads a prepare/partialTxn entry
+    after restoring the sidecar skips it instead of duplicating its
+    rows. Flushes are OBSERVABLE — ``flushed`` holds the txns a commit
+    (or final chain entry) popped this run, so the drain can persist a
+    pre-publish "union" sidecar and re-derive either outcome of a
+    crash that races the events-file publish."""
 
     def __init__(self, max_buffered_ops: int = 100_000):
-        self.pending: dict[str, list[dict]] = {}
+        #: key -> {"events": [jsonable change events...],
+        #:         "entries": [[t, i] oplog positions absorbed]}
+        self.pending: dict[str, dict] = {}
+        #: txns popped by a commit/final-chain entry since construction
+        #: (key -> the popped pending value) — drain crash bookkeeping
+        self.flushed: dict[str, dict] = {}
         self.max_buffered_ops = max_buffered_ops
 
     @staticmethod
@@ -1527,9 +1542,21 @@ class OplogTransactionBuffer:
                         ts,
                     )
                     return []
-                buf = self.pending.setdefault(key, [])
-                buf.extend(bson_to_jsonable(ev) for ev in events)
-                total = sum(len(v) for v in self.pending.values())
+                buf = self.pending.setdefault(
+                    key, {"events": [], "entries": []}
+                )
+                pos = [int(ts.time), int(ts.inc)]
+                if pos in buf["entries"]:
+                    # sidecar-restored txn re-reading its own entries
+                    # after a crash: already absorbed — idempotent
+                    return []
+                buf["entries"].append(pos)
+                buf["events"].extend(
+                    bson_to_jsonable(ev) for ev in events
+                )
+                total = sum(
+                    len(v["events"]) for v in self.pending.values()
+                )
                 if total > self.max_buffered_ops:
                     raise ValueError(
                         f"oplog transaction buffer overflow: {total} "
@@ -1541,12 +1568,17 @@ class OplogTransactionBuffer:
             if key is not None and key in self.pending:
                 # final entry of an unprepared multi-entry (partialTxn
                 # chain) transaction: it commits the whole chain
-                events = self.pending.pop(key) + events
+                popped = self.pending.pop(key)
+                self.flushed[key] = popped
+                events = popped["events"] + events
             return self._stamp(events, ts)
         if "commitTransaction" in o:
             key = self._txn_key(entry)
-            events = self.pending.pop(key, []) if key else []
-            return self._stamp(events, ts)
+            popped = self.pending.pop(key, None) if key else None
+            if popped is None:
+                return []
+            self.flushed[key] = popped
+            return self._stamp(popped["events"], ts)
         if "abortTransaction" in o:
             key = self._txn_key(entry)
             if key:
@@ -1562,9 +1594,13 @@ class OplogTransactionBuffer:
                    max_buffered_ops: int = 100_000
                    ) -> "OplogTransactionBuffer":
         buf = cls(max_buffered_ops)
-        buf.pending = {
-            k: list(v) for k, v in (state.get("pending") or {}).items()
-        }
+        for k, v in (state.get("pending") or {}).items():
+            if isinstance(v, list):  # pre-r14 sidecar shape
+                v = {"events": list(v), "entries": []}
+            buf.pending[k] = {
+                "events": list(v.get("events") or []),
+                "entries": [list(p) for p in v.get("entries") or []],
+            }
         return buf
 
 
@@ -1639,17 +1675,39 @@ def live_drain_oplog(live: dict, out_dir: str) -> int:
 
     # pending-transaction sidecar (r14): a prepare:true / partialTxn
     # chain read in THIS drain may commit in a LATER one — buffered
-    # events persist here so the commit still emits them. The state
-    # persists BEFORE the events file publishes: re-buffering after a
-    # crash is idempotent (keyed by lsid/txnNumber), re-emitting is not.
+    # events persist here so the commit still emits them. Two-phase
+    # protocol (code-review r14 — a single pre-publish delete raced
+    # the events-file publish and could lose a committed txn):
+    #   1. BEFORE the publish, the sidecar holds pending ∪ flushed
+    #      plus the flushed keys and the drain's events-file seq;
+    #   2. AFTER the publish, it is rewritten to the true pending set.
+    # A crash between the phases is re-derivable at load time: the
+    # flushed txns are dropped iff their events file actually
+    # published (below); otherwise they stay pending and their commit
+    # re-reads, because the resume position only persists after phase
+    # 2. Re-reading buffered entries is idempotent (each pending txn
+    # records the oplog positions it absorbed).
     txn_path = os.path.join(out_dir, "_txn_pending.json")
     max_txn_ops = int(live.get("max_txn_buffer_ops", 100_000))
     try:
         with open(txn_path) as f:
-            txn = OplogTransactionBuffer.from_state(
-                _json.load(f), max_txn_ops
-            )
-    except (FileNotFoundError, ValueError, KeyError):
+            txn_state = _json.load(f)
+    except (FileNotFoundError, ValueError):
+        txn_state = {}
+    flushed_keys = txn_state.get("flushed") or []
+    txn_seq = txn_state.get("seq")
+    if (
+        flushed_keys
+        and txn_seq is not None
+        and f"oplog_{int(txn_seq):06d}.jsonl" in published
+    ):
+        # phase-1 sidecar survived a crash AFTER the publish: the
+        # flushed txns' rows are in the published file — drop them
+        for k in flushed_keys:
+            (txn_state.get("pending") or {}).pop(k, None)
+    try:
+        txn = OplogTransactionBuffer.from_state(txn_state, max_txn_ops)
+    except (ValueError, KeyError, TypeError, AttributeError):
         txn = OplogTransactionBuffer(max_txn_ops)
 
     client = MongoWireClient(timeout=float(live.get("timeout", 30.0)),
@@ -1693,16 +1751,31 @@ def live_drain_oplog(live: dict, out_dir: str) -> int:
                         continue  # other collections ride the oplog
                     out.write(_json.dumps(bson_to_jsonable(ev)) + "\n")
                     n += 1
-        if txn.pending:
+        # phase 1 — pre-publish "union" sidecar: pending ∪ flushed,
+        # annotated with the flushed keys and this drain's events seq,
+        # so a crash on either side of the publish loses nothing
+        if txn.pending or txn.flushed:
             with open(txn_path + ".tmp", "w") as f:
-                _json.dump(txn.to_state(), f)
+                _json.dump({
+                    "pending": {**txn.flushed, **txn.pending},
+                    "flushed": sorted(txn.flushed),
+                    "seq": seq,
+                }, f)
             os.replace(txn_path + ".tmp", txn_path)
-        elif os.path.exists(txn_path):
-            os.remove(txn_path)
         if n:
             os.replace(tmp, out_path)
         else:
             os.remove(tmp)
+        # phase 2 — post-publish: the flushed txns are out (or were
+        # entirely filtered to other collections); only true pending
+        # remain in the sidecar
+        if txn.pending:
+            with open(txn_path + ".tmp", "w") as f:
+                _json.dump({**txn.to_state(), "flushed": [],
+                            "seq": seq}, f)
+            os.replace(txn_path + ".tmp", txn_path)
+        elif os.path.exists(txn_path):
+            os.remove(txn_path)
         if last != start:
             with open(resume_path + ".tmp", "w") as f:
                 _json.dump({"t": last[0], "i": last[1]}, f)
@@ -1726,38 +1799,58 @@ def mongo_wire_client_factory(uri: str) -> MongoWireAdapter:
 #: fresh adapter there is a fresh TCP+TLS+SCRAM handshake — at
 #: WRITE_SHARDS=16 and a ~333ms batch cadence that is ~48 dials/second
 #: per table against a sharded target. PySpark executor workers run
-#: one task at a time per process, so a shared single-socket client is
-#: never used concurrently within a process.
+#: one task at a time per process; the DRIVER, however, calls the
+#: shard-key provider from each streaming query's own thread, so a
+#: per-adapter lock serializes wire traffic on the single socket
+#: (code-review r14 — two driver threads could interleave OP_MSG
+#: frames and read each other's replies).
 _SHARED_ADAPTERS: dict = {}
+_SHARED_ADAPTER_LOCKS: dict = {}
+_SHARED_ADAPTERS_MUTEX = _threading.Lock()
+
+
+def _shared_adapter_lock(key):
+    with _SHARED_ADAPTERS_MUTEX:
+        lk = _SHARED_ADAPTER_LOCKS.get(key)
+        if lk is None:
+            lk = _SHARED_ADAPTER_LOCKS[key] = _threading.RLock()
+        return lk
 
 
 def shared_wire_adapter(uri: str, timeout: float = 30.0) -> MongoWireAdapter:
     key = (uri, timeout)
-    a = _SHARED_ADAPTERS.get(key)
-    if a is None:
-        a = _SHARED_ADAPTERS[key] = MongoWireAdapter(uri, timeout=timeout)
-    return a
+    with _shared_adapter_lock(key):
+        a = _SHARED_ADAPTERS.get(key)
+        if a is None:
+            a = _SHARED_ADAPTERS[key] = MongoWireAdapter(
+                uri, timeout=timeout
+            )
+        return a
 
 
 def evict_shared_adapter(uri: str, timeout: float = 30.0) -> None:
-    a = _SHARED_ADAPTERS.pop((uri, timeout), None)
-    if a is not None:
-        try:
-            a.close()
-        except OSError:
-            pass
+    key = (uri, timeout)
+    with _shared_adapter_lock(key):
+        a = _SHARED_ADAPTERS.pop(key, None)
+        if a is not None:
+            try:
+                a.close()
+            except OSError:
+                pass
 
 
 def with_shared_adapter(uri: str, fn, timeout: float = 30.0):
-    """Run ``fn(adapter)`` on the memoized adapter; on a transport
-    error (a long-idle pooled socket the server closed, a failover)
-    evict the dead client and retry ONCE on a fresh dial — server-side
-    errors (MongoServerError) propagate without eviction."""
-    try:
-        return fn(shared_wire_adapter(uri, timeout))
-    except OSError:
-        evict_shared_adapter(uri, timeout)
-        return fn(shared_wire_adapter(uri, timeout))
+    """Run ``fn(adapter)`` on the memoized adapter, holding its lock
+    across the call (one request/reply exchange in flight per socket);
+    on a transport error (a long-idle pooled socket the server closed,
+    a failover) evict the dead client and retry ONCE on a fresh dial —
+    server-side errors (MongoServerError) propagate without eviction."""
+    with _shared_adapter_lock((uri, timeout)):
+        try:
+            return fn(shared_wire_adapter(uri, timeout))
+        except OSError:
+            evict_shared_adapter(uri, timeout)
+            return fn(shared_wire_adapter(uri, timeout))
 
 
 __all__ = [
