@@ -1259,3 +1259,32 @@ def test_split_decode_binlog_and_change_stream_equivalence(
     )
     assert len(p1) == 1 and len(p8) > 1
     assert Counter(map(repr, r8)) == Counter(map(repr, r1))
+
+
+def test_reader_meta_exclusion_matches_emitted_tail(spark, tmp_path):
+    """Each recorded reader excludes from payload exactly the meta
+    tail it APPENDS — a payload column with a reserved-looking name
+    from ANOTHER reader's tail must stay payload, or the tuple arity
+    silently breaks (code-review r14: `_removed` belongs only to the
+    change-stream reader)."""
+    from transferia_spark.streaming.cdc_sources import (
+        ChangeStreamJsonStreamReader,
+        change_stream_output_schema,
+    )
+    from transferia_spark.streaming.wal_source import (
+        WalJsonStreamReader,
+        wal_output_schema,
+    )
+
+    # PG wal reader: `_removed` is NOT in its tail → stays payload
+    wal = WalJsonStreamReader(
+        wal_output_schema("id long, _removed string"),
+        {"path": str(tmp_path)},
+    )
+    assert wal.payload_fields == ["id", "_removed"]
+    # change-stream reader: `_removed` IS its tail; `_before` is not
+    cs = ChangeStreamJsonStreamReader(
+        change_stream_output_schema("_id long, _before string"),
+        {"path": str(tmp_path)},
+    )
+    assert cs.payload_fields == ["_id", "_before"]

@@ -366,7 +366,8 @@ def test_partial_update_unset_and_genuine_null(spark, recorder):
     batch = spark.createDataFrame(
         [
             # k=1: one partial event sets v to NULL and removes w
-            # (u stays uncarried — all-carried rows upgrade to replace)
+            # (u stays uncarried; an all-partial history never
+            # upgrades to replace — see the full-image-bit test)
             (1, None, None, None, "u", 10, 0, ["v", "w"], ["w"]),
             # k=2: $unset of v at lsn 20 then $set v=x at lsn 21 —
             # the net write is the SET, no $unset survives
@@ -405,6 +406,37 @@ def test_partial_unset_only_update(spark, recorder):
     assert op["unset"] == ["v"] and "set" not in op
 
 
+def test_all_carried_partials_stay_on_update_path(spark, recorder):
+    """A key whose history is ONLY partial patches must apply as an
+    UpdateOne even when the patches happen to carry every declared
+    column — the target document may hold fields outside the declared
+    schema that a replace would wipe (code-review r14; the reference's
+    makeUpdateModel uses $set/$unset for every partial update). A key
+    anchored by a full image keeps the replace path."""
+    factory, _, ops = recorder
+    sink = build_sink("mongo", database="db", applier_factory=factory)
+    batch = spark.createDataFrame(
+        [
+            # k=1: two partial patches that between them carry BOTH
+            # declared columns — still no full image anywhere
+            (1, "v1", None, "u", 10, 0, ["v"]),
+            (1, None, "w1", "u", 11, 0, ["w"]),
+            # k=2: full image at lsn 20, partial patch after — the
+            # fold is anchored by the image, replace is complete
+            (2, "v2", "w2", "u", 20, 0, None),
+            (2, "v2b", None, "u", 21, 0, ["v"]),
+        ],
+        f"k long, v string, w string, {OP_COL} string, {LSN_COL} long, "
+        f"{COUNTER_COL} int, _present array<string>",
+    )
+    sink.write_cdc(batch, TableID("", "t"), keys=["k"])
+    got = {op["filter"]["_id"]: op for op in ops()}
+    assert got[1]["op"] == "update"
+    assert got[1]["set"] == {"v": "v1", "w": "w1"}
+    assert got[2]["op"] == "replace"
+    assert got[2]["doc"] == {"_id": 2, "v": "v2b", "w": "w2"}
+
+
 def test_shared_wire_adapter_memoizes_dials():
     """Per-executor client memo: two fetches over the same uri ride
     ONE TCP dial; a dead socket evicts and retries once on a fresh
@@ -437,6 +469,37 @@ def test_shared_wire_adapter_memoizes_dials():
         assert d3[0]["region"] == "eu"
         if before is not None:
             assert srv.dial_count() - before == 2
+    finally:
+        mw.evict_shared_adapter(uri)
+        srv.close()
+
+
+def test_with_shared_adapter_evicts_on_non_oserror():
+    """ANY non-server error mid-exchange evicts the pooled adapter —
+    only a MongoServerError proves the reply was fully read; anything
+    else may leave an unread late reply that would poison the next
+    caller's exchange on the shared socket (code-review r14)."""
+    from test_mongo_wire import LoopbackMongod
+    from transferia_spark.streaming import mongo_wire as mw
+
+    srv = LoopbackMongod({"db.t": [{"_id": 1}]})
+    uri = f"mongodb://127.0.0.1:{srv.port}/"
+
+    def boom(a):
+        raise ValueError("died between send and read")
+
+    try:
+        mw.evict_shared_adapter(uri)
+        with pytest.raises(ValueError):
+            mw.with_shared_adapter(uri, boom)
+        assert (uri, 30.0) not in mw._SHARED_ADAPTERS
+        # a server-side error keeps the adapter pooled (clean state)
+        def server_err(a):
+            raise mw.MongoServerError({"ok": 0, "errmsg": "x"})
+
+        with pytest.raises(mw.MongoServerError):
+            mw.with_shared_adapter(uri, server_err)
+        assert (uri, 30.0) in mw._SHARED_ADAPTERS
     finally:
         mw.evict_shared_adapter(uri)
         srv.close()

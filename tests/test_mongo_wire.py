@@ -1732,13 +1732,15 @@ def test_oplog_txn_buffer_prepare_commit_abort():
     # a second commit for the same txn is a no-op (retries/idempotence)
     assert buf.feed(commit) == []
 
-    # prepare → abort: nothing ever surfaces
+    # prepare → abort: nothing ever surfaces; the abort is RECORDED so
+    # a drain rewrites the sidecar (a stale pre-abort sidecar would
+    # otherwise strand the txn as pending across a crash window)
     assert buf.feed({**prep, "txnNumber": 10}) == []
     assert buf.feed({
         "op": "c", "ts": BsonTimestamp(706, 1), "ns": "admin.$cmd",
         "lsid": lsid, "txnNumber": 10, "o": {"abortTransaction": 1},
     }) == []
-    assert buf.pending == {}
+    assert buf.pending == {} and len(buf.aborted) == 1
 
     # unprepared multi-entry chain: partialTxn entries buffer, the
     # FINAL plain applyOps entry of the same session flushes the chain
@@ -1843,6 +1845,69 @@ def test_live_drain_oplog_prepared_txn_across_drains(tmp_path):
         assert live_drain_oplog(live, out) == 0
         assert not os.path.exists(os.path.join(out, "_txn_pending.json"))
     finally:
+        srv.close()
+
+
+def test_command_rejects_out_of_sync_reply():
+    """A reply whose responseTo does not match the in-flight request
+    id raises ConnectionError: on a SHARED socket a previous exchange
+    that died mid-reply leaves its late answer in the stream, and
+    accepting it would silently return the wrong documents
+    (code-review r14). ConnectionError is an OSError, so pooled
+    callers evict and redial."""
+    import socket as _socket
+
+    from transferia_spark.streaming.mongo_wire import MongoWireClient
+
+    srv = _socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+
+        def recv_exact(n):
+            out = b""
+            while len(out) < n:
+                b = conn.recv(n - len(out))
+                if not b:
+                    return None
+                out += b
+            return out
+
+        while True:
+            head = recv_exact(4)
+            if head is None:
+                conn.close()
+                return
+            (ln,) = struct.unpack("<i", head)
+            frame = head + recv_exact(ln - 4)
+            req, _r, opcode = struct.unpack_from("<iii", frame, 4)
+            if opcode == 2004:  # hello → correct OP_REPLY
+                doc = encode_document({"ok": 1.0, "maxWireVersion": 17})
+                conn.sendall(
+                    struct.pack("<iiii", 16 + 20 + len(doc), 1, req, 1)
+                    + struct.pack("<iqii", 0, 0, 0, 1) + doc
+                )
+                continue
+            # OP_MSG: answer with a WRONG responseTo (a stale reply
+            # from a previous half-read exchange)
+            doc = encode_document({"ok": 1.0})
+            conn.sendall(
+                struct.pack(
+                    "<iiii", 16 + 4 + 1 + len(doc), 2, req - 1, 2013
+                )
+                + struct.pack("<i", 0) + b"\x00" + doc
+            )
+
+    threading.Thread(target=serve, daemon=True).start()
+    c = MongoWireClient(host="127.0.0.1", port=port)
+    try:
+        with pytest.raises(ConnectionError, match="out-of-sync"):
+            c.command("admin", {"ping": 1})
+    finally:
+        c.close()
         srv.close()
 
 

@@ -538,10 +538,10 @@ def test_waljson_arrow_fast_path_equivalence(spark, tmp_path):
 
     # plan gate: safe payload plans; timestamp payload does not
     safe = wal_output_schema("id long, v string, x double")
-    assert _arrow_read_plan(safe) is not None
+    assert _arrow_read_plan(safe, ["id", "v", "x"]) is not None
     tsy = wal_output_schema("id long, ts timestamp")
-    assert _arrow_read_plan(tsy) is None
-    [(bidx, bnames)] = _arrow_read_plan(safe)[1]
+    assert _arrow_read_plan(tsy, ["id", "ts"]) is None
+    [(bidx, bnames)] = _arrow_read_plan(safe, ["id", "v", "x"])[1]
     assert bidx == safe.fieldNames().index("_before")
     assert bnames == ["id", "v", "x"]
 

@@ -34,6 +34,7 @@ from transferia_spark.cdc.changeitem import (
     REMOVED_COL,
     column_present,
     has_partial_rows,
+    is_toasted,
     keys_changed,
     payload_columns,
 )
@@ -47,6 +48,14 @@ PRESENT_NET_COL = "_present_net"
 # document sinks turn these into ``$unset`` instead of explicit nulls.
 # Emitted only when the input declares a ``_removed`` marker.
 REMOVED_NET_COL = "_removed_net"
+# companion boolean: some event for this key carried a FULL row image
+# (insert, replace, fullDocument update) — the key's folded values are
+# a complete document, so a document sink may REPLACE. All-partial
+# histories (every event a column-subset patch) must apply as update
+# patches even when they happen to carry every declared column: the
+# target document may hold fields outside the declared schema that a
+# replace would wipe (code-review r14). Emitted with PRESENT_NET_COL.
+FULL_NET_COL = "_full_net"
 
 
 def normalize_pk_changes(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -190,6 +199,16 @@ def collapse(
                         f"_rm_{c}"
                     )
                 )
+        if with_presence:
+            # did ANY event for the key carry a full row image?
+            # (delete events carry no image; marker-less frames are
+            # all-full by the has_partial_rows contract)
+            full_row = (
+                ~is_toasted(df, keys) & (F.col(OP_COL) != OP_DELETE)
+            )
+            aggs.append(
+                F.max(F.when(full_row, F.lit(True))).alias("_full")
+            )
 
         # A key inserted AND deleted within the batch nets to a DELETE,
         # not to nothing: eliding it is only sound when the key is also
@@ -221,6 +240,11 @@ def collapse(
                         for c in payload
                     ]
                 ).alias(PRESENT_NET_COL)
+            )
+            extra.append(
+                F.coalesce(F.col("_full"), F.lit(False)).alias(
+                    FULL_NET_COL
+                )
             )
         if track_removed:
             extra.append(

@@ -53,6 +53,7 @@ from transferia_spark.cdc.changeitem import (
     has_partial_rows,
 )
 from transferia_spark.cdc.collapse import (
+    FULL_NET_COL,
     PRESENT_NET_COL,
     REMOVED_NET_COL,
     collapse,
@@ -65,7 +66,7 @@ WRITE_SHARDS = 16  # sinkWriteConcurrency in the reference
 _SYSTEM_COLS = (
     OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before",
     "_batch", PRESENT_COL, PRESENT_NET_COL, REMOVED_COL,
-    REMOVED_NET_COL, TOASTED_COL,
+    REMOVED_NET_COL, FULL_NET_COL, TOASTED_COL,
 )
 
 
@@ -241,16 +242,26 @@ def plan_sharded_ops(rows, key_fields: list[str],
                 None if presence is None
                 else {c for c, b in presence.items() if b}
             )
-            # partial when any column is uncarried OR any net write is
-            # a removal: a removal can only come from a partial event
-            # (full images carry every column and clear the bit in the
-            # fold), and replacing there would wipe the target's
+            # a frame without the full-image net bit (pre-r14 caller,
+            # direct planner use) keeps the old full-image assumption
+            full_net = (
+                row["_full_net"] if "_full_net" in row else None
+            )
+            if full_net is None:
+                full_net = True
+            # partial when any column is uncarried, OR any net write is
+            # a removal (a removal can only come from a partial event —
+            # full images carry every column and clear the bit in the
+            # fold), OR the key's whole history is partial patches (an
+            # all-carried patch chain is still not a full document):
+            # replacing in any of these would wipe the target's
             # UNDECLARED fields a mongo document may carry outside the
             # probed schema — the reference's makeUpdateModel applies
             # $set/$unset for every partial update (write_models.go:23)
             partial = carried is not None and (
                 any(not b for b in presence.values())
                 or any(removed_net.get(c) for c in carried)
+                or not full_net
             )
             if pk_cols is not None:
                 # single-PK payload column becomes the document _id;
@@ -550,6 +561,16 @@ class MongoSink(Sink):
             # net-removed columns become true $unset ops
             _net_json(PRESENT_NET_COL).alias("_present_json"),
             _net_json(REMOVED_NET_COL).alias("_removed_json"),
+            # did any event for the key carry a full row image? An
+            # all-partial history must stay on the update-patch path
+            # even when every declared column happens to be carried —
+            # replacing would wipe the target doc's undeclared fields
+            # (code-review r14)
+            (
+                F.col(FULL_NET_COL)
+                if FULL_NET_COL in df.columns
+                else F.lit(None).cast("boolean")
+            ).alias("_full_net"),
         ]
         return df.select(*cols)
 

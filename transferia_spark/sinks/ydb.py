@@ -49,7 +49,8 @@ WRITE_BATCH_MAX_SIZE = 48 * 1024 * 1024  # sink.go:47 — YDB RPC cap 64 MB
 
 _SYSTEM_COLS = (
     OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before",
-    "_present", "_present_net", "_table",
+    "_present", "_present_net", "_removed", "_removed_net",
+    "_full_net", "_table",
 )
 
 # YT logical type → YQL type (ydbType: sink.go:1361-1406, the

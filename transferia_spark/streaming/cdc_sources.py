@@ -46,8 +46,15 @@ from pyspark.sql.datasource import (
 from transferia_spark.cdc.envelopes import MYSQL_FILE_OFFSET
 from transferia_spark.streaming.wal_source import wal_output_schema
 
+# the meta tail the BINLOG recorded reader appends; the change-stream
+# reader has its own tail (no ``_before``, plus ``_removed``) — each
+# reader must exclude exactly what it emits, or a payload column with
+# a reserved-looking name breaks the tuple arity (code-review r14)
 _META_FIELDS = (
-    "_op", "_lsn", "_counter", "_table", "_before", "_present", "_removed",
+    "_op", "_lsn", "_counter", "_table", "_before", "_present",
+)
+_CS_META_FIELDS = (
+    "_op", "_lsn", "_counter", "_table", "_present", "_removed",
 )
 
 _MYSQL_OPS = {"insert": "i", "update": "u", "delete": "d"}
@@ -547,7 +554,8 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.schema = schema
         self.payload_fields = [
-            f.name for f in schema.fields if f.name not in _META_FIELDS
+            f.name for f in schema.fields
+            if f.name not in _CS_META_FIELDS
         ]
         # arrow RecordBatch fast path (wal_source.wrap_arrow_read)
         self.arrow_batches, self.arrow_chunk = arrow_option_fields(options)

@@ -583,10 +583,25 @@ class MongoWireClient:
 
     def command(self, db: str, body: dict) -> dict:
         """One OP_MSG command against ``db``; non-ok raises with the
-        server's code/errmsg."""
+        server's code/errmsg. The reply's ``responseTo`` must match the
+        request id we sent — on a SHARED socket a previous exchange
+        that died between send and a full read leaves its late reply
+        in the stream, and accepting it as this call's answer would
+        silently return the wrong documents (code-review r14); the
+        mismatch raises ConnectionError (an OSError) so pooled callers
+        evict and redial."""
         body = {**body, "$db": db}
-        self._sock.sendall(encode_op_msg(body, self._next_req()))
-        doc = decode_op_msg(self._recv_frame())
+        req = self._next_req()
+        self._sock.sendall(encode_op_msg(body, req))
+        frame = self._recv_frame()
+        resp_to = struct.unpack_from("<i", frame, 8)[0]
+        if resp_to != req:
+            raise ConnectionError(
+                f"out-of-sync OP_MSG reply (responseTo={resp_to}, "
+                f"expected {req}): a previous exchange on this socket "
+                "died mid-reply — the connection must be redialed"
+            )
+        doc = decode_op_msg(frame)
         if not doc.get("ok"):
             raise MongoServerError(doc)
         return doc
@@ -1497,6 +1512,11 @@ class OplogTransactionBuffer:
         #: txns popped by a commit/final-chain entry since construction
         #: (key -> the popped pending value) — drain crash bookkeeping
         self.flushed: dict[str, dict] = {}
+        #: txns discarded by an abortTransaction since construction —
+        #: the drain must rewrite the sidecar for these too, or a
+        #: stale pre-abort sidecar surviving a crash window would
+        #: strand them as pending forever (code-review r14)
+        self.aborted: list[str] = []
         self.max_buffered_ops = max_buffered_ops
 
     @staticmethod
@@ -1581,8 +1601,8 @@ class OplogTransactionBuffer:
             return self._stamp(popped["events"], ts)
         if "abortTransaction" in o:
             key = self._txn_key(entry)
-            if key:
-                self.pending.pop(key, None)
+            if key and self.pending.pop(key, None) is not None:
+                self.aborted.append(key)
             return []
         return []
 
@@ -1753,8 +1773,13 @@ def live_drain_oplog(live: dict, out_dir: str) -> int:
                     n += 1
         # phase 1 — pre-publish "union" sidecar: pending ∪ flushed,
         # annotated with the flushed keys and this drain's events seq,
-        # so a crash on either side of the publish loses nothing
-        if txn.pending or txn.flushed:
+        # so a crash on either side of the publish loses nothing.
+        # Aborted txns are simply OMITTED (nothing of theirs can emit;
+        # if this drain crashes before the resume persists, the abort
+        # re-reads and re-discards) — but their occurrence still
+        # forces the rewrite, or a stale pre-abort sidecar would
+        # strand them as pending across a later crash window
+        if txn.pending or txn.flushed or txn.aborted:
             with open(txn_path + ".tmp", "w") as f:
                 _json.dump({
                     "pending": {**txn.flushed, **txn.pending},
@@ -1843,14 +1868,30 @@ def with_shared_adapter(uri: str, fn, timeout: float = 30.0):
     """Run ``fn(adapter)`` on the memoized adapter, holding its lock
     across the call (one request/reply exchange in flight per socket);
     on a transport error (a long-idle pooled socket the server closed,
-    a failover) evict the dead client and retry ONCE on a fresh dial —
-    server-side errors (MongoServerError) propagate without eviction."""
+    a failover) evict the dead client and retry ONCE on a fresh dial.
+    Only a MongoServerError leaves the adapter pooled — the reply was
+    fully read, so the protocol state is clean; ANY other failure may
+    have died between send and a full read, leaving an unread late
+    reply that would poison the next caller's exchange (code-review
+    r14), so the adapter is evicted on every non-server error,
+    including failures of the retry itself."""
     with _shared_adapter_lock((uri, timeout)):
         try:
             return fn(shared_wire_adapter(uri, timeout))
+        except MongoServerError:
+            raise
         except OSError:
             evict_shared_adapter(uri, timeout)
-            return fn(shared_wire_adapter(uri, timeout))
+            try:
+                return fn(shared_wire_adapter(uri, timeout))
+            except MongoServerError:
+                raise
+            except Exception:
+                evict_shared_adapter(uri, timeout)
+                raise
+        except Exception:
+            evict_shared_adapter(uri, timeout)
+            raise
 
 
 __all__ = [

@@ -44,8 +44,13 @@ from pyspark.sql.datasource import (
 
 _ACTIONS = {"I": "i", "U": "u", "D": "d"}
 
+# exactly the meta tail the WAL reader APPENDS to its tuples — a name
+# must only be excluded from payload_fields when the reader really
+# emits it, or a payload column with a reserved-looking name silently
+# breaks the tuple arity (code-review r14: `_removed` belongs to the
+# change-stream reader's tail, not this one)
 _META_FIELDS = (
-    "_op", "_lsn", "_counter", "_table", "_before", "_present", "_removed",
+    "_op", "_lsn", "_counter", "_table", "_before", "_present",
 )
 
 # payload types pa.array converts from plain JSON-decoded values with
@@ -58,13 +63,16 @@ _ARROW_SAFE_TYPES = (
 )
 
 
-def _arrow_read_plan(schema: T.StructType):
+def _arrow_read_plan(schema: T.StructType, payload_names):
     """(pyarrow schema, [(struct col index, field names), ...]) when a
     recorded-CDC reader may yield RecordBatches directly; None → row
-    tuples. Gated on every payload type sitting in the arrow-safe set;
-    struct meta columns (``_before``) ride as positional tuples in the
-    rows and get dict-ified per the struct's own field names."""
-    payload = [f for f in schema.fields if f.name not in _META_FIELDS]
+    tuples. Gated on every payload type sitting in the arrow-safe set
+    (``payload_names`` — the READER's own payload list, so the gate
+    matches exactly what the tuples carry); struct meta columns
+    (``_before``) ride as positional tuples in the rows and get
+    dict-ified per the struct's own field names."""
+    names = set(payload_names)
+    payload = [f for f in schema.fields if f.name in names]
     if not all(isinstance(f.dataType, _ARROW_SAFE_TYPES) for f in payload):
         return None
     try:
@@ -132,7 +140,11 @@ def wrap_arrow_read(reader, rows):
     reader's schema plans (see ``_arrow_read_plan``), else the rows
     unchanged. Readers call this from ``read()`` around their tuple
     generator."""
-    plan = _arrow_read_plan(reader.schema) if reader.arrow_batches else None
+    plan = (
+        _arrow_read_plan(reader.schema, reader.payload_fields)
+        if reader.arrow_batches
+        else None
+    )
     if plan is None:
         return rows
     return _tuples_to_arrow(rows, plan, reader.arrow_chunk)
