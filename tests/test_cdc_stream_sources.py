@@ -1288,3 +1288,67 @@ def test_reader_meta_exclusion_matches_emitted_tail(spark, tmp_path):
         {"path": str(tmp_path)},
     )
     assert cs.payload_fields == ["_id", "_before"]
+
+
+def test_dotted_partial_update_routes_loudly(spark, tmp_path):
+    """A partial update whose dotted path touches a DECLARED column is
+    a nested sub-document write the reader cannot patch into a column
+    fragment — silently dropping it would leave the column stale, so
+    it raises (or dead-letters when configured); dotted paths under
+    UNDECLARED prefixes drop like any undeclared field (code-review
+    r14 follow-up: oplog-mode $v:2 diffs emit dotted updatedFields)."""
+    import json as _json
+    import os
+
+    from transferia_spark.streaming.cdc_sources import (
+        ChangeStreamJsonStreamReader,
+        format_resume_token,
+    )
+
+    cdir = tmp_path / "cs"
+    os.makedirs(cdir)
+
+    def ev(i, updated, removed=()):
+        return {
+            "_id": {"_data": format_resume_token(100, i)},
+            "operationType": "update",
+            "documentKey": {"_id": i},
+            "ns": {"db": "shop", "coll": "t"},
+            "updateDescription": {
+                "updatedFields": updated,
+                "removedFields": list(removed),
+            },
+        }
+
+    with open(cdir / "000.jsonl", "w") as f:
+        f.write(_json.dumps(ev(1, {"a.b": 7})) + "\n")        # declared
+        f.write(_json.dumps(ev(2, {"zz.q": 1, "v": "x"})) + "\n")  # undeclared prefix
+        f.write(_json.dumps(ev(3, {"v": "y"}, ["a.c"])) + "\n")    # dotted removal
+
+    schema = change_stream_output_schema("_id long, a string, v string")
+    lo, hi = {"ts": 0, "order": -1}, {"ts": 200, "order": 99}
+
+    def rows_with(**extra):
+        r = ChangeStreamJsonStreamReader(
+            schema, {"path": str(cdir), **extra}
+        )
+        r.latestOffset()
+        return [
+            t for p in r.partitions(lo, hi) for t in r._read_tuples(p)
+        ]
+
+    # no dead_letter: the declared-column fragment raises
+    with pytest.raises(ValueError, match="dotted-path partial update"):
+        rows_with()
+
+    # dead_letter: the two offending events route, the clean one flows
+    dl = str(tmp_path / "dl")
+    rows = rows_with(dead_letter_dir=dl)
+    assert [t[0] for t in rows] == [2]       # _id of the clean event
+    assert rows[0][2] == "x"                 # v carried
+    routed = [
+        _json.loads(ln)
+        for f in sorted(os.listdir(dl))
+        for ln in open(os.path.join(dl, f))
+    ]
+    assert len(routed) == 2

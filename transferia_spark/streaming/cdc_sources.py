@@ -557,6 +557,7 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
             f.name for f in schema.fields
             if f.name not in _CS_META_FIELDS
         ]
+        self._payload_set = set(self.payload_fields)
         # arrow RecordBatch fast path (wal_source.wrap_arrow_read)
         self.arrow_batches, self.arrow_chunk = arrow_option_fields(options)
         self.ack_file = options.get("ack_file")
@@ -704,7 +705,34 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
                         # _removed (document sinks emit a true $unset;
                         # relational sinks apply the carried NULL),
                         # everything else is ABSENT (the _present
-                        # contract collapse folds on)
+                        # contract collapse folds on).
+                        # A DOTTED path touching a DECLARED column is a
+                        # nested sub-document write we cannot patch into
+                        # a column fragment — silently dropping it would
+                        # leave the column stale, so it routes loudly
+                        # (dead_letter if configured, else raises;
+                        # code-review r14). Dotted paths under
+                        # UNdeclared prefixes drop like any undeclared
+                        # field (the probed-schema contract). The
+                        # change-stream drain's fullDocument=updateLookup
+                        # default avoids this; oplog-mode $v:2 diffs are
+                        # where dotted partials actually occur.
+                        frag = {
+                            k.split(".", 1)[0]
+                            for k in (*updated, *removed)
+                            if "." in k
+                            and k.split(".", 1)[0] in self._payload_set
+                        }
+                        if frag:
+                            raise ValueError(
+                                "dotted-path partial update touches "
+                                f"declared column(s) {sorted(frag)} — "
+                                "a nested sub-document write without a "
+                                "full image cannot patch a column "
+                                "fragment; use fullDocument=updateLookup "
+                                "(the change-stream drain default) or "
+                                "route via dead_letter"
+                            )
                         vals = dict(updated)
                         present = ["_id", *updated.keys(), *removed]
                         removed_out = list(removed) or None
