@@ -107,6 +107,35 @@ def test_mongo_partial_update_keeps_absent_and_nulls_removed(spark):
     assert net[4]["_op"] == "d"
 
 
+def test_mongo_envelope_dotted_partial_update_fails_loudly(spark):
+    """A partial update whose dotted path touches a DECLARED column
+    fails the batch loudly — element_at would miss it and the column
+    would silently go stale (code-review r14; the direct reader
+    raises/dead-letters the same class). Dotted paths under
+    UNDECLARED prefixes still drop per the declared-schema contract."""
+    import pytest
+
+    # dotted under the DECLARED column v → loud
+    bad = spark.createDataFrame(
+        [("update", 2, 0, (1,), None, {"v.sub": "7"}, None)], MONGO_DDL
+    )
+    with pytest.raises(Exception, match="dotted-path partial update"):
+        mongo_change_stream_to_changeitems(bad).collect()
+    # dotted removal of a declared column's fragment → loud too
+    bad2 = spark.createDataFrame(
+        [("update", 2, 0, (1,), None, None, ["w.x"])], MONGO_DDL
+    )
+    with pytest.raises(Exception, match="dotted-path partial update"):
+        mongo_change_stream_to_changeitems(bad2).collect()
+    # dotted under an UNDECLARED prefix → drops like any undeclared
+    ok = spark.createDataFrame(
+        [("update", 2, 0, (1,), None, {"zz.q": "1", "v": "b"}, None)],
+        MONGO_DDL,
+    )
+    (row,) = mongo_change_stream_to_changeitems(ok).collect()
+    assert row["v"] == "b" and row["_op"] == "u"
+
+
 def test_mongo_pk_extender_chain(spark):
     """Compound documentKey struct → top-level PK columns (the
     reference chains mongo sources with the mongo_pk_extender

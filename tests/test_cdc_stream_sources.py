@@ -1261,33 +1261,41 @@ def test_split_decode_binlog_and_change_stream_equivalence(
     assert Counter(map(repr, r8)) == Counter(map(repr, r1))
 
 
-def test_reader_meta_exclusion_matches_emitted_tail(spark, tmp_path):
-    """Each recorded reader excludes from payload exactly the meta
-    tail it APPENDS — a payload column with a reserved-looking name
-    from ANOTHER reader's tail must stay payload, or the tuple arity
-    silently breaks (code-review r14: `_removed` belongs only to the
-    change-stream reader)."""
+def test_reserved_payload_names_rejected_loudly(spark, tmp_path):
+    """A payload column named after an engine-reserved ChangeItem name
+    that is NOT part of the reader's own meta tail fails LOUDLY at
+    reader construction — before r14 it silently broke the tuple
+    arity, and merely passing it through would die later in
+    collapse/merge/sinks with a confusing analysis error (code-review
+    r14). Each reader excludes exactly the tail it appends, so tails
+    stay per-reader (`_removed` belongs to the change-stream reader)."""
     from transferia_spark.streaming.cdc_sources import (
         ChangeStreamJsonStreamReader,
-        change_stream_output_schema,
     )
     from transferia_spark.streaming.wal_source import (
         WalJsonStreamReader,
         wal_output_schema,
     )
 
-    # PG wal reader: `_removed` is NOT in its tail → stays payload
+    # PG wal reader: `_removed` is NOT in its tail → reserved → loud
+    with pytest.raises(ValueError, match="engine-reserved"):
+        WalJsonStreamReader(
+            wal_output_schema("id long, _removed string"),
+            {"path": str(tmp_path)},
+        )
+    # change-stream reader: `_removed` IS its tail (fine as meta);
+    # `_before` is another reader's meta → reserved → loud
+    with pytest.raises(ValueError, match="engine-reserved"):
+        ChangeStreamJsonStreamReader(
+            change_stream_output_schema("_id long, _before string"),
+            {"path": str(tmp_path)},
+        )
+    # ordinary underscore-prefixed names that are NOT reserved pass
     wal = WalJsonStreamReader(
-        wal_output_schema("id long, _removed string"),
+        wal_output_schema("id long, _note string"),
         {"path": str(tmp_path)},
     )
-    assert wal.payload_fields == ["id", "_removed"]
-    # change-stream reader: `_removed` IS its tail; `_before` is not
-    cs = ChangeStreamJsonStreamReader(
-        change_stream_output_schema("_id long, _before string"),
-        {"path": str(tmp_path)},
-    )
-    assert cs.payload_fields == ["_id", "_before"]
+    assert wal.payload_fields == ["id", "_note"]
 
 
 def test_dotted_partial_update_routes_loudly(spark, tmp_path):

@@ -71,6 +71,16 @@ META_COLS = (
     REMOVED_COL,
 )
 
+#: every name the ChangeItem pipeline reserves END-TO-END: the meta
+#: columns plus collapse's net-output columns. Readers reject payload
+#: columns using any of these — a reserved-looking payload column
+#: would either break the reader's tuple arity or die later in
+#: collapse/merge/sinks with a confusing analysis error (code-review
+#: r14: loud-at-the-source beats both).
+RESERVED_NAMES = frozenset(META_COLS) | frozenset(
+    {"_present_net", "_removed_net", "_full_net"}
+)
+
 OP_INSERT = "i"
 OP_UPDATE = "u"
 OP_DELETE = "d"

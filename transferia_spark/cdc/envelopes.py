@@ -151,6 +151,41 @@ def mongo_change_stream_to_changeitems(
     has_full = F.col("full_doc").isNotNull()
     is_del = F.col("op_type") == "delete"
 
+    # A DOTTED path touching a declared column is a nested
+    # sub-document write this adapter cannot patch into a column
+    # fragment — element_at misses it and the column would silently
+    # go stale, so the batch fails loudly instead (the direct
+    # change-stream reader raises/dead-letters the same class;
+    # code-review r14). Dotted paths under UNdeclared prefixes drop
+    # like any undeclared field.
+    declared = F.array(
+        *[F.lit(c) for c in payload_fields if c != "_id"]
+    )
+    all_keys = F.concat(
+        F.coalesce(F.map_keys(F.col("updated_fields")), F.array()),
+        F.coalesce(F.col("removed_fields"), F.array()),
+    )
+    frag = F.exists(
+        all_keys,
+        lambda k: k.contains(".")
+        & F.array_contains(declared, F.split(k, r"\.").getItem(0)),
+    )
+    dotted_guard = F.assert_true(
+        has_full | is_del | ~frag,
+        F.concat(
+            F.lit(
+                "dotted-path partial update touches declared "
+                "column(s) (keys "
+            ),
+            F.to_json(all_keys),
+            F.lit(
+                ") — a nested sub-document write without a full "
+                "image cannot patch a column fragment; front the "
+                "stream with fullDocument=updateLookup"
+            ),
+        ),
+    )
+
     cols = []
     for c in payload_fields:
         if c == "_id":
@@ -174,7 +209,12 @@ def mongo_change_stream_to_changeitems(
         ),
     )
     return df.select(
-        F.col("doc_key._id").alias("_id"),
+        # the guard folds into a projected column so the optimizer
+        # cannot prune the assertion away (assert_true yields NULL
+        # when it passes)
+        F.when(
+            dotted_guard.isNull(), F.col("doc_key._id")
+        ).alias("_id"),
         *cols,
         op.alias(OP_COL),
         F.col("cluster_time").cast("long").alias(LSN_COL),

@@ -245,7 +245,7 @@ def plan_sharded_ops(rows, key_fields: list[str],
             # a frame without the full-image net bit (pre-r14 caller,
             # direct planner use) keeps the old full-image assumption
             full_net = (
-                row["_full_net"] if "_full_net" in row else None
+                row[FULL_NET_COL] if FULL_NET_COL in row else None
             )
             if full_net is None:
                 full_net = True
@@ -570,7 +570,7 @@ class MongoSink(Sink):
                 F.col(FULL_NET_COL)
                 if FULL_NET_COL in df.columns
                 else F.lit(None).cast("boolean")
-            ).alias("_full_net"),
+            ).alias(FULL_NET_COL),
         ]
         return df.select(*cols)
 

@@ -35,12 +35,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from transferia_spark.cdc.changeitem import (
+    BEFORE_COL,
     COUNTER_COL,
     LSN_COL,
     OP_COL,
     OP_DELETE,
+    PRESENT_COL,
+    REMOVED_COL,
 )
-from transferia_spark.cdc.collapse import collapse
+from transferia_spark.cdc.collapse import (
+    FULL_NET_COL,
+    PRESENT_NET_COL,
+    REMOVED_NET_COL,
+    collapse,
+)
 from transferia_spark.schema.colschema import TableID
 from transferia_spark.sinks.base import CleanupPolicy, Sink, register_sink
 
@@ -48,9 +56,9 @@ WRITE_BATCH_MAX_LEN = 10_000  # sink.go:46
 WRITE_BATCH_MAX_SIZE = 48 * 1024 * 1024  # sink.go:47 — YDB RPC cap 64 MB
 
 _SYSTEM_COLS = (
-    OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", "_before",
-    "_present", "_present_net", "_removed", "_removed_net",
-    "_full_net", "_table",
+    OP_COL, LSN_COL, COUNTER_COL, "_commit_ts", "_tx_id", BEFORE_COL,
+    PRESENT_COL, PRESENT_NET_COL, REMOVED_COL, REMOVED_NET_COL,
+    FULL_NET_COL, "_table",
 )
 
 # YT logical type → YQL type (ydbType: sink.go:1361-1406, the

@@ -149,6 +149,7 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: T.StructType, options: dict):
         from transferia_spark.streaming.wal_source import (
+            _reject_reserved_payload,
             arrow_option_fields,
         )
 
@@ -157,6 +158,7 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
         self.payload_fields = [
             f.name for f in schema.fields if f.name not in _META_FIELDS
         ]
+        _reject_reserved_payload(self.payload_fields)
         # arrow RecordBatch fast path (wal_source.wrap_arrow_read)
         self.arrow_batches, self.arrow_chunk = arrow_option_fields(options)
         self.ack_file = options.get("ack_file")
@@ -548,6 +550,7 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: T.StructType, options: dict):
         from transferia_spark.streaming.wal_source import (
+            _reject_reserved_payload,
             arrow_option_fields,
         )
 
@@ -557,6 +560,7 @@ class ChangeStreamJsonStreamReader(DataSourceStreamReader):
             f.name for f in schema.fields
             if f.name not in _CS_META_FIELDS
         ]
+        _reject_reserved_payload(self.payload_fields)
         self._payload_set = set(self.payload_fields)
         # arrow RecordBatch fast path (wal_source.wrap_arrow_read)
         self.arrow_batches, self.arrow_chunk = arrow_option_fields(options)

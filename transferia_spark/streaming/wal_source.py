@@ -135,6 +135,22 @@ def arrow_option_fields(options: dict) -> tuple[bool, int]:
     return on, max(256, int(options.get("arrow_chunk", 8192)))
 
 
+def _reject_reserved_payload(payload_fields) -> None:
+    """Reject payload columns named after engine-reserved ChangeItem
+    names that are not part of THIS reader's meta tail — such a column
+    would die later in collapse/merge/sinks with a confusing analysis
+    error; loud at the source beats both that and a silent tuple-arity
+    break (code-review r14)."""
+    from transferia_spark.cdc.changeitem import RESERVED_NAMES
+
+    bad = sorted(set(payload_fields) & RESERVED_NAMES)
+    if bad:
+        raise ValueError(
+            f"payload column(s) {bad} use engine-reserved ChangeItem "
+            "names — rename them in the declared schema"
+        )
+
+
 def wrap_arrow_read(reader, rows):
     """Reader-agnostic fast path: yield RecordBatches when the
     reader's schema plans (see ``_arrow_read_plan``), else the rows
@@ -445,6 +461,7 @@ class WalJsonStreamReader(DataSourceStreamReader):
         self.payload_fields = [
             f.name for f in schema.fields if f.name not in _META_FIELDS
         ]
+        _reject_reserved_payload(self.payload_fields)
         # executor tasks yield pyarrow RecordBatches instead of row
         # tuples when every payload type is arrow-safe — skips the
         # worker's per-cell converter calls (measured ~1.9× on the
