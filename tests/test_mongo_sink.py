@@ -138,17 +138,24 @@ def test_cleanup_policies(recorder):
     assert len(calls()) == n
 
 
-def test_missing_pymongo_is_gated():
-    """Without an injected applier and without pymongo, the transport
-    gate raises with a remedy (construction stays cheap)."""
+def test_missing_pymongo_falls_back_to_wire_applier():
+    """Without an injected applier and without pymongo, the default
+    factory returns the ZERO-DEPENDENCY wire applier (r14 — the sink
+    used to raise here); pymongo_applier itself keeps the explicit
+    gate with a remedy. Construction stays cheap either way (no
+    dial until ops apply)."""
+    from transferia_spark.sinks.mongo import pymongo_applier
+
     sink = build_sink("mongo", database="db")
     try:
         import pymongo  # noqa: F401
         pytest.skip("pymongo present in this environment")
     except ImportError:
         pass
+    apply = sink.applier_factory("mongodb://nowhere")
+    assert callable(apply)  # wire applier — no dial yet
     with pytest.raises(NotImplementedError, match="pymongo"):
-        sink.applier_factory("mongodb://nowhere")
+        pymongo_applier("mongodb://nowhere")
 
 
 # -------------------------------------------- sharded target support
@@ -471,6 +478,133 @@ def test_shared_wire_adapter_memoizes_dials():
             assert srv.dial_count() - before == 2
     finally:
         mw.evict_shared_adapter(uri)
+        srv.close()
+
+
+def test_wire_applier_end_to_end(spark):
+    """The ZERO-DEPENDENCY wire applier (r14): a real write_cdc batch
+    applies over OP_MSG update/delete commands against a loopback
+    mongod — replaces upsert, partial patches $set only the carried
+    columns (an extra target field survives), removals become true
+    $unset, a patch for a MISSING document upserts it (the reference's
+    SetUpsert(true)), and deletes remove. The sink now works without
+    pymongo like the rest of the engine."""
+    from test_mongo_wire import LoopbackMongod
+    from transferia_spark.sinks.mongo import MongoSink, wire_applier
+
+    data = {"db.t": [
+        {"_id": 2, "v": "old2", "w": "keep2", "extra": "survives"},
+        {"_id": 3, "v": "old3", "w": "gone3"},
+        {"_id": 4, "v": "old4"},
+    ]}
+    srv = LoopbackMongod(data)
+    uri = f"mongodb://127.0.0.1:{srv.port}/"
+    sink = MongoSink(uri=uri, database="db",
+                     applier_factory=wire_applier)
+    batch = spark.createDataFrame(
+        [
+            # k=1: full insert → replace-upsert creates it
+            (1, "v1", "w1", "i", 10, 0, None, None),
+            # k=2: partial $set of v only → extra/w survive
+            (2, "v2b", None, "u", 11, 0, ["v"], None),
+            # k=3: $unset w → the field is really gone, v survives
+            (3, None, None, "u", 12, 0, ["w"], ["w"]),
+            # k=4: delete
+            (4, None, None, "d", 13, 0, None, None),
+            # k=5: partial patch of a MISSING doc → upserted partial
+            (5, "v5", None, "u", 14, 0, ["v"], None),
+        ],
+        f"k long, v string, w string, {OP_COL} string, {LSN_COL} long, "
+        f"{COUNTER_COL} int, _present array<string>, "
+        "_removed array<string>",
+    )
+    try:
+        sink.write_cdc(batch, TableID("", "t"), keys=["k"])
+        final = {d["_id"]: d for d in srv.data["db.t"]}
+        assert final[1] == {"_id": 1, "v": "v1", "w": "w1"}
+        assert final[2] == {"_id": 2, "v": "v2b", "w": "keep2",
+                            "extra": "survives"}
+        assert final[3] == {"_id": 3, "v": "old3"}   # w truly unset
+        assert 4 not in final                         # deleted
+        assert final[5] == {"_id": 5, "v": "v5"}      # upserted patch
+    finally:
+        srv.close()
+
+
+def test_wire_applier_sharded_end_to_end(spark):
+    """Full sharded-target pipeline lib-free: shard key read from
+    config.collections over the wire, stored keys fetched per
+    partition with one $in find, filters carry the STORED key next to
+    _id (equality-matched by the server — a wrong key value would
+    miss and upsert a duplicate, which the final-state assert would
+    catch), and the wire applier applies it all."""
+    from test_mongo_wire import LoopbackMongod
+    from transferia_spark.sinks.mongo import (
+        MongoSink,
+        wire_applier,
+        wire_shard_key_provider,
+    )
+
+    data = {
+        "config.collections": [
+            {"_id": "db.t", "key": {"region": 1}},
+        ],
+        "db.t": [
+            {"_id": 1, "region": "eu", "v": "old1", "x": "keep"},
+            {"_id": 2, "region": "us", "v": "old2"},
+        ],
+    }
+    srv = LoopbackMongod(data)
+    uri = f"mongodb://127.0.0.1:{srv.port}/"
+    sink = MongoSink(uri=uri, database="db",
+                     applier_factory=wire_applier,
+                     shard_key_provider=wire_shard_key_provider)
+    batch = spark.createDataFrame(
+        [
+            # partial patch of v on doc 1: filter carries stored
+            # region=eu; x survives the $set
+            (1, None, "v1b", "u", 20, 0, ["v"], None),
+            # full replace of doc 2 moving its SHARD KEY us → ap —
+            # isolated op, old key in the filter
+            (2, "ap", "v2b", "u", 21, 0, None, None),
+            # new doc in a fresh region
+            (3, "sa", "v3", "i", 22, 0, None, None),
+        ],
+        f"k long, region string, v string, {OP_COL} string, "
+        f"{LSN_COL} long, {COUNTER_COL} int, _present array<string>, "
+        "_removed array<string>",
+    )
+    try:
+        sink.write_cdc(batch, TableID("", "t"), keys=["k"])
+        final = {d["_id"]: d for d in srv.data["db.t"]}
+        assert len(final) == 3, f"duplicate upsert: {srv.data['db.t']}"
+        assert final[1] == {"_id": 1, "region": "eu", "v": "v1b",
+                            "x": "keep"}
+        assert final[2] == {"_id": 2, "region": "ap", "v": "v2b"}
+        assert final[3] == {"_id": 3, "region": "sa", "v": "v3"}
+    finally:
+        srv.close()
+
+
+def test_wire_applier_cleanup_policies(spark):
+    """cleanup over the wire: Truncate empties in place, Drop removes
+    the collection (and dropping an absent one is a no-op, matching
+    pymongo's Collection.drop)."""
+    from test_mongo_wire import LoopbackMongod
+    from transferia_spark.sinks.base import CleanupPolicy
+    from transferia_spark.sinks.mongo import MongoSink, wire_applier
+
+    srv = LoopbackMongod({"db.t": [{"_id": 1}], "db.u": [{"_id": 2}]})
+    uri = f"mongodb://127.0.0.1:{srv.port}/"
+    sink = MongoSink(uri=uri, database="db",
+                     applier_factory=wire_applier)
+    try:
+        sink.cleanup(TableID("", "t"), CleanupPolicy.TRUNCATE)
+        assert srv.data["db.t"] == []
+        sink.cleanup(TableID("", "u"), CleanupPolicy.DROP)
+        assert "db.u" not in srv.data
+        sink.cleanup(TableID("", "u"), CleanupPolicy.DROP)  # absent: ok
+    finally:
         srv.close()
 
 

@@ -163,11 +163,56 @@ def test_parse_mongo_uri_multi_host_and_topology_options():
 # ----------------------------------------------------- loopback server
 
 
+def _loop_dot_get(doc, path):
+    cur = doc
+    for k in path.split("."):
+        if not isinstance(cur, dict) or k not in cur:
+            return None, False
+        cur = cur[k]
+    return cur, True
+
+
+def _loop_dot_set(doc, path, v):
+    keys = path.split(".")
+    cur = doc
+    for k in keys[:-1]:
+        nxt = cur.get(k)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            cur[k] = nxt
+        cur = nxt
+    cur[keys[-1]] = v
+
+
+def _loop_dot_unset(doc, path):
+    keys = path.split(".")
+    cur = doc
+    for k in keys[:-1]:
+        cur = cur.get(k)
+        if not isinstance(cur, dict):
+            return
+    cur.pop(keys[-1], None)
+
+
+def _loop_matches(doc, q):
+    """Equality-only filter match with dotted paths — the shape the
+    sink's write filters use (operators are not needed on the write
+    path)."""
+    for k, v in q.items():
+        got, ok = _loop_dot_get(doc, k)
+        if not ok or got != v:
+            return False
+    return True
+
+
 class LoopbackMongod:
     """Scripted mongod: hello over OP_QUERY/OP_REPLY, OP_MSG commands
     (saslStart/saslContinue via the SCRAM verifier, find/getMore with
     real cursor batching, aggregate's $collStats/$sample,
-    listCollections)."""
+    listCollections, and the update/delete/drop WRITE commands the
+    zero-dependency wire applier issues — modifier updates apply
+    $set/$unset with dotted paths, replacements preserve _id, upserts
+    build the new document from the filter's equality fields)."""
 
     def __init__(self, data: dict[str, list[dict]],
                  users: dict[str, str] | None = None,
@@ -411,6 +456,80 @@ class LoopbackMongod:
                     "id": nid, "ns": "x", "nextBatch": batch}},
                 authed, scram,
             )
+        if "update" in body and isinstance(body.get("update"), str):
+            key = f"{db}.{body['update']}"
+            docs = self.data.setdefault(key, [])
+            n_mod, upserted = 0, []
+            for i, spec in enumerate(body.get("updates") or []):
+                q = spec.get("q") or {}
+                u = spec.get("u") or {}
+                is_mod = any(k.startswith("$") for k in u)
+                idx = next(
+                    (j for j, d in enumerate(docs)
+                     if _loop_matches(d, q)),
+                    None,
+                )
+                if idx is None:
+                    if not spec.get("upsert"):
+                        continue
+                    if is_mod:
+                        new = {}
+                        for k, v in q.items():
+                            _loop_dot_set(new, k, v)
+                        for k, v in (u.get("$set") or {}).items():
+                            _loop_dot_set(new, k, v)
+                        for k in (u.get("$unset") or {}):
+                            _loop_dot_unset(new, k)
+                    else:
+                        new = dict(u)
+                        if "_id" not in new and "_id" in q:
+                            new["_id"] = q["_id"]
+                    docs.append(new)
+                    upserted.append({"index": i, "_id": new.get("_id")})
+                elif is_mod:
+                    for k, v in (u.get("$set") or {}).items():
+                        _loop_dot_set(docs[idx], k, v)
+                    for k in (u.get("$unset") or {}):
+                        _loop_dot_unset(docs[idx], k)
+                    n_mod += 1
+                else:
+                    new = dict(u)
+                    if "_id" not in new:
+                        new["_id"] = docs[idx].get("_id")
+                    docs[idx] = new
+                    n_mod += 1
+            resp = {"ok": 1.0, "n": float(n_mod + len(upserted)),
+                    "nModified": float(n_mod)}
+            if upserted:
+                resp["upserted"] = upserted
+            return (resp, authed, scram)
+        if "delete" in body and isinstance(body.get("delete"), str):
+            key = f"{db}.{body['delete']}"
+            docs = self.data.get(key, [])
+            n = 0
+            for spec in body.get("deletes") or []:
+                q = spec.get("q") or {}
+                limit = spec.get("limit", 0)
+                keep, removed = [], 0
+                for d in docs:
+                    if _loop_matches(d, q) and (
+                        limit == 0 or removed < limit
+                    ):
+                        removed += 1
+                    else:
+                        keep.append(d)
+                docs[:] = keep
+                n += removed
+            return ({"ok": 1.0, "n": float(n)}, authed, scram)
+        if "drop" in body and isinstance(body.get("drop"), str):
+            key = f"{db}.{body['drop']}"
+            if key not in self.data:
+                return (
+                    {"ok": 0.0, "code": 26, "errmsg": "ns not found"},
+                    authed, scram,
+                )
+            del self.data[key]
+            return ({"ok": 1.0}, authed, scram)
         return (
             {"ok": 0.0, "code": 59,
              "errmsg": f"no such command: {list(body)[0]}"},

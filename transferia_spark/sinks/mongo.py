@@ -390,6 +390,100 @@ class BulkSplitter:
 _PYMONGO_CLIENTS: dict = {}
 
 
+def wire_applier(uri: str):
+    """Zero-dependency applier over the wire client (no pymongo):
+    each planned bulk becomes at most one ``update`` and one
+    ``delete`` write command, unordered — safe because every bulk
+    carries DISTINCT ids (the BulkSplitter contract), so updates
+    before deletes within a bulk cannot reorder a single document's
+    history. Semantics mirror ``pymongo_applier``/the reference's
+    write models (``write_models.go:10-60``): replaces and partial
+    patches upsert, deletes are single-document, ``cleanup`` maps to
+    ``drop`` / delete-all. Rides the per-process shared adapter (one
+    dial per executor; evict-and-retry-once on transport errors)."""
+    from transferia_spark.streaming.mongo_wire import (
+        MongoServerError,
+        with_shared_adapter,
+    )
+
+    def apply(database: str, collection: str,
+              bulks: Iterable[list[dict]]) -> None:
+        for bulk in bulks:
+            updates, deletes = [], []
+            drop = clear = False
+            for op in bulk:
+                if op["op"] == "replace":
+                    updates.append({
+                        "q": op["filter"], "u": op["doc"],
+                        "upsert": True, "multi": False,
+                    })
+                elif op["op"] == "delete":
+                    deletes.append({"q": op["filter"], "limit": 1})
+                elif op["op"] == "cleanup":
+                    if op.get("policy") == "drop":
+                        drop = True
+                    else:
+                        clear = True
+                else:  # partial update
+                    u = {}
+                    if op.get("set"):
+                        u["$set"] = op["set"]
+                    if op.get("unset"):
+                        u["$unset"] = {k: "" for k in op["unset"]}
+                    updates.append({
+                        "q": op["filter"], "u": u,
+                        "upsert": True, "multi": False,
+                    })
+
+            def run(a):
+                if updates:
+                    r = a.command(database, {
+                        "update": collection, "updates": updates,
+                        "ordered": False,
+                    })
+                    if r.get("writeErrors"):
+                        raise MongoServerError(
+                            {"ok": 0, **r["writeErrors"][0]}
+                        )
+                if deletes:
+                    r = a.command(database, {
+                        "delete": collection, "deletes": deletes,
+                        "ordered": False,
+                    })
+                    if r.get("writeErrors"):
+                        raise MongoServerError(
+                            {"ok": 0, **r["writeErrors"][0]}
+                        )
+                if drop:
+                    try:
+                        a.command(database, {"drop": collection})
+                    except MongoServerError as e:
+                        # dropping an absent collection is a no-op,
+                        # matching pymongo's Collection.drop()
+                        if "ns not found" not in str(e):
+                            raise
+                if clear:
+                    a.command(database, {
+                        "delete": collection,
+                        "deletes": [{"q": {}, "limit": 0}],
+                    })
+
+            with_shared_adapter(uri, run)
+
+    return apply
+
+
+def default_applier(uri: str):
+    """pymongo when installed (connection pooling, retryable writes),
+    else the zero-dependency wire applier — the sink works lib-free
+    like the rest of the engine (r14; it used to raise)."""
+    try:
+        import pymongo  # noqa: F401
+    except ImportError:
+        return wire_applier(uri)
+    return pymongo_applier(uri)
+
+
 def pymongo_applier(uri: str):
     """Real applier (gated): returns a callable applying bulks to a
     collection via pymongo's BulkWrite, unordered per bulk."""
@@ -398,7 +492,7 @@ def pymongo_applier(uri: str):
     except ImportError as e:  # pragma: no cover - env gate
         raise NotImplementedError(
             "mongo sink transport needs the 'pymongo' package; install it "
-            "or inject an applier via applier_factory"
+            "or use wire_applier / inject one via applier_factory"
         ) from e
 
     client = _PYMONGO_CLIENTS.get(uri)
@@ -464,7 +558,7 @@ class MongoSink(Sink):
         self.keys = keys or ["_id"]
         self.write_shards = write_shards
         self.max_bulk_ops = max_bulk_ops
-        self.applier_factory = applier_factory or pymongo_applier
+        self.applier_factory = applier_factory or default_applier
         # sharded-target support (≈ sharded_collection.go): the
         # provider reads config.collections once per table (driver
         # side, memoized); the fetcher runs per partition per batch
@@ -643,11 +737,13 @@ __all__ = [
     "MongoSink",
     "BulkSplitter",
     "ShardKeyInfo",
+    "default_applier",
     "get_value_by_path",
     "has_key_diff",
     "plan_sharded_ops",
     "pymongo_applier",
     "set_value_by_path",
+    "wire_applier",
     "wire_doc_key_fetcher",
     "wire_shard_key_provider",
     "WRITE_SHARDS",

@@ -1163,6 +1163,11 @@ class MongoWireAdapter:
     def __getitem__(self, db: str) -> _WireDatabase:
         return _WireDatabase(self._client, db)
 
+    def command(self, db: str, body: dict) -> dict:
+        """Raw OP_MSG command passthrough (the wire applier's write
+        commands ride this; pymongo's Database.command analog)."""
+        return self._client.command(db, body)
+
     def close(self):
         self._client.close()
 
