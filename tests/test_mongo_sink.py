@@ -586,6 +586,74 @@ def test_wire_applier_sharded_end_to_end(spark):
         srv.close()
 
 
+def test_wire_applier_retryable_writes_and_chunking(spark, monkeypatch):
+    """Against a replica-set/mongos target the write commands carry
+    lsid + txnNumber (retryable writes — REQUIRED for shard-key-
+    changing updates on mongos >=4.2; pymongo sends them by default);
+    a standalone gets neither (it rejects txnNumber). Oversized
+    payloads split into multiple commands under the BSON command cap
+    (code-review r14 — BulkSplitter caps op count, not bytes)."""
+    from test_mongo_wire import LoopbackMongod
+    from transferia_spark.sinks import mongo as sink_mod
+    from transferia_spark.sinks.mongo import MongoSink, wire_applier
+
+    def write(srv):
+        uri = f"mongodb://127.0.0.1:{srv.port}/"
+        sink = MongoSink(uri=uri, database="db",
+                         applier_factory=wire_applier)
+        batch = spark.createDataFrame(
+            [(i, "v" * 64, "i", 10 + i, 0) for i in range(8)],
+            f"k long, v string, {OP_COL} string, {LSN_COL} long, "
+            f"{COUNTER_COL} int",
+        )
+        sink.write_cdc(batch, TableID("", "t"), keys=["k"])
+
+    # replica-set flavor: lsid + txnNumber ride every write command
+    rs = LoopbackMongod({"db.t": []}, hello_extra={
+        "logicalSessionTimeoutMinutes": 30, "setName": "rs0",
+        "isWritablePrimary": True,
+    })
+    rs.hello_extra["hosts"] = [f"127.0.0.1:{rs.port}"]
+    try:
+        write(rs)
+        assert rs.write_cmds, "no write commands captured"
+        for cmd in rs.write_cmds:
+            assert "lsid" in cmd and "txnNumber" in cmd
+        assert len({d["_id"] for d in rs.data["db.t"]}) == 8
+    finally:
+        rs.close()
+
+    # standalone flavor: neither field (txnNumber would be rejected)
+    alone = LoopbackMongod({"db.t": []})
+    try:
+        write(alone)
+        assert alone.write_cmds
+        for cmd in alone.write_cmds:
+            assert "lsid" not in cmd and "txnNumber" not in cmd
+    finally:
+        alone.close()
+
+    # size chunking: with a tiny cap the same bulk splits into one
+    # command per spec, all applied (direct applier call — the cap
+    # patch must be visible to the chunker, so no executor round-trip)
+    monkeypatch.setattr(sink_mod, "_WIRE_CMD_MAX_BYTES", 1)
+    small = LoopbackMongod({"db.t": []})
+    try:
+        apply = wire_applier(f"mongodb://127.0.0.1:{small.port}/")
+        bulk = [
+            {"op": "replace", "filter": {"_id": i},
+             "doc": {"_id": i, "v": "x" * 64}}
+            for i in range(8)
+        ]
+        apply("db", "t", [bulk])
+        ups = [c for c in small.write_cmds if "update" in c]
+        assert len(ups) == 8  # one spec per command at cap 1
+        assert all(len(c["updates"]) == 1 for c in ups)
+        assert len({d["_id"] for d in small.data["db.t"]}) == 8
+    finally:
+        small.close()
+
+
 def test_wire_applier_cleanup_policies(spark):
     """cleanup over the wire: Truncate empties in place, Drop removes
     the collection (and dropping an absent one is a no-op, matching

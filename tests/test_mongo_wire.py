@@ -163,25 +163,12 @@ def test_parse_mongo_uri_multi_host_and_topology_options():
 # ----------------------------------------------------- loopback server
 
 
-def _loop_dot_get(doc, path):
-    cur = doc
-    for k in path.split("."):
-        if not isinstance(cur, dict) or k not in cur:
-            return None, False
-        cur = cur[k]
-    return cur, True
-
-
-def _loop_dot_set(doc, path, v):
-    keys = path.split(".")
-    cur = doc
-    for k in keys[:-1]:
-        nxt = cur.get(k)
-        if not isinstance(nxt, dict):
-            nxt = {}
-            cur[k] = nxt
-        cur = nxt
-    cur[keys[-1]] = v
+# dotted-path helpers: the SINK's own (so the double cannot drift
+# from what the e2e tests prove), plus the one unset wrapper it lacks
+from transferia_spark.sinks.mongo import (  # noqa: E402
+    get_value_by_path as _loop_dot_get,
+    set_value_by_path as _loop_dot_set,
+)
 
 
 def _loop_dot_unset(doc, path):
@@ -241,6 +228,7 @@ class LoopbackMongod:
         self.port = self._srv.getsockname()[1]
         self._closed = False
         self._dials = 0  # accepted connections (client-memo tests)
+        self.write_cmds: list[dict] = []  # received update/delete cmds
         threading.Thread(target=self._accept, daemon=True).start()
 
     def close(self):
@@ -457,8 +445,13 @@ class LoopbackMongod:
                 authed, scram,
             )
         if "update" in body and isinstance(body.get("update"), str):
+            self.write_cmds.append(body)
             key = f"{db}.{body['update']}"
-            docs = self.data.setdefault(key, [])
+            # mongod creates a collection only on an actual
+            # upsert/insert, never on a plain update miss
+            docs = self.data.get(key)
+            if docs is None:
+                docs = []
             n_mod, upserted = 0, []
             for i, spec in enumerate(body.get("updates") or []):
                 q = spec.get("q") or {}
@@ -498,12 +491,15 @@ class LoopbackMongod:
                         new["_id"] = docs[idx].get("_id")
                     docs[idx] = new
                     n_mod += 1
+            if upserted and key not in self.data:
+                self.data[key] = docs  # created by the upsert
             resp = {"ok": 1.0, "n": float(n_mod + len(upserted)),
                     "nModified": float(n_mod)}
             if upserted:
                 resp["upserted"] = upserted
             return (resp, authed, scram)
         if "delete" in body and isinstance(body.get("delete"), str):
+            self.write_cmds.append(body)
             key = f"{db}.{body['delete']}"
             docs = self.data.get(key, [])
             n = 0

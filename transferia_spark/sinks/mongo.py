@@ -390,17 +390,60 @@ class BulkSplitter:
 _PYMONGO_CLIENTS: dict = {}
 
 
+#: split write-command payloads below the server's 16MB BSON command
+#: cap (pymongo splits by message size the same way; BulkSplitter only
+#: caps op COUNT, never bytes — a bulk of wide documents must not
+#: become one oversized command the server rejects permanently)
+_WIRE_CMD_MAX_BYTES = 14 * 1024 * 1024
+
+
+def _chunk_specs_by_size(specs: list[dict],
+                         max_bytes: int | None = None):
+    from transferia_spark.streaming.mongo_wire import encode_document
+
+    if max_bytes is None:  # read the global at CALL time (testable)
+        max_bytes = _WIRE_CMD_MAX_BYTES
+    out, cur, size = [], [], 0
+    for s in specs:
+        sz = len(encode_document(s))
+        if cur and size + sz > max_bytes:
+            out.append(cur)
+            cur, size = [], 0
+        cur.append(s)
+        size += sz
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _check_write_reply(r: dict) -> None:
+    """ok:1 replies still carry per-op failures (``writeErrors``) and
+    durability failures (``writeConcernError`` — the write may roll
+    back on an unacknowledged primary); both must fail the batch the
+    way pymongo's bulk_write raises (code-review r14)."""
+    from transferia_spark.streaming.mongo_wire import MongoServerError
+
+    if r.get("writeErrors"):
+        raise MongoServerError({"ok": 0, **r["writeErrors"][0]})
+    if r.get("writeConcernError"):
+        raise MongoServerError({"ok": 0, **r["writeConcernError"]})
+
+
 def wire_applier(uri: str):
     """Zero-dependency applier over the wire client (no pymongo):
-    each planned bulk becomes at most one ``update`` and one
-    ``delete`` write command, unordered — safe because every bulk
-    carries DISTINCT ids (the BulkSplitter contract), so updates
-    before deletes within a bulk cannot reorder a single document's
-    history. Semantics mirror ``pymongo_applier``/the reference's
-    write models (``write_models.go:10-60``): replaces and partial
-    patches upsert, deletes are single-document, ``cleanup`` maps to
-    ``drop`` / delete-all. Rides the per-process shared adapter (one
-    dial per executor; evict-and-retry-once on transport errors)."""
+    each planned bulk becomes ``update``/``delete`` write commands
+    (size-chunked under the 16MB command cap), unordered — safe
+    because every bulk carries DISTINCT ids (the BulkSplitter
+    contract), so updates before deletes within a bulk cannot reorder
+    a single document's history. Semantics mirror
+    ``pymongo_applier``/the reference's write models
+    (``write_models.go:10-60``): replaces and partial patches upsert,
+    deletes are single-document, ``cleanup`` maps to ``drop`` /
+    delete-all. Against a replica set or mongos the commands carry
+    ``lsid``/``txnNumber`` (retryable writes — REQUIRED for
+    shard-key-changing updates on mongos ≥4.2). Rides the per-process
+    shared adapter (one dial per executor; evict-and-retry-once on
+    transport errors — replays are idempotent for these op shapes)."""
     from transferia_spark.streaming.mongo_wire import (
         MongoServerError,
         with_shared_adapter,
@@ -436,37 +479,32 @@ def wire_applier(uri: str):
                     })
 
             def run(a):
-                if updates:
-                    r = a.command(database, {
-                        "update": collection, "updates": updates,
+                for chunk in _chunk_specs_by_size(updates):
+                    _check_write_reply(a.command(database, {
+                        "update": collection, "updates": chunk,
                         "ordered": False,
-                    })
-                    if r.get("writeErrors"):
-                        raise MongoServerError(
-                            {"ok": 0, **r["writeErrors"][0]}
-                        )
-                if deletes:
-                    r = a.command(database, {
-                        "delete": collection, "deletes": deletes,
+                        **a.retryable_write_fields(),
+                    }))
+                for chunk in _chunk_specs_by_size(deletes):
+                    _check_write_reply(a.command(database, {
+                        "delete": collection, "deletes": chunk,
                         "ordered": False,
-                    })
-                    if r.get("writeErrors"):
-                        raise MongoServerError(
-                            {"ok": 0, **r["writeErrors"][0]}
-                        )
+                        **a.retryable_write_fields(),
+                    }))
                 if drop:
                     try:
                         a.command(database, {"drop": collection})
                     except MongoServerError as e:
                         # dropping an absent collection is a no-op,
                         # matching pymongo's Collection.drop()
-                        if "ns not found" not in str(e):
+                        # (NamespaceNotFound — by code, not message)
+                        if e.doc.get("code") != 26:
                             raise
                 if clear:
-                    a.command(database, {
+                    _check_write_reply(a.command(database, {
                         "delete": collection,
                         "deletes": [{"q": {}, "limit": 0}],
-                    })
+                    }))
 
             with_shared_adapter(uri, run)
 

@@ -1159,6 +1159,8 @@ class MongoWireAdapter:
         self._client = MongoWireClient(
             timeout=timeout, **parse_mongo_uri(uri)
         )
+        self._lsid: dict | None = None
+        self._txn = 0
 
     def __getitem__(self, db: str) -> _WireDatabase:
         return _WireDatabase(self._client, db)
@@ -1167,6 +1169,29 @@ class MongoWireAdapter:
         """Raw OP_MSG command passthrough (the wire applier's write
         commands ride this; pymongo's Database.command analog)."""
         return self._client.command(db, body)
+
+    def retryable_write_fields(self) -> dict:
+        """``lsid`` + a fresh ``txnNumber`` when the target supports
+        retryable writes (a replica-set member or mongos advertising
+        logical sessions) — a shard-key-changing update REQUIRES a
+        retryable write or transaction on mongos ≥4.2, and pymongo
+        sends these by default (retryWrites=true). Standalones REJECT
+        ``txnNumber`` ("Transaction numbers are only allowed on a
+        replica set member or mongos") and pre-3.6 servers know no
+        sessions, so those get ``{}``. The session id is
+        client-generated (the driver sessions spec — no server
+        handshake needed)."""
+        h = self._client.hello or {}
+        if "logicalSessionTimeoutMinutes" not in h or not (
+            h.get("setName") or h.get("msg") == "isdbgrid"
+        ):
+            return {}
+        if self._lsid is None:
+            import uuid
+
+            self._lsid = {"id": Binary(uuid.uuid4().bytes, 4)}
+        self._txn += 1
+        return {"lsid": self._lsid, "txnNumber": Int64(self._txn)}
 
     def close(self):
         self._client.close()
