@@ -2157,6 +2157,93 @@ def test_live_drain_oplog_crash_before_publish_no_loss(tmp_path):
         srv.close()
 
 
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4, 5, 6, 99])
+def test_live_drain_oplog_crash_point_sweep(tmp_path, monkeypatch,
+                                            crash_at):
+    """Mechanical sweep of the drain's two-phase persistence protocol:
+    a crash at EVERY atomic rename/remove point (phase-1 sidecar,
+    events publish, tmp cleanup, phase-2 sidecar, sidecar removal,
+    resume marker — `crash_at` counts them in order; 99 = no crash)
+    followed by clean re-runs must deliver every row EXACTLY once —
+    the committed transaction restamped to its commit position, no
+    loss, no duplicates, and a final drain that emits nothing."""
+    import json as _json
+    import os
+
+    from transferia_spark.streaming.mongo_wire import live_drain_oplog
+
+    lsid = {"id": f"sweep-{crash_at}"}
+    ins0 = {"op": "i", "ts": BsonTimestamp(100, 1), "ns": "shop.t",
+            "o": {"_id": 1}}
+    prep = {
+        "op": "c", "ts": BsonTimestamp(101, 1), "ns": "admin.$cmd",
+        "lsid": lsid, "txnNumber": 1,
+        "o": {"applyOps": [
+            {"op": "i", "ns": "shop.t", "o": {"_id": 2, "v": "x"}},
+        ], "prepare": True},
+    }
+    commit = {
+        "op": "c", "ts": BsonTimestamp(102, 1), "ns": "admin.$cmd",
+        "lsid": lsid, "txnNumber": 1, "o": {"commitTransaction": 1},
+    }
+    ins1 = {"op": "i", "ts": BsonTimestamp(103, 1), "ns": "shop.t",
+            "o": {"_id": 9}}
+
+    oplog = [ins0, prep]
+    srv = LoopbackMongod({"local.oplog.rs": oplog})
+    out = str(tmp_path / "cs")
+    live = {"host": "127.0.0.1", "port": srv.port,
+            "database": "shop", "collection": "t"}
+
+    real_replace, real_remove = os.replace, os.remove
+    state = {"n": 0, "arm": False}
+
+    def _maybe_crash(dst):
+        if state["arm"] and str(dst).startswith(out):
+            state["n"] += 1
+            if state["n"] == crash_at:
+                raise RuntimeError(f"injected crash @{crash_at}")
+
+    def flaky_replace(src, dst, **kw):
+        _maybe_crash(dst)
+        return real_replace(src, dst, **kw)
+
+    def flaky_remove(path, **kw):
+        _maybe_crash(path)
+        return real_remove(path, **kw)
+
+    monkeypatch.setattr(os, "replace", flaky_replace)
+    monkeypatch.setattr(os, "remove", flaky_remove)
+    try:
+        # drain A (clean): plain insert emits, txn buffers in sidecar
+        assert live_drain_oplog(live, out) == 1
+        oplog.extend([commit, ins1])
+        # drain B: crash injected at the crash_at-th persistence point
+        state["arm"] = True
+        try:
+            live_drain_oplog(live, out)
+        except RuntimeError:
+            pass
+        state["arm"] = False
+        # clean re-runs: whatever the crash left, recovery finishes;
+        # then a further drain finds nothing new
+        live_drain_oplog(live, out)
+        assert live_drain_oplog(live, out) == 0
+        files = sorted(f for f in os.listdir(out)
+                       if f.endswith(".jsonl"))
+        got = sorted(
+            (e["documentKey"]["_id"], e["clusterTime"])
+            for f in files
+            for e in map(_json.loads, open(os.path.join(out, f)))
+        )
+        assert got == [(1, 100), (2, 102), (9, 103)], (
+            f"crash@{crash_at}: exactly-once violated: {got}"
+        )
+        assert not os.path.exists(os.path.join(out, "_txn_pending.json"))
+    finally:
+        srv.close()
+
+
 def test_live_drain_oplog_explicit_rewind_not_clamped(tmp_path):
     """An explicit start_after_ts is an intentional rewind: the
     crash-window clamp from the newest published file must not
