@@ -597,8 +597,8 @@ def test_wire_applier_retryable_writes_and_chunking(spark, monkeypatch):
     from transferia_spark.sinks import mongo as sink_mod
     from transferia_spark.sinks.mongo import MongoSink, wire_applier
 
-    def write(srv):
-        uri = f"mongodb://127.0.0.1:{srv.port}/"
+    def write(srv, query=""):
+        uri = f"mongodb://127.0.0.1:{srv.port}/{query}"
         sink = MongoSink(uri=uri, database="db",
                          applier_factory=wire_applier)
         batch = spark.createDataFrame(
@@ -620,6 +620,13 @@ def test_wire_applier_retryable_writes_and_chunking(spark, monkeypatch):
         for cmd in rs.write_cmds:
             assert "lsid" in cmd and "txnNumber" in cmd
         assert len({d["_id"] for d in rs.data["db.t"]}) == 8
+        # retryWrites=false opts out even on a replica set (services
+        # that advertise a setName but reject txnNumber need this)
+        rs.write_cmds.clear()
+        write(rs, query="?retryWrites=false")
+        assert rs.write_cmds
+        for cmd in rs.write_cmds:
+            assert "lsid" not in cmd and "txnNumber" not in cmd
     finally:
         rs.close()
 

@@ -439,15 +439,26 @@ def wire_applier(uri: str):
     ``pymongo_applier``/the reference's write models
     (``write_models.go:10-60``): replaces and partial patches upsert,
     deletes are single-document, ``cleanup`` maps to ``drop`` /
-    delete-all. Against a replica set or mongos the commands carry
-    ``lsid``/``txnNumber`` (retryable writes — REQUIRED for
-    shard-key-changing updates on mongos ≥4.2). Rides the per-process
-    shared adapter (one dial per executor; evict-and-retry-once on
-    transport errors — replays are idempotent for these op shapes)."""
+    delete-all. Against a replica set or mongos (unless the URI says
+    ``retryWrites=false``) the commands carry ``lsid``/``txnNumber``
+    (retryable writes — REQUIRED for shard-key-changing updates on
+    mongos ≥4.2); the session id and per-chunk numbers are owned by
+    THIS applier, so the shared adapter's evict-and-redial retry
+    resends the SAME txnNumber and the server dedupes the replay
+    instead of re-executing it. Rides the per-process shared adapter
+    (one dial per executor)."""
+    import itertools
+    import uuid
+
     from transferia_spark.streaming.mongo_wire import (
+        Binary,
+        Int64,
         MongoServerError,
         with_shared_adapter,
     )
+
+    lsid = {"id": Binary(uuid.uuid4().bytes, 4)}
+    txn_numbers = itertools.count(1)
 
     def apply(database: str, collection: str,
               bulks: Iterable[list[dict]]) -> None:
@@ -478,22 +489,39 @@ def wire_applier(uri: str):
                         "upsert": True, "multi": False,
                     })
 
+            # chunk + number OUTSIDE the retried closure: a redial
+            # replay re-sends identical (lsid, txnNumber) statements
+            upd_chunks = [
+                (c, next(txn_numbers))
+                for c in _chunk_specs_by_size(updates)
+            ]
+            del_chunks = [
+                (c, next(txn_numbers))
+                for c in _chunk_specs_by_size(deletes)
+            ]
+
             def run(a):
-                for chunk in _chunk_specs_by_size(updates):
-                    _check_write_reply(a.command(database, {
-                        "update": collection, "updates": chunk,
-                        "ordered": False,
-                        **a.retryable_write_fields(),
-                    }))
-                for chunk in _chunk_specs_by_size(deletes):
-                    _check_write_reply(a.command(database, {
-                        "delete": collection, "deletes": chunk,
-                        "ordered": False,
-                        **a.retryable_write_fields(),
-                    }))
+                session = (
+                    {"lsid": lsid} if a.supports_retryable_writes()
+                    else None
+                )
+                for chunk, tn in upd_chunks:
+                    body = {"update": collection, "updates": chunk,
+                            "ordered": False}
+                    if session:
+                        body.update(session, txnNumber=Int64(tn))
+                    _check_write_reply(a.command(database, body))
+                for chunk, tn in del_chunks:
+                    body = {"delete": collection, "deletes": chunk,
+                            "ordered": False}
+                    if session:
+                        body.update(session, txnNumber=Int64(tn))
+                    _check_write_reply(a.command(database, body))
                 if drop:
                     try:
-                        a.command(database, {"drop": collection})
+                        _check_write_reply(
+                            a.command(database, {"drop": collection})
+                        )
                     except MongoServerError as e:
                         # dropping an absent collection is a no-op,
                         # matching pymongo's Collection.drop()
@@ -501,6 +529,8 @@ def wire_applier(uri: str):
                         if e.doc.get("code") != 26:
                             raise
                 if clear:
+                    # delete-all is a multi-statement (limit: 0) —
+                    # retryable writes forbid those, so no session
                     _check_write_reply(a.command(database, {
                         "delete": collection,
                         "deletes": [{"q": {}, "limit": 0}],

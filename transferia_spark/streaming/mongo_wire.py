@@ -1156,11 +1156,20 @@ class MongoWireAdapter:
     one wire client."""
 
     def __init__(self, uri: str, timeout: float = 30.0):
+        import urllib.parse
+
         self._client = MongoWireClient(
             timeout=timeout, **parse_mongo_uri(uri)
         )
-        self._lsid: dict | None = None
-        self._txn = 0
+        # retryWrites URI flag (default true, like pymongo) — some
+        # Mongo-compatible services (e.g. ones that advertise a
+        # setName but reject txnNumber) require retryWrites=false
+        q = dict(urllib.parse.parse_qsl(
+            urllib.parse.urlsplit(uri).query
+        ))
+        self._retry_writes = str(
+            q.get("retryWrites", "true")
+        ).lower() not in ("false", "0", "no")
 
     def __getitem__(self, db: str) -> _WireDatabase:
         return _WireDatabase(self._client, db)
@@ -1170,28 +1179,23 @@ class MongoWireAdapter:
         commands ride this; pymongo's Database.command analog)."""
         return self._client.command(db, body)
 
-    def retryable_write_fields(self) -> dict:
-        """``lsid`` + a fresh ``txnNumber`` when the target supports
-        retryable writes (a replica-set member or mongos advertising
-        logical sessions) — a shard-key-changing update REQUIRES a
-        retryable write or transaction on mongos ≥4.2, and pymongo
-        sends these by default (retryWrites=true). Standalones REJECT
-        ``txnNumber`` ("Transaction numbers are only allowed on a
-        replica set member or mongos") and pre-3.6 servers know no
-        sessions, so those get ``{}``. The session id is
-        client-generated (the driver sessions spec — no server
-        handshake needed)."""
+    def supports_retryable_writes(self) -> bool:
+        """True when write commands should carry ``lsid``/``txnNumber``
+        (retryable writes): the target is a replica-set member or
+        mongos advertising logical sessions AND the URI did not say
+        ``retryWrites=false``. A shard-key-changing update REQUIRES a
+        retryable write or transaction on mongos ≥4.2; standalones
+        REJECT ``txnNumber`` ("Transaction numbers are only allowed on
+        a replica set member or mongos") and pre-3.6 servers know no
+        sessions. The caller owns the session id and numbers so a
+        redial-and-retry resends the SAME txnNumber and the server
+        dedupes the replay (the retryable-writes spec contract)."""
+        if not self._retry_writes:
+            return False
         h = self._client.hello or {}
-        if "logicalSessionTimeoutMinutes" not in h or not (
+        return "logicalSessionTimeoutMinutes" in h and bool(
             h.get("setName") or h.get("msg") == "isdbgrid"
-        ):
-            return {}
-        if self._lsid is None:
-            import uuid
-
-            self._lsid = {"id": Binary(uuid.uuid4().bytes, 4)}
-        self._txn += 1
-        return {"lsid": self._lsid, "txnNumber": Int64(self._txn)}
+        )
 
     def close(self):
         self._client.close()
