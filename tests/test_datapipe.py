@@ -55,6 +55,46 @@ def test_minhash_arrow_kernel_equals_catalyst_fold(spark):
     assert kernel == fold and len(kernel) == 200
 
 
+def test_kernels_equal_fold_on_unicode_and_edge_shapes(spark):
+    """The r14 across-docs kernels hash characters in numpy
+    (utf-32-le codepoints) — they must stay bit-identical to the
+    Catalyst per-char fold on non-ASCII text (astral plane included),
+    repeated/whitespace-heavy tokens, single-shingle docs and long
+    words, for BOTH minhash band keys and simhash fingerprints."""
+    texts = [
+        "héllo wörld straße tokyo 日本語 テスト 漢字",
+        "emoji 🎉 mix 🚀 text ascii tail",
+        "  spaced\tout\ntokens  here   now extra pad ",
+        "a b c",  # exactly n words → one shingle
+        ("long" * 600) + " tail word here",  # 2400-char word
+        "ΑΣ ΒΗΤΑ γάμμα δέλτα Ωμέγα σίγμα",
+        "repeat repeat repeat repeat repeat repeat",
+        "mixed 中文 and english العربية и русский",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    mh = build(
+        "dedup_minhash_lsh", text_col="text", id_col="doc_id", n=3, k=8,
+        bands=4,
+    )
+    kernel = {r["doc_id"]: r["_bands"] for r in mh.signatures(docs).collect()}
+    fold = {
+        r["doc_id"]: r["_bands"] for r in mh._signatures_fold(docs).collect()
+    }
+    assert kernel == fold and len(kernel) == len(texts)
+    sh = build("dedup_simhash", text_col="text", id_col="doc_id")
+    kfp = {
+        r["doc_id"]: r["simhash"]
+        for r in sh._fingerprints_kernel(docs).collect()
+    }
+    ffp = {
+        r["doc_id"]: r["simhash"]
+        for r in sh._fingerprints_fold(docs).collect()
+    }
+    assert kfp == ffp and len(kfp) == len(texts)
+
+
 def test_simhash_arrow_kernel_equals_catalyst_fold(spark):
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma {i % 7} delta") for i in range(200)],

@@ -52,18 +52,80 @@ from transferia_spark.schema.colschema import TableID
 SIMHASH_BITS = 32
 
 
+#: a kernel task on ~this many input bytes outruns the shuffle that
+#: would spread it (vectorized word-hash sweep ≈ 0.1 s/MB/core vs
+#: ~0.25 s round-trip for the repartition exchange, measured r14)
+_PARALLELISM_CHUNK_BYTES = 4 << 20
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism — ONLY when
     the source provides fewer partitions (a tiny single-row-group
     parquet file yields one task, serializing the heavy per-row
-    signature work). At real corpus scale the scan has far more splits
-    than cores and this is a no-op, so no shuffle is ever added where
-    it would hurt."""
+    signature work) AND the input is big enough that the added exchange
+    pays for itself: the target is ``min(defaultParallelism,
+    ceil(plan-size / 4 MB))``, so a corpus-sized input still fans out
+    to every core while a few-MB one keeps its natural partitions (a
+    32-way shuffle of 3 MB cost more than the single-task kernel it
+    parallelized — measured r14). At real corpus scale the scan has far
+    more splits than cores and this is a no-op, so no shuffle is ever
+    added where it would hurt."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        size = 0
+    if 0 < size < (1 << 60):
+        # unknown stats (0 / Long.MaxValue sentinel) keep the full
+        # fan-out — under-parallelizing heavy per-row work is the
+        # costlier mistake at scale
+        target = min(
+            target, -(-size // _PARALLELISM_CHUNK_BYTES)
+        )
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _flat_word_hashes(doc_words, np):
+    """Per-word polynomial hashes for a batch of tokenized docs,
+    vectorized across EVERY word of every doc: one flat codepoint
+    array + ``np.add.reduceat`` per-word segments, no Python loop over
+    words or chars. Returns ``(flat word-hash int64 array, per-doc
+    word counts)``.
+
+    Bit-identical to ``portable.pt_hash`` over ``words()`` tokens:
+    the fold ((7·31+c₀)·31+c₁)… mod P equals
+    (7·31^L + Σ cᵢ·31^(L-1-i)) mod P, and utf-32-le codepoints equal
+    both Python ``ord`` and Spark ``ascii(split(s, ''))`` per char
+    (verified incl. astral-plane chars; tokens are never empty — the
+    one case where the two differ).  Overflow-safe: each term < P, so
+    a segment sum stays < len·P < 2^63 for any real word length."""
+    wcounts = np.fromiter(
+        (len(d) for d in doc_words), np.int64, count=len(doc_words)
+    )
+    flat_words = [w for d in doc_words for w in d]
+    wlens = np.fromiter(
+        (len(w) for w in flat_words), np.int64, count=len(flat_words)
+    )
+    cps = np.frombuffer(
+        "".join(flat_words).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    max_len = int(wlens.max()) if wlens.size else 0
+    pow31 = np.empty(max_len + 1, dtype=np.int64)
+    pow31[0] = 1
+    for i in range(1, max_len + 1):
+        pow31[i] = pow31[i - 1] * 31 % 1_000_000_007
+    ends = np.cumsum(wlens)
+    starts = ends - wlens
+    expo = ends.repeat(wlens) - 1 - np.arange(cps.shape[0])
+    terms = cps % 1_000_000_007 * pow31[expo] % 1_000_000_007
+    sums = np.add.reduceat(terms, starts) if cps.size else terms
+    wh = (pow31[wlens] * 7 + sums) % 1_000_000_007
+    return wh, wcounts
 
 
 def shingled_docs(
@@ -244,14 +306,19 @@ class DedupMinHashLSH(Transformer):
     def signatures(self, df: DataFrame) -> DataFrame:
         """(id, band-key array) per doc — ZERO shuffle.
 
-        Tokenization and per-word hashing stay in Catalyst (string work
-        vectorizes fine there and never leaves the JVM... cheaply); the
-        k×|shingles| permutation-minimum sweep — the dominant cost —
-        runs as an Arrow-batched numpy kernel: higher-order Catalyst
-        expressions are interpreted per element (no codegen), measured
-        ~2× slower than the per-document vectorized modular sweep here.
-        All arithmetic is int64 mod P on values < 2^63, so the kernel
-        is bit-identical to the Catalyst fold (asserted in tests).
+        Tokenization stays in Catalyst (split/lower/filter); EVERYTHING
+        per-character and per-shingle — word polynomial hashes, the
+        n-word shingle fold, the k-perm minimum sweep and the band-key
+        fold — runs as ONE Arrow-batched numpy kernel vectorized ACROSS
+        the batch's documents (flat char/word/shingle arrays with
+        ``np.add.reduceat``/``np.minimum.reduceat`` per-doc segments).
+        Two earlier shapes this replaces, both measured slower: per-word
+        hashing as an interpreted Catalyst HOF (per-char lambda eval, no
+        codegen — it was ~half the signature wall-clock), and a per-doc
+        Python loop inside the kernel (~100 µs/doc of interpreter
+        overhead). All arithmetic is int64 mod P on values < 2^63, so
+        the kernel is bit-identical to the Catalyst fold (asserted in
+        tests, non-ASCII included).
 
         An earlier formulation exploded shingles to rows and ran k
         `min` aggregates — correct, but it paid a full shuffle of every
@@ -265,11 +332,12 @@ class DedupMinHashLSH(Transformer):
             return self._signatures_fold(df)
         import numpy as np
 
-        wh = ensure_parallelism(
+        wd = ensure_parallelism(
             df.filter(F.size(words(F.col(self.text_col))) >= self.n)
         ).select(
-            F.col(self.id_col), word_hashes(F.col(self.text_col)).alias("_wh")
+            F.col(self.id_col), words(F.col(self.text_col)).alias("_w")
         )
+        id_col = self.id_col
         n, k, bands, rows = self.n, self.k, self.bands, self.rows
         P = 1_000_000_007
         A, B = 2_654_435_761, 40_503
@@ -278,32 +346,48 @@ class DedupMinHashLSH(Transformer):
         binit = np.array(
             [j * 1_000_003 + 13 for j in range(bands)], dtype=np.int64
         )
+        band_rows = np.arange(bands) * rows
 
         def kernel(batches):
-            for pdf in batches:
-                out_ids, out_bands = [], []
-                for doc_id, whl in zip(pdf[self.id_col], pdf["_wh"]):
-                    w = np.asarray(whl, dtype=np.int64)
-                    # rolling n-word fold: ((7·31+w_i)·31+w_{i+1})… mod P
-                    sh = np.full(len(w) - n + 1, 7, dtype=np.int64)
-                    for off in range(n):
-                        sh = (sh * 31 + w[off : off + len(sh)]) % P
-                    # k-perm minima over the shingle multiset
-                    sig = ((a[:, None] * sh[None, :]) % P + b[:, None]) % P
-                    sig = sig.min(axis=1)
-                    # band keys: band j folds sig[j·rows … j·rows+rows)
-                    acc = binit.copy()
-                    for r in range(rows):
-                        acc = (acc * 31 + sig[np.arange(bands) * rows + r]) % P
-                    out_ids.append(doc_id)
-                    out_bands.append(acc.tolist())
-                import pandas as pd
+            import pandas as pd
 
+            for pdf in batches:
+                doc_words = list(pdf["_w"])
+                if not doc_words:
+                    continue
+                wh, wcounts = _flat_word_hashes(doc_words, np)
+                # flat shingle starts: doc d's shingle i begins at word
+                # dstart[d] + i (every doc has ≥ 1 shingle — the filter
+                # keeps only docs with ≥ n words)
+                dstarts = np.cumsum(wcounts) - wcounts
+                sc = wcounts - (n - 1)
+                send = np.cumsum(sc)
+                sstarts = send - sc
+                base = np.repeat(dstarts - sstarts, sc) + np.arange(
+                    int(send[-1])
+                )
+                sh = np.full(base.shape[0], 7, dtype=np.int64)
+                for off in range(n):
+                    sh = (sh * 31 + wh[base + off]) % P
+                # k-perm minima per doc: one pass per permutation keeps
+                # peak memory at O(|shingles|), not O(k·|shingles|)
+                sig = np.empty((k, len(doc_words)), dtype=np.int64)
+                for i in range(k):
+                    sig[i] = np.minimum.reduceat(
+                        (a[i] * sh % P + b[i]) % P, sstarts
+                    )
+                # band keys: band j folds sig[j·rows … j·rows+rows)
+                acc = np.repeat(binit[:, None], len(doc_words), axis=1)
+                for r in range(rows):
+                    acc = (acc * 31 + sig[band_rows + r, :]) % P
                 yield pd.DataFrame(
-                    {self.id_col: out_ids, "_bands": out_bands}
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "_bands": [list(map(int, c)) for c in acc.T],
+                    }
                 )
 
-        return wh.mapInPandas(kernel, f"{self.id_col} long, _bands array<long>")
+        return wd.mapInPandas(kernel, f"{self.id_col} long, _bands array<long>")
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         # explode_OUTER, deliberately: plain explode triggers the
@@ -395,8 +479,12 @@ class DedupIncremental(Transformer):
                 .filter(F.col("_n") > self.max_bucket)
                 .select("_bk")
             )
+            # filtering the BATCH side alone suffices: the cross join is
+            # an inner equi-join on _bk, so an index row with a hot key
+            # matches nothing once nb dropped that key — the former
+            # idx-side anti-join removed zero pairs and cost one extra
+            # broadcast-anti pass over every index row (r14)
             nb = nb.join(hot, on="_bk", how="left_anti")
-            idx = idx.join(hot, on="_bk", how="left_anti")
         n_id, o_id = F.col(f"n.{self.id_col}"), F.col(f"o.{self.id_col}")
         cross = (
             nb.alias("n")
@@ -754,9 +842,13 @@ class DedupSimHash(Transformer):
 
         Defaults to the Catalyst fold: unlike minhash (k×|shingles|
         work per doc), the 32-counter sweep is ~|words|×32 ops — small
-        enough that the per-document Python loop of an Arrow kernel
-        costs MORE than interpreted HOF eval (measured 0.72s vs 0.37s
-        at sf0.1). The kernel stays available (``arrow_kernel=True``,
+        enough that the Python-boundary round trip of an Arrow kernel
+        costs more than interpreted HOF eval (re-measured r14 with the
+        rewritten across-docs kernel below: fold ~0.6-0.9 s vs kernel
+        ~1.0-1.4 s at sf0.1 — the gap is the mapInPandas fixed cost,
+        not the kernel, which since r14 is fully vectorized across
+        documents and also absorbs the per-word char-fold hashing).
+        The kernel stays available (``arrow_kernel=True``,
         bit-identical — asserted in tests) for wide-fingerprint
         variants where the arithmetic would dominate again."""
         if self.arrow_kernel:
@@ -766,27 +858,32 @@ class DedupSimHash(Transformer):
     def _fingerprints_kernel(self, df: DataFrame) -> DataFrame:
         import numpy as np
 
-        wh = ensure_parallelism(
+        wd = ensure_parallelism(
             df.filter(F.size(words(F.col(self.text_col))) >= 1)
-        ).select(self.id_col, word_hashes(F.col(self.text_col)).alias("_wh"))
+        ).select(self.id_col, words(F.col(self.text_col)).alias("_w"))
+        id_col = self.id_col
 
         def kernel(batches):
             import pandas as pd
 
             for pdf in batches:
-                ids, fps = [], []
-                for doc_id, whl in zip(pdf[self.id_col], pdf["_wh"]):
-                    w = np.asarray(whl, dtype=np.int64)
-                    # bit j counter: (+1 per word with bit set, -1 else)
-                    # = 2·popcount_j − n; positive ⇒ bit j set
-                    bits = (w[:, None] >> np.arange(SIMHASH_BITS)) & 1
-                    counts = 2 * bits.sum(axis=0) - len(w)
-                    fp = int(((counts > 0) << np.arange(SIMHASH_BITS)).sum())
-                    ids.append(doc_id)
-                    fps.append(fp)
-                yield pd.DataFrame({self.id_col: ids, "simhash": fps})
+                doc_words = list(pdf["_w"])
+                if not doc_words:
+                    continue
+                wh, wcounts = _flat_word_hashes(doc_words, np)
+                dstarts = np.cumsum(wcounts) - wcounts
+                # bit j counter per doc: (+1 per word with bit set,
+                # -1 else) = 2·popcount_j − n; positive ⇒ bit j set.
+                # One reduceat pass per bit keeps memory O(|words|).
+                fp = np.zeros(len(doc_words), dtype=np.int64)
+                for j in range(SIMHASH_BITS):
+                    ones = np.add.reduceat((wh >> j) & 1, dstarts)
+                    fp |= ((2 * ones - wcounts) > 0).astype(np.int64) << j
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(), "simhash": fp}
+                )
 
-        return wh.mapInPandas(kernel, f"{self.id_col} long, simhash long")
+        return wd.mapInPandas(kernel, f"{self.id_col} long, simhash long")
 
     def _fingerprints_fold(self, df: DataFrame) -> DataFrame:
         """Pure-Catalyst face: one left fold over the word-hash array
