@@ -1133,9 +1133,20 @@ class BucketedParquetTable:
         # written file's bucket column — a one-column scan of a local
         # file, no Spark job).
         parts = out.rdd.getNumPartitions()
+        cached = None
         if parts > 4:
             # wide backlog: contiguous bucket ranges per file so file
-            # and row-group stats both prune
+            # and row-group stats both prune. The range exchange SAMPLES
+            # its child to place boundaries — on a Python-datasource
+            # micro-batch that re-ran the whole source decode every
+            # append (two decode passes per batch, profiled r14);
+            # persisting the pre-exchange frame makes the sampler's pass
+            # double as the materialization and the exchange read cached
+            # blocks (disk-backed level, so a bulk catch-up batch spills
+            # instead of pressuring executor memory)
+            from pyspark import StorageLevel
+
+            cached = out = out.persist(StorageLevel.MEMORY_AND_DISK)
             out = out.repartitionByRange(
                 min(self.n_buckets, parts), F.col(BUCKET_COL)
             )
@@ -1156,6 +1167,9 @@ class BucketedParquetTable:
             shutil.rmtree(self._delta_dir(new_v), ignore_errors=True)
             self._release_claim(new_v)
             raise
+        finally:
+            if cached is not None:
+                cached.unpersist()
         if not touched:
             # empty micro-batch: nothing to record (replaying an empty
             # batch appends nothing either way, so the watermark need
