@@ -1360,3 +1360,61 @@ def test_dotted_partial_update_routes_loudly(spark, tmp_path):
         for ln in open(os.path.join(dl, f))
     ]
     assert len(routed) == 2
+
+
+def test_fast_key_position_scan_equals_json_parse(tmp_path):
+    """The r14 regex fast path in positions_with_seek_index must yield
+    the SAME positions and seek index as the full-parse path on every
+    line shape it can legally fast-path — and fall back (not diverge)
+    on the ambiguous ones: a column literally NAMED after the key, the
+    key token escaped inside a string value, float/exponent values,
+    duplicate occurrences, and whitespace variants."""
+    import json as _json
+
+    from transferia_spark.streaming.wal_source import (
+        positions_with_seek_index,
+    )
+
+    lines = [
+        {"action": "I", "lsn": 1, "columns": [{"name": "a", "value": 1}]},
+        {"action": "U", "lsn": 2,
+         "columns": [{"name": "lsn", "value": 99}]},       # column named lsn
+        {"action": "U", "lsn": 3,
+         "columns": [{"name": "note", "value": '{"lsn": 77}'}]},  # escaped
+        {"lsn": 4, "action": "D", "identity": [{"name": "a", "value": 7}]},
+        {"action": "I", "lsn": 5, "columns": []},
+    ]
+    raw = [_json.dumps(d) for d in lines]
+    raw.insert(2, '{ "lsn" :   6 , "action": "I", "columns": []}')  # spaces
+    raw.append('{"action": "I", "lsn": 4.5, "columns": []}')  # float → int()
+    raw.append('{"action": "I", "lsn": -3, "columns": []}')
+    f = str(tmp_path / "cap.jsonl")
+    with open(f, "w") as fh:
+        fh.write("\n".join(raw) + "\n")
+
+    def run(fast_key):
+        idx: dict = {}
+        pos = list(
+            positions_with_seek_index(
+                f, lambda ev: int(ev["lsn"]), idx, False, fast_key=fast_key
+            )
+        )
+        return pos, idx[f]
+
+    slow_pos, slow_idx = run(None)
+    fast_pos, fast_idx = run("lsn")
+    assert fast_pos == slow_pos == [1, 2, 6, 3, 4, 5, 4, -3]
+    assert fast_idx == slow_idx
+
+    # poison line, dead-letter mode: both paths keep planning (the fast
+    # path may plan a phantom for a nested-only key; this truncated
+    # line has no parseable fast match either, so both skip it)
+    with open(f, "a") as fh:
+        fh.write('{"action": "I", "lsn": \n')
+    idx: dict = {}
+    pos_dl = list(
+        positions_with_seek_index(
+            f, lambda ev: int(ev["lsn"]), idx, True, fast_key="lsn"
+        )
+    )
+    assert pos_dl == [1, 2, 6, 3, 4, 5, 4, -3]

@@ -333,31 +333,66 @@ class OffsetScanCache:
 SEEK_CHECKPOINT_EVERY = 512
 
 
-def positions_with_seek_index(f, extract_pos, seek_index, dead_letter):
+def positions_with_seek_index(
+    f, extract_pos, seek_index, dead_letter, fast_key: str | None = None
+):
     """Decode a capture file's positions ONCE (the scan cache
     materializes the result for the file's lifetime), recording as a
     side effect a sparse position→byte seek index + whether the file
     is position-ordered — :func:`attach_split_slices` turns those into
     executor seek hints so read() is O(batch), not O(file). Shared by
     the waljson, binlog and change-stream readers (one implementation,
-    code-review r9)."""
+    code-review r9).
+
+    ``fast_key`` names a TOP-LEVEL integer position key (waljson's
+    ``lsn``) and enables a regex fast path ~5× cheaper than a full
+    ``json.loads`` per line (the planner decode of a fresh backlog file
+    sat inside the steady-state latency window — measured r14). Sound
+    because in valid JSON an UNESCAPED ``"key"`` byte sequence can only
+    be a complete string token (a quote inside a string is ``\\"``,
+    which breaks the byte pattern), ``"key" :`` followed by a bare
+    number can only be an object key, and the fast path only fires when
+    the key token occurs EXACTLY once in the line — two occurrences
+    (e.g. nested under a payload object as well) fall back to the full
+    parse. The one reachable divergence is a line whose ONLY ``key`` is
+    nested (top-level absent): a POISON line under the json path, which
+    the fast path plans at the nested number instead of skipping — the
+    executor read() still dead-letters (or fails loudly on) the line
+    itself, offsets stay monotone watermarks, and a phantom position
+    only makes file pruning/skipping more conservative. Readers whose
+    position is composite (binlog file+pos, change-stream ts+order)
+    keep the full parse."""
     ckpts: list[tuple] = []
     ordered = True
     prev = None
     i = 0
     off = 0
+    token = rx = None
+    if fast_key is not None:
+        import re
+
+        token = b'"%s"' % fast_key.encode()
+        # trailing guard: a float/exponent value (4.5, 4e3) must NOT
+        # fast-path (int() of the parsed float truncates differently
+        # than a digit-prefix match) — fall back to the full parse
+        rx = re.compile(token + rb"\s*:\s*(-?\d+)(?![.eE\d])")
     with open(f, "rb") as fh:
         for line in fh:
             start = off
             off += len(line)
             if not line.strip():
                 continue
-            try:
-                pos = extract_pos(json.loads(line))
-            except Exception:  # noqa: BLE001 — mirrors read()'s routing
-                if dead_letter:
-                    continue  # read() dead-letters the same line
-                raise
+            if token is not None and line.count(token) == 1 and (
+                m := rx.search(line)
+            ):
+                pos = int(m.group(1))
+            else:
+                try:
+                    pos = extract_pos(json.loads(line))
+                except Exception:  # noqa: BLE001 — mirrors read()'s routing
+                    if dead_letter:
+                        continue  # read() dead-letters the same line
+                    raise
             if prev is not None and pos < prev:
                 ordered = False
             prev = pos
@@ -528,6 +563,7 @@ class WalJsonStreamReader(DataSourceStreamReader):
             lambda ev: int(ev["lsn"]),
             self._seek_index,
             bool(self.dead_letter),
+            fast_key="lsn",
         )
 
     # -- offset algebra: an offset is {"lsn": n}, rows with lsn in
