@@ -3595,7 +3595,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = build("dedup_cluster", text_col="text", id_col="doc_id", **MINHASH)
     keepers = d.join(
         cl.apply_df(d).filter("is_keeper").select("doc_id"), "doc_id", "left_semi"
-    )
+    ).localCheckpoint(eager=False)  # dual consumer below (decontaminate
+    # scores it AND the semi-join keeps it) — materialize the narrow
+    # keeper set once instead of recomputing the cluster join per
+    # branch (r14; same lazy-checkpoint trade _bucket_pairs documents)
     dec = build(
         "decontaminate",
         text_col="text",
