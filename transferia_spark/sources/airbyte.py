@@ -156,18 +156,33 @@ def decode_records(
     real ``source_defined_primary_key`` should key on that instead and
     skip the index.
     """
-    msgs = messages.filter(
-        (F.get_json_object("value", "$.type") == "RECORD")
-        & (F.get_json_object("value", "$.record.stream") == stream)
+    # parse each line TWICE, not five times: get_json_object re-parses
+    # the whole string per call (type + stream + data + emitted_at +
+    # data-for-hash were five parses per row, profiled r14). One
+    # from_json of the envelope covers the filter fields and
+    # emitted_at; the raw ``$.record.data`` substring (whose EXACT text
+    # feeds the deterministic hash — it must stay get_json_object) is
+    # projected once and referenced twice, so CollapseProject keeps it
+    # materialized instead of inlining a parse per consumer.
+    # emitted_at rides as STRING then casts, reproducing the previous
+    # get_json_object(...).cast("long") for every scalar shape
+    # (a non-integer like 123.5 must stay NULL on both paths)
+    env = F.from_json(
+        "value",
+        "type string, record struct<stream: string, emitted_at: string>",
+    ).alias("_env")
+    msgs = messages.select("value", env).filter(
+        (F.col("_env.type") == "RECORD")
+        & (F.col("_env.record.stream") == stream)
     )
-    decoded = msgs.select(
-        F.from_json(
-            F.get_json_object("value", "$.record.data"), spec.spark_schema
-        ).alias("_data"),
-        F.get_json_object("value", "$.record.emitted_at")
-        .cast("long")
-        .alias("_emitted_at"),
-        F.xxhash64(F.get_json_object("value", "$.record.data")).alias("_h"),
+    raw = msgs.select(
+        F.col("_env.record.emitted_at").cast("long").alias("_emitted_at"),
+        F.get_json_object("value", "$.record.data").alias("_raw"),
+    )
+    decoded = raw.select(
+        F.from_json("_raw", spec.spark_schema).alias("_data"),
+        F.col("_emitted_at"),
+        F.xxhash64(F.col("_raw")).alias("_h"),
     )
     idx = F.row_number().over(Window.orderBy("_emitted_at", "_h")) - 1
     return decoded.select(
