@@ -1418,3 +1418,98 @@ def test_fast_key_position_scan_equals_json_parse(tmp_path):
         )
     )
     assert pos_dl == [1, 2, 6, 3, 4, 5, 4, -3]
+
+
+def test_binlog_fast_scan_equals_json_parse(tmp_path):
+    """The composite-key fast scan (r14 optimization round) must agree
+    with the full-parse planner path on every line it fast-paths and
+    fall back (never diverge) on the ambiguous shapes: payload columns
+    literally named log_file/log_pos, escaped tokens inside string
+    values, float/exponent positions, names with escapes, duplicate
+    keys, whitespace variants, and non-ASCII file names."""
+    import json as _json
+
+    from transferia_spark.streaming.cdc_sources import (
+        _binlog_fast_scan,
+        binlog_lsn,
+    )
+    from transferia_spark.streaming.wal_source import (
+        positions_with_seek_index,
+    )
+
+    lines = [
+        {"action": "insert", "log_file": "binlog.000007", "log_pos": 4,
+         "row_idx": 0, "after": {"a": 1}},
+        {"action": "update", "log_file": "binlog.000007", "log_pos": 193,
+         "before": {"log_pos": 9}, "after": {"log_pos": 10}},  # dup token
+        {"action": "insert", "log_file": "binlog", "log_pos": 7},  # no idx
+        {"action": "insert", "log_file": "binlog.abc", "log_pos": 8},
+        {"action": "insert", "log_file": "binlög.000003", "log_pos": 11},
+        {"action": "insert", "log_file": "binlog.000002", "log_pos": 5,
+         "after": {"note": '{"log_file": "x", "log_pos": 9}'}},  # escaped
+    ]
+    raw = [_json.dumps(d, ensure_ascii=False) for d in lines]
+    raw.insert(
+        2, '{ "log_file" : "binlog.000009" , "log_pos" :  12 , "a": 1}'
+    )
+    raw.append('{"log_file": "binlog.000003", "log_pos": 4.0}')  # float
+    raw.append('{"log_file": "binlog.000003", "log_pos": 4e2}')  # exponent
+    raw.append('{"log_file": "bin\\\\log.000003", "log_pos": 6}')  # escape
+    f = str(tmp_path / "cap.jsonl")
+    with open(f, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(raw) + "\n")
+
+    def run(fast):
+        idx: dict = {}
+        pos = list(
+            positions_with_seek_index(
+                f,
+                lambda ev: binlog_lsn(ev["log_file"], ev["log_pos"]),
+                idx,
+                False,
+                fast_scan=fast,
+            )
+        )
+        return pos, idx[f]
+
+    slow_pos, slow_idx = run(None)
+    fast_pos, fast_idx = run(_binlog_fast_scan)
+    assert fast_pos == slow_pos
+    assert fast_idx == slow_idx
+    # the guard shapes really exercised the fallback: direct scan calls
+    assert _binlog_fast_scan(raw[1].encode()) is None  # dup token
+    assert _binlog_fast_scan(raw[-3].encode()) is None  # float
+    assert _binlog_fast_scan(raw[-2].encode()) is None  # exponent
+    assert _binlog_fast_scan(raw[-1].encode()) is None  # name escape
+    # and the fast-pathable ones agree with binlog_lsn directly
+    assert _binlog_fast_scan(raw[0].encode()) == binlog_lsn(
+        "binlog.000007", 4
+    )
+
+    # documented benign divergence: BOTH keys nested-only — poison under
+    # the json path (KeyError -> dead-letter skip), phantom under the
+    # fast path; watermark semantics make the phantom harmless
+    poison = '{"payload": {"log_file": "binlog.000099", "log_pos": 1}}'
+    with open(f, "a") as fh:
+        fh.write(poison + "\n")
+    idx: dict = {}
+    dl_slow = list(
+        positions_with_seek_index(
+            f,
+            lambda ev: binlog_lsn(ev["log_file"], ev["log_pos"]),
+            idx,
+            True,
+        )
+    )
+    idx = {}
+    dl_fast = list(
+        positions_with_seek_index(
+            f,
+            lambda ev: binlog_lsn(ev["log_file"], ev["log_pos"]),
+            idx,
+            True,
+            fast_scan=_binlog_fast_scan,
+        )
+    )
+    assert dl_slow == slow_pos  # poison skipped
+    assert dl_fast == slow_pos + [binlog_lsn("binlog.000099", 1)]  # phantom

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import types as T
@@ -92,13 +93,15 @@ class _FileSlice(InputPartition):
         self.ordered = ordered
 
 
-def _positions_with_seek_index(f, extract_pos, seek_index, dead_letter):
+def _positions_with_seek_index(
+    f, extract_pos, seek_index, dead_letter, fast_scan=None
+):
     from transferia_spark.streaming.wal_source import (
         positions_with_seek_index,
     )
 
     yield from positions_with_seek_index(
-        f, extract_pos, seek_index, dead_letter
+        f, extract_pos, seek_index, dead_letter, fast_scan=fast_scan
     )
 
 
@@ -138,6 +141,45 @@ def binlog_lsn(log_file: str, log_pos: int) -> int:
 
 
 binlog_output_schema = wal_output_schema  # identical ChangeItem contract
+
+# Composite-key planner fast scan (r14 optimization round; extends the
+# waljson ``fast_key`` regex path — see positions_with_seek_index). Each
+# regex embeds its own key token, so with the exactly-once-per-token
+# guard a match can only be THAT key: in valid JSON an unescaped
+# ``"log_file"`` byte sequence is a complete string token (quotes inside
+# strings are ``\"``, which breaks the byte pattern), and a string token
+# followed by ``:`` can only be an object key (string VALUES are
+# followed by ``,``/``}``/``]``). When both keys are top-level the fast
+# values equal the json path's exactly: a no-escape string's raw bytes
+# ARE its decoded text (multibyte UTF-8 never contains 0x22/0x5C), and
+# the trailing guard rejects float/exponent log_pos the same way the
+# scalar path does. If either matched key is nested-only, the top level
+# lacks it, so ``extract_pos`` KeyErrors — the line is POISON under the
+# json path and the fast phantom is benign (read() still dead-letters or
+# fails loudly on the line itself; offsets are watermarks). Duplicate
+# top-level keys, payload columns named ``log_file``/``log_pos``, and
+# escaped occurrences inside string values all bump the token count past
+# one and fall back to the full parse.
+_BL_FILE_TOKEN = b'"log_file"'
+_BL_POS_TOKEN = b'"log_pos"'
+_BL_FILE_RX = re.compile(rb'"log_file"\s*:\s*"([^"\\]*)"')
+_BL_POS_RX = re.compile(rb'"log_pos"\s*:\s*(-?\d+)(?![.eE\d])')
+
+
+def _binlog_fast_scan(line: bytes):
+    """``line -> lsn | None`` for the planner's position decode; None
+    means "use the full json parse" (soundness argument above)."""
+    if line.count(_BL_FILE_TOKEN) != 1 or line.count(_BL_POS_TOKEN) != 1:
+        return None
+    mf = _BL_FILE_RX.search(line)
+    mp = _BL_POS_RX.search(line)
+    if not mf or not mp:
+        return None
+    try:
+        name = mf.group(1).decode()
+    except UnicodeDecodeError:  # invalid UTF-8 → poison either way
+        return None
+    return binlog_lsn(name, int(mp.group(1)))
 
 
 class BinlogJsonStreamReader(DataSourceStreamReader):
@@ -223,6 +265,7 @@ class BinlogJsonStreamReader(DataSourceStreamReader):
             lambda ev: binlog_lsn(ev["log_file"], ev["log_pos"]),
             self._seek_index,
             bool(self.dead_letter),
+            fast_scan=_binlog_fast_scan,
         )
 
     def latestOffset(self) -> dict:

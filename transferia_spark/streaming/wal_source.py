@@ -334,7 +334,8 @@ SEEK_CHECKPOINT_EVERY = 512
 
 
 def positions_with_seek_index(
-    f, extract_pos, seek_index, dead_letter, fast_key: str | None = None
+    f, extract_pos, seek_index, dead_letter, fast_key: str | None = None,
+    fast_scan=None,
 ):
     """Decode a capture file's positions ONCE (the scan cache
     materializes the result for the file's lifetime), recording as a
@@ -359,9 +360,21 @@ def positions_with_seek_index(
     the fast path plans at the nested number instead of skipping — the
     executor read() still dead-letters (or fails loudly on) the line
     itself, offsets stay monotone watermarks, and a phantom position
-    only makes file pruning/skipping more conservative. Readers whose
-    position is composite (binlog file+pos, change-stream ts+order)
-    keep the full parse."""
+    only makes file pruning/skipping more conservative.
+
+    ``fast_scan`` is the composite-key generalization: a callable
+    ``line_bytes -> position | None`` a reader supplies when its
+    position spans several fields (the binlog reader's
+    ``log_file``+``log_pos``); ``None`` falls back to the full parse.
+    The supplier owns the soundness argument — it must return a
+    position only when the json path would compute the same one, or
+    when the line is poison under the json path (where a phantom is
+    benign exactly as above). The change-stream reader deliberately has
+    NO fast scan: its position falls back to the ``_id._data`` resume
+    token when the explicit fields are absent, so a resume-token event
+    whose user ``fullDocument`` happens to carry fields named
+    ``clusterTime``/``order`` would fast-plan a phantom for a NON-poison
+    line — unsound, unlike the two shipped fast paths."""
     ckpts: list[tuple] = []
     ordered = True
     prev = None
@@ -386,6 +399,10 @@ def positions_with_seek_index(
                 m := rx.search(line)
             ):
                 pos = int(m.group(1))
+            elif fast_scan is not None and (
+                fp := fast_scan(line)
+            ) is not None:
+                pos = fp
             else:
                 try:
                     pos = extract_pos(json.loads(line))
