@@ -237,3 +237,62 @@ def test_batch_splitter_bounds_push_units(spark):
     )
     assert all(r["count"] <= 100 for r in per_batch)
     assert out.count() == 1000
+
+
+def test_record_index_offset_rank_equals_global_window(spark, monkeypatch):
+    """The r14 scalable record index (range partition + per-partition
+    offsets over monotonically_increasing_id) must reproduce the plain
+    global-window rank EXACTLY with the fan-out forced on tiny data:
+    dense 0..N-1, ordered by (emitted_at NULLS FIRST, payload hash),
+    no row_number window anywhere in the plan, and the empty frame
+    keeps its schema."""
+    import json as _json
+
+    import transferia_spark.sources.airbyte as ab
+
+    # 1-byte chunks -> _index_partitions returns defaultParallelism
+    monkeypatch.setattr(ab, "_INDEX_CHUNK_BYTES", 1)
+    spec = ab.AirbyteStreamSpec(
+        {
+            "name": "s",
+            "json_schema": {
+                "type": "object",
+                "properties": {"id": {"type": "integer"}},
+            },
+        }
+    )
+    # unique emitted_at (incl. one null via an ABSENT field) in
+    # shuffled order, LOG noise interleaved -> expected index =
+    # emitted_at rank, null first (NULLS FIRST on both the old window
+    # and the range sort)
+    emitted = [83, 7, 55, None, 19, 91, 2, 40, 66, 28]
+    lines = []
+    for i, e in enumerate(emitted):
+        rec = {
+            "type": "RECORD",
+            "record": {"stream": "s", "data": {"id": i}},
+        }
+        if e is not None:
+            rec["record"]["emitted_at"] = e
+        lines.append(_json.dumps(rec))
+        lines.append('{"type":"LOG","log":{"level":"INFO","message":"t"}}')
+    df = spark.createDataFrame([(x,) for x in lines], ["value"])
+    out = ab.decode_records(df, spec, "s")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number(" not in plan  # no global-window funnel left
+    rows = {r["id"]: r for r in out.collect()}
+    order = sorted(
+        emitted, key=lambda e: (e is not None, e if e is not None else 0)
+    )
+    expected_idx = {e: i for i, e in enumerate(order)}
+    assert len(rows) == len(emitted)
+    for i, e in enumerate(emitted):
+        r = rows[i]
+        assert r[ab.RECORD_INDEX_COL] == expected_idx[e]
+        assert r["_airbyte_emitted_at"] == e
+    # empty frame: schema preserved, zero rows
+    empty = ab.decode_records(
+        spark.createDataFrame([], "value string"), spec, "s"
+    )
+    assert empty.columns == [ab.RECORD_INDEX_COL, "_airbyte_emitted_at", "id"]
+    assert empty.count() == 0

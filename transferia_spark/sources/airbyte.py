@@ -28,6 +28,31 @@ from transferia_spark.sources.base import Source, register_source
 
 RECORD_INDEX_COL = "__dt_record_index"  # record_batch.go:13 (synthetic PK)
 
+#: stats-derived partition sizing for the record-index rank (same
+#: trade as ``ensure_parallelism``, operators/dedup.py): one rank
+#: partition per this many estimated bytes, capped at the cluster's
+#: default parallelism
+_INDEX_CHUNK_BYTES = 4 << 20
+
+
+def _index_partitions(df: DataFrame) -> int:
+    """Scale-adaptive partition count for the global-rank computation:
+    ``min(defaultParallelism, ceil(plan-size / 4 MB))``, never below 1;
+    unknown statistics (0 / Long.MaxValue sentinel) keep the full
+    fan-out — under-partitioning a 100 TB rank is the costlier
+    mistake."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats are advisory
+        size = 0
+    if 0 < size < (1 << 60):
+        target = min(target, -(-size // _INDEX_CHUNK_BYTES))
+    return max(1, target)
+
 
 def json_schema_to_spark(js: dict) -> T.DataType:
     """Airbyte stream ``json_schema`` → Spark type. Covers the JSON
@@ -151,10 +176,41 @@ def decode_records(
     (the record's position in the stream, ``record_batch.go:13``): for
     a batch capture the position is the (emitted_at, payload-hash)
     rank — deterministic for a fixed capture, which is what snapshot
-    retries replay. The rank is a single global window: acceptable
-    because it exists to mint a PK for PK-less streams; streams with a
-    real ``source_defined_primary_key`` should key on that instead and
-    skip the index.
+    retries replay.
+
+    The rank used to be ONE global window unconditionally (every
+    decoded record of the stream through a single task — the 100 TB
+    failure mode; r14 optimization round). Inputs whose stats say one
+    rank partition suffices keep that plain window (a single partition
+    IS the global window, and the lazy form lets the optimizer elide
+    the whole rank when the index column goes unused); anything larger
+    computes the rank scalably and EXACTLY: range-partition by the
+    sort key, then global rank = per-partition row offset + cumulative
+    count of the partitions before it. Range
+    partitioning guarantees every row in partition p sorts at-or-before
+    every row in partition p+1 (equal keys land in one partition), so
+    concatenating partitions in id order IS the global sort and the
+    decomposition is an identity, not an approximation — ties are
+    arbitrary within a partition exactly as they were within the single
+    global window (both orders are nondeterministic under duplicate
+    (emitted_at, hash) pairs; a fixed capture with the xxhash64
+    tiebreak never has them in practice). Determinism hinges on the
+    second ``localCheckpoint``: the range exchange SAMPLES its child to
+    place boundaries with a per-RDD-id seed, so two plan branches each
+    running their own exchange would disagree on partition membership
+    (measured: ~all ranks off by a little) — freezing the partitioned
+    batch once gives the offsets branch and the rank branch the same
+    partitions by construction. The first checkpoint keeps the
+    sampling pass from re-running the whole decode (the §6
+    pre-exchange-persist trade from the CDC delta append). The local
+    offset rides ``monotonically_increasing_id`` (documented layout:
+    partition id · 2^33 + row offset in partition-iteration order,
+    taken AFTER ``sortWithinPartitions``), so the payload crosses the
+    network exactly once — no second full-data exchange for a
+    partitioned window. A ``raise_error`` guard inside the offset
+    expression fails loudly if any rank partition reaches 2^33 rows
+    (where the id layout would silently overflow into partition
+    bits).
     """
     # parse each line TWICE, not five times: get_json_object re-parses
     # the whole string per call (type + stream + data + emitted_at +
@@ -184,11 +240,68 @@ def decode_records(
         F.col("_emitted_at"),
         F.xxhash64(F.col("_raw")).alias("_h"),
     )
-    idx = F.row_number().over(Window.orderBy("_emitted_at", "_h")) - 1
-    return decoded.select(
-        idx.cast("long").alias(RECORD_INDEX_COL),
-        F.col("_emitted_at").alias("_airbyte_emitted_at"),
-        "_data.*",
+    n = _index_partitions(decoded)
+    if n == 1:
+        # tiny input: a single rank partition IS the global window, so
+        # keep the plain (fully lazy, count-prunable) form — the
+        # offset machinery below would add exchange/checkpoint nodes
+        # the optimizer cannot elide when the index column goes unused
+        idx = F.row_number().over(Window.orderBy("_emitted_at", "_h")) - 1
+        return decoded.select(
+            idx.cast("long").alias(RECORD_INDEX_COL),
+            F.col("_emitted_at").alias("_airbyte_emitted_at"),
+            "_data.*",
+        )
+    local = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
+    d = (
+        decoded.localCheckpoint(eager=False)
+        .repartitionByRange(n, "_emitted_at", "_h")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    offs = (
+        d.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select(
+            "_pid",
+            # the guard lives INSIDE the consumed expression — a
+            # standalone assert column would be pruned as unused
+            F.when(
+                F.col("_n") < F.lit(1 << 33),
+                F.coalesce("_off", F.lit(0)),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "airbyte record-index rank partition exceeds "
+                        "the 2^33-row id layout"
+                    )
+                )
+            )
+            .alias("_off"),
+        )
+    )
+    return (
+        d.sortWithinPartitions("_emitted_at", "_h")
+        .withColumn("_local", local)
+        .join(F.broadcast(offs), "_pid")
+        .select(
+            (F.col("_off") + F.col("_local"))
+            .cast("long")
+            .alias(RECORD_INDEX_COL),
+            F.col("_emitted_at").alias("_airbyte_emitted_at"),
+            "_data.*",
+        )
     )
 
 
