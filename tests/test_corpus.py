@@ -46,6 +46,23 @@ def test_dedup_cluster_components(spark):
     assert out[3][0] == 1
 
 
+def test_cluster_pairs_long_chain_converges_multiround(spark):
+    """A 9-vertex path graph has diameter 8, so min-label propagation
+    needs many rounds — each round's labels frame is a LAZY
+    localCheckpoint materialized by its own convergence-sum action (the
+    r14 one-action-per-round shape), and later rounds must read the
+    persisted frame, not recompute it. Every vertex must land on the
+    global minimum."""
+    from transferia_spark.operators.corpus import DedupCluster
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    cl = DedupCluster("text", "doc_id")
+    labels = {r["_id"]: r["_lbl"] for r in cl.cluster_pairs(pairs).collect()}
+    assert labels == {i: 1 for i in range(1, 10)}
+
+
 def test_dedup_cluster_full_corpus_is_partition(docs):
     out = build(
         "dedup_cluster", text_col="text", id_col="doc_id", n=3, k=32, bands=8

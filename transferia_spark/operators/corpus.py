@@ -97,13 +97,23 @@ class DedupCluster(Transformer):
             pairs.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
         )
         # materialize edges once: every round re-reads them, and without
-        # this the expensive pair pipeline would re-run per round
+        # this the expensive pair pipeline would re-run per round.
+        # (Pre-partitioning them by _src here so each round's join skips
+        # its edge-side exchange was measured and does NOT work under
+        # AQE: localCheckpoint captures the AdaptiveSparkPlan's
+        # partitioning as UnknownPartitioning, so every round re-shuffles
+        # regardless and the upfront exchange is pure waste — r14.)
         edges = edges.localCheckpoint(eager=True)
+        # labels checkpoints are LAZY: the convergence-sum action right
+        # after each one materializes it in the same job (one pass that
+        # computes, persists and aggregates), instead of an eager
+        # checkpoint job followed by a second job re-reading the cache —
+        # one action per round instead of two.
         labels = (
             edges.select(F.col("_src").alias("_id"))
             .distinct()
             .select("_id", F.col("_id").alias("_lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         prev_sum = labels.agg(F.sum("_lbl")).collect()[0][0]
         for _ in range(self.max_rounds):
@@ -114,7 +124,7 @@ class DedupCluster(Transformer):
                 labels.unionByName(msgs)
                 .groupBy("_id")
                 .agg(F.min("_lbl").alias("_lbl"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             cur_sum = labels.agg(F.sum("_lbl")).collect()[0][0]
             if cur_sum == prev_sum:
