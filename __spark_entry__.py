@@ -3593,10 +3593,17 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole chain in one recursive-CTE SQL statement."""
     d = _t(spark, sf_dir, "documents")
     cl = build("dedup_cluster", text_col="text", id_col="doc_id", **MINHASH)
+    # anti-join the SMALL complement (cluster losers ≈ the near-dup
+    # rate) instead of semi-joining the near-full keeper id set: the
+    # loser side stays broadcastable at corpus scale, where the keeper
+    # set is ~the whole corpus and the semi-join would demote to a
+    # full-payload shuffle of d (r14, guide §3.1; row-identical —
+    # dedup_cluster emits one row per doc, so NOT-loser == keeper)
     keepers = d.join(
-        cl.apply_df(d).filter("is_keeper").select("doc_id"), "doc_id", "left_semi"
+        cl.apply_df(d).filter(~F.col("is_keeper")).select("doc_id"),
+        "doc_id", "left_anti",
     ).localCheckpoint(eager=False)  # dual consumer below (decontaminate
-    # scores it AND the semi-join keeps it) — materialize the narrow
+    # scores it AND the anti-join keeps it) — materialize the narrow
     # keeper set once instead of recomputing the cluster join per
     # branch (r14; same lazy-checkpoint trade _bucket_pairs documents)
     dec = build(
@@ -3607,8 +3614,13 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench_mod=DECON_BENCH_MOD,
         min_overlap=DECON_MIN_OVERLAP,
     ).apply_df(keepers)
-    clean = keepers.join(
-        dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    # same orientation flip: keep non-bench keepers minus CONTAMINATED
+    # ids (rare by construction — eval overlaps) rather than semi-join
+    # the near-full clean id set; dec's rows are exactly the non-bench
+    # keepers, so the two forms select identical rows (oracle-checked)
+    clean = keepers.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).join(
+        dec.filter(F.col("contaminated")).select("doc_id"),
+        "doc_id", "left_anti",
     )
     capped = build(
         "quota_cap", group_col="source", id_col="doc_id", cap=30, seed=7

@@ -6,7 +6,8 @@ closest relative is per-key CDC collapse,
 standard corpus-dedup family, each expressed as pure DataFrame ops so
 Catalyst handles pushdown/pruning and AQE handles skew:
 
-- ``dedup_exact``       — hash-groupBy keeper selection (one shuffle).
+- ``dedup_exact``       — hash-window keeper selection (one shuffle,
+                          map-side top-1 via WindowGroupLimit).
 - ``dedup_minhash_lsh`` — shingle → minhash signature → banded LSH
                           bucket join → candidate pairs.
 - ``dedup_simhash``     — 32-bit simhash + byte-banded hamming join.
@@ -232,11 +233,19 @@ def _bucket_pairs(
 
 @register
 class DedupExact(Transformer):
-    """Exact dedup: group rows by a content hash of ``columns`` and keep
-    the row with the smallest ``id_col`` (deterministic keeper).
+    """Exact dedup: keep, per content hash of ``columns``, the row with
+    the smallest ``id_col`` (deterministic keeper).
 
-    One hash-shuffle; map-side partial aggregation applies, and at 100 TB
-    the group-by key (a 64-bit hash) distributes uniformly by design.
+    Shape (r14): one ``row_number() over (partition by hash order by
+    id)`` + ``filter(rn = 1)``. Spark's WindowGroupLimit pushes the
+    top-1 below the exchange, so each scan task forwards at most one
+    row per (hash, task) — the shuffle carries the already-thinned
+    payload, once. The previous ``groupBy(hash).agg(min(id))`` +
+    semi-join back on id read the input twice and, at 100 TB, turned
+    the semi-join into a second full-payload shuffle (the keeper id
+    set is ~the whole corpus — never broadcastable). The hash key
+    distributes uniformly by design, so the window partition is skew-
+    free.
     """
 
     TYPE = "dedup_exact"
@@ -246,14 +255,20 @@ class DedupExact(Transformer):
         self.id_col = id_col
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
-        key = F.xxhash64(*[F.col(c) for c in self.columns]).alias("_content_hash")
-        keeper = (
-            df.select(self.id_col, *self.columns, key)
-            .groupBy("_content_hash")
-            .agg(F.min(self.id_col).alias(self.id_col))
-            .drop("_content_hash")
+        from pyspark.sql import Window
+
+        key = F.xxhash64(*[F.col(c) for c in self.columns])
+        rn = F.row_number().over(
+            Window.partitionBy("_content_hash").orderBy(
+                F.col(self.id_col).asc()
+            )
         )
-        out = df.join(keeper, on=self.id_col, how="left_semi")
+        out = (
+            df.withColumn("_content_hash", key)
+            .withColumn("_rn", rn)
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_content_hash")
+        )
         return [(table, out)]
 
 
