@@ -268,6 +268,14 @@ class Bm25Rank(Transformer):
             .filter(F.col("_t").isin(*self.terms))
             .groupBy(self.id_col, "_dl", "_t")
             .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+            # dual consumer (dft aggregates it, the scoring join reads
+            # it) and the dft branch sits behind a BroadcastExchange,
+            # which defeats ReusedExchange — without this the WHOLE
+            # tokenize+explode+groupBy subtree runs twice (verified in
+            # the plan: two identical parquet scans). The checkpoint is
+            # term-filtered rows only — bounded by term selectivity,
+            # not corpus size (r14; the _bucket_pairs trade).
+            .localCheckpoint(eager=False)
         )
         dft = F.broadcast(
             tf.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df"))
@@ -383,7 +391,14 @@ class LmFamiliarity(Transformer):
         )
         counts = toks.groupBy("_w").agg(
             F.count(F.lit(1)).cast("long").alias("_n")
-        )
+        ).localCheckpoint(eager=False)
+        # ^ dual consumer (total aggregates it, the per-token join
+        # reads it) and total sits behind a BroadcastExchange, which
+        # defeats ReusedExchange — without this the corpus is
+        # tokenized+exploded a THIRD time just to recount the vocab
+        # (verified in the plan). The checkpoint is the narrow
+        # (word, count) vocabulary frame — sublinear in corpus size
+        # (Heaps' law), never the token stream (r14).
         total = F.broadcast(
             counts.agg(F.sum("_n").cast("long").alias("_tot"))
         )
