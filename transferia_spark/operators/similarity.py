@@ -602,7 +602,15 @@ class AnnScalarQuant(_AnnBase):
             qdot(enc, enc).alias("_cn2i"),
             qv.alias("_e"),
             qdot(qv, qv).alias("_en2"),
-        )
+        ).localCheckpoint(eager=False)
+        # ^ TRIPLE consumer (query broadcast, candidate side, exact
+        # re-rank side) and two of them sit behind broadcasts, which
+        # defeat ReusedExchange — without the checkpoint the per-dim
+        # encode transform ran over the corpus three times (4 parquet
+        # scans incl. dim_stats, verified in the plan; now 2). The
+        # materialized frame is the codes + quantized vectors —
+        # ~vector-sized, the artifact a real SQ8 index persists anyway
+        # (r14; the _bucket_pairs trade).
         # candidate pass on codes: query side broadcast, corpus
         # scanned once (the narrow scan is the SQ8 payoff at scale)
         q = F.broadcast(
