@@ -71,6 +71,18 @@ class _AnnBase(Transformer):
             *extra,
         )
 
+    def _queries(self, df: DataFrame) -> DataFrame:
+        """The query rows: ``query_pred`` applied to the INPUT frame.
+
+        ``query_pred`` selects which input rows are queries (an
+        id/vector predicate), so it filters BEFORE the quantize/bucket
+        pass — parquet predicate pushdown prunes the scan to the query
+        rows. Filtering the derived frame instead (the pre-r14 shape)
+        recomputed the whole corpus kernel pass behind the query
+        branch's broadcast, because BroadcastExchange defeats
+        ReusedExchange — one full extra corpus scan per query set."""
+        return df.filter(self.query_pred)
+
     def _sim_bp(self):
         sim = qcosine(
             qdot(F.col("_qv"), F.col("_cv")), F.col("_qn2"), F.col("_cn2")
@@ -155,15 +167,16 @@ class AnnBruteForce(_AnnBase):
     TYPE = "ann_brute_force"
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
-        base = self._quantized(df)
+        # query side from the PRE-FILTERED input (see _queries): the
+        # corpus-wide quantize pass runs once, on the candidate side
         q = F.broadcast(
-            base.filter(self.query_pred).select(
+            self._quantized(self._queries(df)).select(
                 F.col(self.id_col).alias("query_id"),
                 F.col("_q").alias("_qv"),
                 F.col("_n2").alias("_qn2"),
             )
         )
-        c = base.select(
+        c = self._quantized(df).select(
             F.col(self.id_col).alias("neighbor_id"),
             F.col("_q").alias("_cv"),
             F.col("_n2").alias("_cn2"),
@@ -272,7 +285,7 @@ class AnnLshBucketed(_AnnBase):
             schema += ", _dots array<long>"
         return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
-    def _query_probes(self, base: DataFrame) -> DataFrame:
+    def _query_probes(self, qbase: DataFrame) -> DataFrame:
         """Multi-probe expansion of the (tiny) query side: beyond its
         own bucket, each query probes the buckets reached by flipping
         the ``probes-1`` planes it sits CLOSEST to (smallest |dot| —
@@ -280,9 +293,13 @@ class AnnLshBucketed(_AnnBase):
         a near-boundary plane is the likeliest sign error). The corpus
         never expands — each corpus vector stays in exactly one bucket,
         so probe buckets being distinct means no candidate dedup pass.
-        """
+
+        ``qbase`` is ``bucketed`` over the PRE-FILTERED query rows
+        (see ``_queries``) — filtering the corpus-wide frame here
+        recomputed the whole bucket kernel behind this branch's
+        broadcast (r14)."""
         if self.probes <= 1:
-            return base.filter(self.query_pred).select(
+            return qbase.select(
                 F.col(self.id_col).alias("query_id"),
                 F.col("_q").alias("_qv"),
                 F.col("_n2").alias("_qn2"),
@@ -290,7 +307,7 @@ class AnnLshBucketed(_AnnBase):
             )
         # probes > 1: `bucketed` emitted the per-plane dots (`_dots`)
         # in the same map-side pass
-        q = base.filter(self.query_pred).select(
+        q = qbase.select(
             F.col(self.id_col).alias("query_id"),
             F.col("_q").alias("_qv"),
             F.col("_n2").alias("_qn2"),
@@ -320,7 +337,7 @@ class AnnLshBucketed(_AnnBase):
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         base = self.bucketed(df)
-        q = F.broadcast(self._query_probes(base))
+        q = F.broadcast(self._query_probes(self.bucketed(self._queries(df))))
         c = base.select(
             F.col(self.id_col).alias("neighbor_id"),
             F.col("_q").alias("_cv"),
@@ -483,7 +500,10 @@ class AnnIVF(_AnnBase):
             )
         )
         probes = (
-            base.filter(self.query_pred)
+            # query rows from the PRE-FILTERED input (see _queries):
+            # filtering `base` here re-ran the corpus-wide quantize
+            # pass behind this branch's broadcast (r14)
+            self._quantized(self._queries(df))
             .crossJoin(F.broadcast(carr))
             .select(
                 F.col(self.id_col).alias("query_id"),
