@@ -3599,13 +3599,17 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set is ~the whole corpus and the semi-join would demote to a
     # full-payload shuffle of d (r14, guide §3.1; row-identical —
     # dedup_cluster emits one row per doc, so NOT-loser == keeper)
-    keepers = d.join(
+    keepers = d.select("doc_id", "text", "source").join(
         cl.apply_df(d).filter(~F.col("is_keeper")).select("doc_id"),
         "doc_id", "left_anti",
     ).localCheckpoint(eager=False)  # dual consumer below (decontaminate
     # scores it AND the anti-join keeps it) — materialize the narrow
     # keeper set once instead of recomputing the cluster join per
-    # branch (r14; same lazy-checkpoint trade _bucket_pairs documents)
+    # branch (r14; same lazy-checkpoint trade _bucket_pairs documents).
+    # Projected to the 3 columns downstream uses BEFORE the checkpoint:
+    # an RDD materialization is opaque to Catalyst column pruning, so
+    # unused payload columns would otherwise be cached and re-read
+    # per consumer (guide §2.3 "project before the exchange")
     dec = build(
         "decontaminate",
         text_col="text",

@@ -98,12 +98,18 @@ class DedupCluster(Transformer):
         )
         # materialize edges once: every round re-reads them, and without
         # this the expensive pair pipeline would re-run per round.
+        # LAZY like the labels checkpoints: the initial convergence-sum
+        # action computes pairs → edges → distinct labels → sum in ONE
+        # job (the distinct reads every edge partition, so the persist
+        # fully populates as a side effect) instead of a dedicated
+        # edges-materialization job first — same §12 trade, one fewer
+        # driver action per cluster call.
         # (Pre-partitioning them by _src here so each round's join skips
         # its edge-side exchange was measured and does NOT work under
         # AQE: localCheckpoint captures the AdaptiveSparkPlan's
         # partitioning as UnknownPartitioning, so every round re-shuffles
         # regardless and the upfront exchange is pure waste — r14.)
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.localCheckpoint(eager=False)
         # labels checkpoints are LAZY: the convergence-sum action right
         # after each one materializes it in the same job (one pass that
         # computes, persists and aggregates), instead of an eager
