@@ -805,6 +805,51 @@ def test_band_index_store_two_ingest_lifecycle(spark, tmp_path):
     assert pruned_files and pruned_files.issubset(all_files)
 
 
+def test_band_index_store_schema_meta_and_legacy_fallback(spark, tmp_path):
+    """r14 optimization: _meta.json persists the index data schema so
+    every pruned read / compact reopens with an explicit schema (no
+    per-open footer inference job). Pins: (a) the schema lands in the
+    meta on first ingest and the explicit-schema read returns exactly
+    the band rows; (b) a legacy store whose meta predates the schema
+    field still reads and compacts via inference."""
+    import json
+    import os
+
+    from transferia_spark.operators.dedup import BandIndexStore
+
+    rows = [(i, f"the quick brown fox variant {i % 3} here") for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = build(
+        "dedup_incremental", text_col="text", id_col="doc_id", n=3, k=16, bands=4
+    )
+    root = str(tmp_path / "idx")
+    store = BandIndexStore(spark, root, n_shards=4)
+    store.ingest(t, df)
+
+    meta_path = os.path.join(root, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert "schema" in meta  # persisted on first append
+
+    want_schema = [(f.name, f.dataType) for f in t.band_index(df).schema.fields]
+    expect = {(r[0], r[1]) for r in t.band_index(df).collect()}
+    got_df = store.read()
+    assert [(f.name, f.dataType) for f in got_df.schema.fields] == want_schema
+    assert {(r[0], r[1]) for r in got_df.collect()} == expect
+    # the pruned read rides the same explicit-schema reader
+    pruned = store.read_for(t.band_index(df.limit(3)))
+    assert [(f.name, f.dataType) for f in pruned.schema.fields] == want_schema
+
+    # legacy meta (no schema field): reader falls back to inference,
+    # rows identical, and compact still folds the store
+    with open(meta_path, "w") as f:
+        json.dump({"n_shards": meta["n_shards"]}, f)
+    legacy = BandIndexStore(spark, root)
+    assert {(r[0], r[1]) for r in legacy.read().collect()} == expect
+    legacy.compact()
+    assert {(r[0], r[1]) for r in legacy.read().collect()} == expect
+
+
 def test_band_index_ingest_sink_streaming(spark, tmp_path):
     """STREAMING near-dup ingest: documents arrive as a rate-limited
     file stream, each micro-batch checks against and extends the

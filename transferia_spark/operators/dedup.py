@@ -586,13 +586,16 @@ class BandIndexStore:
         except FileNotFoundError:
             return None
 
-    def _save_meta(self) -> None:
+    def _save_meta(self, data_schema=None) -> None:
         import json
 
         os.makedirs(self.root, exist_ok=True)
+        meta: dict = {"n_shards": self.n_shards}
+        if data_schema is not None:
+            meta["schema"] = json.loads(data_schema.json())
         tmp = os.path.join(self.root, "_meta.json.tmp")
         with open(tmp, "w") as f:
-            json.dump({"n_shards": self.n_shards}, f)
+            json.dump(meta, f)
         os.replace(tmp, os.path.join(self.root, "_meta.json"))
 
     def _ensure_shards(self, band_rows: DataFrame) -> None:
@@ -603,7 +606,25 @@ class BandIndexStore:
                 max(16, derive_n_shards(band_rows, fallback=64)), 65536
             )
         if self._load_meta() is None:
-            self._save_meta()
+            self._save_meta(band_rows.schema)
+
+    def _index_reader(self):
+        """``spark.read`` with the persisted data schema when known —
+        an explicit schema skips the per-open parquet footer inference
+        job (one driver-side job per ingest read and per compact; at
+        the 100 TB ingest cadence that is a job per batch for a schema
+        that never changes). Stores written before the schema was
+        persisted in ``_meta.json`` fall back to inference."""
+        meta = self._load_meta() or {}
+        if "schema" not in meta:
+            return self.spark.read
+        from pyspark.sql import types as T
+
+        data = T.StructType.fromJson(meta["schema"])
+        full = T.StructType(
+            list(data.fields) + [T.StructField("_shard", T.LongType())]
+        )
+        return self.spark.read.schema(full)
 
     # -- versioned layout ----------------------------------------------
     def _version(self) -> int:
@@ -647,7 +668,7 @@ class BandIndexStore:
         ).partitionBy("_shard").parquet(self._vdir())
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self._vdir()).drop("_shard")
+        return self._index_reader().parquet(self._vdir()).drop("_shard")
 
     def read_for(self, batch_bands: DataFrame) -> DataFrame:
         """Index rows in the shards the batch's band keys touch — the
@@ -660,7 +681,7 @@ class BandIndexStore:
             .distinct()
             .collect()
         )
-        df = self.spark.read.parquet(self._vdir())
+        df = self._index_reader().parquet(self._vdir())
         return df.filter(F.col("_shard").isin(touched)).drop("_shard")
 
     def ingest(self, dedup: DedupIncremental, new_df: DataFrame) -> DataFrame:
@@ -690,7 +711,7 @@ class BandIndexStore:
         versions GC after the swap. Returns the new version."""
         v = self._version()
         nxt = v + 1
-        df = self.spark.read.parquet(self._vdir(v))
+        df = self._index_reader().parquet(self._vdir(v))
         # distinct: a crash-replayed ingest may have appended a batch's
         # band rows twice — harmless for pair recall (pairs are
         # distinct-ed) but it inflates bucket counts toward the hot-key
