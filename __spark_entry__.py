@@ -3599,8 +3599,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set is ~the whole corpus and the semi-join would demote to a
     # full-payload shuffle of d (r14, guide §3.1; row-identical —
     # dedup_cluster emits one row per doc, so NOT-loser == keeper)
+    # loser_ids_df computes the complement straight from the converged
+    # labels: apply_df would scan the corpus id column again and left-
+    # join the labels over it just to emit the keeper rows this filter
+    # throws away (r14, guide §2.4 — one corpus pass + one join fewer)
     keepers = d.select("doc_id", "text", "source").join(
-        cl.apply_df(d).filter(~F.col("is_keeper")).select("doc_id"),
+        cl.loser_ids_df(d),
         "doc_id", "left_anti",
     ).localCheckpoint(eager=False)  # dual consumer below (decontaminate
     # scores it AND the anti-join keeps it) — materialize the narrow
@@ -3610,20 +3614,23 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an RDD materialization is opaque to Catalyst column pruning, so
     # unused payload columns would otherwise be cached and re-read
     # per consumer (guide §2.3 "project before the exchange")
-    dec = build(
+    # same orientation flip: keep non-bench keepers minus CONTAMINATED
+    # ids (rare by construction — eval overlaps) rather than semi-join
+    # the near-full clean id set. contaminated_ids_df yields that
+    # complement straight from the overlap counts — apply_df would scan
+    # the keeper ids again and left-join just to emit the (majority)
+    # zero-overlap rows this anti-join ignores (r14, guide §2.4;
+    # row-identical for min_overlap ≥ 1, oracle-checked)
+    contaminated = build(
         "decontaminate",
         text_col="text",
         id_col="doc_id",
         n=3,
         bench_mod=DECON_BENCH_MOD,
         min_overlap=DECON_MIN_OVERLAP,
-    ).apply_df(keepers)
-    # same orientation flip: keep non-bench keepers minus CONTAMINATED
-    # ids (rare by construction — eval overlaps) rather than semi-join
-    # the near-full clean id set; dec's rows are exactly the non-bench
-    # keepers, so the two forms select identical rows (oracle-checked)
+    ).contaminated_ids_df(keepers)
     clean = keepers.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).join(
-        dec.filter(F.col("contaminated")).select("doc_id"),
+        contaminated,
         "doc_id", "left_anti",
     )
     capped = build(

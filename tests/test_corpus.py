@@ -103,6 +103,61 @@ def test_decontaminate_flags_overlap(spark):
     assert out[3] == (0, False)
 
 
+def test_loser_ids_equal_apply_nonkeeper_filter(spark):
+    """r14 optimization: ``DedupCluster.loser_ids_df`` (the small
+    complement computed straight from the converged labels, no corpus
+    re-scan/join) selects exactly
+    ``apply_df(df).filter(~is_keeper)`` — incl. docs too short to
+    shingle and singletons, which must appear in NEITHER set."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in [
+            (1, "a b c d e f"), (2, "a b c d e f"), (3, "a b c d e g"),
+            (10, "x y z w q r"), (11, "x y z w q r"),
+            (20, "lonely single document with unique words"),
+            (30, "ab"),  # < n words: no shingles, never a vertex
+        ]],
+        "doc_id long, text string",
+    )
+    t = build("dedup_cluster", text_col="text", id_col="doc_id",
+              n=3, k=16, bands=4)
+    via_apply = {
+        r["doc_id"]
+        for r in t.apply_df(docs).filter(~F.col("is_keeper")).collect()
+    }
+    direct = {r["doc_id"] for r in t.loser_ids_df(docs).collect()}
+    assert direct == via_apply and direct  # non-trivial loser set
+
+
+def test_contaminated_ids_equal_apply_filter(spark):
+    """r14 optimization: ``Decontaminate.contaminated_ids_df`` (overlap
+    counts filtered directly, no corpus-wide left join) selects exactly
+    ``apply_df(df).filter(contaminated)``; min_overlap < 1 is rejected
+    (zero-overlap docs are absent from the overlap frame)."""
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (0, bench_text),
+            (1, bench_text),
+            (2, "alpha beta gamma nope nope nope"),
+            (3, "totally different words in this document"),
+            (4, "alpha beta gamma delta nope nope"),
+        ],
+        "doc_id long, text string",
+    )
+    t = build("decontaminate", text_col="text", id_col="doc_id",
+              n=3, bench_mod=5, min_overlap=2)
+    via_apply = {
+        r["doc_id"]
+        for r in t.apply_df(df).filter(F.col("contaminated")).collect()
+    }
+    direct = {r["doc_id"] for r in t.contaminated_ids_df(df).collect()}
+    assert direct == via_apply and direct
+    t0 = build("decontaminate", text_col="text", id_col="doc_id",
+               n=3, bench_mod=5, min_overlap=0)
+    with pytest.raises(AssertionError, match="min_overlap"):
+        t0.contaminated_ids_df(df)
+
+
 def test_decontaminate_plan_broadcasts_benchmark(docs):
     out = build(
         "decontaminate", text_col="text", id_col="doc_id", n=3, bench_mod=97

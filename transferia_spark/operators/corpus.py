@@ -152,6 +152,26 @@ class DedupCluster(Transformer):
         )
         return [(table, out)]
 
+    def loser_ids_df(self, df: DataFrame) -> DataFrame:
+        """Ids of near-dup LOSERS only (docs whose cluster keeper is a
+        different doc) — the small complement a dedup anti-join needs,
+        computed straight from the converged labels. ``apply`` emits one
+        row per CORPUS doc, which costs a corpus-wide id scan plus a
+        left join against the labels just so most rows can say
+        ``is_keeper=true``; a consumer that only anti-joins the losers
+        out never needs those rows. Row-identical to
+        ``apply_df(df).filter(~is_keeper).select(id)``: a doc is a
+        non-keeper iff it appears in the label frame with a label other
+        than its own id, and label vertices are a subset of ``df``'s ids
+        by construction (the pair graph is derived from ``df``) — so the
+        filter alone selects exactly the same ids with zero corpus scans
+        past the pair stage (r14, guide §2.4/§3.1)."""
+        pairs = self.pairs.apply(TableID("", "t"), df)[0][1]
+        labels = self.cluster_pairs(pairs)
+        return labels.filter(F.col("_lbl") != F.col("_id")).select(
+            F.col("_id").alias(self.id_col)
+        )
+
 
 @register
 class LeakageSafeSplit(Transformer):
@@ -234,7 +254,10 @@ class Decontaminate(Transformer):
         self.text_col, self.id_col = text_col, id_col
         self.n, self.bench_mod, self.min_overlap = n, bench_mod, min_overlap
 
-    def apply(self, table: TableID, df: DataFrame) -> Routed:
+    def _overlap(self, df: DataFrame) -> DataFrame:
+        """(id, overlap_ngrams) for every non-bench doc sharing ≥ 1
+        n-gram with the benchmark — docs with zero overlap are absent
+        (they never survive the inner join against the broadcast set)."""
         is_bench = F.col(self.id_col) % self.bench_mod == 0
         shd = shingled_docs(df, self.text_col, self.id_col, self.n).select(
             self.id_col, F.array_distinct("_sh").alias("_shd")
@@ -247,15 +270,18 @@ class Decontaminate(Transformer):
         posted = shd.filter(~is_bench).select(
             self.id_col, F.explode_outer("_shd").alias("_s")
         )
-        overlap = (
+        return (
             posted.join(F.broadcast(bench), "_s")
             .groupBy(self.id_col)
             .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
         )
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        is_bench = F.col(self.id_col) % self.bench_mod == 0
         out = (
             df.filter(~is_bench)
             .select(self.id_col)
-            .join(overlap, self.id_col, "left")
+            .join(self._overlap(df), self.id_col, "left")
             .select(
                 self.id_col,
                 F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
@@ -265,6 +291,23 @@ class Decontaminate(Transformer):
             )
         )
         return [(table, out)]
+
+    def contaminated_ids_df(self, df: DataFrame) -> DataFrame:
+        """Ids flagged contaminated — the small complement a cleanup
+        anti-join needs, without the corpus-wide id scan + left join
+        ``apply`` pays just to emit the (majority) zero-overlap rows.
+        Row-identical to ``apply_df(df).filter(contaminated).select(id)``
+        when ``min_overlap ≥ 1``: a zero-overlap doc is absent from the
+        overlap frame and could only be flagged at a threshold of 0, so
+        filtering the overlap counts directly selects the same ids
+        (r14, guide §2.4/§3.1)."""
+        assert self.min_overlap >= 1, (
+            "min_overlap < 1 flags zero-overlap docs, which the overlap "
+            "frame does not carry — use apply_df().filter(contaminated)"
+        )
+        return self._overlap(df).filter(
+            F.col("overlap_ngrams") >= self.min_overlap
+        ).select(self.id_col)
 
 
 @register

@@ -712,11 +712,16 @@ class BandIndexStore:
         v = self._version()
         nxt = v + 1
         df = self._index_reader().parquet(self._vdir(v))
-        # distinct: a crash-replayed ingest may have appended a batch's
-        # band rows twice — harmless for pair recall (pairs are
+        # dropDuplicates: a crash-replayed ingest may have appended a
+        # batch's band rows twice — harmless for pair recall (pairs are
         # distinct-ed) but it inflates bucket counts toward the hot-key
-        # cutoff; compaction is the natural place to shed the duplicates
-        df.distinct().repartition(self.n_shards, "_shard").write.mode(
+        # cutoff; compaction is the natural place to shed the duplicates.
+        # Repartition FIRST: identical rows share a _shard (it is a
+        # function of _bk), so HashPartitioning(_shard) already clusters
+        # the dedup keys and the aggregate adds no second exchange —
+        # distinct().repartition(...) shuffled the index twice, once on
+        # (id,_bk,_shard) and again on _shard (r14, guide §2.4)
+        df.repartition(self.n_shards, "_shard").dropDuplicates().write.mode(
             "overwrite"
         ).partitionBy("_shard").parquet(self._vdir(nxt))
         self._set_version(nxt)
