@@ -53,10 +53,19 @@ from transferia_spark.schema.colschema import TableID
 SIMHASH_BITS = 32
 
 
-#: a kernel task on ~this many input bytes outruns the shuffle that
-#: would spread it (vectorized word-hash sweep ≈ 0.1 s/MB/core vs
-#: ~0.25 s round-trip for the repartition exchange, measured r14)
-_PARALLELISM_CHUNK_BYTES = 4 << 20
+#: a kernel task on ~this many PLAN-STAT bytes outruns the shuffle that
+#: would spread it. Re-calibrated END-TO-END (r14 opt round): the first
+#: 4 MB figure priced only the vectorized numpy sweep (~0.1 s/MB), but
+#: the single task also pays parquet decompression, the Catalyst
+#: tokenizer, the Arrow round-trip and the downstream explode +
+#: aggregation map side — measured 2–4 s per ~0.6 MB of plan-stat
+#: bytes (stats are COMPRESSED scan bytes; the in-flight text is much
+#: bigger), vs ~0.25 s for the repartition round-trip. Break-even is
+#: therefore ~0.1 MB; 256 KB keeps a safety margin against pointless
+#: exchanges on tiny inputs while a bench-scale corpus fans out 3+
+#: ways (whole dedup/corpus query family measured 2–4× faster, every
+#: rep of an alternating A/B ×3).
+_PARALLELISM_CHUNK_BYTES = 256 << 10
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -65,10 +74,13 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     parquet file yields one task, serializing the heavy per-row
     signature work) AND the input is big enough that the added exchange
     pays for itself: the target is ``min(defaultParallelism,
-    ceil(plan-size / 4 MB))``, so a corpus-sized input still fans out
-    to every core while a few-MB one keeps its natural partitions (a
-    32-way shuffle of 3 MB cost more than the single-task kernel it
-    parallelized — measured r14). At real corpus scale the scan has far
+    ceil(plan-size / _PARALLELISM_CHUNK_BYTES))``, so a corpus-sized
+    input still fans out to every core while a tiny one keeps its
+    natural partitions (the chunk constant prices the FULL per-task
+    stage — decompress, tokenize, Arrow round-trip, kernel, downstream
+    map side — against the ~0.25 s exchange round-trip; see the
+    constant's comment for the r14 re-calibration). At real corpus
+    scale the scan has far
     more splits than cores and this is a no-op, so no shuffle is ever
     added where it would hurt."""
     sc = df.sparkSession.sparkContext
