@@ -3405,8 +3405,16 @@ def q_dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_a = d.filter(f"doc_id % {INCR_NEW_MOD} = 3")
     batch_b = d.filter(f"doc_id % {INCR_NEW_MOD} = 0")
     t = build("dedup_incremental", text_col="text", id_col="doc_id", **MINHASH)
+    # n_shards=None: derived from the first appended batch's plan-size
+    # stats (~1 GB of index per shard — BandIndexStore._ensure_shards).
+    # The former fixed 32 made every append a 32-task commit and every
+    # index read a 32-file scan over a KB-scale index, with scan task
+    # count growing with the CORE count (FilePartition sizes splits by
+    # bytesPerCore) — the r14 driver measured this row 3× slower at 32
+    # cores than at 8 (r14 verdict item 1; §2.2/§6). The pair output is
+    # invariant to the shard count (sharding only routes reads).
     store = BandIndexStore(
-        spark, tempfile.mkdtemp(prefix="band_index_"), n_shards=32
+        spark, tempfile.mkdtemp(prefix="band_index_"), n_shards=None
     )
     # seed = index build, not an ingest check: append the base band
     # rows directly — no pair expansion is computed just to be discarded
@@ -3457,7 +3465,8 @@ def q_dedup_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + "\n"
                     )
     t = build("dedup_incremental", text_col="text", id_col="doc_id", **MINHASH)
-    store = BandIndexStore(spark, _os.path.join(tmp, "idx"), n_shards=32)
+    # n_shards=None — stats-derived, see q_dedup_incremental_store
+    store = BandIndexStore(spark, _os.path.join(tmp, "idx"), n_shards=None)
     sink = BandIndexIngestSink(store, t, _os.path.join(tmp, "pairs"))
     q = (
         spark.readStream.schema("doc_id long, text string")

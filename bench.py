@@ -544,11 +544,20 @@ def main() -> None:
     size_sweep = bench_cdc_size_sweep(spark, SF_DIR)
 
     total = round(sum(timings.values()), 3)
+    # r14 verdict item 3: keep the one-line JSON robust against tail
+    # captures. 2-decimal per-query values + compact separators shrink
+    # the line ~35%, and "queries" (the only long member) goes FIRST so
+    # the scalar summary fields — including the headline "value" the
+    # driver parses — sit at the END of the line, inside any plausible
+    # tail window (r13's capture kept the last 2,000 chars and lost the
+    # head). Keys are unchanged; only float precision moved (3 → 2
+    # decimals, well below the host's run-to-run noise floor).
+    timings = {k: round(v, 2) for k, v in timings.items()}
     result = {
+        "queries": timings,
         "metric": "headline_suite_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": SF_DIR,
         "snapshot_rows_per_sec": round(snap_rows / snap_dt) if snap_dt > 0 else None,
         "cdc_rows_per_sec": round(cdc_rows / cdc_dt) if cdc_dt > 0 else None,
@@ -569,7 +578,7 @@ def main() -> None:
         "cdc_size_sweep": size_sweep,
         "mysql_decode_rows_per_sec": round(bench_mysql_decode()),
     }
-    print(json.dumps(result))
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

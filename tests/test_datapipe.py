@@ -289,6 +289,84 @@ def test_ngram_jaccard_exact_dup_is_10000(docs):
     assert 0 < bp[(0, 2)] < 10000  # near dup: high but not perfect
 
 
+@pytest.fixture(scope="module")
+def size_diverse_docs(spark):
+    """Docs with very different distinct-shingle counts plus unicode,
+    so the r15 length-ratio pre-filter has pairs on BOTH sides of the
+    min·10⁴ ≥ min_bp·max boundary and the kernel sees non-ASCII."""
+    base = "the quick brown fox jumps over the lazy dog"
+    long_tail = " ".join(f"w{i}" for i in range(300))
+    rows = [
+        (0, base),
+        (1, base + " today"),
+        (2, base + " " + long_tail),           # huge superset of 0
+        (3, "naïve café déjà vu über straße"),  # unicode
+        (4, "naïve café déjà vu über straße again"),
+        (5, "short one two"),
+        (6, " ".join(f"v{i}" for i in range(80)) + " " + base),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ngram_jaccard_postings_kernel_matches_fold(size_diverse_docs):
+    """The optional numpy postings kernel must emit exactly the same
+    (id, _sz, _s) multiset as the Catalyst fold (it is a cross-check,
+    not the default — the exploded-row Python boundary was measured
+    slower, r15)."""
+    t = build(
+        "dedup_ngram_jaccard", text_col="text", id_col="doc_id", n=3,
+        min_bp=100,
+    )
+    kern = sorted(map(tuple, t._postings_kernel(size_diverse_docs).collect()))
+    fold = sorted(map(tuple, t._postings_fold(size_diverse_docs).collect()))
+    assert kern == fold and len(fold) > 0
+
+
+def test_ngram_jaccard_ratio_prefilter_is_lossless(size_diverse_docs):
+    """The r15 pre-shuffle length-ratio filter may only drop pairs that
+    could never reach min_bp: the full pair set (with scores) must
+    equal a reference computed WITHOUT the pre-filter."""
+    t = build(
+        "dedup_ngram_jaccard", text_col="text", id_col="doc_id", n=3,
+        min_bp=2000,
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard_bp
+        for r in t.apply_df(size_diverse_docs).collect()
+    }
+    # reference: same postings, no ratio pruning
+    from transferia_spark.operators.dedup import _bucket_pairs
+
+    ref_pairs = (
+        _bucket_pairs(
+            t._postings_fold(size_diverse_docs), "_s", ["doc_id", "_sz"],
+            t.max_bucket,
+        )
+        .groupBy(
+            F.col("_pa.doc_id").alias("id_a"),
+            F.col("_pb.doc_id").alias("id_b"),
+            F.col("_pa._sz").alias("_sza"),
+            F.col("_pb._sz").alias("_szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                F.col("_inter") * 10000
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter"))
+            ).cast("long").alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= 2000)
+    )
+    ref = {(r.id_a, r.id_b): r.jaccard_bp for r in ref_pairs.collect()}
+    assert got == ref
+    # and the fixture really exercises the pre-filter: doc 2 is a big
+    # superset of doc 0, so (0, 2) must be ratio-pruned while (0, 1)
+    # survives with a high score
+    assert (0, 1) in got and (0, 2) not in got
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
@@ -998,6 +1076,42 @@ def test_band_index_compact_retention_lease(spark, tmp_path):
     store.compact()
     assert not _os.path.isdir(store._vdir(0))
     assert _os.path.isdir(store._vdir(1)) and _os.path.isdir(store._vdir(2))
+
+
+def test_band_index_single_shard_store_matches_sharded(spark, tmp_path):
+    """r15: a derived single-shard store (tiny index → n_shards=1,
+    read_for skips the touched-shard job) must produce exactly the
+    pair sets a multi-shard store does, across a compact."""
+    from transferia_spark.operators.dedup import BandIndexStore
+
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog variant {i % 4}")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = build(
+        "dedup_incremental", text_col="text", id_col="doc_id", n=3, k=32, bands=8
+    )
+
+    def lifecycle(n_shards, root):
+        store = BandIndexStore(spark, root, n_shards=n_shards)
+        store.append(t.band_index(df.filter("doc_id % 3 != 0")))
+        pa = store.ingest(t, df.filter("doc_id % 3 = 0"))
+        store.compact()
+        pb = store.ingest(t, df.filter("doc_id % 3 = 1").limit(0).unionByName(
+            df.filter("doc_id = 0").selectExpr("doc_id + 100 as doc_id", "text")
+        ))
+        return store, sorted(
+            map(tuple, pa.unionByName(pb).select("id_a", "id_b", "is_cross").collect())
+        )
+
+    one_store, one = lifecycle(1, str(tmp_path / "one"))
+    _, many = lifecycle(4, str(tmp_path / "many"))
+    assert one_store.n_shards == 1
+    assert one == many and len(one) > 0
+    # read_for on the single-shard store is the full (lazy) read
+    nb = t.band_index(df.limit(3))
+    assert one_store.read_for(nb).count() == one_store.read().count()
 
 
 def test_ingest_sink_watermark_bounded_files(spark, tmp_path):

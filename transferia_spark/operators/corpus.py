@@ -267,6 +267,14 @@ class Decontaminate(Transformer):
             .select(F.explode("_shd").alias("_s"))
             .distinct()
         )
+        # explode_OUTER although _shd is never empty (≥ n words by
+        # construction) and the per-doc null row dies in the inner join
+        # below: plain explode triggers InferFiltersFromGenerate, which
+        # pushes a size(_shd) > 0 filter below the projection BY ALIAS
+        # SUBSTITUTION — re-evaluating the whole shingle pipeline per
+        # row just for the predicate (see DedupMinHashLSH.apply; the
+        # ADVICE-r14 suggestion to use explode trades one dead null row
+        # per doc for a duplicated shingle pass — kept as-is)
         posted = shd.filter(~is_bench).select(
             self.id_col, F.explode_outer("_shd").alias("_s")
         )
@@ -301,10 +309,14 @@ class Decontaminate(Transformer):
         overlap frame and could only be flagged at a threshold of 0, so
         filtering the overlap counts directly selects the same ids
         (r14, guide §2.4/§3.1)."""
-        assert self.min_overlap >= 1, (
-            "min_overlap < 1 flags zero-overlap docs, which the overlap "
-            "frame does not carry — use apply_df().filter(contaminated)"
-        )
+        if self.min_overlap < 1:
+            # a bare assert would be stripped under `python -O`, and a
+            # min_overlap=0 config would then silently miss zero-overlap
+            # docs that should be flagged (ADVICE r14)
+            raise ValueError(
+                "min_overlap < 1 flags zero-overlap docs, which the overlap "
+                "frame does not carry — use apply_df().filter(contaminated)"
+            )
         return self._overlap(df).filter(
             F.col("overlap_ngrams") >= self.min_overlap
         ).select(self.id_col)

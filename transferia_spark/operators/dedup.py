@@ -174,6 +174,7 @@ def _bucket_pairs(
     key: str,
     payload_cols: list[str],
     max_bucket: int | None,
+    distinct_input: bool = False,
 ) -> DataFrame:
     """All ordered (``_pa`` < ``_pb``) payload pairs sharing a bucket
     key: one ``groupBy(key).collect_set`` + intra-array expansion.
@@ -210,11 +211,17 @@ def _bucket_pairs(
     """
     payload = F.struct(*[F.col(c) for c in payload_cols])
     if max_bucket is not None:
-        proj = (
-            bucketed.select(F.col(key), payload.alias("_p"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
+        proj = bucketed.select(F.col(key), payload.alias("_p"))
+        if not distinct_input:
+            proj = proj.distinct()
+        # distinct_input=True (r15, §2.4 "a distinct on data that is
+        # already unique"): callers whose (key, payload) rows are
+        # distinct BY CONSTRUCTION (jaccard postings — one row per
+        # (doc, distinct-shingle)) skip the distinct's full exchange;
+        # the hot-key count below is map-side combinable either way,
+        # and the collect_list buckets stay duplicate-free because the
+        # input already is.
+        proj = proj.localCheckpoint(eager=False)
         hot = (
             proj.groupBy(key)
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -258,6 +265,12 @@ class DedupExact(Transformer):
     set is ~the whole corpus — never broadcastable). The hash key
     distributes uniformly by design, so the window partition is skew-
     free.
+
+    Assumes ``id_col`` is unique per row (as every id column here is —
+    QuotaCap's deterministic priority hashing leans on the same
+    property): with duplicate ids the old min(id)+semi-join kept every
+    row carrying a keeper id, while the window keeps exactly one row
+    per content hash (ADVICE r14).
     """
 
     TYPE = "dedup_exact"
@@ -614,8 +627,19 @@ class BandIndexStore:
         if self.n_shards is None:
             from transferia_spark.operators.corpus import derive_n_shards
 
+            # no floor above 1 (r15): the shard count is both the
+            # append-write fan-out and the file count every later read
+            # scans — a small store sharded 16+ ways pays 16+ task
+            # commits per append and (because FilePartition's
+            # maxSplitBytes shrinks as bytesPerCore with the core
+            # count) one near-empty scan task per shard file at high
+            # core counts, the exact §2.2 task-count-scales-with-
+            # cluster failure the r14 driver measured (store row 3×
+            # SLOWER at 32 cores than 8). derive_n_shards already
+            # returns ~size/1 GB with a conservative 64 fallback for
+            # unknown stats, so a corpus-scale index still fans wide.
             self.n_shards = min(
-                max(16, derive_n_shards(band_rows, fallback=64)), 65536
+                derive_n_shards(band_rows, fallback=64), 65536
             )
         if self._load_meta() is None:
             self._save_meta(band_rows.schema)
@@ -686,6 +710,12 @@ class BandIndexStore:
         """Index rows in the shards the batch's band keys touch — the
         pruned scan every ingest join should run against. The distinct
         shard collect is bounded by ``n_shards``, not data."""
+        if self.n_shards == 1:
+            # single-shard store: pruning cannot drop anything, so skip
+            # the touched-shard job (one driver action per ingest that
+            # computed the batch's whole band kernel just to learn the
+            # answer is [0] — r15)
+            return self.read()
         touched = sorted(
             r[0]
             for r in self._sharded(batch_bands)
@@ -1034,37 +1064,133 @@ class DedupNgramJaccard(Transformer):
         n: int = 3,
         min_bp: int = 1000,
         max_bucket: int | None = 1000,
+        arrow_kernel: bool = False,
     ):
         self.text_col, self.id_col = text_col, id_col
         self.n, self.min_bp = n, min_bp
         self.max_bucket = max_bucket
+        self.arrow_kernel = arrow_kernel
 
-    def apply(self, table: TableID, df: DataFrame) -> Routed:
-        # set semantics via map-side array_distinct; the doc's shingle
-        # count rides ALONG with every posting row (it is tiny and
-        # functionally dependent on the id), so the union size needs no
-        # separate sizes aggregation and no joins back — an earlier
-        # formulation shuffled (id, shingle) rows for a distinct, a
-        # groupBy for sizes, and TWO joins to attach them. Now the only
-        # shuffles are the inverted-index bucket groupBy and the pair
-        # count groupBy.
+    def _postings_fold(self, df: DataFrame) -> DataFrame:
+        """Pure-Catalyst face: per-doc distinct shingle hashes via the
+        interpreted HOF fold, exploded to (id, _sz, _s) posting rows.
+        Kept as the executable specification; the kernel is asserted
+        row-identical against it in tests."""
         shd = shingled_docs(df, self.text_col, self.id_col, self.n).select(
             self.id_col, F.array_distinct("_sh").alias("_shd")
         )
         # explode_outer: see DedupMinHashLSH.apply — a plain explode
         # makes InferFiltersFromGenerate duplicate the shingle pipeline
         # into a pushed-down filter. `_shd` is never empty (≥ n words).
-        postings = shd.select(
+        return shd.select(
             self.id_col,
             F.size("_shd").alias("_sz"),
             F.explode_outer("_shd").alias("_s"),
+        )
+
+    def _postings_kernel(self, df: DataFrame) -> DataFrame:
+        """(id, _sz, _s) distinct-shingle posting rows via the
+        Arrow-batched numpy kernel — measured and NOT made the default
+        (r15, guide §1.3): unlike minhash (whose kernel replaced k=32
+        interpreted permutation sweeps per shingle and won 2–4×), the
+        jaccard fold only hashes each word once and folds each shingle
+        once, and the kernel must ship the EXPLODED posting rows (one
+        per (doc, distinct shingle) — ~300× the doc count) back across
+        the Python boundary. A/B ×4 on a 4×-replicated sf0.1 corpus:
+        kernel 10.3–16.9 s vs fold 1.9–2.3 s for the postings stage —
+        the boundary rows cost more than the interpreted eval saves
+        (§4.1: control how many bytes cross). Kept as an option and a
+        cross-check (row-identity asserted in tests); a variant that
+        returns per-doc ARRAYS would shrink the boundary but then
+        reproduces the fold's explode anyway.
+
+        Hash arithmetic is the same ``_flat_word_hashes`` + shingle
+        fold the minhash kernel uses; per-doc distinct cannot disagree
+        with ``array_distinct`` on identical values (posting ROW ORDER
+        differs — downstream is unordered aggregation only)."""
+        import numpy as np
+
+        wd = ensure_parallelism(
+            df.filter(F.size(words(F.col(self.text_col))) >= self.n)
+        ).select(
+            F.col(self.id_col), words(F.col(self.text_col)).alias("_w")
+        )
+        id_col, n = self.id_col, self.n
+        P = 1_000_000_007
+
+        def kernel(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                doc_words = list(pdf["_w"])
+                if not doc_words:
+                    continue
+                wh, wcounts = _flat_word_hashes(doc_words, np)
+                dstarts = np.cumsum(wcounts) - wcounts
+                sc = wcounts - (n - 1)
+                send = np.cumsum(sc)
+                sstarts = send - sc
+                base = np.repeat(dstarts - sstarts, sc) + np.arange(
+                    int(send[-1])
+                )
+                sh = np.full(base.shape[0], 7, dtype=np.int64)
+                for off in range(n):
+                    sh = (sh * 31 + wh[base + off]) % P
+                # per-doc distinct: sort (doc, hash), keep run heads
+                doc_of = np.repeat(
+                    np.arange(len(doc_words), dtype=np.int64), sc
+                )
+                order = np.lexsort((sh, doc_of))
+                ds, ss = doc_of[order], sh[order]
+                keep = np.ones(ss.shape[0], dtype=bool)
+                keep[1:] = (ds[1:] != ds[:-1]) | (ss[1:] != ss[:-1])
+                ds, ss = ds[keep], ss[keep]
+                sizes = np.bincount(ds, minlength=len(doc_words)).astype(
+                    np.int64
+                )
+                ids = pdf[id_col].to_numpy()
+                yield pd.DataFrame(
+                    {id_col: ids[ds], "_sz": sizes[ds], "_s": ss}
+                )
+
+        return wd.mapInPandas(kernel, f"{id_col} long, _sz long, _s long")
+
+    def apply(self, table: TableID, df: DataFrame) -> Routed:
+        # set semantics via map-side per-doc distinct; the doc's shingle
+        # count rides ALONG with every posting row (it is tiny and
+        # functionally dependent on the id), so the union size needs no
+        # separate sizes aggregation and no joins back — an earlier
+        # formulation shuffled (id, shingle) rows for a distinct, a
+        # groupBy for sizes, and TWO joins to attach them. The only
+        # shuffles are the inverted-index bucket groupBy and the pair
+        # count groupBy.
+        postings = (
+            self._postings_kernel(df)
+            if self.arrow_kernel
+            else self._postings_fold(df)
+        )
+        # length-ratio pruning (r15, guide §3.2): jaccard ≤ min/max of
+        # the two distinct-shingle counts (inter ≤ min(a,b) and
+        # union ≥ max(a,b)), so a pair with floor(10⁴·min/max) < min_bp
+        # can never pass the final filter — drop it BEFORE the
+        # pair-count shuffle. For integer min_bp,
+        # floor(10⁴·min/max) ≥ min_bp ⟺ 10⁴·min ≥ min_bp·max:
+        # exact, zero false drops.
+        sza, szb = F.col("_pa._sz"), F.col("_pb._sz")
+        ratio_ok = (
+            F.least(sza, szb) * 10000
+            >= F.lit(self.min_bp) * F.greatest(sza, szb)
         )
         # inverted index: per-shingle posting list → intra-list pairs;
         # each shared shingle contributes one row to the pair count
         out = (
             _bucket_pairs(
-                postings, "_s", [self.id_col, "_sz"], self.max_bucket
+                postings, "_s", [self.id_col, "_sz"], self.max_bucket,
+                # one (id, shingle) row per DISTINCT shingle per doc by
+                # construction — the dedup exchange would be a no-op
+                distinct_input=True,
             )
+            .filter(ratio_ok)
             .groupBy(
                 F.col(f"_pa.{self.id_col}").alias("id_a"),
                 F.col(f"_pb.{self.id_col}").alias("id_b"),

@@ -50,6 +50,15 @@ def _topk(pairs: DataFrame, k: int) -> DataFrame:
 
 
 class _AnnBase(Transformer):
+    """Shared ANN scaffolding.
+
+    ``query_pred`` must reference INPUT columns only (the id/vector
+    columns of the frame passed to ``apply``): since r14 it is applied
+    to the raw input — so parquet predicate pushdown prunes the scan to
+    the query rows — not to the derived quantized/bucketed frame, and a
+    predicate naming derived columns (``bucket``, ``_q``, ``_n2``)
+    no longer resolves (ADVICE r14)."""
+
     def __init__(
         self,
         vec_col: str,
