@@ -154,7 +154,7 @@ def test_contaminated_ids_equal_apply_filter(spark):
     assert direct == via_apply and direct
     t0 = build("decontaminate", text_col="text", id_col="doc_id",
                n=3, bench_mod=5, min_overlap=0)
-    with pytest.raises(AssertionError, match="min_overlap"):
+    with pytest.raises(ValueError, match="min_overlap"):
         t0.contaminated_ids_df(df)
 
 
