@@ -489,15 +489,20 @@ class AnnIVF(_AnnBase):
 
     def apply(self, table: TableID, df: DataFrame) -> Routed:
         base = self._quantized(df)
-        # collect the coarse index ONCE (√N rows) and feed it to both
-        # consumers: the broadcast probe join and the assignment kernel
-        # — an earlier formulation ran the centroid aggregation and the
-        # corpus quantization twice per apply
-        crow = self._centroid_array(base).collect()[0]["_cents"]
-        carr = df.sparkSession.createDataFrame(
-            [(crow,)],
-            "_cents array<struct<_cid:bigint,_ce:array<bigint>,_cn2:bigint>>",
-        )
+        # materialize the coarse index ONCE (√N rows) and feed it to
+        # both consumers: the collect for the assignment kernel and the
+        # broadcast probe join — an earlier formulation ran the
+        # centroid aggregation and the corpus quantization twice per
+        # apply. The broadcast side reuses the CHECKPOINTED JVM frame
+        # directly (r15): round-tripping the collected row through
+        # createDataFrame built a Python-parallelized RDD whose
+        # defaultParallelism slices each pulled a Python worker just to
+        # deserialize one row — ~2 s of blocked wall per run at 32
+        # cores, and still ~1.4 s with an explicit single slice
+        # (stage-profiled r15).
+        ca = self._centroid_array(base).localCheckpoint(eager=True)
+        crow = ca.collect()[0]["_cents"]
+        carr = ca
         asg = self.assigned(df, base=base, crow=crow)
         # query probe lists: nprobe best cells per query — the sims
         # array materializes only for rows passing query_pred (pushed
