@@ -703,8 +703,32 @@ class BandIndexStore:
             "append"
         ).partitionBy("_shard").parquet(self._vdir())
 
+    def _snapshot(self) -> DataFrame:
+        """The current version's index as a FILE-LIST read: the file
+        set is resolved NOW, so later ``append``s to the same version
+        directory cannot leak into this frame even if it is evaluated
+        after them (r15 — what lets ``ingest`` return LAZY pairs).
+        Compaction cannot invalidate the list either: it writes a NEW
+        version directory and the ``retention`` lease keeps this one's
+        files on disk. Listing cost is the same directory walk the
+        directory-path read pays at planning time."""
+        import glob as _glob
+
+        paths = sorted(
+            _glob.glob(os.path.join(self._vdir(), "_shard=*", "*.parquet"))
+        )
+        if not paths:
+            # empty/missing version dir: same failure mode as before
+            # (the directory read raises on a missing path)
+            return self._index_reader().parquet(self._vdir())
+        return (
+            self._index_reader()
+            .option("basePath", self._vdir())
+            .parquet(*paths)
+        )
+
     def read(self) -> DataFrame:
-        return self._index_reader().parquet(self._vdir()).drop("_shard")
+        return self._snapshot().drop("_shard")
 
     def read_for(self, batch_bands: DataFrame) -> DataFrame:
         """Index rows in the shards the batch's band keys touch — the
@@ -723,13 +747,24 @@ class BandIndexStore:
             .distinct()
             .collect()
         )
-        df = self._index_reader().parquet(self._vdir())
+        df = self._snapshot()
         return df.filter(F.col("_shard").isin(touched)).drop("_shard")
 
     def ingest(self, dedup: DedupIncremental, new_df: DataFrame) -> DataFrame:
         """Check the batch against the persisted index, THEN append the
         batch's own band rows. Returns the candidate pairs (id_a, id_b,
-        is_cross), already materialized."""
+        is_cross) as a LAZY localCheckpoint (r15): the index read is a
+        file-list snapshot taken BEFORE the append, so deferring the
+        pair computation to the caller's next action cannot see the
+        batch's own rows — one driver action per ingest instead of two
+        (§1.2), and several ingests' pair sets can materialize in ONE
+        downstream job. Callers that interleave ``compact`` keep
+        working through the retention lease (the snapshot's files stay
+        on disk for ``retention`` more versions); a caller that crashes
+        before consuming the pairs re-runs its batch against an index
+        that already holds the batch's rows — the streaming sink's
+        replay path resolves exactly that (diagonal filter +
+        min(is_cross), see :class:`BandIndexIngestSink`)."""
         nb = dedup.band_index(new_df).localCheckpoint(eager=False)
         if self.exists():
             pairs = dedup.pairs_from_bands(nb, self.read_for(nb))
@@ -738,8 +773,11 @@ class BandIndexStore:
                 [], f"{dedup.id_col} long, _bk long"
             )
             pairs = dedup.pairs_from_bands(nb, empty)
-        # materialize before the append mutates what read() sees
-        pairs = pairs.localCheckpoint(eager=True)
+        # lazy: the append below materializes nb's checkpoint (it
+        # writes those rows), and the pairs plan reads the pre-append
+        # file snapshot — the first consumer action computes the pairs
+        # once, reusing nb's cached blocks
+        pairs = pairs.localCheckpoint(eager=False)
         self.append(nb)
         return pairs
 
