@@ -372,9 +372,18 @@ class DedupMinHashLSH(Transformer):
             return self._signatures_fold(df)
         import numpy as np
 
-        wd = ensure_parallelism(
-            df.filter(F.size(words(F.col(self.text_col))) >= self.n)
-        ).select(
+        # short-doc filter lives INSIDE the kernel (r15): as a Catalyst
+        # `filter(size(words(text)) >= n)` it is pushed below the
+        # ensure_parallelism Repartition (filters always are — verified
+        # empirically), so the whole tokenizer ran pre-exchange in the
+        # scan's (often single) task AND ran a second time in the
+        # post-exchange projection. An alias-bearing Project is NOT
+        # pushed below Repartition, so tokenizing once here and masking
+        # short docs in numpy moves ALL per-doc work past the fan-out:
+        # stage-profiled r15, the pre-exchange stage dropped from the
+        # full tokenize (2.2 s CPU single-task cold at sf0.1) to a raw
+        # text shuffle.
+        wd = ensure_parallelism(df).select(
             F.col(self.id_col), words(F.col(self.text_col)).alias("_w")
         )
         id_col = self.id_col
@@ -392,13 +401,16 @@ class DedupMinHashLSH(Transformer):
             import pandas as pd
 
             for pdf in batches:
-                doc_words = list(pdf["_w"])
-                if not doc_words:
+                raw = list(pdf["_w"])
+                keep = [i for i, d in enumerate(raw) if len(d) >= n]
+                if not keep:
                     continue
+                doc_words = [raw[i] for i in keep]
+                ids = pdf[id_col].to_numpy()[keep]
                 wh, wcounts = _flat_word_hashes(doc_words, np)
                 # flat shingle starts: doc d's shingle i begins at word
-                # dstart[d] + i (every doc has ≥ 1 shingle — the filter
-                # keeps only docs with ≥ n words)
+                # dstart[d] + i (every doc has ≥ 1 shingle — the in-
+                # kernel mask keeps only docs with ≥ n words)
                 dstarts = np.cumsum(wcounts) - wcounts
                 sc = wcounts - (n - 1)
                 send = np.cumsum(sc)
@@ -422,7 +434,7 @@ class DedupMinHashLSH(Transformer):
                     acc = (acc * 31 + sig[band_rows + r, :]) % P
                 yield pd.DataFrame(
                     {
-                        id_col: pdf[id_col].to_numpy(),
+                        id_col: ids,
                         "_bands": [list(map(int, c)) for c in acc.T],
                     }
                 )
@@ -979,18 +991,25 @@ class DedupSimHash(Transformer):
     def _fingerprints_kernel(self, df: DataFrame) -> DataFrame:
         import numpy as np
 
-        wd = ensure_parallelism(
-            df.filter(F.size(words(F.col(self.text_col))) >= 1)
-        ).select(self.id_col, words(F.col(self.text_col)).alias("_w"))
+        # empty-doc filter inside the kernel — see
+        # DedupMinHashLSH.signatures (r15): the Catalyst filter was
+        # pushed below the fan-out exchange and serialized the
+        # tokenizer into the scan task
+        wd = ensure_parallelism(df).select(
+            self.id_col, words(F.col(self.text_col)).alias("_w")
+        )
         id_col = self.id_col
 
         def kernel(batches):
             import pandas as pd
 
             for pdf in batches:
-                doc_words = list(pdf["_w"])
-                if not doc_words:
+                raw = list(pdf["_w"])
+                keep = [i for i, d in enumerate(raw) if len(d) >= 1]
+                if not keep:
                     continue
+                doc_words = [raw[i] for i in keep]
+                ids = pdf[id_col].to_numpy()[keep]
                 wh, wcounts = _flat_word_hashes(doc_words, np)
                 dstarts = np.cumsum(wcounts) - wcounts
                 # bit j counter per doc: (+1 per word with bit set,
@@ -1000,9 +1019,7 @@ class DedupSimHash(Transformer):
                 for j in range(SIMHASH_BITS):
                     ones = np.add.reduceat((wh >> j) & 1, dstarts)
                     fp |= ((2 * ones - wcounts) > 0).astype(np.int64) << j
-                yield pd.DataFrame(
-                    {id_col: pdf[id_col].to_numpy(), "simhash": fp}
-                )
+                yield pd.DataFrame({id_col: ids, "simhash": fp})
 
         return wd.mapInPandas(kernel, f"{self.id_col} long, simhash long")
 
@@ -1148,9 +1165,9 @@ class DedupNgramJaccard(Transformer):
         differs — downstream is unordered aggregation only)."""
         import numpy as np
 
-        wd = ensure_parallelism(
-            df.filter(F.size(words(F.col(self.text_col))) >= self.n)
-        ).select(
+        # short-doc filter inside the kernel — see
+        # DedupMinHashLSH.signatures (r15)
+        wd = ensure_parallelism(df).select(
             F.col(self.id_col), words(F.col(self.text_col)).alias("_w")
         )
         id_col, n = self.id_col, self.n
@@ -1160,9 +1177,12 @@ class DedupNgramJaccard(Transformer):
             import pandas as pd
 
             for pdf in batches:
-                doc_words = list(pdf["_w"])
-                if not doc_words:
+                raw = list(pdf["_w"])
+                keepi = [i for i, d in enumerate(raw) if len(d) >= n]
+                if not keepi:
                     continue
+                doc_words = [raw[i] for i in keepi]
+                ids_all = pdf[id_col].to_numpy()[keepi]
                 wh, wcounts = _flat_word_hashes(doc_words, np)
                 dstarts = np.cumsum(wcounts) - wcounts
                 sc = wcounts - (n - 1)
@@ -1186,9 +1206,8 @@ class DedupNgramJaccard(Transformer):
                 sizes = np.bincount(ds, minlength=len(doc_words)).astype(
                     np.int64
                 )
-                ids = pdf[id_col].to_numpy()
                 yield pd.DataFrame(
-                    {id_col: ids[ds], "_sz": sizes[ds], "_s": ss}
+                    {id_col: ids_all[ds], "_sz": sizes[ds], "_s": ss}
                 )
 
         return wd.mapInPandas(kernel, f"{id_col} long, _sz long, _s long")
