@@ -112,6 +112,7 @@ def test_write_creates_table_and_streams_rows(spark, bq_stub):
     assert by_id[2]["insertId"] == "t/101"
 
 
+@pytest.mark.slow
 def test_snapshot_insert_ids_content_derived_and_dupe_suffixed(spark, bq_stub):
     """ADVICE r3: snapshot ids must survive a Spark task retry — they
     derive from row CONTENT (xxhash64 of the payload JSON), so a

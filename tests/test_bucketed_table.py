@@ -154,6 +154,7 @@ def test_partial_batch_into_fresh_bucket_keeps_table_schema(spark, tmp_path):
     assert rows[97] == ("new", None) and rows[1] == ("a", 10.0)
 
 
+@pytest.mark.slow
 def test_gc_keeps_live_versions_across_window(spark, table):
     for lsn in range(5):
         table.merge(_batch(spark, [(1, f"v{lsn}", "u" if lsn else "i", lsn + 1, 0)]))
@@ -219,6 +220,7 @@ def test_bucket_assignment_stable_under_repartition(spark, table):
     assert a == c  # content-derived, retry/partitioning independent
 
 
+@pytest.mark.slow
 def test_bucketed_merge_equals_full_merge_random_logs(spark, tmp_path):
     """Randomized cross-check: a multi-batch changelog applied through
     the bucket-scoped table equals the same changelog through the
@@ -305,6 +307,7 @@ def test_crashed_writer_leaves_table_consistent(spark, table):
     )
 
 
+@pytest.mark.slow
 def test_pk_change_rewrites_old_keys_bucket(spark, table):
     """A PK-changing update (old key in _before) must touch the OLD
     key's bucket too: collapse rewrites it to delete(old)+insert(new)
@@ -368,6 +371,7 @@ def _apply_script(spark, table):
     table.merge(_batch(spark, [(100, None, "d", 5, 0), (9, "up9", "u", 5, 1)]))
 
 
+@pytest.mark.slow
 def test_delta_mode_matches_rewrite_mode(spark, tmp_path):
     """base + pending deltas ≡ eagerly merged state — the read-time
     last-writer-wins resolution is exactly equivalent to eager merging
@@ -494,6 +498,7 @@ def test_delta_read_prunes_buckets(spark, delta_table):
     assert got == {k: v for k, v in full.items() if k in got}
 
 
+@pytest.mark.slow
 def test_delta_into_new_bucket_without_base(spark, tmp_path):
     """A delta-only table (no snapshot seed) and deltas introducing
     buckets the base never wrote both read correctly."""
@@ -592,6 +597,7 @@ def _two_mode_tables(spark, tmp_path):
     return rw, dt
 
 
+@pytest.mark.slow
 def test_delta_mixed_schema_tail_matches_eager(spark, tmp_path):
     """ADVICE r7 (medium): an UNMARKED column-subset batch in a mixed
     delta tail means "those columns untouched" (eager merge keeps the
@@ -627,6 +633,7 @@ def test_delta_mixed_schema_tail_matches_eager(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_delta_mixed_tail_with_toasted_frame(spark, tmp_path):
     """A _toasted frame and a narrower unmarked frame in one tail: the
     presence rewrite keeps both conventions exact."""
@@ -699,6 +706,7 @@ def test_delta_mode_toast_aware_contract(spark, tmp_path):
     assert {r.v for r in t.read().collect()} == {"u2"}
 
 
+@pytest.mark.slow
 def test_incremental_compaction_no_full_table_fold(spark, tmp_path):
     """r7 verdict item 4: under uniform churn the incremental policy
     folds a staggered SUBSET of buckets per batch — never the whole
@@ -858,6 +866,7 @@ def test_concurrent_append_and_fold_converge(spark, tmp_path):
     assert sorted((r.id, r.v) for r in dt.read().collect()) == want
 
 
+@pytest.mark.slow
 def test_async_sink_folds_in_background(spark, tmp_path):
     """BucketedCdcApplySink with async compaction: the apply path only
     appends (fold=False), a background thread folds due buckets, and

@@ -15,6 +15,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from transferia_spark.cdc.merge import merge_batch
 from transferia_spark.streaming.wal_source import WalJsonDataSource, wal_output_schema
 
@@ -57,6 +59,7 @@ def _replicate(spark, tmp_path, events):
     return sorted(tuple(r) for r in merge_batch(target, batch, KEYS).collect())
 
 
+@pytest.mark.slow
 def test_insert_update_delete(spark, tmp_path):
     """dump/00: INSERT (2,2,'b'); UPDATE t='c'; DELETE → empty table."""
     final = _replicate(spark, tmp_path, [

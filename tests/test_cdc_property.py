@@ -66,6 +66,7 @@ def _frame(spark, log, key_offset: int):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(logs=st.lists(events_strategy, min_size=1, max_size=6))
+@pytest.mark.slow
 def test_collapse_then_merge_equals_naive_replay(spark, logs):
     """N independent random logs (disjoint key ranges so one Spark job
     checks them all): apply_changelog(empty, log) == dict replay."""
@@ -94,6 +95,7 @@ def test_collapse_then_merge_equals_naive_replay(spark, logs):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(log=events_strategy)
+@pytest.mark.slow
 def test_split_application_is_batch_size_independent(spark, log):
     """Applying the log in one batch == applying any prefix then the
     rest — the micro-batch boundary must be invisible."""
@@ -231,6 +233,7 @@ def _partial_replay(log):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(log=partial_events)
+@pytest.mark.slow
 def test_partial_update_split_application_is_batch_size_independent(spark, log):
     """TOAST/partial rows: applying the log in one batch == any prefix
     then the rest == the per-event dict replay. The _present contract

@@ -225,6 +225,7 @@ def test_sequence_idempotent_reapply(spark):
     assert _rows(once.select("i1", "i2", "t")) == _rows(twice.select("i1", "i2", "t"))
 
 
+@pytest.mark.slow
 def test_canon_sequences_every_split_point(spark):
     """≈ AllSubsequences (tests/canon/all_replication_sequences.go:127):
     each canon sequence applied as [prefix | rest] must equal the

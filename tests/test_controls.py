@@ -153,6 +153,7 @@ def test_wal_truncate_statement_emits_control(tmp_path):
     assert ctl[1][4] == "public.t"  # _table carries schema.table
 
 
+@pytest.mark.slow
 def test_truncate_replay_property_final_state_matches_fold(spark, tmp_path):
     """Randomized crash-replay property (seeded, deterministic): a
     changelog with interleaved TRUNCATEs, cut into random batches, some
@@ -216,6 +217,7 @@ def test_truncate_replay_property_final_state_matches_fold(spark, tmp_path):
         assert got == set(state.items()), (case, events, got, state)
 
 
+@pytest.mark.slow
 def test_binlog_controls_pipeline_end_to_end(spark, tmp_path):
     """The reference's mid-stream TRUNCATE + ALTER sequence through the
     Spark pipeline: recorded binlog with rows, a truncate, and a DDL →

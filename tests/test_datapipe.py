@@ -55,6 +55,7 @@ def test_minhash_arrow_kernel_equals_catalyst_fold(spark):
     assert kernel == fold and len(kernel) == 200
 
 
+@pytest.mark.slow
 def test_kernels_equal_fold_on_unicode_and_edge_shapes(spark):
     """The r14 across-docs kernels hash characters in numpy
     (utf-32-le codepoints) — they must stay bit-identical to the
@@ -180,6 +181,7 @@ def test_dedup_incremental_matches_full_run_restricted_to_new(spark):
         assert r.is_cross == ((r.id_a % 5 == 0) != (r.id_b % 5 == 0))
 
 
+@pytest.mark.slow
 def test_split_leakage_safe_coassigns_near_dups(spark):
     """Every near-dup cluster lands wholly in one split, and the split
     is deterministic across invocations."""
@@ -561,6 +563,7 @@ def test_dedup_blocks_scores_shared_paragraphs(spark):
     assert rows[6] == (2, 0, 0)  # self-repeat: 1 distinct doc < min_docs
 
 
+@pytest.mark.slow
 def test_audio_energy_frames(spark):
     from transferia_spark.operators.multimodal import attach_payload
 
@@ -833,6 +836,7 @@ def test_chunk_documents_property_full_coverage(spark):
     run()
 
 
+@pytest.mark.slow
 def test_band_index_store_two_ingest_lifecycle(spark, tmp_path):
     """r5 verdict item 7: the band index is a PERSISTED artifact.
     Ingest base → A → B, each reading the index from disk: the union of
@@ -1078,6 +1082,7 @@ def test_band_index_compact_retention_lease(spark, tmp_path):
     assert _os.path.isdir(store._vdir(1)) and _os.path.isdir(store._vdir(2))
 
 
+@pytest.mark.slow
 def test_band_index_single_shard_store_matches_sharded(spark, tmp_path):
     """r15: a derived single-shard store (tiny index → n_shards=1,
     read_for skips the touched-shard job) must produce exactly the
@@ -1114,6 +1119,7 @@ def test_band_index_single_shard_store_matches_sharded(spark, tmp_path):
     assert one_store.read_for(nb).count() == one_store.read().count()
 
 
+@pytest.mark.slow
 def test_ingest_sink_watermark_bounded_files(spark, tmp_path):
     """r6 verdict item 3: a long stream must not accrete one marker
     file per batch — the replay guard is ONE atomic high-watermark

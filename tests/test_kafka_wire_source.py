@@ -397,6 +397,7 @@ def test_kafka_wire_source_through_parser_to_sink(spark, tmp_path):
         broker.close()
 
 
+@pytest.mark.slow
 def test_replicate_verb_consumes_kafkawire(spark, tmp_path):
     """r10: `format: kafkawire` in the replicate verb — the pure-wire
     consumer feeds the registry parser and lands append ChangeItems in
@@ -859,6 +860,7 @@ def test_read_gives_up_after_bounded_leader_refreshes():
         mod.KafkaFetchClient = saved
 
 
+@pytest.mark.slow
 def test_kafkawire_untimestamped_policy(spark, tmp_path):
     """ADVICE r10 + code-review r11: a -1 (no producer timestamp)
     record must not order as 1969 in the collapse — default is a loud
@@ -1930,6 +1932,7 @@ def test_read_committed_wait_is_bounded():
         broker.close()
 
 
+@pytest.mark.slow
 def test_registry_driven_schema_drift_restart_e2e(spark, tmp_path):
     """r11 verdict next #4: a topic whose WRITER schema evolves
     mid-stream. v2 adds a column → the in-stream guard raises the
@@ -2101,6 +2104,7 @@ def test_lso_probe_self_failure_spares_peer_sockets(monkeypatch):
         broker.close()
 
 
+@pytest.mark.slow
 def test_registry_driven_schema_drift_restart_protobuf_e2e(
     spark, tmp_path
 ):
@@ -2245,6 +2249,7 @@ replication:
         reg.shutdown()
 
 
+@pytest.mark.slow
 def test_registry_driven_schema_drift_restart_json_e2e(spark, tmp_path):
     """r14 (verdict next #4, closes the drift matrix): the SAME
     mid-stream drift contract with a JSON-SCHEMA writer — v2 adds an

@@ -586,6 +586,7 @@ def test_wire_applier_sharded_end_to_end(spark):
         srv.close()
 
 
+@pytest.mark.slow
 def test_wire_applier_retryable_writes_and_chunking(spark, monkeypatch):
     """Against a replica-set/mongos target the write commands carry
     lsid + txnNumber (retryable writes — REQUIRED for shard-key-

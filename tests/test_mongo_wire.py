@@ -704,6 +704,7 @@ def test_live_drain_change_stream_and_resume(tmp_path):
         srv.close()
 
 
+@pytest.mark.slow
 def test_replicate_verb_mongowire_live(spark, tmp_path):
     """`format: mongowire` in the replicate verb — the wire client's
     change-stream drain front-ends the mongostream DataSource; a

@@ -287,6 +287,7 @@ def test_tailer_feeds_binlogjson_source(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_replicate_verb_on_recorded_mysql_wire_session(spark, tmp_path):
     """End-to-end mirror of the pgwire test: transfer.yaml with a
     mysqlwire source drains the recorded binlog wire captures and
@@ -345,6 +346,7 @@ replication:
     }
 
 
+@pytest.mark.slow
 def test_replicate_mysqlwire_truncate_controls_through_verb(spark, tmp_path):
     """Wire composition: a recorded binlog session whose QUERY event is
     a TRUNCATE, with replication.controls enabled — the tailer decodes

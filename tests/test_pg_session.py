@@ -635,6 +635,7 @@ replication:
     assert dial_count["n"] >= 2  # activation drain + stream-build drain
 
 
+@pytest.mark.slow
 def test_replicate_continuous_holds_one_live_connection(
     spark, tmp_path, monkeypatch
 ):

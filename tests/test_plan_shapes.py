@@ -7,6 +7,7 @@ after touching an operator (filters reached the parquet scan? did the
 dim broadcast? did the map-side stage stay shuffle-free?).
 """
 
+import pytest
 import re
 
 from pyspark.sql import functions as F
@@ -338,6 +339,7 @@ def test_ann_sq8_candidate_pass_broadcasts_queries(spark):
         assert m.group(1).strip().split("#")[0] in ("query_id", "neighbor_id"), plan
 
 
+@pytest.mark.slow
 def test_no_plan_antipatterns_across_all_driver_queries(spark):
     """Sweeping net over the ENTIRE driver surface: no query's physical
     plan may contain a CartesianProduct (unbounded pair enumeration) or

@@ -5,6 +5,7 @@ arbitrary crash/replay interleavings."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -38,6 +39,7 @@ def _rows_key(rows):
     ),
     n_buckets=st.integers(1, 5),
 )
+@pytest.mark.slow
 def test_clustered_merge_matches_join_merge(
     spark, target_rows, batch_rows, n_buckets
 ):
@@ -87,6 +89,7 @@ def test_clustered_merge_matches_join_merge(
         max_size=10,
     ),
 )
+@pytest.mark.slow
 def test_clustered_merge_matches_join_merge_column_subset(
     spark, batch_rows
 ):

@@ -56,6 +56,7 @@ replication:
 """
 
 
+@pytest.mark.slow
 def test_replicate_once_seed_handoff_and_catchup(spark, tmp_path):
     """Full verb flow: snapshot seed into the bucketed target, source
     position recorded BEFORE the seed (pre-existing binlog events never
@@ -103,6 +104,7 @@ def test_replicate_once_seed_handoff_and_catchup(spark, tmp_path):
     assert health is not None and health["last_error"] == ""
 
 
+@pytest.mark.slow
 def test_replicate_transient_errors_retry_then_succeed(spark, tmp_path):
     """A sink failing transiently is retried after the interval (the
     reference's 10 s restart loop); health carries the retry count and
@@ -156,6 +158,7 @@ def test_replicate_transient_errors_retry_then_succeed(spark, tmp_path):
     assert len(report.errors) == 1 and "hiccup" in report.errors[0]
 
 
+@pytest.mark.slow
 def test_replicate_fatal_error_clears_activation_state(spark, tmp_path):
     """A fatal error stops the loop, clears the coordinator `status`
     (so the next run re-activates, replicate.go:88-93) and surfaces."""
@@ -185,6 +188,7 @@ def test_replicate_fatal_error_clears_activation_state(spark, tmp_path):
     assert "FatalError" in health["last_error"]
 
 
+@pytest.mark.slow
 def test_replicate_pgwire_recorded_session(spark, tmp_path):
     """transfer.yaml with a `pgwire` replication source: recorded
     CopyBoth frames are drained through the wire client's tailer into
@@ -243,6 +247,7 @@ replication:
     }
 
 
+@pytest.mark.slow
 def test_replicate_survives_mid_stream_truncate_and_ddl(spark, tmp_path):
     """replication.controls: a recorded binlog carrying rows, a
     TRUNCATE, a DDL, and post-DDL rows with a NEW column replicates to
@@ -305,6 +310,7 @@ replication:
     assert got == {(4, "d", None), (5, "e", "x")}
 
 
+@pytest.mark.slow
 def test_replicate_multi_table_database(spark, tmp_path):
     """One transfer replicates a whole 'database' (the reference's
     normal mode): two tables seed from the file source into their own
@@ -365,6 +371,7 @@ replication:
     }
 
 
+@pytest.mark.slow
 def test_replicate_multi_table_scoped_truncate(spark, tmp_path):
     """Multi-table + controls through the verb: a TRUNCATE of one table
     wipes only that table's target; the sibling table's rows (earlier
@@ -434,6 +441,7 @@ def test_replicate_multi_table_unknown_table_errors(spark, tmp_path):
         sink(batch, 0)
 
 
+@pytest.mark.slow
 def test_replicate_continuous_heartbeats_and_live_pgwire_drain(spark, tmp_path):
     """Continuous mode: the supervisor heartbeats while healthy
     (healthReportTicker analog) and keeps draining NEW pgwire captures
@@ -644,6 +652,7 @@ def test_multi_table_sink_evaluates_batch_lineage_once(spark, tmp_path):
         assert len(f.read()) == 3  # one char per source row, computed once
 
 
+@pytest.mark.slow
 def test_replicate_transformers_do_not_eat_controls(spark, tmp_path):
     """ADVICE r5: the transformation chain applies to ROW items only
     (≈ nonrow_separator.go). A filter transformer whose predicate is
@@ -694,6 +703,7 @@ replication:
     assert {(r.id, r.v) for r in table.read().collect()} == {(4, "d")}
 
 
+@pytest.mark.slow
 def test_replicate_waljson_truncate_ddl_format_routed_probe(spark, tmp_path):
     """r5 verdict item 1: `replication.controls.enabled` on a WALJSON
     (PG) stream. wal2json records columns as `columns` arrays — not the
@@ -1020,6 +1030,7 @@ def test_wire_formats_without_frames_path_fail_loud(spark, tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_poisoned_background_fold_surfaces_at_stream_end(
     spark, tmp_path, monkeypatch
 ):

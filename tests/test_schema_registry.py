@@ -663,6 +663,7 @@ def test_parser_live_requires_declared_schema():
         )
 
 
+@pytest.mark.slow
 def test_avro_serializer_and_live_registration_round_trip(spark):
     """The produce twin: avro_serializer encodes rows under the writer
     schema, confluent_sr_serializer REGISTERS it live and frames with

@@ -384,6 +384,7 @@ def test_schema_drift_restart(spark, tmp_path):
         evolve(stored, bad)
 
 
+@pytest.mark.slow
 def test_interval_join_stream_stream(spark, tmp_path):
     """Click→purchase attribution: purchases join clicks of the same
     user within the preceding hour; both sides file streams."""
