@@ -66,6 +66,7 @@ def main() -> None:
 
     stages = {}
     tasks = {}
+    stage_job = {}  # stage id -> (job id, job description/callsite)
     paths = [
         p
         for pat in ("*", "*/*")
@@ -80,6 +81,16 @@ def main() -> None:
                 except ValueError:
                     continue
                 e = ev.get("Event")
+                if e == "SparkListenerJobStart":
+                    jid = ev["Job ID"]
+                    props = ev.get("Properties") or {}
+                    desc = (
+                        props.get("spark.job.description")
+                        or props.get("callSite.short")
+                        or ""
+                    )[:48]
+                    for sid in ev.get("Stage IDs", []):
+                        stage_job[sid] = (jid, desc)
                 if e == "SparkListenerStageCompleted":
                     si = ev["Stage Info"]
                     sid = si["Stage ID"]
@@ -124,7 +135,9 @@ def main() -> None:
             f"{sid:5d} {s['ntasks']:5d} {s['wall_ms']:7d} "
             f"{t_.get('run', 0):6d} {t_.get('cpu', 0):6d} {t_.get('gc', 0):5d} "
             f"{t_.get('deser', 0):8d} "
-            f"{t_.get('sr', 0) // 1024:5d} {t_.get('sw', 0) // 1024:5d}  {s['name']}"
+            f"{t_.get('sr', 0) // 1024:5d} {t_.get('sw', 0) // 1024:5d}  "
+            f"j{stage_job.get(sid, ('?', ''))[0]} "
+            f"{stage_job.get(sid, ('?', ''))[1]} | {s['name'][:40]}"
         )
 
 

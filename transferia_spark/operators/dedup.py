@@ -86,9 +86,26 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        plan = df._jdf.queryExecution().optimizedPlan()
+        size = int(plan.stats().sizeInBytes())
+        # Catalyst's join-size estimate MULTIPLIES the sides, so a
+        # kernel input like `docs.join(scores)` reports GB-scale stats
+        # over KB of physical text and fans the signature stage out to
+        # every core (r15: 32 one-Python-round-trip tasks over 26 KB
+        # each). Cap the estimate by the sum of LEAF scan sizes — the
+        # bytes that physically exist; any leaf with sentinel/unknown
+        # stats disables the cap (keeps the full-fan-out bias, which
+        # is the right mistake for heavy per-row work at scale).
+        leaves = plan.collectLeaves()
+        leaf_sum = 0
+        for i in range(leaves.size()):
+            ls = int(leaves.apply(i).stats().sizeInBytes())
+            if not 0 < ls < (1 << 60):
+                leaf_sum = 0
+                break
+            leaf_sum += ls
+        if 0 < leaf_sum < size:
+            size = leaf_sum
     except Exception:
         size = 0
     if 0 < size < (1 << 60):
